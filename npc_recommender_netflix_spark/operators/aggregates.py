@@ -1,0 +1,270 @@
+"""§2.4 Aggregations.
+
+Spark runs every groupBy as partial (map-side) + final HashAggregate — the
+MapReduce combiner pattern for free. At 100 TB the key concerns are (a) key
+cardinality (all groupings here are low-cardinality → tiny shuffles) and
+(b) skew, which AQE's skew-join/partition-coalescing handles at runtime.
+`a_approx_distinct` is the scale path for COUNT DISTINCT (HLL sketch merges
+map-side; exact distinct shuffles the full key set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import f6, load_table, money2, tables
+
+
+@register(
+    "a_global",
+    """
+    SELECT round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS cnt,
+           min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def a_global(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        money2(F.sum("l_quantity")).alias("sum_qty"),
+        money2(F.sum("l_extendedprice")).alias("sum_price"),
+        F.count("*").alias("cnt"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+Q1_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("a_groupby", Q1_ORACLE)
+def a_groupby(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — the flagship query (SURVEY §7 P1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money2(F.sum("l_quantity")).alias("sum_qty"),
+            money2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            money2(F.sum(disc_price)).alias("sum_disc_price"),
+            money2(F.sum(charge)).alias("sum_charge"),
+            f6(F.avg("l_quantity")).alias("avg_qty"),
+            f6(F.avg("l_extendedprice")).alias("avg_price"),
+            f6(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a_count_distinct",
+    """
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_count_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts")
+    )
+
+
+@register(
+    "a_multi_distinct",
+    """
+    SELECT count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps,
+           count(*) AS cnt
+    FROM lineitem
+    """,
+)
+def a_multi_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "a_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders FROM orders
+    GROUP BY o_custkey HAVING count(*) > 15
+    """,
+)
+def a_having(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") > 15)
+    )
+
+
+@register(
+    "a_stats",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_stats(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        f6(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        f6(F.var_samp("l_quantity")).alias("var_qty"),
+        f6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "a_median",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_median(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        f6(F.percentile("l_quantity", 0.5)).alias("median_qty"),
+        f6(F.percentile("l_quantity", 0.9)).alias("p90_qty"),
+    )
+
+
+@register(
+    "a_grouping_sets",
+    """
+    SELECT r.r_name, n.n_name, count(*) AS cnt
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((r.r_name), (r.r_name, n.n_name), ())
+    """,
+)
+def a_grouping_sets(spark, sf_dir):
+    region, nation, cust = tables(spark, sf_dir, "region", "nation", "customer")
+    region.createOrReplaceTempView("v_region")
+    nation.createOrReplaceTempView("v_nation")
+    cust.createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT r.r_name, n.n_name, count(*) AS cnt
+        FROM v_region r JOIN v_nation n ON n.n_regionkey = r.r_regionkey
+        JOIN v_customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((r.r_name), (r.r_name, n.n_name), ())
+        """
+    )
+
+
+@register(
+    "a_rollup",
+    """
+    SELECT r.r_name, n.n_name, count(*) AS cnt
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def a_rollup(spark, sf_dir):
+    region, nation, cust = tables(spark, sf_dir, "region", "nation", "customer")
+    j = region.join(nation, nation.n_regionkey == region.r_regionkey).join(
+        cust, cust.c_nationkey == nation.n_nationkey
+    )
+    return j.rollup("r_name", "n_name").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "a_cube",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS cnt
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        money2(F.sum("l_quantity")).alias("sum_qty"), F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "a_collect_sorted",
+    """
+    SELECT r.r_regionkey, list_sort(list(n.n_name)) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_regionkey
+    """,
+)
+def a_collect_sorted(spark, sf_dir):
+    region, nation = tables(spark, sf_dir, "region", "nation")
+    j = region.join(nation, nation.n_regionkey == region.r_regionkey)
+    return j.groupBy("r_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@register("a_approx_distinct")  # rows-only: HLL sketch is engine-specific
+def a_approx_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )
+
+
+@register(
+    "a_argmax",
+    """
+    SELECT c_mktsegment, o_orderkey AS best_order, round(o_totalprice, 2) AS best_price
+    FROM (
+        SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn = 1
+    """,
+)
+def a_argmax(spark, sf_dir):
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderkey").alias("best_order"),
+            money2(F.col("o_totalprice")).alias("best_price"),
+        )
+    )

@@ -1,0 +1,283 @@
+"""§2.3 Joins.
+
+Scale notes per operator:
+- Broadcast the small side whenever it fits (`j_broadcast` pins the plan);
+  at 100 TB the dims (region/nation/part/supplier) stay broadcastable while
+  facts (orders/lineitem/events) shuffle on join keys.
+- Large x large equi-joins (`j_sortmerge`, `j_multiway`) rely on AQE for
+  runtime coalescing and skew-join splitting; co-locating repeated joins on
+  the same key would use bucketing in a persisted layout.
+- The interval/as-of joins (`j_theta_range`, `j_asof`) avoid a full
+  cartesian by keying on user_id first — the non-equi condition only runs
+  within a user's partition. At 100 TB you'd additionally bucket time into
+  coarse buckets to bound the per-key fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table, money2, tables
+
+
+@register(
+    "j_inner_equi",
+    """
+    SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, round(o.o_totalprice, 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j_inner_equi(spark, sf_dir):
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_mktsegment", money2(F.col("o_totalprice")).alias("total")
+    )
+
+
+@register(
+    "j_broadcast",
+    """
+    SELECT p.p_brand, count(*) AS cnt, round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def j_broadcast(spark, sf_dir):
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("cnt"), money2(F.sum("l_extendedprice")).alias("revenue")
+    )
+
+
+@register(
+    "j_sortmerge",
+    """
+    SELECT o.o_orderstatus, count(*) AS cnt,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def j_sortmerge(spark, sf_dir):
+    li, orders = tables(spark, sf_dir, "lineitem", "orders")
+    j = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"), money2(F.sum(rev)).alias("revenue")
+    )
+
+
+@register(
+    "j_left_outer",
+    """
+    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total
+    FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def j_left_outer(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return j.select("c_custkey", "o_orderkey", money2(F.col("o_totalprice")).alias("total"))
+
+
+@register(
+    "j_right_outer",
+    """
+    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+    RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def j_right_outer(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    j = orders.join(cust, cust.c_custkey == orders.o_custkey, "right")
+    return j.select("c_custkey", "o_orderkey", money2(F.col("o_totalprice")).alias("total"))
+
+
+@register(
+    "j_full_outer",
+    """
+    SELECT n.n_nationkey, n.n_name, cc.nk, cc.cust_cnt
+    FROM (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 15) n
+    FULL OUTER JOIN (
+        SELECT c_nationkey AS nk, count(*) AS cust_cnt FROM customer
+        WHERE c_nationkey >= 10 GROUP BY c_nationkey
+    ) cc ON n.n_nationkey = cc.nk
+    """,
+)
+def j_full_outer(spark, sf_dir):
+    nation, cust = tables(spark, sf_dir, "nation", "customer")
+    left = nation.where(F.col("n_nationkey") < 15).select("n_nationkey", "n_name")
+    right = (
+        cust.where(F.col("c_nationkey") >= 10)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("cust_cnt"))
+    )
+    return left.join(right, left.n_nationkey == right.nk, "full").select(
+        "n_nationkey", "n_name", "nk", "cust_cnt"
+    )
+
+
+@register(
+    "j_left_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def j_left_semi(spark, sf_dir):
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    big = orders.where(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j_left_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def j_left_anti(spark, sf_dir):
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    big = orders.where(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j_cross",
+    "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def j_cross(spark, sf_dir):
+    region, nation = tables(spark, sf_dir, "region", "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@register(
+    "j_theta_range",
+    """
+    SELECT e1.event_id AS eid1, e2.event_id AS eid2, e1.user_id
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    """,
+)
+def j_theta_range(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTE"))
+    )
+    return e1.join(e2, cond).select(
+        F.col("e1.event_id").alias("eid1"),
+        F.col("e2.event_id").alias("eid2"),
+        F.col("e1.user_id").alias("user_id"),
+    )
+
+
+@register(
+    "j_asof",
+    """
+    SELECT p.event_id, p.ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def j_asof(spark, sf_dir):
+    # No native as-of join in Spark SQL: emulate with a union + running
+    # last_value(view_ts) per user. At scale this is a single shuffle on
+    # user_id + one sort — same cost class as a native as-of.
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts"), F.lit(0).alias("kind"), F.col("ts").alias("view_ts"),
+        F.col("event_id"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("view_ts"), F.col("event_id"),
+    )
+    u = views.unionByName(purch)
+    # views sort before purchases at equal ts (kind 0 < 1) so ties are included.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lastv = F.last("view_ts", ignorenulls=True).over(w)
+    return (
+        u.withColumn("view_ts", lastv)
+        .where(F.col("kind") == 1)
+        .select("event_id", "ts", "view_ts")
+    )
+
+
+@register(
+    "j_multiway",
+    """
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS cnt
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('ASIA', 'AMERICA', 'EUROPE', 'AFRICA', 'MIDDLE EAST')
+    GROUP BY n.n_name
+    """,
+)
+def j_multiway(spark, sf_dir):
+    region, nation, cust, orders, li = tables(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem"
+    )
+    j = (
+        region.where(
+            F.col("r_name").isin("ASIA", "AMERICA", "EUROPE", "AFRICA", "MIDDLE EAST")
+        )
+        .join(F.broadcast(nation), nation.n_regionkey == region.r_regionkey)
+        .join(cust, cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("n_name").agg(
+        money2(F.sum(rev)).alias("revenue"), F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "j_self_pairs",
+    """
+    SELECT n1.n_regionkey, n1.n_name AS name_a, n2.n_name AS name_b
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+)
+def j_self_pairs(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    cond = (F.col("n1.n_regionkey") == F.col("n2.n_regionkey")) & (
+        F.col("n1.n_nationkey") < F.col("n2.n_nationkey")
+    )
+    return n1.join(n2, cond).select(
+        F.col("n1.n_regionkey").alias("n_regionkey"),
+        F.col("n1.n_name").alias("name_a"),
+        F.col("n2.n_name").alias("name_b"),
+    )

@@ -1,0 +1,217 @@
+"""§2.5 Window functions.
+
+Every ordering ends in a unique key (event_id / o_orderkey) → deterministic
+results under the driver's value-hash compare. Integral window outputs are
+cast to BIGINT to match DuckDB's types.
+
+Scale: window partitions here are user_id (150+ keys) or mktsegment; a
+window = one shuffle on the partition key + per-partition sort. Spark 3.5+
+rewrites rank<=k filters into WindowGroupLimit (asserted in tests) so top-k
+per group never materializes full partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import f6, load_table, money2, tables
+
+def _wby_user():
+    # Built lazily: Window construction needs an active SparkContext.
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@register(
+    "w_row_number",
+    """
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+    """,
+)
+def w_row_number(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", "event_id", F.row_number().over(_wby_user()).cast("long").alias("rn")
+    )
+
+
+@register(
+    "w_rank_dense",
+    """
+    SELECT o.o_orderkey,
+           rank()       OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice DESC) AS drnk
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def w_rank_dense(spark, sf_dir):
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc())
+    return j.select(
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "w_ntile",
+    """
+    SELECT o_orderkey, ntile(4) OVER (ORDER BY o_orderkey) AS tile
+    FROM orders
+    """,
+)
+def w_ntile(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return orders.select("o_orderkey", F.ntile(4).over(w).cast("long").alias("tile"))
+
+
+@register(
+    "w_lag_lead",
+    """
+    SELECT event_id,
+           lag(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+    """,
+)
+def w_lag_lead(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        F.lag("event_id").over(_wby_user()).alias("prev_id"),
+        F.lead("event_id").over(_wby_user()).alias("next_id"),
+        (us - F.lag(us).over(_wby_user())).alias("gap_us"),
+    )
+
+
+@register(
+    "w_running_sum",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+    FROM events
+    """,
+)
+def w_running_sum(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = _wby_user().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select("event_id", f6(F.sum("value").over(w)).alias("running_value"))
+
+
+@register(
+    "w_moving_avg",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+    FROM events
+    """,
+)
+def w_moving_avg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = _wby_user().rowsBetween(-2, Window.currentRow)
+    return ev.select("event_id", f6(F.avg("value").over(w)).alias("mov_avg"))
+
+
+@register(
+    "w_range_frame",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total,
+           round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                                         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS near_sum
+    FROM orders
+    """,
+)
+def w_range_frame(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        money2(F.col("o_totalprice")).alias("total"),
+        money2(F.sum("o_totalprice").over(w)).alias("near_sum"),
+    )
+
+
+@register(
+    "w_first_last",
+    """
+    SELECT DISTINCT user_id,
+           first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_id,
+           last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id
+    FROM events
+    """,
+)
+def w_first_last(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = _wby_user().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(w).alias("last_id"),
+    ).distinct()
+
+
+@register(
+    "w_pct_rank",
+    """
+    SELECT o.o_orderkey,
+           round(percent_rank() OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice), 6) AS pr,
+           round(cume_dist()    OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice), 6) AS cd
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def w_pct_rank(spark, sf_dir):
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice")
+    return j.select(
+        "o_orderkey",
+        f6(F.percent_rank().over(w)).alias("pr"),
+        f6(F.cume_dist().over(w)).alias("cd"),
+    )
+
+
+@register(
+    "w_topk_group",
+    """
+    SELECT p_brand, p_partkey, revenue, rn FROM (
+        SELECT p_brand, p_partkey, revenue,
+               row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rn
+        FROM (
+            SELECT p.p_brand, p.p_partkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand, p.p_partkey
+        )
+    ) WHERE rn <= 3
+    """,
+)
+def w_topk_group(spark, sf_dir):
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(money2(F.sum(rev)).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return (
+        per_part.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rn")
+    )

@@ -1,0 +1,100 @@
+"""SparkSession construction + table loading for the engine.
+
+Design notes (100 TB scale):
+- All loaders return plain DataFrames backed by the Parquet DSv2 scan, so
+  Catalyst predicate pushdown / column pruning / partition pruning apply
+  unchanged on a real cluster.
+- ``events`` carries a Parquet TIMESTAMP(NANOS) column that Spark 4.1.2
+  cannot read natively (SURVEY.md §1.3). We read it with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` and rebuild a microsecond
+  timestamp with integer division (``ts DIV 1000``) — float division would
+  round-trip through double and can flip a microsecond at ~1.7e18 ns.
+- Session defaults favor a local[32] dev box; on a cluster the same code
+  runs with whatever master/conf the deployment provides. Every config we
+  set is also settable at runtime on an externally provided session, which
+  ``prepare()`` does defensively (the driver harness owns the session).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_session(
+    app: str = "npc-recommender-netflix-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """Build a local session with the engine's required configs.
+
+    On a production cluster you would keep everything except ``master`` and
+    size ``spark.sql.shuffle.partitions`` to ~2-3x total cores (AQE then
+    coalesces small post-shuffle partitions at runtime).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    return (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .getOrCreate()
+    )
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Defensively apply required *runtime-settable* session confs.
+
+    The driver harness passes its own SparkSession; these SQL confs are
+    session-scoped and safe to set at runtime.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table; applies the events ns-timestamp recipe."""
+    prepare(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as long (ns since epoch) under nanosAsLong.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def f6(col):
+    """Round a float expression to 6dp (SURVEY §2 float convention)."""
+    return F.round(F.col(col).cast("double") if isinstance(col, str) else col.cast("double"), 6)
+
+
+def money2(col):
+    """Round a money expression to 2dp."""
+    return F.round(F.col(col).cast("double") if isinstance(col, str) else col.cast("double"), 2)

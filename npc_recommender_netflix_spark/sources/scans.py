@@ -1,0 +1,117 @@
+"""§2.1 Scans / sources / sinks.
+
+Scale notes:
+- `s_pruned_scan` / `s_pushdown_scan` exist to pin down that column pruning
+  and predicate pushdown reach the Parquet scan (asserted in
+  tests/test_plans.py via ReadSchema / PushedFilters). At 100 TB these are
+  the difference between reading 2 columns' row groups and reading the table.
+- `s_partitioned_write` demonstrates hive-style partitioning, the layout
+  that enables partition pruning for downstream readers.
+- Round-trips write to a per-call temp dir; sinks at scale would target
+  object storage with the same API.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table, money2
+
+
+@register("s_parquet_scan", "SELECT r_regionkey, r_name FROM region")
+def s_parquet_scan(spark, sf_dir):
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register("s_pruned_scan", "SELECT l_orderkey, l_quantity FROM lineitem")
+def s_pruned_scan(spark, sf_dir):
+    # Catalyst ColumnPruning: ReadSchema ends up with exactly these 2 cols.
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@register(
+    "s_pushdown_scan",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def s_pushdown_scan(spark, sf_dir):
+    # Predicate reaches the parquet scan (PushedFilters: GreaterThanOrEqual).
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+
+
+@register(
+    "s_csv_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def s_csv_roundtrip(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="npc_csv_")
+    try:
+        path = f"{tmp}/customer_csv"
+        cust.write.mode("overwrite").option("header", "true").csv(path)
+        schema = "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"
+        back = spark.read.schema(schema).option("header", "true").csv(path)
+        out = back.select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            money2(F.col("c_acctbal")).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before tmp cleanup
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "s_json_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s_json_roundtrip(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="npc_json_")
+    try:
+        path = f"{tmp}/nation_json"
+        nation.write.mode("overwrite").json(path)
+        back = spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(path)
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "s_partitioned_write",
+    "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
+)
+def s_partitioned_write(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="npc_part_")
+    try:
+        path = f"{tmp}/orders_by_status"
+        orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        back = spark.read.parquet(path)
+        out = back.groupBy("o_orderstatus").agg(F.count("*").alias("cnt"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("s_ns_timestamp_read", "SELECT event_id, ts FROM events")
+def s_ns_timestamp_read(spark, sf_dir):
+    # SURVEY §1.3: nanosAsLong + timestamp_micros(ts DIV 1000), byte-identical
+    # to DuckDB's native ns->us read.
+    return load_table(spark, sf_dir, "events").select("event_id", "ts")

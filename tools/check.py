@@ -1,0 +1,137 @@
+"""Local replica of the driver's t2 oracle check, for offline debugging.
+
+Runs each registered query on Spark and its oracle SQL on DuckDB over the
+same sf dir, then compares row count, sorted column names, and an
+order-insensitive normalized value multiset.
+
+Usage:
+    python tools/check.py [--sf /root/testdata/sf0.01] [keys...]
+    python tools/check.py --list
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import decimal
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from npc_recommender_netflix_spark import registry
+from npc_recommender_netflix_spark.session import TABLES, build_session
+
+registry.load_all()
+
+
+def norm(v):
+    """Normalize a value so Spark and DuckDB representations compare equal."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{round(v, 9):.9f}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v.normalize()}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, dt.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, dt.date):
+        return f"dt:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={norm(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    return f"s:{v}"
+
+
+def normalize_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(norm(r[i]) for i in order) for r in rows)
+
+
+def run_one(spark, con, key, sf_dir):
+    fn = registry.QUERIES[key]
+    t0 = time.time()
+    sdf = fn(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+    t_spark = time.time() - t0
+    if key not in registry.ORACLE:
+        return ("ROWS-ONLY", len(srows), None, t_spark, None)
+    t0 = time.time()
+    res = con.execute(registry.ORACLE[key])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    t_duck = time.time() - t0
+    problems = []
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if not problems:
+        a = normalize_rows(scols, [tuple(r) for r in srows])
+        b = normalize_rows(ocols, orows)
+        if a != b:
+            diff_a = [x for x, y in zip(a, b) if x != y][:3]
+            diff_b = [y for x, y in zip(a, b) if x != y][:3]
+            n_diff = sum(1 for x, y in zip(a, b) if x != y)
+            problems.append(f"values differ ({n_diff} rows): spark={diff_a} oracle={diff_b}")
+    return ("OK" if not problems else "FAIL", len(srows), problems, t_spark, t_duck)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+
+    if args.list:
+        for k in sorted(registry.QUERIES):
+            print(k, "(rows-only)" if k not in registry.ORACLE else "")
+        return
+
+    keys = args.keys or sorted(registry.QUERIES)
+    spark = build_session()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    n_ok = n_fail = 0
+    for key in keys:
+        try:
+            status, nrows, problems, t_s, t_d = run_one(spark, con, key, args.sf)
+        except Exception:
+            status, nrows, problems = "ERROR", -1, [traceback.format_exc(limit=8)]
+            t_s = t_d = None
+        flag = {"OK": ".", "ROWS-ONLY": "r", "FAIL": "F", "ERROR": "E"}[status]
+        times = f"spark={t_s:.1f}s" if t_s is not None else ""
+        print(f"[{flag}] {key:24s} rows={nrows:<8d} {times}")
+        if problems:
+            for p in problems:
+                print("      ", p[:2000])
+        if status in ("OK", "ROWS-ONLY"):
+            n_ok += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_ok} ok, {n_fail} failed (of {len(keys)})")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
