@@ -1,1 +1,104 @@
-"""placeholder — filled in later phases."""
+"""§2.7 scalar functions — array families + explode/posexplode.
+
+Arrays over the 64-dim float `embeddings.embedding` column are cast to
+DOUBLE inside lambdas before rounding (float32 widening is exact). Both
+engines fold list aggregates left-to-right, so the 64-term sums are
+bit-identical before the 6dp round.
+
+Scale: explode of a 64-dim vector multiplies rows x64 — at 100 TB prefer
+the lambda forms (aggregate/transform, no row explosion) which these
+queries also cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+
+
+@register(
+    "fn_array_basic",
+    """
+    SELECT n_nationkey,
+           [n_nationkey, n_regionkey, n_nationkey * 2] AS arr,
+           CAST(len([n_nationkey, n_regionkey, n_nationkey * 2]) AS BIGINT) AS sz,
+           list_contains([n_nationkey, n_regionkey, n_nationkey * 2], 5) AS has5,
+           [n_nationkey, n_regionkey, n_nationkey * 2][2] AS el2,
+           [n_nationkey, n_regionkey, n_nationkey * 2][1:2] AS sl,
+           list_sort(list_distinct([n_nationkey, n_regionkey, n_nationkey * 2])) AS dst,
+           flatten([[n_nationkey], [n_regionkey]]) AS fl,
+           CAST(list_position([n_nationkey, n_regionkey, n_nationkey * 2], n_regionkey) AS BIGINT) AS posr
+    FROM nation
+    """,
+)
+def fn_array_basic(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    arr = F.array("n_nationkey", "n_regionkey", F.col("n_nationkey") * 2)
+    return nation.select(
+        "n_nationkey",
+        arr.alias("arr"),
+        F.size(arr).cast("long").alias("sz"),
+        F.array_contains(arr, F.lit(5)).alias("has5"),
+        F.element_at(arr, 2).alias("el2"),
+        F.slice(arr, 1, 2).alias("sl"),
+        F.sort_array(F.array_distinct(arr)).alias("dst"),
+        F.flatten(F.array(F.array("n_nationkey"), F.array("n_regionkey"))).alias("fl"),
+        F.array_position(arr, F.col("n_regionkey")).cast("long").alias("posr"),
+    )
+
+
+@register(
+    "fn_array_lambda",
+    """
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) + 0 AS total,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           len(list_filter(embedding, x -> x > 0.35)) > 0 AS has_big,
+           list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 2, 3) + 0) AS doubled
+    FROM embeddings
+    """,
+)
+def fn_array_lambda(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        (F.round(
+            F.expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"),
+            6,
+        ) + 0.0).alias("total"),
+        F.expr("size(filter(embedding, x -> x > 0))").cast("long").alias("n_pos"),
+        F.expr("exists(embedding, x -> x > 0.35)").alias("has_big"),
+        F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE) * 2, 3) + 0d)").alias("doubled"),
+    )
+
+
+@register(
+    "fn_explode",
+    """
+    SELECT vec_id, round(CAST(unnest(embedding) AS DOUBLE), 6) + 0 AS val
+    FROM embeddings
+    """,
+)
+def fn_explode(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.explode("embedding").alias("v")).select(
+        "vec_id", (F.round(F.col("v").cast("double"), 6) + 0.0).alias("val")
+    )
+
+
+@register(
+    "fn_posexplode",
+    """
+    SELECT e.vec_id, t.i - 1 AS pos, round(CAST(e.embedding[t.i] AS DOUBLE), 6) + 0 AS val
+    FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+    """,
+)
+def fn_posexplode(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        (F.round(F.col("v").cast("double"), 6) + 0.0).alias("val"),
+    )

@@ -1,1 +1,92 @@
-"""placeholder — filled in later phases."""
+"""§2.7 scalar functions — date/time families.
+
+Known divergences handled in the oracle SQL (SURVEY §2.7):
+- Spark dayofweek = 1(Sun)..7  vs DuckDB 0(Sun)..6  -> oracle +1
+- Spark datediff(end, start)   vs DuckDB date_diff('day', start, end)
+- Spark year()/month()/... return INT vs DuckDB BIGINT -> Spark side cast long
+- Spark from_unixtime returns a STRING; we use timestamp_seconds <->
+  make_timestamp(us) for a typed round-trip instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+
+
+@register(
+    "fn_date_parts",
+    """
+    SELECT event_id,
+           year(ts) AS y, quarter(ts) AS q, month(ts) AS mo,
+           day(ts) AS d, weekofyear(ts) AS woy,
+           dayofweek(ts) + 1 AS dow,        -- DuckDB 0-based Sunday -> Spark 1-based
+           hour(ts) AS h, minute(ts) AS mi
+    FROM events
+    """,
+)
+def fn_date_parts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    c = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.year(c).cast("long").alias("y"),
+        F.quarter(c).cast("long").alias("q"),
+        F.month(c).cast("long").alias("mo"),
+        F.dayofmonth(c).cast("long").alias("d"),
+        F.weekofyear(c).cast("long").alias("woy"),
+        F.dayofweek(c).cast("long").alias("dow"),
+        F.hour(c).cast("long").alias("h"),
+        F.minute(c).cast("long").alias("mi"),
+    )
+
+
+@register(
+    "fn_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS plus30,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           make_date(year(o_orderdate), month(o_orderdate), 1) AS first_of_month
+    FROM orders
+    """,
+)
+def fn_date_arith(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("month_start"),
+        F.timestamp_add("DAY", F.lit(30), d).alias("plus30"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+        F.last_day(d).alias("month_end"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("first_of_month"),
+    )
+
+
+@register(
+    "fn_date_format",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m') AS ym,
+           strftime(ts, '%Y-%m-%d %H') AS ymdh,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+           make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS ts_floor
+    FROM events
+    """,
+)
+def fn_date_format(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    c = F.col("ts")
+    unix_s = F.unix_timestamp(c)
+    return ev.select(
+        "event_id",
+        F.date_format(c, "yyyy-MM").alias("ym"),
+        F.date_format(c, "yyyy-MM-dd HH").alias("ymdh"),
+        unix_s.alias("unix_s"),
+        F.timestamp_seconds(unix_s).alias("ts_floor"),
+    )

@@ -1,1 +1,78 @@
-"""placeholder — filled in later phases."""
+"""§2.7 scalar functions — JSON / map / conditional families."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import f6, load_table, money2
+
+
+@register(
+    "fn_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_get,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_from,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+    FROM events
+    """,
+)
+def fn_json(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k_get = F.get_json_object("props", "$.k").cast("int")
+    k_from = F.from_json("props", "k INT").getField("k")
+    return ev.select(
+        "event_id",
+        k_get.alias("k_get"),
+        k_from.alias("k_from"),
+        (k_from % 10).alias("k_mod"),
+    )
+
+
+@register(
+    "fn_map_basic",
+    """
+    SELECT n_name, n_nationkey AS va, n_regionkey AS vb, ['nk', 'rk'] AS ks
+    FROM nation
+    """,
+)
+def fn_map_basic(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("nk"), F.lit("rk")), F.array("n_nationkey", "n_regionkey")
+    )
+    return nation.select(
+        "n_name",
+        F.element_at(m, "nk").alias("va"),
+        F.element_at(m, "rk").alias("vb"),
+        F.sort_array(F.map_keys(m)).alias("ks"),
+    )
+
+
+@register(
+    "fn_conditional",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 5000 THEN 'lo' ELSE 'hi' END AS band,
+           nullif(c_nationkey, 5) AS nn,
+           coalesce(nullif(c_nationkey, 5), -1) AS co,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'NONE') AS nv,
+           CASE WHEN c_nationkey = 0 THEN NULL
+                ELSE round(c_acctbal / c_nationkey, 6) END AS td,
+           round(c_acctbal, 2) AS nanv
+    FROM customer
+    """,
+)
+def fn_conditional(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nk = F.col("c_nationkey")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 5000, "lo").otherwise("hi").alias("band"),
+        F.nullif(nk, F.lit(5)).alias("nn"),
+        F.coalesce(F.nullif(nk, F.lit(5)), F.lit(-1)).alias("co"),
+        F.nvl(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("NONE")).alias("nv"),
+        f6(F.try_divide(F.col("c_acctbal"), nk.cast("double"))).alias("td"),
+        money2(F.nanvl(F.col("c_acctbal"), F.lit(0.0))).alias("nanv"),
+    )

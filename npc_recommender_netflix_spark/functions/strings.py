@@ -1,1 +1,98 @@
-"""placeholder — filled in later phases."""
+"""§2.7 scalar functions — string families.
+
+One query per family; each projects every covered function over a real
+table so the oracle hash covers all of them. All JVM built-ins → stay
+inside whole-stage codegen at scale (no Python boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+
+
+@register(
+    "fn_string_basic",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up, lower(p_type) AS lo,
+           CAST(length(p_name) AS BIGINT) AS ln,
+           trim(concat(' ', p_name, ' ')) AS tr,
+           ltrim(concat('  ', p_name)) AS ltr,
+           rtrim(concat(p_name, '  ')) AS rtr,
+           lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '*') AS rp,
+           reverse(p_name) AS rev,
+           concat_ws('-', p_brand, p_type) AS cw,
+           left(p_name, 4) AS l4, right(p_name, 3) AS r3,
+           substring(p_name, 2, 5) AS sub
+    FROM part
+    """,
+)
+def fn_string_basic(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_type").alias("lo"),
+        F.length("p_name").cast("long").alias("ln"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("tr"),
+        F.ltrim(F.concat(F.lit("  "), F.col("p_name"))).alias("ltr"),
+        F.rtrim(F.concat(F.col("p_name"), F.lit("  "))).alias("rtr"),
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.rpad("p_brand", 12, "*").alias("rp"),
+        F.reverse("p_name").alias("rev"),
+        F.concat_ws("-", "p_brand", "p_type").alias("cw"),
+        F.expr("left(p_name, 4)").alias("l4"),
+        F.expr("right(p_name, 3)").alias("r3"),
+        F.substring("p_name", 2, 5).alias("sub"),
+    )
+
+
+@register(
+    "fn_string_regex",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           regexp_matches(p_name, 'g.*r') AS has_gr,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+           string_split(p_name, ' ') AS words
+    FROM part
+    """,
+)
+def fn_string_regex(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.col("p_name").rlike("g.*r").alias("has_gr"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
+        F.split("p_name", " ").alias("words"),
+    )
+
+
+@register(
+    "fn_string_search",
+    """
+    SELECT p_partkey,
+           CAST(strpos(p_name, 'e') AS BIGINT) AS pos_e,
+           contains(p_name, 'ring') AS has_ring,
+           starts_with(p_name, 'red') AS is_red,
+           ends_with(p_name, 'bolt') AS is_bolt,
+           translate(p_name, 'aeiou', 'AEIOU') AS tlate,
+           repeat(left(p_name, 2), 3) AS rep
+    FROM part
+    """,
+)
+def fn_string_search(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.instr("p_name", "e").cast("long").alias("pos_e"),
+        F.col("p_name").contains("ring").alias("has_ring"),
+        F.col("p_name").startswith("red").alias("is_red"),
+        F.col("p_name").endswith("bolt").alias("is_bolt"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("tlate"),
+        F.repeat(F.expr("left(p_name, 2)"), 3).alias("rep"),
+    )

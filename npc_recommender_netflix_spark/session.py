@@ -91,10 +91,17 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ..
 
 
 def f6(col):
-    """Round a float expression to 6dp (SURVEY §2 float convention)."""
-    return F.round(F.col(col).cast("double") if isinstance(col, str) else col.cast("double"), 6)
+    """Round a float expression to 6dp (SURVEY §2 float convention).
+
+    The trailing ``+ 0.0`` canonicalizes IEEE negative zero (-0.0 -> +0.0)
+    so Spark and DuckDB hash identically; oracle SQL mirrors it as ``+ 0``
+    wherever the rounded value can be negative.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c.cast("double"), 6) + 0.0
 
 
 def money2(col):
-    """Round a money expression to 2dp."""
-    return F.round(F.col(col).cast("double") if isinstance(col, str) else col.cast("double"), 2)
+    """Round a money expression to 2dp (negative zero canonicalized)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c.cast("double"), 2) + 0.0
