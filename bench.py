@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Methodology mirrors BASELINE.md: one shared session (cold start amortized,
+reported separately as session_up_sec), per-query wall time = plan build +
+execution to completion (count()), warm JVM. Budgets: <=5 s p50 / <=15 s
+max per query, suite <= 10 min (BASELINE.md "Derived budgets").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from npc_recommender_netflix_spark import registry
+from npc_recommender_netflix_spark.session import build_session
+
+registry.load_all()
+
+HEADLINE = [
+    "a_groupby",        # flagship Q1-style agg
+    "a_cube",
+    "j_broadcast",
+    "j_multiway",       # 5-table join
+    "j_asof",
+    "w_topk_group",
+    "o_topk",
+    "fn_math",
+    "r_ratings_matrix",
+    "r_cosine_sim",
+    "r_predict",
+    "t_tfidf",
+    "t_jaccard_neardup",
+    "t_simhash",
+    "v_cosine_topk",
+    "v_embed_neardup",
+    "st_session",
+    "u_apply_in_pandas",
+    "r_als",            # MLlib ALS fit+transform (<=60 s budget)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    t0 = time.time()
+    spark = build_session(app="npc-bench")
+    spark.range(1).count()  # force JVM+session fully up
+    session_up = time.time() - t0
+
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.time()
+        registry.QUERIES[key](spark, sf_dir).count()
+        times[key] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_warm_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "session_up_sec": round(session_up, 3),
+                "n_queries": len(times),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

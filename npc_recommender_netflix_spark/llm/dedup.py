@@ -1,1 +1,189 @@
-"""placeholder — filled in later phases."""
+"""§2.9 LLM-data-pipeline: deduplication family.
+
+Exact dedup lives in text.py (t_exact_dedup). Here: the near-dup ladder —
+n-gram Jaccard (exact), SimHash (hash sketch), MinHash+LSH (MLlib), and a
+rolling-hash document fingerprint. All hashes derive from md5(), which both
+Spark and DuckDB implement identically, so even the sketches get exact SQL
+oracles (except MinHashLSH whose hash family is MLlib-internal).
+
+Scale story (the whole point of the ladder):
+- exact Jaccard is O(pairs-sharing-a-shingle) — fine when shingle-postings
+  are short, quadratic blowup on hot shingles. At 100 TB you cap posting
+  lists (drop shingles with df > K, they carry no dedup signal).
+- SimHash: one 64-bit fingerprint per doc, near-dups = small Hamming
+  distance; candidate generation via banded fingerprint prefixes = equi-join.
+- MinHash+LSH: band-bucket equi-join, the classic web-dedup design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import f6, load_table
+
+# --- shared shingle SQL (2-word shingles, distinct per doc) ----------------
+
+# doc_id < 1000 bounds the shingle-posting quadratic blowup at larger sf
+# (the 100 TB design prefilters candidates with MinHash/SimHash instead of
+# joining full posting lists; the bound keeps the exact variant exact AND
+# benchmarkable). Covers the whole corpus at sf<=0.01.
+SHINGLES_SQL = r"""
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS s
+    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                FROM documents WHERE doc_id < 1000))
+"""
+
+
+def shingles(spark, sf_dir):
+    # bigrams via array transform — map-side only, no self-join shuffle
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    return (
+        docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+            ).alias("s"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "t_jaccard_neardup",
+    f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.12
+    """,
+)
+def t_jaccard_neardup(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs via shingle equi-join (no O(n²)
+    cross join — candidate pairs only exist where a shingle is shared)."""
+    sh = shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.12)
+        .select("doc_a", "doc_b", f6(jac).alias("jaccard"))
+    )
+
+
+# --- SimHash: md5-derived, engine-portable ---------------------------------
+
+# token hash = first 8 hex chars of md5 -> uint32, via positional hex math
+# (DuckDB has no conv(); both engines share this exact arithmetic).
+_DUCK_H32 = """
+    CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef', substring(md5(word), j, 1)) - 1)
+             * 16 ** (8 - j))) AS BIGINT)
+"""
+
+
+@register(
+    "t_simhash",
+    rf"""
+    WITH tok AS (SELECT DISTINCT doc_id,
+                        unnest(string_split_regex(lower(text), '\s+')) AS word
+                 FROM documents),
+    h AS (SELECT doc_id, {_DUCK_H32} AS h32 FROM tok),
+    bits AS (SELECT doc_id, b, CAST(floor(h32 / (2 ** b)) AS BIGINT) % 2 AS bit
+             FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+    votes AS (SELECT doc_id, b, sum(2 * bit - 1) AS v FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS simhash16
+    FROM votes GROUP BY doc_id
+    """,
+)
+def t_simhash(spark, sf_dir):
+    """16-bit SimHash per document from md5-derived token hashes.
+
+    Sketch is exact-oracle-checkable because the hash (md5) is identical in
+    both engines. 64-bit at scale; 16 bits keeps the bit fan-out cheap here.
+    """
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .distinct()
+    )
+    h = tok.select(
+        "doc_id", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long").alias("h32")
+    )
+    bits = h.crossJoin(F.broadcast(spark.range(0, 16).select(F.col("id").alias("b"))))
+    bits = bits.select(
+        "doc_id", "b", (F.floor(F.col("h32") / F.pow(2, "b")).cast("long") % 2).alias("bit")
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum(2 * F.col("bit") - 1).alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(2, "b").cast("long")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash16")
+    )
+
+
+@register(
+    "t_fingerprint",
+    f"""
+    WITH sh AS ({SHINGLES_SQL})
+    SELECT doc_id, min(md5(s)) AS fingerprint,
+           count(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def t_fingerprint(spark, sf_dir):
+    """Document fingerprint: min-hash (k=1) over shingle md5s — the
+    winnowing/rolling-hash fingerprint shape with a portable hash."""
+    sh = shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("s")).alias("fingerprint"), F.count("*").alias("n_shingles")
+    )
+
+
+@register("t_minhash_dedup")  # rows-only: MLlib's MinHash family is internal
+def t_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (MLlib, seeded).
+
+    tests/test_llm.py checks candidates ⊇ all high-Jaccard exact pairs.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
+    featurized = tok.transform(docs)
+    tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1024, binary=True)
+    feats = tf.transform(featurized)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            f6(F.lit(1.0) - F.col("jaccard_dist")).alias("approx_jaccard"),
+        )
+    )

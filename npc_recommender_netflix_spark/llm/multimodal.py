@@ -1,1 +1,124 @@
-"""placeholder — filled in later phases."""
+"""§2.9 LLM-data-pipeline: multimodal columns.
+
+Images/audio/video are opaque `binary` columns with typed metadata; decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas
+functions over `mapInPandas`. The container has no codec libs (SURVEY env
+constraints), so the decode step is a clearly-marked deterministic fake —
+the Spark-side plumbing (binary column, schema, batch iteration, partition
+independence) is real and oracle-checked via arithmetic on the byte length.
+
+Scale: mapInPandas streams Arrow batches — constant memory per task, no
+row-at-a-time Python. Binary payloads at 100 TB stay out of shuffles
+(metadata-only projections after extraction); partition by content id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import f6, load_table, tables
+
+_NRM = (
+    "sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
+    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+
+@register(
+    "m_multimodal_join",
+    """
+    SELECT d.lang, count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_l2
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang
+    """,
+)
+def m_multimodal_join(spark, sf_dir):
+    """Join the text and vector modalities (doc_id = vec_id, 1:1)."""
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    j = docs.join(emb, docs.doc_id == emb.vec_id)
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n"), f6(F.avg(F.expr(_NRM))).alias("avg_l2")
+    )
+
+
+@register(
+    "m_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def m_binary_meta(spark, sf_dir):
+    """Opaque binary payload + typed metadata (byte length, content digest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bin_col = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length(bin_col).cast("long").alias("n_bytes"),
+        F.md5("text").alias("digest"),
+    )
+
+
+_IMG_SCHEMA = (
+    "doc_id long, n_bytes long, width long, height long, "
+    "resized_w long, resized_h long, n_frames long, sampled_frames long"
+)
+
+
+@register(
+    "m_image_pipeline",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) // 64) % 64 + 16 AS BIGINT) AS height,
+           CAST((octet_length(encode(text)) % 64 + 16) // 2 AS BIGINT) AS resized_w,
+           CAST(((octet_length(encode(text)) // 64) % 64 + 16) // 2 AS BIGINT) AS resized_h,
+           CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS n_frames,
+           CAST(least(octet_length(encode(text)) % 7 + 1, 4) AS BIGINT) AS sampled_frames
+    FROM documents
+    """,
+)
+def m_image_pipeline(spark, sf_dir):
+    """Decode -> resize -> frame-sample over a binary column via mapInPandas
+    (Arrow batches). Decode itself is a deterministic stub (no codecs in
+    container); the oracle mirrors the stub's arithmetic on byte length.
+    """
+    # Defined inside the query fn so cloudpickle ships it by value (executor
+    # Python workers cannot import this package).
+    def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """STUB decode: a real implementation would call an image/video codec
+        (PIL/ffmpeg) on `payload` here — not available in this container, so
+        dimensions derive deterministically from the byte length instead. The
+        mapInPandas batch shape, schema, and Arrow transfer are the real thing.
+        """
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            width = (n_bytes % 64) + 16
+            height = (n_bytes // 64) % 64 + 16
+            n_frames = (n_bytes % 7) + 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "width": width,
+                    "height": height,
+                    "resized_w": width // 2,   # "resize" to half resolution
+                    "resized_h": height // 2,
+                    "n_frames": n_frames,      # "video" frame count
+                    "sampled_frames": n_frames.clip(upper=4),  # frame sampling
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payload.mapInPandas(fake_decode_batch, schema=_IMG_SCHEMA)

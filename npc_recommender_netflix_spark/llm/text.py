@@ -1,1 +1,273 @@
-"""placeholder — filled in later phases."""
+"""§2.9 LLM-data-pipeline: text analysis over the `documents` corpus.
+
+All operators are pure DataFrame expressions (no Python UDFs) — tokenize/
+count/score run inside whole-stage codegen, and every shuffle is keyed on
+doc_id or token (both high-cardinality, unskewed). At 100 TB:
+- tokenize/explode is map-side only (no shuffle until the count);
+- word counts are partial-aggregated before the shuffle (combiner);
+- tf-idf's df table is tiny (vocab-sized) -> broadcast back to tf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import f6, load_table
+
+TOKENS_SQL = r"""
+    SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents
+"""
+
+
+def tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    )
+
+
+@register(
+    "t_exact_dedup",
+    "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+)
+def t_exact_dedup(spark, sf_dir):
+    """Exact dedup by text hash-shuffle. Duplicates injected via self-union
+    (corpus texts are unique); dropDuplicates == distinct-on-key at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)
+    return doubled.dropDuplicates(["text"]).groupBy("lang").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "t_tokenize_wc",
+    f"""
+    SELECT word, count(*) AS cnt FROM ({TOKENS_SQL})
+    GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+    """,
+)
+def t_tokenize_wc(spark, sf_dir):
+    return (
+        tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "t_doc_stats",
+    """
+    SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def t_doc_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        f6(F.avg("n_chars")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "t_tfidf",
+    f"""
+    WITH tok AS ({TOKENS_SQL}),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+           WHERE doc_id < 50 GROUP BY 1, 2),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf,
+               round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS score
+        FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    )
+    SELECT doc_id, word AS top_term, tf, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, word) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def t_tfidf(spark, sf_dir):
+    """TF-IDF top term per doc (sample doc_id < 50; idf over full corpus).
+
+    df is vocabulary-sized -> broadcast join back onto tf at any scale.
+    """
+    tok = tokens(spark, sf_dir)
+    tf = (
+        tok.where(F.col("doc_id") < 50)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            f6(F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_term"), "tf", "score")
+    )
+
+
+@register(
+    "t_ngram_bigram",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                  FROM documents),
+    pos AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
+    bg AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM pos)
+    SELECT w1, w2, count(*) AS cnt FROM bg
+    GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 20
+    """,
+)
+def t_ngram_bigram(spark, sf_dir):
+    # bigrams via array transform — no self-join shuffle (cf. dedup.shingles)
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    return (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+_STOPWORDS = ("a", "the", "and", "or", "of", "in", "to")
+_SW_SQL = "['a', 'the', 'and', 'or', 'of', 'in', 'to']"
+
+
+@register(
+    "t_lang_id",
+    rf"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+               FROM documents)
+    SELECT doc_id,
+           round(len(list_filter(w, x -> list_contains({_SW_SQL}, x))) * 1.0 / len(w), 6)
+               AS stop_ratio,
+           CASE WHEN len(list_filter(w, x -> list_contains({_SW_SQL}, x))) * 1.0 / len(w)
+                     > 0.02
+                THEN 'en-like' ELSE 'unknown' END AS pred_lang
+    FROM t
+    """,
+)
+def t_lang_id(spark, sf_dir):
+    """Language-ID heuristic: function-word ratio (n-gram LID stub).
+
+    A real 100 TB LID would be a char-n-gram model broadcast to a pandas
+    UDF; the Spark plumbing (per-doc scoring, no shuffle) is identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    w = F.split(F.lower("text"), r"\s+")
+    nstop = F.expr(
+        f"size(filter(split(lower(text), '\\\\s+'), x -> array_contains(array({sw}), x)))"
+    )
+    ratio = nstop * 1.0 / F.size(w)
+    return docs.select(
+        "doc_id",
+        f6(ratio).alias("stop_ratio"),
+        F.when(ratio > 0.02, "en-like").otherwise("unknown").alias("pred_lang"),
+    )
+
+
+@register(
+    "t_quality_score",
+    rf"""
+    WITH t AS (SELECT doc_id, n_chars,
+                      string_split_regex(lower(text), '\s+') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           round(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))) / len(w), 6)
+               AS mean_word_len,
+           round(len(list_distinct(w)) * 1.0 / len(w), 6) AS distinct_ratio,
+           round(len(list_filter(w, x -> list_contains({_SW_SQL}, x))) * 1.0 / len(w), 6)
+               AS stop_ratio,
+           CASE WHEN len(w) >= 20 AND len(w) <= 1000
+                     AND len(list_distinct(w)) * 1.0 / len(w) > 0.3
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM t
+    """,
+)
+def t_quality_score(spark, sf_dir):
+    """Heuristic quality scoring (length / lexical diversity / stopwords) —
+    the standard pretraining-corpus filter shape, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    docs = docs.withColumn("w", F.split(F.lower("text"), r"\s+"))
+    n = F.size("w")
+    nd = F.expr("size(array_distinct(w))")
+    nstop = F.expr(f"size(filter(w, x -> array_contains(array({sw}), x)))")
+    wordlen_sum = F.expr(
+        "aggregate(w, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(length(x) AS DOUBLE))"
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        f6(wordlen_sum / n).alias("mean_word_len"),
+        f6(nd * 1.0 / n).alias("distinct_ratio"),
+        f6(nstop * 1.0 / n).alias("stop_ratio"),
+        F.when((n >= 20) & (n <= 1000) & (nd * 1.0 / n > 0.3), "keep")
+        .otherwise("drop")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "t_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS BIGINT) AS bpe_ish_tokens,
+           round(length(text) * 1.0
+                 / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 6)
+               AS chars_per_token
+    FROM documents
+    """,
+)
+def t_token_count(spark, sf_dir):
+    """Token counting: whitespace + a BPE-ish regex segmentation."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.lower("text"), r"\s+"))
+    # NB: F.lit pattern, not F.expr — Spark SQL string literals consume \s.
+    bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+        f6(F.length("text") * 1.0 / bpe).alias("chars_per_token"),
+    )

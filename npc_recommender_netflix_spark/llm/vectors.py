@@ -1,1 +1,301 @@
-"""placeholder — filled in later phases."""
+"""§2.9 LLM-data-pipeline: vector / similarity-search operators.
+
+Dot products run as array lambdas (aggregate/zip_with) over the 64-dim
+float column — elementwise, sequential fold, so Spark and DuckDB produce
+bit-identical sums before the 6dp round.
+
+Scale design: `v_cosine_topk` is the brute-force baseline (fine when the
+query set is tiny — it's a broadcast of Q against a scan of N).
+`v_ann_ivf` is the scale path: a coarse quantizer (here: per-label
+centroids) prunes the candidate set to one cell before scoring — the IVF
+pattern; on 100 TB you'd store vectors bucketed by cell id so the probe is
+a partition-pruned scan, and generate cells with KMeans instead of labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import f6, load_table
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NRM = (
+    "sqrt(aggregate({a}, CAST(0 AS DOUBLE),"
+    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+_DUCK_DOT = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_DUCK_NRM = (
+    "sqrt(list_sum(list_transform({a},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@register(
+    "v_norm",
+    f"""
+    SELECT vec_id, round({_DUCK_NRM.format(a='embedding')}, 6) AS l2
+    FROM embeddings
+    """,
+)
+def v_norm(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", f6(F.expr(_NRM.format(a="embedding"))).alias("l2")
+    )
+
+
+_COS_PAIR_SQL = f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label,
+           round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+                 / ({_DUCK_NRM.format(a='q.embedding')}
+                    * {_DUCK_NRM.format(a='c.embedding')}), 6) + 0 AS cos
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+"""
+
+
+def _cos_pairs(spark, sf_dir, query_pred, cand_pred=None):
+    """All (query, candidate) cosine pairs, rounded 6dp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label"), F.col("embedding").alias("ce")
+    )
+    if cand_pred is not None:
+        c = c.where(cand_pred)
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("cand_id"))
+    cos = F.expr(_DOT.format(a="qe", b="ce")) / (
+        F.expr(_NRM.format(a="qe")) * F.expr(_NRM.format(a="ce"))
+    )
+    return pairs.select("query_id", "cand_id", "label", f6(cos).alias("cos"))
+
+
+@register(
+    "v_cosine_topk",
+    f"""
+    WITH pairs AS ({_COS_PAIR_SQL})
+    SELECT query_id, cand_id, cos, rn FROM (
+        SELECT query_id, cand_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rn
+        FROM pairs WHERE query_id IN (0, 1, 2)
+    ) WHERE rn <= 5
+    """,
+)
+def v_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for queries {0,1,2}: broadcast Q, scan N."""
+    pairs = _cos_pairs(spark, sf_dir, F.col("vec_id").isin(0, 1, 2))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "cos", "rn")
+    )
+
+
+@register(
+    "v_knn_label",
+    f"""
+    WITH pairs AS ({_COS_PAIR_SQL}),
+    nn AS (
+        SELECT query_id, cand_id, label, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rn
+        FROM pairs WHERE query_id < 10 AND cand_id >= 10
+    ),
+    votes AS (SELECT query_id, label, count(*) AS votes FROM nn
+              WHERE rn <= 10 GROUP BY 1, 2)
+    SELECT query_id, label AS pred_label, votes FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, label) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def v_knn_label(spark, sf_dir):
+    """10-NN majority-label classification for queries vec_id < 10."""
+    pairs = _cos_pairs(
+        spark, sf_dir, F.col("vec_id") < 10, cand_pred=F.col("cand_id") >= 10
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    nn = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10)
+    votes = nn.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+    vw = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+@register(
+    "v_centroid",
+    """
+    SELECT e.label, t.i - 1 AS pos,
+           round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) + 0 AS centroid_val
+    FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+    GROUP BY e.label, t.i
+    """,
+)
+def v_centroid(spark, sf_dir):
+    """Per-label centroid, component-wise (posexplode -> avg per (label,pos))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        f6(F.avg(F.col("v").cast("double"))).alias("centroid_val")
+    )
+
+
+@register(
+    "v_embed_neardup",
+    f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+               round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+                     / ({_DUCK_NRM.format(a='q.embedding')}
+                        * {_DUCK_NRM.format(a='c.embedding')}), 6) + 0 AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35
+    """,
+)
+def v_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos >= 0.35).
+
+    Blocked-BLAS design: the (tiny) normalized embedding matrix is broadcast
+    to every task; each Arrow batch of rows computes `block @ M.T` with
+    numpy and emits only pairs over threshold. An array-lambda cross-join
+    (the naive form) is interpreted per element in Spark and was measured
+    ~17x slower at sf0.1 (70 s -> 4 s). At 100 TB the same shape holds with
+    an LSH/IVF candidate prefilter replacing the all-pairs matmul.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()  # O(N*dim), dims only
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def block_cosine(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            cos = np.round(q @ all_mat.T, 6) + 0.0
+            qa = pdf["vec_id"].to_numpy()
+            ai, bi = np.nonzero(cos >= 0.35)
+            keep = qa[ai] < all_ids[bi]
+            yield pd.DataFrame(
+                {
+                    "vec_a": qa[ai][keep],
+                    "vec_b": all_ids[bi][keep],
+                    "cos": cos[ai, bi][keep],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        block_cosine, schema="vec_a long, vec_b long, cos double"
+    )
+
+
+@register(
+    "v_ann_ivf",
+    f"""
+    WITH cent AS (
+        SELECT e.label, t.i AS i, avg(CAST(e.embedding[t.i] AS DOUBLE)) AS cv
+        FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY e.label, t.i
+    ),
+    qcomp AS (
+        SELECT q.vec_id AS query_id, t.i AS i, CAST(q.embedding[t.i] AS DOUBLE) AS qv
+        FROM embeddings q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        WHERE q.vec_id IN (0, 1, 2)
+    ),
+    qc AS (
+        SELECT qcomp.query_id, cent.label,
+               round(sum(qcomp.qv * cent.cv)
+                     / (sqrt(sum(qcomp.qv * qcomp.qv)) * sqrt(sum(cent.cv * cent.cv))), 6)
+                   + 0 AS ccos
+        FROM qcomp JOIN cent ON qcomp.i = cent.i
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT query_id, label AS probe_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY ccos DESC, label) AS rn
+            FROM qc
+        ) WHERE rn = 1
+    ),
+    pairs AS ({_COS_PAIR_SQL})
+    SELECT p.query_id, best.probe_label, p.cand_id, p.cos, rnk AS rn FROM (
+        SELECT pairs.*, best.probe_label,
+               row_number() OVER (PARTITION BY pairs.query_id
+                                  ORDER BY pairs.cos DESC, pairs.cand_id) AS rnk
+        FROM pairs JOIN best ON pairs.query_id = best.query_id
+                            AND pairs.label = best.probe_label
+    ) p JOIN best ON p.query_id = best.query_id
+    WHERE rnk <= 5
+    """,
+)
+def v_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: route each query to its nearest coarse cell (per-label
+    centroid), then exact-score only within that cell (~1/10th of the data).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+    )
+    qcomp = (
+        emb.where(F.col("vec_id").isin(0, 1, 2))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("embedding").alias("pos", "qv"),
+        )
+        .withColumn("qv", F.col("qv").cast("double"))
+    )
+    qc = (
+        qcomp.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", "label")
+        .agg(
+            f6(
+                F.sum(F.col("qv") * F.col("cv"))
+                / (
+                    F.sqrt(F.sum(F.col("qv") * F.col("qv")))
+                    * F.sqrt(F.sum(F.col("cv") * F.col("cv")))
+                )
+            ).alias("ccos")
+        )
+    )
+    bw = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    best = (
+        qc.withColumn("rn", F.row_number().over(bw))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("probe_label"))
+    )
+    pairs = _cos_pairs(spark, sf_dir, F.col("vec_id").isin(0, 1, 2))
+    probed = pairs.join(
+        F.broadcast(best),
+        (pairs.query_id == best.query_id) & (pairs.label == best.probe_label),
+    ).select(pairs.query_id, "probe_label", "cand_id", "cos")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        probed.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "probe_label", "cand_id", "cos", "rn")
+    )

@@ -60,6 +60,9 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # local mode: driver == executors; default 1g OOMs at sf0.1 with 32
+        # task threads. Pre-JVM config, no effect on externally-owned sessions.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
     )
 

@@ -1,1 +1,166 @@
-"""placeholder — filled in later phases."""
+"""§2.10 Structured Streaming — windowed operators over the events stream.
+
+Each query runs a REAL stream: file source over the events parquet (with
+the §1.3 ns-timestamp recipe applied in-stream), availableNow trigger, and
+a uniquely-named memory sink; the returned DataFrame reads the sink. The
+oracle checks the batch-equivalent semantics, exact for complete in-order
+replay (SURVEY §2.10).
+
+Scale: windowed aggs shuffle on (window, key) with partial aggregation;
+state lives in the state store keyed the same way. Watermarks bound state
+size — without one, tumbling/sliding state grows with the key x window
+product, which is why st_watermark is the production shape.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import prepare
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark, sf_dir):
+    """Streaming file source over the events parquet; ns->us recipe inline.
+
+    The file source monitors a DIRECTORY; the fixture is a single file, so
+    expose it via a symlink in a temp dir (testdata stays untouched).
+    """
+    prepare(spark)
+    stream_dir = tempfile.mkdtemp(prefix="npc_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stream_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def run_to_memory(df, output_mode: str) -> str:
+    """Run a streaming DataFrame to completion into a memory sink."""
+    name = "snk_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="npc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+@register(
+    "st_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_tumbling(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    out = agg.select(F.col("window.start").alias("wstart"), "event_type", "cnt")
+    name = run_to_memory(out, "complete")
+    return spark.table(name)
+
+
+@register(
+    "st_sliding",
+    """
+    SELECT wstart, count(*) AS cnt FROM (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+               AS wstart
+        FROM events
+    ) GROUP BY wstart
+    """,
+)
+def st_sliding(spark, sf_dir):
+    # 1h window sliding by 30m: every event lands in exactly 2 windows.
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count("*").alias("cnt")
+    )
+    out = agg.select(F.col("window.start").alias("wstart"), "cnt")
+    name = run_to_memory(out, "complete")
+    return spark.table(name)
+
+
+@register(
+    "st_session",
+    """
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS cnt
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def st_session(spark, sf_dir):
+    """Session windows (30-min gap) per user; oracle = gaps-and-islands SQL."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "cnt",
+    )
+    name = run_to_memory(out, "complete")
+    return spark.table(name)
+
+
+@register("st_watermark")  # rows-only: late-data drop is runtime behavior
+def st_watermark(spark, sf_dir):
+    """1h watermark + append mode: only windows closed by the final
+    watermark (max event time - 1h) are emitted; the tail is withheld."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = agg.select(F.col("window.start").alias("wstart"), "event_type", "cnt")
+    name = run_to_memory(out, "append")
+    return spark.table(name)
+
+
+@register(
+    "st_dedup",
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def st_dedup(spark, sf_dir):
+    """Streaming dedup: union the stream with itself (every event twice),
+    dropDuplicates on event_id -> exact per-type counts are restored."""
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    dedup = s1.unionByName(s2).dropDuplicates(["event_id"])
+    agg = dedup.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    name = run_to_memory(agg, "complete")
+    return spark.table(name)

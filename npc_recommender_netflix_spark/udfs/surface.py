@@ -1,1 +1,127 @@
-"""placeholder — filled in later phases."""
+"""§2.11 UDF / UDAF / UDTF surface.
+
+The escalation ladder, in preference order at 100 TB:
+1. built-in functions (everything else in this repo) — JVM codegen;
+2. pandas UDF / grouped-agg pandas UDF / applyInPandas — Arrow-batched,
+   ~10-100x faster than row-at-a-time Python (SNIPPETS.md patterns);
+3. row-at-a-time Python UDF (u_py_udf) — kept as the explicit anti-pattern
+   demonstration: one Py4J/pickle round-trip per row.
+Each key's oracle proves the Python path agrees with the pure-SQL result.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from ..registry import register
+from ..session import f6, load_table
+
+
+@register(
+    "u_py_udf",
+    "SELECT p_partkey, lower(trim(p_type)) AS norm_type FROM part",
+)
+def u_py_udf(spark, sf_dir):
+    """Row-at-a-time Python UDF (the slow path, on purpose)."""
+    part = load_table(spark, sf_dir, "part")
+    norm = udf(lambda s: s.strip().lower(), "string")
+    return part.select("p_partkey", norm("p_type").alias("norm_type"))
+
+
+@register(
+    "u_pandas_udf",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 6) AS discounted
+    FROM lineitem
+    """,
+)
+def u_pandas_udf(spark, sf_dir):
+    """Vectorized Series->Series pandas UDF over Arrow batches."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    @pandas_udf("double")
+    def discounted(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        f6(discounted("l_extendedprice", "l_discount")).alias("discounted"),
+    )
+
+
+@register(
+    "u_grouped_agg",
+    """
+    SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 6) AS geo_mean
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def u_grouped_agg(spark, sf_dir):
+    """Grouped-agg pandas UDF (UDAF): geometric mean of order value."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(math.exp(np.log(v.to_numpy()).mean()))
+
+    return orders.groupBy("o_orderstatus").agg(
+        f6(geo_mean("o_totalprice")).alias("geo_mean")
+    )
+
+
+@register(
+    "u_apply_in_pandas",
+    """
+    SELECT event_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) + 0 AS zscore
+    FROM events
+    """,
+)
+def u_apply_in_pandas(spark, sf_dir):
+    """Per-group transform via applyInPandas: z-score of value per user."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "z": (v - v.mean()) / v.std(ddof=1)}
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(zscore, schema="event_id long, z double")
+    return out.select("event_id", f6(F.col("z")).alias("zscore"))
+
+
+@register(
+    "u_udtf",
+    r"""
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def u_udtf(spark, sf_dir):
+    # Class defined inside the fn: pickled by value for executor workers.
+    @udtf(returnType="doc_id: bigint, token: string")
+    class SplitTokens:
+        """Python UDTF (Spark 4): one input row -> N token rows."""
+
+        def eval(self, doc_id: int, text: str):
+            for tok in text.lower().split():
+                yield doc_id, tok
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("v_docs_udtf")
+    spark.udtf.register("split_tokens", SplitTokens)
+    return spark.sql(
+        "SELECT t.doc_id, t.token FROM v_docs_udtf, "
+        "LATERAL split_tokens(doc_id, text) t"
+    )

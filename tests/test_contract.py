@@ -1,0 +1,74 @@
+"""Contract-shape tests + a representative oracle spot-check at sf0.001.
+
+The full 120-key oracle sweep is tools/check.py (and the driver's t2);
+here we keep pytest fast with one key per operator family.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from npc_recommender_netflix_spark import registry
+from tests.conftest import SF_SMALL
+from tools.check import normalize_rows
+
+REPRESENTATIVE = [
+    "s_pushdown_scan",
+    "p_cast",
+    "j_asof",
+    "j_multiway",
+    "a_groupby",
+    "a_grouping_sets",
+    "w_topk_group",
+    "set_except_all",
+    "fn_date_parts",
+    "fn_array_lambda",
+    "r_cosine_sim",
+    "r_topn_recs",
+    "t_tfidf",
+    "t_simhash",
+    "v_cosine_topk",
+    "m_image_pipeline",
+    "u_apply_in_pandas",
+]
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_contract_shape():
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert len(qs) >= 110
+    assert set(osql) <= set(qs)
+    # declared rows-only set stays tight and intentional
+    rows_only = set(qs) - set(osql)
+    assert rows_only == {
+        "a_approx_distinct",
+        "r_als",
+        "r_als_recs",
+        "t_minhash_dedup",
+        "st_watermark",
+        "st_stateful",
+    }
+
+
+def _check_one(spark, duck, key):
+    sdf = registry.QUERIES[key](spark, SF_SMALL)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(registry.ORACLE[key])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols), key
+    assert len(srows) == len(orows), key
+    assert normalize_rows(sdf.columns, srows) == normalize_rows(ocols, orows), key
+
+
+def test_representative_oracle_match(spark, duck):
+    for key in REPRESENTATIVE:
+        _check_one(spark, duck, key)

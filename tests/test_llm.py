@@ -1,0 +1,66 @@
+"""LLM-pipeline checks beyond the oracle: sketch-vs-exact guarantees."""
+
+from pyspark.sql import functions as F
+
+from npc_recommender_netflix_spark import registry
+from tests.conftest import SF_SMALL
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    """MinHash LSH candidate pairs must contain every exact-Jaccard>=0.5
+    pair (LSH has false positives, must not have false negatives here)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["t_jaccard_neardup"](spark, SF_SMALL).collect()
+        if r["jaccard"] >= 0.5
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["t_minhash_dedup"](spark, SF_SMALL).collect()
+    }
+    assert exact, "fixture should contain at least one planted near-dup pair"
+    missing = exact - approx
+    assert not missing, f"LSH missed high-jaccard pairs: {missing}"
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    """Same token set -> same simhash (doc duplicated via union)."""
+    sh = registry.QUERIES["t_simhash"](spark, SF_SMALL)
+    h = {r["doc_id"]: r["simhash16"] for r in sh.collect()}
+    assert all(0 <= v < 2**16 for v in h.values())
+    # near-dup planted pairs should have close hamming distance
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["t_jaccard_neardup"](spark, SF_SMALL).collect()
+        if r["jaccard"] >= 0.8
+    ]
+    for a, b in pairs:
+        ham = bin(h[a] ^ h[b]).count("1")
+        assert ham <= 6, (a, b, ham)
+
+
+def test_exact_dedup_idempotent(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    once = docs.unionByName(docs).dropDuplicates(["text"])
+    twice = once.unionByName(once).dropDuplicates(["text"])
+    assert once.count() == twice.count() == docs.select("text").distinct().count()
+
+
+def test_knn_predictions_valid_labels(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    preds = registry.QUERIES["v_knn_label"](spark, SF_SMALL).collect()
+    assert len(preds) == 10
+    assert all(r["pred_label"] in labels for r in preds)
+
+
+def test_ann_ivf_agrees_with_brute_force_when_cell_matches(spark):
+    """IVF results are a subset of brute-force candidates: every IVF hit at
+    rank r must have cos <= the brute-force rank-r hit for that query."""
+    bf = {
+        (r["query_id"], r["rn"]): r["cos"]
+        for r in registry.QUERIES["v_cosine_topk"](spark, SF_SMALL).collect()
+    }
+    ivf = registry.QUERIES["v_ann_ivf"](spark, SF_SMALL).collect()
+    for r in ivf:
+        assert r["cos"] <= bf[(r["query_id"], r["rn"])] + 1e-9

@@ -1,0 +1,52 @@
+"""Plan-shape assertions (SURVEY §4.2): the optimizations we rely on at
+100 TB must be visible in the physical plan, not assumed."""
+
+from npc_recommender_netflix_spark import registry
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, key):
+    df = registry.QUERIES[key](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "s_pruned_scan")
+    assert "ReadSchema" in plan
+    # only the 2 selected columns reach the scan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read
+
+
+def test_predicate_pushdown(spark):
+    plan = _plan(spark, "s_pushdown_scan")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_broadcast_join_selected(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "j_broadcast")
+
+
+def test_sortmerge_join_selected(spark):
+    assert "SortMergeJoin" in _plan(spark, "j_sortmerge")
+
+
+def test_topk_pushdown(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "o_topk")
+
+
+def test_window_group_limit(spark):
+    # Spark 3.5+ rank<=k rewrite: no full-partition materialization for top-k
+    assert "WindowGroupLimit" in _plan(spark, "w_topk_group")
+
+
+def test_partial_final_aggregation(spark):
+    plan = _plan(spark, "a_groupby")
+    assert plan.count("HashAggregate") >= 2  # partial + final (MR combiner)
+
+
+def test_whole_stage_codegen(spark):
+    # codegen'd operators carry the "*(n)" stage marker in toString()
+    assert "*(1)" in _plan(spark, "fn_math")

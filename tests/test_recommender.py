@@ -1,0 +1,70 @@
+"""Recommender-core checks beyond the oracle: statistical quality (ALS) and
+RDD/DataFrame execution-model parity."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from npc_recommender_netflix_spark import registry
+from npc_recommender_netflix_spark.recommender.als import fit_als
+from npc_recommender_netflix_spark.recommender.core import ratings_matrix
+from tests.conftest import SF_SMALL
+
+
+def test_cosine_bounds_and_symmetry_convention(spark):
+    sims = registry.QUERIES["r_cosine_sim"](spark, SF_SMALL).collect()
+    assert len(sims) > 0
+    for r in sims:
+        assert -1.000001 <= r["cosine"] <= 1.000001
+        assert r["item_a"] < r["item_b"]  # canonical pair orientation
+
+
+def test_rdd_mapreduce_parity_with_dataframe(spark):
+    rdd_res = {
+        r["item_id"]: (r["n"], r["total_qty"], r["mean_qty"])
+        for r in registry.QUERIES["r_rdd_mapreduce"](spark, SF_SMALL).collect()
+    }
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    df_res = {
+        r["item_id"]: (r["n"], r["total_qty"], r["mean_qty"])
+        for r in li.groupBy(F.col("l_partkey").alias("item_id"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.round(F.sum("l_quantity"), 2) + 0.0).alias("total_qty"),
+            (F.round(F.avg("l_quantity"), 6) + 0.0).alias("mean_qty"),
+        )
+        .collect()
+    }
+    assert rdd_res == df_res
+
+
+def test_als_beats_item_mean_baseline(spark):
+    """ALS reconstruction must beat the item-mean predictor on the training
+    matrix (implicit-feedback sanity: learned factors carry signal)."""
+    model, m = fit_als(spark, SF_SMALL, rank=8, max_iter=5)
+    pred = model.transform(m)
+    # implicit ALS predicts "preference" ~1 for observed pairs; compare
+    # correlation direction instead of raw RMSE units: predictions for
+    # observed cells should be well above the global prediction mean for
+    # random (user, item) cells.
+    obs_mean = pred.agg(F.avg("prediction")).first()[0]
+    users = m.select("user").distinct().limit(50)
+    items = m.select("item").distinct().limit(50)
+    rand = users.crossJoin(items).join(m, ["user", "item"], "left_anti")
+    rand_pred = model.transform(rand)
+    rand_mean = rand_pred.agg(F.avg("prediction")).first()[0]
+    assert obs_mean > rand_mean, (obs_mean, rand_mean)
+
+
+def test_predictions_exclude_seen_items(spark):
+    preds = registry.QUERIES["r_predict"](spark, SF_SMALL)
+    seen = ratings_matrix(spark, SF_SMALL, max_item=200).select(
+        "user_id", "item_id"
+    )
+    overlap = preds.join(seen, ["user_id", "item_id"], "inner").count()
+    assert overlap == 0
+
+
+def test_rmse_is_finite_positive(spark):
+    rmse = registry.QUERIES["r_rmse"](spark, SF_SMALL).first()["rmse"]
+    assert rmse > 0 and math.isfinite(rmse)
