@@ -25,6 +25,25 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..session import f6, load_table, money2, tables
 
+# Shared-intermediate cache. Without it the ratings-matrix subplan (an
+# orders⋈lineitem join + groupBy) is replicated up to 10x inside one
+# prediction plan (measured: 10 lineitem scans, 0 ReusedExchange at sf0.01).
+# Spark's CacheManager matches by analyzed plan, but caching explicitly and
+# memoizing the DataFrame guarantees one materialization per (sf_dir, key).
+# This is exactly the "persist the matrix between jobs" decision the MR
+# reference makes by writing HDFS files — here it's an in-memory columnar
+# cache (spill-safe, partition-local) instead of a disk round-trip.
+_shared: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached(spark, sf_dir: str, name: str, build) -> DataFrame:
+    # keyed by applicationId too: never hand back a DataFrame bound to a
+    # different (possibly stopped) SparkSession in the same process.
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _shared:
+        _shared[key] = build().cache()
+    return _shared[key]
+
 
 def ratings_matrix(spark, sf_dir, max_item: int | None = None) -> DataFrame:
     """User-item implicit rating matrix (MR Job 1: parse + group).
@@ -32,16 +51,20 @@ def ratings_matrix(spark, sf_dir, max_item: int | None = None) -> DataFrame:
     rating = sum(l_quantity) per (customer, part). Quantities are small
     integers stored as double -> FP-exact sums, deterministic across engines.
     """
-    orders, li = tables(spark, sf_dir, "orders", "lineitem")
-    if max_item is not None:
-        li = li.where(F.col("l_partkey") < max_item)
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+    def build():
+        orders, li = tables(spark, sf_dir, "orders", "lineitem")
+        filtered = li.where(F.col("l_partkey") < max_item) if max_item is not None else li
+        return (
+            orders.join(filtered, orders.o_orderkey == filtered.l_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+            )
+            .agg(F.sum("l_quantity").alias("rating"))
         )
-        .agg(F.sum("l_quantity").alias("rating"))
-    )
+
+    if max_item is None:
+        return build()  # used once per query; not worth pinning
+    return _cached(spark, sf_dir, f"matrix_{max_item}", build)
 
 
 _M_SQL = """
@@ -62,7 +85,12 @@ def item_cosine(spark, sf_dir) -> DataFrame:
 
     Pairs via self-join on user_id with a.item < b.item canonicalization —
     the same shuffle-halving idiom the MR pipeline uses with pair keys.
+    Result cached: topk_neighbors consumes it twice (both orientations).
     """
+    return _cached(spark, sf_dir, "cosine_sims", lambda: _item_cosine_build(spark, sf_dir))
+
+
+def _item_cosine_build(spark, sf_dir) -> DataFrame:
     m = ratings_matrix(spark, sf_dir, max_item=200)
     norms = m.groupBy("item_id").agg(
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")

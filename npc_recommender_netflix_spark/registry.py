@@ -41,7 +41,7 @@ def register(key: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module so registration side effects run."""
     from .sources import scans  # noqa: F401
-    from .operators import filters, joins, aggregates, windows, setops  # noqa: F401
+    from .operators import filters, joins, aggregates, windows, setops, advanced  # noqa: F401
     from .functions import strings, dates, maths, arrays, jsonmap  # noqa: F401
     from .recommender import core, als, rdd_mr  # noqa: F401
     from .llm import text, vectors, dedup, multimodal  # noqa: F401
