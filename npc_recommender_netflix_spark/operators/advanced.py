@@ -234,3 +234,33 @@ def j_range_bucketed(spark, sf_dir):
             "user_id",
         )
     )
+
+
+@register(
+    "j_skew_salted",
+    """
+    SELECT c.c_mktsegment, count(*) AS cnt, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j_skew_salted(spark, sf_dir):
+    """Salted join: replicate the small side across SALT buckets and key the
+    big side by (key, deterministic salt) — the manual skew-mitigation
+    pattern for hot keys (AQE's skew-join split automates the same idea at
+    runtime). Output provably equals the plain join (same oracle): salting
+    only changes row placement, never membership.
+    """
+    SALT = 8
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", (F.col("o_orderkey") % SALT).cast("int")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    j = orders.join(cust, (orders.o_custkey == cust.c_custkey) & (orders.salt == cust.salt))
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"), money2(F.sum("o_totalprice")).alias("total")
+    )

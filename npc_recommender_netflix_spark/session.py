@@ -76,6 +76,10 @@ def prepare(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # A 200-partition default (vanilla session) costs real time x128 queries
+    # at test scale; AQE coalesces but starting right is cheaper. At cluster
+    # scale this is sized to ~2-3x total cores by deployment config instead.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark
 
 

@@ -164,3 +164,58 @@ def st_dedup(spark, sf_dir):
     agg = dedup.groupBy("event_type").agg(F.count("*").alias("cnt"))
     name = run_to_memory(agg, "complete")
     return spark.table(name)
+
+
+@register(
+    "st_static_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS cnt, round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def st_static_join(spark, sf_dir):
+    """Stream-static join: enrich the event stream with a broadcast customer
+    dim, then aggregate. The static side is re-planned per micro-batch, so
+    at scale a slowly-changing dim picks up updates between batches."""
+    from ..session import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    j = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"), (F.round(F.sum("value"), 2) + 0.0).alias("total_value")
+    )
+    name = run_to_memory(agg, "complete")
+    return spark.table(name)
+
+
+@register(
+    "st_foreach_batch",
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def st_foreach_batch(spark, sf_dir):
+    """foreachBatch sink: per-micro-batch custom write (here: parquet append
+    of per-type partial counts), then a batch read-back + final combine.
+    The availableNow replay makes the partials sum to the exact counts."""
+    out_dir = tempfile.mkdtemp(prefix="npc_fb_") + "/out"
+    ev = read_events_stream(spark, sf_dir)
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="npc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    out = back.groupBy("event_type").agg(F.sum("cnt").alias("cnt"))
+    return spark.createDataFrame(out.collect(), "event_type STRING, cnt BIGINT")
