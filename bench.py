@@ -53,6 +53,16 @@ def main() -> None:
     spark.range(1).count()  # force JVM+session fully up
     session_up = time.time() - t0
 
+    # Warm the scan path once (parquet footer reads + codegen compile),
+    # reported separately — per-query numbers then reflect warm-session
+    # behavior, matching BASELINE.md's warm budgets.
+    from npc_recommender_netflix_spark.session import load_table
+
+    t0 = time.time()
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+    warmup = time.time() - t0
+
     times: dict[str, float] = {}
     for key in HEADLINE:
         t0 = time.time()
@@ -69,6 +79,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "session_up_sec": round(session_up, 3),
+                "warmup_sec": round(warmup, 3),
                 "n_queries": len(times),
             }
         )

@@ -271,3 +271,27 @@ def t_token_count(spark, sf_dir):
         bpe.cast("long").alias("bpe_ish_tokens"),
         f6(F.length("text") * 1.0 / bpe).alias("chars_per_token"),
     )
+
+
+@register(
+    "t_canonical_dedup",
+    """
+    SELECT text_key AS doc_id, lang FROM (
+        SELECT min(doc_id) AS text_key, any_value(lang) AS lang
+        FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        GROUP BY text
+    )
+    """,
+)
+def t_canonical_dedup(spark, sf_dir):
+    """Dedup with DETERMINISTIC survivor selection: keep min(doc_id) per
+    text. `dropDuplicates` keeps an arbitrary row — fine when dup rows are
+    identical, wrong when provenance matters; this is the production form
+    (one shuffle on the dedup key, same cost). lang via any_value is safe:
+    all rows in a text-group are copies of one doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)
+    return doubled.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.first("lang").alias("lang")
+    ).select("doc_id", "lang")

@@ -115,3 +115,42 @@ def s_ns_timestamp_read(spark, sf_dir):
     # SURVEY §1.3: nanosAsLong + timestamp_micros(ts DIV 1000), byte-identical
     # to DuckDB's native ns->us read.
     return load_table(spark, sf_dir, "events").select("event_id", "ts")
+
+
+@register(
+    "s_orc_roundtrip",
+    "SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal FROM supplier",
+)
+def s_orc_roundtrip(spark, sf_dir):
+    """ORC sink+source (columnar alternative to parquet; same DSv2 path).
+    DuckDB cannot read ORC, so the oracle is the roundtrip identity."""
+    supp = load_table(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="npc_orc_")
+    try:
+        path = f"{tmp}/supplier_orc"
+        supp.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        out = back.select(
+            "s_suppkey", "s_name", "s_nationkey", money2(F.col("s_acctbal")).alias("s_acctbal")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "s_text_source",
+    "SELECT text AS value FROM documents",
+)
+def s_text_source(spark, sf_dir):
+    """Plain-text sink+source (one line per doc; corpus texts contain no
+    newlines). The reference's native format is exactly line-oriented text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="npc_text_")
+    try:
+        path = f"{tmp}/docs_txt"
+        docs.select(F.col("text").alias("value")).write.mode("overwrite").text(path)
+        back = spark.read.text(path)
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -112,3 +112,55 @@ def test_ns_timestamp_recipe_exact_microseconds(spark, duck):
     }
     for eid, ts in duck.execute("SELECT event_id, ts FROM events").fetchall():
         assert s[eid] == ts, eid
+
+
+def test_bucketed_range_join_equals_theta(spark):
+    """The scale-path interval join must be row-identical to the naive one."""
+    a = sorted(map(tuple, registry.QUERIES["j_range_bucketed"](spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, registry.QUERIES["j_theta_range"](spark, SF_SMALL).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_salted_join_equals_plain(spark):
+    got = sorted(map(tuple, registry.QUERIES["j_skew_salted"](spark, SF_SMALL).collect()))
+    li = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    plain = sorted(
+        map(
+            tuple,
+            li.join(cust, li.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("cnt"), (F.round(F.sum("o_totalprice"), 2) + 0.0).alias("total"))
+            .collect(),
+        )
+    )
+    assert got == plain
+
+
+def test_metamorphic_randomized_seeded(spark):
+    """Seeded random predicates: DataFrame API ≡ SQL on the same session."""
+    import random
+
+    rnd = random.Random(42)
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    li.createOrReplaceTempView("mm2_lineitem")
+    for _ in range(8):
+        lo = round(rnd.uniform(0, 0.05), 2)
+        hi = round(lo + rnd.uniform(0.01, 0.05), 2)
+        qty = rnd.randint(5, 45)
+        flag = rnd.choice(["N", "R", "A"])
+        api = (
+            li.where(
+                (F.col("l_discount").between(lo, hi))
+                & (F.col("l_quantity") > qty)
+                & (F.col("l_returnflag") == flag)
+            )
+            .groupBy("l_linestatus")
+            .agg(F.count("*").alias("c"))
+        )
+        sql = spark.sql(
+            f"""SELECT l_linestatus, count(*) AS c FROM mm2_lineitem
+                WHERE l_discount BETWEEN {lo} AND {hi} AND l_quantity > {qty}
+                  AND l_returnflag = '{flag}' GROUP BY l_linestatus"""
+        )
+        assert sorted(map(tuple, api.collect())) == sorted(map(tuple, sql.collect())), (lo, hi, qty, flag)
