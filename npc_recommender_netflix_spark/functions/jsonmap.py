@@ -76,3 +76,33 @@ def fn_conditional(spark, sf_dir):
         f6(F.try_divide(F.col("c_acctbal"), nk.cast("double"))).alias("td"),
         money2(F.nanvl(F.col("c_acctbal"), F.lit(0.0))).alias("nanv"),
     )
+
+
+@register(
+    "fn_json_corrupt",
+    """
+    WITH src AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN substring(props, 1, 3)
+                    ELSE props END AS js
+        FROM events
+    )
+    SELECT event_id, json_valid(js) AS is_valid,
+           CASE WHEN json_valid(js)
+                THEN CAST(json_extract_string(js, '$.k') AS INT) END AS k
+    FROM src
+    """,
+)
+def fn_json_corrupt(spark, sf_dir):
+    """Corrupt-tolerant JSON parse: every 7th payload is truncated to '{"k'.
+    PERMISSIVE from_json yields a struct of nulls for malformed input, so
+    the parsed field doubles as the validity flag (every valid payload has
+    an integer k)."""
+    ev = load_table(spark, sf_dir, "events")
+    js = F.when(F.col("event_id") % 7 == 0, F.substring("props", 1, 3)).otherwise(
+        F.col("props")
+    )
+    k = F.from_json(js, "k INT").getField("k")
+    return ev.select(
+        "event_id", k.isNotNull().alias("is_valid"), k.alias("k")
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..session import load_table
 from .core import ratings_matrix
 
 
@@ -67,4 +68,40 @@ def r_als_recs(spark, sf_dir):
         (F.col("rank0") + 1).cast("long").alias("rec_rank"),
         F.col("rec.item").cast("long").alias("item_id"),
         F.col("rec.rating").cast("double").alias("score"),
+    )
+
+
+@register("r_kmeans")  # rows-only: seeded but reduction-order dependent
+def r_kmeans(spark, sf_dir):
+    """MLlib KMeans over the embedding vectors (k=10, seed=42) — the coarse
+    quantizer that replaces per-label cells in v_ann_ivf at scale. Cluster
+    sizes returned; tests assert k clusters partition all 500 vectors."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=10, seed=42, maxIter=10, featuresCol="features")
+    model = km.fit(emb)
+    pred = model.transform(emb)
+    return (
+        pred.groupBy(F.col("prediction").cast("long").alias("cluster"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register("r_pca")  # rows-only: component signs/order are seed+order dependent
+def r_pca(spark, sf_dir):
+    """MLlib PCA 64 -> 8 dims over embeddings (dimensionality reduction for
+    the vector pipeline); projected rows returned, variance checked in tests."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = PCA(k=8, inputCol="features", outputCol="pca").fit(emb)
+    return model.transform(emb).select(
+        "vec_id", vector_to_array(F.col("pca")).alias("pca8")
     )

@@ -154,3 +154,56 @@ def s_text_source(spark, sf_dir):
         return spark.createDataFrame(back.collect(), back.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "s_save_as_table",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s_save_as_table(spark, sf_dir):
+    """Catalog surface: saveAsTable (external, explicit path) -> spark.table
+    read-back -> drop. At scale this is the managed-table path with a real
+    metastore; the API is identical."""
+    import uuid
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="npc_tbl_")
+    name = "npc_nation_" + uuid.uuid4().hex[:8]
+    try:
+        nation.write.mode("overwrite").option("path", f"{tmp}/t").saveAsTable(name)
+        back = spark.table(name)
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "s_bucketed_table",
+    "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey",
+)
+def s_bucketed_table(spark, sf_dir):
+    """Bucketed table write + aggregation on the bucket key. The bucketed
+    layout lets the groupBy (and any equi-join on o_custkey against another
+    table bucketed the same way) run WITHOUT a shuffle — asserted in
+    tests/test_plans.py (no Exchange before the aggregate). This is the
+    persisted-layout answer to repeated 100 TB joins on one key."""
+    import uuid
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="npc_bkt_")
+    name = "npc_orders_bkt_" + uuid.uuid4().hex[:8]
+    try:
+        (
+            orders.write.mode("overwrite")
+            .option("path", f"{tmp}/t")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable(name)
+        )
+        back = spark.table(name)
+        out = back.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(tmp, ignore_errors=True)

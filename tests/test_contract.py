@@ -52,6 +52,8 @@ def test_contract_shape():
         "a_approx_distinct",
         "r_als",
         "r_als_recs",
+        "r_kmeans",
+        "r_pca",
         "t_minhash_dedup",
         "st_watermark",
         "st_stateful",

@@ -50,3 +50,28 @@ def test_partial_final_aggregation(spark):
 def test_whole_stage_codegen(spark):
     # codegen'd operators carry the "*(n)" stage marker in toString()
     assert "*(1)" in _plan(spark, "fn_math")
+
+
+def test_bucketed_scan_avoids_shuffle(spark, tmp_path):
+    """Aggregating a bucketed table on its bucket key must not shuffle —
+    the persisted layout provides the distribution (SCALE.md join story)."""
+    import uuid
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    name = "npc_bkt_plan_" + uuid.uuid4().hex[:8]
+    try:
+        (
+            orders.write.mode("overwrite")
+            .option("path", str(tmp_path / "t"))
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable(name)
+        )
+        from pyspark.sql import functions as F
+
+        agg = spark.table(name).groupBy("o_custkey").agg(F.count("*").alias("n"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() == orders.select("o_custkey").distinct().count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

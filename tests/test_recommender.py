@@ -68,3 +68,22 @@ def test_predictions_exclude_seen_items(spark):
 def test_rmse_is_finite_positive(spark):
     rmse = registry.QUERIES["r_rmse"](spark, SF_SMALL).first()["rmse"]
     assert rmse > 0 and math.isfinite(rmse)
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    sizes = registry.QUERIES["r_kmeans"](spark, SF_SMALL).collect()
+    assert len(sizes) == 10
+    assert sum(r["n"] for r in sizes) == 500
+    assert all(r["n"] > 0 for r in sizes)
+
+
+def test_pca_preserves_rows_and_dims(spark):
+    rows = registry.QUERIES["r_pca"](spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    assert all(len(r["pca8"]) == 8 for r in rows)
+    # projected variance must be nonzero in every kept component
+    import statistics
+
+    for d in range(8):
+        vals = [r["pca8"][d] for r in rows]
+        assert statistics.pstdev(vals) > 1e-6, d
