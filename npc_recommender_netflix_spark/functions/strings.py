@@ -96,3 +96,23 @@ def fn_string_search(spark, sf_dir):
         F.translate("p_name", "aeiou", "AEIOU").alias("tlate"),
         F.repeat(F.expr("left(p_name, 2)"), 3).alias("rep"),
     )
+
+
+@register(
+    "fn_fuzzy",
+    """
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS dist_red,
+           CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS dist_brand
+    FROM part
+    """,
+)
+def fn_fuzzy(spark, sf_dir):
+    """Fuzzy matching: edit distance (both engines implement classic
+    Levenshtein). The dedup ladder's last-resort comparator for short keys."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein("p_name", F.lit("red widget")).cast("long").alias("dist_red"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("dist_brand"),
+    )

@@ -268,3 +268,21 @@ def a_argmax(spark, sf_dir):
             money2(F.col("o_totalprice")).alias("best_price"),
         )
     )
+
+
+@register(
+    "a_string_agg",
+    """
+    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a_string_agg(spark, sf_dir):
+    """Ordered string aggregation (listagg): deterministic via sort_array
+    before the join — collect_list order alone is partition-dependent."""
+    region, nation = tables(spark, sf_dir, "region", "nation")
+    j = region.join(nation, nation.n_regionkey == region.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations_csv")
+    )
