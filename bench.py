@@ -35,6 +35,7 @@ HEADLINE = [
     "r_predict",
     "t_tfidf",
     "t_jaccard_neardup",
+    "t_pipeline_e2e",
     "t_simhash",
     "v_cosine_topk",
     "v_embed_neardup",

@@ -17,6 +17,7 @@ Scale story (the whole point of the ladder):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -186,4 +187,92 @@ def t_minhash_dedup(spark, sf_dir):
             F.col("datasetB.doc_id").alias("doc_b"),
             f6(F.lit(1.0) - F.col("jaccard_dist")).alias("approx_jaccard"),
         )
+    )
+
+
+@register(
+    "t_pipeline_e2e",
+    r"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(lower(text), '\s+'))) * 1.0
+                   / len(string_split_regex(lower(text), '\s+')) AS distinct_ratio
+        FROM documents WHERE doc_id < 1000
+    ),
+    quality AS (SELECT * FROM scored WHERE n_tokens >= 20 AND distinct_ratio > 0.3),
+    exact AS (
+        SELECT * FROM quality q WHERE NOT EXISTS (
+            SELECT 1 FROM quality q2 WHERE q2.text = q.text AND q2.doc_id < q.doc_id)
+    ),
+    toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM exact),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    losers AS (SELECT DISTINCT db AS doc_id FROM pairs
+               JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+               WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)
+    SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 6) AS avg_tokens
+    FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    GROUP BY lang
+    """,
+)
+def t_pipeline_e2e(spark, sf_dir):
+    """The full training-data pipeline as ONE lazy plan: quality filter ->
+    canonical exact dedup -> near-dup removal (drop the higher doc_id of
+    each Jaccard>=0.5 pair) -> per-language corpus stats. Composition is
+    the point: each stage is an operator already verified standalone, and
+    Catalyst plans the chain with no materialization between stages."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    w = F.split(F.lower("text"), r"\s+")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(w).alias("n_tokens"),
+        (F.expr("size(array_distinct(split(lower(text), '\\\\s+')))") * 1.0 / F.size(w)).alias(
+            "distinct_ratio"
+        ),
+    )
+    quality = scored.where((F.col("n_tokens") >= 20) & (F.col("distinct_ratio") > 0.3))
+    # canonical exact dedup: min doc_id per text
+    wmin = Window.partitionBy("text")
+    exact = (
+        quality.withColumn("min_id", F.min("doc_id").over(wmin))
+        .where(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id")
+    )
+    # near-dup losers among the survivors (jaccard >= 0.5 over 2-shingles)
+    sh = (
+        exact.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    losers = (
+        inter.join(F.broadcast(sa), F.col("da") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("db") == F.col("sb.doc_id"))
+        .where(jac >= 0.5)
+        .select(F.greatest("da", "db").alias("doc_id"))
+        .distinct()
+    )
+    kept = exact.join(losers, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), f6(F.avg("n_tokens")).alias("avg_tokens")
     )

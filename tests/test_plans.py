@@ -75,3 +75,18 @@ def test_bucketed_scan_avoids_shuffle(spark, tmp_path):
         assert agg.count() == orders.select("o_custkey").distinct().count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Reading one partition of a hive-partitioned layout must show the
+    filter as a PartitionFilter (directory pruning), not a data filter."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    orders.write.partitionBy("o_orderstatus").parquet(path)
+    one = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert one.count() == orders.where(F.col("o_orderstatus") == "F").count()
