@@ -97,6 +97,8 @@ def main():
     ap.add_argument("keys", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--list", action="store_true")
+    ap.add_argument("--plain", action="store_true",
+                    help="use a vanilla SparkSession (driver-like: default memory/confs)")
     args = ap.parse_args()
 
     if args.list:
@@ -105,7 +107,16 @@ def main():
         return
 
     keys = args.keys or sorted(registry.QUERIES)
-    spark = build_session()
+    if args.plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = build_session()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
