@@ -286,3 +286,23 @@ def a_string_agg(spark, sf_dir):
     return j.groupBy("r_name").agg(
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations_csv")
     )
+
+
+@register(
+    "a_bool_agg",
+    """
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1) AS all_small_disc,
+           bool_or(l_quantity > 45) AS any_big_qty,
+           count(*) FILTER (WHERE l_tax = 0) AS n_taxfree
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_bool_agg(spark, sf_dir):
+    """Boolean aggregates + filtered count (FILTER clause equivalent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_small_disc"),
+        F.bool_or(F.col("l_quantity") > 45).alias("any_big_qty"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_taxfree"),
+    )

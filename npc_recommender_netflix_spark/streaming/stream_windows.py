@@ -219,3 +219,48 @@ def st_foreach_batch(spark, sf_dir):
     back = spark.read.parquet(out_dir)
     out = back.groupBy("event_type").agg(F.sum("cnt").alias("cnt"))
     return spark.createDataFrame(out.collect(), "event_type STRING, cnt BIGINT")
+
+
+@register(
+    "st_stream_join",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+    """,
+)
+def st_stream_join(spark, sf_dir):
+    """Stream-stream inner join: purchases joined to views by the same user
+    within 10 minutes. Watermarks on both sides bound the join state (views
+    retained only until no purchase can still match). availableNow replays
+    everything in order, so the result equals the batch interval join."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    j = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTE")),
+    ).select("view_id", "purchase_id", "user_id")
+    name = run_to_memory(j, "append")
+    return spark.table(name)

@@ -69,6 +69,16 @@ def test_late_data_dropped_beyond_watermark(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     on_time.write.parquet(os.path.join(src, "b1"))
     late.write.parquet(os.path.join(src, "b2"))
+    # FileStreamSource picks files oldest-mtime-first; both writes can land
+    # in the same clock tick, so pin b1 strictly older to make the two
+    # micro-batches (and thus the watermark advance) deterministic.
+    import time as _time
+
+    now = _time.time()
+    for root, _, files in os.walk(src):
+        for f in files:
+            full = os.path.join(root, f)
+            os.utime(full, (now - 120, now - 120) if "/b1/" in full or root.endswith("b1") else (now, now))
 
     stream = (
         spark.readStream.schema("id LONG, ts TIMESTAMP")
