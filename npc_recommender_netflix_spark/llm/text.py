@@ -31,14 +31,17 @@ def tokens(spark, sf_dir):
 
 @register(
     "t_exact_dedup",
-    "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+    "SELECT lang, count(DISTINCT text) AS cnt FROM documents GROUP BY lang",
 )
 def t_exact_dedup(spark, sf_dir):
-    """Exact dedup by text hash-shuffle. Duplicates injected via self-union
-    (corpus texts are unique); dropDuplicates == distinct-on-key at scale."""
+    """Exact dedup by (lang, text) hash-shuffle; duplicates injected via
+    self-union. The dedup key includes lang on purpose: at sf0.1 the corpus
+    contains natural duplicate texts ACROSS languages, so a text-only
+    dropDuplicates keeps an arbitrary-language survivor (nondeterministic);
+    keying by (lang, text) makes the result well-defined at every sf."""
     docs = load_table(spark, sf_dir, "documents")
     doubled = docs.unionByName(docs)
-    return doubled.dropDuplicates(["text"]).groupBy("lang").agg(
+    return doubled.dropDuplicates(["lang", "text"]).groupBy("lang").agg(
         F.count("*").alias("cnt")
     )
 
@@ -276,22 +279,20 @@ def t_token_count(spark, sf_dir):
 @register(
     "t_canonical_dedup",
     """
-    SELECT text_key AS doc_id, lang FROM (
-        SELECT min(doc_id) AS text_key, any_value(lang) AS lang
-        FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
-        GROUP BY text
-    )
+    SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+    FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+    GROUP BY text
     """,
 )
 def t_canonical_dedup(spark, sf_dir):
     """Dedup with DETERMINISTIC survivor selection: keep min(doc_id) per
-    text. `dropDuplicates` keeps an arbitrary row — fine when dup rows are
-    identical, wrong when provenance matters; this is the production form
-    (one shuffle on the dedup key, same cost). lang via any_value is safe:
-    all rows in a text-group are copies of one doc.
+    text, and report THAT row's lang (min_by/arg_min on the unique id).
+    `dropDuplicates` keeps an arbitrary row — wrong when provenance matters,
+    and at sf0.1 duplicate texts genuinely span languages, so any_value/
+    first(lang) would be a latent cross-engine mismatch.
     """
     docs = load_table(spark, sf_dir, "documents")
     doubled = docs.unionByName(docs)
     return doubled.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"), F.first("lang").alias("lang")
+        F.min("doc_id").alias("doc_id"), F.min_by("lang", "doc_id").alias("lang")
     ).select("doc_id", "lang")
