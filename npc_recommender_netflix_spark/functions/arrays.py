@@ -22,29 +22,36 @@ from ..session import load_table
     "fn_array_basic",
     """
     SELECT n_nationkey,
-           [n_nationkey, n_regionkey, n_nationkey * 2] AS arr,
+           array_to_string([n_nationkey, n_regionkey, n_nationkey * 2], ',') AS arr,
            CAST(len([n_nationkey, n_regionkey, n_nationkey * 2]) AS BIGINT) AS sz,
            list_contains([n_nationkey, n_regionkey, n_nationkey * 2], 5) AS has5,
            [n_nationkey, n_regionkey, n_nationkey * 2][2] AS el2,
-           [n_nationkey, n_regionkey, n_nationkey * 2][1:2] AS sl,
-           list_sort(list_distinct([n_nationkey, n_regionkey, n_nationkey * 2])) AS dst,
-           flatten([[n_nationkey], [n_regionkey]]) AS fl,
+           array_to_string([n_nationkey, n_regionkey, n_nationkey * 2][1:2], ',') AS sl,
+           array_to_string(list_sort(list_distinct([n_nationkey, n_regionkey, n_nationkey * 2])), ',') AS dst,
+           array_to_string(flatten([[n_nationkey], [n_regionkey]]), ',') AS fl,
            CAST(list_position([n_nationkey, n_regionkey, n_nationkey * 2], n_regionkey) AS BIGINT) AS posr
     FROM nation
     """,
 )
 def fn_array_basic(spark, sf_dir):
+    # Array constructors/slice/distinct/flatten are the operators under test;
+    # array-typed outputs are ','-joined (int formatting is engine-identical)
+    # because the driver hasher can't canonicalize raw ARRAY columns.
     nation = load_table(spark, sf_dir, "nation")
     arr = F.array("n_nationkey", "n_regionkey", F.col("n_nationkey") * 2)
+
+    def joined(c):
+        return F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+
     return nation.select(
         "n_nationkey",
-        arr.alias("arr"),
+        joined(arr).alias("arr"),
         F.size(arr).cast("long").alias("sz"),
         F.array_contains(arr, F.lit(5)).alias("has5"),
         F.element_at(arr, 2).alias("el2"),
-        F.slice(arr, 1, 2).alias("sl"),
-        F.sort_array(F.array_distinct(arr)).alias("dst"),
-        F.flatten(F.array(F.array("n_nationkey"), F.array("n_regionkey"))).alias("fl"),
+        joined(F.slice(arr, 1, 2)).alias("sl"),
+        joined(F.sort_array(F.array_distinct(arr))).alias("dst"),
+        joined(F.flatten(F.array(F.array("n_nationkey"), F.array("n_regionkey")))).alias("fl"),
         F.array_position(arr, F.col("n_regionkey")).cast("long").alias("posr"),
     )
 
@@ -56,12 +63,18 @@ def fn_array_basic(spark, sf_dir):
            round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) + 0 AS total,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
            len(list_filter(embedding, x -> x > 0.35)) > 0 AS has_big,
-           list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 2, 3) + 0) AS doubled
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)), 6) + 0 AS doubled_sum,
+           round(CAST(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[1] AS DOUBLE), 6) + 0 AS doubled_first
     FROM embeddings
     """,
 )
 def fn_array_lambda(spark, sf_dir):
+    # transform/filter/exists/aggregate lambdas are the operators under test;
+    # the transformed array is reduced to scalars (sum + first element)
+    # because the driver hasher can't take ARRAY columns and double->string
+    # formatting is not engine-stable.
     emb = load_table(spark, sf_dir, "embeddings")
+    doubled = F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 2)")
     return emb.select(
         "vec_id",
         (F.round(
@@ -70,7 +83,10 @@ def fn_array_lambda(spark, sf_dir):
         ) + 0.0).alias("total"),
         F.expr("size(filter(embedding, x -> x > 0))").cast("long").alias("n_pos"),
         F.expr("exists(embedding, x -> x > 0.35)").alias("has_big"),
-        F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE) * 2, 3) + 0d)").alias("doubled"),
+        (F.round(F.aggregate(doubled, F.lit(0.0), lambda a, x: a + x), 6) + 0.0).alias(
+            "doubled_sum"
+        ),
+        (F.round(F.element_at(doubled, 1), 6) + 0.0).alias("doubled_first"),
     )
 
 

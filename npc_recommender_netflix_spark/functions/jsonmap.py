@@ -33,11 +33,13 @@ def fn_json(spark, sf_dir):
 @register(
     "fn_map_basic",
     """
-    SELECT n_name, n_nationkey AS va, n_regionkey AS vb, ['nk', 'rk'] AS ks
+    SELECT n_name, n_nationkey AS va, n_regionkey AS vb, 'nk,rk' AS ks
     FROM nation
     """,
 )
 def fn_map_basic(spark, sf_dir):
+    # map_keys output joined to a scalar string (driver hasher can't take
+    # raw ARRAY columns).
     nation = load_table(spark, sf_dir, "nation")
     m = F.map_from_arrays(
         F.array(F.lit("nk"), F.lit("rk")), F.array("n_nationkey", "n_regionkey")
@@ -46,7 +48,7 @@ def fn_map_basic(spark, sf_dir):
         "n_name",
         F.element_at(m, "nk").alias("va"),
         F.element_at(m, "rk").alias("vb"),
-        F.sort_array(F.map_keys(m)).alias("ks"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("ks"),
     )
 
 

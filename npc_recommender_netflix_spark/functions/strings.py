@@ -57,18 +57,20 @@ def fn_string_basic(spark, sf_dir):
            regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
            regexp_matches(p_name, 'g.*r') AS has_gr,
            regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
-           string_split(p_name, ' ') AS words
+           array_to_string(string_split(p_name, ' '), '|') AS words
     FROM part
     """,
 )
 def fn_string_regex(spark, sf_dir):
+    # split() is the operator under test; output joined with '|' because raw
+    # ARRAY columns crash the driver harness's pandas canonicalization.
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
         F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
         F.col("p_name").rlike("g.*r").alias("has_gr"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
-        F.split("p_name", " ").alias("words"),
+        F.array_join(F.split("p_name", " "), "|").alias("words"),
     )
 
 

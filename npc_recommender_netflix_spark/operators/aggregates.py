@@ -219,16 +219,19 @@ def a_cube(spark, sf_dir):
 @register(
     "a_collect_sorted",
     """
-    SELECT r.r_regionkey, list_sort(list(n.n_name)) AS nations
+    SELECT r.r_regionkey, array_to_string(list_sort(list(n.n_name)), ',') AS nations
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_regionkey
     """,
 )
 def a_collect_sorted(spark, sf_dir):
+    # collect_list + sort_array is the operator under test; the output is
+    # serialized to a ','-joined string because raw ARRAY columns crash the
+    # driver harness's pandas canonicalization (r1 err: unhashable 'list').
     region, nation = tables(spark, sf_dir, "region", "nation")
     j = region.join(nation, nation.n_regionkey == region.r_regionkey)
     return j.groupBy("r_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
     )
 
 

@@ -94,7 +94,9 @@ def r_kmeans(spark, sf_dir):
 @register("r_pca")  # rows-only: component signs/order are seed+order dependent
 def r_pca(spark, sf_dir):
     """MLlib PCA 64 -> 8 dims over embeddings (dimensionality reduction for
-    the vector pipeline); projected rows returned, variance checked in tests."""
+    the vector pipeline); per-row projection norm returned (sign-invariant
+    scalar — the raw component array is sign-ambiguous AND the driver
+    harness can't hash ARRAY columns), variance checked in tests."""
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -102,6 +104,12 @@ def r_pca(spark, sf_dir):
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
     model = PCA(k=8, inputCol="features", outputCol="pca").fit(emb)
-    return model.transform(emb).select(
+    proj = model.transform(emb).select(
         "vec_id", vector_to_array(F.col("pca")).alias("pca8")
+    )
+    return proj.select(
+        "vec_id",
+        (F.round(
+            F.sqrt(F.aggregate(F.col("pca8"), F.lit(0.0), lambda a, x: a + x * x)), 6
+        ) + 0.0).alias("pca_norm"),
     )
