@@ -170,45 +170,76 @@ def v_centroid(spark, sf_dir):
     """,
 )
 def v_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cos >= 0.35).
+    """Embedding-cosine near-duplicate pairs (cos >= 0.35), fully distributed.
 
-    Blocked-BLAS design: the (tiny) normalized embedding matrix is broadcast
-    to every task; each Arrow batch of rows computes `block @ M.T` with
-    numpy and emits only pairs over threshold. An array-lambda cross-join
-    (the naive form) is interpreted per element in Spark and was measured
-    ~17x slower at sf0.1 (70 s -> 4 s). At 100 TB the same shape holds with
-    an LSH/IVF candidate prefilter replacing the all-pairs matmul.
+    Block-pair design (no driver materialization): rows are bucketed into B
+    blocks by vec_id, every unordered block pair (bi <= bj) becomes one
+    applyInPandas group, and each group cross-scores its left-side rows
+    against its right-side rows with one numpy matmul. Work is O(N^2/B^2)
+    per task and each row is shuffled B+1 times — exact all-pairs is
+    inherently quadratic (the oracle demands exact pairs), but nothing ever
+    lands on the driver and B scales with N (choose B ~ N/block_target so a
+    block fits an executor). At 100 TB you'd put an approximate LSH/IVF
+    candidate prefilter (see v_ann_ivf / t_minhash_dedup) in front of the
+    same exact rescoring to cut N^2 to the candidate count.
+
+    The cosine is computed as dot/(norm_a*norm_b) — the same association as
+    the oracle's round(dot/(na*nb), 6) — rather than normalize-then-dot,
+    so the two engines agree at the 6dp rounding boundary.
     """
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()  # O(N*dim), dims only
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    n_blocks = 8
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.withColumn("b", F.pmod("vec_id", F.lit(n_blocks)))
+    bp = (
+        spark.range(n_blocks * n_blocks)
+        .select(
+            (F.col("id") % n_blocks).alias("bi"),
+            F.floor(F.col("id") / n_blocks).cast("long").alias("bj"),
+        )
+        .where(F.col("bi") <= F.col("bj"))
+    )
+    pid = (F.col("bi") * n_blocks + F.col("bj")).alias("pid")
+    left = rows.join(F.broadcast(bp), rows.b == bp.bi).select(
+        pid, F.lit("L").alias("side"), "vec_id", "embedding"
+    )
+    right = rows.join(F.broadcast(bp), rows.b == bp.bj).select(
+        pid, F.lit("R").alias("side"), "vec_id", "embedding"
+    )
+    both = left.unionByName(right)
 
-    def block_cosine(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            cos = np.round(q @ all_mat.T, 6) + 0.0
-            qa = pdf["vec_id"].to_numpy()
-            ai, bi = np.nonzero(cos >= 0.35)
-            keep = qa[ai] < all_ids[bi]
-            yield pd.DataFrame(
-                {
-                    "vec_a": qa[ai][keep],
-                    "vec_b": all_ids[bi][keep],
-                    "cos": cos[ai, bi][keep],
-                }
-            )
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
+        )
+        l = pdf[pdf["side"] == "L"]
+        r = pdf[pdf["side"] == "R"]
+        if l.empty or r.empty:
+            return empty
+        a = np.array(list(l["embedding"]), dtype=np.float64)
+        b = np.array(list(r["embedding"]), dtype=np.float64)
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        cos = np.round((a @ b.T) / np.outer(na, nb), 6) + 0.0
+        ia, ib = np.nonzero(cos >= 0.35)
+        va = l["vec_id"].to_numpy()[ia]
+        vb = r["vec_id"].to_numpy()[ib]
+        cs = cos[ia, ib]
+        p = int(pdf["pid"].iloc[0])
+        if p // n_blocks == p % n_blocks:
+            # diagonal block: L == R, every unordered pair appears as (x,y)
+            # and (y,x) plus self-pairs — keep the ordered half
+            keep = va < vb
+            va, vb, cs = va[keep], vb[keep], cs[keep]
+        else:
+            # off-diagonal: each unordered pair appears exactly once; order it
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos": cs})
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        block_cosine, schema="vec_a long, vec_b long, cos double"
+    return both.groupBy("pid").applyInPandas(
+        score, schema="vec_a long, vec_b long, cos double"
     )
 
 
@@ -253,7 +284,15 @@ def v_embed_neardup(spark, sf_dir):
 )
 def v_ann_ivf(spark, sf_dir):
     """IVF-style ANN: route each query to its nearest coarse cell (per-label
-    centroid), then exact-score only within that cell (~1/10th of the data).
+    centroid), then exact-score ONLY within that cell.
+
+    Plan order matters: candidates are joined to the probed cell BEFORE the
+    cosine projection, so the expensive per-pair score is computed for
+    ~1/n_cells of the data — the point of IVF (round-1 scored all pairs and
+    pruned after; tests/test_plans.py asserts the filter-then-score shape).
+    At 100 TB the cells come from a trained quantizer (v_ann_ivf_kmeans
+    routes on r_kmeans clusters) and vectors are stored partitioned by cell
+    id so the probe is a partition-pruned scan.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cent = (
@@ -288,14 +327,72 @@ def v_ann_ivf(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("query_id", F.col("label").alias("probe_label"))
     )
-    pairs = _cos_pairs(spark, sf_dir, F.col("vec_id").isin(0, 1, 2))
-    probed = pairs.join(
-        F.broadcast(best),
-        (pairs.query_id == best.query_id) & (pairs.label == best.probe_label),
-    ).select(pairs.query_id, "probe_label", "cand_id", "cos")
+    # prune first: only candidates inside each query's probed cell survive
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label"), F.col("embedding").alias("ce")
+    )
+    probed_cand = cand.join(F.broadcast(best), cand.label == F.col("probe_label"))
+    q = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    joined = probed_cand.join(F.broadcast(q), F.col("query_id") == F.col("qid")).where(
+        F.col("cand_id") != F.col("query_id")
+    )
+    # ...and only then score the surviving (query, candidate) pairs
+    cos = F.expr(_DOT.format(a="qe", b="ce")) / (
+        F.expr(_NRM.format(a="qe")) * F.expr(_NRM.format(a="ce"))
+    )
+    scored = joined.select("query_id", "probe_label", "cand_id", f6(cos).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
-        probed.withColumn("rn", F.row_number().over(w).cast("long"))
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 5)
         .select("query_id", "probe_label", "cand_id", "cos", "rn")
+    )
+
+
+@register("v_ann_ivf_kmeans")  # rows-only: KMeans cell ids are not SQL-expressible
+def v_ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN routed on a TRAINED coarse quantizer (MLlib KMeans, k=10,
+    seed=42 — the same quantizer r_kmeans exercises) instead of data labels:
+    at 100 TB there are no labels, you fit the quantizer on a sample, store
+    vectors partitioned by cell id, and the probe is a partition-pruned
+    scan. `model.transform` on the query IS the routing step (nearest
+    centroid); candidates are pruned to the probed cell BEFORE any cosine
+    is computed. Rows-only oracle: cluster ids depend on the MLlib fit;
+    tests verify the returned cosines against an independent numpy compute.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=10, seed=42, maxIter=10, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "embedding", F.col("prediction").cast("long").alias("cell")
+    )
+    q = assigned.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cell").alias("probe_cell"),
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"), "cell"
+    )
+    joined = cand.join(F.broadcast(q), cand.cell == q.probe_cell).where(
+        F.col("cand_id") != F.col("query_id")
+    )
+    cos = F.expr(_DOT.format(a="qe", b="ce")) / (
+        F.expr(_NRM.format(a="qe")) * F.expr(_NRM.format(a="ce"))
+    )
+    scored = joined.select("query_id", "probe_cell", "cand_id", f6(cos).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "probe_cell", "cand_id", "cos", "rn")
     )

@@ -64,3 +64,28 @@ def test_ann_ivf_agrees_with_brute_force_when_cell_matches(spark):
     ivf = registry.QUERIES["v_ann_ivf"](spark, SF_SMALL).collect()
     for r in ivf:
         assert r["cos"] <= bf[(r["query_id"], r["rn"])] + 1e-9
+
+
+def test_ann_ivf_kmeans_cosines_are_exact(spark):
+    """The trained-quantizer IVF variant must score its returned pairs with
+    the true cosine: recompute each returned (query, cand) cosine in numpy
+    from the raw vectors and compare at the 6dp contract precision."""
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in registry.QUERIES["v_norm"](spark, SF_SMALL).sparkSession.read.parquet(
+            f"{SF_SMALL}/embeddings.parquet"
+        ).collect()
+    }
+    rows = registry.QUERIES["v_ann_ivf_kmeans"](spark, SF_SMALL).collect()
+    assert rows, "ivf-kmeans returned no rows"
+    per_query = {}
+    for r in rows:
+        q, c = emb[r["query_id"]], emb[r["cand_id"]]
+        expect = round(float(q @ c) / (np.linalg.norm(q) * np.linalg.norm(c)), 6)
+        assert abs(r["cos"] - expect) < 2e-6, (r, expect)
+        per_query.setdefault(r["query_id"], []).append(r["cos"])
+    for q, scores in per_query.items():
+        assert len(scores) <= 5
+        assert scores == sorted(scores, reverse=True)

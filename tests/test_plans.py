@@ -90,3 +90,27 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
     assert one.count() == orders.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_ann_ivf_prunes_before_scoring(spark):
+    """IVF must filter candidates to the probed cell BELOW the cosine
+    projection: the zip_with dot-product Project is an ancestor of the
+    BroadcastHashJoin on probe_label, so only in-cell pairs are scored."""
+    lines = _plan(spark, "v_ann_ivf").splitlines()
+    score = next(i for i, ln in enumerate(lines) if "zip_with" in ln)
+    prune = next(
+        i
+        for i, ln in enumerate(lines)
+        if "BroadcastHashJoin" in ln and "probe_label" in ln
+    )
+    # toString prints root-first, so ancestor == smaller line index
+    assert score < prune, "\n".join(lines[:15])
+
+
+def test_embed_neardup_has_no_driver_collect(spark):
+    """v_embed_neardup must be one distributed plan (block-pair
+    applyInPandas), not a driver-side collect + broadcast: the plan contains
+    the Arrow group-map operator and builds from the parquet scan."""
+    plan = _plan(spark, "v_embed_neardup")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "FileScan parquet" in plan
