@@ -35,10 +35,13 @@ HEADLINE = [
     "r_predict",
     "t_tfidf",
     "t_jaccard_neardup",
+    "t_jaccard_neardup_capped",  # round 2: unbounded corpus, df-capped postings
+    "t_exact_dedup_digest",      # round 2: digest-keyed dedup shuffle shape
     "t_pipeline_e2e",
     "t_simhash",
     "v_cosine_topk",
-    "v_embed_neardup",
+    "v_embed_neardup",           # round 2: distributed block-pair matmul
+    "v_ann_ivf",                 # round 2: prune-before-score cell probe
     "st_session",
     "u_apply_in_pandas",
     "r_als",            # MLlib ALS fit+transform (<=60 s budget)

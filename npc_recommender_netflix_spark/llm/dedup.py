@@ -28,7 +28,9 @@ from ..session import f6, load_table
 # doc_id < 1000 bounds the shingle-posting quadratic blowup at larger sf
 # (the 100 TB design prefilters candidates with MinHash/SimHash instead of
 # joining full posting lists; the bound keeps the exact variant exact AND
-# benchmarkable). Covers the whole corpus at sf<=0.01.
+# benchmarkable). Covers the whole corpus at sf<=0.01. The UNBOUNDED scale
+# path is t_jaccard_neardup_capped: full corpus, posting lists capped by
+# document frequency instead.
 SHINGLES_SQL = r"""
     SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS s
     FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
@@ -36,10 +38,19 @@ SHINGLES_SQL = r"""
                 FROM documents WHERE doc_id < 1000))
 """
 
+SHINGLES_FULL_SQL = r"""
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS s
+    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                FROM documents))
+"""
 
-def shingles(spark, sf_dir):
+
+def shingles(spark, sf_dir, bounded=True):
     # bigrams via array transform — map-side only, no self-join shuffle
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    docs = load_table(spark, sf_dir, "documents")
+    if bounded:
+        docs = docs.where(F.col("doc_id") < 1000)
     return (
         docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
         .select(
@@ -91,6 +102,59 @@ def t_jaccard_neardup(spark, sf_dir):
     )
 
 
+@register(
+    "t_jaccard_neardup_capped",
+    f"""
+    WITH sh0 AS ({SHINGLES_FULL_SQL}),
+    freq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+    sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq ON freq.s = sh0.s
+           WHERE freq.df <= 64),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.12
+    """,
+)
+def t_jaccard_neardup_capped(spark, sf_dir):
+    """Unbounded-corpus Jaccard near-dup with df-capped posting lists — the
+    100 TB shape of t_jaccard_neardup.
+
+    No doc_id bound: instead, shingles appearing in more than 64 documents
+    are dropped before the posting-list self-join. A hot shingle's join
+    output is quadratic in its document frequency while carrying ~zero dedup
+    signal (it's a stopword bigram); the cap bounds every shingle's pair
+    fan-out at 64^2 regardless of corpus size, which is what makes the
+    equi-join plan survive a 100x scale-up. Jaccard is computed over the
+    capped shingle sets on BOTH engines, so the oracle is exact.
+    """
+    sh0 = shingles(spark, sf_dir, bounded=False)
+    freq = sh0.groupBy("s").agg(F.count("*").alias("df"))
+    sh = sh0.join(freq.where(F.col("df") <= 64).select("s"), "s")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.12)
+        .select("doc_a", "doc_b", f6(jac).alias("jaccard"))
+    )
+
+
 # --- SimHash: md5-derived, engine-portable ---------------------------------
 
 # token hash = first 8 hex chars of md5 -> uint32, via positional hex math
@@ -102,28 +166,25 @@ _DUCK_H32 = """
 """
 
 
-@register(
-    "t_simhash",
-    rf"""
-    WITH tok AS (SELECT DISTINCT doc_id,
-                        unnest(string_split_regex(lower(text), '\s+')) AS word
-                 FROM documents),
+# shared CTE chain: per-doc 16-bit simhash (used by t_simhash and
+# t_simhash_pairs oracles)
+_DUCK_SIMHASH_CTES = rf"""
+    tok AS (SELECT DISTINCT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS word
+            FROM documents),
     h AS (SELECT doc_id, {_DUCK_H32} AS h32 FROM tok),
     bits AS (SELECT doc_id, b, CAST(floor(h32 / (2 ** b)) AS BIGINT) % 2 AS bit
              FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
-    votes AS (SELECT doc_id, b, sum(2 * bit - 1) AS v FROM bits GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS BIGINT)
-               AS simhash16
-    FROM votes GROUP BY doc_id
-    """,
-)
-def t_simhash(spark, sf_dir):
-    """16-bit SimHash per document from md5-derived token hashes.
+    votes AS (SELECT doc_id, b, sum(2 * bit - 1) AS v FROM bits GROUP BY 1, 2),
+    sim AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS simhash16
+            FROM votes GROUP BY doc_id)
+"""
 
-    Sketch is exact-oracle-checkable because the hash (md5) is identical in
-    both engines. 64-bit at scale; 16 bits keeps the bit fan-out cheap here.
-    """
+
+def _simhash_df(spark, sf_dir):
+    """Per-document 16-bit SimHash from md5-derived token hashes."""
     tok = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
@@ -143,6 +204,85 @@ def t_simhash(spark, sf_dir):
         )
         .cast("long")
         .alias("simhash16")
+    )
+
+
+@register(
+    "t_simhash",
+    f"""
+    WITH {_DUCK_SIMHASH_CTES}
+    SELECT doc_id, simhash16 FROM sim
+    """,
+)
+def t_simhash(spark, sf_dir):
+    """16-bit SimHash per document from md5-derived token hashes.
+
+    Sketch is exact-oracle-checkable because the hash (md5) is identical in
+    both engines. 64-bit at scale; 16 bits keeps the bit fan-out cheap here.
+    """
+    return _simhash_df(spark, sf_dir)
+
+
+@register(
+    "t_simhash_pairs",
+    f"""
+    WITH {_DUCK_SIMHASH_CTES},
+    bands AS (SELECT doc_id, b,
+                     CAST(floor(simhash16 / (2 ** (4 * b))) AS BIGINT) % 16 AS bv
+              FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+                                      AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.simhash16, sb.simhash16)) AS BIGINT) AS hamming
+    FROM cand JOIN sim sa ON sa.doc_id = doc_a
+              JOIN sim sb ON sb.doc_id = doc_b
+    WHERE bit_count(xor(sa.simhash16, sb.simhash16)) <= 2
+    """,
+)
+def t_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS: banded candidate generation + Hamming filter.
+
+    The 16-bit fingerprint splits into 4 bands of 4 bits; by pigeonhole any
+    pair at Hamming distance <= 2 (in fact <= 3) agrees on at least one
+    whole band, so the band equi-join generates every qualifying pair —
+    candidate generation is an equi-join on (band, band_value), never an
+    all-pairs cross join. Candidates then pay one exact bit_count(XOR)
+    Hamming check. This is the scale path SimHash exists for: at 100 TB the
+    band join shuffles (4 x n_docs) tiny rows, and hot buckets (a band
+    value shared by many docs) are the same df-cap problem handled in
+    t_jaccard_neardup_capped.
+    """
+    sim = _simhash_df(spark, sf_dir)
+    bands = sim.crossJoin(
+        F.broadcast(spark.range(0, 4).select(F.col("id").alias("b")))
+    ).select(
+        "doc_id",
+        "simhash16",
+        "b",
+        (F.floor(F.col("simhash16") / F.pow(2, 4 * F.col("b"))).cast("long") % 16).alias(
+            "bv"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash16").alias("ha"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash16").alias("hb"))
+    hamming = F.expr("bit_count(ha ^ hb)").cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(hamming <= 2)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
 
 

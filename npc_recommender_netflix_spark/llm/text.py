@@ -47,6 +47,29 @@ def t_exact_dedup(spark, sf_dir):
 
 
 @register(
+    "t_exact_dedup_digest",
+    "SELECT lang, count(DISTINCT md5(text)) AS cnt FROM documents GROUP BY lang",
+)
+def t_exact_dedup_digest(spark, sf_dir):
+    """Exact dedup keyed by md5 digest — the 100 TB shuffle shape.
+
+    t_exact_dedup groups on the raw text, which shuffles the whole corpus as
+    the grouping key; here the dedup key is (lang, md5(text)), so the
+    shuffle carries a 32-char digest per row instead of the document. Same
+    duplicate-injection (self-union) and same per-language counts; md5 is
+    identical in both engines so the oracle is exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)
+    return (
+        doubled.select("lang", F.md5("text").alias("digest"))
+        .dropDuplicates(["lang", "digest"])
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
     "t_tokenize_wc",
     f"""
     SELECT word, count(*) AS cnt FROM ({TOKENS_SQL})

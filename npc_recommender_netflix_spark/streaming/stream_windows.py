@@ -100,7 +100,7 @@ def st_sliding(spark, sf_dir):
     "st_session",
     """
     WITH o AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          IS NULL
                          OR ts - lag(ts) OVER (PARTITION BY user_id
@@ -110,8 +110,11 @@ def st_sliding(spark, sf_dir):
         FROM events
     ),
     s AS (
+        -- cumulative sum ordered by the SAME (ts, event_id) key as brk:
+        -- with duplicate (user_id, ts) rows a ts-only order is ambiguous
+        -- and could split a session differently than Spark's session_window
         SELECT user_id, ts,
-               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
         FROM o
     )

@@ -57,6 +57,7 @@ def test_contract_shape():
         "t_minhash_dedup",
         "st_watermark",
         "st_stateful",
+        "v_ann_ivf_kmeans",
     }
 
 

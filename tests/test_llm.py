@@ -89,3 +89,45 @@ def test_ann_ivf_kmeans_cosines_are_exact(spark):
     for q, scores in per_query.items():
         assert len(scores) <= 5
         assert scores == sorted(scores, reverse=True)
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark):
+    """The banded equi-join must emit EXACTLY the pairs at Hamming <= 2 of
+    the fingerprints (pigeonhole: <= 2 flipped bits leave >= 2 of the 4
+    bands intact, so no qualifying pair can be missed) — verified against a
+    brute-force all-pairs Hamming scan of the fingerprints."""
+    sim = {
+        r["doc_id"]: r["simhash16"]
+        for r in registry.QUERIES["t_simhash"](spark, SF_SMALL).collect()
+    }
+    ids = sorted(sim)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sim[a] ^ sim[b]).count("1") <= 2
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in registry.QUERIES["t_simhash_pairs"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == brute
+    for (a, b), h in got.items():
+        assert h == bin(sim[a] ^ sim[b]).count("1")
+    # exact duplicates (identical token sets) are always found
+    assert any(h == 0 for h in got.values())
+
+
+def test_capped_jaccard_matches_uncapped_on_small_fixture(spark):
+    """At sf0.001 no shingle exceeds the df cap, so the capped variant must
+    reproduce the uncapped result exactly (the cap only drops stopword-like
+    shingles at larger scale)."""
+    uncapped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in registry.QUERIES["t_jaccard_neardup"](spark, SF_SMALL).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in registry.QUERIES["t_jaccard_neardup_capped"](spark, SF_SMALL).collect()
+    }
+    assert capped == uncapped
