@@ -365,7 +365,8 @@ def t_pipeline_e2e(spark, sf_dir):
     canonical exact dedup -> near-dup removal (drop the higher doc_id of
     each Jaccard>=0.5 pair) -> per-language corpus stats. Composition is
     the point: each stage is an operator already verified standalone, and
-    Catalyst plans the chain with no materialization between stages."""
+    Catalyst plans the chain with no materialization between stages.
+    Scale variant without the doc_id<1000 bound: t_pipeline_e2e_scale."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
     w = F.split(F.lower("text"), r"\s+")
     scored = docs.select(
@@ -396,6 +397,98 @@ def t_pipeline_e2e(spark, sf_dir):
         )
         .distinct()
     )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    losers = (
+        inter.join(F.broadcast(sa), F.col("da") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("db") == F.col("sb.doc_id"))
+        .where(jac >= 0.5)
+        .select(F.greatest("da", "db").alias("doc_id"))
+        .distinct()
+    )
+    kept = exact.join(losers, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), f6(F.avg("n_tokens")).alias("avg_tokens")
+    )
+
+
+@register(
+    "t_pipeline_e2e_scale",
+    r"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(lower(text), '\s+'))) * 1.0
+                   / len(string_split_regex(lower(text), '\s+')) AS distinct_ratio
+        FROM documents
+    ),
+    quality AS (SELECT * FROM scored WHERE n_tokens >= 20 AND distinct_ratio > 0.3),
+    canon AS (SELECT md5(text) AS d, min(doc_id) AS keep FROM quality GROUP BY 1),
+    exact AS (SELECT q.* FROM quality q
+              JOIN canon c ON md5(q.text) = c.d AND q.doc_id = c.keep),
+    toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM exact),
+    sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS s
+            FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)),
+    freq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+    sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq ON freq.s = sh0.s
+           WHERE freq.df <= 64),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    losers AS (SELECT DISTINCT db AS doc_id FROM pairs
+               JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+               WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)
+    SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 6) AS avg_tokens
+    FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    GROUP BY lang
+    """,
+)
+def t_pipeline_e2e_scale(spark, sf_dir):
+    """t_pipeline_e2e with every per-stage scale fix and NO corpus bound:
+    quality filter -> canonical dedup keyed by md5 digest (survivor = min
+    doc_id per digest, deterministic even for cross-language duplicate
+    texts) -> near-dup removal over df-capped shingle postings (<= 64, the
+    t_jaccard_neardup_capped bound) -> per-language stats. Still one lazy
+    Catalyst plan; every shuffle key is either a digest, a shingle, or a
+    doc_id — never the document text as a join key."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(w).alias("n_tokens"),
+        (F.expr("size(array_distinct(split(lower(text), '\\\\s+')))") * 1.0 / F.size(w)).alias(
+            "distinct_ratio"
+        ),
+    )
+    quality = scored.where((F.col("n_tokens") >= 20) & (F.col("distinct_ratio") > 0.3))
+    wmin = Window.partitionBy(F.md5("text"))
+    exact = (
+        quality.withColumn("min_id", F.min("doc_id").over(wmin))
+        .where(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id")
+    )
+    sh0 = (
+        exact.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    freq = sh0.groupBy("s").agg(F.count("*").alias("df"))
+    sh = sh0.join(freq.where(F.col("df") <= 64).select("s"), "s")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -351,6 +351,45 @@ def v_ann_ivf(spark, sf_dir):
     )
 
 
+@register("v_lsh_neardup")  # rows-only: LSH bucketing is MLlib-internal
+def v_lsh_neardup(spark, sf_dir):
+    """LSH-bucketed embedding near-dup (cos >= 0.35) — the approximate scale
+    path in front of v_embed_neardup's exact block-pair search.
+
+    Vectors are L2-normalized so the cosine threshold becomes a Euclidean
+    radius (cos >= t  <=>  dist <= sqrt(2 - 2t)); MLlib's
+    BucketedRandomProjectionLSH then generates candidates via bucket
+    equi-join (never all pairs) and approxSimilarityJoin rescoreds them with
+    the exact distance. Precision is 1.0 by construction (every emitted pair
+    passes the exact radius check); recall < 1.0 is the LSH trade — tests
+    measure it against the exact operator. At 100 TB this join shuffles
+    bucket ids, not the N^2 pair space.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    unit = Normalizer(inputCol="v", outputCol="nv", p=2.0).transform(emb)
+    radius = float((2.0 - 2.0 * 0.35) ** 0.5)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="nv", outputCol="hashes", bucketLength=0.5, numHashTables=8, seed=42
+    )
+    model = lsh.fit(unit)
+    pairs = model.approxSimilarityJoin(unit, unit, radius, distCol="dist")
+    cos = 1.0 - (F.col("dist") * F.col("dist")) / 2.0
+    return (
+        pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            f6(cos).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.35)
+    )
+
+
 @register("v_ann_ivf_kmeans")  # rows-only: KMeans cell ids are not SQL-expressible
 def v_ann_ivf_kmeans(spark, sf_dir):
     """IVF ANN routed on a TRAINED coarse quantizer (MLlib KMeans, k=10,

@@ -58,6 +58,7 @@ def test_contract_shape():
         "st_watermark",
         "st_stateful",
         "v_ann_ivf_kmeans",
+        "v_lsh_neardup",
     }
 
 

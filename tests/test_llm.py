@@ -131,3 +131,19 @@ def test_capped_jaccard_matches_uncapped_on_small_fixture(spark):
         for r in registry.QUERIES["t_jaccard_neardup_capped"](spark, SF_SMALL).collect()
     }
     assert capped == uncapped
+
+
+def test_lsh_neardup_subset_of_exact_with_high_recall(spark):
+    """LSH near-dup must have precision 1.0 (every emitted pair passes the
+    exact radius check, so it's a subset of the exact operator's pairs) and
+    recall close to 1 with 8 hash tables."""
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in registry.QUERIES["v_embed_neardup"](spark, SF_SMALL).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in registry.QUERIES["v_lsh_neardup"](spark, SF_SMALL).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh & exact) / len(exact) >= 0.9
