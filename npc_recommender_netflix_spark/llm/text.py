@@ -319,3 +319,109 @@ def t_canonical_dedup(spark, sf_dir):
     return doubled.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"), F.min_by("lang", "doc_id").alias("lang")
     ).select("doc_id", "lang")
+
+
+@register(
+    "t_chunk_docs",
+    r"""
+    SELECT doc_id, CAST(s / 40 AS BIGINT) AS chunk_idx,
+           CAST(len(w[s + 1 : s + 50]) AS BIGINT) AS n_toks,
+           md5(array_to_string(w[s + 1 : s + 50], ' ')) AS chunk_digest
+    FROM (SELECT doc_id, w, unnest(range(0, len(w), 40)) AS s
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                FROM documents))
+    """,
+)
+def t_chunk_docs(spark, sf_dir):
+    """Fixed-size token chunking with overlap (50-token windows, stride 40)
+    — the context-window packing step of a pretraining pipeline.
+
+    Chunk starts come from sequence(0, n-1, 40) so chunking is a map-side
+    explode (no shuffle at all); each chunk is emitted as (index, token
+    count, md5 digest) — the digest stands in for the chunk text so the
+    result stays small and driver-hashable while still pinning exact
+    content equality across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    chunked = docs.select("doc_id", w.alias("w")).select(
+        "doc_id",
+        "w",
+        F.explode(F.expr("sequence(0, size(w) - 1, 40)")).alias("s"),
+    )
+    chunk = F.slice(F.col("w"), F.col("s") + 1, 50)
+    return chunked.select(
+        "doc_id",
+        (F.col("s") / 40).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_toks"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
+    )
+
+
+@register(
+    "t_stratified_sample",
+    """
+    SELECT lang, count(*) AS n_sampled,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    WHERE substring(md5(text), 1, 1) IN ('0', '1')
+    GROUP BY lang
+    """,
+)
+def t_stratified_sample(spark, sf_dir):
+    """Deterministic ~1/8 content-hash sample with per-language accounting.
+
+    Unlike TABLESAMPLE/rand(), an md5-prefix predicate selects the SAME
+    rows on any engine, any cluster size, any partitioning — which is what
+    makes a training-data sample reproducible and incrementally extensible
+    (widen the prefix set to grow the sample without resampling). The
+    filter is a pushable scan predicate; per-stratum stats are one
+    partial+final aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.substring(F.md5("text"), 1, 1).isin("0", "1"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), f6(F.avg("n_chars")).alias("avg_chars"))
+    )
+
+
+@register(
+    "t_repetition_filter",
+    r"""
+    WITH big AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                    FROM documents))
+    ),
+    freq AS (SELECT doc_id, s, count(*) AS c FROM big GROUP BY 1, 2),
+    agg AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n FROM freq GROUP BY doc_id)
+    SELECT doc_id, round(max_c * 1.0 / n, 6) AS rep_ratio,
+           max_c * 1.0 / n > 0.1 AS is_repetitive
+    FROM agg
+    """,
+)
+def t_repetition_filter(spark, sf_dir):
+    """Internal-repetition quality signal: max bigram frequency within a
+    document over its total bigram count. Boilerplate/spam documents repeat
+    the same n-grams; > 0.1 flags them for removal. Bigrams are generated
+    map-side (array transform, NON-distinct — multiplicity is the signal);
+    the per-doc aggregate shuffles on (doc_id, bigram) then doc_id only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    big = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), r"\s+").alias("w"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+        ).alias("s"),
+    )
+    freq = big.groupBy("doc_id", "s").agg(F.count("*").alias("c"))
+    agg = freq.groupBy("doc_id").agg(F.max("c").alias("max_c"), F.sum("c").alias("n"))
+    ratio = F.col("max_c") * 1.0 / F.col("n")
+    return agg.select(
+        "doc_id", f6(ratio).alias("rep_ratio"), (ratio > 0.1).alias("is_repetitive")
+    )
