@@ -38,6 +38,7 @@ HEADLINE = [
     "t_jaccard_neardup_capped",  # round 2: unbounded corpus, df-capped postings
     "t_exact_dedup_digest",      # round 2: digest-keyed dedup shuffle shape
     "t_pipeline_e2e",
+    "t_pipeline_e2e_scale",      # round 2: full-corpus pipeline, digest + df-cap
     "t_simhash",
     "v_cosine_topk",
     "v_embed_neardup",           # round 2: distributed block-pair matmul

@@ -114,3 +114,9 @@ def test_embed_neardup_has_no_driver_collect(spark):
     plan = _plan(spark, "v_embed_neardup")
     assert "FlatMapGroupsInPandas" in plan
     assert "FileScan parquet" in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Context-window chunking must be a pure map-side explode: no Exchange
+    anywhere in the plan (at 100 TB a shuffle here would move the corpus)."""
+    assert "Exchange" not in _plan(spark, "t_chunk_docs")
