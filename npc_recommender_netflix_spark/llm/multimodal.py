@@ -122,3 +122,60 @@ def m_image_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payload = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return payload.mapInPandas(fake_decode_batch, schema=_IMG_SCHEMA)
+
+
+_AUD_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate long, n_samples long, "
+    "duration_ms long, resampled_rate long, resampled_samples long"
+)
+
+
+@register(
+    "m_audio_pipeline",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(8000 + (octet_length(encode(text)) % 3) * 4000 AS BIGINT) AS sample_rate,
+           CAST(octet_length(encode(text)) * 4 AS BIGINT) AS n_samples,
+           CAST(octet_length(encode(text)) * 4 * 1000
+                // (8000 + (octet_length(encode(text)) % 3) * 4000) AS BIGINT) AS duration_ms,
+           CAST(16000 AS BIGINT) AS resampled_rate,
+           CAST(octet_length(encode(text)) * 4 * 16000
+                // (8000 + (octet_length(encode(text)) % 3) * 4000) AS BIGINT) AS resampled_samples
+    FROM documents
+    """,
+)
+def m_audio_pipeline(spark, sf_dir):
+    """Decode -> resample over an audio-typed binary column via mapInPandas —
+    the audio twin of m_image_pipeline. Decode is a deterministic stub (no
+    audio codecs in this container): sample rate and sample count derive
+    from the byte length; duration and 16 kHz resampling are integer
+    arithmetic the oracle mirrors exactly. The Arrow batch shape, schema,
+    and per-row independence (no shuffle; payloads never leave the scan
+    task) are the real 100 TB plumbing.
+    """
+    # Defined inside the query fn so cloudpickle ships it by value.
+    def fake_decode_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """STUB decode: a real implementation would run an audio codec
+        (soundfile/ffmpeg) on `payload`; dimensions derive from byte length
+        instead. Integer arithmetic only — float sample math would not be
+        engine-stable."""
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            rate = 8000 + (n_bytes % 3) * 4000
+            n_samples = n_bytes * 4
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "sample_rate": rate,
+                    "n_samples": n_samples,
+                    "duration_ms": n_samples * 1000 // rate,
+                    "resampled_rate": 16000,
+                    "resampled_samples": n_samples * 16000 // rate,
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(fake_decode_audio, schema=_AUD_SCHEMA)

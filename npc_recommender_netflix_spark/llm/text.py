@@ -425,3 +425,45 @@ def t_repetition_filter(spark, sf_dir):
     return agg.select(
         "doc_id", f6(ratio).alias("rep_ratio"), (ratio > 0.1).alias("is_repetitive")
     )
+
+
+@register(
+    "t_scrub_pii",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(
+                 regexp_replace(text, '[a-z0-9.\-]+@[a-z0-9\-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\bcustomer\b', '<REDACTED>', 'g')) AS scrubbed_digest,
+           CAST(len(regexp_extract_all(text, '[a-z0-9.\-]+@[a-z0-9\-]+\.[a-z]{2,}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT) AS n_redacted
+    FROM documents
+    """,
+)
+def t_scrub_pii(spark, sf_dir):
+    """PII scrubbing: regex redaction with per-document hit accounting.
+
+    Two pattern classes: a real email regex (zero hits on this synthetic
+    corpus — the machinery is what's exercised) and a surrogate term
+    standing in for a PII dictionary (real hits, so replacement and counts
+    are non-trivially checked). The scrubbed text is emitted as an md5
+    digest: content equality is verified cross-engine without shipping the
+    corpus through the driver hasher. Pure regexp_replace — whole-stage
+    codegen, no shuffle, linear scale-out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    email = F.lit(r"[a-z0-9.\-]+@[a-z0-9\-]+\.[a-z]{2,}")
+    term = F.lit(r"\bcustomer\b")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, F.lit("<EMAIL>")), term, F.lit("<REDACTED>")
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_digest"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9.\\-]+@[a-z0-9\\-]+\\.[a-z]{2,}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\bcustomer\\b', 0)")).cast("long").alias(
+            "n_redacted"
+        ),
+    )

@@ -147,3 +147,21 @@ def test_lsh_neardup_subset_of_exact_with_high_recall(spark):
     }
     assert lsh <= exact
     assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_scrub_pii_actually_redacts(spark):
+    """The surrogate-term redaction must fire: some documents have hits,
+    and for exactly those documents the scrubbed digest differs from the
+    raw text's digest."""
+    raw = {
+        r["doc_id"]: r["d"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", F.md5("text").alias("d"))
+        .collect()
+    }
+    rows = registry.QUERIES["t_scrub_pii"](spark, SF_SMALL).collect()
+    assert any(r["n_redacted"] > 0 for r in rows)
+    assert all(r["n_emails"] == 0 for r in rows)  # synthetic corpus
+    for r in rows:
+        changed = r["scrubbed_digest"] != raw[r["doc_id"]]
+        assert changed == (r["n_redacted"] > 0), r
