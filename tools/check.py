@@ -62,10 +62,30 @@ def normalize_rows(cols, rows):
     return sorted("|".join(norm(r[i]) for i in order) for r in rows)
 
 
+def _reject_nonscalar(sdf, key):
+    """The DRIVER's pandas-based hasher crashes on ARRAY/MAP/STRUCT and
+    canonicalizes DECIMAL differently than we do (round-1 a_collect_sorted /
+    p_cast failures were masked by this checker handling them fine locally).
+    Fail loudly here so a non-scalar output never reaches the driver."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType, DecimalType))
+    ]
+    if bad:
+        raise TypeError(
+            f"{key}: non-driver-hashable output column(s) {bad} "
+            "(serialize arrays to strings / reshape decimals to rounded doubles)"
+        )
+
+
 def run_one(spark, con, key, sf_dir):
     fn = registry.QUERIES[key]
     t0 = time.time()
     sdf = fn(spark, sf_dir)
+    _reject_nonscalar(sdf, key)
     srows = sdf.collect()
     scols = sdf.columns
     t_spark = time.time() - t0
