@@ -1,0 +1,128 @@
+"""Property-based layer (hypothesis): engine invariants on generated data.
+
+These don't re-check fixture answers (the oracle does that) — they pin
+ALGEBRAIC properties of the operator implementations on adversarial tiny
+inputs: dedup idempotence, salting-invariance of aggregation, banded
+SimHash candidate completeness, top-k/window agreement. Few examples per
+property (Spark round-trips are ~0.5 s each); hypothesis shrinks failures
+to minimal counterexamples.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_prop = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_texts = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=12), min_size=1, max_size=20
+)
+
+
+@_prop
+@given(texts=_texts)
+def test_digest_dedup_counts_distinct_texts(spark, texts):
+    """Digest-keyed dedup == set semantics: grouping on md5(text) counts
+    exactly the distinct texts, for any input multiset (md5 is injective on
+    these inputs for all practical purposes)."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id LONG, text STRING")
+    got = (
+        df.select(F.md5("text").alias("d"))
+        .dropDuplicates(["d"])
+        .count()
+    )
+    assert got == len(set(texts))
+
+
+@_prop
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-100, 100)), min_size=1, max_size=30
+    )
+)
+def test_salted_aggregation_equals_direct(spark, rows):
+    """Two-phase salted aggregation (the skew pattern) must equal the direct
+    groupBy sum for ANY key/value multiset — salting changes placement,
+    never membership."""
+    df = spark.createDataFrame(rows, "k LONG, v LONG")
+    direct = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = (
+        df.withColumn("salt", F.pmod(F.monotonically_increasing_id(), F.lit(4)))
+        .groupBy("k", "salt")
+        .agg(F.sum("v").alias("ps"))
+        .groupBy("k")
+        .agg(F.sum("ps").alias("s"))
+    )
+    assert {r["k"]: r["s"] for r in salted.collect()} == direct
+
+
+@_prop
+@given(hashes=st.lists(st.integers(0, 2**16 - 1), min_size=2, max_size=25, unique=True))
+def test_banded_candidates_cover_all_close_pairs(spark, hashes):
+    """The 4x4-bit band equi-join (t_simhash_pairs candidate generation)
+    must surface EVERY pair at Hamming distance <= 3 of arbitrary 16-bit
+    fingerprints (pigeonhole), with no false pairs below the final Hamming
+    filter."""
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(hashes)], "id LONG, h LONG")
+    bands = df.crossJoin(F.broadcast(spark.range(0, 4).select(F.col("id").alias("b")))).select(
+        "id",
+        "h",
+        "b",
+        (F.floor(F.col("h") / F.pow(2, 4 * F.col("b"))).cast("long") % 16).alias("bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .distinct()
+        .collect()
+    )
+    got = {(r["ia"], r["ib"]) for r in cand}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            if bin(hashes[i] ^ hashes[j]).count("1") <= 3:
+                assert (i, j) in got, (hashes[i], hashes[j])
+
+
+@_prop
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-50, 50), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_window_topk_equals_per_group_sort(spark, rows):
+    """row_number()<=k (the WindowGroupLimit path) must agree with a plain
+    per-group python sort for any (group, score, uid) multiset, given the
+    deterministic (score desc, uid) tiebreak."""
+    uniq = {(g, s, u): None for g, s, u in rows}
+    rows = list(uniq)  # dedupe exact triples; uid ties are still possible
+    df = spark.createDataFrame(rows, "g LONG, s LONG, u LONG")
+    w = Window.partitionBy("g").orderBy(F.col("s").desc(), "u", "g")
+    got = (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("g", "s", "u")
+        .collect()
+    )
+    got_set = {(r["g"], r["s"], r["u"]) for r in got}
+    expect = set()
+    groups = {}
+    for g, s, u in rows:
+        groups.setdefault(g, []).append((s, u))
+    for g, items in groups.items():
+        for s, u in sorted(items, key=lambda t: (-t[0], t[1]))[:2]:
+            expect.add((g, s, u))
+    assert got_set == expect
