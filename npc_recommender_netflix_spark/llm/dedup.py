@@ -147,9 +147,11 @@ def t_jaccard_neardup_capped(spark, sf_dir):
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    # no broadcast hint: sizes is one row per doc — unbounded at corpus
+    # scale. AQE picks broadcast when it measures small, SMJ otherwise.
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= 0.12)
         .select("doc_a", "doc_b", f6(jac).alias("jaccard"))
     )
@@ -251,7 +253,10 @@ def t_simhash_pairs(spark, sf_dir):
     Hamming check. This is the scale path SimHash exists for: at 100 TB the
     band join shuffles (4 x n_docs) tiny rows, and hot buckets (a band
     value shared by many docs) are the same df-cap problem handled in
-    t_jaccard_neardup_capped.
+    t_jaccard_neardup_capped. The fingerprint width must grow with the
+    corpus (64-bit at real scale: 16 bits saturate — at sf0.1's 5000 docs
+    half of all pairs land within Hamming 2); 16 bits is chosen here so the
+    whole sketch stays exactly SQL-oracle-checkable.
     """
     sim = _simhash_df(spark, sf_dir)
     bands = sim.crossJoin(
@@ -498,9 +503,11 @@ def t_pipeline_e2e_scale(spark, sf_dir):
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    # no broadcast hint on the unbounded sizes table (cf.
+    # t_jaccard_neardup_capped) -- AQE decides from measured size
     losers = (
-        inter.join(F.broadcast(sa), F.col("da") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("db") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
         .where(jac >= 0.5)
         .select(F.greatest("da", "db").alias("doc_id"))
         .distinct()
