@@ -516,3 +516,94 @@ def t_pipeline_e2e_scale(spark, sf_dir):
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"), f6(F.avg("n_tokens")).alias("avg_tokens")
     )
+
+
+@register(
+    "t_dup_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT da, db FROM inter
+              JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+    e AS (SELECT da AS a, db AS b FROM pairs
+          UNION SELECT db, da FROM pairs),
+    reach AS (SELECT a, b FROM e UNION SELECT DISTINCT a, a FROM e
+              UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+    asg AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT asg.doc_id, asg.cluster_id, CAST(cs.cnt AS BIGINT) AS cluster_size
+    FROM asg JOIN (SELECT cluster_id, count(*) AS cnt FROM asg GROUP BY 1) cs
+         ON cs.cluster_id = asg.cluster_id
+    """,
+)
+def t_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the Jaccard>=0.5 pair
+    graph, survivor = min doc_id per component — the step that turns
+    pairwise near-dup hits into actual dedup decisions (pairs alone
+    over-delete: a~b, b~c must collapse to ONE canonical doc, not two
+    independent drops).
+
+    Spark side is iterative min-label propagation: each round joins labels
+    to the edge list and takes min(own, neighbors'); converges in
+    O(component diameter) rounds (dup clusters are tiny — 2-3 rounds
+    here). The convergence test reads ONE scalar per round (changed-row
+    count) — that driver-side scalar is how every iterative Spark graph
+    algorithm terminates, not a data collect. At real scale you checkpoint
+    labels every few rounds to truncate lineage. The oracle is a DuckDB
+    recursive CTE computing the same components exactly.
+    """
+    sh = shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    pairs = (
+        inter.join(F.broadcast(sa), F.col("da") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("db") == F.col("sb.doc_id"))
+        .where(jac >= 0.5)
+        .select("da", "db")
+    )
+    edges = pairs.union(pairs.select(F.col("db"), F.col("da"))).toDF("a", "b").cache()
+    labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    ).cache()
+    for _ in range(20):  # cap >> any real component diameter here
+        neigh = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    csize = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(csize, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

@@ -165,3 +165,28 @@ def test_scrub_pii_actually_redacts(spark):
     for r in rows:
         changed = r["scrubbed_digest"] != raw[r["doc_id"]]
         assert changed == (r["n_redacted"] > 0), r
+
+
+def test_dup_clusters_are_consistent_components(spark):
+    """Cluster invariants: the cluster id is the minimum member id, both
+    endpoints of every near-dup pair share a cluster, and cluster_size
+    matches the actual member count."""
+    rows = registry.QUERIES["t_dup_clusters"](spark, SF_SMALL).collect()
+    assert rows
+    members = {}
+    for r in rows:
+        members.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    for cid, m in members.items():
+        assert cid == min(m)
+    sizes = {r["cluster_id"]: r["cluster_size"] for r in rows}
+    for cid, m in members.items():
+        assert sizes[cid] == len(m)
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in registry.QUERIES["t_jaccard_neardup"](spark, SF_SMALL).collect()
+        if r["jaccard"] >= 0.5
+    ]
+    assert pairs
+    for a, b in pairs:
+        assert cluster_of[a] == cluster_of[b], (a, b)
