@@ -22,7 +22,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table, money2
+from ..session import load_table, money2, tables
 
 _TMP_ROOT: str | None = None
 
@@ -190,3 +190,52 @@ def s_bucketed_table(spark, sf_dir):
     )
     back = spark.table(name)
     return back.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "j_bucketed_colocated",
+    """
+    SELECT o.o_orderpriority, count(*) AS cnt, round(sum(l.l_quantity), 2) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j_bucketed_colocated(spark, sf_dir):
+    """Fact x fact join with ZERO join shuffle: both sides persisted
+    bucketed (16 buckets) and sorted on the join key, so the SortMergeJoin
+    consumes the bucketed layout directly — the only shuffle in the whole
+    plan is the final low-cardinality aggregate
+    (tests/test_plans.py::test_colocated_bucketed_join_has_no_join_shuffle;
+    at fixture scale AQE prefers broadcasting the tiny side, which is also
+    shuffle-free — the test disables auto-broadcast to pin the SMJ path).
+
+    This is THE answer to repeated 100 TB fact-fact joins: pay the
+    bucketed write once, then every subsequent join on that key is
+    shuffle-free. The oracle is the plain join — bucketing changes
+    placement, never results.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    t_orders = "npc_bco_" + uuid.uuid4().hex[:8]
+    t_li = "npc_bcl_" + uuid.uuid4().hex[:8]
+    (
+        orders.select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .option("path", _scratch("bco_"))
+        .bucketBy(16, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(t_orders)
+    )
+    (
+        li.select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .option("path", _scratch("bcl_"))
+        .bucketBy(16, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(t_li)
+    )
+    o = spark.table(t_orders)
+    l = spark.table(t_li)
+    j = o.join(l, o.o_orderkey == l.l_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"), money2(F.sum("l_quantity")).alias("sum_qty")
+    )

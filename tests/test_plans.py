@@ -120,3 +120,21 @@ def test_chunking_is_shuffle_free(spark):
     """Context-window chunking must be a pure map-side explode: no Exchange
     anywhere in the plan (at 100 TB a shuffle here would move the corpus)."""
     assert "Exchange" not in _plan(spark, "t_chunk_docs")
+
+
+def test_colocated_bucketed_join_has_no_join_shuffle(spark):
+    """Both join sides are bucketed+sorted on the join key, so the
+    SortMergeJoin consumes the persisted layout: the ONLY shuffle in the
+    plan belongs to the final low-cardinality aggregate (an unbucketed
+    fact-fact join would add one per side). Auto-broadcast is disabled for
+    the assertion — at fixture scale the optimizer rightly prefers
+    broadcasting the tiny side, which would hide the bucketed-SMJ path
+    this test pins."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "j_bucketed_colocated")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
