@@ -393,3 +393,94 @@ def r_rmse(spark, sf_dir):
         )
     )
     return err.agg(f6(F.sqrt(F.avg("sq"))).alias("rmse"))
+
+
+@register(
+    "r_precision_at_k",
+    """
+    WITH base AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id, l_quantity AS qty,
+               l_orderkey AS ok
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    train AS (SELECT user_id, item_id, sum(qty) AS rating FROM base
+              WHERE ok % 5 <> 0 GROUP BY 1, 2),
+    hold AS (SELECT DISTINCT user_id, item_id FROM base WHERE ok % 5 = 0),
+    pop AS (SELECT item_id, sum(rating) AS pop FROM train GROUP BY 1),
+    top20 AS (SELECT item_id, pop FROM (
+                  SELECT *, row_number() OVER (ORDER BY pop DESC, item_id) AS rn
+                  FROM pop) WHERE rn <= 20),
+    users AS (SELECT DISTINCT user_id FROM hold),
+    cand AS (SELECT u.user_id, t.item_id, t.pop
+             FROM users u CROSS JOIN top20 t
+             WHERE NOT EXISTS (SELECT 1 FROM train tr
+                               WHERE tr.user_id = u.user_id
+                                 AND tr.item_id = t.item_id)),
+    recs AS (SELECT user_id, item_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                                              ORDER BY pop DESC, item_id) AS rn
+                 FROM cand) WHERE rn <= 3),
+    hits AS (SELECT r.user_id, count(h.item_id) AS hits
+             FROM recs r LEFT JOIN hold h
+               ON h.user_id = r.user_id AND h.item_id = r.item_id
+             GROUP BY 1)
+    SELECT user_id, CAST(hits AS BIGINT) AS hits, round(hits / 3.0, 6) AS prec3
+    FROM hits
+    """,
+)
+def r_precision_at_k(spark, sf_dir):
+    """Offline recommender evaluation: precision@3 of a popularity baseline
+    against an orderkey%5 holdout (MR reference's evaluate phase; same split
+    as r_rmse).
+
+    The candidate pool is the global top-20 popular items (tiny -> one
+    broadcast), crossed with holdout users and anti-joined against each
+    user's training items before ranking — so per-user work is O(pool), not
+    O(catalog), and the only big shuffles are the two keyed aggregates.
+    Popularity sums are FP-exact (integer quantities in doubles), rankings
+    end in item_id, so the result is deterministic cross-engine.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    base = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    train = (
+        base.where(F.col("ok") % 5 != 0)
+        .groupBy("user_id", "item_id")
+        .agg(F.sum("qty").alias("rating"))
+    )
+    hold = base.where(F.col("ok") % 5 == 0).select("user_id", "item_id").distinct()
+    pop = train.groupBy("item_id").agg(F.sum("rating").alias("pop"))
+    wtop = Window.orderBy(F.col("pop").desc(), "item_id")
+    top20 = (
+        pop.withColumn("rn", F.row_number().over(wtop)).where(F.col("rn") <= 20).drop("rn")
+    )
+    users = hold.select("user_id").distinct()
+    cand = users.crossJoin(F.broadcast(top20)).join(
+        train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+    )
+    wrec = Window.partitionBy("user_id").orderBy(F.col("pop").desc(), "item_id")
+    recs = (
+        cand.withColumn("rn", F.row_number().over(wrec))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "item_id")
+    )
+    hits = (
+        recs.alias("r")
+        .join(
+            hold.alias("h"),
+            (F.col("r.user_id") == F.col("h.user_id"))
+            & (F.col("r.item_id") == F.col("h.item_id")),
+            "left",
+        )
+        .groupBy(F.col("r.user_id").alias("user_id"))
+        .agg(F.count(F.col("h.item_id")).alias("hits"))
+    )
+    return hits.select(
+        "user_id",
+        F.col("hits").cast("long").alias("hits"),
+        f6(F.col("hits") / 3.0).alias("prec3"),
+    )
