@@ -23,6 +23,7 @@ registry.load_all()
 
 HEADLINE = [
     "a_groupby",        # flagship Q1-style agg
+    "q_shipping_priority",  # round 2: TPC-H Q3-shape composite
     "a_cube",
     "j_broadcast",
     "j_multiway",       # 5-table join
