@@ -179,3 +179,61 @@ def m_audio_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(fake_decode_audio, schema=_AUD_SCHEMA)
+
+
+_VID_SCHEMA = (
+    "doc_id long, n_bytes long, fps long, n_frames long, "
+    "duration_ms long, keyframe_every long, sampled_frames long"
+)
+
+
+@register(
+    "m_video_pipeline",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 24 + 6 AS BIGINT) AS fps,
+           CAST(octet_length(encode(text)) % 97 + 24 AS BIGINT) AS n_frames,
+           CAST((octet_length(encode(text)) % 97 + 24) * 1000
+                // (octet_length(encode(text)) % 24 + 6) AS BIGINT) AS duration_ms,
+           CAST((octet_length(encode(text)) % 24 + 6) * 2 AS BIGINT) AS keyframe_every,
+           CAST((octet_length(encode(text)) % 97 + 24
+                 + octet_length(encode(text)) % 24 + 6 - 1)
+                // (octet_length(encode(text)) % 24 + 6) AS BIGINT) AS sampled_frames
+    FROM documents
+    """,
+)
+def m_video_pipeline(spark, sf_dir):
+    """Demux -> frame-sample over a video-typed binary column via mapInPandas
+    — the video leg of the multimodal triple (image / audio / video).
+    Decode is a deterministic stub (no ffmpeg in this container): fps and
+    frame count derive from byte length; duration and 1-frame-per-second
+    sampling (ceil(n_frames / fps)) are integer arithmetic the oracle
+    mirrors exactly. As with image/audio, payload bytes never leave the
+    scan task — only typed metadata flows downstream.
+    """
+    # Defined inside the query fn so cloudpickle ships it by value.
+    def fake_demux_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """STUB demux: a real implementation would run a container demuxer +
+        codec (ffmpeg) on `payload`; stream properties derive from byte
+        length instead. Integer arithmetic only, mirrored by the oracle."""
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            fps = (n_bytes % 24) + 6
+            n_frames = (n_bytes % 97) + 24
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "fps": fps,
+                    "n_frames": n_frames,
+                    "duration_ms": n_frames * 1000 // fps,
+                    "keyframe_every": fps * 2,
+                    # sample at 1 fps: ceil(n_frames / fps) frames kept
+                    "sampled_frames": (n_frames + fps - 1) // fps,
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(fake_demux_video, schema=_VID_SCHEMA)

@@ -1,0 +1,227 @@
+"""Advanced relational surface, round-2 additions (SURVEY.md §2.13).
+
+Modern-SQL operators the round-1 surface lacked: recursive CTEs (Spark 4
+`WITH RECURSIVE`), LIMIT/OFFSET pagination, cume_dist, bivariate statistics
+(corr / covar / linear regression aggregates), URL parsing, and a mergeable
+HyperLogLog sketch pipeline (the 100 TB partial-aggregation shape for
+distinct counts).
+
+Scale notes:
+- `q_recursive_cte` iterates O(log key-space) rounds; each round is a
+  map-side projection + filter, and the final rollup is one shuffle.
+- `a_sketch_merge` is the pattern that replaces exact countDistinct at
+  100 TB: per-partition/per-group fixed-size HLL sketches (map-side
+  combinable), merged with `hll_union_agg` — bytes shuffled are O(groups ×
+  sketch size), independent of row count. Estimates are
+  implementation-defined, so the key is rows-only with a pytest error
+  bound (§5.2).
+- `a_corr_regr` runs on Spark's single-pass co-moment aggregates (partial
+  + final, combiner-friendly) — one shuffle of 5 doubles per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import f6, load_table
+
+
+def _views(spark, sf_dir, *names):
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(f"v_{n}")
+
+
+@register(
+    "q_recursive_cte",
+    """
+    WITH RECURSIVE chain AS (
+        SELECT s_suppkey AS suppkey, s_suppkey AS node, 0 AS depth
+        FROM supplier
+        UNION ALL
+        SELECT suppkey, node // 2 AS node, depth + 1 AS depth
+        FROM chain WHERE node > 0
+    )
+    SELECT suppkey, CAST(max(depth) AS BIGINT) AS depth,
+           CAST(sum(node) AS BIGINT) AS path_sum
+    FROM chain GROUP BY suppkey
+    """,
+)
+def q_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`): walk each supplier key up
+    the implicit binary-heap hierarchy (parent = key DIV 2) to the root,
+    emitting per-key chain depth and path sum.
+
+    Each iteration is a narrow projection+filter over the frontier (no
+    shuffle inside the loop); depth is bounded by log2(max key), so the
+    plan is O(log N) rounds regardless of row count.
+    """
+    _views(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT s_suppkey AS suppkey, s_suppkey AS node, 0 AS depth
+            FROM v_supplier
+            UNION ALL
+            SELECT suppkey, node DIV 2 AS node, depth + 1 AS depth
+            FROM chain WHERE node > 0
+        )
+        SELECT suppkey, CAST(max(depth) AS BIGINT) AS depth,
+               CAST(sum(node) AS BIGINT) AS path_sum
+        FROM chain GROUP BY suppkey
+        """
+    )
+
+
+@register(
+    "o_limit_offset",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+)
+def o_limit_offset(spark, sf_dir):
+    """Pagination: ORDER BY ... LIMIT 20 OFFSET 10 (rows 11-30).
+
+    Ordering ends in the unique o_orderkey tiebreak so the page is
+    deterministic on any engine/partitioning. Spark plans offset+limit as a
+    single TakeOrdered-style global top-(offset+limit) — no full sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", (F.round(F.col("o_totalprice"), 2) + 0.0).alias("total")
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(10)
+        .limit(20)
+    )
+
+
+@register(
+    "w_cume_dist",
+    """
+    SELECT c_custkey, c_mktsegment,
+           round(cume_dist() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey), 6) AS cd
+    FROM customer
+    """,
+)
+def w_cume_dist(spark, sf_dir):
+    """cume_dist window over per-segment account balance (unique tiebreak
+    makes the distribution exact on both engines)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_mktsegment", f6(F.cume_dist().over(w)).alias("cd")
+    )
+
+
+@register(
+    "a_corr_regr",
+    """
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) + 0 AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 4) + 0 AS price_qty_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 4) + 0 AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) + 0 AS intercept,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_corr_regr(spark, sf_dir):
+    """Bivariate statistics: correlation, sample covariance, and the least-
+    squares fit of price on quantity, per return flag.
+
+    Spark computes these as single-pass co-moment aggregates with partial
+    (map-side) combine — one shuffle of a constant-size state per group.
+    covar/slope/intercept are rounded at 4dp (not 6) because their
+    magnitude is ~1e4: 6dp would sit inside cross-engine float-association
+    noise for a 600k-row sum of products.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.corr("l_extendedprice", "l_quantity"), 6) + 0.0).alias(
+            "price_qty_corr"
+        ),
+        (F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4) + 0.0).alias(
+            "price_qty_covar"
+        ),
+        (F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4) + 0.0).alias(
+            "slope"
+        ),
+        (F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4) + 0.0).alias(
+            "intercept"
+        ),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@register(
+    "fn_url",
+    """
+    WITH u AS (
+        SELECT c_custkey,
+               'https://shop-' || CAST(c_custkey % 16 AS VARCHAR)
+                 || '.example.com/seg/'
+                 || lower(replace(c_mktsegment, ' ', '-'))
+                 || '?cust=' || CAST(c_custkey AS VARCHAR)
+                 || '&nation=' || CAST(c_nationkey AS VARCHAR) AS url
+        FROM customer)
+    SELECT c_custkey,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]cust=([^&]*)', 1) AS cust_param
+    FROM u
+    """,
+)
+def fn_url(spark, sf_dir):
+    """URL construction + parsing: host / path / query-parameter extraction
+    via Spark's `parse_url` (oracle mirrors with regexes — DuckDB has no
+    parse_url). Pure codegen projection, no shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://shop-"),
+        (F.col("c_custkey") % 16).cast("string"),
+        F.lit(".example.com/seg/"),
+        F.lower(F.replace(F.col("c_mktsegment"), F.lit(" "), F.lit("-"))),
+        F.lit("?cust="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&nation="),
+        F.col("c_nationkey").cast("string"),
+    )
+    u = cust.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("cust")).alias("cust_param"),
+    )
+
+
+@register("a_sketch_merge")  # rows-only: HLL estimates are engine-specific
+def a_sketch_merge(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): build one
+    fixed-size sketch per (orderpriority, order-month) partial, then merge
+    partials per priority with `hll_union_agg` and estimate.
+
+    This is the 100 TB replacement for exact countDistinct: partials are
+    map-side combinable and constant-size, so the shuffle carries O(groups ×
+    sketch bytes) regardless of row count, and sketches computed by
+    independent jobs (e.g. daily partitions) merge exactly. Estimates are
+    implementation-defined (rows-only key); tests/test_modern.py bounds the
+    estimate against the exact distinct count (±5%, far beyond HLL's
+    expected error at lgK=12).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    partials = orders.groupBy(
+        "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    return (
+        partials.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"))
+        .select("o_orderpriority", F.col("approx_custs").cast("long").alias("approx_custs"))
+    )

@@ -109,10 +109,10 @@ def _apply_order() -> None:
 def load_all() -> None:
     """Import every operator module so registration side effects run."""
     from .sources import scans  # noqa: F401
-    from .operators import filters, joins, aggregates, windows, setops, advanced, tpch  # noqa: F401
+    from .operators import filters, joins, aggregates, windows, setops, advanced, tpch, modern  # noqa: F401
     from .functions import strings, dates, maths, arrays, jsonmap  # noqa: F401
     from .recommender import core, als, rdd_mr  # noqa: F401
-    from .llm import text, vectors, dedup, multimodal  # noqa: F401
+    from .llm import text, vectors, dedup, multimodal, contamination  # noqa: F401
     from .streaming import stream_windows, stateful  # noqa: F401
     from .udfs import surface  # noqa: F401
 
