@@ -607,3 +607,102 @@ def t_dup_clusters(spark, sf_dir):
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
     )
+
+
+# --- MinHash-LSH with an exact cross-engine oracle -------------------------
+
+_MINHASH_SIG_COLS = ",\n           ".join(
+    f"min(md5('{j}:' || s)) AS h{j}" for j in range(8)
+)
+
+_MINHASH_BANDS_SQL = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS bkey FROM sig"
+    for b in range(4)
+)
+
+
+@register(
+    "t_minhash_lsh",
+    f"""
+    WITH sh AS ({SHINGLES_FULL_SQL}),
+    sig AS (SELECT doc_id,
+           {_MINHASH_SIG_COLS}
+           FROM sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.doc_a
+              JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def t_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup with an EXACT SQL oracle (unlike t_minhash_dedup,
+    whose MLlib hash family is engine-internal): k=8 salted-md5 minhash
+    signatures, 4 bands x 2 rows, banded candidate join, exact-Jaccard
+    rescoring at >= 0.5. md5 is identical in both engines, so candidate
+    generation AND verification replay exactly in DuckDB.
+
+    100 TB shape: signatures are one groupBy over (doc, shingle) pairs
+    emitting a constant 8x32 chars per doc; the self-join key is a 32-char
+    band digest (uniform, unskewed); exact verification touches only
+    candidate pairs' posting lists, never all pairs. Full corpus, no doc_id
+    bound. The s-curve at (b=4, r=2) keeps J=1.0 pairs with probability 1
+    (identical signatures) — pytest pins that invariant.
+    """
+    sh = shingles(spark, sf_dir, bounded=False)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+            for j in range(8)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias(
+                            "bkey"
+                        ),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # candidate-driven exact verify: postings joined per candidate pair only
+    x = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(x, "doc_a").join(y, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", (F.round(jac, 6) + 0.0).alias("jaccard"))
+    )

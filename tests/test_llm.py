@@ -190,3 +190,25 @@ def test_dup_clusters_are_consistent_components(spark):
     assert pairs
     for a, b in pairs:
         assert cluster_of[a] == cluster_of[b], (a, b)
+
+
+def test_minhash_lsh_sql_finds_all_exact_duplicates(spark):
+    """(b=4, r=2) banding keeps J=1.0 pairs with probability 1 (identical
+    shingle sets -> identical signatures -> same band keys), and every
+    emitted pair must be a true exact-Jaccard>=0.5 pair (the rescoring
+    step makes the output exact, only recall is probabilistic)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry.QUERIES["t_jaccard_neardup"](spark, SF_SMALL).collect()
+        if r["jaccard"] >= 0.5
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry.QUERIES["t_minhash_lsh"](spark, SF_SMALL).collect()
+    }
+    dup_pairs = {p for p, j in exact.items() if j == 1.0}
+    assert dup_pairs, "fixture should contain at least one exact-duplicate pair"
+    assert dup_pairs <= set(got), f"missed J=1.0 pairs: {dup_pairs - set(got)}"
+    # precision is exact by construction: every output pair verifies >= 0.5
+    for p, j in got.items():
+        assert p in exact and abs(j - exact[p]) < 1e-6, (p, j)
