@@ -41,6 +41,8 @@ HEADLINE = [
     "t_pipeline_e2e",
     "t_pipeline_e2e_scale",      # round 2: full-corpus pipeline, digest + df-cap
     "t_simhash",
+    "t_minhash_lsh",             # round 2: oracle-backed banded LSH + rescore
+    "t_decontaminate",           # round 2: benchmark n-gram decontamination
     "v_cosine_topk",
     "v_embed_neardup",           # round 2: distributed block-pair matmul
     "v_ann_ivf",                 # round 2: prune-before-score cell probe

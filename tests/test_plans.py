@@ -138,3 +138,25 @@ def test_colocated_bucketed_join_has_no_join_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    """The benchmark gram set is fixed-size at any corpus scale; the
+    contamination check must be a broadcast hash join, not a shuffle."""
+    plan = _plan(spark, "t_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_limit_offset_plans_as_global_topk(spark):
+    """LIMIT 20 OFFSET 10 over a sort must plan as a global top-(30) pick,
+    never a full sort of the table."""
+    plan = _plan(spark, "o_limit_offset")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_lsh_has_no_allpairs_join(spark):
+    """Candidate generation must be the banded equi-join — any nested-loop/
+    cartesian operator would mean an O(N^2) all-pairs comparison."""
+    plan = _plan(spark, "t_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
