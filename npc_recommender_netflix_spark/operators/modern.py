@@ -225,3 +225,61 @@ def a_sketch_merge(spark, sf_dir):
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"))
         .select("o_orderpriority", F.col("approx_custs").cast("long").alias("approx_custs"))
     )
+
+
+@register(
+    "fn_try_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_quantity - 25, 0) AS per_excess,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) || '.' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                    AS DOUBLE) AS parsed,
+           TRY_CAST(l_returnflag AS DOUBLE) AS not_a_number
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def fn_try_arith(spark, sf_dir):
+    """Error-safe arithmetic/casts (`try_divide`, `try_cast`): division by
+    zero and unparseable strings yield NULL instead of failing the job —
+    at 100 TB one poison row must not kill a 1000-executor stage. Oracle
+    mirrors with nullif-guarded division and DuckDB TRY_CAST."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    parsed_src = F.concat(
+        F.col("l_linenumber").cast("string"),
+        F.lit("."),
+        F.col("l_quantity").cast("long").cast("string"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # no rounding on purpose: elementwise IEEE division of identical
+        # inputs is bit-identical across engines; round()'s tie-breaking
+        # (half-up vs half-even) is NOT, and price/small-int hits exact
+        # 4dp ties. Rounding is for aggregates, where association differs.
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias(
+            "per_excess"
+        ),
+        parsed_src.try_cast("double").alias("parsed"),
+        F.col("l_returnflag").try_cast("double").alias("not_a_number"),
+    )
+
+
+@register("a_approx_quantile")  # rows-only: quantile-sketch values are engine-specific
+def a_approx_quantile(spark, sf_dir):
+    """Approximate percentiles (p50/p90/p99 of extended price per return
+    flag) via Spark's approx_percentile sketch.
+
+    The 100 TB path for order statistics: the sketch state is bounded
+    (O(accuracy)), map-side combinable, and mergeable across partitions —
+    exact percentile_cont would need a full sort per group. Sketch outputs
+    are implementation-defined (rows-only key); tests/test_modern.py bounds
+    each estimate against the exact percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        (F.round(q.getItem(0), 2) + 0.0).alias("p50"),
+        (F.round(q.getItem(1), 2) + 0.0).alias("p90"),
+        (F.round(q.getItem(2), 2) + 0.0).alias("p99"),
+    )

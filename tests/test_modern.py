@@ -96,3 +96,39 @@ def test_corr_regr_matches_numpy(spark):
         assert abs(got[flag].price_qty_corr - np.corrcoef(x, y)[0, 1]) < 1e-5
         assert abs(got[flag].slope - slope) < 0.01
         assert abs(got[flag].intercept - intercept) < 0.01
+
+
+def test_approx_quantile_near_exact(spark):
+    """Sketch percentiles within 1% of exact percentile_cont per group."""
+    got = {
+        r.l_returnflag: r
+        for r in registry.QUERIES["a_approx_quantile"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in load_table(spark, SF_SMALL, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        for q in ("p50", "p90", "p99"):
+            assert abs(got[flag][q] - e[q]) <= 0.01 * e[q], (flag, q)
+
+
+def test_try_arith_null_semantics(spark):
+    rows = registry.QUERIES["fn_try_arith"](spark, SF_SMALL).collect()
+    assert rows
+    saw_null = saw_value = False
+    for r in rows:
+        assert r.not_a_number is None  # letters never parse
+        assert float(str(r.parsed)) == r.parsed  # always parses
+        if r.per_excess is None:
+            saw_null = True  # qty == 25 -> divide by zero -> NULL, not error
+        else:
+            saw_value = True
+    assert saw_null and saw_value
