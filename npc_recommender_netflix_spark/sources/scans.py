@@ -239,3 +239,50 @@ def j_bucketed_colocated(spark, sf_dir):
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("cnt"), money2(F.sum("l_quantity")).alias("sum_qty")
     )
+
+
+@register(
+    "j_dpp_partitioned",
+    """
+    SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    JOIN (VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned'))
+         AS dim(flag, status)
+      ON l_returnflag = dim.flag
+    WHERE dim.status = 'returned'
+    """,
+)
+def j_dpp_partitioned(spark, sf_dir):
+    """Dynamic partition pruning: the fact table is laid out partitioned by
+    l_returnflag; the query filters on a DIM attribute (status), so the
+    surviving partition is only known at runtime — Catalyst injects a
+    dynamicpruning subquery into the scan's PartitionFilters from the
+    broadcast dim (tests/test_plans.py asserts it), and the scan reads 1 of
+    3 partitions without any static filter on the fact.
+
+    At 100 TB this is the difference between scanning a day and scanning a
+    decade: date-partitioned facts joined to a filtered calendar/dim table
+    prune at runtime with zero query changes. The oracle is the same join
+    unpartitioned — layout never changes results.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _scratch("dpp_")
+    (
+        li.select("l_orderkey", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+        "flag string, status string",
+    )
+    j = fact.join(
+        F.broadcast(dim.where(F.col("status") == "returned")),
+        fact.l_returnflag == F.col("flag"),
+    )
+    return j.agg(
+        F.count("*").alias("cnt"),
+        money2(F.sum("l_extendedprice")).alias("revenue"),
+    )

@@ -160,3 +160,11 @@ def test_minhash_lsh_has_no_allpairs_join(spark):
     plan = _plan(spark, "t_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark):
+    """The partitioned-fact join must carry a dynamicpruning subquery in the
+    scan (runtime partition pruning from the broadcast dim), not scan all
+    partitions."""
+    plan = _plan(spark, "j_dpp_partitioned")
+    assert "dynamicpruning" in plan

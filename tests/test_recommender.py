@@ -87,3 +87,31 @@ def test_pca_preserves_rows_and_dims(spark):
     norms = [r["pca_norm"] for r in rows]
     assert all(n > 0 for n in norms)
     assert statistics.pstdev(norms) > 1e-6
+
+
+def test_pagerank_is_a_distribution_weighted_by_degree(spark):
+    """Ranks sum to ~1 (stochastic fixpoint preserved through 3 iterations)
+    and the max-degree node outranks the min-degree node."""
+    from pyspark.sql import functions as F
+    from npc_recommender_netflix_spark.session import load_table
+
+    ranks = {
+        r.node: r.rank
+        for r in registry.QUERIES["r_pagerank"](spark, SF_SMALL).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-3
+    li = load_table(spark, SF_SMALL, "lineitem")
+    items = li.select("l_orderkey", (F.col("l_partkey") % 500).alias("item")).distinct()
+    deg = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .where(F.col("a.item") != F.col("b.item"))
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+        .groupBy("src")
+        .count()
+        .collect()
+    )
+    by_deg = sorted(deg, key=lambda r: r["count"])
+    lo, hi = by_deg[0], by_deg[-1]
+    assert ranks[hi.src] > ranks[lo.src]
