@@ -658,7 +658,9 @@ def t_minhash_lsh(spark, sf_dir):
     bound. The s-curve at (b=4, r=2) keeps J=1.0 pairs with probability 1
     (identical signatures) — pytest pins that invariant.
     """
-    sh = shingles(spark, sf_dir, bounded=False)
+    # the shingle set feeds three consumers (signatures, sizes, rescoring);
+    # Spark does not share repeated subtrees, so cache it once
+    sh = shingles(spark, sf_dir, bounded=False).cache()
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
