@@ -283,3 +283,102 @@ def a_approx_quantile(spark, sf_dir):
         (F.round(q.getItem(1), 2) + 0.0).alias("p90"),
         (F.round(q.getItem(2), 2) + 0.0).alias("p99"),
     )
+
+
+@register(
+    "j_bloom_runtime_filter",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority
+    """,
+)
+def j_bloom_runtime_filter(spark, sf_dir):
+    """Runtime bloom-filter join: the selective predicate sits on the
+    creation side (orders), so Catalyst injects `bloom_filter_agg` there and
+    a `might_contain` filter on the probe side (lineitem) BEFORE its shuffle
+    — at 100 TB the probe side drops non-matching rows at the scan instead
+    of shuffling them (tests/test_plans.py asserts the injection).
+
+    The scan-size threshold is lowered because the heuristic's 10 GB default
+    never triggers at fixture scale; on a real cluster the default stands.
+    At fixture scale Catalyst rightly prefers broadcasting the filtered
+    orders side (broadcast joins need no bloom filter); the plan test pins
+    the at-scale shuffle-join path by disabling auto-broadcast, mirroring
+    test_colocated_bucketed_join. Bloom filtering never changes results —
+    the oracle is the plain join.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("cnt"),
+        (F.round(F.sum("l_extendedprice"), 2) + 0.0).alias("revenue"),
+    )
+
+
+@register(
+    "a_skew_twophase",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_skew_twophase(spark, sf_dir):
+    """Two-phase (salted) aggregation for skewed group keys: phase 1 groups
+    by (key, salt) — splitting each hot key across 8 reducers — phase 2
+    combines the partials per key. l_returnflag has only 3 values, the
+    textbook hot-key case: a direct groupBy lands each flag's entire volume
+    on one task; salting bounds per-task input at 1/8 of that. Salting
+    changes placement, never membership — the oracle is the direct group-by.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = li.groupBy(
+        "l_returnflag", (F.col("l_orderkey") % 8).alias("salt")
+    ).agg(F.count("*").alias("c"), F.sum("l_quantity").alias("s"))
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("c").cast("long").alias("cnt"),
+        (F.round(F.sum("s"), 2) + 0.0).alias("sum_qty"),
+    )
+
+
+@register(
+    "u_map_in_arrow",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def u_map_in_arrow(spark, sf_dir):
+    """mapInArrow: the zero-copy end of the Python UDF surface — the
+    callable receives pyarrow RecordBatches directly (no pandas
+    conversion), computes with Arrow kernels, and yields batches. The
+    cheapest bridge for columnar Python logic at 100 TB; per-batch memory
+    is bounded by the Arrow batch size, rows never materialize in Python.
+    """
+    # Defined inside the query fn so cloudpickle ships it by value.
+    def arrow_lengths(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_bytes"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(arrow_lengths, schema="doc_id long, n_chars long, n_bytes long")

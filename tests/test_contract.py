@@ -50,6 +50,8 @@ def test_contract_shape():
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "a_approx_distinct",
+        "a_approx_quantile",
+        "a_sketch_merge",
         "r_als",
         "r_als_recs",
         "r_kmeans",

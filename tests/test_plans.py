@@ -168,3 +168,18 @@ def test_dpp_join_prunes_partitions_at_runtime(spark):
     partitions."""
     plan = _plan(spark, "j_dpp_partitioned")
     assert "dynamicpruning" in plan
+
+
+def test_bloom_runtime_filter_injected_on_probe_side(spark):
+    """With broadcast ruled out (the at-scale shape), the selective creation
+    side must inject bloom_filter_agg and the probe side must carry
+    might_contain before its shuffle. At fixture scale the same query
+    correctly broadcasts instead (no bloom needed), hence the conf pin."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "j_bloom_runtime_filter")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
