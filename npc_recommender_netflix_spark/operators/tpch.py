@@ -160,3 +160,52 @@ def q_returned_items(spark, sf_dir):
             "n_name",
         )
     )
+
+
+@register(
+    "q_large_volume_customer",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           round(o.o_totalprice, 2) + 0.0 AS total,
+           CAST(sum(l.l_quantity) AS BIGINT) AS order_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18-shape composite: customers holding orders whose total
+    quantity exceeds 250, top-100 by order value.
+
+    Plan shape: the HAVING subquery is one partial+final agg over lineitem
+    producing a small qualifying-order set; it semi-joins orders BEFORE the
+    customer join, so the expensive join only sees qualifying orders. At
+    100 TB both aggregates combine map-side (sum/count), and the final
+    TakeOrdered keeps 100 rows per partition. l_quantity is integral, so
+    sum order never matters (exact in doubles, cast to BIGINT both sides).
+    """
+    cust, orders, li = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"))
+        .where(F.col("oq") > 250)
+        .select("l_orderkey")
+    )
+    qualifying = orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+    j = cust.join(qualifying, cust.c_custkey == qualifying.o_custkey).join(
+        li, li.l_orderkey == qualifying.o_orderkey
+    )
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("order_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            money2(F.col("o_totalprice")).alias("total"), "order_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )

@@ -286,3 +286,25 @@ def j_dpp_partitioned(spark, sf_dir):
         F.count("*").alias("cnt"),
         money2(F.sum("l_extendedprice")).alias("revenue"),
     )
+
+
+@register(
+    "s_cached_table",
+    """
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def s_cached_table(spark, sf_dir):
+    """Explicitly cached (pinned) table: the aggregation reads from an
+    InMemoryTableScan over the columnar cache, not the parquet scan
+    (plan-asserted). The cache survives for the session — the pattern for
+    a hot dimension read by many queries: pay the scan once, serve every
+    subsequent plan from compressed columnar memory, partition-local.
+    """
+    nat = load_table(spark, sf_dir, "nation").cache()
+    return nat.groupBy("n_regionkey").agg(
+        F.count("*").cast("long").alias("n_nations"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+    )

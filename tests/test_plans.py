@@ -183,3 +183,8 @@ def test_bloom_runtime_filter_injected_on_probe_side(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "might_contain" in plan
     assert "bloom_filter_agg" in plan
+
+
+def test_cached_table_reads_from_memory(spark):
+    plan = _plan(spark, "s_cached_table")
+    assert "InMemoryTableScan" in plan
