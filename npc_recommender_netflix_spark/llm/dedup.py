@@ -708,3 +708,133 @@ def t_minhash_lsh(spark, sf_dir):
         .where(jac >= 0.5)
         .select("doc_a", "doc_b", (F.round(jac, 6) + 0.0).alias("jaccard"))
     )
+
+
+_E2E_FRONT_SQL = r"""
+    scored AS (
+        SELECT doc_id, lang, text,
+               len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(lower(text), '\s+'))) * 1.0
+                   / len(string_split_regex(lower(text), '\s+')) AS distinct_ratio
+        FROM documents
+    ),
+    quality AS (SELECT * FROM scored WHERE n_tokens >= 20 AND distinct_ratio > 0.3),
+    canon AS (SELECT md5(text) AS d, min(doc_id) AS keep FROM quality GROUP BY 1),
+    exact AS (SELECT q.* FROM quality q
+              JOIN canon c ON md5(q.text) = c.d AND q.doc_id = c.keep),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS s
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                 FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                       FROM exact)))
+"""
+
+
+@register(
+    "t_pipeline_e2e_lsh",
+    f"""
+    WITH {_E2E_FRONT_SQL},
+    sig AS (SELECT doc_id,
+           {_MINHASH_SIG_COLS}
+           FROM sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BANDS_SQL}),
+    cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.da, c.db, count(*) AS i
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.da
+              JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+              GROUP BY 1, 2),
+    losers AS (SELECT DISTINCT db AS doc_id FROM inter
+               JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+               WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)
+    SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 6) AS avg_tokens
+    FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    GROUP BY lang
+    """,
+)
+def t_pipeline_e2e_lsh(spark, sf_dir):
+    """THE 100 TB training-data pipeline: quality filter -> digest-keyed
+    exact dedup -> MinHash-LSH near-dup removal (banded candidates + exact
+    rescore, t_minhash_lsh's construction) -> per-language stats, one lazy
+    plan.
+
+    Compared to t_pipeline_e2e_scale (df-capped posting self-join), the
+    near-dup stage here never joins posting lists to FIND candidates — it
+    joins constant-size signatures on uniform band digests, then rescores
+    only candidate pairs. Candidate cost is O(collisions), independent of
+    shingle document frequency. Same md5 arithmetic in DuckDB -> exact
+    oracle for the full pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        F.size(w).alias("n_tokens"),
+        (F.expr("size(array_distinct(split(lower(text), '\\\\s+')))") * 1.0 / F.size(w)).alias(
+            "distinct_ratio"
+        ),
+    )
+    quality = scored.where((F.col("n_tokens") >= 20) & (F.col("distinct_ratio") > 0.3))
+    wmin = Window.partitionBy(F.md5("text"))
+    exact = (
+        quality.withColumn("min_id", F.min("doc_id").over(wmin))
+        .where(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id")
+    )
+    sh = (
+        exact.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+            ).alias("s"),
+        )
+        .distinct()
+        .cache()  # feeds signatures, sizes, and rescoring
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+            for j in range(8)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(bb, ["band", "bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.select(F.col("doc_id").alias("da"), "s")
+    y = sh.select(F.col("doc_id").alias("db"), "s")
+    inter = cand.join(x, "da").join(y, ["db", "s"]).groupBy("da", "db").agg(
+        F.count("*").alias("i")
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    losers = (
+        inter.join(sa, "da").join(sb, "db").where(jac >= 0.5)
+        .select(F.col("db").alias("doc_id")).distinct()
+    )
+    kept = exact.join(losers, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), f6(F.avg("n_tokens")).alias("avg_tokens")
+    )

@@ -308,3 +308,45 @@ def s_cached_table(spark, sf_dir):
         F.count("*").cast("long").alias("n_nations"),
         F.sum("n_nationkey").cast("long").alias("key_sum"),
     )
+
+
+@register(
+    "s_schema_merge",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) + 0.0 AS o_totalprice,
+           o_orderpriority, CAST(NULL AS VARCHAR) AS o_clerk_note
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, round(o_totalprice, 2) + 0.0 AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority,
+           'batch2' AS o_clerk_note
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def s_schema_merge(spark, sf_dir):
+    """Schema evolution across file batches: two parquet writes with
+    different column sets (an old batch with o_orderpriority, a new batch
+    that dropped it and added o_clerk_note) read back as ONE table via
+    mergeSchema — missing columns surface as NULL per batch.
+
+    The 100 TB reality: a year of daily drops never has one frozen schema.
+    Schema merge happens at footer level (per-file metadata union), not by
+    rewriting data; the scan still prunes columns per file. The oracle is
+    the equivalent NULL-padded UNION ALL.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    root = _scratch("smerge_")
+    (
+        orders.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", (F.round("o_totalprice", 2) + 0.0).alias("o_totalprice"),
+                "o_orderpriority")
+        .write.parquet(f"{root}/batch=1")
+    )
+    (
+        orders.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", (F.round("o_totalprice", 2) + 0.0).alias("o_totalprice"),
+                F.lit("batch2").alias("o_clerk_note"))
+        .write.parquet(f"{root}/batch=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{root}/batch=1", f"{root}/batch=2")
+    return merged.select("o_orderkey", "o_totalprice", "o_orderpriority", "o_clerk_note")
