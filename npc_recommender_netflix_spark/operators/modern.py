@@ -382,3 +382,32 @@ def u_map_in_arrow(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(arrow_lengths, schema="doc_id long, n_chars long, n_bytes long")
+
+
+@register(
+    "a_hist_bins",
+    """
+    SELECT CAST(least(greatest(floor(o_totalprice / 50000.0) + 1, 0), 13) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) + 0.0 AS lo,
+           round(max(o_totalprice), 2) + 0.0 AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def a_hist_bins(spark, sf_dir):
+    """Histogram: bin order values into 12 equal-width 50k buckets (clamped
+    to [0, 13] like width_bucket) with per-bin counts and observed ranges —
+    one partial+final aggregate, the constant-size-state shape that turns a
+    100 TB distribution scan into O(bins) shuffle bytes. The bucket index
+    uses the same floor(v/width)+1 double math on both engines (DuckDB 1.0
+    has no width_bucket), so the group key is bit-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / F.lit(50000.0)) + F.lit(1), F.lit(0)),
+        F.lit(13),
+    ).cast("long")
+    return orders.groupBy(bin_col.alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        (F.round(F.min("o_totalprice"), 2) + 0.0).alias("lo"),
+        (F.round(F.max("o_totalprice"), 2) + 0.0).alias("hi"),
+    )
