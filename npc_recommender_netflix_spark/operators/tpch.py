@@ -209,3 +209,102 @@ def q_large_volume_customer(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q_promo_revenue",
+    """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                        AS DOUBLE), 6) + 0.0 AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: share of one month's revenue from PROMO parts.
+
+    Plan shape: the shipdate range predicate reaches the lineitem parquet
+    scan (PushedFilters), shrinking the fact side before the join; part is
+    a dim and joins broadcast (no shuffle of lineitem at all), and the
+    conditional sum combines map-side into two BIGINT cells per partition.
+    Both summands use the exact cents*discount-percent integer encoding
+    (see _rev_exact), so the only float math is the final ratio — computed
+    as (100.0 * promo) / total in the SAME association on both engines.
+    """
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    sel = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    j = sel.join(F.broadcast(part), sel.l_partkey == part.p_partkey)
+    rev = _rev_exact()
+    promo = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("long"))
+    )
+    total = F.sum(rev)
+    return j.agg(
+        (
+            F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 6)
+            + 0.0
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "q_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rv
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(rev.rv / 10000.0, 2) + 0.0 AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.rv = (SELECT max(rv) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue in a quarter.
+
+    Plan shape: one partial+final agg over the date-pruned lineitem scan
+    builds the per-supplier revenue (exact BIGINT cents*percent units, so
+    the max comparison has no float-tie ambiguity), the global max is a
+    single-row aggregate broadcast back as a cross join (never a global
+    window sort — at 100 TB the supplier set is millions of rows and a
+    partitionBy()-less window would funnel them through one task), and the
+    supplier dim attaches via its own broadcast. rev feeds both the max and
+    the final join, so it is cached (Spark does not reuse repeated subtrees).
+    """
+    li, supp = tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_exact()).alias("rv"))
+        .cache()
+    )
+    mx = rev.agg(F.max("rv").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.rv == F.col("mx")).drop("mx")
+    return (
+        supp.join(top, supp.s_suppkey == top.l_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.round(F.col("rv") / 10000.0, 2) + 0.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -215,3 +215,58 @@ def w_topk_group(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("p_brand", "p_partkey", "revenue", "rn")
     )
+
+
+@register(
+    "w_sessionize",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id))
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS sid,
+           min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS span_us
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def w_sessionize(spark, sf_dir):
+    """Batch sessionization: lag-gap -> cumulative-sum session ids, then a
+    per-session rollup (the classic two-window + groupBy plan, the batch
+    counterpart of the streaming session_window in st_session).
+
+    Plan shape: both window functions and the final groupBy share the
+    user_id hash partitioning, so the whole pipeline is ONE shuffle — the
+    sort within each user partition is reused by lag and the running sum
+    (Spark collapses same-spec windows into one Window exec). Gap compares
+    are done in integer microseconds (events ts is us-aligned), so the
+    strict >30 min test is engine-exact. event_id breaks (user_id, ts)
+    ordering ties so session assignment is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "sid",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").cast("long").alias("n_events"),
+        (F.max(us) - F.min(us)).cast("long").alias("span_us"),
+    )
