@@ -188,3 +188,29 @@ def test_bloom_runtime_filter_injected_on_probe_side(spark):
 def test_cached_table_reads_from_memory(spark):
     plan = _plan(spark, "s_cached_table")
     assert "InMemoryTableScan" in plan
+
+
+def test_hist_bins_partial_final_agg(spark):
+    # constant-size histogram state must combine map-side
+    assert _plan(spark, "a_hist_bins").count("HashAggregate") >= 2
+
+
+def test_promo_revenue_pushdown_and_broadcast(spark):
+    plan = _plan(spark, "q_promo_revenue")
+    assert "BroadcastHashJoin" in plan  # part dim never shuffles lineitem
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+
+
+def test_top_supplier_broadcast_max(spark):
+    # global max attaches as a broadcast single-row join, not a global window
+    plan = _plan(spark, "q_top_supplier")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """lag + running-sum windows and the session rollup must share ONE
+    user_id exchange: hashpartitioning(user_id) satisfies the rollup's
+    (user_id, sid) clustered distribution."""
+    plan = _plan(spark, "w_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
