@@ -24,6 +24,8 @@ registry.load_all()
 HEADLINE = [
     "a_groupby",        # flagship Q1-style agg
     "q_shipping_priority",  # round 2: TPC-H Q3-shape composite
+    "q_promo_revenue",  # round 2: Q14-shape broadcast-join ratio
+    "w_sessionize",     # round 2: single-shuffle batch sessionization
     "a_cube",
     "j_broadcast",
     "j_multiway",       # 5-table join
