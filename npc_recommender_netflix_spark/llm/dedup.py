@@ -838,3 +838,71 @@ def t_pipeline_e2e_lsh(spark, sf_dir):
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"), f6(F.avg("n_tokens")).alias("avg_tokens")
     )
+
+
+@register(
+    "t_winnowing",
+    r"""
+    WITH g AS (
+        SELECT doc_id, i, md5(w[i] || ' ' || w[i + 1]) AS h
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                    FROM documents WHERE doc_id < 1000)
+              WHERE len(w) >= 5)
+    ),
+    wm AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+               count(*) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        FROM g
+    )
+    SELECT doc_id, CAST(count(DISTINCT sel) AS BIGINT) AS n_fp,
+           min(sel) AS fp_min
+    FROM wm WHERE wn = 4 GROUP BY doc_id
+    """,
+)
+def t_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (MOSS): hash every positional bigram, slide a
+    w=4 window over the hash sequence, keep each window's minimum, and
+    fingerprint the doc with the DISTINCT selected set (count + min here so
+    the output stays scalar). Unlike t_fingerprint's single global min-hash,
+    winnowing guarantees any shared run of >= w+k-1 tokens between two docs
+    contributes a shared fingerprint — the local-similarity detector.
+
+    Plan shape: bigram hashes build map-side via transform (no self-join),
+    the window min and the per-doc rollup share one doc_id shuffle, and the
+    selected set is ~2/(w+1) of the input hashes — at 100 TB the stored
+    fingerprint index is ~40% of the gram stream, tunable by w. md5 grams
+    make the window-min portable across engines; positions are unique per
+    doc so the frame is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    g = (
+        docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+        .where(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> md5(concat(w[i], ' ', w[i + 1])))"
+                )
+            ).alias("i", "h"),
+        )
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    wm = g.select(
+        "doc_id",
+        F.min("h").over(wspec).alias("sel"),
+        F.count("*").over(wspec).alias("wn"),
+    )
+    return (
+        wm.where(F.col("wn") == 4)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sel").cast("long").alias("n_fp"),
+            F.min("sel").alias("fp_min"),
+        )
+    )

@@ -214,3 +214,9 @@ def test_sessionize_single_shuffle(spark):
     (user_id, sid) clustered distribution."""
     plan = _plan(spark, "w_sessionize")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_winnowing_single_shuffle(spark):
+    # window-min and the per-doc rollup share the doc_id exchange
+    plan = _plan(spark, "t_winnowing")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
