@@ -467,3 +467,53 @@ def t_scrub_pii(spark, sf_dir):
             "n_redacted"
         ),
     )
+
+
+@register(
+    "t_unigram_nll",
+    f"""
+    WITH tok AS ({TOKENS_SQL}),
+    uni AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT t.doc_id,
+           round(ln(tot.n * 1.0) - avg(ln(uni.c * 1.0)), 6) + 0.0 AS nll,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM tok t JOIN uni ON t.word = uni.word CROSS JOIN tot
+    WHERE t.doc_id < 1000
+    GROUP BY t.doc_id, tot.n
+    """,
+)
+def t_unigram_nll(spark, sf_dir):
+    """Perplexity-proxy quality score: per-doc average negative log
+    likelihood under the corpus's own unigram LM — avg(-ln p(w)) =
+    ln(N) - avg(ln count(w)). High nll = rare-token-heavy (noisy or
+    low-resource) docs; the LM-free cousin of model-based quality filters.
+
+    Plan shape: the unigram table is vocabulary-sized (sublinear in corpus)
+    and broadcasts back onto the token stream, the corpus total is a
+    single-row broadcast cross join, and the per-doc rollup is one doc_id
+    shuffle of scored tokens. Only the scored subset (doc_id < 1000) flows
+    into the join; the LM aggregates over the FULL corpus map-side. The
+    final subtraction happens once per doc after the 6dp round, so float
+    association matches the oracle.
+    """
+    tok = tokens(spark, sf_dir).drop("lang")
+    uni = tok.groupBy("word").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("n"))
+    scored = (
+        tok.where(F.col("doc_id") < 1000)
+        .join(F.broadcast(uni), "word")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        scored.groupBy("doc_id", "n")
+        .agg(
+            F.avg(F.log(F.col("c") * 1.0)).alias("avg_lc"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            (F.round(F.log(F.col("n") * 1.0) - F.col("avg_lc"), 6) + 0.0).alias("nll"),
+            "n_tokens",
+        )
+    )
