@@ -308,3 +308,333 @@ def q_top_supplier(spark, sf_dir):
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+               + 0.0 AS sum_base_price,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0, 2)
+               + 0.0 AS sum_disc_price,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                     * CAST(round((1 + l_tax) * 100) AS BIGINT)) / 1000000.0, 2)
+               + 0.0 AS sum_charge,
+           round(CAST(sum(l_quantity) AS DOUBLE) / count(*), 6) + 0.0 AS avg_qty,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / count(*), 6) + 0.0 AS avg_price,
+           round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / count(*), 6) + 0.0 AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: full pricing summary report over nearly all of
+    lineitem (only the last ~2 months excluded).
+
+    Plan shape: ONE pass over the fact — a single partial+final hash
+    aggregate with 6 distinct group cells (returnflag x linestatus), so the
+    shuffle moves 6 rows per map partition regardless of input size; the
+    shipdate predicate still reaches the parquet scan. All money sums use
+    the exact integer encodings (cents, cents x discount-percent, cents x
+    discount-percent x tax-percent), so sum order never matters; averages
+    divide the exact sums by count(*) in the identical association on both
+    engines. At 100 TB the BIGINT charge cells approach 2^63 around ~1e11
+    rows per group; the same plan with sums in DECIMAL(38,0) is the
+    overflow-proof variant (Spark and DuckDB both support it natively).
+    """
+    li = tables(spark, sf_dir, "lineitem")[0]
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dpct = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    tpct = F.round((1 + F.col("l_tax")) * 100).cast("long")
+    disc_raw = F.round(F.col("l_discount") * 100).cast("long")
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            (F.round(F.sum(cents) / 100.0, 2) + 0.0).alias("sum_base_price"),
+            (F.round(F.sum(cents * dpct) / 10000.0, 2) + 0.0).alias("sum_disc_price"),
+            (F.round(F.sum(cents * dpct * tpct) / 1000000.0, 2) + 0.0).alias("sum_charge"),
+            (F.round(F.sum("l_quantity").cast("double") / cnt, 6) + 0.0).alias("avg_qty"),
+            (F.round(F.sum(cents).cast("double") / 100.0 / cnt, 6) + 0.0).alias("avg_price"),
+            (F.round(F.sum(disc_raw).cast("double") / 100.0 / cnt, 6) + 0.0).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_forecast_revenue",
+    """
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0, 2)
+               + 0.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 6
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: revenue increase from hypothetically eliminating
+    small-quantity mid-discount line items in one year.
+
+    Plan shape: scan-filter-aggregate with NO join and NO groupBy — the
+    purest pushdown test. The shipdate range and quantity predicates reach
+    the parquet scan (PushedFilters); the discount predicate compares the
+    exact integer percent (2dp double -> round to integer percent) so the
+    float boundary 0.02/0.06 can never flip a row between engines. The
+    global sum combines map-side into one BIGINT cell per partition; the
+    driver receives one row.
+    """
+    li = tables(spark, sf_dir, "lineitem")[0]
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dpct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & dpct.between(2, 6)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.round(F.sum(cents * dpct) / 10000.0, 2) + 0.0).alias("revenue"))
+    )
+
+
+@register(
+    "q_volume_shipping",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0, 2)
+               + 0.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations by year and
+    direction.
+
+    Plan shape: supplier/nation dims broadcast onto lineitem BEFORE the
+    orders join, so the nation-pair predicate on the supplier side prunes
+    the fact early (only ~2/25 of suppliers survive); the surviving slice
+    shuffles once on orderkey to meet orders, then customer broadcasts
+    with its own nation. The OR-of-pairs predicate is applied post-join —
+    Catalyst pushes the supplier-side half (ns.n_name IN (N1,N2)) below the
+    shuffle on its own. Revenue is the exact integer encoding; year() is an
+    integral extraction (cast BIGINT both sides).
+    """
+    li, orders, cust, supp, nation = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    j = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .where(pair)
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("_yr")
+        )
+        .agg((F.round(F.sum(_rev_exact()) / 10000.0, 2) + 0.0).alias("revenue"))
+        .select(
+            "supp_nation", "cust_nation",
+            F.col("_yr").cast("long").alias("l_year"), "revenue",
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by how many non-urgent
+    orders they placed (customers with none count in the 0 bucket).
+
+    Plan shape: two cascaded aggregations. The first is a LEFT join
+    customer<-orders with the priority predicate INSIDE the join condition
+    (not a WHERE — that would turn the left join inner and drop the 0
+    bucket), grouped by custkey; the second is a tiny re-aggregation of
+    per-customer counts into the distribution (at most a few hundred
+    distinct counts regardless of scale). At 100 TB the first agg shuffles
+    on custkey (map-side partial counts first); the second moves almost
+    nothing. count(o_orderkey) counts only matched rows — exactly the
+    NULL-skipping semantic both engines share.
+    """
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (orders.o_custkey == cust.c_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q_discounted_revenue",
+    """
+    SELECT round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0, 2)
+               + 0.0 AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity branches
+    (adapted: fixture part has no container/shipmode columns).
+
+    Plan shape: part is a dim -> broadcast hash join, so lineitem never
+    shuffles; Catalyst factors the OR into a part-side domain filter
+    (brand IN (...) AND size <= 15) pushed to the part scan and a residual
+    post-join predicate, plus l_quantity <= 30 derivable on the fact side.
+    The whole query is one broadcast join + one map-side-combined global
+    sum — the canonical "OR of conjunctions" plan that would be a disaster
+    as a UNION of three scans.
+    """
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(branch).agg(
+        (F.round(F.sum(_rev_exact()) / 10000.0, 2) + 0.0).alias("revenue")
+    )
+
+
+@register(
+    "q_dormant_customers",
+    """
+    WITH cents AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ),
+    thr AS (
+        SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*) AS thr_cents
+        FROM cents WHERE bal_cents > 0
+    )
+    SELECT n.n_name, count(*) AS numcust,
+           round(sum(c.bal_cents) / 100.0, 2) + 0.0 AS totacctbal
+    FROM cents c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE CAST(c.bal_cents AS DOUBLE) > (SELECT thr_cents FROM thr)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY n.n_name
+    ORDER BY n_name
+    """,
+)
+def q_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: no phone column in the fixture): dormant
+    customers — above-average positive balance but no order since 1999 —
+    counted and totaled per nation.
+
+    Plan shape: the threshold is a single-row global aggregate broadcast
+    back as a cross join (scalar subquery); the dormancy test is a LEFT
+    ANTI join against the date-pruned orders scan (the predicate reaches
+    the parquet scan, so at 100 TB the anti-join's build side is only the
+    recent slice); nation broadcasts. Balances ride as exact BIGINT cents:
+    the average threshold is ONE deterministic double division performed
+    identically on both engines, and the comparison/sum stay on integers,
+    so no float-boundary row can flip.
+    """
+    cust, orders, nation = tables(spark, sf_dir, "customer", "orders", "nation")
+    cents = cust.select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    thr = (
+        cents.where(F.col("bal_cents") > 0)
+        .agg((F.sum("bal_cents").cast("double") / F.count(F.lit(1))).alias("thr_cents"))
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    dormant = (
+        cents.join(F.broadcast(thr))
+        .where(F.col("bal_cents").cast("double") > F.col("thr_cents"))
+        .join(recent, cents.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        dormant.join(F.broadcast(nation), dormant.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.round(F.sum("bal_cents") / 100.0, 2) + 0.0).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -220,3 +220,54 @@ def test_winnowing_single_shuffle(spark):
     # window-min and the per-doc rollup share the doc_id exchange
     plan = _plan(spark, "t_winnowing")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pricing_summary_single_agg_pass(spark):
+    # Q1: one partial+final agg over the fact, predicate at the scan
+    plan = _plan(spark, "q_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+
+
+def test_forecast_revenue_pure_pushdown(spark):
+    # Q6: scan-filter-agg, no join, shipdate+quantity reach the scan
+    plan = _plan(spark, "q_forecast_revenue")
+    assert "Join" not in plan
+    assert "LessThan(l_quantity,24.0)" in plan or "l_quantity" in plan
+    assert "l_shipdate" in plan and "PushedFilters: [" in plan
+
+
+def test_volume_shipping_broadcasts_dims(spark):
+    # Q7: supplier + both nation copies broadcast; one fact-fact shuffle
+    plan = _plan(spark, "q_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_customer_distribution_left_join_survives(spark):
+    # Q13: the priority predicate must stay in the join condition (left
+    # join preserved), not collapse to inner
+    plan = _plan(spark, "q_customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_discounted_revenue_or_factoring(spark):
+    # Q19: one broadcast join; Catalyst factors the OR into a part-side
+    # brand/size disjunction below the join and a fact-side quantity
+    # disjunction at the lineitem scan (both visible in DataFilters)
+    plan = _plan(spark, "q_discounted_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    part_scans = [ln for ln in plan.splitlines()
+                  if "FileScan" in ln and "part.parquet" in ln]
+    assert part_scans and "p_brand" in part_scans[0]
+    li_scans = [ln for ln in plan.splitlines()
+                if "FileScan" in ln and "lineitem" in ln]
+    assert li_scans and "l_quantity" in li_scans[0]
+
+
+def test_dormant_customers_anti_join_pruned(spark):
+    # Q22: dormancy = left anti against the date-pruned orders scan
+    plan = _plan(spark, "q_dormant_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
