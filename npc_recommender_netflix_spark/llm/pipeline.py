@@ -1,0 +1,344 @@
+r"""Training-data pipeline assembly operators: sequence packing, deterministic
+global shuffle/sharding, domain-mixture sampling, Gopher-style quality rules,
+and int8 embedding quantization.
+
+These are the "turn a cleaned corpus into trainable shards" steps that sit
+after dedup/quality filtering (llm/text.py, llm/dedup.py) in a pretraining
+data pipeline. Everything is expressed as exact integer / md5-derived
+arithmetic shared by Spark and DuckDB, so every key carries a full SQL
+oracle despite the ops being "ML plumbing".
+
+Scale notes (100 TB):
+- Packing is one window cumsum + one rollup sharing a single `lang`
+  shuffle; state per task is O(1).
+- Shard assignment is pure map-side hash math; the per-shard ordinal is a
+  window over the shard key — at 100 TB you'd write `repartition(shard)`
+  + `sortWithinPartitions` instead of materializing ordinals globally,
+  but the hash→shard mapping is identical.
+- Domain mixing broadcasts a per-source rate table (# sources ≪ # docs).
+- Quality rules are single-pass codegen projections (no shuffle at all).
+- int8 quantization is elementwise array math (no shuffle); 4× memory
+  reduction before an ANN index build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..session import f6, load_table
+
+# md5 first-8-hex -> uint32 via positional hex math (DuckDB has no conv();
+# same recipe as llm/dedup.py's SimHash — both engines share the arithmetic).
+_DUCK_H32 = """
+    CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef', substring(md5({s}), j, 1)) - 1)
+             * 16 ** (8 - j))) AS BIGINT)
+"""
+
+_CTX = 4096  # pack budget, tokens
+
+
+@register(
+    "t_pack_sequences",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, toks,
+               coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM toks
+    )
+    SELECT lang, CAST(floor(cum_before / {_CTX}) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_tokens
+    FROM cum
+    GROUP BY lang, pack_id
+    ORDER BY lang, pack_id
+    """,
+)
+def t_pack_sequences(spark, sf_dir):
+    """Sequence packing: append each language's doc stream (doc_id order)
+    into fixed 4096-token context bins; a document lands in the bin its
+    start offset falls in (boundary bins may overflow by one doc — the
+    streaming-packer semantic; a splitting packer would truncate instead).
+
+    Plan shape: the window cumsum and the (lang, pack_id) rollup share ONE
+    hashpartitioning(lang) exchange; token counts are exact integers so
+    bin assignment is engine-exact. At 100 TB pack_id inherits doc_id
+    ordering per language — deterministic regardless of cluster layout.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("toks"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn("cum_before", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+    return (
+        cum.groupBy("lang", F.floor(F.col("cum_before") / _CTX).alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+@register(
+    "t_shuffle_shard",
+    f"""
+    WITH h AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey,
+               {_DUCK_H32.format(s="CAST(doc_id AS VARCHAR)")} % 16 AS shard
+        FROM documents
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    ORDER BY shard, pos
+    """,
+)
+def t_shuffle_shard(spark, sf_dir):
+    """Deterministic global shuffle + shard assignment: md5(doc_id) drives
+    both the shard choice (uint32 % 16) and the within-shard order — the
+    same (shard, pos) on any engine, any partitioning, any cluster size,
+    which is what makes a training run reproducible and resumable.
+
+    Plan shape: shard math is pure map-side projection; the within-shard
+    ordinal is one window over hashpartitioning(shard). At 100 TB you
+    write `df.repartition(N, shard).sortWithinPartitions(hkey)` and skip
+    global ordinals — the hash→shard mapping here is that exact layout.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("long") % 16).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return (
+        h.select(
+            "doc_id",
+            F.col("shard").cast("long").alias("shard"),
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+@register(
+    "t_domain_mix",
+    f"""
+    WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    m AS (SELECT min(n_docs) AS m FROM cnt),
+    rate AS (SELECT source, n_docs,
+                    CAST((SELECT m FROM m) AS DOUBLE) / n_docs AS rate
+             FROM cnt),
+    keep AS (
+        SELECT d.source,
+               CASE WHEN {_DUCK_H32.format(s="d.source || ':' || CAST(d.doc_id AS VARCHAR)")}
+                         / 4294967296.0 < r.rate
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents d JOIN rate r ON d.source = r.source
+    )
+    SELECT k.source, r.n_docs, CAST(sum(k.kept) AS BIGINT) AS n_kept,
+           round(r.rate, 6) AS rate
+    FROM keep k JOIN rate r ON k.source = r.source
+    GROUP BY k.source, r.n_docs, r.rate
+    ORDER BY k.source
+    """,
+)
+def t_domain_mix(spark, sf_dir):
+    """Domain-mixture rebalancing: downsample every source to the size of
+    the smallest one (uniform target mix) with a deterministic md5-uniform
+    keep decision — the reproducible version of per-domain sampling
+    weights in pretraining mixes.
+
+    Plan shape: the per-source count table and the global min are tiny and
+    broadcast back onto the corpus scan; the keep decision is map-side
+    hash math (md5 → uint32 / 2^32 < rate). The rate is one deterministic
+    double division of exact integers, so no boundary row can flip between
+    engines. At 100 TB swapping the uniform target for arbitrary mixture
+    weights is a one-line change to the rate expression.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    m = cnt.agg(F.min("n_docs").alias("m"))
+    rate = cnt.join(F.broadcast(m)).select(
+        "source", "n_docs", (F.col("m").cast("double") / F.col("n_docs")).alias("rate")
+    )
+    skey = F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+    u = F.conv(F.substring(F.md5(skey), 1, 8), 16, 10).cast("long") / F.lit(4294967296.0)
+    keep = (
+        docs.join(F.broadcast(rate), "source")
+        .select("source", "n_docs", "rate", F.when(u < F.col("rate"), 1).otherwise(0).alias("kept"))
+    )
+    return (
+        keep.groupBy("source", "n_docs", "rate")
+        .agg(F.sum("kept").cast("long").alias("n_kept"))
+        .select("source", "n_docs", "n_kept", f6(F.col("rate")).alias("rate"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "t_gopher_quality",
+    r"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS BIGINT)
+                   AS n_symbols,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(list_distinct(string_split_regex(lower(text), '\s+')))
+                    AS BIGINT) AS n_distinct,
+               CAST(list_sum(list_transform(string_split_regex(lower(text), '\s+'),
+                                            x -> length(x))) AS BIGINT) AS wordlen_sum
+        FROM documents
+    )
+    SELECT doc_id,
+           n_tokens,
+           round(CAST(wordlen_sum AS DOUBLE) / n_tokens, 6) AS mean_word_len,
+           round(CAST(n_symbols AS DOUBLE) / n_chars, 6) AS symbol_ratio,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+           (n_tokens BETWEEN 10 AND 5000) AS f_len,
+           (CAST(wordlen_sum AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0) AS f_mwl,
+           (CAST(n_symbols AS DOUBLE) / n_chars < 0.3) AS f_sym,
+           (CAST(n_distinct AS DOUBLE) / n_tokens > 0.2) AS f_distinct,
+           ((n_tokens BETWEEN 10 AND 5000)
+            AND (CAST(wordlen_sum AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0)
+            AND (CAST(n_symbols AS DOUBLE) / n_chars < 0.3)
+            AND (CAST(n_distinct AS DOUBLE) / n_tokens > 0.2)) AS keep
+    FROM s
+    """,
+)
+def t_gopher_quality(spark, sf_dir):
+    """Gopher-style rule-based quality filter: document length, mean word
+    length, symbol-to-char ratio, and lexical diversity, each as a named
+    boolean rule plus the conjunction — the standard pretraining heuristic
+    battery (bullet/ellipsis rules omitted: the synthetic corpus has none).
+
+    Plan shape: single-pass codegen projection over the documents scan —
+    no shuffle, no UDF. The rule comparisons run on the RAW quotients of
+    exact integers (identical doubles on both engines); rounding is only
+    applied to the emitted ratio columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    d = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[^a-z0-9\s]"), F.lit(0))
+        ).cast("long").alias("n_symbols"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        F.expr(
+            r"aggregate(split(lower(text), '\\s+'), CAST(0 AS BIGINT),"
+            r" (acc, x) -> acc + length(x))"
+        ).alias("wordlen_sum"),
+    )
+    mwl = F.col("wordlen_sum").cast("double") / F.col("n_tokens")
+    sym = F.col("n_symbols").cast("double") / F.col("n_chars")
+    dr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    f_len = F.col("n_tokens").between(10, 5000)
+    f_mwl = (mwl >= 2.0) & (mwl <= 12.0)
+    f_sym = sym < 0.3
+    f_distinct = dr > 0.2
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        f6(mwl).alias("mean_word_len"),
+        f6(sym).alias("symbol_ratio"),
+        f6(dr).alias("distinct_ratio"),
+        f_len.alias("f_len"),
+        f_mwl.alias("f_mwl"),
+        f_sym.alias("f_sym"),
+        f_distinct.alias("f_distinct"),
+        (f_len & f_mwl & f_sym & f_distinct).alias("keep"),
+    )
+
+
+@register(
+    "v_int8_quantize",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   AS maxabs,
+               embedding
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id, maxabs,
+               list_transform(embedding,
+                   x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / maxabs)
+                             AS BIGINT)) AS codes,
+               embedding
+        FROM q
+    )
+    SELECT vec_id,
+           round(maxabs, 6) AS maxabs,
+           array_to_string(codes, ',') AS codes,
+           round(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> (CAST(embedding[i] AS DOUBLE)
+                       - (CAST(codes[i] AS DOUBLE) * maxabs) / 127.0)
+                      * (CAST(embedding[i] AS DOUBLE)
+                         - (CAST(codes[i] AS DOUBLE) * maxabs) / 127.0)))
+                 / len(embedding), 9) AS mse
+    FROM c
+    ORDER BY vec_id
+    """,
+)
+def v_int8_quantize(spark, sf_dir):
+    """int8 embedding quantization: symmetric per-vector scale (127/max|x|),
+    floor codes, plus the reconstruction MSE — the standard 4× memory
+    reduction applied before building a large ANN index.
+
+    Plan shape: pure elementwise array math in one codegen projection (no
+    shuffle, no UDF). floor() avoids the round-half tie divergence between
+    engines; the scale product/division uses one association —
+    (x * 127.0) / maxabs — on both sides, and the MSE folds the 64
+    elements in list order on both engines. Codes serialize via
+    array_join (driver-hashable scalar).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "embedding",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ).alias("maxabs"),
+    )
+    c = q.withColumn(
+        "codes",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / maxabs) AS BIGINT))"
+        ),
+    )
+    mse = F.expr(
+        "aggregate(zip_with(embedding, codes,"
+        " (x, k) -> (CAST(x AS DOUBLE) - (CAST(k AS DOUBLE) * maxabs) / 127.0)"
+        "          * (CAST(x AS DOUBLE) - (CAST(k AS DOUBLE) * maxabs) / 127.0)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v) / size(embedding)"
+    )
+    return (
+        c.select(
+            "vec_id",
+            f6(F.col("maxabs")).alias("maxabs"),
+            F.array_join(F.col("codes"), ",").alias("codes"),
+            (F.round(mse, 9) + 0.0).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )

@@ -411,3 +411,124 @@ def a_hist_bins(spark, sf_dir):
         (F.round(F.min("o_totalprice"), 2) + 0.0).alias("lo"),
         (F.round(F.max("o_totalprice"), 2) + 0.0).alias("hi"),
     )
+
+
+@register(
+    "q_event_funnel",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'click' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+                         JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS n_click,
+           (SELECT count(*) FROM s2) AS n_click_view,
+           (SELECT count(*) FROM s3) AS n_click_view_purchase,
+           round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+                 / (SELECT count(*) FROM s1), 6) AS conversion
+    """,
+)
+def q_event_funnel(spark, sf_dir):
+    """Event funnel (click → view → purchase within 7 days of the first
+    click): per-user ordered step matching, then depth counts and overall
+    conversion — the ClickHouse `windowFunnel` shape in portable SQL.
+
+    Plan shape: three cascaded per-user min-aggregates, each a shuffle on
+    user_id (partial min combines map-side); the step predicates prune the
+    events scan by event_type before any shuffle. Timestamps are
+    µs-aligned integers, so every comparison (including the +7 days
+    interval bound) is exact on both engines. At 100 TB the funnel's state
+    per user is one timestamp per step — a `applyInPandasWithState`
+    streaming twin would hold the same three fields.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    lim = F.col("t1") + F.expr("INTERVAL 7 DAYS")
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= lim))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= lim))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_click"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_click_view"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_click_view_purchase"))
+    return (
+        c1.join(F.broadcast(c2)).join(F.broadcast(c3)).select(
+            "n_click", "n_click_view", "n_click_view_purchase",
+            f6(F.col("n_click_view_purchase").cast("double") / F.col("n_click"))
+            .alias("conversion"),
+        )
+    )
+
+
+@register(
+    "w_streaks",
+    """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (SELECT user_id, d,
+                   d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INTEGER) AS anchor
+            FROM days),
+    runs AS (SELECT user_id, anchor, count(*) AS len
+             FROM isl GROUP BY user_id, anchor)
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern (date minus row_number is constant within a
+    run of consecutive days).
+
+    Plan shape: the distinct, the window, and both rollups all share ONE
+    hashpartitioning(user_id) exchange (the distinct's (user_id, d)
+    clustering satisfies the window's partitionBy and the downstream
+    groupBys). Dates are exact integers — no float anywhere. At 100 TB
+    per-user state is bounded by the calendar, not the event volume: the
+    distinct collapses the stream to ≤ days × users rows map-side first.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # repartition on user_id FIRST: hashpartitioning(user_id) satisfies the
+    # distinct's (user_id, d) clustering, the window's partitionBy, and both
+    # rollups — one exchange instead of two (plan-asserted).
+    days = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .repartition("user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.max("len").cast("long").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )

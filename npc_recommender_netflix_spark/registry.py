@@ -112,7 +112,7 @@ def load_all() -> None:
     from .operators import filters, joins, aggregates, windows, setops, advanced, tpch, modern  # noqa: F401
     from .functions import strings, dates, maths, arrays, jsonmap  # noqa: F401
     from .recommender import core, als, rdd_mr, graph  # noqa: F401
-    from .llm import text, vectors, dedup, multimodal, contamination  # noqa: F401
+    from .llm import text, vectors, dedup, multimodal, contamination, pipeline  # noqa: F401
     from .streaming import stream_windows, stateful  # noqa: F401
     from .udfs import surface  # noqa: F401
 

@@ -271,3 +271,34 @@ def test_dormant_customers_anti_join_pruned(spark):
     plan = _plan(spark, "q_dormant_customers")
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_pack_sequences_single_lang_shuffle(spark):
+    # window cumsum + (lang, pack_id) rollup share one lang exchange
+    plan = _plan(spark, "t_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_gopher_quality_no_shuffle(spark):
+    # pure codegen projection: no exchange, no UDF
+    plan = _plan(spark, "t_gopher_quality")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_int8_quantize_no_shuffle_no_udf(spark):
+    plan = _plan(spark, "v_int8_quantize")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_streaks_single_user_shuffle(spark):
+    # distinct + window + two rollups share one user_id exchange
+    plan = _plan(spark, "w_streaks")
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_domain_mix_broadcasts_rate_table(spark):
+    # per-source rate table broadcasts onto the corpus scan
+    plan = _plan(spark, "t_domain_mix")
+    assert "BroadcastHashJoin" in plan
