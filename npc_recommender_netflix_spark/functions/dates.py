@@ -90,3 +90,35 @@ def fn_date_format(spark, sf_dir):
         unix_s.alias("unix_s"),
         F.timestamp_seconds(unix_s).alias("ts_floor"),
     )
+
+
+@register(
+    "fn_date_trunc",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+           CAST(date_trunc('year', o_orderdate) AS DATE) AS y_start,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+    FROM orders
+    """,
+)
+def fn_date_trunc(spark, sf_dir):
+    """Calendar bucketing: quarter/year truncation, ISO week number and ISO
+    day-of-week (Monday=1) — the grains a reporting rollup actually uses.
+
+    Engine alignment: Spark's `weekofyear` and DuckDB's are both ISO-8601;
+    Spark has no isodow(), but `weekday()` (Monday=0) + 1 equals it exactly.
+    All map-side codegen; no shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("quarter", d).cast("date").alias("q_start"),
+        F.date_trunc("year", d).cast("date").alias("y_start"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+        F.quarter(d).cast("long").alias("qtr"),
+    )

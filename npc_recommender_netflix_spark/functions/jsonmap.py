@@ -108,3 +108,46 @@ def fn_json_corrupt(spark, sf_dir):
     return ev.select(
         "event_id", k.isNotNull().alias("is_valid"), k.alias("k")
     )
+
+
+@register(
+    "fn_struct_basic",
+    """
+    WITH s AS (
+        SELECT n_nationkey,
+               struct_pack(rk := n_regionkey, rn := n_name) AS st
+        FROM nation
+    )
+    SELECT n_nationkey, st.rk AS region_key, st.rn AS nation_name,
+           struct_pack(outer_key := n_nationkey, inner := st).inner.rk
+               AS nested_rk
+    FROM s
+    ORDER BY n_nationkey
+    """,
+)
+def fn_struct_basic(spark, sf_dir):
+    """Struct surface: construct (named fields), dot-path field access, and
+    one level of nesting — the columnar way to carry typed records through
+    a pipeline without stringly-typed blobs.
+
+    Output flattens back to scalars (driver-hashable); the struct ops
+    themselves are pure codegen projections. Spark `struct(... .alias())`
+    ↔ DuckDB `struct_pack(k := v)`; both use identical dot access.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    st = F.struct(
+        F.col("n_regionkey").alias("rk"), F.col("n_name").alias("rn")
+    )
+    d = nation.select("n_nationkey", st.alias("st"))
+    nested = F.struct(
+        F.col("n_nationkey").alias("outer_key"), F.col("st").alias("inner")
+    )
+    return (
+        d.select(
+            "n_nationkey",
+            F.col("st.rk").alias("region_key"),
+            F.col("st.rn").alias("nation_name"),
+            nested.getField("inner").getField("rk").alias("nested_rk"),
+        )
+        .orderBy("n_nationkey")
+    )

@@ -309,3 +309,104 @@ def a_bool_agg(spark, sf_dir):
         F.bool_or(F.col("l_quantity") > 45).alias("any_big_qty"),
         F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_taxfree"),
     )
+
+
+@register(
+    "a_mode_deterministic",
+    """
+    WITH cnt AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    rk AS (
+        SELECT user_id, event_type, c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, event_type) AS rn
+        FROM cnt
+    )
+    SELECT user_id, event_type AS modal_type, CAST(c AS BIGINT) AS n
+    FROM rk WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def a_mode_deterministic(spark, sf_dir):
+    """Deterministic mode: most frequent event_type per user, ties broken
+    lexicographically — unlike the built-in mode() whose tie winner is
+    engine/partitioning-dependent, this is reproducible everywhere.
+
+    Plan shape: count rollup then a row_number window, both clustered on
+    user_id (one exchange; WindowGroupLimit keeps only the top row per
+    user). State is O(types) per user regardless of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"),
+                F.col("c").cast("long").alias("n"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "a_weighted_median",
+    """
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, cents, wt,
+               sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+               sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+        FROM w
+    )
+    SELECT l_returnflag,
+           round(min(cents) / 100.0, 2) + 0.0 AS weighted_median,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a_weighted_median(spark, sf_dir):
+    """Quantity-weighted median of line price per return flag: the smallest
+    price whose cumulative weight reaches half the total — the weighted
+    order statistic a revenue-fairness report needs.
+
+    Exactness: prices ride as BIGINT cents and weights as BIGINT, and the
+    half-total comparison is `2*cw >= tw` in integers — no float anywhere
+    until the final /100 display. Equal-price runs cross the threshold at
+    the same price whatever their internal order, so no tiebreak column is
+    needed. Plan shape: both windows and the final min-rollup share one
+    returnflag exchange; at 100 TB you'd swap in the sketch-based
+    `a_approx_quantile` path — this key is the exact twin.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag", "cents",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            (F.round(F.min("cents") / 100.0, 2) + 0.0).alias("weighted_median"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import f6, load_table
+from ..session import f6, load_table, tables
 
 
 def _views(spark, sf_dir, *names):
@@ -531,4 +531,128 @@ def w_streaks(spark, sf_dir):
             F.max("len").cast("long").alias("longest_streak"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "q_basket_rules",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    item AS (SELECT p_brand, count(*) AS c FROM baskets GROUP BY p_brand),
+    pair AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS c_ab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b, CAST(p.c_ab AS BIGINT) AS c_ab,
+           round(CAST(p.c_ab AS DOUBLE) / (SELECT n_orders FROM n), 6)
+               AS support,
+           round(CAST(p.c_ab AS DOUBLE) / ia.c, 6) AS confidence,
+           round((CAST(p.c_ab AS DOUBLE) / ia.c)
+                 / (CAST(ib.c AS DOUBLE) / (SELECT n_orders FROM n)), 6)
+               AS lift
+    FROM pair p JOIN item ia ON ia.p_brand = p.brand_a
+                JOIN item ib ON ib.p_brand = p.brand_b
+    ORDER BY c_ab DESC, brand_a, brand_b
+    LIMIT 50
+    """,
+)
+def q_basket_rules(spark, sf_dir):
+    """Market-basket association rules at brand granularity: support,
+    confidence, and lift for every brand pair co-occurring in an order,
+    top-50 by pair count.
+
+    Plan shape: baskets (order, brand) are deduped once and CACHED (three
+    consumers: item counts, the self-join, the order count — Spark does not
+    reuse repeated subtrees); the pair self-join is an equi-join on
+    orderkey with a `<` predicate, so pairs per order are k(k-1)/2 of a
+    ≤25-brand basket — bounded regardless of corpus size. Counts are exact
+    ints; the three ratios divide in one fixed association each. The tiny
+    item/order-count tables broadcast back onto pairs.
+    """
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .cache()
+    )
+    n = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = baskets.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b"))
+    pair = (
+        a.join(b, (a.l_orderkey == b.ok_b) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ia = item.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("c_b"))
+    conf = F.col("c_ab").cast("double") / F.col("c_a")
+    return (
+        pair.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .join(F.broadcast(n))
+        .select(
+            "brand_a", "brand_b", F.col("c_ab").cast("long").alias("c_ab"),
+            f6(F.col("c_ab").cast("double") / F.col("n_orders")).alias("support"),
+            f6(conf).alias("confidence"),
+            f6(conf / (F.col("c_b").cast("double") / F.col("n_orders"))).alias("lift"),
+        )
+        .orderBy(F.col("c_ab").desc(), "brand_a", "brand_b")
+        .limit(50)
+    )
+
+
+@register(
+    "q_retention_cohort",
+    """
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)
+                    AS BIGINT) AS wk
+        FROM events
+    ),
+    cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id)
+    SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+           count(*) AS n_users
+    FROM act a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_wk, week_offset
+    ORDER BY cohort_wk, week_offset
+    """,
+)
+def q_retention_cohort(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, counted at
+    each later week offset — the standard product-analytics retention
+    triangle.
+
+    Week index is integer day-arithmetic from a fixed epoch (floor(days/7))
+    — engine-exact, no date_trunc('week') locale/ISO ambiguity. Plan
+    shape: the distinct, the cohort min, and the final rollup all cluster
+    on user_id (the (user_id, wk) distinct partitioning satisfies the
+    cohort agg; the join is user_id-to-user_id co-partitioned). Per-user
+    state is calendar-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+            ).cast("long").alias("wk"),
+        )
+        .distinct()
+        .cache()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_wk", "week_offset")
     )

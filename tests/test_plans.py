@@ -302,3 +302,20 @@ def test_domain_mix_broadcasts_rate_table(spark):
     # per-source rate table broadcasts onto the corpus scan
     plan = _plan(spark, "t_domain_mix")
     assert "BroadcastHashJoin" in plan
+
+
+def test_mode_deterministic_window_group_limit(spark):
+    # top-1-per-user rank filter must use the WindowGroupLimit rewrite
+    assert "WindowGroupLimit" in _plan(spark, "a_mode_deterministic")
+
+
+def test_weighted_median_single_flag_exchange(spark):
+    # both windows + final rollup cluster on l_returnflag: one hash exchange
+    plan = _plan(spark, "a_weighted_median")
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_basket_rules_caches_baskets_and_broadcasts_dims(spark):
+    plan = _plan(spark, "q_basket_rules")
+    assert "InMemoryTableScan" in plan  # baskets cached for its 3 consumers
+    assert "BroadcastHashJoin" in plan  # item/order-count tables broadcast
