@@ -23,8 +23,10 @@ registry.load_all()
 
 HEADLINE = [
     "a_groupby",        # flagship Q1-style agg
+    "q_pricing_summary",    # round 2: full TPC-H Q1 single-pass report
     "q_shipping_priority",  # round 2: TPC-H Q3-shape composite
     "q_promo_revenue",  # round 2: Q14-shape broadcast-join ratio
+    "t_pack_sequences", # round 2: training-shard packing (window cumsum)
     "w_sessionize",     # round 2: single-shuffle batch sessionization
     "a_cube",
     "j_broadcast",
