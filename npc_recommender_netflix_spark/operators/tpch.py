@@ -638,3 +638,119 @@ def q_dormant_customers(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q_yoy_growth",
+    """
+    WITH yearly AS (
+        SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS rv
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+    )
+    SELECT n_name, yr,
+           round(rv / 10000.0, 2) + 0.0 AS revenue,
+           round(CAST(rv - lag(rv) OVER (PARTITION BY n_name ORDER BY yr)
+                      AS DOUBLE)
+                 / lag(rv) OVER (PARTITION BY n_name ORDER BY yr), 6)
+               AS yoy_growth
+    FROM yearly
+    ORDER BY n_name, yr
+    """,
+)
+def q_yoy_growth(spark, sf_dir):
+    """Year-over-year revenue growth per customer nation: yearly exact-cents
+    revenue, then a lag window computing the growth ratio (NULL for each
+    nation's first year).
+
+    Plan shape: the fact joins shuffle once on their keys; the yearly
+    rollup reduces to nations × years rows, so the lag window runs over a
+    tiny frame (a 100 TB input still yields only ~25 × 7 rows here). The
+    growth ratio divides two exact BIGINTs in one association; NULL
+    propagates identically through lag on both engines.
+    """
+    cust, orders, li, nation = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    from pyspark.sql.window import Window
+
+    yearly = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.sum(_rev_exact()).alias("rv"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("rv").over(w)
+    return (
+        yearly.select(
+            "n_name", "yr",
+            (F.round(F.col("rv") / 10000.0, 2) + 0.0).alias("revenue"),
+            (F.round((F.col("rv") - prev).cast("double") / prev, 6)).alias("yoy_growth"),
+        )
+        .orderBy("n_name", "yr")
+    )
+
+
+@register(
+    "q_pareto_brands",
+    """
+    WITH rev AS (
+        SELECT p.p_brand,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS rv
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    ),
+    tot AS (SELECT sum(rv) AS t FROM rev)
+    SELECT p_brand,
+           round(rv / 10000.0, 2) + 0.0 AS revenue,
+           round(CAST(sum(rv) OVER (ORDER BY rv DESC, p_brand) AS DOUBLE)
+                 / (SELECT t FROM tot), 6) AS cum_share,
+           CAST(row_number() OVER (ORDER BY rv DESC, p_brand) AS BIGINT)
+               AS rank
+    FROM rev
+    ORDER BY rank
+    """,
+)
+def q_pareto_brands(spark, sf_dir):
+    """Pareto concentration: brands ranked by revenue with the cumulative
+    share of total — the 80/20 report.
+
+    Plan shape: the per-brand rollup happens on the broadcast-joined fact
+    (exact-BIGINT cents); the unpartitioned cumulative window then runs
+    over ONLY the aggregated rows (25 brands — constant at any input
+    scale), so the global window sort that would be fatal on raw data is
+    harmless here. Total attaches as a broadcast single-row join; the
+    share divides exact BIGINTs in one association with a unique
+    (rv DESC, brand) ordering.
+    """
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    from pyspark.sql.window import Window
+
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(_rev_exact()).alias("rv"))
+        .cache()
+    )
+    tot = rev.agg(F.sum("rv").alias("t"))
+    w = Window.orderBy(F.col("rv").desc(), "p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rev.join(F.broadcast(tot))
+        .select(
+            "p_brand",
+            (F.round(F.col("rv") / 10000.0, 2) + 0.0).alias("revenue"),
+            (F.round(F.sum("rv").over(w).cast("double") / F.col("t"), 6)).alias("cum_share"),
+            F.row_number().over(Window.orderBy(F.col("rv").desc(), "p_brand"))
+            .cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )
