@@ -46,3 +46,51 @@ def st_stateful(spark, sf_dir):
     )
     name = run_to_memory(counts, "update")
     return spark.table(name)
+
+
+@register("st_funnel_stateful")  # rows-only: custom stateful streaming op
+def st_funnel_stateful(spark, sf_dir):
+    """Streaming twin of `q_event_funnel`: per-user click→view→purchase
+    step state (three timestamps) advanced by `applyInPandasWithState` —
+    the canonical multi-field custom stateful operator. Within each
+    micro-batch rows are processed in event-time order; the final state
+    per user yields the funnel depth reached. Parity with the batch
+    funnel is pytest-asserted (tests/test_streaming.py).
+
+    Scale: state is 3 × int64 per user, partitioned by user_id across
+    executors (RocksDB-backed in production); each pandas call sees one
+    user's batch slice — no cross-key coupling, linear scale-out. Late
+    events that precede the recorded t1 are handled by re-minimizing t1
+    (click only); deeper steps re-derive only forward — the documented
+    at-least-once approximation every streaming funnel makes.
+    """
+    def advance(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # state: (t1, t2, t3) as epoch-µs, -1 = unset
+        t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+        week_us = 7 * 24 * 3600 * 1_000_000
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        for _, r in rows.iterrows():
+            ts = r["ts"].value // 1000  # pandas ns -> µs
+            et = r["event_type"]
+            if et == "click" and (t1 < 0 or ts < t1):
+                t1 = ts
+            elif et == "view" and t1 >= 0 and t2 < 0 and t1 < ts <= t1 + week_us:
+                t2 = ts
+            elif et == "purchase" and t2 >= 0 and t3 < 0 and t2 < ts <= t1 + week_us:
+                t3 = ts
+        state.update((t1, t2, t3))
+        depth = 3 if t3 >= 0 else (2 if t2 >= 0 else (1 if t1 >= 0 else 0))
+        yield pd.DataFrame({"user_id": [key[0]], "depth": [depth]})
+
+    ev = read_events_stream(spark, sf_dir)
+    funnel = ev.groupBy("user_id").applyInPandasWithState(
+        advance,
+        outputStructType="user_id LONG, depth LONG",
+        stateStructType="t1 LONG, t2 LONG, t3 LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = run_to_memory(funnel, "update")
+    return spark.table(name)

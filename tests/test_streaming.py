@@ -105,3 +105,22 @@ def test_late_data_dropped_beyond_watermark(spark):
     # only event id=1; the 09:00 late arrival (b2) must NOT appear anywhere.
     assert emitted.get(10) == 1
     assert 9 not in emitted
+
+
+def test_stateful_funnel_matches_batch(spark):
+    """The streaming funnel's per-user depths must aggregate to the batch
+    q_event_funnel counts (single availableNow batch = no late data, so
+    the approximation is exact here)."""
+    from tests.conftest import SF_SMALL
+
+    depths = {
+        r["user_id"]: r["depth"]
+        for r in registry.QUERIES["st_funnel_stateful"](spark, SF_SMALL).collect()
+    }
+    batch = registry.QUERIES["q_event_funnel"](spark, SF_SMALL).collect()[0]
+    n1 = sum(1 for d in depths.values() if d >= 1)
+    n2 = sum(1 for d in depths.values() if d >= 2)
+    n3 = sum(1 for d in depths.values() if d >= 3)
+    assert (n1, n2, n3) == (
+        batch["n_click"], batch["n_click_view"], batch["n_click_view_purchase"]
+    )
