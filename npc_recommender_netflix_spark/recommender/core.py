@@ -484,3 +484,115 @@ def r_precision_at_k(spark, sf_dir):
         F.col("hits").cast("long").alias("hits"),
         f6(F.col("hits") / 3.0).alias("prec3"),
     )
+
+
+@register(
+    "r_baseline_bias",
+    """
+    WITH train AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id, sum(l_quantity) AS r
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_orderkey % 5 <> 0 GROUP BY 1, 2
+    ),
+    hold AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id, sum(l_quantity) AS r
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_orderkey % 5 = 0 GROUP BY 1, 2
+    ),
+    g AS (SELECT CAST(sum(r) AS DOUBLE) / count(*) AS mu FROM train),
+    bi AS (SELECT item_id,
+                  round((CAST(sum(r) AS DOUBLE) - count(*) * (SELECT mu FROM g))
+                        / (10 + count(*)), 9) AS b_i,
+                  count(*) AS n_i
+           FROM train GROUP BY item_id),
+    bu AS (SELECT t.user_id,
+                  round((CAST(sum(t.r) AS DOUBLE)
+                         - count(*) * (SELECT mu FROM g) - sum(b.b_i))
+                        / (10 + count(*)), 9) AS b_u
+           FROM train t JOIN bi b ON b.item_id = t.item_id
+           GROUP BY t.user_id)
+    SELECT round((SELECT mu FROM g), 6) AS mu,
+           round(sqrt(avg(power((SELECT mu FROM g)
+                                + coalesce(bu.b_u, 0) + coalesce(bi.b_i, 0)
+                                - hold.r, 2))), 6) AS rmse_baseline,
+           count(*) AS n_test
+    FROM hold LEFT JOIN bi ON bi.item_id = hold.item_id
+              LEFT JOIN bu ON bu.user_id = hold.user_id
+    """,
+)
+def r_baseline_bias(spark, sf_dir):
+    """Netflix-Prize baseline predictor: pred = mu + b_u + b_i with
+    regularized biases (lambda=10), evaluated by RMSE on the orderkey%5
+    holdout — the classic first rung above the item-mean predictor
+    (`r_rmse`).
+
+    Determinism: the bias numerators use the algebraic form
+    sum(r) - n*mu (exact integer sum minus ONE float product), never a
+    float sum of per-row (r - mu) whose reduction order varies; b_i is
+    rounded to 9dp before entering the user-bias sum (the same
+    per-iteration rounding that makes `r_pagerank` engine-exact). Plan
+    shape: two grouped aggs over the shared train scan, biases broadcast
+    back (item/user tables ≪ fact), one final avg. At 100 TB this is the
+    shape ALS initialization uses; lambda controls cold-start shrinkage.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    base = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    train = (
+        base.where(F.col("ok") % 5 != 0)
+        .groupBy("user_id", "item_id")
+        .agg(F.sum("qty").alias("r"))
+        .cache()
+    )
+    hold = (
+        base.where(F.col("ok") % 5 == 0)
+        .groupBy("user_id", "item_id")
+        .agg(F.sum("qty").alias("r"))
+    )
+    g = train.agg((F.sum("r").cast("double") / F.count(F.lit(1))).alias("mu"))
+    bi = (
+        train.join(F.broadcast(g))
+        .groupBy("item_id")
+        .agg(
+            F.round(
+                (F.sum("r").cast("double") - F.count(F.lit(1)) * F.first("mu"))
+                / (10 + F.count(F.lit(1))), 9
+            ).alias("b_i")
+        )
+    )
+    bu = (
+        train.join(F.broadcast(bi), "item_id")
+        .join(F.broadcast(g))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                (F.sum("r").cast("double") - F.count(F.lit(1)) * F.first("mu")
+                 - F.sum("b_i"))
+                / (10 + F.count(F.lit(1))), 9
+            ).alias("b_u")
+        )
+    )
+    pred = (
+        hold.join(F.broadcast(bi), "item_id", "left")
+        .join(F.broadcast(bu), "user_id", "left")
+        .join(F.broadcast(g))
+        .select(
+            F.col("mu"),
+            F.pow(
+                F.col("mu")
+                + F.coalesce(F.col("b_u"), F.lit(0.0))
+                + F.coalesce(F.col("b_i"), F.lit(0.0))
+                - F.col("r"),
+                F.lit(2),
+            ).alias("sq"),
+        )
+    )
+    return pred.agg(
+        f6(F.first("mu")).alias("mu"),
+        f6(F.sqrt(F.avg("sq"))).alias("rmse_baseline"),
+        F.count(F.lit(1)).alias("n_test"),
+    )
