@@ -350,3 +350,66 @@ def s_schema_merge(spark, sf_dir):
     )
     merged = spark.read.option("mergeSchema", "true").parquet(f"{root}/batch=1", f"{root}/batch=2")
     return merged.select("o_orderkey", "o_totalprice", "o_orderpriority", "o_clerk_note")
+
+
+@register(
+    "s_csv_malformed",
+    """
+    SELECT CAST(count(*) FILTER (WHERE c_custkey % 7 <> 0) AS BIGINT) AS n_good,
+           CAST(count(*) FILTER (WHERE c_custkey % 7 = 0) AS BIGINT) AS n_corrupt,
+           CAST(sum(c_nationkey) FILTER (WHERE c_custkey % 7 <> 0) AS BIGINT)
+               AS nation_sum_good
+    FROM customer
+    """,
+)
+def s_csv_malformed(spark, sf_dir):
+    """Corrupt-tolerant CSV ingestion: every 7th customer row is written
+    with a type violation (text in the INT column — a short row would
+    merely null-fill); the PERMISSIVE reader must load the good
+    rows, surface the bad ones via columnNameOfCorruptRecord, and never
+    fail the job — the behavior a 100 TB raw-landing-zone scan needs
+    (FAILFAST on petabytes of scraped CSV is an outage, not a policy).
+
+    The corruption is deterministic (custkey % 7), so the expected
+    good/corrupt split derives from the clean table in pure SQL — the
+    oracle never sees the file. Scale: the scratch write is
+    fixture-plumbing; the read path (schema + PERMISSIVE + corrupt-record
+    column) is exactly the cluster configuration.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    path = _scratch("csvbad_")
+    line = F.when(
+        F.col("c_custkey") % 7 == 0,
+        F.concat_ws(
+            ",",
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.lit("NOT_AN_INT"),  # type violation in the INT column
+            F.col("c_mktsegment"),
+        ),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_nationkey").cast("string"),
+            F.col("c_mktsegment"),
+        )
+    )
+    cust.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = (
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_mktsegment STRING,"
+        " _corrupt STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    good = F.col("_corrupt").isNull()
+    return back.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("c_nationkey").cast("long"))).alias("nation_sum_good"),
+    )
