@@ -517,3 +517,74 @@ def t_unigram_nll(spark, sf_dir):
             "n_tokens",
         )
     )
+
+
+@register(
+    "t_bigram_nll",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+    ),
+    bigr AS (
+        SELECT doc_id, w[i] AS prev, w[i] || ' ' || w[i + 1] AS bg
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w)
+    ),
+    cb AS (SELECT bg, count(*) AS cb FROM bigr GROUP BY bg),
+    cp AS (SELECT prev, count(*) AS cp FROM bigr GROUP BY prev),
+    v AS (SELECT count(DISTINCT word) AS v FROM ({TOKENS_SQL}))
+    SELECT b.doc_id,
+           round(avg(ln((cp.cp + v.v) * 1.0) - ln((cb.cb + 1) * 1.0)), 6) + 0.0
+               AS nll2,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bigr b JOIN cb ON b.bg = cb.bg JOIN cp ON b.prev = cp.prev CROSS JOIN v
+    WHERE b.doc_id < 1000
+    GROUP BY b.doc_id
+    """,
+)
+def t_bigram_nll(spark, sf_dir):
+    """Bigram-LM quality score: per-doc average negative log likelihood
+    under the corpus bigram model with add-1 smoothing over the unigram
+    vocabulary — nll2 = avg(ln(c(prev)+V) − ln(c(bigram)+1)). The
+    second rung of the LM-free perplexity ladder above `t_unigram_nll`;
+    high values flag locally-incoherent (shuffled/generated) text that
+    unigram statistics cannot see.
+
+    Plan shape: the bigram and prefix count tables are vocabulary²-bounded
+    but corpus-sublinear and broadcast back onto the scored stream; V is a
+    single-row broadcast; the per-doc rollup is one doc_id shuffle. The
+    per-bigram score is computed as ONE difference of logs of exact
+    integers inside a single avg (same association both engines — the
+    `t_unigram_nll` precedent).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bigr = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("w")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(w[i] AS prev, concat(w[i], ' ', w[i + 1]) AS bg))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.bg").alias("bg"))
+    cb = bigr.groupBy("bg").agg(F.count("*").alias("cb"))
+    cp = bigr.groupBy("prev").agg(F.count("*").alias("cp"))
+    v = tokens(spark, sf_dir).agg(F.countDistinct("word").alias("v"))
+    scored = (
+        bigr.where(F.col("doc_id") < 1000)
+        .join(F.broadcast(cb), "bg")
+        .join(F.broadcast(cp), "prev")
+        .crossJoin(F.broadcast(v))
+    )
+    return scored.groupBy("doc_id").agg(
+        (
+            F.round(
+                F.avg(
+                    F.log((F.col("cp") + F.col("v")) * 1.0)
+                    - F.log((F.col("cb") + 1) * 1.0)
+                ), 6
+            ) + 0.0
+        ).alias("nll2"),
+        F.count("*").cast("long").alias("n_bigrams"),
+    )

@@ -410,3 +410,75 @@ def a_weighted_median(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a_mad_outliers",
+    """
+    WITH med AS (
+        SELECT l_returnflag,
+               quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+                   AS med_cents
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+        SELECT l.l_returnflag,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+               abs(CAST(round(l.l_extendedprice * 100) AS BIGINT) - m.med_cents)
+                   AS adev
+        FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    ),
+    mad AS (
+        SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad_cents
+        FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           round(min(m.med_cents) / 100.0, 2) + 0.0 AS median_price,
+           round(min(mad.mad_cents) / 100.0, 2) + 0.0 AS mad_price,
+           CAST(sum(CASE WHEN d.adev > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN med m ON d.l_returnflag = m.l_returnflag
+               JOIN mad ON mad.l_returnflag = d.l_returnflag
+    GROUP BY d.l_returnflag
+    ORDER BY d.l_returnflag
+    """,
+)
+def a_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: flag prices more than 3 median-absolute-
+    deviations from the per-group median — the rank-based alternative to
+    z-scores that heavy tails can't distort.
+
+    Exactness: prices ride as BIGINT cents; both medians interpolate over
+    integers (percentile ↔ quantile_cont, the `a_median` precedent), and
+    the 3×MAD comparison multiplies an at-worst-.5-fractional median by an
+    exact 3 — identical doubles both engines. Plan shape: two grouped
+    percentile passes + one counting pass, all clustered on returnflag;
+    the tiny med/mad tables broadcast back onto the fact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    base = li.select("l_returnflag", cents.alias("cents"))
+    med = base.groupBy("l_returnflag").agg(
+        F.percentile("cents", 0.5).alias("med_cents")
+    )
+    dev = base.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "cents", "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile("adev", 0.5).alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            (F.round(F.min("med_cents") / 100.0, 2) + 0.0).alias("median_price"),
+            (F.round(F.min("mad_cents") / 100.0, 2) + 0.0).alias("mad_price"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -656,3 +656,134 @@ def q_retention_cohort(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_wk", "week_offset")
     )
+
+
+@register(
+    "q_upsert_merge",
+    """
+    WITH snap AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    mx AS (SELECT max(k) AS mx FROM snap),
+    changes AS (
+        SELECT k, price_cents + 10000 AS price_cents, status, 'U' AS op
+        FROM snap WHERE k % 10 = 0
+        UNION ALL
+        SELECT k + (SELECT mx FROM mx) + 1 AS k, price_cents, 'N' AS status,
+               'I' AS op
+        FROM snap WHERE k % 97 = 0
+    ),
+    merged AS (
+        SELECT coalesce(c.k, s.k) AS k,
+               coalesce(c.price_cents, s.price_cents) AS price_cents,
+               coalesce(c.status, s.status) AS status,
+               c.op
+        FROM snap s FULL OUTER JOIN changes c ON s.k = c.k
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+           round(sum(price_cents) / 100.0, 2) + 0.0 AS total_value
+    FROM merged
+    """,
+)
+def q_upsert_merge(spark, sf_dir):
+    """MERGE INTO semantics on plain parquet snapshots: a changes batch
+    (updates to every 10th order, inserts beyond the max key) upserts onto
+    the snapshot via FULL OUTER join + coalesce — matched rows take the
+    change, unmatched keep the snapshot, insert-only rows append. The
+    lakehouse-table MERGE expressed as a pure relational plan.
+
+    Plan shape: one shuffle on the merge key for the full-outer SMJ (at
+    100 TB both sides bucket on k and the join is co-located); the audit
+    aggregate combines map-side. Money rides as BIGINT cents so the merged
+    total is reduction-order-free. Determinism: the changes batch derives
+    from the snapshot itself (k % 10 / k % 97), so the oracle rebuilds it
+    exactly.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    mx = snap.agg(F.max("k").alias("mx"))
+    upd = snap.where(F.col("k") % 10 == 0).select(
+        "k", (F.col("price_cents") + 10000).alias("price_cents"),
+        "status", F.lit("U").alias("op"),
+    )
+    ins = (
+        snap.where(F.col("k") % 97 == 0)
+        .join(F.broadcast(mx))
+        .select(
+            (F.col("k") + F.col("mx") + 1).alias("k"), "price_cents",
+            F.lit("N").alias("status"), F.lit("I").alias("op"),
+        )
+    )
+    changes = upd.unionByName(ins)
+    merged = (
+        snap.alias("s")
+        .join(changes.alias("c"), F.col("s.k") == F.col("c.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.k"), F.col("s.k")).alias("k"),
+            F.coalesce(F.col("c.price_cents"), F.col("s.price_cents")).alias("price_cents"),
+            F.coalesce(F.col("c.status"), F.col("s.status")).alias("status"),
+            F.col("c.op").alias("op"),
+        )
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).cast("long").alias("n_updated"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).cast("long").alias("n_inserted"),
+        (F.round(F.sum("price_cents") / 100.0, 2) + 0.0).alias("total_value"),
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    """
+    SELECT o_custkey,
+           o_orderkey,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current,
+           CAST(coalesce(date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(lead(o_orderdate) OVER w AS DATE)), -1)
+                AS BIGINT) AS days_valid
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, valid_from, o_orderkey
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    """SCD Type-2 interval construction: each customer's order stream
+    becomes validity intervals [valid_from, valid_to) via lead(), with the
+    open current row flagged — the standard dimension-history build.
+
+    Plan shape: one user-key shuffle for the window; the lead frame is one
+    row, so state is O(1) per key. days_valid is exact integer date
+    arithmetic (-1 sentinel for the open interval, matching coalesce on
+    both engines). The o_custkey < 100 bound keeps the emitted fixture
+    slice small; the plan is identical unbounded.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return (
+        orders.where(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.col("o_orderdate").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            F.coalesce(
+                F.datediff(nxt.cast("date"), F.col("o_orderdate").cast("date")),
+                F.lit(-1),
+            ).cast("long").alias("days_valid"),
+        )
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    )
