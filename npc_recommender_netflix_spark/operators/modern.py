@@ -787,3 +787,49 @@ def q_scd2_intervals(spark, sf_dir):
         )
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     )
+
+
+@register(
+    "q_point_in_time",
+    """
+    WITH iv AS (
+        SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   AS valid_to
+        FROM orders WHERE o_custkey < 100
+    )
+    SELECT o_custkey, o_orderkey, valid_from
+    FROM iv
+    WHERE valid_from <= TIMESTAMP '1998-06-15'
+      AND (valid_to > TIMESTAMP '1998-06-15' OR valid_to IS NULL)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_point_in_time(spark, sf_dir):
+    """Point-in-time (time-travel) lookup over the SCD2 intervals: the
+    version of each customer's order history valid AS OF 1998-06-15 — the
+    dimension-history read that pairs with `q_scd2_intervals`' build.
+
+    Plan shape: the same single user-key window, then a constant-bound
+    interval predicate. With intervals PERSISTED (the 100 TB layout) this
+    is a pure scan filter — `valid_from <= D < valid_to` prunes at the
+    parquet level with no window at all; ties on (custkey, date) resolve
+    by the same orderkey tiebreak in build and lookup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.lit("1998-06-15").cast("timestamp")
+    iv = orders.where(F.col("o_custkey") < 100).select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    return (
+        iv.where(
+            (F.col("valid_from") <= d)
+            & ((F.col("valid_to") > d) | F.col("valid_to").isNull())
+        )
+        .select("o_custkey", "o_orderkey", "valid_from")
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -413,3 +413,50 @@ def s_csv_malformed(spark, sf_dir):
         F.sum((~good).cast("long")).alias("n_corrupt"),
         F.sum(F.when(good, F.col("c_nationkey").cast("long"))).alias("nation_sum_good"),
     )
+
+
+@register(
+    "s_compaction",
+    """
+    SELECT CAST(64 AS BIGINT) AS n_files_before,
+           CAST(4 AS BIGINT) AS n_files_after,
+           count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM documents
+    """,
+)
+def s_compaction(spark, sf_dir):
+    """Small-files compaction: the corpus lands as 64 tiny files (the
+    classic ingestion pathology — at 100 TB, millions of KB-sized files
+    turn every scan into a metadata storm), then compacts to 4 right-sized
+    files via repartition + rewrite. Output proves row/byte parity and
+    the before/after file counts.
+
+    Scale: the compactor is the exact production shape — read the
+    fragmented layout, `repartition(target)` (or coalesce when only
+    shrinking), rewrite, swap. Target file count = bytes / desired file
+    size (~512 MB-1 GB for parquet); here 4 stands in deterministically.
+    """
+    import os
+
+    def _parquet_files(path: str) -> int:
+        return sum(1 for f in os.listdir(path) if f.startswith("part-"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    frag = _scratch("frag_")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = _scratch("compact_")
+    frag_df = spark.read.parquet(frag)
+    n_before = _parquet_files(frag)
+    # NB: the fragmented READ already coalesces small files into fewer
+    # tasks (maxPartitionBytes packing) — the pathology compaction fixes
+    # is file-count metadata, not task count.
+    frag_df.repartition(4).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    n_after = _parquet_files(compacted)
+    return back.agg(
+        F.lit(int(n_before)).cast("long").alias("n_files_before"),
+        F.lit(int(n_after)).cast("long").alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )

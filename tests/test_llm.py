@@ -212,3 +212,64 @@ def test_minhash_lsh_sql_finds_all_exact_duplicates(spark):
     # precision is exact by construction: every output pair verifies >= 0.5
     for p, j in got.items():
         assert p in exact and abs(j - exact[p]) < 1e-6, (p, j)
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    """Packing must conserve the token stream: per-lang pack_tokens sums to
+    the corpus total, and every pack except a lang's last holds >= the
+    context budget's worth of starts (bins are dense, no gaps)."""
+    from tests.conftest import SF_SMALL
+    from pyspark.sql import functions as F
+    from npc_recommender_netflix_spark.session import load_table
+
+    packs = registry.QUERIES["t_pack_sequences"](spark, SF_SMALL).collect()
+    docs = load_table(spark, SF_SMALL, "documents")
+    total = docs.select(
+        F.sum(F.size(F.split(F.lower("text"), r"\s+"))).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["pack_tokens"] for r in packs) == total
+    by_lang = {}
+    for r in packs:
+        by_lang.setdefault(r["lang"], []).append(r["pack_id"])
+    for lang, ids in by_lang.items():
+        ids = sorted(ids)
+        assert ids == list(range(ids[0], ids[0] + len(ids))), lang  # dense
+
+
+def test_shuffle_shard_is_a_permutation(spark):
+    """Every doc appears exactly once; within each shard pos is 1..n."""
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_shuffle_shard"](spark, SF_SMALL).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_domain_mix_downsamples_toward_min(spark):
+    """Kept counts never exceed originals; the smallest source keeps
+    everything (rate 1.0); rates are min_count/count."""
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_domain_mix"](spark, SF_SMALL).collect()
+    m = min(r["n_docs"] for r in rows)
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert abs(r["rate"] - min(1.0, m / r["n_docs"])) < 1e-6
+        if r["n_docs"] == m:
+            assert r["n_kept"] == r["n_docs"]  # rate 1.0 keeps all
+
+
+def test_int8_codes_bounded_and_mse_small(spark):
+    """Quantization codes stay in [-128, 127] and reconstruction MSE is
+    small relative to unit-scale embeddings."""
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["v_int8_quantize"](spark, SF_SMALL).collect()
+    for r in rows[:50]:
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert all(-128 <= c <= 127 for c in codes)
+        assert r["mse"] < (r["maxabs"] / 127.0) ** 2  # < one quant step^2
