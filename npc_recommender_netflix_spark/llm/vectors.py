@@ -438,3 +438,56 @@ def v_ann_ivf_kmeans(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .select("query_id", "probe_cell", "cand_id", "cos", "rn")
     )
+
+
+# -- ANN quality evaluation ---------------------------------------------------
+
+from ..registry import ORACLE as _ORACLE  # noqa: E402  (registered above)
+
+
+@register(
+    "v_recall_at_k",
+    f"""
+    WITH exact AS ({_ORACLE["v_cosine_topk"]}),
+    ivf AS ({_ORACLE["v_ann_ivf"]})
+    SELECT e.query_id,
+           CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+           round(count(i.cand_id) / 5.0, 6) AS recall_at_5
+    FROM exact e LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.cand_id = i.cand_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def v_recall_at_k(spark, sf_dir):
+    """ANN quality evaluation: recall@5 of the IVF cell-probe against the
+    exact brute-force top-5, per query — the metric that decides whether a
+    cheaper index is good enough to ship. Composes the two registered
+    queries (and their oracles) directly, so the measured recall is the
+    recall of exactly what `v_ann_ivf` serves.
+
+    Plan shape: both sides reduce to ≤ 15 rows before the comparison join
+    — evaluation cost is dominated by the index paths themselves. At
+    100 TB you run this over a sampled query set (queries {0,1,2} here)
+    against a ground-truth batch job; single-probe IVF recall < 1.0 is
+    expected and the n_probes knob trades it against scan cost.
+    """
+    from ..registry import QUERIES as _Q
+
+    exact = _Q["v_cosine_topk"](spark, sf_dir).select("query_id", "cand_id")
+    ivf = _Q["v_ann_ivf"](spark, sf_dir).select(
+        F.col("query_id").alias("iq"), F.col("cand_id").alias("ic")
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.iq) & (exact.cand_id == ivf.ic),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("ic").cast("long").alias("n_hit"),
+            f6(F.count("ic") / 5.0).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
