@@ -906,3 +906,73 @@ def t_winnowing(spark, sf_dir):
             F.min("sel").alias("fp_min"),
         )
     )
+
+
+# -- dedup-quality evaluation -------------------------------------------------
+
+from ..registry import ORACLE as _ORACLE  # noqa: E402  (registered above)
+
+
+@register(
+    "t_lsh_recall",
+    f"""
+    WITH exact AS (
+        SELECT doc_a, doc_b FROM ({_ORACLE["t_jaccard_neardup"]})
+        WHERE jaccard >= 0.5
+    ),
+    lsh AS (
+        SELECT doc_a, doc_b FROM ({_ORACLE["t_minhash_lsh"]})
+        WHERE doc_a < 1000 AND doc_b < 1000
+    )
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST((SELECT count(*) FROM exact e JOIN lsh l
+                 ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b) AS BIGINT) AS n_hit,
+           round((SELECT count(*) FROM exact e JOIN lsh l
+                  ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b) * 1.0
+                 / greatest((SELECT count(*) FROM exact), 1), 6) AS recall,
+           round((SELECT count(*) FROM exact e JOIN lsh l
+                  ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b) * 1.0
+                 / greatest((SELECT count(*) FROM lsh), 1), 6) AS precision
+    """,
+)
+def t_lsh_recall(spark, sf_dir):
+    """Dedup-quality evaluation: recall and precision of the banded
+    MinHash-LSH near-dup pairs against the exact-Jaccard ≥ 0.5 ground
+    truth, on the shared doc_id < 1000 slice — the measurement that
+    justifies replacing the exact O(shared-shingle) join with the sketch
+    at scale. Composes the two registered queries and their oracles, so
+    the metric scores exactly what `t_minhash_lsh` produces.
+
+    Plan shape: both pair sets reduce to tiny frames before the
+    comparison join; the dominant cost is the underlying pipelines
+    themselves. At 100 TB ground truth comes from a sampled slice exactly
+    like this one.
+    """
+    from ..registry import QUERIES as _Q
+
+    exact = (
+        _Q["t_jaccard_neardup"](spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    lsh = (
+        _Q["t_minhash_lsh"](spark, sf_dir)
+        .where((F.col("doc_a") < 1000) & (F.col("doc_b") < 1000))
+        .select(F.col("doc_a").alias("la"), F.col("doc_b").alias("lb"))
+        .cache()
+    )
+    hit = exact.join(lsh, (exact.doc_a == lsh.la) & (exact.doc_b == lsh.lb))
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        ne.join(F.broadcast(nl)).join(F.broadcast(nh)).select(
+            "n_exact", "n_lsh", "n_hit",
+            f6(F.col("n_hit") * 1.0 / F.greatest(F.col("n_exact"), F.lit(1)))
+            .alias("recall"),
+            f6(F.col("n_hit") * 1.0 / F.greatest(F.col("n_lsh"), F.lit(1)))
+            .alias("precision"),
+        )
+    )

@@ -596,3 +596,48 @@ def r_baseline_bias(spark, sf_dir):
         f6(F.sqrt(F.avg("sq"))).alias("rmse_baseline"),
         F.count(F.lit(1)).alias("n_test"),
     )
+
+
+from ..registry import ORACLE as _ORACLE  # noqa: E402  (registered above)
+
+
+@register(
+    "r_coverage",
+    f"""
+    WITH p AS ({_PRED_SQL}),
+    recs AS (
+        SELECT item_id FROM (
+            SELECT item_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY pred DESC, item_id) AS rn
+            FROM p
+        ) WHERE rn <= 3
+    )
+    SELECT CAST(count(DISTINCT item_id) AS BIGINT) AS n_rec_items,
+           CAST((SELECT count(DISTINCT item_id) FROM p) AS BIGINT)
+               AS n_catalog,
+           round(count(DISTINCT item_id) * 1.0
+                 / (SELECT count(DISTINCT item_id) FROM p), 6) AS coverage
+    FROM recs
+    """,
+)
+def r_coverage(spark, sf_dir):
+    """Recommender catalog coverage: the share of recommendable items that
+    ever appear in any user's top-3 — the aggregate-diversity metric that
+    exposes popularity-collapsed recommenders (a high-RMSE-quality model
+    can still recommend the same 10 items to everyone).
+
+    Composes the registered prediction frame, so the metric scores exactly
+    what `r_topn_recs` serves. Plan shape: the top-3 window reuses the
+    cached prediction intermediates; both distinct counts reduce to single
+    rows before the final one-row join.
+    """
+    p = predictions(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("pred").desc(), "item_id")
+    recs = p.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    nr = recs.agg(F.countDistinct("item_id").alias("n_rec_items"))
+    nc = p.agg(F.countDistinct("item_id").alias("n_catalog"))
+    return nr.join(F.broadcast(nc)).select(
+        "n_rec_items", "n_catalog",
+        f6(F.col("n_rec_items") * 1.0 / F.col("n_catalog")).alias("coverage"),
+    )
