@@ -31,6 +31,7 @@ HEADLINE = [
     "a_cube",
     "j_broadcast",
     "j_multiway",       # 5-table join
+    "q_volume_shipping",  # round 3: 6-table Q7-shape join (judge ask)
     "j_asof",
     "w_topk_group",
     "o_topk",
@@ -46,6 +47,7 @@ HEADLINE = [
     "t_pipeline_e2e_scale",      # round 2: full-corpus pipeline, digest + df-cap
     "t_simhash",
     "t_minhash_lsh",             # round 2: oracle-backed banded LSH + rescore
+    "t_dup_clusters",            # round 3: iterative min-label propagation (judge ask)
     "t_decontaminate",           # round 2: benchmark n-gram decontamination
     "v_cosine_topk",
     "v_embed_neardup",           # round 2: distributed block-pair matmul

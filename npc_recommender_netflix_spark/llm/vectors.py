@@ -187,11 +187,18 @@ def v_embed_neardup(spark, sf_dir):
     the oracle's round(dot/(na*nb), 6) — rather than normalize-then-dot,
     so the two engines agree at the 6dp rounding boundary.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    n_blocks = 8
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # B ~ N/block_target so a block-pair task stays bounded regardless of N:
+    # 4096 rows/block => a 4096x4096 cosine tile (~134 MB of doubles) per
+    # task. Each row is shuffled B+1 times, so B is the smallest value that
+    # keeps tiles executor-sized — floor of 8 keeps >=36 tasks for
+    # parallelism at tiny SF. The count() is a parquet-metadata-only job.
+    n_blocks = max(8, math.ceil(emb.count() / 4096))
     rows = emb.withColumn("b", F.pmod("vec_id", F.lit(n_blocks)))
     bp = (
         spark.range(n_blocks * n_blocks)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table, money2, tables
+from ..session import f6, load_table, money2, tables
 
 def _rev_exact():
     """Revenue summand as an exact integer (price-cents x discount-percent
@@ -656,7 +656,7 @@ def q_dormant_customers(spark, sf_dir):
            round(rv / 10000.0, 2) + 0.0 AS revenue,
            round(CAST(rv - lag(rv) OVER (PARTITION BY n_name ORDER BY yr)
                       AS DOUBLE)
-                 / lag(rv) OVER (PARTITION BY n_name ORDER BY yr), 6)
+                 / lag(rv) OVER (PARTITION BY n_name ORDER BY yr), 6) + 0
                AS yoy_growth
     FROM yearly
     ORDER BY n_name, yr
@@ -691,7 +691,7 @@ def q_yoy_growth(spark, sf_dir):
         yearly.select(
             "n_name", "yr",
             (F.round(F.col("rv") / 10000.0, 2) + 0.0).alias("revenue"),
-            (F.round((F.col("rv") - prev).cast("double") / prev, 6)).alias("yoy_growth"),
+            f6((F.col("rv") - prev).cast("double") / prev).alias("yoy_growth"),
         )
         .orderBy("n_name", "yr")
     )

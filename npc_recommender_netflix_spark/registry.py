@@ -38,13 +38,21 @@ def register(key: str, oracle: str | None = None):
     return deco
 
 
-# Keys whose rows+schema+hash all passed the driver oracle in round 1
-# (CORRECTNESS_r01.json; includes a_approx_distinct's rows-only pass). The
-# driver's per-round sweep caps at the FIRST 50 registration-order keys, so
-# these banked keys are pushed to the BACK of the registry to let
-# not-yet-verified keys into the window. Keep appending each round's newly
-# verified keys here.
+# Keys whose rows+schema+hash all passed the driver oracle in rounds 1-2
+# (CORRECTNESS_r01.json + CORRECTNESS_r02.json; includes
+# a_approx_distinct's rows-only pass). The driver's per-round sweep caps at
+# the FIRST 50 registration-order keys, so these banked keys are pushed to
+# the BACK of the registry to let not-yet-verified keys into the window.
+# Keep appending each round's newly verified keys here.
+#
+# NOTE (round-2 advice): the seven roundtrip source keys (s_csv_roundtrip,
+# s_json_roundtrip, s_orc_roundtrip, s_text_source, s_save_as_table,
+# s_bucketed_table, s_partitioned_write) were rewritten after their round-1
+# verification (lazy read-backs, shared scratch root); tools/check.py was
+# re-run on all seven this round (see PROGRESS.jsonl) so their banked
+# status reflects the current code.
 DRIVER_VERIFIED = (
+    # round 1 (CORRECTNESS_r01.json)
     "s_parquet_scan", "s_pruned_scan", "s_pushdown_scan", "s_csv_roundtrip",
     "s_json_roundtrip", "s_partitioned_write", "s_ns_timestamp_read",
     "s_orc_roundtrip", "s_text_source", "s_save_as_table", "s_bucketed_table",
@@ -56,39 +64,75 @@ DRIVER_VERIFIED = (
     "a_count_distinct", "a_multi_distinct", "a_having", "a_stats", "a_median",
     "a_grouping_sets", "a_rollup", "a_cube", "a_approx_distinct", "a_argmax",
     "a_string_agg", "a_bool_agg", "w_row_number", "w_rank_dense",
-)
-
-# Round-2 oracle window: exactly the 50 keys the driver will check this
-# round, ordered first. Composition: the two round-1 hash-shape fixes
-# (p_cast, a_collect_sorted), the new scale keys, then the highest-value
-# driver-unverified families (LLM text/vector/multimodal, recommender,
-# windows, sort/pivot) — all oracle-backed so each yields a hard hash
-# signal. Rows-only keys are deliberately excluded from the window (their
-# driver signal is weak); they ride in the round-3 remainder instead.
-ORACLE_WINDOW = (
-    # round-1 driver failures, re-shaped for the driver hasher
+    # round 2 (CORRECTNESS_r02.json, all 50/50 green)
     "p_cast", "a_collect_sorted",
-    # new round-2 scale keys (llm/dedup.py, llm/text.py)
     "t_exact_dedup_digest", "t_simhash_pairs", "t_jaccard_neardup_capped",
-    # LLM text / dedup pipeline
     "t_exact_dedup", "t_tokenize_wc", "t_doc_stats", "t_tfidf",
     "t_ngram_bigram", "t_lang_id", "t_quality_score", "t_token_count",
     "t_canonical_dedup", "t_jaccard_neardup", "t_simhash", "t_fingerprint",
     "t_pipeline_e2e",
-    # vectors
     "v_norm", "v_cosine_topk", "v_knn_label", "v_centroid",
     "v_embed_neardup", "v_ann_ivf",
-    # multimodal
     "m_multimodal_join", "m_binary_meta", "m_image_pipeline",
-    # recommender (oracle-backed subset)
     "r_ratings_matrix", "r_events_matrix", "r_item_stats", "r_mean_center",
     "r_cooccurrence", "r_cosine_sim", "r_topk_neighbors", "r_predict",
     "r_topn_recs", "r_rmse", "r_rdd_mapreduce",
-    # windows
     "w_ntile", "w_lag_lead", "w_running_sum", "w_moving_avg",
     "w_range_frame", "w_first_last", "w_pct_rank", "w_topk_group",
-    # sort/limit + pivot
     "o_topk", "o_sort_nulls", "a_pivot", "a_unpivot",
+)
+
+# Round-3 oracle window: exactly the 50 keys the driver will check this
+# round, ordered first — all SQL-oracle-backed, none ever inside a driver
+# window before (VERDICT r2 "Next round" item 1). Composition: every TPC-H
+# composite, the five advanced-join strategies, all set operators,
+# subqueries, sessionization/streaks/funnel analytics, the lakehouse
+# emulations (MERGE/SCD2/point-in-time), the LSH dedup + decontamination
+# pipeline, and the highest-value fn_*/u_* surfaces.
+#
+# Round-4+ window schedule (VERDICT r2 item 5), in priority order once this
+# window banks: (a) remaining SQL-backed unchecked keys — fn_string_*,
+# fn_date_parts/arith/format, fn_math, fn_array_*, fn_explode/posexplode,
+# fn_json, fn_map_basic, fn_conditional, fn_fuzzy, a_mode_deterministic,
+# a_weighted_median, a_mad_outliers, j_bucketed_colocated, s_cached_table,
+# s_schema_merge, s_csv_malformed, s_compaction, o_limit_offset,
+# w_cume_dist, a_corr_regr, q_recursive_cte, t_chunk_docs,
+# t_stratified_sample, t_repetition_filter, t_scrub_pii, t_unigram_nll,
+# t_bigram_nll, t_winnowing, t_lsh_recall, t_shuffle_shard, t_domain_mix,
+# t_gopher_quality, v_int8_quantize, v_recall_at_k, m_audio_pipeline,
+# m_video_pipeline, r_precision_at_k, r_baseline_bias, r_coverage,
+# r_pagerank, st_tumbling/sliding/session/dedup/static_join/foreach_batch/
+# stream_join, u_py_udf, u_pandas_udf, u_grouped_agg, u_apply_in_pandas,
+# u_udtf, fn_url already here; then (b) rows-only keys for the weak
+# rows+schema signal: r_als, r_als_recs, r_kmeans, r_pca, v_lsh_neardup,
+# v_ann_ivf_kmeans, t_minhash_dedup, st_watermark, st_stateful,
+# st_funnel_stateful, a_sketch_merge, a_approx_quantile.
+ORACLE_WINDOW = (
+    # TPC-H-shape composites (operators/tpch.py)
+    "q_pricing_summary", "q_shipping_priority", "q_local_supplier_volume",
+    "q_forecast_revenue", "q_volume_shipping", "q_returned_items",
+    "q_customer_distribution", "q_promo_revenue", "q_top_supplier",
+    "q_discounted_revenue", "q_large_volume_customer", "q_dormant_customers",
+    "q_yoy_growth", "q_pareto_brands",
+    # advanced join strategies
+    "j_range_bucketed", "j_skew_salted", "j_dpp_partitioned",
+    "j_bloom_runtime_filter", "a_skew_twophase",
+    # set operators
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "set_intersect_all", "set_except_all",
+    # subqueries
+    "q_scalar_subquery", "q_exists_correlated", "q_in_subquery",
+    # behavioral analytics
+    "w_sessionize", "w_streaks", "q_event_funnel", "q_basket_rules",
+    "q_retention_cohort", "a_hist_bins",
+    # lakehouse emulations
+    "q_upsert_merge", "q_scd2_intervals", "q_point_in_time",
+    # LSH dedup + decontamination + training-data pipeline
+    "t_minhash_lsh", "t_pipeline_e2e_lsh", "t_pipeline_e2e_scale",
+    "t_dup_clusters", "t_decontaminate", "t_pack_sequences",
+    # functions / UDF surfaces / sampling
+    "fn_hash", "fn_bitwise", "fn_url", "fn_try_arith", "fn_date_trunc",
+    "fn_struct_basic", "u_map_in_arrow",
 )
 
 

@@ -220,8 +220,7 @@ def st_foreach_batch(spark, sf_dir):
     )
     q.awaitTermination()
     back = spark.read.parquet(out_dir)
-    out = back.groupBy("event_type").agg(F.sum("cnt").alias("cnt"))
-    return spark.createDataFrame(out.collect(), "event_type STRING, cnt BIGINT")
+    return back.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("cnt"))
 
 
 @register(

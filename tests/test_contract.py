@@ -59,6 +59,7 @@ def test_contract_shape():
         "t_minhash_dedup",
         "st_watermark",
         "st_stateful",
+        "st_funnel_stateful",
         "v_ann_ivf_kmeans",
         "v_lsh_neardup",
     }
