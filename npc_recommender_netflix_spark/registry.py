@@ -80,6 +80,29 @@ DRIVER_VERIFIED = (
     "w_ntile", "w_lag_lead", "w_running_sum", "w_moving_avg",
     "w_range_frame", "w_first_last", "w_pct_rank", "w_topk_group",
     "o_topk", "o_sort_nulls", "a_pivot", "a_unpivot",
+    # round 3/4 (CORRECTNESS_r03/r04.json — identical windows; the 45 green
+    # keys of the 50. The 5 events-ts failures stay OUT and lead the round-5
+    # window below. The round-1/2 events keys above (s_ns_timestamp_read,
+    # j_theta_range, j_asof, w_row_number, w_lag_lead, w_running_sum,
+    # w_moving_avg, w_first_last, r_events_matrix) predate the testdata's
+    # ts dtype change; all re-verified hash-green via tools/check.py at
+    # sf0.01 this round under the dtype-adaptive loader (220 ok, 0 failed).
+    "q_pricing_summary", "q_shipping_priority", "q_local_supplier_volume",
+    "q_forecast_revenue", "q_volume_shipping", "q_returned_items",
+    "q_customer_distribution", "q_promo_revenue", "q_top_supplier",
+    "q_discounted_revenue", "q_large_volume_customer", "q_dormant_customers",
+    "q_yoy_growth", "q_pareto_brands",
+    "j_skew_salted", "j_dpp_partitioned", "j_bloom_runtime_filter",
+    "a_skew_twophase",
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "set_intersect_all", "set_except_all",
+    "q_scalar_subquery", "q_exists_correlated", "q_in_subquery",
+    "q_basket_rules", "a_hist_bins",
+    "q_upsert_merge", "q_scd2_intervals", "q_point_in_time",
+    "t_minhash_lsh", "t_pipeline_e2e_lsh", "t_pipeline_e2e_scale",
+    "t_dup_clusters", "t_decontaminate", "t_pack_sequences",
+    "fn_hash", "fn_bitwise", "fn_url", "fn_try_arith", "fn_date_trunc",
+    "fn_struct_basic", "u_map_in_arrow",
 )
 
 # Round-3 oracle window: exactly the 50 keys the driver will check this
@@ -108,32 +131,39 @@ DRIVER_VERIFIED = (
 # v_ann_ivf_kmeans, t_minhash_dedup, st_watermark, st_stateful,
 # st_funnel_stateful, a_sketch_merge, a_approx_quantile.
 ORACLE_WINDOW = (
-    # TPC-H-shape composites (operators/tpch.py)
-    "q_pricing_summary", "q_shipping_priority", "q_local_supplier_volume",
-    "q_forecast_revenue", "q_volume_shipping", "q_returned_items",
-    "q_customer_distribution", "q_promo_revenue", "q_top_supplier",
-    "q_discounted_revenue", "q_large_volume_customer", "q_dormant_customers",
-    "q_yoy_growth", "q_pareto_brands",
-    # advanced join strategies
-    "j_range_bucketed", "j_skew_salted", "j_dpp_partitioned",
-    "j_bloom_runtime_filter", "a_skew_twophase",
-    # set operators
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
-    "set_intersect_all", "set_except_all",
-    # subqueries
-    "q_scalar_subquery", "q_exists_correlated", "q_in_subquery",
-    # behavioral analytics
-    "w_sessionize", "w_streaks", "q_event_funnel", "q_basket_rules",
-    "q_retention_cohort", "a_hist_bins",
-    # lakehouse emulations
-    "q_upsert_merge", "q_scd2_intervals", "q_point_in_time",
-    # LSH dedup + decontamination + training-data pipeline
-    "t_minhash_lsh", "t_pipeline_e2e_lsh", "t_pipeline_e2e_scale",
-    "t_dup_clusters", "t_decontaminate", "t_pack_sequences",
-    # functions / UDF surfaces / sampling
-    "fn_hash", "fn_bitwise", "fn_url", "fn_try_arith", "fn_date_trunc",
-    "fn_struct_basic", "u_map_in_arrow",
+    # Round-5 window. First: the 5 keys that erred in r3/r4 (events-ts
+    # dtype drift, fixed in session.load_table this round) — they need a
+    # green driver row before banking.
+    "j_range_bucketed", "w_sessionize", "w_streaks", "q_event_funnel",
+    "q_retention_cohort",
+    # Everyday scalar-function surface (never driver-checked before)
+    "fn_string_basic", "fn_string_regex", "fn_string_search", "fn_fuzzy",
+    "fn_date_parts", "fn_date_arith", "fn_date_format", "fn_math",
+    "fn_array_basic", "fn_array_lambda", "fn_explode", "fn_posexplode",
+    "fn_json", "fn_json_corrupt", "fn_map_basic", "fn_conditional",
+    # UDF surface
+    "u_py_udf", "u_pandas_udf", "u_grouped_agg", "u_apply_in_pandas",
+    "u_udtf",
+    # Streaming keys with batch-equivalent SQL oracles
+    "st_tumbling", "st_sliding", "st_session", "st_dedup",
+    "st_static_join", "st_foreach_batch", "st_stream_join",
+    # Sources / aggregates / misc never driver-checked
+    "j_bucketed_colocated", "s_cached_table", "s_schema_merge",
+    "s_csv_malformed", "s_compaction", "s_sample_hash",
+    "a_mode_deterministic", "a_weighted_median", "a_mad_outliers",
+    "q_recursive_cte", "o_limit_offset", "w_cume_dist", "a_corr_regr",
+    # Training-data pipeline text ops
+    "t_chunk_docs", "t_stratified_sample", "t_repetition_filter",
+    "t_scrub_pii",
 )
+# Remaining never-checked keys for the round-6 window: r_precision_at_k,
+# r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
+# v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,
+# m_video_pipeline, t_shuffle_shard, t_domain_mix, t_gopher_quality,
+# v_int8_quantize (SQL-backed), then the rows-only tier: a_sketch_merge,
+# a_approx_quantile, r_als, r_als_recs, r_kmeans, r_pca, v_lsh_neardup,
+# v_ann_ivf_kmeans, t_minhash_dedup, st_watermark, st_stateful,
+# st_funnel_stateful.
 
 
 def _apply_order() -> None:

@@ -4,11 +4,13 @@ Design notes (100 TB scale):
 - All loaders return plain DataFrames backed by the Parquet DSv2 scan, so
   Catalyst predicate pushdown / column pruning / partition pruning apply
   unchanged on a real cluster.
-- ``events`` carries a Parquet TIMESTAMP(NANOS) column that Spark 4.1.2
-  cannot read natively (SURVEY.md §1.3). We read it with
-  ``spark.sql.legacy.parquet.nanosAsLong=true`` and rebuild a microsecond
-  timestamp with integer division (``ts DIV 1000``) — float division would
-  round-trip through double and can flip a microsecond at ~1.7e18 ns.
+- ``events.ts`` has shipped as both Parquet TIMESTAMP(NANOS) — which Spark
+  4.1.2 cannot read natively (SURVEY.md §1.3) — and native timestamp[us].
+  We keep ``spark.sql.legacy.parquet.nanosAsLong=true`` and adapt to the
+  dtype the scan surfaces: a long is rebuilt to a microsecond timestamp
+  with integer division (``ts DIV 1000`` — float division would round-trip
+  through double and can flip a microsecond at ~1.7e18 ns); a native
+  timestamp passes through untouched.
 - Session defaults favor a local[32] dev box; on a cluster the same code
   runs with whatever master/conf the deployment provides. Every config we
   set is also settable at runtime on an externally provided session, which
@@ -88,8 +90,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prepare(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as long (ns since epoch) under nanosAsLong.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        # Dtype-adaptive: parquet fixtures have shipped ts as both
+        # TIMESTAMP(NANOS) (read as long under nanosAsLong) and native
+        # timestamp[us]. Rebuild a microsecond timestamp only when the scan
+        # actually surfaces a long; a native timestamp passes through.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Session TZ is UTC, so NTZ->LTZ is a value-identical
+            # reinterpretation; downstream ops (unix_micros, window) want
+            # TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -23,23 +23,29 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..session import prepare
 
-EVENTS_STREAM_SCHEMA = (
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
-
-
 def read_events_stream(spark, sf_dir):
-    """Streaming file source over the events parquet; ns->us recipe inline.
+    """Streaming file source over the events parquet; dtype-adaptive ts.
 
     The file source monitors a DIRECTORY; the fixture is a single file, so
     expose it via a symlink in a temp dir (testdata stays untouched).
+
+    The stream schema is taken from a batch scan of the same file, so the
+    fixture's ts dtype (TIMESTAMP(NANOS)-as-long under nanosAsLong, or
+    native timestamp[us]) is honored; a long ts is rebuilt to a
+    microsecond timestamp in-stream (§1.3 recipe).
     """
     prepare(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
     stream_dir = tempfile.mkdtemp(prefix="npc_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stream_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    os.symlink(path, f"{stream_dir}/events.parquet")
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_to_memory(df, output_mode: str) -> str:
