@@ -575,7 +575,7 @@ def t_dup_clusters(spark, sf_dir):
     labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     ).cache()
-    for _ in range(20):  # cap >> any real component diameter here
+    for rnd in range(20):  # cap >> any real component diameter here
         neigh = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy(F.col("a").alias("doc_id"))
@@ -587,17 +587,25 @@ def t_dup_clusters(spark, sf_dir):
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
-            .cache()
         )
+        # Every 4th round, localCheckpoint (materializes the small label
+        # frame and truncates the growing join lineage — the standard
+        # iterative-graph hygiene); plain cache otherwise.
+        new = new.localCheckpoint() if (rnd + 1) % 4 == 0 else new.cache()
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "doc_id")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        labels.unpersist()  # superseded label frame; executor memory back
         labels = new
         if changed == 0:
             break
+    # Pin the converged labels off the edge lineage, then release the
+    # cached edge list — nothing downstream recomputes it.
+    labels = labels.localCheckpoint()
+    edges.unpersist()
     csize = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(csize, "label")
