@@ -250,6 +250,110 @@ def v_embed_neardup(spark, sf_dir):
     )
 
 
+def _sign_bucket_sql(band: int, elem: str = "embedding[{i}]") -> str:
+    """4-bit sign bucket for one band: dims 4*band+1 .. 4*band+4 (1-indexed).
+
+    Axis-aligned SimHash: bit j is set iff the coordinate is >= 0. `elem`
+    is the engine's 1-INDEXED element accessor: DuckDB's `embedding[{i}]`
+    subscript is 1-based, but Spark SQL's `[]` is 0-based, so the Spark
+    side must pass `element_at(embedding, {i})` (1-based). Float `>= 0`
+    agrees exactly across engines.
+    """
+    terms = [
+        f"(CASE WHEN {elem.format(i=4 * band + j + 1)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_BANDS_SQL = "\n        UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_sign_bucket_sql(b)} AS bucket FROM embeddings"
+    for b in range(4)
+)
+
+
+@register(
+    "v_embed_neardup_lsh",
+    f"""
+    WITH bands AS (
+        {_LSH_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.vec_a, c.vec_b,
+               round({_DUCK_DOT.format(a='qa.embedding', b='qb.embedding')}
+                     / ({_DUCK_NRM.format(a='qa.embedding')}
+                        * {_DUCK_NRM.format(a='qb.embedding')}), 6) + 0 AS cos
+        FROM cand c
+        JOIN embeddings qa ON qa.vec_id = c.vec_a
+        JOIN embeddings qb ON qb.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.35
+    """,
+)
+def v_embed_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup with a banded LSH prefilter — the 100 TB shape.
+
+    v_embed_neardup is exact all-pairs (quadratic by contract); THIS key is
+    the scale path its docstring promises: candidate pairs come from an
+    equi-join on (band, sign-bucket) — 4 bands x 4 sign bits over the first
+    16 dims — so the shuffle is linear in N + candidate count, never N^2.
+    Candidates sharing any band bucket are then rescored with the exact
+    JVM-side cosine (aggregate/zip_with fold, no Python) and thresholded
+    at the same 0.35. Output is a recall-limited subset of
+    v_embed_neardup's pairs (pigeonhole: any pair agreeing on all 16 sign
+    bits always survives); t_lsh_recall-style evaluation composes the two.
+
+    At 100 TB: the bands frame is written bucketed by (band, bucket) so
+    candidate generation is a co-located join, and the hash family widens
+    (more bands, random instead of axis-aligned hyperplanes) to trade
+    recall vs candidate volume. The oracle mirrors the identical bands +
+    rescore in DuckDB, so correctness covers prefilter AND rescore.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    _sign_bucket_sql(b, elem="element_at(embedding, {i})")
+                ).alias("bucket"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = emb.select("vec_id", F.explode(band_struct).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    qa = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    qb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
+        F.expr(_NRM.format(a="ea")) * F.expr(_NRM.format(a="eb"))
+    )
+    return (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select("vec_a", "vec_b", f6(cos).alias("cos"))
+        .where(F.col("cos") >= 0.35)
+    )
+
+
 @register(
     "v_ann_ivf",
     f"""

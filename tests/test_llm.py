@@ -149,6 +149,26 @@ def test_lsh_neardup_subset_of_exact_with_high_recall(spark):
     assert len(lsh & exact) / len(exact) >= 0.9
 
 
+def test_embed_neardup_lsh_subset_exact_cosines(spark):
+    """The banded sign-bit prefilter emits only true pairs (precision 1.0:
+    every emitted pair is rescored with the exact cosine before the 0.35
+    threshold, so it's a subset of the exact operator), with the exact
+    operator's cosine values, and it must surface at least one pair on the
+    planted near-dup fixture."""
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in registry.QUERIES["v_embed_neardup"](spark, SF_SMALL).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in registry.QUERIES["v_embed_neardup_lsh"](spark, SF_SMALL).collect()
+    }
+    assert lsh, "prefilter should surface at least one planted near-dup pair"
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
+
+
 def test_scrub_pii_actually_redacts(spark):
     """The surrogate-term redaction must fire: some documents have hits,
     and for exactly those documents the scrubbed digest differs from the
