@@ -51,6 +51,7 @@ HEADLINE = [
     "t_decontaminate",           # round 2: benchmark n-gram decontamination
     "v_cosine_topk",
     "v_embed_neardup",           # round 2: distributed block-pair matmul
+    "v_embed_neardup_lsh",       # round 5: banded LSH prefilter + exact rescore
     "v_ann_ivf",                 # round 2: prune-before-score cell probe
     "st_session",
     "u_apply_in_pandas",
