@@ -162,6 +162,17 @@ def test_minhash_lsh_has_no_allpairs_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embed_neardup_lsh_candidates_are_equi_join(spark):
+    """The LSH prefilter's candidate generation must plan as a hash
+    equi-join on (band, bucket) — a cartesian/nested-loop operator would
+    mean the prefilter degenerated to the all-pairs scan it exists to
+    avoid. The vec_id '<' predicate must ride the equi-join as a
+    post-condition, not force a nested loop."""
+    plan = _plan(spark, "v_embed_neardup_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dpp_join_prunes_partitions_at_runtime(spark):
     """The partitioned-fact join must carry a dynamicpruning subquery in the
     scan (runtime partition pruning from the broadcast dim), not scan all
