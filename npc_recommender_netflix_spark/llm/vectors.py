@@ -355,6 +355,67 @@ def v_embed_neardup_lsh(spark, sf_dir):
 
 
 @register(
+    "v_semantic_dedup",
+    f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+              / ({_DUCK_NRM.format(a='a.embedding')}
+                 * {_DUCK_NRM.format(a='b.embedding')}) >= 0.35
+    ),
+    losers AS (SELECT DISTINCT vb FROM pairs)
+    SELECT e.label, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(e.vec_id) AS BIGINT) AS first_kept
+    FROM embeddings e LEFT JOIN losers l ON e.vec_id = l.vb
+    WHERE l.vb IS NULL
+    GROUP BY e.label
+    """,
+)
+def v_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication within quantizer cells.
+
+    The SemDeDup recipe (Abbas et al. 2023, public): cluster embeddings
+    with a coarse quantizer, then inside each cell drop every vector whose
+    cosine to a lower-id cell-mate reaches the threshold (the min-id
+    exemplar survives — same deterministic loser rule as the Jaccard
+    near-dup operators). Comparisons never cross cells, so total work is
+    sum(|cell|^2), not N^2, and the only shuffle is the equi-join on the
+    cell id — at 100 TB cells come from KMeans (r_kmeans /
+    v_ann_ivf_kmeans quantizers) and vectors are stored bucketed by cell,
+    making the self-join co-located. Here the `label` column stands in as
+    the (deterministic) cell assignment so the DuckDB oracle can mirror
+    the cells exactly; output is the per-cell survivor census.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
+        F.expr(_NRM.format(a="ea")) * F.expr(_NRM.format(a="eb"))
+    )
+    losers = (
+        a.join(b, "label")
+        .where(F.col("va") < F.col("vb"))
+        .where(cos >= 0.35)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.join(losers, "vec_id", "left_anti")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.min("vec_id").cast("long").alias("first_kept"),
+        )
+    )
+
+
+@register(
     "v_ann_ivf",
     f"""
     WITH cent AS (

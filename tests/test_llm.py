@@ -169,6 +169,30 @@ def test_embed_neardup_lsh_subset_exact_cosines(spark):
         assert cos == exact[pair]
 
 
+def test_semantic_dedup_keeps_min_exemplar_per_cell(spark):
+    """The min-id vector of every cell can never be a loser (the drop rule
+    requires a LOWER-id near neighbor), so it must survive; survivor counts
+    are bounded by cell size; and on the planted-near-dup fixture at least
+    one cell must actually drop something."""
+    cells = {
+        r["label"]: (r["n_kept"], r["first_kept"])
+        for r in registry.QUERIES["v_semantic_dedup"](spark, SF_SMALL).collect()
+    }
+    sizes = {
+        r["label"]: (r["n"], r["mn"])
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.min("vec_id").alias("mn"))
+        .collect()
+    }
+    assert set(cells) == set(sizes)
+    for label, (n_kept, first_kept) in cells.items():
+        n, mn = sizes[label]
+        assert first_kept == mn
+        assert 1 <= n_kept <= n
+    assert any(cells[lb][0] < sizes[lb][0] for lb in cells), "no cell dropped"
+
+
 def test_scrub_pii_actually_redacts(spark):
     """The surrogate-term redaction must fire: some documents have hits,
     and for exactly those documents the scrubbed digest differs from the
