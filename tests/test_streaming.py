@@ -56,29 +56,44 @@ def test_streaming_dedup_restores_exact_counts(spark):
 
 
 def test_late_data_dropped_beyond_watermark(spark):
-    """Craft a 2-batch stream where batch 2 contains an event 3 hours older
-    than batch 1's max: with a 1h watermark the late row must be dropped."""
+    """Three deterministic micro-batches: b1 sets max event time 12:00 (so
+    watermark reaches 11:00), b2 is a fresh row keeping the stream moving,
+    b3 carries a 09:00 straggler that must be dropped.
+
+    Two determinism traps found the hard way: (a) each batch dir must be
+    ONE part file — multi-part dirs share a pinned mtime and the file
+    source breaks mtime ties in arbitrary listing order, letting the
+    12:00 row process before the 10:00 row and drop the ON-TIME row;
+    (b) the input-drop watermark lags the displayed one by a batch (the
+    wm computed from batch N's stats filters batch N+2's input), so the
+    straggler needs a batch BETWEEN it and the watermark-setting rows —
+    with only two batches Spark admits the late row and flushes its
+    window on the final availableNow tick."""
     tmp = tempfile.mkdtemp(prefix="npc_late_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
-    on_time = spark.createDataFrame(
-        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")], "id LONG, ts STRING"
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
-    late = spark.createDataFrame(
-        [(3, "2024-01-01 09:00:00")], "id LONG, ts STRING"
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
-    on_time.write.parquet(os.path.join(src, "b1"))
-    late.write.parquet(os.path.join(src, "b2"))
-    # FileStreamSource picks files oldest-mtime-first; both writes can land
-    # in the same clock tick, so pin b1 strictly older to make the two
-    # micro-batches (and thus the watermark advance) deterministic.
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, "id LONG, ts STRING").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.coalesce(1).write.parquet(os.path.join(src, name))
+
+    write_batch("b1", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")])
+    write_batch("b2", [(4, "2024-01-01 12:30:00")])
+    write_batch("b3", [(3, "2024-01-01 09:00:00")])
+    # FileStreamSource picks files oldest-mtime-first; writes can land in
+    # the same clock tick, so pin strictly increasing mtimes per batch.
     import time as _time
 
     now = _time.time()
+    offsets = {"b1": -240, "b2": -120, "b3": 0}
     for root, _, files in os.walk(src):
+        off = offsets.get(os.path.basename(root))
+        if off is None:
+            continue
         for f in files:
-            full = os.path.join(root, f)
-            os.utime(full, (now - 120, now - 120) if "/b1/" in full or root.endswith("b1") else (now, now))
+            os.utime(os.path.join(root, f), (now + off, now + off))
 
     stream = (
         spark.readStream.schema("id LONG, ts TIMESTAMP")
@@ -101,10 +116,10 @@ def test_late_data_dropped_beyond_watermark(spark):
     )
     q.awaitTermination()
     emitted = {r["ws"].hour: r["cnt"] for r in spark.table("late_test").collect()}
-    # watermark after b1 = 12:00-1h = 11:00 -> the 10:00 window closed with
-    # only event id=1; the 09:00 late arrival (b2) must NOT appear anywhere.
-    assert emitted.get(10) == 1
-    assert 9 not in emitted
+    # watermark from b1 = 12:00-1h = 11:00 -> the 10:00 window closed with
+    # only event id=1; the 09:00 straggler (b3) must NOT appear anywhere;
+    # the 12:00/12:30 windows are still open (never emitted in append).
+    assert emitted == {10: 1}
 
 
 def test_stateful_funnel_matches_batch(spark):
