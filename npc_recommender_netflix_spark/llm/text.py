@@ -47,6 +47,58 @@ def t_exact_dedup(spark, sf_dir):
 
 
 @register(
+    "t_incremental_dedup",
+    """
+    WITH corpus AS (SELECT md5(text) AS digest FROM documents
+                    WHERE doc_id % 5 <> 0 GROUP BY 1),
+    batch AS (SELECT doc_id, lang, md5(text) AS digest FROM documents
+              WHERE doc_id % 5 = 0)
+    SELECT b.lang,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(count(*) FILTER (WHERE c.digest IS NULL) AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (WHERE c.digest IS NOT NULL) AS BIGINT)
+               AS n_dup_vs_corpus
+    FROM batch b LEFT JOIN corpus c ON b.digest = c.digest
+    GROUP BY b.lang
+    """,
+)
+def t_incremental_dedup(spark, sf_dir):
+    """Incremental dedup: a new ingest batch against the existing corpus.
+
+    The daily-pipeline shape: the corpus is already deduped and only its
+    DIGEST SET is consulted — never its text — so the new batch (here the
+    deterministic doc_id%5 slice stands in for "today's crawl") left-joins
+    the corpus digests and keeps rows with no match. Per-language census of
+    batch size / genuinely-new / already-seen.
+
+    At 100 TB the corpus digest set is the only state the job carries
+    round to round: stored as its own compact parquet (32-char digests,
+    ~billions of rows << the corpus), the anti-join shuffles digests not
+    documents; when even that shuffle is too hot, a bloom filter built
+    over the digest column (see j_bloom_runtime_filter) prefilters
+    map-side and only bloom-positives reach the join. Spark's left join
+    here lets AQE choose broadcast vs shuffle from the measured digest-set
+    size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    batch = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", F.md5("text").alias("digest")
+    )
+    joined = batch.join(corpus, "digest", "left")
+    return joined.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_batch"),
+        F.count_if(F.col("seen").isNull()).cast("long").alias("n_new"),
+        F.count_if(F.col("seen").isNotNull()).cast("long").alias("n_dup_vs_corpus"),
+    )
+
+
+@register(
     "t_exact_dedup_digest",
     "SELECT lang, count(DISTINCT md5(text)) AS cnt FROM documents GROUP BY lang",
 )

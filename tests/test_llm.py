@@ -169,6 +169,24 @@ def test_embed_neardup_lsh_subset_exact_cosines(spark):
         assert cos == exact[pair]
 
 
+def test_incremental_dedup_census_partitions_batch(spark):
+    """new + already-seen must partition the batch exactly, per language,
+    and the batch slice must cover every doc_id % 5 == 0 document."""
+    rows = registry.QUERIES["t_incremental_dedup"](spark, SF_SMALL).collect()
+    batch_sizes = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .where(F.col("doc_id") % 5 == 0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r["lang"] for r in rows} == set(batch_sizes)
+    for r in rows:
+        assert r["n_new"] + r["n_dup_vs_corpus"] == r["n_batch"]
+        assert r["n_batch"] == batch_sizes[r["lang"]]
+
+
 def test_semantic_dedup_keeps_min_exemplar_per_cell(spark):
     """The min-id vector of every cell can never be a loser (the drop rule
     requires a LOWER-id near neighbor), so it must survive; survivor counts
