@@ -52,6 +52,8 @@ HEADLINE = [
     "v_cosine_topk",
     "v_embed_neardup",           # round 2: distributed block-pair matmul
     "v_embed_neardup_lsh",       # round 5: banded LSH prefilter + exact rescore
+    "v_semantic_dedup",          # round 5: within-cell SemDeDup census
+    "t_incremental_dedup",       # round 5: new-batch-vs-corpus digest join
     "v_ann_ivf",                 # round 2: prune-before-score cell probe
     "st_session",
     "u_apply_in_pandas",

@@ -162,6 +162,16 @@ def test_minhash_lsh_has_no_allpairs_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_and_incremental_dedup_are_equi_joins(spark):
+    """SemDeDup's within-cell self-pairs must come from the cell-id hash
+    join (cross-cell comparisons would be the N^2 it exists to avoid), and
+    incremental dedup must join digests, not text."""
+    for key in ("v_semantic_dedup", "t_incremental_dedup"):
+        plan = _plan(spark, key)
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
 def test_embed_neardup_lsh_candidates_are_equi_join(spark):
     """The LSH prefilter's candidate generation must plan as a hash
     equi-join on (band, bucket) — a cartesian/nested-loop operator would
