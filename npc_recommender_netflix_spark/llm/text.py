@@ -439,6 +439,76 @@ def t_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "t_boilerplate_ngrams",
+    r"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                    FROM documents))
+    ),
+    common AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING count(*) >= 0.08 * (SELECT count(*) FROM documents)
+    )
+    SELECT gr.doc_id,
+           round(count(c.g) * 1.0 / count(*), 6) AS bp_ratio,
+           count(c.g) * 1.0 / count(*) > 0.04 AS is_boilerplated
+    FROM grams gr LEFT JOIN common c ON gr.g = c.g
+    GROUP BY gr.doc_id
+    """,
+)
+def t_boilerplate_ngrams(spark, sf_dir):
+    """Cross-document boilerplate detection (the C4-style removal prestep).
+
+    t_repetition_filter flags repetition WITHIN a document; this flags
+    n-grams shared ACROSS the corpus — headers, footers, templates. A
+    bigram appearing in >= 25% of all documents (scale-invariant scalar
+    subquery, no tuned absolute count) is "boilerplate"; each document is
+    scored by the fraction of its distinct bigrams that are boilerplate.
+
+    At 100 TB: the gram->doc-frequency aggregate shuffles (doc, gram)
+    digests once with map-side partial distinct; the common-gram set is
+    tiny by construction (bounded by grams that fit 25% of the corpus —
+    vocabulary-scale, not corpus-scale) so the scoring join broadcasts.
+    Docs are scored independently afterward — one doc_id shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    grams = (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2), "
+                    "i -> concat(w[i], ' ', w[i + 1]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    total = docs.agg(F.count("*").alias("n_docs"))
+    common = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("nd") >= 0.08 * F.col("n_docs"))
+        .select("g")
+        .withColumn("hit", F.lit(1))
+    )
+    ratio = F.count("hit") * 1.0 / F.count("*")
+    return (
+        grams.join(F.broadcast(common), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            f6(ratio).alias("bp_ratio"),
+            (ratio > 0.04).alias("is_boilerplated"),
+        )
+    )
+
+
+@register(
     "t_repetition_filter",
     r"""
     WITH big AS (
