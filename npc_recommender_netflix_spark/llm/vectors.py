@@ -341,11 +341,22 @@ def v_embed_neardup_lsh(spark, sf_dir):
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    qa = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    qb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
-        F.expr(_NRM.format(a="ea")) * F.expr(_NRM.format(a="eb"))
+    # Precompute each vector's norm ONCE (O(N) folds) instead of inside the
+    # per-candidate cosine (O(candidates) folds x2: Catalyst pushes the
+    # >= 0.35 filter into the join condition AND keeps the projection, so
+    # whatever sits in `cos` is evaluated twice per candidate — keep only
+    # the unavoidable dot fold there).
+    qa = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(_NRM.format(a="embedding")).alias("na"),
     )
+    qb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(_NRM.format(a="embedding")).alias("nb"),
+    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(qa, "vec_a")
         .join(qb, "vec_b")
@@ -389,15 +400,22 @@ def v_semantic_dedup(spark, sf_dir):
     the cells exactly; output is the per-cell survivor census.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # Norms precomputed per vector (O(N) folds), not per pair (O(sum cell^2));
+    # dot/(na*nb) keeps the oracle's association so the floats stay
+    # bit-identical.
     a = emb.select(
-        F.col("label"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+        F.col("label"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.expr(_NRM.format(a="embedding")).alias("na"),
     )
     b = emb.select(
-        F.col("label"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+        F.col("label"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.expr(_NRM.format(a="embedding")).alias("nb"),
     )
-    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
-        F.expr(_NRM.format(a="ea")) * F.expr(_NRM.format(a="eb"))
-    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     losers = (
         a.join(b, "label")
         .where(F.col("va") < F.col("vb"))
