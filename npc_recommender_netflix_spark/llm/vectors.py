@@ -63,20 +63,28 @@ _COS_PAIR_SQL = f"""
 
 
 def _cos_pairs(spark, sf_dir, query_pred, cand_pred=None):
-    """All (query, candidate) cosine pairs, rounded 6dp."""
+    """All (query, candidate) cosine pairs, rounded 6dp.
+
+    Norms are folded once per vector before the pair join (O(Q + N), not
+    O(Q x N)); the per-pair expression keeps the oracle's dot/(nq*nc)
+    association so the floats stay bit-identical.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(query_pred).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_NRM.format(a="embedding")).alias("nq"),
     )
     c = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("label"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cand_id"),
+        F.col("label"),
+        F.col("embedding").alias("ce"),
+        F.expr(_NRM.format(a="embedding")).alias("nc"),
     )
     if cand_pred is not None:
         c = c.where(cand_pred)
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("cand_id"))
-    cos = F.expr(_DOT.format(a="qe", b="ce")) / (
-        F.expr(_NRM.format(a="qe")) * F.expr(_NRM.format(a="ce"))
-    )
+    cos = F.expr(_DOT.format(a="qe", b="ce")) / (F.col("nq") * F.col("nc"))
     return pairs.select("query_id", "cand_id", "label", f6(cos).alias("cos"))
 
 
