@@ -439,6 +439,114 @@ def t_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "t_span_dedup",
+    r"""
+    WITH chunks AS (
+        SELECT doc_id, md5(array_to_string(w[s + 1 : s + 40], ' ')) AS d
+        FROM (SELECT doc_id, w, unnest(range(0, len(w), 40)) AS s
+              FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                    FROM documents))
+    ),
+    owner AS (SELECT d, min(doc_id) AS first_doc FROM chunks GROUP BY d)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE c.doc_id > o.first_doc) AS BIGINT)
+               AS n_dup_chunks,
+           round(count(*) FILTER (WHERE c.doc_id > o.first_doc) * 1.0
+                 / count(*), 6) AS dup_ratio
+    FROM chunks c JOIN owner o ON c.d = o.d
+    GROUP BY c.doc_id
+    """,
+)
+def t_span_dedup(spark, sf_dir):
+    """Span-level dedup census — the RefinedWeb line-dedup analog.
+
+    Document-level dedup misses partial copies (a doc that quotes half of
+    another); span dedup tiles each document into non-overlapping 40-token
+    chunks, digests them, and marks a chunk duplicated when the SAME
+    digest already occurs in a lower doc_id (first occurrence owns the
+    span — the same deterministic survivor rule as the dedup ladder).
+    Output: per-doc chunk counts and duplicated-span ratio, the signal a
+    pipeline uses to strip or drop partially-copied documents.
+
+    At 100 TB: chunks shuffle as 32-char digests (never text), the
+    owner table is digest-keyed and merges map-side partials, and the
+    census join is digest-equi — the same linear shape as
+    t_exact_dedup_digest, just at sub-document granularity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    chunks = (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(0, size(w) - 1, 40)")).alias("s"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice(F.col("w"), F.col("s") + 1, 40), " ")).alias(
+                "d"
+            ),
+        )
+    )
+    owner = chunks.groupBy("d").agg(F.min("doc_id").alias("first_doc"))
+    joined = chunks.join(owner, "d")
+    dup = F.count_if(F.col("doc_id") > F.col("first_doc"))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        dup.cast("long").alias("n_dup_chunks"),
+        f6(dup * 1.0 / F.count("*")).alias("dup_ratio"),
+    )
+
+
+@register(
+    "t_zipf_fit",
+    r"""
+    WITH freq AS (
+        SELECT lang, word, count(*) AS cnt
+        FROM (SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
+              FROM documents)
+        GROUP BY lang, word
+    ),
+    ranked AS (
+        SELECT lang, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, word) AS rn
+        FROM freq
+    )
+    SELECT lang, round(regr_slope(ln(cnt), ln(rn)), 6) AS zipf_slope,
+           round(regr_r2(ln(cnt), ln(rn)), 6) AS r2,
+           CAST(count(*) AS BIGINT) AS vocab
+    FROM ranked GROUP BY lang
+    """,
+)
+def t_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit per language — a corpus-health signal.
+
+    Natural language follows ln(freq) ~ a + s*ln(rank) with s near -1;
+    corpora dominated by templates/spam/machine text deviate. Per
+    language: token frequencies, rank (freq desc, word tiebreak for
+    cross-engine determinism), then least-squares slope + R^2 via the
+    built-in regr_* aggregates (one partial+final pass, identical
+    definition in both engines).
+
+    At 100 TB the freq table is vocabulary-sized per language (not
+    corpus-sized) after the map-side-combined count, and the rank window
+    shuffles once on lang.
+    """
+    tok = tokens(spark, sf_dir)
+    freq = tok.groupBy("lang", "word").agg(F.count("*").alias("cnt"))
+    rw = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "word")
+    ranked = freq.withColumn("rn", F.row_number().over(rw))
+    return ranked.groupBy("lang").agg(
+        f6(F.expr("regr_slope(ln(cnt), ln(rn))")).alias("zipf_slope"),
+        f6(F.expr("regr_r2(ln(cnt), ln(rn))")).alias("r2"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+
+
+@register(
     "t_boilerplate_ngrams",
     r"""
     WITH grams AS (
