@@ -754,3 +754,266 @@ def q_pareto_brands(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "q_order_priority",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders per priority with at least one late lineitem.
+
+    The fixture lineitem has no commit/receipt dates, so "late" is adapted
+    to l_shipdate > o_orderdate + 90 days. The EXISTS decorrelates to a
+    LEFT SEMI join on orderkey with the lateness predicate in the join
+    condition: one shuffle on orderkey, the quarter predicate prunes the
+    orders scan (PushedFilters), and the semi join stops probing an order
+    at its first late lineitem instead of counting them all.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_market_share",
+    """
+    WITH base AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS rev,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = nc.n_regionkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0 END)
+                      AS DOUBLE) / sum(rev), 6) + 0 AS mkt_share
+    FROM base GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_2's share of PROMO-part revenue sold into ASIA.
+
+    part/supplier/nation/region all broadcast; the only shuffles are the
+    two fact joins (lineitem⋈orders on orderkey, orders⋈customer on
+    custkey). The share divides exact-integer revenue sums in one
+    association, so the 6dp round is stable on both engines.
+    """
+    li, part, supp, nation, orders, cust, region = tables(
+        spark, sf_dir,
+        "lineitem", "part", "supplier", "nation", "orders", "customer", "region",
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
+                part.p_partkey == li.l_partkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(ns), F.col("s_nkey") == supp.s_nationkey)
+        .join(orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
+            F.col("o_orderkey") == li.l_orderkey)
+        .join(cust, cust.c_custkey == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nkey") == cust.c_nationkey)
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              region.r_regionkey == F.col("c_rkey"))
+    )
+    rev = _rev_exact()
+    share_num = F.sum(F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0)))
+    return (
+        j.select(F.year("o_orderdate").cast("long").alias("o_year"),
+                 rev.alias("rev"), "supp_nation")
+        .groupBy("o_year")
+        .agg((F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("rev"))
+                  .otherwise(F.lit(0))).cast("double") / F.sum("rev"), 6) + 0.0
+              ).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q_priority_lines",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape: late-1997-shipment line counts split by priority.
+
+    The fixture has no l_shipmode, so the Q12 group-by key is adapted to
+    l_returnflag. The 1997 ship-year predicate prunes the lineitem scan
+    before the single orderkey shuffle; the priority split is a pair of
+    conditional sums folded into one partial-aggregated pass.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 / 7.0, 2) + 0.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4' AND l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: avg yearly revenue lost to small-quantity orders.
+
+    The per-part average quantity is a partial-aggregated groupBy over the
+    Brand#4-filtered partkeys only: the broadcast part dim filters lineitem
+    BEFORE the average is computed, so the avg subquery never shuffles the
+    full fact table (the oracle averages over all parts, but quantities
+    are brand-independent per partkey so restricting to Brand#4 partkeys
+    is value-identical — each part's average uses all its lineitems).
+    Sum runs in exact cents; quantities are integral so the avg is exact
+    and the 0.2x threshold compares identically on both engines.
+    """
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#4").select("p_partkey")
+    # Restrict lineitem to Brand#4 parts first (broadcast semi join), then
+    # compute each surviving part's average over ALL of its lineitems.
+    li_b = li.join(F.broadcast(brand_parts), part.p_partkey == li.l_partkey, "left_semi")
+    pa = li_b.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li_b.join(F.broadcast(pa), "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((F.round(F.sum(cents).cast("double") / 100.0 / 7.0, 2) + 0.0)
+             .alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_waiting_suppliers",
+    """
+    WITH lo AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ), flagged AS (
+        SELECT l_orderkey, l_suppkey, is_late,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+        FROM lo
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM flagged f JOIN supplier s ON s.s_suppkey = f.l_suppkey
+    WHERE f.is_late = 1 AND f.n_supp > 1 AND f.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier orders.
+
+    Adapted lateness = shipped >120 days after order date on a finished
+    ('F') order. Q21's correlated EXISTS / NOT EXISTS pair is decorrelated
+    into one aggregation pipeline: per-(order, supplier) lateness flags,
+    then per-order supplier/late counts via a window over the SAME
+    orderkey partitioning the groupBy just produced (no extra shuffle —
+    the window reuses the hash partitioning), then filter to sole-late
+    suppliers. One orderkey shuffle total; supplier names attach broadcast;
+    final top-10 is TakeOrderedAndProject.
+    """
+    from pyspark.sql.window import Window
+
+    li, orders, supp = tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    j = li.join(
+        orders.where(F.col("o_orderstatus") == "F"),
+        orders.o_orderkey == li.l_orderkey,
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS"), 1
+    ).otherwise(0)
+    lo = j.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("is_late"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = lo.select(
+        "l_orderkey", "l_suppkey", "is_late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late"),
+    )
+    return (
+        flagged.where(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), supp.s_suppkey == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
