@@ -818,3 +818,55 @@ def t_bigram_nll(spark, sf_dir):
         ).alias("nll2"),
         F.count("*").cast("long").alias("n_bigrams"),
     )
+
+
+@register(
+    "t_quality_survivor",
+    """
+    WITH d AS (SELECT doc_id, lang, n_chars,
+                      md5(substr(text, 1, 160)) AS digest FROM documents),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY digest
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY digest) AS cluster_size
+          FROM d)
+    SELECT digest, doc_id AS keep_doc_id, lang AS keep_lang,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+    FROM r WHERE rn = 1 AND cluster_size >= 2
+    """,
+)
+def t_quality_survivor(spark, sf_dir):
+    """Quality-based dedup survivorship: per near-dup cluster keep the
+    BEST document (longest n_chars, doc_id tiebreak), not the arbitrary or
+    min-id one — the survivor-selection policy real corpus pipelines apply
+    after clustering (t_canonical_dedup is the min-id variant).
+
+    Cluster key = md5 of the first 160 chars: a prefix fingerprint, the
+    cheapest near-dup blocking key (template/boilerplate dups share
+    openings; exact dups collide trivially). The digest is computed in the
+    scan projection, so the digest-keyed window shuffles 32-char digests +
+    metadata, never document bodies — the same linear shape as
+    t_exact_dedup_digest. Both window specs share one partitioning
+    (single Window exec after one shuffle).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.md5(F.substring(F.col("text"), 1, 160)).alias("digest"),
+    )
+    w = Window.partitionBy("digest")
+    r = d.select(
+        "digest", "doc_id", "lang",
+        F.row_number().over(w.orderBy(F.col("n_chars").desc(), "doc_id")).alias("rn"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+    return r.where((F.col("rn") == 1) & (F.col("cluster_size") >= 2)).select(
+        "digest",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("lang").alias("keep_lang"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+    )

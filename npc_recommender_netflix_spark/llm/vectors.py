@@ -689,3 +689,92 @@ def v_recall_at_k(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+_DUCK_DOT16 = (
+    "list_sum(list_transform(range(1, 17),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_DUCK_NRM16 = (
+    "sqrt(list_sum(list_transform(range(1, 17),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+@register(
+    "v_matryoshka_recall",
+    f"""
+    WITH p AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+                     / ({_DUCK_NRM.format(a='q.embedding')}
+                        * {_DUCK_NRM.format(a='c.embedding')}), 6) + 0 AS cosf,
+               round({_DUCK_DOT16.format(a='q.embedding', b='c.embedding')}
+                     / ({_DUCK_NRM16.format(a='q.embedding')}
+                        * {_DUCK_NRM16.format(a='c.embedding')}), 6) + 0 AS cost
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN (0, 1, 2, 3, 4)
+    ),
+    tf AS (SELECT query_id, cand_id FROM (
+               SELECT query_id, cand_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosf DESC, cand_id) AS rn
+               FROM p) WHERE rn <= 10),
+    tt AS (SELECT query_id, cand_id FROM (
+               SELECT query_id, cand_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cost DESC, cand_id) AS rn
+               FROM p) WHERE rn <= 10)
+    SELECT tt.query_id,
+           CAST(count(tf.cand_id) AS BIGINT) AS hits,
+           round(count(tf.cand_id) / 10.0, 6) AS recall10
+    FROM tt LEFT JOIN tf
+      ON tf.query_id = tt.query_id AND tf.cand_id = tt.cand_id
+    GROUP BY tt.query_id
+    """,
+)
+def v_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation evaluation: top-10 recall of 16-dim-prefix
+    cosine search against full 64-dim search for queries {0..4} — the
+    measurement that justifies serving truncated embeddings (MRL-style)
+    at a fraction of the scan+memory cost.
+
+    Norms for both widths fold ONCE per vector side before the broadcast
+    pair join (O(N), not O(Q*N)); the pair expression keeps the oracle's
+    dot/(nq*nc) association. Rankings order by the 6dp-rounded cosine with
+    cand_id tiebreak, so cross-engine float noise cannot reorder, and the
+    two top-10 lists compare with a per-query equi-join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_NRM.format(a="embedding")).alias("nq"),
+        F.expr(_NRM.format(a="slice(embedding, 1, 16)")).alias("nq16"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_NRM.format(a="embedding")).alias("nc"),
+        F.expr(_NRM.format(a="slice(embedding, 1, 16)")).alias("nc16"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("cand_id")).select(
+        "query_id", "cand_id",
+        f6(F.expr(_DOT.format(a="qe", b="ce")) / (F.col("nq") * F.col("nc")))
+        .alias("cosf"),
+        f6(F.expr(_DOT.format(a="slice(qe, 1, 16)", b="slice(ce, 1, 16)"))
+           / (F.col("nq16") * F.col("nc16"))).alias("cost"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cosf").desc(), "cand_id")
+    wt = Window.partitionBy("query_id").orderBy(F.col("cost").desc(), "cand_id")
+    tf = (pairs.withColumn("rn", F.row_number().over(wf))
+          .where(F.col("rn") <= 10).select("query_id", "cand_id"))
+    tt = (pairs.withColumn("rn", F.row_number().over(wt))
+          .where(F.col("rn") <= 10).select("query_id", "cand_id"))
+    hit = tf.withColumn("h", F.lit(1))
+    return (
+        tt.join(hit, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("h").cast("long").alias("hits"))
+        .select("query_id", "hits", f6(F.col("hits") / 10.0).alias("recall10"))
+    )

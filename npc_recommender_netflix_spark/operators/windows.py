@@ -270,3 +270,58 @@ def w_sessionize(spark, sf_dir):
         F.count("*").cast("long").alias("n_events"),
         (F.max(us) - F.min(us)).cast("long").alias("span_us"),
     )
+
+
+@register(
+    "w_gap_fill",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+    spine AS (SELECT user_id, d0,
+                     unnest(range(0, date_diff('day', d0, d1) + 1)) AS i
+              FROM span),
+    days AS (SELECT user_id, d0 + CAST(i AS INTEGER) AS day FROM spine)
+    SELECT dy.user_id, dy.day, coalesce(dl.n, 0) AS n,
+           CAST(CASE WHEN dl.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM days dy LEFT JOIN daily dl
+      ON dl.user_id = dy.user_id AND dl.d = dy.day
+    """,
+)
+def w_gap_fill(spark, sf_dir):
+    """Time-series gap filling: per-user daily event counts with missing
+    days zero-filled over each user's own [first, last] activity span —
+    the densification step before any rolling-average / forecasting query.
+
+    The date spine is generated DISTRIBUTED: sequence(d0, d1) explodes
+    per user on whatever partitioning the span aggregate left (no driver
+    loop, no cross join against a global calendar), then left-joins the
+    daily counts back on (user, day). Spine size is bounded by the span,
+    not the event count, so skewed users cost days, not events.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    daily = (
+        ev.groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    span = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    days = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    return (
+        days.join(
+            daily,
+            (daily.user_id == days.user_id) & (daily.d == F.col("day")),
+            "left",
+        )
+        .select(
+            days.user_id,
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+        )
+    )

@@ -641,3 +641,173 @@ def r_coverage(spark, sf_dir):
         "n_rec_items", "n_catalog",
         f6(F.col("n_rec_items") * 1.0 / F.col("n_catalog")).alias("coverage"),
     )
+
+
+# Binary-relevance DCG position weights (1/log2(pos+1)) in exact 1e-12
+# units, so the per-user DCG sums BIGINTs (order-independent, engine-exact)
+# and only the final ndcg division touches floats. Both the Spark plan and
+# the oracle use these same literals.
+_DCG_W = {1: 1000000000000, 2: 630929753571, 3: 500000000000,
+          4: 430676558073, 5: 386852807235}
+_IDCG = {1: 1000000000000, 2: 1630929753571, 3: 2130929753571,
+         4: 2561606311644, 5: 2948459118879}
+
+_RANK_EVAL_SQL = """
+    WITH base AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id, l_quantity AS qty,
+               l_orderkey AS ok
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    train AS (SELECT user_id, item_id, sum(qty) AS rating FROM base
+              WHERE ok % 5 <> 0 GROUP BY 1, 2),
+    hold AS (SELECT DISTINCT user_id, item_id FROM base WHERE ok % 5 = 0),
+    pop AS (SELECT item_id, sum(rating) AS pop FROM train GROUP BY 1),
+    top20 AS (SELECT item_id, pop FROM (
+                  SELECT *, row_number() OVER (ORDER BY pop DESC, item_id) AS rn
+                  FROM pop) WHERE rn <= 20),
+    users AS (SELECT DISTINCT user_id FROM hold),
+    cand AS (SELECT u.user_id, t.item_id, t.pop
+             FROM users u CROSS JOIN top20 t
+             WHERE NOT EXISTS (SELECT 1 FROM train tr
+                               WHERE tr.user_id = u.user_id
+                                 AND tr.item_id = t.item_id)),
+    recs AS (SELECT user_id, item_id, rn FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                                              ORDER BY pop DESC, item_id) AS rn
+                 FROM cand) WHERE rn <= {k})
+"""
+
+
+def _rank_eval_recs(spark, sf_dir, k: int):
+    """Shared popularity-baseline eval harness: returns (recs, hold).
+
+    recs = top-k popularity recommendations per holdout user with their
+    1-based rank, candidates anti-joined against the user's training items;
+    hold = the user's held-out (orderkey%5) items. Same split and candidate
+    policy as r_precision_at_k so the three eval metrics agree.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    base = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    train = (
+        base.where(F.col("ok") % 5 != 0)
+        .groupBy("user_id", "item_id")
+        .agg(F.sum("qty").alias("rating"))
+    )
+    hold = base.where(F.col("ok") % 5 == 0).select("user_id", "item_id").distinct()
+    pop = train.groupBy("item_id").agg(F.sum("rating").alias("pop"))
+    wtop = Window.orderBy(F.col("pop").desc(), "item_id")
+    top20 = (
+        pop.withColumn("rn", F.row_number().over(wtop)).where(F.col("rn") <= 20).drop("rn")
+    )
+    users = hold.select("user_id").distinct()
+    cand = users.crossJoin(F.broadcast(top20)).join(
+        train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+    )
+    wrec = Window.partitionBy("user_id").orderBy(F.col("pop").desc(), "item_id")
+    recs = (
+        cand.withColumn("rn", F.row_number().over(wrec))
+        .where(F.col("rn") <= k)
+        .select("user_id", "item_id", "rn")
+    )
+    return recs, hold
+
+
+@register(
+    "r_ndcg",
+    _RANK_EVAL_SQL.format(k=5)
+    + f"""
+    , scored AS (
+        SELECT r.user_id,
+               sum(CASE WHEN h.item_id IS NULL THEN 0
+                        WHEN r.rn = 1 THEN {_DCG_W[1]}
+                        WHEN r.rn = 2 THEN {_DCG_W[2]}
+                        WHEN r.rn = 3 THEN {_DCG_W[3]}
+                        WHEN r.rn = 4 THEN {_DCG_W[4]}
+                        ELSE {_DCG_W[5]} END) AS dcg_units
+        FROM recs r LEFT JOIN hold h
+          ON h.user_id = r.user_id AND h.item_id = r.item_id
+        GROUP BY r.user_id
+    ), nrel AS (
+        SELECT user_id, least(count(*), 5) AS n_rel FROM hold GROUP BY user_id
+    )
+    SELECT s.user_id,
+           round(dcg_units / 1e12, 6) AS dcg5,
+           round(CAST(dcg_units AS DOUBLE) /
+                 (CASE n.n_rel WHEN 1 THEN {_IDCG[1]} WHEN 2 THEN {_IDCG[2]}
+                               WHEN 3 THEN {_IDCG[3]} WHEN 4 THEN {_IDCG[4]}
+                               ELSE {_IDCG[5]} END), 6) AS ndcg5
+    FROM scored s JOIN nrel n ON n.user_id = s.user_id
+    """,
+)
+def r_ndcg(spark, sf_dir):
+    """Offline eval: NDCG@5 (binary relevance) of the popularity baseline
+    against the orderkey%5 holdout — the ranking-aware companion to
+    r_precision_at_k (same split, same candidate policy).
+
+    DCG sums exact integer position weights (1/log2(pos+1) in 1e-12 units)
+    so partial aggregation is reorder-safe; ideal DCG is a prefix-sum
+    lookup on the user's holdout size capped at k. Both shuffles are keyed
+    aggregates on user_id; the top-20 candidate pool broadcasts.
+    """
+    recs, hold = _rank_eval_recs(spark, sf_dir, 5)
+    wmap = F.create_map(
+        *[F.lit(x) for kv in _DCG_W.items() for x in kv]
+    )
+    hit = hold.withColumn("hit", F.lit(1))
+    scored = (
+        recs.join(hit, ["user_id", "item_id"], "left")
+        .withColumn("w", F.when(F.col("hit").isNull(), F.lit(0))
+                    .otherwise(wmap[F.col("rn")]))
+        .groupBy("user_id")
+        .agg(F.sum("w").alias("dcg_units"))
+    )
+    imap = F.create_map(
+        *[F.lit(x) for kv in _IDCG.items() for x in kv]
+    )
+    nrel = hold.groupBy("user_id").agg(
+        F.least(F.count("*"), F.lit(5)).alias("n_rel")
+    )
+    return scored.join(nrel, "user_id").select(
+        "user_id",
+        f6(F.col("dcg_units") / 1e12).alias("dcg5"),
+        f6(F.col("dcg_units").cast("double") / imap[F.col("n_rel")]).alias("ndcg5"),
+    )
+
+
+@register(
+    "r_mrr",
+    _RANK_EVAL_SQL.format(k=10)
+    + """
+    SELECT r.user_id,
+           CAST(coalesce(min(CASE WHEN h.item_id IS NOT NULL THEN r.rn END), 0)
+                AS BIGINT) AS first_hit,
+           round(coalesce(1.0 / min(CASE WHEN h.item_id IS NOT NULL THEN r.rn END),
+                          0.0), 6) AS rr
+    FROM recs r LEFT JOIN hold h
+      ON h.user_id = r.user_id AND h.item_id = r.item_id
+    GROUP BY r.user_id
+    """,
+)
+def r_mrr(spark, sf_dir):
+    """Offline eval: per-user reciprocal rank of the first holdout hit in
+    the popularity top-10 (0 when no hit) — the MRR companion to r_ndcg,
+    same split/candidates. One user-keyed aggregate; rank arithmetic is a
+    single exact division before the 6dp round.
+    """
+    recs, hold = _rank_eval_recs(spark, sf_dir, 10)
+    hit = hold.withColumn("hit", F.lit(1))
+    first = (
+        recs.join(hit, ["user_id", "item_id"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.when(F.col("hit").isNotNull(), F.col("rn"))).alias("fh"))
+    )
+    return first.select(
+        "user_id",
+        F.coalesce(F.col("fh"), F.lit(0)).cast("long").alias("first_hit"),
+        f6(F.coalesce(1.0 / F.col("fh"), F.lit(0.0))).alias("rr"),
+    )
