@@ -340,3 +340,49 @@ def test_basket_rules_caches_baskets_and_broadcasts_dims(spark):
     plan = _plan(spark, "q_basket_rules")
     assert "InMemoryTableScan" in plan  # baskets cached for its 3 consumers
     assert "BroadcastHashJoin" in plan  # item/order-count tables broadcast
+
+
+def test_order_priority_semi_join(spark):
+    # Q4's EXISTS decorrelates to a semi join, never a count-all
+    plan = _plan(spark, "q_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    # part/supplier/nation(x2)/region all attach broadcast
+    plan = _plan(spark, "q_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_waiting_suppliers_bounded_shuffles(spark):
+    # join + (order,supp) agg + order window reuse orderkey partitioning;
+    # supplier attaches broadcast
+    plan = _plan(spark, "q_waiting_suppliers")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_ndcg_broadcasts_candidate_pool(spark):
+    # top-20 pool crosses users via broadcast, never a shuffled cross join
+    plan = _plan(spark, "r_ndcg")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_quality_survivor_single_digest_exchange(spark):
+    # both window specs (rank + cluster count) share one digest shuffle
+    plan = _plan(spark, "t_quality_survivor")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gap_fill_distributed_spine(spark):
+    # date spine explodes per user (Generate), no driver-side calendar
+    plan = _plan(spark, "w_gap_fill")
+    assert "Generate explode" in plan
+
+
+def test_matryoshka_recall_jvm_only(spark):
+    # both widths' cosines run as JVM array lambdas, queries broadcast
+    plan = _plan(spark, "v_matryoshka_recall")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
