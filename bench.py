@@ -57,6 +57,9 @@ HEADLINE = [
     "v_ann_ivf",                 # round 2: prune-before-score cell probe
     "st_session",
     "u_apply_in_pandas",
+    "q_market_share",       # round 5: Q8-shape two-fact-shuffle share
+    "q_waiting_suppliers",  # round 5: decorrelated Q21 sole-late suppliers
+    "r_ndcg",               # round 5: ranking-aware offline eval
     "r_als",            # MLlib ALS fit+transform (<=60 s budget)
 ]
 
