@@ -870,3 +870,81 @@ def t_quality_survivor(spark, sf_dir):
         F.col("cluster_size").cast("long").alias("cluster_size"),
         (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
     )
+
+
+@register(
+    "t_ccnet_bucket",
+    f"""
+    WITH tok AS ({TOKENS_SQL}),
+    uni AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    tot AS (SELECT count(*) AS n FROM tok),
+    nll AS (
+        SELECT t.doc_id, any_value(t.lang) AS lang,
+               round(ln(tot.n * 1.0) - avg(ln(uni.c * 1.0)), 6) + 0.0 AS nll
+        FROM tok t JOIN uni ON t.word = uni.word CROSS JOIN tot
+        GROUP BY t.doc_id, tot.n
+    ),
+    bucketed AS (
+        SELECT lang, nll,
+               ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS b
+        FROM nll
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(CAST(round(nll * 1e6) AS BIGINT)) / count(*) / 1e6, 6)
+               AS avg_nll
+    FROM bucketed GROUP BY lang, b
+    """,
+)
+def t_ccnet_bucket(spark, sf_dir):
+    """CCNet-style perplexity bucketing: score every doc with the corpus
+    unigram-LM NLL (t_unigram_nll's signal, full corpus), split each
+    language into head/middle/tail terciles, and report the per-bucket
+    census — the partition step CCNet uses to keep 'head' web data and
+    route 'tail' to filtering.
+
+    Terciles use ntile over (rounded nll, doc_id) — an exact rank split,
+    NOT percentile thresholds, so bucket assignment is engine-exact with
+    no float-boundary risk. The per-bucket avg re-sums nll in exact 1e-6
+    units (BIGINT) so partial-aggregation order can't move the 6dp round.
+    The unigram table broadcasts; shuffles are doc_id (score rollup) and
+    lang (ntile + census) — both linear.
+    """
+    from pyspark.sql.window import Window
+
+    tok = tokens(spark, sf_dir)
+    uni = tok.groupBy("word").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("n"))
+    nll = (
+        tok.join(F.broadcast(uni), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.avg(F.log(F.col("c") * 1.0)).alias("avg_lc"),
+        )
+        .select(
+            "doc_id", "lang",
+            (F.round(F.log(F.col("n") * 1.0) - F.col("avg_lc"), 6) + 0.0).alias("nll"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    b = nll.withColumn("b", F.ntile(3).over(w))
+    units = F.round(F.col("nll") * 1e6).cast("long")
+    return (
+        b.groupBy("lang", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(units).alias("u"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            f6(F.col("u") / F.col("n_docs") / 1e6).alias("avg_nll"),
+        )
+    )

@@ -482,3 +482,55 @@ def a_mad_outliers(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a_entropy",
+    """
+    WITH c AS (SELECT user_id, event_type, count(*) AS c
+               FROM events WHERE user_id < 50 GROUP BY 1, 2),
+    t AS (SELECT user_id, sum(c) AS n, count(*) AS k FROM c GROUP BY 1)
+    SELECT c.user_id,
+           CAST(any_value(t.n) AS BIGINT) AS n_events,
+           CAST(any_value(t.k) AS BIGINT) AS n_types,
+           round(sum(CAST(round((c.c * 1.0 / t.n) * ln(t.n * 1.0 / c.c)
+                                / ln(2) * 1e12) AS BIGINT)) / 1e12, 6) + 0
+               AS entropy_bits
+    FROM c JOIN t ON t.user_id = c.user_id
+    GROUP BY c.user_id
+    """,
+)
+def a_entropy(spark, sf_dir):
+    """Per-user Shannon entropy (bits) of the event-type distribution —
+    the behavioral-diversity signal feature pipelines derive per entity.
+
+    Each term p·log2(1/p) is rounded to exact 1e-12 units BEFORE the sum
+    (the same pre-round-then-integer-sum trick as r_baseline_bias), so the
+    per-user reduction is BIGINT arithmetic — partial-aggregation order
+    can't move the final 6dp round. The oracle phrases the per-user totals
+    as a self-join; here they're a window over the count table instead, so
+    the plan scans events ONCE and shuffles twice ((user, type) counts,
+    then user) — the final rollup reuses the window's partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    wu = Window.partitionBy("user_id")
+    ct = c.select(
+        "user_id", "c",
+        F.sum("c").over(wu).alias("n"),
+        F.count("*").over(wu).alias("k"),
+    )
+    term = F.round(
+        (F.col("c") * 1.0 / F.col("n"))
+        * F.log(F.col("n") * 1.0 / F.col("c"))
+        / F.log(F.lit(2.0))
+        * 1e12
+    ).cast("long")
+    return (
+        ct.groupBy("user_id")
+        .agg(
+            F.any_value("n").cast("long").alias("n_events"),
+            F.any_value("k").cast("long").alias("n_types"),
+            (F.round(F.sum(term) / 1e12, 6) + 0.0).alias("entropy_bits"),
+        )
+    )

@@ -325,3 +325,75 @@ def w_gap_fill(spark, sf_dir):
             F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
         )
     )
+
+
+@register(
+    "w_rolling_zscore",
+    """
+    WITH v AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE user_id < 20
+    ),
+    fr AS (
+        SELECT user_id, event_id, cents,
+               sum(cents) OVER w AS s,
+               sum(cents * cents) OVER w AS ss,
+               count(*) OVER w AS n
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           round(s * 1.0 / n / 100, 6) AS roll_mean,
+           round(CASE WHEN n > 1 AND ss * n > s * s
+                      THEN (cents - s * 1.0 / n)
+                           / sqrt((ss - s * 1.0 / n * s) / (n - 1))
+                 END, 6) + 0 AS z,
+           CASE WHEN n > 1 AND ss * n > s * s
+                     AND abs((cents - s * 1.0 / n)
+                             / sqrt((ss - s * 1.0 / n * s) / (n - 1))) > 2.5
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM fr
+    """,
+)
+def w_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection: each event's value against the
+    mean/stddev of its user's trailing 10-event frame — the streaming-less
+    outlier primitive for metric monitoring.
+
+    The frame sums run over exact BIGINT cents (sum and sum-of-squares),
+    so both engines carry identical integers through the window and the
+    variance/z expressions evaluate the same float arithmetic in the same
+    association — deterministic before the 6dp round. One user_id shuffle;
+    O(1) frame state per row (Spark's sliding-frame aggregation), never a
+    per-row rescan. The ss*n > s*s guard skips zero-variance frames
+    exactly (integer compare, no epsilon).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    v = ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    fr = v.select(
+        "user_id", "event_id", "cents",
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("ss"),
+        F.count("*").over(w).alias("n"),
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    ok = (F.col("n") > 1) & (F.col("ss") * F.col("n") > F.col("s") * F.col("s"))
+    z = (F.col("cents") - mean) / F.sqrt(
+        (F.col("ss") - mean * F.col("s")) / (F.col("n") - 1)
+    )
+    return fr.select(
+        "user_id", "event_id",
+        F.round(mean / 100, 6).alias("roll_mean"),
+        (F.round(F.when(ok, z), 6) + 0.0).alias("z"),
+        F.when(ok & (F.abs(z) > 2.5), 1).otherwise(0).alias("is_anomaly"),
+    )

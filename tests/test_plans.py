@@ -386,3 +386,24 @@ def test_matryoshka_recall_jvm_only(spark):
     plan = _plan(spark, "v_matryoshka_recall")
     assert "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ccnet_bucket_broadcasts_lm(spark):
+    # vocabulary-sized unigram table broadcasts onto the token stream
+    plan = _plan(spark, "t_ccnet_bucket")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_entropy_single_user_partitioning(spark):
+    # count table joins back to its own rollup on user_id: the join and
+    # both aggregates cluster on user_id (no extra full-width shuffle)
+    plan = _plan(spark, "a_entropy")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_rolling_zscore_single_window_exchange(spark):
+    # one user_id shuffle; all three frame aggregates share one Window exec
+    plan = _plan(spark, "w_rolling_zscore")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("Window") <= 1
