@@ -778,3 +778,72 @@ def v_matryoshka_recall(spark, sf_dir):
         .agg(F.count("h").cast("long").alias("hits"))
         .select("query_id", "hits", f6(F.col("hits") / 10.0).alias("recall10"))
     )
+
+
+@register(
+    "v_pq_quantize",
+    """
+    WITH codes AS (SELECT vec_id AS code, embedding AS ce FROM embeddings
+                   WHERE vec_id < 16),
+    data AS (SELECT vec_id, embedding AS ve FROM embeddings WHERE vec_id >= 16),
+    subs AS (SELECT unnest(range(0, 8)) AS sub_id),
+    d AS (
+        SELECT dt.vec_id, s.sub_id, c.code,
+               round(list_sum(list_transform(range(1, 9), i ->
+                   (CAST(ve[CAST(s.sub_id * 8 AS INTEGER) + i] AS DOUBLE)
+                    - CAST(ce[CAST(s.sub_id * 8 AS INTEGER) + i] AS DOUBLE))
+                   * (CAST(ve[CAST(s.sub_id * 8 AS INTEGER) + i] AS DOUBLE)
+                      - CAST(ce[CAST(s.sub_id * 8 AS INTEGER) + i] AS DOUBLE)))),
+                   6) + 0 AS dist2
+        FROM data dt CROSS JOIN subs s CROSS JOIN codes c
+    )
+    SELECT vec_id, sub_id, code, dist2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                     ORDER BY dist2, code) AS rn
+        FROM d
+    ) WHERE rn = 1
+    """,
+)
+def v_pq_quantize(spark, sf_dir):
+    """Product quantization: split the 64-dim embedding into 8 subvectors
+    of 8 dims, assign each to its nearest code from a 16-entry per-subspace
+    codebook (here: the subvectors of vec_id<16, a deterministic stand-in
+    for trained KMeans codebooks) — the compression step behind IVF-PQ
+    indexes, shrinking 64 floats to 8 byte-codes.
+
+    The codebook (16 rows) broadcasts; sub_ids explode map-side (8/row);
+    distances run as JVM array-lambda folds over slices, so the only
+    shuffle is the (vec_id, sub_id) argmin window — linear in corpus size.
+    Assignment orders by 6dp-rounded distance with code tiebreak:
+    engine-exact. At 100 TB the 16x8 codebook folds into one generated
+    expression (or a pandas UDF) to skip the 128x row blowup; the plan
+    shape (broadcast + map-side explode + one keyed argmin) is unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("ce")
+    )
+    data = emb.where(F.col("vec_id") >= 16).select(
+        "vec_id", F.col("embedding").alias("ve")
+    )
+    subs = data.select(
+        "vec_id", "ve",
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), CAST(7 AS BIGINT))")).alias("sub_id"),
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with("
+        " slice(ve, CAST(sub_id * 8 AS INT) + 1, 8),"
+        " slice(ce, CAST(sub_id * 8 AS INT) + 1, 8),"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        "           * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    d = subs.crossJoin(F.broadcast(codes)).select(
+        "vec_id", "sub_id", "code", (F.round(dist2, 6) + 0.0).alias("dist2")
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy("dist2", "code")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub_id", "code", "dist2")
+    )

@@ -811,3 +811,85 @@ def r_mrr(spark, sf_dir):
         F.coalesce(F.col("fh"), F.lit(0)).cast("long").alias("first_hit"),
         f6(F.coalesce(1.0 / F.col("fh"), F.lit(0.0))).alias("rr"),
     )
+
+
+@register(
+    "r_covisitation",
+    """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, ts, event_id, item,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id))
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM ev
+    ),
+    s AS (
+        SELECT user_id, item,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    si AS (SELECT DISTINCT user_id, sid, item FROM s),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b
+        FROM si a JOIN si b
+          ON a.user_id = b.user_id AND a.sid = b.sid AND a.item < b.item
+    )
+    SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM pairs GROUP BY item_a, item_b
+    ORDER BY n_sessions DESC, item_a, item_b
+    LIMIT 50
+    """,
+)
+def r_covisitation(spark, sf_dir):
+    """Session co-visitation matrix: item pairs viewed within the same
+    user session (30-min gap sessionization), counted across all sessions,
+    top-50 — the candidate-generation signal modern recsys builds before
+    any model (e.g. covisit matrices in ranking pipelines).
+
+    Composes w_sessionize's single-shuffle sessionization with a within-
+    session self-join: sessions stay partitioned by user_id through the
+    window, the (user, sid, item) dedup clusters on the same key, and the
+    pair join is per-session (work = Σ|session-items|², bounded by session
+    length — never a global item join). Pair counts partial-aggregate
+    before the final (item_a, item_b) shuffle; top-50 is
+    TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+    s = ev.withColumn(
+        "sid", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    si = s.select("user_id", "sid", "item").distinct()
+    a = si.select(
+        F.col("user_id").alias("ua"), F.col("sid").alias("sa"),
+        F.col("item").alias("item_a"),
+    )
+    b = si.select(
+        F.col("user_id").alias("ub"), F.col("sid").alias("sb"),
+        F.col("item").alias("item_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("ua") == F.col("ub")) & (F.col("sa") == F.col("sb"))
+        & (F.col("item_a") < F.col("item_b")),
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "item_a", "item_b")
+        .limit(50)
+    )

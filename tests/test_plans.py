@@ -407,3 +407,16 @@ def test_rolling_zscore_single_window_exchange(spark):
     plan = _plan(spark, "w_rolling_zscore")
     assert plan.count("Exchange hashpartitioning") <= 1
     assert plan.count("Window") <= 1
+
+
+def test_pq_quantize_broadcast_codebook_jvm_only(spark):
+    # 16-row codebook broadcasts; distances are JVM array lambdas
+    plan = _plan(spark, "v_pq_quantize")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_covisitation_topk_pushdown(spark):
+    # final top-50 must be a per-partition heap, not a global sort
+    plan = _plan(spark, "r_covisitation")
+    assert "TakeOrderedAndProject" in plan
