@@ -592,12 +592,19 @@ def t_dup_clusters(spark, sf_dir):
         # frame and truncates the growing join lineage — the standard
         # iterative-graph hygiene); plain cache otherwise.
         new = new.localCheckpoint() if (rnd + 1) % 4 == 0 else new.cache()
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # Dup-cluster diameters are tiny (2-3): run the first rounds
+        # WITHOUT a convergence job — the per-round changed-count is a
+        # Spark job each, and paying it before convergence is even
+        # possible just serializes the loop. From round 3 on, check.
+        if rnd >= 2:
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+        else:
+            changed = -1
         labels.unpersist()  # superseded label frame; executor memory back
         labels = new
         if changed == 0:
