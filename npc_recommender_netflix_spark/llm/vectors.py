@@ -847,3 +847,37 @@ def v_pq_quantize(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("vec_id", "sub_id", "code", "dist2")
     )
+
+
+@register(
+    "v_cluster_balance",
+    """
+    WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    t AS (SELECT sum(n) AS s, max(n) AS m, count(*) AS k FROM c)
+    SELECT c.label, CAST(c.n AS BIGINT) AS n_vecs,
+           round(c.n * 1.0 / t.s, 6) AS share,
+           round(t.m * 1.0 * t.k / t.s, 6) AS imbalance
+    FROM c CROSS JOIN t
+    """,
+)
+def v_cluster_balance(spark, sf_dir):
+    """IVF cell-balance census: per-cell vector counts, share, and the
+    global imbalance factor (max cell / mean cell) — the skew diagnostic
+    that predicts probe-cost variance in v_ann_ivf: a 10x-hot cell makes
+    every query routed there 10x slower, and at 100 TB it's the signal to
+    re-train the quantizer or split hot cells.
+
+    One partial-aggregated groupBy on the cell id; the totals attach as a
+    broadcast single-row cross join (same shape as t_tfidf's corpus-count).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count("*").alias("n"))
+    t = c.agg(
+        F.sum("n").alias("s"), F.max("n").alias("m"), F.count("*").alias("k")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        F.col("n").cast("long").alias("n_vecs"),
+        f6(F.col("n") * 1.0 / F.col("s")).alias("share"),
+        f6(F.col("m") * 1.0 * F.col("k") / F.col("s")).alias("imbalance"),
+    )

@@ -281,3 +281,100 @@ def j_self_pairs(spark, sf_dir):
         F.col("n1.n_name").alias("name_a"),
         F.col("n2.n_name").alias("name_b"),
     )
+
+
+@register(
+    "j_asof_nearest",
+    """
+    WITH u AS (
+        SELECT user_id, ts, 0 AS kind, ts AS view_ts, event_id
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, ts, 1 AS kind, NULL AS view_ts, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT *,
+               last_value(view_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+               first_value(view_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+        FROM u
+    )
+    SELECT event_id, ts,
+           CASE WHEN back_ts IS NULL THEN fwd_ts
+                WHEN fwd_ts IS NULL THEN back_ts
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+                ELSE fwd_ts END AS near_ts,
+           CAST(CASE WHEN back_ts IS NULL THEN epoch_us(fwd_ts) - epoch_us(ts)
+                     WHEN fwd_ts IS NULL THEN epoch_us(ts) - epoch_us(back_ts)
+                     WHEN epoch_us(ts) - epoch_us(back_ts)
+                          <= epoch_us(fwd_ts) - epoch_us(ts)
+                     THEN epoch_us(ts) - epoch_us(back_ts)
+                     ELSE epoch_us(fwd_ts) - epoch_us(ts) END AS BIGINT) AS gap_us,
+           CASE WHEN back_ts IS NULL THEN 'f'
+                WHEN fwd_ts IS NULL THEN 'b'
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN 'b'
+                ELSE 'f' END AS side
+    FROM m WHERE kind = 1
+    """,
+)
+def j_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join: each purchase pairs with its closest
+    view in EITHER direction (backward tie-wins) — the kdb/QuestDB 'asof
+    nearest' variant j_asof's backward-only semantics can't express.
+
+    Same single-shuffle emulation as j_asof (union + one user_id sort),
+    with BOTH directions read off the same sorted frame: running
+    last_value behind, running first_value ahead — two frames over one
+    Window partitioning, still one exchange. Gap compares run in integer
+    microseconds; equal-distance ties choose backward deterministically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("kind"),
+        F.col("ts").alias("view_ts"), "event_id",
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("view_ts"), "event_id",
+    )
+    u = views.unionByName(purch)
+    ordered = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+    back = F.last("view_ts", ignorenulls=True).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first("view_ts", ignorenulls=True).over(
+        ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = u.select("event_id", "ts", "kind", back.alias("back_ts"), fwd.alias("fwd_ts"))
+    gb = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))
+    gf = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
+    near = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(gb <= gf, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    gap = (
+        F.when(F.col("back_ts").isNull(), gf)
+        .when(F.col("fwd_ts").isNull(), gb)
+        .when(gb <= gf, gb)
+        .otherwise(gf)
+    )
+    side = (
+        F.when(F.col("back_ts").isNull(), F.lit("f"))
+        .when(F.col("fwd_ts").isNull(), F.lit("b"))
+        .when(gb <= gf, F.lit("b"))
+        .otherwise(F.lit("f"))
+    )
+    return m.where(F.col("kind") == 1).select(
+        "event_id", "ts",
+        near.alias("near_ts"),
+        gap.cast("long").alias("gap_us"),
+        side.alias("side"),
+    )

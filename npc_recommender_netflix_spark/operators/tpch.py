@@ -1017,3 +1017,57 @@ def q_waiting_suppliers(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "q_order_gaps",
+    """
+    WITH g AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey,
+           CAST(count(gap_days) AS BIGINT) AS n_gaps,
+           round(sum(gap_days) * 1.0 / count(gap_days), 6) AS avg_gap_days,
+           round(quantile_cont(gap_days, 0.5), 6) AS median_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM g WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def q_order_gaps(spark, sf_dir):
+    """Inter-purchase cadence: per-customer statistics over the day-gaps
+    between consecutive orders — the recency/frequency feature block of
+    any churn or LTV model.
+
+    The lag window and the rollup both cluster on o_custkey: one shuffle,
+    window then aggregate with no re-exchange. Gaps are exact integer
+    days (datediff), so avg re-derives from an integer sum and only the
+    interpolated median touches engine float paths (same percentile
+    semantics as a_median). Orderkey breaks same-day ties.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").cast("long").alias("n_gaps"),
+            f6(F.sum("gap_days") * 1.0 / F.count("gap_days")).alias("avg_gap_days"),
+            f6(F.percentile("gap_days", 0.5)).alias("median_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )

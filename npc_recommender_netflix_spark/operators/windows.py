@@ -397,3 +397,76 @@ def w_rolling_zscore(spark, sf_dir):
         (F.round(F.when(ok, z), 6) + 0.0).alias("z"),
         F.when(ok & (F.abs(z) > 2.5), 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+# EWMA position weights (1-alpha)^j, alpha=0.3, j=0 newest .. 9 oldest,
+# as exact double literals so both engines parse identical values instead
+# of each computing pow(0.7, j) in its own libm.
+_EWMA_W = [1.0, 0.7, 0.48999999999999994, 0.3429999999999999,
+           0.24009999999999995, 0.16806999999999994, 0.11764899999999996,
+           0.08235429999999996, 0.05764800999999997, 0.04035360699999998]
+
+
+@register(
+    "w_ewma",
+    f"""
+    WITH v AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE user_id < 20
+    ),
+    fr AS (
+        SELECT user_id, event_id, cents,
+               list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+        FROM v
+    )
+    SELECT user_id, event_id,
+           round(
+               list_sum(list_transform(range(1, len(l) + 1),
+                   i -> l[i] * ([{", ".join(repr(w) for w in _EWMA_W)}])[len(l) - i + 1]))
+               / list_sum(list_transform(range(1, len(l) + 1),
+                   i -> ([{", ".join(repr(w) for w in _EWMA_W)}])[i]))
+               / 100, 6) AS ewma
+    FROM fr
+    """,
+)
+def w_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (alpha=0.3, depth-10 frame)
+    of each user's event values — the smoothing primitive pandas users
+    reach for with .ewm(), expressed as a bounded-frame fold so it stays
+    a single window pass (true recursive EWMA needs unbounded state).
+
+    The frame's values collect IN FRAME ORDER (oldest first) and fold
+    against PRE-COMPUTED weight literals — both engines parse the same
+    decimals instead of calling their own pow(), and the products/sums run
+    in identical index order, so the result is bit-identical before the
+    6dp round. Exact BIGINT cents in, one user_id shuffle, O(frame) state.
+    """
+    wlit = "array(" + ", ".join(repr(w) for w in _EWMA_W) + ")"
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    v = ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    fr = v.select(
+        "user_id", "event_id",
+        F.collect_list("cents").over(w).alias("l"),
+    )
+    num = F.expr(
+        "aggregate(transform(l, (x, i) -> x * element_at(" + wlit + ", size(l) - i)),"
+        " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    den = F.expr(
+        "aggregate(slice(" + wlit + ", 1, size(l)),"
+        " CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    return fr.select(
+        "user_id", "event_id",
+        F.round(num / den / 100, 6).alias("ewma"),
+    )

@@ -162,7 +162,8 @@ ORACLE_WINDOW = (
 # q_priority_lines, q_small_qty_revenue, q_waiting_suppliers, r_ndcg,
 # r_mrr, t_quality_survivor, w_gap_fill, v_matryoshka_recall,
 # t_ccnet_bucket, a_entropy, w_rolling_zscore, v_pq_quantize,
-# r_covisitation
+# r_covisitation, j_asof_nearest, w_ewma, v_cluster_balance,
+# q_order_gaps
 # (added round 5), r_precision_at_k,
 # r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
 # v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,

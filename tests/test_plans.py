@@ -420,3 +420,23 @@ def test_covisitation_topk_pushdown(spark):
     # final top-50 must be a per-partition heap, not a global sort
     plan = _plan(spark, "r_covisitation")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_nearest_single_exchange(spark):
+    # both direction frames share one user_id sort/partitioning
+    plan = _plan(spark, "j_asof_nearest")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("Window") <= 1
+
+
+def test_ewma_jvm_fold_single_window(spark):
+    # weight fold is a JVM array lambda over one collect_list window
+    plan = _plan(spark, "w_ewma")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_order_gaps_window_and_agg_share_custkey(spark):
+    # lag window + rollup cluster on o_custkey: one exchange
+    plan = _plan(spark, "q_order_gaps")
+    assert plan.count("Exchange hashpartitioning") <= 1
