@@ -534,3 +534,135 @@ def a_entropy(spark, sf_dir):
             (F.round(F.sum(term) / 1e12, 6) + 0.0).alias("entropy_bits"),
         )
     )
+
+
+@register(
+    "a_ks_drift",
+    """
+    WITH v AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    c AS (SELECT cents,
+                 sum(grp) AS ca,
+                 sum(1 - grp) AS cb
+          FROM v GROUP BY cents),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+    cum AS (
+        SELECT cents,
+               sum(ca) OVER (ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING) AS cca,
+               sum(cb) OVER (ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING) AS ccb
+        FROM c
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           round(max(abs(cca * 1.0 / t.na - ccb * 1.0 / t.nb)), 6) AS ks_stat
+    FROM cum CROSS JOIN t
+    GROUP BY t.na, t.nb
+    """,
+)
+def a_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the purchase and
+    view value distributions — the classic distribution-drift test a
+    training-data pipeline runs between ingest batches before trusting
+    new data.
+
+    Empirical CDFs are running sums of exact integer counts over the
+    distinct-value axis (grouped to |distinct cents| rows first, so the
+    global-ordered window runs over the AGGREGATED axis — bounded by value
+    cardinality, not row count; at 100 TB you'd pre-bin to a fixed grid
+    which keeps this window constant-size). Each CDF ratio is one exact
+    division; the max runs over deterministic doubles.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    v = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+    )
+    # Shared by the totals and the CDF window: one materialization.
+    c = v.groupBy("cents").agg(
+        F.sum("grp").alias("ca"), F.sum(1 - F.col("grp")).alias("cb")
+    ).cache()
+    t = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        "cents",
+        F.sum("ca").over(wc).alias("cca"),
+        F.sum("cb").over(wc).alias("ccb"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .groupBy("na", "nb")
+        .agg(
+            f6(F.max(F.abs(
+                F.col("cca") * 1.0 / F.col("na")
+                - F.col("ccb") * 1.0 / F.col("nb")
+            ))).alias("ks_stat"),
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "ks_stat",
+        )
+    )
+
+
+@register(
+    "a_psi_drift",
+    """
+    WITH v AS (
+        SELECT CASE WHEN year(ts) < 1997 THEN 0 ELSE 1 END AS period,
+               least(greatest(CAST(floor(value / 100.0) AS BIGINT), 0), 9) AS bin
+        FROM events
+    ),
+    c AS (SELECT bin,
+                 sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) + 1 AS ca,
+                 sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) + 1 AS cb
+          FROM v GROUP BY bin),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)
+    SELECT round(sum(CAST(round((ca * 1.0 / t.na - cb * 1.0 / t.nb)
+                                * ln((ca * 1.0 / t.na) / (cb * 1.0 / t.nb))
+                                * 1e12) AS BIGINT)) / 1e12, 6) + 0 AS psi,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM c CROSS JOIN t
+    """,
+)
+def a_psi_drift(spark, sf_dir):
+    """Population Stability Index between the pre-1997 and 1997+ event
+    value distributions over a fixed 10-bin grid — the monitoring metric
+    feature stores alarm on (PSI > 0.2 = retrain).
+
+    The fixed binning (floor(value/100), clamped to [0, 9], add-1
+    smoothed) makes the aggregation axis CONSTANT-size regardless of
+    corpus scale: one partial-aggregated groupBy, totals broadcast, and
+    each bin's PSI term pre-rounds to exact 1e-12 units before the final
+    BIGINT sum (a_entropy's reorder-safe trick).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.when(F.year("ts") < 1997, 0).otherwise(1).alias("period"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 100.0).cast("long"), F.lit(0)),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    # Shared by the totals and the PSI terms: one materialization.
+    c = v.groupBy("bin").agg(
+        (F.sum(F.when(F.col("period") == 0, 1).otherwise(0)) + 1).alias("ca"),
+        (F.sum(F.when(F.col("period") == 1, 1).otherwise(0)) + 1).alias("cb"),
+    ).cache()
+    t = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    pa = F.col("ca") * 1.0 / F.col("na")
+    pb = F.col("cb") * 1.0 / F.col("nb")
+    term = F.round((pa - pb) * F.log(pa / pb) * 1e12).cast("long")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            (F.round(F.sum(term) / 1e12, 6) + 0.0).alias("psi"),
+            F.count("*").cast("long").alias("n_bins"),
+        )
+    )

@@ -893,3 +893,109 @@ def r_covisitation(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), "item_a", "item_b")
         .limit(50)
     )
+
+
+@register(
+    "r_user_cosine",
+    """
+    WITH base AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id,
+               sum(l_quantity) AS rating
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey < 300
+        GROUP BY 1, 2
+    ),
+    n AS (SELECT user_id, sqrt(sum(rating * rating)) AS nrm
+          FROM base GROUP BY user_id),
+    p AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 sum(a.rating * b.rating) AS dot
+          FROM base a JOIN base b
+            ON a.item_id = b.item_id AND a.user_id < b.user_id
+          GROUP BY 1, 2),
+    sims AS (
+        SELECT user_a, user_b, round(dot / (na.nrm * nb.nrm), 6) + 0 AS cosine
+        FROM p JOIN n na ON p.user_a = na.user_id
+               JOIN n nb ON p.user_b = nb.user_id
+    ),
+    bidir AS (
+        SELECT user_a AS user_id, user_b AS neighbor_id, cosine FROM sims
+        UNION ALL
+        SELECT user_b AS user_id, user_a AS neighbor_id, cosine FROM sims
+    )
+    SELECT user_id, neighbor_id, cosine, rn FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+                                          ORDER BY cosine DESC, neighbor_id)
+                       AS BIGINT) AS rn
+        FROM bidir
+    ) WHERE rn <= 5
+    """,
+)
+def r_user_cosine(spark, sf_dir):
+    """USER-user collaborative filtering: top-5 nearest users by rating-
+    vector cosine — the transposed twin of the item-item core
+    (r_cosine_sim), the other half of a classic Netflix-Prize
+    neighborhood ensemble.
+
+    Same scale discipline as the item side: the pair join keys on the
+    SHARED ITEM (never a user cross join), so work is Σ|item's raters|²
+    — bounded here by the user_id<300 slice, and at 100 TB by capping
+    hot items' posting lists exactly like t_jaccard_neardup_capped caps
+    hot shingles (drop items rated by >df_max users from the pair
+    generation; they carry no discriminative signal). Ratings are exact
+    integer sums, so dot/norm are float-deterministic; ranking orders by
+    rounded cosine with neighbor tiebreak.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    base = (
+        orders.where(F.col("o_custkey") < 300)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(F.sum("l_quantity").alias("rating"))
+        .cache()
+    )
+    n = base.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
+    )
+    a = base.select(
+        F.col("user_id").alias("user_a"), "item_id",
+        F.col("rating").alias("ra"),
+    )
+    b = base.select(
+        F.col("user_id").alias("user_b"), "item_id",
+        F.col("rating").alias("rb"),
+    )
+    p = (
+        a.join(b, (a.item_id == b.item_id) & (F.col("user_a") < F.col("user_b")))
+        .groupBy("user_a", "user_b")
+        .agg(F.sum(F.col("ra") * F.col("rb")).alias("dot"))
+    )
+    na = n.select(F.col("user_id").alias("user_a"), F.col("nrm").alias("na"))
+    nb = n.select(F.col("user_id").alias("user_b"), F.col("nrm").alias("nb"))
+    sims = (
+        p.join(F.broadcast(na), "user_a")
+        .join(F.broadcast(nb), "user_b")
+        .select(
+            "user_a", "user_b",
+            f6(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    bidir = sims.select(
+        F.col("user_a").alias("user_id"),
+        F.col("user_b").alias("neighbor_id"), "cosine",
+    ).unionByName(
+        sims.select(
+            F.col("user_b").alias("user_id"),
+            F.col("user_a").alias("neighbor_id"), "cosine",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        bidir.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("user_id", "neighbor_id", "cosine", "rn")
+    )

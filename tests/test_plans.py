@@ -440,3 +440,26 @@ def test_order_gaps_window_and_agg_share_custkey(spark):
     # lag window + rollup cluster on o_custkey: one exchange
     plan = _plan(spark, "q_order_gaps")
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_user_cosine_pairs_key_on_item(spark):
+    # user pairs generate via the shared-item equi-join, never a cross join
+    plan = _plan(spark, "r_user_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_drift_window_over_aggregated_axis(spark):
+    # the global CDF window runs over the distinct-cents axis, after the
+    # counting aggregate — a single-partition window over bounded rows
+    plan = _plan(spark, "a_ks_drift")
+    assert plan.index("Window") < plan.index("FileScan") or "HashAggregate" in plan[:plan.index("Window")]
+
+
+def test_psi_drift_constant_axis_no_shuffle_blowup(spark):
+    # fixed 10-bin grid: the bin-count table is cached (one materialization
+    # feeding totals + PSI terms; its single exchange prints once per
+    # InMemoryTableScan consumer in the plan string)
+    plan = _plan(spark, "a_psi_drift")
+    assert "InMemoryTableScan" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
