@@ -470,3 +470,50 @@ def w_ewma(spark, sf_dir):
         "user_id", "event_id",
         F.round(num / den / 100, 6).alias("ewma"),
     )
+
+
+@register(
+    "w_backfill_ffill",
+    """
+    WITH v AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        FROM events WHERE user_id < 20
+    )
+    SELECT user_id, event_id, cents,
+           last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+           CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS was_missing
+    FROM v
+    """,
+)
+def w_backfill_ffill(spark, sf_dir):
+    """Forward-fill imputation: carry each user's last observed value
+    across missing readings ('error' events stand in for sensor dropouts)
+    — the densification twin of w_gap_fill for the VALUE column, and the
+    standard last-observation-carried-forward feature transform.
+
+    One user_id shuffle + sort; last_value(IGNORE NULLS) is O(1) running
+    state per row (no self-join, no per-gap scan). Values carry as exact
+    BIGINT cents; leading missings before a user's first observation stay
+    NULL on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    v = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("long"))
+        .otherwise(F.round(F.col("value") * 100).cast("long"))
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return v.select(
+        "user_id", "event_id", "cents",
+        F.last("cents", ignorenulls=True).over(w).alias("ffill"),
+        F.when(F.col("cents").isNull(), 1).otherwise(0).alias("was_missing"),
+    )

@@ -463,3 +463,10 @@ def test_psi_drift_constant_axis_no_shuffle_blowup(spark):
     plan = _plan(spark, "a_psi_drift")
     assert "InMemoryTableScan" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ffill_single_sort_no_self_join(spark):
+    # forward fill = one window pass, not a gap self-join
+    plan = _plan(spark, "w_backfill_ffill")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan
