@@ -126,3 +126,62 @@ def test_window_topk_equals_per_group_sort(spark, rows):
         for s, u in sorted(items, key=lambda t: (-t[0], t[1]))[:2]:
             expect.add((g, s, u))
     assert got_set == expect
+
+
+def test_metric_operators_respect_bounds(spark):
+    """Value-range invariants of the round-5 metric operators on the
+    fixture slice: entropy within [0, log2(k)], KS and NDCG and recall
+    within [0, 1], MRR rr == 1/first_hit, EWMA inside the min/max of the
+    inputs it smooths (convex combination)."""
+    import math
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    ent = registry.QUERIES["a_entropy"](spark, SF_SMALL).collect()
+    assert ent
+    for r in ent:
+        assert -1e-9 <= r.entropy_bits <= math.log2(r.n_types) + 1e-9
+
+    ks = registry.QUERIES["a_ks_drift"](spark, SF_SMALL).collect()
+    assert len(ks) == 1 and 0.0 <= ks[0].ks_stat <= 1.0
+
+    ndcg = registry.QUERIES["r_ndcg"](spark, SF_SMALL).collect()
+    assert ndcg
+    assert all(0.0 <= r.ndcg5 <= 1.0 + 1e-9 for r in ndcg)
+
+    mrr = registry.QUERIES["r_mrr"](spark, SF_SMALL).collect()
+    assert mrr
+    for r in mrr:
+        if r.first_hit > 0:
+            assert abs(r.rr - round(1.0 / r.first_hit, 6)) < 1e-9
+        else:
+            assert r.rr == 0.0
+
+    rec = registry.QUERIES["v_matryoshka_recall"](spark, SF_SMALL).collect()
+    assert rec and all(0.0 <= r.recall10 <= 1.0 for r in rec)
+
+
+def test_ewma_is_convex_combination(spark):
+    """EWMA output must lie within [min, max] of each user's value stream
+    (weights are positive and normalized)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.round(F.col("value") * 100) / 100).alias("lo"),
+            F.max(F.round(F.col("value") * 100) / 100).alias("hi"),
+        )
+    )
+    ew = registry.QUERIES["w_ewma"](spark, SF_SMALL)
+    bad = (
+        ew.join(ev, "user_id")
+        .where((F.col("ewma") < F.col("lo") - 1e-6) | (F.col("ewma") > F.col("hi") + 1e-6))
+        .count()
+    )
+    assert bad == 0
