@@ -881,3 +881,106 @@ def v_cluster_balance(spark, sf_dir):
         f6(F.col("n") * 1.0 / F.col("s")).alias("share"),
         f6(F.col("m") * 1.0 * F.col("k") / F.col("s")).alias("imbalance"),
     )
+
+
+@register(
+    "v_ann_ivf_nprobe",
+    f"""
+    WITH cent AS (
+        SELECT e.label, t.i AS i, avg(CAST(e.embedding[t.i] AS DOUBLE)) AS cv
+        FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY e.label, t.i
+    ),
+    qcomp AS (
+        SELECT q.vec_id AS query_id, t.i AS i, CAST(q.embedding[t.i] AS DOUBLE) AS qv
+        FROM embeddings q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        WHERE q.vec_id IN (0, 1, 2)
+    ),
+    qc AS (
+        SELECT qcomp.query_id, cent.label,
+               round(sum(qcomp.qv * cent.cv)
+                     / (sqrt(sum(qcomp.qv * qcomp.qv)) * sqrt(sum(cent.cv * cent.cv))), 6)
+                   + 0 AS ccos
+        FROM qcomp JOIN cent ON qcomp.i = cent.i
+        GROUP BY 1, 2
+    ),
+    best2 AS (
+        SELECT query_id, label AS probe_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY ccos DESC, label) AS rn
+            FROM qc
+        ) WHERE rn <= 2
+    ),
+    pairs AS ({{_COS_PAIR_SQL}})
+    SELECT query_id, cand_id, cos, rn FROM (
+        SELECT pairs.query_id, pairs.cand_id, pairs.cos,
+               row_number() OVER (PARTITION BY pairs.query_id
+                                  ORDER BY pairs.cos DESC, pairs.cand_id) AS rn
+        FROM pairs JOIN best2 ON pairs.query_id = best2.query_id
+                             AND pairs.label = best2.probe_label
+    ) WHERE rn <= 5
+    """.replace("{_COS_PAIR_SQL}", _COS_PAIR_SQL),
+)
+def v_ann_ivf_nprobe(spark, sf_dir):
+    """IVF ANN with nprobe=2: route each query to its TWO nearest coarse
+    cells and exact-score the union — the recall/cost knob every IVF index
+    exposes (v_ann_ivf is nprobe=1; doubling probes roughly doubles scan
+    cost and recovers most boundary-vector recall loss).
+
+    Same prune-before-score shape: the 2-cell probe set joins candidates
+    BEFORE the cosine projection, so scoring touches ~2/n_cells of the
+    data; ranking spans the union of both cells' candidates.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+    )
+    qcomp = (
+        emb.where(F.col("vec_id").isin(0, 1, 2))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("embedding").alias("pos", "qv"),
+        )
+        .withColumn("qv", F.col("qv").cast("double"))
+    )
+    qc = (
+        qcomp.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", "label")
+        .agg(
+            f6(
+                F.sum(F.col("qv") * F.col("cv"))
+                / (
+                    F.sqrt(F.sum(F.col("qv") * F.col("qv")))
+                    * F.sqrt(F.sum(F.col("cv") * F.col("cv")))
+                )
+            ).alias("ccos")
+        )
+    )
+    bw = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    best2 = (
+        qc.withColumn("rn", F.row_number().over(bw))
+        .where(F.col("rn") <= 2)
+        .select("query_id", F.col("label").alias("probe_label"))
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label"), F.col("embedding").alias("ce")
+    )
+    probed = cand.join(F.broadcast(best2), cand.label == F.col("probe_label"))
+    q = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    joined = probed.join(F.broadcast(q), F.col("query_id") == F.col("qid")).where(
+        F.col("cand_id") != F.col("query_id")
+    )
+    cos = F.expr(_DOT.format(a="qe", b="ce")) / (
+        F.expr(_NRM.format(a="qe")) * F.expr(_NRM.format(a="ce"))
+    )
+    scored = joined.select("query_id", "cand_id", f6(cos).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "cos", "rn")
+    )

@@ -666,3 +666,66 @@ def a_psi_drift(spark, sf_dir):
             F.count("*").cast("long").alias("n_bins"),
         )
     )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), d = 1..9, as exact
+# double literals (both engines parse the same decimals; no engine log10).
+_BENFORD = [0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+            0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+            0.05799194697768673, 0.05115252244738129, 0.04575749056067514]
+
+
+@register(
+    "a_benford_fit",
+    f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n_obs,
+           round(n * 1.0 / t.total, 6) AS obs_share,
+           ([{", ".join(f"CAST({w!r} AS DOUBLE)" for w in _BENFORD)}])[CAST(digit AS INTEGER)]
+               AS exp_share,
+           round(abs(n * 1.0 / t.total
+                     - ([{", ".join(f"CAST({w!r} AS DOUBLE)" for w in _BENFORD)}])[CAST(digit AS INTEGER)]),
+                 6) AS abs_dev
+    FROM c CROSS JOIN t
+    ORDER BY digit
+    """,
+)
+def a_benford_fit(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the forensic
+    data-quality screen for fabricated or truncated numeric columns
+    (synthetic uniform data fails it loudly; organic multiplicative data
+    passes).
+
+    First digits come from the exact cents integer (no float formatting),
+    the digit axis is constant-size (9 rows) at any scale, totals attach
+    as a broadcast single-row join, and the expected shares are parsed
+    decimal literals — no engine computes its own log10.
+    """
+    wlit = "array(" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in _BENFORD) + ")"
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        ).cast("long").alias("digit")
+    )
+    # Shared by the totals and the share projection: one materialization.
+    c = d.groupBy("digit").agg(F.count("*").alias("n")).cache()
+    t = c.agg(F.sum("n").alias("total"))
+    exp = F.expr(f"element_at({wlit}, CAST(digit AS INT))")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n_obs"),
+            f6(F.col("n") * 1.0 / F.col("total")).alias("obs_share"),
+            exp.alias("exp_share"),
+            f6(F.abs(F.col("n") * 1.0 / F.col("total") - exp)).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

@@ -424,9 +424,9 @@ _EWMA_W = [1.0, 0.7, 0.48999999999999994, 0.3429999999999999,
     SELECT user_id, event_id,
            round(
                list_sum(list_transform(range(1, len(l) + 1),
-                   i -> l[i] * ([{", ".join(repr(w) for w in _EWMA_W)}])[len(l) - i + 1]))
+                   i -> l[i] * ([{", ".join(f"CAST({w!r} AS DOUBLE)" for w in _EWMA_W)}])[len(l) - i + 1]))
                / list_sum(list_transform(range(1, len(l) + 1),
-                   i -> ([{", ".join(repr(w) for w in _EWMA_W)}])[i]))
+                   i -> ([{", ".join(f"CAST({w!r} AS DOUBLE)" for w in _EWMA_W)}])[i]))
                / 100, 6) AS ewma
     FROM fr
     """,
@@ -443,7 +443,9 @@ def w_ewma(spark, sf_dir):
     in identical index order, so the result is bit-identical before the
     6dp round. Exact BIGINT cents in, one user_id shuffle, O(frame) state.
     """
-    wlit = "array(" + ", ".join(repr(w) for w in _EWMA_W) + ")"
+    # CAST each literal: a bare decimal literal parses as DECIMAL in Spark
+    # SQL, silently switching the fold to decimal arithmetic.
+    wlit = "array(" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in _EWMA_W) + ")"
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
     v = ev.select(
         "user_id", "event_id", "ts",

@@ -470,3 +470,23 @@ def test_ffill_single_sort_no_self_join(spark):
     plan = _plan(spark, "w_backfill_ffill")
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Join" not in plan
+
+
+def test_ivf_nprobe_prunes_before_scoring(spark):
+    """nprobe=2 keeps v_ann_ivf's filter-then-score shape: the zip_with
+    cosine Project sits above the probe-label join."""
+    lines = _plan(spark, "v_ann_ivf_nprobe").splitlines()
+    score = next(i for i, ln in enumerate(lines) if "zip_with" in ln)
+    prune = next(
+        i for i, ln in enumerate(lines)
+        if "BroadcastHashJoin" in ln and "probe_label" in ln
+    )
+    assert score < prune
+
+
+def test_benford_constant_axis(spark):
+    # digit axis is 9 rows; the digit-count table is cached (one
+    # materialization feeding totals + shares); no Python anywhere
+    plan = _plan(spark, "a_benford_fit")
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
