@@ -948,3 +948,67 @@ def t_ccnet_bucket(spark, sf_dir):
             f6(F.col("u") / F.col("n_docs") / 1e6).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "t_sentence_split",
+    r"""
+    WITH marked AS (
+        SELECT doc_id,
+               regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g') AS m
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT doc_id, unnest(string_split(m, chr(1))) AS sentence
+        FROM marked
+    ),
+    numbered AS (
+        SELECT doc_id, sentence,
+               row_number() OVER (PARTITION BY doc_id ORDER BY md5(sentence))
+                   AS dummy_rn,
+               length(sentence) AS n_chars
+        FROM s WHERE length(sentence) > 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars
+    FROM numbered GROUP BY doc_id
+    """,
+)
+def t_sentence_split(spark, sf_dir):
+    """Sentence segmentation census: split each document on
+    sentence-boundary punctuation (lookbehind regex, so the delimiter
+    stays attached) and report per-doc sentence statistics — the
+    preprocessing granularity between t_chunk_docs' token windows and
+    whole-document ops, and the unit most dedup/quality pipelines
+    actually operate on.
+
+    The split is a map-side array transform (zero shuffle until the
+    per-doc rollup on doc_id); sentence text itself never shuffles —
+    only integer lengths do. RE2 (DuckDB) has no lookbehind, so the
+    boundary is marked by a sentinel replace (backrefs: $1 Java vs \\1
+    RE2, 'g' flag explicit — the §2.7 divergence list) and both engines
+    split on the sentinel.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    s = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.col("text"), r"([.!?])\s+", "$1\u0001"),
+                "\u0001",
+            )
+        ).alias("sentence"),
+    ).where(F.length("sentence") > 0)
+    return (
+        s.select("doc_id", F.length("sentence").alias("n_chars"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sentences"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            f6(F.sum("n_chars") * 1.0 / F.count("*")).alias("avg_chars"),
+        )
+    )

@@ -729,3 +729,58 @@ def a_benford_fit(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "a_gini",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS i
+        FROM spend
+    ),
+    t AS (SELECT sum(cents) AS s, count(*) AS n,
+                 sum(i * cents) AS ws
+          FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(s / 100.0, 2) + 0.0 AS total_spend,
+           round(2.0 * ws / (n * s) - (n + 1.0) / n, 6) + 0 AS gini
+    FROM t
+    """,
+)
+def a_gini(spark, sf_dir):
+    """Gini coefficient of customer spend concentration — the inequality
+    summary behind every 'top x% of customers drive y% of revenue' slide,
+    and the q_pareto_brands curve collapsed to one number.
+
+    The global sort runs over the AGGREGATED per-customer axis (one row
+    per customer, orders of magnitude under the fact table), rank-weighted
+    sums stay exact BIGINT (cents × rank), and the Gini closed form
+    2Σ(i·x)/(nΣx) − (n+1)/n evaluates in one float association. At 100 TB
+    the customer axis still fits a single post-agg sort partition per the
+    q_pareto_brands argument; beyond that, the binned-Lorenz approximation
+    trades the sort for a fixed histogram.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    wr = Window.orderBy("cents", "o_custkey")
+    ranked = spend.select("cents", F.row_number().over(wr).alias("i"))
+    t = ranked.agg(
+        F.sum("cents").alias("s"),
+        F.count("*").alias("n"),
+        F.sum(F.col("i") * F.col("cents")).alias("ws"),
+    )
+    return t.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (F.round(F.col("s") / 100.0, 2) + 0.0).alias("total_spend"),
+        (F.round(
+            2.0 * F.col("ws") / (F.col("n") * F.col("s"))
+            - (F.col("n") + 1.0) / F.col("n"), 6) + 0.0).alias("gini"),
+    )

@@ -164,7 +164,8 @@ ORACLE_WINDOW = (
 # t_ccnet_bucket, a_entropy, w_rolling_zscore, v_pq_quantize,
 # r_covisitation, j_asof_nearest, w_ewma, v_cluster_balance,
 # q_order_gaps, r_user_cosine, a_ks_drift, a_psi_drift,
-# w_backfill_ffill, v_ann_ivf_nprobe, a_benford_fit
+# w_backfill_ffill, v_ann_ivf_nprobe, a_benford_fit, a_gini,
+# t_sentence_split
 # (added round 5), r_precision_at_k,
 # r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
 # v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,

@@ -490,3 +490,21 @@ def test_benford_constant_axis(spark):
     plan = _plan(spark, "a_benford_fit")
     assert "InMemoryTableScan" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gini_sorts_aggregated_axis_only(spark):
+    """The global rank window must consume the per-customer aggregate
+    (bounded rows), never the raw orders scan."""
+    lines = _plan(spark, "a_gini").splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg = next(i for i, ln in enumerate(lines)
+               if "HashAggregate" in ln and "o_custkey" in ln)
+    # toString prints root-first: the aggregate must sit BELOW the window
+    assert agg > win
+
+
+def test_sentence_split_mapside_until_rollup(spark):
+    # sentinel replace + split + explode are map-side; one doc_id shuffle
+    plan = _plan(spark, "t_sentence_split")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
