@@ -784,3 +784,73 @@ def a_gini(spark, sf_dir):
             2.0 * F.col("ws") / (F.col("n") * F.col("s"))
             - (F.col("n") + 1.0) / F.col("n"), 6) + 0.0).alias("gini"),
     )
+
+
+@register(
+    "a_cramers_v",
+    """
+    WITH cell AS (
+        SELECT event_type AS et, dayofweek(ts) + 1 AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT et, dow, n,
+               sum(n) OVER (PARTITION BY et) AS nr,
+               sum(n) OVER (PARTITION BY dow) AS nc,
+               sum(n) OVER () AS tot
+        FROM cell
+    ),
+    t AS (
+        SELECT CAST(round((n - nr * 1.0 * nc / tot)
+                          * (n - nr * 1.0 * nc / tot)
+                          / (nr * 1.0 * nc / tot) * 1e9) AS BIGINT) AS term,
+               n, et, dow, tot
+        FROM m
+    )
+    SELECT CAST(max(tot) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT et) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT dow) AS BIGINT) AS n_days,
+           round(sum(term) / 1e9, 6) AS chi2,
+           round(sqrt(sum(term) / 1e9
+                      / (max(tot) * (least(count(DISTINCT et),
+                                           count(DISTINCT dow)) - 1))), 6)
+               AS cramers_v
+    FROM t
+    """,
+)
+def a_cramers_v(spark, sf_dir):
+    """Cramér's V association between event type and day-of-week — the
+    categorical-vs-categorical dependence screen (chi-square normalized to
+    [0,1]) a feature-audit pipeline runs before one-hot encoding.
+
+    The contingency table is ONE count shuffle (cells bounded by
+    |types| x 7, independent of row count); margins attach via window sums
+    over that tiny frame, and each chi-square term is rounded to exact
+    1e-9 BIGINT units before the final sum so the reduction is
+    reorder-safe across partitions. Spark dayofweek is 1-based Sunday;
+    the oracle shifts DuckDB's 0-based dow to match.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+    ).agg(F.count("*").alias("n"))
+    m = cell.select(
+        "et", "dow", "n",
+        F.sum("n").over(Window.partitionBy("et")).alias("nr"),
+        F.sum("n").over(Window.partitionBy("dow")).alias("nc"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    e = F.col("nr") * 1.0 * F.col("nc") / F.col("tot")
+    term = F.round((F.col("n") - e) * (F.col("n") - e) / e * 1e9).cast("long")
+    t = m.select(term.alias("term"), "n", "et", "dow", "tot")
+    chi2 = F.sum("term") / 1e9
+    dof = F.least(F.countDistinct("et"), F.countDistinct("dow")) - 1
+    return t.agg(
+        F.max("tot").cast("long").alias("n_rows"),
+        F.countDistinct("et").cast("long").alias("n_types"),
+        F.countDistinct("dow").cast("long").alias("n_days"),
+        f6(chi2).alias("chi2"),
+        f6(F.sqrt(chi2 / (F.max("tot") * dof))).alias("cramers_v"),
+    )

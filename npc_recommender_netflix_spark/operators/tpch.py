@@ -1071,3 +1071,54 @@ def q_order_gaps(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "q_ship_latency",
+    """
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(days) * 1.0 / count(*), 6) AS avg_days,
+           round(quantile_cont(days, 0.5), 6) AS p50_days,
+           round(quantile_cont(days, 0.9), 6) AS p90_days,
+           round(quantile_cont(days, 0.99), 6) AS p99_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_ship_latency(spark, sf_dir):
+    """Order-to-ship latency SLA percentiles by order priority — the
+    fulfillment-health query every ops dashboard leads with (does URGENT
+    actually ship faster, and what does the p99 tail look like?).
+
+    Latency is an exact integer day count (datediff), so percentile
+    interpolation runs identical arithmetic in both engines. The only
+    shuffle is the lineitem-orders orderkey join (AQE picks the strategy);
+    the priority aggregate reuses partial aggregation with 5 groups, and
+    the average divides exact integer sums. At 100 TB the join is the
+    bucketed-colocated shape (j_bucketed_colocated) and percentiles swap
+    to approx_percentile with a documented error bound — the fixture keeps
+    the exact form so the oracle can hash-match.
+    """
+    li, orders = tables(spark, sf_dir, "lineitem", "orders")
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            f6(F.sum("days") * 1.0 / F.count("*")).alias("avg_days"),
+            f6(F.percentile("days", 0.5)).alias("p50_days"),
+            f6(F.percentile("days", 0.9)).alias("p90_days"),
+            f6(F.percentile("days", 0.99)).alias("p99_days"),
+            F.max("days").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

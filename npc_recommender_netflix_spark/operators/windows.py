@@ -519,3 +519,133 @@ def w_backfill_ffill(spark, sf_dir):
         F.last("cents", ignorenulls=True).over(w).alias("ffill"),
         F.when(F.col("cents").isNull(), 1).otherwise(0).alias("was_missing"),
     )
+
+
+@register(
+    "w_ohlc_bars",
+    """
+    WITH v AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE user_id < 50
+    ),
+    rn AS (
+        SELECT user_id, day, cents,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM v
+    )
+    SELECT user_id, day,
+           round(max(CASE WHEN rn_a = 1 THEN cents END) / 100.0, 2) AS open,
+           round(max(cents) / 100.0, 2) AS high,
+           round(min(cents) / 100.0, 2) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN cents END) / 100.0, 2) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(cents) / 100.0, 2) AS volume
+    FROM rn GROUP BY user_id, day
+    """,
+)
+def w_ohlc_bars(spark, sf_dir):
+    """Time-bar aggregation: per-(user, day) OHLC candles over event values
+    — the downsampling primitive behind any metric/market dashboard
+    (open/close = first/last value in the bar, high/low = extrema,
+    volume = bar sum).
+
+    Values travel as exact BIGINT cents; open/close are picked by
+    row_number over the deterministic (ts, event_id) order rather than
+    first_value/arg_min so ties resolve identically in both engines. The
+    two window specs and the final groupBy all share the (user_id, day)
+    hash partitioning — ONE shuffle, two in-partition sorts (Spark keeps
+    both Window execs in the same exchange). Bar count is bounded by
+    users x days, never by event volume, so output stays small at any SF.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    v = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = v.select(
+        "user_id", "day", "cents",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return rn.groupBy("user_id", "day").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("cents"))) / 100.0, 2).alias("open"),
+        F.round(F.max("cents") / 100.0, 2).alias("high"),
+        F.round(F.min("cents") / 100.0, 2).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("cents"))) / 100.0, 2).alias("close"),
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("cents") / 100.0, 2).alias("volume"),
+    )
+
+
+@register(
+    "w_ltv_deciles",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+        SELECT cents,
+               ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+        FROM spend
+    ),
+    agg AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+               sum(cents) AS rev_cents
+        FROM d GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           round(rev_cents / 100.0, 2) AS decile_revenue,
+           round(rev_cents * 1.0 / sum(rev_cents) OVER (), 6) AS revenue_share,
+           round(sum(rev_cents) OVER (ORDER BY decile)
+                 * 1.0 / sum(rev_cents) OVER (), 6) AS cum_share
+    FROM agg
+    """,
+)
+def w_ltv_deciles(spark, sf_dir):
+    """Customer-lifetime-value decile table with Lorenz cumulative shares —
+    the concentration view (complement of a_gini's scalar) marketing uses
+    to answer "what fraction of revenue do the top 10% drive?".
+
+    Spend folds to exact cents per customer first (facts never reach the
+    ntile), so the global sort ranks |customers| rows, not |orders|. The
+    single-partition ntile is the honest fixture shape; at 100 TB the same
+    decile assignment comes from approx_percentile boundary keys + a
+    range-partitioned join, which the docstring-level plan swap keeps
+    output-identical. The decile rollup and both frame sums run over 10
+    rows — driver-free but trivially sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    d = spend.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    agg = d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("decile")
+    return agg.select(
+        "decile", "n_customers",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("decile_revenue"),
+        f6(F.col("rev_cents") * 1.0 / F.sum("rev_cents").over(w_all)).alias("revenue_share"),
+        f6(
+            F.sum("rev_cents").over(w_cum) * 1.0 / F.sum("rev_cents").over(w_all)
+        ).alias("cum_share"),
+    )

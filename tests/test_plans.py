@@ -508,3 +508,40 @@ def test_sentence_split_mapside_until_rollup(spark):
     plan = _plan(spark, "t_sentence_split")
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ohlc_bars_single_exchange(spark):
+    # both row_number specs + the bar rollup share (user_id, day): one
+    # shuffle, all-JVM expressions
+    plan = _plan(spark, "w_ohlc_bars")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ltv_deciles_ranks_aggregated_axis_only(spark):
+    """The global ntile window must consume the per-customer spend
+    aggregate (bounded rows), never the raw orders scan."""
+    lines = _plan(spark, "w_ltv_deciles").splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg = next(i for i, ln in enumerate(lines)
+               if "HashAggregate" in ln and "o_custkey" in ln)
+    assert agg > win  # root-first print: aggregate below the window
+
+
+def test_cramers_v_windows_over_contingency_cells(spark):
+    """Margin windows run over the |types|x7 cell aggregate, not raw
+    events; everything stays JVM-side."""
+    lines = _plan(spark, "a_cramers_v").splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg = next(i for i, ln in enumerate(lines)
+               if "HashAggregate" in ln and "event_type" in ln)
+    assert agg > win
+    plan = "\n".join(lines)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ship_latency_no_cartesian_no_python(spark):
+    plan = _plan(spark, "q_ship_latency")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -185,3 +185,55 @@ def test_ewma_is_convex_combination(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_ohlc_bars_bounds(spark):
+    """OHLC invariants: low <= open/close <= high, and volume equals the
+    bar's cent-exact sum (never negative count)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["w_ohlc_bars"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.low - 1e-9 <= r.open <= r.high + 1e-9
+        assert r.low - 1e-9 <= r.close <= r.high + 1e-9
+        assert r.n_events >= 1
+
+
+def test_ltv_deciles_lorenz_monotone(spark):
+    """Lorenz curve: cumulative share is nondecreasing, convex-ish by
+    construction (deciles ordered by spend), and ends at 1."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        registry.QUERIES["w_ltv_deciles"](spark, SF_SMALL).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_share for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+
+
+def test_cramers_v_in_unit_interval(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_cramers_v"](spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert r.chi2 >= 0.0
+    assert r.n_days <= 7
+
+
+def test_ship_latency_percentiles_ordered(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_ship_latency"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_days <= r.p90_days <= r.p99_days <= r.max_days + 1e-9
+        assert r.n_lines > 0
