@@ -1012,3 +1012,131 @@ def t_sentence_split(spark, sf_dir):
             f6(F.sum("n_chars") * 1.0 / F.count("*")).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "t_dsir_score",
+    f"""
+    WITH tok AS ({TOKENS_SQL}),
+    uni_r AS (SELECT word, count(*) AS cr FROM tok GROUP BY word),
+    uni_t AS (SELECT word, count(*) AS ct FROM tok WHERE lang = 'en'
+              GROUP BY word),
+    nr AS (SELECT count(*) AS n FROM tok),
+    nt AS (SELECT count(*) AS n FROM tok WHERE lang = 'en'),
+    v AS (SELECT count(*) AS v FROM uni_r),
+    scored AS (
+        SELECT t.doc_id, any_value(t.lang) AS lang,
+               round(avg(ln((coalesce(ut.ct, 0) + 1) * 1.0)
+                         - ln((ur.cr + 1) * 1.0))
+                     + ln((nr.n + v.v) * 1.0) - ln((nt.n + v.v) * 1.0),
+                     6) + 0.0 AS dsir_score,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM tok t JOIN uni_r ur ON t.word = ur.word
+        LEFT JOIN uni_t ut ON t.word = ut.word
+        CROSS JOIN nr CROSS JOIN nt CROSS JOIN v
+        WHERE t.lang <> 'en'
+        GROUP BY t.doc_id, nr.n, nt.n, v.v
+    )
+    SELECT doc_id, lang, dsir_score, n_tokens FROM scored
+    ORDER BY dsir_score DESC, doc_id LIMIT 20
+    """,
+)
+def t_dsir_score(spark, sf_dir):
+    """DSIR-style importance resampling score (Xie et al. 2023): rank
+    out-of-target documents by the log-likelihood ratio between a target
+    unigram LM (lang='en' here standing in for "high-quality domain") and
+    the raw-corpus LM, add-1 smoothed over the shared vocabulary — the
+    data-selection step that picks pretraining docs distributionally
+    closest to a trusted corpus.
+
+    score = avg_w[ln(ct(w)+1) − ln(cr(w)+1)] + ln(nr+V) − ln(nt+V), so
+    the smoothing-denominator constant folds OUT of the per-token average
+    and attaches once — one log-difference per token inside a single avg
+    (identical association both engines, the t_bigram_nll precedent).
+    Both LM tables are vocabulary-bounded and broadcast onto the token
+    stream; totals are single-row broadcasts; the only data-sized shuffle
+    is the per-doc rollup on doc_id. Top-20 is TakeOrdered, never a
+    global sort.
+    """
+    tok = tokens(spark, sf_dir)
+    uni_r = tok.groupBy("word").agg(F.count("*").alias("cr"))
+    uni_t = (
+        tok.where(F.col("lang") == "en").groupBy("word").agg(F.count("*").alias("ct"))
+    )
+    nr = tok.agg(F.count("*").alias("n_r"))
+    nt = tok.where(F.col("lang") == "en").agg(F.count("*").alias("n_t"))
+    v = uni_r.agg(F.count("*").alias("v"))
+    scored = (
+        tok.where(F.col("lang") != "en")
+        .join(F.broadcast(uni_r), "word")
+        .join(F.broadcast(uni_t), "word", "left")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "n_r", "n_t", "v")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.avg(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1) * 1.0)
+                - F.log((F.col("cr") + 1) * 1.0)
+            ).alias("avg_lr"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id", "lang",
+            (
+                F.round(
+                    F.col("avg_lr")
+                    + F.log((F.col("n_r") + F.col("v")) * 1.0)
+                    - F.log((F.col("n_t") + F.col("v")) * 1.0),
+                    6,
+                )
+                + 0.0
+            ).alias("dsir_score"),
+            "n_tokens",
+        )
+    )
+    return scored.orderBy(F.col("dsir_score").desc(), "doc_id").limit(20)
+
+
+@register(
+    "t_fertility",
+    r"""
+    WITH d AS (
+        SELECT lang, n_chars,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                   AS toks
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(sum(n_chars) * 1.0 / sum(toks), 6) AS chars_per_token,
+           round(sum(toks) * 1.0 / count(*), 6) AS tokens_per_doc
+    FROM d GROUP BY lang
+    """,
+)
+def t_fertility(spark, sf_dir):
+    """Tokenizer-fertility census: characters per (whitespace) token by
+    language — the pretraining diagnostic that catches languages a
+    tokenizer under-serves (high chars/token = longer subword sequences =
+    more compute per byte of text).
+
+    Token counts come from size(split(...)) in the scan projection — no
+    explode, no token shuffle; only per-doc integers reach the lang
+    rollup. All sums are exact BIGINT; the two ratios divide exact sums
+    once at the end. One linear aggregation, vocabulary never
+    materialized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", "n_chars",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("toks"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        f6(F.sum("n_chars") * 1.0 / F.sum("toks")).alias("chars_per_token"),
+        f6(F.sum("toks") * 1.0 / F.count("*")).alias("tokens_per_doc"),
+    )

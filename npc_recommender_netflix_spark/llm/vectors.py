@@ -984,3 +984,62 @@ def v_ann_ivf_nprobe(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .select("query_id", "cand_id", "cos", "rn")
     )
+
+
+@register(
+    "v_dim_variance",
+    """
+    WITH e AS (
+        SELECT t.i AS dim,
+               CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1e6) AS BIGINT)
+                   AS u
+        FROM embeddings, range(1, 65) t(i)
+    )
+    SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           round(sum(u) * 1.0 / count(*) / 1e6, 6) + 0 AS mean,
+           round((sum(u * u) / 1e12
+                  - count(*) * (sum(u) * 1.0 / count(*) / 1e6)
+                             * (sum(u) * 1.0 / count(*) / 1e6))
+                 / (count(*) - 1), 6) + 0 AS variance,
+           round(min(u) / 1e6, 6) + 0 AS min_v,
+           round(max(u) / 1e6, 6) + 0 AS max_v
+    FROM e GROUP BY dim
+    """,
+)
+def v_dim_variance(spark, sf_dir):
+    """Per-dimension mean/variance census of the embedding space — the
+    anisotropy screen run before indexing (dead or dominating dimensions
+    break IVF cell balance and distort cosine; PCA whitening is the
+    fix this diagnoses the need for).
+
+    Values are snapped to exact 1e-6-unit BIGINTs in the explode
+    projection, so sum and sum-of-squares are reorder-safe integer
+    reductions (u² ≤ ~1e12 · rows — far inside int64 at any fixture SF)
+    and the variance expression evaluates identical float arithmetic in
+    both engines. posexplode is map-side; the only shuffle is the 64-group
+    dim aggregate with partial aggregation, so bytes shuffled are
+    O(64 × partitions), independent of vector count.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("u"),
+    )
+    n = F.count("*")
+    mean = F.sum("u") * 1.0 / n / 1e6
+    return e.groupBy("dim").agg(
+        n.cast("long").alias("n"),
+        (F.round(mean, 6) + 0.0).alias("mean"),
+        (
+            F.round(
+                (F.sum(F.col("u") * F.col("u")) / 1e12 - n * mean * mean)
+                / (n - 1),
+                6,
+            )
+            + 0.0
+        ).alias("variance"),
+        (F.round(F.min("u") / 1e6, 6) + 0.0).alias("min_v"),
+        (F.round(F.max("u") / 1e6, 6) + 0.0).alias("max_v"),
+    )

@@ -999,3 +999,68 @@ def r_user_cosine(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .select("user_id", "neighbor_id", "cosine", "rn")
     )
+
+
+@register(
+    "r_item_jaccard",
+    f"""
+    WITH m AS (SELECT DISTINCT user_id, item_id FROM ({_M200_SQL})),
+    deg AS (SELECT item_id, CAST(count(*) AS BIGINT) AS d FROM m GROUP BY 1),
+    co AS (
+        SELECT a.item_id AS item_a, b.item_id AS item_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM m a JOIN m b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+    )
+    SELECT co.item_a, co.item_b, co.n_common,
+           round(co.n_common * 1.0 / (da.d + db.d - co.n_common), 6)
+               AS jaccard
+    FROM co JOIN deg da ON co.item_a = da.item_id
+    JOIN deg db ON co.item_b = db.item_id
+    ORDER BY jaccard DESC, item_a, item_b LIMIT 20
+    """,
+)
+def r_item_jaccard(spark, sf_dir):
+    """Item-item Jaccard similarity over the binarized user-item matrix —
+    the set-overlap twin of r_cosine_sim (|A∩B| / |A∪B| on rater sets),
+    the standard co-purchase candidate-generation signal when rating
+    magnitude shouldn't matter.
+
+    Pair counts reuse r_cooccurrence's user-keyed self-join (work is
+    Σ|user basket|², never an item cross join); per-item degrees are an
+    item-bounded table that broadcasts onto the pair stream, so the
+    Jaccard division touches each surviving pair exactly once with exact
+    BIGINT operands. Top-20 is TakeOrdered with full (score, a, b)
+    tiebreak.
+    """
+    m = (
+        ratings_matrix(spark, sf_dir, max_item=200)
+        .select("user_id", "item_id")
+        .distinct()
+    )
+    deg = m.groupBy("item_id").agg(F.count("*").cast("long").alias("d"))
+    a, b = m.alias("a"), m.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    da = F.broadcast(deg.select(F.col("item_id").alias("item_a"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("item_id").alias("item_b"), F.col("d").alias("db")))
+    return (
+        co.join(da, "item_a")
+        .join(db, "item_b")
+        .select(
+            "item_a", "item_b", "n_common",
+            f6(
+                F.col("n_common") * 1.0
+                / (F.col("da") + F.col("db") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "item_a", "item_b")
+        .limit(20)
+    )

@@ -545,3 +545,34 @@ def test_ship_latency_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_lm_tables_broadcast_topk_pushdown(spark):
+    # vocabulary-bounded LM tables broadcast; top-20 is a heap, not a sort
+    plan = _plan(spark, "t_dsir_score")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fertility_no_token_explode(spark):
+    # token counts via size(split()) in the projection — no Generate node,
+    # one lang shuffle
+    plan = _plan(spark, "t_fertility")
+    assert "Generate" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_item_jaccard_degrees_broadcast(spark):
+    plan = _plan(spark, "r_item_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_variance_single_shuffle(spark):
+    # posexplode is map-side; only the 64-group dim aggregate shuffles
+    plan = _plan(spark, "v_dim_variance")
+    assert "Generate" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -237,3 +237,49 @@ def test_ship_latency_percentiles_ordered(spark):
     for r in rows:
         assert r.p50_days <= r.p90_days <= r.p99_days <= r.max_days + 1e-9
         assert r.n_lines > 0
+
+
+def test_dsir_scores_exclude_target_lang(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_dsir_score"](spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.lang != "en" and r.n_tokens > 0 for r in rows)
+    scores = [r.dsir_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_fertility_ratios_positive(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_fertility"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.chars_per_token > 0 and r.tokens_per_doc > 0
+        assert r.total_tokens <= r.total_chars  # every token >= 1 char
+
+
+def test_item_jaccard_in_unit_interval(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_item_jaccard"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_common >= 1
+
+
+def test_dim_variance_bounds(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["v_dim_variance"](spark, SF_SMALL).collect()
+    assert len(rows) == 64
+    ns = {r.n for r in rows}
+    assert len(ns) == 1  # every dim observed in every vector
+    for r in rows:
+        assert r.variance >= 0.0
+        assert r.min_v - 1e-6 <= r.mean <= r.max_v + 1e-6
