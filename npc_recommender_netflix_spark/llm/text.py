@@ -1140,3 +1140,97 @@ def t_fertility(spark, sf_dir):
         f6(F.sum("n_chars") * 1.0 / F.sum("toks")).alias("chars_per_token"),
         f6(F.sum("toks") * 1.0 / F.count("*")).alias("tokens_per_doc"),
     )
+
+
+@register(
+    "t_dedup_yield_curve",
+    """
+    WITH k AS (SELECT unnest([20, 40, 80, 160, 320]) AS k),
+    d AS (
+        SELECT k.k, md5(substr(doc.text, 1, CAST(k.k AS INTEGER))) AS digest
+        FROM documents doc CROSS JOIN k
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct,
+           round(count(DISTINCT digest) * 1.0 / count(*), 6) AS survival_rate,
+           round(1 - count(DISTINCT digest) * 1.0 / count(*), 6) + 0
+               AS dup_rate
+    FROM d GROUP BY k ORDER BY k
+    """,
+)
+def t_dedup_yield_curve(spark, sf_dir):
+    """Dedup yield curve: corpus survival rate under prefix-fingerprint
+    dedup as the fingerprint length k sweeps 20→320 chars — the tuning
+    view that picks the blocking-key length before a full dedup run
+    (short keys over-merge, long keys miss near-dups; the knee of this
+    curve is the operating point).
+
+    Digests are computed in the map-side projection (text is read once
+    and never shuffled — only 32-char digests move), the k axis explodes
+    a 5-element literal array, and each k's distinct count is Spark's
+    two-level distinct aggregation. Work is 5× linear scan, zero joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.explode(F.array(*[F.lit(k) for k in (20, 40, 80, 160, 320)])).alias("k"),
+        "text",
+    ).select("k", F.md5(F.expr("substr(text, 1, k)")).alias("digest"))
+    return (
+        d.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("digest").cast("long").alias("n_distinct"),
+            f6(F.countDistinct("digest") * 1.0 / F.count("*")).alias("survival_rate"),
+            f6(1 - F.countDistinct("digest") * 1.0 / F.count("*")).alias("dup_rate"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "t_lang_confusion",
+    f"""
+    WITH p AS (
+        SELECT lang,
+               CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                         x -> list_contains({_SW_SQL}, x)))
+                         * 1.0
+                         / len(string_split_regex(lower(text), '\\s+')) > 0.02
+                    THEN 'en-like' ELSE 'unknown' END AS pred
+        FROM documents
+    )
+    SELECT lang, pred, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY lang), 6) AS share
+    FROM p GROUP BY lang, pred
+    """,
+)
+def t_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: t_lang_id's stopword-ratio predictor
+    against the labeled lang column, with per-language share — the
+    eval that turns a heuristic classifier into a measured one (how much
+    non-English text does the 'en-like' gate wrongly admit?).
+
+    Prediction is the same single-pass JVM higher-order-function filter
+    as t_lang_id (no explode, no Python); the confusion census is one
+    (lang, pred) aggregate over a |langs|×2-bounded axis, and the share
+    window runs over that aggregated frame. One linear scan, one tiny
+    shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    nstop = F.expr(
+        f"size(filter(split(lower(text), '\\\\s+'), x -> array_contains(array({sw}), x)))"
+    )
+    ntok = F.size(F.split(F.lower("text"), r"\s+"))
+    p = docs.select(
+        "lang",
+        F.when(nstop * 1.0 / ntok > 0.02, "en-like").otherwise("unknown").alias("pred"),
+    )
+    c = p.groupBy("lang", "pred").agg(F.count("*").cast("long").alias("n"))
+    return c.select(
+        "lang", "pred", "n",
+        f6(F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("lang"))).alias("share"),
+    )

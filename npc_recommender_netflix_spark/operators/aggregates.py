@@ -854,3 +854,104 @@ def a_cramers_v(spark, sf_dir):
         f6(chi2).alias("chi2"),
         f6(F.sqrt(chi2 / (F.max("tot") * dof))).alias("cramers_v"),
     )
+
+
+# md5 first-8-hex -> uint32 (DuckDB has no conv(); llm/dedup.py recipe).
+_H32_ORD = """
+    CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef',
+                     substring(md5(CAST(o_orderkey AS VARCHAR)), j, 1)) - 1)
+             * 16 ** (8 - j))) AS BIGINT)
+"""
+
+
+@register(
+    "a_jackknife_ci",
+    f"""
+    WITH b AS (
+        SELECT {_H32_ORD} % 10 AS bucket,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (SELECT bucket, sum(cents) AS s, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY bucket),
+    t AS (SELECT sum(s) AS st, sum(n) AS nt,
+                 CAST(count(*) AS BIGINT) AS nb FROM g),
+    loo AS (
+        SELECT round((t.st - g.s) * 1.0 / (t.nt - g.n) / 100 * 1e3)
+                   AS mi, t.nb, t.st, t.nt
+        FROM g CROSS JOIN t
+    ),
+    jk AS (
+        SELECT max(nb) AS nb, max(st) AS st, max(nt) AS nt,
+               sum(CAST(mi AS BIGINT)) AS smi,
+               sum(CAST(mi AS BIGINT) * CAST(mi AS BIGINT)) AS smi2
+        FROM loo
+    )
+    SELECT CAST(nt AS BIGINT) AS n_orders,
+           round(st * 1.0 / nt / 100, 6) AS mean_aov,
+           round(sqrt((nb - 1.0) / nb
+                      * (smi2 / 1e6 - smi * smi / 1e6 / nb)), 6)
+               AS jk_se,
+           round(st * 1.0 / nt / 100
+                 - 1.96 * sqrt((nb - 1.0) / nb
+                               * (smi2 / 1e6 - smi * smi / 1e6 / nb)),
+                 6) AS ci_lo,
+           round(st * 1.0 / nt / 100
+                 + 1.96 * sqrt((nb - 1.0) / nb
+                               * (smi2 / 1e6 - smi * smi / 1e6 / nb)),
+                 6) AS ci_hi
+    FROM jk
+    """,
+)
+def a_jackknife_ci(spark, sf_dir):
+    """Delete-one-bucket jackknife confidence interval for average order
+    value — the deterministic resampling CI a metrics platform attaches to
+    every mean without a random number generator (buckets come from an
+    md5-derived hash of the order key, identical in both engines).
+
+    Each leave-one-out mean divides exact BIGINT totals, is snapped to
+    1e-3 currency units (BIGINT — coarse enough that its square times ten
+    buckets stays far inside int64), and the 10-element variance reduction
+    runs over those integers — reorder-safe end to end; only the final
+    se/CI expressions touch floats, in one shared association. Bucket
+    sums are one 10-group partial aggregation (map-side combine), totals
+    a single-row broadcast: two tiny shuffles regardless of order count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    b = orders.select(
+        (h32 % 10).alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.sum("cents").alias("s"), F.count("*").cast("long").alias("n")
+    )
+    t = g.agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    loo = g.crossJoin(F.broadcast(t)).select(
+        F.round((F.col("st") - F.col("s")) * 1.0 / (F.col("nt") - F.col("n")) / 100 * 1e3)
+        .cast("long").alias("mi"),
+        "nb", "st", "nt",
+    )
+    jk = loo.agg(
+        F.max("nb").alias("nb"), F.max("st").alias("st"), F.max("nt").alias("nt"),
+        F.sum("mi").alias("smi"),
+        F.sum(F.col("mi") * F.col("mi")).alias("smi2"),
+    )
+    mean = F.col("st") * 1.0 / F.col("nt") / 100
+    var = (F.col("nb") - 1.0) / F.col("nb") * (
+        F.col("smi2") / 1e6 - F.col("smi") * F.col("smi") / 1e6 / F.col("nb")
+    )
+    se = F.sqrt(var)
+    return jk.select(
+        F.col("nt").cast("long").alias("n_orders"),
+        F.round(mean, 6).alias("mean_aov"),
+        F.round(se, 6).alias("jk_se"),
+        F.round(mean - 1.96 * se, 6).alias("ci_lo"),
+        F.round(mean + 1.96 * se, 6).alias("ci_hi"),
+    )

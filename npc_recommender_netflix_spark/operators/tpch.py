@@ -1122,3 +1122,71 @@ def q_ship_latency(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_rfm_segments",
+    """
+    WITH base AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate),
+                         (SELECT max(o_orderdate) FROM orders)) AS rec_days,
+               CAST(count(*) AS BIGINT) AS freq,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT rec_days, freq, cents,
+               ntile(4) OVER (ORDER BY rec_days, o_custkey) AS r,
+               ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+               ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m
+        FROM base
+    )
+    SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(cents) / 100.0 / count(*), 6) AS avg_monetary,
+           round(sum(rec_days) * 1.0 / count(*), 6) AS avg_recency_days
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation census: quartile-score every customer on Recency /
+    Frequency / Monetary (1 = best) and report the per-segment population
+    — the canonical CRM cohorting query (segment 1-1-1 = champions,
+    4-4-4 = lost).
+
+    Facts fold to one row per customer BEFORE any ranking, so the three
+    ntile windows sort the bounded customer axis, not orders; all three
+    share the same single-partition exchange (the a_gini/ w_ltv_deciles
+    caveat: at 100 TB quartile boundaries come from approx_percentile +
+    a range partition, output-identical). Recency anchors to the global
+    max order date via a broadcast scalar; monetary stays exact BIGINT
+    cents until the per-segment division.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("d_max"))
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("d_last"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey", "freq", "cents",
+            F.datediff(F.col("d_max"), F.col("d_last")).alias("rec_days"),
+        )
+    )
+    scored = base.select(
+        "rec_days", "freq", "cents",
+        F.ntile(4).over(Window.orderBy("rec_days", "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.col("freq").desc(), "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.col("cents").desc(), "o_custkey")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        f6(F.sum("cents") / 100.0 / F.count("*")).alias("avg_monetary"),
+        f6(F.sum("rec_days") * 1.0 / F.count("*")).alias("avg_recency_days"),
+    )

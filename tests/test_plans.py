@@ -576,3 +576,39 @@ def test_dim_variance_single_shuffle(spark):
     assert "Generate" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rfm_ranks_aggregated_customer_axis(spark):
+    """All three ntile windows consume the per-customer aggregate, never
+    raw orders (root-first print: the custkey aggregate sits below)."""
+    lines = _plan(spark, "q_rfm_segments").splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg = next(i for i, ln in enumerate(lines)
+               if "HashAggregate" in ln and "o_custkey" in ln)
+    assert agg > win
+
+
+def test_jackknife_constant_bucket_axis(spark):
+    # 10 hash buckets -> totals broadcast; everything JVM-side
+    plan = _plan(spark, "a_jackknife_ci")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_yield_curve_digests_only_shuffle(spark):
+    """Text is consumed map-side (digest projection under the Generate);
+    the distinct-agg shuffles 32-char digests, never bodies."""
+    lines = _plan(spark, "t_dedup_yield_curve").splitlines()
+    plan = "\n".join(lines)
+    assert "Generate" in plan
+    # root-first print: the md5 digest Project must sit BELOW every
+    # Exchange (computed map-side, before any shuffle)
+    digest = next(i for i, ln in enumerate(lines) if "Project" in ln and "md5" in ln)
+    assert all(i < digest for i, ln in enumerate(lines) if "Exchange" in ln)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lang_confusion_no_explode_no_python(spark):
+    plan = _plan(spark, "t_lang_confusion")
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -283,3 +283,58 @@ def test_dim_variance_bounds(spark):
     for r in rows:
         assert r.variance >= 0.0
         assert r.min_v - 1e-6 <= r.mean <= r.max_v + 1e-6
+
+
+def test_rfm_segments_partition_customers(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_rfm_segments"](spark, SF_SMALL).collect()
+    assert rows
+    assert all(1 <= r.r <= 4 and 1 <= r.f <= 4 and 1 <= r.m <= 4 for r in rows)
+    # segments are disjoint: totals equal the distinct customer count
+    orders = registry.QUERIES["a_groupby"]  # noqa: F841 (import guard)
+    total = sum(r.n_customers for r in rows)
+    from npc_recommender_netflix_spark.session import load_table
+    n_cust = (
+        load_table(spark, SF_SMALL, "orders").select("o_custkey").distinct().count()
+    )
+    assert total == n_cust
+
+
+def test_jackknife_ci_brackets_mean(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_jackknife_ci"](spark, SF_SMALL).collect()[0]
+    assert r.jk_se >= 0
+    assert r.ci_lo <= r.mean_aov <= r.ci_hi
+
+
+def test_yield_curve_monotone_in_k(spark):
+    """Longer prefixes can only distinguish MORE docs: survival rate is
+    nondecreasing in k."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        registry.QUERIES["t_dedup_yield_curve"](spark, SF_SMALL).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [20, 40, 80, 160, 320]
+    s = [r.survival_rate for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(s, s[1:]))
+    assert all(0 < x <= 1 for x in s)
+
+
+def test_lang_confusion_shares_sum_to_one(spark):
+    from collections import defaultdict
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_lang_confusion"](spark, SF_SMALL).collect()
+    by_lang = defaultdict(float)
+    for r in rows:
+        by_lang[r.lang] += r.share
+    assert all(abs(v - 1.0) < 1e-4 for v in by_lang.values())
