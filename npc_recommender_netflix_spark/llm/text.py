@@ -1234,3 +1234,101 @@ def t_lang_confusion(spark, sf_dir):
         "lang", "pred", "n",
         f6(F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("lang"))).alias("share"),
     )
+
+
+_TRIGRAM_SQL = r"""
+    SELECT doc_id, lang, substr(lt, CAST(i AS INTEGER), 3) AS tg
+    FROM (
+        SELECT doc_id, lang, lower(text) AS lt,
+               unnest(range(1, greatest(len(text) - 1, 1))) AS i
+        FROM documents WHERE doc_id < 400
+    )
+"""
+
+
+@register(
+    "t_trigram_lid",
+    f"""
+    WITH tg AS ({_TRIGRAM_SQL}),
+    prof AS (
+        SELECT lang, tg, row_number() OVER (
+                   PARTITION BY lang ORDER BY count(*) DESC, tg) AS rnk
+        FROM tg WHERE doc_id < 200 GROUP BY lang, tg
+        QUALIFY rnk <= 30
+    ),
+    scored AS (
+        SELECT t.doc_id, any_value(t.lang) AS true_lang, p.lang AS cand,
+               CAST(count(*) AS BIGINT) AS hits
+        FROM tg t JOIN prof p ON t.tg = p.tg
+        WHERE t.doc_id >= 200
+        GROUP BY t.doc_id, p.lang
+    ),
+    pred AS (
+        SELECT doc_id, true_lang, cand AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, cand) AS rn
+        FROM scored
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY true_lang), 6) AS share
+    FROM pred WHERE rn = 1 GROUP BY true_lang, pred_lang
+    """,
+)
+def t_trigram_lid(spark, sf_dir):
+    """Char-trigram language identification, trained and evaluated in one
+    query: build top-30 trigram profiles per language on a train split
+    (doc_id < 200), classify the eval split by profile-hit argmax, and
+    report the confusion census — the real n-gram LID the stopword
+    heuristic (t_lang_id / t_lang_confusion) approximates.
+
+    Trigrams explode distributed (positions generate per doc — linear in
+    characters, never a driver loop); the learned profile is bounded at
+    |langs| × 30 rows and broadcasts onto the eval trigram stream, so
+    scoring is a map-side hash probe + one (doc, lang) rollup. Argmax is
+    a deterministic row_number with (hits DESC, lang) tiebreak. At 100 TB
+    the train split feeds from a sample, the profile still broadcasts,
+    and scoring stays one linear pass.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    tg = docs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 3"
+                " THEN sequence(1, length(text) - 2) ELSE array() END"
+            )
+        ).alias("i"),
+        F.lower("text").alias("lt"),
+    ).select("doc_id", "lang", F.expr("substr(lt, i, 3)").alias("tg"))
+    wp = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "tg")
+    prof = (
+        tg.where(F.col("doc_id") < 200)
+        .groupBy("lang", "tg")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(wp))
+        .where(F.col("rnk") <= 30)
+        .select(F.col("lang").alias("cand"), "tg")
+    )
+    scored = (
+        tg.where(F.col("doc_id") >= 200)
+        .join(F.broadcast(prof), "tg")
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.any_value(F.col("lang")).alias("true_lang"),
+            F.count("*").cast("long").alias("hits"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "cand")
+    pred = scored.withColumn("rn", F.row_number().over(wd)).where(F.col("rn") == 1)
+    c = pred.groupBy("true_lang", F.col("cand").alias("pred_lang")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return c.select(
+        "true_lang", "pred_lang", "n",
+        f6(
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("true_lang"))
+        ).alias("share"),
+    )

@@ -833,3 +833,60 @@ def q_point_in_time(spark, sf_dir):
         .select("o_custkey", "o_orderkey", "valid_from")
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "q_dau_wau",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events
+    ),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY d),
+    anchors AS (
+        SELECT d + CAST(i.i AS INTEGER) AS a_day, user_id
+        FROM pairs, range(0, 7) i(i)
+    ),
+    wau AS (
+        SELECT a.a_day AS d, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+        FROM anchors a JOIN dau ON dau.d = a.a_day
+        GROUP BY a.a_day
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def q_dau_wau(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    growth-team headline metric triple.
+
+    The rolling DISTINCT is the hard part at scale: a naive per-day
+    7-day-window count-distinct rescans events 7×. Instead activity first
+    collapses to distinct (day, user) pairs (linear, one shuffle), each
+    pair then explodes to the 7 anchor days it contributes to (7× the
+    COLLAPSED pairs, not raw events), and WAU is an exact distinct count
+    per anchor — joined back to real days only. All joins are equi-joins
+    on day; no range join, no rescan. At 100 TB the pair collapse is the
+    dominant shuffle and everything after is day-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    dau = pairs.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    anchors = pairs.select(
+        F.explode(F.expr("sequence(0, 6)")).alias("i"), "d", "user_id"
+    ).select(F.expr("date_add(d, i)").alias("a_day"), "user_id")
+    wau = (
+        anchors.join(dau.select(F.col("d").alias("a_day")), "a_day")
+        .groupBy("a_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.a_day)
+        .select(
+            F.col("d").alias("day"), "dau", "wau",
+            f6(F.col("dau") * 1.0 / F.col("wau")).alias("stickiness"),
+        )
+    )

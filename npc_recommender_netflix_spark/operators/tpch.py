@@ -1190,3 +1190,70 @@ def q_rfm_segments(spark, sf_dir):
         f6(F.sum("cents") / 100.0 / F.count("*")).alias("avg_monetary"),
         f6(F.sum("rec_days") * 1.0 / F.count("*")).alias("avg_recency_days"),
     )
+
+
+@register(
+    "q_new_vs_returning",
+    """
+    WITH first_m AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS m0
+        FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               o.o_custkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN CAST(date_trunc('month', o.o_orderdate) AS DATE)
+                         = f.m0 THEN 1 ELSE 0 END AS is_new
+        FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+    )
+    SELECT month,
+           CAST(count(DISTINCT CASE WHEN is_new = 1 THEN o_custkey END)
+                AS BIGINT) AS new_customers,
+           CAST(count(DISTINCT CASE WHEN is_new = 0 THEN o_custkey END)
+                AS BIGINT) AS returning_customers,
+           round(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END) / 100.0, 2)
+               AS new_revenue,
+           round(sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END) / 100.0, 2)
+               AS returning_revenue,
+           round(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END) * 1.0
+                 / sum(cents), 6) AS new_rev_share
+    FROM tagged GROUP BY month
+    """,
+)
+def q_new_vs_returning(spark, sf_dir):
+    """New-vs-returning growth accounting: per month, customers placing
+    their first-ever order vs repeat customers, with the revenue split —
+    the report that separates acquisition from retention revenue.
+
+    The first-order month folds per customer once (one custkey shuffle);
+    tagging is an equi-join back on custkey (AQE picks broadcast at small
+    SF, sort-merge at scale — both sides already partition on custkey so
+    the aggregate reuses the exchange). Revenue stays exact BIGINT cents;
+    the two distinct counts share one expand pass. Output is bounded by
+    months × 1.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    first_m = orders.groupBy("o_custkey").agg(
+        F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias("m0")
+    )
+    tagged = orders.join(first_m, "o_custkey").select(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(
+            F.to_date(F.date_trunc("month", "o_orderdate")) == F.col("m0"), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    new_c = F.when(F.col("is_new") == 1, F.col("o_custkey"))
+    ret_c = F.when(F.col("is_new") == 0, F.col("o_custkey"))
+    new_cents = F.sum(F.when(F.col("is_new") == 1, F.col("cents")).otherwise(0))
+    ret_cents = F.sum(F.when(F.col("is_new") == 0, F.col("cents")).otherwise(0))
+    return tagged.groupBy("month").agg(
+        F.countDistinct(new_c).cast("long").alias("new_customers"),
+        F.countDistinct(ret_c).cast("long").alias("returning_customers"),
+        F.round(new_cents / 100.0, 2).alias("new_revenue"),
+        F.round(ret_cents / 100.0, 2).alias("returning_revenue"),
+        f6(new_cents * 1.0 / F.sum("cents")).alias("new_rev_share"),
+    )

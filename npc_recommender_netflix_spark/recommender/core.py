@@ -1064,3 +1064,61 @@ def r_item_jaccard(spark, sf_dir):
         .orderBy(F.col("jaccard").desc(), "item_a", "item_b")
         .limit(20)
     )
+
+
+@register(
+    "r_novelty",
+    f"""
+    WITH p AS ({_PRED_SQL}),
+    ranked AS (
+        SELECT user_id, item_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY pred DESC, item_id) AS rn
+        FROM p
+    ),
+    recs AS (SELECT user_id, item_id FROM ranked WHERE rn <= 3),
+    pop AS (SELECT item_id, CAST(count(*) AS BIGINT) AS raters
+            FROM ({_M_SQL}) GROUP BY item_id),
+    nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+           FROM ({_M_SQL}))
+    SELECT r.user_id, CAST(count(*) AS BIGINT) AS n_recs,
+           round(avg(ln(nu.nu * 1.0) - ln(pop.raters * 1.0)) / ln(2.0), 6)
+               AS novelty_bits
+    FROM recs r JOIN pop ON r.item_id = pop.item_id CROSS JOIN nu
+    GROUP BY r.user_id, nu.nu
+    """,
+)
+def r_novelty(spark, sf_dir):
+    """Recommendation novelty: per-user mean self-information
+    −log2(p(item)) of the top-3 recommended items, where p = fraction of
+    users who rated the item — the eval that catches a recommender
+    collapsing onto blockbusters (novelty → 0) even while precision looks
+    fine. Completes the offline-eval family (r_precision_at_k, r_ndcg,
+    r_mrr, r_coverage).
+
+    Reuses the registered top-3 pipeline unchanged; popularity is an
+    item-bounded table that broadcasts onto the recs, the user count a
+    single-row broadcast. The per-token term is ONE difference of logs of
+    exact integers inside a single avg (t_bigram_nll association
+    precedent), so both engines reduce identical doubles.
+    """
+    recs = r_topn_recs(spark, sf_dir).select("user_id", "item_id")
+    m = ratings_matrix(spark, sf_dir)
+    pop = m.groupBy("item_id").agg(F.count("*").cast("long").alias("raters"))
+    nu = m.agg(F.countDistinct("user_id").cast("long").alias("nu"))
+    return (
+        recs.join(F.broadcast(pop), "item_id")
+        .crossJoin(F.broadcast(nu))
+        .groupBy("user_id", "nu")
+        .agg(
+            F.count("*").cast("long").alias("n_recs"),
+            (
+                F.round(
+                    F.avg(F.log(F.col("nu") * 1.0) - F.log(F.col("raters") * 1.0))
+                    / float(__import__("math").log(2.0)),
+                    6,
+                )
+            ).alias("novelty_bits"),
+        )
+        .select("user_id", "n_recs", "novelty_bits")
+    )

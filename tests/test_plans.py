@@ -612,3 +612,33 @@ def test_lang_confusion_no_explode_no_python(spark):
     plan = _plan(spark, "t_lang_confusion")
     assert "Generate" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dau_wau_no_range_join(spark):
+    # rolling distinct via pair-explode + equi-joins, never a range join
+    plan = _plan(spark, "q_dau_wau")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the 7-anchor explode
+
+
+def test_new_vs_returning_single_custkey_partitioning(spark):
+    # first-month fold + tag join both key on o_custkey
+    plan = _plan(spark, "q_new_vs_returning")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_novelty_popularity_broadcast(spark):
+    plan = _plan(spark, "r_novelty")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trigram_profile_broadcast_onto_stream(spark):
+    # the |langs|x30 learned profile broadcasts; trigram explode is
+    # distributed (Generate), no Python
+    plan = _plan(spark, "t_trigram_lid")
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

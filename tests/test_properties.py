@@ -338,3 +338,61 @@ def test_lang_confusion_shares_sum_to_one(spark):
     for r in rows:
         by_lang[r.lang] += r.share
     assert all(abs(v - 1.0) < 1e-4 for v in by_lang.values())
+
+
+def test_dau_never_exceeds_wau(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_dau_wau"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau
+        assert 0 < r.stickiness <= 1.0
+
+
+def test_new_vs_returning_month_one_all_new(spark):
+    """In the earliest month every active customer is new."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        registry.QUERIES["q_new_vs_returning"](spark, SF_SMALL).collect(),
+        key=lambda r: r.month,
+    )
+    assert rows
+    assert rows[0].returning_customers == 0
+    assert abs(rows[0].new_rev_share - 1.0) < 1e-6
+
+
+def test_novelty_positive_and_bounded(spark):
+    """Self-information is positive and at most log2(n_users) bits."""
+    import math
+
+    from npc_recommender_netflix_spark import registry
+    from npc_recommender_netflix_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_novelty"](spark, SF_SMALL).collect()
+    assert rows
+    n_users = (
+        load_table(spark, SF_SMALL, "orders").select("o_custkey").distinct().count()
+    )
+    cap = math.log2(n_users) + 1e-6
+    for r in rows:
+        assert 0.0 < r.novelty_bits <= cap
+        assert 1 <= r.n_recs <= 3
+
+
+def test_trigram_lid_shares_sum_to_one(spark):
+    from collections import defaultdict
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_trigram_lid"](spark, SF_SMALL).collect()
+    assert rows
+    by_lang = defaultdict(float)
+    for r in rows:
+        by_lang[r.true_lang] += r.share
+    assert all(abs(v - 1.0) < 1e-4 for v in by_lang.values())
