@@ -1332,3 +1332,95 @@ def t_trigram_lid(spark, sf_dir):
             F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("true_lang"))
         ).alias("share"),
     )
+
+
+@register(
+    "t_jsd_sources",
+    f"""
+    WITH tok AS ({TOKENS_SQL}),
+    src_tok AS (
+        SELECT d.source, t.word
+        FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+    ),
+    vocab AS (SELECT DISTINCT word FROM tok),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    cs AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+           FROM src_tok GROUP BY source, word),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM src_tok GROUP BY source),
+    ct AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM src_tok
+           GROUP BY word),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src_tok),
+    grid AS (
+        SELECT ns.source, vocab.word, ns.n AS n_s, v.v,
+               coalesce(cs.c, 0) AS c_s,
+               ct.c AS c_t, nt.n AS n_t
+        FROM ns CROSS JOIN vocab CROSS JOIN v CROSS JOIN nt
+        LEFT JOIN cs ON cs.source = ns.source AND cs.word = vocab.word
+        JOIN ct ON ct.word = vocab.word
+    ),
+    terms AS (
+        SELECT source, n_s,
+               CAST(round((p * ln(p / m) + q * ln(q / m)) * 1e12) AS BIGINT)
+                   AS t
+        FROM (
+            SELECT source, n_s,
+                   (c_s + 1) * 1.0 / (n_s + v) AS p,
+                   (c_t - c_s + 1) * 1.0 / (n_t - n_s + v) AS q,
+                   ((c_s + 1) * 1.0 / (n_s + v)
+                    + (c_t - c_s + 1) * 1.0 / (n_t - n_s + v)) / 2 AS m
+            FROM grid
+        )
+    )
+    SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+           round(sum(t) / 2e12 / ln(2.0), 6) AS jsd_bits
+    FROM terms GROUP BY source
+    """,
+)
+def t_jsd_sources(spark, sf_dir):
+    """Per-source corpus drift: Jensen-Shannon divergence (bits) between
+    each source's add-1-smoothed unigram distribution and the
+    rest-of-corpus distribution — the ingest-monitoring scalar that flags
+    a crawl source whose vocabulary shifted (JSD is symmetric and bounded
+    [0,1] bits, unlike KL).
+
+    The source×vocab grid is the honest smoothed-distribution shape:
+    both axes are corpus-bounded (sources ≪ docs, vocab sublinear), and
+    absent words still contribute their smoothing mass. Count tables
+    broadcast onto the grid; each JSD term is snapped to exact 1e-12
+    BIGINT units before the per-source sum (reorder-safe), and both
+    engines evaluate p/q/m in one shared association. Rest-of-corpus
+    counts come from totals minus the source's own (no 20× rescan).
+    """
+    tok = tokens(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src_tok = tok.join(docs, "doc_id").select("source", "word")
+    vocab = tok.select("word").distinct()
+    v = vocab.agg(F.count("*").cast("long").alias("v"))
+    cs = src_tok.groupBy("source", "word").agg(F.count("*").cast("long").alias("c_s"))
+    ns = src_tok.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    ct = src_tok.groupBy("word").agg(F.count("*").cast("long").alias("c_t"))
+    nt = src_tok.agg(F.count("*").cast("long").alias("n_t"))
+    grid = (
+        ns.crossJoin(vocab)
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(nt))
+        .join(F.broadcast(cs), ["source", "word"], "left")
+        .join(F.broadcast(ct), "word")
+        .select(
+            "source", "n_s", "v",
+            F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s"),
+            "c_t", "n_t",
+        )
+    )
+    p = (F.col("c_s") + 1) * 1.0 / (F.col("n_s") + F.col("v"))
+    q = (F.col("c_t") - F.col("c_s") + 1) * 1.0 / (
+        F.col("n_t") - F.col("n_s") + F.col("v")
+    )
+    m = (p + q) / 2
+    t = F.round((p * F.log(p / m) + q * F.log(q / m)) * 1e12).cast("long")
+    terms = grid.select("source", "n_s", t.alias("t"))
+    return terms.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        f6(F.sum("t") / 2e12 / float(__import__("math").log(2.0))).alias("jsd_bits"),
+    )

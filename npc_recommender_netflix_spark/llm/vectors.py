@@ -1043,3 +1043,83 @@ def v_dim_variance(spark, sf_dir):
         (F.round(F.min("u") / 1e6, 6) + 0.0).alias("min_v"),
         (F.round(F.max("u") / 1e6, 6) + 0.0).alias("max_v"),
     )
+
+
+_PACK_DUCK = """
+    CAST(list_sum(list_transform(range(1, 33),
+        i -> CASE WHEN {e}[{off} + i] > 0
+                  THEN 2 ** (32 - i) ELSE 0 END)) AS BIGINT)
+"""
+_PACK_SPARK = (
+    "CAST(aggregate(transform(sequence(1, 32),"
+    " i -> CASE WHEN element_at({e}, {off} + i) > 0"
+    "        THEN CAST(pow(2, 32 - i) AS BIGINT) ELSE 0L END),"
+    " 0L, (a, x) -> a + x) AS BIGINT)"
+)
+
+
+@register(
+    "v_hamming_topk",
+    f"""
+    WITH packed AS (
+        SELECT vec_id,
+               {_PACK_DUCK.format(e='embedding', off=0)} AS w1,
+               {_PACK_DUCK.format(e='embedding', off=32)} AS w2
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               CAST(bit_count(xor(q.w1, c.w1))
+                    + bit_count(xor(q.w2, c.w2)) AS BIGINT) AS hamming
+        FROM packed q JOIN packed c ON q.vec_id < 5 AND c.vec_id >= 5
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, hamming,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, cand_id) AS rn
+        FROM pairs
+    )
+    SELECT query_id, cand_id, hamming, rn FROM ranked WHERE rn <= 10
+    """,
+)
+def v_hamming_topk(spark, sf_dir):
+    """Binary-embedding ANN: sign-bit-pack each 64-dim vector into two
+    32-bit words and rank candidates by Hamming distance (popcount of
+    XOR) — the 64×-compressed search tier (1-bit quantization) modern
+    vector stores run before exact rescoring; v_pq_quantize is the
+    codebook sibling.
+
+    Packing is a map-side JVM fold (exact powers of two — integer-valued
+    doubles, engine-identical); distances are pure integer bit_count/XOR,
+    so there is NO float anywhere — hash-exact by construction. The
+    5-query side broadcasts onto candidates; per-query top-10 is a
+    rank-filter window. At 100 TB packed words are 8 bytes/vector — the
+    whole index ships where the raw floats never could.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        F.expr(_PACK_SPARK.format(e="embedding", off=0)).alias("w1"),
+        F.expr(_PACK_SPARK.format(e="embedding", off=32)).alias("w2"),
+    )
+    q = packed.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("qw1"), F.col("w2").alias("qw2"),
+    )
+    c = packed.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cand_id"), "w1", "w2"
+    )
+    pairs = F.broadcast(q).crossJoin(c).select(
+        "query_id", "cand_id",
+        (
+            F.expr("bit_count(qw1 ^ w1)") + F.expr("bit_count(qw2 ^ w2)")
+        ).cast("long").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "cand_id", "hamming", "rn")
+    )

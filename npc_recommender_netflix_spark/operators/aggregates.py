@@ -955,3 +955,68 @@ def a_jackknife_ci(spark, sf_dir):
         F.round(mean - 1.96 * se, 6).alias("ci_lo"),
         F.round(mean + 1.96 * se, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "a_hill_tail",
+    """
+    WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rn
+        FROM v
+    ),
+    xmin AS (SELECT cents AS cmin FROM ranked WHERE rn = 501)
+    SELECT CAST(500 AS BIGINT) AS k,
+           round(cmin / 100.0, 2) AS x_min,
+           round(1.0 / avg(ln(cents * 1.0) - ln(cmin * 1.0)), 6)
+               AS hill_alpha
+    FROM ranked CROSS JOIN xmin
+    WHERE rn <= 500
+    GROUP BY cmin
+    """,
+)
+def a_hill_tail(spark, sf_dir):
+    """Hill estimator of the heavy-tail index over the top-500 order
+    values — the risk-team statistic that says whether extreme order sizes
+    follow a power law (α ≤ 2: infinite variance, capacity planning must
+    use quantiles, not means; a_benford_fit audits digits, this audits
+    the tail).
+
+    The order statistics come from a rank over exact BIGINT cents with an
+    orderkey tiebreak (deterministic under duplicates); only the top 501
+    rows survive into the estimate, the threshold attaches as a broadcast
+    scalar, and the per-order term is ONE difference of logs of exact
+    integers inside a single avg (shared association). At 100 TB the
+    global rank becomes a TakeOrdered top-(k+1) — a per-partition heap,
+    never a full sort; the fixture keeps the window form so the oracle
+    mirrors it literally.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.orderBy(F.col("cents").desc(), "o_orderkey")
+    ranked = v.select("cents", F.row_number().over(w).alias("rn"))
+    xmin = ranked.where(F.col("rn") == 501).select(F.col("cents").alias("cmin"))
+    return (
+        ranked.where(F.col("rn") <= 500)
+        .crossJoin(F.broadcast(xmin))
+        .groupBy("cmin")
+        .agg(
+            F.lit(500).cast("long").alias("k"),
+            F.round(F.col("cmin") / 100.0, 2).alias("x_min"),
+            f6(
+                1.0
+                / F.avg(F.log(F.col("cents") * 1.0) - F.log(F.col("cmin") * 1.0))
+            ).alias("hill_alpha"),
+        )
+        .select("k", "x_min", "hill_alpha")
+    )

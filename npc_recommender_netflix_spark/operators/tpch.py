@@ -1257,3 +1257,84 @@ def q_new_vs_returning(spark, sf_dir):
         F.round(ret_cents / 100.0, 2).alias("returning_revenue"),
         f6(new_cents * 1.0 / F.sum("cents")).alias("new_rev_share"),
     )
+
+
+@register(
+    "q_cohort_ltv",
+    """
+    WITH first_m AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM first_m GROUP BY cohort),
+    aged AS (
+        SELECT f.cohort,
+               date_diff('month', f.cohort,
+                         CAST(date_trunc('month', o.o_orderdate) AS DATE))
+                   AS age_months,
+               o.o_custkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+    ),
+    g AS (
+        SELECT cohort, age_months,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+               sum(cents) AS rev_cents
+        FROM aged GROUP BY cohort, age_months
+    )
+    SELECT g.cohort, g.age_months, g.n_active,
+           round(g.rev_cents / 100.0, 2) AS revenue,
+           round(sum(g.rev_cents) OVER (PARTITION BY g.cohort
+                                        ORDER BY g.age_months)
+                 * 1.0 / s.cohort_size / 100, 6) AS cum_ltv_per_customer
+    FROM g JOIN sizes s ON g.cohort = s.cohort
+    """,
+)
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: for each acquisition cohort (first-order month),
+    cumulative revenue per acquired customer by months-since-acquisition —
+    the payback-period view finance reads off every subscription /
+    marketplace dashboard (q_retention_cohort counts the same triangle;
+    this one prices it).
+
+    The cohort fold and the tagging join share one custkey partitioning;
+    ages are exact month integers between month-truncated dates (no
+    timestamp arithmetic divergence); revenue stays exact BIGINT cents
+    through the cumulative window, which runs over the cohort×age
+    aggregate (bounded by months², never order count). Cohort sizes
+    broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    first_m = orders.groupBy("o_custkey").agg(
+        F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias("cohort")
+    )
+    sizes = first_m.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    aged = orders.join(first_m, "o_custkey").select(
+        "cohort", "o_custkey",
+        (
+            (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort")) * 12
+            + (F.month(F.date_trunc("month", "o_orderdate")) - F.month("cohort"))
+        ).alias("age_months"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = aged.groupBy("cohort", "age_months").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_active"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    w = Window.partitionBy("cohort").orderBy("age_months")
+    return (
+        g.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort", "age_months", "n_active",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            f6(
+                F.sum("rev_cents").over(w) * 1.0 / F.col("cohort_size") / 100
+            ).alias("cum_ltv_per_customer"),
+        )
+    )

@@ -642,3 +642,35 @@ def test_trigram_profile_broadcast_onto_stream(spark):
     assert "BroadcastHashJoin" in plan
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cohort_ltv_window_over_cohort_age_aggregate(spark):
+    """The cumulative window runs over the cohort×age aggregate, below it
+    in the root-first print; cohort sizes broadcast."""
+    lines = _plan(spark, "q_cohort_ltv").splitlines()
+    plan = "\n".join(lines)
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg = next(i for i, ln in enumerate(lines)
+               if "HashAggregate" in ln and "age_months" in ln)
+    assert agg > win
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hamming_topk_all_integer(spark):
+    # packing + XOR/popcount: no float ops, no Python, rank-filter top-k
+    plan = _plan(spark, "v_hamming_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan  # rank<=10 rewrite
+
+
+def test_jsd_counts_broadcast_onto_grid(spark):
+    plan = _plan(spark, "t_jsd_sources")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hill_threshold_broadcast(spark):
+    plan = _plan(spark, "a_hill_tail")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan \
+        or "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

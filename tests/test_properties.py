@@ -396,3 +396,53 @@ def test_trigram_lid_shares_sum_to_one(spark):
     for r in rows:
         by_lang[r.true_lang] += r.share
     assert all(abs(v - 1.0) < 1e-4 for v in by_lang.values())
+
+
+def test_cohort_ltv_cumulative_monotone(spark):
+    from collections import defaultdict
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_cohort_ltv"](spark, SF_SMALL).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort].append((r.age_months, r.cum_ltv_per_customer))
+    for curve in by_cohort.values():
+        curve.sort()
+        vals = [v for _, v in curve]
+        assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+        assert curve[0][0] == 0  # every cohort starts at age 0
+
+
+def test_hamming_topk_bounds(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["v_hamming_topk"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hamming <= 64
+        assert 1 <= r.rn <= 10
+        assert r.cand_id >= 5 and r.query_id < 5
+
+
+def test_jsd_nonnegative_and_bounded(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_jsd_sources"](spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert -1e-6 <= r.jsd_bits <= 1.0 + 1e-6  # JSD in bits is [0, 1]
+
+
+def test_hill_alpha_positive(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_hill_tail"](spark, SF_SMALL).collect()[0]
+    assert r.k == 500
+    assert r.hill_alpha > 0
+    assert r.x_min > 0
