@@ -1424,3 +1424,108 @@ def t_jsd_sources(spark, sf_dir):
         F.max("n_s").cast("long").alias("n_tokens"),
         f6(F.sum("t") / 2e12 / float(__import__("math").log(2.0))).alias("jsd_bits"),
     )
+
+
+@register(
+    "t_symspell_join",
+    f"""
+    WITH tok AS ({TOKENS_SQL}),
+    freq AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok
+             WHERE len(word) >= 4 GROUP BY word),
+    pos AS (
+        SELECT word, unnest(range(0, len(word) + 1)) AS i FROM freq
+    ),
+    del1 AS (
+        SELECT word, CASE WHEN i = 0 THEN word
+                          ELSE substr(word, 1, CAST(i - 1 AS INTEGER))
+                               || substr(word, CAST(i + 1 AS INTEGER))
+                     END AS v
+        FROM pos
+    ),
+    del2 AS (
+        SELECT DISTINCT word,
+               CASE WHEN j = 0 THEN v
+                    ELSE substr(v, 1, CAST(j - 1 AS INTEGER))
+                         || substr(v, CAST(j + 1 AS INTEGER))
+               END AS v
+        FROM (SELECT word, v, unnest(range(0, len(v) + 1)) AS j FROM del1)
+    ),
+    cand AS (
+        SELECT DISTINCT a.word AS word_a, b.word AS word_b
+        FROM del2 a JOIN del2 b ON a.v = b.v AND a.word < b.word
+    )
+    SELECT c.word_a, c.word_b,
+           CAST(levenshtein(c.word_a, c.word_b) AS BIGINT) AS dist,
+           fa.c AS freq_a, fb.c AS freq_b
+    FROM cand c JOIN freq fa ON c.word_a = fa.word
+    JOIN freq fb ON c.word_b = fb.word
+    WHERE levenshtein(c.word_a, c.word_b) <= 2
+    ORDER BY word_a, word_b LIMIT 50
+    """,
+)
+def t_symspell_join(spark, sf_dir):
+    """SymSpell fuzzy vocabulary self-join: all word pairs (≥4 chars)
+    within edit distance 2, found WITHOUT a cross join — the scalable
+    spell-normalization / alias-resolution shape. Every dist≤2 pair
+    shares a member of each other's ≤2-deletion neighborhoods, so
+    candidate generation is an EQUI-join on deletion variants (identity
+    included, covering pure inserts) and exact levenshtein verifies only
+    the candidates.
+
+    Variants explode map-side — O(len²) per word, bounded by word length
+    — and the variant join shuffles short strings, never the corpus; the
+    canonical word_a < word_b ordering dedups pairs in the join
+    condition. At 100 TB the same plan resolves entity aliases: the
+    deletion neighborhood IS the blocking key, and verification cost is
+    candidates, not |vocab|².
+    """
+    tok = tokens(spark, sf_dir)
+    freq = (
+        tok.where(F.length("word") >= 4)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    del1 = freq.select(
+        "word",
+        F.explode(F.expr("sequence(0, length(word))")).alias("i"),
+    ).select(
+        "word",
+        F.expr(
+            "CASE WHEN i = 0 THEN word"
+            " ELSE concat(substr(word, 1, i - 1), substr(word, i + 1)) END"
+        ).alias("v"),
+    )
+    del2 = (
+        del1.select(
+            "word", "v",
+            F.explode(F.expr("sequence(0, length(v))")).alias("j"),
+        )
+        .select(
+            "word",
+            F.expr(
+                "CASE WHEN j = 0 THEN v"
+                " ELSE concat(substr(v, 1, j - 1), substr(v, j + 1)) END"
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    a = del2.select(F.col("word").alias("word_a"), "v")
+    b = del2.select(F.col("word").alias("word_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .where(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+    )
+    dist = F.levenshtein("word_a", "word_b")
+    fa = freq.select(F.col("word").alias("word_a"), F.col("c").alias("freq_a"))
+    fb = freq.select(F.col("word").alias("word_b"), F.col("c").alias("freq_b"))
+    return (
+        cand.where(dist <= 2)
+        .select("word_a", "word_b", dist.cast("long").alias("dist"))
+        .join(F.broadcast(fa), "word_a")
+        .join(F.broadcast(fb), "word_b")
+        .select("word_a", "word_b", "dist", "freq_a", "freq_b")
+        .orderBy("word_a", "word_b")
+        .limit(50)
+    )

@@ -890,3 +890,124 @@ def q_dau_wau(spark, sf_dir):
             f6(F.col("dau") * 1.0 / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@register(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM c
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over event types: for each
+    (prev → next) pair, the count and the row-normalized transition
+    probability — the flow/Sankey census product analytics builds every
+    journey map from.
+
+    The lag window and nothing else touches raw events (one user_id
+    shuffle with a deterministic (ts, event_id) order); the census
+    collapses to a |types|²-bounded axis, and the probability window
+    normalizes over that aggregated frame. Exact counts; one division
+    per matrix cell.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return c.select(
+        "prev_type", "next_type", "n",
+        f6(
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("prev_type"))
+        ).alias("prob"),
+    )
+
+
+@register(
+    "a_autocorr_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          / 1e5) AS BIGINT) AS kd
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.kd AS x, b.kd AS y
+        FROM daily a JOIN daily b ON b.d = a.d + 1
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pairs
+    )
+    SELECT n AS n_pairs,
+           round((n * sxy - sx * sy) * 1.0
+                 / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+                 6) + 0 AS lag1_autocorr
+    FROM s
+    """,
+)
+def a_autocorr_daily(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily revenue series — the one-number
+    answer to "does yesterday predict today?" that gates whether a
+    forecasting model is worth building (near 0: revenue is i.i.d. noise;
+    the fixture's synthetic orders should show exactly that).
+
+    Daily revenue snaps to exact kilodollar BIGINTs (coarse enough that
+    n·Σx² stays far inside int64 at any SF), consecutive days pair via a
+    date equi-join on the day-bounded aggregate, and all five Pearson
+    sums are exact integer reductions — the correlation expression is the
+    ONLY float math, evaluated once in a shared association (unlike
+    corr(), whose streaming co-moments accumulate engine-specific float
+    error).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("d")
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 1e5
+        ).cast("long").alias("kd")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("kd").alias("x"))
+    b = daily.select(F.expr("date_sub(d, 1)").alias("da"), F.col("kd").alias("y"))
+    pairs = a.join(b, "da")
+    s = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * 1.0
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        f6(num / den).alias("lag1_autocorr"),
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..session import f6, load_table
+from .core import ratings_matrix
 
 # co-purchase edges: items (l_partkey % 500) sharing an order, symmetric,
 # distinct; degrees; node universe
@@ -87,3 +88,89 @@ def r_pagerank(spark, sf_dir):
             F.round(F.lit(0.15 / n) + 0.85 * F.sum("w"), 9).alias("r")
         ).select(F.col("dst").alias("node"), "r")
     return pr.select("node", f6(F.col("r")).alias("rank"))
+
+
+@register(
+    "r_triangle_count",
+    """
+    WITH m AS (
+        SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_partkey < 200
+    ),
+    e AS (
+        SELECT a.item_id AS s, b.item_id AS d
+        FROM m a JOIN m b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ),
+    tri AS (
+        SELECT e1.s AS a, e1.d AS b, e2.d AS c
+        FROM e e1
+        JOIN e e2 ON e1.d = e2.s
+        JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+    ),
+    per_item AS (
+        SELECT item_id, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT a AS item_id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY item_id
+    )
+    SELECT item_id, n_triangles FROM per_item
+    ORDER BY n_triangles DESC, item_id LIMIT 20
+    """,
+)
+def r_triangle_count(spark, sf_dir):
+    """Triangle participation count on the co-purchase graph (edges =
+    item pairs co-bought by ≥3 customers) — the clustering-coefficient
+    primitive behind community detection and "customers also bought"
+    neighborhoods (items in many triangles sit inside dense categories).
+
+    The classic distributed shape: edges are canonically ordered
+    (a < b < c via the build), so each triangle is enumerated exactly
+    once by two equi-joins — no orientation dedup pass. Edge support ≥3
+    sparsifies before any join (the degeneracy knob at 100 TB, where
+    you'd also order by degree); the per-item census is a union of three
+    bounded projections. Everything is equi-join + count: zero floats.
+    """
+    m = (
+        ratings_matrix(spark, sf_dir, max_item=200)
+        .select("user_id", "item_id")
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(F.col("a.item_id").alias("s"), F.col("b.item_id").alias("d"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 3)
+        .select("s", "d")
+        # One materialization feeding all three triangle-join scans — an
+        # uncached edge frame would recompute the user-pair self-join 3×.
+        .cache()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.d") == F.col("e2.d")),
+        )
+        .select(
+            F.col("e1.s").alias("a"), F.col("e1.d").alias("b"),
+            F.col("e2.d").alias("c"),
+        )
+    )
+    per_item = (
+        tri.select(F.col("a").alias("item_id"))
+        .unionAll(tri.select(F.col("b").alias("item_id")))
+        .unionAll(tri.select(F.col("c").alias("item_id")))
+        .groupBy("item_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return per_item.orderBy(F.col("n_triangles").desc(), "item_id").limit(20)

@@ -170,7 +170,8 @@ ORACLE_WINDOW = (
 # v_dim_variance, q_rfm_segments, a_jackknife_ci, t_dedup_yield_curve,
 # t_lang_confusion, q_dau_wau, q_new_vs_returning, r_novelty,
 # t_trigram_lid, q_cohort_ltv, v_hamming_topk, t_jsd_sources,
-# a_hill_tail
+# a_hill_tail, r_triangle_count, t_symspell_join, q_event_transitions,
+# a_autocorr_daily
 # (added round 5), r_precision_at_k,
 # r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
 # v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,

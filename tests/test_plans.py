@@ -674,3 +674,39 @@ def test_hill_threshold_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan \
         or "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_edges_cached_once(spark):
+    """The edge frame feeds all three triangle-join scans from one
+    materialization, and triangle enumeration is pure equi-join."""
+    plan = _plan(spark, "r_triangle_count")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_symspell_no_cross_join(spark):
+    """Candidate generation must be the deletion-variant equi-join —
+    a cartesian operator would mean the |vocab|² scan SymSpell avoids."""
+    plan = _plan(spark, "t_symspell_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # variant explode
+
+
+def test_event_transitions_window_then_bounded_census(spark):
+    """The prob window runs over the |types|² census, below it in the
+    root-first print sits only the bounded aggregate."""
+    lines = _plan(spark, "q_event_transitions").splitlines()
+    # two windows: the lag (over raw events) and the prob normalizer
+    # (over the census); the census HashAggregate must sit between them
+    wins = [i for i, ln in enumerate(lines) if "Window" in ln]
+    agg = next(i for i, ln in enumerate(lines)
+               if "HashAggregate" in ln and "prev_type" in ln)
+    assert min(wins) < agg  # prob window above the census aggregate
+
+
+def test_autocorr_integer_sums_single_row(spark):
+    plan = _plan(spark, "a_autocorr_daily")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -446,3 +446,50 @@ def test_hill_alpha_positive(spark):
     assert r.k == 500
     assert r.hill_alpha > 0
     assert r.x_min > 0
+
+
+def test_triangle_counts_positive(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_triangle_count"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_triangles >= 1
+    vals = [r.n_triangles for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_symspell_pairs_verified(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_symspell_join"](spark, SF_SMALL).collect()
+    for r in rows:
+        assert 1 <= r.dist <= 2
+        assert r.word_a < r.word_b
+        assert r.freq_a >= 1 and r.freq_b >= 1
+
+
+def test_event_transitions_rows_normalize(spark):
+    from collections import defaultdict
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_event_transitions"](spark, SF_SMALL).collect()
+    assert rows
+    by_prev = defaultdict(float)
+    for r in rows:
+        by_prev[r.prev_type] += r.prob
+        assert r.n >= 1
+    assert all(abs(v - 1.0) < 1e-4 for v in by_prev.values())
+
+
+def test_autocorr_in_minus_one_one(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_autocorr_daily"](spark, SF_SMALL).collect()[0]
+    assert -1.0 - 1e-9 <= r.lag1_autocorr <= 1.0 + 1e-9
+    assert r.n_pairs > 0
