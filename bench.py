@@ -60,6 +60,9 @@ HEADLINE = [
     "q_market_share",       # round 5: Q8-shape two-fact-shuffle share
     "q_waiting_suppliers",  # round 5: decorrelated Q21 sole-late suppliers
     "r_ndcg",               # round 5: ranking-aware offline eval
+    "q_dau_wau",            # round 5: rolling-distinct growth metrics
+    "v_hamming_topk",       # round 5: all-integer binary ANN tier
+    "t_trigram_lid",        # round 5: broadcast-profile n-gram LID
     "r_als",            # MLlib ALS fit+transform (<=60 s budget)
 ]
 

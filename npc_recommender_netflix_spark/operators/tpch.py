@@ -1338,3 +1338,142 @@ def q_cohort_ltv(spark, sf_dir):
             ).alias("cum_ltv_per_customer"),
         )
     )
+
+
+@register(
+    "w_seasonality",
+    """
+    WITH monthly AS (
+        SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS n_years,
+               sum(cents) AS mc
+        FROM monthly GROUP BY m
+    )
+    SELECT m AS month, n_years,
+           round(mc / 100.0 / n_years, 2) AS avg_month_revenue,
+           round(mc * 1.0 / n_years
+                 / (sum(mc) OVER () * 1.0 / sum(n_years) OVER ()), 6)
+               AS seasonal_index
+    FROM idx
+    """,
+)
+def w_seasonality(spark, sf_dir):
+    """Classical multiplicative seasonality table: each calendar month's
+    average revenue as an index against the all-month average (index > 1
+    = peak month) — the deseasonalization divisor every forecasting
+    pipeline computes first (a_autocorr_daily gates the trend term; this
+    extracts the seasonal one).
+
+    Revenue folds to exact cents on the (month, year) axis — bounded by
+    the calendar, never order count — then to the 12-row month axis; the
+    index normalizer is a window over those 12 rows. One fact shuffle;
+    every division happens once at the end on exact sums.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.year("o_orderdate").cast("long").alias("y"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    idx = monthly.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_years"), F.sum("cents").alias("mc")
+    )
+    w = Window.partitionBy()
+    return idx.select(
+        F.col("m").alias("month"), "n_years",
+        F.round(F.col("mc") / 100.0 / F.col("n_years"), 2).alias("avg_month_revenue"),
+        f6(
+            F.col("mc") * 1.0 / F.col("n_years")
+            / (F.sum("mc").over(w) * 1.0 / F.sum("n_years").over(w))
+        ).alias("seasonal_index"),
+    )
+
+
+@register(
+    "q_discount_elasticity",
+    """
+    WITH v AS (
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+               CAST(round(l_quantity) AS BIGINT) AS qty
+        FROM lineitem
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(disc_pct) AS sx, sum(qty) AS sy,
+               sum(disc_pct * qty) AS sxy,
+               sum(disc_pct * disc_pct) AS sxx
+        FROM v
+    ),
+    fit AS (
+        SELECT n,
+               (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS beta,
+               sy * 1.0 / n - (n * sxy - sx * sy) * 1.0
+                              / (n * sxx - sx * sx) * sx / n AS alpha
+        FROM s
+    ),
+    bydisc AS (
+        SELECT disc_pct, CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(qty) * 1.0 / count(*), 6) AS avg_qty
+        FROM v GROUP BY disc_pct
+    )
+    SELECT b.disc_pct, b.n_lines, b.avg_qty,
+           round(f.alpha + f.beta * b.disc_pct, 6) AS fitted_qty,
+           round(f.beta, 6) + 0 AS beta_qty_per_pct
+    FROM bydisc b CROSS JOIN fit f
+    ORDER BY b.disc_pct
+    """,
+)
+def q_discount_elasticity(spark, sf_dir):
+    """Discount elasticity: OLS slope of order quantity on discount level
+    (does discounting move volume?), reported alongside the per-discount
+    observed means so the fit is inspectable — the pricing-analytics
+    regression (a_corr_regr exposes the engine's streaming regr_slope;
+    this one derives the slope from five EXACT integer sums, so both
+    engines compute identical floats).
+
+    Discounts snap to integer percent, quantities to integer units —
+    Σxy/Σx² stay far inside int64 at any SF. One scan feeds both the
+    global sums and the per-discount means (11-row axis); the fitted
+    line attaches as a broadcast single row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    s = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("disc_pct").alias("sx"), F.sum("qty").alias("sy"),
+        F.sum(F.col("disc_pct") * F.col("qty")).alias("sxy"),
+        F.sum(F.col("disc_pct") * F.col("disc_pct")).alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select(
+        beta.alias("beta"),
+        (F.col("sy") * 1.0 / F.col("n") - beta * F.col("sx") / F.col("n")).alias(
+            "alpha"
+        ),
+    )
+    bydisc = v.groupBy("disc_pct").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        f6(F.sum("qty") * 1.0 / F.count("*")).alias("avg_qty"),
+    )
+    return (
+        bydisc.crossJoin(F.broadcast(fit))
+        .select(
+            "disc_pct", "n_lines", "avg_qty",
+            F.round(F.col("alpha") + F.col("beta") * F.col("disc_pct"), 6).alias(
+                "fitted_qty"
+            ),
+            (F.round(F.col("beta"), 6) + 0.0).alias("beta_qty_per_pct"),
+        )
+        .orderBy("disc_pct")
+    )

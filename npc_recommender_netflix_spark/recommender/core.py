@@ -1122,3 +1122,58 @@ def r_novelty(spark, sf_dir):
         )
         .select("user_id", "n_recs", "novelty_bits")
     )
+
+
+@register(
+    "r_serendipity",
+    f"""
+    WITH p AS ({_PRED_SQL}),
+    ranked AS (
+        SELECT user_id, item_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY pred DESC, item_id) AS rn
+        FROM p
+    ),
+    recs AS (SELECT user_id, item_id FROM ranked WHERE rn <= 3),
+    pop AS (
+        SELECT item_id
+        FROM ({_M_SQL}) GROUP BY item_id
+        ORDER BY count(*) DESC, item_id LIMIT 10
+    )
+    SELECT r.user_id, CAST(count(*) AS BIGINT) AS n_recs,
+           CAST(count(pop.item_id) AS BIGINT) AS n_obvious,
+           round(1 - count(pop.item_id) * 1.0 / count(*), 6) + 0
+               AS serendipity
+    FROM recs r LEFT JOIN pop ON r.item_id = pop.item_id
+    GROUP BY r.user_id
+    """,
+)
+def r_serendipity(spark, sf_dir):
+    """Recommendation serendipity: the fraction of each user's top-3 recs
+    NOT in the global top-10 most-rated items — the unexpectedness eval
+    (a popularity baseline scores exactly 0) that pairs with r_novelty:
+    novelty weights by rarity, serendipity hard-gates on "would a
+    popularity shelf have shown this anyway?".
+
+    Reuses the registered top-3 pipeline; the obvious-set is a 10-row
+    TakeOrdered that broadcasts into a LEFT join (hit counting, no row
+    loss); everything after is one user-keyed rollup with exact integer
+    counts and a single division.
+    """
+    recs = r_topn_recs(spark, sf_dir).select("user_id", "item_id")
+    m = ratings_matrix(spark, sf_dir)
+    pop = (
+        m.groupBy("item_id")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "item_id")
+        .limit(10)
+        .select(F.col("item_id").alias("pop_item"))
+    )
+    j = recs.join(
+        F.broadcast(pop), recs.item_id == F.col("pop_item"), "left"
+    )
+    return j.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_recs"),
+        F.count("pop_item").cast("long").alias("n_obvious"),
+        f6(1 - F.count("pop_item") * 1.0 / F.count("*")).alias("serendipity"),
+    )

@@ -171,7 +171,8 @@ ORACLE_WINDOW = (
 # t_lang_confusion, q_dau_wau, q_new_vs_returning, r_novelty,
 # t_trigram_lid, q_cohort_ltv, v_hamming_topk, t_jsd_sources,
 # a_hill_tail, r_triangle_count, t_symspell_join, q_event_transitions,
-# a_autocorr_daily
+# a_autocorr_daily, u_cogroup_pandas, w_seasonality,
+# q_discount_elasticity, r_serendipity
 # (added round 5), r_precision_at_k,
 # r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
 # v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,

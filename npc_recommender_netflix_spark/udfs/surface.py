@@ -127,3 +127,65 @@ def u_udtf(spark, sf_dir):
         "SELECT t.doc_id, t.token FROM v_docs_udtf, "
         "LATERAL split_tokens(doc_id, text) t"
     )
+
+
+@register(
+    "u_cogroup_pandas",
+    """
+    SELECT c.c_custkey AS custkey,
+           CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                 / 100.0, 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 500
+    GROUP BY c.c_custkey, c.c_nationkey
+    """,
+)
+def u_cogroup_pandas(spark, sf_dir):
+    """Cogrouped-map surface (Spark 3.0+): `groupBy(...).cogroup(...)
+    .applyInPandas` merges the per-key slices of TWO DataFrames in one
+    Arrow-batched Python function — the API for custom two-sided
+    per-entity logic (as-of merges, per-key reconciliation) that a plain
+    join can't express. Here it reconciles each customer with their
+    orders; the oracle is the equivalent LEFT JOIN rollup.
+
+    Both sides shuffle once on the cogroup key; per-key state is one
+    customer's slice (bounded). Money folds as exact integer cents inside
+    pandas so the Python path is reduction-order-safe like the JVM one.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 500)
+        .select("c_custkey", "c_nationkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 500)
+        .select("o_custkey", "o_totalprice")
+    )
+
+    def reconcile(key, cpdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        if cpdf.empty:  # order rows whose customer slice is absent: skip
+            return pd.DataFrame(
+                columns=["custkey", "nationkey", "n_orders", "total_spend"]
+            )
+        cents = (opdf["o_totalprice"] * 100).round().astype("int64").sum()
+        return pd.DataFrame(
+            {
+                "custkey": [int(key[0])],
+                "nationkey": [int(cpdf["c_nationkey"].iloc[0])],
+                "n_orders": [len(opdf)],
+                "total_spend": [round(int(cents) / 100.0, 2)],
+            }
+        )
+
+    out = (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            reconcile,
+            schema="custkey long, nationkey long, n_orders long, total_spend double",
+        )
+    )
+    return out

@@ -710,3 +710,28 @@ def test_autocorr_integer_sums_single_row(spark):
     plan = _plan(spark, "a_autocorr_daily")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cogroup_pandas_arrow_operator(spark):
+    # the cogrouped map is the Arrow FlatMapCoGroupsInPandas operator
+    plan = _plan(spark, "u_cogroup_pandas")
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_seasonality_windows_over_month_axis(spark):
+    lines = _plan(spark, "w_seasonality").splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg = next(i for i, ln in enumerate(lines)
+               if "HashAggregate" in ln and "cents" in ln)
+    assert agg > win  # normalizer window over the 12-row month aggregate
+
+
+def test_elasticity_fit_broadcast(spark):
+    plan = _plan(spark, "q_discount_elasticity")
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_serendipity_pop_set_broadcast(spark):
+    plan = _plan(spark, "r_serendipity")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -493,3 +493,69 @@ def test_autocorr_in_minus_one_one(spark):
     r = registry.QUERIES["a_autocorr_daily"](spark, SF_SMALL).collect()[0]
     assert -1.0 - 1e-9 <= r.lag1_autocorr <= 1.0 + 1e-9
     assert r.n_pairs > 0
+
+
+def test_cogroup_matches_join_rollup(spark):
+    """The cogrouped-pandas reconcile must agree with the JVM join."""
+    from npc_recommender_netflix_spark import registry
+    from npc_recommender_netflix_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    out = {
+        r.custkey: (r.n_orders, r.total_spend)
+        for r in registry.QUERIES["u_cogroup_pandas"](spark, SF_SMALL).collect()
+    }
+    cust = load_table(spark, SF_SMALL, "customer").where(F.col("c_custkey") < 500)
+    orders = load_table(spark, SF_SMALL, "orders").where(F.col("o_custkey") < 500)
+    jvm = {
+        r.c_custkey: (r.n, round(r.cents / 100.0, 2))
+        for r in cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0)
+            ).alias("cents"),
+        )
+        .collect()
+    }
+    assert out == jvm
+
+
+def test_seasonality_indexes_average_to_one(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["w_seasonality"](spark, SF_SMALL).collect()
+    assert len(rows) == 12
+    # year-weighted mean of the index is 1 by construction
+    num = sum(r.seasonal_index * r.n_years for r in rows)
+    den = sum(r.n_years for r in rows)
+    assert abs(num / den - 1.0) < 1e-3
+
+
+def test_elasticity_fitted_line_is_linear(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        registry.QUERIES["q_discount_elasticity"](spark, SF_SMALL).collect(),
+        key=lambda r: r.disc_pct,
+    )
+    assert rows
+    beta = rows[0].beta_qty_per_pct
+    assert all(abs(r.beta_qty_per_pct - beta) < 1e-9 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        step = (b.fitted_qty - a.fitted_qty) / (b.disc_pct - a.disc_pct)
+        assert abs(step - beta) < 1e-4
+
+
+def test_serendipity_unit_interval(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_serendipity"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.serendipity <= 1.0
+        assert r.n_obvious + 0 <= r.n_recs
