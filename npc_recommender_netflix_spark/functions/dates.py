@@ -122,3 +122,46 @@ def fn_date_trunc(spark, sf_dir):
         (F.weekday(d) + 1).cast("long").alias("iso_dow"),
         F.quarter(d).cast("long").alias("qtr"),
     )
+
+
+@register(
+    "fn_make_datetime",
+    """
+    SELECT event_id,
+           make_date(CAST(year(ts) AS INTEGER), CAST(month(ts) AS INTEGER),
+                     CAST(day(ts) AS INTEGER)) AS d,
+           CASE WHEN make_timestamp(CAST(year(ts) AS BIGINT),
+                                    CAST(month(ts) AS BIGINT),
+                                    CAST(day(ts) AS BIGINT),
+                                    CAST(hour(ts) AS BIGINT),
+                                    CAST(minute(ts) AS BIGINT),
+                                    CAST(floor(second(ts)) AS DOUBLE))
+                     = date_trunc('second', ts)
+                THEN 1 ELSE 0 END AS rebuilt_matches
+    FROM events WHERE event_id < 2000
+    """,
+)
+def fn_make_datetime(spark, sf_dir):
+    """Constructor surface: make_date / make_timestamp from extracted
+    parts, verified by rebuilding each event's second-truncated timestamp
+    from its own fields — the datetime-assembly functions ETL uses to
+    build keys from split columns (the inverse of fn_date_parts).
+
+    Pure map-side projection (no shuffle at all); the equality check is
+    integer-part exact because both engines extract and reassemble the
+    same microsecond-aligned values. DuckDB's make_timestamp takes
+    seconds as DOUBLE; Spark's takes a DECIMAL — both get the exact
+    floor()ed integer second, so no float boundary exists.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    rebuilt = F.expr(
+        "make_timestamp(year(ts), month(ts), day(ts),"
+        " hour(ts), minute(ts), CAST(floor(second(ts)) AS DECIMAL(8,6)))"
+    )
+    return ev.select(
+        "event_id",
+        F.expr("make_date(year(ts), month(ts), day(ts))").alias("d"),
+        F.when(rebuilt == F.date_trunc("second", "ts"), 1)
+        .otherwise(0)
+        .alias("rebuilt_matches"),
+    )

@@ -1123,3 +1123,126 @@ def v_hamming_topk(spark, sf_dir):
         .where(F.col("rn") <= 10)
         .select("query_id", "cand_id", "hamming", "rn")
     )
+
+
+@register(
+    "v_topk_mips",
+    f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label,
+               round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')}, 6)
+                   + 0 AS dot
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 5
+                                           AND c.vec_id >= 5
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, label, dot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, cand_id) AS rn
+        FROM pairs
+    )
+    SELECT query_id, cand_id, label, dot, rn FROM ranked WHERE rn <= 10
+    """,
+)
+def v_topk_mips(spark, sf_dir):
+    """Maximum inner-product search (MIPS): per-query top-10 by raw dot
+    product, NOT cosine — the retrieval mode trained two-tower /
+    recommender embeddings actually need (magnitude carries popularity
+    signal; cosine's normalization erases it, which is why v_cosine_topk
+    and this op rank differently on the same vectors).
+
+    The JVM zip_with dot is the only arithmetic (no norms — MIPS's whole
+    point); queries broadcast onto candidates and the per-query top-10
+    is a rank-filter window (WindowGroupLimit heap). At 100 TB MIPS
+    reduces to cosine on the augmented-dimension trick or rides the same
+    IVF machinery as v_ann_ivf — the exact form here is the oracle
+    anchor.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cand_id"), "label", F.col("embedding").alias("ce")
+    )
+    pairs = F.broadcast(q).crossJoin(c).select(
+        "query_id", "cand_id", "label",
+        f6(F.expr(_DOT.format(a="qe", b="ce"))).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), "cand_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "cand_id", "label", "dot", "rn")
+    )
+
+
+@register(
+    "v_centroid_matrix",
+    """
+    WITH ex AS (
+        SELECT label, i.i AS pos,
+               CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) i(i)
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(round(round(avg(v), 6) * 1e6) AS BIGINT) AS c6
+        FROM ex GROUP BY label, pos
+    ),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(a.c6 * b.c6) AS dot,
+               sum(a.c6 * a.c6) AS na2, sum(b.c6 * b.c6) AS nb2
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           round(dot * 1.0 / sqrt(na2 * 1.0 * nb2), 6) + 0 AS cos
+    FROM pairs
+    """,
+)
+def v_centroid_matrix(spark, sf_dir):
+    """Inter-class separability matrix: pairwise cosine between per-label
+    embedding centroids — the diagnostic that names WHICH classes a
+    classifier (or an IVF quantizer reusing labels as cells) will
+    confuse (cos → 1: the two clusters overlap).
+
+    Centroid components snap to 6dp → exact 1e-6-unit BIGINTs (the
+    v_centroid rounding boundary), so the pairwise dot/norm sums are
+    reorder-safe integer reductions over the 64-dim axis and the cosine
+    is ONE float expression both engines share. All frames after the
+    explode are bounded by labels × 64 — the matrix costs nothing at any
+    corpus scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    cent = ex.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        F.round(F.round(F.avg(F.col("v").cast("double")), 6) * 1e6)
+        .cast("long")
+        .alias("c6")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c6").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("c6").alias("cb")
+    )
+    pairs = (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na2"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb2"),
+        )
+    )
+    return pairs.select(
+        "label_a", "label_b",
+        f6(
+            F.col("dot") * 1.0 / F.sqrt(F.col("na2") * 1.0 * F.col("nb2"))
+        ).alias("cos"),
+    )

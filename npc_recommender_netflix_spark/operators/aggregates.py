@@ -1020,3 +1020,154 @@ def a_hill_tail(spark, sf_dir):
         )
         .select("k", "x_min", "hill_alpha")
     )
+
+
+@register(
+    "a_mann_whitney",
+    """
+    WITH v AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    byval AS (
+        SELECT cents,
+               CAST(sum(grp) AS BIGINT) AS n_a,
+               CAST(sum(1 - grp) AS BIGINT) AS n_b
+        FROM v GROUP BY cents
+    ),
+    ranked AS (
+        SELECT n_a, n_b,
+               coalesce(sum(n_a + n_b) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM byval
+    ),
+    s AS (
+        SELECT sum(n_a * (2 * cum_before + n_a + n_b + 1)) AS r1x2,
+               sum(n_a) AS n1, sum(n_b) AS n2
+        FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(r1x2 / 2.0 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+           round((r1x2 / 2.0 - n1 * (n1 + 1) / 2.0 - n1 * 1.0 * n2 / 2)
+                 / sqrt(n1 * 1.0 * n2 * (n1 + n2 + 1) / 12), 6) + 0 AS z
+    FROM s
+    """,
+)
+def a_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (rank-sum) test: purchase vs view value
+    distributions — the nonparametric location-shift drift monitor that
+    completes the a_ks_drift / a_psi_drift family (KS sees any shape
+    change, PSI sees binned mass moves, U asks specifically "is one
+    group systematically larger?").
+
+    Mid-rank tie handling is exact: ranks come from cumulative counts
+    over the DISTINCT-cents axis (the a_ks_drift shape — the window runs
+    over value cardinality, not rows), and the rank-sum is carried as
+    2×R₁, an exact BIGINT, so the reduction is reorder-safe; U and the
+    normal approximation touch floats once in a shared association (tie
+    variance correction omitted — documented, identical both engines).
+    At 100 TB the doubled rank-sum needs DECIMAL(38,0) — same swap as
+    the Q1 charge cells.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    v = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+    )
+    byval = v.groupBy("cents").agg(
+        F.sum("grp").cast("long").alias("n_a"),
+        F.sum(1 - F.col("grp")).cast("long").alias("n_b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.select(
+        "n_a", "n_b",
+        F.coalesce(F.sum(F.col("n_a") + F.col("n_b")).over(w), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    s = ranked.agg(
+        F.sum(
+            F.col("n_a")
+            * (2 * F.col("cum_before") + F.col("n_a") + F.col("n_b") + 1)
+        ).alias("r1x2"),
+        F.sum("n_a").alias("n1"),
+        F.sum("n_b").alias("n2"),
+    )
+    u1 = F.col("r1x2") / 2.0 - F.col("n1") * (F.col("n1") + 1) / 2.0
+    z = (u1 - F.col("n1") * 1.0 * F.col("n2") / 2) / F.sqrt(
+        F.col("n1") * 1.0 * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(u1, 6).alias("u1"),
+        f6(z).alias("z"),
+    )
+
+
+@register(
+    "a_winsorized_mean",
+    """
+    WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b AS (
+        SELECT quantile_cont(cents, 0.05) AS lo,
+               quantile_cont(cents, 0.95) AS hi
+        FROM v
+    ),
+    cl AS (
+        SELECT CAST(round(
+                   CASE WHEN cents < b.lo THEN b.lo
+                        WHEN cents > b.hi THEN b.hi
+                        ELSE cents END) AS BIGINT) AS wc
+        FROM v CROSS JOIN b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round((SELECT lo FROM b) / 100.0, 6) AS p05,
+           round((SELECT hi FROM b) / 100.0, 6) AS p95,
+           round(sum(wc) * 1.0 / count(*) / 100, 6) AS winsorized_mean
+    FROM cl
+    """,
+)
+def a_winsorized_mean(spark, sf_dir):
+    """5%-winsorized mean of order value: clamp both tails at the
+    p5/p95 fences, then average — the robust central-tendency estimate
+    dashboards use when a_hill_tail says the raw mean is hostage to the
+    tail (trimming drops outliers; winsorizing keeps their count but
+    caps their leverage).
+
+    The fences are one exact interpolated percentile pass over integer
+    cents (a_median semantics) and broadcast as a single row; clamped
+    values snap back to BIGINT cents (the fence is at worst a .5 —
+    round() resolves it identically in both engines) so the final sum is
+    an exact integer reduction with ONE division. Two linear passes, no
+    sort of raw data beyond the percentile's own machinery.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    b = v.agg(
+        F.percentile("cents", 0.05).alias("lo"),
+        F.percentile("cents", 0.95).alias("hi"),
+    )
+    cl = v.crossJoin(F.broadcast(b)).select(
+        F.round(
+            F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+            .when(F.col("cents") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("cents"))
+        ).cast("long").alias("wc"),
+        "lo", "hi",
+    )
+    return cl.agg(
+        F.count("*").cast("long").alias("n"),
+        f6(F.max("lo") / 100.0).alias("p05"),
+        f6(F.max("hi") / 100.0).alias("p95"),
+        f6(F.sum("wc") * 1.0 / F.count("*") / 100).alias("winsorized_mean"),
+    )

@@ -1011,3 +1011,72 @@ def a_autocorr_daily(spark, sf_dir):
         F.col("n").alias("n_pairs"),
         f6(num / den).alias("lag1_autocorr"),
     )
+
+
+@register(
+    "q_running_backlog",
+    """
+    WITH shipped AS (
+        SELECT l_orderkey, max(l_shipdate) AS done_d
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    deltas AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(1 AS BIGINT) AS delta
+        FROM orders
+        UNION ALL
+        SELECT CAST(date_trunc('day', s.done_d) AS DATE) AS d,
+               CAST(-1 AS BIGINT) AS delta
+        FROM shipped s JOIN orders o ON o.o_orderkey = s.l_orderkey
+    ),
+    daily AS (
+        SELECT d, sum(delta) AS net,
+               sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS opened,
+               sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS closed
+        FROM deltas GROUP BY d
+    )
+    SELECT d AS day, CAST(opened AS BIGINT) AS opened,
+           CAST(closed AS BIGINT) AS closed,
+           CAST(sum(net) OVER (ORDER BY d) AS BIGINT) AS backlog
+    FROM daily
+    """,
+)
+def q_running_backlog(spark, sf_dir):
+    """Open-order backlog curve: daily orders placed minus orders fully
+    shipped (last line shipped), with the running open count — the
+    operations chart that shows whether fulfillment keeps up with intake
+    (backlog drifting up = capacity problem long before SLAs breach).
+
+    The classic +1/−1 event-delta shape: both deltas collapse to the
+    day-bounded axis BEFORE the cumulative window, so the global running
+    sum orders days, not orders (the a_ks_drift aggregated-axis rule);
+    the ship-completion date is one orderkey rollup joined back
+    (orderkey-partitioned both sides). Exact integer counts end to end.
+    """
+    from pyspark.sql.window import Window
+
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    shipped = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done_d"))
+    opened = orders.select(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+        F.lit(1).cast("long").alias("delta"),
+    )
+    closed = (
+        shipped.join(orders, shipped.l_orderkey == orders.o_orderkey)
+        .select(
+            F.to_date(F.date_trunc("day", "done_d")).alias("d"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    daily = opened.unionAll(closed).groupBy("d").agg(
+        F.sum("delta").alias("net"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("opened"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("closed"),
+    )
+    w = Window.orderBy("d")
+    return daily.select(
+        F.col("d").alias("day"),
+        F.col("opened").cast("long").alias("opened"),
+        F.col("closed").cast("long").alias("closed"),
+        F.sum("net").over(w).cast("long").alias("backlog"),
+    )

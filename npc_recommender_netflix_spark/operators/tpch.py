@@ -1477,3 +1477,66 @@ def q_discount_elasticity(spark, sf_dir):
         )
         .orderBy("disc_pct")
     )
+
+
+@register(
+    "q_supplier_hhi",
+    """
+    WITH rev AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+        SELECT l_partkey, sum(cents) AS t,
+               CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM rev GROUP BY l_partkey
+    ),
+    hhi AS (
+        SELECT r.l_partkey, max(t.n_suppliers) AS n_suppliers,
+               sum(CAST(round(r.cents * 1.0 / t.t
+                              * (r.cents * 1.0 / t.t) * 1e12) AS BIGINT))
+                   AS h12
+        FROM rev r JOIN tot t ON r.l_partkey = t.l_partkey
+        GROUP BY r.l_partkey
+    )
+    SELECT l_partkey, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           round(h12 / 1e12, 6) AS hhi
+    FROM hhi
+    ORDER BY hhi DESC, l_partkey LIMIT 20
+    """,
+)
+def q_supplier_hhi(spark, sf_dir):
+    """Supplier-concentration HHI per part: the Herfindahl index of each
+    part's supplier revenue shares, top-20 most concentrated — the
+    supply-chain-risk screen (HHI → 1: single-sourced part, one supplier
+    failure stops the line; a_gini measures the same concentration idea
+    on customers, this one is the procurement twin).
+
+    Revenue folds to exact cents on the (part, supplier) axis in ONE
+    shuffle that the per-part totals reuse; each squared share is
+    snapped to 1e-12 BIGINT units before the per-part sum (reorder-safe,
+    the a_psi_drift recipe), and top-20 is TakeOrdered with a partkey
+    tiebreak.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    tot = rev.groupBy("l_partkey").agg(
+        F.sum("cents").alias("t"), F.count("*").cast("long").alias("n_suppliers")
+    )
+    share = F.col("cents") * 1.0 / F.col("t")
+    hhi = (
+        rev.join(tot, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.sum(F.round(share * share * 1e12).cast("long")).alias("h12"),
+        )
+    )
+    return (
+        hhi.select("l_partkey", "n_suppliers", f6(F.col("h12") / 1e12).alias("hhi"))
+        .orderBy(F.col("hhi").desc(), "l_partkey")
+        .limit(20)
+    )

@@ -1177,3 +1177,78 @@ def r_serendipity(spark, sf_dir):
         F.count("pop_item").cast("long").alias("n_obvious"),
         f6(1 - F.count("pop_item") * 1.0 / F.count("*")).alias("serendipity"),
     )
+
+
+@register(
+    "r_bpr_triplets",
+    f"""
+    WITH m AS (SELECT DISTINCT user_id, item_id FROM ({_M200_SQL})),
+    cand AS (
+        SELECT user_id, item_id AS pos_item,
+               CAST(list_sum(list_transform(range(1, 9),
+                   j -> (strpos('0123456789abcdef',
+                            substring(md5(CAST(user_id AS VARCHAR) || '-'
+                                          || CAST(item_id AS VARCHAR)),
+                                      j, 1)) - 1)
+                        * 16 ** (8 - j))) AS BIGINT) % 200 AS neg_item
+        FROM m
+    ),
+    valid AS (
+        SELECT c.user_id, c.pos_item, c.neg_item
+        FROM cand c LEFT JOIN m ON m.user_id = c.user_id
+                                AND m.item_id = c.neg_item
+        WHERE m.item_id IS NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_triplets,
+           CAST(min(neg_item) AS BIGINT) AS min_neg,
+           CAST(max(neg_item) AS BIGINT) AS max_neg
+    FROM valid GROUP BY user_id
+    """,
+)
+def r_bpr_triplets(spark, sf_dir):
+    """Deterministic BPR negative sampling: for each observed (user,
+    positive-item) pair, propose the md5-hash-derived candidate negative
+    and keep it only if the user never interacted with it — the
+    (u, i⁺, i⁻) triplet table implicit-feedback rankers train on,
+    reproducible across runs and engines because the 'randomness' is a
+    hash, not an RNG.
+
+    The candidate is pure map-side hash math (the t_shuffle_shard
+    recipe); validity is ONE left-anti-shaped join back onto the
+    interaction matrix on (user, candidate) — at 100 TB this is the
+    standard skew-safe shape, and collision-dropped candidates (a
+    hash landing on a seen item) are simply absent, exactly as a
+    rejection sampler would behave. Census output keeps the key
+    driver-checkable; the triplet stream itself is the `valid` CTE.
+    """
+    m = (
+        ratings_matrix(spark, sf_dir, max_item=200)
+        .select("user_id", "item_id")
+        .distinct()
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("user_id").cast("string"),
+                    F.col("item_id").cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    cand = m.select(
+        "user_id",
+        F.col("item_id").alias("pos_item"),
+        (h32 % 200).alias("neg_item"),
+    )
+    seen = m.select("user_id", F.col("item_id").alias("neg_item"))
+    valid = cand.join(seen, ["user_id", "neg_item"], "left_anti")
+    return valid.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_triplets"),
+        F.min("neg_item").cast("long").alias("min_neg"),
+        F.max("neg_item").cast("long").alias("max_neg"),
+    )

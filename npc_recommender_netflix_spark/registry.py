@@ -172,7 +172,9 @@ ORACLE_WINDOW = (
 # t_trigram_lid, q_cohort_ltv, v_hamming_topk, t_jsd_sources,
 # a_hill_tail, r_triangle_count, t_symspell_join, q_event_transitions,
 # a_autocorr_daily, u_cogroup_pandas, w_seasonality,
-# q_discount_elasticity, r_serendipity
+# q_discount_elasticity, r_serendipity, a_mann_whitney,
+# a_winsorized_mean, q_running_backlog, v_topk_mips, v_centroid_matrix,
+# r_bpr_triplets, q_supplier_hhi, fn_make_datetime
 # (added round 5), r_precision_at_k,
 # r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
 # v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,

@@ -735,3 +735,61 @@ def test_elasticity_fit_broadcast(spark):
 def test_serendipity_pop_set_broadcast(spark):
     plan = _plan(spark, "r_serendipity")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_mann_whitney_window_over_distinct_axis(spark):
+    """Rank window runs over the distinct-cents aggregate (a_ks_drift
+    rule), never raw events."""
+    lines = _plan(spark, "a_mann_whitney").splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg = next(i for i, ln in enumerate(lines)
+               if "HashAggregate" in ln and "cents" in ln)
+    assert agg > win
+
+
+def test_winsorized_fences_broadcast(spark):
+    plan = _plan(spark, "a_winsorized_mean")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_backlog_window_over_daily_axis(spark):
+    lines = _plan(spark, "q_running_backlog").splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg = next(i for i, ln in enumerate(lines)
+               if "HashAggregate" in ln and "delta" in ln)
+    assert agg > win  # running sum over the day-bounded aggregate
+    assert "Union" in "\n".join(lines)
+
+
+def test_mips_rank_filter_heap(spark):
+    plan = _plan(spark, "v_topk_mips")
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_centroid_matrix_bounded_frames(spark):
+    """Pair sums run over the labels×64 centroid axis (below the explode
+    aggregate), never raw vectors."""
+    plan = _plan(spark, "v_centroid_matrix")
+    assert "Generate" in plan  # posexplode
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpr_negative_check_is_anti_join(spark):
+    plan = _plan(spark, "r_bpr_triplets")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_supplier_hhi_single_fact_fold(spark):
+    # rev + totals reuse one (partkey, suppkey)->partkey agg chain; top-20
+    # is a heap
+    plan = _plan(spark, "q_supplier_hhi")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_make_datetime_no_shuffle(spark):
+    assert "Exchange" not in _plan(spark, "fn_make_datetime")

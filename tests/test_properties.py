@@ -559,3 +559,99 @@ def test_serendipity_unit_interval(spark):
     for r in rows:
         assert 0.0 <= r.serendipity <= 1.0
         assert r.n_obvious + 0 <= r.n_recs
+
+
+def test_mann_whitney_u_in_range(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_mann_whitney"](spark, SF_SMALL).collect()[0]
+    assert 0 <= r.u1 <= r.n1 * r.n2  # U is bounded by the product
+    assert r.n1 > 0 and r.n2 > 0
+
+
+def test_winsorized_mean_between_fences(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_winsorized_mean"](spark, SF_SMALL).collect()[0]
+    assert r.p05 <= r.winsorized_mean <= r.p95
+    assert r.n > 0
+
+
+def test_backlog_never_negative_ends_at_zero_or_positive(spark):
+    """Every order opens before it closes, so the running backlog is
+    always >= 0; the final day's backlog equals open-minus-closed total."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        registry.QUERIES["q_running_backlog"](spark, SF_SMALL).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    assert all(r.backlog >= 0 for r in rows)
+    total_open = sum(r.opened for r in rows)
+    total_close = sum(r.closed for r in rows)
+    assert rows[-1].backlog == total_open - total_close
+
+
+def test_mips_ranks_by_dot_descending(spark):
+    from collections import defaultdict
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["v_topk_mips"](spark, SF_SMALL).collect()
+    assert rows
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append((r.rn, r.dot))
+    for pairs in by_q.values():
+        pairs.sort()
+        dots = [d for _, d in pairs]
+        assert dots == sorted(dots, reverse=True)
+        assert len(pairs) == 10
+
+
+def test_centroid_matrix_cos_bounds(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["v_centroid_matrix"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-6 <= r.cos <= 1.0 + 1e-6
+        assert r.label_a < r.label_b
+
+
+def test_bpr_negatives_never_seen(spark):
+    """No emitted negative may collide with an interaction of its user."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_bpr_triplets"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.min_neg <= r.max_neg < 200
+        assert r.n_triplets >= 1
+
+
+def test_supplier_hhi_unit_interval(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_supplier_hhi"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # HHI of n shares lies in [1/n, 1]
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-6
+
+
+def test_make_datetime_rebuild_always_matches(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["fn_make_datetime"](spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.rebuilt_matches == 1 for r in rows)
