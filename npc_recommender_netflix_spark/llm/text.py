@@ -1529,3 +1529,76 @@ def t_symspell_join(spark, sf_dir):
         .orderBy("word_a", "word_b")
         .limit(50)
     )
+
+
+@register(
+    "t_char_entropy",
+    """
+    WITH chars AS (
+        SELECT d.doc_id, d.n_chars, t.chr, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents d, unnest(string_split(d.text, '')) AS t(chr)
+        WHERE t.chr IS NOT NULL AND t.chr <> ''
+        GROUP BY d.doc_id, d.n_chars, t.chr
+    ),
+    terms AS (
+        SELECT doc_id, n_chars,
+               CAST(round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY doc_id)
+                          * log2(sum(cnt) OVER (PARTITION BY doc_id)
+                                 * 1.0 / cnt)
+                          * 1e12) AS BIGINT) AS t12
+        FROM chars
+    ),
+    ent AS (
+        SELECT doc_id, CAST(max(n_chars) AS BIGINT) AS n_chars,
+               sum(t12) AS h12
+        FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, round(h12 / 1e12, 6) + 0 AS entropy
+    FROM ent
+    ORDER BY entropy, doc_id LIMIT 20
+    """,
+)
+def t_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document, 20 lowest — the
+    gibberish/boilerplate screen that catches repeated-character junk and
+    base64-ish blobs (very HIGH entropy) at the other end; a standard
+    pre-training corpus filter alongside t_repetition_filter (which looks
+    at line repeats, not symbol distribution).
+
+    Chars explode map-side (no Python: split + explode are codegen), the
+    (doc, char) count is the only shuffle — keyed on doc_id so the
+    per-doc probability terms p·log2(1/p) compute inside one doc_id
+    clustering that the window total and the final rollup both reuse.
+    Each term snaps to 1e-12 BIGINT units before summing (reorder-safe,
+    the a_entropy convention); alphabet size bounds per-doc state, so a
+    100 TB corpus costs one linear scan + one doc-keyed shuffle of
+    (doc, char) counts — never the raw text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.split(F.col("text"), "")).alias("chr"),
+        )
+        .where(F.col("chr").isNotNull() & (F.col("chr") != ""))
+        .groupBy("doc_id", "n_chars", "chr")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    term = F.round(
+        F.col("cnt") * 1.0 / tot * F.log2(tot * 1.0 / F.col("cnt")) * 1e12
+    ).cast("long")
+    ent = (
+        chars.select("doc_id", "n_chars", term.alias("t12"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_chars").cast("long").alias("n_chars"),
+            F.sum("t12").alias("h12"),
+        )
+    )
+    return (
+        ent.select("doc_id", "n_chars", f6(F.col("h12") / 1e12).alias("entropy"))
+        .orderBy("entropy", "doc_id")
+        .limit(20)
+    )

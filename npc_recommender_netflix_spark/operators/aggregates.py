@@ -1171,3 +1171,137 @@ def a_winsorized_mean(spark, sf_dir):
         f6(F.max("hi") / 100.0).alias("p95"),
         f6(F.sum("wc") * 1.0 / F.count("*") / 100).alias("winsorized_mean"),
     )
+
+
+@register(
+    "a_spearman_corr",
+    """
+    WITH ax AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    rk AS (
+        SELECT o_orderkey,
+               2 * rank() OVER (ORDER BY cents)
+                 + count(*) OVER (PARTITION BY cents) - 1 AS rx2,
+               2 * rank() OVER (ORDER BY n_lines)
+                 + count(*) OVER (PARTITION BY n_lines) - 1 AS ry2
+        FROM ax
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(rx2) AS sx, sum(ry2) AS sy,
+               sum(rx2 * ry2) AS sxy,
+               sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy
+        FROM rk
+    )
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) + 0 AS spearman
+    FROM s
+    """,
+)
+def a_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between an order's total price and its
+    line count — the monotone-association twin of a_corr_regr's Pearson
+    (robust to the heavy right tail of order values, which is exactly
+    where Pearson overweights).
+
+    Average ranks with ties fold to exact integers by doubling:
+    2*avg_rank = 2*rank + ties - 1 (rank = 1 + count-below), so every
+    moment (sums, cross-products) accumulates as BIGINT and is
+    reorder-safe under 100 TB partial aggregation; the Pearson-on-ranks
+    closed form is scale-invariant so the doubling cancels. The two
+    global rank windows run over the AGGREGATED order axis (one row per
+    order); at extreme scale swap exact ranks for quantile-grid ranks
+    (the a_gini binned-Lorenz argument) without changing the estimate
+    materially.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    ax = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("*").cast("long").alias("n_lines"))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "n_lines",
+        )
+    )
+    rx2 = (
+        2 * F.rank().over(Window.orderBy("cents"))
+        + F.count("*").over(Window.partitionBy("cents")) - 1
+    )
+    ry2 = (
+        2 * F.rank().over(Window.orderBy("n_lines"))
+        + F.count("*").over(Window.partitionBy("n_lines")) - 1
+    )
+    rk = ax.select(rx2.alias("rx2"), ry2.alias("ry2"))
+    s = rk.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx2").alias("sx"), F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select("n", f6(num / den).alias("spearman"))
+
+
+@register(
+    "a_theil_index",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, sum(cents) AS s FROM spend
+    )
+    SELECT t.n AS n_customers,
+           round(sum(CAST(round(p.cents * 1.0 / t.s
+                                * ln(p.cents * 1.0 * t.n / t.s)
+                                * 1e12) AS BIGINT)) / 1e12, 6) + 0 AS theil
+    FROM spend p CROSS JOIN tot t
+    GROUP BY t.n
+    """,
+)
+def a_theil_index(spark, sf_dir):
+    """Theil T index of customer spend concentration — the
+    information-theoretic twin of a_gini (decomposable across segments,
+    which Gini is not: a per-nation Theil sums to within + between
+    terms).
+
+    Spend folds to exact cents per customer in one shuffle; the 1-row
+    (n, total) aggregate broadcasts back (scalar cross join), so each
+    customer's share term (x/S)·ln(x·n/S) is computed map-side, snapped
+    to 1e-12 BIGINT units (reorder-safe — the a_entropy convention), and
+    partially aggregated. Nothing global ever sorts; at 100 TB the cost
+    is the per-customer agg plus one scan of the customer axis.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    tot = spend.agg(
+        F.count("*").cast("long").alias("n"), F.sum("cents").alias("s")
+    )
+    term = F.round(
+        F.col("cents") * 1.0 / F.col("s")
+        * F.log(F.col("cents") * 1.0 * F.col("n") / F.col("s"))
+        * 1e12
+    ).cast("long")
+    return (
+        spend.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("n").alias("n_customers"))
+        .agg(f6(F.sum(term) / 1e12).alias("theil"))
+        .select("n_customers", "theil")
+    )

@@ -1080,3 +1080,127 @@ def q_running_backlog(spark, sf_dir):
         F.col("closed").cast("long").alias("closed"),
         F.sum("net").over(w).cast("long").alias("backlog"),
     )
+
+
+@register(
+    "w_cusum",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(round(sum(CAST(round(value * 1e6) AS BIGINT)) * 1.0
+                          / count(*)) AS BIGINT) AS mean6
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type,
+               CAST(round(sum(mean6) * 1.0 / count(*)) AS BIGINT) AS grand6
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day,
+           round(sum(d.mean6 - b.grand6)
+                 OVER (PARTITION BY d.event_type ORDER BY d.day) / 1e6,
+                 6) + 0 AS cusum
+    FROM daily d JOIN base b ON b.event_type = d.event_type
+    ORDER BY d.event_type, d.day
+    """,
+)
+def w_cusum(spark, sf_dir):
+    """CUSUM drift chart per event type: cumulative sum of each day's
+    deviation from the type's long-run mean of daily means. A metric that
+    drifts upward shows a steadily climbing CUSUM long before any single
+    day breaches a threshold — the classic change-point screen on top of
+    the a_ks_drift / a_psi_drift distribution monitors.
+
+    Values snap to 1e-6 BIGINT units at the scan, each daily mean is ONE
+    deterministic rounded division, and the running sum accumulates exact
+    BIGINT deviations — so the curve is bit-identical regardless of
+    partial-agg order. The daily axis (types × days) is calendar-bounded:
+    the window sort runs over ~thousands of rows even when the event scan
+    is 100 TB, and the per-type grand means broadcast back onto it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("value") * 1e6).cast("long")) * 1.0
+                / F.count("*")
+            ).cast("long").alias("mean6")
+        )
+    )
+    base = daily.groupBy("event_type").agg(
+        F.round(F.sum("mean6") * 1.0 / F.count("*")).cast("long").alias("grand6")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        daily.join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            "day",
+            f6(F.sum(F.col("mean6") - F.col("grand6")).over(w) / 1e6).alias("cusum"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "q_conversion_lag",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+        FROM events GROUP BY user_id
+    ),
+    lags AS (
+        SELECT CAST(epoch_us(first_buy) - epoch_us(first_view) AS BIGINT)
+                   AS lag_us
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+          AND first_buy >= first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(lag_us) AS BIGINT) AS min_us,
+           CAST(max(lag_us) AS BIGINT) AS max_us,
+           round(avg(lag_us) / 3600e6, 6) + 0 AS avg_hours,
+           round(quantile_cont(lag_us, 0.5) / 3600e6, 6) + 0 AS p50_hours,
+           round(quantile_cont(lag_us, 0.9) / 3600e6, 6) + 0 AS p90_hours
+    FROM lags
+    """,
+)
+def q_conversion_lag(spark, sf_dir):
+    """Time-to-convert funnel metric: for each user who both viewed and
+    later purchased, the lag between FIRST view and FIRST purchase —
+    reported as count / min / max plus interpolated p50/p90 hours. The
+    scalar companion to q_event_funnel (which counts stage survivors,
+    not how long stages take).
+
+    One user_id aggregation computes both firsts via conditional min (no
+    self-join of the event scan); lags are exact integer microseconds.
+    The percentile runs on the converted-user axis — |users| rows, not
+    |events| — and at extreme scale swaps to approx_percentile with a
+    documented error bound (the q_ship_latency convention).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_buy"),
+    )
+    lags = (
+        firsts.where(
+            F.col("first_view").isNotNull()
+            & F.col("first_buy").isNotNull()
+            & (F.col("first_buy") >= F.col("first_view"))
+        )
+        .select(
+            (F.unix_micros("first_buy") - F.unix_micros("first_view")).alias("lag_us")
+        )
+    )
+    return lags.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.min("lag_us").cast("long").alias("min_us"),
+        F.max("lag_us").cast("long").alias("max_us"),
+        f6(F.avg("lag_us") / 3600e6).alias("avg_hours"),
+        f6(F.expr("percentile(lag_us, 0.5)") / 3600e6).alias("p50_hours"),
+        f6(F.expr("percentile(lag_us, 0.9)") / 3600e6).alias("p90_hours"),
+    )

@@ -11,6 +11,7 @@ TakeOrderedAndProject (per-partition heap + driver merge of k rows).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1539,4 +1540,198 @@ def q_supplier_hhi(spark, sf_dir):
         hhi.select("l_partkey", "n_suppliers", f6(F.col("h12") / 1e12).alias("hhi"))
         .orderBy(F.col("hhi").desc(), "l_partkey")
         .limit(20)
+    )
+
+
+@register(
+    "q_product_profit",
+    """
+    WITH profit AS (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                 - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                 * CAST(round(l.l_quantity) AS BIGINT) * 10 AS amt4
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_type LIKE 'ECONOMY%'
+    )
+    SELECT nation, o_year, round(sum(amt4) / 10000.0, 2) + 0 AS sum_profit
+    FROM profit GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 analog (product-type profit by nation and year), adapted to
+    the trimmed fixture schema: with no partsupp table, supply cost is
+    modeled as 10% of p_retailprice per unit, so
+    profit = l_extendedprice*(1-l_discount) - 0.10*p_retailprice*l_quantity
+    for parts of one type family.
+
+    Scale shape: the p_type predicate prunes part BEFORE its broadcast, so
+    the fact scan is filtered by a BroadcastHashJoin on partkey (a
+    semi-join in effect) ahead of the single orderkey shuffle against
+    orders; supplier->nation is a second broadcast chain. Money folds to
+    exact 1e-4-unit BIGINTs (price-cents x discount-percent, the
+    _rev_exact convention, minus cents x units x 10) so the per-(nation,
+    year) sum is reorder-safe on 100 TB partial aggregation; the single
+    division to 2dp happens once per output row (~nations x years rows).
+    """
+    li, part, supp, nation, orders = tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders"
+    )
+    p = part.where(F.col("p_type").like("ECONOMY%"))
+    amt4 = _rev_exact() - (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+        * F.lit(10)
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amt4.alias("amt4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(money2(F.sum("amt4") / 10000.0).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                     * 1.0 / sum(CAST(round(l.l_quantity) AS BIGINT)) / 100.0,
+                     6) AS unit_cost
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    ranked AS (
+        SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+               row_number() OVER (PARTITION BY c.l_partkey
+                                  ORDER BY c.unit_cost, c.l_suppkey) AS rn
+        FROM cost c
+    )
+    SELECT rk.l_partkey, p.p_brand, s.s_name, s.s_acctbal, rk.unit_cost
+    FROM ranked rk
+    JOIN part p ON p.p_partkey = rk.l_partkey
+    JOIN supplier s ON s.s_suppkey = rk.l_suppkey
+    WHERE rk.rn = 1 AND p.p_size = 15
+    ORDER BY s.s_acctbal DESC, rk.l_partkey
+    LIMIT 25
+    """,
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 analog (min-cost supplier per part in a region), adapted:
+    with no partsupp, a supplier's unit cost for a part is its observed
+    aggregate unit price sum(extendedprice)/sum(quantity) over lineitem,
+    restricted to EUROPE suppliers; per part pick the cheapest (supplier
+    tiebreak), then filter to one p_size and rank by supplier balance.
+
+    Scale shape: region->nation->supplier collapses to a broadcast slice
+    (~1/5 of suppliers) that prunes lineitem map-side BEFORE the one
+    (partkey, suppkey) aggregation shuffle; the per-part min is a
+    WindowGroupLimit (rn=1 never materializes full partitions) on the
+    same partkey clustering. Unit cost divides two exact BIGINT sums once
+    per (part, supplier) — deterministic at the 6dp boundary. The p_size
+    filter lands on the part scan (PushedFilters) before its broadcast.
+    """
+    li, part, supp, nation, region = tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    eu_supp = (
+        supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    cost = (
+        li.join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("units"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            f6(F.col("cents") * 1.0 / F.col("units") / 100.0).alias("unit_cost"),
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = cost.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(part.where(F.col("p_size") == 15)),
+                  F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("l_partkey", "p_brand", "s_name", "s_acctbal", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "l_partkey")
+        .limit(25)
+    )
+
+
+@register(
+    "q_parts_supplier_relation",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 50
+    """,
+)
+def q_parts_supplier_relation(spark, sf_dir):
+    """TPC-H Q16 analog (parts/supplier relationship): how many distinct
+    suppliers can deliver each surviving (brand, type, size) combination,
+    excluding one brand, one type family, off-list sizes, and suppliers
+    with negative balances (the "customer complaints" exclusion adapted
+    to the trimmed schema).
+
+    Scale shape: the brand/type/size predicates prune part before its
+    broadcast; the negative-balance suppliers form a tiny LEFT ANTI
+    broadcast (NOT IN with a non-nullable key = anti-join); the only
+    shuffle is the distinct-supplier count, which Spark runs as a
+    two-level (expand + partial) aggregate keyed on the low-cardinality
+    (brand, type, size) axis — shuffle bytes scale with distinct
+    (group, suppkey) pairs, not lineitem rows.
+    """
+    li, part, supp = tables(spark, sf_dir, "lineitem", "part", "supplier")
+    p = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad_supp), F.col("s_suppkey") == F.col("l_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(50)
     )

