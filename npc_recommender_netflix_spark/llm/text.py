@@ -1565,14 +1565,14 @@ def t_char_entropy(spark, sf_dir):
     pre-training corpus filter alongside t_repetition_filter (which looks
     at line repeats, not symbol distribution).
 
-    Chars explode map-side (no Python: split + explode are codegen), the
-    (doc, char) count is the only shuffle — keyed on doc_id so the
-    per-doc probability terms p·log2(1/p) compute inside one doc_id
-    clustering that the window total and the final rollup both reuse.
-    Each term snaps to 1e-12 BIGINT units before summing (reorder-safe,
-    the a_entropy convention); alphabet size bounds per-doc state, so a
-    100 TB corpus costs one linear scan + one doc-keyed shuffle of
-    (doc, char) counts — never the raw text.
+    Chars explode map-side (no Python: split + explode are codegen); the
+    (doc, char) count shuffles WITH map-side combine, so what crosses
+    the wire is alphabet-bounded counts, never the raw exploded chars.
+    A second, far smaller doc_id exchange serves both the window total
+    and the final rollup. Each p·log2(1/p) term snaps to 1e-12 BIGINT
+    units before summing (reorder-safe, the a_entropy convention); a
+    100 TB corpus costs one linear scan + two count-sized shuffles —
+    the text itself never shuffles.
     """
     docs = load_table(spark, sf_dir, "documents")
     chars = (

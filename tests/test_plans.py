@@ -793,3 +793,79 @@ def test_supplier_hhi_single_fact_fold(spark):
 
 def test_make_datetime_no_shuffle(spark):
     assert "Exchange" not in _plan(spark, "fn_make_datetime")
+
+
+def test_product_profit_dims_broadcast_one_fact_shuffle(spark):
+    """Q9 analog: part/supplier/nation all broadcast; the only SortMerge
+    candidate is the lineitem x orders orderkey join."""
+    plan = _plan(spark, "q_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_min_cost_supplier_window_group_limit(spark):
+    """Q2 analog: per-part min is rn=1 -> WindowGroupLimit; EUROPE
+    supplier slice broadcasts into the fact scan."""
+    plan = _plan(spark, "q_min_cost_supplier")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_parts_supplier_relation_anti_broadcast(spark):
+    """Q16 analog: complaint-supplier exclusion is a broadcast LEFT ANTI;
+    distinct count expands but never cartesians."""
+    plan = _plan(spark, "q_parts_supplier_relation")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theil_totals_broadcast_no_sort(spark):
+    """Theil: the 1-row totals broadcast back; no global Sort anywhere
+    (that's the decomposability selling point vs a_gini's ranked form)."""
+    plan = _plan(spark, "a_theil_index")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    lines = [ln for ln in plan.splitlines() if "Sort " in ln or "Sort[" in ln]
+    assert not any("global=true" in ln for ln in lines)
+
+
+def test_cusum_window_over_daily_axis(spark):
+    """CUSUM's running sum must run over the (type, day) aggregate —
+    the HashAggregate sits below the Window in the plan."""
+    lines = _plan(spark, "w_cusum").splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg = next(
+        i for i, ln in enumerate(lines) if "HashAggregate" in ln and "mean6" in ln
+    )
+    assert agg > win
+    assert "BroadcastHashJoin" in "\n".join(lines)
+
+
+def test_conversion_lag_single_user_agg_no_self_join(spark):
+    """Both firsts come from one conditional-min aggregation — exactly
+    one join-free agg chain, no events self-join."""
+    plan = _plan(spark, "q_conversion_lag")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_char_entropy_two_exchange_combine_first(spark):
+    """Two exchanges by design: the (doc, char) count shuffles with
+    map-side combine FIRST (raw exploded chars never cross the wire),
+    then the alphabet-bounded counts re-key to doc_id for window +
+    rollup. Forcing one doc_id exchange would ship the ~n_chars-x
+    explode raw — strictly worse at scale."""
+    plan = _plan(spark, "t_char_entropy")
+    n_hash_exchanges = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash_exchanges == 2
+    assert plan.count("HashAggregate") >= 2  # partial + final on (doc, char)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wilson_lcb_takeordered_no_python(spark):
+    plan = _plan(spark, "r_wilson_lcb")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
