@@ -1602,3 +1602,93 @@ def t_char_entropy(spark, sf_dir):
         .orderBy("entropy", "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "t_code_detect",
+    """
+    WITH feat AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(length(text) - length(replace(text, '{', ''))
+                    + length(text) - length(replace(text, '}', ''))
+                    + length(text) - length(replace(text, '(', ''))
+                    + length(text) - length(replace(text, ')', ''))
+                    + length(text) - length(replace(text, ';', ''))
+                    + length(text) - length(replace(text, '=', ''))
+                    + length(text) - length(replace(text, '<', ''))
+                    + length(text) - length(replace(text, '>', ''))
+                    AS BIGINT) AS n_sym,
+               CAST(length(text) - length(replace(text, '0', ''))
+                    + length(text) - length(replace(text, '1', ''))
+                    + length(text) - length(replace(text, '2', ''))
+                    + length(text) - length(replace(text, '3', ''))
+                    + length(text) - length(replace(text, '4', ''))
+                    + length(text) - length(replace(text, '5', ''))
+                    + length(text) - length(replace(text, '6', ''))
+                    + length(text) - length(replace(text, '7', ''))
+                    + length(text) - length(replace(text, '8', ''))
+                    + length(text) - length(replace(text, '9', ''))
+                    AS BIGINT) AS n_dig,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                    AS BIGINT) AS n_sp
+        FROM documents
+    )
+    SELECT doc_id, n_sym, n_dig,
+           round(n_sym * 1.0 / n_chars, 6) + 0 AS sym_density,
+           round(n_dig * 1.0 / n_chars, 6) + 0 AS dig_density,
+           CASE WHEN n_sym * 1.0 / n_chars > 0.05
+                  OR (n_dig * 1.0 / n_chars > 0.15
+                      AND n_sp * 1.0 / n_chars < 0.05)
+                THEN 1 ELSE 0 END AS is_codelike
+    FROM feat
+    ORDER BY sym_density DESC, dig_density DESC, doc_id LIMIT 20
+    """,
+)
+def t_code_detect(spark, sf_dir):
+    """Code-vs-prose heuristic screen: flag documents whose
+    brace/operator symbol density (or digit density with near-zero
+    whitespace) says "source code / data dump", the routing gate a
+    mixed-crawl pipeline runs before prose-only filters like
+    t_gopher_quality (whose stopword tests would junk every real code
+    file) — 20 most code-like shown.
+
+    Counts come from length-minus-replace arithmetic — exact integers,
+    engine-identical, zero regex engine divergence risk, all inside one
+    codegen projection (NO shuffle, NO Python). Densities divide exact
+    counts once per doc; the flag compares raw quotients so no float
+    boundary can flip between engines. Scales as a pure map over the
+    corpus — the 100 TB cost is the scan itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    def n_of(ch):
+        return F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))
+
+    n_sym = sum(n_of(c) for c in "{}();=<>").cast("long")
+    n_dig = sum(n_of(c) for c in "0123456789").cast("long")
+    n_sp = n_of(" ").cast("long")
+    feat = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_sym.alias("n_sym"),
+        n_dig.alias("n_dig"),
+        n_sp.alias("n_sp"),
+    )
+    sym_d = F.col("n_sym") * 1.0 / F.col("n_chars")
+    dig_d = F.col("n_dig") * 1.0 / F.col("n_chars")
+    sp_d = F.col("n_sp") * 1.0 / F.col("n_chars")
+    return (
+        feat.select(
+            "doc_id",
+            "n_sym",
+            "n_dig",
+            f6(sym_d).alias("sym_density"),
+            f6(dig_d).alias("dig_density"),
+            F.when((sym_d > 0.05) | ((dig_d > 0.15) & (sp_d < 0.05)), 1)
+            .otherwise(0)
+            .alias("is_codelike"),
+        )
+        .orderBy(F.col("sym_density").desc(), F.col("dig_density").desc(), "doc_id")
+        .limit(20)
+    )

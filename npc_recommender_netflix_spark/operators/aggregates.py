@@ -1305,3 +1305,62 @@ def a_theil_index(spark, sf_dir):
         .agg(f6(F.sum(term) / 1e12).alias("theil"))
         .select("n_customers", "theil")
     )
+
+
+@register(
+    "a_cohens_d",
+    """
+    WITH s AS (
+        SELECT
+            CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n1,
+            sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 1e6) AS BIGINT) END) AS s1,
+            sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 1e6) AS BIGINT)
+                          * CAST(round(value * 1e6) AS BIGINT) END) AS q1,
+            CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n2,
+            sum(CASE WHEN event_type = 'view'
+                     THEN CAST(round(value * 1e6) AS BIGINT) END) AS s2,
+            sum(CASE WHEN event_type = 'view'
+                     THEN CAST(round(value * 1e6) AS BIGINT)
+                          * CAST(round(value * 1e6) AS BIGINT) END) AS q2
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+    )
+    SELECT n1, n2,
+           round((s1 * 1.0 / n1 - s2 * 1.0 / n2)
+                 / sqrt(((q1 - s1 * 1.0 * s1 / n1) + (q2 - s2 * 1.0 * s2 / n2))
+                        / (n1 + n2 - 2))
+                 , 6) + 0 AS cohens_d
+    FROM s
+    """,
+)
+def a_cohens_d(spark, sf_dir):
+    """Cohen's d effect size between purchase and view event values —
+    the "is the difference LARGE, not just detectable" companion to
+    a_mann_whitney's rank test (which at 100 TB sample sizes will call
+    any hair's-width shift significant).
+
+    All six moments (n, Σx, Σx² per group) accumulate as exact BIGINTs
+    in 1e-6 units from ONE conditional scan — no per-group passes, no
+    streaming variance — and the pooled-SD closed form evaluates in a
+    single float association written identically on both engines. The
+    unit scaling cancels in the ratio, so d is unit-free as defined.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * 1e6).cast("long")
+    is1 = F.col("event_type") == "purchase"
+    is2 = F.col("event_type") == "view"
+    s = ev.where(F.col("event_type").isin("purchase", "view")).agg(
+        F.count(F.when(is1, 1)).cast("long").alias("n1"),
+        F.sum(F.when(is1, v6)).alias("s1"),
+        F.sum(F.when(is1, v6 * v6)).alias("q1"),
+        F.count(F.when(is2, 1)).cast("long").alias("n2"),
+        F.sum(F.when(is2, v6)).alias("s2"),
+        F.sum(F.when(is2, v6 * v6)).alias("q2"),
+    )
+    mean_diff = F.col("s1") * 1.0 / F.col("n1") - F.col("s2") * 1.0 / F.col("n2")
+    ss1 = F.col("q1") - F.col("s1") * 1.0 * F.col("s1") / F.col("n1")
+    ss2 = F.col("q2") - F.col("s2") * 1.0 * F.col("s2") / F.col("n2")
+    pooled = F.sqrt((ss1 + ss2) / (F.col("n1") + F.col("n2") - 2))
+    return s.select("n1", "n2", f6(mean_diff / pooled).alias("cohens_d"))

@@ -1204,3 +1204,47 @@ def q_conversion_lag(spark, sf_dir):
         f6(F.expr("percentile(lag_us, 0.5)") / 3600e6).alias("p50_hours"),
         f6(F.expr("percentile(lag_us, 0.9)") / 3600e6).alias("p90_hours"),
     )
+
+
+@register(
+    "w_rolling_median",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 1e6) AS BIGINT)) AS sum6
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           round(median(sum6)
+                 OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 1e6,
+                 6) + 0 AS med7
+    FROM daily
+    ORDER BY event_type, day
+    """,
+)
+def w_rolling_median(spark, sf_dir):
+    """7-day rolling MEDIAN of daily value per event type — the robust
+    twin of w_moving_avg: one outlier day (a flash sale, a logging bug)
+    drags a mean for a week but leaves the median untouched.
+
+    Daily values snap to exact 1e-6-unit BIGINTs in the one calendar
+    fold; the median runs as an order-statistic aggregate over a 7-ROW
+    frame on the (type, day)-bounded axis — O(frame log frame) per row
+    on ~10³ rows total, regardless of the event volume underneath. Both
+    engines average the two middle values on even frames, and the
+    operands are integers, so the interpolation is engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sum6")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            f6(F.expr("percentile(sum6, 0.5)").over(w) / 1e6).alias("med7"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1310,3 +1310,85 @@ def r_wilson_lcb(spark, sf_dir):
         .orderBy(F.col("wilson_lcb").desc(), "item_id")
         .limit(25)
     )
+
+
+@register(
+    "r_adamic_adar",
+    """
+    WITH m AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id,
+               sum(l_quantity) AS rating
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_partkey < 200
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS d
+        FROM m GROUP BY user_id HAVING count(*) >= 2
+    ),
+    w AS (
+        SELECT user_id, CAST(round(1e12 / ln(d * 1.0)) AS BIGINT) AS w12
+        FROM deg
+    ),
+    pairs AS (
+        SELECT a.item_id AS item_a, b.item_id AS item_b,
+               sum(w.w12) AS aa12,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM m a
+        JOIN m b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        JOIN w ON w.user_id = a.user_id
+        GROUP BY a.item_id, b.item_id
+    )
+    SELECT item_a, item_b, n_common, round(aa12 / 1e12, 6) + 0 AS adamic_adar
+    FROM pairs
+    ORDER BY adamic_adar DESC, item_a, item_b LIMIT 25
+    """,
+)
+def r_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction on the user-item co-purchase graph:
+    item pairs scored by Σ 1/ln(deg(u)) over shared users — a shared
+    one-item-only user says far more about item affinity than a
+    buy-everything user, which raw co-occurrence (r_cooccurrence)
+    weighs identically.
+
+    Each qualifying user's 1/ln(deg) weight is computed ONCE and snapped
+    to 1e-12 BIGINT units, so the per-pair sum is reorder-safe; pair
+    generation is the same user-keyed a.item < b.item self-join as
+    r_cooccurrence (work Σ|user basket|², bounded by basket width — at
+    100 TB hot users get df-capped exactly like hot shingles in
+    t_jaccard_neardup_capped). Degree-1 users drop out (ln 1 = 0 would
+    blow up; they also carry zero pair evidence).
+    """
+    m = ratings_matrix(spark, sf_dir, max_item=200)
+    deg = (
+        m.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("d"))
+        .where(F.col("d") >= 2)
+        .select(
+            "user_id",
+            F.round(1e12 / F.log(F.col("d") * 1.0)).cast("long").alias("w12"),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .join(deg.alias("w"), F.col("a.user_id") == F.col("w.user_id"))
+        .groupBy(
+            F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b")
+        )
+        .agg(
+            F.sum("w12").alias("aa12"),
+            F.count("*").cast("long").alias("n_common"),
+        )
+    )
+    return (
+        pairs.select(
+            "item_a", "item_b", "n_common", f6(F.col("aa12") / 1e12).alias("adamic_adar")
+        )
+        .orderBy(F.col("adamic_adar").desc(), "item_a", "item_b")
+        .limit(25)
+    )

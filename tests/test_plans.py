@@ -869,3 +869,35 @@ def test_wilson_lcb_takeordered_no_python(spark):
     plan = _plan(spark, "r_wilson_lcb")
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_adamic_adar_no_cartesian(spark):
+    """Pair gen must key on the shared user — a cartesian item x item
+    would be the classic scale bug here."""
+    plan = _plan(spark, "r_adamic_adar")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_median_window_over_daily_axis(spark):
+    lines = _plan(spark, "w_rolling_median").splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    agg = next(
+        i for i, ln in enumerate(lines) if "HashAggregate" in ln and "sum6" in ln
+    )
+    assert agg > win
+
+
+def test_cohens_d_single_scan_no_join(spark):
+    plan = _plan(spark, "a_cohens_d")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_code_detect_zero_shuffle_projection(spark):
+    """Pure map + top-k: the only allowed exchange is the TakeOrdered
+    driver merge; counts are codegen, never Python."""
+    plan = _plan(spark, "t_code_detect")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -751,3 +751,60 @@ def test_min_cost_supplier_is_minimum(spark):
     # unit_cost positive and part/supplier ids sane
     for r in rows:
         assert r.unit_cost > 0
+
+
+def test_adamic_adar_dominates_ln2_per_common_user(spark):
+    """Each shared user contributes at most 1/ln(2), so
+    AA <= n_common / ln(2); and AA > 0 requires n_common >= 1."""
+    import math
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_adamic_adar"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.item_a < r.item_b
+        assert 0 < r.adamic_adar <= r.n_common / math.log(2) + 1e-6
+
+
+def test_rolling_median_within_frame_bounds(spark):
+    """Each med7 must lie within [min, max] of its 7-day frame."""
+    from collections import defaultdict
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["w_rolling_median"](spark, SF_SMALL).collect()
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append((r.day, r.med7))
+    for pairs in by_type.values():
+        pairs.sort()
+        meds = [m for _, m in pairs]
+        # median of a sliding window is bounded by the running min/max
+        assert all(min(meds) <= m <= max(meds) for m in meds)
+
+
+def test_cohens_d_finite_and_small_on_null_fixture(spark):
+    """purchase and view values draw from the same distribution in the
+    fixture, so |d| should be far below the 0.2 'small effect' line."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_cohens_d"](spark, SF_SMALL).collect()[0]
+    assert r.n1 > 0 and r.n2 > 0
+    assert abs(r.cohens_d) < 0.2
+
+
+def test_code_detect_density_consistency(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_code_detect"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.sym_density <= 1.0
+        assert 0.0 <= r.dig_density <= 1.0
+        assert r.is_codelike in (0, 1)
