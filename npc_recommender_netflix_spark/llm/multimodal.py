@@ -237,3 +237,92 @@ def m_video_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(fake_demux_video, schema=_VID_SCHEMA)
+
+
+_FRAME_SCHEMA = "doc_id long, frame_idx long, frame_content string"
+
+
+@register(
+    "m_frame_dedup",
+    """
+    WITH frames AS (
+        SELECT d.doc_id, g.i AS frame_idx,
+               substr(d.text,
+                      1 + ((g.i * 7) % greatest(d.n_chars - 15, 1)),
+                      16) AS frame_content
+        FROM documents d, generate_series(0, 14, 2) AS g(i)
+        WHERE g.i < (d.n_chars % 13) + 3
+    ),
+    hashed AS (
+        SELECT doc_id, frame_idx, md5(frame_content) AS fhash FROM frames
+    ),
+    cross_doc AS (
+        SELECT fhash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM hashed GROUP BY fhash
+    )
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(count(DISTINCT h.fhash) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+    FROM hashed h JOIN cross_doc c ON c.fhash = h.fhash
+    GROUP BY h.doc_id
+    ORDER BY n_shared DESC, h.doc_id LIMIT 50
+    """,
+)
+def m_frame_dedup(spark, sf_dir):
+    """Video-frame near-dup screen: sample keyframes per clip (every 2nd
+    frame), fingerprint each frame, and count per-clip frames whose
+    fingerprint also appears in ANOTHER clip — the cross-video dedup a
+    multimodal corpus runs to kill re-uploads and intro/outro
+    boilerplate before training.
+
+    Frame extraction runs in Arrow-batched `mapInPandas` (the real
+    plumbing: payload in, per-frame rows out, constant memory per task
+    — a real decoder would emit pixel-hash fingerprints; this STUB
+    derives frame content from text slices so the oracle can mirror it
+    exactly). Fingerprinting is JVM md5 AFTER extraction, so what
+    shuffles is (doc, idx, 32-char hash) — never payloads. The
+    cross-clip census groups by fhash (uniform md5 keys, no skew), and
+    the per-clip rollup joins it back hash-keyed: the exact
+    t_exact_dedup_digest shape, frames instead of docs.
+    """
+    # Defined inside the query fn so cloudpickle ships it by value.
+    def extract_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """STUB frame sampler: a real one would demux video and decode
+        every 2nd keyframe; here frame i's content is a deterministic
+        16-char slice at offset (i*7) mod max(n_chars-15, 1)."""
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_content": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_chars = len(text)
+                n_frames = (n_chars % 13) + 3
+                span = max(n_chars - 15, 1)
+                for i in range(0, min(n_frames, 15), 2):
+                    start = (i * 7) % span
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_content"].append(text[start : start + 16])
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = docs.mapInPandas(extract_frames, schema=_FRAME_SCHEMA)
+    hashed = frames.select(
+        "doc_id", "frame_idx", F.md5("frame_content").alias("fhash")
+    )
+    cross_doc = hashed.groupBy("fhash").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    return (
+        hashed.join(cross_doc, "fhash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.countDistinct("fhash").cast("long").alias("n_unique"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .orderBy(F.col("n_shared").desc(), "doc_id")
+        .limit(50)
+    )

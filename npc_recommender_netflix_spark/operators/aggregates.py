@@ -1364,3 +1364,45 @@ def a_cohens_d(spark, sf_dir):
     ss2 = F.col("q2") - F.col("s2") * 1.0 * F.col("s2") / F.col("n2")
     pooled = F.sqrt((ss1 + ss2) / (F.col("n1") + F.col("n2") - 2))
     return s.select("n1", "n2", f6(mean_diff / pooled).alias("cohens_d"))
+
+
+@register(
+    "a_log_histogram",
+    """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(length(CAST(cents AS VARCHAR)) AS BIGINT) AS magnitude,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(cents) / 100.0, 2) + 0 AS lo,
+           round(max(cents) / 100.0, 2) + 0 AS hi
+    FROM c
+    GROUP BY 1 ORDER BY magnitude
+    """,
+)
+def a_log_histogram(spark, sf_dir):
+    """Order-of-magnitude histogram of order values: bin = decimal digit
+    count of the exact cent amount — the log10-scale view a heavy-tailed
+    money distribution needs, where a_hist_bins' linear grid crams 99%
+    of rows into two buckets.
+
+    The bin index is the STRING LENGTH of the exact integer cents — a
+    pure integer/string op with zero float-log boundary risk (log10 of
+    an exact power of 10 can land on either side of the bin edge in
+    floating point; digit count cannot). One partial+final agg over
+    ≤ ~12 magnitude cells; shuffle bytes are O(cells × partitions) at
+    any fact size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select(cents.alias("cents"))
+        .groupBy(F.length(F.col("cents").cast("string")).cast("long").alias("magnitude"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            money2(F.min("cents") / 100.0).alias("lo"),
+            money2(F.max("cents") / 100.0).alias("hi"),
+        )
+        .orderBy("magnitude")
+    )

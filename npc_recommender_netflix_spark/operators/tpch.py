@@ -1735,3 +1735,86 @@ def q_parts_supplier_relation(spark, sf_dir):
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
         .limit(50)
     )
+
+
+@register(
+    "q_abc_analysis",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS r4
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, r4,
+               sum(r4) OVER (ORDER BY r4 DESC, l_partkey) AS cum4,
+               sum(r4) OVER () AS tot4
+        FROM rev
+    ),
+    classed AS (
+        SELECT CASE WHEN cum4 * 1.0 / tot4 <= 0.8 THEN 'A'
+                    WHEN cum4 * 1.0 / tot4 <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               r4
+        FROM ranked
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(r4) / 10000.0, 2) + 0 AS revenue,
+           round(sum(r4) * 1.0 / max(tot) , 6) + 0 AS rev_share
+    FROM (SELECT abc_class, r4, sum(r4) OVER () AS tot FROM classed) x
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def q_abc_analysis(spark, sf_dir):
+    """ABC inventory classification: parts ranked by discounted revenue,
+    class A = the head that carries 80% of cumulative revenue, B = the
+    next 15%, C = the long tail — the standing decision table behind
+    'manage A-parts tightly, spot-check C-parts' (q_pareto_brands is the
+    curve; this is the segmentation it implies).
+
+    Revenue folds to exact 1e-4-unit BIGINTs on the part axis FIRST
+    (the fact table never reaches the ranking); the cumulative window
+    runs over |parts| rows with a partkey tiebreak, and the class
+    boundary compares the same BIGINT division in both engines — one
+    deterministic double per part, no ntile float grid. At extreme part
+    cardinality the boundary swaps to approx_percentile of cumulative
+    share (the w_ltv_deciles argument).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(F.sum(_rev_exact()).alias("r4"))
+    wcum = Window.orderBy(F.col("r4").desc(), "l_partkey").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "l_partkey",
+        "r4",
+        F.sum("r4").over(
+            Window.orderBy(F.col("r4").desc(), "l_partkey").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cum4"),
+        F.sum("r4").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot4"),
+    )
+    share = F.col("cum4") * 1.0 / F.col("tot4")
+    classed = ranked.select(
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+        "r4",
+        "tot4",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            money2(F.sum("r4") / 10000.0).alias("revenue"),
+            f6(F.sum("r4") * 1.0 / F.max("tot4")).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )

@@ -1392,3 +1392,64 @@ def r_adamic_adar(spark, sf_dir):
         .orderBy(F.col("adamic_adar").desc(), "item_a", "item_b")
         .limit(25)
     )
+
+
+@register(
+    "r_popularity_recency",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS d0 FROM orders),
+    it AS (
+        SELECT l.l_partkey AS item_id,
+               CAST(datediff('day', o.o_orderdate, mx.d0) AS BIGINT) AS age_d
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        CROSS JOIN mx
+    ),
+    by_age AS (
+        SELECT item_id, age_d, CAST(count(*) AS BIGINT) AS n
+        FROM it GROUP BY item_id, age_d
+    )
+    SELECT item_id,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(sum(n * CAST(round(exp(-age_d / 30.0) * 1e12) AS BIGINT))
+                 / 1e12, 6) + 0 AS trend_score
+    FROM by_age
+    GROUP BY item_id
+    ORDER BY trend_score DESC, item_id LIMIT 20
+    """,
+)
+def r_popularity_recency(spark, sf_dir):
+    """Time-decayed 'trending now' popularity: each purchase contributes
+    exp(-age/30d), so an item bought 100× last year loses to one bought
+    10× this week — the recency fix for the static popularity baseline
+    r_novelty ranks against.
+
+    The decay weight is computed once per DISTINCT (item, age-in-days)
+    bucket — the calendar bounds distinct ages, so exp() runs on a
+    bounded axis, NOT per fact row — snapped to 1e-12 BIGINT units and
+    multiplied by the exact integer count before the reorder-safe
+    per-item sum. The global max date broadcasts as a 1-row scalar.
+    Top-20 is TakeOrdered.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    mx = orders.agg(F.max("o_orderdate").alias("d0"))
+    by_age = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("l_partkey").alias("item_id"),
+            F.datediff(F.col("d0"), F.col("o_orderdate")).cast("long").alias("age_d"),
+        )
+        .groupBy("item_id", "age_d")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w12 = F.round(F.exp(-F.col("age_d") / 30.0) * 1e12).cast("long")
+    return (
+        by_age.groupBy("item_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            f6(F.sum(F.col("n") * w12) / 1e12).alias("trend_score"),
+        )
+        .orderBy(F.col("trend_score").desc(), "item_id")
+        .limit(20)
+    )

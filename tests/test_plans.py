@@ -901,3 +901,45 @@ def test_code_detect_zero_shuffle_projection(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_popularity_recency_exp_on_bounded_axis(spark):
+    """exp() must run above the (item, age) aggregate — the decay axis
+    is calendar-bounded, never per fact row (toString is root-first, so
+    ancestor == smaller index)."""
+    lines = _plan(spark, "r_popularity_recency").splitlines()
+    exp_line = next(i for i, ln in enumerate(lines) if "EXP(" in ln)
+    bounded_agg = next(
+        i
+        for i, ln in enumerate(lines)
+        if "HashAggregate(keys=[item_id" in ln
+        and "age_d" in ln.split("functions=")[0]
+    )
+    assert exp_line < bounded_agg
+
+
+def test_log_histogram_partial_final_no_window(spark):
+    plan = _plan(spark, "a_log_histogram")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_abc_ranking_over_part_axis(spark):
+    """The cumulative window runs over the per-part aggregate, not raw
+    lineitem (HashAggregate below the Window)."""
+    lines = _plan(spark, "q_abc_analysis").splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    part_fold = next(
+        i for i, ln in enumerate(lines)
+        if "HashAggregate(keys=[l_partkey" in ln
+    )
+    assert part_fold > win
+
+
+def test_frame_dedup_hashes_after_arrow_extract(spark):
+    """Frame extraction is the one Arrow stage; md5 + the census joins
+    are JVM-side above it (payloads never shuffle)."""
+    plan = _plan(spark, "m_frame_dedup")
+    assert "MapInPandas" in plan
+    assert "md5" in plan
+    assert "CartesianProduct" not in plan

@@ -808,3 +808,59 @@ def test_code_detect_density_consistency(spark):
         assert 0.0 <= r.sym_density <= 1.0
         assert 0.0 <= r.dig_density <= 1.0
         assert r.is_codelike in (0, 1)
+
+
+def test_popularity_recency_score_bounded_by_count(spark):
+    """Each event contributes at most exp(0)=1, so score <= n_events;
+    and the newest-heavy ordering keeps scores positive."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_popularity_recency"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.trend_score <= r.n_events + 1e-6
+
+
+def test_log_histogram_bins_partition_range(spark):
+    """Bin k holds values with exactly k digits of cents: lo/hi of each
+    bin must fit inside [10^(k-1), 10^k) cents, and bins are disjoint."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["a_log_histogram"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        lo_cents = round(r.lo * 100)
+        hi_cents = round(r.hi * 100)
+        assert len(str(int(lo_cents))) == r.magnitude
+        assert len(str(int(hi_cents))) == r.magnitude
+        assert r.n > 0
+
+
+def test_abc_classes_cover_all_revenue(spark):
+    """A+B+C shares sum to 1 and A's share is ~0.8 by construction
+    (first part past the boundary may overshoot slightly)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = {r.abc_class: r for r in
+            registry.QUERIES["q_abc_analysis"](spark, SF_SMALL).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total_share = sum(r.rev_share for r in rows.values())
+    assert abs(total_share - 1.0) < 1e-5
+    assert rows["A"].rev_share <= 0.8 + 0.01
+
+
+def test_frame_dedup_counts_consistent(spark):
+    """unique <= sampled, shared <= sampled, and every doc samples at
+    least ceil(3/2)=2 frames by the stub's n_frames >= 3."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["m_frame_dedup"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 2 <= r.n_sampled <= 8
+        assert r.n_unique <= r.n_sampled
+        assert 0 <= r.n_shared <= r.n_sampled
