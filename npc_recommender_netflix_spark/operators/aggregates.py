@@ -1406,3 +1406,83 @@ def a_log_histogram(spark, sf_dir):
         )
         .orderBy("magnitude")
     )
+
+
+@register(
+    "a_count_min",
+    """
+    WITH seeds AS (SELECT unnest([0, 1, 2, 3, 4]) AS seed),
+    cells AS (
+        SELECT s.seed,
+               CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef', substring(md5(CAST(s.seed AS VARCHAR) || ':' || CAST(l.l_partkey AS VARCHAR)), j, 1)) - 1)
+             * 16 ** (8 - j))) AS BIGINT) % 2048 AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem l CROSS JOIN seeds s
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY exact_cnt DESC, l_partkey LIMIT 20
+    ),
+    probes AS (
+        SELECT t.l_partkey, t.exact_cnt, s.seed,
+               CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef', substring(md5(CAST(s.seed AS VARCHAR) || ':' || CAST(t.l_partkey AS VARCHAR)), j, 1)) - 1)
+             * 16 ** (8 - j))) AS BIGINT) % 2048 AS bucket
+        FROM top t CROSS JOIN seeds s
+    )
+    SELECT p.l_partkey, p.exact_cnt, min(c.cnt) AS est_cnt
+    FROM probes p JOIN cells c ON c.seed = p.seed AND c.bucket = p.bucket
+    GROUP BY p.l_partkey, p.exact_cnt
+    ORDER BY exact_cnt DESC, l_partkey
+    """,
+)
+def a_count_min(spark, sf_dir):
+    """Count-Min sketch frequency estimates for the 20 hottest parts —
+    the bounded-memory heavy-hitter counter: a depth=5 x width=2048
+    integer grid whose size never grows with the stream; estimates are
+    biased UP only (est >= true always; over by <= e/width x N per the
+    CMS bound). The point-query sketch next to a_approx_distinct's HLL
+    (cardinality) and a_approx_quantile's KLL (quantiles).
+
+    Hand-rolled as pure relational ops so the whole thing is engine-
+    portable AND visibly mergeable: the grid is a groupBy((seed,
+    bucket)) count — partial/final aggregation IS the sketch merge, so
+    daily partition grids union by addition at 100 TB. Bucket hashes
+    are md5-derived (the house cross-engine hash convention — both
+    engines agree bit-for-bit); probing joins the 20 exact-ranked hot
+    keys back against the 5 x 2048-bounded grid and takes min over
+    depth. Nothing driver-side anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    seeds = spark.range(5).select(F.col("id").cast("long").alias("seed"))
+
+    def bucket(seed_col, key_col):
+        h = F.md5(F.concat(seed_col.cast("string"), F.lit(":"), key_col.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 2048
+
+    cells = (
+        li.crossJoin(F.broadcast(seeds))
+        .groupBy("seed", bucket(F.col("seed"), F.col("l_partkey")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "l_partkey")
+        .limit(20)
+    )
+    probes = top.crossJoin(F.broadcast(seeds)).select(
+        "l_partkey",
+        "exact_cnt",
+        "seed",
+        bucket(F.col("seed"), F.col("l_partkey")).alias("bucket"),
+    )
+    return (
+        probes.join(cells, ["seed", "bucket"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "l_partkey")
+    )

@@ -378,3 +378,54 @@ def j_asof_nearest(spark, sf_dir):
         gap.cast("long").alias("gap_us"),
         side.alias("side"),
     )
+
+
+@register(
+    "j_null_safe_eq",
+    """
+    WITH l AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderkey % 5 END AS grp
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    r AS (
+        SELECT CASE WHEN g = 9 THEN NULL ELSE g END AS grp,
+               CASE WHEN g = 9 THEN 'null-bucket'
+                    ELSE 'bucket-' || CAST(g AS VARCHAR) END AS label
+        FROM (SELECT unnest([0, 1, 2, 3, 4, 9]) AS g)
+    )
+    SELECT l.o_orderkey, r.label
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    ORDER BY l.o_orderkey
+    """,
+)
+def j_null_safe_eq(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each OTHER instead of silently dropping — the semantics a
+    dimension with an explicit 'unknown' bucket needs, where a plain
+    equi-join loses every unattributed fact row.
+
+    `<=>` is a true equi-comparison, so Spark still plans a HASH join
+    (broadcast here — the null-safe predicate does NOT degrade to a
+    nested loop, which is the mistake hand-rolled
+    `(a = b OR (a IS NULL AND b IS NULL))` provokes from engines that
+    can't factor the OR). Same single-shuffle/broadcast cost model as
+    j_inner_equi at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.where(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("grp"),
+    )
+    rows = [(g if g != 9 else None,
+             "null-bucket" if g == 9 else f"bucket-{g}")
+            for g in (0, 1, 2, 3, 4, 9)]
+    right = spark.createDataFrame(rows, "grp LONG, label STRING")
+    return (
+        left.join(F.broadcast(right), left.grp.eqNullSafe(right.grp))
+        .select("o_orderkey", "label")
+        .orderBy("o_orderkey")
+    )

@@ -460,3 +460,52 @@ def s_compaction(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_chars").cast("long").alias("chars_total"),
     )
+
+
+@register(
+    "s_json_nested",
+    """
+    SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority,
+           round(o_totalprice, 2) + 0 AS amount
+    FROM orders WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+)
+def s_json_nested(spark, sf_dir):
+    """Nested-JSON sink + source: project orders into a nested document
+    (struct metadata + value array), write JSON lines, read back with an
+    EXPLICIT schema, and flatten — the ingest shape for document-store
+    exports. The explicit read schema matters at scale: schema inference
+    is a full extra pass over the data, and a drifted field silently
+    becomes string; pinning the schema makes drift a loud error.
+
+    The read-back is lazy (scratch-root convention, no collect); the
+    flatten is a zero-shuffle codegen projection of struct fields and
+    array elements.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    nested = orders.where(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("meta"),
+        F.array(F.round(F.col("o_totalprice"), 2)).alias("amounts"),
+    )
+    path = _scratch("json_nested_")
+    nested.write.mode("overwrite").json(path)
+    schema = (
+        "o_orderkey LONG, "
+        "meta STRUCT<status: STRING, priority: STRING>, "
+        "amounts ARRAY<DOUBLE>"
+    )
+    back = spark.read.schema(schema).json(path)
+    return (
+        back.select(
+            "o_orderkey",
+            F.col("meta.status").alias("status"),
+            F.col("meta.priority").alias("priority"),
+            (F.col("amounts")[0] + 0.0).alias("amount"),
+        )
+        .orderBy("o_orderkey")
+    )

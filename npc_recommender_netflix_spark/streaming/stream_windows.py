@@ -272,3 +272,50 @@ def st_stream_join(spark, sf_dir):
     ).select("view_id", "purchase_id", "user_id")
     name = run_to_memory(j, "append")
     return spark.table(name)
+
+
+@register(
+    "st_topk_per_window",
+    """
+    WITH wc AS (
+        SELECT date_trunc('hour', ts) AS wstart, event_type,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT wstart, event_type, cnt,
+               row_number() OVER (PARTITION BY wstart
+                                  ORDER BY cnt DESC, event_type) AS rn
+        FROM wc
+    )
+    SELECT wstart, event_type, cnt, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def st_topk_per_window(spark, sf_dir):
+    """Streaming top-k: hourly per-type counts maintained by the stream,
+    top-3 types per hour served by a batch rank over the materialized
+    sink — the standard 'stream keeps the view fresh, serving layer
+    ranks it' split, because rank-over-aggregate cannot run inside a
+    streaming query (no ranking windows on update state).
+
+    The streaming side is the same (window, key)-keyed state as
+    st_tumbling; the serving rank runs on the window-bounded sink
+    (hours × types rows) — at 100 TB the sink is a real table (Delta/
+    Kafka-compacted) and the rank is a WindowGroupLimit over it.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    out = agg.select(F.col("window.start").alias("wstart"), "event_type", "cnt")
+    name = run_to_memory(out, "complete")
+    from pyspark.sql import Window as W
+
+    sink = spark.table(name)
+    w = W.partitionBy("wstart").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        sink.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("wstart", "event_type", "cnt", "rn")
+    )

@@ -943,3 +943,20 @@ def test_frame_dedup_hashes_after_arrow_extract(spark):
     assert "MapInPandas" in plan
     assert "md5" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_null_safe_eq_plans_as_hash_join(spark):
+    """<=> must stay a hash/broadcast join — never the nested loop the
+    hand-rolled OR-of-null-checks formulation degrades to."""
+    plan = _plan(spark, "j_null_safe_eq")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_count_min_grid_partial_final(spark):
+    """The CMS grid build must show partial+final aggregation — that IS
+    the distributed sketch merge."""
+    plan = _plan(spark, "a_count_min")
+    assert plan.count("HashAggregate") >= 4  # grid + top-20, each 2-phase
+    assert "CartesianProduct" not in plan

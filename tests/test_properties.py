@@ -864,3 +864,58 @@ def test_frame_dedup_counts_consistent(spark):
         assert 2 <= r.n_sampled <= 8
         assert r.n_unique <= r.n_sampled
         assert 0 <= r.n_shared <= r.n_sampled
+
+
+def test_streaming_topk_has_exactly_3_per_hour(spark):
+    from collections import Counter
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["st_topk_per_window"](spark, SF_SMALL).collect()
+    assert rows
+    per_hour = Counter(r.wstart for r in rows)
+    # 5 event types exist, so every hour with >=3 types emits exactly 3
+    assert all(1 <= n <= 3 for n in per_hour.values())
+    for r in rows:
+        assert 1 <= r.rn <= 3
+
+
+def test_null_safe_join_keeps_null_bucket(spark):
+    """Every o_orderkey % 7 == 0 row must land in the null bucket — the
+    rows a plain equi-join would silently drop."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["j_null_safe_eq"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r.o_orderkey % 7 == 0:
+            assert r.label == "null-bucket"
+        else:
+            assert r.label == f"bucket-{r.o_orderkey % 5}"
+
+
+def test_json_nested_roundtrip_row_per_order(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["s_json_nested"](spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.o_orderkey <= 1000 for r in rows)
+    assert all(r.amount > 0 for r in rows)
+
+
+def test_count_min_overestimates_within_bound(spark):
+    """CMS guarantee: est >= exact always; over-estimate bounded by
+    ~N/width x small constant (loose 5x slack for depth-5 min)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    n_total = load_table(spark, SF_SMALL, "lineitem").count()
+    rows = registry.QUERIES["a_count_min"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.est_cnt >= r.exact_cnt
+        assert r.est_cnt - r.exact_cnt <= 5 * n_total // 2048 + 1
