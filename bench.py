@@ -63,6 +63,10 @@ HEADLINE = [
     "q_dau_wau",            # round 5: rolling-distinct growth metrics
     "v_hamming_topk",       # round 5: all-integer binary ANN tier
     "t_trigram_lid",        # round 5: broadcast-profile n-gram LID
+    "t_char_entropy",       # round 5: char-explode + combine-first shuffles
+    "r_adamic_adar",        # round 5: degree-weighted pair self-join
+    "a_count_min",          # round 5: relational CMS grid + probe
+    "m_frame_dedup",        # round 5: Arrow frame extract + hash census
     "r_als",            # MLlib ALS fit+transform (<=60 s budget)
 ]
 

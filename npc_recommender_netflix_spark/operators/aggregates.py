@@ -1449,12 +1449,19 @@ def a_count_min(spark, sf_dir):
 
     Hand-rolled as pure relational ops so the whole thing is engine-
     portable AND visibly mergeable: the grid is a groupBy((seed,
-    bucket)) count — partial/final aggregation IS the sketch merge, so
+    bucket)) sum — partial/final aggregation IS the sketch merge, so
     daily partition grids union by addition at 100 TB. Bucket hashes
     are md5-derived (the house cross-engine hash convention — both
     engines agree bit-for-bit); probing joins the 20 exact-ranked hot
     keys back against the 5 x 2048-bounded grid and takes min over
     depth. Nothing driver-side anywhere.
+
+    The grid here sums a shared per-key fold (this query also needs
+    exact counts for its probe set, and one fold + 5 hashes per
+    DISTINCT key beats 5 hashes per fact row ~300:1 — measured 4.7 s
+    -> ~1 s at sf0.1). The grid VALUES are identical to feeding raw
+    occurrences; in a true unbounded-key stream you would hash raw
+    rows and skip the fold — same plan shape minus the first agg.
     """
     li = load_table(spark, sf_dir, "lineitem")
     seeds = spark.range(5).select(F.col("id").cast("long").alias("seed"))
@@ -1463,17 +1470,15 @@ def a_count_min(spark, sf_dir):
         h = F.md5(F.concat(seed_col.cast("string"), F.lit(":"), key_col.cast("string")))
         return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 2048
 
+    counts = li.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
     cells = (
-        li.crossJoin(F.broadcast(seeds))
+        counts.crossJoin(F.broadcast(seeds))
         .groupBy("seed", bucket(F.col("seed"), F.col("l_partkey")).alias("bucket"))
-        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(F.sum("exact_cnt").cast("long").alias("cnt"))
     )
-    top = (
-        li.groupBy("l_partkey")
-        .agg(F.count("*").cast("long").alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), "l_partkey")
-        .limit(20)
-    )
+    top = counts.orderBy(F.col("exact_cnt").desc(), "l_partkey").limit(20)
     probes = top.crossJoin(F.broadcast(seeds)).select(
         "l_partkey",
         "exact_cnt",
