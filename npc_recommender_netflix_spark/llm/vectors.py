@@ -1246,3 +1246,190 @@ def v_centroid_matrix(spark, sf_dir):
             F.col("dot") * 1.0 / F.sqrt(F.col("na2") * 1.0 * F.col("nb2"))
         ).alias("cos"),
     )
+
+
+_SUBD2_SPARK = (
+    "aggregate(zip_with("
+    " slice({a}, CAST(sub_id * 8 AS INT) + 1, 8),"
+    " slice({b}, CAST(sub_id * 8 AS INT) + 1, 8),"
+    " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    "           * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+_SUBD2_DUCK = """round(list_sum(list_transform(range(1, 9), i ->
+    (CAST({a}[CAST(s.sub_id * 8 AS INTEGER) + i] AS DOUBLE)
+     - CAST({b}[CAST(s.sub_id * 8 AS INTEGER) + i] AS DOUBLE))
+    * (CAST({a}[CAST(s.sub_id * 8 AS INTEGER) + i] AS DOUBLE)
+       - CAST({b}[CAST(s.sub_id * 8 AS INTEGER) + i] AS DOUBLE)))), 6) + 0"""
+
+_FULLD2_DUCK = """round(list_sum(list_transform(range(1, 65), i ->
+    (CAST(q.qe[i] AS DOUBLE) - CAST(dt.ve[i] AS DOUBLE))
+    * (CAST(q.qe[i] AS DOUBLE) - CAST(dt.ve[i] AS DOUBLE)))), 6) + 0"""
+
+
+@register(
+    "v_pq_adc",
+    f"""
+    WITH codes AS (SELECT vec_id AS code, embedding AS ce FROM embeddings
+                   WHERE vec_id < 16),
+    data AS (SELECT vec_id, embedding AS ve FROM embeddings WHERE vec_id >= 16),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id IN (16, 17, 18)),
+    subs AS (SELECT unnest(range(0, 8)) AS sub_id),
+    assign AS (
+        SELECT vec_id, sub_id, code FROM (
+            SELECT dt.vec_id, s.sub_id, c.code,
+                   {_SUBD2_DUCK.format(a='dt.ve', b='c.ce')} AS dist2,
+                   row_number() OVER (PARTITION BY dt.vec_id, s.sub_id
+                                      ORDER BY {_SUBD2_DUCK.format(a='dt.ve', b='c.ce')},
+                                               c.code) AS rn
+            FROM data dt CROSS JOIN subs s CROSS JOIN codes c
+        ) WHERE rn = 1
+    ),
+    qdist AS (
+        SELECT q.query_id, s.sub_id, c.code,
+               CAST(round(({_SUBD2_DUCK.format(a='q.qe', b='c.ce')}) * 1e6) AS BIGINT)
+                   AS qd6
+        FROM q CROSS JOIN subs s CROSS JOIN codes c
+    ),
+    adc AS (
+        SELECT qd.query_id, a.vec_id, sum(qd.qd6) AS adc6
+        FROM assign a
+        JOIN qdist qd ON qd.sub_id = a.sub_id AND qd.code = a.code
+        WHERE a.vec_id <> qd.query_id
+        GROUP BY qd.query_id, a.vec_id
+    ),
+    adc_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc6, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= 5
+    ),
+    exact_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, dt.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_FULLD2_DUCK}, dt.vec_id) AS rn
+            FROM q CROSS JOIN data dt
+            WHERE dt.vec_id <> q.query_id
+        ) WHERE rn <= 5
+    )
+    SELECT a.query_id,
+           CAST(count(e.vec_id) AS BIGINT) AS hits,
+           round(count(e.vec_id) / 5.0, 6) + 0 AS recall5
+    FROM adc_top a
+    LEFT JOIN exact_top e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY a.query_id
+    ORDER BY a.query_id
+    """,
+)
+def v_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) search + recall@5 against the exact
+    L2 top-5: the query stays UNquantized, each data vector is its 8
+    byte-codes (v_pq_quantize's assignment), and the approximate
+    distance is a sum of 8 precomputed query-to-code subdistances — the
+    lookup-table trick that makes IVF-PQ indexes answer from RAM.
+
+    The query distance table is queries x 8 x 16 rows (bounded by the
+    codebook, NOT the corpus) and joins the code assignment on
+    (sub_id, code) — an equi-join whose probe side is the 8-row-per-
+    vector code table, so ADC scoring never touches raw embeddings.
+    Subdistances snap to 1e-6-unit BIGINTs (6dp-rounded, both engines)
+    so the 8-term ADC sum is exact and reorder-safe; both rankings
+    break ties on vec_id. At 100 TB: codes are 8 bytes/vector (the
+    64x compression is why the index fits), the distance table
+    broadcasts, and recall tunes with codebook size — measured here
+    against the exact operator the same way v_matryoshka_recall pins
+    its truncation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("ce")
+    )
+    data = emb.where(F.col("vec_id") >= 16).select(
+        "vec_id", F.col("embedding").alias("ve")
+    )
+    q = emb.where(F.col("vec_id").isin(16, 17, 18)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    subs = F.explode(
+        F.expr("sequence(CAST(0 AS BIGINT), CAST(7 AS BIGINT))")
+    ).alias("sub_id")
+
+    d2_dc = F.expr(_SUBD2_SPARK.format(a="ve", b="ce"))
+    assign = (
+        data.select("vec_id", "ve", subs)
+        .crossJoin(F.broadcast(codes))
+        .select(
+            "vec_id", "sub_id", "code", (F.round(d2_dc, 6) + 0.0).alias("dist2")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "sub_id").orderBy("dist2", "code")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+    d2_qc = F.expr(_SUBD2_SPARK.format(a="qe", b="ce"))
+    qdist = (
+        q.select("query_id", "qe", subs)
+        .crossJoin(F.broadcast(codes))
+        .select(
+            "query_id",
+            "sub_id",
+            "code",
+            F.round(F.round(d2_qc, 6) * 1e6).cast("long").alias("qd6"),
+        )
+    )
+    adc = (
+        assign.join(F.broadcast(qdist), ["sub_id", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd6").alias("adc6"))
+    )
+    adc_top = (
+        adc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("adc6", "vec_id")
+            ),
+        )
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    d2_full = F.expr(
+        "aggregate(zip_with(qe, ve,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        "           * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    exact_top = (
+        F.broadcast(q)
+        .join(data, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", (F.round(d2_full, 6) + 0.0).alias("fd2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("fd2", "vec_id")
+            ),
+        )
+        .where(F.col("rn") <= 5)
+        .select("query_id", F.col("vec_id").alias("evec"))
+    )
+    return (
+        adc_top.join(
+            exact_top,
+            (adc_top.query_id == exact_top.query_id)
+            & (adc_top.vec_id == exact_top.evec),
+            "left",
+        )
+        .groupBy(adc_top.query_id)
+        .agg(F.count("evec").cast("long").alias("hits"))
+        .select("query_id", "hits", f6(F.col("hits") / 5.0).alias("recall5"))
+        .orderBy("query_id")
+    )

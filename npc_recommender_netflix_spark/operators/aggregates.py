@@ -1491,3 +1491,117 @@ def a_count_min(spark, sf_dir):
         .agg(F.min("cnt").alias("est_cnt"))
         .orderBy(F.col("exact_cnt").desc(), "l_partkey")
     )
+
+
+@register("a_kll_quantiles")  # rows-only: DuckDB has no KLL sketch
+def a_kll_quantiles(spark, sf_dir):
+    """KLL sketch quantiles of order value (DataSketches, Spark 4 native
+    `kll_sketch_agg_bigint`): p50/p90/p99 from a bounded-memory rank
+    sketch — the streaming/mergeable answer where `a_median`'s exact
+    sort-based percentile needs the whole axis and
+    `a_approx_quantile`'s Greenwald-Khanna has no merge story across
+    independent jobs.
+
+    The sketch builds distributed (partial per-partition sketches merged
+    JVM-side — the same mergeability a_count_min demonstrates for
+    frequencies and a_sketch_merge for cardinality) over exact BIGINT
+    cents; only the ~KB summary crosses to the final row. Rows-only key
+    (no KLL in DuckDB); the rank-error bound vs the exact percentiles
+    is pinned by pytest (k=200 -> ~1.65% rank error at 99% confidence).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    sk = cents.agg(
+        F.expr("kll_sketch_agg_bigint(cents, 200)").alias("sk"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return sk.select(
+        "n",
+        (F.expr("kll_sketch_get_quantile_bigint(sk, 0.5)") / F.lit(100.0)).alias("p50"),
+        (F.expr("kll_sketch_get_quantile_bigint(sk, 0.9)") / F.lit(100.0)).alias("p90"),
+        (F.expr("kll_sketch_get_quantile_bigint(sk, 0.99)") / F.lit(100.0)).alias("p99"),
+    )
+
+
+@register(
+    "a_ttest_welch",
+    """
+    WITH s AS (
+        SELECT
+            CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n1,
+            sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 1e6) AS BIGINT) END) AS s1,
+            sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 1e6) AS BIGINT)
+                          * CAST(round(value * 1e6) AS BIGINT) END) AS q1,
+            CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n2,
+            sum(CASE WHEN event_type = 'view'
+                     THEN CAST(round(value * 1e6) AS BIGINT) END) AS s2,
+            sum(CASE WHEN event_type = 'view'
+                     THEN CAST(round(value * 1e6) AS BIGINT)
+                          * CAST(round(value * 1e6) AS BIGINT) END) AS q2
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+    ),
+    v AS (
+        SELECT n1, n2,
+               (q1 - s1 * 1.0 * s1 / n1) / (n1 - 1) / n1 AS se1,
+               (q2 - s2 * 1.0 * s2 / n2) / (n2 - 1) / n2 AS se2,
+               s1 * 1.0 / n1 - s2 * 1.0 / n2 AS md
+        FROM s
+    )
+    SELECT n1, n2,
+           round(md / sqrt(se1 + se2) , 6) + 0 AS t_stat,
+           round((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) + 0
+               AS df_welch
+    FROM v
+    """,
+)
+def a_ttest_welch(spark, sf_dir):
+    """Welch's unequal-variance t statistic (+ Satterthwaite df) for
+    purchase vs view values — completing the two-sample toolkit:
+    a_mann_whitney detects ANY shift rank-wise, a_cohens_d sizes it,
+    this one is the parametric test (and the df formula is what makes
+    it valid when group variances differ, which revenue-ish metrics
+    always do).
+
+    Same six exact-BIGINT moments as a_cohens_d from ONE conditional
+    scan — in 1e-6 units whose scaling cancels in t (and in df, which
+    is scale-free); standard errors and the df ratio evaluate in one
+    float association written identically on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * 1e6).cast("long")
+    is1 = F.col("event_type") == "purchase"
+    is2 = F.col("event_type") == "view"
+    s = ev.where(F.col("event_type").isin("purchase", "view")).agg(
+        F.count(F.when(is1, 1)).cast("long").alias("n1"),
+        F.sum(F.when(is1, v6)).alias("s1"),
+        F.sum(F.when(is1, v6 * v6)).alias("q1"),
+        F.count(F.when(is2, 1)).cast("long").alias("n2"),
+        F.sum(F.when(is2, v6)).alias("s2"),
+        F.sum(F.when(is2, v6 * v6)).alias("q2"),
+    )
+    se1 = (F.col("q1") - F.col("s1") * 1.0 * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    ) / F.col("n1")
+    se2 = (F.col("q2") - F.col("s2") * 1.0 * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    ) / F.col("n2")
+    md = F.col("s1") * 1.0 / F.col("n1") - F.col("s2") * 1.0 / F.col("n2")
+    v = s.select("n1", "n2", se1.alias("se1"), se2.alias("se2"), md.alias("md"))
+    return v.select(
+        "n1",
+        "n2",
+        f6(F.col("md") / F.sqrt(F.col("se1") + F.col("se2"))).alias("t_stat"),
+        f6(
+            (F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
+            )
+        ).alias("df_welch"),
+    )

@@ -960,3 +960,20 @@ def test_count_min_grid_partial_final(spark):
     plan = _plan(spark, "a_count_min")
     assert plan.count("HashAggregate") >= 4  # grid + top-20, each 2-phase
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_scoring_is_equi_join_on_codes(spark):
+    """ADC scoring must join the code table against the broadcast
+    distance table on (sub_id, code) — never a cartesian against raw
+    embeddings."""
+    plan = _plan(spark, "v_pq_adc")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kll_sketch_partial_final_merge(spark):
+    """The KLL build must show partial+final aggregation — the sketch
+    merges per-partition summaries, never raw rows at the driver."""
+    plan = _plan(spark, "a_kll_quantiles")
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+    assert "CollectLimit" not in plan.split("Aggregate")[0]

@@ -919,3 +919,56 @@ def test_count_min_overestimates_within_bound(spark):
     for r in rows:
         assert r.est_cnt >= r.exact_cnt
         assert r.est_cnt - r.exact_cnt <= 5 * n_total // 2048 + 1
+
+
+def test_pq_adc_recall_valid_and_self_excluded(spark):
+    """recall5 = hits/5 in [0,1]; 3 query rows, one per query id."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["v_pq_adc"](spark, SF_SMALL).collect()
+    assert [r.query_id for r in rows] == [16, 17, 18]
+    for r in rows:
+        assert 0 <= r.hits <= 5
+        assert abs(r.recall5 - r.hits / 5.0) < 1e-9
+
+
+def test_kll_quantiles_within_rank_error_of_exact(spark):
+    """KLL(k=200) rank error is ~1.65% at 99% confidence: each reported
+    quantile must sit between the exact (p-5%) and (p+5%) quantiles
+    (generous 3x slack on the bound)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    r = registry.QUERIES["a_kll_quantiles"](spark, SF_SMALL).collect()[0]
+    exact = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+        .agg(
+            F.expr(
+                "percentile(c, array(0.45, 0.55, 0.85, 0.95, 0.94, 1.0))"
+            ).alias("p")
+        )
+        .collect()[0]
+        .p
+    )
+    lo50, hi50, lo90, hi90, lo99, hi99 = [x / 100.0 for x in exact]
+    assert lo50 <= r.p50 <= hi50
+    assert lo90 <= r.p90 <= hi90
+    assert lo99 <= r.p99 <= hi99
+    assert r.p50 <= r.p90 <= r.p99
+
+
+def test_welch_t_consistent_with_cohens_d_sign(spark):
+    """Welch t and Cohen's d share the numerator's sign; df must land
+    between min(n1,n2)-1 and n1+n2-2 (Welch-Satterthwaite bounds)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    t = registry.QUERIES["a_ttest_welch"](spark, SF_SMALL).collect()[0]
+    d = registry.QUERIES["a_cohens_d"](spark, SF_SMALL).collect()[0]
+    assert (t.t_stat >= 0) == (d.cohens_d >= 0)
+    assert min(t.n1, t.n2) - 1 <= t.df_welch <= t.n1 + t.n2 - 2
