@@ -1605,3 +1605,107 @@ def a_ttest_welch(spark, sf_dir):
             )
         ).alias("df_welch"),
     )
+
+
+@register(
+    "a_theta_set_ops",
+    """
+    SELECT
+        CAST(count(DISTINCT CASE WHEN event_type = 'view'
+                            THEN user_id END) AS BIGINT) AS viewers,
+        CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                            THEN user_id END) AS BIGINT) AS buyers,
+        CAST(count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')
+                            THEN user_id END) AS BIGINT) AS either_est,
+        CAST((count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+              + count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+              - count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')
+                               THEN user_id END)) AS BIGINT) AS both_est,
+        CAST((count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+              - (count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+                 + count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+                 - count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')
+                                  THEN user_id END))) AS BIGINT)
+            AS view_only_est
+    FROM events
+    """,
+)
+def a_theta_set_ops(spark, sf_dir):
+    """Audience-overlap algebra on Theta sketches: viewers ∩ buyers,
+    viewers ∪ buyers, viewers \\ buyers — the set operations HLL cannot
+    do (HLL unions only; intersections need inclusion-exclusion with
+    compounding error, while Theta intersects/differences natively).
+    THE ad-tech / growth question: 'how many viewers never bought?'
+
+    Each audience folds to one mergeable sketch (partial per-partition,
+    JVM union — daily audience sketches union across jobs at 100 TB,
+    then intersect at query time without rescanning either day). At
+    test cardinalities (≤1.5k users < k=4096 entries) Theta sketches
+    are in EXACT mode, so the SQL oracle compares against true distinct
+    counts; past k the estimates go ±1.6% (k=4096) and the key's
+    contract would relax to the pytest tolerance bound.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'view'"
+            " THEN user_id END)"
+        ).alias("sv"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase'"
+            " THEN user_id END)"
+        ).alias("sp"),
+    )
+    return sk.select(
+        F.expr("theta_sketch_estimate(sv)").cast("long").alias("viewers"),
+        F.expr("theta_sketch_estimate(sp)").cast("long").alias("buyers"),
+        F.expr("theta_sketch_estimate(theta_union(sv, sp))")
+        .cast("long")
+        .alias("either_est"),
+        F.expr("theta_sketch_estimate(theta_intersection(sv, sp))")
+        .cast("long")
+        .alias("both_est"),
+        F.expr("theta_sketch_estimate(theta_difference(sv, sp))")
+        .cast("long")
+        .alias("view_only_est"),
+    )
+
+
+@register(
+    "a_hist2d",
+    """
+    WITH b AS (
+        SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_bin,
+               CAST(least(floor(value * 10), 9) AS BIGINT) AS value_bin
+        FROM events
+    )
+    SELECT hour_bin, value_bin, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY hour_bin, value_bin
+    ORDER BY hour_bin, value_bin
+    """,
+)
+def a_hist2d(spark, sf_dir):
+    """2-D histogram: event volume over (hour-of-day x value-decile
+    grid) — the heatmap behind 'do high-value events cluster at night?',
+    and the joint-distribution summary a 1-D histogram pair cannot give
+    (a_hist_bins x separate hourly counts lose the correlation).
+
+    Both bin indices are integer arithmetic on exact operands (hour
+    extract; floor of value x 10 clamped to 9 — value is uniform [0,1)
+    in the fixture so the only boundary, 1.0, is handled by the clamp
+    identically in both engines); one partial+final agg over the
+    ≤ 24 x 10 = 240-cell grid. A 100 TB scan reduces to cells x
+    partitions shuffle bytes — the a_hist_bins argument squared.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.hour("ts").cast("long").alias("hour_bin"),
+            F.least(F.floor(F.col("value") * 10), F.lit(9))
+            .cast("long")
+            .alias("value_bin"),
+        )
+        .groupBy("hour_bin", "value_bin")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("hour_bin", "value_bin")
+    )

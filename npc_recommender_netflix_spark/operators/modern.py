@@ -1248,3 +1248,63 @@ def w_rolling_median(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q_survival_curve",
+    """
+    WITH life AS (
+        SELECT user_id,
+               CAST(datediff('day', min(ts), max(ts)) AS BIGINT) AS lifetime_d
+        FROM events GROUP BY user_id
+    ),
+    days AS (SELECT unnest(range(0, 31)) AS d),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM life)
+    SELECT d.d AS day,
+           CAST(sum(CASE WHEN l.lifetime_d >= d.d THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_surviving,
+           round(sum(CASE WHEN l.lifetime_d >= d.d THEN 1 ELSE 0 END)
+                 * 1.0 / max(t.n), 6) + 0 AS survival
+    FROM days d CROSS JOIN life l CROSS JOIN tot t
+    GROUP BY d.d
+    ORDER BY day
+    """,
+)
+def q_survival_curve(spark, sf_dir):
+    """User survival curve: fraction of users still active d days after
+    their first event, d = 0..30 — the retention summary behind churn
+    models (q_retention_cohort slices it by cohort; this is the
+    marginal curve with a per-day axis).
+
+    Lifetimes fold to ONE per-user aggregate (first/last from the same
+    user_id shuffle — the only fact-sized work); the curve itself is a
+    31-row day spine crossed against the user-axis lifetimes, grouped
+    back to 31 rows with exact integer survivor counts. At 100 TB
+    the cross join is |users| x 31 — at extreme user counts, replace
+    it with a lifetime histogram + reverse cumulative sum (same
+    numbers, one window over ≤ max-lifetime rows); the survival shares
+    divide exact BIGINTs once per output row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("lifetime_d")
+    )
+    days = spark.range(31).select(F.col("id").cast("long").alias("d"))
+    tot = life.agg(F.count("*").cast("long").alias("n"))
+    return (
+        F.broadcast(days)
+        .crossJoin(life)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("lifetime_d") >= F.col("d"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_surviving"),
+            f6(
+                F.sum(F.when(F.col("lifetime_d") >= F.col("d"), 1).otherwise(0))
+                * 1.0
+                / F.max("n")
+            ).alias("survival"),
+        )
+        .orderBy("day")
+    )

@@ -977,3 +977,29 @@ def test_kll_sketch_partial_final_merge(spark):
     plan = _plan(spark, "a_kll_quantiles")
     assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
     assert "CollectLimit" not in plan.split("Aggregate")[0]
+
+
+def test_theta_sketches_merge_distributed(spark):
+    """Both audience sketches build in ONE scan with partial+final
+    ObjectHashAggregate (the mergeable-sketch shape)."""
+    plan = _plan(spark, "a_theta_set_ops")
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_hist2d_single_agg_no_window(spark):
+    plan = _plan(spark, "a_hist2d")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_survival_lifetimes_fold_before_spine(spark):
+    """The per-user lifetime agg must sit BELOW the day-spine cross
+    join (the only fact-sized work is the user fold)."""
+    lines = _plan(spark, "q_survival_curve").splitlines()
+    cross = next(i for i, ln in enumerate(lines) if "NestedLoopJoin" in ln)
+    user_fold = next(
+        i for i, ln in enumerate(lines)
+        if "HashAggregate(keys=[user_id" in ln
+    )
+    assert user_fold > cross

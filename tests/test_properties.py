@@ -972,3 +972,42 @@ def test_welch_t_consistent_with_cohens_d_sign(spark):
     d = registry.QUERIES["a_cohens_d"](spark, SF_SMALL).collect()[0]
     assert (t.t_stat >= 0) == (d.cohens_d >= 0)
     assert min(t.n1, t.n2) - 1 <= t.df_welch <= t.n1 + t.n2 - 2
+
+
+def test_theta_set_algebra_consistent(spark):
+    """Inclusion-exclusion must hold exactly in the sketch's exact
+    regime: either = viewers + buyers - both; view_only = viewers - both."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_theta_set_ops"](spark, SF_SMALL).collect()[0]
+    assert r.either_est == r.viewers + r.buyers - r.both_est
+    assert r.view_only_est == r.viewers - r.both_est
+    assert 0 <= r.both_est <= min(r.viewers, r.buyers)
+
+
+def test_hist2d_bins_in_grid_and_total_matches(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    rows = registry.QUERIES["a_hist2d"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hour_bin <= 23
+        assert 0 <= r.value_bin <= 9
+    assert sum(r.n for r in rows) == load_table(spark, SF_SMALL, "events").count()
+
+
+def test_survival_curve_monotone_from_one(spark):
+    """S(0) = 1 and S is nonincreasing in d."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        registry.QUERIES["q_survival_curve"](spark, SF_SMALL).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows[0].day == 0 and abs(rows[0].survival - 1.0) < 1e-9
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_surviving <= a.n_surviving
