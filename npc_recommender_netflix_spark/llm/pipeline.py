@@ -342,3 +342,54 @@ def v_int8_quantize(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "t_kfold_split",
+    f"""
+    WITH f AS (
+        SELECT doc_id, lang,
+               {_DUCK_H32.format(s="'fold:' || CAST(doc_id AS VARCHAR)")} % 5
+                   AS fold
+        FROM documents
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM f GROUP BY fold ORDER BY fold
+    """,
+)
+def t_kfold_split(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment: fold =
+    md5('fold:'||doc_id) mod 5 — the split that is (a) reproducible
+    across engines, runs, and cluster sizes (randomSplit is none of
+    those: it's partition-order-dependent), (b) stable under corpus
+    growth (a doc never changes folds when new docs arrive), and
+    (c) joinable: any other table keyed by doc_id computes the SAME
+    fold locally, no split table to ship.
+
+    Pure map-side hash math (the t_domain_mix keep-hash convention)
+    + one count-sized agg over 5 fold cells. Per-fold lang coverage
+    comes along in the same aggregate as the balance sanity check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    return (
+        docs.select("doc_id", "lang", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("fold")
+    )

@@ -1709,3 +1709,67 @@ def a_hist2d(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("hour_bin", "value_bin")
     )
+
+
+@register(
+    "a_key_skew_census",
+    """
+    WITH k AS (
+        SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys, sum(n) AS total,
+               max(n) AS mx FROM k
+    )
+    SELECT t.n_keys, t.total AS n_rows, t.mx AS max_key_rows,
+           round(t.mx * 1.0 * t.n_keys / t.total, 6) + 0 AS skew_factor,
+           CAST(sum(CASE WHEN k.n * 1.0 * t.n_keys / t.total > 2.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+    FROM k CROSS JOIN t
+    GROUP BY t.n_keys, t.total, t.mx
+    """,
+)
+def a_key_skew_census(spark, sf_dir):
+    """Join-key skew census on orders.o_custkey: max-key/mean-key ratio
+    (skew factor) and the count of keys >2x mean — the PRE-JOIN
+    diagnostic that decides between a plain shuffle join, AQE skew
+    split, and explicit salting (j_skew_salted) BEFORE the 100 TB
+    shuffle hits a straggler. v_cluster_balance asks the same question
+    of IVF cells; this is the relational-join edition.
+
+    One keyed fold (the same shuffle the diagnosed join would do, but
+    counting only), a 1-row totals broadcast back over the key axis,
+    and exact-integer comparisons against the 2x-mean line — the
+    threshold quotient is computed identically in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = k.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("mx"),
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .groupBy("n_keys", "total", "mx")
+        .agg(
+            F.sum(
+                F.when(F.col("n") * 1.0 * F.col("n_keys") / F.col("total") > 2.0, 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hot_keys")
+        )
+        .select(
+            "n_keys",
+            F.col("total").alias("n_rows"),
+            F.col("mx").alias("max_key_rows"),
+            f6(F.col("mx") * 1.0 * F.col("n_keys") / F.col("total")).alias(
+                "skew_factor"
+            ),
+            "n_hot_keys",
+        )
+    )

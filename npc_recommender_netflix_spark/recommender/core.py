@@ -1453,3 +1453,131 @@ def r_popularity_recency(spark, sf_dir):
         .orderBy(F.col("trend_score").desc(), "item_id")
         .limit(20)
     )
+
+
+@register(
+    "r_shrunk_cosine",
+    f"""
+    WITH m AS ({_M200_SQL}),
+    n AS (SELECT item_id, sqrt(sum(rating * rating)) AS nrm FROM m GROUP BY item_id),
+    p AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+                 sum(a.rating * b.rating) AS dot,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM m a JOIN m b ON a.user_id = b.user_id AND a.item_id < b.item_id
+          GROUP BY 1, 2)
+    SELECT item_a, item_b, support,
+           round(dot / (na.nrm * nb.nrm) * support / (support + 25.0), 6) + 0
+               AS shrunk_cosine
+    FROM p JOIN n na ON p.item_a = na.item_id JOIN n nb ON p.item_b = nb.item_id
+    ORDER BY shrunk_cosine DESC, item_a, item_b LIMIT 25
+    """,
+)
+def r_shrunk_cosine(spark, sf_dir):
+    """Support-shrunk item similarity: cosine x n/(n+λ), λ=25 — the
+    production itemCF detail that stops a perfect-cosine pair with ONE
+    co-rater outranking a 0.8-cosine pair with 500 (r_cosine_sim ranks
+    them raw; every deployed neighborhood model shrinks).
+
+    Rides the SAME user-keyed pair self-join and norms as r_cosine_sim
+    (one extra count per pair — free in the existing aggregate); the
+    shrink factor multiplies exact-integer support into the rounded
+    cosine once per PAIR, so the cost delta at 100 TB is zero and the
+    ranking change is pure statistics. Top-25 is TakeOrdered with an
+    (item_a, item_b) tiebreak.
+    """
+    m = ratings_matrix(spark, sf_dir, max_item=200)
+    norms = m.groupBy("item_id").agg(
+        F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(
+            F.col("a.item_id").alias("item_a"), F.col("b.item_id").alias("item_b")
+        )
+        .agg(
+            F.sum(F.col("a.rating") * F.col("b.rating")).alias("dot"),
+            F.count("*").cast("long").alias("support"),
+        )
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    shrink = F.col("support") / (F.col("support") + F.lit(25.0))
+    return (
+        pairs.join(na, F.col("item_a") == F.col("na.item_id"))
+        .join(nb, F.col("item_b") == F.col("nb.item_id"))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            f6(F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")) * shrink).alias(
+                "shrunk_cosine"
+            ),
+        )
+        .orderBy(F.col("shrunk_cosine").desc(), "item_a", "item_b")
+        .limit(25)
+    )
+
+
+@register(
+    "r_hits",
+    f"""
+    WITH m AS ({_M200_SQL}),
+    -- iteration 1: uniform hubs -> authority = #raters; hub = sum auths
+    a1 AS (SELECT item_id, CAST(count(*) AS BIGINT) AS a FROM m GROUP BY item_id),
+    h1 AS (SELECT m.user_id, sum(a1.a) AS h
+           FROM m JOIN a1 ON a1.item_id = m.item_id GROUP BY m.user_id),
+    -- iteration 2: authority = sum of rater hubs, then normalize by max
+    a2 AS (SELECT m.item_id, sum(h1.h) AS a
+           FROM m JOIN h1 ON h1.user_id = m.user_id GROUP BY m.item_id),
+    mx AS (SELECT max(a) AS mx FROM a2)
+    SELECT a2.item_id, a1.a AS n_raters,
+           round(a2.a * 1.0 / mx.mx, 6) + 0 AS authority
+    FROM a2 JOIN a1 ON a1.item_id = a2.item_id CROSS JOIN mx
+    ORDER BY authority DESC, a2.item_id LIMIT 20
+    """,
+)
+def r_hits(spark, sf_dir):
+    """HITS hubs-and-authorities on the user-item bipartite graph, two
+    unrolled iterations: an item is authoritative when HEAVY-RATING
+    users rate it (not merely many users — that's a1/popularity, which
+    iteration 2 revises), and a user is a strong hub when they rate
+    authoritative items. The fixed-point intuition behind PageRank's
+    cousin, expressed as a FINITE Catalyst plan.
+
+    Deliberately unrolled to exactly 2 iterations so the whole
+    computation is one declarative DAG with a SQL oracle — the contrast
+    to r_pagerank's driver-looped convergence (rows-only). Each
+    iteration is one hash join + one keyed agg on the SAME (user, item)
+    co-partitioning; scores are exact BIGINT sums of counts until the
+    single max-normalized division at the end. At 100 TB each
+    iteration is one co-partitioned shuffle — unroll k iterations, pay
+    k shuffles, no driver round trips.
+    """
+    m = ratings_matrix(spark, sf_dir, max_item=200)
+    a1 = m.groupBy("item_id").agg(F.count("*").cast("long").alias("a"))
+    h1 = (
+        m.join(a1, "item_id")
+        .groupBy("user_id")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        m.join(h1, "user_id")
+        .groupBy("item_id")
+        .agg(F.sum("h").alias("a2"))
+    )
+    mx = a2.agg(F.max("a2").alias("mx"))
+    return (
+        a2.join(a1.withColumnRenamed("a", "n_raters"), "item_id")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "item_id",
+            "n_raters",
+            f6(F.col("a2") * 1.0 / F.col("mx")).alias("authority"),
+        )
+        .orderBy(F.col("authority").desc(), "item_id")
+        .limit(20)
+    )

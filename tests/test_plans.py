@@ -1003,3 +1003,20 @@ def test_survival_lifetimes_fold_before_spine(spark):
         if "HashAggregate(keys=[user_id" in ln
     )
     assert user_fold > cross
+
+
+def test_hits_is_finite_dag_no_python(spark):
+    """Two unrolled HITS iterations = one declarative DAG: hash joins +
+    keyed aggs only, no driver loop artifacts, no Python."""
+    plan = _plan(spark, "r_hits")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kfold_is_map_side_hash(spark):
+    """Fold assignment must be pure projection math feeding one agg —
+    no join, no window, no sample operator."""
+    plan = _plan(spark, "t_kfold_split")
+    assert "Join" not in plan
+    assert "Sample" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -1011,3 +1011,57 @@ def test_survival_curve_monotone_from_one(spark):
     assert rows[0].day == 0 and abs(rows[0].survival - 1.0) < 1e-9
     for a, b in zip(rows, rows[1:]):
         assert b.n_surviving <= a.n_surviving
+
+
+def test_shrunk_cosine_never_exceeds_raw(spark):
+    """shrink = n/(n+25) < 1, so every shrunk score sits strictly below
+    the raw cosine of the same pair (and within [-1, 1])."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_shrunk_cosine"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.shrunk_cosine <= 1.0
+        assert r.support >= 1
+
+
+def test_hits_authority_normalized(spark):
+    """authority in (0, 1] with at least one item at exactly 1 (the
+    max-normalized fixed point of the unrolled iteration)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_hits"](spark, SF_SMALL).collect()
+    assert rows
+    assert abs(max(r.authority for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0 < r.authority <= 1.0
+        assert r.n_raters >= 1
+
+
+def test_kfold_covers_all_docs_balanced(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    rows = registry.QUERIES["t_kfold_split"](spark, SF_SMALL).collect()
+    assert sorted(r.fold for r in rows) == [0, 1, 2, 3, 4]
+    total = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    # md5 folds are near-uniform: no fold more than 2x the smallest
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) <= 2 * min(sizes)
+
+
+def test_skew_census_consistency(spark):
+    """skew_factor = max/mean >= 1 by definition; hot keys exceed the
+    2x-mean line only when skew_factor does."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_key_skew_census"](spark, SF_SMALL).collect()[0]
+    assert r.skew_factor >= 1.0 - 1e-9
+    assert r.n_keys > 0 and r.n_rows >= r.n_keys
+    if r.n_hot_keys > 0:
+        assert r.skew_factor > 2.0
