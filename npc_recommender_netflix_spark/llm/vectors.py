@@ -1433,3 +1433,119 @@ def v_pq_adc(spark, sf_dir):
         .select("query_id", "hits", f6(F.col("hits") / 5.0).alias("recall5"))
         .orderBy("query_id")
     )
+
+
+@register(
+    "v_knn_loo_accuracy",
+    f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS qid, a.label AS true_label,
+               b.vec_id AS nid, b.label AS nlabel,
+               round(list_sum(list_transform(range(1, 65), i ->
+                   CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE))), 6) + 0 AS dot
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 200
+    ),
+    top5 AS (
+        SELECT qid, true_label, nlabel FROM (
+            SELECT qid, true_label, nlabel,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dot DESC, nid) AS rn
+            FROM pairs
+        ) WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT qid, true_label, nlabel, CAST(count(*) AS BIGINT) AS v
+        FROM top5 GROUP BY qid, true_label, nlabel
+    ),
+    pred AS (
+        SELECT qid, true_label, nlabel AS pred_label FROM (
+            SELECT qid, true_label, nlabel,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY v DESC, nlabel) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred_label = true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) + 0 AS accuracy
+    FROM pred
+    GROUP BY true_label
+    ORDER BY label
+    """,
+)
+def v_knn_loo_accuracy(spark, sf_dir):
+    """Leave-one-out 5-NN classification accuracy per label — the
+    embedding-quality eval: if a vector's own label can't be recovered
+    from its nearest neighbors, the space doesn't cluster by label and
+    every downstream ANN/semantic-dedup threshold is built on sand.
+    (v_knn_label CLASSIFIES a query set; this EVALUATES the space.)
+
+    Query side capped to 200 vectors (eval sample — at 100 TB you LOO
+    a fixed sample, never the corpus); candidates are the full corpus
+    via the same JVM dot-product joins as v_cosine_topk, ranked by
+    6dp-rounded dot with vec_id tiebreak, majority vote broken by
+    label order. All counts exact; one division per label row. The
+    N_sample x N join replaces the brute N² — and composes with the
+    IVF/LSH prefilter for the full-corpus variant.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("ce"),
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "true_label", "nid", "nlabel",
+            (F.round(dot, 6) + 0.0).alias("dot"),
+        )
+    )
+    top5 = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("dot").desc(), "nid")
+            ),
+        )
+        .where(F.col("rn") <= 5)
+    )
+    votes = top5.groupBy("qid", "true_label", "nlabel").agg(
+        F.count("*").cast("long").alias("v")
+    )
+    pred = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("v").desc(), "nlabel")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("qid", "true_label", F.col("nlabel").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "label", "n", "n_correct",
+            f6(F.col("n_correct") * 1.0 / F.col("n")).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

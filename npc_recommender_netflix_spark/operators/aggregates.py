@@ -1314,16 +1314,16 @@ def a_theil_index(spark, sf_dir):
         SELECT
             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n1,
             sum(CASE WHEN event_type = 'purchase'
-                     THEN CAST(round(value * 1e6) AS BIGINT) END) AS s1,
+                     THEN CAST(round(value * 100) AS BIGINT) END) AS s1,
             sum(CASE WHEN event_type = 'purchase'
-                     THEN CAST(round(value * 1e6) AS BIGINT)
-                          * CAST(round(value * 1e6) AS BIGINT) END) AS q1,
+                     THEN CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT) END) AS q1,
             CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n2,
             sum(CASE WHEN event_type = 'view'
-                     THEN CAST(round(value * 1e6) AS BIGINT) END) AS s2,
+                     THEN CAST(round(value * 100) AS BIGINT) END) AS s2,
             sum(CASE WHEN event_type = 'view'
-                     THEN CAST(round(value * 1e6) AS BIGINT)
-                          * CAST(round(value * 1e6) AS BIGINT) END) AS q2
+                     THEN CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT) END) AS q2
         FROM events
         WHERE event_type IN ('purchase', 'view')
     )
@@ -1342,13 +1342,15 @@ def a_cohens_d(spark, sf_dir):
     any hair's-width shift significant).
 
     All six moments (n, Σx, Σx² per group) accumulate as exact BIGINTs
-    in 1e-6 units from ONE conditional scan — no per-group passes, no
+    in cent units (value has 2dp; centing keeps Σx² far from BIGINT
+    overflow at any fixture scale, where 1e-6 units would blow past
+    2^63 by sf0.1) from ONE conditional scan — no per-group passes, no
     streaming variance — and the pooled-SD closed form evaluates in a
     single float association written identically on both engines. The
     unit scaling cancels in the ratio, so d is unit-free as defined.
     """
     ev = load_table(spark, sf_dir, "events")
-    v6 = F.round(F.col("value") * 1e6).cast("long")
+    v6 = F.round(F.col("value") * 100).cast("long")
     is1 = F.col("event_type") == "purchase"
     is2 = F.col("event_type") == "view"
     s = ev.where(F.col("event_type").isin("purchase", "view")).agg(
@@ -1532,16 +1534,16 @@ def a_kll_quantiles(spark, sf_dir):
         SELECT
             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n1,
             sum(CASE WHEN event_type = 'purchase'
-                     THEN CAST(round(value * 1e6) AS BIGINT) END) AS s1,
+                     THEN CAST(round(value * 100) AS BIGINT) END) AS s1,
             sum(CASE WHEN event_type = 'purchase'
-                     THEN CAST(round(value * 1e6) AS BIGINT)
-                          * CAST(round(value * 1e6) AS BIGINT) END) AS q1,
+                     THEN CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT) END) AS q1,
             CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n2,
             sum(CASE WHEN event_type = 'view'
-                     THEN CAST(round(value * 1e6) AS BIGINT) END) AS s2,
+                     THEN CAST(round(value * 100) AS BIGINT) END) AS s2,
             sum(CASE WHEN event_type = 'view'
-                     THEN CAST(round(value * 1e6) AS BIGINT)
-                          * CAST(round(value * 1e6) AS BIGINT) END) AS q2
+                     THEN CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT) END) AS q2
         FROM events
         WHERE event_type IN ('purchase', 'view')
     ),
@@ -1569,12 +1571,12 @@ def a_ttest_welch(spark, sf_dir):
     always do).
 
     Same six exact-BIGINT moments as a_cohens_d from ONE conditional
-    scan — in 1e-6 units whose scaling cancels in t (and in df, which
-    is scale-free); standard errors and the df ratio evaluate in one
+    scan — in overflow-safe cent units whose scaling cancels in t (and
+    in df, which is scale-free); standard errors and the df ratio evaluate in one
     float association written identically on both engines.
     """
     ev = load_table(spark, sf_dir, "events")
-    v6 = F.round(F.col("value") * 1e6).cast("long")
+    v6 = F.round(F.col("value") * 100).cast("long")
     is1 = F.col("event_type") == "purchase"
     is2 = F.col("event_type") == "view"
     s = ev.where(F.col("event_type").isin("purchase", "view")).agg(
@@ -1676,7 +1678,7 @@ def a_theta_set_ops(spark, sf_dir):
     """
     WITH b AS (
         SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_bin,
-               CAST(least(floor(value * 10), 9) AS BIGINT) AS value_bin
+               CAST(least(floor(value / 50), 9) AS BIGINT) AS value_bin
         FROM events
     )
     SELECT hour_bin, value_bin, CAST(count(*) AS BIGINT) AS n
@@ -1691,9 +1693,9 @@ def a_hist2d(spark, sf_dir):
     (a_hist_bins x separate hourly counts lose the correlation).
 
     Both bin indices are integer arithmetic on exact operands (hour
-    extract; floor of value x 10 clamped to 9 — value is uniform [0,1)
-    in the fixture so the only boundary, 1.0, is handled by the clamp
-    identically in both engines); one partial+final agg over the
+    extract; floor of value / 50 clamped to 9 — value spans [0, ~500)
+    in the fixture, so the grid is ten 50-unit bands with the top band
+    absorbing the tail via the clamp, identically in both engines); one partial+final agg over the
     ≤ 24 x 10 = 240-cell grid. A 100 TB scan reduces to cells x
     partitions shuffle bytes — the a_hist_bins argument squared.
     """
@@ -1701,7 +1703,7 @@ def a_hist2d(spark, sf_dir):
     return (
         ev.select(
             F.hour("ts").cast("long").alias("hour_bin"),
-            F.least(F.floor(F.col("value") * 10), F.lit(9))
+            F.least(F.floor(F.col("value") / 50), F.lit(9))
             .cast("long")
             .alias("value_bin"),
         )
@@ -1772,4 +1774,148 @@ def a_key_skew_census(spark, sf_dir):
             ),
             "n_hot_keys",
         )
+    )
+
+
+@register(
+    "a_pythagorean_means",
+    """
+    WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(cents) AS sa,
+               sum(CAST(round(ln(cents / 100.0) * 1e12) AS BIGINT)) AS sl,
+               sum(CAST(round(1e12 / (cents / 100.0)) AS BIGINT)) AS sh
+        FROM v
+    )
+    SELECT n,
+           round(sa / 100.0 / n, 6) + 0 AS mean_arith,
+           round(exp(sl / 1e12 / n), 6) + 0 AS mean_geom,
+           round(n * 1e12 / sh, 6) + 0 AS mean_harm
+    FROM s
+    """,
+)
+def a_pythagorean_means(spark, sf_dir):
+    """Arithmetic, geometric, and harmonic means of order value in ONE
+    scan — the three centers that disagree exactly when it matters:
+    AM for totals, GM for growth-rate-ish multiplicative data (one
+    10,000x outlier barely moves it), HM for rate averages. Reporting
+    all three (AM >= GM >= HM always) is the cheap skew smell test
+    before committing to 'the average'.
+
+    Exact cents feed three BIGINT accumulators from one conditional-
+    free pass: the raw sum, ln-terms snapped to 1e-12 units (the
+    a_theil_index convention), and reciprocal-terms snapped likewise —
+    so all three partial aggregations are reorder-safe, and each mean
+    costs exactly one float op (divide / exp / divide) on the final
+    1-row result.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v = orders.select(cents.alias("cents"))
+    s = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").alias("sa"),
+        F.sum(F.round(F.log(F.col("cents") / 100.0) * 1e12).cast("long")).alias("sl"),
+        F.sum(F.round(1e12 / (F.col("cents") / 100.0)).cast("long")).alias("sh"),
+    )
+    return s.select(
+        "n",
+        f6(F.col("sa") / 100.0 / F.col("n")).alias("mean_arith"),
+        f6(F.exp(F.col("sl") / 1e12 / F.col("n"))).alias("mean_geom"),
+        f6(F.col("n") * 1e12 / F.col("sh")).alias("mean_harm"),
+    )
+
+
+@register(
+    "a_ratio_ci_delta",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS rev6,
+               CAST(count(*) AS BIGINT) AS sess
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(rev6) AS sx, sum(sess) AS sy,
+               sum(rev6 * rev6) AS sxx, sum(sess * sess) AS syy,
+               sum(rev6 * sess) AS sxy
+        FROM per_user
+    ),
+    d AS (
+        SELECT n, sx * 1.0 / sy AS r,
+               (sxx - sx * 1.0 * sx / n) / (n - 1) AS vx,
+               (syy - sy * 1.0 * sy / n) / (n - 1) AS vy,
+               (sxy - sx * 1.0 * sy / n) / (n - 1) AS cxy,
+               sx * 1.0 / n AS mx, sy * 1.0 / n AS my
+        FROM m
+    )
+    SELECT n, round(r / 100, 6) + 0 AS ratio,
+           round(sqrt((vx / (mx * mx) + vy / (my * my)
+                       - 2 * cxy / (mx * my)) / n) * r / 100, 6) + 0
+               AS se_delta
+    FROM d
+    """,
+)
+def a_ratio_ci_delta(spark, sf_dir):
+    """Delta-method standard error for a RATIO metric (revenue per
+    event, totals divided): the A/B-testing staple — a ratio of sums is
+    NOT a mean of per-user ratios, so the naive SE is wrong; the Taylor
+    expansion needs var(X), var(Y), AND cov(X, Y) across randomization
+    units (users).
+
+    One user fold builds both numerator and denominator per unit
+    (cent-exact — overflow-safe squares at any fixture scale); five
+    exact-BIGINT moments (the a_cohens_d pattern plus the cross term)
+    come from one pass over the user axis, and the delta formula
+    evaluates in a single shared float association on the 1-row result.
+    Cost at 100 TB: the user fold — everything after is O(1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("rev6"),
+        F.count("*").cast("long").alias("sess"),
+    )
+    m = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rev6").alias("sx"),
+        F.sum("sess").alias("sy"),
+        F.sum(F.col("rev6") * F.col("rev6")).alias("sxx"),
+        F.sum(F.col("sess") * F.col("sess")).alias("syy"),
+        F.sum(F.col("rev6") * F.col("sess")).alias("sxy"),
+    )
+    r = F.col("sx") * 1.0 / F.col("sy")
+    vx = (F.col("sxx") - F.col("sx") * 1.0 * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    vy = (F.col("syy") - F.col("sy") * 1.0 * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    cxy = (F.col("sxy") - F.col("sx") * 1.0 * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    mx = F.col("sx") * 1.0 / F.col("n")
+    my = F.col("sy") * 1.0 / F.col("n")
+    d = m.select("n", r.alias("r"), vx.alias("vx"), vy.alias("vy"),
+                 cxy.alias("cxy"), mx.alias("mx"), my.alias("my"))
+    return d.select(
+        "n",
+        f6(F.col("r") / 100).alias("ratio"),
+        f6(
+            F.sqrt(
+                (
+                    F.col("vx") / (F.col("mx") * F.col("mx"))
+                    + F.col("vy") / (F.col("my") * F.col("my"))
+                    - 2 * F.col("cxy") / (F.col("mx") * F.col("my"))
+                )
+                / F.col("n")
+            )
+            * F.col("r")
+            / 100
+        ).alias("se_delta"),
     )

@@ -182,7 +182,8 @@ ORACLE_WINDOW = (
 # st_topk_per_window, j_null_safe_eq, s_json_nested, a_count_min,
 # v_pq_adc, a_kll_quantiles, a_ttest_welch, a_theta_set_ops, a_hist2d,
 # q_survival_curve, r_shrunk_cosine, r_hits, t_kfold_split,
-# a_key_skew_census
+# a_key_skew_census, a_pythagorean_means, a_ratio_ci_delta,
+# v_knn_loo_accuracy
 # (added round 5), r_precision_at_k,
 # r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
 # v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,

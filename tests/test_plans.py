@@ -1020,3 +1020,31 @@ def test_kfold_is_map_side_hash(spark):
     assert "Join" not in plan
     assert "Sample" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pythagorean_means_single_scan(spark):
+    plan = _plan(spark, "a_pythagorean_means")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_ratio_ci_user_fold_below_moments(spark):
+    """The per-user fold is the only fact-sized aggregate; moments run
+    over the user axis above it."""
+    lines = _plan(spark, "a_ratio_ci_delta").splitlines()
+    user_fold = next(
+        i for i, ln in enumerate(lines) if "HashAggregate(keys=[user_id" in ln
+    )
+    global_agg = next(
+        i for i, ln in enumerate(lines)
+        if "HashAggregate(keys=[]" in ln
+    )
+    assert user_fold > global_agg
+
+
+def test_knn_loo_broadcast_sample_no_cartesian_blowup(spark):
+    """The eval-sample side broadcasts; the join is a BNLJ of sample x
+    corpus (bounded by the 200-vector cap), never corpus x corpus."""
+    plan = _plan(spark, "v_knn_loo_accuracy")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan

@@ -1065,3 +1065,35 @@ def test_skew_census_consistency(spark):
     assert r.n_keys > 0 and r.n_rows >= r.n_keys
     if r.n_hot_keys > 0:
         assert r.skew_factor > 2.0
+
+
+def test_pythagorean_mean_inequality(spark):
+    """AM >= GM >= HM strictly on any non-constant positive data."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_pythagorean_means"](spark, SF_SMALL).collect()[0]
+    assert r.mean_arith >= r.mean_geom >= r.mean_harm > 0
+    assert r.n > 0
+
+
+def test_ratio_ci_delta_positive_se(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_ratio_ci_delta"](spark, SF_SMALL).collect()[0]
+    assert r.ratio > 0
+    assert r.se_delta > 0
+    assert r.se_delta < r.ratio  # sane scale: SE below the point estimate
+
+
+def test_knn_loo_accuracy_bounds_and_sample(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["v_knn_loo_accuracy"](spark, SF_SMALL).collect()
+    assert rows
+    assert sum(r.n for r in rows) <= 200  # LOO sample cap
+    for r in rows:
+        assert 0.0 <= r.accuracy <= 1.0
+        assert r.n_correct <= r.n
