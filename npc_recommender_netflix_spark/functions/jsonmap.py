@@ -151,3 +151,42 @@ def fn_struct_basic(spark, sf_dir):
         )
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "fn_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def fn_variant(spark, sf_dir):
+    """Spark 4 VARIANT surface: `parse_json` once into the binary
+    variant encoding, then typed `variant_get` path extraction — the
+    semi-structured column type that replaces parse-per-access
+    `get_json_object` chains (VARIANT parses ONCE at ingest and stores
+    a traversable binary, so ten field accesses cost one parse, and
+    shredded storage can prune paths like columns at 100 TB).
+
+    Zero-shuffle projection; the event_id predicate pushes to the
+    scan. Oracle mirrors with DuckDB's json_extract (same values, no
+    variant type there — which is the point: the OUTPUT is plain
+    typed columns either way).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+        )
+        .select(
+            "event_id",
+            "k",
+            (F.col("k") % 10).alias("k_bucket"),
+        )
+        .orderBy("event_id")
+    )

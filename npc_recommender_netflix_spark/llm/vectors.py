@@ -1549,3 +1549,154 @@ def v_knn_loo_accuracy(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "v_hamming_rerank",
+    f"""
+    WITH packed AS (
+        SELECT vec_id, embedding,
+               {_PACK_DUCK.format(e='embedding', off=0)} AS w1,
+               {_PACK_DUCK.format(e='embedding', off=32)} AS w2
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT query_id, cand_id, qe, ce FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   q.embedding AS qe, c.embedding AS ce,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY bit_count(xor(q.w1, c.w1))
+                                + bit_count(xor(q.w2, c.w2)), c.vec_id) AS rn
+            FROM packed q JOIN packed c ON q.vec_id < 5 AND c.vec_id >= 5
+        ) WHERE rn <= 50
+    ),
+    rerank AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                       round({_DUCK_DOT.format(a='qe', b='ce')}
+                             / ({_DUCK_NRM.format(a='qe')}
+                                * {_DUCK_NRM.format(a='ce')}), 6)
+                           DESC, cand_id) AS rn
+            FROM cand
+        ) WHERE rn <= 10
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+                             / ({_DUCK_NRM.format(a='q.embedding')}
+                                * {_DUCK_NRM.format(a='c.embedding')}), 6)
+                           DESC, c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id < 5 AND c.vec_id >= 5
+        ) WHERE rn <= 10
+    )
+    SELECT r.query_id,
+           CAST(count(e.cand_id) AS BIGINT) AS hits,
+           round(count(e.cand_id) / 10.0, 6) + 0 AS recall10
+    FROM rerank r
+    LEFT JOIN exact e ON e.query_id = r.query_id AND e.cand_id = r.cand_id
+    GROUP BY r.query_id
+    ORDER BY r.query_id
+    """,
+)
+def v_hamming_rerank(spark, sf_dir):
+    """Two-stage retrieval: 1-bit Hamming prefilter to top-50, exact
+    cosine rerank to top-10, recall@10 vs brute-force cosine — the
+    binary-quantization-with-rescoring architecture production vector
+    stores run (v_hamming_topk is stage 1 alone; this measures what
+    the full cascade actually loses, typically very little at 5x
+    over-retrieval).
+
+    Stage 1 is all-integer XOR/popcount over 8-byte packed words
+    (rank-filtered per query); stage 2's exact cosine touches ONLY the
+    50 survivors per query — at 100 TB the float vectors are fetched
+    for 50 rows/query instead of scanned, which is the entire point.
+    Rankings order by 6dp-rounded scores with id tiebreaks.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_PACK_SPARK.format(e="embedding", off=0)).alias("w1"),
+        F.expr(_PACK_SPARK.format(e="embedding", off=32)).alias("w2"),
+    )
+    q = packed.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    c = packed.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        "w1",
+        "w2",
+    )
+    ham = (
+        F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+        + F.bit_count(F.col("qw2").bitwiseXOR(F.col("w2")))
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn("hamming", ham.cast("long"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+            ),
+        )
+        .where(F.col("rn") <= 50)
+        .select("query_id", "cand_id", "qe", "ce")
+    )
+    cos = F.expr(_DOT.format(a="qe", b="ce")) / (
+        F.expr(_NRM.format(a="qe")) * F.expr(_NRM.format(a="ce"))
+    )
+    rerank = (
+        cand.select("query_id", "cand_id", (F.round(cos, 6) + 0.0).alias("cosr"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("cosr").desc(), "cand_id")
+            ),
+        )
+        .where(F.col("rn") <= 10)
+        .select("query_id", "cand_id")
+    )
+    qx = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cx = emb.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("ecand"), F.col("embedding").alias("ce")
+    )
+    exact = (
+        F.broadcast(qx)
+        .crossJoin(cx)
+        .select(
+            "query_id",
+            "ecand",
+            (F.round(cos, 6) + 0.0).alias("cosr"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("cosr").desc(), "ecand")
+            ),
+        )
+        .where(F.col("rn") <= 10)
+        .select("query_id", F.col("ecand"))
+    )
+    return (
+        rerank.join(
+            exact,
+            (rerank.query_id == exact.query_id) & (rerank.cand_id == exact.ecand),
+            "left",
+        )
+        .groupBy(rerank.query_id)
+        .agg(F.count("ecand").cast("long").alias("hits"))
+        .select("query_id", "hits", f6(F.col("hits") / 10.0).alias("recall10"))
+        .orderBy("query_id")
+    )

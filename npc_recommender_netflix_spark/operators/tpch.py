@@ -1818,3 +1818,126 @@ def q_abc_analysis(spark, sf_dir):
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "q_revenue_retention",
+    """
+    WITH cm AS (
+        SELECT o_custkey AS cust, date_trunc('month', o_orderdate) AS mon,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    months AS (SELECT DISTINCT mon FROM cm),
+    custs AS (SELECT DISTINCT cust FROM cm),
+    grid AS (
+        SELECT c.cust, m.mon, coalesce(cm.cents, 0) AS cents
+        FROM custs c CROSS JOIN months m
+        LEFT JOIN cm ON cm.cust = c.cust AND cm.mon = m.mon
+    ),
+    flows AS (
+        SELECT cust, mon, cents,
+               lag(cents) OVER (PARTITION BY cust ORDER BY mon) AS prev
+        FROM grid
+    ),
+    moves AS (
+        SELECT mon,
+               sum(cents) AS mrr,
+               sum(CASE WHEN prev = 0 AND cents > 0 THEN cents ELSE 0 END)
+                   AS new_mrr,
+               sum(CASE WHEN prev > 0 AND cents > prev
+                        THEN cents - prev ELSE 0 END) AS expansion_mrr,
+               sum(CASE WHEN prev > cents AND cents > 0
+                        THEN prev - cents ELSE 0 END) AS contraction_mrr,
+               sum(CASE WHEN prev > 0 AND cents = 0 THEN prev ELSE 0 END)
+                   AS churned_mrr,
+               sum(prev) AS prev_mrr
+        FROM flows WHERE prev IS NOT NULL
+        GROUP BY mon
+    )
+    SELECT CAST(mon AS DATE) AS mon,
+           round(mrr / 100.0, 2) + 0 AS mrr,
+           round(new_mrr / 100.0, 2) + 0 AS new_mrr,
+           round(expansion_mrr / 100.0, 2) + 0 AS expansion_mrr,
+           round(contraction_mrr / 100.0, 2) + 0 AS contraction_mrr,
+           round(churned_mrr / 100.0, 2) + 0 AS churned_mrr,
+           round((mrr - new_mrr) * 1.0 / prev_mrr, 6) + 0 AS nrr
+    FROM moves
+    ORDER BY mon
+    """,
+)
+def q_revenue_retention(spark, sf_dir):
+    """Net revenue retention decomposition: each month's revenue split
+    into new / expansion / contraction / churned movements vs the prior
+    month, plus NRR = (MRR − new) / prior MRR — the SaaS growth
+    accounting table (q_new_vs_returning counts heads; this follows the
+    MONEY, and NRR > 1 means the existing base grows even with zero
+    acquisition).
+
+    Revenue folds to exact cents on the (customer, month) axis first;
+    the zero-months come from a customers × months grid join — bounded
+    by |customers| × |months| (~30 months), NOT by order volume, and
+    the lag window rides the same customer clustering. All movement
+    sums are exact BIGINT cents; NRR is one division per month row. At
+    extreme customer counts the grid trades for a change-log formulation
+    (emit +cents at month m, compare m vs m−1 via a self-join on
+    month arithmetic) — same numbers, no spine.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cm = (
+        orders.groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    months = cm.select("mon").distinct()
+    custs = cm.select("cust").distinct()
+    grid = (
+        custs.crossJoin(F.broadcast(months))
+        .join(cm, ["cust", "mon"], "left")
+        .select("cust", "mon", F.coalesce(F.col("cents"), F.lit(0)).alias("cents"))
+    )
+    flows = grid.withColumn(
+        "prev", F.lag("cents").over(Window.partitionBy("cust").orderBy("mon"))
+    )
+    moves = (
+        flows.where(F.col("prev").isNotNull())
+        .groupBy("mon")
+        .agg(
+            F.sum("cents").alias("mrr"),
+            F.sum(
+                F.when((F.col("prev") == 0) & (F.col("cents") > 0), F.col("cents"))
+                .otherwise(0)
+            ).alias("new_mrr"),
+            F.sum(
+                F.when(
+                    (F.col("prev") > 0) & (F.col("cents") > F.col("prev")),
+                    F.col("cents") - F.col("prev"),
+                ).otherwise(0)
+            ).alias("expansion_mrr"),
+            F.sum(
+                F.when(
+                    (F.col("prev") > F.col("cents")) & (F.col("cents") > 0),
+                    F.col("prev") - F.col("cents"),
+                ).otherwise(0)
+            ).alias("contraction_mrr"),
+            F.sum(
+                F.when((F.col("prev") > 0) & (F.col("cents") == 0), F.col("prev"))
+                .otherwise(0)
+            ).alias("churned_mrr"),
+            F.sum("prev").alias("prev_mrr"),
+        )
+    )
+    return (
+        moves.select(
+            F.col("mon").cast("date").alias("mon"),
+            money2(F.col("mrr") / 100.0).alias("mrr"),
+            money2(F.col("new_mrr") / 100.0).alias("new_mrr"),
+            money2(F.col("expansion_mrr") / 100.0).alias("expansion_mrr"),
+            money2(F.col("contraction_mrr") / 100.0).alias("contraction_mrr"),
+            money2(F.col("churned_mrr") / 100.0).alias("churned_mrr"),
+            f6((F.col("mrr") - F.col("new_mrr")) * 1.0 / F.col("prev_mrr")).alias("nrr"),
+        )
+        .orderBy("mon")
+    )

@@ -509,3 +509,77 @@ def s_json_nested(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "u_py_datasource",
+    """
+    WITH ids AS (SELECT unnest(range(0, 1000)) AS id),
+    b AS (
+        SELECT id,
+               ((strpos('0123456789abcdef',
+                        substring(md5(CAST(id AS VARCHAR)), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                          substring(md5(CAST(id AS VARCHAR)), 2, 1)) - 1)) % 8
+                   AS bucket
+        FROM ids
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def u_py_datasource(spark, sf_dir):
+    """PySpark 4 Python Data Source API: a custom `DataSource` +
+    `DataSourceReader` with explicit input partitions — the extension
+    point for reading bespoke feeds (internal services, custom binary
+    logs) as a FIRST-CLASS distributed source instead of a driver-side
+    collect-and-parallelize. Each of the 4 partitions generates its id
+    slice independently on an executor (Arrow-batched back), exactly
+    how a real reader would fan out over shards/offset ranges.
+
+    The feed is deterministic (ids 0..999, bucket = first-byte-of-md5
+    mod 8 — the engine-portable hash convention), so the DuckDB oracle
+    reproduces it from a range(). Downstream agg is a normal
+    partial+final groupBy over the 8-cell bucket axis.
+    """
+    # Defined inside the query fn so cloudpickle ships them by value.
+    import hashlib
+
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _SliceReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(4)]
+
+        def read(self, partition):
+            lo = partition.value * 250
+            for i in range(lo, lo + 250):
+                h = hashlib.md5(str(i).encode()).hexdigest()
+                yield (i, int(h[:2], 16) % 8)
+
+    class _SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "npc_synth_feed"
+
+        def schema(self):
+            return "id long, bucket long"
+
+        def reader(self, schema):
+            return _SliceReader()
+
+    try:
+        spark.dataSource.register(_SynthSource)
+    except Exception:
+        pass  # already registered in this session
+    feed = spark.read.format("npc_synth_feed").load()
+    return (
+        feed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .orderBy("bucket")
+    )

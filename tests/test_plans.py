@@ -1048,3 +1048,36 @@ def test_knn_loo_broadcast_sample_no_cartesian_blowup(spark):
     plan = _plan(spark, "v_knn_loo_accuracy")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_variant_zero_shuffle_pushdown(spark):
+    plan = _plan(spark, "fn_variant")
+    assert "Exchange hashpartitioning" not in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_py_datasource_four_partitions(spark):
+    """The custom source must expose its 4 input partitions to the
+    scan (distributed read, not a driver collect)."""
+    df = registry.QUERIES["u_py_datasource"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # source rows, not a UDF
+    # number of partitions of the source scan
+    src = spark.read.format("npc_synth_feed").load()
+    assert src.rdd.getNumPartitions() == 4
+
+
+def test_hamming_rerank_exact_touches_candidates_only(spark):
+    """Stage-2 cosine must consume the rank-filtered candidate set —
+    a WindowGroupLimit below the cosine projection."""
+    plan = _plan(spark, "v_hamming_rerank")
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_revenue_retention_folds_before_grid(spark):
+    """The (cust, month) revenue fold happens below the spine join;
+    the lag window rides the cust clustering."""
+    plan = _plan(spark, "q_revenue_retention")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan

