@@ -326,3 +326,85 @@ def m_frame_dedup(spark, sf_dir):
         .orderBy(F.col("n_shared").desc(), "doc_id")
         .limit(50)
     )
+
+
+_ROUTE_SCHEMA = "doc_id long, modality string, n_bytes long, feature long"
+
+
+@register(
+    "m_modality_router",
+    """
+    WITH routed AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS modality,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CASE doc_id % 3
+                 WHEN 0 THEN CAST(octet_length(encode(text)) % 4096 AS BIGINT)
+                 WHEN 1 THEN CAST(octet_length(encode(text)) * 4 AS BIGINT)
+                 ELSE CAST(octet_length(encode(text)) % 97 + 24 AS BIGINT)
+               END AS feature
+        FROM documents
+    )
+    SELECT modality, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(feature) AS BIGINT) AS feature_sum
+    FROM routed GROUP BY modality ORDER BY modality
+    """,
+)
+def m_modality_router(spark, sf_dir):
+    """Mixed-modality dispatch: one binary corpus routed by detected
+    type into per-modality decode branches (image / audio / video),
+    re-unioned into a single typed feature table — the top-of-funnel
+    architecture for a multimodal training pipeline where one ingest
+    stream carries every payload kind. Detection is doc_id mod 3 (a
+    deterministic stand-in for magic-byte sniffing); each branch runs
+    its own Arrow `mapInPandas` extractor, as m_image/audio/video do.
+
+    The router is three codegen FILTERS off one scan — no shuffle to
+    split, and each branch's mapInPandas sees only its slice.
+    unionByName re-assembles lazily (union is not a shuffle), and the
+    modality census is one partial+final agg over 3 cells. At 100 TB
+    you'd write each branch to its own partition layout; the plan
+    shape (scan → filter → Arrow extract → union → agg) is unchanged.
+    """
+    # Defined inside the query fn so cloudpickle ships them by value.
+    def _branch(modality):
+        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n_bytes = pdf["payload"].map(len)
+                if modality == "image":
+                    feature = n_bytes % 4096
+                elif modality == "audio":
+                    feature = n_bytes * 4
+                else:
+                    feature = n_bytes % 97 + 24
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "modality": modality,
+                        "n_bytes": n_bytes,
+                        "feature": feature,
+                    }
+                )
+
+        return extract
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    branches = []
+    for i, modality in enumerate(["image", "audio", "video"]):
+        sliced = docs.where(F.col("doc_id") % 3 == i)
+        branches.append(sliced.mapInPandas(_branch(modality), schema=_ROUTE_SCHEMA))
+    routed = branches[0].unionByName(branches[1]).unionByName(branches[2])
+    return (
+        routed.groupBy("modality")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("feature").cast("long").alias("feature_sum"),
+        )
+        .orderBy("modality")
+    )

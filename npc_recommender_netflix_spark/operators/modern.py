@@ -1308,3 +1308,168 @@ def q_survival_curve(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_attribution_last_touch",
+    """
+    WITH buys AS (
+        SELECT event_id, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click')
+    ),
+    attributed AS (
+        SELECT b.event_id, b.cents, t.event_type AS channel, t.ts AS touch_ts,
+               row_number() OVER (PARTITION BY b.event_id
+                                  ORDER BY t.ts DESC, t.event_type) AS rn
+        FROM buys b
+        JOIN touches t
+          ON t.user_id = b.user_id
+         AND t.ts <= b.ts
+         AND t.ts >= b.ts - INTERVAL 7 DAY
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(cents) / 100.0, 2) + 0 AS attributed_revenue
+    FROM attributed WHERE rn = 1
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase's revenue is
+    credited to the LAST view-or-click by the same user within a 7-day
+    lookback — the default attribution model every growth dashboard
+    starts from (j_asof is the raw primitive; this is the business
+    query on top, with the channel rollup).
+
+    The purchase↔touch pairing keys on user_id FIRST (the j_asof
+    argument: interval predicates ride a user-keyed join, never a time
+    cross join); the last-touch pick is a WindowGroupLimit on the
+    per-purchase candidate set, bounded by a user's 7-day touch count.
+    Revenue stays exact cents into the channel rollup. At 100 TB the
+    7-day window bounds candidates per purchase regardless of history
+    length — and the bucketed-range twin (j_range_bucketed) swaps in
+    if per-user touch volume explodes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("buy_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    cand = buys.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("touch_ts") <= F.col("buy_ts"))
+        & (F.col("touch_ts") >= F.col("buy_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("touch_ts").desc(), "channel"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            (F.round(F.sum("cents") / 100.0, 2) + 0.0).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "a_diff_in_diff",
+    """
+    WITH base AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS treated,
+               CASE WHEN epoch_us(ts) >=
+                        (SELECT epoch_us(min(ts))
+                                + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2
+                         FROM events WHERE event_type = 'purchase')
+                    THEN 1 ELSE 0 END AS post,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+               sum(cents) AS s
+        FROM base GROUP BY treated, post
+    ),
+    m AS (
+        SELECT
+            max(CASE WHEN treated = 1 AND post = 1 THEN s * 1.0 / n END) AS t1,
+            max(CASE WHEN treated = 1 AND post = 0 THEN s * 1.0 / n END) AS t0,
+            max(CASE WHEN treated = 0 AND post = 1 THEN s * 1.0 / n END) AS c1,
+            max(CASE WHEN treated = 0 AND post = 0 THEN s * 1.0 / n END) AS c0,
+            CAST(sum(n) AS BIGINT) AS n_total
+        FROM cells
+    )
+    SELECT n_total,
+           round((t1 - t0) / 100, 6) + 0 AS treat_delta,
+           round((c1 - c0) / 100, 6) + 0 AS control_delta,
+           round(((t1 - t0) - (c1 - c0)) / 100, 6) + 0 AS did_effect
+    FROM m
+    """,
+)
+def a_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimator on purchase values: treated
+    cohort (user_id parity — a deterministic stand-in for a rollout
+    flag) vs control, before vs after the observation midpoint. DiD =
+    (treated after − treated before) − (control after − control before):
+    the causal-inference workhorse when you can't randomize — the
+    control delta nets out seasonality that a naive before/after
+    (w_cusum's drift view) would book as treatment effect.
+
+    One conditional scan folds all four cells (the a_cohens_d moment
+    pattern on a 2×2 grid); the midpoint is a 1-row scalar subquery
+    (broadcast). All cell sums are exact cents; the three deltas
+    evaluate once on the 1-row result.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buys = ev.where(F.col("event_type") == "purchase")
+    mid = buys.agg(
+        (
+            F.unix_micros(F.min("ts"))
+            + F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 2
+            )
+        ).cast("long").alias("mid_us")
+    )
+    base = buys.crossJoin(F.broadcast(mid)).select(
+        (F.col("user_id") % 2).cast("long").alias("treated"),
+        F.when(F.unix_micros(F.col("ts")) >= F.col("mid_us"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cells = base.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"), F.sum("cents").alias("s")
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    m = cells.agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1), mean)).alias("t1"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0), mean)).alias("t0"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1), mean)).alias("c1"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0), mean)).alias("c0"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return m.select(
+        "n_total",
+        f6((F.col("t1") - F.col("t0")) / 100).alias("treat_delta"),
+        f6((F.col("c1") - F.col("c0")) / 100).alias("control_delta"),
+        f6(((F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))) / 100).alias(
+            "did_effect"
+        ),
+    )

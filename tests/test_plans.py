@@ -1081,3 +1081,25 @@ def test_revenue_retention_folds_before_grid(spark):
     plan = _plan(spark, "q_revenue_retention")
     assert "Window" in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_attribution_user_keyed_interval_join(spark):
+    """The purchase-touch pairing must be a user-keyed join with the
+    interval as a post-condition — never a pure time cross join."""
+    plan = _plan(spark, "q_attribution_last_touch")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # rn=1 last-touch pick
+
+
+def test_did_single_scan_2x2(spark):
+    """DiD folds to four cells in one pass; midpoint is a broadcast
+    1-row join."""
+    plan = _plan(spark, "a_diff_in_diff")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # cells + final, each 2-phase
+
+
+def test_modality_router_three_arrow_branches_union(spark):
+    plan = _plan(spark, "m_modality_router")
+    assert plan.count("MapInPandas") == 3
+    assert "Union" in plan

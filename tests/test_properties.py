@@ -1150,3 +1150,44 @@ def test_revenue_retention_balances(spark):
         assert r.new_mrr >= 0 and r.expansion_mrr >= 0
         assert r.contraction_mrr >= 0 and r.churned_mrr >= 0
         assert r.nrr >= 0
+
+
+def test_attribution_credits_within_purchase_totals(spark):
+    """Attributed revenue cannot exceed total purchase revenue, and
+    every channel is view or click."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = registry.QUERIES["q_attribution_last_touch"](spark, SF_SMALL).collect()
+    assert rows
+    total = (
+        load_table(spark, SF_SMALL, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100)).alias("c"))
+        .collect()[0]
+        .c
+    )
+    assert sum(r.attributed_revenue for r in rows) <= total / 100.0 + 0.01
+    assert {r.channel for r in rows} <= {"view", "click"}
+
+
+def test_did_is_delta_of_deltas(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_diff_in_diff"](spark, SF_SMALL).collect()[0]
+    assert abs(r.did_effect - (r.treat_delta - r.control_delta)) < 2e-6
+    assert r.n_total > 0
+
+
+def test_modality_router_partitions_corpus(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    rows = registry.QUERIES["m_modality_router"](spark, SF_SMALL).collect()
+    assert sorted(r.modality for r in rows) == ["audio", "image", "video"]
+    assert sum(r.n for r in rows) == load_table(spark, SF_SMALL, "documents").count()
