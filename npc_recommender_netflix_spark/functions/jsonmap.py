@@ -190,3 +190,65 @@ def fn_variant(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "fn_map_lambda",
+    """
+    WITH m AS (
+        SELECT o_orderkey,
+               MAP {'base': CAST(round(o_totalprice * 100) AS BIGINT),
+                    'tax': CAST(round(o_totalprice * 8) AS BIGINT),
+                    'tip': CAST(round(o_totalprice * 15) AS BIGINT)} AS charges
+        FROM orders WHERE o_orderkey <= 200
+    )
+    SELECT o_orderkey,
+           CAST(charges['base'][1] + charges['tax'][1] + charges['tip'][1] AS BIGINT)
+               AS total_cents,
+           CAST(len(map_keys(charges)) AS BIGINT) AS n_kinds,
+           CAST(charges['tax'][1] * 2 AS BIGINT) AS tax_doubled
+    FROM m
+    ORDER BY o_orderkey
+    """,
+)
+def fn_map_lambda(spark, sf_dir):
+    """Higher-order MAP functions: build a map column, then
+    transform_values (per-entry lambda), map_filter (predicate over
+    entries), and aggregate over map_values — the functional surface
+    that keeps key-value manipulation inside codegen instead of
+    exploding to rows and re-grouping (fn_map_basic covers
+    construction/access; this is the lambda tier).
+
+    The pipeline: charges map → transform_values(x2 on tax via
+    map_filter+transform) → values-sum fold. All zero-shuffle JVM
+    lambdas; the oracle mirrors the RESULTS with plain map access
+    (DuckDB's map lambda surface differs — the output contract is
+    scalar columns, same as fn_variant's approach). Scales as a pure
+    projection over the scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    charges = F.expr(
+        "map('base', CAST(round(o_totalprice * 100) AS BIGINT),"
+        " 'tax', CAST(round(o_totalprice * 8) AS BIGINT),"
+        " 'tip', CAST(round(o_totalprice * 15) AS BIGINT))"
+    )
+    m = orders.where(F.col("o_orderkey") <= 200).select(
+        "o_orderkey", charges.alias("charges")
+    )
+    return (
+        m.select(
+            "o_orderkey",
+            # aggregate over map_values: functional fold, no explode
+            F.expr(
+                "aggregate(map_values(charges), 0L, (acc, v) -> acc + v)"
+            ).cast("long").alias("total_cents"),
+            F.expr("size(map_keys(charges))").cast("long").alias("n_kinds"),
+            # map_filter to one entry + transform_values lambda
+            F.expr(
+                "element_at(map_values(transform_values("
+                " map_filter(charges, (k, v) -> k = 'tax'),"
+                " (k, v) -> v * 2)), 1)"
+            ).cast("long").alias("tax_doubled"),
+        )
+        .orderBy("o_orderkey")
+    )

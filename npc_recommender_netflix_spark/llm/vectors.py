@@ -1700,3 +1700,129 @@ def v_hamming_rerank(spark, sf_dir):
         .select("query_id", "hits", f6(F.col("hits") / 10.0).alias("recall10"))
         .orderBy("query_id")
     )
+
+
+@register(
+    "v_kmeans_step",
+    """
+    WITH seeds AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8
+    ),
+    dist AS (
+        SELECT d.vec_id, s.cid,
+               round(list_sum(list_transform(range(1, 65), i ->
+                   (CAST(d.embedding[i] AS DOUBLE) - CAST(s.ce[i] AS DOUBLE))
+                   * (CAST(d.embedding[i] AS DOUBLE)
+                      - CAST(s.ce[i] AS DOUBLE)))), 6) + 0 AS d2
+        FROM embeddings d CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    comp AS (
+        SELECT a.cid, t.i,
+               avg(CAST(e.embedding[t.i] AS DOUBLE)) AS newc,
+               max(CAST(s.ce[t.i] AS DOUBLE)) AS oldc
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN seeds s ON s.cid = a.cid
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY a.cid, t.i
+    )
+    SELECT c.cid,
+           CAST(max(n.n) AS BIGINT) AS n_assigned,
+           round(max(n.inertia6) / 1e6, 6) + 0 AS inertia,
+           round(sqrt(sum(CAST(round((c.newc - c.oldc)
+                                     * (c.newc - c.oldc) * 1e12) AS BIGINT))
+                      / 1e12), 6) + 0 AS shift
+    FROM comp c
+    JOIN (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(round(d2 * 1e6) AS BIGINT)) AS inertia6
+          FROM assign GROUP BY cid) n ON n.cid = c.cid
+    GROUP BY c.cid
+    ORDER BY c.cid
+    """,
+)
+def v_kmeans_step(spark, sf_dir):
+    """One Lloyd iteration of k-means (k=8, seeds = vec_id<8) as a pure
+    declarative plan: assign every vector to its nearest seed, recompute
+    centroids, report per-cluster size, inertia, and centroid shift —
+    the deterministic, SQL-oracle-checkable counterpart to r_kmeans's
+    MLlib black box (rows-only), and the training step behind the
+    v_ann_ivf_kmeans quantizer.
+
+    Assignment is the broadcast-seeds distance rank (8 distances per
+    vector, 6dp-rounded with cid tiebreak — engine-exact); centroid
+    recompute explodes to (cid, dim) components — the k x 64-bounded
+    axis — with squared shift terms snapped to 1e-12 BIGINTs before the
+    per-cluster sum. Per iteration at 100 TB: one broadcast-scored scan
+    + one (cid, dim) agg; unroll k iterations = k such passes (the
+    r_hits argument), with NO driver-side math.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(embedding, ce,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        "           * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dist = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cid", "embedding", (F.round(d2, 6) + 0.0).alias("d2")
+    )
+    assign = (
+        dist.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cid")),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid", "d2")
+    )
+    sizes = assign.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("d2") * 1e6).cast("long")).alias("inertia6"),
+    )
+    comp = (
+        assign.join(emb, "vec_id")
+        .join(seeds, "cid")
+        .select(
+            "cid",
+            F.posexplode(
+                F.expr(
+                    "zip_with(embedding, ce,"
+                    " (x, y) -> struct(CAST(x AS DOUBLE) AS xv,"
+                    " CAST(y AS DOUBLE) AS yv))"
+                )
+            ),
+        )
+        .select(
+            "cid",
+            F.col("pos").alias("i"),
+            F.col("col.xv").alias("x"),
+            F.col("col.yv").alias("oldc"),
+        )
+        .groupBy("cid", "i")
+        .agg(F.avg("x").alias("newc"), F.max("oldc").alias("oldc"))
+    )
+    shift_term = F.round(
+        (F.col("newc") - F.col("oldc")) * (F.col("newc") - F.col("oldc")) * 1e12
+    ).cast("long")
+    return (
+        comp.groupBy("cid")
+        .agg(F.sqrt(F.sum(shift_term) / 1e12).alias("shift_raw"))
+        .join(sizes, "cid")
+        .select(
+            "cid",
+            F.col("n").alias("n_assigned"),
+            f6(F.col("inertia6") / 1e6).alias("inertia"),
+            f6(F.col("shift_raw")).alias("shift"),
+        )
+        .orderBy("cid")
+    )

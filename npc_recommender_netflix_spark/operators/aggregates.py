@@ -1919,3 +1919,99 @@ def a_ratio_ci_delta(spark, sf_dir):
             / 100
         ).alias("se_delta"),
     )
+
+
+@register(
+    "a_cuped",
+    """
+    WITH mid AS (
+        SELECT epoch_us(min(ts))
+               + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS m
+        FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN epoch_us(ts) < mid.m
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS pre,
+               sum(CASE WHEN epoch_us(ts) >= mid.m
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS post
+        FROM events CROSS JOIN mid
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(pre) AS sx, sum(post) AS sy,
+               sum(pre * pre) AS sxx, sum(post * post) AS syy,
+               sum(pre * post) AS sxy
+        FROM per_user
+    ),
+    d AS (
+        SELECT n,
+               (sxy - sx * 1.0 * sy / n) / (n - 1) AS cxy,
+               (sxx - sx * 1.0 * sx / n) / (n - 1) AS vx,
+               (syy - sy * 1.0 * sy / n) / (n - 1) AS vy
+        FROM m
+    )
+    SELECT n,
+           round(cxy / vx, 6) + 0 AS theta,
+           round(cxy * cxy / (vx * vy), 6) + 0 AS var_reduction
+    FROM d
+    """,
+)
+def a_cuped(spark, sf_dir):
+    """CUPED variance reduction: theta = cov(pre, post)/var(pre) and the
+    variance fraction removed (= corr², up to ~50%+ on sticky metrics) —
+    the free experiment-sensitivity win every mature A/B platform
+    applies before the a_ttest_welch / a_ratio_ci_delta machinery:
+    adjust each user's metric by their PRE-period behavior and the same
+    experiment detects effects weeks sooner.
+
+    One user fold splits pre/post at the exact-µs midpoint (the
+    a_diff_in_diff split) into cent-exact BIGINT pairs; five moments
+    (the a_ratio_ci_delta pattern) feed theta and corr² in one shared
+    float association on the 1-row result. Cost at 100 TB: the user
+    fold, nothing more.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buys = ev.where(F.col("event_type") == "purchase")
+    mid = buys.agg(
+        (
+            F.unix_micros(F.min("ts"))
+            + F.floor((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 2)
+        ).cast("long").alias("m")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        buys.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros(F.col("ts")) < F.col("m"), cents).otherwise(0)
+            ).alias("pre"),
+            F.sum(
+                F.when(F.unix_micros(F.col("ts")) >= F.col("m"), cents).otherwise(0)
+            ).alias("post"),
+        )
+    )
+    m = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum(F.col("post") * F.col("post")).alias("syy"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+    )
+    cxy = (F.col("sxy") - F.col("sx") * 1.0 * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    vx = (F.col("sxx") - F.col("sx") * 1.0 * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    vy = (F.col("syy") - F.col("sy") * 1.0 * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    d = m.select("n", cxy.alias("cxy"), vx.alias("vx"), vy.alias("vy"))
+    return d.select(
+        "n",
+        f6(F.col("cxy") / F.col("vx")).alias("theta"),
+        f6(F.col("cxy") * F.col("cxy") / (F.col("vx") * F.col("vy"))).alias(
+            "var_reduction"
+        ),
+    )

@@ -1103,3 +1103,27 @@ def test_modality_router_three_arrow_branches_union(spark):
     plan = _plan(spark, "m_modality_router")
     assert plan.count("MapInPandas") == 3
     assert "Union" in plan
+
+
+def test_cuped_user_fold_only_fact_work(spark):
+    lines = _plan(spark, "a_cuped").splitlines()
+    user_fold = next(
+        i for i, ln in enumerate(lines) if "HashAggregate(keys=[user_id" in ln
+    )
+    final = next(i for i, ln in enumerate(lines) if "HashAggregate(keys=[]" in ln)
+    assert user_fold > final
+
+
+def test_kmeans_step_broadcast_seeds(spark):
+    """Seeds broadcast onto the corpus scan; assignment is a
+    rank-filter, component recompute is a keyed agg."""
+    plan = _plan(spark, "v_kmeans_step")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_map_lambda_zero_shuffle(spark):
+    plan = _plan(spark, "fn_map_lambda")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" not in plan  # no explode — stays functional

