@@ -1692,3 +1692,98 @@ def t_code_detect(spark, sf_dir):
         .orderBy(F.col("sym_density").desc(), F.col("dig_density").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "t_bm25_score",
+    f"""
+    WITH tok AS ({TOKENS_SQL}),
+    qterms AS (SELECT unnest(['data', 'model', 'system']) AS word),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               avg(dlen * 1.0) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT t.doc_id, t.word, CAST(count(*) AS BIGINT) AS f
+        FROM tok t JOIN qterms q ON q.word = t.word
+        GROUP BY t.doc_id, t.word
+    ),
+    df AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS nq FROM tf GROUP BY word
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(CAST(round(
+                   ln((s.n_docs - df.nq + 0.5) / (df.nq + 0.5) + 1)
+                   * (tf.f * 2.2)
+                   / (tf.f + 1.2 * (0.25 + 0.75 * dl.dlen / s.avgdl))
+                   * 1e12) AS BIGINT)) AS s12,
+               CAST(count(*) AS BIGINT) AS n_terms_hit
+        FROM tf
+        JOIN df ON df.word = tf.word
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_terms_hit, round(s12 / 1e12, 6) + 0 AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def t_bm25_score(spark, sf_dir):
+    """BM25 ranking (k1=1.2, b=0.75) of the corpus against a fixed term
+    set — the IR scoring function behind every lexical search engine,
+    and the third leg of the text-retrieval stack next to t_tfidf
+    (which lacks saturation: BM25's tf/(tf+k1·norm) caps what a
+    100-repeat spam term can contribute) and the vector tier (v_*).
+
+    The query-term filter is a 3-row broadcast join that prunes the
+    token stream BEFORE any aggregation, so tf is computed only for
+    matching terms; doc lengths and the corpus stats are the same
+    shared folds t_tfidf uses; the per-(doc, term) score term — IDF x
+    saturated TF — snaps to 1e-12 BIGINT units before the per-doc sum
+    (reorder-safe). At 100 TB the score cost is the scan + a
+    term-pruned (doc, term) shuffle; the 0.5-smoothed IDF keeps the
+    formula defined at any df.
+    """
+    tok = tokens(spark, sf_dir)
+    qterms = spark.createDataFrame(
+        [("data",), ("model",), ("system",)], "word STRING"
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg(F.col("dlen") * 1.0).alias("avgdl"),
+    )
+    tf = (
+        tok.join(F.broadcast(qterms), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").cast("long").alias("nq"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("nq") + 0.5) / (F.col("nq") + 0.5) + 1
+    )
+    sat = (F.col("f") * 2.2) / (
+        F.col("f") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl"))
+    )
+    term12 = F.round(idf * sat * 1e12).cast("long")
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term12).alias("s12"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.select("doc_id", "n_terms_hit", f6(F.col("s12") / 1e12).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

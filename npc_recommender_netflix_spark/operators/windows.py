@@ -649,3 +649,63 @@ def w_ltv_deciles(spark, sf_dir):
             F.sum("rev_cents").over(w_cum) * 1.0 / F.sum("rev_cents").over(w_all)
         ).alias("cum_share"),
     )
+
+
+@register(
+    "w_activity_islands",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+        SELECT user_id, d,
+               CAST(d AS DATE)
+               - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS BIGINT) * INTERVAL 1 DAY AS anchor
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id, min(d) AS start_day, max(d) AS end_day,
+               CAST(count(*) AS BIGINT) AS len_days
+        FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id, start_day, end_day, len_days
+    FROM islands
+    ORDER BY len_days DESC, user_id, start_day
+    LIMIT 20
+    """,
+)
+def w_activity_islands(spark, sf_dir):
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    days, as (start, end, length) intervals — the classic SQL shape
+    behind streak badges and engagement-contiguity features
+    (w_streaks reports the max length; this ENUMERATES the intervals,
+    which downstream joins need).
+
+    The date-minus-row_number anchor trick: within one user ordering,
+    consecutive days share a constant anchor, so islands fall out of a
+    plain groupBy. Two exchanges by design: the (user, day) distinct
+    shuffles WITH map-side partial dedup (raw events never cross the
+    wire), then the deduped day pairs re-key to user_id for the window
+    — and the island rollup rides that same clustering free. Day
+    counts are exact; ordering ties break on (user, start).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    return (
+        grp.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").alias("start_day"),
+            F.max("d").alias("end_day"),
+            F.count("*").cast("long").alias("len_days"),
+        )
+        .select("user_id", "start_day", "end_day", "len_days")
+        .orderBy(F.col("len_days").desc(), "user_id", "start_day")
+        .limit(20)
+    )

@@ -583,3 +583,70 @@ def u_py_datasource(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "s_dynamic_overwrite",
+    """
+    WITH base AS (
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' THEN CAST(0 AS BIGINT) ELSE n END
+               AS n_rows
+    FROM base
+    ORDER BY o_orderstatus
+    """,
+)
+def s_dynamic_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic):
+    INSERT OVERWRITE rewrites ONLY the partitions present in the
+    incoming batch — the idempotent daily-reprocess primitive for a
+    partitioned lake table. In STATIC mode (the default) the same
+    overwrite TRUNCATES every other partition first; the difference is
+    the whole point, so this key proves it: overwrite partition 'F'
+    with an empty-but-typed batch and show 'O'/'P' survive untouched.
+
+    The read-back is the lazy scratch-root convention; partition
+    counts in the result come from the post-overwrite directory
+    listing, so the oracle (base counts with F zeroed) only matches if
+    the other partitions really did survive. At 100 TB this is the
+    difference between rewriting one day and clobbering years.
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch("dynpart_")
+    orders.select("o_orderkey", "o_totalprice", "o_orderstatus").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        empty_f = (
+            orders.where(F.lit(False))
+            .select("o_orderkey", "o_totalprice")
+            .withColumn("o_orderstatus", F.lit("F"))
+        )
+        # Overwrite must carry at least the partition value; an empty
+        # frame with mode=dynamic deletes nothing, so write one marker
+        # row and exclude it from counts (orderkey -1 sentinel).
+        marker = spark.createDataFrame(
+            [(-1, 0.0, "F")], "o_orderkey LONG, o_totalprice DOUBLE, o_orderstatus STRING"
+        )
+        empty_f.unionByName(marker).write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("o_orderkey") != -1)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .unionByName(
+            spark.createDataFrame([("F", 0)], "o_orderstatus STRING, n_rows LONG")
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+        .orderBy("o_orderstatus")
+    )

@@ -1127,3 +1127,29 @@ def test_map_lambda_zero_shuffle(spark):
     plan = _plan(spark, "fn_map_lambda")
     assert "Exchange hashpartitioning" not in plan
     assert "Generate" not in plan  # no explode — stays functional
+
+
+def test_bm25_term_filter_before_tf(spark):
+    """The 3-term broadcast join must prune the token stream below the
+    (doc, term) aggregate."""
+    plan = _plan(spark, "t_bm25_score")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_activity_islands_two_exchange_combine_first(spark):
+    """Two exchanges by design: the (user, day) distinct shuffles with
+    map-side partial dedup FIRST (raw events never cross the wire),
+    then the day-deduped pairs re-key to user_id for the window; the
+    island rollup shares that second clustering (t_char_entropy's
+    combine-first argument)."""
+    lines = _plan(spark, "w_activity_islands").splitlines()
+    n_user = sum(1 for ln in lines if "Exchange hashpartitioning(user_id#" in ln
+                 and ", d#" not in ln)
+    n_pair = sum(1 for ln in lines if "Exchange hashpartitioning(user_id#" in ln
+                 and ", d#" in ln)
+    assert n_user == 1 and n_pair == 1
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    rollup = next(i for i, ln in enumerate(lines)
+                  if "HashAggregate(keys=[user_id" in ln and "anchor" in ln)
+    assert rollup < win  # rollup consumes the window's clustering

@@ -1231,3 +1231,52 @@ def test_map_lambda_total_is_component_sum(spark):
         assert r.n_kinds == 3
         assert r.tax_doubled % 2 == 0
         assert r.total_cents > 0
+
+
+def test_bm25_positive_scores_and_hit_bound(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_bm25_score"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.bm25 > 0
+        assert 1 <= r.n_terms_hit <= 3
+
+
+def test_activity_islands_are_consistent_intervals(spark):
+    """end - start + 1 == length for every island; no island exceeds
+    the fixture's calendar span."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["w_activity_islands"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert (r.end_day - r.start_day).days + 1 == r.len_days
+        assert r.len_days >= 1
+
+
+def test_dynamic_overwrite_zeroes_only_target_partition(spark):
+    """'F' must come back 0; 'O'/'P' must match the base counts."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    got = {
+        r.o_orderstatus: r.n_rows
+        for r in registry.QUERIES["s_dynamic_overwrite"](spark, SF_SMALL).collect()
+    }
+    base = {
+        r.o_orderstatus: r.n
+        for r in load_table(spark, SF_SMALL, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got["F"] == 0
+    for k in base:
+        if k != "F":
+            assert got[k] == base[k]
