@@ -118,3 +118,47 @@ def fn_fuzzy(spark, sf_dir):
         F.levenshtein("p_name", F.lit("red widget")).cast("long").alias("dist_red"),
         F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("dist_brand"),
     )
+
+
+@register(
+    "fn_aes_roundtrip",
+    """
+    SELECT c_custkey, c_name,
+           CAST(1 AS BIGINT) AS roundtrip_ok,
+           CAST(length(c_name) AS BIGINT) AS plain_len
+    FROM customer WHERE c_custkey <= 100
+    ORDER BY c_custkey
+    """,
+)
+def fn_aes_roundtrip(spark, sf_dir):
+    """Column-level encryption surface: `aes_encrypt`/`aes_decrypt`
+    round-trip on customer names (ECB mode for deterministic output —
+    production would use GCM, whose random IV makes ciphertext
+    non-reproducible by design; determinism is exactly what this
+    oracle-checked key needs). The at-rest-PII primitive next to
+    t_scrub_pii's redaction: scrubbing destroys, encryption preserves
+    reversibly for the keyholder.
+
+    Both crypto ops are JVM codegen expressions — zero shuffle, no
+    Python; the oracle checks the INVARIANT (decrypt∘encrypt =
+    identity, emitted as roundtrip_ok + the recovered plaintext)
+    rather than ciphertext bytes, so the contract survives algorithm
+    upgrades. At 100 TB this is a map-side projection on the scan.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    dec = F.expr(
+        "CAST(aes_decrypt(aes_encrypt(c_name, '0123456789abcdef', 'ECB'),"
+        " '0123456789abcdef', 'ECB') AS STRING)"
+    )
+    return (
+        cust.where(F.col("c_custkey") <= 100)
+        .select(
+            "c_custkey",
+            dec.alias("c_name"),
+            F.when(dec == F.col("c_name"), 1).otherwise(0).cast("long").alias(
+                "roundtrip_ok"
+            ),
+            F.length("c_name").cast("long").alias("plain_len"),
+        )
+        .orderBy("c_custkey")
+    )

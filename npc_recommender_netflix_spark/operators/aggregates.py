@@ -2015,3 +2015,51 @@ def a_cuped(spark, sf_dir):
             "var_reduction"
         ),
     )
+
+
+@register(
+    "a_chi2_uniform",
+    """
+    WITH cells AS (
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS total, CAST(count(*) AS BIGINT) AS k FROM cells)
+    SELECT t.k AS n_cells, t.total AS n_events,
+           round(sum(CAST(round((c.n - t.total * 1.0 / t.k)
+                                * (c.n - t.total * 1.0 / t.k)
+                                / (t.total * 1.0 / t.k) * 1e12) AS BIGINT))
+                 / 1e12, 6) + 0 AS chi2
+    FROM cells c CROSS JOIN t
+    GROUP BY t.k, t.total
+    """,
+)
+def a_chi2_uniform(spark, sf_dir):
+    """Chi-square goodness-of-fit of event volume against a uniform
+    day-of-week expectation — the load-balance / seasonality smell
+    test (a_cramers_v measures association BETWEEN two axes; this
+    tests ONE axis against a null model, the other half of the chi²
+    toolkit).
+
+    Seven cells from one partial+final agg; expected counts derive
+    from the broadcast 1-row total; per-cell chi² terms snap to 1e-12
+    BIGINT units before the reorder-safe sum. A 100 TB scan reduces
+    to 7 cells of shuffle bytes. Compare chi2 against the chi²(k-1)
+    critical value offline — the statistic is the deliverable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(F.dayofweek("ts").cast("long").alias("dow")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = cells.agg(
+        F.sum("n").alias("total"), F.count("*").cast("long").alias("k")
+    )
+    exp = F.col("total") * 1.0 / F.col("k")
+    term = F.round((F.col("n") - exp) * (F.col("n") - exp) / exp * 1e12).cast("long")
+    return (
+        cells.crossJoin(F.broadcast(t))
+        .groupBy(F.col("k").alias("n_cells"), F.col("total").alias("n_events"))
+        .agg(f6(F.sum(term) / 1e12).alias("chi2"))
+        .select("n_cells", "n_events", "chi2")
+    )

@@ -1941,3 +1941,61 @@ def q_revenue_retention(spark, sf_dir):
         )
         .orderBy("mon")
     )
+
+
+@register(
+    "q_skyline_parts",
+    """
+    WITH ax AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev4
+        FROM lineitem GROUP BY l_partkey
+    ),
+    sky AS (
+        SELECT l_partkey, qty, rev4,
+               max(rev4) OVER (ORDER BY qty DESC, l_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS best_rev_ahead
+        FROM ax
+    )
+    SELECT l_partkey, qty, round(rev4 / 10000.0, 2) + 0 AS revenue
+    FROM sky
+    WHERE best_rev_ahead IS NULL OR rev4 > best_rev_ahead
+    ORDER BY qty DESC, l_partkey
+    """,
+)
+def q_skyline_parts(spark, sf_dir):
+    """Skyline (Pareto-frontier) query: parts not dominated on the
+    (total quantity, revenue) plane — a part survives iff no other
+    part has BOTH >= quantity and > revenue. The multi-criteria
+    shortlist operator (top-k needs a single score; the skyline needs
+    none) — classic database-literature operator class of its own.
+
+    The 2-D skyline collapses to ONE window after the part-axis fold:
+    sort by qty desc, keep rows beating the running max revenue among
+    all parts with more quantity (ties on qty resolved by the
+    l_partkey order making the dominance test strict). Exact integer
+    axes; the window runs over |parts| rows, never lineitem. D>2
+    skylines need the block-nested-loop generalization — the 2-D
+    sort-scan is the special case worth having because it's free.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ax = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+        F.sum(_rev_exact()).alias("rev4"),
+    )
+    w = (
+        Window.orderBy(F.col("qty").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = ax.withColumn("best_rev_ahead", F.max("rev4").over(w))
+    return (
+        sky.where(
+            F.col("best_rev_ahead").isNull()
+            | (F.col("rev4") > F.col("best_rev_ahead"))
+        )
+        .select("l_partkey", "qty", money2(F.col("rev4") / 10000.0).alias("revenue"))
+        .orderBy(F.col("qty").desc(), "l_partkey")
+    )

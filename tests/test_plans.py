@@ -1153,3 +1153,18 @@ def test_activity_islands_two_exchange_combine_first(spark):
     rollup = next(i for i, ln in enumerate(lines)
                   if "HashAggregate(keys=[user_id" in ln and "anchor" in ln)
     assert rollup < win  # rollup consumes the window's clustering
+
+
+def test_skyline_window_over_part_axis(spark):
+    lines = _plan(spark, "q_skyline_parts").splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    fold = next(
+        i for i, ln in enumerate(lines) if "HashAggregate(keys=[l_partkey" in ln
+    )
+    assert fold > win
+
+
+def test_aes_zero_shuffle(spark):
+    plan = _plan(spark, "fn_aes_roundtrip")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan

@@ -1280,3 +1280,38 @@ def test_dynamic_overwrite_zeroes_only_target_partition(spark):
     for k in base:
         if k != "F":
             assert got[k] == base[k]
+
+
+def test_skyline_no_dominated_point_survives(spark):
+    """Verify pairwise: no surviving point is dominated by another
+    survivor (necessary condition of the frontier)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_skyline_parts"](spark, SF_SMALL).collect()
+    assert rows
+    pts = [(r.qty, r.revenue) for r in rows]
+    for i, (q1, r1) in enumerate(pts):
+        for j, (q2, r2) in enumerate(pts):
+            if i != j:
+                assert not (q2 >= q1 and r2 > r1), (pts[i], pts[j])
+
+
+def test_aes_roundtrip_identity_everywhere(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["fn_aes_roundtrip"](spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.roundtrip_ok == 1 for r in rows)
+    assert all(len(r.c_name) == r.plain_len for r in rows)
+
+
+def test_chi2_nonnegative_and_consistent(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_chi2_uniform"](spark, SF_SMALL).collect()[0]
+    assert r.chi2 >= 0
+    assert r.n_cells == 7
+    assert r.n_events > 0
