@@ -393,3 +393,145 @@ def t_kfold_split(spark, sf_dir):
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "t_sft_format",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_examples,
+           CAST(sum(CASE WHEN n_tokens > 48 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated,
+           CAST(sum(least(n_tokens, 48)) AS BIGINT) AS kept_tokens,
+           round(avg(least(n_tokens, 48) * 1.0), 6) + 0 AS avg_tokens
+    FROM tok GROUP BY lang ORDER BY lang
+    """,
+)
+def t_sft_format(spark, sf_dir):
+    """Instruction-tuning formatter: wrap each document into a chat
+    template (`{{"messages": [{{"role": "user", ...}}]}}` via
+    to_json(struct(...))), truncate at a 48-token budget, and report
+    per-language example/truncation/token stats — the last step before
+    an SFT corpus ships to the trainer, where silent over-budget
+    examples either OOM the collator or silently clip the labels.
+
+    The JSON build is a zero-shuffle codegen projection
+    (to_json(named_struct(...)) — no Python string formatting); the
+    token estimate is the whitespace tokenizer shared with
+    t_token_count; truncation is deterministic least(). The stats
+    rollup is the only shuffle (per-lang cells). The oracle checks the
+    STATS (the JSON blob itself is formatting, asserted non-null in
+    pytest); at 100 TB the formatted JSONL writes straight out of the
+    projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    kept = F.least(n_tokens, F.lit(48))
+    formatted = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        kept.alias("kept_tokens"),
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit("user").alias("role"),
+                        F.concat(
+                            F.lit("Summarize: "),
+                            F.array_join(
+                                F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 48),
+                                " ",
+                            ),
+                        ).alias("content"),
+                    )
+                ).alias("messages")
+            )
+        ).alias("sft_json"),
+    )
+    return (
+        formatted.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_examples"),
+            F.sum(F.when(F.col("n_tokens") > 48, 1).otherwise(0))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum("kept_tokens").cast("long").alias("kept_tokens"),
+            f6(F.avg(F.col("kept_tokens") * 1.0)).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+from .text import TOKENS_SQL as _TOKENS_SQL  # noqa: E402 (shared tokenizer)
+
+
+@register(
+    "t_vocab_coverage",
+    f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, count(*) AS c,
+                   row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+            FROM tok GROUP BY word
+        ) WHERE rn <= 1000
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS covered,
+           round(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) + 0 AS coverage
+    FROM tok t LEFT JOIN vocab v ON v.word = t.word
+    GROUP BY t.lang ORDER BY t.lang
+    """,
+)
+def t_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage / OOV-rate: fraction of the token stream
+    covered by the corpus's top-1000 words, per language — the
+    tokenizer-design number that decides vocab size (coverage rising
+    slowly past 1k says long-tail morphology; t_fertility measures
+    subword cost, this measures word-level coverage).
+
+    The vocab is a rank-limited aggregate (WindowGroupLimit over the
+    word-count fold — vocabulary-sized, corpus-sublinear) that
+    BROADCASTS back onto the token stream as a LEFT join; coverage is
+    a conditional count per lang. At 100 TB: one (word) agg shuffle +
+    one broadcast probe pass — the token stream itself never re-keys.
+    """
+    from .text import tokens
+
+    tok = tokens(spark, sf_dir)
+    counts = tok.groupBy("word").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "word")),
+        )
+        .where(F.col("rn") <= 1000)
+        .select("word")
+    )
+    return (
+        tok.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))), "word", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("covered"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "covered",
+            f6(F.col("covered") * 1.0 / F.col("n_tokens")).alias("coverage"),
+        )
+        .orderBy("lang")
+    )

@@ -709,3 +709,91 @@ def w_activity_islands(spark, sf_dir):
         .orderBy(F.col("len_days").desc(), "user_id", "start_day")
         .limit(20)
     )
+
+
+@register(
+    "w_rank_movers",
+    """
+    WITH bm AS (
+        SELECT p.p_brand AS brand, date_trunc('month', o.o_orderdate) AS mon,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS rev4
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT brand, mon,
+               CAST(rank() OVER (PARTITION BY mon
+                                 ORDER BY rev4 DESC, brand) AS BIGINT) AS rnk
+        FROM bm
+    ),
+    delta AS (
+        SELECT brand, mon, rnk,
+               lag(rnk) OVER (PARTITION BY brand ORDER BY mon) AS prev_rnk
+        FROM ranked
+    )
+    SELECT brand, CAST(mon AS DATE) AS mon, rnk, prev_rnk,
+           CAST(prev_rnk - rnk AS BIGINT) AS moved_up
+    FROM delta
+    WHERE prev_rnk IS NOT NULL AND prev_rnk <> rnk
+    ORDER BY abs(prev_rnk - rnk) DESC, brand, mon
+    LIMIT 25
+    """,
+)
+def w_rank_movers(spark, sf_dir):
+    """Rank-churn tracker: month-over-month revenue-rank movement per
+    brand, biggest movers first — the 'movers and shakers' leaderboard
+    that catches a brand climbing from #18 to #5 while absolute-revenue
+    views (q_yoy_growth) still show it as small.
+
+    Two window axes over the SAME brand-month aggregate: the per-month
+    rank partitions by month, the per-brand lag partitions by brand —
+    both run on the brands x months-bounded fold, so the fact-table
+    cost is the one (brand, month) revenue shuffle. Ranks are exact
+    integers (rank() with a brand tiebreak), so movement deltas carry
+    no float risk anywhere.
+    """
+    li, part, orders = tables(spark, sf_dir, "lineitem", "part", "orders")
+    bm = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        )
+        .agg(F.sum(_rev_exact_w()).alias("rev4"))
+    )
+    ranked = bm.select(
+        "brand",
+        "mon",
+        F.rank()
+        .over(Window.partitionBy("mon").orderBy(F.col("rev4").desc(), "brand"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    delta = ranked.withColumn(
+        "prev_rnk", F.lag("rnk").over(Window.partitionBy("brand").orderBy("mon"))
+    )
+    return (
+        delta.where(F.col("prev_rnk").isNotNull() & (F.col("prev_rnk") != F.col("rnk")))
+        .select(
+            "brand",
+            F.col("mon").cast("date").alias("mon"),
+            "rnk",
+            "prev_rnk",
+            (F.col("prev_rnk") - F.col("rnk")).cast("long").alias("moved_up"),
+        )
+        .orderBy(F.abs(F.col("prev_rnk") - F.col("rnk")).desc(), "brand", "mon")
+        .limit(25)
+    )
+
+
+def _rev_exact_w():
+    """price-cents x discount-percent exact revenue units (tpch.py's
+    _rev_exact, local copy to avoid a cross-module import of a private
+    helper)."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    return cents * disc

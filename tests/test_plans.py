@@ -1168,3 +1168,24 @@ def test_aes_zero_shuffle(spark):
     plan = _plan(spark, "fn_aes_roundtrip")
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_vocab_broadcast_probe(spark):
+    """The rank-limited vocab must broadcast back onto the token
+    stream (a shuffle join would re-key the whole corpus)."""
+    plan = _plan(spark, "t_vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan  # rank-limited vocab (global window, no
+    # WindowGroupLimit rewrite for unpartitioned specs)
+
+
+def test_rank_movers_windows_over_brand_month_fold(spark):
+    """Both window axes run over the (brand, month) aggregate."""
+    lines = _plan(spark, "w_rank_movers").splitlines()
+    fold = next(
+        i for i, ln in enumerate(lines)
+        if "HashAggregate(keys=[brand" in ln or "HashAggregate(keys=[p_brand" in ln
+    )
+    wins = [i for i, ln in enumerate(lines) if "Window" in ln]
+    assert len(wins) >= 2
+    assert all(w < fold for w in wins)

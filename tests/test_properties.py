@@ -1315,3 +1315,39 @@ def test_chi2_nonnegative_and_consistent(spark):
     assert r.chi2 >= 0
     assert r.n_cells == 7
     assert r.n_events > 0
+
+
+def test_sft_format_token_budget_respected(spark):
+    """kept_tokens <= 48 x examples; truncated only when over budget."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_sft_format"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.kept_tokens <= 48 * r.n_examples
+        assert 0 <= r.n_truncated <= r.n_examples
+        assert 0 < r.avg_tokens <= 48
+
+
+def test_vocab_coverage_bounds(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_vocab_coverage"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.coverage <= 1.0
+        assert r.covered <= r.n_tokens
+
+
+def test_rank_movers_deltas_consistent(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["w_rank_movers"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.moved_up == r.prev_rnk - r.rnk
+        assert r.moved_up != 0
+        assert r.rnk >= 1 and r.prev_rnk >= 1
