@@ -1826,3 +1826,76 @@ def v_kmeans_step(spark, sf_dir):
         )
         .orderBy("cid")
     )
+
+
+@register(
+    "v_similarity_calibration",
+    f"""
+    WITH pairs AS (
+        SELECT a.label AS la, b.label AS lb,
+               round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+                     / ({_DUCK_NRM.format(a='a.embedding')}
+                        * {_DUCK_NRM.format(a='b.embedding')}), 6) + 0 AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 100
+    ),
+    binned AS (
+        SELECT CAST(least(floor((cos + 1) * 5), 9) AS BIGINT) AS cos_bin,
+               CASE WHEN la = lb THEN 1 ELSE 0 END AS same
+        FROM pairs
+    )
+    SELECT cos_bin, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(same) AS BIGINT) AS n_same,
+           round(sum(same) * 1.0 / count(*), 6) + 0 AS same_label_rate
+    FROM binned GROUP BY cos_bin ORDER BY cos_bin
+    """,
+)
+def v_similarity_calibration(spark, sf_dir):
+    """Similarity-calibration (reliability) curve: pair cosines bucketed
+    into 10 bins over [-1, 1], per-bin same-label fraction — the 'is
+    cosine actually meaningful in this space' diagnostic that should
+    rise monotonically if the embedding clusters by label; a flat curve
+    means every cosine threshold downstream (v_semantic_dedup,
+    v_embed_neardup) is cargo cult.
+
+    Pair generation is the 100-vector eval sample against the corpus
+    (the v_knn_loo_accuracy sampling argument — never corpus²); bins
+    are integer arithmetic on the 6dp-rounded cosine with the +1 shift
+    and clamp handled identically in both engines; rates divide exact
+    counts once per bin. Output is 10 rows at any scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("ida"), F.col("label").alias("la"),
+        F.col("embedding").alias("qe"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"), F.col("label").alias("lb"),
+        F.col("embedding").alias("ce"),
+    )
+    cos = F.expr(_DOT.format(a="qe", b="ce")) / (
+        F.expr(_NRM.format(a="qe")) * F.expr(_NRM.format(a="ce"))
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("ida") < F.col("idb"))
+        .select(
+            "la", "lb", (F.round(cos, 6) + 0.0).alias("cos")
+        )
+    )
+    binned = pairs.select(
+        F.least(F.floor((F.col("cos") + 1) * 5), F.lit(9)).cast("long").alias("cos_bin"),
+        F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias("same"),
+    )
+    return (
+        binned.groupBy("cos_bin")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("same").cast("long").alias("n_same"),
+        )
+        .select(
+            "cos_bin", "n_pairs", "n_same",
+            f6(F.col("n_same") * 1.0 / F.col("n_pairs")).alias("same_label_rate"),
+        )
+        .orderBy("cos_bin")
+    )

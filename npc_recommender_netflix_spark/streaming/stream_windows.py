@@ -319,3 +319,57 @@ def st_topk_per_window(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("wstart", "event_type", "cnt", "rn")
     )
+
+
+@register(
+    "st_incremental_checkpoint",
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def st_incremental_checkpoint(spark, sf_dir):
+    """Incremental processing with checkpoint recovery: the event feed
+    arrives in TWO deliveries; an availableNow query runs after each,
+    RESTARTED from the same checkpoint — the second run processes ONLY
+    the new file and folds it into recovered state. This is the nightly
+    incremental-ingest shape (st_tumbling replays everything in one
+    shot; real pipelines restart against a growing source forever), and
+    the final counts equal the batch oracle only if state actually
+    survived the restart.
+
+    Mechanics: half the events (by event_id parity) land as file A,
+    the stream runs to completion; file B lands, the SAME
+    checkpointLocation + queryName rerun picks up at the recorded
+    offset. State lives in the state store keyed by event_type; at
+    scale this is RocksDB + a real table sink instead of the memory
+    sink.
+    """
+    prepare(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    feed_dir = tempfile.mkdtemp(prefix="npc_incr_feed_")
+    ckpt = tempfile.mkdtemp(prefix="npc_incr_ckpt_")
+    name = "snk_incr_" + uuid.uuid4().hex[:12]
+    half_a = batch.where(F.col("event_id") % 2 == 0)
+    half_b = batch.where(F.col("event_id") % 2 == 1)
+    half_a.coalesce(1).write.mode("append").parquet(feed_dir)
+
+    def run_once():
+        ev = spark.readStream.schema(batch.schema).parquet(feed_dir)
+        ts_type = dict(ev.dtypes).get("ts")
+        if ts_type == "bigint":
+            ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # processes file(s) of delivery A
+    half_b.coalesce(1).write.mode("append").parquet(feed_dir)
+    run_once()  # restart from checkpoint: reads ONLY delivery B files
+    return spark.table(name)

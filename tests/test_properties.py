@@ -1351,3 +1351,40 @@ def test_rank_movers_deltas_consistent(spark):
         assert r.moved_up == r.prev_rnk - r.rnk
         assert r.moved_up != 0
         assert r.rnk >= 1 and r.prev_rnk >= 1
+
+
+def test_similarity_calibration_counts_and_rates(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["v_similarity_calibration"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.cos_bin <= 9
+        assert 0.0 <= r.same_label_rate <= 1.0
+        assert r.n_same <= r.n_pairs
+
+
+def test_incremental_checkpoint_equals_batch(spark):
+    """The two-delivery incremental run must converge to exactly the
+    batch per-type counts — proof that state survived the restart."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    got = {
+        r.event_type: r.cnt
+        for r in registry.QUERIES["st_incremental_checkpoint"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
