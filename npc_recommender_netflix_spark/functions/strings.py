@@ -162,3 +162,49 @@ def fn_aes_roundtrip(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "fn_xpath",
+    """
+    SELECT o_orderkey,
+           o_orderstatus AS status_back,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents_back
+    FROM orders WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+    """,
+)
+def fn_xpath(spark, sf_dir):
+    """XPath extraction surface (`xpath_string` / `xpath_long`) over an
+    XML column — the legacy-feed ingest path (B2B EDI, config exports)
+    that still lands in every warehouse. The XML is built from order
+    fields and parsed back, so the oracle checks the round-trip
+    identity on the recovered typed columns (the fn_aes_roundtrip
+    pattern — invariants, not serialized bytes).
+
+    Both the build (concat) and the parse (xpath_*) are codegen
+    expressions — zero shuffle, no Python XML library anywhere; the
+    orderkey predicate pushes to the scan. At 100 TB: a map-side
+    projection, with the XML column dropped immediately after
+    extraction so it never reaches a shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s><c>"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("</c></o>"),
+    )
+    return (
+        orders.where(F.col("o_orderkey") <= 300)
+        .select("o_orderkey", xml.alias("xml"))
+        .select(
+            "o_orderkey",
+            F.expr("xpath_string(xml, '/o/s')").alias("status_back"),
+            F.expr("xpath_long(xml, '/o/c')").alias("cents_back"),
+        )
+        .orderBy("o_orderkey")
+    )

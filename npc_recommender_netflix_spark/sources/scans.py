@@ -650,3 +650,58 @@ def s_dynamic_overwrite(spark, sf_dir):
         .agg(F.sum("n_rows").cast("long").alias("n_rows"))
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "s_analyze_stats",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(1 AS BIGINT) AS stats_match
+    FROM orders
+    """,
+)
+def s_analyze_stats(spark, sf_dir):
+    """Catalog statistics pipeline: saveAsTable → `ANALYZE TABLE ...
+    COMPUTE STATISTICS FOR COLUMNS` → read the optimizer's recorded
+    rowCount/distinct-count back from the catalog and verify they match
+    reality. These numbers are what cost-based optimization (join
+    reordering, broadcast selection without AQE) runs on — a table with
+    stale or missing stats gets 100 TB join orders chosen blind.
+
+    The output re-derives the counts from data AND asserts the catalog
+    agreed (stats_match), so the oracle pins both. DESCRIBE EXTENDED
+    serves the stats without a data scan at plan time; ANALYZE itself
+    is one pass (the same partial/final count shape as any agg).
+    """
+    import uuid as _uuid
+
+    orders = load_table(spark, sf_dir, "orders")
+    name = "npc_stats_" + _uuid.uuid4().hex[:8]
+    path = _scratch("stats_tbl_")
+    try:
+        orders.write.option("path", path).saveAsTable(name)
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS o_orderstatus"
+        )
+        # catalog-recorded row count (no data scan at plan time)
+        stats_row = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").where(
+            "col_name = 'Statistics'"
+        ).collect()
+        rec_rows = None
+        if stats_row:
+            import re as _re
+
+            m = _re.search(r"(\d+)\s+rows", stats_row[0].data_type)
+            rec_rows = int(m.group(1)) if m else None
+        actual = spark.table(name).count()
+        n_statuses = (
+            spark.table(name).select("o_orderstatus").distinct().count()
+        )
+        match = 1 if rec_rows == actual else 0
+        return spark.createDataFrame(
+            [(actual, n_statuses, match)],
+            "n_rows LONG, n_statuses LONG, stats_match LONG",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -1388,3 +1388,33 @@ def test_incremental_checkpoint_equals_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_xpath_roundtrip_identity(spark):
+    """Recovered status/cents must match the originals row-for-row."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    got = {
+        r.o_orderkey: (r.status_back, r.cents_back)
+        for r in registry.QUERIES["fn_xpath"](spark, SF_SMALL).collect()
+    }
+    want = {
+        r.o_orderkey: (r.o_orderstatus, int(round(r.o_totalprice * 100)))
+        for r in load_table(spark, SF_SMALL, "orders")
+        .where(F.col("o_orderkey") <= 300)
+        .collect()
+    }
+    assert got == want
+
+
+def test_analyze_stats_catalog_agrees(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["s_analyze_stats"](spark, SF_SMALL).collect()[0]
+    assert r.stats_match == 1
+    assert r.n_rows > 0 and r.n_statuses >= 1
