@@ -1473,3 +1473,66 @@ def a_diff_in_diff(spark, sf_dir):
             "did_effect"
         ),
     )
+
+
+@register(
+    "w_control_chart",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(round(sum(CAST(round(value * 100) AS BIGINT)) * 1.0
+                          / count(*)) AS BIGINT) AS mean2
+        FROM events GROUP BY 1
+    ),
+    lim AS (
+        SELECT avg(mean2 * 1.0) AS center,
+               stddev_samp(mean2 * 1.0) AS sd,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(max(l.center) / 100, 6) + 0 AS center,
+           round((max(l.center) + 3 * max(l.sd)) / 100, 6) + 0 AS ucl,
+           round((max(l.center) - 3 * max(l.sd)) / 100, 6) + 0 AS lcl,
+           CAST(sum(CASE WHEN d.mean2 > l.center + 3 * l.sd
+                           OR d.mean2 < l.center - 3 * l.sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_control
+    FROM daily d CROSS JOIN lim l
+    """,
+)
+def w_control_chart(spark, sf_dir):
+    """X-bar control chart: daily mean value vs 3-sigma limits computed
+    from the daily-mean distribution, with the out-of-control day
+    count — the SPC (statistical process control) alarm that fires on
+    LEVEL breaks where w_cusum accumulates slow drift; run both and
+    you cover step changes and creep.
+
+    Daily means fold to one rounded cent-unit BIGINT per day (one
+    deterministic division each); the limits are a 1-row broadcast
+    over the calendar-bounded day axis, and the breach comparison uses
+    the identical center/sd floats in both engines. A 100 TB event
+    scan reduces to |days| rows before any float math.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")) * 1.0 / F.count("*")
+        )
+        .cast("long")
+        .alias("mean2")
+    )
+    lim = daily.agg(
+        F.avg(F.col("mean2") * 1.0).alias("center"),
+        F.stddev_samp(F.col("mean2") * 1.0).alias("sd"),
+    )
+    j = daily.crossJoin(F.broadcast(lim))
+    breach = (F.col("mean2") > F.col("center") + 3 * F.col("sd")) | (
+        F.col("mean2") < F.col("center") - 3 * F.col("sd")
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_days"),
+        f6(F.max("center") / 100).alias("center"),
+        f6((F.max("center") + 3 * F.max("sd")) / 100).alias("ucl"),
+        f6((F.max("center") - 3 * F.max("sd")) / 100).alias("lcl"),
+        F.sum(F.when(breach, 1).otherwise(0)).cast("long").alias("n_out_of_control"),
+    )

@@ -1581,3 +1581,86 @@ def r_hits(spark, sf_dir):
         .orderBy(F.col("authority").desc(), "item_id")
         .limit(20)
     )
+
+
+@register(
+    "r_intralist_diversity",
+    f"""
+    WITH p AS ({_PRED_SQL}),
+    recs AS (
+        SELECT user_id, item_id FROM (
+            SELECT user_id, item_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY pred DESC, item_id) AS rn
+            FROM p
+        ) WHERE rn <= 3
+    ),
+    sims AS ({_COS_SQL}),
+    rec_pairs AS (
+        SELECT a.user_id, a.item_id AS ia, b.item_id AS ib
+        FROM recs a JOIN recs b
+          ON a.user_id = b.user_id AND a.item_id < b.item_id
+    ),
+    scored AS (
+        SELECT rp.user_id,
+               CAST(round((1 - coalesce(s.cosine, 0)) * 1e6) AS BIGINT) AS d6
+        FROM rec_pairs rp
+        LEFT JOIN sims s ON s.item_a = rp.ia AND s.item_b = rp.ib
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(d6) * 1.0 / count(*) / 1e6, 6) + 0 AS ild
+    FROM scored GROUP BY user_id
+    ORDER BY ild DESC, user_id LIMIT 25
+    """,
+)
+def r_intralist_diversity(spark, sf_dir):
+    """Intra-list diversity (ILD): average pairwise dissimilarity
+    (1 − cosine) WITHIN each user's top-3 recommendation list — the
+    eval that catches a recommender filling all three slots with the
+    same franchise (r_serendipity checks against global popularity;
+    ILD checks the list against ITSELF). Unrated pairs count as
+    dissimilarity 1 (cosine 0).
+
+    Top-3 lists come from the shared prediction chain; pair generation
+    keys on user_id over 3-item lists (≤3 pairs per user, bounded by
+    list size — never item²); similarities join from the cached
+    item-cosine frame. Dissimilarities snap to 1e-6 BIGINT units
+    before the per-user mean, divided once per user row.
+    """
+    p = predictions(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("pred").desc(), F.col("item_id"))
+    recs = (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "item_id")
+    )
+    a, b = recs.alias("ra"), recs.alias("rb")
+    rec_pairs = a.join(
+        b,
+        (F.col("ra.user_id") == F.col("rb.user_id"))
+        & (F.col("ra.item_id") < F.col("rb.item_id")),
+    ).select(
+        F.col("ra.user_id").alias("user_id"),
+        F.col("ra.item_id").alias("ia"),
+        F.col("rb.item_id").alias("ib"),
+    )
+    sims = item_cosine(spark, sf_dir)
+    scored = rec_pairs.join(
+        sims,
+        (F.col("ia") == sims.item_a) & (F.col("ib") == sims.item_b),
+        "left",
+    ).select(
+        "user_id",
+        F.round((1 - F.coalesce(F.col("cosine"), F.lit(0.0))) * 1e6)
+        .cast("long")
+        .alias("d6"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            f6(F.sum("d6") * 1.0 / F.count("*") / 1e6).alias("ild"),
+        )
+        .orderBy(F.col("ild").desc(), "user_id")
+        .limit(25)
+    )

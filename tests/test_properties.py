@@ -1418,3 +1418,23 @@ def test_analyze_stats_catalog_agrees(spark):
     r = registry.QUERIES["s_analyze_stats"](spark, SF_SMALL).collect()[0]
     assert r.stats_match == 1
     assert r.n_rows > 0 and r.n_statuses >= 1
+
+
+def test_ild_in_unit_range_and_pairs_bounded(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_intralist_diversity"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_pairs <= 3  # top-3 list -> at most C(3,2) pairs
+        assert 0.0 <= r.ild <= 2.0 + 1e-6  # 1 - cosine in [0, 2]
+
+
+def test_control_chart_limits_bracket_center(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["w_control_chart"](spark, SF_SMALL).collect()[0]
+    assert r.lcl <= r.center <= r.ucl
+    assert 0 <= r.n_out_of_control <= r.n_days
