@@ -1787,3 +1787,55 @@ def t_bm25_score(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "t_crosslingual_dups",
+    """
+    WITH langs AS (
+        SELECT md5(text) AS digest, lang, count(*) AS n
+        FROM documents GROUP BY md5(text), lang
+    ),
+    agg AS (
+        SELECT digest,
+               CAST(count(*) AS BIGINT) AS n_langs,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               string_agg(lang, ',' ORDER BY lang) AS lang_list
+        FROM langs GROUP BY digest
+    )
+    SELECT digest, n_langs, n_docs, lang_list
+    FROM agg WHERE n_langs > 1
+    ORDER BY n_langs DESC, digest
+    LIMIT 25
+    """,
+)
+def t_crosslingual_dups(spark, sf_dir):
+    """Cross-lingual duplicate census: texts that appear under MORE THAN
+    ONE language tag — a real crawled-corpus failure mode (mislabeled
+    LID, boilerplate shared across site locales) that single-language
+    dedup passes never see and that silently poisons per-language
+    mixture weights (t_domain_mix) and LID training (t_trigram_lid).
+    This is also why t_exact_dedup keys on (lang, text), documented
+    there; this key measures the phenomenon itself.
+
+    Digests computed at the scan (32-char md5 — text never shuffles);
+    the (digest, lang) fold collapses before the per-digest rollup, and
+    lang lists are sorted string_aggs (deterministic). Both shuffles
+    carry digest-sized rows at any corpus scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    langs = (
+        docs.select(F.md5("text").alias("digest"), "lang")
+        .groupBy("digest", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    agg = langs.groupBy("digest").agg(
+        F.count("*").cast("long").alias("n_langs"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.array_join(F.array_sort(F.collect_list("lang")), ",").alias("lang_list"),
+    )
+    return (
+        agg.where(F.col("n_langs") > 1)
+        .orderBy(F.col("n_langs").desc(), "digest")
+        .limit(25)
+    )

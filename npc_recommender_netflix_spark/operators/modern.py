@@ -25,7 +25,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import f6, load_table, tables
+from ..session import f6, load_table, money2, tables
 
 
 def _views(spark, sf_dir, *names):
@@ -1535,4 +1535,74 @@ def w_control_chart(spark, sf_dir):
         f6((F.max("center") + 3 * F.max("sd")) / 100).alias("ucl"),
         f6((F.max("center") - 3 * F.max("sd")) / 100).alias("lcl"),
         F.sum(F.when(breach, 1).otherwise(0)).cast("long").alias("n_out_of_control"),
+    )
+
+
+@register(
+    "w_peak_days",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS v2
+        FROM events GROUP BY 1
+    ),
+    ctx AS (
+        SELECT day, v2,
+               lag(v2) OVER (ORDER BY day) AS prev,
+               lead(v2) OVER (ORDER BY day) AS next,
+               median(v2) OVER (ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS med7
+        FROM daily
+    )
+    SELECT day, round(v2 / 100.0, 2) + 0 AS total_value,
+           round(med7 / 100.0, 2) + 0 AS med7
+    FROM ctx
+    WHERE prev IS NOT NULL AND next IS NOT NULL
+      AND v2 > prev AND v2 > next AND v2 * 20 > med7 * 21
+    ORDER BY day
+    """,
+)
+def w_peak_days(spark, sf_dir):
+    """Peak detection: days that are strict local maxima AND exceed
+    1.05× their trailing 7-day median — the spike-day report (campaign
+    launches, incidents) that w_control_chart's global 3σ band misses
+    when the baseline itself trends (a rising series puts every recent
+    day over a fixed band; a local-max + relative-median test doesn't).
+
+    All four context columns (lag/lead/rolling median) share ONE
+    ordered pass over the calendar-bounded day axis; the 1.05×
+    threshold compares exact integers (v2*20 > med7*21 — no float
+    boundary: the median of integers is at worst a .5, and scaling
+    both sides to integers clears it; the margin is deliberately tight
+    because relative daily noise shrinks as volume grows). Fact-table
+    cost is the single day fold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v2")
+    )
+    w = Window.orderBy("day")
+    wmed = Window.orderBy("day").rowsBetween(-6, 0)
+    ctx = daily.select(
+        "day",
+        "v2",
+        F.lag("v2").over(w).alias("prev"),
+        F.lead("v2").over(w).alias("next"),
+        F.expr("percentile(v2, 0.5)").over(wmed).alias("med7"),
+    )
+    return (
+        ctx.where(
+            F.col("prev").isNotNull()
+            & F.col("next").isNotNull()
+            & (F.col("v2") > F.col("prev"))
+            & (F.col("v2") > F.col("next"))
+            & (F.col("v2") * 20 > F.col("med7") * 21)
+        )
+        .select(
+            "day",
+            money2(F.col("v2") / 100.0).alias("total_value"),
+            money2(F.col("med7") / 100.0).alias("med7"),
+        )
+        .orderBy("day")
     )

@@ -705,3 +705,48 @@ def s_analyze_stats(spark, sf_dir):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+@register(
+    "s_glob_read",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def s_glob_read(spark, sf_dir):
+    """Source-option surface: `recursiveFileLookup` + `pathGlobFilter`
+    over a nested directory tree — reading a lake layout laid out by an
+    EXTERNAL writer (no _SUCCESS markers, arbitrary nesting,
+    mixed-format siblings) where partition discovery doesn't apply and
+    you must select files by pattern instead.
+
+    The fixture: orders split by status into nested dirs
+    (`a/F/part.parquet`, `b/O/part.parquet`, `b/P/part.parquet`) plus
+    a decoy `.json` sibling; the read pins `pathGlobFilter=*.parquet`
+    and recursion, then filters to F/O — proving the decoy and nothing
+    else was skipped. Both options are scan-time file-index features:
+    at 100 TB the glob prunes at LISTING time, before any footer read.
+    """
+    import os as _os
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = _scratch("glob_tree_")
+    for sub, status in (("a/F", "F"), ("b/O", "O"), ("b/P", "P")):
+        orders.where(F.col("o_orderstatus") == status).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/{sub}")
+    with open(f"{root}/a/decoy.json", "w") as fh:
+        fh.write('{"not": "parquet"}\n')
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(root)
+    )
+    return (
+        back.where(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("o_orderstatus")
+    )

@@ -1438,3 +1438,48 @@ def test_control_chart_limits_bracket_center(spark):
     r = registry.QUERIES["w_control_chart"](spark, SF_SMALL).collect()[0]
     assert r.lcl <= r.center <= r.ucl
     assert 0 <= r.n_out_of_control <= r.n_days
+
+
+def test_crosslingual_dups_shape(spark):
+    """0 rows at small SF is correct (dups are injected only at sf0.1);
+    whatever returns must have n_langs >= 2 and consistent counts."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_crosslingual_dups"](spark, SF_SMALL).collect()
+    for r in rows:
+        assert r.n_langs >= 2
+        assert r.n_docs >= r.n_langs
+        assert len(r.lang_list.split(",")) == r.n_langs
+
+
+def test_peak_days_are_local_maxima_above_median(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["w_peak_days"](spark, SF_SMALL).collect()
+    assert rows  # 1.05x threshold fires on the fixture at every sf
+    for r in rows:
+        assert r.total_value > r.med7  # strictly above trailing median
+
+
+def test_glob_read_skips_decoy_and_matches_counts(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    got = {
+        r.o_orderstatus: r.n
+        for r in registry.QUERIES["s_glob_read"](spark, SF_SMALL).collect()
+    }
+    want = {
+        r.o_orderstatus: r.n
+        for r in load_table(spark, SF_SMALL, "orders")
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
