@@ -94,3 +94,11 @@ def st_funnel_stateful(spark, sf_dir):
     )
     name = run_to_memory(funnel, "update")
     return spark.table(name)
+
+# NOTE: Spark 4's transformWithStateInPandas (SPARK-49564) is the successor
+# stateful API to applyInPandasWithState above. It is NOT registered here:
+# its driver worker requires the protobuf package
+# (pyspark/sql/streaming/proto/StateMessage_pb2), which this container
+# lacks and cannot install. The applyInPandasWithState operators cover the
+# arbitrary-state surface; swap to the typed-handle API where protobuf is
+# available.

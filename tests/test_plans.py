@@ -1189,3 +1189,11 @@ def test_rank_movers_windows_over_brand_month_fold(spark):
     wins = [i for i, ln in enumerate(lines) if "Window" in ln]
     assert len(wins) >= 2
     assert all(w < fold for w in wins)
+
+
+def test_arrow_udf_uses_arrow_eval(spark):
+    """useArrow=True must plan as ArrowEvalPython, not the pickled
+    BatchEvalPython path."""
+    plan = _plan(spark, "u_arrow_udf")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan

@@ -1483,3 +1483,30 @@ def test_glob_read_skips_decoy_and_matches_counts(spark):
         .collect()
     }
     assert got == want
+
+
+def test_arrow_udf_matches_builtin(spark):
+    """The Arrow UDF results must equal the pure-builtin expressions
+    (Python is an implementation detail, not a semantic one)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    got = {
+        r.o_orderkey: (r.doubled_cents, r.pri_upper)
+        for r in registry.QUERIES["u_arrow_udf"](spark, SF_SMALL).collect()
+    }
+    want = {
+        r.o_orderkey: (r.d, r.p)
+        for r in load_table(spark, SF_SMALL, "orders")
+        .where(F.col("o_orderkey") <= 400)
+        .select(
+            "o_orderkey",
+            (F.round(F.col("o_totalprice") * 100).cast("long") * 2).alias("d"),
+            F.upper("o_orderpriority").alias("p"),
+        )
+        .collect()
+    }
+    assert got == want
