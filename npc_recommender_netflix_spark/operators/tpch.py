@@ -1999,3 +1999,91 @@ def q_skyline_parts(spark, sf_dir):
         .select("l_partkey", "qty", money2(F.col("rev4") / 10000.0).alias("revenue"))
         .orderBy(F.col("qty").desc(), "l_partkey")
     )
+
+
+@register(
+    "q_price_volume_bridge",
+    """
+    WITH yr AS (
+        SELECT p.p_brand AS brand,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents,
+               sum(CAST(round(l.l_quantity) AS BIGINT)) AS units
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE EXTRACT(year FROM o.o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    piv AS (
+        SELECT brand,
+               max(CASE WHEN yr = 1996 THEN cents END) AS c1,
+               max(CASE WHEN yr = 1996 THEN units END) AS u1,
+               max(CASE WHEN yr = 1997 THEN cents END) AS c2,
+               max(CASE WHEN yr = 1997 THEN units END) AS u2
+        FROM yr GROUP BY brand
+        HAVING max(CASE WHEN yr = 1996 THEN units END) > 0
+           AND max(CASE WHEN yr = 1997 THEN units END) > 0
+    )
+    SELECT brand,
+           round((c2 - c1) / 100.0, 2) + 0 AS delta_rev,
+           round((c2 * 1.0 / u2 - c1 * 1.0 / u1) * u1 / 100.0, 2) + 0
+               AS price_effect,
+           round((u2 - u1) * (c1 * 1.0 / u1) / 100.0, 2) + 0 AS volume_effect,
+           round(((c2 * 1.0 / u2) - (c1 * 1.0 / u1)) * (u2 - u1) / 100.0, 2) + 0
+               AS mix_effect
+    FROM piv
+    ORDER BY abs(c2 - c1) DESC, brand LIMIT 20
+    """,
+)
+def q_price_volume_bridge(spark, sf_dir):
+    """Price-volume bridge (revenue waterfall): each brand's YoY revenue
+    delta decomposed into price effect (Δprice × base volume), volume
+    effect (Δvolume × base price), and the mix/cross term — the
+    finance-review decomposition that answers 'did we sell MORE or
+    just sell DEARER' where q_yoy_growth only reports the total. The
+    three effects sum to delta_rev exactly by construction.
+
+    Cents and units fold exactly on the (brand, year) axis in one
+    shuffle; the two-year pivot is a conditional-max over ≤2 rows per
+    brand; unit prices divide exact sums once per brand and the bridge
+    terms share those identical quotients in both engines. Top-20 by
+    absolute swing with a brand tiebreak.
+    """
+    li, part, orders = tables(spark, sf_dir, "lineitem", "part", "orders")
+    yr = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("units"),
+        )
+    )
+    piv = (
+        yr.groupBy("brand")
+        .agg(
+            F.max(F.when(F.col("yr") == 1996, F.col("cents"))).alias("c1"),
+            F.max(F.when(F.col("yr") == 1996, F.col("units"))).alias("u1"),
+            F.max(F.when(F.col("yr") == 1997, F.col("cents"))).alias("c2"),
+            F.max(F.when(F.col("yr") == 1997, F.col("units"))).alias("u2"),
+        )
+        .where((F.col("u1") > 0) & (F.col("u2") > 0))
+    )
+    p1 = F.col("c1") * 1.0 / F.col("u1")
+    p2 = F.col("c2") * 1.0 / F.col("u2")
+    return (
+        piv.select(
+            "brand",
+            money2((F.col("c2") - F.col("c1")) / 100.0).alias("delta_rev"),
+            money2((p2 - p1) * F.col("u1") / 100.0).alias("price_effect"),
+            money2((F.col("u2") - F.col("u1")) * p1 / 100.0).alias("volume_effect"),
+            money2((p2 - p1) * (F.col("u2") - F.col("u1")) / 100.0).alias("mix_effect"),
+        )
+        .orderBy(F.abs(F.col("c2") - F.col("c1")).desc(), "brand")
+        .limit(20)
+    )

@@ -1664,3 +1664,103 @@ def r_intralist_diversity(spark, sf_dir):
         .orderBy(F.col("ild").desc(), "user_id")
         .limit(25)
     )
+
+
+@register(
+    "r_candidate_rerank",
+    f"""
+    WITH m AS ({_M200_SQL}),
+    pop AS (
+        SELECT item_id, CAST(count(*) AS BIGINT) AS raters FROM m
+        GROUP BY item_id ORDER BY raters DESC, item_id LIMIT 20
+    ),
+    sims AS ({_COS_SQL}),
+    bidir AS (
+        SELECT item_a AS item_id, item_b AS other, cosine FROM sims
+        UNION ALL
+        SELECT item_b AS item_id, item_a AS other, cosine FROM sims
+    ),
+    cand AS (
+        SELECT u.user_id, p.item_id
+        FROM (SELECT DISTINCT user_id FROM m) u CROSS JOIN pop p
+        WHERE NOT EXISTS (SELECT 1 FROM m s
+                          WHERE s.user_id = u.user_id
+                            AND s.item_id = p.item_id)
+    ),
+    scored AS (
+        SELECT c.user_id, c.item_id,
+               round(sum(b.cosine * r.rating) / sum(b.cosine), 6) + 0 AS score
+        FROM cand c
+        JOIN bidir b ON b.item_id = c.item_id
+        JOIN m r ON r.user_id = c.user_id AND r.item_id = b.other
+        GROUP BY c.user_id, c.item_id
+        HAVING sum(b.cosine) > 0
+    )
+    SELECT user_id, item_id, score, rn FROM (
+        SELECT user_id, item_id, score,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY score DESC, item_id)
+                    AS BIGINT) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def r_candidate_rerank(spark, sf_dir):
+    """Two-stage retrieval-then-ranking recommender: stage 1 retrieves a
+    20-item popularity candidate pool (cheap, catalog-bounded), stage 2
+    reranks ONLY those candidates per user with the similarity-weighted
+    score — the production recsys architecture (r_predict scores every
+    unseen item; at catalog scale nobody does that, they retrieve ~100
+    candidates then rank). v_hamming_rerank is the vector-search twin
+    of the same cascade.
+
+    The pool broadcasts (20 rows); seen-item exclusion is the anti
+    condition per (user, candidate); scoring joins each candidate's
+    neighbor list (cached item-cosine) against the user's ratings —
+    work per user = pool × neighbors, NOT catalog × neighbors. Final
+    top-3 is a WindowGroupLimit on rounded scores with item tiebreak.
+    """
+    m = ratings_matrix(spark, sf_dir, max_item=200)
+    pop = (
+        m.groupBy("item_id")
+        .agg(F.count("*").cast("long").alias("raters"))
+        .orderBy(F.col("raters").desc(), "item_id")
+        .limit(20)
+        .select("item_id")
+    )
+    users = m.select("user_id").distinct()
+    seen = m.select("user_id", "item_id")
+    cand = (
+        users.crossJoin(F.broadcast(pop))
+        .join(seen, ["user_id", "item_id"], "left_anti")
+    )
+    sims = item_cosine(spark, sf_dir)
+    bidir = sims.select(
+        F.col("item_a").alias("item_id"), F.col("item_b").alias("other"), "cosine"
+    ).unionByName(
+        sims.select(
+            F.col("item_b").alias("item_id"), F.col("item_a").alias("other"), "cosine"
+        )
+    )
+    r = m.select(
+        F.col("user_id").alias("r_user"),
+        F.col("item_id").alias("other"),
+        "rating",
+    )
+    scored = (
+        cand.join(bidir, "item_id")
+        .join(r, (F.col("r_user") == F.col("user_id")) & (r.other == bidir.other))
+        .groupBy("user_id", "item_id")
+        .agg(
+            F.sum(F.col("cosine") * F.col("rating")).alias("num"),
+            F.sum("cosine").alias("den"),
+        )
+        .where(F.col("den") > 0)
+        .select("user_id", "item_id", f6(F.col("num") / F.col("den")).alias("score"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("score").desc(), "item_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "item_id", "score", "rn")
+    )

@@ -1197,3 +1197,21 @@ def test_arrow_udf_uses_arrow_eval(spark):
     plan = _plan(spark, "u_arrow_udf")
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bridge_pivot_over_brand_year_fold(spark):
+    lines = _plan(spark, "q_price_volume_bridge").splitlines()
+    fold = next(
+        i for i, ln in enumerate(lines)
+        if "HashAggregate(keys=[brand" in ln or "HashAggregate(keys=[p_brand" in ln
+    )
+    top = next(i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln)
+    assert top < fold
+
+
+def test_candidate_rerank_pool_broadcast_no_full_scoring(spark):
+    """The candidate pool must broadcast; scoring never touches the
+    full catalog (no item x item growth)."""
+    plan = _plan(spark, "r_candidate_rerank")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan

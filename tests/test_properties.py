@@ -1510,3 +1510,38 @@ def test_arrow_udf_matches_builtin(spark):
         .collect()
     }
     assert got == want
+
+
+def test_price_volume_bridge_decomposition_exact(spark):
+    """price + volume + mix must reconstruct delta_rev to the cent."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_price_volume_bridge"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        recon = r.price_effect + r.volume_effect + r.mix_effect
+        assert abs(recon - r.delta_rev) < 0.05  # cent rounding x3 terms
+
+
+def test_candidate_rerank_pool_bounded_and_unseen(spark):
+    """Every rec comes from the 20-item pool; none was already rated by
+    its user; exactly <=3 per user."""
+    from collections import Counter
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.recommender.core import ratings_matrix
+
+    rows = registry.QUERIES["r_candidate_rerank"](spark, SF_SMALL).collect()
+    assert rows
+    per_user = Counter(r.user_id for r in rows)
+    assert max(per_user.values()) <= 3
+    pool_items = {r.item_id for r in rows}
+    assert len(pool_items) <= 20
+    seen = {
+        (r.user_id, r.item_id)
+        for r in ratings_matrix(spark, SF_SMALL, max_item=200).collect()
+    }
+    for r in rows:
+        assert (r.user_id, r.item_id) not in seen
