@@ -1606,3 +1606,93 @@ def w_peak_days(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_duplicate_charges",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderdate
+        FROM orders
+    ),
+    feed AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, cents,
+               o_orderdate + INTERVAL 1 DAY
+        FROM base WHERE o_orderkey % 37 = 0
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS first_order, b.o_orderkey AS dup_order,
+           round(a.cents / 100.0, 2) + 0 AS amount,
+           CAST(datediff('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
+               AS gap_days
+    FROM feed a JOIN feed b
+      ON a.o_custkey = b.o_custkey
+     AND a.cents = b.cents
+     AND a.o_orderkey < b.o_orderkey
+     AND b.o_orderdate >= a.o_orderdate
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 2 DAY
+    ORDER BY a.o_custkey, first_order, dup_order
+    """,
+)
+def q_duplicate_charges(spark, sf_dir):
+    """Duplicate-charge audit: pairs of orders by the SAME customer for
+    the EXACT same amount within 2 days — the double-billing /
+    double-click screen every payments team runs nightly
+    (q_upsert_merge dedups exact keys; this finds near-in-time value
+    collisions that exact dedup calls distinct orders). The fixture's
+    uniform amounts never collide naturally, so every 37th order is
+    re-fed one day later under a new key (the t_exact_dedup
+    duplicate-injection convention) — the audit must recover exactly
+    the injected pairs.
+
+    The self-join keys on (custkey, exact cents) — a true equi-join on
+    amount, so candidate pairs are per-(customer, amount) groups and
+    the 2-day predicate rides as a post-condition (the j_theta_range
+    argument: never a time-only join). Amounts compare as exact cent
+    integers — float equality on money would both miss and invent
+    collisions. At 100 TB fan-out is bounded by per-(cust, amount)
+    multiplicity, and a date-bucketed twin (j_range_bucketed) caps hot
+    pairs if needed.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderdate",
+    )
+    injected = base.where(F.col("o_orderkey") % 37 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "cents",
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("o_orderdate"),
+    )
+    feed = base.unionByName(injected)
+    a, b = feed.alias("a"), feed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("b.o_orderdate") >= F.col("a.o_orderdate"))
+            & (
+                F.col("b.o_orderdate")
+                <= F.col("a.o_orderdate") + F.expr("INTERVAL 2 DAY")
+            ),
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("first_order"),
+            F.col("b.o_orderkey").alias("dup_order"),
+            money2(F.col("a.cents") / 100.0).alias("amount"),
+            F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))
+            .cast("long")
+            .alias("gap_days"),
+        )
+        .orderBy("o_custkey", "first_order", "dup_order")
+    )

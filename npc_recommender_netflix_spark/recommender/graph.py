@@ -174,3 +174,92 @@ def r_triangle_count(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
     return per_item.orderBy(F.col("n_triangles").desc(), "item_id").limit(20)
+
+
+@register(
+    "r_two_hop_reach",
+    """
+    WITH m AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_partkey < 200
+        GROUP BY 1, 2
+    ),
+    edges_d AS (
+        SELECT a.item_id AS src, b.item_id AS dst, count(*) AS support
+        FROM m a JOIN m b
+          ON a.user_id = b.user_id AND a.item_id <> b.item_id
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    one_hop AS (SELECT DISTINCT src, dst FROM edges_d),
+    two_hop AS (
+        SELECT e1.src, e2.dst
+        FROM one_hop e1 JOIN one_hop e2 ON e2.src = e1.dst
+        WHERE e2.dst <> e1.src
+        UNION
+        SELECT src, dst FROM one_hop
+    )
+    SELECT src AS item_id,
+           CAST(count(DISTINCT dst) AS BIGINT) AS reach2
+    FROM two_hop
+    GROUP BY src
+    ORDER BY reach2 DESC, item_id LIMIT 20
+    """,
+)
+def r_two_hop_reach(spark, sf_dir):
+    """Two-hop reach on the support-thresholded co-purchase graph: how
+    many items are within <=2 recommendation hops of each item — the
+    graph-connectivity census behind 'can a random walk actually get
+    anywhere from this item' (r_triangle_count measures local
+    clustering; reach measures breadth; r_pagerank mixes both into one
+    score).
+
+    One BFS frontier expansion = one self-join of the deduped edge
+    list on the shared endpoint (the r_hits unrolling argument:
+    k hops = k co-partitioned joins, no driver loop); the support>=3
+    threshold sparsifies edges BEFORE any expansion, bounding the
+    frontier fan-out, and the distinct-union collapses the 1-hop and
+    2-hop sets in the same shuffle that counts them.
+    """
+    from ..session import tables as _tables
+
+    orders, li = _tables(spark, sf_dir, "orders", "lineitem")
+    m = (
+        orders.join(
+            li.where(F.col("l_partkey") < 200),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+        )
+        .distinct()
+    )
+    a, b = m.alias("ga"), m.alias("gb")
+    edges = (
+        a.join(
+            b,
+            (F.col("ga.user_id") == F.col("gb.user_id"))
+            & (F.col("ga.item_id") != F.col("gb.item_id")),
+        )
+        .groupBy(
+            F.col("ga.item_id").alias("src"), F.col("gb.item_id").alias("dst")
+        )
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 3)
+        .select("src", "dst")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    two_hop = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .where(F.col("e2.dst") != F.col("e1.src"))
+        .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
+        .unionByName(edges)
+        .distinct()
+    )
+    return (
+        two_hop.groupBy(F.col("src").alias("item_id"))
+        .agg(F.countDistinct("dst").cast("long").alias("reach2"))
+        .orderBy(F.col("reach2").desc(), "item_id")
+        .limit(20)
+    )

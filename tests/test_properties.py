@@ -1545,3 +1545,38 @@ def test_candidate_rerank_pool_bounded_and_unseen(spark):
     }
     for r in rows:
         assert (r.user_id, r.item_id) not in seen
+
+
+def test_duplicate_charges_recovers_injected_pairs(spark):
+    """Every injected dup (orderkey%37==0, +1 day, +10M key) must be
+    found; every found pair must be an injected one (no natural
+    collisions exist in the fixture)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = registry.QUERIES["q_duplicate_charges"](spark, SF_SMALL).collect()
+    assert rows
+    n_injected = (
+        load_table(spark, SF_SMALL, "orders")
+        .where(F.col("o_orderkey") % 37 == 0)
+        .count()
+    )
+    assert len(rows) == n_injected
+    for r in rows:
+        assert r.dup_order == r.first_order + 10000000
+        assert r.gap_days == 1
+
+
+def test_two_hop_reach_at_least_degree(spark):
+    """reach2 >= out-degree (1-hop set is included), and bounded by the
+    capped item universe."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_two_hop_reach"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.reach2 < 200
