@@ -67,6 +67,10 @@ HEADLINE = [
     "r_adamic_adar",        # round 5: degree-weighted pair self-join
     "a_count_min",          # round 5: relational CMS grid + probe
     "m_frame_dedup",        # round 5: Arrow frame extract + hash census
+    "t_bm25_score",         # round 5: term-pruned lexical ranking
+    "v_pq_adc",             # round 5: PQ lookup-table ANN + recall
+    "v_hamming_rerank",     # round 5: binary prefilter -> exact rescore
+    "r_candidate_rerank",   # round 5: retrieve-then-rank cascade
     "r_als",            # MLlib ALS fit+transform (<=60 s budget)
 ]
 

@@ -51,6 +51,7 @@ def test_contract_shape():
     assert rows_only == {
         "a_approx_distinct",
         "a_approx_quantile",
+        "a_kll_quantiles",
         "a_sketch_merge",
         "r_als",
         "r_als_recs",
