@@ -54,3 +54,58 @@ def fn_math(spark, sf_dir):
         f6(F.greatest(q, F.col("l_discount") * 100)).alias("gr"),
         f6(F.least(q, F.col("l_tax") * 100)).alias("ls"),
     )
+
+
+@register(
+    "fn_round_modes",
+    """
+    WITH v AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 500
+    ),
+    t AS (
+        -- exact tenths ending in 5: x = cents/10 is *.5 in dollars-of-ten
+        SELECT o_orderkey, cents,
+               cents // 10 AS d10, cents % 10 AS last_digit
+        FROM v
+    )
+    SELECT o_orderkey,
+           round(cents / 10.0, 6) + 0 AS tenths,
+           CAST(CASE WHEN last_digit >= 5 THEN d10 + 1
+                     ELSE d10 END AS BIGINT) AS half_up,
+           CAST(CASE WHEN last_digit = 5
+                     THEN d10 + (CASE WHEN d10 % 2 = 1 THEN 1 ELSE 0 END)
+                     WHEN last_digit > 5 THEN d10 + 1
+                     ELSE d10 END AS BIGINT) AS half_even
+    FROM t
+    ORDER BY o_orderkey
+    """,
+)
+def fn_round_modes(spark, sf_dir):
+    """Rounding-mode surface: HALF_UP (`round`) vs HALF_EVEN banker's
+    rounding (`bround`) on exact decimal ties — the policy choice that
+    moves real money at aggregate scale (HALF_UP biases sums upward by
+    ~0.5 unit per tie; banker's rounding is why financial regulators
+    specify HALF_EVEN). The ties are constructed exactly: integer
+    cents divided by 10 puts the tie digit in a decimal place both
+    engines represent exactly.
+
+    Spark computes both modes natively (round/bround); the oracle
+    reproduces them with pure integer arithmetic (last-digit
+    case analysis — DuckDB has no banker's-rounding builtin, which is
+    itself the portability lesson this key records). Zero-shuffle
+    projection with scan pushdown.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v = orders.where(F.col("o_orderkey") <= 500).select(
+        "o_orderkey", cents.alias("cents")
+    )
+    tenths = F.col("cents") / 10.0
+    return v.select(
+        "o_orderkey",
+        (F.round(tenths, 6) + 0.0).alias("tenths"),
+        F.round(tenths, 0).cast("long").alias("half_up"),
+        F.bround(tenths, 0).cast("long").alias("half_even"),
+    ).orderBy("o_orderkey")

@@ -1696,3 +1696,57 @@ def q_duplicate_charges(spark, sf_dir):
         )
         .orderBy("o_custkey", "first_order", "dup_order")
     )
+
+
+@register(
+    "w_seasonal_naive_mape",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS v2
+        FROM events GROUP BY 1
+    ),
+    fc AS (
+        SELECT day, v2,
+               lag(v2, 7) OVER (ORDER BY day) AS forecast
+        FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(CAST(round(abs(v2 - forecast) * 1e6 / v2) AS BIGINT))
+                 / 1e6 / count(*), 6) + 0 AS mape,
+           round(max(abs(v2 - forecast) / 100.0), 2) + 0 AS worst_abs_err
+    FROM fc WHERE forecast IS NOT NULL AND v2 > 0
+    """,
+)
+def w_seasonal_naive_mape(spark, sf_dir):
+    """Seasonal-naive backtest: forecast each day with the SAME WEEKDAY
+    one week earlier (lag-7), report MAPE and worst absolute error —
+    the baseline every fancy forecaster must beat before it ships
+    (q_forecast_revenue projects forward; this scores a method
+    BACKWARD against actuals, and seasonal-naive is the canonical
+    yardstick for weekly-seasonal series).
+
+    One day-axis fold, one lag-7 window on the calendar-bounded axis;
+    per-day relative errors snap to 1e-6 BIGINT units before the
+    reorder-safe sum (each is ONE deterministic division on exact cent
+    integers). Swapping the lag offset backtests any seasonal period
+    with zero plan change.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v2")
+    )
+    fc = daily.withColumn("forecast", F.lag("v2", 7).over(Window.orderBy("day")))
+    err6 = F.round(
+        F.abs(F.col("v2") - F.col("forecast")) * 1e6 / F.col("v2")
+    ).cast("long")
+    return (
+        fc.where(F.col("forecast").isNotNull() & (F.col("v2") > 0))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            f6(F.sum(err6) / 1e6 / F.count("*")).alias("mape"),
+            money2(F.max(F.abs(F.col("v2") - F.col("forecast")) / 100.0)).alias(
+                "worst_abs_err"
+            ),
+        )
+    )

@@ -1580,3 +1580,31 @@ def test_two_hop_reach_at_least_degree(spark):
     assert rows
     for r in rows:
         assert 1 <= r.reach2 < 200
+
+
+def test_seasonal_naive_mape_positive_finite(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["w_seasonal_naive_mape"](spark, SF_SMALL).collect()[0]
+    assert r.n_days > 0
+    assert 0.0 <= r.mape < 10.0  # relative errors sane on the fixture
+    assert r.worst_abs_err >= 0
+
+
+def test_round_modes_disagree_only_on_ties(spark):
+    """half_up == half_even except where the tenths value is an exact
+    .5 tie with an EVEN integer part (then half_up is one higher)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["fn_round_modes"](spark, SF_SMALL).collect()
+    assert rows
+    n_ties = 0
+    for r in rows:
+        frac = r.tenths - int(r.tenths)
+        if abs(frac - 0.5) < 1e-9 and int(r.tenths) % 2 == 0:
+            assert r.half_up == r.half_even + 1
+            n_ties += 1
+        else:
+            assert r.half_up == r.half_even
