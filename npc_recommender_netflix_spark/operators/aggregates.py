@@ -2063,3 +2063,121 @@ def a_chi2_uniform(spark, sf_dir):
         .agg(f6(F.sum(term) / 1e12).alias("chi2"))
         .select("n_cells", "n_events", "chi2")
     )
+
+
+@register(
+    "a_permutation_test",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(round(avg(CASE WHEN event_type = 'purchase'
+                                   THEN value END) * 1e6) AS BIGINT) AS m6
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    obs AS (
+        SELECT abs(avg(CASE WHEN user_id % 2 = 1 THEN m6 * 1.0 END)
+                   - avg(CASE WHEN user_id % 2 = 0 THEN m6 * 1.0 END))
+                   AS d_obs
+        FROM per_user
+    ),
+    perms AS (SELECT unnest(range(0, 200)) AS b),
+    relabeled AS (
+        SELECT p.b, u.m6,
+               CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef', substring(md5(CAST(p.b AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)), j, 1)) - 1)
+             * 16 ** (8 - j))) AS BIGINT) % 2
+                   AS grp
+        FROM per_user u CROSS JOIN perms p
+    ),
+    null_d AS (
+        SELECT b,
+               abs(avg(CASE WHEN grp = 1 THEN m6 * 1.0 END)
+                   - avg(CASE WHEN grp = 0 THEN m6 * 1.0 END)) AS d
+        FROM relabeled GROUP BY b
+    )
+    SELECT CAST(200 AS BIGINT) AS n_perms,
+           round(o.d_obs / 1e6, 6) + 0 AS observed_diff,
+           round(sum(CASE WHEN nd.d >= o.d_obs THEN 1 ELSE 0 END) / 200.0, 6)
+               + 0 AS p_value
+    FROM null_d nd CROSS JOIN obs o
+    GROUP BY o.d_obs
+    """,
+)
+def a_permutation_test(spark, sf_dir):
+    """Permutation test for a two-group mean difference (user-parity
+    split), 200 DETERMINISTIC pseudo-permutations via md5 relabeling —
+    distribution-free inference with NO normality assumption
+    (a_ttest_welch's escape hatch when values are weird), and
+    reproducible across engines/runs because the 'random' relabels are
+    content hashes (the r_bpr_triplets determinism trick applied to
+    resampling).
+
+    The fact table folds ONCE to per-user means; the 200 relabelings
+    explode the USER axis (users × B rows — B scales the axis, never
+    the fact scan), each permutation's null difference is one
+    conditional avg, and the p-value is a count against the observed
+    difference. Permutation count is the sensitivity knob; the plan
+    shape never changes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                ) * 1e6
+            )
+            .cast("long")
+            .alias("m6")
+        )
+    )
+    obs = per_user.agg(
+        F.abs(
+            F.avg(F.when(F.col("user_id") % 2 == 1, F.col("m6") * 1.0))
+            - F.avg(F.when(F.col("user_id") % 2 == 0, F.col("m6") * 1.0))
+        ).alias("d_obs")
+    )
+    perms = spark.range(200).select(F.col("id").cast("long").alias("b"))
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    relabeled = per_user.crossJoin(F.broadcast(perms)).select(
+        "b", "m6", grp.alias("grp")
+    )
+    null_d = relabeled.groupBy("b").agg(
+        F.abs(
+            F.avg(F.when(F.col("grp") == 1, F.col("m6") * 1.0))
+            - F.avg(F.when(F.col("grp") == 0, F.col("m6") * 1.0))
+        ).alias("d")
+    )
+    return (
+        null_d.crossJoin(F.broadcast(obs))
+        .groupBy("d_obs")
+        .agg(
+            F.sum(F.when(F.col("d") >= F.col("d_obs"), 1).otherwise(0)).alias("ge")
+        )
+        .select(
+            F.lit(200).cast("long").alias("n_perms"),
+            f6(F.col("d_obs") / 1e6).alias("observed_diff"),
+            f6(F.col("ge") / 200.0).alias("p_value"),
+        )
+    )

@@ -1764,3 +1764,89 @@ def r_candidate_rerank(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("user_id", "item_id", "score", "rn")
     )
+
+
+@register(
+    "r_rank_fusion",
+    f"""
+    WITH m AS ({_M200_SQL}),
+    pop AS (
+        SELECT item_id,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, item_id)
+                    AS BIGINT) AS pop_rank
+        FROM m GROUP BY item_id
+    ),
+    p AS ({_PRED_SQL}),
+    pred_rank AS (
+        SELECT user_id, item_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY pred DESC, item_id)
+                    AS BIGINT) AS p_rank
+        FROM p
+    ),
+    fused AS (
+        SELECT pr.user_id, pr.item_id,
+               CAST(round(1e12 / (60 + pr.p_rank)) AS BIGINT)
+               + CAST(round(1e12 / (60 + pop.pop_rank)) AS BIGINT) AS rrf12
+        FROM pred_rank pr JOIN pop ON pop.item_id = pr.item_id
+    )
+    SELECT user_id, item_id, rn, round(rrf12 / 1e12, 6) + 0 AS rrf
+    FROM (
+        SELECT user_id, item_id, rrf12,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY rrf12 DESC, item_id)
+                    AS BIGINT) AS rn
+        FROM fused
+    ) WHERE rn <= 3
+    """,
+)
+def r_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (k=60): blend the personalized prediction
+    ranking with the global popularity ranking via Σ 1/(k+rank) — the
+    standard hybrid fusion (identical to how lexical BM25 and vector
+    rankings merge in hybrid search) that needs NO score calibration
+    between sources, because only RANKS enter the sum.
+
+    Both source rankings are WindowGroupLimit-friendly row_numbers
+    with id tiebreaks; each 1/(60+r) term snaps to 1e-12 BIGINT units
+    so the fused score is an exact integer sum (reorder-safe, and the
+    final ranking needs no float comparison at all — it sorts
+    BIGINTs). Popularity ranks are catalog-bounded and broadcast; the
+    per-user fusion is one join on item_id.
+    """
+    m = ratings_matrix(spark, sf_dir, max_item=200)
+    pop = (
+        m.groupBy("item_id")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "item_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "item_id"))
+            .cast("long")
+            .alias("pop_rank"),
+        )
+    )
+    p = predictions(spark, sf_dir)
+    pred_rank = p.select(
+        "user_id",
+        "item_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(F.col("pred").desc(), "item_id")
+        )
+        .cast("long")
+        .alias("p_rank"),
+    )
+    rrf12 = (
+        F.round(1e12 / (60 + F.col("p_rank"))).cast("long")
+        + F.round(1e12 / (60 + F.col("pop_rank"))).cast("long")
+    )
+    fused = pred_rank.join(F.broadcast(pop), "item_id").select(
+        "user_id", "item_id", rrf12.alias("rrf12")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("rrf12").desc(), "item_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "item_id", "rn", f6(F.col("rrf12") / 1e12).alias("rrf"))
+    )

@@ -1632,3 +1632,32 @@ def test_calendar_edges_invariants(spark):
         assert r.next_monday.weekday() == 0  # python Monday == 0
         assert r.month_end >= r.quarter_start
         assert r.month_end.day >= 28
+
+
+def test_permutation_test_pvalue_valid(spark):
+    """p in [0, 1]; the parity split is a true null (both halves drawn
+    identically) so p should not be extreme-small."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_permutation_test"](spark, SF_SMALL).collect()[0]
+    assert r.n_perms == 200
+    assert 0.0 <= r.p_value <= 1.0
+    assert r.p_value > 0.005  # null split shouldn't look significant
+    assert r.observed_diff >= 0
+
+
+def test_rank_fusion_top3_and_score_bounds(spark):
+    """<=3 per user; RRF of two rankings is bounded by 2/(60+1)."""
+    from collections import Counter
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_rank_fusion"](spark, SF_SMALL).collect()
+    assert rows
+    per_user = Counter(r.user_id for r in rows)
+    assert max(per_user.values()) <= 3
+    for r in rows:
+        assert 0 < r.rrf <= 2 / 61 + 1e-6  # 6dp-rounded score slack
+        assert 1 <= r.rn <= 3
