@@ -991,3 +991,79 @@ def t_lsh_recall(spark, sf_dir):
             .alias("precision"),
         )
     )
+
+
+@register(
+    "t_split_leakage",
+    """
+    WITH folds AS (
+        SELECT doc_id, md5(text) AS digest,
+               CAST(list_sum(list_transform(range(1, 9),
+                   j -> (strpos('0123456789abcdef',
+                                substring(md5('fold:'
+                                    || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+                        * 16 ** (8 - j))) AS BIGINT) % 5 AS fold
+        FROM documents
+    ),
+    dup_groups AS (
+        SELECT digest,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT fold) AS BIGINT) AS n_folds
+        FROM folds GROUP BY digest HAVING count(*) > 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+           CAST(coalesce(sum(CASE WHEN n_folds > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_leaking_groups,
+           CAST(coalesce(sum(CASE WHEN n_folds > 1 THEN n_copies END), 0)
+                AS BIGINT) AS n_leaking_docs
+    FROM dup_groups
+    """,
+)
+def t_split_leakage(spark, sf_dir):
+    """Train/test split-leakage audit: duplicate-text groups whose
+    copies land in DIFFERENT k-fold splits — each one is a test answer
+    sitting in the training set (the eval-inflation bug dedup-then-
+    split exists to prevent; t_decontaminate checks against an EXTERNAL
+    benchmark, this checks the split against ITSELF). Composes the
+    t_kfold_split hash folds with exact digests.
+
+    Digests and fold ids are both map-side hash math; the only shuffle
+    groups by digest (32-char keys, text never moves). The verdict
+    rolls up to three counters — a 100 TB corpus audit costs one
+    digest-keyed shuffle. The fix when n_leaking_groups > 0: assign
+    folds by DIGEST instead of doc_id (one-line change), which this
+    audit would then verify as zero.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    folds = docs.select(F.md5("text").alias("digest"), fold.alias("fold"))
+    dup_groups = (
+        folds.groupBy("digest")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("fold").cast("long").alias("n_folds"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+    return dup_groups.agg(
+        F.count("*").cast("long").alias("n_dup_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_folds") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_leaking_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_folds") > 1, F.col("n_copies"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_leaking_docs"),
+    )

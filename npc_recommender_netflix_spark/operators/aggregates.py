@@ -2181,3 +2181,65 @@ def a_permutation_test(spark, sf_dir):
             f6(F.col("ge") / 200.0).alias("p_value"),
         )
     )
+
+
+@register(
+    "a_anova_f",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS s,
+               sum(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS q
+        FROM events GROUP BY event_type
+    ),
+    t AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt, sum(s) AS st,
+               CAST(count(*) AS BIGINT) AS k,
+               sum(q) AS qt,
+               sum(s * 1.0 * s / n) AS ssg
+        FROM g
+    )
+    SELECT k AS n_groups, nt AS n_rows,
+           round(((ssg - st * 1.0 * st / nt) / (k - 1))
+                 / ((qt - ssg) / (nt - k)), 6) + 0 AS f_stat
+    FROM t
+    """,
+)
+def a_anova_f(spark, sf_dir):
+    """One-way ANOVA F statistic across the five event types — the
+    k-group generalization that closes the comparison toolkit
+    (a_ttest_welch/a_mann_whitney compare TWO groups; ANOVA asks 'do
+    ANY of the k differ' in one test instead of k² pairwise tests with
+    multiplicity problems).
+
+    Per-group (n, Σx, Σx²) fold to exact cent BIGINTs in one shuffle
+    over k=5 cells; between/within sums of squares assemble from those
+    moments in a second 1-row pass, and F is one float association.
+    The same plan shape computes F for ANY grouping column at O(k)
+    shuffle bytes from a 100 TB scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("q"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").alias("st"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("q").alias("qt"),
+        F.sum(F.col("s") * 1.0 * F.col("s") / F.col("n")).alias("ssg"),
+    )
+    between = (F.col("ssg") - F.col("st") * 1.0 * F.col("st") / F.col("nt")) / (
+        F.col("k") - 1
+    )
+    within = (F.col("qt") - F.col("ssg")) / (F.col("nt") - F.col("k"))
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_rows"),
+        f6(between / within).alias("f_stat"),
+    )

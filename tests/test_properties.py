@@ -1661,3 +1661,25 @@ def test_rank_fusion_top3_and_score_bounds(spark):
     for r in rows:
         assert 0 < r.rrf <= 2 / 61 + 1e-6  # 6dp-rounded score slack
         assert 1 <= r.rn <= 3
+
+
+def test_anova_f_nonnegative_five_groups(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_anova_f"](spark, SF_SMALL).collect()[0]
+    assert r.f_stat >= 0
+    assert r.n_groups == 5
+    assert r.n_rows > r.n_groups
+
+
+def test_split_leakage_counts_consistent(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["t_split_leakage"](spark, SF_SMALL).collect()[0]
+    assert 0 <= r.n_leaking_groups <= r.n_dup_groups
+    if r.n_leaking_groups > 0:
+        assert r.n_leaking_docs >= 2 * r.n_leaking_groups
+    else:
+        assert r.n_leaking_docs == 0
