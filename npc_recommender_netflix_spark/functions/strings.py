@@ -208,3 +208,37 @@ def fn_xpath(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_collation",
+    """
+    SELECT lower(o_orderpriority) AS pri_ci,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY lower(o_orderpriority)
+    ORDER BY pri_ci
+    """,
+)
+def fn_collation(spark, sf_dir):
+    """Spark 4 collation surface: grouping under the UTF8_LCASE
+    collation — case-insensitive semantics declared on the COMPARISON
+    (the column type / collate() call) instead of smeared through the
+    query as lower() wrappers. One declaration fixes every =, GROUP
+    BY, DISTINCT, and join on the column, which is the maintainability
+    point; the oracle proves the equivalence by computing the same
+    census with explicit lower() — identical buckets by construction.
+
+    Collation-aware comparisons run inside codegen (no UDF); at 100 TB
+    the practical win is on joins: a collated key hash-partitions
+    case-insensitively without materializing a normalized copy of the
+    column.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ci = F.expr("collate(o_orderpriority, 'UTF8_LCASE')")
+    return (
+        orders.groupBy(ci.alias("pri_key"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lower("pri_key").alias("pri_ci"), "n")
+        .orderBy("pri_ci")
+    )

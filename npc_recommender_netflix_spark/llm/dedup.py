@@ -1067,3 +1067,76 @@ def t_split_leakage(spark, sf_dir):
         .cast("long")
         .alias("n_leaking_docs"),
     )
+
+
+@register(
+    "t_template_detect",
+    r"""
+    WITH feed AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, replace(text, 'e', 'a')
+        FROM documents WHERE doc_id % 53 = 0
+    ),
+    sig AS (
+        SELECT doc_id,
+               md5(array_to_string(list_transform(
+                   string_split_regex(text, '\s+'), w -> CAST(length(w) AS VARCHAR)),
+                   ',')) AS shape
+        FROM feed
+    ),
+    fam AS (
+        SELECT shape, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS exemplar
+        FROM sig GROUP BY shape HAVING count(*) > 1
+    )
+    SELECT shape, n_docs, exemplar
+    FROM fam
+    ORDER BY n_docs DESC, shape LIMIT 20
+    """,
+)
+def t_template_detect(spark, sf_dir):
+    """Template-family detection: documents sharing the same SHAPE
+    signature (the sequence of word lengths) — catches mail-merge /
+    boilerplate-with-slots pages ('Dear {name}, your {item} has
+    shipped') that exact dedup misses (every instance differs) and
+    MinHash underweights (the slots dilute shingle overlap). Top-20
+    largest families with an exemplar doc for inspection. The fixture
+    has natural shape-siblings only at sf0.1, so every 53rd doc is
+    re-fed with 'e'→'a' substituted — SAME word-length shape,
+    DIFFERENT text (the t_exact_dedup injection convention, and a
+    live demonstration that exact dedup cannot catch these).
+
+    The shape signature is a map-side array transform + md5 — text
+    never shuffles, 32-char keys do (t_exact_dedup_digest's shape with
+    a structure-sensitive key); the family census is one digest-keyed
+    fold. Slot-tolerance tunes by coarsening the signature (length
+    buckets instead of exact lengths) with no plan change.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = docs.unionByName(
+        docs.where(F.col("doc_id") % 53 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.replace(F.col("text"), F.lit("e"), F.lit("a")).alias("text"),
+        )
+    )
+    shape = F.md5(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda w: F.length(w).cast("string"),
+            ),
+            ",",
+        )
+    )
+    sig = feed.select("doc_id", shape.alias("shape"))
+    return (
+        sig.groupBy("shape")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("exemplar"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.col("n_docs").desc(), "shape")
+        .limit(20)
+    )

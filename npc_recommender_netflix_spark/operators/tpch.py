@@ -2087,3 +2087,75 @@ def q_price_volume_bridge(spark, sf_dir):
         .orderBy(F.abs(F.col("c2") - F.col("c1")).desc(), "brand")
         .limit(20)
     )
+
+
+@register(
+    "q_xyz_variability",
+    """
+    WITH pm AS (
+        SELECT l.l_partkey, date_trunc('month', o.o_orderdate) AS mon,
+               sum(CAST(round(l.l_quantity) AS BIGINT)) AS units
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_months,
+               avg(units * 1.0) AS mu,
+               stddev_samp(units * 1.0) AS sd
+        FROM pm GROUP BY l_partkey
+        HAVING count(*) >= 12
+    ),
+    classed AS (
+        SELECT CASE WHEN sd / mu <= 0.5 THEN 'X'
+                    WHEN sd / mu <= 0.9 THEN 'Y'
+                    ELSE 'Z' END AS xyz_class,
+               l_partkey
+        FROM stats
+    )
+    SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts
+    FROM classed GROUP BY xyz_class ORDER BY xyz_class
+    """,
+)
+def q_xyz_variability(spark, sf_dir):
+    """XYZ demand-variability classification: parts bucketed by the
+    coefficient of variation of monthly demand (X: steady — forecast
+    and automate; Z: erratic — safety-stock and humans). The
+    companion axis to q_abc_analysis's value ranking: the ABC-XYZ
+    matrix is THE inventory segmentation, and each axis is useless
+    without the other (a high-value erratic part and a high-value
+    steady part need opposite policies).
+
+    Units fold exactly on the (part, month) axis; CV is one stddev/mu
+    per part over its ≥12-month history (the month axis is
+    calendar-bounded); class boundaries compare the same float
+    quotient both engines. Output is 3 census rows at any scale.
+    """
+    li, orders = tables(spark, sf_dir, "lineitem", "orders")
+    pm = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "l_partkey", F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+        )
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("units"))
+    )
+    stats = (
+        pm.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("long").alias("n_months"),
+            F.avg(F.col("units") * 1.0).alias("mu"),
+            F.stddev_samp(F.col("units") * 1.0).alias("sd"),
+        )
+        .where(F.col("n_months") >= 12)
+    )
+    cv = F.col("sd") / F.col("mu")
+    return (
+        stats.select(
+            F.when(cv <= 0.5, "X").when(cv <= 0.9, "Y").otherwise("Z").alias(
+                "xyz_class"
+            )
+        )
+        .groupBy("xyz_class")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .orderBy("xyz_class")
+    )

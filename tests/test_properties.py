@@ -1683,3 +1683,47 @@ def test_split_leakage_counts_consistent(spark):
         assert r.n_leaking_docs >= 2 * r.n_leaking_groups
     else:
         assert r.n_leaking_docs == 0
+
+
+def test_xyz_classes_partition_eligible_parts(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_xyz_variability"](spark, SF_SMALL).collect()
+    assert rows
+    assert {r.xyz_class for r in rows} <= {"X", "Y", "Z"}
+    assert all(r.n_parts > 0 for r in rows)
+
+
+def test_template_detect_finds_injected_families(spark):
+    """Injected 'e'->'a' siblings share shapes: every 53rd doc forms a
+    family of >=2 (itself + its substituted twin)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_template_detect"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= 2
+        assert r.exemplar < 1000000  # the original doc is the exemplar
+
+
+def test_collation_census_equals_lower_census(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    got = {
+        r.pri_ci: r.n
+        for r in registry.QUERIES["fn_collation"](spark, SF_SMALL).collect()
+    }
+    want = {
+        r.k: r.n
+        for r in load_table(spark, SF_SMALL, "orders")
+        .groupBy(F.lower("o_orderpriority").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
