@@ -1915,3 +1915,65 @@ def t_collocations_pmi(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "t_quality_length_bias",
+    """
+    WITH f AS (
+        SELECT lang,
+               CAST(n_chars AS BIGINT) AS x,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS y
+        FROM documents
+    ),
+    m AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM f GROUP BY lang
+    )
+    SELECT lang, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) + 0 AS corr_len_tokens
+    FROM m
+    ORDER BY lang
+    """,
+)
+def t_quality_length_bias(spark, sf_dir):
+    """Filter-bias audit: per-language correlation between document
+    length and token count — the sanity check applied to any 'quality'
+    signal before trusting it (when a quality score correlates ~1.0
+    with raw length, the expensive filter is just a length cutoff in
+    disguise, and t_gopher_quality's ratio rules exist precisely to
+    break that coupling). Here the audited pair is chars vs tokens —
+    near-perfectly coupled by construction, making the expected output
+    a known ~1.0 that pins the moment machinery.
+
+    Exact integer moments per lang from one conditional-free scan (the
+    a_spearman_corr BIGINT-moment pattern, per-group); one Pearson
+    association per lang row. Swap y for ANY per-doc score column to
+    audit a real filter at identical cost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("long")
+    y = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    f = docs.select("lang", x.alias("x"), y.alias("y"))
+    m = f.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select("lang", "n", f6(num / den).alias("corr_len_tokens")).orderBy("lang")

@@ -1750,3 +1750,82 @@ def w_seasonal_naive_mape(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "w_max_drawdown",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS v2
+        FROM events GROUP BY 1
+    ),
+    ctr AS (
+        SELECT day,
+               v2 - CAST(round((SELECT sum(v2) * 1.0 / count(*) FROM daily))
+                    AS BIGINT) AS dv
+        FROM daily
+    ),
+    cum AS (
+        SELECT day,
+               sum(dv) OVER (ORDER BY day) AS equity
+        FROM ctr
+    ),
+    dd AS (
+        SELECT day, equity,
+               max(equity) OVER (ORDER BY day) AS peak
+        FROM cum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(max(peak - equity) / 100.0, 2) + 0 AS max_drawdown,
+           round(max(CASE WHEN peak > 0
+                          THEN CAST(round((peak - equity) * 1e6 / peak)
+                               AS BIGINT) ELSE 0 END) / 1e6, 6) + 0
+               AS max_drawdown_pct
+    FROM dd
+    """,
+)
+def w_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of the cumulative daily-value curve: the
+    largest peak-to-trough fall, absolute and as a fraction of the
+    running peak — finance's worst-case-so-far metric, and on an
+    operations dashboard the deepest cumulative shortfall vs the
+    best run rate (q_running_backlog tracks level; drawdown tracks
+    regret against the peak).
+
+    The equity curve cumulates CENTERED dailies (daily − overall mean,
+    the w_cusum centering — a raw positive series is monotone and its
+    drawdown is trivially zero), so peaks and troughs are real.
+    Running sum and running max share ONE ordered pass over the
+    calendar-bounded day axis; equity stays exact cent BIGINTs, and
+    the percentage snaps each day's ratio to 1e-6 units before the
+    max — one division per day, never a float accumulation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v2")
+    )
+    mean = daily.agg(
+        F.round(F.sum("v2") * 1.0 / F.count("*")).cast("long").alias("mu")
+    )
+    ctr = daily.crossJoin(F.broadcast(mean)).select(
+        "day", (F.col("v2") - F.col("mu")).alias("dv")
+    )
+    w = Window.orderBy("day")
+    cum = ctr.select(
+        "day", F.sum("dv").over(w).alias("equity")
+    )
+    dd = cum.select(
+        "day",
+        "equity",
+        F.max("equity").over(w).alias("peak"),
+    )
+    pct6 = F.when(
+        F.col("peak") > 0,
+        F.round((F.col("peak") - F.col("equity")) * 1e6 / F.col("peak")).cast("long"),
+    ).otherwise(F.lit(0))
+    return dd.agg(
+        F.count("*").cast("long").alias("n_days"),
+        money2(F.max(F.col("peak") - F.col("equity")) / 100.0).alias("max_drawdown"),
+        f6(F.max(pct6) / 1e6).alias("max_drawdown_pct"),
+    )

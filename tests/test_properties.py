@@ -1727,3 +1727,25 @@ def test_collation_census_equals_lower_census(spark):
         .collect()
     }
     assert got == want
+
+
+def test_length_bias_corr_near_one(spark):
+    """chars vs tokens are near-perfectly coupled by construction —
+    the audit machinery must report ~1.0 for every language."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_quality_length_bias"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.9 <= r.corr_len_tokens <= 1.0
+
+
+def test_max_drawdown_nonnegative_and_bounded(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["w_max_drawdown"](spark, SF_SMALL).collect()[0]
+    assert r.max_drawdown >= 0
+    assert 0.0 <= r.max_drawdown_pct  # centered curve: pct vs running peak
+    assert r.n_days > 0
