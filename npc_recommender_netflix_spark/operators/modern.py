@@ -1829,3 +1829,64 @@ def w_max_drawdown(spark, sf_dir):
         money2(F.max(F.col("peak") - F.col("equity")) / 100.0).alias("max_drawdown"),
         f6(F.max(pct6) / 1e6).alias("max_drawdown_pct"),
     )
+
+
+@register(
+    "w_p_chart",
+    """
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r
+        FROM lineitem GROUP BY 1
+    ),
+    pbar AS (
+        SELECT sum(r) * 1.0 / sum(n) AS p FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(max(pb.p), 6) + 0 AS p_bar,
+           CAST(sum(CASE WHEN d.r * 1.0 / d.n
+                              > pb.p + 3 * sqrt(pb.p * (1 - pb.p) / d.n)
+                           OR d.r * 1.0 / d.n
+                              < pb.p - 3 * sqrt(pb.p * (1 - pb.p) / d.n)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_control
+    FROM daily d CROSS JOIN pbar pb
+    """,
+)
+def w_p_chart(spark, sf_dir):
+    """p-chart (proportion control chart) on the daily return rate: each
+    day's returned-lineitem fraction vs binomial 3σ limits p̄ ±
+    3√(p̄(1−p̄)/n_day) — completing the SPC pair with w_control_chart
+    (X-bar watches a MEAN with fixed limits; the p-chart watches a
+    PROPORTION whose limits WIDEN on low-volume days, so a 3-return day
+    out of 10 shipments doesn't false-alarm while the same rate on
+    10,000 shipments screams).
+
+    Day-axis fold carries exact (n, r) integer pairs; p̄ is a 1-row
+    broadcast; each day's breach test uses its OWN n in the limit —
+    the per-day division and sqrt are computed identically in both
+    engines. A 100 TB lineitem scan reduces to |days| rows before any
+    float math.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("r"),
+    )
+    pbar = daily.agg((F.sum("r") * 1.0 / F.sum("n")).alias("p"))
+    rate = F.col("r") * 1.0 / F.col("n")
+    sigma = F.sqrt(F.col("p") * (1 - F.col("p")) / F.col("n"))
+    breach = (rate > F.col("p") + 3 * sigma) | (rate < F.col("p") - 3 * sigma)
+    return (
+        daily.crossJoin(F.broadcast(pbar))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            f6(F.max("p")).alias("p_bar"),
+            F.sum(F.when(breach, 1).otherwise(0))
+            .cast("long")
+            .alias("n_out_of_control"),
+        )
+    )

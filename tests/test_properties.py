@@ -1749,3 +1749,12 @@ def test_max_drawdown_nonnegative_and_bounded(spark):
     assert r.max_drawdown >= 0
     assert 0.0 <= r.max_drawdown_pct  # centered curve: pct vs running peak
     assert r.n_days > 0
+
+
+def test_p_chart_pbar_in_unit_interval(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["w_p_chart"](spark, SF_SMALL).collect()[0]
+    assert 0.0 < r.p_bar < 1.0
+    assert 0 <= r.n_out_of_control <= r.n_days
