@@ -373,3 +373,69 @@ def st_incremental_checkpoint(spark, sf_dir):
     half_b.coalesce(1).write.mode("append").parquet(feed_dir)
     run_once()  # restart from checkpoint: reads ONLY delivery B files
     return spark.table(name)
+
+
+@register(
+    "st_session_dynamic",
+    """
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+                    ELSE INTERVAL 30 MINUTE END AS gap
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, ts, event_id, gap,
+               max(ts + gap) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS run_end
+        FROM e
+    ),
+    b AS (
+        SELECT user_id, ts, gap, event_id,
+               CASE WHEN run_end IS NULL OR ts >= run_end THEN 1 ELSE 0 END
+                   AS brk
+        FROM o
+    ),
+    s AS (
+        SELECT user_id, ts, gap,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts + gap) AS session_end, count(*) AS cnt
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def st_session_dynamic(spark, sf_dir):
+    """DYNAMIC-gap session windows: error events hold a session open
+    for only 5 minutes while normal activity gets 30 — per-event gap
+    expressions are the session_window feature that models 'a crash
+    ends the visit quickly, browsing keeps it alive' (st_session is
+    the fixed-gap base case).
+
+    The batch oracle generalizes gaps-and-islands to variable gaps:
+    a session breaks when an event starts at-or-after the RUNNING MAX
+    of all previous (ts + gap) ends (a plain lag test is wrong here —
+    a long-gap event can bridge past a short-gap one); the running
+    max, break flags, and session rollup all ride one user_id
+    clustering. Session end is max(ts + gap) within the merged
+    interval set, exactly Spark's merge semantics.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "error", "5 minutes").otherwise(
+        "30 minutes"
+    )
+    agg = ev.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "cnt",
+    )
+    name = run_to_memory(out, "complete")
+    return spark.table(name)

@@ -1758,3 +1758,18 @@ def test_p_chart_pbar_in_unit_interval(spark):
     r = registry.QUERIES["w_p_chart"](spark, SF_SMALL).collect()[0]
     assert 0.0 < r.p_bar < 1.0
     assert 0 <= r.n_out_of_control <= r.n_days
+
+
+def test_dynamic_sessions_tighter_than_fixed(spark):
+    """Dynamic 5-min error gaps can only SPLIT sessions relative to a
+    uniform 30-min gap: session count must be >= the fixed-gap count,
+    and every session is internally consistent (end > start)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    dyn = registry.QUERIES["st_session_dynamic"](spark, SF_SMALL).collect()
+    fixed = registry.QUERIES["st_session"](spark, SF_SMALL).collect()
+    assert len(dyn) >= len(fixed)
+    for r in dyn:
+        assert r.session_end > r.session_start
+        assert r.cnt >= 1
