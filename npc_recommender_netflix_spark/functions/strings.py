@@ -242,3 +242,48 @@ def fn_collation(spark, sf_dir):
         .select(F.lower("pri_key").alias("pri_ci"), "n")
         .orderBy("pri_ci")
     )
+
+
+@register(
+    "fn_uuid5",
+    """
+    WITH h AS (
+        SELECT c_custkey,
+               md5('npc:customer:' || CAST(c_custkey AS VARCHAR)) AS hx
+        FROM customer WHERE c_custkey <= 200
+    )
+    SELECT c_custkey,
+           substring(hx, 1, 8) || '-' || substring(hx, 9, 4) || '-5'
+           || substring(hx, 14, 3) || '-' || 'a' || substring(hx, 18, 3)
+           || '-' || substring(hx, 21, 12) AS entity_uuid
+    FROM h ORDER BY c_custkey
+    """,
+)
+def fn_uuid5(spark, sf_dir):
+    """Deterministic namespaced entity UUIDs (v5-style): mint a stable
+    UUID for each customer from md5('namespace:key'), with version/
+    variant nibbles pinned — the identity-minting step every
+    entity-resolution pipeline needs, where `uuid()` (random, per-row,
+    per-run) would break joins across runs, engines, and retries. The
+    same (namespace, key) yields the same UUID forever, anywhere.
+
+    Pure codegen string slicing over one md5 per row — zero shuffle,
+    and the determinism is the entire point: the oracle mints the
+    SAME UUIDs from the same recipe. (True RFC-4122 v5 uses SHA-1
+    with binary namespaces; the md5-hex composition here keeps the
+    cross-engine recipe auditable — the version nibble is pinned to
+    '5' and variant to 'a' the same way.)
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    hx = F.md5(F.concat(F.lit("npc:customer:"), F.col("c_custkey").cast("string")))
+    h = cust.where(F.col("c_custkey") <= 200).select(
+        "c_custkey", hx.alias("hx")
+    )
+    uuid5 = F.concat(
+        F.substring("hx", 1, 8), F.lit("-"),
+        F.substring("hx", 9, 4), F.lit("-5"),
+        F.substring("hx", 14, 3), F.lit("-a"),
+        F.substring("hx", 18, 3), F.lit("-"),
+        F.substring("hx", 21, 12),
+    )
+    return h.select("c_custkey", uuid5.alias("entity_uuid")).orderBy("c_custkey")

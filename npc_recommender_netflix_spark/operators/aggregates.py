@@ -2243,3 +2243,72 @@ def a_anova_f(spark, sf_dir):
         F.col("nt").alias("n_rows"),
         f6(between / within).alias("f_stat"),
     )
+
+
+@register(
+    "a_capture_recapture",
+    """
+    WITH w1 AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts < (SELECT min(ts) + INTERVAL 7 DAY FROM events)
+    ),
+    w2 AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= (SELECT min(ts) + INTERVAL 7 DAY FROM events)
+          AND ts < (SELECT min(ts) + INTERVAL 14 DAY FROM events)
+    ),
+    c AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM w1) AS n1,
+               (SELECT CAST(count(*) AS BIGINT) FROM w2) AS n2,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM w1 JOIN w2 USING (user_id)) AS m
+    )
+    SELECT n1, n2, m,
+           round(n1 * 1.0 * n2 / m, 6) + 0 AS n_hat
+    FROM c
+    """,
+)
+def a_capture_recapture(spark, sf_dir):
+    """Lincoln-Petersen capture-recapture: estimate the TOTAL active
+    population from two week-long observation windows — N̂ = n1·n2/m
+    where m is the overlap. The mark-recapture estimator ecology uses
+    for fish is how you estimate total-universe size from partial
+    logs (bot population from two honeypots, true corpus size from
+    two crawl snapshots) when a full census is impossible —
+    a_approx_distinct counts what you SAW; this estimates what EXISTS.
+
+    Each window folds to a distinct-user set (the same user_id shuffle
+    twice over disjoint scans); the overlap is one equi-join of those
+    deduped sets; n1/n2/m are exact BIGINTs into a single division.
+    Window boundaries derive from min(ts) scalar subqueries
+    (broadcast), so the whole estimator is 3 counters at any scale —
+    assembled as one LAZY plan (1-row frames cross-joined), no driver
+    arithmetic anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    evb = ev.crossJoin(F.broadcast(t0))
+    w1 = (
+        evb.where(F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAY"))
+        .select("user_id")
+        .distinct()
+    )
+    w2 = (
+        evb.where(
+            (F.col("ts") >= F.col("t0") + F.expr("INTERVAL 7 DAY"))
+            & (F.col("ts") < F.col("t0") + F.expr("INTERVAL 14 DAY"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n1d = w1.agg(F.count("*").cast("long").alias("n1"))
+    n2d = w2.agg(F.count("*").cast("long").alias("n2"))
+    md = w1.join(w2, "user_id").agg(F.count("*").cast("long").alias("m"))
+    return (
+        n1d.crossJoin(F.broadcast(n2d))
+        .crossJoin(F.broadcast(md))
+        .select(
+            "n1", "n2", "m",
+            f6(F.col("n1") * 1.0 * F.col("n2") / F.col("m")).alias("n_hat"),
+        )
+    )

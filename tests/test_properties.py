@@ -1773,3 +1773,31 @@ def test_dynamic_sessions_tighter_than_fixed(spark):
     for r in dyn:
         assert r.session_end > r.session_start
         assert r.cnt >= 1
+
+
+def test_capture_recapture_estimate_bounds(spark):
+    """N-hat >= max(n1, n2) (the estimate can't be below either
+    sample), and m <= min(n1, n2)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_capture_recapture"](spark, SF_SMALL).collect()[0]
+    assert r.m <= min(r.n1, r.n2)
+    assert r.n_hat >= max(r.n1, r.n2) - 1e-6
+
+
+def test_uuid5_format_and_determinism(spark):
+    import re
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["fn_uuid5"](spark, SF_SMALL).collect()
+    assert rows
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-a[0-9a-f]{3}-[0-9a-f]{12}$")
+    for r in rows:
+        assert pat.match(r.entity_uuid), r.entity_uuid
+    # deterministic across invocations
+    again = {r.c_custkey: r.entity_uuid
+             for r in registry.QUERIES["fn_uuid5"](spark, SF_SMALL).collect()}
+    assert all(again[r.c_custkey] == r.entity_uuid for r in rows)
