@@ -210,3 +210,55 @@ def fn_calendar_edges(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_multiformat_ts",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS parsed_date,
+           CAST(1 AS BIGINT) AS parse_ok
+    FROM orders WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+    """,
+)
+def fn_multiformat_ts(spark, sf_dir):
+    """Multi-format timestamp ingest: the try_to_timestamp fallback
+    chain (`coalesce(try fmt1, try fmt2, try fmt3)`) over a column
+    where every row arrives in ONE of several formats — the mixed-feed
+    reality (US dates, ISO dates, compact dates in the same file) that
+    a single to_timestamp() turns into a 2 AM pager. Rows are fanned
+    deterministically across three formats by orderkey mod 3, then the
+    chain recovers every one.
+
+    try_to_timestamp returns NULL instead of throwing (ANSI-safe), so
+    the chain is a pure codegen projection — no UDF, no exception
+    control flow; the oracle checks recovered dates equal the
+    originals (identity oracle, the fn_aes_roundtrip pattern).
+    Unparseable rows would surface as parse_ok=0 — loudly countable,
+    never a job-killing exception, which is the operational point.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    fmt = F.col("o_orderkey") % 3
+    mixed = F.when(fmt == 0, F.date_format(d, "yyyy-MM-dd")).when(
+        fmt == 1, F.date_format(d, "MM/dd/yyyy")
+    ).otherwise(F.date_format(d, "yyyyMMdd"))
+    parsed = F.coalesce(
+        F.expr("try_to_timestamp(raw, 'yyyy-MM-dd')"),
+        F.expr("try_to_timestamp(raw, 'MM/dd/yyyy')"),
+        F.expr("try_to_timestamp(raw, 'yyyyMMdd')"),
+    )
+    return (
+        orders.where(F.col("o_orderkey") <= 300)
+        .select("o_orderkey", mixed.alias("raw"), d.alias("orig"))
+        .select(
+            "o_orderkey",
+            parsed.cast("date").alias("parsed_date"),
+            F.when(parsed.cast("date") == F.col("orig"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("parse_ok"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1977,3 +1977,89 @@ def t_quality_length_bias(spark, sf_dir):
         F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
     return m.select("lang", "n", f6(num / den).alias("corr_len_tokens")).orderBy("lang")
+
+
+@register(
+    "t_bpe_merge_step",
+    """
+    WITH cand AS (
+        SELECT pair FROM (
+            SELECT substring(lower(text), i, 2) AS pair
+            FROM documents,
+                 generate_series(1, 400) AS g(i)
+            WHERE i < length(text)
+        ) raw
+        WHERE pair NOT LIKE '% %' AND length(pair) = 2
+        GROUP BY pair
+        ORDER BY count(*) DESC, pair LIMIT 10
+    ),
+    exact AS (
+        SELECT c.pair,
+               sum((length(lower(d.text))
+                    - length(replace(lower(d.text), c.pair, ''))) / 2)
+                   AS n_merges
+        FROM documents d CROSS JOIN cand c
+        GROUP BY c.pair
+    )
+    SELECT pair, CAST(n_merges AS BIGINT) AS n_merges
+    FROM exact
+    ORDER BY n_merges DESC, pair LIMIT 5
+    """,
+)
+def t_bpe_merge_step(spark, sf_dir):
+    """One BPE merge-selection step: find the character pair whose
+    merge removes the most symbols from the corpus — the inner loop of
+    byte-pair-encoding tokenizer TRAINING (t_fertility measures a
+    trained tokenizer; this is how one gets trained). Top-5 merge
+    candidates with their exact merge counts.
+
+    Two-phase exactness: cheap overlap-naive bigram counts nominate 10
+    candidates (positional substrings, map-side), then the EXACT
+    non-overlapping merge count for each comes from length-minus-
+    replace arithmetic — `replace` consumes matches left-to-right
+    greedily, which is precisely BPE's merge semantics ('aaa' merges
+    once, not twice), and it's engine-identical integer math. The
+    candidate broadcast is 10 rows; the exact pass is one linear scan
+    per candidate batch. Iterating = re-running with the merged symbol
+    appended to the alphabet (same plan per iteration, the r_hits
+    unrolling argument).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = docs.select(F.lower("text").alias("lt"))
+    pairs = (
+        lowered.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, 400),"
+                    " i -> CASE WHEN i < length(lt)"
+                    "       THEN substring(lt, i, 2) END)"
+                )
+            ).alias("pair")
+        )
+        .where(
+            F.col("pair").isNotNull()
+            & (F.length("pair") == 2)
+            & ~F.col("pair").contains(" ")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "pair")
+        .limit(10)
+        .select("pair")
+    )
+    merges = (
+        lowered.crossJoin(F.broadcast(pairs))
+        .groupBy("pair")
+        .agg(
+            (
+                F.sum(
+                    F.length("lt")
+                    - F.length(F.expr("replace(lt, pair, '')"))
+                )
+                / 2
+            )
+            .cast("long")
+            .alias("n_merges")
+        )
+    )
+    return merges.orderBy(F.col("n_merges").desc(), "pair").limit(5)

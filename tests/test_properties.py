@@ -1801,3 +1801,29 @@ def test_uuid5_format_and_determinism(spark):
     again = {r.c_custkey: r.entity_uuid
              for r in registry.QUERIES["fn_uuid5"](spark, SF_SMALL).collect()}
     assert all(again[r.c_custkey] == r.entity_uuid for r in rows)
+
+
+def test_multiformat_ts_all_recovered(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["fn_multiformat_ts"](spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.parse_ok == 1 for r in rows)
+    assert all(r.parsed_date is not None for r in rows)
+
+
+def test_bpe_merge_counts_exact_nonoverlapping(spark):
+    """Re-verify the top pair's merge count in Python with the same
+    greedy non-overlapping semantics (str.count)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    rows = registry.QUERIES["t_bpe_merge_step"](spark, SF_SMALL).collect()
+    assert rows
+    top = rows[0]
+    texts = [r.text.lower() for r in load_table(spark, SF_SMALL, "documents").collect()]
+    expect = sum(t.count(top.pair) for t in texts)
+    assert top.n_merges == expect
+    assert rows == sorted(rows, key=lambda r: (-r.n_merges, r.pair))
