@@ -2063,3 +2063,63 @@ def t_bpe_merge_step(spark, sf_dir):
         )
     )
     return merges.orderBy(F.col("n_merges").desc(), "pair").limit(5)
+
+
+@register(
+    "t_dataset_card",
+    f"""
+    WITH tok AS ({TOKENS_SQL}),
+    tk AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok),
+    d AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+        FROM documents
+    )
+    SELECT d.n_docs, d.n_langs, d.n_sources, d.n_chars, tk.n_tokens,
+           round(d.n_chars * 1.0 / d.n_docs, 6) + 0 AS mean_chars,
+           round(1.0 - d.n_unique_texts * 1.0 / d.n_docs, 6) + 0 AS dup_rate
+    FROM d CROSS JOIN tk
+    """,
+)
+def t_dataset_card(spark, sf_dir):
+    """Dataset-card summary: the one-row datasheet (docs, languages,
+    sources, chars, tokens, mean length, exact-duplicate rate) that
+    fronts every corpus release — 'Datasheets for Datasets' reduced to
+    the numbers a consumer checks before training, assembled in two
+    scans instead of seven notebook cells drifting out of sync.
+
+    One documents pass folds five counters (the distinct-digest dedup
+    rate reuses the t_exact_dedup_digest key — text itself never
+    shuffles); the token count is the shared tokenizer's one explode.
+    Every figure is an exact BIGINT until the two final divisions.
+    Publishing cadence: run per snapshot, diff against the previous
+    card — a moving dup_rate or tokens/doc is the earliest corpus-
+    drift alarm (a_psi_drift's cousin at the dataset level).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(spark, sf_dir)
+    d = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_unique_texts"),
+    )
+    tk = tok.agg(F.count("*").cast("long").alias("n_tokens"))
+    return (
+        d.crossJoin(F.broadcast(tk))
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            "n_chars",
+            "n_tokens",
+            f6(F.col("n_chars") * 1.0 / F.col("n_docs")).alias("mean_chars"),
+            f6(1.0 - F.col("n_unique_texts") * 1.0 / F.col("n_docs")).alias(
+                "dup_rate"
+            ),
+        )
+    )

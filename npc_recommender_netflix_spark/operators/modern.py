@@ -1890,3 +1890,74 @@ def w_p_chart(spark, sf_dir):
             .alias("n_out_of_control"),
         )
     )
+
+
+@register(
+    "w_burn_rate",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errs
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT hr, n, errs,
+               sum(errs) OVER (ORDER BY hr
+                               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+                   AS errs6,
+               sum(n) OVER (ORDER BY hr
+                            ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n6
+        FROM hourly
+    )
+    SELECT hr, CAST(errs AS BIGINT) AS errs,
+           round(errs * 1.0 / n, 6) + 0 AS rate_1h,
+           round(errs6 * 1.0 / n6, 6) + 0 AS rate_6h,
+           round((errs * 1.0 / n) / (errs6 * 1.0 / n6), 6) + 0 AS burn_ratio
+    FROM win WHERE errs6 > 0
+    ORDER BY burn_ratio DESC, hr LIMIT 20
+    """,
+)
+def w_burn_rate(spark, sf_dir):
+    """Multi-window error burn rate: each hour's error rate vs its own
+    trailing-6-hour rate, largest spikes first — the SRE error-budget
+    alert shape (short window catches the spike, long window suppresses
+    flapping; a burn_ratio ≫ 1 hour is a page, a slightly-elevated
+    long window is a ticket). w_cusum watches a mean drift; this
+    watches a RATE against its own recent baseline.
+
+    The hour fold carries exact (n, errs) pairs; both trailing sums
+    ride ONE ordered pass over the calendar-bounded hour axis; each
+    rate is a single exact-integer division and the ratio divides the
+    two identical quotients in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+    win = hourly.select(
+        "hr",
+        "n",
+        "errs",
+        F.sum("errs").over(w6).alias("errs6"),
+        F.sum("n").over(w6).alias("n6"),
+    )
+    rate1 = F.col("errs") * 1.0 / F.col("n")
+    rate6 = F.col("errs6") * 1.0 / F.col("n6")
+    return (
+        win.where(F.col("errs6") > 0)
+        .select(
+            "hr",
+            "errs",
+            f6(rate1).alias("rate_1h"),
+            f6(rate6).alias("rate_6h"),
+            f6(rate1 / rate6).alias("burn_ratio"),
+        )
+        .orderBy(F.col("burn_ratio").desc(), "hr")
+        .limit(20)
+    )

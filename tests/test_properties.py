@@ -1827,3 +1827,28 @@ def test_bpe_merge_counts_exact_nonoverlapping(spark):
     expect = sum(t.count(top.pair) for t in texts)
     assert top.n_merges == expect
     assert rows == sorted(rows, key=lambda r: (-r.n_merges, r.pair))
+
+
+def test_dataset_card_consistency(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    r = registry.QUERIES["t_dataset_card"](spark, SF_SMALL).collect()[0]
+    assert r.n_docs == load_table(spark, SF_SMALL, "documents").count()
+    assert 0.0 <= r.dup_rate < 1.0
+    assert r.n_tokens > r.n_docs  # multi-token docs
+    assert abs(r.mean_chars - r.n_chars / r.n_docs) < 1e-3
+
+
+def test_burn_ratio_consistent_with_rates(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["w_burn_rate"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r.rate_6h > 0:
+            assert abs(r.burn_ratio - r.rate_1h / r.rate_6h) < 1e-4
+        assert 0.0 <= r.rate_1h <= 1.0
+        assert 0.0 <= r.rate_6h <= 1.0
