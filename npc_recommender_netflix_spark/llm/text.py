@@ -2123,3 +2123,65 @@ def t_dataset_card(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "t_freq_spectrum",
+    f"""
+    WITH tok AS ({TOKENS_SQL}),
+    counts AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok
+               GROUP BY word),
+    spectrum AS (
+        SELECT c AS freq, CAST(count(*) AS BIGINT) AS n_words
+        FROM counts GROUP BY c
+    ),
+    gt AS (
+        SELECT coalesce((SELECT n_words FROM spectrum WHERE freq = 1), 0)
+                   AS n1,
+               (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n
+    )
+    SELECT s.freq, s.n_words,
+           round(gt.n1 * 1.0 / gt.n, 6) + 0 AS unseen_mass
+    FROM spectrum s CROSS JOIN gt
+    ORDER BY s.freq LIMIT 20
+    """,
+)
+def t_freq_spectrum(spark, sf_dir):
+    """Word frequency-of-frequencies spectrum (how many words occur
+    exactly k times) plus the Good-Turing unseen-mass estimate N1/N —
+    the count-of-counts object behind smoothing, vocabulary-growth
+    projection, and 'how much probability belongs to words we have
+    never seen' (t_zipf_fit fits the tail's slope; this is the raw
+    spectrum it is fit to, and the k=1 cell is the single most
+    informative number in it — zero on this dense synthetic vocab,
+    which itself says 'the vocabulary is saturated').
+
+    Two nested folds (word counts → count-of-counts), both
+    vocabulary-bounded after the first; the Good-Turing scalar is a
+    1-row broadcast onto the ≤max-freq-row spectrum. Everything is
+    exact integers until the one unseen-mass division.
+    """
+    tok = tokens(spark, sf_dir)
+    counts = tok.groupBy("word").agg(F.count("*").cast("long").alias("c"))
+    spectrum = counts.groupBy(F.col("c").alias("freq")).agg(
+        F.count("*").cast("long").alias("n_words")
+    )
+    n1 = spectrum.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("freq") == 1, F.col("n_words"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n1")
+    )
+    n = tok.agg(F.count("*").cast("long").alias("n"))
+    return (
+        spectrum.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "freq",
+            "n_words",
+            f6(F.col("n1") * 1.0 / F.col("n")).alias("unseen_mass"),
+        )
+        .orderBy("freq")
+        .limit(20)
+    )

@@ -1961,3 +1961,69 @@ def w_burn_rate(spark, sf_dir):
         .orderBy(F.col("burn_ratio").desc(), "hr")
         .limit(20)
     )
+
+
+@register(
+    "w_twap",
+    """
+    WITH seq AS (
+        SELECT user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_ts
+        FROM events
+    ),
+    held AS (
+        SELECT user_id, cents,
+               epoch_us(next_ts) - epoch_us(ts) AS held_us
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(sum(cents * held_us) * 1.0 / sum(held_us) / 100.0, 6) + 0
+               AS twap
+    FROM held
+    GROUP BY user_id
+    ORDER BY user_id LIMIT 50
+    """,
+)
+def w_twap(spark, sf_dir):
+    """Time-weighted average (TWAP): each observation holds until the
+    next one, weighted by its holding duration — the correct average
+    for step-wise signals (prices, sensor states, feature values
+    between updates), where the arithmetic mean over-counts bursty
+    periods (10 readings in one minute ≠ 10 minutes of that value).
+
+    One lead() per user gives exact integer-µs holding times off the
+    same user clustering the rollup reuses; cents × µs products stay
+    in BIGINT (≤ 5e4 × 9e12 ≈ 4.5e17 per interval — inside int64 with
+    room), so the weighted sum is reorder-safe and the single division
+    lands once per user. The last observation per user carries no
+    duration and is excluded (documented open-interval convention).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("next_ts", F.lead("ts").over(w))
+    held = seq.where(F.col("next_ts").isNotNull()).select(
+        "user_id",
+        "cents",
+        (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("held_us"),
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            f6(
+                F.sum(F.col("cents") * F.col("held_us")) * 1.0
+                / F.sum("held_us")
+                / 100.0
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+        .limit(50)
+    )

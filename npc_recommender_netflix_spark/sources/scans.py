@@ -750,3 +750,52 @@ def s_glob_read(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "s_file_metadata",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS file_consistent
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def s_file_metadata(spark, sf_dir):
+    """Hidden `_metadata` file columns (file_name / file_size /
+    row_index) on file sources — row-level PROVENANCE: which physical
+    file produced each row, the question every incremental pipeline,
+    bad-file quarantine, and reprocessing audit asks. The fixture:
+    orders written partitioned by status (one file per partition), read
+    back WITH metadata; per-status counts must match, and every row's
+    source file must live under its own status directory
+    (file_consistent) — proving provenance survives the scan.
+
+    `_metadata` is populated by the reader at scan time (no storage
+    cost, no shuffle); selecting it does not widen the parquet read.
+    At 100 TB it is how you trace a poisoned row back to the ingest
+    file in one query instead of a re-crawl.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    root = _scratch("meta_cols_")
+    orders.select("o_orderkey", "o_orderstatus").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(root)
+    back = spark.read.parquet(root).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("_metadata.file_path").alias("fpath"),
+    )
+    consistent = F.when(
+        F.col("fpath").contains(
+            F.concat(F.lit("o_orderstatus="), F.col("o_orderstatus"))
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(consistent).cast("long").alias("file_consistent"),
+        )
+        .orderBy("o_orderstatus")
+    )

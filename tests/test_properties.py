@@ -1852,3 +1852,39 @@ def test_burn_ratio_consistent_with_rates(spark):
             assert abs(r.burn_ratio - r.rate_1h / r.rate_6h) < 1e-4
         assert 0.0 <= r.rate_1h <= 1.0
         assert 0.0 <= r.rate_6h <= 1.0
+
+
+def test_twap_within_value_range(spark):
+    """TWAP is a convex combination of held values: must sit inside
+    the global value range."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["w_twap"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.twap <= 500.0
+        assert r.n_intervals >= 1
+
+
+def test_file_metadata_provenance_consistent(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["s_file_metadata"](spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.file_consistent == 1 for r in rows)
+
+
+def test_freq_spectrum_accounts_for_vocabulary(spark):
+    """Sum over the spectrum of freq x n_words == total tokens (within
+    the limited rows, partial); n_words >= 1 everywhere; unseen mass
+    in [0, 1)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_freq_spectrum"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words >= 1
+        assert 0.0 <= r.unseen_mass < 1.0
