@@ -2185,3 +2185,56 @@ def t_freq_spectrum(spark, sf_dir):
         .orderBy("freq")
         .limit(20)
     )
+
+
+@register(
+    "t_stopword_discovery",
+    f"""
+    WITH tok AS ({TOKENS_SQL}),
+    df AS (
+        SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+               CAST(count(*) AS BIGINT) AS occurrences
+        FROM tok GROUP BY word
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT d.word, d.docs, d.occurrences,
+           round(d.docs * 1.0 / n.n_docs, 6) + 0 AS doc_frac
+    FROM df d CROSS JOIN n
+    WHERE d.docs * 10 > n.n_docs * 7
+    ORDER BY doc_frac DESC, d.word
+    LIMIT 25
+    """,
+)
+def t_stopword_discovery(spark, sf_dir):
+    """Corpus-driven stopword discovery: words present in >70% of
+    documents — the data-derived list that should FEED t_quality_score
+    and t_gopher_quality instead of a hardcoded English list (which
+    silently misfires on every other language and domain; a legal
+    corpus's 'pursuant' is a stopword, English's generic list doesn't
+    know that).
+
+    Document frequency folds on the (word, doc) axis then the word
+    axis — both vocabulary-bounded; the 70% threshold compares scaled
+    exact integers (docs*10 > n*7, no float boundary); the corpus
+    count is a 1-row broadcast. Re-run per corpus snapshot: the list
+    IS a function of the data, which is the point.
+    """
+    tok = tokens(spark, sf_dir)
+    df = tok.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("long").alias("docs"),
+        F.count("*").cast("long").alias("occurrences"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        df.crossJoin(F.broadcast(n))
+        .where(F.col("docs") * 10 > F.col("n_docs") * 7)
+        .select(
+            "word",
+            "docs",
+            "occurrences",
+            f6(F.col("docs") * 1.0 / F.col("n_docs")).alias("doc_frac"),
+        )
+        .orderBy(F.col("doc_frac").desc(), "word")
+        .limit(25)
+    )

@@ -2027,3 +2027,122 @@ def w_twap(spark, sf_dir):
         .orderBy("user_id")
         .limit(50)
     )
+
+
+@register(
+    "j_interval_overlap",
+    """
+    WITH sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    sid AS (
+        SELECT user_id, event_type, ts,
+               sum(brk) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS s
+        FROM sess
+    ),
+    iv AS (
+        SELECT user_id, event_type,
+               epoch_us(min(ts)) AS lo,
+               epoch_us(max(ts)) + 1800000000 AS hi
+        FROM sid GROUP BY user_id, event_type, s
+    ),
+    ov AS (
+        SELECT v.user_id,
+               greatest(CAST(least(v.hi, c.hi) - greatest(v.lo, c.lo)
+                             AS BIGINT), 0) AS olap_us
+        FROM iv v JOIN iv c
+          ON c.user_id = v.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.lo < v.hi AND v.lo < c.hi
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           round(sum(olap_us) / 60e6, 6) + 0 AS co_active_minutes
+    FROM ov GROUP BY user_id
+    ORDER BY co_active_minutes DESC, user_id LIMIT 20
+    """,
+)
+def j_interval_overlap(spark, sf_dir):
+    """Interval-overlap aggregation: total co-active time between each
+    user's VIEW sessions and CLICK sessions (30-min-gap islands per
+    type, then pairwise interval intersection) — the interval-algebra
+    operator behind concurrency billing, device co-usage, and
+    'attention overlap' metrics; j_theta_range joins point-to-interval,
+    this intersects interval SETS and sums the measure.
+
+    Per-type sessions reuse the islands machinery on one (user, type)
+    clustering; the overlap join keys on user_id with the interval
+    predicate as a post-condition (bounded: sessions-per-user ×
+    sessions-per-user, both gap-compressed); intersection lengths are
+    exact integer µs via least/greatest, and only the final
+    minutes conversion divides. At 100 TB the session compression IS
+    the scalability: raw events never pair, intervals do.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    sess = ev.withColumn(
+        "brk",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 1800000000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sid = sess.withColumn(
+        "s",
+        F.sum("brk").over(
+            Window.partitionBy("user_id", "event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    iv = sid.groupBy("user_id", "event_type", "s").agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        (F.unix_micros(F.max("ts")) + F.lit(1800000000)).alias("hi"),
+    )
+    v = iv.where(F.col("event_type") == "view").select(
+        "user_id", F.col("lo").alias("vlo"), F.col("hi").alias("vhi")
+    )
+    c = iv.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("lo").alias("clo"),
+        F.col("hi").alias("chi"),
+    )
+    ov = v.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("clo") < F.col("vhi"))
+        & (F.col("vlo") < F.col("chi")),
+    ).select(
+        "user_id",
+        F.greatest(
+            (
+                F.least(F.col("vhi"), F.col("chi"))
+                - F.greatest(F.col("vlo"), F.col("clo"))
+            ).cast("long"),
+            F.lit(0),
+        ).alias("olap_us"),
+    )
+    return (
+        ov.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_overlaps"),
+            f6(F.sum("olap_us") / 60e6).alias("co_active_minutes"),
+        )
+        .orderBy(F.col("co_active_minutes").desc(), "user_id")
+        .limit(20)
+    )

@@ -1888,3 +1888,25 @@ def test_freq_spectrum_accounts_for_vocabulary(spark):
     for r in rows:
         assert r.n_words >= 1
         assert 0.0 <= r.unseen_mass < 1.0
+
+
+def test_stopword_discovery_thresholded(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_stopword_discovery"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_frac > 0.7
+        assert r.occurrences >= r.docs
+
+
+def test_interval_overlap_bounded_by_session_spans(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["j_interval_overlap"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.co_active_minutes > 0
+        assert r.n_overlaps >= 1
