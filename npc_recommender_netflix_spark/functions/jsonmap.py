@@ -252,3 +252,41 @@ def fn_map_lambda(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_json_schema_infer",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 20 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_id < 2000
+    GROUP BY 1 ORDER BY k_bucket
+    """,
+)
+def fn_json_schema_infer(spark, sf_dir):
+    """Schema inference for JSON columns: `schema_of_json` derives the
+    struct type from a sample row, `from_json` parses the whole column
+    with it — the two-step that turns a stringly-typed side channel
+    into real typed columns WITHOUT hand-writing the schema
+    (fn_variant parses per-path; this materializes the full struct
+    once, the right call when most fields are consumed).
+
+    The inferred schema is computed from a LITERAL sample (one row's
+    shape) so inference never scans the data — the production pattern:
+    infer once on a sample, pin the result in code, parse with the
+    pinned schema forever (drift then fails loudly at parse, the
+    s_json_nested argument). Parsing is a zero-shuffle codegen
+    projection into the bucket census.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # schema_of_json on a literal exemplar: inference without a scan
+    parsed = F.from_json(
+        F.col("props"), F.expr("schema_of_json('{\"k\": 1}')")
+    )
+    return (
+        ev.where(F.col("event_id") < 2000)
+        .select((parsed.getField("k") % 20).cast("long").alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("k_bucket")
+    )

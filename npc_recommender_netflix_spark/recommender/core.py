@@ -1850,3 +1850,70 @@ def r_rank_fusion(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("user_id", "item_id", "rn", f6(F.col("rrf12") / 1e12).alias("rrf"))
     )
+
+
+@register(
+    "r_cooc_pmi",
+    f"""
+    WITH m AS ({_M200_SQL}),
+    deg AS (SELECT item_id, CAST(count(*) AS BIGINT) AS d FROM m
+            GROUP BY item_id),
+    npairs AS (
+        SELECT CAST(count(*) AS BIGINT) AS np FROM m a
+        JOIN m b ON a.user_id = b.user_id AND a.item_id < b.item_id
+    ),
+    cooc AS (
+        SELECT a.item_id AS item_a, b.item_id AS item_b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM m a JOIN m b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT c.item_a, c.item_b, c.c AS cooc,
+           round(ln(c.c * 1.0 * np.np / (da.d * 1.0 * db.d)), 6) + 0 AS pmi
+    FROM cooc c
+    JOIN deg da ON da.item_id = c.item_a
+    JOIN deg db ON db.item_id = c.item_b
+    CROSS JOIN npairs np
+    ORDER BY pmi DESC, c.item_a, c.item_b LIMIT 25
+    """,
+)
+def r_cooc_pmi(spark, sf_dir):
+    """PMI-weighted item co-occurrence — the matrix skip-gram-with-
+    negative-sampling implicitly factorizes (Levy & Goldberg 2014):
+    'item2vec without the SGD'. Raw co-occurrence (r_cooccurrence)
+    crowns popular-with-everything items; PMI normalizes by both
+    items' degrees so genuinely-associated niche pairs surface, the
+    same popularity correction t_collocations_pmi applies to words.
+
+    Rides the SAME user-keyed pair self-join as r_cooccurrence with a
+    support≥3 floor; degree and total-pair normalizers broadcast
+    (catalog-bounded / 1-row); one ln() per surviving pair. Top-25 by
+    rounded PMI with pair tiebreaks.
+    """
+    m = ratings_matrix(spark, sf_dir, max_item=200)
+    deg = m.groupBy("item_id").agg(F.count("*").cast("long").alias("d"))
+    a, b = m.alias("pa"), m.alias("pb")
+    pairs = a.join(
+        b,
+        (F.col("pa.user_id") == F.col("pb.user_id"))
+        & (F.col("pa.item_id") < F.col("pb.item_id")),
+    )
+    npairs = pairs.agg(F.count("*").cast("long").alias("np"))
+    cooc = (
+        pairs.groupBy(
+            F.col("pa.item_id").alias("item_a"), F.col("pb.item_id").alias("item_b")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .where(F.col("c") >= 3)
+    )
+    da = deg.select(F.col("item_id").alias("item_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("item_id").alias("item_b"), F.col("d").alias("db"))
+    pmi = F.log(F.col("c") * 1.0 * F.col("np") / (F.col("da") * 1.0 * F.col("db")))
+    return (
+        cooc.join(F.broadcast(da), "item_a")
+        .join(F.broadcast(db), "item_b")
+        .crossJoin(F.broadcast(npairs))
+        .select("item_a", "item_b", F.col("c").alias("cooc"), f6(pmi).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "item_a", "item_b")
+        .limit(25)
+    )

@@ -199,7 +199,8 @@ ORACLE_WINDOW = (
 # t_quality_length_bias, w_max_drawdown, w_p_chart, st_session_dynamic,
 # a_capture_recapture, fn_uuid5, fn_multiformat_ts, t_bpe_merge_step,
 # t_dataset_card, w_burn_rate, w_twap, s_file_metadata, t_freq_spectrum,
-# t_stopword_discovery, j_interval_overlap
+# t_stopword_discovery, j_interval_overlap, r_cooc_pmi,
+# fn_json_schema_infer
 # (added round 5), r_precision_at_k,
 # r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
 # v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,

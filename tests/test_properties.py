@@ -1910,3 +1910,25 @@ def test_interval_overlap_bounded_by_session_spans(spark):
     for r in rows:
         assert r.co_active_minutes > 0
         assert r.n_overlaps >= 1
+
+
+def test_cooc_pmi_support_floor_and_finite(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_cooc_pmi"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.cooc >= 3
+        assert r.item_a < r.item_b
+
+
+def test_json_schema_infer_buckets(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["fn_json_schema_infer"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.k_bucket < 20
+        assert r.n >= 1
