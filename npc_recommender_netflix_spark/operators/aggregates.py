@@ -2312,3 +2312,70 @@ def a_capture_recapture(spark, sf_dir):
             f6(F.col("n1") * 1.0 * F.col("n2") / F.col("m")).alias("n_hat"),
         )
     )
+
+
+@register(
+    "a_bimodality",
+    """
+    WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, avg(c * 1.0) AS mu,
+               sum(c) AS s1, sum(c * c) AS s2
+        FROM v
+    ),
+    cm AS (
+        SELECT m.n,
+               sum((v.c - m.mu) * (v.c - m.mu)) / m.n AS m2,
+               sum((v.c - m.mu) * (v.c - m.mu) * (v.c - m.mu)) / m.n AS m3,
+               sum((v.c - m.mu) * (v.c - m.mu) * (v.c - m.mu) * (v.c - m.mu))
+                   / m.n AS m4
+        FROM v CROSS JOIN m
+        GROUP BY m.n
+    )
+    SELECT n,
+           round(m3 / (m2 ^ 1.5), 6) + 0 AS skewness,
+           round(m4 / (m2 * m2), 6) + 0 AS kurtosis,
+           round(((m3 / (m2 ^ 1.5)) * (m3 / (m2 ^ 1.5)) + 1)
+                 / (m4 / (m2 * m2)), 6) + 0 AS bimodality_coef
+    FROM cm
+    """,
+)
+def a_bimodality(spark, sf_dir):
+    """Sarle's bimodality coefficient (skew²+1)/kurtosis on order
+    values — the one-number 'is this actually two populations' screen
+    (BC > 5/9 ≈ uniform suggests bimodality): a price distribution
+    with two humps means two markets, and every mean-based statistic
+    upstream (a_stats, a_cohens_d) silently averages them into a
+    customer who doesn't exist.
+
+    Central moments computed in a second pass against the broadcast
+    mean (numerically stable vs raw-moment expansion at large means —
+    E[x⁴] of cent values overflows doubles' precision; centered
+    deviations don't); skewness/kurtosis/BC assemble from m2-m4 in
+    one shared association. Two scans, O(1) state.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+    m = v.agg(
+        F.count("*").cast("long").alias("n"), F.avg(F.col("c") * 1.0).alias("mu")
+    )
+    d = F.col("c") - F.col("mu")
+    cm = (
+        v.crossJoin(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            (F.sum(d * d) / F.col("n")).alias("m2"),
+            (F.sum(d * d * d) / F.col("n")).alias("m3"),
+            (F.sum(d * d * d * d) / F.col("n")).alias("m4"),
+        )
+    )
+    skew = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2"))
+    return cm.select(
+        "n",
+        f6(skew).alias("skewness"),
+        f6(kurt).alias("kurtosis"),
+        f6((skew * skew + 1) / kurt).alias("bimodality_coef"),
+    )

@@ -2146,3 +2146,40 @@ def j_interval_overlap(spark, sf_dir):
         .orderBy(F.col("co_active_minutes").desc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "q_join_hints",
+    """
+    SELECT n_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_nationkey ORDER BY n_nationkey
+    """,
+)
+def q_join_hints(spark, sf_dir):
+    """Join-strategy HINTS: the same customer⋈nation join planned twice
+    — once under /*+ BROADCAST(nation) */, once under
+    /*+ MERGE(nation) */ — with identical results demanded of both
+    (hints steer the PLANNER, never the SEMANTICS; a hint that changes
+    an answer is a bug report). The escape hatch for when statistics
+    mislead the optimizer: a hint is one line, a config change is a
+    blast radius.
+
+    The returned frame is the broadcast-hinted census (the right plan
+    here); the merge-hinted twin is built and asserted EQUAL inside
+    tests/test_plans.py, which also pins that the two hints really
+    produced BroadcastHashJoin vs SortMergeJoin respectively — the
+    plan divergence IS the feature under test.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust.createOrReplaceTempView("hint_cust")
+    nation.createOrReplaceTempView("hint_nation")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(hint_nation) */ n_nationkey,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM hint_cust JOIN hint_nation ON n_nationkey = c_nationkey
+        GROUP BY n_nationkey ORDER BY n_nationkey
+        """
+    )

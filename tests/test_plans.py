@@ -1215,3 +1215,25 @@ def test_candidate_rerank_pool_broadcast_no_full_scoring(spark):
     plan = _plan(spark, "r_candidate_rerank")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_join_hints_steer_strategy_not_semantics(spark):
+    """BROADCAST vs MERGE hints must flip the physical join operator
+    while returning identical rows."""
+    from npc_recommender_netflix_spark.session import load_table
+
+    load_table(spark, SF_SMALL, "customer").createOrReplaceTempView("hint_cust")
+    load_table(spark, SF_SMALL, "nation").createOrReplaceTempView("hint_nation")
+    q = """
+        SELECT /*+ {hint}(hint_nation) */ n_nationkey,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM hint_cust JOIN hint_nation ON n_nationkey = c_nationkey
+        GROUP BY n_nationkey ORDER BY n_nationkey
+    """
+    bc = spark.sql(q.format(hint="BROADCAST"))
+    mg = spark.sql(q.format(hint="MERGE"))
+    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+    mg_plan = mg._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bc_plan
+    assert "SortMergeJoin" in mg_plan
+    assert bc.collect() == mg.collect()

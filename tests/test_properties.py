@@ -1932,3 +1932,14 @@ def test_json_schema_infer_buckets(spark):
     for r in rows:
         assert 0 <= r.k_bucket < 20
         assert r.n >= 1
+
+
+def test_bimodality_coef_bounds(spark):
+    """BC in (0, 1]; kurtosis >= 1 (by Pearson inequality k >= s^2+1,
+    so BC <= 1 always)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_bimodality"](spark, SF_SMALL).collect()[0]
+    assert 0.0 < r.bimodality_coef <= 1.0 + 1e-6
+    assert r.kurtosis >= r.skewness ** 2 + 1 - 1e-6
