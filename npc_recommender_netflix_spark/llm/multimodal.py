@@ -408,3 +408,54 @@ def m_modality_router(spark, sf_dir):
         )
         .orderBy("modality")
     )
+
+
+@register(
+    "m_checksum_audit",
+    """
+    WITH feed AS (
+        SELECT doc_id,
+               md5(text) AS stored_checksum,
+               CASE WHEN doc_id % 97 = 0 THEN text || '!'
+                    ELSE text END AS payload
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(sum(CASE WHEN md5(payload) <> stored_checksum
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(min(CASE WHEN md5(payload) <> stored_checksum
+                         THEN doc_id END) AS BIGINT) AS first_corrupt_id
+    FROM feed
+    """,
+)
+def m_checksum_audit(spark, sf_dir):
+    """Payload integrity audit: recompute each binary payload's
+    checksum and compare against the stored one — the bit-rot /
+    truncated-upload scan every blob store needs before payloads feed
+    decoders (a corrupted image crashes the m_image_pipeline worker at
+    hour six; this catches it in the manifest pass). Every 97th
+    payload is deterministically corrupted in-flight (one appended
+    byte) and the audit must count exactly those.
+
+    Both checksums are map-side md5 over the scan — no shuffle until
+    the 3-counter rollup; at 100 TB this is a pure linear pass whose
+    output is three numbers and a first-offender id for triage. The
+    stored checksum would normally come from the ingest manifest; the
+    recompute-and-compare plan shape is identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feed = docs.select(
+        "doc_id",
+        F.md5("text").alias("stored_checksum"),
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit("!"))
+        )
+        .otherwise(F.col("text"))
+        .alias("payload"),
+    )
+    bad = F.md5("payload") != F.col("stored_checksum")
+    return feed.agg(
+        F.count("*").cast("long").alias("n_payloads"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.min(F.when(bad, F.col("doc_id"))).cast("long").alias("first_corrupt_id"),
+    )

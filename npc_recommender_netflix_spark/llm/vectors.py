@@ -1899,3 +1899,64 @@ def v_similarity_calibration(spark, sf_dir):
         )
         .orderBy("cos_bin")
     )
+
+
+@register(
+    "v_power_iteration",
+    f"""
+    WITH m AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id,
+               sum(l_quantity) AS r
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_partkey < 200
+        GROUP BY 1, 2
+    ),
+    -- v0: uniform unit-ish start (1 for every item; scale cancels)
+    u1 AS (  -- u = M v0  (per user: sum of ratings)
+        SELECT user_id, sum(r) AS u FROM m GROUP BY user_id
+    ),
+    v1 AS (  -- v = M^T u (per item: rating-weighted user sums)
+        SELECT m.item_id, sum(m.r * u1.u) AS v
+        FROM m JOIN u1 ON u1.user_id = m.user_id
+        GROUP BY m.item_id
+    ),
+    nrm AS (
+        SELECT sqrt(sum(v * v)) AS nv FROM v1
+    )
+    SELECT v1.item_id,
+           round(v1.v / nrm.nv, 6) + 0 AS loading
+    FROM v1 CROSS JOIN nrm
+    ORDER BY loading DESC, v1.item_id LIMIT 10
+    """,
+)
+def v_power_iteration(spark, sf_dir):
+    """One power-iteration step toward the TOP SINGULAR VECTOR of the
+    user-item matrix: v₁ ∝ MᵀM v₀ from a uniform start — the primitive
+    under PCA/SVD/latent-factor methods, unrolled as a finite Catalyst
+    DAG exactly like r_hits (eigenvector of the bipartite graph) and
+    v_kmeans_step (Lloyd); r_pca is the MLlib black-box twin
+    (rows-only), this is the oracle-checkable step. The top loadings
+    name the items that dominate the first latent taste dimension.
+
+    Each half-iteration is one co-partitioned join + keyed agg (Mv₀
+    folds per user, MᵀU per item); the normalizer is a 1-row
+    broadcast. Iterating = appending (join + agg) pairs — k steps, k
+    shuffles, no driver linear algebra. Ratings are FP-exact small
+    integers, so both matvecs are deterministic to the 6dp boundary.
+    """
+    from ..recommender.core import ratings_matrix
+
+    m = ratings_matrix(spark, sf_dir, max_item=200)
+    u1 = m.groupBy("user_id").agg(F.sum("rating").alias("u"))
+    v1 = (
+        m.join(u1, "user_id")
+        .groupBy("item_id")
+        .agg(F.sum(F.col("rating") * F.col("u")).alias("v"))
+    )
+    nrm = v1.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
+    return (
+        v1.crossJoin(F.broadcast(nrm))
+        .select("item_id", f6(F.col("v") / F.col("nv")).alias("loading"))
+        .orderBy(F.col("loading").desc(), "item_id")
+        .limit(10)
+    )

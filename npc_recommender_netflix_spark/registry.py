@@ -200,7 +200,8 @@ ORACLE_WINDOW = (
 # a_capture_recapture, fn_uuid5, fn_multiformat_ts, t_bpe_merge_step,
 # t_dataset_card, w_burn_rate, w_twap, s_file_metadata, t_freq_spectrum,
 # t_stopword_discovery, j_interval_overlap, r_cooc_pmi,
-# fn_json_schema_infer, a_bimodality, q_join_hints
+# fn_json_schema_infer, a_bimodality, q_join_hints, v_power_iteration,
+# m_checksum_audit
 # (added round 5), r_precision_at_k,
 # r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
 # v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,

@@ -1943,3 +1943,29 @@ def test_bimodality_coef_bounds(spark):
     r = registry.QUERIES["a_bimodality"](spark, SF_SMALL).collect()[0]
     assert 0.0 < r.bimodality_coef <= 1.0 + 1e-6
     assert r.kurtosis >= r.skewness ** 2 + 1 - 1e-6
+
+
+def test_power_iteration_unit_norm_top_loadings(spark):
+    """Loadings come from a unit vector: all in (0, 1], descending."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["v_power_iteration"](spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    vals = [r.loading for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(0 < v <= 1.0 for v in vals)
+
+
+def test_checksum_audit_finds_exactly_injected(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    r = registry.QUERIES["m_checksum_audit"](spark, SF_SMALL).collect()[0]
+    docs = load_table(spark, SF_SMALL, "documents")
+    expect = docs.where(F.col("doc_id") % 97 == 0).count()
+    assert r.n_corrupt == expect
+    assert r.first_corrupt_id % 97 == 0
