@@ -2238,3 +2238,86 @@ def t_stopword_discovery(spark, sf_dir):
         .orderBy(F.col("doc_frac").desc(), "word")
         .limit(25)
     )
+
+
+@register(
+    "t_source_signature",
+    f"""
+    WITH tok AS (
+        SELECT source, word FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents
+        ) x
+    ),
+    sw AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, word
+    ),
+    stot AS (SELECT source, sum(c) AS st FROM sw GROUP BY source),
+    wtot AS (SELECT word, sum(c) AS wt FROM sw GROUP BY word),
+    n AS (SELECT sum(c) AS nt FROM sw),
+    lift AS (
+        SELECT sw.source, sw.word, sw.c,
+               round(ln((sw.c * 1.0 / stot.st) / (wtot.wt * 1.0 / n.nt)),
+                     6) + 0 AS log_lift
+        FROM sw
+        JOIN stot ON stot.source = sw.source
+        JOIN wtot ON wtot.word = sw.word
+        CROSS JOIN n
+        WHERE sw.c >= 10
+    )
+    SELECT source, word, c, log_lift FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY log_lift DESC, word) AS rn
+        FROM lift
+    ) WHERE rn <= 3
+    ORDER BY source, log_lift DESC, word
+    """,
+)
+def t_source_signature(spark, sf_dir):
+    """Per-source keyword signatures: each source's top-3 words by
+    log-lift (in-source rate vs corpus rate, min count 10) — the
+    'what makes this feed different' triage that runs before deciding
+    a source's mixture weight (t_domain_mix) or quality policy; the
+    source-level cousin of t_collocations_pmi's popularity
+    normalization (t_jsd_sources says HOW different; this says WHAT
+    differs).
+
+    Three vocabulary-bounded folds ((source, word), source totals,
+    word totals) off one token pass; totals broadcast; the count floor
+    prunes before ln(); top-3 per source is a WindowGroupLimit. All
+    operands exact integers until the one log-lift per surviving pair.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    )
+    sw = tok.groupBy("source", "word").agg(F.count("*").cast("long").alias("c"))
+    stot = sw.groupBy("source").agg(F.sum("c").alias("st"))
+    wtot = sw.groupBy("word").agg(F.sum("c").alias("wt"))
+    n = sw.agg(F.sum("c").alias("nt"))
+    lift = (
+        sw.where(F.col("c") >= 10)
+        .join(F.broadcast(stot), "source")
+        .join(F.broadcast(wtot), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "word",
+            "c",
+            f6(
+                F.log(
+                    (F.col("c") * 1.0 / F.col("st"))
+                    / (F.col("wt") * 1.0 / F.col("nt"))
+                )
+            ).alias("log_lift"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("log_lift").desc(), "word")
+    return (
+        lift.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("source", "word", "c", "log_lift")
+        .orderBy("source", F.col("log_lift").desc(), "word")
+    )

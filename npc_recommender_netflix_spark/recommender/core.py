@@ -1917,3 +1917,114 @@ def r_cooc_pmi(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "item_a", "item_b")
         .limit(25)
     )
+
+
+@register(
+    "r_epsilon_slate",
+    f"""
+    WITH m AS ({_M200_SQL}),
+    pop AS (
+        SELECT item_id,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, item_id)
+                    AS BIGINT) AS pr
+        FROM m GROUP BY item_id
+    ),
+    users AS (SELECT DISTINCT user_id FROM m),
+    exploit AS (
+        SELECT u.user_id, p.item_id, 'exploit' AS slot,
+               CAST(row_number() OVER (PARTITION BY u.user_id
+                                       ORDER BY p.pr) AS BIGINT) AS rn
+        FROM users u JOIN pop p ON p.pr <= 10
+        WHERE NOT EXISTS (SELECT 1 FROM m s
+                          WHERE s.user_id = u.user_id
+                            AND s.item_id = p.item_id)
+    ),
+    tail_pool AS (SELECT item_id, pr FROM pop WHERE pr > 10),
+    tail_n AS (SELECT CAST(count(*) AS BIGINT) AS tn FROM tail_pool),
+    explore AS (
+        SELECT u.user_id, t.item_id, 'explore' AS slot, CAST(1 AS BIGINT) AS rn
+        FROM users u
+        CROSS JOIN tail_n
+        JOIN tail_pool t
+          ON t.pr - 10 = 1 + CAST(list_sum(list_transform(range(1, 9),
+               j -> (strpos('0123456789abcdef',
+                            substring(md5('eps:'
+                                || CAST(u.user_id AS VARCHAR)), j, 1)) - 1)
+                    * 16 ** (8 - j))) AS BIGINT) % tail_n.tn
+    )
+    SELECT user_id, item_id, slot, rn FROM (
+        SELECT user_id, item_id, slot, rn FROM exploit WHERE rn <= 2
+        UNION ALL
+        SELECT user_id, item_id, slot, rn FROM explore
+    ) x
+    ORDER BY user_id, slot, rn, item_id
+    """,
+)
+def r_epsilon_slate(spark, sf_dir):
+    """Deterministic ε-greedy slate assembly: two EXPLOIT slots (top
+    unseen popular items) plus one EXPLORE slot drawn from the
+    long tail by content hash — the bandit pattern that keeps a
+    recommender from collapsing onto its own feedback loop
+    (r_serendipity MEASURES surprise after the fact; this BUILDS the
+    slot that creates it), with the 'randomness' reproducible across
+    runs/engines (the t_kfold_split hash convention — same user,
+    same explore item, every time, until the pool changes).
+
+    The popularity ranking and tail pool are catalog-bounded
+    broadcasts; exploit slots are the anti-join + rank-filter of
+    r_candidate_rerank; the explore pick is pure hash arithmetic
+    joined by equality on the tail rank — no sampling operator, no
+    nondeterminism anywhere.
+    """
+    m = ratings_matrix(spark, sf_dir, max_item=200)
+    pop = (
+        m.groupBy("item_id")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "item_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "item_id"))
+            .cast("long")
+            .alias("pr"),
+        )
+    )
+    users = m.select("user_id").distinct()
+    seen = m.select("user_id", "item_id")
+    exploit = (
+        users.crossJoin(F.broadcast(pop.where(F.col("pr") <= 10)))
+        .join(seen, ["user_id", "item_id"], "left_anti")
+        .withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("pr"))
+            .cast("long"),
+        )
+        .where(F.col("rn") <= 2)
+        .select("user_id", "item_id", F.lit("exploit").alias("slot"), "rn")
+    )
+    tail_pool = pop.where(F.col("pr") > 10)
+    tail_n = tail_pool.agg(F.count("*").cast("long").alias("tn"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("eps:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    explore = (
+        users.crossJoin(F.broadcast(tail_n))
+        .select("user_id", (1 + h % F.col("tn")).alias("pick"))
+        .join(
+            F.broadcast(tail_pool),
+            F.col("pr") - 10 == F.col("pick"),
+        )
+        .select(
+            "user_id",
+            "item_id",
+            F.lit("explore").alias("slot"),
+            F.lit(1).cast("long").alias("rn"),
+        )
+    )
+    return exploit.unionByName(explore).orderBy("user_id", "slot", "rn", "item_id")

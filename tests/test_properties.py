@@ -1969,3 +1969,37 @@ def test_checksum_audit_finds_exactly_injected(spark):
     expect = docs.where(F.col("doc_id") % 97 == 0).count()
     assert r.n_corrupt == expect
     assert r.first_corrupt_id % 97 == 0
+
+
+def test_source_signature_three_per_source(spark):
+    from collections import Counter
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_source_signature"](spark, SF_SMALL).collect()
+    assert rows
+    per_source = Counter(r.source for r in rows)
+    assert all(n <= 3 for n in per_source.values())
+    for r in rows:
+        assert r.c >= 10
+
+
+def test_epsilon_slate_structure(spark):
+    """Per user: <=2 exploit + exactly 1 explore; explore comes from
+    the tail (never top-10 popular); deterministic across calls."""
+    from collections import defaultdict
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_epsilon_slate"](spark, SF_SMALL).collect()
+    assert rows
+    by_user = defaultdict(lambda: {"exploit": [], "explore": []})
+    for r in rows:
+        by_user[r.user_id][r.slot].append(r.item_id)
+    for slots in by_user.values():
+        assert len(slots["exploit"]) <= 2
+        assert len(slots["explore"]) == 1
+    again = registry.QUERIES["r_epsilon_slate"](spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
