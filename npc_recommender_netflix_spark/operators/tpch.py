@@ -2159,3 +2159,67 @@ def q_xyz_variability(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_parts"))
         .orderBy("xyz_class")
     )
+
+
+@register(
+    "q_reorder_rate",
+    """
+    WITH up AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    ),
+    item AS (
+        SELECT item_id,
+               CAST(count(*) AS BIGINT) AS n_buyers,
+               CAST(sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repeaters
+        FROM up GROUP BY item_id
+    )
+    SELECT item_id, n_buyers, n_repeaters,
+           round(n_repeaters * 1.0 / n_buyers, 6) + 0 AS reorder_rate
+    FROM item
+    WHERE n_buyers >= 10
+    ORDER BY reorder_rate DESC, item_id LIMIT 20
+    """,
+)
+def q_reorder_rate(spark, sf_dir):
+    """Reorder rate per item: the fraction of an item's buyers who
+    purchased it in MORE THAN ONE order (min 10 buyers) — the
+    Instacart-style repeat-purchase signal that separates staples from
+    one-off buys, and the single strongest feature in next-basket
+    prediction (r_covisitation asks what goes TOGETHER; this asks what
+    comes BACK).
+
+    The (user, item) fold counts DISTINCT orders (repeat = re-ordered,
+    not two lines in one order — the distinction that makes the metric
+    honest); the item rollup carries exact integer buyer/repeater
+    counts into one division per item. Both shuffles key on axes
+    bounded by interactions, with TakeOrdered for the top-20.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    up = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+        )
+        .agg(F.countDistinct("o_orderkey").cast("long").alias("n_orders"))
+    )
+    item = up.groupBy("item_id").agg(
+        F.count("*").cast("long").alias("n_buyers"),
+        F.sum(F.when(F.col("n_orders") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeaters"),
+    )
+    return (
+        item.where(F.col("n_buyers") >= 10)
+        .select(
+            "item_id",
+            "n_buyers",
+            "n_repeaters",
+            f6(F.col("n_repeaters") * 1.0 / F.col("n_buyers")).alias("reorder_rate"),
+        )
+        .orderBy(F.col("reorder_rate").desc(), "item_id")
+        .limit(20)
+    )

@@ -22,7 +22,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table, money2, tables
+from ..session import f6, load_table, money2, tables
 
 _TMP_ROOT: str | None = None
 
@@ -798,4 +798,64 @@ def s_file_metadata(spark, sf_dir):
             F.min(consistent).cast("long").alias("file_consistent"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "s_prefix_compression",
+    """
+    WITH sorted_keys AS (
+        SELECT c_name AS k,
+               lag(c_name) OVER (ORDER BY c_name) AS pk
+        FROM customer
+    ),
+    cp AS (
+        SELECT k, pk,
+               coalesce((
+                   SELECT max(g.i)
+                   FROM generate_series(1, 12) AS g(i)
+                   WHERE substring(k, 1, g.i) = substring(pk, 1, g.i)
+               ), 0) AS common_prefix
+        FROM sorted_keys WHERE pk IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(common_prefix * 1.0), 6) + 0 AS avg_common_prefix,
+           CAST(sum(common_prefix) AS BIGINT) AS prefix_chars_saved
+    FROM cp
+    """,
+)
+def s_prefix_compression(spark, sf_dir):
+    """Sorted-layout compression diagnostic: the average common-prefix
+    length between CONSECUTIVE sorted keys — the number that explains
+    why sorting before writing shrinks files (parquet delta/dictionary
+    encoders and prefix-compressed indexes exploit exactly this
+    redundancy; unsorted data interleaves prefixes and wastes it).
+    Run it on a candidate sort key BEFORE committing a table layout:
+    prefix_chars_saved is a direct proxy for the encoding win.
+
+    The sort + lag is one ordered pass over the key column (capped
+    prefix window of 12 chars — both engines evaluate the same
+    bounded per-position equality series); exact integer prefix
+    lengths fold into the final three counters. On a real layout
+    decision run it per candidate key and compare.
+    """
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.select(F.col("c_name").alias("k")).withColumn(
+        "pk", F.lag("k").over(Window.orderBy("k"))
+    )
+    common = F.expr(
+        "aggregate(sequence(1, 12), 0,"
+        " (acc, i) -> CASE WHEN acc = i - 1"
+        "                   AND substring(k, 1, i) = substring(pk, 1, i)"
+        "              THEN i ELSE acc END)"
+    )
+    cp = keys.where(F.col("pk").isNotNull()).select(
+        common.cast("long").alias("common_prefix")
+    )
+    return cp.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        f6(F.avg(F.col("common_prefix") * 1.0)).alias("avg_common_prefix"),
+        F.sum("common_prefix").cast("long").alias("prefix_chars_saved"),
     )

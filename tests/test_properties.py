@@ -2003,3 +2003,27 @@ def test_epsilon_slate_structure(spark):
         assert len(slots["explore"]) == 1
     again = registry.QUERIES["r_epsilon_slate"](spark, SF_SMALL).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_reorder_rate_bounds(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_reorder_rate"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.reorder_rate <= 1.0
+        assert r.n_repeaters <= r.n_buyers
+        assert r.n_buyers >= 10
+
+
+def test_prefix_compression_customer_names_share_prefix(spark):
+    """customer names share the 'Customer#' prefix: avg common prefix
+    must be high (>= 8 chars of the shared literal)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["s_prefix_compression"](spark, SF_SMALL).collect()[0]
+    assert r.n_pairs > 0
+    assert r.avg_common_prefix >= 8.0
+    assert r.prefix_chars_saved >= r.n_pairs * 8
