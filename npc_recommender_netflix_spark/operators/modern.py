@@ -2183,3 +2183,98 @@ def q_join_hints(spark, sf_dir):
         GROUP BY n_nationkey ORDER BY n_nationkey
         """
     )
+
+
+@register(
+    "q_kaplan_meier",
+    """
+    WITH bounds AS (SELECT max(o_orderdate) AS tmax FROM orders),
+    life AS (
+        SELECT o_custkey,
+               CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+                    AS BIGINT) AS t,
+               CASE WHEN datediff('day', max(o_orderdate),
+                                  (SELECT tmax FROM bounds)) > 90
+                    THEN 1 ELSE 0 END AS died
+        FROM orders GROUP BY o_custkey
+    ),
+    counts AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(died) AS BIGINT) AS d
+        FROM life GROUP BY t
+    ),
+    at_risk AS (
+        SELECT t, d,
+               sum(c) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS n
+        FROM counts
+    ),
+    km AS (
+        SELECT t, d, n,
+               sum(CAST(round(ln(1.0 - d * 1.0 / n) * 1e12) AS BIGINT))
+                   OVER (ORDER BY t) AS logs12
+        FROM at_risk WHERE d > 0 AND d < n
+    )
+    SELECT t AS day, d AS n_churned, CAST(n AS BIGINT) AS n_at_risk,
+           round(exp(logs12 / 1e12), 6) + 0 AS survival
+    FROM km
+    ORDER BY day DESC LIMIT 25
+    """,
+)
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival of customer ORDER activity with
+    right-censoring: a customer "dies" when their last order precedes
+    the observation end by >90 days (dormancy, the q_dormant_customers
+    boundary); recently-active customers are CENSORED — still alive,
+    we just stopped watching. q_survival_curve counts every quiet user
+    as dead and so underestimates survival near the boundary; KM's
+    product-limit S(t) = Π(1 − dᵢ/nᵢ) keeps censored customers in the
+    risk set for as long as they were observed — the gap between the
+    two curves IS the censoring bias. Output: the 25 latest event
+    times on the curve.
+
+    Lifetimes and death flags fold per customer (the horizon is a
+    broadcast scalar); at-risk counts are a reverse cumulative sum
+    over the lifetime axis; the product becomes a running SUM of
+    ln(1−d/n) terms snapped to 1e-12 BIGINT units (exact,
+    reorder-safe — the multiplicative twin of w_cusum's additive
+    trick) with one exp() per output row. The event-time axis is
+    calendar-bounded at any order volume.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(F.max("o_orderdate").alias("tmax"))
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("t0"), F.max("o_orderdate").alias("t1"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("t1"), F.col("t0")).cast("long").alias("t"),
+            F.when(F.datediff(F.col("tmax"), F.col("t1")) > 90, 1)
+            .otherwise(0)
+            .alias("died"),
+        )
+    )
+    counts = life.groupBy("t").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("died").cast("long").alias("d"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = counts.select("t", "d", F.sum("c").over(w_rev).alias("n"))
+    risk = at_risk.where((F.col("d") > 0) & (F.col("d") < F.col("n")))
+    log12 = F.round(F.log(1.0 - F.col("d") * 1.0 / F.col("n")) * 1e12).cast("long")
+    km = risk.select(
+        "t", "d", "n", F.sum(log12).over(Window.orderBy("t")).alias("logs12")
+    )
+    return (
+        km.select(
+            F.col("t").alias("day"),
+            F.col("d").alias("n_churned"),
+            F.col("n").cast("long").alias("n_at_risk"),
+            f6(F.exp(F.col("logs12") / 1e12)).alias("survival"),
+        )
+        .orderBy(F.col("day").desc())
+        .limit(25)
+    )

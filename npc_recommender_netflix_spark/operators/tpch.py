@@ -2223,3 +2223,106 @@ def q_reorder_rate(spark, sf_dir):
         .orderBy(F.col("reorder_rate").desc(), "item_id")
         .limit(20)
     )
+
+
+@register(
+    "q_abc_xyz_matrix",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS r4
+        FROM lineitem GROUP BY l_partkey
+    ),
+    abc AS (
+        SELECT l_partkey,
+               CASE WHEN cum * 1.0 / tot <= 0.8 THEN 'A'
+                    WHEN cum * 1.0 / tot <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM (
+            SELECT l_partkey, r4,
+                   sum(r4) OVER (ORDER BY r4 DESC, l_partkey) AS cum,
+                   sum(r4) OVER () AS tot
+            FROM rev
+        )
+    ),
+    pm AS (
+        SELECT l.l_partkey, date_trunc('month', o.o_orderdate) AS mon,
+               sum(CAST(round(l.l_quantity) AS BIGINT)) AS units
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    xyz AS (
+        SELECT l_partkey,
+               CASE WHEN sd / mu <= 0.5 THEN 'X'
+                    WHEN sd / mu <= 0.9 THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM (
+            SELECT l_partkey, avg(units * 1.0) AS mu,
+                   stddev_samp(units * 1.0) AS sd
+            FROM pm GROUP BY l_partkey HAVING count(*) >= 12
+        )
+    )
+    SELECT a.abc_class, x.xyz_class, CAST(count(*) AS BIGINT) AS n_parts
+    FROM abc a JOIN xyz x ON x.l_partkey = a.l_partkey
+    GROUP BY a.abc_class, x.xyz_class
+    ORDER BY a.abc_class, x.xyz_class
+    """,
+)
+def q_abc_xyz_matrix(spark, sf_dir):
+    """The ABC-XYZ matrix: value classes (q_abc_analysis) crossed with
+    variability classes (q_xyz_variability) into the 9-cell
+    segmentation every inventory policy book draws — AX (high value,
+    steady: automate tightly) through CZ (low value, erratic:
+    make-to-order or drop). Each axis alone was computed before; the
+    JOIN is the deliverable, because policies attach to CELLS.
+
+    Both classifications reuse their parents' plan shapes (part-axis
+    cumulative window; per-part CV over the calendar-bounded month
+    axis) and meet in one part-keyed join; the census is ≤9 rows at
+    any scale. Demonstrates operator COMPOSITION: registered queries
+    as building blocks of a higher-order deliverable (the
+    v_recall_at_k CTE-composition argument, applied to business ops).
+    """
+    li, orders = tables(spark, sf_dir, "lineitem", "orders")
+    rev = li.groupBy("l_partkey").agg(F.sum(_rev_exact()).alias("r4"))
+    wcum = Window.orderBy(F.col("r4").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.sum("r4").over(wcum) * 1.0 / F.sum("r4").over(wtot)
+    abc = rev.select(
+        "l_partkey",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    pm = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "l_partkey", F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+        )
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("units"))
+    )
+    stats = (
+        pm.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("nm"),
+            F.avg(F.col("units") * 1.0).alias("mu"),
+            F.stddev_samp(F.col("units") * 1.0).alias("sd"),
+        )
+        .where(F.col("nm") >= 12)
+    )
+    cv = F.col("sd") / F.col("mu")
+    xyz = stats.select(
+        "l_partkey",
+        F.when(cv <= 0.5, "X").when(cv <= 0.9, "Y").otherwise("Z").alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .orderBy("abc_class", "xyz_class")
+    )

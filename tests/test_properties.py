@@ -2027,3 +2027,31 @@ def test_prefix_compression_customer_names_share_prefix(spark):
     assert r.n_pairs > 0
     assert r.avg_common_prefix >= 8.0
     assert r.prefix_chars_saved >= r.n_pairs * 8
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        registry.QUERIES["q_kaplan_meier"](spark, SF_SMALL).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert b.survival <= a.survival + 1e-9
+    for r in rows:
+        assert 0.0 < r.survival <= 1.0
+        assert 0 < r.n_churned < r.n_at_risk
+
+
+def test_abc_xyz_matrix_cells(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_abc_xyz_matrix"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.abc_class in {"A", "B", "C"}
+        assert r.xyz_class in {"X", "Y", "Z"}
+        assert r.n_parts > 0
