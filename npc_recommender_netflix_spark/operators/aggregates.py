@@ -2379,3 +2379,149 @@ def a_bimodality(spark, sf_dir):
         f6(kurt).alias("kurtosis"),
         f6((skew * skew + 1) / kurt).alias("bimodality_coef"),
     )
+
+
+@register(
+    "a_bh_fdr",
+    """
+    WITH per_user AS (
+        SELECT user_id, event_type,
+               CAST(round(avg(value) * 1e6) AS BIGINT) AS m6
+        FROM events GROUP BY user_id, event_type
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    obs AS (
+        SELECT t.event_type,
+               abs(avg(CASE WHEN p.event_type = t.event_type
+                            THEN p.m6 * 1.0 END)
+                   - avg(CASE WHEN p.event_type <> t.event_type
+                              THEN p.m6 * 1.0 END)) AS d_obs
+        FROM per_user p CROSS JOIN types t
+        GROUP BY t.event_type
+    ),
+    perms AS (SELECT unnest(range(0, 100)) AS b),
+    relab AS (
+        SELECT t.event_type, pm.b, p.m6,
+               CASE WHEN CAST(list_sum(list_transform(range(1, 9),
+                        j -> (strpos('0123456789abcdef',
+                              substring(md5(CAST(pm.b AS VARCHAR) || ':'
+                                  || t.event_type || ':'
+                                  || CAST(p.user_id AS VARCHAR)
+                                  || ':' || p.event_type), j, 1)) - 1)
+                             * 16 ** (8 - j))) AS BIGINT) % 5 = 0
+                    THEN 1 ELSE 0 END AS grp
+        FROM per_user p CROSS JOIN types t CROSS JOIN perms pm
+    ),
+    null_d AS (
+        SELECT event_type, b,
+               abs(avg(CASE WHEN grp = 1 THEN m6 * 1.0 END)
+                   - avg(CASE WHEN grp = 0 THEN m6 * 1.0 END)) AS d
+        FROM relab GROUP BY event_type, b
+    ),
+    pvals AS (
+        SELECT o.event_type,
+               (sum(CASE WHEN nd.d >= o.d_obs THEN 1 ELSE 0 END) + 1)
+               / 101.0 AS p
+        FROM null_d nd JOIN obs o ON o.event_type = nd.event_type
+        GROUP BY o.event_type, o.d_obs
+    ),
+    ranked AS (
+        SELECT event_type, p,
+               CAST(row_number() OVER (ORDER BY p, event_type) AS BIGINT)
+                   AS rnk,
+               CAST(count(*) OVER () AS BIGINT) AS k
+        FROM pvals
+    )
+    SELECT event_type, round(p, 6) + 0 AS p_value, rnk,
+           CAST(CASE WHEN p * k <= 0.1 * rnk THEN 1 ELSE 0 END AS BIGINT)
+               AS discovery
+    FROM ranked
+    ORDER BY rnk, event_type
+    """,
+)
+def a_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR over five REAL permutation p-values (each
+    event type's mean-vs-rest shift, 100 hash-deterministic
+    relabelings) — the multiplicity correction that makes 'we tested
+    everything and found 3 winners' honest at q=0.1 (run k tests
+    uncorrected and k·α of them 'win' by luck; a_permutation_test is
+    one test, this is the K-TESTS discipline on top).
+
+    The user×type fold happens once; relabelings explode only the
+    (user-type, test, perm) axis (hash 'randomness' — the
+    a_permutation_test trick, now salted per test); p-values use the
+    +1/(B+1) finite-sample correction; the BH step-up compares
+    p·k ≤ q·rank with EXACT arithmetic on the rank axis (k=5 rows).
+    All heavy axes are bounded by tests × permutations, never facts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.avg("value") * 1e6).cast("long").alias("m6")
+    )
+    types = ev.select("event_type").distinct()
+    obs = (
+        per_user.crossJoin(F.broadcast(types.withColumnRenamed("event_type", "t")))
+        .groupBy("t")
+        .agg(
+            F.abs(
+                F.avg(F.when(F.col("event_type") == F.col("t"), F.col("m6") * 1.0))
+                - F.avg(
+                    F.when(F.col("event_type") != F.col("t"), F.col("m6") * 1.0)
+                )
+            ).alias("d_obs")
+        )
+    )
+    perms = spark.range(100).select(F.col("id").cast("long").alias("b"))
+    salt = F.concat(
+        F.col("b").cast("string"), F.lit(":"), F.col("t"), F.lit(":"),
+        F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"),
+    )
+    grp = (
+        F.when(
+            F.conv(F.substring(F.md5(salt), 1, 8), 16, 10).cast("long") % 5 == 0, 1
+        ).otherwise(0)
+    )
+    relab = (
+        per_user.crossJoin(F.broadcast(types.withColumnRenamed("event_type", "t")))
+        .crossJoin(F.broadcast(perms))
+        .select("t", "b", "m6", grp.alias("grp"))
+    )
+    null_d = relab.groupBy("t", "b").agg(
+        F.abs(
+            F.avg(F.when(F.col("grp") == 1, F.col("m6") * 1.0))
+            - F.avg(F.when(F.col("grp") == 0, F.col("m6") * 1.0))
+        ).alias("d")
+    )
+    pvals = (
+        null_d.join(F.broadcast(obs), "t")
+        .groupBy("t", "d_obs")
+        .agg(
+            (
+                (F.sum(F.when(F.col("d") >= F.col("d_obs"), 1).otherwise(0)) + 1)
+                / 101.0
+            ).alias("p")
+        )
+        .select(F.col("t").alias("event_type"), "p")
+    )
+    ranked = pvals.select(
+        "event_type",
+        "p",
+        F.row_number().over(Window.orderBy("p", "event_type")).cast("long").alias("rnk"),
+        F.count("*").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("k"),
+    )
+    return (
+        ranked.select(
+            "event_type",
+            f6(F.col("p")).alias("p_value"),
+            "rnk",
+            F.when(F.col("p") * F.col("k") <= 0.1 * F.col("rnk"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("discovery"),
+        )
+        .orderBy("rnk", "event_type")
+    )

@@ -2278,3 +2278,92 @@ def q_kaplan_meier(spark, sf_dir):
         .orderBy(F.col("day").desc())
         .limit(25)
     )
+
+
+@register(
+    "w_rolling_corr",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS x,
+               sum(CASE WHEN event_type = 'view'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS y
+        FROM events GROUP BY 1
+    ),
+    roll AS (
+        SELECT day,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+               sum(x * y) OVER w AS sxy,
+               sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) + 0 AS corr14
+    FROM roll
+    WHERE n >= 14
+      AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    ORDER BY day LIMIT 50
+    """,
+)
+def w_rolling_corr(spark, sf_dir):
+    """Rolling 14-day correlation between daily purchase and view
+    revenue — the time-varying-relationship monitor: a stable
+    cross-metric correlation that suddenly decays often flags an
+    instrumentation break in ONE of the streams before either stream's
+    own level alarms (a_corr_regr gives the global number; rolling
+    shows WHEN the relationship held). The frame is 14 days — sized to
+    the fixture's ~1-month span; at production span it's one literal.
+
+    Five rolling moment sums over exact cent integers share ONE
+    14-row frame on the calendar-bounded day axis; Pearson assembles
+    from those sums per row (the a_spearman_corr moment pattern,
+    windowed) — no streaming corr() state, and every operand that can
+    accumulate is a BIGINT. Degenerate windows (zero variance) are
+    filtered by exact integer tests, not float epsilons.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "view",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    roll = daily.select(
+        "day",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return (
+        roll.where(
+            (F.col("n") >= 14)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select("day", f6(num / den).alias("corr14"))
+        .orderBy("day")
+        .limit(50)
+    )

