@@ -2321,3 +2321,73 @@ def t_source_signature(spark, sf_dir):
         .select("source", "word", "c", "log_lift")
         .orderBy("source", F.col("log_lift").desc(), "word")
     )
+
+
+@register(
+    "t_compressibility",
+    """
+    WITH chars AS (
+        SELECT d.source, t.chr, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents d, unnest(string_split(d.text, '')) AS t(chr)
+        WHERE t.chr IS NOT NULL AND t.chr <> ''
+        GROUP BY d.source, t.chr
+    ),
+    terms AS (
+        SELECT source,
+               CAST(round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY source)
+                          * log2(sum(cnt) OVER (PARTITION BY source)
+                                 * 1.0 / cnt)
+                          * 1e12) AS BIGINT) AS t12,
+               cnt
+        FROM chars
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_chars,
+           round(sum(t12) / 1e12, 6) + 0 AS bits_per_char,
+           round(8.0 / (sum(t12) / 1e12), 6) + 0 AS est_ratio
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t_compressibility(spark, sf_dir):
+    """Compressibility estimate per source: zero-order character
+    entropy as bits/char and the implied best-case 8/H compression
+    ratio — the storage-planning number that predicts which feeds
+    deserve zstd level 19 and which are already dense (near-8-bit
+    entropy = pre-compressed or binary junk, which is ALSO t_char_
+    entropy's per-doc gibberish signal read at the source level).
+
+    Reuses the char-explode machinery at source granularity: the
+    (source, char) count shuffles with map-side combine, entropy terms
+    snap to 1e-12 BIGINT units inside the source clustering the
+    window total and rollup share. Real codecs beat zero-order H via
+    context modeling — the estimate is the planning FLOOR, stated as
+    such.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.select("source", F.explode(F.split(F.col("text"), "")).alias("chr"))
+        .where(F.col("chr").isNotNull() & (F.col("chr") != ""))
+        .groupBy("source", "chr")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = F.sum("cnt").over(Window.partitionBy("source"))
+    t12 = F.round(
+        F.col("cnt") * 1.0 / tot * F.log2(tot * 1.0 / F.col("cnt")) * 1e12
+    ).cast("long")
+    terms = chars.select("source", "cnt", t12.alias("t12"))
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_chars"),
+            F.sum("t12").alias("h12"),
+        )
+        .select(
+            "source",
+            "n_chars",
+            f6(F.col("h12") / 1e12).alias("bits_per_char"),
+            f6(8.0 / (F.col("h12") / 1e12)).alias("est_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -1960,3 +1960,83 @@ def v_power_iteration(spark, sf_dir):
         .orderBy(F.col("loading").desc(), "item_id")
         .limit(10)
     )
+
+
+@register(
+    "v_medoid_select",
+    f"""
+    WITH cent AS (
+        SELECT label, t.i,
+               CAST(round(avg(CAST(embedding[t.i] AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS c6
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY label, t.i
+    ),
+    d AS (
+        SELECT e.vec_id, e.label,
+               sum(CAST(round((CAST(e.embedding[c.i] AS DOUBLE) - c.c6 / 1e6)
+                              * (CAST(e.embedding[c.i] AS DOUBLE) - c.c6 / 1e6)
+                              * 1e9) AS BIGINT)) AS d9
+        FROM embeddings e JOIN cent c ON c.label = e.label
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT label, vec_id AS medoid_id,
+           round(d9 / 1e9, 6) + 0 AS dist2_to_centroid
+    FROM (
+        SELECT label, vec_id, d9,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY d9, vec_id) AS rn
+        FROM d
+    ) WHERE rn = 1
+    ORDER BY label
+    """,
+)
+def v_medoid_select(spark, sf_dir):
+    """Medoid selection: per label cell, the vector CLOSEST to its
+    centroid — the 'best representative' survivor policy for semantic
+    dedup and cluster summarization (v_semantic_dedup keeps min-id,
+    t_canonical_dedup keeps min-doc; the medoid keeps the most
+    CENTRAL member, which is what you want when the survivor will
+    stand in for the cluster downstream — e.g. as the retrieval
+    exemplar or the kept training example).
+
+    Centroids snap to 1e-6-unit BIGINTs on the (label, dim) axis (the
+    v_centroid_matrix convention); per-vector distances accumulate as
+    1e-9-snapped BIGINT component terms over a labels×64-bounded
+    join; the argmin per label is a WindowGroupLimit with a vec_id
+    tiebreak. All frames are label- or catalog-bounded after one
+    corpus pass.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding")).alias("i0", "x"),
+        )
+        .groupBy("label", "i0")
+        .agg(F.round(F.avg(F.col("x").cast("double")) * 1e6).cast("long").alias("c6"))
+    )
+    comp = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("i0", "x")
+    )
+    term9 = F.round(
+        (F.col("x").cast("double") - F.col("c6") / 1e6)
+        * (F.col("x").cast("double") - F.col("c6") / 1e6)
+        * 1e9
+    ).cast("long")
+    d = (
+        comp.join(cent, ["label", "i0"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(term9).alias("d9"))
+    )
+    w = Window.partitionBy("label").orderBy("d9", "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("vec_id").alias("medoid_id"),
+            f6(F.col("d9") / 1e9).alias("dist2_to_centroid"),
+        )
+        .orderBy("label")
+    )

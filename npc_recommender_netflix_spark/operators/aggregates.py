@@ -2525,3 +2525,59 @@ def a_bh_fdr(spark, sf_dir):
         )
         .orderBy("rnk", "event_type")
     )
+
+
+@register(
+    "a_sample_size",
+    """
+    WITH s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               avg(CAST(round(value * 100) AS BIGINT) * 1.0) AS mu,
+               var_samp(CAST(round(value * 100) AS BIGINT) * 1.0) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    grid AS (SELECT unnest([1, 2, 5, 10, 20]) AS mde_pct)
+    SELECT g.mde_pct,
+           CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                     * s.v / (s.mu * g.mde_pct / 100.0)
+                     / (s.mu * g.mde_pct / 100.0)) AS BIGINT)
+               AS n_per_arm
+    FROM grid g CROSS JOIN s
+    ORDER BY g.mde_pct
+    """,
+)
+def a_sample_size(spark, sf_dir):
+    """A/B sample-size planning: users-per-arm required to detect a
+    1/2/5/10/20% relative lift in purchase value at α=0.05 (two-sided)
+    and 80% power — n = 2(z_α/2+z_β)²σ²/δ², with variance measured
+    from THIS metric's actual data (the step everyone skips before
+    launching an underpowered test, then 'fixes' by peeking — which
+    a_cuped shrinks σ² for and a_ttest_welch later judges honestly).
+
+    One scan folds n/μ/σ² in cent units; the five-row MDE grid crosses
+    the 1-row stats broadcast; z-constants are folded literals
+    (1.959964, 0.841621) written identically in both engines, and
+    ceil() lands on exact comparisons. The whole planner is O(1)
+    state over any event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long") * 1.0
+    s = ev.where(F.col("event_type") == "purchase").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(c).alias("mu"),
+        F.var_samp(c).alias("v"),
+    )
+    grid = spark.createDataFrame([(1,), (2,), (5,), (10,), (20,)], "mde_pct INT")
+    z2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    delta = F.col("mu") * F.col("mde_pct") / 100.0
+    return (
+        F.broadcast(grid)
+        .crossJoin(s)
+        .select(
+            "mde_pct",
+            F.ceil(2.0 * z2 * F.col("v") / delta / delta).cast("long").alias(
+                "n_per_arm"
+            ),
+        )
+        .orderBy("mde_pct")
+    )

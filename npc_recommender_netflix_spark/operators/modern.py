@@ -2367,3 +2367,89 @@ def w_rolling_corr(spark, sf_dir):
         .orderBy("day")
         .limit(50)
     )
+
+
+@register(
+    "q_bounce_rate",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    sess AS (
+        SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) + 0 AS bounce_rate
+    FROM sess
+    """,
+)
+def q_bounce_rate(spark, sf_dir):
+    """Bounce rate: fraction of 30-min-gap sessions containing exactly
+    ONE event — the single most-watched engagement-quality number on a
+    web dashboard, and the canary for broken landing pages (traffic
+    holds, bounces spike). Composes the w_sessionize islands machinery
+    down to one scalar with its numerator (w_sessionize reports the
+    sessions; this grades them).
+
+    Session ids derive from the same single user-keyed ordered pass as
+    every sessionization in this engine; the session-size fold and the
+    bounce census are exact integer counts into one division. At
+    100 TB: one user shuffle, then counters.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 1800000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    s = o.select(
+        "user_id",
+        F.sum("brk")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("sid"),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    return sess.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        f6(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)) * 1.0
+            / F.count("*")
+        ).alias("bounce_rate"),
+    )

@@ -2085,3 +2085,56 @@ def test_rolling_corr_in_unit_interval(spark):
     assert rows
     for r in rows:
         assert -1.0 - 1e-9 <= r.corr14 <= 1.0 + 1e-9
+
+
+def test_bounce_rate_bounds(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["q_bounce_rate"](spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r.bounce_rate <= 1.0
+    assert r.n_bounces <= r.n_sessions
+
+
+def test_medoid_is_member_of_its_cluster(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    rows = registry.QUERIES["v_medoid_select"](spark, SF_SMALL).collect()
+    assert rows
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+    for r in rows:
+        assert labels[r.medoid_id] == r.label
+        assert r.dist2_to_centroid >= 0
+
+
+def test_compressibility_bounds(spark):
+    """0 < bits/char <= 8 for byte-ish text; est ratio >= 1."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_compressibility"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.bits_per_char <= 8.0
+        assert r.est_ratio >= 1.0
+
+
+def test_sample_size_decreases_with_mde(spark):
+    """Bigger detectable effects need fewer samples — strictly
+    decreasing in MDE; all positive."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        registry.QUERIES["a_sample_size"](spark, SF_SMALL).collect(),
+        key=lambda r: r.mde_pct,
+    )
+    assert [r.mde_pct for r in rows] == [1, 2, 5, 10, 20]
+    sizes = [r.n_per_arm for r in rows]
+    assert all(a > b for a, b in zip(sizes, sizes[1:]))
+    assert all(n > 0 for n in sizes)
