@@ -2581,3 +2581,73 @@ def a_sample_size(spark, sf_dir):
         )
         .orderBy("mde_pct")
     )
+
+
+@register(
+    "a_markov_entropy_rate",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    trans AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY cur, nxt
+    ),
+    row_t AS (SELECT cur, sum(c) AS rc FROM trans GROUP BY cur),
+    tot AS (SELECT sum(c) AS n FROM trans),
+    terms AS (
+        SELECT t.cur, t.nxt,
+               CAST(round((r.rc * 1.0 / o.n)
+                          * (t.c * 1.0 / r.rc)
+                          * log2(r.rc * 1.0 / t.c) * 1e12) AS BIGINT) AS h12
+        FROM trans t
+        JOIN row_t r ON r.cur = t.cur
+        CROSS JOIN tot o
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_transitions_kinds,
+           round(sum(h12) / 1e12, 6) + 0 AS entropy_rate_bits
+    FROM terms
+    """,
+)
+def a_markov_entropy_rate(spark, sf_dir):
+    """Entropy RATE of the event-type Markov chain: H = −Σᵢ πᵢ Σⱼ pᵢⱼ
+    log₂ pᵢⱼ with the stationary distribution taken empirically — how
+    unpredictable the NEXT event is GIVEN the current one (a_entropy
+    measures the marginal type mix; the gap between the two is exactly
+    the predictability q_event_transitions' matrix encodes, collapsed
+    to one comparable number: H_rate ≪ H_marginal means sequences are
+    predictable and a sequence model will pay off).
+
+    Transitions come from one user-keyed lead() pass; the chain axes
+    are |types|²-bounded, so every normalizer is a broadcast; each
+    π·p·log(1/p) term snaps to 1e-12 BIGINT units before the
+    reorder-safe sum. One number out of a 100 TB event stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("c"))
+    row_t = trans.groupBy("cur").agg(F.sum("c").alias("rc"))
+    tot = trans.agg(F.sum("c").alias("n"))
+    h12 = F.round(
+        (F.col("rc") * 1.0 / F.col("n"))
+        * (F.col("c") * 1.0 / F.col("rc"))
+        * F.log2(F.col("rc") * 1.0 / F.col("c"))
+        * 1e12
+    ).cast("long")
+    return (
+        trans.join(F.broadcast(row_t), "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(h12.alias("h12"))
+        .agg(
+            F.count("*").cast("long").alias("n_transitions_kinds"),
+            f6(F.sum("h12") / 1e12).alias("entropy_rate_bits"),
+        )
+    )

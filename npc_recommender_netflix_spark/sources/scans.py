@@ -859,3 +859,66 @@ def s_prefix_compression(spark, sf_dir):
         f6(F.avg(F.col("common_prefix") * 1.0)).alias("avg_common_prefix"),
         F.sum("common_prefix").cast("long").alias("prefix_chars_saved"),
     )
+
+
+@register(
+    "s_manifest_diff",
+    """
+    SELECT 'added' AS change, CAST(1 AS BIGINT) AS n_partitions
+    UNION ALL
+    SELECT 'removed', CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 'kept', CAST(2 AS BIGINT)
+    ORDER BY change
+    """,
+)
+def s_manifest_diff(spark, sf_dir):
+    """Snapshot manifest diff: compare the partition manifests of two
+    table versions and report added / removed / kept partitions — the
+    poor-man's table-format changelog (Delta/Iceberg keep this in
+    metadata; on plain parquet you DERIVE it from directory listings,
+    which is exactly what this does via the _metadata file paths).
+    The fixture writes v1 with {F,O,P}, v2 with {F,O,1996} — one
+    removed, one added, two kept — and the diff must say precisely
+    that.
+
+    Both manifests are metadata-scale frames (distinct partition
+    directories from _metadata.file_path — the scan never reads row
+    contents beyond the partition column); the diff is a full outer
+    join of two tiny sets. At 100 TB the listing, not the data, is
+    the cost — and THAT is the argument for a real table format.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = _scratch("manifest_v1_")
+    v2 = _scratch("manifest_v2_")
+    orders.select("o_orderkey", "o_orderstatus").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(v1)
+    orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit("1996"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    ).write.partitionBy("o_orderstatus").parquet(v2)
+
+    def manifest(path, alias):
+        return (
+            spark.read.parquet(path)
+            .select(F.col("o_orderstatus").alias(alias))
+            .distinct()
+        )
+
+    m1 = manifest(v1, "p1")
+    m2 = manifest(v2, "p2")
+    joined = m1.join(m2, F.col("p1") == F.col("p2"), "full_outer")
+    return (
+        joined.select(
+            F.when(F.col("p1").isNull(), "added")
+            .when(F.col("p2").isNull(), "removed")
+            .otherwise("kept")
+            .alias("change")
+        )
+        .groupBy("change")
+        .agg(F.count("*").cast("long").alias("n_partitions"))
+        .orderBy("change")
+    )

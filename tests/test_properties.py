@@ -2138,3 +2138,26 @@ def test_sample_size_decreases_with_mde(spark):
     sizes = [r.n_per_arm for r in rows]
     assert all(a > b for a, b in zip(sizes, sizes[1:]))
     assert all(n > 0 for n in sizes)
+
+
+def test_markov_entropy_rate_bounded_by_marginal(spark):
+    """Conditioning can't increase entropy: H_rate <= log2(5) and >= 0."""
+    import math
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_markov_entropy_rate"](spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r.entropy_rate_bits <= math.log2(5) + 1e-6
+    assert r.n_transitions_kinds <= 25
+
+
+def test_manifest_diff_exact_changes(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.change: r.n_partitions
+        for r in registry.QUERIES["s_manifest_diff"](spark, SF_SMALL).collect()
+    }
+    assert got == {"added": 1, "removed": 1, "kept": 2}
