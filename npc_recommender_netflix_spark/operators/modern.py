@@ -2453,3 +2453,184 @@ def q_bounce_rate(spark, sf_dir):
             / F.count("*")
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "q_peak_concurrency",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    sess AS (
+        SELECT user_id, min(ts) AS t0,
+               max(ts) + INTERVAL 30 MINUTE AS t1
+        FROM s GROUP BY user_id, sid
+    ),
+    deltas AS (
+        SELECT t0 AS t, 1 AS delta FROM sess
+        UNION ALL
+        SELECT t1 AS t, -1 AS delta FROM sess
+    ),
+    sweep AS (
+        SELECT t,
+               sum(delta) OVER (ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS open_now
+        FROM deltas
+    )
+    SELECT CAST(max(open_now) AS BIGINT) AS peak_concurrent,
+           CAST((SELECT count(*) FROM sess) AS BIGINT) AS n_sessions
+    FROM sweep
+    """,
+)
+def q_peak_concurrency(spark, sf_dir):
+    """Peak concurrency: the maximum number of simultaneously-open
+    sessions — the sweep-line algorithm in SQL (+1 at each session
+    start, −1 at each end, running sum, take the max). THE capacity
+    number: licenses, connection pools, and autoscaling floors are all
+    sized to it, and averages hide it completely (w_sessionize counts
+    sessions; this counts their OVERLAP).
+
+    Sessions come from the shared islands machinery; the sweep runs
+    over the 2×|sessions| delta-event axis, ordered (t, delta) so
+    closes sort before opens at the same instant (touching sessions
+    don't double-count). The running sum is exact integers; output is
+    two counters from any event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 1800000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    s = o.select(
+        "user_id",
+        "ts",
+        F.sum("brk")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("sid"),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t1"),
+    )
+    deltas = sess.select(F.col("t0").alias("t"), F.lit(1).alias("delta")).unionByName(
+        sess.select(F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    sweep = deltas.select(
+        F.sum("delta")
+        .over(Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("open_now")
+    )
+    n_sess = sess.agg(F.count("*").cast("long").alias("n_sessions"))
+    return (
+        sweep.agg(F.max("open_now").cast("long").alias("peak_concurrent"))
+        .crossJoin(F.broadcast(n_sess))
+    )
+
+
+@register(
+    "q_hazard_curve",
+    """
+    WITH bounds AS (SELECT max(o_orderdate) AS tmax FROM orders),
+    life AS (
+        SELECT CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+                    AS BIGINT) // 90 AS q,
+               CASE WHEN datediff('day', max(o_orderdate),
+                                  (SELECT tmax FROM bounds)) > 90
+                    THEN 1 ELSE 0 END AS died
+        FROM orders GROUP BY o_custkey
+    ),
+    counts AS (
+        SELECT q, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(died) AS BIGINT) AS d
+        FROM life GROUP BY q
+    ),
+    at_risk AS (
+        SELECT q, d,
+               sum(c) OVER (ORDER BY q DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS n
+        FROM counts
+    )
+    SELECT q AS quarter, d AS n_churned, CAST(n AS BIGINT) AS n_at_risk,
+           round(d * 1.0 / n, 6) + 0 AS hazard
+    FROM at_risk
+    WHERE d > 0
+    ORDER BY quarter
+    """,
+)
+def q_hazard_curve(spark, sf_dir):
+    """Discrete hazard rate h(q) = churned(q)/at-risk(q) by customer-
+    lifetime QUARTER — the derivative view of q_kaplan_meier: survival
+    says how many remain, hazard says WHEN the risk spikes (an early-
+    quarter hazard peak means onboarding loses them; a late plateau
+    means contracts expire). Same censoring rule as KM (90-day
+    dormancy), lifetimes bucketed to 90-day quarters so each cell has
+    statistical mass.
+
+    Per-customer fold → quarter-axis counts → reverse-cumulative
+    at-risk (the KM ingredient, surfaced instead of folded into the
+    product); hazard is one exact-integer division per quarter row.
+    The axis is lifetime-bounded (~30 quarters) at any order volume.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(F.max("o_orderdate").alias("tmax"))
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("t0"), F.max("o_orderdate").alias("t1"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.floor(F.datediff(F.col("t1"), F.col("t0")) / 90)
+            .cast("long")
+            .alias("q"),
+            F.when(F.datediff(F.col("tmax"), F.col("t1")) > 90, 1)
+            .otherwise(0)
+            .alias("died"),
+        )
+    )
+    counts = life.groupBy("q").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("died").cast("long").alias("d"),
+    )
+    w_rev = Window.orderBy(F.col("q").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = counts.select("q", "d", F.sum("c").over(w_rev).alias("n"))
+    return (
+        at_risk.where(F.col("d") > 0)
+        .select(
+            F.col("q").alias("quarter"),
+            F.col("d").alias("n_churned"),
+            F.col("n").cast("long").alias("n_at_risk"),
+            f6(F.col("d") * 1.0 / F.col("n")).alias("hazard"),
+        )
+        .orderBy("quarter")
+    )

@@ -204,7 +204,8 @@ ORACLE_WINDOW = (
 # m_checksum_audit, t_source_signature, r_epsilon_slate, q_reorder_rate,
 # s_prefix_compression, q_kaplan_meier, q_abc_xyz_matrix, a_bh_fdr,
 # w_rolling_corr, q_bounce_rate, v_medoid_select, t_compressibility,
-# a_sample_size, a_markov_entropy_rate, s_manifest_diff
+# a_sample_size, a_markov_entropy_rate, s_manifest_diff,
+# q_peak_concurrency, q_hazard_curve
 # (added round 5), r_precision_at_k,
 # r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
 # v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,

@@ -2161,3 +2161,22 @@ def test_manifest_diff_exact_changes(spark):
         for r in registry.QUERIES["s_manifest_diff"](spark, SF_SMALL).collect()
     }
     assert got == {"added": 1, "removed": 1, "kept": 2}
+
+
+def test_peak_concurrency_sane(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["q_peak_concurrency"](spark, SF_SMALL).collect()[0]
+    assert 1 <= r.peak_concurrent <= r.n_sessions
+
+
+def test_hazard_rates_valid_probabilities(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_hazard_curve"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.hazard <= 1.0
+        assert r.n_churned <= r.n_at_risk
