@@ -287,3 +287,43 @@ def fn_uuid5(spark, sf_dir):
         F.substring("hx", 21, 12),
     )
     return h.select("c_custkey", uuid5.alias("entity_uuid")).orderBy("c_custkey")
+
+
+@register(
+    "fn_string_transform",
+    """
+    SELECT c_custkey,
+           translate(c_name, '#', '-') AS dashed,
+           reverse(c_name) AS reversed,
+           repeat(substring(c_name, 1, 4), 2) AS doubled_prefix,
+           upper(substring(c_mktsegment, 1, 1))
+               || lower(substring(c_mktsegment, 2)) AS segment_title
+    FROM customer WHERE c_custkey <= 200
+    ORDER BY c_custkey
+    """,
+)
+def fn_string_transform(spark, sf_dir):
+    """Remaining string-transform surface: `translate` (per-char
+    mapping — THE sanitizer for separator normalization, orders of
+    magnitude cheaper than regex), `reverse` (suffix-indexing trick:
+    reverse + prefix-sort = suffix locality, see s_prefix_compression),
+    `repeat`, and title-casing via initcap (fn_string_basic covers
+    trim/pad/case; these are the structural transforms).
+
+    initcap has no DuckDB counterpart, so the oracle composes it from
+    upper/lower/substring — a recorded engine-surface divergence (the
+    fn_round_modes pattern: the portability note IS part of the key's
+    documentation). All are zero-shuffle codegen with scan pushdown.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.where(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            F.translate("c_name", "#", "-").alias("dashed"),
+            F.reverse("c_name").alias("reversed"),
+            F.repeat(F.substring("c_name", 1, 4), 2).alias("doubled_prefix"),
+            F.initcap(F.lower("c_mktsegment")).alias("segment_title"),
+        )
+        .orderBy("c_custkey")
+    )

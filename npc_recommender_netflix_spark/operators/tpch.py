@@ -2326,3 +2326,72 @@ def q_abc_xyz_matrix(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_parts"))
         .orderBy("abc_class", "xyz_class")
     )
+
+
+@register(
+    "q_reorder_point",
+    """
+    WITH pd AS (
+        SELECT l.l_partkey, CAST(o.o_orderdate AS DATE) AS day,
+               sum(CAST(round(l.l_quantity) AS BIGINT)) AS units
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_days,
+               avg(units * 1.0) AS mu,
+               stddev_samp(units * 1.0) AS sd,
+               CAST(sum(units) AS BIGINT) AS total_units
+        FROM pd GROUP BY l_partkey
+        HAVING count(*) >= 30
+    )
+    SELECT l_partkey, total_units,
+           round(mu * 7 + 1.644854 * sd * sqrt(7), 6) + 0 AS reorder_point,
+           round(1.644854 * sd * sqrt(7), 6) + 0 AS safety_stock
+    FROM stats
+    ORDER BY total_units DESC, l_partkey LIMIT 20
+    """,
+)
+def q_reorder_point(spark, sf_dir):
+    """Reorder-point policy table: for the 20 highest-volume parts,
+    ROP = μ·L + z·σ·√L with a 7-day lead time at 95% service level
+    (z = 1.644854) — the ACTIONABLE output the ABC-XYZ segmentation
+    feeds (q_abc_xyz_matrix says which parts deserve tight policies;
+    this computes the policy: reorder when on-hand hits ROP, and the
+    z·σ√L term IS the price of demand variability in units of
+    inventory).
+
+    Demand folds to (part, day) exactly; per-part μ/σ run over the
+    ≥30-day history (calendar-bounded); the √L and z constants fold
+    identically in both engines, and the active-day count floor makes
+    σ meaningful. TakeOrdered by exact total units.
+    """
+    li, orders = tables(spark, sf_dir, "lineitem", "orders")
+    pd_ = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_partkey", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("units"))
+    )
+    stats = (
+        pd_.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.avg(F.col("units") * 1.0).alias("mu"),
+            F.stddev_samp(F.col("units") * 1.0).alias("sd"),
+            F.sum("units").cast("long").alias("total_units"),
+        )
+        .where(F.col("n_days") >= 30)
+    )
+    z = 1.644854
+    safety = z * F.col("sd") * F.sqrt(F.lit(7.0))
+    return (
+        stats.select(
+            "l_partkey",
+            "total_units",
+            f6(F.col("mu") * 7 + safety).alias("reorder_point"),
+            f6(safety).alias("safety_stock"),
+        )
+        .orderBy(F.col("total_units").desc(), "l_partkey")
+        .limit(20)
+    )

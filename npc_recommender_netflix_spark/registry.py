@@ -205,7 +205,8 @@ ORACLE_WINDOW = (
 # s_prefix_compression, q_kaplan_meier, q_abc_xyz_matrix, a_bh_fdr,
 # w_rolling_corr, q_bounce_rate, v_medoid_select, t_compressibility,
 # a_sample_size, a_markov_entropy_rate, s_manifest_diff,
-# q_peak_concurrency, q_hazard_curve
+# q_peak_concurrency, q_hazard_curve, fn_string_transform,
+# q_reorder_point
 # (added round 5), r_precision_at_k,
 # r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
 # v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,

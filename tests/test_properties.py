@@ -2180,3 +2180,29 @@ def test_hazard_rates_valid_probabilities(spark):
     for r in rows:
         assert 0.0 < r.hazard <= 1.0
         assert r.n_churned <= r.n_at_risk
+
+
+def test_string_transform_invariants(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["fn_string_transform"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert "#" not in r.dashed
+        assert len(r.reversed) > 0
+        assert len(r.doubled_prefix) == 8
+        assert r.segment_title[0].isupper()
+
+
+def test_reorder_point_exceeds_safety_stock(spark):
+    """ROP = lead-time demand + safety stock, so ROP > safety stock
+    whenever mean demand is positive."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_reorder_point"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.reorder_point > r.safety_stock >= 0
+        assert r.total_units > 0
