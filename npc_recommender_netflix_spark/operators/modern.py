@@ -2634,3 +2634,129 @@ def q_hazard_curve(spark, sf_dir):
         )
         .orderBy("quarter")
     )
+
+
+@register(
+    "w_mtd_pace",
+    """
+    WITH daily AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    mtd AS (
+        SELECT mon, dom,
+               sum(cents) OVER (PARTITION BY mon ORDER BY dom) AS mtd_cents
+        FROM daily
+    ),
+    paced AS (
+        SELECT cur.mon, cur.dom,
+               cur.mtd_cents,
+               prev.mtd_cents AS prev_mtd_cents
+        FROM mtd cur
+        JOIN mtd prev
+          ON prev.mon = cur.mon - INTERVAL 1 MONTH AND prev.dom = cur.dom
+    )
+    SELECT CAST(mon AS DATE) AS mon, dom,
+           round(mtd_cents / 100.0, 2) + 0 AS mtd,
+           round(prev_mtd_cents / 100.0, 2) + 0 AS prev_mtd,
+           round(mtd_cents * 1.0 / prev_mtd_cents, 6) + 0 AS pace
+    FROM paced
+    WHERE dom = 15
+    ORDER BY mon LIMIT 24
+    """,
+)
+def w_mtd_pace(spark, sf_dir):
+    """Month-to-date pacing: cumulative revenue at day N of this month
+    vs the SAME day of last month — the FP&A mid-month report that
+    answers 'are we ahead?' while the month can still be influenced
+    (q_yoy_growth compares CLOSED periods; pace compares open ones at
+    matched completeness, which is the only fair mid-period compare).
+    Sampled at day 15 of each month.
+
+    Daily cents fold exactly; the MTD cumsum partitions by month; the
+    pace join matches (month-1, same day-of-month) by calendar
+    arithmetic — an equi-join on derived keys, no self-window. Axes
+    are calendar-bounded throughout; one division per output row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    mtd = daily.select(
+        "mon",
+        "dom",
+        F.sum("cents")
+        .over(Window.partitionBy("mon").orderBy("dom"))
+        .alias("mtd_cents"),
+    )
+    cur = mtd.alias("cur")
+    prev = mtd.select(
+        (F.col("mon") + F.expr("INTERVAL 1 MONTH")).alias("nmon"),
+        F.col("dom").alias("pdom"),
+        F.col("mtd_cents").alias("prev_mtd_cents"),
+    )
+    paced = cur.join(
+        prev,
+        (F.col("nmon") == F.col("mon")) & (F.col("pdom") == F.col("dom")),
+    )
+    return (
+        paced.where(F.col("dom") == 15)
+        .select(
+            F.col("mon").cast("date").alias("mon"),
+            "dom",
+            money2(F.col("mtd_cents") / 100.0).alias("mtd"),
+            money2(F.col("prev_mtd_cents") / 100.0).alias("prev_mtd"),
+            f6(F.col("mtd_cents") * 1.0 / F.col("prev_mtd_cents")).alias("pace"),
+        )
+        .orderBy("mon")
+        .limit(24)
+    )
+
+
+@register(
+    "q_sequence_inversions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               lead(event_id) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_id
+        FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_adjacent_pairs,
+           CAST(sum(CASE WHEN next_id < event_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inversions,
+           round(sum(CASE WHEN next_id < event_id THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) + 0 AS inversion_rate
+    FROM seq WHERE next_id IS NOT NULL
+    """,
+)
+def q_sequence_inversions(spark, sf_dir):
+    """Clock-skew audit: adjacent event pairs (time-ordered per user)
+    where the LATER timestamp carries the SMALLER event id — each one
+    is a producer whose sequence counter and clock disagree (buffered
+    flushes, NTP steps, multi-writer id races). Event-time pipelines
+    (st_watermark, j_asof, w_sessionize) silently reorder these; the
+    audit makes the rate visible BEFORE it becomes a correctness
+    mystery.
+
+    One user-keyed ordered pass (lead) — the same clustering every
+    sessionizer uses, here emitting three counters instead of
+    sessions. Adjacent-pair inversions undercount full Kendall
+    inversions but are linear-cost and catch every LOCAL disorder,
+    which is what buffering produces. At 100 TB: one shuffle, three
+    numbers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_id", F.lead("event_id").over(w).alias("next_id")
+    ).where(F.col("next_id").isNotNull())
+    inv = F.when(F.col("next_id") < F.col("event_id"), 1).otherwise(0)
+    return seq.agg(
+        F.count("*").cast("long").alias("n_adjacent_pairs"),
+        F.sum(inv).cast("long").alias("n_inversions"),
+        f6(F.sum(inv) * 1.0 / F.count("*")).alias("inversion_rate"),
+    )

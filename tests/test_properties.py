@@ -2206,3 +2206,24 @@ def test_reorder_point_exceeds_safety_stock(spark):
     for r in rows:
         assert r.reorder_point > r.safety_stock >= 0
         assert r.total_units > 0
+
+
+def test_mtd_pace_positive_and_day15(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["w_mtd_pace"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.dom == 15
+        assert r.pace > 0
+        assert r.mtd > 0 and r.prev_mtd > 0
+
+
+def test_inversion_rate_bounds(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["q_sequence_inversions"](spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r.inversion_rate <= 1.0
+    assert r.n_inversions <= r.n_adjacent_pairs
