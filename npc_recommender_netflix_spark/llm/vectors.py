@@ -2040,3 +2040,70 @@ def v_medoid_select(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "v_quant_error",
+    """
+    WITH bounds AS (
+        SELECT max(abs(CAST(x AS DOUBLE))) AS amax
+        FROM embeddings, unnest(embedding) AS t(x)
+    ),
+    comp AS (
+        SELECT e.label, CAST(t.x AS DOUBLE) AS x,
+               round(CAST(t.x AS DOUBLE) * 127.0 / b.amax) AS q
+        FROM embeddings e, unnest(e.embedding) AS t(x)
+        CROSS JOIN bounds b
+    ),
+    err AS (
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_components,
+               sum(CAST(round((x - q * (SELECT amax FROM bounds) / 127.0)
+                              * (x - q * (SELECT amax FROM bounds) / 127.0)
+                              * 1e12) AS BIGINT)) AS se12
+        FROM comp GROUP BY label
+    )
+    SELECT label, n_components,
+           round(sqrt(se12 / 1e12 / n_components), 6) + 0 AS rmse
+    FROM err ORDER BY label
+    """,
+)
+def v_quant_error(spark, sf_dir):
+    """Int8 quantization-error audit: per-label RMSE between raw float
+    components and their dequantized int8 codes (symmetric scale
+    amax/127 — the v_int8_quantize recipe) — the number that decides
+    whether 4× memory savings cost you recall, checked per CLASS
+    because quantization error concentrates in whichever region of
+    the space has the largest dynamic range (a global RMSE hides the
+    one label that suffers).
+
+    The global scale is a 1-row broadcast; quantize + dequantize +
+    squared error run map-side per component, snapped to 1e-12 BIGINT
+    units inside the label rollup (labels × 64-bounded output). Pair
+    with v_recall_at_k on the dequantized vectors for the end-to-end
+    verdict.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.explode(F.col("embedding")).alias("x0")
+    ).select("label", F.col("x0").cast("double").alias("x"))
+    bounds = comp.agg(F.max(F.abs(F.col("x"))).alias("amax"))
+    q = F.round(F.col("x") * 127.0 / F.col("amax"))
+    dx = F.col("x") - q * F.col("amax") / 127.0
+    err = (
+        comp.crossJoin(F.broadcast(bounds))
+        .select("label", F.round(dx * dx * 1e12).cast("long").alias("se12"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.sum("se12").alias("se12"),
+        )
+    )
+    return (
+        err.select(
+            "label",
+            "n_components",
+            f6(F.sqrt(F.col("se12") / 1e12 / F.col("n_components"))).alias("rmse"),
+        )
+        .orderBy("label")
+    )

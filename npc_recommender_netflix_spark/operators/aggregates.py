@@ -2651,3 +2651,140 @@ def a_markov_entropy_rate(spark, sf_dir):
             f6(F.sum("h12") / 1e12).alias("entropy_rate_bits"),
         )
     )
+
+
+@register(
+    "a_qte",
+    """
+    SELECT CAST(0.1 AS DOUBLE) AS quantile,
+           round(quantile_cont(CASE WHEN event_type = 'purchase'
+                               THEN CAST(round(value * 100) AS BIGINT) END,
+                               0.1) / 100, 6) + 0 AS q_purchase,
+           round(quantile_cont(CASE WHEN event_type = 'view'
+                               THEN CAST(round(value * 100) AS BIGINT) END,
+                               0.1) / 100, 6) + 0 AS q_view,
+           round((quantile_cont(CASE WHEN event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT) END,
+                                0.1)
+                  - quantile_cont(CASE WHEN event_type = 'view'
+                                  THEN CAST(round(value * 100) AS BIGINT) END,
+                                  0.1)) / 100, 6) + 0 AS qte
+    FROM events WHERE event_type IN ('purchase', 'view')
+    UNION ALL
+    SELECT CAST(0.25 AS DOUBLE) AS quantile,
+           round(quantile_cont(CASE WHEN event_type = 'purchase'
+                               THEN CAST(round(value * 100) AS BIGINT) END,
+                               0.25) / 100, 6) + 0 AS q_purchase,
+           round(quantile_cont(CASE WHEN event_type = 'view'
+                               THEN CAST(round(value * 100) AS BIGINT) END,
+                               0.25) / 100, 6) + 0 AS q_view,
+           round((quantile_cont(CASE WHEN event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT) END,
+                                0.25)
+                  - quantile_cont(CASE WHEN event_type = 'view'
+                                  THEN CAST(round(value * 100) AS BIGINT) END,
+                                  0.25)) / 100, 6) + 0 AS qte
+    FROM events WHERE event_type IN ('purchase', 'view')
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE) AS quantile,
+           round(quantile_cont(CASE WHEN event_type = 'purchase'
+                               THEN CAST(round(value * 100) AS BIGINT) END,
+                               0.5) / 100, 6) + 0 AS q_purchase,
+           round(quantile_cont(CASE WHEN event_type = 'view'
+                               THEN CAST(round(value * 100) AS BIGINT) END,
+                               0.5) / 100, 6) + 0 AS q_view,
+           round((quantile_cont(CASE WHEN event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT) END,
+                                0.5)
+                  - quantile_cont(CASE WHEN event_type = 'view'
+                                  THEN CAST(round(value * 100) AS BIGINT) END,
+                                  0.5)) / 100, 6) + 0 AS qte
+    FROM events WHERE event_type IN ('purchase', 'view')
+    UNION ALL
+    SELECT CAST(0.75 AS DOUBLE) AS quantile,
+           round(quantile_cont(CASE WHEN event_type = 'purchase'
+                               THEN CAST(round(value * 100) AS BIGINT) END,
+                               0.75) / 100, 6) + 0 AS q_purchase,
+           round(quantile_cont(CASE WHEN event_type = 'view'
+                               THEN CAST(round(value * 100) AS BIGINT) END,
+                               0.75) / 100, 6) + 0 AS q_view,
+           round((quantile_cont(CASE WHEN event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT) END,
+                                0.75)
+                  - quantile_cont(CASE WHEN event_type = 'view'
+                                  THEN CAST(round(value * 100) AS BIGINT) END,
+                                  0.75)) / 100, 6) + 0 AS qte
+    FROM events WHERE event_type IN ('purchase', 'view')
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE) AS quantile,
+           round(quantile_cont(CASE WHEN event_type = 'purchase'
+                               THEN CAST(round(value * 100) AS BIGINT) END,
+                               0.9) / 100, 6) + 0 AS q_purchase,
+           round(quantile_cont(CASE WHEN event_type = 'view'
+                               THEN CAST(round(value * 100) AS BIGINT) END,
+                               0.9) / 100, 6) + 0 AS q_view,
+           round((quantile_cont(CASE WHEN event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT) END,
+                                0.9)
+                  - quantile_cont(CASE WHEN event_type = 'view'
+                                  THEN CAST(round(value * 100) AS BIGINT) END,
+                                  0.9)) / 100, 6) + 0 AS qte
+    FROM events WHERE event_type IN ('purchase', 'view')
+    ORDER BY quantile
+    """,
+)
+def a_qte(spark, sf_dir):
+    """Quantile treatment effects: the purchase-vs-view value gap at
+    p10/p25/p50/p75/p90 — WHERE in the distribution the difference
+    lives (a mean shift of +2 can be 'everyone +2' or 'the top decile
+    +20'; a_cohens_d cannot tell them apart, the QTE profile can —
+    and a tail-only effect changes the product decision entirely).
+
+    Exact cent operands feed both engines' identical linear-
+    interpolation percentile (the q_conversion_lag precedent); the
+    5-point quantile grid crosses the conditional columns in ONE
+    grouped pass. At 100 TB swap exact percentiles for KLL sketches
+    per group (a_kll_quantiles) — the grid and deltas are unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    rows = []
+    for p in (0.1, 0.25, 0.5, 0.75, 0.9):
+        rows.append(
+            g.agg(
+                F.lit(p).alias("quantile"),
+                f6(
+                    F.expr(
+                        f"percentile(CASE WHEN event_type = 'purchase'"
+                        f" THEN c END, {p})"
+                    )
+                    / 100
+                ).alias("q_purchase"),
+                f6(
+                    F.expr(
+                        f"percentile(CASE WHEN event_type = 'view'"
+                        f" THEN c END, {p})"
+                    )
+                    / 100
+                ).alias("q_view"),
+                f6(
+                    (
+                        F.expr(
+                            f"percentile(CASE WHEN event_type = 'purchase'"
+                            f" THEN c END, {p})"
+                        )
+                        - F.expr(
+                            f"percentile(CASE WHEN event_type = 'view'"
+                            f" THEN c END, {p})"
+                        )
+                    )
+                    / 100
+                ).alias("qte"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("quantile")

@@ -2227,3 +2227,42 @@ def test_inversion_rate_bounds(spark):
     r = registry.QUERIES["q_sequence_inversions"](spark, SF_SMALL).collect()[0]
     assert 0.0 <= r.inversion_rate <= 1.0
     assert r.n_inversions <= r.n_adjacent_pairs
+
+
+def test_qte_deltas_consistent(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        registry.QUERIES["a_qte"](spark, SF_SMALL).collect(),
+        key=lambda r: r.quantile,
+    )
+    assert [r.quantile for r in rows] == [0.1, 0.25, 0.5, 0.75, 0.9]
+    for r in rows:
+        assert abs(r.qte - (r.q_purchase - r.q_view)) < 1e-4
+    # quantiles within each group are nondecreasing
+    qp = [r.q_purchase for r in rows]
+    assert qp == sorted(qp)
+
+
+def test_quant_error_bounded_by_half_step(spark):
+    """Rounding to the int8 grid bounds per-component error by half a
+    quantization step, so RMSE <= amax/127/2 (plus snap slack)."""
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+    from npc_recommender_netflix_spark.session import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = registry.QUERIES["v_quant_error"](spark, SF_SMALL).collect()
+    assert rows
+    amax = (
+        load_table(spark, SF_SMALL, "embeddings")
+        .select(F.explode("embedding").alias("x"))
+        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("m"))
+        .collect()[0]
+        .m
+    )
+    bound = amax / 127.0 / 2.0 + 1e-6
+    for r in rows:
+        assert 0.0 <= r.rmse <= bound
