@@ -118,3 +118,50 @@ def fn_posexplode(spark, sf_dir):
         F.col("pos").cast("long").alias("pos"),
         (F.round(F.col("v").cast("double"), 6) + 0.0).alias("val"),
     )
+
+
+@register(
+    "fn_inline_stack",
+    """
+    SELECT o_orderkey, 'price' AS measure,
+           round(o_totalprice, 2) + 0 AS val
+    FROM orders WHERE o_orderkey <= 200
+    UNION ALL
+    SELECT o_orderkey, 'price_with_tax',
+           round(o_totalprice * 1.08, 2) + 0
+    FROM orders WHERE o_orderkey <= 200
+    UNION ALL
+    SELECT o_orderkey, 'price_discounted',
+           round(o_totalprice * 0.9, 2) + 0
+    FROM orders WHERE o_orderkey <= 200
+    ORDER BY o_orderkey, measure
+    """,
+)
+def fn_inline_stack(spark, sf_dir):
+    """Generator surface beyond explode: `stack(n, k1, v1, ...)` turns
+    N (label, value) pairs per row into N rows — the inline unpivot
+    for computed measures (a_unpivot melts existing COLUMNS; stack
+    fabricates the long form from expressions in one generator, no
+    intermediate wide frame). The third generator family member after
+    explode and posexplode, same Generate operator underneath.
+
+    One codegen Generate per input row (3× fan-out, map-side); the
+    oracle is the UNION ALL the generator replaces — same rows, but
+    the stack plan scans ONCE where the union scans three times,
+    which at 100 TB is the entire point.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.expr(
+                "stack(3,"
+                " 'price', round(o_totalprice, 2) + 0.0d,"
+                " 'price_with_tax', round(o_totalprice * 1.08, 2) + 0.0d,"
+                " 'price_discounted', round(o_totalprice * 0.9, 2) + 0.0d"
+                ") AS (measure, val)"
+            ),
+        )
+        .orderBy("o_orderkey", "measure")
+    )

@@ -19,10 +19,11 @@ overlap unit is the word 8-gram, carried as an md5 digest end-to-end:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table
+from ..session import f6, load_table
 
 # word 8-grams per doc as md5 digests, distinct per doc
 _GRAMS_SQL = r"""
@@ -80,4 +81,124 @@ def t_decontaminate(spark, sf_dir):
     hits = train.join(F.broadcast(bench), "g")
     return hits.groupBy("doc_id", "lang").agg(
         F.count_distinct("g").cast("long").alias("n_hits")
+    )
+
+
+@register(
+    "t_source_overlap",
+    r"""
+    WITH tok AS (
+        SELECT source, doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS word,
+               generate_subscripts(
+                   string_split_regex(lower(text), '\s+'), 1) AS pos
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT source,
+               md5(word || ' ' ||
+                   lead(word, 1) OVER (PARTITION BY source, doc_id
+                                       ORDER BY pos) || ' ' ||
+                   lead(word, 2) OVER (PARTITION BY source, doc_id
+                                       ORDER BY pos) || ' ' ||
+                   lead(word, 3) OVER (PARTITION BY source, doc_id
+                                       ORDER BY pos) || ' ' ||
+                   lead(word, 4) OVER (PARTITION BY source, doc_id
+                                       ORDER BY pos)) AS g
+        FROM tok
+        QUALIFY lead(word, 4) OVER (PARTITION BY source, doc_id
+                                    ORDER BY pos) IS NOT NULL
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM grams
+              GROUP BY source),
+    ov AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM grams a JOIN grams b
+          ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT o.src_a, o.src_b, o.shared,
+           round(o.shared * 1.0 / least(sa.n, sb.n), 6) + 0 AS containment
+    FROM ov o
+    JOIN sizes sa ON sa.source = o.src_a
+    JOIN sizes sb ON sb.source = o.src_b
+    ORDER BY containment DESC, o.src_a, o.src_b
+    LIMIT 20
+    """,
+)
+def t_source_overlap(spark, sf_dir):
+    """Cross-source 5-gram containment matrix: for each source pair,
+    shared distinct 5-grams over the SMALLER source's gram count — the
+    'is feed B a scrape of feed A' provenance question
+    (t_decontaminate checks a corpus against one benchmark;
+    t_jsd_sources compares unigram DISTRIBUTIONS — containment of
+    exact 5-grams catches verbatim copying that distribution
+    similarity misses entirely). Top-20 most-contained pairs.
+
+    5-grams build from positional leads inside one (source, doc)
+    clustering and dedup to 32-char digests per source (text never
+    joins); the pair overlap is a gram-keyed equi-join of digest sets
+    with a<b canonicalization, and containment divides exact counts
+    against the broadcast size table. Work scales with shared-gram
+    postings, not source-pair count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "word"),
+    )
+    w = Window.partitionBy("source", "doc_id").orderBy("pos")
+    gram = F.md5(
+        F.concat_ws(
+            " ",
+            F.col("word"),
+            F.lead("word", 1).over(w),
+            F.lead("word", 2).over(w),
+            F.lead("word", 3).over(w),
+            F.lead("word", 4).over(w),
+        )
+    )
+    grams = (
+        words.select(
+            "source",
+            gram.alias("g"),
+            F.lead("word", 4).over(w).alias("w4"),
+        )  # gram + filter column in ONE window stage: filtering first
+        # would re-evaluate the leads over the shrunken partition and
+        # fabricate short grams at each doc's tail
+        .where(F.col("w4").isNotNull())
+        .select("source", "g")
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = grams.alias("ga")
+    b = grams.alias("gb")
+    ov = (
+        a.join(
+            b,
+            (F.col("ga.g") == F.col("gb.g"))
+            & (F.col("ga.source") < F.col("gb.source")),
+        )
+        .groupBy(
+            F.col("ga.source").alias("src_a"), F.col("gb.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        ov.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            f6(F.col("shared") * 1.0 / F.least(F.col("na"), F.col("nb"))).alias(
+                "containment"
+            ),
+        )
+        .orderBy(F.col("containment").desc(), "src_a", "src_b")
+        .limit(20)
     )

@@ -2266,3 +2266,29 @@ def test_quant_error_bounded_by_half_step(spark):
     bound = amax / 127.0 / 2.0 + 1e-6
     for r in rows:
         assert 0.0 <= r.rmse <= bound
+
+
+def test_inline_stack_three_rows_per_order(spark):
+    from collections import Counter
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["fn_inline_stack"](spark, SF_SMALL).collect()
+    assert rows
+    per_order = Counter(r.o_orderkey for r in rows)
+    assert all(n == 3 for n in per_order.values())
+    measures = {r.measure for r in rows}
+    assert measures == {"price", "price_with_tax", "price_discounted"}
+
+
+def test_source_overlap_containment_bounds(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_source_overlap"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.containment <= 1.0
+        assert r.src_a < r.src_b
+        assert r.shared >= 1
