@@ -2107,3 +2107,141 @@ def v_quant_error(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+_PAIR_COS_DUCK = """round(list_sum(list_transform(range(1, 65),
+    i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+    6) + 0"""
+
+
+@register(
+    "v_mmr_rerank",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 3),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id >= 3),
+    rel AS (
+        SELECT qid, cid, ce,
+               {_PAIR_COS_DUCK.format(a='qe', b='ce')} AS r
+        FROM q JOIN c ON true
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY {_PAIR_COS_DUCK.format(a='qe', b='ce')}
+                                            DESC, cid) <= 8
+    ),
+    p1 AS (
+        SELECT qid, cid AS pick1, ce AS e1 FROM (
+            SELECT qid, cid, ce,
+                   row_number() OVER (PARTITION BY qid ORDER BY r DESC, cid)
+                       AS rn
+            FROM rel
+        ) WHERE rn = 1
+    ),
+    s2 AS (
+        SELECT rel.qid, rel.cid, rel.ce, rel.r,
+               round(rel.r - 0.5 * ({_PAIR_COS_DUCK.format(a='rel.ce', b='p1.e1')}),
+                     6) + 0 AS mmr
+        FROM rel JOIN p1 ON p1.qid = rel.qid
+        WHERE rel.cid <> p1.pick1
+    ),
+    p2 AS (
+        SELECT qid, cid AS pick2, ce AS e2 FROM (
+            SELECT qid, cid, ce,
+                   row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid)
+                       AS rn
+            FROM s2
+        ) WHERE rn = 1
+    )
+    SELECT p1.qid AS query_id, CAST(1 AS BIGINT) AS rank, p1.pick1 AS item_id
+    FROM p1
+    UNION ALL
+    SELECT p2.qid, CAST(2 AS BIGINT), p2.pick2 FROM p2
+    ORDER BY query_id, rank
+    """,
+)
+def v_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking, two greedy steps
+    unrolled: pick the most relevant candidate, then the one
+    maximizing relevance − λ·similarity-to-picked (λ=0.5) — THE
+    diversity re-ranker that stops a result slate being five copies
+    of the same answer (r_intralist_diversity MEASURES slate
+    redundancy; MMR REMOVES it at ranking time). Greedy selection is
+    inherently sequential, so like r_hits/v_kmeans_step/
+    v_power_iteration it unrolls: k slate slots = k rank-filter
+    rounds, each a bounded join against the picks so far.
+
+    Candidates are the per-query top-8 by rounded cosine (rank-filter,
+    id tiebreaks); each MMR score is one cosine against the previous
+    pick on the queries×8-bounded axis. All orderings on 6dp-rounded
+    scores — engine-exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.where(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cos_qc = F.expr(_DOT.format(a="qe", b="ce")) / (
+        F.expr(_NRM.format(a="qe")) * F.expr(_NRM.format(a="ce"))
+    )
+    rel = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("qid", "cid", "ce", (F.round(cos_qc, 6) + 0.0).alias("r"))
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("r").desc(), "cid")
+            ),
+        )
+        .where(F.col("crn") <= 8)
+        .drop("crn")
+    )
+    p1 = (
+        rel.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("r").desc(), "cid")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("pick1"), F.col("ce").alias("e1"))
+    )
+    cos_ce1 = F.expr(_DOT.format(a="ce", b="e1")) / (
+        F.expr(_NRM.format(a="ce")) * F.expr(_NRM.format(a="e1"))
+    )
+    s2 = (
+        rel.join(F.broadcast(p1), "qid")
+        .where(F.col("cid") != F.col("pick1"))
+        .select(
+            "qid",
+            "cid",
+            (F.round(F.col("r") - 0.5 * (F.round(cos_ce1, 6) + 0.0), 6) + 0.0).alias(
+                "mmr"
+            ),
+        )
+    )
+    p2 = (
+        s2.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("mmr").desc(), "cid")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("pick2"))
+    )
+    out1 = p1.select(
+        F.col("qid").alias("query_id"),
+        F.lit(1).cast("long").alias("rank"),
+        F.col("pick1").alias("item_id"),
+    )
+    out2 = p2.select(
+        F.col("qid").alias("query_id"),
+        F.lit(2).cast("long").alias("rank"),
+        F.col("pick2").alias("item_id"),
+    )
+    return out1.unionByName(out2).orderBy("query_id", "rank")

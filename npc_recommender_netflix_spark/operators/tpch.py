@@ -2395,3 +2395,61 @@ def q_reorder_point(spark, sf_dir):
         .orderBy(F.col("total_units").desc(), "l_partkey")
         .limit(20)
     )
+
+
+@register(
+    "q_revenue_waterfall",
+    """
+    WITH t AS (
+        SELECT
+            sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS gross2,
+            sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS disc4,
+            sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                * CAST(round(l_tax * 100) AS BIGINT)) AS tax6
+        FROM lineitem
+    )
+    SELECT round(gross2 / 100.0, 2) + 0 AS gross,
+           round(disc4 / 10000.0, 2) + 0 AS discounts,
+           round((gross2 / 100.0) - (disc4 / 10000.0), 2) + 0 AS net_of_discount,
+           round(tax6 / 1000000.0, 2) + 0 AS tax_collected,
+           round((gross2 / 100.0) - (disc4 / 10000.0)
+                 + (tax6 / 1000000.0), 2) + 0 AS billed_total
+    FROM t
+    """,
+)
+def q_revenue_waterfall(spark, sf_dir):
+    """Gross-to-billed revenue waterfall: gross extended price, minus
+    discounts, plus tax collected on the discounted base — the P&L
+    bridge that reconciles 'bookings' to 'billings' in one row, built
+    on TPC-H's actual charge formula extprice·(1−disc)·(1+tax) whose
+    tax leg no other key exercises (q_pricing_summary aggregates the
+    charge; the waterfall DECOMPOSES it so finance can see each step).
+
+    Every leg folds as exact scaled BIGINTs in one scan — gross in
+    cents, discounts in cents×pct (1e-4), tax in cents×pct×pct (1e-6)
+    — so the partial aggregation is reorder-safe at any parallelism
+    and the reconciliation identity (billed = gross − discounts + tax)
+    holds to the cent by CONSTRUCTION, which the pytest pins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    keep = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    t = li.agg(
+        F.sum(cents).alias("gross2"),
+        F.sum(cents * disc).alias("disc4"),
+        F.sum(cents * keep * tax).alias("tax6"),
+    )
+    gross = F.col("gross2") / 100.0
+    discounts = F.col("disc4") / 10000.0
+    taxc = F.col("tax6") / 1000000.0
+    return t.select(
+        money2(gross).alias("gross"),
+        money2(discounts).alias("discounts"),
+        money2(gross - discounts).alias("net_of_discount"),
+        money2(taxc).alias("tax_collected"),
+        money2(gross - discounts + taxc).alias("billed_total"),
+    )

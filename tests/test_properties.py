@@ -2292,3 +2292,29 @@ def test_source_overlap_containment_bounds(spark):
         assert 0.0 < r.containment <= 1.0
         assert r.src_a < r.src_b
         assert r.shared >= 1
+
+
+def test_revenue_waterfall_reconciles(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["q_revenue_waterfall"](spark, SF_SMALL).collect()[0]
+    assert abs(r.billed_total - (r.gross - r.discounts + r.tax_collected)) < 0.05
+    assert r.gross > r.net_of_discount > 0
+    assert r.discounts > 0 and r.tax_collected > 0
+
+
+def test_mmr_second_pick_differs_and_two_per_query(spark):
+    from collections import defaultdict
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["v_mmr_rerank"](spark, SF_SMALL).collect()
+    by_q = defaultdict(dict)
+    for r in rows:
+        by_q[r.query_id][r.rank] = r.item_id
+    assert len(by_q) == 3
+    for picks in by_q.values():
+        assert set(picks) == {1, 2}
+        assert picks[1] != picks[2]
