@@ -2788,3 +2788,81 @@ def a_qte(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("quantile")
+
+
+@register(
+    "a_record_test",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1
+    ),
+    rec AS (
+        SELECT day, v,
+               max(v) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_max
+        FROM daily
+    ),
+    obs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CASE WHEN prev_max IS NULL OR v > prev_max
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_records
+        FROM rec
+    ),
+    harmonic AS (
+        SELECT o.n_days,
+               sum(CAST(round(1e12 / g.k) AS BIGINT)) AS h12
+        FROM obs o, generate_series(1, 10000) AS g(k)
+        WHERE g.k <= o.n_days
+        GROUP BY o.n_days
+    )
+    SELECT o.n_days, o.n_records,
+           round(h.h12 / 1e12, 6) + 0 AS expected_records,
+           round(o.n_records * 1e12 / h.h12, 6) + 0 AS record_ratio
+    FROM obs o JOIN harmonic h ON h.n_days = o.n_days
+    """,
+)
+def a_record_test(spark, sf_dir):
+    """Record-statistics trend test: the observed count of record-high
+    revenue days vs the H(n) = Σ1/k records an EXCHANGEABLE (trendless)
+    series would produce — ratio ≫ 1 means genuine upward trend,
+    ratio ≈ 1 means the 'record quarter!' press release is what
+    randomness already owed you (distribution-free, needs NO variance
+    estimate — the elegant cousin of w_cusum's parametric drift view).
+
+    Records come from one running-max pass over the day axis; the
+    harmonic expectation is a bounded series sum with 1e-12-snapped
+    reciprocal terms (exact, and identical in both engines); the
+    ratio divides two exact BIGINTs. Day-axis bounded at any order
+    volume.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    rec = daily.withColumn("prev_max", F.max("v").over(w))
+    obs = rec.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(
+            F.when(F.col("prev_max").isNull() | (F.col("v") > F.col("prev_max")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_records"),
+    )
+    ks = spark.range(1, 10001).select(F.col("id").cast("long").alias("k"))
+    harmonic = (
+        obs.crossJoin(F.broadcast(ks))
+        .where(F.col("k") <= F.col("n_days"))
+        .groupBy("n_days", "n_records")
+        .agg(F.sum(F.round(1e12 / F.col("k")).cast("long")).alias("h12"))
+    )
+    return harmonic.select(
+        "n_days",
+        "n_records",
+        f6(F.col("h12") / 1e12).alias("expected_records"),
+        f6(F.col("n_records") * 1e12 / F.col("h12")).alias("record_ratio"),
+    )

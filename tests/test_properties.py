@@ -2318,3 +2318,17 @@ def test_mmr_second_pick_differs_and_two_per_query(spark):
     for picks in by_q.values():
         assert set(picks) == {1, 2}
         assert picks[1] != picks[2]
+
+
+def test_record_test_consistency(spark):
+    """At least 1 record (the first day); expected = H(n) in
+    [1, 1+ln(n)]; ratio consistent with the parts."""
+    import math
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_record_test"](spark, SF_SMALL).collect()[0]
+    assert r.n_records >= 1
+    assert 1.0 <= r.expected_records <= 1 + math.log(r.n_days) + 1e-6
+    assert abs(r.record_ratio - r.n_records / r.expected_records) < 1e-4
