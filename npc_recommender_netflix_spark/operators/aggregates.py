@@ -2866,3 +2866,67 @@ def a_record_test(spark, sf_dir):
         f6(F.col("h12") / 1e12).alias("expected_records"),
         f6(F.col("n_records") * 1e12 / F.col("h12")).alias("record_ratio"),
     )
+
+
+@register(
+    "a_seasonal_strength",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    dowm AS (
+        SELECT dow, avg(v * 1.0) AS dmu FROM daily GROUP BY dow
+    ),
+    dev AS (
+        SELECT d.v, d.v - dm.dmu AS resid,
+               (SELECT avg(v * 1.0) FROM daily) AS gmu
+        FROM daily d JOIN dowm dm ON dm.dow = d.dow
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(var_samp(v / 1e5), 6) + 0 AS var_total_kusd,
+           round(var_samp(resid / 1e5), 6) + 0 AS var_residual_kusd,
+           round(greatest(0, 1 - var_samp(resid) / var_samp(v * 1.0)), 6) + 0
+               AS seasonal_strength
+    FROM dev
+    """,
+)
+def a_seasonal_strength(spark, sf_dir):
+    """Weekly seasonality STRENGTH: 1 − var(residual)/var(total) after
+    removing day-of-week means — the fraction of daily revenue variance
+    the weekly cycle explains (STL's strength statistic, weekly
+    special case). ≈0 says deseasonalization (w_seasonality) and
+    seasonal-naive forecasting (w_seasonal_naive_mape) are wasted
+    machinery on this series; ≈1 says they're mandatory — measure
+    BEFORE building either.
+
+    The day fold and dow means are calendar-bounded; residuals join
+    the 7-row mean table broadcast; both variances run over the same
+    day axis in one aggregate, REPORTED in kilodollar units — raw
+    cent-scale variances are ~5e15 where the two engines' float
+    accumulation orders disagree in the final digits; rescaling puts
+    the 6dp rounding boundary far above that noise. The strength
+    ratio is scale-invariant either way.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v"))
+    dowm = daily.groupBy("dow").agg(F.avg(F.col("v") * 1.0).alias("dmu"))
+    dev = daily.join(F.broadcast(dowm), "dow").select(
+        "v", (F.col("v") - F.col("dmu")).alias("resid")
+    )
+    return dev.agg(
+        F.count("*").cast("long").alias("n_days"),
+        f6(F.var_samp(F.col("v") / 1e5)).alias("var_total_kusd"),
+        f6(F.var_samp(F.col("resid") / 1e5)).alias("var_residual_kusd"),
+        f6(
+            F.greatest(
+                F.lit(0.0),
+                1 - F.var_samp("resid") / F.var_samp(F.col("v") * 1.0),
+            )
+        ).alias("seasonal_strength"),
+    )

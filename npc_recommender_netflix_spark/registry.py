@@ -208,7 +208,8 @@ ORACLE_WINDOW = (
 # q_peak_concurrency, q_hazard_curve, fn_string_transform,
 # q_reorder_point, w_mtd_pace, q_sequence_inversions, a_qte,
 # v_quant_error, fn_inline_stack, t_source_overlap,
-# q_revenue_waterfall, v_mmr_rerank, a_record_test
+# q_revenue_waterfall, v_mmr_rerank, a_record_test,
+# a_seasonal_strength
 # (added round 5), r_precision_at_k,
 # r_baseline_bias, r_coverage, r_pagerank, t_unigram_nll, t_bigram_nll,
 # v_recall_at_k, t_winnowing, t_lsh_recall, m_audio_pipeline,

@@ -2332,3 +2332,13 @@ def test_record_test_consistency(spark):
     assert r.n_records >= 1
     assert 1.0 <= r.expected_records <= 1 + math.log(r.n_days) + 1e-6
     assert abs(r.record_ratio - r.n_records / r.expected_records) < 1e-4
+
+
+def test_seasonal_strength_in_unit_interval(spark):
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["a_seasonal_strength"](spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r.seasonal_strength <= 1.0
+    assert r.var_residual_kusd <= r.var_total_kusd * (1 + 1e-6)
+    assert r.n_days > 7
