@@ -2099,7 +2099,8 @@ def a_chi2_uniform(spark, sf_dir):
     )
     SELECT CAST(200 AS BIGINT) AS n_perms,
            round(o.d_obs / 1e6, 6) + 0 AS observed_diff,
-           round(sum(CASE WHEN nd.d >= o.d_obs THEN 1 ELSE 0 END) / 200.0, 6)
+           round((sum(CASE WHEN nd.d >= o.d_obs THEN 1 ELSE 0 END) + 1)
+                 / 201.0, 6)
                + 0 AS p_value
     FROM null_d nd CROSS JOIN obs o
     GROUP BY o.d_obs
@@ -2117,9 +2118,10 @@ def a_permutation_test(spark, sf_dir):
     The fact table folds ONCE to per-user means; the 200 relabelings
     explode the USER axis (users × B rows — B scales the axis, never
     the fact scan), each permutation's null difference is one
-    conditional avg, and the p-value is a count against the observed
-    difference. Permutation count is the sensitivity knob; the plan
-    shape never changes.
+    conditional avg, and the p-value uses the +1/(B+1) finite-sample
+    correction — (count ≥ d_obs + 1)/201 — so it can never report an
+    invalid p = 0 (matching a_bh_fdr's convention). Permutation count
+    is the sensitivity knob; the plan shape never changes.
     """
     ev = load_table(spark, sf_dir, "events")
     per_user = (
@@ -2178,7 +2180,7 @@ def a_permutation_test(spark, sf_dir):
         .select(
             F.lit(200).cast("long").alias("n_perms"),
             f6(F.col("d_obs") / 1e6).alias("observed_diff"),
-            f6(F.col("ge") / 200.0).alias("p_value"),
+            f6((F.col("ge") + 1) / 201.0).alias("p_value"),
         )
     )
 
@@ -2431,11 +2433,16 @@ def a_bimodality(spark, sf_dir):
                    AS rnk,
                CAST(count(*) OVER () AS BIGINT) AS k
         FROM pvals
+    ),
+    kstar AS (
+        SELECT coalesce(max(CASE WHEN p * k <= 0.1 * rnk THEN rnk END), 0)
+                   AS k_star
+        FROM ranked
     )
     SELECT event_type, round(p, 6) + 0 AS p_value, rnk,
-           CAST(CASE WHEN p * k <= 0.1 * rnk THEN 1 ELSE 0 END AS BIGINT)
+           CAST(CASE WHEN rnk <= ks.k_star THEN 1 ELSE 0 END AS BIGINT)
                AS discovery
-    FROM ranked
+    FROM ranked CROSS JOIN kstar ks
     ORDER BY rnk, event_type
     """,
 )
@@ -2450,8 +2457,10 @@ def a_bh_fdr(spark, sf_dir):
     The user×type fold happens once; relabelings explode only the
     (user-type, test, perm) axis (hash 'randomness' — the
     a_permutation_test trick, now salted per test); p-values use the
-    +1/(B+1) finite-sample correction; the BH step-up compares
-    p·k ≤ q·rank with EXACT arithmetic on the rank axis (k=5 rows).
+    +1/(B+1) finite-sample correction; the BH STEP-UP rule is the
+    real one: k* = max rank with p·k ≤ q·rank (an unbounded window
+    max over the k=5-row rank axis), and EVERY rank ≤ k* is a
+    discovery — including ranks whose own p exceeds q·rank/k.
     All heavy axes are bounded by tests × permutations, never facts.
     """
     ev = load_table(spark, sf_dir, "events")
@@ -2513,12 +2522,21 @@ def a_bh_fdr(spark, sf_dir):
             )
         ).cast("long").alias("k"),
     )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    k_star = F.coalesce(
+        F.max(
+            F.when(F.col("p") * F.col("k") <= 0.1 * F.col("rnk"), F.col("rnk"))
+        ).over(w_all),
+        F.lit(0),
+    )
     return (
         ranked.select(
             "event_type",
             f6(F.col("p")).alias("p_value"),
             "rnk",
-            F.when(F.col("p") * F.col("k") <= 0.1 * F.col("rnk"), 1)
+            F.when(F.col("rnk") <= k_star, 1)
             .otherwise(0)
             .cast("long")
             .alias("discovery"),

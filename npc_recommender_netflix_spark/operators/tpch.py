@@ -1955,14 +1955,14 @@ def q_revenue_retention(spark, sf_dir):
     ),
     sky AS (
         SELECT l_partkey, qty, rev4,
-               max(rev4) OVER (ORDER BY qty DESC, l_partkey
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND 1 PRECEDING) AS best_rev_ahead
+               max(rev4) OVER (ORDER BY qty DESC
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS best_rev_ge
         FROM ax
     )
     SELECT l_partkey, qty, round(rev4 / 10000.0, 2) + 0 AS revenue
     FROM sky
-    WHERE best_rev_ahead IS NULL OR rev4 > best_rev_ahead
+    WHERE rev4 = best_rev_ge
     ORDER BY qty DESC, l_partkey
     """,
 )
@@ -1974,12 +1974,15 @@ def q_skyline_parts(spark, sf_dir):
     none) — classic database-literature operator class of its own.
 
     The 2-D skyline collapses to ONE window after the part-axis fold:
-    sort by qty desc, keep rows beating the running max revenue among
-    all parts with more quantity (ties on qty resolved by the
-    l_partkey order making the dominance test strict). Exact integer
-    axes; the window runs over |parts| rows, never lineitem. D>2
-    skylines need the block-nested-loop generalization — the 2-D
-    sort-scan is the special case worth having because it's free.
+    sort by qty desc with a RANGE frame on qty, so every part sees the
+    max revenue among ALL parts with >= its quantity (qty peers
+    included — exactly the '>= quantity' side of the dominance rule);
+    it survives iff its own revenue IS that max, which is precisely
+    'no strictly-greater revenue exists' (equal-(qty,rev) twins both
+    survive, as strict dominance requires). Exact integer axes; the
+    window runs over |parts| rows, never lineitem. D>2 skylines need
+    the block-nested-loop generalization — the 2-D sort-scan is the
+    special case worth having because it's free.
     """
     li = load_table(spark, sf_dir, "lineitem")
     ax = li.groupBy("l_partkey").agg(
@@ -1987,15 +1990,12 @@ def q_skyline_parts(spark, sf_dir):
         F.sum(_rev_exact()).alias("rev4"),
     )
     w = (
-        Window.orderBy(F.col("qty").desc(), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        Window.orderBy(F.col("qty").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sky = ax.withColumn("best_rev_ahead", F.max("rev4").over(w))
+    sky = ax.withColumn("best_rev_ge", F.max("rev4").over(w))
     return (
-        sky.where(
-            F.col("best_rev_ahead").isNull()
-            | (F.col("rev4") > F.col("best_rev_ahead"))
-        )
+        sky.where(F.col("rev4") == F.col("best_rev_ge"))
         .select("l_partkey", "qty", money2(F.col("rev4") / 10000.0).alias("revenue"))
         .orderBy(F.col("qty").desc(), "l_partkey")
     )
