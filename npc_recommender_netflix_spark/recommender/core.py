@@ -1002,6 +1002,199 @@ def r_user_cosine(spark, sf_dir):
 
 
 @register(
+    "r_cosine_sim_capped",
+    f"""
+    WITH m0 AS ({_M_SQL}),
+    deg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS df
+            FROM m0 GROUP BY user_id),
+    m AS (SELECT m0.user_id, m0.item_id, m0.rating
+          FROM m0 JOIN deg ON deg.user_id = m0.user_id
+          WHERE deg.df <= 48),
+    n AS (SELECT item_id, sqrt(sum(rating * rating)) AS nrm
+          FROM m GROUP BY item_id),
+    p AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+                 sum(a.rating * b.rating) AS dot,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM m a JOIN m b
+            ON a.user_id = b.user_id AND a.item_id < b.item_id
+          GROUP BY 1, 2),
+    sims AS (
+        SELECT item_a, item_b, round(dot / (na.nrm * nb.nrm), 6) + 0 AS cosine
+        FROM p JOIN n na ON p.item_a = na.item_id
+               JOIN n nb ON p.item_b = nb.item_id
+        WHERE p.n_common >= 3
+    ),
+    bidir AS (
+        SELECT item_a AS item_id, item_b AS neighbor_id, cosine FROM sims
+        UNION ALL
+        SELECT item_b AS item_id, item_a AS neighbor_id, cosine FROM sims
+    )
+    SELECT item_id, neighbor_id, cosine, rn FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY item_id
+                                          ORDER BY cosine DESC, neighbor_id)
+                       AS BIGINT) AS rn
+        FROM bidir
+    ) WHERE rn <= 3
+    """,
+)
+def r_cosine_sim_capped(spark, sf_dir):
+    """Item-item cosine with NO item-id bound — the 100 TB shape of
+    r_cosine_sim, the coded version of what that operator's module
+    docstring only promised in prose.
+
+    The pair join keys on the shared USER, so each user contributes
+    |their items|² pair rows; a power user who touches everything is
+    the hot shingle of this join. Exactly like
+    t_jaccard_neardup_capped caps hot shingles at df<=64, this drops
+    users with more than 48 rated items BEFORE the self-join (their
+    co-ratings are popularity noise, not preference signal — the same
+    argument TF-IDF makes for stopwords), bounding every user's
+    fan-out at 48² regardless of corpus size. Norms and cosines are
+    computed over the capped matrix on BOTH engines, so the oracle is
+    exact; output is top-3 neighbors per item by rounded cosine with
+    an id tiebreak (bounded |items|×3, collect-safe at any scale), and
+    a support floor n_common>=3 drops single-co-rating noise pairs.
+    """
+    m0 = ratings_matrix(spark, sf_dir)
+    deg = m0.groupBy("user_id").agg(F.count("*").alias("df"))
+    m = m0.join(deg.where(F.col("df") <= 48).select("user_id"), "user_id").cache()
+    n = m.groupBy("item_id").agg(
+        F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
+    )
+    a = m.select("user_id", F.col("item_id").alias("item_a"), F.col("rating").alias("ra"))
+    b = m.select("user_id", F.col("item_id").alias("item_b"), F.col("rating").alias("rb"))
+    p = (
+        a.join(b, (a.user_id == b.user_id) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum(F.col("ra") * F.col("rb")).alias("dot"),
+            F.count("*").alias("n_common"),
+        )
+    )
+    na = n.select(F.col("item_id").alias("item_a"), F.col("nrm").alias("na"))
+    nb = n.select(F.col("item_id").alias("item_b"), F.col("nrm").alias("nb"))
+    # no broadcast hint on the norm tables: one row per item — unbounded
+    # at corpus scale. AQE picks broadcast when it measures small.
+    sims = (
+        p.where(F.col("n_common") >= 3)
+        .join(na, "item_a")
+        .join(nb, "item_b")
+        .select(
+            "item_a", "item_b",
+            f6(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    bidir = sims.select(
+        F.col("item_a").alias("item_id"), F.col("item_b").alias("neighbor_id"), "cosine"
+    ).unionByName(
+        sims.select(
+            F.col("item_b").alias("item_id"), F.col("item_a").alias("neighbor_id"), "cosine"
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        bidir.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("item_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+@register(
+    "r_user_cosine_capped",
+    f"""
+    WITH m0 AS ({_M_SQL}),
+    deg AS (SELECT item_id, CAST(count(*) AS BIGINT) AS df
+            FROM m0 GROUP BY item_id),
+    m AS (SELECT m0.user_id, m0.item_id, m0.rating
+          FROM m0 JOIN deg ON deg.item_id = m0.item_id
+          WHERE deg.df <= 40),
+    n AS (SELECT user_id, sqrt(sum(rating * rating)) AS nrm
+          FROM m GROUP BY user_id),
+    p AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 sum(a.rating * b.rating) AS dot,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM m a JOIN m b
+            ON a.item_id = b.item_id AND a.user_id < b.user_id
+          GROUP BY 1, 2),
+    sims AS (
+        SELECT user_a, user_b, round(dot / (na.nrm * nb.nrm), 6) + 0 AS cosine
+        FROM p JOIN n na ON p.user_a = na.user_id
+               JOIN n nb ON p.user_b = nb.user_id
+        WHERE p.n_common >= 3
+    ),
+    bidir AS (
+        SELECT user_a AS user_id, user_b AS neighbor_id, cosine FROM sims
+        UNION ALL
+        SELECT user_b AS user_id, user_a AS neighbor_id, cosine FROM sims
+    )
+    SELECT user_id, neighbor_id, cosine, rn FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+                                          ORDER BY cosine DESC, neighbor_id)
+                       AS BIGINT) AS rn
+        FROM bidir
+    ) WHERE rn <= 5
+    """,
+)
+def r_user_cosine_capped(spark, sf_dir):
+    """User-user top-5 neighbors over the FULL user population — the
+    100 TB shape of r_user_cosine (which bounds work with a
+    user_id<300 test slice and promised the cap only in its
+    docstring).
+
+    The pair join keys on the shared ITEM, so each item contributes
+    |its raters|² pair rows; a blockbuster item everyone rates is the
+    hot key. This drops items rated by more than 40 users BEFORE the
+    self-join (the t_jaccard_neardup_capped df-cap transposed:
+    universally-popular items carry no discriminative signal between
+    users — the 'everyone watched it' title tells you nothing about
+    taste), bounding every item's fan-out at 40² regardless of
+    catalog size. Norms/cosines are over the capped matrix on BOTH
+    engines (exact oracle); support floor n_common>=3; output top-5
+    per user by rounded cosine, id tiebreak — |users|×5, never pairs.
+    """
+    m0 = ratings_matrix(spark, sf_dir)
+    deg = m0.groupBy("item_id").agg(F.count("*").alias("df"))
+    m = m0.join(deg.where(F.col("df") <= 40).select("item_id"), "item_id").cache()
+    n = m.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
+    )
+    a = m.select("item_id", F.col("user_id").alias("user_a"), F.col("rating").alias("ra"))
+    b = m.select("item_id", F.col("user_id").alias("user_b"), F.col("rating").alias("rb"))
+    p = (
+        a.join(b, (a.item_id == b.item_id) & (F.col("user_a") < F.col("user_b")))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.sum(F.col("ra") * F.col("rb")).alias("dot"),
+            F.count("*").alias("n_common"),
+        )
+    )
+    na = n.select(F.col("user_id").alias("user_a"), F.col("nrm").alias("na"))
+    nb = n.select(F.col("user_id").alias("user_b"), F.col("nrm").alias("nb"))
+    sims = (
+        p.where(F.col("n_common") >= 3)
+        .join(na, "user_a")
+        .join(nb, "user_b")
+        .select(
+            "user_a", "user_b",
+            f6(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    bidir = sims.select(
+        F.col("user_a").alias("user_id"), F.col("user_b").alias("neighbor_id"), "cosine"
+    ).unionByName(
+        sims.select(
+            F.col("user_b").alias("user_id"), F.col("user_a").alias("neighbor_id"), "cosine"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        bidir.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("user_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+@register(
     "r_item_jaccard",
     f"""
     WITH m AS (SELECT DISTINCT user_id, item_id FROM ({_M200_SQL})),

@@ -1237,3 +1237,16 @@ def test_join_hints_steer_strategy_not_semantics(spark):
     assert "BroadcastHashJoin" in bc_plan
     assert "SortMergeJoin" in mg_plan
     assert bc.collect() == mg.collect()
+
+
+def test_capped_pair_joins_filter_hot_keys_before_selfjoin(spark):
+    """The df-cap (hot users for the item-item join, hot items for the
+    user-user join) must land BEFORE the pair self-join: the plan shows
+    the degree filter (df <= cap) upstream of an equi-join, and no
+    cartesian/nested-loop operator anywhere — the cap exists precisely
+    so candidate generation stays an equi-join at any corpus size."""
+    for key, cap in (("r_cosine_sim_capped", 48), ("r_user_cosine_capped", 40)):
+        plan = _plan(spark, key)
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+        assert f"<= {cap}" in plan, f"{key}: degree-cap filter missing from plan"
