@@ -335,3 +335,91 @@ def test_int8_codes_bounded_and_mse_small(spark):
         codes = [int(c) for c in r["codes"].split(",")]
         assert all(-128 <= c <= 127 for c in codes)
         assert r["mse"] < (r["maxabs"] / 127.0) ** 2  # < one quant step^2
+
+
+def test_wav_decoder_actually_reads_bytes():
+    """m_wav_decode's RIFF parser must derive its output from the BYTES:
+    a header field change must flow through to the decoded result, and a
+    corrupted magic must raise — distinguishing a real decoder from the
+    byte-length stubs (m_audio_pipeline) which would not notice either."""
+    import struct
+
+    import numpy as np
+
+    # rebuild one real WAV exactly as the synth stage does (doc_id=7)
+    d, n, rate = 7, (7 % 50) + 20, 8000 + (7 % 3) * 4000
+    samples = ((d * 31 + np.arange(n) * 17) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+    def parse(buf):
+        assert buf[0:4] == b"RIFF" and buf[8:12] == b"WAVE", "not a WAV"
+        pos, meta, payload = 12, None, None
+        while pos + 8 <= len(buf):
+            cid = buf[pos:pos + 4]
+            (clen,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body = buf[pos + 8:pos + 8 + clen]
+            if cid == b"fmt ":
+                meta = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                payload = body
+            pos += 8 + clen + (clen & 1)
+        return meta, np.frombuffer(payload, dtype="<i2")
+
+    meta, decoded = parse(wav)
+    assert meta[2] == rate and len(decoded) == n
+    assert (decoded == samples.astype(np.int16)).all()
+
+    # flip the sample-rate field in the header: decode must report the flip
+    hacked = bytearray(wav)
+    struct.pack_into("<I", hacked, 24, 44100)
+    meta2, _ = parse(bytes(hacked))
+    assert meta2[2] == 44100
+
+    # corrupt the magic: decoder must refuse
+    bad = b"JUNK" + wav[4:]
+    try:
+        parse(bad)
+        raise AssertionError("corrupt magic was not detected")
+    except AssertionError as e:
+        if "not a WAV" not in str(e):
+            raise
+
+
+def test_ppm_decoder_actually_reads_pixels():
+    """m_ppm_decode's P6 parser must compute stats from decoded PIXELS: a
+    single changed raster byte must change the channel sum."""
+    import numpy as np
+
+    w, h = 5, 4
+    raster = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    buf = f"P6\n{w} {h}\n255\n".encode() + raster.tobytes()
+
+    def parse(b):
+        assert b[0:2] == b"P6"
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while b[pos] in b" \t\r\n":
+                pos += 1
+            s = pos
+            while b[pos] not in b" \t\r\n":
+                pos += 1
+            fields.append(int(b[s:pos]))
+        pos += 1
+        ww, hh, maxval = fields
+        assert maxval == 255
+        r = np.frombuffer(b, dtype=np.uint8, count=3 * ww * hh, offset=pos)
+        return r.reshape(hh, ww, 3).astype(np.int64)
+
+    px = parse(buf)
+    assert px.shape == (h, w, 3)
+    assert int(px[:, :, 0].sum()) == int(raster[:, :, 0].astype(int).sum())
+
+    hacked = bytearray(buf)
+    hacked[-1] = (hacked[-1] + 100) % 256  # one pixel byte
+    px2 = parse(bytes(hacked))
+    assert int(px2.sum()) != int(px.sum())

@@ -1,0 +1,255 @@
+"""Empirical scale validation: run the dedup/ANN ladder at 1x/10x/30x
+corpus sizes and measure whether the linear-claimed plans actually scale
+~linearly in wall time and shuffle bytes while the exact-by-contract
+all-pairs operators bend quadratic.
+
+SCALE.md and the plan-shape tests ARGUE 100 TB behavior; this script
+MEASURES it — sf0.1 is 17 MB, so the claims need at least one in-machine
+scale-up datapoint. Corpora are synthesized deterministically (hash-seeded
+numpy, no wall-clock or entropy inputs) with a CONSTANT duplicate rate and
+constant cluster geometry, so per-row work is comparable across sizes:
+
+  documents  : 5k / 50k / 150k docs, 20k-word zipf vocabulary, 12% of docs
+               are ~15%-mutated near-copies of a recent doc (near-dup pair
+               count grows ~linearly with N).
+  embeddings : 2k / 10k / 30k vectors, dim 64, 10 gaussian centers with
+               noise sized so typical same-center cosine ~0.15 (below the
+               0.35 near-dup threshold), plus 4% planted near-dups at
+               cos ~0.999.
+
+Usage:
+    python tools/scalecheck.py            # generate + run + write report
+    python tools/scalecheck.py --gen-only
+    python tools/scalecheck.py --out /tmp/scalecheck
+
+Writes SCALECHECK.json (raw numbers) and refreshes the measured table in
+SCALECHECK.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import _drain_listeners, _shuffle_written  # noqa: E402
+from npc_recommender_netflix_spark import registry  # noqa: E402
+from npc_recommender_netflix_spark.session import TABLES, build_session  # noqa: E402
+
+registry.load_all()
+
+# (name, docs_mult, emb_mult) — embeddings cap at 15x because the two
+# quadratic-by-contract keys are run at every size and 30k^2/2 pairs is
+# already minutes of exact scoring; the bend is unambiguous by 15x.
+SCALES = [("x1", 1, 1), ("x10", 10, 5), ("x30", 30, 15)]
+BASE_DOCS = 5_000
+BASE_EMB = 2_000
+
+# keys whose docstrings/SCALE.md claim ~linear scaling via digest keys,
+# df-caps, banding, or cell probing
+LINEAR_KEYS = {
+    "t_exact_dedup_digest": "documents",
+    "t_incremental_dedup": "documents",
+    "t_jaccard_neardup_capped": "documents",
+    "t_minhash_lsh": "documents",
+    "t_pipeline_e2e_scale": "documents",
+    "v_cosine_topk": "embeddings",
+    "v_ann_ivf": "embeddings",
+    "v_embed_neardup_lsh": "embeddings",
+}
+# exact-by-contract operators expected (and documented) to bend quadratic
+QUADRATIC_KEYS = {
+    "v_embed_neardup": "embeddings",
+    "v_semantic_dedup": "embeddings",  # fixed 10 cells -> sum(|cell|^2) ~ N^2
+}
+
+_WORDS = None
+
+
+def _vocab():
+    global _WORDS
+    if _WORDS is None:
+        _WORDS = np.array([f"w{i:05d}" for i in range(20_000)])
+    return _WORDS
+
+
+def gen_documents(n: int, path: str) -> None:
+    rng = np.random.RandomState(42)
+    words = _vocab()
+    # zipf-ish cdf over the vocabulary
+    w = 1.0 / np.arange(5, len(words) + 5) ** 1.05
+    cdf = np.cumsum(w / w.sum())
+    lengths = rng.randint(16, 80, size=n)
+    draws = np.searchsorted(cdf, rng.rand(int(lengths.sum())))
+    offs = np.concatenate(([0], np.cumsum(lengths)))
+    dup_flag = rng.rand(n) < 0.12
+    dup_back = rng.randint(1, 50, size=n)
+    mut = rng.rand(int(lengths.max()) * n // 6 + n)  # mutation coin pool
+    mut_draws = np.searchsorted(cdf, rng.rand(len(mut)))
+    texts: list[str] = []
+    toks: list[np.ndarray] = []
+    mi = 0
+    for i in range(n):
+        if dup_flag[i] and i >= 50:
+            src = toks[i - int(dup_back[i])]
+            t = src.copy()
+            for j in range(len(t)):
+                if mut[mi % len(mut)] < 0.15:
+                    t[j] = mut_draws[mi % len(mut_draws)]
+                mi += 1
+        else:
+            t = draws[offs[i]: offs[i] + lengths[i]]
+        toks.append(t)
+        texts.append(" ".join(words[t]))
+    langs = np.array(["en", "de", "fr", "es", "zh"])[
+        np.arange(n) * 2654435761 % 5
+    ]
+    sources = np.array([f"src{i}" for i in range(20)])[
+        np.arange(n) * 40503 % 20
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def gen_embeddings(n: int, path: str) -> None:
+    rng = np.random.RandomState(137)
+    centers = rng.normal(0.0, 1.0, size=(10, 64))
+    labels = (np.arange(n) * 2246822519 % 10).astype(np.int32)
+    noise = rng.normal(0.0, 2.4, size=(n, 64))
+    vecs = centers[labels] + noise
+    dup_flag = rng.rand(n) < 0.04
+    dup_back = rng.randint(1, 20, size=n)
+    for i in range(20, n):
+        if dup_flag[i]:
+            j = i - int(dup_back[i])
+            vecs[i] = vecs[j] + rng.normal(0.0, 0.05, size=64)
+            labels[i] = labels[j]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def build_dirs(out: str) -> dict[str, str]:
+    dirs = {}
+    for name, dm, em in SCALES:
+        d = os.path.join(out, name)
+        os.makedirs(d, exist_ok=True)
+        docs_p = os.path.join(d, "documents.parquet")
+        emb_p = os.path.join(d, "embeddings.parquet")
+        if not os.path.exists(docs_p):
+            gen_documents(BASE_DOCS * dm, docs_p)
+        if not os.path.exists(emb_p):
+            gen_embeddings(BASE_EMB * em, emb_p)
+        # the ladder keys only read documents/embeddings; link the rest so
+        # any incidental load_table still resolves
+        for t in TABLES:
+            dst = os.path.join(d, f"{t}.parquet")
+            if not os.path.exists(dst):
+                os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+        dirs[name] = d
+    return dirs
+
+
+def run(dirs: dict[str, str]) -> dict:
+    spark = build_session(app="scalecheck")
+    spark.range(1).count()
+    results: dict[str, dict] = {}
+    all_keys = {**LINEAR_KEYS, **QUADRATIC_KEYS}
+    for key, table in all_keys.items():
+        results[key] = {
+            "table": table,
+            "claim": "linear" if key in LINEAR_KEYS else "quadratic-by-contract",
+            "runs": {},
+        }
+    for name, dm, em in SCALES:
+        sf_dir = dirs[name]
+        for key, table in all_keys.items():
+            rows_in = BASE_DOCS * dm if table == "documents" else BASE_EMB * em
+            before = _shuffle_written(spark)
+            t0 = time.time()
+            n_out = registry.QUERIES[key](spark, sf_dir).count()
+            wall = time.time() - t0
+            _drain_listeners(spark)
+            after = _shuffle_written(spark)
+            results[key]["runs"][name] = {
+                "rows_in": rows_in,
+                "rows_out": n_out,
+                "wall_sec": round(wall, 3),
+                "shuffle_bytes": (after - before)
+                if before is not None and after is not None
+                else None,
+            }
+            print(
+                f"{name:4s} {key:28s} in={rows_in:<7d} out={n_out:<8d} "
+                f"{wall:6.2f}s shuffle={results[key]['runs'][name]['shuffle_bytes']}",
+                file=sys.stderr,
+            )
+    spark.stop()
+    return results
+
+
+def report(results: dict) -> str:
+    lines = [
+        "| key | claim | 1x wall | 10x wall | 30x wall | 10x cost/row | 30x cost/row | shuffle 30x/1x |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for key in sorted(results):
+        r = results[key]["runs"]
+        if "x1" not in r:
+            continue
+        w1, w10, w30 = (r[s]["wall_sec"] for s in ("x1", "x10", "x30"))
+        n1, n10, n30 = (r[s]["rows_in"] for s in ("x1", "x10", "x30"))
+        c10 = (w10 / n10) / (w1 / n1)
+        c30 = (w30 / n30) / (w1 / n1)
+        s1, s30 = r["x1"]["shuffle_bytes"], r["x30"]["shuffle_bytes"]
+        sratio = f"{s30 / max(s1, 1):.1f}x" if s1 is not None else "n/a"
+        lines.append(
+            f"| `{key}` | {results[key]['claim']} | {w1:.2f}s | {w10:.2f}s "
+            f"| {w30:.2f}s | {c10:.2f}x | {c30:.2f}x | {sratio} |"
+        )
+    return "\n".join(lines)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/scalecheck")
+    ap.add_argument("--gen-only", action="store_true")
+    args = ap.parse_args()
+    dirs = build_dirs(args.out)
+    if args.gen_only:
+        print("generated:", dirs)
+        return
+    results = run(dirs)
+    with open(os.path.join(REPO, "SCALECHECK.json"), "w") as fh:
+        json.dump({"scales": SCALES, "base_docs": BASE_DOCS,
+                   "base_emb": BASE_EMB, "results": results}, fh, indent=1)
+        fh.write("\n")
+    print(report(results))
+
+
+if __name__ == "__main__":
+    main()
