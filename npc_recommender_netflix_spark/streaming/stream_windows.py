@@ -375,6 +375,76 @@ def st_incremental_checkpoint(spark, sf_dir):
     return spark.table(name)
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@register(
+    "st_rocksdb_state",
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def st_rocksdb_state(spark, sf_dir):
+    """st_incremental_checkpoint on the PRODUCTION state store: the same
+    two-delivery restart, but stream state lives in RocksDB
+    (spark.sql.streaming.stateStore.providerClass) instead of the default
+    in-JVM-heap HDFSBackedStateStore — the knob every at-scale deployment
+    flips, because heap state stores OOM executors once keyspace × windows
+    outgrows memory while RocksDB spills to local SSD with incremental
+    checkpoint uploads. The final counts equal the batch oracle only if
+    RocksDB state written by run 1 is genuinely recovered by run 2's
+    restart; tests/test_streaming.py additionally asserts the checkpoint
+    actually contains RocksDB artifacts (so a silently-ignored conf can't
+    fake the pass).
+
+    The provider conf is read per-query at start; it is set for the two
+    runs and restored afterwards so co-resident streaming queries keep
+    their configured store.
+    """
+    prepare(spark)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    feed_dir = tempfile.mkdtemp(prefix="npc_rocks_feed_")
+    ckpt = tempfile.mkdtemp(prefix="npc_rocks_ckpt_")
+    # expose the checkpoint path for the artifact-level pytest
+    spark.conf.set("spark.npc.lastRocksCkpt", ckpt)
+    name = "snk_rocks_" + uuid.uuid4().hex[:12]
+    half_a = batch.where(F.col("event_id") % 2 == 0)
+    half_b = batch.where(F.col("event_id") % 2 == 1)
+    half_a.coalesce(1).write.mode("append").parquet(feed_dir)
+
+    def run_once():
+        ev = spark.readStream.schema(batch.schema).parquet(feed_dir)
+        ts_type = dict(ev.dtypes).get("ts")
+        if ts_type == "bigint":
+            ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        run_once()  # delivery A -> RocksDB state
+        half_b.coalesce(1).write.mode("append").parquet(feed_dir)
+        run_once()  # restart: recover RocksDB state, fold delivery B
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return spark.table(name)
+
+
 @register(
     "st_session_dynamic",
     """

@@ -139,3 +139,37 @@ def test_stateful_funnel_matches_batch(spark):
     assert (n1, n2, n3) == (
         batch["n_click"], batch["n_click_view"], batch["n_click_view_purchase"]
     )
+
+
+def test_rocksdb_state_survives_restart_and_writes_artifacts(spark):
+    """st_rocksdb_state must (a) produce counts equal to the batch groupBy
+    — which only happens if RocksDB state written before the restart is
+    recovered after it — and (b) leave genuine RocksDB artifacts (.zip
+    changelog/snapshot uploads) in the checkpoint's state dir, proving the
+    provider conf engaged rather than being silently ignored."""
+    import os
+
+    from npc_recommender_netflix_spark import registry
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r["event_type"]: r["cnt"]
+        for r in registry.QUERIES["st_rocksdb_state"](spark, SF_SMALL).collect()
+    }
+    batch = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    want = {
+        r["event_type"]: r["cnt"]
+        for r in batch.groupBy("event_type").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert got == want
+
+    ckpt = spark.conf.get("spark.npc.lastRocksCkpt")
+    state_root = os.path.join(ckpt, "state")
+    rocks_files = []
+    for dirpath, _dirnames, filenames in os.walk(state_root):
+        rocks_files.extend(
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith((".zip", ".sst", ".changelog"))
+        )
+    assert rocks_files, f"no RocksDB artifacts under {state_root}"
