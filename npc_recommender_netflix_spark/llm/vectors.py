@@ -274,8 +274,27 @@ def _sign_bucket_sql(band: int, elem: str = "embedding[{i}]") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _sign_bucket_wide_sql(band: int, nbits: int, elem: str = "embedding[{i}]") -> str:
+    """nbits-bit sign bucket for one band over dims nbits*band+1 .. +nbits.
+    Wider bands = exponentially fewer random collisions (collision prob
+    2^-nbits per band) at the cost of recall for weakly-similar pairs —
+    the knob that keeps candidate volume linear as N grows."""
+    terms = [
+        f"(CASE WHEN {elem.format(i=nbits * band + j + 1)} >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(nbits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 _LSH_BANDS_SQL = "\n        UNION ALL ".join(
     f"SELECT vec_id, {b} AS band, {_sign_bucket_sql(b)} AS bucket FROM embeddings"
+    for b in range(4)
+)
+
+_LSH_STRICT_BANDS_SQL = "\n        UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_sign_bucket_wide_sql(b, 16)} AS bucket"
+    " FROM embeddings"
     for b in range(4)
 )
 
@@ -370,6 +389,97 @@ def v_embed_neardup_lsh(spark, sf_dir):
         .join(qb, "vec_b")
         .select("vec_a", "vec_b", f6(cos).alias("cos"))
         .where(F.col("cos") >= 0.35)
+    )
+
+
+@register(
+    "v_embed_neardup_strict",
+    f"""
+    WITH bands AS (
+        {_LSH_STRICT_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.vec_a, c.vec_b,
+               round({_DUCK_DOT.format(a='qa.embedding', b='qb.embedding')}
+                     / ({_DUCK_NRM.format(a='qa.embedding')}
+                        * {_DUCK_NRM.format(a='qb.embedding')}), 6) + 0 AS cos
+        FROM cand c
+        JOIN embeddings qa ON qa.vec_id = c.vec_a
+        JOIN embeddings qb ON qb.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.9
+    """,
+)
+def v_embed_neardup_strict(spark, sf_dir):
+    """Near-duplicate detection at the PRODUCTION threshold (cos >= 0.9)
+    with bands wide enough to stay linear: 4 bands x 16 sign bits.
+
+    v_embed_neardup_lsh keeps the exact operator's cos >= 0.35 contract —
+    but 0.35 in 64 dimensions is a WEAK-similarity threshold: by sphere
+    packing, only ~e^(c*64) unit vectors can be pairwise below it, so ANY
+    large spread-out corpus has Theta(N^2) qualifying pairs and every
+    exact-output operator is Omega(output) = quadratic no matter how good
+    the prefilter (SCALECHECK.md measures exactly this bend). Dedup
+    systems therefore threshold near 1: at cos >= 0.9 random/same-topic
+    pairs essentially never qualify (the z-score is ~6) and the output is
+    just the true duplicates — linear in N for a constant dup rate.
+
+    The band width is the other half of the scale story: collision
+    probability is 2^-16 per band, so random-collision candidates are
+    ~4*N^2/65536 — the production rule is bits-per-band ~ log2(N), which
+    keeps candidates O(N) at any corpus size while true dups (cos ~1,
+    per-bit disagreement ~acos(cos)/pi ~ 0) still collide in some band
+    with probability ~1. Same equi-join + JVM rescore plan as
+    v_embed_neardup_lsh; the oracle mirrors bands AND rescore.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    _sign_bucket_wide_sql(b, 16, elem="element_at(embedding, {i})")
+                ).alias("bucket"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = emb.select("vec_id", F.explode(band_struct).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    qa = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(_NRM.format(a="embedding")).alias("na"),
+    )
+    qb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(_NRM.format(a="embedding")).alias("nb"),
+    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select("vec_a", "vec_b", f6(cos).alias("cos"))
+        .where(F.col("cos") >= 0.9)
     )
 
 

@@ -423,3 +423,41 @@ def test_ppm_decoder_actually_reads_pixels():
     hacked[-1] = (hacked[-1] + 100) % 256  # one pixel byte
     px2 = parse(bytes(hacked))
     assert int(px2.sum()) != int(px.sum())
+
+
+def test_strict_neardup_finds_planted_dups(spark, tmp_path):
+    """v_embed_neardup_strict returns 0 rows on the driver fixtures (their
+    clusters sit below cos 0.9 — correct), so plant real near-duplicates
+    in a synthetic embeddings table and assert the 16-bit-band LSH path
+    recalls every planted pair and nothing else."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    n = 400
+    vecs = rng.normal(0, 1, size=(n, 64))
+    planted = [(5, 205), (17, 217), (42, 342)]
+    for a, b in planted:
+        vecs[b] = vecs[a] + rng.normal(0, 0.02, size=64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+        }
+    )
+    d = tmp_path / "strict_fixture"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in registry.QUERIES["v_embed_neardup_strict"](spark, str(d)).collect()
+    }
+    assert set(planted) <= got, f"missed planted dups: {set(planted) - got}"
+    # random 64-d pairs at cos>=0.9 are a ~6-sigma event; none should appear
+    extras = got - set(planted)
+    assert not extras, f"false near-dups above 0.9: {extras}"

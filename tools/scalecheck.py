@@ -64,12 +64,20 @@ LINEAR_KEYS = {
     "t_pipeline_e2e_scale": "documents",
     "v_cosine_topk": "embeddings",
     "v_ann_ivf": "embeddings",
-    "v_embed_neardup_lsh": "embeddings",
+    "v_embed_neardup_strict": "embeddings",  # cos>=0.9, 16-bit bands
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
     "v_embed_neardup": "embeddings",
     "v_semantic_dedup": "embeddings",  # fixed 10 cells -> sum(|cell|^2) ~ N^2
+}
+# operators whose OUTPUT is quadratic on any spread-out corpus: cos >= 0.35
+# in 64 dims is a weak-similarity threshold (sphere packing caps how many
+# vectors can be pairwise below it), so the qualifying pair set — and hence
+# any exact-output operator's lower bound — grows ~N^2. Their honest metric
+# is cost per OUTPUT row, not per input row.
+OUTPUT_BOUND_KEYS = {
+    "v_embed_neardup_lsh": "embeddings",
 }
 
 _WORDS = None
@@ -178,13 +186,27 @@ def run(dirs: dict[str, str]) -> dict:
     spark = build_session(app="scalecheck")
     spark.range(1).count()
     results: dict[str, dict] = {}
-    all_keys = {**LINEAR_KEYS, **QUADRATIC_KEYS}
+    all_keys = {**LINEAR_KEYS, **QUADRATIC_KEYS, **OUTPUT_BOUND_KEYS}
     for key, table in all_keys.items():
         results[key] = {
             "table": table,
-            "claim": "linear" if key in LINEAR_KEYS else "quadratic-by-contract",
+            "claim": (
+                "linear"
+                if key in LINEAR_KEYS
+                else "quadratic-by-contract"
+                if key in QUADRATIC_KEYS
+                else "output-bound"
+            ),
             "runs": {},
         }
+    # untimed warmup at the smallest scale: JVM codegen compilation and the
+    # parquet footer cache otherwise pollute the x1 measurements (first run
+    # of t_exact_dedup_digest measured 2.3 s cold vs 0.35 s warm). Spark
+    # caches materialized by the warmup are dropped so the measured x1 run
+    # does the same work as x10/x30 (CacheManager matches by analyzed plan).
+    for key in all_keys:
+        registry.QUERIES[key](spark, dirs["x1"]).count()
+    spark.catalog.clearCache()
     for name, dm, em in SCALES:
         sf_dir = dirs[name]
         for key, table in all_keys.items():
@@ -214,8 +236,9 @@ def run(dirs: dict[str, str]) -> dict:
 
 def report(results: dict) -> str:
     lines = [
-        "| key | claim | 1x wall | 10x wall | 30x wall | 10x cost/row | 30x cost/row | shuffle 30x/1x |",
-        "|---|---|---|---|---|---|---|---|",
+        "| key | claim | 1x wall | 10x wall | 30x wall | 10x cost/row "
+        "| 30x cost/row | 30x cost/out-row | out 30x/1x | shuffle 30x/1x |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for key in sorted(results):
         r = results[key]["runs"]
@@ -223,13 +246,20 @@ def report(results: dict) -> str:
             continue
         w1, w10, w30 = (r[s]["wall_sec"] for s in ("x1", "x10", "x30"))
         n1, n10, n30 = (r[s]["rows_in"] for s in ("x1", "x10", "x30"))
+        o1, o30 = r["x1"]["rows_out"], r["x30"]["rows_out"]
         c10 = (w10 / n10) / (w1 / n1)
         c30 = (w30 / n30) / (w1 / n1)
+        cout = (
+            f"{(w30 / max(o30, 1)) / (w1 / max(o1, 1)):.2f}x"
+            if o1 and o30
+            else "n/a"
+        )
         s1, s30 = r["x1"]["shuffle_bytes"], r["x30"]["shuffle_bytes"]
         sratio = f"{s30 / max(s1, 1):.1f}x" if s1 is not None else "n/a"
         lines.append(
             f"| `{key}` | {results[key]['claim']} | {w1:.2f}s | {w10:.2f}s "
-            f"| {w30:.2f}s | {c10:.2f}x | {c30:.2f}x | {sratio} |"
+            f"| {w30:.2f}s | {c10:.2f}x | {c30:.2f}x | {cout} "
+            f"| {o30 / max(o1, 1):.1f}x | {sratio} |"
         )
     return "\n".join(lines)
 
