@@ -2391,3 +2391,91 @@ def t_compressibility(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t_kneser_ney",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                  FROM documents),
+    pos AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
+    bg AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM pos),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS tot,
+                  CAST(count(*) AS BIGINT) AS n1plus_fwd
+           FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1plus_bwd
+             FROM c12 GROUP BY w2),
+    types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c12)
+    SELECT b.w1, b.w2, b.c,
+           round((b.c - 0.75) / c1.tot
+                 + 0.75 * c1.n1plus_fwd / c1.tot
+                   * cont.n1plus_bwd / t.n_types, 6) + 0 AS p_kn
+    FROM c12 b
+    JOIN c1 ON c1.w1 = b.w1
+    JOIN cont ON cont.w2 = b.w2
+    CROSS JOIN types t
+    ORDER BY b.c DESC, b.w1, b.w2 LIMIT 20
+    """,
+)
+def t_kneser_ney(spark, sf_dir):
+    """Kneser-Ney smoothed bigram probabilities (Kneser & Ney 1995,
+    public; the interpolated form) for the corpus's top-20 bigrams —
+    THE reference smoothing for count-based LMs, and the backbone of
+    classic perplexity-based data filtering (the unigram/bigram NLL
+    keys use add-k; KN is what production n-gram filters like CCNet's
+    KenLM actually run). The signature idea is the CONTINUATION count:
+    P_cont(w2) counts how many distinct contexts w2 follows, not how
+    often — 'Francisco' is frequent but only ever follows 'San', so KN
+    correctly refuses to predict it in new contexts.
+
+    Everything is three aggregates off ONE bigram extraction (the
+    t_ngram_bigram array-transform, no self-join): (w1,w2) counts, a
+    per-w1 fold (totals + forward type counts), a per-w2 fold
+    (backward continuation counts), and a 1-row type total that
+    broadcasts. Discount d=0.75 is a shared literal; the max(c-d,0)
+    clamp is unnecessary on observed bigrams (c >= 1 > d), so the
+    formula divides exact integers once per output row. At 100 TB the
+    count tables shuffle on vocabulary keys (corpus-sublinear) and the
+    probability join is vocabulary-sized — never token-stream-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c")).cache()
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("n1plus_fwd"),
+    )
+    cont = c12.groupBy("w2").agg(F.count("*").cast("long").alias("n1plus_bwd"))
+    types = c12.agg(F.count("*").cast("long").alias("n_types"))
+    return (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            f6(
+                (F.col("c") - 0.75) / F.col("tot")
+                + 0.75
+                * F.col("n1plus_fwd")
+                / F.col("tot")
+                * F.col("n1plus_bwd")
+                / F.col("n_types")
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(20)
+    )

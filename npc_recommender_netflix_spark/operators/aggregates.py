@@ -2948,3 +2948,148 @@ def a_seasonal_strength(spark, sf_dir):
             )
         ).alias("seasonal_strength"),
     )
+
+
+@register(
+    "a_kendall_tau",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS x,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT
+            CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                            OR (a.x > b.x AND a.y > b.y)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+            CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                            OR (a.x > b.x AND a.y < b.y)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+            CAST(sum(CASE WHEN a.x = b.x AND a.y <> b.y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+            CAST(sum(CASE WHEN a.y = b.y AND a.x <> b.x
+                     THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        FROM d a JOIN d b ON a.day < b.day
+    )
+    SELECT conc, disc,
+           round((conc - disc)
+                 / sqrt((conc + disc + ty) * 1.0 * (conc + disc + tx)),
+                 6) + 0 AS tau_b
+    FROM p
+    """,
+)
+def a_kendall_tau(spark, sf_dir):
+    """Kendall's tau-b rank correlation between daily order count and
+    daily revenue — the robust twin of a_spearman_corr: invariant to any
+    monotone transform, defined purely by pair concordance, with the
+    tau-b tie correction (integer x ties constantly on a daily axis).
+    The question it answers ('do busier days actually bill more, in
+    RANK terms?') survives the heavy-tailed revenue distribution that
+    would distort Pearson.
+
+    Scale shape: the fact table folds to the DAILY axis first (one
+    shuffle, ~|days| rows); concordance counting is a self-join on that
+    BOUNDED axis — |days|² pairs of scalars, ~3M comparisons for seven
+    years, independent of fact volume. All four pair classes are exact
+    integer counts; tau_b divides once under a 6dp round. (The O(n log n)
+    merge-sort inversion count is the further escalation if the axis
+    itself ever grows unbounded — see q_sequence_inversions.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"),
+    )
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    conc = F.sum(
+        F.when(
+            ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+            | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    disc = F.sum(
+        F.when(
+            ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+            | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    tx = F.sum(
+        F.when((F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb")), 1).otherwise(0)
+    ).cast("long")
+    ty = F.sum(
+        F.when((F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb")), 1).otherwise(0)
+    ).cast("long")
+    p = pairs.agg(conc.alias("conc"), disc.alias("disc"), tx.alias("tx"), ty.alias("ty"))
+    return p.select(
+        "conc",
+        "disc",
+        f6(
+            (F.col("conc") - F.col("disc"))
+            / F.sqrt(
+                (F.col("conc") + F.col("disc") + F.col("ty"))
+                * 1.0
+                * (F.col("conc") + F.col("disc") + F.col("tx"))
+            )
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "a_theil_sen",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x
+        FROM d
+    ),
+    slopes AS (
+        SELECT (b.y - a.y) * 1.0 / (b.x - a.x) AS s
+        FROM idx a JOIN idx b ON a.x < b.x
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(s, 0.5) / 100.0, 6) + 0 AS slope_usd_per_day
+    FROM slopes
+    """,
+)
+def a_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend estimator: the MEDIAN of all pairwise
+    slopes of the daily-revenue series — the rank-based companion to
+    a_kendall_tau (Sen 1968 ties the two: the Theil-Sen slope is the
+    value that zeroes Kendall's tau of the residuals). Up to ~29% of
+    days can be arbitrarily corrupted (outages, backfill spikes) without
+    moving it, where the OLS slope of q_forecast_revenue follows any
+    single wild day.
+
+    Same scale discipline as a_kendall_tau: fold the fact table to the
+    bounded daily axis FIRST, then the pair self-join runs over
+    |days|² scalar pairs, independent of fact volume. Slopes are exact
+    integer differences ratioed once; the median uses the same
+    quantile_cont/percentile interpolation convention as a_median
+    (identical arithmetic in both engines), reported in dollars/day
+    under a 6dp round.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    idx = d.select(
+        "y", F.row_number().over(Window.orderBy("day")).cast("long").alias("x")
+    )
+    a = idx.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = idx.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xa") < F.col("xb")).select(
+        ((F.col("yb") - F.col("ya")) * 1.0 / (F.col("xb") - F.col("xa"))).alias("s")
+    )
+    return slopes.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        f6(F.expr("percentile(s, 0.5)") / 100.0).alias("slope_usd_per_day"),
+    )

@@ -797,3 +797,89 @@ def _rev_exact_w():
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc = F.round((1 - F.col("l_discount")) * 100).cast("long")
     return cents * disc
+
+
+@register(
+    "w_rsi",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1
+    ),
+    dl AS (
+        SELECT day, v,
+               v - lag(v) OVER (ORDER BY day) AS delta,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+        FROM d
+    ),
+    fr AS (
+        SELECT day, rn,
+               sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                   OVER (ORDER BY rn ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                   AS gain14,
+               sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+                   OVER (ORDER BY rn ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                   AS loss14
+        FROM dl
+    )
+    SELECT day, CAST(gain14 AS BIGINT) AS gain14,
+           CAST(loss14 AS BIGINT) AS loss14,
+           round(CASE WHEN loss14 = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1 + gain14 * 1.0 / loss14)
+                 END, 6) + 0 AS rsi
+    FROM fr WHERE rn >= 15 ORDER BY day
+    """,
+)
+def w_rsi(spark, sf_dir):
+    """14-period RSI (relative strength index, SMA variant) over the
+    daily-revenue series: up-moves vs down-moves inside a trailing
+    14-day frame, RSI = 100 - 100/(1+gain/loss) — the momentum
+    oscillator standard in trading dashboards, here reading 'revenue
+    momentum' (w_max_drawdown reads risk; w_control_chart reads
+    stability; this reads overbought/oversold swings). Wilder's
+    original uses recursive smoothing; the SMA variant is the
+    windowed-relational form with identical interpretation.
+
+    Daily deltas are exact cents; gains/losses are conditional integer
+    sums sharing ONE O(1)-state frame spec over the AGGREGATED daily
+    axis (the fact scan folds first — the window never sees lineitems);
+    the zero-loss guard pins RSI to 100 exactly, and only full frames
+    emit (rn >= 15: 14 defined deltas). Single global sort over ~2.4k
+    rows, downstream of one shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+    )
+    wd = Window.orderBy("day")
+    dl = d.select(
+        "day",
+        (F.col("v") - F.lag("v").over(wd)).alias("delta"),
+        F.row_number().over(wd).cast("long").alias("rn"),
+    )
+    fr14 = Window.orderBy("rn").rowsBetween(-13, Window.currentRow)
+    fr = dl.select(
+        "day",
+        "rn",
+        F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0))
+        .over(fr14)
+        .alias("gain14"),
+        F.sum(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0))
+        .over(fr14)
+        .alias("loss14"),
+    )
+    return (
+        fr.where(F.col("rn") >= 15)
+        .select(
+            "day",
+            F.col("gain14").cast("long").alias("gain14"),
+            F.col("loss14").cast("long").alias("loss14"),
+            f6(
+                F.when(F.col("loss14") == 0, F.lit(100.0)).otherwise(
+                    100.0 - 100.0 / (1 + F.col("gain14") * 1.0 / F.col("loss14"))
+                )
+            ).alias("rsi"),
+        )
+        .orderBy("day")
+    )

@@ -1195,6 +1195,89 @@ def r_user_cosine_capped(spark, sf_dir):
 
 
 @register(
+    "r_slope_one",
+    f"""
+    WITH m AS ({_M200_SQL}),
+    dev AS (
+        SELECT a.item_id AS i, b.item_id AS j,
+               sum(a.rating - b.rating) AS dsum,
+               CAST(count(*) AS BIGINT) AS c
+        FROM m a JOIN m b
+          ON a.user_id = b.user_id AND a.item_id <> b.item_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT u.user_id, d.i AS item_id,
+               sum(d.dsum + d.c * u.rating) AS num,
+               sum(d.c) AS den
+        FROM m u JOIN dev d ON d.j = u.item_id
+        GROUP BY 1, 2
+    ),
+    unseen AS (
+        SELECT c.user_id, c.item_id, round(c.num / c.den, 6) + 0 AS pred
+        FROM cand c LEFT JOIN m s
+          ON s.user_id = c.user_id AND s.item_id = c.item_id
+        WHERE s.user_id IS NULL
+    )
+    SELECT user_id, item_id, pred, rn FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+                                          ORDER BY pred DESC, item_id)
+                       AS BIGINT) AS rn
+        FROM unseen
+    ) WHERE rn <= 3
+    """,
+)
+def r_slope_one(spark, sf_dir):
+    """Slope One CF predictor (Lemire & Maclachlan 2005, public): the
+    famously simple item-pair scheme — dev(i,j) = mean rating offset
+    between items over their co-raters; predict r_ui as the
+    support-weighted mean of (dev(i,j) + r_uj) over the user's rated
+    items j. The ensemble's cheap-and-robust member next to the cosine
+    kNN (r_predict) and bias baseline (r_baseline_bias): no similarity
+    metric, no k to tune, updateable by streaming the dev-matrix counters.
+
+    Everything reduces to exact-integer algebra on the bounded matrix:
+    the weighted numerator Σc·(dev+r) = Σ(dsum + c·r) never divides
+    until the final rounded projection, so both engines agree at 6dp.
+    The dev matrix is the usual user-keyed pair self-join (the
+    r_cosine_sim shuffle shape, item<200 bound at test scale; the
+    df-cap escalation of r_cosine_sim_capped applies verbatim at 100 TB
+    — drop power users before pairing). Output is top-3 unseen items
+    per user (anti-join on the seen matrix), |users|×3, never pairs.
+    """
+    m = ratings_matrix(spark, sf_dir, max_item=200)
+    a = m.select(F.col("item_id").alias("i"), "user_id", F.col("rating").alias("ra"))
+    b = m.select(F.col("item_id").alias("j"), "user_id", F.col("rating").alias("rb"))
+    dev = (
+        a.join(b, (a.user_id == b.user_id) & (F.col("i") != F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("ra") - F.col("rb")).alias("dsum"),
+            F.count("*").alias("c"),
+        )
+    )
+    u = m.select("user_id", F.col("item_id").alias("j"), F.col("rating").alias("r"))
+    cand = (
+        u.join(dev, "j")
+        .groupBy("user_id", F.col("i").alias("item_id"))
+        .agg(
+            F.sum(F.col("dsum") + F.col("c") * F.col("r")).alias("num"),
+            F.sum("c").alias("den"),
+        )
+    )
+    seen = m.select("user_id", "item_id")
+    unseen = cand.join(seen, ["user_id", "item_id"], "left_anti").select(
+        "user_id", "item_id", f6(F.col("num") / F.col("den")).alias("pred")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("pred").desc(), F.col("item_id"))
+    return (
+        unseen.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "item_id", "pred", "rn")
+    )
+
+
+@register(
     "r_item_jaccard",
     f"""
     WITH m AS (SELECT DISTINCT user_id, item_id FROM ({_M200_SQL})),
