@@ -202,3 +202,69 @@ def t_source_overlap(spark, sf_dir):
         .orderBy(F.col("containment").desc(), "src_a", "src_b")
         .limit(20)
     )
+
+
+@register(
+    "t_decontaminate_fuzzy",
+    f"""
+    WITH grams AS ({_GRAMS_SQL}),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0),
+    train AS (SELECT * FROM grams WHERE doc_id % 7 <> 0),
+    per_doc AS (
+        SELECT t.doc_id, t.lang,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(b.g) AS BIGINT) AS n_hits
+        FROM train t LEFT JOIN bench b ON t.g = b.g
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT doc_id, lang, n_grams, n_hits,
+           round(n_hits * 1.0 / n_grams, 6) + 0 AS overlap_frac,
+           CAST(CASE WHEN n_hits * 10 >= n_grams THEN 1 ELSE 0 END AS BIGINT)
+               AS contaminated
+    FROM per_doc
+    WHERE n_hits > 0
+    """,
+)
+def t_decontaminate_fuzzy(spark, sf_dir):
+    """Threshold decontamination — the production refinement of
+    t_decontaminate's any-hit rule: a training doc is contaminated only
+    when >= 10% of its DISTINCT 8-grams appear in the benchmark split.
+    The any-hit rule false-positives on boilerplate (one shared
+    license-header gram kills an innocent doc); the PaLM/Llama-style
+    fraction threshold keeps those and still catches real leaks, and
+    emitting the fraction lets the pipeline tune the cut offline.
+
+    Same shuffle discipline as t_decontaminate: grams travel as 32-char
+    digests; the benchmark gram set is bounded by the (fixed) benchmark
+    size so it broadcasts, making the screen one map-side hash probe per
+    training gram + a per-doc fold. The fraction compares as integer
+    cross-multiplication (n_hits*10 >= n_grams) — no float threshold
+    boundary to disagree across engines.
+    """
+    grams = _grams(spark, sf_dir)
+    bench = (
+        grams.where(F.col("doc_id") % 7 == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.where(F.col("doc_id") % 7 != 0)
+    per_doc = (
+        train.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_hits"),
+        )
+    )
+    return per_doc.where(F.col("n_hits") > 0).select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        "n_hits",
+        f6(F.col("n_hits") * 1.0 / F.col("n_grams")).alias("overlap_frac"),
+        F.when(F.col("n_hits") * 10 >= F.col("n_grams"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("contaminated"),
+    )

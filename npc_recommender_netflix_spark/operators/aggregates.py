@@ -3093,3 +3093,116 @@ def a_theil_sen(spark, sf_dir):
         F.count("*").cast("long").alias("n_pairs"),
         f6(F.expr("percentile(s, 0.5)") / 100.0).alias("slope_usd_per_day"),
     )
+
+
+@register(
+    "a_bootstrap_ci",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(round(avg(value) * 1e6) AS BIGINT) AS m6
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    perms AS (SELECT unnest(range(0, 100)) AS b),
+    hashed AS (
+        SELECT pm.b, u.m6,
+               CAST(list_sum(list_transform(range(1, 9),
+                    j -> (strpos('0123456789abcdef',
+                          substring(md5(CAST(pm.b AS VARCHAR) || ':'
+                              || CAST(u.user_id AS VARCHAR)), j, 1)) - 1)
+                         * 16 ** (8 - j))) AS BIGINT) / 4294967296.0 AS h
+        FROM per_user u CROSS JOIN perms pm
+    ),
+    wts AS (
+        SELECT b, m6,
+               CASE WHEN h < 0.367879441 THEN 0
+                    WHEN h < 0.735758882 THEN 1
+                    WHEN h < 0.919698603 THEN 2
+                    WHEN h < 0.981011843 THEN 3
+                    WHEN h < 0.996340153 THEN 4
+                    ELSE 5 END AS k
+        FROM hashed
+    ),
+    means AS (
+        SELECT b, sum(k * m6) * 1.0 / sum(k) AS mu FROM wts GROUP BY b
+    ),
+    obs AS (SELECT avg(m6 * 1.0) AS mu0 FROM per_user)
+    SELECT CAST(100 AS BIGINT) AS n_boot,
+           round(obs.mu0 / 1e6, 6) + 0 AS observed_mean,
+           round(quantile_cont(mu, 0.025) / 1e6, 6) + 0 AS ci_lo,
+           round(quantile_cont(mu, 0.975) / 1e6, 6) + 0 AS ci_hi
+    FROM means CROSS JOIN obs GROUP BY obs.mu0
+    """,
+)
+def a_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap 95% CI for the mean per-user purchase value —
+    the resampling CI that works when a_ttest_welch's normality is
+    suspect, and THE distributed-bootstrap trick: instead of drawing n
+    users with replacement (a global operation), give every user an
+    independent Poisson(1) weight per resample (the n→∞ limit of the
+    multinomial), so each of the 100 resamples is a weighted mean
+    computable map-side. Weights are hash-deterministic (the
+    a_permutation_test md5 recipe): u = md5(b:user)/2^32 inverted
+    through the exact Poisson(1) CDF thresholds — reproducible across
+    engines and runs.
+
+    The fact table folds ONCE to per-user means; resampling explodes
+    only the (user × 100) axis; each resample is one conditional-sum
+    pair; CDF thresholds compare exact dyadic h values against shared
+    literals (no boundary drift); the CI is the a_median
+    quantile-interpolation convention over a 100-row axis.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value") * 1e6).cast("long").alias("m6"))
+    )
+    perms = spark.range(100).select(F.col("id").cast("long").alias("b"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 4294967296.0
+    )
+    k = (
+        F.when(h < 0.367879441, 0)
+        .when(h < 0.735758882, 1)
+        .when(h < 0.919698603, 2)
+        .when(h < 0.981011843, 3)
+        .when(h < 0.996340153, 4)
+        .otherwise(5)
+    )
+    wts = per_user.crossJoin(F.broadcast(perms)).select(
+        "b", "m6", k.alias("k")
+    )
+    means = wts.groupBy("b").agg(
+        (F.sum(F.col("k") * F.col("m6")) * 1.0 / F.sum("k")).alias("mu")
+    )
+    obs = per_user.agg(F.avg(F.col("m6") * 1.0).alias("mu0"))
+    return (
+        means.crossJoin(F.broadcast(obs))
+        .groupBy("mu0")
+        .agg(
+            F.expr("percentile(mu, 0.025)").alias("qlo"),
+            F.expr("percentile(mu, 0.975)").alias("qhi"),
+        )
+        .select(
+            F.lit(100).cast("long").alias("n_boot"),
+            f6(F.col("mu0") / 1e6).alias("observed_mean"),
+            f6(F.col("qlo") / 1e6).alias("ci_lo"),
+            f6(F.col("qhi") / 1e6).alias("ci_hi"),
+        )
+    )

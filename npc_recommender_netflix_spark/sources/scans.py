@@ -922,3 +922,107 @@ def s_manifest_diff(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_partitions"))
         .orderBy("change")
     )
+
+
+def _interleave_sql(xv: str, yv: str, div: str) -> str:
+    """16-bit Morton/Z value from two 8-bit coords: bit j of x lands at
+    position 2j, bit j of y at 2j+1. Pure integer div/mod arithmetic;
+    `div` is the engine's integer-division operator ('//' DuckDB,
+    'div' Spark SQL)."""
+    terms = []
+    for j in range(8):
+        terms.append(f"(({xv} {div} {1 << j}) % 2) * {1 << (2 * j)}")
+        terms.append(f"(({yv} {div} {1 << j}) % 2) * {1 << (2 * j + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_SQL_TMPL = """
+    WITH ext AS (
+        SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs FROM lineitem
+    ),
+    norm AS (
+        SELECT (l.l_partkey * 256) {div} (e.maxp + 1) AS xb,
+               (l.l_suppkey * 256) {div} (e.maxs + 1) AS yb
+        FROM lineitem l CROSS JOIN ext e
+    ),
+    keyed AS (
+        SELECT xb, yb,
+               {z} {div} 4096 AS zbucket,
+               xb {div} 16 AS lbucket
+        FROM norm
+    ),
+    zstats AS (
+        SELECT 'zorder' AS layout, CAST(zbucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(max(xb) - min(xb) + 1 AS BIGINT) AS x_span,
+               CAST(max(yb) - min(yb) + 1 AS BIGINT) AS y_span
+        FROM keyed GROUP BY zbucket
+    ),
+    lstats AS (
+        SELECT 'linear' AS layout, CAST(lbucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(max(xb) - min(xb) + 1 AS BIGINT) AS x_span,
+               CAST(max(yb) - min(yb) + 1 AS BIGINT) AS y_span
+        FROM keyed GROUP BY lbucket
+    )
+    SELECT * FROM zstats
+    UNION ALL
+    SELECT * FROM lstats
+    ORDER BY layout, bucket
+"""
+
+
+@register(
+    "s_zorder_layout",
+    _ZORDER_SQL_TMPL.format(
+        div="//", z=_interleave_sql("xb", "yb", "//")
+    ),
+)
+def s_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) data layout vs linear sort, measured: the
+    multi-dimensional clustering trick behind Delta/Iceberg OPTIMIZE
+    ZORDER BY. Rows are assigned 16-bit Morton codes over normalized
+    (l_partkey, l_suppkey) coordinates and cut into 16 z-buckets ("files");
+    the same rows are also cut into 16 buckets of a plain partkey sort.
+    Per-bucket bounding boxes tell the whole story: a linear bucket is a
+    thin slab (x_span ~16, y_span ~256 — a suppkey filter overlaps EVERY
+    file), while a z-bucket is a square (~64 x 64 — a filter on EITHER
+    dimension prunes ~3/4 of files via min/max stats). Same bucket count,
+    same total rows; the layout alone buys two-dimensional pruning.
+
+    All arithmetic is integer div/mod on BIGINTs (bit interleave written
+    as 16 shared-literal terms), so both engines agree exactly. The
+    min/max extremes broadcast as a 1-row frame. At 100 TB the z-value
+    becomes the repartitionByRange key at write time and this operator's
+    output IS the file-skipping statistics table the reader consults.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = li.agg(
+        F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
+    )
+    norm = li.crossJoin(F.broadcast(ext)).select(
+        F.expr("(l_partkey * 256) div (maxp + 1)").alias("xb"),
+        F.expr("(l_suppkey * 256) div (maxs + 1)").alias("yb"),
+    )
+    z = _interleave_sql("xb", "yb", "div")
+    keyed = norm.select(
+        "xb",
+        "yb",
+        F.expr(f"{z} div 4096").alias("zbucket"),
+        F.expr("xb div 16").alias("lbucket"),
+    )
+    def stats(col, label):
+        return (
+            keyed.groupBy(F.col(col).cast("long").alias("bucket"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                (F.max("xb") - F.min("xb") + 1).cast("long").alias("x_span"),
+                (F.max("yb") - F.min("yb") + 1).cast("long").alias("y_span"),
+            )
+            .select(F.lit(label).alias("layout"), "bucket", "n_rows", "x_span", "y_span")
+        )
+    return (
+        stats("zbucket", "zorder")
+        .unionByName(stats("lbucket", "linear"))
+        .orderBy("layout", "bucket")
+    )
