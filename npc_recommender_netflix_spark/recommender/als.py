@@ -113,3 +113,81 @@ def r_pca(spark, sf_dir):
             F.sqrt(F.aggregate(F.col("pca8"), F.lit(0.0), lambda a, x: a + x * x)), 6
         ) + 0.0).alias("pca_norm"),
     )
+
+
+@register("r_als_cv")  # rows-only: seeded fits, FP-order nondeterministic
+def r_als_cv(spark, sf_dir):
+    """Deterministic grid-search model selection over ALS — the
+    CrossValidator/ParamGridBuilder workflow, hand-rolled so the split is
+    hash-deterministic rather than RNG-split (the t_kfold_split
+    discipline applied to model selection): train on l_orderkey%5!=0
+    ratings, validate on the held-out fifth, score every (rank,
+    regParam) cell in a 2x2 grid by validation RMSE.
+
+    Emits the full leaderboard (one row per grid cell with is_best
+    marking the winner) rather than just the champion — the artifact a
+    training pipeline logs for tuning audits. Declared rows-only (ALS
+    factors are seeded but reduction-order nondeterministic; RMSE noise
+    is below ranking stability at this grid spacing — pytest pins the
+    leaderboard SHAPE and that best validation RMSE beats the worst by
+    a margin, not exact values).
+
+    Scale: grid cells are INDEPENDENT fits of the same block-partitioned
+    ALS — on a cluster they run as parallel jobs from one cached
+    train/valid pair (here sequential on local[32]); the data is scanned
+    once, the grid multiplies only compute.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    orders, li = (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(
+            F.sum("l_quantity").cast("float").alias("rating"),
+            F.min(F.col("l_orderkey") % 5).alias("fold"),
+        )
+        .cache()
+    )
+    train = base.where(F.col("fold") != 0).drop("fold")
+    valid = base.where(F.col("fold") == 0).drop("fold")
+    rows = []
+    for rank in (4, 8):
+        for reg in (0.05, 0.1):
+            als = ALS(
+                rank=rank,
+                maxIter=5,
+                regParam=reg,
+                seed=42,
+                implicitPrefs=True,
+                userCol="user",
+                itemCol="item",
+                ratingCol="rating",
+                coldStartStrategy="drop",
+            )
+            model = als.fit(train)
+            pred = model.transform(valid)
+            rmse = pred.agg(
+                F.sqrt(
+                    F.avg(
+                        (F.col("prediction") - F.col("rating"))
+                        * (F.col("prediction") - F.col("rating"))
+                    )
+                ).alias("rmse")
+            ).collect()[0]["rmse"]
+            rows.append((rank, float(reg), float(rmse)))
+    best = min(rows, key=lambda r: r[2])
+    out = spark.createDataFrame(
+        [
+            (r[0], r[1], round(r[2], 6), 1 if r == best else 0)
+            for r in rows
+        ],
+        "rank long, reg_param double, valid_rmse double, is_best long",
+    )
+    return out.orderBy("rank", "reg_param")

@@ -1026,3 +1026,107 @@ def s_zorder_layout(spark, sf_dir):
         .unionByName(stats("lbucket", "linear"))
         .orderBy("layout", "bucket")
     )
+
+
+@register(
+    "s_write_audit_publish",
+    """
+    WITH v1 AS (
+        SELECT c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    v2 AS (
+        SELECT c_custkey,
+               cents + CASE WHEN c_custkey % 10 = 0 THEN 1000 ELSE 0 END
+                   AS cents
+        FROM v1
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS version,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM v1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(sum(cents) AS BIGINT)
+        FROM v2
+    ) ORDER BY version
+    """,
+)
+def s_write_audit_publish(spark, sf_dir):
+    """Write-Audit-Publish commit protocol on plain parquet — the
+    transactional-writer shape this engine otherwise lacks (no
+    Delta/Iceberg jars in the container; s_manifest_diff's docstring
+    concedes 'the listing cost IS the table-format argument', and this
+    key supplies the protocol that argument asks for). Two commits run
+    end to end:
+
+      v1: full snapshot of customer balances -> STAGED to its own
+          version dir -> AUDITED (row count matches source, no null
+          keys) -> PUBLISHED by atomically replacing the _current
+          pointer file (os.replace, atomic on POSIX — the same
+          single-pointer-swap Iceberg does against its catalog).
+      v2: MERGE-style upsert (every 10th customer's balance +1000
+          cents) staged/audited/published the same way.
+
+    Readers NEVER list data dirs: they read the pointer, then exactly
+    that version — a half-written stage is invisible until its publish,
+    and old versions remain addressable (time travel). The returned
+    frame proves both properties by reading v1 AND v2 through the
+    version dirs after both commits; the oracle recomputes both states
+    from the source table, so a broken audit/publish (lost rows,
+    double-applied merge) fails the hash.
+
+    Scale: the pointer swap is O(1) regardless of table size; staging
+    writes are ordinary partitioned parquet; the audit is one count —
+    the protocol adds no data-volume cost, which is why WAP is the
+    default at 100 TB.
+    """
+    import os
+
+    cust = load_table(spark, sf_dir, "customer")
+    root = _scratch("wap")
+    versions = os.path.join(root, "versions")
+    os.makedirs(versions, exist_ok=True)
+    pointer = os.path.join(root, "_current")
+
+    def publish(df, version: int, expected_rows: int):
+        vdir = os.path.join(versions, f"v{version:05d}")
+        df.write.mode("overwrite").parquet(vdir)       # 1. WRITE (staged)
+        staged = spark.read.parquet(vdir)
+        n = staged.count()                             # 2. AUDIT
+        assert n == expected_rows, f"audit failed: {n} != {expected_rows}"
+        assert staged.where(F.col("c_custkey").isNull()).count() == 0
+        tmp = pointer + ".tmp"                         # 3. PUBLISH (atomic)
+        with open(tmp, "w") as fh:
+            fh.write(f"v{version:05d}\n")
+        os.replace(tmp, pointer)
+
+    n_cust = cust.count()
+    v1 = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    publish(v1, 1, n_cust)
+
+    current = open(pointer).read().strip()
+    base = spark.read.parquet(os.path.join(versions, current))
+    v2 = base.select(
+        "c_custkey",
+        (
+            F.col("cents")
+            + F.when(F.col("c_custkey") % 10 == 0, 1000).otherwise(0)
+        ).alias("cents"),
+    )
+    publish(v2, 2, n_cust)
+
+    def census(version: int):
+        snap = spark.read.parquet(os.path.join(versions, f"v{version:05d}"))
+        return snap.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+
+    return census(1).unionByName(census(2)).orderBy("version")

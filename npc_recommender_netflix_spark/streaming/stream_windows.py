@@ -275,6 +275,152 @@ def st_stream_join(spark, sf_dir):
 
 
 @register(
+    "st_stream_join_outer",
+    """
+    WITH v AS (SELECT event_id AS vid, user_id, ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT event_id AS pid, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    j AS (
+        SELECT v.vid, p.pid
+        FROM v LEFT JOIN p
+          ON p.user_id = v.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+    )
+    SELECT CAST(CASE WHEN pid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def st_stream_join_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join — the semantics st_stream_join
+    cannot give you: views with NO purchase within 10 minutes must still
+    emit (purchase_id null), and in a stream that answer only becomes
+    safe once the watermark proves no matching purchase can still
+    arrive. This is the abandoned-browse feed every engagement pipeline
+    wants, and the operator where watermarks stop being an optimization
+    and become part of the RESULT.
+
+    The subtle runtime bit this key pins down: Spark emits outer rows
+    during state EVICTION, which happens in a batch AFTER the watermark
+    has advanced past v_ts + join window. An availableNow run stops when
+    the source drains — the final watermark never retires the last
+    window, so a naive single run silently withholds the tail unmatched
+    views. The fix is the production pattern: two sentinel deliveries
+    (far-future heartbeat events, filtered from output) land after the
+    real data, and each restart resumes the SAME checkpoint (the
+    st_incremental_checkpoint recovery shape) — sentinel 1 advances the
+    watermark, sentinel 2 triggers the eviction batch. The census then
+    equals the batch left join exactly; matched rows multiply per
+    qualifying purchase just like the batch join.
+
+    Scale: join state is keyed by user_id; the watermark bounds it to
+    the active 10-minute horizon per side, so state is O(active users),
+    not O(stream).
+    """
+    prepare(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    feed_dir = tempfile.mkdtemp(prefix="npc_outer_feed_")
+    ckpt = tempfile.mkdtemp(prefix="npc_outer_ckpt_")
+    # append-mode memory sinks cannot recover a checkpoint; the restartable
+    # append sink is the FILE sink (exactly-once via its own commit log)
+    out_dir = tempfile.mkdtemp(prefix="npc_outer_out_")
+    batch.coalesce(1).write.mode("append").parquet(feed_dir)
+
+    ts_type = dict(batch.dtypes).get("ts")
+
+    def sentinel(uid: int):
+        # one far-future row PER SIDE: the global watermark is the MIN over
+        # all watermark operators, so a view-only heartbeat would leave the
+        # purchase-side watermark (and with it the join's eviction
+        # threshold) stuck at the real data's horizon — the last hour of
+        # unmatched views would never emit. Distinct negative user ids keep
+        # the two sentinel rows from joining each other.
+        one = batch.limit(1)
+        if ts_type == "bigint":
+            far = batch.agg(F.max("ts")).collect()[0][0] + 2 * 86400 * 10**9
+            one = one.withColumn("ts", F.lit(far).cast("long"))
+        else:
+            one = (
+                one.crossJoin(
+                    batch.agg(F.expr("max(ts) + INTERVAL 2 DAYS").alias("far_ts"))
+                )
+                .withColumn("ts", F.col("far_ts"))
+                .drop("far_ts")
+            )
+        view_row = (
+            one.withColumn("event_id", F.lit(uid).cast("long"))
+            .withColumn("user_id", F.lit(uid).cast("long"))
+            .withColumn("event_type", F.lit("view"))
+            .select(*batch.columns)
+        )
+        purchase_row = (
+            one.withColumn("event_id", F.lit(uid - 100).cast("long"))
+            .withColumn("user_id", F.lit(uid - 100).cast("long"))
+            .withColumn("event_type", F.lit("purchase"))
+            .select(*batch.columns)
+        )
+        return view_row.unionByName(purchase_row)
+
+    def run_once():
+        ev = spark.readStream.schema(batch.schema).parquet(feed_dir)
+        st = dict(ev.dtypes).get("ts")
+        if st == "bigint":
+            ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif st == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        views = (
+            ev.where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("vid"),
+                "user_id",
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        purchases = (
+            ev.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("pid"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        j = views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTE")),
+            "leftOuter",
+        ).select("vid", "pid", "user_id")
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # real data: inner matches emit, unmatched state held
+    sentinel(-1).coalesce(1).write.mode("append").parquet(feed_dir)
+    run_once()  # watermark advances past every real window
+    sentinel(-2).coalesce(1).write.mode("append").parquet(feed_dir)
+    run_once()  # eviction batch: withheld unmatched views emit
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col("user_id") >= 0)
+        .groupBy(
+            F.when(F.col("pid").isNull(), 0).otherwise(1).cast("long").alias("matched")
+        )
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .orderBy("matched")
+    )
+
+
+@register(
     "st_topk_per_window",
     """
     WITH wc AS (

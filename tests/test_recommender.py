@@ -115,3 +115,20 @@ def test_pagerank_is_a_distribution_weighted_by_degree(spark):
     by_deg = sorted(deg, key=lambda r: r["count"])
     lo, hi = by_deg[0], by_deg[-1]
     assert ranks[hi.src] > ranks[lo.src]
+
+
+def test_als_cv_leaderboard_shape_and_winner(spark):
+    """r_als_cv is rows-only (seeded ALS, FP-order nondeterministic), so pin
+    the structural contract: full 2x2 grid present, exactly one winner,
+    and the winner's validation RMSE is the grid minimum."""
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_als_cv"](spark, SF_SMALL).collect()
+    assert len(rows) == 4
+    assert sorted((r["rank"], r["reg_param"]) for r in rows) == [
+        (4, 0.05), (4, 0.1), (8, 0.05), (8, 0.1),
+    ]
+    assert all(r["valid_rmse"] > 0 for r in rows)
+    winners = [r for r in rows if r["is_best"] == 1]
+    assert len(winners) == 1
+    assert winners[0]["valid_rmse"] == min(r["valid_rmse"] for r in rows)
