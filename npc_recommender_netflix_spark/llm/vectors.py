@@ -2355,3 +2355,217 @@ def v_mmr_rerank(spark, sf_dir):
         F.col("pick2").alias("item_id"),
     )
     return out1.unionByName(out2).orderBy("query_id", "rank")
+
+
+_QCELL_D2_DUCK = """round(sum((qcomp.qv - cent.cv) * (qcomp.qv - cent.cv)), 6) + 0"""
+
+
+@register(
+    "v_ann_ivfpq_rerank",
+    f"""
+    WITH codes AS (SELECT vec_id AS code, embedding AS ce FROM embeddings
+                   WHERE vec_id < 16),
+    data AS (SELECT vec_id, label, embedding AS ve FROM embeddings
+             WHERE vec_id >= 16),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id IN (16, 17, 18)),
+    dims AS (SELECT unnest(range(1, 65)) AS i),
+    subs AS (SELECT unnest(range(0, 8)) AS sub_id),
+    cent AS (
+        SELECT d.label, t.i, avg(CAST(d.ve[t.i] AS DOUBLE)) AS cv
+        FROM data d CROSS JOIN dims t GROUP BY d.label, t.i
+    ),
+    qcomp AS (
+        SELECT q.query_id, t.i, CAST(q.qe[t.i] AS DOUBLE) AS qv
+        FROM q CROSS JOIN dims t
+    ),
+    qcell AS (
+        SELECT qcomp.query_id, cent.label, {_QCELL_D2_DUCK} AS cd2
+        FROM qcomp JOIN cent ON qcomp.i = cent.i
+        GROUP BY qcomp.query_id, cent.label
+    ),
+    probe AS (
+        SELECT query_id, label AS probe_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cd2, label) AS rn
+            FROM qcell
+        ) WHERE rn = 1
+    ),
+    cell_data AS (
+        SELECT p.query_id, d.vec_id, d.ve
+        FROM probe p JOIN data d ON d.label = p.probe_label
+        WHERE d.vec_id NOT IN (16, 17, 18) OR d.vec_id <> p.query_id
+    ),
+    assign AS (
+        SELECT vec_id, sub_id, code FROM (
+            SELECT dt.vec_id, s.sub_id, c.code,
+                   row_number() OVER (PARTITION BY dt.vec_id, s.sub_id
+                                      ORDER BY {_SUBD2_DUCK.format(a='dt.ve', b='c.ce')},
+                                               c.code) AS rn
+            FROM (SELECT DISTINCT vec_id, ve FROM cell_data) dt
+            CROSS JOIN subs s CROSS JOIN codes c
+        ) WHERE rn = 1
+    ),
+    qdist AS (
+        SELECT q.query_id, s.sub_id, c.code,
+               CAST(round(({_SUBD2_DUCK.format(a='q.qe', b='c.ce')}) * 1e6) AS BIGINT)
+                   AS qd6
+        FROM q CROSS JOIN subs s CROSS JOIN codes c
+    ),
+    adc AS (
+        SELECT cd.query_id, cd.vec_id, sum(qd.qd6) AS adc6
+        FROM cell_data cd
+        JOIN assign a ON a.vec_id = cd.vec_id
+        JOIN qdist qd ON qd.query_id = cd.query_id
+                     AND qd.sub_id = a.sub_id AND qd.code = a.code
+        WHERE cd.vec_id <> cd.query_id
+        GROUP BY cd.query_id, cd.vec_id
+    ),
+    shortlist AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc6, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= 20
+    )
+    SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rn, d2 FROM (
+        SELECT sl.query_id, sl.vec_id, {_FULLD2_DUCK} AS d2,
+               row_number() OVER (PARTITION BY sl.query_id
+                                  ORDER BY {_FULLD2_DUCK}, sl.vec_id) AS rnk
+        FROM shortlist sl
+        JOIN q ON q.query_id = sl.query_id
+        JOIN data dt ON dt.vec_id = sl.vec_id
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rn
+    """,
+)
+def v_ann_ivfpq_rerank(spark, sf_dir):
+    """The COMPLETE production ANN cascade in one lazy plan — IVF coarse
+    probe -> PQ/ADC shortlist -> exact rerank — composing the three
+    tiers that exist separately as v_ann_ivf (cell routing), v_pq_adc
+    (lookup-table scoring), and v_hamming_rerank (prefilter-then-exact):
+
+      1. route each query to its nearest per-label centroid cell
+         (squared-L2, 6dp-rounded, label tiebreak) — scoring now touches
+         ~1/n_cells of the corpus;
+      2. inside the probed cell only, score by ADC: each member's 8
+         byte-codes (argmin vs the 16-entry codebook) join the query's
+         precomputed (sub, code) distance table, snapped to 1e-6 BIGINTs
+         so the 8-term sum is exact and reorder-safe; shortlist top-20;
+      3. exact 64-dim L2 reranks the <=20 survivors to the final top-5.
+
+    This is the FAISS IVF-PQ+refine recipe (Jegou et al. 2011, public)
+    as a Catalyst plan. At 100 TB each tier cuts the candidate set by
+    orders of magnitude before the next pays its per-candidate cost:
+    cells prune the scan (stored partition-per-cell -> partition
+    pruning), codes are 8 bytes/vector so the ADC tier reads ~1% of the
+    raw bytes, and the exact tier touches 20 vectors per query. The
+    oracle mirrors every tier including tiebreaks, so the driver hash
+    covers the cascade end to end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("ce")
+    )
+    data = emb.where(F.col("vec_id") >= 16).select(
+        "vec_id", "label", F.col("embedding").alias("ve")
+    )
+    q = emb.where(F.col("vec_id").isin(16, 17, 18)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # 1. coarse probe: nearest per-label centroid by squared L2
+    cent = (
+        data.select("label", F.posexplode("ve").alias("pos", "v"))
+        .groupBy("label", F.col("pos").alias("i"))
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+    )
+    qcomp = q.select(
+        "query_id", F.posexplode("qe").alias("i", "qv")
+    ).select("query_id", "i", F.col("qv").cast("double").alias("qv"))
+    qcell = (
+        qcomp.join(cent, "i")
+        .groupBy("query_id", "label")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("cd2")
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("cd2", "label")
+    probe = (
+        qcell.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("probe_label"))
+    )
+    cell_data = probe.join(
+        data, F.col("label") == F.col("probe_label")
+    ).where(F.col("vec_id") != F.col("query_id")).select("query_id", "vec_id", "ve")
+    # 2. ADC inside the probed cell
+    subs = F.explode(
+        F.expr("sequence(CAST(0 AS BIGINT), CAST(7 AS BIGINT))")
+    ).alias("sub_id")
+    members = cell_data.select("vec_id", "ve").distinct()
+    d2_dc = F.expr(_SUBD2_SPARK.format(a="ve", b="ce"))
+    w_assign = Window.partitionBy("vec_id", "sub_id").orderBy("dist2", "code")
+    assign = (
+        members.select("vec_id", "ve", subs)
+        .crossJoin(F.broadcast(codes))
+        .select("vec_id", "sub_id", "code", (F.round(d2_dc, 6) + 0.0).alias("dist2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+    d2_qc = F.expr(_SUBD2_SPARK.format(a="qe", b="ce"))
+    qdist = (
+        q.select("query_id", "qe", subs)
+        .crossJoin(F.broadcast(codes))
+        .select(
+            "query_id",
+            "sub_id",
+            "code",
+            F.round(d2_qc * 1e6).cast("long").alias("qd6"),
+        )
+    )
+    adc = (
+        cell_data.select("query_id", "vec_id")
+        .join(assign, "vec_id")
+        .join(qdist, ["query_id", "sub_id", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd6").alias("adc6"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy("adc6", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .where(F.col("rn") <= 20)
+        .select("query_id", "vec_id")
+    )
+    # 3. exact rerank of the shortlist
+    full_d2 = (
+        F.round(
+            F.expr(
+                "aggregate(zip_with(qe, ve,"
+                " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+                "           * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+            6,
+        )
+        + 0.0
+    )
+    w_final = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (
+        shortlist.join(q, "query_id")
+        .join(data.select("vec_id", "ve"), "vec_id")
+        .select("query_id", "vec_id", full_d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_final).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "rn", "d2")
+        .orderBy("query_id", "rn")
+    )
