@@ -1250,3 +1250,29 @@ def test_capped_pair_joins_filter_hot_keys_before_selfjoin(spark):
         assert "CartesianProduct" not in plan, key
         assert "BroadcastNestedLoopJoin" not in plan, key
         assert f"<= {cap}" in plan, f"{key}: degree-cap filter missing from plan"
+
+
+def test_strict_neardup_candidates_are_equi_join(spark):
+    """v_embed_neardup_strict's candidate generation must plan as the
+    (band, bucket) hash equi-join — a cartesian/nested-loop operator
+    would mean the 16-bit banding degenerated to all-pairs."""
+    plan = _plan(spark, "v_embed_neardup_strict")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_cascade_no_allpairs(spark):
+    """The IVF-PQ cascade must never form an unbounded cartesian: cell
+    probe, code assignment, ADC lookup, and rerank are all equi-joins
+    (the only crossJoin is the broadcast 16-row codebook)."""
+    plan = _plan(spark, "v_ann_ivfpq_rerank")
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_dedup_bitmap_broadcasts(spark):
+    """t_bloom_dedup's bitmap join must be a broadcast hash join (the
+    bitmap is bounded at m rows by construction) and the probe an
+    equi-join on the bit position."""
+    plan = _plan(spark, "t_bloom_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
