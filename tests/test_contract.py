@@ -54,6 +54,7 @@ def test_contract_shape():
         "a_kll_quantiles",
         "a_sketch_merge",
         "r_als",
+        "r_als_cv",
         "r_als_recs",
         "r_kmeans",
         "r_pca",
