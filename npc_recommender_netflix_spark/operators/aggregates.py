@@ -3206,3 +3206,84 @@ def a_bootstrap_ci(spark, sf_dir):
             f6(F.col("qhi") / 1e6).alias("ci_hi"),
         )
     )
+
+
+@register(
+    "a_jarque_bera",
+    """
+    WITH x AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) * 1.0 AS v
+        FROM events
+    ),
+    mom AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(v) AS mu,
+               avg(v * v) AS m2r,
+               avg(v * v * v) AS m3r,
+               avg(v * v * v * v) AS m4r
+        FROM x GROUP BY event_type
+    ),
+    c AS (
+        SELECT event_type, n,
+               m2r - mu * mu AS m2,
+               m3r - 3 * mu * m2r + 2 * mu * mu * mu AS m3,
+               m4r - 4 * mu * m3r + 6 * mu * mu * m2r
+                   - 3 * mu * mu * mu * mu AS m4
+        FROM mom
+    )
+    SELECT event_type, n,
+           round(m3 / power(m2, 1.5), 6) + 0 AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) + 0 AS excess_kurtosis,
+           round(n / 6.0 * (power(m3 / power(m2, 1.5), 2)
+                 + power(m4 / (m2 * m2) - 3, 2) / 4.0), 6) + 0 AS jb_stat
+    FROM c ORDER BY event_type
+    """,
+)
+def a_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality statistic per event type: JB = n/6·(S² +
+    K²/4) from sample skewness and excess kurtosis — the moments-based
+    normality screen that tells a_ttest_welch/a_anova_f users whether
+    their Gaussian assumptions are even plausible, or whether the
+    rank/permutation route (a_mann_whitney, a_permutation_test) is the
+    honest one. Large JB ⇒ reject normality (χ²₂ reference).
+
+    One partial+final aggregate computes the four raw moments per group
+    in a single pass over exact cent units; central moments come from
+    the raw ones by the binomial expansion written IDENTICALLY in both
+    engines (same association order), so the 6dp-rounded outputs agree.
+    O(groups) state at any scale — the same fold shape as a_stats.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long") * 1.0
+    mom = ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("v").alias("mu"),
+        F.avg(F.col("v") * F.col("v")).alias("m2r"),
+        F.avg(F.col("v") * F.col("v") * F.col("v")).alias("m3r"),
+        F.avg(F.col("v") * F.col("v") * F.col("v") * F.col("v")).alias("m4r"),
+    )
+    mu = F.col("mu")
+    m2 = F.col("m2r") - mu * mu
+    m3 = F.col("m3r") - 3 * mu * F.col("m2r") + 2 * mu * mu * mu
+    m4 = (
+        F.col("m4r")
+        - 4 * mu * F.col("m3r")
+        + 6 * mu * mu * F.col("m2r")
+        - 3 * mu * mu * mu * mu
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2) - 3
+    return (
+        mom.select(
+            "event_type",
+            "n",
+            f6(skew).alias("skewness"),
+            f6(kurt).alias("excess_kurtosis"),
+            f6(F.col("n") / 6.0 * (F.pow(skew, 2) + F.pow(kurt, 2) / 4.0)).alias(
+                "jb_stat"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -429,3 +429,102 @@ def j_null_safe_eq(spark, sf_dir):
         .select("o_orderkey", "label")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "j_grid_knn",
+    """
+    WITH cust AS (
+        SELECT c_custkey,
+               (c_custkey * 48271) % 1000 AS cx,
+               (c_custkey * 69621) % 1000 AS cy
+        FROM customer
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               (s_suppkey * 48271 + 137) % 1000 AS sx,
+               (s_suppkey * 69621 + 511) % 1000 AS sy
+        FROM supplier
+    ),
+    scell AS (
+        SELECT s_suppkey, sx, sy, sx // 100 AS gx, sy // 100 AS gy FROM supp
+    ),
+    cand AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               (c.cx - s.sx) * (c.cx - s.sx)
+               + (c.cy - s.sy) * (c.cy - s.sy) AS d2
+        FROM cust c
+        JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox ON TRUE
+        JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy ON TRUE
+        JOIN scell s
+          ON s.gx = (c.cx // 100) + ox.dx AND s.gy = (c.cy // 100) + oy.dy
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, CAST(d2 AS BIGINT) AS d2
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY d2, s_suppkey) AS rn
+        FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def j_grid_knn(spark, sf_dir):
+    """Grid-bucketed spatial nearest-neighbor join — the geohash/S2-cell
+    pattern: every point lands in a 100x100 grid cell, candidate pairs
+    come from the customer's 3x3 cell NEIGHBORHOOD (an equi-join on
+    cell ids after a 9-way offset explode), and the exact squared
+    distance reranks candidates to the nearest supplier per customer.
+    Semantics are nearest-IN-NEIGHBORHOOD by contract (the honest grid
+    trade-off: a customer whose 9 cells hold no supplier gets no row;
+    production stacks coarser grids for those). Coordinates are
+    deterministic LCG projections of the keys — the operator is about
+    the JOIN SHAPE, not geography.
+
+    This is the 2-D generalization of j_range_bucketed's 1-D banding:
+    a naive nearest-neighbor join is |C|x|S| distance evaluations; the
+    grid caps each customer's candidates at the 9-cell occupancy
+    (density-bound, corpus-size-independent for constant density), and
+    the 9-way explode rides the BUILD side of one hash equi-join on
+    (gx, gy). All-integer distance arithmetic; s_suppkey tiebreak.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 1000).alias("cx"),
+        ((F.col("c_custkey") * 69621) % 1000).alias("cy"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 48271 + 137) % 1000).alias("sx"),
+        ((F.col("s_suppkey") * 69621 + 511) % 1000).alias("sy"),
+    )
+    scell = supp.select(
+        "s_suppkey", "sx", "sy",
+        F.expr("sx div 100").alias("gx"), F.expr("sy div 100").alias("gy"),
+    )
+    offsets = F.explode(
+        F.expr(
+            "flatten(transform(sequence(-1, 1),"
+            " dx -> transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+        )
+    ).alias("o")
+    probe = cust.select("c_custkey", "cx", "cy", offsets).select(
+        "c_custkey", "cx", "cy",
+        (F.expr("cx div 100") + F.col("o.dx")).alias("gx"),
+        (F.expr("cy div 100") + F.col("o.dy")).alias("gy"),
+    )
+    d2 = (
+        (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx"))
+        + (F.col("cy") - F.col("sy")) * (F.col("cy") - F.col("sy"))
+    )
+    cand = probe.join(scell, ["gx", "gy"]).select(
+        "c_custkey", "s_suppkey", d2.alias("d2")
+    )
+    w = Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            F.col("d2").cast("long").alias("d2"),
+        )
+    )

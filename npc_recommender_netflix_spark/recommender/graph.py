@@ -263,3 +263,100 @@ def r_two_hop_reach(spark, sf_dir):
         .orderBy(F.col("reach2").desc(), "item_id")
         .limit(20)
     )
+
+
+_PPR_ITER_SQL = """
+    c{next} AS (SELECT e.dst AS node, sum(p{cur}.r / deg.d) AS w
+                FROM p{cur}
+                JOIN edges e ON e.src = p{cur}.node
+                JOIN deg ON deg.src = p{cur}.node
+                GROUP BY e.dst),
+    p{next} AS (SELECT coalesce(c.node, s.node) AS node,
+                       round(CASE WHEN coalesce(c.node, s.node) IN (0, 1, 2)
+                                  THEN 0.05 ELSE 0 END
+                             + 0.85 * coalesce(c.w, 0), 9) AS r
+                FROM c{next} c FULL JOIN seeds s ON s.node = c.node)
+"""
+
+
+@register(
+    "r_ppr",
+    f"""
+    WITH {_GRAPH_SQL},
+    seeds AS (SELECT unnest([0, 1, 2]) AS node),
+    p0 AS (SELECT node, round(1.0 / 3, 9) AS r FROM seeds),
+    {_PPR_ITER_SQL.format(cur=0, next=1)},
+    {_PPR_ITER_SQL.format(cur=1, next=2)},
+    {_PPR_ITER_SQL.format(cur=2, next=3)}
+    SELECT node, rank, rn FROM (
+        SELECT node, round(r, 6) + 0 AS rank,
+               CAST(row_number() OVER (ORDER BY round(r, 6) DESC, node)
+                    AS BIGINT) AS rn
+        FROM p3 WHERE round(r, 6) > 0
+    ) WHERE rn <= 25
+    """,
+)
+def r_ppr(spark, sf_dir):
+    """Personalized PageRank from seed items {0,1,2} — random walk with
+    restart over the co-purchase graph, the graph-native recommender
+    (Pinterest's Pixie family): instead of r_pagerank's uniform
+    teleport, all restart mass returns to the SEED set (a user's recent
+    items), so the stationary mass ranks items by multi-hop proximity
+    to that user's taste — reaching items two and three hops out that
+    r_cooccurrence (1 hop) never sees, with walk-frequency weighting
+    r_two_hop_reach (pure reach) lacks.
+
+    Same engine-exactness discipline as r_pagerank: 3 unrolled
+    iterations, each a (contributions groupBy dst) FULL-JOINED with the
+    seed teleport so seeds persist even with zero in-flow, ranks
+    snapped to 9dp per iteration (bit-identical iteration inputs across
+    engines). Edges/degrees cached once; each iteration is ONE shuffle
+    sized by the rank frontier — which for PPR starts at |seeds| and
+    grows with the k-hop neighborhood, typically far smaller than the
+    graph (the locality that makes PPR THE scalable per-user graph
+    recommender). Top-25 by rounded rank, node tiebreak.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.item") != F.col("b.item"))
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).cache()
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node LONG")
+    teleport = F.when(F.col("node").isin(0, 1, 2), 0.05).otherwise(0.0)
+    pr = seeds.withColumn("r", F.round(F.lit(1.0 / 3), 9))
+    for _ in range(3):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg, "src")
+            .select("dst", (F.col("r") / F.col("d")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("w"))
+            .select(F.col("dst").alias("node"), "w")
+        )
+        pr = (
+            contrib.join(F.broadcast(seeds), "node", "full")
+            .select(
+                "node",
+                F.round(teleport + 0.85 * F.coalesce(F.col("w"), F.lit(0.0)), 9).alias(
+                    "r"
+                ),
+            )
+        )
+    from pyspark.sql import Window
+
+    ranked = pr.select("node", f6(F.col("r")).alias("rank")).where(F.col("rank") > 0)
+    w = Window.orderBy(F.col("rank").desc(), "node")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 25)
+        .select("node", "rank", "rn")
+    )
