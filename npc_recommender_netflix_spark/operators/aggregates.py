@@ -3287,3 +3287,51 @@ def a_jarque_bera(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "a_bitmap_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap aggregates — the modern
+    warehouse answer to COUNT(DISTINCT) at scale, sitting between the
+    naive expand (a_count_distinct: shuffles every distinct value) and
+    the approximate sketch (a_approx_distinct: HLL, ±2%): keys bucket
+    into fixed 32768-bit bitmap segments (bitmap_bucket_number /
+    bitmap_bit_position), each (group, bucket) folds to ONE bitmap via
+    bitmap_construct_agg, bitmaps OR-merge map-side like any partial
+    aggregate, and bitmap_count reads off the exact cardinality. The
+    shuffle carries O(groups x occupied-buckets x 4KB) regardless of
+    row count — HLL's mergeability with none of its error.
+
+    The result is pure integers, so the oracle is plain
+    COUNT(DISTINCT): the bitmap machinery must reproduce the exact
+    answer or the hash fails — the same the-optimization-must-not-
+    change-the-answer framing as t_bloom_dedup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def exact_distinct(col):
+        per_bucket = (
+            li.groupBy(
+                "l_returnflag",
+                F.expr(f"bitmap_bucket_number({col})").alias("bucket"),
+            )
+            .agg(
+                F.expr(
+                    f"bitmap_construct_agg(bitmap_bit_position({col}))"
+                ).alias("bm")
+            )
+        )
+        return per_bucket.groupBy("l_returnflag").agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n")
+        )
+    parts = exact_distinct("l_partkey").withColumnRenamed("n", "n_parts")
+    supps = exact_distinct("l_suppkey").withColumnRenamed("n", "n_supps")
+    return parts.join(supps, "l_returnflag").orderBy("l_returnflag")

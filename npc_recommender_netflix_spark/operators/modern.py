@@ -2760,3 +2760,209 @@ def q_sequence_inversions(spark, sf_dir):
         F.sum(inv).cast("long").alias("n_inversions"),
         f6(F.sum(inv) * 1.0 / F.count("*")).alias("inversion_rate"),
     )
+
+
+def _markov_iter_sql(tname: str, cur: int, nxt: int) -> str:
+    """One absorption-value iteration over the bounded state space."""
+    return f"""
+    v{tname}{nxt} AS (
+        SELECT s.state,
+               CASE WHEN s.state = 'purchase' THEN 1.0
+                    WHEN s.state = '__null' THEN 0.0
+                    ELSE round(coalesce(sum(t.p * v.val), 0), 9)
+               END AS val
+        FROM states s
+        LEFT JOIN {tname} t ON t.src = s.state
+        LEFT JOIN v{tname}{cur} v ON v.state = t.dst
+        GROUP BY s.state
+    )"""
+
+
+def _markov_sql() -> str:
+    channels = ["click", "error", "signup", "view"]
+    base = """
+    WITH firstp AS (
+        SELECT user_id, min(ts) AS pts FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    path AS (
+        SELECT e.user_id, e.ts, e.event_id, e.event_type
+        FROM events e LEFT JOIN firstp f ON f.user_id = e.user_id
+        WHERE f.pts IS NULL OR e.ts <= f.pts
+    ),
+    ordered AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM path
+    ),
+    trans_raw AS (
+        SELECT 'start' AS src, event_type AS dst FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT event_type AS src, coalesce(nxt, '__null') AS dst
+        FROM ordered WHERE event_type <> 'purchase'
+    ),
+    t AS (
+        SELECT src, dst,
+               count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY src) AS p
+        FROM trans_raw GROUP BY src, dst
+    ),
+    states AS (SELECT unnest(['start', 'click', 'error', 'signup', 'view',
+                              'purchase', '__null']) AS state),
+    vt0 AS (SELECT state,
+                   CASE WHEN state = 'purchase' THEN 1.0 ELSE 0.0 END AS val
+            FROM states)"""
+    parts = [base]
+    for k in range(6):
+        parts.append("," + _markov_iter_sql("t", k, k + 1))
+    for ch in channels:
+        parts.append(f""",
+    t_{ch} AS (
+        SELECT src,
+               CASE WHEN dst = '{ch}' THEN '__null' ELSE dst END AS dst,
+               sum(p) AS p
+        FROM t WHERE src <> '{ch}' GROUP BY 1, 2
+    ),
+    vt_{ch}0 AS (SELECT state,
+                        CASE WHEN state = 'purchase' THEN 1.0 ELSE 0.0 END
+                            AS val
+                 FROM states)""")
+        for k in range(6):
+            parts.append("," + _markov_iter_sql(f"t_{ch}", k, k + 1))
+    union = "\n        UNION ALL\n".join(
+        f"""        SELECT '{ch}' AS channel,
+               (SELECT val FROM vt6 WHERE state = 'start') AS p_base,
+               (SELECT val FROM vt_{ch}6 WHERE state = 'start') AS p_removed"""
+        for ch in channels
+    )
+    parts.append(f""",
+    eff AS (
+{union}
+    ),
+    scored AS (
+        SELECT channel, p_base, p_removed,
+               round((p_base - p_removed) / p_base, 9) AS re
+        FROM eff
+    )
+    SELECT channel, round(p_base, 6) + 0 AS p_base,
+           round(p_removed, 6) + 0 AS p_removed,
+           round(re, 6) + 0 AS removal_effect,
+           round(re / sum(re) OVER (), 6) + 0 AS attribution
+    FROM scored ORDER BY channel""")
+    return "".join(parts)
+
+
+@register("q_attribution_markov", _markov_sql())
+def q_attribution_markov(spark, sf_dir):
+    """Markov removal-effect attribution — the data-driven successor to
+    q_attribution_last_touch: model each user's pre-conversion journey
+    as a first-order Markov chain (start -> {click, error, signup,
+    view} -> ... -> purchase | abandon), and credit each channel by how
+    much the conversion probability DROPS when that channel is removed
+    (its transitions redirected to abandonment) — Shapley-flavored
+    credit from observed dynamics instead of position heuristics.
+
+    The division of labor is the point: transition COUNTS are the only
+    data-scale computation (one window pass over user journeys
+    truncated at first purchase, one groupBy — both user_id-keyed),
+    while the chain itself lives on a BOUNDED state space (6 sources x
+    7 destinations), so the absorption solve is metadata-scale by
+    construction. Both engines run the identical 6 unrolled value
+    iterations (v_{{k+1}}(s) = sum_t p(s,t)·v_k(t), absorbing states
+    pinned, 9dp snap per iteration) on that bounded matrix — Spark
+    collects the <=36-row matrix to the driver exactly like the
+    DESCRIBE-metadata pattern (at 100 TB it is still <=36 rows) and
+    replays the same arithmetic, so the driver never touches row-scale
+    data and the oracle hash covers the full pipeline end to end.
+    """
+    channels = ["click", "error", "signup", "view"]
+    ev = load_table(spark, sf_dir, "events")
+    firstp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    path = ev.join(firstp, "user_id", "left").where(
+        F.col("pts").isNull() | (F.col("ts") <= F.col("pts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = path.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans_raw = (
+        ordered.where(F.col("rn") == 1)
+        .select(F.lit("start").alias("src"), F.col("event_type").alias("dst"))
+        .unionByName(
+            ordered.where(F.col("event_type") != "purchase").select(
+                F.col("event_type").alias("src"),
+                F.coalesce("nxt", F.lit("__null")).alias("dst"),
+            )
+        )
+    )
+    wsrc = Window.partitionBy("src")
+    t_rows = (
+        trans_raw.groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "src", "dst", (F.col("c") * 1.0 / F.sum("c").over(wsrc)).alias("p")
+        )
+        .collect()  # bounded: <= 6 sources x 7 destinations at ANY scale
+    )
+    trans = {}
+    for r in t_rows:
+        trans.setdefault(r["src"], []).append((r["dst"], r["p"]))
+
+    states = ["start", "click", "error", "signup", "view", "purchase", "__null"]
+
+    def absorb(tmap):
+        val = {s: (1.0 if s == "purchase" else 0.0) for s in states}
+        for _ in range(6):
+            nxt = {}
+            for s in states:
+                if s == "purchase":
+                    nxt[s] = 1.0
+                elif s == "__null":
+                    nxt[s] = 0.0
+                else:
+                    # sorted dst order: same 9dp result as the SQL sum
+                    nxt[s] = round(
+                        sum(p * val[d] for d, p in sorted(tmap.get(s, []))), 9
+                    )
+            val = nxt
+        return val["start"]
+
+    p_base = absorb(trans)
+    rows = []
+    for ch in channels:
+        tmap = {
+            src: [
+                ("__null" if dst == ch else dst, p)
+                for dst, p in dsts
+            ]
+            for src, dsts in trans.items()
+            if src != ch
+        }
+        # re-aggregate duplicate (src, '__null') entries like the SQL GROUP BY
+        merged = {}
+        for src, dsts in tmap.items():
+            agg = {}
+            for dst, p in dsts:
+                agg[dst] = agg.get(dst, 0.0) + p
+            merged[src] = list(agg.items())
+        p_removed = absorb(merged)
+        rows.append((ch, p_base, p_removed, round((p_base - p_removed) / p_base, 9)))
+    total_re = sum(r[3] for r in rows)
+    out = spark.createDataFrame(
+        [
+            (ch, round(pb, 6), round(pr, 6), round(re, 6), round(re / total_re, 6))
+            for ch, pb, pr, re in rows
+        ],
+        "channel string, p_base double, p_removed double,"
+        " removal_effect double, attribution double",
+    )
+    return out.orderBy("channel")
