@@ -2560,3 +2560,58 @@ def t_bloom_dedup(spark, sf_dir):
         F.count_if(F.col("hit").isNull()).cast("long").alias("n_new"),
         F.count_if(F.col("hit").isNotNull()).cast("long").alias("n_dup"),
     )
+
+
+@register(
+    "t_dp_counts",
+    """
+    WITH c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        GROUP BY lang
+    ),
+    u AS (
+        SELECT lang, n,
+               CAST(list_sum(list_transform(range(1, 9),
+                    j -> (strpos('0123456789abcdef',
+                          substring(md5('dp:' || lang), j, 1)) - 1)
+                         * 16 ** (8 - j))) AS BIGINT)
+                   / 4294967296.0 AS h
+        FROM c
+    )
+    SELECT lang, n,
+           round(n + (CASE WHEN h < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * ln(1.0 - 2.0 * abs(h - 0.5)) * (-1.0), 6) + 0
+               AS dp_count
+    FROM u ORDER BY lang
+    """,
+)
+def t_dp_counts(spark, sf_dir):
+    """Differentially-private per-language document counts: Laplace
+    mechanism at epsilon=1 (sensitivity 1 for a unit-contribution count
+    query, so scale b = 1) — the release pattern for sharing corpus
+    composition stats without certifying any individual document's
+    membership. The noise is HASH-deterministic: u = md5('dp:'||lang)/2^32
+    inverted through the Laplace CDF (sign from u<0.5, magnitude
+    -b·ln(1-2|u-0.5|)) — the a_permutation_test reproducibility recipe
+    applied to privacy noise, so both engines (and reruns) release the
+    IDENTICAL noisy value; a production system would swap the hash seed
+    for a vaulted secret per release.
+
+    Counts are one partial+final aggregate; noise is O(groups) scalar
+    math on the aggregated axis. ln() is the only transcendental and
+    both engines' 1-ulp noise sits ~1e-10 below the 6dp snap.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("lang"))), 1, 8), 16, 10
+        ).cast("long")
+        / 4294967296.0
+    )
+    sign = F.when(h < 0.5, 1.0).otherwise(-1.0)
+    noise = sign * (-1.0) * F.log(1.0 - 2.0 * F.abs(h - 0.5))
+    return (
+        c.select("lang", "n", f6(F.col("n") + noise).alias("dp_count"))
+        .orderBy("lang")
+    )

@@ -528,3 +528,62 @@ def j_grid_knn(spark, sf_dir):
             F.col("d2").cast("long").alias("d2"),
         )
     )
+
+
+@register(
+    "j_lateral_topn",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.cents, o.rn
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                    AS BIGINT) AS rn
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY c.c_custkey, o.rn
+    """,
+)
+def j_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL join — top-2 orders per BUILDING customer via a
+    per-row dependent subquery, the SQL-standard surface (LATERAL /
+    CROSS APPLY) that window functions usually shadow. It exists as its
+    own key because the reference-class engines expose it and because
+    Catalyst handles it with a dedicated path: DecorrelateInnerQuery
+    rewrites the dependent subquery into a ranked join — the SAME
+    physical plan the w_topk_group window produces — so the declarative
+    per-row form costs nothing over the hand-written window. The scale
+    argument is therefore inherited: one shuffle on the correlation key,
+    WindowGroupLimit pruning, no per-customer re-execution (what a
+    naive nested-loop interpretation of LATERAL would do).
+
+    Spark runs the IDENTICAL SQL text via spark.sql on registered temp
+    views — LATERAL is pure SQL surface with no DataFrame-API spelling.
+    Exact cents; (price, orderkey) tiebreak everywhere.
+    """
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    cust.createOrReplaceTempView("lat_customer")
+    orders.createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.cents, o.rn
+        FROM lat_customer c,
+        LATERAL (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(row_number() OVER (ORDER BY o_totalprice DESC,
+                                           o_orderkey) AS BIGINT) AS rn
+            FROM lat_orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, o.rn
+        """
+    )

@@ -2304,3 +2304,115 @@ def r_epsilon_slate(spark, sf_dir):
         )
     )
     return exploit.unionByName(explore).orderBy("user_id", "slot", "rn", "item_id")
+
+
+@register(
+    "r_map_at_k",
+    """
+    WITH base AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id, l_quantity AS qty,
+               l_orderkey AS ok
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    train AS (SELECT user_id, item_id, sum(qty) AS rating FROM base
+              WHERE ok % 5 <> 0 GROUP BY 1, 2),
+    hold AS (SELECT DISTINCT user_id, item_id FROM base WHERE ok % 5 = 0),
+    pop AS (SELECT item_id, sum(rating) AS pop FROM train GROUP BY 1),
+    top20 AS (SELECT item_id, pop FROM (
+                  SELECT *, row_number() OVER (ORDER BY pop DESC, item_id) AS rn
+                  FROM pop) WHERE rn <= 20),
+    users AS (SELECT DISTINCT user_id FROM hold),
+    cand AS (SELECT u.user_id, t.item_id, t.pop
+             FROM users u CROSS JOIN top20 t
+             WHERE NOT EXISTS (SELECT 1 FROM train tr
+                               WHERE tr.user_id = u.user_id
+                                 AND tr.item_id = t.item_id)),
+    recs AS (SELECT user_id, item_id, rn FROM (
+                 SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+                                              ORDER BY pop DESC, item_id)
+                           AS BIGINT) AS rn
+                 FROM cand) WHERE rn <= 5),
+    hn AS (SELECT user_id, CAST(count(*) AS BIGINT) AS holdout_n
+           FROM hold GROUP BY user_id),
+    flags AS (SELECT r.user_id, r.rn,
+                     CASE WHEN h.item_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+              FROM recs r LEFT JOIN hold h
+                ON h.user_id = r.user_id AND h.item_id = r.item_id),
+    cum AS (SELECT user_id, rn, rel,
+                   sum(rel) OVER (PARTITION BY user_id ORDER BY rn) AS chits
+            FROM flags)
+    SELECT c.user_id,
+           CAST(sum(c.rel) AS BIGINT) AS hits,
+           round(sum(c.rel * c.chits * 1.0 / c.rn)
+                 / least(5, hn.holdout_n), 6) + 0 AS ap5
+    FROM cum c JOIN hn ON hn.user_id = c.user_id
+    GROUP BY c.user_id, hn.holdout_n
+    """,
+)
+def r_map_at_k(spark, sf_dir):
+    """Average precision @5 per holdout user (the per-user term of MAP,
+    the ranking-eval standard next to r_ndcg and r_mrr): AP@5 =
+    Σ rel(i)·precision@i / min(5, |holdout|) — unlike precision@k it
+    rewards putting the hits EARLY, and unlike NDCG it needs no graded
+    relevance, which is why retrieval papers quote it. Completes the
+    offline-eval suite (precision / recall-proxy / MRR / NDCG / MAP)
+    over the same popularity baseline and orderkey%5 split, so all five
+    metrics are comparable.
+
+    Same scale shape as r_precision_at_k: candidate pool is the
+    broadcast global top-20, per-user work O(pool); AP's running-hit
+    numerator is ONE cumulative window over the ≤5-row-per-user rank
+    axis sharing the user_id partitioning; precisions are exact-integer
+    ratios summed then divided once under the 6dp snap.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    base = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    train = (
+        base.where(F.col("ok") % 5 != 0)
+        .groupBy("user_id", "item_id")
+        .agg(F.sum("qty").alias("rating"))
+    )
+    hold = base.where(F.col("ok") % 5 == 0).select("user_id", "item_id").distinct()
+    pop = train.groupBy("item_id").agg(F.sum("rating").alias("pop"))
+    w_top = Window.orderBy(F.col("pop").desc(), "item_id")
+    top20 = (
+        pop.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    users = hold.select("user_id").distinct()
+    cand = (
+        users.crossJoin(F.broadcast(top20))
+        .join(train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
+    )
+    w_rec = Window.partitionBy("user_id").orderBy(F.col("pop").desc(), "item_id")
+    recs = (
+        cand.withColumn("rn", F.row_number().over(w_rec).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("user_id", "item_id", "rn")
+    )
+    hn = hold.groupBy("user_id").agg(F.count("*").cast("long").alias("holdout_n"))
+    flags = recs.join(
+        hold.withColumn("rel1", F.lit(1)), ["user_id", "item_id"], "left"
+    ).select(
+        "user_id", "rn", F.coalesce("rel1", F.lit(0)).alias("rel")
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("rn")
+    cum = flags.withColumn("chits", F.sum("rel").over(w_cum))
+    return (
+        cum.join(hn, "user_id")
+        .groupBy("user_id", "holdout_n")
+        .agg(
+            F.sum("rel").cast("long").alias("hits"),
+            f6(
+                F.sum(F.col("rel") * F.col("chits") * 1.0 / F.col("rn"))
+                / F.least(F.lit(5), F.col("holdout_n"))
+            ).alias("ap5"),
+        )
+        .select("user_id", "hits", "ap5")
+    )
