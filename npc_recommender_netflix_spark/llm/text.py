@@ -2615,3 +2615,75 @@ def t_dp_counts(spark, sf_dir):
         c.select("lang", "n", f6(F.col("n") + noise).alias("dp_count"))
         .orderBy("lang")
     )
+
+
+@register(
+    "t_dedup_best_survivor",
+    r"""
+    WITH scored AS (
+        SELECT doc_id, lang, md5(text) AS digest,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(list_distinct(string_split_regex(lower(text), '\s+')))
+                    AS BIGINT) AS n_distinct
+        FROM documents
+    ),
+    q AS (
+        SELECT *,
+               n_distinct * 1000000 // n_tokens AS q6
+        FROM scored
+    )
+    SELECT digest,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(arg_max(doc_id, q6 * 100000000 - doc_id) AS BIGINT)
+               AS survivor_id,
+           arg_max(lang, q6 * 100000000 - doc_id) AS survivor_lang,
+           CAST(max(q6) AS BIGINT) AS survivor_q6
+    FROM q
+    GROUP BY digest
+    HAVING count(*) > 1
+    ORDER BY digest
+    """,
+)
+def t_dedup_best_survivor(spark, sf_dir):
+    """Quality-aware survivor selection for exact dedup: among copies of
+    the same text, keep the HIGHEST-quality row (distinct-token ratio,
+    fixed-point 1e-6 units) instead of t_canonical_dedup's min-id — the
+    production policy when duplicates differ in metadata quality (a
+    cleanly-tagged copy beats an earlier-crawled mojibake one; here
+    copies share text so the ratio ties and the LOWEST id breaks it,
+    exercising exactly the tie path that makes naive max_by
+    nondeterministic). Emits only digest groups with real duplicates.
+
+    One scan computes the quality fixed-point map-side (integer
+    floor-division — no float ratio to disagree on); survivor selection
+    is arg_max over the packed key q6*1e8 − doc_id (monotone in
+    (q6 desc, doc_id asc) since q6 ≤ 1e6 and ids < 1e8), the deterministic
+    max_by idiom, in ONE partial+final aggregate keyed by digest — the
+    t_exact_dedup_digest shuffle with a richer combiner. No windows, no
+    second pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("digest"),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+    )
+    q = scored.withColumn(
+        "q6", F.expr("(n_distinct * 1000000) div n_tokens")
+    )
+    key = F.col("q6") * 100000000 - F.col("doc_id")
+    return (
+        q.groupBy("digest")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.max_by("doc_id", key).cast("long").alias("survivor_id"),
+            F.max_by("lang", key).alias("survivor_lang"),
+            F.max("q6").cast("long").alias("survivor_q6"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("digest")
+    )

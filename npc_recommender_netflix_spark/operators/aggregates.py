@@ -3335,3 +3335,83 @@ def a_bitmap_distinct(spark, sf_dir):
     parts = exact_distinct("l_partkey").withColumnRenamed("n", "n_parts")
     supps = exact_distinct("l_suppkey").withColumnRenamed("n", "n_supps")
     return parts.join(supps, "l_returnflag").orderBy("l_returnflag")
+
+
+@register(
+    "a_sprt",
+    """
+    WITH seq AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+               row_number() OVER (ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    cum AS (
+        SELECT rn, sum(x) OVER (ORDER BY rn) AS cp FROM seq
+    ),
+    llr AS (
+        SELECT rn,
+               cp * ln(0.22 / 0.18) + (rn - cp) * ln(0.78 / 0.82) AS l
+        FROM cum
+    ),
+    crossing AS (
+        SELECT min(rn) AS cross_rn FROM llr
+        WHERE l >= ln(19.0) OR l <= -ln(19.0)
+    )
+    SELECT CAST((SELECT count(*) FROM seq) AS BIGINT) AS n_total,
+           CAST(cross_rn AS BIGINT) AS cross_rn,
+           CASE WHEN cross_rn IS NULL THEN 'continue'
+                WHEN (SELECT l FROM llr WHERE rn = cross_rn) >= ln(19.0)
+                THEN 'h1' ELSE 'h0' END AS decision,
+           round((SELECT l FROM llr WHERE rn = cross_rn), 6) + 0
+               AS llr_at_cross
+    FROM crossing
+    """,
+)
+def a_sprt(spark, sf_dir):
+    """Wald's Sequential Probability Ratio Test on the purchase-rate
+    stream: H0 p=0.18 vs H1 p=0.22, α=β=0.05 — the always-valid
+    sequential monitor that lets an experimenter STOP at the first
+    decisive evidence instead of fixing n upfront (a_sample_size) and
+    then peeking invalidly (the sin a_ttest_welch cannot survive but
+    SPRT is built for). The log-likelihood ratio is a random walk;
+    first exit through ±ln(19) is the decision.
+
+    The walk reduces to integer algebra: LLR_n = cp·a + (n−cp)·b with
+    cp the running purchase count and a, b two shared ln literals — so
+    the whole test is one global-ordered prefix sum (at scale: a
+    range-partitioned scan; the sum is associative so Spark's window
+    computes it distributed) and a min-over-filter for the exit. The
+    only floats are two ln constants scaled by exact counts, keeping
+    both engines within 1e-12 — far from the exit thresholds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+        F.row_number().over(Window.orderBy("ts", "event_id")).alias("rn"),
+    )
+    cum = seq.select("rn", F.sum("x").over(Window.orderBy("rn")).alias("cp"))
+    a = F.log(F.lit(0.22 / 0.18))
+    b = F.log(F.lit(0.78 / 0.82))
+    llr = cum.select(
+        "rn", (F.col("cp") * a + (F.col("rn") - F.col("cp")) * b).alias("l")
+    ).cache()
+    thr = F.log(F.lit(19.0))
+    crossing = llr.where((F.col("l") >= thr) | (F.col("l") <= -thr)).agg(
+        F.min("rn").alias("cross_rn")
+    )
+    n_total = seq.agg(F.count("*").cast("long").alias("n_total"))
+    at_cross = crossing.join(
+        llr, F.col("rn") == F.col("cross_rn"), "left"
+    ).select("cross_rn", "l")
+    return (
+        n_total.crossJoin(at_cross)
+        .select(
+            "n_total",
+            F.col("cross_rn").cast("long").alias("cross_rn"),
+            F.when(F.col("cross_rn").isNull(), "continue")
+            .when(F.col("l") >= thr, "h1")
+            .otherwise("h0")
+            .alias("decision"),
+            f6(F.col("l")).alias("llr_at_cross"),
+        )
+    )

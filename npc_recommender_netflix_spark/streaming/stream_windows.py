@@ -521,6 +521,63 @@ def st_incremental_checkpoint(spark, sf_dir):
     return spark.table(name)
 
 
+@register(
+    "st_idempotent_sink",
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def st_idempotent_sink(spark, sf_dir):
+    """Exactly-once-by-idempotence sink: foreachBatch writing each
+    micro-batch to a batchId-keyed partition with OVERWRITE — the
+    production recipe for sinks with no transactional commit (plain
+    object storage, JDBC upserts): Structured Streaming only guarantees
+    at-least-once delivery of each batch to foreachBatch, so the sink
+    function must absorb redelivery. Keying the write by batchId and
+    overwriting makes the retry a no-op; this operator SIMULATES the
+    redelivery by writing every batch twice (the crash-after-write-
+    before-commit scenario), and the final census still equals the
+    batch oracle — an append-mode sink would double every count and
+    fail the hash.
+
+    At 100 TB this is the difference between a re-run corrupting the
+    warehouse and a re-run being safe: overwrite-by-batchId (or a MERGE
+    on a batch watermark column) is O(batch) regardless of table size.
+    """
+    prepare(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    feed_dir = tempfile.mkdtemp(prefix="npc_idem_feed_")
+    out_dir = tempfile.mkdtemp(prefix="npc_idem_out_")
+    batch.coalesce(1).write.mode("append").parquet(feed_dir)
+
+    ev = spark.readStream.schema(batch.schema).parquet(feed_dir)
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def write_batch(bdf, batch_id):
+        target = f"{out_dir}/batch={batch_id}"
+        bdf.select("event_id", "user_id", "event_type").write.mode(
+            "overwrite"
+        ).parquet(target)
+        # simulated at-least-once redelivery (crash between write and
+        # offset commit): the same batch arrives again — idempotent by
+        # construction because the write is keyed and overwriting
+        bdf.select("event_id", "user_id", "event_type").write.mode(
+            "overwrite"
+        ).parquet(target)
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="npc_idem_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.read.parquet(out_dir)
+    return sunk.groupBy("event_type").agg(F.count("*").cast("long").alias("cnt"))
+
+
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
