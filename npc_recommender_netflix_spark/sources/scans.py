@@ -1130,3 +1130,95 @@ def s_write_audit_publish(spark, sf_dir):
         )
 
     return census(1).unionByName(census(2)).orderBy("version")
+
+
+@register(
+    "s_change_data_feed",
+    """
+    WITH v1 AS (
+        SELECT c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    v2 AS (
+        SELECT c_custkey,
+               cents + CASE WHEN c_custkey % 10 = 0 THEN 1000 ELSE 0 END
+                   AS cents
+        FROM (SELECT c_custkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer) base
+        WHERE c_custkey % 11 <> 0
+    ),
+    feed AS (
+        SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+               CASE WHEN a.c_custkey IS NULL THEN 'insert'
+                    WHEN b.c_custkey IS NULL THEN 'delete'
+                    WHEN a.cents <> b.cents THEN 'update_postimage'
+               END AS change_type,
+               b.cents AS new_cents, a.cents AS old_cents
+        FROM v1 a FULL JOIN v2 b ON a.c_custkey = b.c_custkey
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(c_custkey) AS BIGINT) AS first_key,
+           CAST(sum(coalesce(new_cents, 0) - coalesce(old_cents, 0))
+                AS BIGINT) AS net_cents_delta
+    FROM feed WHERE change_type IS NOT NULL
+    GROUP BY change_type ORDER BY change_type
+    """,
+)
+def s_change_data_feed(spark, sf_dir):
+    """Change Data Feed between two table versions — the Delta
+    CDF / Iceberg changelog read, derived from snapshots: diff version
+    N-1 against N and emit row-level inserts / deletes /
+    update-postimages, here summarized as the per-change-type census a
+    downstream incremental consumer would use to plan its merge. The
+    two versions are deterministic slices standing in for the
+    s_write_audit_publish version dirs (v1 drops key%7 rows, v2 drops
+    key%11 and bumps key%10 balances — so all three change types occur).
+
+    Snapshot-diff CDC is ONE full-outer equi-join on the primary key —
+    the fallback every lakehouse uses when the writer didn't record a
+    changelog. At 100 TB: both sides shuffle on the join key once
+    (bucketed-by-key table layout makes it co-located, see
+    j_bucketed_colocated), and the emitted feed is proportional to the
+    CHANGE volume, not the table. Unchanged rows (the overwhelming
+    majority) are filtered before the census aggregate.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("cents")
+    )
+    v1 = base.where(F.col("c_custkey") % 7 != 0)
+    v2 = base.where(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        (
+            F.col("cents")
+            + F.when(F.col("c_custkey") % 10 == 0, 1000).otherwise(0)
+        ).alias("cents"),
+    )
+    a = v1.select(F.col("c_custkey").alias("ka"), F.col("cents").alias("old_cents"))
+    b = v2.select(F.col("c_custkey").alias("kb"), F.col("cents").alias("new_cents"))
+    feed = a.join(b, F.col("ka") == F.col("kb"), "full").select(
+        F.coalesce("ka", "kb").alias("c_custkey"),
+        F.when(F.col("ka").isNull(), "insert")
+        .when(F.col("kb").isNull(), "delete")
+        .when(F.col("old_cents") != F.col("new_cents"), "update_postimage")
+        .alias("change_type"),
+        "new_cents",
+        "old_cents",
+    )
+    return (
+        feed.where(F.col("change_type").isNotNull())
+        .groupBy("change_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("c_custkey").cast("long").alias("first_key"),
+            F.sum(
+                F.coalesce("new_cents", F.lit(0)) - F.coalesce("old_cents", F.lit(0))
+            )
+            .cast("long")
+            .alias("net_cents_delta"),
+        )
+        .orderBy("change_type")
+    )
