@@ -73,6 +73,11 @@ HEADLINE = [
     "r_candidate_rerank",   # round 5: retrieve-then-rank cascade
     "r_als",            # MLlib ALS fit+transform (<=60 s budget)
     "r_user_cosine_capped",  # round 6: df-capped full-population user pair join
+    "v_embed_neardup_strict",  # round 6: production-threshold 16-bit-band LSH
+    "a_bitmap_distinct",     # round 6: bitmap exact distinct, partial-merge shape
+    "q_attribution_markov",  # round 6: data-scale transitions + bounded solve
+    "t_bloom_dedup",         # round 6: bloom-prefiltered digest dedup
+    "j_grid_knn",            # round 6: grid-bucketed spatial kNN join
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a
