@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..session import f6, load_table
+from ..session import f6, load_table, money2
 
 # md5 first-8-hex -> uint32 via positional hex math (DuckDB has no conv();
 # same recipe as llm/dedup.py's SimHash — both engines share the arithmetic).
@@ -534,4 +534,151 @@ def t_vocab_coverage(spark, sf_dir):
             f6(F.col("covered") * 1.0 / F.col("n_tokens")).alias("coverage"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "t_mix_temperature",
+    """
+    WITH src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+        GROUP BY source
+    ),
+    w AS (
+        SELECT source, n, power(n, 0.7) AS wt FROM src
+    )
+    SELECT source, n,
+           round(wt / sum(wt) OVER (), 6) + 0 AS mix_share,
+           round(wt / sum(wt) OVER () * (SELECT sum(n) FROM src), 2) + 0
+               AS expected_docs,
+           round((wt / sum(wt) OVER ())
+                 / (n * 1.0 / (SELECT sum(n) FROM src)), 6) + 0
+               AS upsample_factor
+    FROM w ORDER BY source
+    """,
+)
+def t_mix_temperature(spark, sf_dir):
+    """Temperature-scaled data mixing (the multilingual/multi-source
+    sampling rule from the mBERT/XLM-R/PaLM lineage, public): sample
+    source s with probability ∝ n_s^τ, τ=0.7 — flattening the natural
+    distribution so long-tail sources are upsampled (factor > 1) and
+    dominant ones downsampled, WITHOUT the hard equalization that
+    starves head sources. Emits per-source share, expected docs per
+    epoch, and the upsample factor a sampler (t_shuffle_shard /
+    t_stratified_sample) would consume.
+
+    One partial+final count per source; everything after is O(sources)
+    scalar math over the aggregated axis with a single unbounded-window
+    normalizer — the same bounded-axis discipline as t_domain_mix.
+    power() with shared literal τ agrees across engines under the
+    snaps.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wt = F.pow(F.col("n"), 0.7)
+    share = wt / F.sum(wt).over(w_all)
+    total_n = F.sum("n").over(w_all)
+    return (
+        src.select(
+            "source",
+            "n",
+            f6(share).alias("mix_share"),
+            money2(share * total_n).alias("expected_docs"),
+            f6(share / (F.col("n") * 1.0 / total_n)).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "t_preference_pairs",
+    r"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               CAST(len(list_distinct(string_split_regex(lower(text), '\s+')))
+                    AS BIGINT) * 1000000
+               // CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                   AS q6
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY q6 DESC, doc_id) AS rb,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY q6 ASC, doc_id) AS rw
+        FROM scored
+    ),
+    best AS (SELECT source, doc_id AS chosen_id, q6 AS chosen_q6
+             FROM ranked WHERE rb = 1),
+    worst AS (SELECT source, doc_id AS rejected_id, q6 AS rejected_q6
+              FROM ranked WHERE rw = 1)
+    SELECT b.source, b.chosen_id, w.rejected_id,
+           b.chosen_q6, w.rejected_q6,
+           CAST(b.chosen_q6 - w.rejected_q6 AS BIGINT) AS margin_q6
+    FROM best b JOIN worst w ON w.source = b.source
+    WHERE b.chosen_id <> w.rejected_id
+    ORDER BY b.source
+    """,
+)
+def t_preference_pairs(spark, sf_dir):
+    """Preference-pair construction for reward-model / DPO training: per
+    prompt group (source stands in for the prompt), pair the
+    highest-quality response with the lowest as (chosen, rejected),
+    with the score margin the trainer can weight by — the
+    RLHF-data-prep operator downstream of quality scoring
+    (t_quality_score) and upstream of t_sft_format's serialization.
+    Degenerate groups where best == worst (a single doc) emit nothing:
+    a pair needs two distinct members.
+
+    Quality is the integer fixed-point distinct-token ratio (shared
+    with t_dedup_best_survivor — no float ratios cross engines); both
+    extremes come from ONE window pass over the source-partitioned axis
+    (two row_numbers share the exchange, opposite orders), and the pair
+    join is per-group 1x1. At 100 TB: groups are prompts (millions),
+    the pairing stays |groups|-sized, and the heavy text column rides
+    only until the score projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wtok = F.split(F.lower("text"), r"\s+")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "(size(array_distinct(split(lower(text), '\\\\s+'))) * 1000000)"
+            " div size(split(lower(text), '\\\\s+'))"
+        ).alias("q6"),
+    )
+    wb = Window.partitionBy("source").orderBy(F.col("q6").desc(), "doc_id")
+    ww = Window.partitionBy("source").orderBy(F.col("q6").asc(), "doc_id")
+    ranked = scored.select(
+        "doc_id", "source", "q6",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+    )
+    best = ranked.where(F.col("rb") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("q6").alias("chosen_q6"),
+    )
+    worst = ranked.where(F.col("rw") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("q6").alias("rejected_q6"),
+    )
+    return (
+        best.join(worst, "source")
+        .where(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "source",
+            "chosen_id",
+            "rejected_id",
+            "chosen_q6",
+            "rejected_q6",
+            (F.col("chosen_q6") - F.col("rejected_q6")).cast("long").alias("margin_q6"),
+        )
+        .orderBy("source")
     )
