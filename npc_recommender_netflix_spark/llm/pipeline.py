@@ -682,3 +682,106 @@ def t_preference_pairs(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t_shard_stability",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(1, 9),
+                    j -> (strpos('0123456789abcdef',
+                          substring(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+                         * 16 ** (8 - j))) AS BIGINT) AS h32
+        FROM documents
+    ),
+    assign AS (
+        SELECT doc_id,
+               h32 % 8 AS mod8, h32 % 10 AS mod10,
+               h32 // 536870912 AS ring8,
+               CASE WHEN h32 // 536870912 IN (0, 1)
+                    THEN h32 // 214748365 END AS ring10_split
+        FROM h
+    ),
+    moves AS (
+        SELECT 'mod' AS strategy,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN mod8 <> mod10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_moved
+        FROM assign
+        UNION ALL
+        SELECT 'ring' AS strategy,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN ring10_split IS NOT NULL
+                              AND ring10_split <> ring8
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        FROM assign
+    )
+    SELECT strategy, n_docs, n_moved,
+           round(n_moved * 1.0 / n_docs, 6) + 0 AS moved_frac
+    FROM moves ORDER BY strategy
+    """,
+)
+def t_shard_stability(spark, sf_dir):
+    """Resharding stability, mod-hash vs range-ring, measured: grow a
+    corpus's shard count 8 -> 10 and count documents that MOVE shards.
+    Naive `hash % n` reassigns ~(1 - 1/lcm-ish) ≈ 90% of documents —
+    every downstream cache, dedup-state partition, and co-located join
+    rebuilt — while a range ring (shard = hash-space interval; growing
+    splits two intervals) moves only docs inside the split intervals,
+    ~2/10. This is why every production dedup/state layer (and Spark's
+    own range partitioner) shards by hash RANGE, not modulus, when the
+    shard count must evolve.
+
+    Both assignments are pure integer arithmetic on the same md5-uint32
+    (536870912 = 2^32/8; the split sends intervals {0,1} to fifths of
+    their span via 2^32/20): one scan, O(1) census state, identical
+    literals in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    assign = docs.select(
+        h32.alias("h32"),
+        (h32 % 8).alias("mod8"),
+        (h32 % 10).alias("mod10"),
+    ).select(
+        "mod8",
+        "mod10",
+        F.expr("h32 div 536870912").alias("ring8"),
+        F.when(
+            F.expr("h32 div 536870912").isin(0, 1),
+            F.expr("h32 div 214748365"),
+        ).alias("ring10_split"),
+    )
+    mod_row = assign.agg(
+        F.lit("mod").alias("strategy"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("mod8") != F.col("mod10"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+    )
+    ring_row = assign.agg(
+        F.lit("ring").alias("strategy"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("ring10_split").isNotNull()
+                & (F.col("ring10_split") != F.col("ring8")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved"),
+    )
+    return (
+        mod_row.unionByName(ring_row)
+        .select(
+            "strategy",
+            "n_docs",
+            "n_moved",
+            f6(F.col("n_moved") * 1.0 / F.col("n_docs")).alias("moved_frac"),
+        )
+        .orderBy("strategy")
+    )

@@ -3415,3 +3415,73 @@ def a_sprt(spark, sf_dir):
             f6(F.col("l")).alias("llr_at_cross"),
         )
     )
+
+
+@register(
+    "a_variance_merge",
+    """
+    WITH shard AS (
+        SELECT user_id % 8 AS sid,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS s,
+               sum(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS q
+        FROM events GROUP BY user_id % 8
+    ),
+    merged AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n,
+               sum(s) AS s, sum(q) AS q,
+               CAST(count(*) AS BIGINT) AS n_shards
+        FROM shard
+    )
+    SELECT n, n_shards,
+           round(s * 1.0 / n / 100.0, 6) + 0 AS mean_usd,
+           round((q - s * 1.0 * s / n) / (n - 1) / 10000.0, 6) + 0
+               AS var_merged_usd2,
+           round((SELECT var_samp(CAST(round(value * 100) AS BIGINT) * 1.0)
+                  FROM events) / 10000.0, 6) + 0 AS var_direct_usd2
+    FROM merged
+    """,
+)
+def a_variance_merge(spark, sf_dir):
+    """Mergeable variance — the algebra that makes distributed moments
+    possible, shown explicitly: 8 shards each fold to the (n, Σx, Σx²)
+    triple, triples ADD componentwise across shards, and the merged
+    variance (q − s²/n)/(n−1) is emitted NEXT TO the direct global
+    var_samp so the oracle proves merge == direct to 6dp. This is what
+    every partial+final HashAggregate (a_stats et al.) does inside the
+    engine; spelled out, it is also the cross-JOB pattern — daily
+    triples persisted per partition merge into monthly variance without
+    rescanning (the a_sketch_merge story with exact algebra instead of
+    sketches).
+
+    All shard sums are exact BIGINTs over cents, so the merge is exact
+    integer addition; the only divisions happen once at the end in
+    identical association order. Shuffle carries 8 triples — O(shards),
+    not O(rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    shard = ev.groupBy((F.col("user_id") % 8).alias("sid")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("q"),
+    )
+    merged = shard.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("q").alias("q"),
+        F.count("*").cast("long").alias("n_shards"),
+    )
+    direct = ev.agg(F.var_samp(c * 1.0).alias("vd"))
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "n",
+        "n_shards",
+        f6(F.col("s") * 1.0 / F.col("n") / 100.0).alias("mean_usd"),
+        f6(
+            (F.col("q") - F.col("s") * 1.0 * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+            / 10000.0
+        ).alias("var_merged_usd2"),
+        f6(F.col("vd") / 10000.0).alias("var_direct_usd2"),
+    )
