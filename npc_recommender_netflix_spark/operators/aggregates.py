@@ -3485,3 +3485,160 @@ def a_variance_merge(spark, sf_dir):
         ).alias("var_merged_usd2"),
         f6(F.col("vd") / 10000.0).alias("var_direct_usd2"),
     )
+
+
+@register(
+    "a_heavy_hitters",
+    """
+    WITH shard AS (
+        SELECT l_partkey % 32 AS sid, l_partkey,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+    cand AS (
+        SELECT DISTINCT l_partkey FROM shard CROSS JOIN tot
+        WHERE c * 100 * 32 > n
+    ),
+    exact AS (
+        SELECT l.l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem l JOIN cand ON cand.l_partkey = l.l_partkey
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, cnt, rn FROM (
+        SELECT l_partkey, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, l_partkey)
+                    AS BIGINT) AS rn
+        FROM exact
+    ) WHERE rn <= 10
+    """,
+)
+def a_heavy_hitters(spark, sf_dir):
+    """Exact top-10 heavy hitters by the guaranteed two-phase recipe —
+    the scale answer when the key cardinality is too big to rank
+    directly and a_count_min's sketch error is unacceptable. Phase 1
+    finds CANDIDATES by pigeonhole: any key with global frequency
+    > N/100 must, in SOME of the 32 shards, exceed N/(100·32) — so
+    per-(shard, key) counts filtered at that threshold form a
+    guaranteed superset of every 1%-heavy key (a frequency-oracle
+    cousin of Misra-Gries, in two relational passes). Phase 2 counts
+    ONLY candidates exactly (a semi-join-shrunk aggregate) and ranks.
+    The filter uses integer cross-multiplication (c·100·32 > n), no
+    float threshold.
+
+    The guarantee is what the oracle checks: it ranks ALL keys
+    directly, so a missed heavy hitter — the failure mode of naive
+    per-shard-top-m candidate generation — breaks the hash. Shuffle:
+    phase 1 is one partial+final count whose output is
+    candidate-sized for the distinct; phase 2 aggregates a filtered
+    scan. Never a global sort of the full key space.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    shard = li.groupBy(
+        (F.col("l_partkey") % 32).alias("sid"), "l_partkey"
+    ).agg(F.count("*").cast("long").alias("c"))
+    tot = li.agg(F.count("*").cast("long").alias("n"))
+    cand = (
+        shard.crossJoin(F.broadcast(tot))
+        .where(F.col("c") * 100 * 32 > F.col("n"))
+        .select("l_partkey")
+        .distinct()
+    )
+    exact = (
+        li.join(F.broadcast(cand), "l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "l_partkey")
+    return (
+        exact.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 10)
+        .select("l_partkey", "cnt", "rn")
+    )
+
+
+@register(
+    "a_qq_normal",
+    """
+    WITH x AS (
+        SELECT CAST(round(value * 100) AS BIGINT) * 1.0 AS v FROM events
+        WHERE event_type = 'purchase'
+    ),
+    s AS (SELECT avg(v) AS mu, stddev_samp(v) AS sd FROM x),
+    z AS (SELECT * FROM (VALUES
+            (1, -1.281551566), (2, -0.841621234), (3, -0.524400513),
+            (4, -0.253347103), (5, 0.0), (6, 0.253347103),
+            (7, 0.524400513), (8, 0.841621234), (9, 1.281551566))
+          AS t(decile, zq)),
+    emp0 AS (
+        SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM x
+    ),
+    empx AS (
+        SELECT CAST(generate_subscripts(qs, 1) AS BIGINT) AS decile,
+               unnest(qs) AS q_emp
+        FROM emp0
+    ),
+    emp AS (
+        SELECT e.decile, z.zq, e.q_emp FROM empx e JOIN z ON z.decile = e.decile
+    )
+    SELECT e.decile,
+           round(e.q_emp / 100.0, 6) + 0 AS q_empirical_usd,
+           round((s.mu + e.zq * s.sd) / 100.0, 6) + 0 AS q_normal_usd,
+           round((e.q_emp - (s.mu + e.zq * s.sd)) / 100.0, 6) + 0 AS gap_usd
+    FROM emp e CROSS JOIN s
+    ORDER BY e.decile
+    """,
+)
+def a_qq_normal(spark, sf_dir):
+    """QQ-against-normal table for purchase values: the nine deciles of
+    the empirical distribution next to where a Normal(μ̂, σ̂) would put
+    them, with the gap — the distribution-shape diagnostic read as a
+    plot (systematic positive tail gaps = right skew), quantifying WHAT
+    a_jarque_bera's single statistic rejects. The nine standard-normal
+    decile quantiles are shared 9dp literals (no engine erf/probit —
+    Spark has none to call), so both engines compute identical
+    theoretical positions.
+
+    Empirical deciles use the a_median percentile-interpolation
+    convention over exact cents; μ/σ fold in the same pass shape as
+    a_stats; the z-grid is a 9-row broadcast axis. O(1) state beyond
+    the percentile buffer at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.where(F.col("event_type") == "purchase").select(
+        (F.round(F.col("value") * 100).cast("long") * 1.0).alias("v")
+    )
+    s = x.agg(F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd"))
+    zs = [
+        (1, -1.281551566), (2, -0.841621234), (3, -0.524400513),
+        (4, -0.253347103), (5, 0.0), (6, 0.253347103),
+        (7, 0.524400513), (8, 0.841621234), (9, 1.281551566),
+    ]
+    z = spark.createDataFrame(zs, "decile long, zq double")
+    # Spark's percentile demands a FOLDABLE percentage: fold all nine in one
+    # aggregate over a literal array, then explode back to the decile axis
+    deciles = x.agg(
+        F.expr(
+            "percentile(v, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
+        ).alias("qs")
+    ).select(F.posexplode("qs").alias("pos", "q_emp")).select(
+        (F.col("pos") + 1).cast("long").alias("decile"), "q_emp"
+    )
+    emp = deciles.join(F.broadcast(z), "decile")
+    return (
+        emp.crossJoin(F.broadcast(s))
+        .select(
+            "decile",
+            f6(F.col("q_emp") / 100.0).alias("q_empirical_usd"),
+            f6((F.col("mu") + F.col("zq") * F.col("sd")) / 100.0).alias(
+                "q_normal_usd"
+            ),
+            f6(
+                (F.col("q_emp") - (F.col("mu") + F.col("zq") * F.col("sd")))
+                / 100.0
+            ).alias("gap_usd"),
+        )
+        .orderBy("decile")
+    )

@@ -2453,3 +2453,133 @@ def q_revenue_waterfall(spark, sf_dir):
         money2(taxc).alias("tax_collected"),
         money2(gross - discounts + taxc).alias("billed_total"),
     )
+
+
+@register(
+    "q_fifo_layers",
+    """
+    WITH flows AS (
+        SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+               CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_linenumber % 2 = 1 AS is_supply
+        FROM lineitem WHERE l_partkey < 30
+    ),
+    supply AS (
+        SELECT l_partkey, l_orderkey, l_linenumber, qty, cents,
+               sum(qty) OVER (PARTITION BY l_partkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                   AS cum_end
+        FROM flows WHERE is_supply
+    ),
+    demand AS (
+        SELECT l_partkey, l_orderkey, l_linenumber, qty,
+               sum(qty) OVER (PARTITION BY l_partkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                   AS cum_end
+        FROM flows WHERE NOT is_supply
+    ),
+    alloc AS (
+        SELECT d.l_partkey,
+               d.l_orderkey AS d_orderkey, d.l_linenumber AS d_linenumber,
+               s.l_orderkey AS s_orderkey, s.l_linenumber AS s_linenumber,
+               least(d.cum_end, s.cum_end)
+                   - greatest(d.cum_end - d.qty, s.cum_end - s.qty)
+                   AS alloc_qty,
+               s.cents, s.qty AS s_qty
+        FROM demand d JOIN supply s
+          ON s.l_partkey = d.l_partkey
+         AND s.cum_end - s.qty < d.cum_end
+         AND d.cum_end - d.qty < s.cum_end
+    )
+    SELECT l_partkey, d_orderkey, d_linenumber, s_orderkey, s_linenumber,
+           CAST(alloc_qty AS BIGINT) AS alloc_qty,
+           round(alloc_qty * cents * 1.0 / s_qty / 100.0, 2) + 0
+               AS fifo_cost_usd
+    FROM alloc WHERE alloc_qty > 0
+    ORDER BY l_partkey, d_orderkey, d_linenumber, s_orderkey, s_linenumber
+    """,
+)
+def q_fifo_layers(spark, sf_dir):
+    """FIFO inventory layer allocation — the classic 'FIFO in SQL'
+    problem: consume supply receipts in ship-date order against demand
+    issues in ship-date order (odd/even line numbers split the flows),
+    emitting one row per (demand line, supply layer) with the quantity
+    drawn and its FIFO cost. The trick that makes it relational: both
+    flows become INTERVALS on each part's cumulative-quantity axis
+    (receipt i covers [cum−qty, cum)), and FIFO matching IS interval
+    intersection — alloc = min(ends) − max(starts) where the intervals
+    overlap. Demand beyond total supply is naturally unfilled (no
+    overlap); the running balance never goes explicitly negative.
+
+    Two windows (one per flow, sharing the part-keyed sort) + one
+    banded self-join per part on the cumulative axis — the
+    j_interval_overlap shape where the band is data-dependent. Work per
+    part is (receipts × issues) in the worst case but overlap-pruned in
+    practice; at 100 TB the l_partkey<30 slice generalizes to
+    per-part-partitioned layout where each part's matching is local.
+    Integer cumulative axes make the intersection arithmetic exact;
+    cost divides once per row under a 2dp round.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    flows = li.where(F.col("l_partkey") < 30).select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.col("l_linenumber") % 2 == 1).alias("is_supply"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    supply = (
+        flows.where(F.col("is_supply"))
+        .withColumn("cum_end", F.sum("qty").over(w))
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_orderkey").alias("s_orderkey"),
+            F.col("l_linenumber").alias("s_linenumber"),
+            F.col("qty").alias("s_qty"),
+            "cents",
+            F.col("cum_end").alias("s_end"),
+        )
+    )
+    demand = (
+        flows.where(~F.col("is_supply"))
+        .withColumn("cum_end", F.sum("qty").over(w))
+        .select(
+            "l_partkey",
+            F.col("l_orderkey").alias("d_orderkey"),
+            F.col("l_linenumber").alias("d_linenumber"),
+            F.col("qty").alias("d_qty"),
+            F.col("cum_end").alias("d_end"),
+        )
+    )
+    alloc_qty = F.least(F.col("d_end"), F.col("s_end")) - F.greatest(
+        F.col("d_end") - F.col("d_qty"), F.col("s_end") - F.col("s_qty")
+    )
+    return (
+        demand.join(
+            supply,
+            (F.col("pk") == F.col("l_partkey"))
+            & (F.col("s_end") - F.col("s_qty") < F.col("d_end"))
+            & (F.col("d_end") - F.col("d_qty") < F.col("s_end")),
+        )
+        .select(
+            "l_partkey",
+            "d_orderkey",
+            "d_linenumber",
+            "s_orderkey",
+            "s_linenumber",
+            alloc_qty.cast("long").alias("alloc_qty"),
+            money2(
+                alloc_qty * F.col("cents") * 1.0 / F.col("s_qty") / 100.0
+            ).alias("fifo_cost_usd"),
+        )
+        .where(F.col("alloc_qty") > 0)
+        .orderBy(
+            "l_partkey", "d_orderkey", "d_linenumber", "s_orderkey", "s_linenumber"
+        )
+    )
