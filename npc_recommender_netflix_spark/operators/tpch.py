@@ -2583,3 +2583,137 @@ def q_fifo_layers(spark, sf_dir):
             "l_partkey", "d_orderkey", "d_linenumber", "s_orderkey", "s_linenumber"
         )
     )
+
+
+@register(
+    "q_order_reconciliation",
+    """
+    WITH lines AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                   * CAST(round((1 + l_tax) * 100) AS BIGINT)) AS charged6
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    rec AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+               CAST(round(l.charged6 / 10000.0) AS BIGINT) AS lines_cents
+        FROM orders o JOIN lines l ON l.l_orderkey = o.o_orderkey
+    ),
+    flagged AS (
+        SELECT *,
+               abs(header_cents - lines_cents) AS gap_cents
+        FROM rec
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN gap_cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           CAST(sum(CASE WHEN gap_cents BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rounding,
+           CAST(sum(CASE WHEN gap_cents > 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_broken,
+           CAST(max(gap_cents) AS BIGINT) AS max_gap_cents,
+           CAST(min(CASE WHEN gap_cents > 5 THEN o_orderkey END) AS BIGINT)
+               AS first_broken_order
+    FROM flagged
+    """,
+)
+def q_order_reconciliation(spark, sf_dir):
+    """Header-vs-lines reconciliation — the double-entry audit every
+    billing pipeline runs: recompute each order's total from its lines
+    (extprice x (1-disc) x (1+tax), the TPC-H construction) and band
+    the disagreement with the stored o_totalprice into exact /
+    rounding-noise (<=5c, per-line rounding accumulates) / broken.
+    One number going red here catches silent ETL drift (a re-priced
+    line without a header update) long before revenue dashboards
+    wobble — the m_checksum_audit idea applied to relational
+    consistency instead of payload bytes.
+
+    The line recomputation folds in EXACT 1e-6-cent integer units (the
+    q_pricing_summary discipline) in one partial+final agg keyed on
+    orderkey, joins the header once, and collapses to a 6-counter
+    census — O(1) output at any scale with a first-offender key for
+    triage.
+    """
+    li, orders = tables(spark, sf_dir, "lineitem", "orders")
+    charged = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+        * F.round((1 + F.col("l_tax")) * 100).cast("long")
+    )
+    lines = li.groupBy("l_orderkey").agg(F.sum(charged).alias("charged6"))
+    rec = orders.join(lines, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+        F.round(F.col("charged6") / 10000.0).cast("long").alias("lines_cents"),
+    )
+    gap = F.abs(F.col("header_cents") - F.col("lines_cents"))
+    flagged = rec.withColumn("gap_cents", gap)
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("gap_cents") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("gap_cents").between(1, 5), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rounding"),
+        F.sum(F.when(F.col("gap_cents") > 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_broken"),
+        F.max("gap_cents").cast("long").alias("max_gap_cents"),
+        F.min(F.when(F.col("gap_cents") > 5, F.col("o_orderkey")))
+        .cast("long")
+        .alias("first_broken_order"),
+    )
+
+
+@register(
+    "q_id_gaps",
+    """
+    WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
+                 WHERE o_orderkey % 97 <> 0),
+    nxt AS (
+        SELECT id, lead(id) OVER (ORDER BY id) AS nid FROM ids
+    )
+    SELECT CAST(id + 1 AS BIGINT) AS gap_start,
+           CAST(nid - 1 AS BIGINT) AS gap_end,
+           CAST(nid - id - 1 AS BIGINT) AS gap_len
+    FROM nxt
+    WHERE nid - id > 1
+    ORDER BY gap_start LIMIT 100
+    """,
+)
+def q_id_gaps(spark, sf_dir):
+    """Sequence-gap detection over the order-key space: every maximal run
+    of missing ids between consecutive present keys — the
+    lost-records audit (dropped kafka offsets, failed ingest batches,
+    purged rows) that a plain count can't see and q_order_gaps'
+    time-axis cousin can't localize. Every 97th key is deterministically
+    withheld to simulate the loss (the m_checksum_audit corruption
+    recipe), so the audit provably finds each hole. Emits (gap_start, gap_end, length)
+    ranges, not one row per missing id — a 10^9-wide hole is ONE output
+    row (the islands trick run on absence instead of presence).
+
+    One distinct + one lead window over the sorted id axis; at 100 TB
+    the sort is range-partitioned and gaps spanning partition
+    boundaries are still correct because lead crosses them within the
+    single global ordering. Top-100 earliest gaps for triage.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ids = (
+        orders.where(F.col("o_orderkey") % 97 != 0)
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    nxt = ids.select("id", F.lead("id").over(Window.orderBy("id")).alias("nid"))
+    return (
+        nxt.where(F.col("nid") - F.col("id") > 1)
+        .select(
+            (F.col("id") + 1).cast("long").alias("gap_start"),
+            (F.col("nid") - 1).cast("long").alias("gap_end"),
+            (F.col("nid") - F.col("id") - 1).cast("long").alias("gap_len"),
+        )
+        .orderBy("gap_start")
+        .limit(100)
+    )

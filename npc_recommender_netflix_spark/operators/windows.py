@@ -883,3 +883,105 @@ def w_rsi(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "w_merge_intervals",
+    """
+    WITH iv AS (
+        SELECT user_id, ts AS s,
+               ts + to_minutes(CAST(1 + event_id % 20 AS BIGINT)) AS e,
+               event_id
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > max(e) OVER (PARTITION BY user_id
+                                          ORDER BY s, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND 1 PRECEDING)
+                    OR max(e) OVER (PARTITION BY user_id
+                                    ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) IS NULL
+                    THEN 1 ELSE 0 END AS new_grp
+        FROM iv
+    ),
+    grp AS (
+        SELECT user_id, s, e,
+               sum(new_grp) OVER (PARTITION BY user_id
+                                  ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS gid
+        FROM marked
+    )
+    SELECT user_id, CAST(gid AS BIGINT) AS merged_id,
+           min(s) AS span_start, max(e) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(date_diff('second', min(s), max(e)) AS BIGINT)
+               AS span_seconds
+    FROM grp
+    GROUP BY user_id, gid
+    ORDER BY user_id, merged_id
+    """,
+)
+def w_merge_intervals(spark, sf_dir):
+    """Merge overlapping intervals per user — the RANGE twin of
+    w_sessionize's point-gap islands: each event opens a span of
+    1+event_id%20 minutes, and any spans that touch collapse into one
+    consolidated span (visit windows, on-call coverage, maintenance
+    windows — anywhere durations, not instants, must be unioned). The
+    classic algorithm is a sweep: a span starts a NEW group iff its
+    start exceeds the running MAX of all previous ends (max, not lag —
+    an early long interval can swallow many later short ones, the bug
+    in every naive lag-based merge); the group id is the running sum of
+    those starts.
+
+    Both windows and the final rollup share ONE user_id exchange (the
+    w_sessionize plan argument verbatim); interval ends are exact
+    timestamp arithmetic from integer minutes; ties order by (s,
+    event_id). At 100 TB users are the parallelism unit and no span
+    logic crosses them.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, CAST(1 + event_id % 20"
+            " AS INT), 0)"
+        ).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0).alias("new_grp"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = marked.withColumn("gid", F.sum("new_grp").over(w_cum))
+    return (
+        grp.groupBy("user_id", F.col("gid").cast("long").alias("merged_id"))
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count("*").cast("long").alias("n_intervals"),
+            (F.unix_timestamp(F.max("e")) - F.unix_timestamp(F.min("s")))
+            .cast("long")
+            .alias("span_seconds"),
+        )
+        .orderBy("user_id", "merged_id")
+    )
