@@ -2569,3 +2569,113 @@ def v_ann_ivfpq_rerank(spark, sf_dir):
         .select("query_id", "vec_id", "rn", "d2")
         .orderBy("query_id", "rn")
     )
+
+
+_MULTIPROBE_FLIPS = (1, 2, 4, 8)
+
+_PROBES_SQL = "\n        UNION ALL ".join(
+    ["SELECT vec_id, band, bucket AS pbucket FROM bands"]
+    + [
+        f"SELECT vec_id, band, xor(bucket, {flip}) AS pbucket FROM bands"
+        for flip in _MULTIPROBE_FLIPS
+    ]
+)
+
+
+@register(
+    "v_lsh_multiprobe",
+    f"""
+    WITH bands AS (
+        {_LSH_BANDS_SQL}
+    ),
+    probes AS (
+        {_PROBES_SQL}
+    ),
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM probes a JOIN bands b
+          ON a.band = b.band AND a.pbucket = b.bucket
+         AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.vec_a, c.vec_b,
+               round({_DUCK_DOT.format(a='qa.embedding', b='qb.embedding')}
+                     / ({_DUCK_NRM.format(a='qa.embedding')}
+                        * {_DUCK_NRM.format(a='qb.embedding')}), 6) + 0 AS cos
+        FROM cand c
+        JOIN embeddings qa ON qa.vec_id = c.vec_a
+        JOIN embeddings qb ON qb.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.35
+    """,
+)
+def v_lsh_multiprobe(spark, sf_dir):
+    """Multiprobe LSH (Lv et al. 2007, public) over the same 4x4-bit
+    sign bands as v_embed_neardup_lsh: the probe side ALSO looks into
+    every bucket at Hamming distance 1 (4 single-bit flips per band),
+    because a near-neighbor that straddles one hyperplane lands one bit
+    away — the most likely miss. Five probes per band buy most of the
+    recall that DOUBLING the band count would, without growing the
+    stored index or the signature: the knob trades probe-side join
+    fan-out (cheap, transient) for index size (expensive, persistent),
+    which is why FAISS/ScaNN default to multiprobe on memory-bound
+    deployments. Output is a superset of v_embed_neardup_lsh's pairs
+    (bit-flip probes only ADD candidates; the exact >= 0.35 rescore is
+    unchanged and keeps precision exact).
+
+    Plan shape is IDENTICAL to the single-probe key — one equi-join on
+    (band, bucket) — only the probe side explodes 5x (map-side union,
+    no extra shuffle stage); rescoring stays candidate-driven JVM
+    cosine. The oracle mirrors probes and rescore end to end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    _sign_bucket_sql(b, elem="element_at(embedding, {i})")
+                ).alias("bucket"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = emb.select("vec_id", F.explode(band_struct).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    probes = bands.select("vec_id", "band", F.col("bucket").alias("pbucket"))
+    for flip in _MULTIPROBE_FLIPS:
+        probes = probes.unionByName(
+            bands.select(
+                "vec_id", "band", F.expr(f"bucket ^ {flip}").alias("pbucket")
+            )
+        )
+    a, b = probes.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.pbucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    qa = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(_NRM.format(a="embedding")).alias("na"),
+    )
+    qb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(_NRM.format(a="embedding")).alias("nb"),
+    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select("vec_a", "vec_b", f6(cos).alias("cos"))
+        .where(F.col("cos") >= 0.35)
+    )

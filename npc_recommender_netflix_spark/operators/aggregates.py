@@ -3642,3 +3642,95 @@ def a_qq_normal(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "a_proportion_ztest",
+    """
+    WITH assign AS (
+        SELECT user_id,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS converted,
+               min(user_id % 2) AS grp
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(converted) AS BIGINT) AS x
+        FROM assign GROUP BY grp
+    ),
+    wide AS (
+        SELECT max(CASE WHEN grp = 0 THEN n END) AS n0,
+               max(CASE WHEN grp = 0 THEN x END) AS x0,
+               max(CASE WHEN grp = 1 THEN n END) AS n1,
+               max(CASE WHEN grp = 1 THEN x END) AS x1
+        FROM g
+    )
+    SELECT n0, x0, n1, x1,
+           round(x0 * 1.0 / n0, 6) + 0 AS p0,
+           round(x1 * 1.0 / n1, 6) + 0 AS p1,
+           round((x1 * 1.0 / n1 - x0 * 1.0 / n0)
+                 / sqrt((x0 + x1) * 1.0 / (n0 + n1)
+                        * (1 - (x0 + x1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) + 0 AS z_stat,
+           CAST(CASE WHEN abs((x1 * 1.0 / n1 - x0 * 1.0 / n0)
+                 / sqrt((x0 + x1) * 1.0 / (n0 + n1)
+                        * (1 - (x0 + x1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1))) > 1.959964
+                THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+    FROM wide
+    """,
+)
+def a_proportion_ztest(spark, sf_dir):
+    """Two-proportion z-test on user CONVERSION (heavy purchaser: >= 14
+    purchase events — every fixture user buys at least once, so the
+    ever-purchased flag would saturate at p=1 and zero the pooled
+    variance), parity-split arms — the binary-metric member of the
+    experimentation family (a_ttest_welch judges means, a_mann_whitney
+    ranks, this judges rates), using the pooled-variance z under H0
+    p0=p1, the textbook two-sided test at α=0.05 (|z| > 1.959964, the
+    a_sample_size literal).
+
+    Conversion collapses per USER first (max-flag — the unit of
+    randomization, not the event; computing on events would
+    pseudo-replicate), then two exact-integer (n, x) pairs pivot wide
+    in a 2-row conditional-max; the z formula divides exact counts in
+    identical association order under the 6dp snap. O(1) state past
+    the user fold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ) >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+        F.min(F.col("user_id") % 2).alias("grp"),
+    )
+    g = assign.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0") * 1.0 / F.col("n0")
+    p1 = F.col("x1") * 1.0 / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return wide.select(
+        "n0", "x0", "n1", "x1",
+        f6(p0).alias("p0"),
+        f6(p1).alias("p1"),
+        f6(z).alias("z_stat"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).cast("long").alias(
+            "significant_05"
+        ),
+    )

@@ -461,3 +461,19 @@ def test_strict_neardup_finds_planted_dups(spark, tmp_path):
     # random 64-d pairs at cos>=0.9 are a ~6-sigma event; none should appear
     extras = got - set(planted)
     assert not extras, f"false near-dups above 0.9: {extras}"
+
+
+def test_multiprobe_recall_superset_of_single_probe(spark):
+    """Bit-flip probes can only ADD candidates: v_lsh_multiprobe's pair
+    set must contain every v_embed_neardup_lsh pair, and (on this
+    fixture) strictly more — the recall the extra probes exist for."""
+    single = {
+        (r["vec_a"], r["vec_b"])
+        for r in registry.QUERIES["v_embed_neardup_lsh"](spark, SF_SMALL).collect()
+    }
+    multi = {
+        (r["vec_a"], r["vec_b"])
+        for r in registry.QUERIES["v_lsh_multiprobe"](spark, SF_SMALL).collect()
+    }
+    assert single <= multi, f"multiprobe lost pairs: {single - multi}"
+    assert len(multi) > len(single), "expected extra recall from flipped probes"
