@@ -1222,3 +1222,109 @@ def s_change_data_feed(spark, sf_dir):
         )
         .orderBy("change_type")
     )
+
+
+@register(
+    "u_py_datasink",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def u_py_datasink(spark, sf_dir):
+    """PySpark 4 Python Data Source API, WRITER half — the extension
+    point u_py_datasource covers for reads, now for sinks: a custom
+    `DataSourceWriter` whose `write(iterator)` runs ON EACH EXECUTOR
+    PARTITION, spilling its slice to a task-private JSONL file and
+    returning a commit message; the driver-side `commit()` then
+    publishes the file list as a manifest — the same
+    stage-then-manifest two-phase shape as s_write_audit_publish, which
+    is exactly what the API's WriterCommitMessage exists for (a task
+    that fails before commit leaves an unreferenced temp file, never a
+    half-published table). This is how bespoke feeds (internal service
+    uploads, custom binary logs) become distributed SINKS instead of a
+    driver-side collect-and-POST.
+
+    The returned frame reads back ONLY manifest-listed files and
+    re-aggregates per-language stats; the oracle computes the same
+    census straight from the source table, so a lost partition, a
+    double-write, or an uncommitted file all break the hash.
+    """
+    import json as _json
+    import os
+
+    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+    out_root = _scratch("pysink")
+    data_dir = os.path.join(out_root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    manifest = os.path.join(out_root, "manifest.json")
+
+    class _FileCommit(WriterCommitMessage):
+        def __init__(self, path, n):
+            self.path = path
+            self.n = n
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, target):
+            self.target = target
+
+        def write(self, iterator):
+            import os as _os
+            import uuid as _uuid
+
+            path = _os.path.join(self.target, f"part-{_uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(path, "w") as fh:
+                for row in iterator:
+                    fh.write(
+                        _json.dumps(
+                            {"doc_id": row.doc_id, "lang": row.lang,
+                             "n_chars": row.n_chars}
+                        ) + "\n"
+                    )
+                    n += 1
+            return _FileCommit(path, n)
+
+        def commit(self, messages):
+            files = [m.path for m in messages if m is not None]
+            with open(manifest, "w") as fh:
+                _json.dump({"files": sorted(files),
+                            "rows": sum(m.n for m in messages)}, fh)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class _JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "npc_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(data_dir)
+
+    try:
+        spark.dataSource.register(_JsonlSink)
+    except Exception:
+        pass  # already registered in this session
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    docs.write.format("npc_jsonl_sink").mode("append").save()
+
+    with open(manifest) as fh:
+        listed = _json.load(fh)["files"]
+    sunk = spark.read.schema("doc_id long, lang string, n_chars long").json(listed)
+    return (
+        sunk.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

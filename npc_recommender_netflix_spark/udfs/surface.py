@@ -236,3 +236,58 @@ def u_arrow_udf(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "u_udtf_analyze",
+    """
+    WITH src AS (SELECT doc_id, lang, n_chars FROM documents
+                 WHERE doc_id < 40)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           upper(lang) AS lang_upper,
+           CAST(n_chars % 10 AS BIGINT) AS bucket
+    FROM src ORDER BY doc_id
+    """,
+)
+def u_udtf_analyze(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is decided at
+    PLAN time by a static `analyze(...)` method inspecting the call's
+    argument types — the table-function twin of DataFrame.transform
+    generics, and the API surface that lets one UDTF serve any input
+    table (u_udtf's schema is frozen in the decorator; this one derives
+    per-call columns — here it emits one projected column per inbound
+    argument plus a computed bucket). Catalyst sees the resolved schema
+    before execution, so downstream pruning/pushdown work exactly as
+    for a built-in table function.
+
+    The eval body is a pure per-row generator (no state), executed
+    Arrow-batched on executors; the oracle reproduces the same
+    projection relationally. The analyze/eval split is the entire
+    point: schema logic runs ONCE on the driver, row logic scales out.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    @udtf
+    class ProjectWithBucket:
+        @staticmethod
+        def analyze(doc_id, n_chars, lang):
+            schema = StructType()
+            schema = schema.add("doc_id", LongType())
+            schema = schema.add("n_chars", LongType())
+            schema = schema.add("lang_upper", StringType())
+            schema = schema.add("bucket", LongType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id: int, n_chars: int, lang: str):
+            yield doc_id, n_chars, lang.upper(), n_chars % 10
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    docs.createOrReplaceTempView("v_docs_udtf_poly")
+    spark.udtf.register("project_bucket", ProjectWithBucket)
+    return spark.sql(
+        "SELECT t.* FROM v_docs_udtf_poly, "
+        "LATERAL project_bucket(doc_id, n_chars, lang) t ORDER BY doc_id"
+    )

@@ -1276,3 +1276,50 @@ def test_bloom_dedup_bitmap_broadcasts(spark):
     plan = _plan(spark, "t_bloom_dedup")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's skew-join handling must actually engage: build a join where
+    one key holds ~90% of the fact rows, lower the skew thresholds to
+    fixture scale, run to completion, and assert the FINAL adaptive plan
+    marked the sort-merge join skew=true (the hot partition was split).
+    This is the runtime half of the j_skew_salted story — the salting
+    pattern is for when you can't rely on this engaging."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from pyspark.sql import functions as F
+
+        fact = spark.range(0, 400_000).select(
+            F.when(F.col("id") < 360_000, 0).otherwise(F.col("id")).alias("k"),
+            (F.col("id") * 7).alias("v"),
+        )
+        dim = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("w")
+        )
+        joined = fact.join(dim, "k").groupBy().sum("v", "w")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skewed join:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
