@@ -109,3 +109,60 @@ def fn_round_modes(spark, sf_dir):
         F.round(tenths, 0).cast("long").alias("half_up"),
         F.bround(tenths, 0).cast("long").alias("half_even"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_haversine",
+    """
+    WITH pts AS (
+        SELECT c_custkey,
+               radians(((c_custkey * 48271) % 180) - 90.0
+                       + ((c_custkey * 137) % 1000) / 1000.0) AS lat,
+               radians(((c_custkey * 69621) % 360) - 180.0
+                       + ((c_custkey * 251) % 1000) / 1000.0) AS lon
+        FROM customer WHERE c_custkey <= 200
+    ),
+    hq AS (SELECT radians(47.3769) AS qlat, radians(8.5417) AS qlon)
+    SELECT c_custkey,
+           round(2 * 6371.0088 * asin(sqrt(
+               power(sin((lat - qlat) / 2), 2)
+               + cos(qlat) * cos(lat) * power(sin((lon - qlon) / 2), 2)
+           )), 6) + 0 AS dist_km
+    FROM pts CROSS JOIN hq
+    ORDER BY c_custkey
+    """,
+)
+def fn_haversine(spark, sf_dir):
+    """Great-circle distance (haversine) from every customer's synthetic
+    coordinate to one query point — the geo scalar-function surface
+    (radians/sin/cos/asin/sqrt composed in a fixed association order)
+    every logistics query needs, and the exact-rescore half of a
+    geo-bucketed join (j_grid_knn supplies the candidate generation; at
+    scale the two compose: grid-cell equi-join, then THIS formula on
+    survivors). Coordinates are deterministic LCG projections of the
+    key (the j_grid_knn recipe) — the op is about the math surface, not
+    geography.
+
+    Pure map-side codegen over a pruned 2-column scan; the 1-row query
+    point broadcasts via cross join. Trig/asin differ by <=1 ulp across
+    engines (~1e-16 rad), ~1e-10 km — safely under the 6dp snap.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    lat = F.radians(
+        ((F.col("c_custkey") * 48271) % 180) - 90.0
+        + ((F.col("c_custkey") * 137) % 1000) / 1000.0
+    )
+    lon = F.radians(
+        ((F.col("c_custkey") * 69621) % 360) - 180.0
+        + ((F.col("c_custkey") * 251) % 1000) / 1000.0
+    )
+    qlat = F.radians(F.lit(47.3769))
+    qlon = F.radians(F.lit(8.5417))
+    hav = (
+        F.pow(F.sin((lat - qlat) / 2), 2)
+        + F.cos(qlat) * F.cos(lat) * F.pow(F.sin((lon - qlon) / 2), 2)
+    )
+    return cust.select(
+        "c_custkey",
+        f6(2 * 6371.0088 * F.asin(F.sqrt(hav))).alias("dist_km"),
+    ).orderBy("c_custkey")

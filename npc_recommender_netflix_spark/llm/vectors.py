@@ -2679,3 +2679,73 @@ def v_lsh_multiprobe(spark, sf_dir):
         .select("vec_a", "vec_b", f6(cos).alias("cos"))
         .where(F.col("cos") >= 0.35)
     )
+
+
+@register(
+    "v_ood_flags",
+    f"""
+    WITH comp AS (
+        SELECT e.vec_id, e.label, t.i,
+               CAST(e.embedding[t.i] AS DOUBLE) AS v
+        FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    stats AS (
+        SELECT label, i, avg(v) AS mu,
+               greatest(var_samp(v), 1e-12) AS var
+        FROM comp GROUP BY label, i
+    ),
+    z2 AS (
+        SELECT c.vec_id, c.label,
+               sum((c.v - s.mu) * (c.v - s.mu) / s.var) AS m2
+        FROM comp c JOIN stats s ON s.label = c.label AND s.i = c.i
+        GROUP BY c.vec_id, c.label
+    )
+    SELECT vec_id, label,
+           round(m2, 6) + 0 AS mahalanobis2_diag,
+           CAST(CASE WHEN m2 > 64 + 3 * sqrt(128.0) THEN 1 ELSE 0 END
+                AS BIGINT) AS ood_flag
+    FROM z2 ORDER BY vec_id
+    """,
+)
+def v_ood_flags(spark, sf_dir):
+    """Embedding out-of-distribution screen: diagonal-covariance
+    Mahalanobis distance of every vector to ITS OWN label's centroid —
+    the vector-QA gate run before an index build or a training mix
+    (mis-embedded rows, wrong-model vectors, and corrupted floats all
+    land far from their cluster; cosine checks miss them when the
+    direction is fine but the scale is wrong). Under the
+    diagonal-Gaussian null, m² ~ χ²₆₄, so the flag threshold is the
+    mean+3σ of that reference (64 + 3·√128) — a shared literal, no
+    probit needed.
+
+    Per-(label, dim) moments fold in one aggregate over the exploded
+    component axis (64·N rows, map-side from the scan); the z² fold
+    joins stats back label+dim-keyed and re-folds per vector. Two
+    shuffles total, both on bounded-cardinality keys; var floor 1e-12
+    guards constant dims. At 100 TB the stats table is labels×64 rows —
+    broadcastable — and the screen is one linear pass.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "v0")
+    ).select("vec_id", "label", "i", F.col("v0").cast("double").alias("v"))
+    stats = comp.groupBy("label", "i").agg(
+        F.avg("v").alias("mu"),
+        F.greatest(F.var_samp("v"), F.lit(1e-12)).alias("var"),
+    )
+    z2 = (
+        comp.join(stats, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu")) / F.col("var")
+            ).alias("m2")
+        )
+    )
+    thr = 64 + 3 * (128.0 ** 0.5)
+    return z2.select(
+        "vec_id",
+        "label",
+        f6(F.col("m2")).alias("mahalanobis2_diag"),
+        F.when(F.col("m2") > thr, 1).otherwise(0).cast("long").alias("ood_flag"),
+    ).orderBy("vec_id")

@@ -2717,3 +2717,93 @@ def q_id_gaps(spark, sf_dir):
         .orderBy("gap_start")
         .limit(100)
     )
+
+
+@register(
+    "q_segment_migration",
+    """
+    WITH spend AS (
+        SELECT o_custkey AS cust,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT cust, yr,
+               CASE WHEN ntile(3) OVER (PARTITION BY yr
+                                        ORDER BY cents DESC, cust) = 1
+                    THEN 'high'
+                    WHEN ntile(3) OVER (PARTITION BY yr
+                                        ORDER BY cents DESC, cust) = 2
+                    THEN 'mid' ELSE 'low' END AS segment
+        FROM spend
+    ),
+    wide AS (
+        SELECT a.cust,
+               a.segment AS seg_1996,
+               coalesce(b.segment, 'churned') AS seg_1997
+        FROM (SELECT * FROM seg WHERE yr = 1996) a
+        LEFT JOIN (SELECT * FROM seg WHERE yr = 1997) b ON b.cust = a.cust
+    )
+    SELECT seg_1996, seg_1997, CAST(count(*) AS BIGINT) AS n_customers,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY seg_1996),
+                 6) + 0 AS row_share
+    FROM wide
+    GROUP BY seg_1996, seg_1997
+    ORDER BY seg_1996, seg_1997
+    """,
+)
+def q_segment_migration(spark, sf_dir):
+    """Customer segment migration matrix: tercile spend segments (high/
+    mid/low, ntile per year with a cust tiebreak) for 1996 and 1997,
+    crossed into the flow table every CRM review runs — who upgraded,
+    who decayed, who CHURNED entirely (present in 96, absent in 97:
+    the left join's null arm, a state no same-year snapshot like
+    q_rfm_segments can show). Row-normalized shares make each origin
+    segment a probability row — the empirical transition matrix that
+    q_attribution_markov-style chain models consume.
+
+    Per-(customer, year) spend folds once; segmentation is one ntile
+    window per year partition (deterministic: spend ties broken by
+    cust); the migration join is customer-keyed. Output is a bounded
+    3×4 matrix — O(1) collect at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.where(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.col("cents").desc(), "cust")
+    seg = spend.select(
+        "cust",
+        "yr",
+        F.when(F.ntile(3).over(w) == 1, "high")
+        .when(F.ntile(3).over(w) == 2, "mid")
+        .otherwise("low")
+        .alias("segment"),
+    )
+    a = seg.where(F.col("yr") == 1996).select("cust", F.col("segment").alias("seg_1996"))
+    b = seg.where(F.col("yr") == 1997).select("cust", F.col("segment").alias("seg_1997"))
+    wide = a.join(b, "cust", "left").select(
+        "seg_1996", F.coalesce("seg_1997", F.lit("churned")).alias("seg_1997")
+    )
+    worigin = Window.partitionBy("seg_1996")
+    return (
+        wide.groupBy("seg_1996", "seg_1997")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .select(
+            "seg_1996",
+            "seg_1997",
+            "n_customers",
+            f6(
+                F.col("n_customers") * 1.0 / F.sum("n_customers").over(worigin)
+            ).alias("row_share"),
+        )
+        .orderBy("seg_1996", "seg_1997")
+    )

@@ -449,3 +449,93 @@ def r_kcore_peel(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("core_degree"))
         .orderBy("node")
     )
+
+
+@register(
+    "r_node_features",
+    f"""
+    WITH {_GRAPH_SQL},
+    nbr AS (
+        SELECT e.src AS node, d2.d AS nbr_deg
+        FROM edges e JOIN deg d2 ON d2.src = e.dst
+    ),
+    tri AS (
+        SELECT e1.src AS node, CAST(count(*) AS BIGINT) AS tri2
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+        GROUP BY e1.src
+    )
+    SELECT d.src AS node,
+           CAST(d.d AS BIGINT) AS degree,
+           round(avg(n.nbr_deg), 6) + 0 AS avg_nbr_degree,
+           CAST(coalesce(max(t.tri2), 0) / 2 AS BIGINT) AS n_triangles,
+           round(coalesce(max(t.tri2), 0) * 1.0
+                 / greatest(d.d * (d.d - 1), 1), 6) + 0 AS clustering_coef
+    FROM deg d
+    JOIN nbr n ON n.node = d.src
+    LEFT JOIN tri t ON t.node = d.src
+    GROUP BY d.src, d.d
+    ORDER BY node
+    """,
+)
+def r_node_features(spark, sf_dir):
+    """Per-node graph feature table over the co-purchase graph: degree,
+    mean neighbor degree (assortativity signal — hubs-next-to-hubs vs
+    hubs-next-to-leaves), per-node triangle count, and the local
+    clustering coefficient 2T/(d(d−1)) — the standard hand-crafted
+    feature block fed to GBDT rankers and GNN baselines before anyone
+    trains an embedding (and the features r_pagerank/r_triangle_count
+    expose only globally, here materialized per node for a feature
+    store).
+
+    Neighbor degrees come from one edges⋈degrees join (degree table is
+    node-sized, broadcastable); per-node triangles close the directed
+    2-path with the same three-way edges join as r_triangle_count —
+    each triangle counted twice per node (both orientations), halved
+    exactly. All joins key on node ids; the symmetric edge list makes
+    row counts 2|E| and every aggregate partial+final.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.item") != F.col("b.item"))
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    nbr = edges.join(
+        deg.select(F.col("src").alias("dst"), F.col("d").alias("nbr_deg")), "dst"
+    ).select(F.col("src").alias("node"), "nbr_deg")
+    e1 = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = edges.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = edges.select(F.col("src").alias("z"), F.col("dst").alias("x"))
+    tri = (
+        e1.join(e2, "y").join(e3, ["z", "x"])
+        .groupBy(F.col("x").alias("node"))
+        .agg(F.count("*").alias("tri2"))
+    )
+    feat = (
+        deg.select(F.col("src").alias("node"), "d")
+        .join(nbr, "node")
+        .groupBy("node", "d")
+        .agg(F.avg("nbr_deg").alias("and_"))
+        .join(tri, "node", "left")
+    )
+    return feat.select(
+        "node",
+        F.col("d").cast("long").alias("degree"),
+        f6(F.col("and_")).alias("avg_nbr_degree"),
+        (F.coalesce(F.col("tri2"), F.lit(0)) / 2).cast("long").alias("n_triangles"),
+        f6(
+            F.coalesce(F.col("tri2"), F.lit(0))
+            * 1.0
+            / F.greatest(F.col("d") * (F.col("d") - 1), F.lit(1))
+        ).alias("clustering_coef"),
+    ).orderBy("node")
