@@ -2687,3 +2687,91 @@ def t_dedup_best_survivor(spark, sf_dir):
         .where(F.col("n_copies") > 1)
         .orderBy("digest")
     )
+
+
+@register(
+    "t_novelty_curve",
+    r"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(w[i:i + 2], ' ')) AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+              FROM (SELECT doc_id,
+                           string_split_regex(lower(text), '\s+') AS w
+                    FROM documents))
+    ),
+    firstseen AS (
+        SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    ),
+    per_doc AS (
+        SELECT gr.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN fs.first_doc = gr.doc_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM grams gr JOIN firstseen fs ON fs.g = gr.g
+        GROUP BY gr.doc_id
+    ),
+    decile AS (
+        SELECT *, ntile(10) OVER (ORDER BY doc_id) AS dec FROM per_doc
+    )
+    SELECT CAST(dec AS BIGINT) AS ingest_decile,
+           CAST(sum(n_grams) AS BIGINT) AS n_grams,
+           CAST(sum(n_novel) AS BIGINT) AS n_novel,
+           round(sum(n_novel) * 1.0 / sum(n_grams), 6) + 0 AS novelty_rate
+    FROM decile GROUP BY dec ORDER BY ingest_decile
+    """,
+)
+def t_novelty_curve(spark, sf_dir):
+    """Corpus novelty curve: for each ingest decile (doc_id order), the
+    fraction of its word 3-grams never seen in ANY earlier document —
+    the diminishing-returns diagnostic behind 'is more of this source
+    still worth crawling?' (the scaling-laws data-curation question:
+    when the marginal batch's novelty rate flattens toward the
+    near-dup floor, additional ingestion buys tokens, not information;
+    t_dedup_yield_curve measures the same decay for whole-doc dups,
+    this measures it at the n-gram level where paraphrase and
+    boilerplate hide).
+
+    A gram's novelty owner is min(doc_id) — one aggregate over the
+    distinct (doc, gram) stream, joined back gram-keyed (32-char
+    digests shuffle, never text), then a per-doc fold and a 10-bucket
+    ntile census. All counts exact integers; the only float is the
+    final rate under a 6dp snap.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= 3 THEN "
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> md5(concat_ws(' ', slice(w, i + 1, 3)))) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firstseen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firstseen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    dec = per_doc.withColumn("dec", F.ntile(10).over(Window.orderBy("doc_id")))
+    return (
+        dec.groupBy(F.col("dec").cast("long").alias("ingest_decile"))
+        .agg(
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            f6(F.sum("n_novel") * 1.0 / F.sum("n_grams")).alias("novelty_rate"),
+        )
+        .orderBy("ingest_decile")
+    )

@@ -985,3 +985,89 @@ def w_merge_intervals(spark, sf_dir):
         )
         .orderBy("user_id", "merged_id")
     )
+
+
+@register(
+    "w_trailing_percentile",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT cur.day, cur.v,
+               CAST(count(*) AS BIGINT) AS n_hist,
+               CAST(sum(CASE WHEN h.v < cur.v THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_below,
+               CAST(sum(CASE WHEN h.v = cur.v THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_equal
+        FROM d cur JOIN d h
+          ON h.day >= cur.day - INTERVAL 90 DAY AND h.day < cur.day
+        GROUP BY cur.day, cur.v
+    )
+    SELECT day, round(v / 100.0, 2) + 0 AS revenue_usd, n_hist,
+           round((n_below + 0.5 * n_equal) / n_hist, 6) + 0 AS trailing_pctile,
+           CAST(CASE WHEN (n_below + 0.5 * n_equal) / n_hist >= 0.99
+                      AND n_hist >= 60 THEN 1 ELSE 0 END AS BIGINT)
+               AS anomaly_hi
+    FROM pairs
+    WHERE n_hist >= 30
+    ORDER BY day
+    """,
+)
+def w_trailing_percentile(spark, sf_dir):
+    """'How unusual is today?' — each day's revenue ranked as a
+    mid-percentile within ITS OWN trailing 90-day history (n_below +
+    half the ties, the mid-rank convention) — the self-calibrating
+    anomaly score that survives trend and seasonality drift where
+    w_control_chart's fixed mean±3σ goes stale (a growing business
+    pushes every day over a static limit; against a rolling window only
+    genuinely exceptional days cross p99). SQL windows cannot rank the
+    CURRENT row against frame contents (percent_rank takes no frame),
+    so the comparison is a banded self-join on the bounded daily axis —
+    the j_theta_range shape, ~90 comparison rows per day regardless of
+    fact volume.
+
+    Exact integer cents compare; mid-rank uses a 0.5 literal; warm-up
+    days (<30 days history) withheld, the p99 flag additionally
+    requires 60. At 100 TB the daily fold is the only fact-scale work.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+    )
+    cur = d.select(F.col("day").alias("cday"), F.col("v").alias("cv"))
+    hist = d.select(F.col("day").alias("hday"), F.col("v").alias("hv"))
+    pairs = (
+        cur.join(
+            hist,
+            (F.col("hday") >= F.col("cday") - F.expr("INTERVAL 90 DAY"))
+            & (F.col("hday") < F.col("cday")),
+        )
+        .groupBy("cday", "cv")
+        .agg(
+            F.count("*").cast("long").alias("n_hist"),
+            F.sum(F.when(F.col("hv") < F.col("cv"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("hv") == F.col("cv"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_equal"),
+        )
+    )
+    pct = (F.col("n_below") + 0.5 * F.col("n_equal")) / F.col("n_hist")
+    return (
+        pairs.where(F.col("n_hist") >= 30)
+        .select(
+            F.col("cday").alias("day"),
+            money2(F.col("cv") / 100.0).alias("revenue_usd"),
+            "n_hist",
+            f6(pct).alias("trailing_pctile"),
+            F.when((pct >= 0.99) & (F.col("n_hist") >= 60), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("anomaly_hi"),
+        )
+        .orderBy("day")
+    )
