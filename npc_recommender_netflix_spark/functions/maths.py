@@ -166,3 +166,83 @@ def fn_haversine(spark, sf_dir):
         "c_custkey",
         f6(2 * 6371.0088 * F.asin(F.sqrt(hav))).alias("dist_km"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "fn_ipv4_cidr",
+    """
+    WITH ips AS (
+        SELECT event_id,
+               CAST((event_id * 2654435761) % 4294967296 AS BIGINT) AS ip
+        FROM events WHERE event_id < 2000
+    ),
+    fmt AS (
+        SELECT event_id, ip,
+               CAST(ip // 16777216 AS VARCHAR) || '.'
+               || CAST((ip // 65536) % 256 AS VARCHAR) || '.'
+               || CAST((ip // 256) % 256 AS VARCHAR) || '.'
+               || CAST(ip % 256 AS VARCHAR) AS dotted,
+               CASE WHEN ip // 16777216 = 10 THEN 1 ELSE 0 END
+                   AS in_10_slash8,
+               CASE WHEN ip // 1048576 = CAST(2886729728 AS BIGINT) // 1048576
+                    THEN 1 ELSE 0 END AS in_172_16_slash12,
+               CASE WHEN ip // 65536 = CAST(3232235520 AS BIGINT) // 65536
+                    THEN 1 ELSE 0 END AS in_192_168_slash16
+        FROM ips
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_ips,
+           CAST(sum(in_10_slash8) AS BIGINT) AS n_10_8,
+           CAST(sum(in_172_16_slash12) AS BIGINT) AS n_172_16_12,
+           CAST(sum(in_192_168_slash16) AS BIGINT) AS n_192_168_16,
+           min(CASE WHEN in_10_slash8 = 1 THEN dotted END)
+               AS first_private_10
+    FROM fmt
+    """,
+)
+def fn_ipv4_cidr(spark, sf_dir):
+    """IPv4 address arithmetic — dotted-quad formatting and RFC-1918
+    CIDR containment (10/8, 172.16/12, 192.168/16) over synthetic
+    Knuth-hash addresses — the network-telemetry scalar surface (flow
+    logs, abuse screens, geo-IP joins all start with 'is this IP in
+    that block'). CIDR containment is integer prefix arithmetic:
+    ip/2^(32-prefix) equals the network's shifted base — written as
+    shared integer-division literals because DuckDB lacks 64-bit shift
+    operators, and div/mod compiles to the same thing.
+
+    Pure map-side codegen over one pruned column; the census collapses
+    to 5 scalars. (The lexicographic min on dotted strings is the
+    deterministic first-offender pick; ordering quirks of string IPs
+    are exactly why the INTEGER form does the matching.)
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    ip = ((F.col("event_id") * 2654435761) % 4294967296).cast("long")
+    base = ev.select(ip.alias("ip"))
+    fmt = base.select(
+        "ip",
+        F.concat_ws(
+            ".",
+            F.expr("ip div 16777216").cast("string"),
+            (F.expr("ip div 65536") % 256).cast("string"),
+            (F.expr("ip div 256") % 256).cast("string"),
+            (F.col("ip") % 256).cast("string"),
+        ).alias("dotted"),
+    ).select(
+        "ip",
+        "dotted",
+        F.when(F.expr("ip div 16777216") == 10, 1).otherwise(0).alias("in_10_slash8"),
+        F.when(
+            F.expr("ip div 1048576") == 2886729728 // 1048576, 1
+        ).otherwise(0).alias("in_172_16_slash12"),
+        F.when(
+            F.expr("ip div 65536") == 3232235520 // 65536, 1
+        ).otherwise(0).alias("in_192_168_slash16"),
+    )
+    return fmt.agg(
+        F.count("*").cast("long").alias("n_ips"),
+        F.sum("in_10_slash8").cast("long").alias("n_10_8"),
+        F.sum("in_172_16_slash12").cast("long").alias("n_172_16_12"),
+        F.sum("in_192_168_slash16").cast("long").alias("n_192_168_16"),
+        F.min(F.when(F.col("in_10_slash8") == 1, F.col("dotted"))).alias(
+            "first_private_10"
+        ),
+    )

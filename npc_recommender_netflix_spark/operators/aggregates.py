@@ -3734,3 +3734,191 @@ def a_proportion_ztest(spark, sf_dir):
             "significant_05"
         ),
     )
+
+
+@register(
+    "a_tukey_fences",
+    """
+    WITH x AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) * 1.0 AS v
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM x
+    ),
+    q AS (
+        SELECT event_type,
+               max(CASE WHEN rn = CAST(floor((n - 1) * 0.25) AS BIGINT) + 1
+                        THEN v END) AS q1,
+               max(CASE WHEN rn = CAST(floor((n - 1) * 0.75) AS BIGINT) + 1
+                        THEN v END) AS q3
+        FROM ranked GROUP BY event_type
+    ),
+    f AS (
+        SELECT event_type, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS lo,
+               q3 + 1.5 * (q3 - q1) AS hi
+        FROM q
+    )
+    SELECT x.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(f.q1 / 100.0, 6) + 0 AS q1_usd,
+           round(f.q3 / 100.0, 6) + 0 AS q3_usd,
+           CAST(sum(CASE WHEN x.v < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_outliers,
+           CAST(sum(CASE WHEN x.v > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high_outliers
+    FROM x JOIN f ON f.event_type = x.event_type
+    GROUP BY x.event_type, f.q1, f.q3
+    ORDER BY x.event_type
+    """,
+)
+def a_tukey_fences(spark, sf_dir):
+    """Tukey boxplot fences per event type: outliers = values beyond
+    Q1−1.5·IQR / Q3+1.5·IQR — the third member of the outlier family
+    (a_mad_outliers is the robust-scale screen, w_rolling_zscore the
+    temporal one; Tukey's is THE convention dashboards draw, quartiles
+    only, no moments, so a heavy tail can't inflate its own fence).
+
+    Two passes by necessity (fences must exist before counting against
+    them): the quartile fold produces one tiny per-type row that joins
+    back broadcastable; the recount is a single scan with the fence
+    comparison in codegen. Quartiles are the LOWER discrete order
+    statistic at rank floor((n-1)·p)+1, computed by explicit window
+    rank arithmetic in BOTH engines — engine quantile functions were
+    measured to disagree in their interpolation on this data
+    (DuckDB quantile_cont vs Spark percentile, 5e-4 apart), and a fence
+    needs no interpolation anyway. Exact cent values; 1.5 shared
+    literal.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type", (F.round(F.col("value") * 100).cast("long") * 1.0).alias("v")
+    )
+    wr = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    ranked = x.select(
+        "event_type",
+        "v",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    q = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("n") - 1) * 0.25).cast("long") + 1,
+                F.col("v"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("n") - 1) * 0.75).cast("long") + 1,
+                F.col("v"),
+            )
+        ).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        x.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            f6(F.col("q1") / 100.0).alias("q1_usd"),
+            f6(F.col("q3") / 100.0).alias("q3_usd"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "a_covariance_pairs",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               sum(CAST(round(value * 100) AS BIGINT)) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_days,
+               covar_samp(a.v * 1.0, b.v * 1.0) AS cov,
+               corr(a.v * 1.0, b.v * 1.0) AS r
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_days,
+           round(cov / 10000.0, 6) + 0 AS cov_usd2,
+           round(r, 6) + 0 AS pearson_r
+    FROM pairs ORDER BY type_a, type_b
+    """,
+)
+def a_covariance_pairs(spark, sf_dir):
+    """Pairwise covariance/correlation matrix of the five event types'
+    daily dollar volumes — the dependence structure behind portfolio-
+    style questions (do error-day losses co-move with purchase-day
+    revenue?), the multivariate step past a_corr_regr's single pair.
+    Emitted as the 10 upper-triangle cells with day counts (the
+    variances live in a_stats/a_variance_merge).
+
+    The fact table folds ONCE to the (day, type) axis; the matrix is a
+    day-keyed self-join of that bounded frame (|days|×5 rows) with
+    type_a < type_b canonicalization — never a fact-table self-join.
+    covar_samp/corr over integer-cent values agree across engines under
+    the 6dp snap; at 100 TB this is the standard 'aggregate first,
+    correlate the axis' discipline (a_ks_drift's argument, bivariate).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    a = daily.select(
+        F.col("day").alias("da"), F.col("event_type").alias("type_a"),
+        F.col("v").alias("va"),
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("event_type").alias("type_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("da") == F.col("db"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.covar_samp(F.col("va") * 1.0, F.col("vb") * 1.0).alias("cov"),
+            F.corr(F.col("va") * 1.0, F.col("vb") * 1.0).alias("r"),
+        )
+        .select(
+            "type_a", "type_b", "n_days",
+            f6(F.col("cov") / 10000.0).alias("cov_usd2"),
+            f6(F.col("r")).alias("pearson_r"),
+        )
+        .orderBy("type_a", "type_b")
+    )

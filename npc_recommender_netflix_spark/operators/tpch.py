@@ -2807,3 +2807,74 @@ def q_segment_migration(spark, sf_dir):
         )
         .orderBy("seg_1996", "seg_1997")
     )
+
+
+@register(
+    "q_fk_orphans",
+    """
+    WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+               WHERE o_orderkey % 89 <> 0),
+    li_orphans AS (
+        SELECT count(*) AS n_rows, count(DISTINCT l.l_orderkey) AS n_keys,
+               min(l.l_orderkey) AS first_key
+        FROM lineitem l LEFT JOIN o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IS NULL
+    ),
+    cust_orphans AS (
+        SELECT count(*) AS n_rows, count(DISTINCT oo.o_custkey) AS n_keys,
+               min(oo.o_orderkey) AS first_key
+        FROM o oo LEFT JOIN customer c ON c.c_custkey = oo.o_custkey
+        WHERE c.c_custkey IS NULL
+    )
+    SELECT 'lineitem->orders' AS fk, CAST(n_rows AS BIGINT) AS n_orphan_rows,
+           CAST(n_keys AS BIGINT) AS n_orphan_keys,
+           CAST(first_key AS BIGINT) AS first_offender
+    FROM li_orphans
+    UNION ALL
+    SELECT 'orders->customer', CAST(n_rows AS BIGINT),
+           CAST(n_keys AS BIGINT), CAST(first_key AS BIGINT)
+    FROM cust_orphans
+    ORDER BY fk
+    """,
+)
+def q_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit: rows whose foreign key references a
+    missing parent — lineitems pointing at orders (every 89th order
+    deterministically withheld, the q_id_gaps loss simulation, so the
+    audit provably fires) and orders pointing at customers (intact —
+    the audit must ALSO prove clean edges clean). The census a
+    warehouse runs after every load; q_order_reconciliation checks
+    values agree, this checks the join GRAPH itself still closes.
+
+    Each direction is one left-anti-shaped probe (LEFT JOIN ... IS
+    NULL — kept as an outer join so the count and first-offender fold
+    in the same pass; Catalyst still builds the hash join on the
+    parent side). At 100 TB the parent key sets are the small sides
+    and broadcast; orphan output is failure-proportional, near-zero on
+    healthy data.
+    """
+    li, orders, cust = tables(spark, sf_dir, "lineitem", "orders", "customer")
+    o = orders.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    li_or = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
+        .where(F.col("o_orderkey").isNull())
+        .agg(
+            F.lit("lineitem->orders").alias("fk"),
+            F.count("*").cast("long").alias("n_orphan_rows"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orphan_keys"),
+            F.min("l_orderkey").cast("long").alias("first_offender"),
+        )
+    )
+    cu_or = (
+        o.join(cust, o.o_custkey == cust.c_custkey, "left")
+        .where(F.col("c_custkey").isNull())
+        .agg(
+            F.lit("orders->customer").alias("fk"),
+            F.count("*").cast("long").alias("n_orphan_rows"),
+            F.countDistinct("o_custkey").cast("long").alias("n_orphan_keys"),
+            F.min("o_orderkey").cast("long").alias("first_offender"),
+        )
+    )
+    return li_or.unionByName(cu_or).orderBy("fk")

@@ -65,6 +65,8 @@ LINEAR_KEYS = {
     "v_cosine_topk": "embeddings",
     "v_ann_ivf": "embeddings",
     "v_embed_neardup_strict": "embeddings",  # cos>=0.9, 16-bit bands
+    "t_bloom_dedup": "documents",  # bloom-prefiltered digest dedup
+    "t_novelty_curve": "documents",  # gram first-seen aggregate
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
@@ -78,6 +80,7 @@ QUADRATIC_KEYS = {
 # is cost per OUTPUT row, not per input row.
 OUTPUT_BOUND_KEYS = {
     "v_embed_neardup_lsh": "embeddings",
+    "v_lsh_multiprobe": "embeddings",  # same 0.35 contract, 5x probes
 }
 
 _WORDS = None
