@@ -176,6 +176,36 @@ def st_dedup(spark, sf_dir):
 
 
 @register(
+    "st_dedup_within_watermark",
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def st_dedup_within_watermark(spark, sf_dir):
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    (Spark 3.5+) — the production form of st_dedup, whose plain
+    dropDuplicates keeps every key it has ever seen forever (state
+    grows with the stream and eventually OOMs the state store). The
+    WithinWatermark variant contracts that duplicates arrive within the
+    watermark delay of each other (true for at-least-once replays and
+    retry storms, the realistic dup source), letting the engine EVICT
+    dedup state once the watermark passes — state is O(events per
+    watermark window), not O(stream history).
+
+    The fixture's duplicate pairs (self-union) arrive in the SAME
+    micro-batch — zero skew between copies, maximally inside any
+    delay — so exact per-type counts must be restored, and the batch
+    oracle checks precisely that. At 100 TB this key plus RocksDB
+    (st_rocksdb_state) is the streaming-dedup deployment recipe.
+    """
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    both = s1.unionByName(s2).withWatermark("ts", "1 hour")
+    dedup = both.dropDuplicatesWithinWatermark(["event_id"])
+    agg = dedup.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    name = run_to_memory(agg, "complete")
+    return spark.table(name)
+
+
+@register(
     "st_static_join",
     """
     SELECT c.c_mktsegment, count(*) AS cnt, round(sum(e.value), 2) AS total_value
