@@ -178,22 +178,33 @@ def main() -> None:
             fh.write("\n")
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_warm_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "session_up_sec": round(session_up, 3),
-                "warmup_sec": round(warmup, 3),
-                "n_queries": len(times),
-                "shuffle_bytes": shuffle_bytes,
-                "shuffle_regressions": regressions,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_suite_warm_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "session_up_sec": round(session_up, 3),
+        "warmup_sec": round(warmup, 3),
+        "n_queries": len(times),
+        "shuffle_bytes": shuffle_bytes,
+        "shuffle_regressions": regressions,
+    }
+    # Full record (incl. per-query shuffle bytes) goes to a committed file;
+    # stdout gets a SLIM line. The driver records only the tail of stdout,
+    # and round 6's line (with 56 shuffle-byte entries inline) overflowed
+    # that capture — BENCH_r06.json came back `parsed: null`. Keep the
+    # printed line well under the capture window and make it the final
+    # stdout line; flush stdout so nothing interleaves after it.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as fh:
+        json.dump(record, fh, indent=1)
+        fh.write("\n")
+    slim = {k: v for k, v in record.items() if k != "shuffle_bytes"}
+    sys.stdout.flush()
+    print(json.dumps(slim), flush=True)
 
 
 if __name__ == "__main__":

@@ -3490,57 +3490,55 @@ def a_variance_merge(spark, sf_dir):
 @register(
     "a_heavy_hitters",
     """
-    WITH shard AS (
-        SELECT l_partkey % 32 AS sid, l_partkey,
-               CAST(count(*) AS BIGINT) AS c
-        FROM lineitem GROUP BY 1, 2
-    ),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
-    cand AS (
-        SELECT DISTINCT l_partkey FROM shard CROSS JOIN tot
-        WHERE c * 100 * 32 > n
-    ),
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
     exact AS (
-        SELECT l.l_partkey, CAST(count(*) AS BIGINT) AS cnt
-        FROM lineitem l JOIN cand ON cand.l_partkey = l.l_partkey
-        GROUP BY l.l_partkey
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
     )
     SELECT l_partkey, cnt, rn FROM (
         SELECT l_partkey, cnt,
                CAST(row_number() OVER (ORDER BY cnt DESC, l_partkey)
                     AS BIGINT) AS rn
-        FROM exact
+        FROM exact CROSS JOIN tot WHERE cnt * 2000 > n
     ) WHERE rn <= 10
     """,
 )
 def a_heavy_hitters(spark, sf_dir):
-    """Exact top-10 heavy hitters by the guaranteed two-phase recipe —
-    the scale answer when the key cardinality is too big to rank
-    directly and a_count_min's sketch error is unacceptable. Phase 1
-    finds CANDIDATES by pigeonhole: any key with global frequency
-    > N/100 must, in SOME of the 32 shards, exceed N/(100·32) — so
-    per-(shard, key) counts filtered at that threshold form a
-    guaranteed superset of every 1%-heavy key (a frequency-oracle
-    cousin of Misra-Gries, in two relational passes). Phase 2 counts
-    ONLY candidates exactly (a semi-join-shrunk aggregate) and ranks.
-    The filter uses integer cross-multiplication (c·100·32 > n), no
-    float threshold.
+    """Exact top-10 keys above a 1/2000 frequency threshold by the
+    guaranteed two-phase recipe — the scale answer when the key
+    cardinality is too big to rank directly and a_count_min's sketch
+    error is unacceptable. Phase 1 finds CANDIDATES by pigeonhole:
+    rows are sharded by a hash INDEPENDENT of the key
+    (l_orderkey % 32), so a key's occurrences spread across shards,
+    and any key with global frequency > N/2000 must exceed
+    N/(2000·32) in at least one shard — per-(shard, key) counts
+    filtered at that threshold are a guaranteed superset of every
+    heavy key (a frequency-oracle cousin of Misra-Gries in two
+    relational passes). Phase 2 counts ONLY candidates exactly
+    (a semi-join-shrunk aggregate), re-applies the TRUE threshold
+    (cnt·2000 > N — candidates are a superset), and ranks. Integer
+    cross-multiplication throughout; no float threshold.
 
-    The guarantee is what the oracle checks: it ranks ALL keys
-    directly, so a missed heavy hitter — the failure mode of naive
-    per-shard-top-m candidate generation — breaks the hash. Shuffle:
-    phase 1 is one partial+final count whose output is
-    candidate-sized for the distinct; phase 2 aggregates a filtered
-    scan. Never a global sort of the full key space.
+    The oracle ranks ALL keys directly (plain group-count + window),
+    so a missed heavy hitter — the failure mode this recipe exists to
+    prevent — breaks the hash: the cross-engine check verifies the
+    pigeonhole guarantee itself, not a replay of the same pipeline.
+    At sf0.01 the per-shard threshold rounds below one row, so the
+    prune passes everything (891/2000 keys clear the global bar);
+    the prune bites exactly when N/(2000·32) ≥ 1 — the large-N
+    regime it exists for. Shuffle: phase 1 is one partial+final
+    count, candidate-sized output for the distinct; phase 2
+    aggregates a filtered scan. Never a global sort of the full key
+    space.
     """
     li = load_table(spark, sf_dir, "lineitem")
     shard = li.groupBy(
-        (F.col("l_partkey") % 32).alias("sid"), "l_partkey"
+        (F.col("l_orderkey") % 32).alias("sid"), "l_partkey"
     ).agg(F.count("*").cast("long").alias("c"))
     tot = li.agg(F.count("*").cast("long").alias("n"))
     cand = (
         shard.crossJoin(F.broadcast(tot))
-        .where(F.col("c") * 100 * 32 > F.col("n"))
+        .where(F.col("c") * 2000 * 32 > F.col("n"))
         .select("l_partkey")
         .distinct()
     )
@@ -3551,7 +3549,9 @@ def a_heavy_hitters(spark, sf_dir):
     )
     w = Window.orderBy(F.col("cnt").desc(), "l_partkey")
     return (
-        exact.withColumn("rn", F.row_number().over(w).cast("long"))
+        exact.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * 2000 > F.col("n"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 10)
         .select("l_partkey", "cnt", "rn")
     )

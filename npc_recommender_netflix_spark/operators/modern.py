@@ -2854,6 +2854,23 @@ def _markov_sql() -> str:
     return "".join(parts)
 
 
+def _rhu(x: float, n: int) -> float:
+    """Half-AWAY-from-zero round, matching SQL round() semantics.
+
+    Python's round() is banker's (half-to-even); the DuckDB oracle's
+    round() is half-away. A value landing exactly on a half boundary
+    at the snap precision would diverge across engines under round()
+    — everywhere else the repo pairs F.round (HALF_UP) with SQL
+    round, and driver-side arithmetic must match that convention.
+    """
+    import math
+
+    scaled = x * 10**n
+    return (
+        math.floor(scaled + 0.5) if scaled >= 0 else math.ceil(scaled - 0.5)
+    ) / 10**n
+
+
 @register("q_attribution_markov", _markov_sql())
 def q_attribution_markov(spark, sf_dir):
     """Markov removal-effect attribution — the data-driven successor to
@@ -2930,7 +2947,7 @@ def q_attribution_markov(spark, sf_dir):
                     nxt[s] = 0.0
                 else:
                     # sorted dst order: same 9dp result as the SQL sum
-                    nxt[s] = round(
+                    nxt[s] = _rhu(
                         sum(p * val[d] for d, p in sorted(tmap.get(s, []))), 9
                     )
             val = nxt
@@ -2955,11 +2972,11 @@ def q_attribution_markov(spark, sf_dir):
                 agg[dst] = agg.get(dst, 0.0) + p
             merged[src] = list(agg.items())
         p_removed = absorb(merged)
-        rows.append((ch, p_base, p_removed, round((p_base - p_removed) / p_base, 9)))
+        rows.append((ch, p_base, p_removed, _rhu((p_base - p_removed) / p_base, 9)))
     total_re = sum(r[3] for r in rows)
     out = spark.createDataFrame(
         [
-            (ch, round(pb, 6), round(pr, 6), round(re, 6), round(re / total_re, 6))
+            (ch, _rhu(pb, 6), _rhu(pr, 6), _rhu(re, 6), _rhu(re / total_re, 6))
             for ch, pb, pr, re in rows
         ],
         "channel string, p_base double, p_removed double,"

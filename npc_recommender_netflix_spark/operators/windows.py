@@ -895,7 +895,7 @@ def w_rsi(spark, sf_dir):
         FROM events
     ),
     marked AS (
-        SELECT user_id, s, e,
+        SELECT user_id, s, e, event_id,
                CASE WHEN s > max(e) OVER (PARTITION BY user_id
                                           ORDER BY s, event_id
                                           ROWS BETWEEN UNBOUNDED PRECEDING
@@ -910,7 +910,7 @@ def w_rsi(spark, sf_dir):
     grp AS (
         SELECT user_id, s, e,
                sum(new_grp) OVER (PARTITION BY user_id
-                                  ORDER BY s, e
+                                  ORDER BY s, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                            AND CURRENT ROW) AS gid
         FROM marked
@@ -963,13 +963,17 @@ def w_merge_intervals(spark, sf_dir):
         "user_id",
         "s",
         "e",
+        "event_id",
         F.when(
             prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
         ).otherwise(0).alias("new_grp"),
     )
+    # gid cumulative sum orders by the SAME total order (s, event_id) the
+    # new_grp window uses — ordering by (s, e) here could place a tying
+    # new_grp=0 row on the wrong side of a group boundary in one engine.
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     grp = marked.withColumn("gid", F.sum("new_grp").over(w_cum))

@@ -61,6 +61,10 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: the bench's final JSON line must be the last
+        # stdout content (the driver tail-parses it) — console progress bars
+        # write \r-spam that can interleave with it.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # local mode: driver == executors; default 1g OOMs at sf0.1 with 32
         # task threads. Pre-JVM config, no effect on externally-owned sessions.
