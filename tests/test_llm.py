@@ -477,3 +477,161 @@ def test_multiprobe_recall_superset_of_single_probe(spark):
     }
     assert single <= multi, f"multiprobe lost pairs: {single - multi}"
     assert len(multi) > len(single), "expected extra recall from flipped probes"
+
+
+def _png_codec():
+    """Minimal mirror of m_png_decode's encoder/decoder for byte-level
+    sensitivity tests (the operator's callables are worker-shipped
+    closures; the oracle hash pins the formula, this pins the BYTES)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def encode(d):
+        w, h = (d % 16) + 8, (d % 10) + 5
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        raster = np.stack(
+            np.broadcast_arrays(
+                (5 * d + 2 * x + 3 * y) % 256,
+                (d + 4 * x + 9 * y) % 256,
+                (7 * d + x + 6 * y) % 256,
+            ),
+            axis=-1,
+        ).astype(np.uint8)
+        filtered = bytearray()
+        prior = bytes(w * 3)
+        for yy in range(h):
+            raw = raster[yy].tobytes()
+            f = (d + yy) % 5
+            filtered.append(f)
+            for i in range(w * 3):
+                left = raw[i - 3] if i >= 3 else 0
+                up = prior[i]
+                ul = prior[i - 3] if i >= 3 else 0
+                pred = (
+                    0 if f == 0 else left if f == 1 else up if f == 2
+                    else (left + up) // 2 if f == 3 else paeth(left, up, ul)
+                )
+                filtered.append((raw[i] - pred) % 256)
+            prior = raw
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(filtered))) + chunk(b"IEND", b"")
+        )
+        return png, raster
+
+    def decode(buf):
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+        pos, idat = 8, b""
+        w = h = None
+        while pos < len(buf):
+            (clen,) = struct.unpack(">I", buf[pos: pos + 4])
+            ctype = buf[pos + 4: pos + 8]
+            body = buf[pos + 8: pos + 8 + clen]
+            (crc,) = struct.unpack(">I", buf[pos + 8 + clen: pos + 12 + clen])
+            assert crc == (zlib.crc32(ctype + body) & 0xFFFFFFFF), "CRC mismatch"
+            if ctype == b"IHDR":
+                w, h = struct.unpack(">II", body[:8])
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen
+        filtered = zlib.decompress(idat)
+        stride = w * 3
+        assert len(filtered) == h * (1 + stride), "bad raster size"
+        recon, prior = bytearray(), bytes(stride)
+        for yy in range(h):
+            f = filtered[yy * (1 + stride)]
+            row_f = filtered[yy * (1 + stride) + 1: (yy + 1) * (1 + stride)]
+            row = bytearray(stride)
+            for i in range(stride):
+                left = row[i - 3] if i >= 3 else 0
+                up = prior[i]
+                ul = prior[i - 3] if i >= 3 else 0
+                pred = (
+                    0 if f == 0 else left if f == 1 else up if f == 2
+                    else (left + up) // 2 if f == 3 else paeth(left, up, ul)
+                )
+                row[i] = (row_f[i] + pred) % 256
+            recon += row
+            prior = bytes(row)
+        return np.frombuffer(bytes(recon), dtype=np.uint8).reshape(h, w, 3)
+
+    return encode, decode, chunk
+
+
+def test_png_decode_roundtrip_and_byte_sensitivity():
+    """m_png_decode's reader must recover the exact pixels through zlib +
+    all five PNG filters (doc_id=12 rotates through every filter type),
+    and a single flipped IDAT byte must be caught by the CRC check; a
+    re-CRC'd corruption must corrupt the decode (changed pixels or an
+    inflate/size error) — never pass silently."""
+    import struct
+    import zlib
+
+    encode, decode, chunk = _png_codec()
+    png, raster = encode(12)
+    assert (decode(png) == raster).all()
+
+    # flip one byte INSIDE the IDAT body: CRC must catch it
+    idat_pos = png.index(b"IDAT")
+    hacked = bytearray(png)
+    hacked[idat_pos + 10] ^= 0xFF
+    try:
+        decode(bytes(hacked))
+        raise AssertionError("flipped IDAT byte was not detected")
+    except AssertionError as e:
+        if "CRC mismatch" not in str(e):
+            raise
+
+    # re-CRC the corrupted chunk: decode must now fail or change pixels
+    (clen,) = struct.unpack(">I", png[idat_pos - 4: idat_pos])
+    body = bytearray(png[idat_pos + 4: idat_pos + 4 + clen])
+    body[2] ^= 0x01
+    rebuilt = (
+        png[: idat_pos - 4] + chunk(b"IDAT", bytes(body))
+        + png[idat_pos + 8 + clen:]
+    )
+    try:
+        assert (decode(rebuilt) != raster).any(), "corruption passed silently"
+    except (AssertionError, zlib.error):
+        pass
+
+
+def test_png_decode_matches_formula(spark):
+    """The operator's decoded channel sums must equal a direct numpy
+    recomputation from the pixel formula — through the full Spark
+    mapInPandas synth->decode pipeline."""
+    import numpy as np
+
+    rows = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["m_png_decode"](spark, SF_SMALL).collect()
+    }
+    for d in (0, 7, 33):
+        w, h = (d % 16) + 8, (d % 10) + 5
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        r = rows[d]
+        assert r["width"] == w and r["height"] == h
+        assert r["sum_r"] == int(((5 * d + 2 * x + 3 * y) % 256).sum())
+        g = (d + 4 * x + 9 * y) % 256
+        assert r["sum_g"] == int(g.sum())
+        assert r["half_sum_g"] == int(g[::2, ::2].sum())
