@@ -2856,3 +2856,100 @@ def v_ood_flags(spark, sf_dir):
         f6(F.col("m2")).alias("mahalanobis2_diag"),
         F.when(F.col("m2") > thr, 1).otherwise(0).cast("long").alias("ood_flag"),
     ).orderBy("vec_id")
+
+
+@register(
+    "v_kdtree_route",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e1,
+               CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS e2,
+               CAST(round(CAST(embedding[3] AS DOUBLE) * 1000000) AS BIGINT) AS e3
+        FROM embeddings
+    ),
+    t1 AS (SELECT CAST(count(*) AS BIGINT) AS n1, CAST(sum(e1) AS BIGINT) AS s1 FROM e),
+    l1 AS (SELECT e.*, CASE WHEN e1 * n1 > s1 THEN 1 ELSE 0 END AS b1
+           FROM e CROSS JOIN t1),
+    t2 AS (SELECT b1, CAST(count(*) AS BIGINT) AS n2, CAST(sum(e2) AS BIGINT) AS s2
+           FROM l1 GROUP BY b1),
+    l2 AS (SELECT l1.*, CASE WHEN e2 * n2 > s2 THEN 1 ELSE 0 END AS b2
+           FROM l1 JOIN t2 USING (b1)),
+    t3 AS (SELECT b1, b2, CAST(count(*) AS BIGINT) AS n3, CAST(sum(e3) AS BIGINT) AS s3
+           FROM l2 GROUP BY b1, b2),
+    l3 AS (SELECT l2.*, CASE WHEN e3 * n3 > s3 THEN 1 ELSE 0 END AS b3
+           FROM l2 JOIN t3 USING (b1, b2)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+    SELECT CAST(b1 * 4 + b2 * 2 + b3 AS BIGINT) AS leaf_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(count(*) * 1.0 / n, 6) + 0 AS share,
+           round(count(*) * 8.0 / n, 6) + 0 AS imbalance
+    FROM l3 CROSS JOIN tot
+    GROUP BY b1, b2, b3, n ORDER BY leaf_id
+    """,
+)
+def v_kdtree_route(spark, sf_dir):
+    """Depth-3 mean-split kd-partition of the embedding space — the
+    tree-routing census for the tree family of ANN indexes (kd-trees
+    with centroid splits; the axis-aligned cousin of RP-trees, Dasgupta
+    & Freund 2008): level d splits each cell at the cell's MEAN of
+    dimension d, yielding 8 leaves whose occupancy this reports (share
+    + imbalance factor vs the ideal N/8 — the probe-cost diagnostic,
+    same role v_cluster_balance plays for IVF cells).
+
+    Mean splits instead of median splits is the SCALE decision: an
+    exact median needs a per-cell sort (single-partition window at the
+    root — the anti-pattern), while the mean is one partial-merge
+    aggregate per level, and the routing comparison stays EXACT by
+    integer cross-multiplication: dims snap to 1e-6 BIGINTs, and
+    v belongs right of the split iff e·n > Σe — no float mean, no
+    division, no engine-interpolation disagreement anywhere (the trap
+    a_tukey_fences documents for engine quantiles). Three levels =
+    three broadcast-joined threshold tables of ≤4 rows each; the data
+    is never shuffled at all — each level is a map-side comparison
+    against broadcast cell statistics, so the full tree build is 3
+    linear passes + 3 tiny aggregates at any corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("embedding", i).cast("double") * 1000000)
+            .cast("long")
+            .alias(f"e{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+    t1 = e.agg(
+        F.count("*").cast("long").alias("n1"), F.sum("e1").cast("long").alias("s1")
+    )
+    l1 = e.crossJoin(F.broadcast(t1)).withColumn(
+        "b1", (F.col("e1") * F.col("n1") > F.col("s1")).cast("int")
+    )
+    t2 = l1.groupBy("b1").agg(
+        F.count("*").cast("long").alias("n2"), F.sum("e2").cast("long").alias("s2")
+    )
+    l2 = l1.join(F.broadcast(t2), "b1").withColumn(
+        "b2", (F.col("e2") * F.col("n2") > F.col("s2")).cast("int")
+    )
+    t3 = l2.groupBy("b1", "b2").agg(
+        F.count("*").cast("long").alias("n3"), F.sum("e3").cast("long").alias("s3")
+    )
+    l3 = l2.join(F.broadcast(t3), ["b1", "b2"]).withColumn(
+        "b3", (F.col("e3") * F.col("n3") > F.col("s3")).cast("int")
+    )
+    tot = e.agg(F.count("*").cast("long").alias("n"))
+    return (
+        l3.crossJoin(F.broadcast(tot))
+        .groupBy("b1", "b2", "b3", "n")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .select(
+            (F.col("b1") * 4 + F.col("b2") * 2 + F.col("b3"))
+            .cast("long")
+            .alias("leaf_id"),
+            "n_vectors",
+            f6(F.col("n_vectors") * 1.0 / F.col("n")).alias("share"),
+            f6(F.col("n_vectors") * 8.0 / F.col("n")).alias("imbalance"),
+        )
+        .orderBy("leaf_id")
+    )

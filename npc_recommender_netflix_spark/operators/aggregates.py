@@ -3922,3 +3922,131 @@ def a_covariance_pairs(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "a_ols_two_factor",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s2,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s11,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s22,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s12,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s1y,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s2y,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS syy
+        FROM lineitem GROUP BY 1
+    ),
+    d AS (
+        SELECT l_returnflag, n,
+               CAST(n AS DOUBLE) AS nD, CAST(s1 AS DOUBLE) AS s1D,
+               CAST(s2 AS DOUBLE) AS s2D, CAST(sy AS DOUBLE) AS syD,
+               CAST(s11 AS DOUBLE) AS s11D, CAST(s22 AS DOUBLE) AS s22D,
+               CAST(s12 AS DOUBLE) AS s12D, CAST(s1y AS DOUBLE) AS s1yD,
+               CAST(s2y AS DOUBLE) AS s2yD, CAST(syy AS DOUBLE) AS syyD
+        FROM s
+    ),
+    b AS (
+        SELECT l_returnflag, n, syD, s1yD, s2yD, syyD, nD,
+               nD * (s11D * s22D - s12D * s12D)
+                 - s1D * (s1D * s22D - s12D * s2D)
+                 + s2D * (s1D * s12D - s11D * s2D) AS det,
+               syD * (s11D * s22D - s12D * s12D)
+                 - s1D * (s1yD * s22D - s12D * s2yD)
+                 + s2D * (s1yD * s12D - s11D * s2yD) AS det0,
+               nD * (s1yD * s22D - s12D * s2yD)
+                 - syD * (s1D * s22D - s12D * s2D)
+                 + s2D * (s1D * s2yD - s1yD * s2D) AS det1,
+               nD * (s11D * s2yD - s1yD * s12D)
+                 - s1D * (s1D * s2yD - s1yD * s2D)
+                 + syD * (s1D * s12D - s11D * s2D) AS det2
+        FROM d
+    )
+    SELECT l_returnflag, n,
+           round(det0 / det / 100.0, 6) + 0 AS intercept_usd,
+           round(det1 / det / 100.0, 6) + 0 AS per_qty_usd,
+           round(det2 / det / 100.0, 6) + 0 AS per_disc_pct_usd,
+           round(1.0 - (syyD - (det0 / det) * syD - (det1 / det) * s1yD
+                        - (det2 / det) * s2yD)
+                     / (syyD - syD * syD / nD), 6) + 0 AS r2
+    FROM b ORDER BY l_returnflag
+    """,
+)
+def a_ols_two_factor(spark, sf_dir):
+    """Two-regressor OLS per return flag — price ~ β0 + β1·quantity +
+    β2·discount, solved in closed form by Cramer's rule on the 3×3
+    normal equations. The multi-feature step up from a_corr_regr's
+    engine regr_slope/regr_intercept (single regressor only — neither
+    engine has a built-in multiple regression, so the normal equations
+    ARE the portable implementation).
+
+    Cross-engine exactness discipline: the nine moment sums accumulate
+    as exact BIGINTs over integer units (cents, whole quantities,
+    discount percent) — reduction-order-free at any parallelism — and
+    the determinant arithmetic happens AFTER casting each sum to
+    DOUBLE, in an identical expression tree in both engines (IEEE ops
+    are deterministic given the same association; BIGINT minors would
+    overflow at ~1e21). β̂ and R² are then pure per-group scalar math,
+    rounded at 6dp. One partial+final aggregate over the scan — the
+    statistical model costs exactly one groupBy at 100 TB, the same
+    plan as a_stats.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("long")
+    x2 = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("s1"),
+        F.sum(x2).cast("long").alias("s2"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x1 * x1).cast("long").alias("s11"),
+        F.sum(x2 * x2).cast("long").alias("s22"),
+        F.sum(x1 * x2).cast("long").alias("s12"),
+        F.sum(x1 * y).cast("long").alias("s1y"),
+        F.sum(x2 * y).cast("long").alias("s2y"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+    D = {c: F.col(c).cast("double") for c in
+         ("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")}
+    det = (
+        D["n"] * (D["s11"] * D["s22"] - D["s12"] * D["s12"])
+        - D["s1"] * (D["s1"] * D["s22"] - D["s12"] * D["s2"])
+        + D["s2"] * (D["s1"] * D["s12"] - D["s11"] * D["s2"])
+    )
+    det0 = (
+        D["sy"] * (D["s11"] * D["s22"] - D["s12"] * D["s12"])
+        - D["s1"] * (D["s1y"] * D["s22"] - D["s12"] * D["s2y"])
+        + D["s2"] * (D["s1y"] * D["s12"] - D["s11"] * D["s2y"])
+    )
+    det1 = (
+        D["n"] * (D["s1y"] * D["s22"] - D["s12"] * D["s2y"])
+        - D["sy"] * (D["s1"] * D["s22"] - D["s12"] * D["s2"])
+        + D["s2"] * (D["s1"] * D["s2y"] - D["s1y"] * D["s2"])
+    )
+    det2 = (
+        D["n"] * (D["s11"] * D["s2y"] - D["s1y"] * D["s12"])
+        - D["s1"] * (D["s1"] * D["s2y"] - D["s1y"] * D["s2"])
+        + D["sy"] * (D["s1"] * D["s12"] - D["s11"] * D["s2"])
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = D["syy"] - b0 * D["sy"] - b1 * D["s1y"] - b2 * D["s2y"]
+    sst = D["syy"] - D["sy"] * D["sy"] / D["n"]
+    return s.select(
+        "l_returnflag",
+        "n",
+        f6(b0 / 100.0).alias("intercept_usd"),
+        f6(b1 / 100.0).alias("per_qty_usd"),
+        f6(b2 / 100.0).alias("per_disc_pct_usd"),
+        f6(1.0 - sse / sst).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -1075,3 +1075,103 @@ def w_trailing_percentile(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "w_cusum_alarm",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(x) AS BIGINT) AS total
+        FROM daily GROUP BY 1
+    ),
+    pre AS (
+        SELECT d.event_type, d.day, t.nd, t.total,
+               sum(d.x * t.nd - t.total) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM daily d JOIN tot t ON d.event_type = t.event_type
+    ),
+    cu AS (
+        SELECT event_type, day, nd, total,
+               p - least(CAST(0 AS BIGINT),
+                         min(p) OVER (
+                             PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)) AS s
+        FROM pre
+    )
+    SELECT event_type,
+           CAST(max(nd) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN s * 20 > total * nd THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           min(CASE WHEN s * 20 > total * nd THEN day END) AS first_alarm_day,
+           round(CAST(max(s) AS DOUBLE) / max(nd) / 100.0, 6) + 0
+               AS peak_drift_usd
+    FROM cu GROUP BY event_type ORDER BY event_type
+    """,
+)
+def w_cusum_alarm(spark, sf_dir):
+    """One-sided CUSUM drift alarm per event type — the sequential
+    change detector (Page 1954, public) that complements the
+    distribution monitors (a_ks_drift/a_psi_drift snapshot two eras;
+    CUSUM localizes WHEN cumulative upward drift in daily volume
+    crossed a budget). The textbook recursion S_t = max(0, S_{t-1} +
+    x_t − k) is not a window aggregate, but its closed form IS:
+    S_t = P_t − min(0, min_{s≤t} P_s) for prefix sums P of (x_t − k)
+    — two stock window functions over ONE (event_type) exchange, no
+    recursion, no UDF, no driver loop.
+
+    All-integer discipline: daily cents x_t are exact BIGINTs, the
+    allowance k is the per-type mean folded in by cross-multiplication
+    (x_t·n_days − total, never a float mean), and the alarm test
+    S·20 > total·n_days is a 5%-of-total-volume budget in the same
+    scaled units. Headroom: cents·days² stays under 2^63 up to
+    ~10^15 cents/day × a decade of days. The only float is the final
+    display division (peak drift in USD/day, 6dp). At 100 TB the
+    daily rollup is the one data-scale pass (map-side partial agg);
+    everything after runs on |types|×|days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = daily.join(F.broadcast(tot), "event_type").withColumn(
+        "p", F.sum(F.col("x") * F.col("nd") - F.col("total")).over(wc)
+    )
+    cu = pre.withColumn(
+        "s",
+        F.col("p")
+        - F.least(F.lit(0).cast("long"), F.min("p").over(wc)),
+    )
+    alarm = F.col("s") * 20 > F.col("total") * F.col("nd")
+    return (
+        cu.groupBy("event_type")
+        .agg(
+            F.max("nd").cast("long").alias("n_days"),
+            F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarms"),
+            F.min(F.when(alarm, F.col("day"))).alias("first_alarm_day"),
+            f6(F.max("s").cast("double") / F.max("nd") / 100.0).alias(
+                "peak_drift_usd"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -2416,3 +2416,118 @@ def r_map_at_k(spark, sf_dir):
         )
         .select("user_id", "hits", "ap5")
     )
+
+
+@register(
+    "r_slope_one_capped",
+    f"""
+    WITH m0 AS ({_M_SQL}),
+    deg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS df
+            FROM m0 GROUP BY user_id),
+    m AS (SELECT m0.user_id, m0.item_id,
+                 CAST(m0.rating AS BIGINT) AS rating
+          FROM m0 JOIN deg ON deg.user_id = m0.user_id
+          WHERE deg.df <= 48),
+    dev AS (
+        SELECT a.item_id AS item_j, b.item_id AS item_i,
+               CAST(sum(a.rating - b.rating) AS BIGINT) AS diffsum,
+               CAST(count(*) AS BIGINT) AS c
+        FROM m a JOIN m b
+          ON a.user_id = b.user_id AND a.item_id <> b.item_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    tgt AS (SELECT * FROM m WHERE user_id % 199 = 0),
+    scored AS (
+        SELECT t.user_id, d.item_j,
+               CAST(sum(d.diffsum + t.rating * d.c) AS BIGINT) AS num,
+               CAST(sum(d.c) AS BIGINT) AS den
+        FROM tgt t JOIN dev d ON d.item_i = t.item_id
+        LEFT JOIN m r ON r.user_id = t.user_id AND r.item_id = d.item_j
+        WHERE r.item_id IS NULL
+        GROUP BY 1, 2
+    )
+    SELECT user_id, item_j AS item_id,
+           round(CAST(num AS DOUBLE) / den, 6) + 0 AS pred, rn
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(num AS DOUBLE) / den DESC, item_j)
+               AS BIGINT) AS rn
+        FROM scored WHERE den >= 5
+    ) WHERE rn <= 3
+    """,
+)
+def r_slope_one_capped(spark, sf_dir):
+    """Weighted Slope One over the FULL catalog — the 100 TB shape of
+    r_slope_one (which bounds work with an item<200 test slice and
+    promises the cap only in its docstring), exactly as
+    r_cosine_sim_capped is to r_cosine_sim: the item bound is replaced
+    by the df<=48 power-user cap applied BEFORE the pair self-join.
+
+    EXACT across engines by integer algebra: the weighted numerator
+    Σ_i (dev_ji·c_ji + r_ui·c_ji) telescopes to Σ_i (diffsum_ji +
+    r_ui·c_ji) where diffsum = Σ(r_j − r_i) is an exact BIGINT —
+    the per-pair division by c never happens, so no float enters
+    until the single final divide (rounded 6dp). Ratings are integral
+    quantities, cast to BIGINT up front.
+
+    Scale shape = r_cosine_sim_capped's: the deviation matrix comes
+    from the user-keyed pair self-join, bounded by the same df<=48
+    power-user cap (48²·|users| pairs max); a support floor c>=2
+    drops noise cells and den>=5 drops thin predictions. Targets are
+    a deterministic 1/199 user sample (scale-proportional, never
+    collected); per-user output is top-3 by predicted rating. The
+    anti-join keeps already-rated items out of the recommendation
+    set, as the paper specifies.
+    """
+    m0 = ratings_matrix(spark, sf_dir)
+    deg = m0.groupBy("user_id").agg(F.count("*").alias("df"))
+    m = (
+        m0.join(deg.where(F.col("df") <= 48).select("user_id"), "user_id")
+        .select("user_id", "item_id", F.col("rating").cast("long").alias("rating"))
+        .cache()
+    )
+    a = m.select(
+        "user_id", F.col("item_id").alias("item_j"), F.col("rating").alias("rj")
+    )
+    b = m.select(
+        "user_id", F.col("item_id").alias("item_i"), F.col("rating").alias("ri")
+    )
+    dev = (
+        a.join(b, "user_id")
+        .where(F.col("item_j") != F.col("item_i"))
+        .groupBy("item_j", "item_i")
+        .agg(
+            F.sum(F.col("rj") - F.col("ri")).cast("long").alias("diffsum"),
+            F.count("*").cast("long").alias("c"),
+        )
+        .where(F.col("c") >= 2)
+    )
+    tgt = m.where(F.col("user_id") % 199 == 0)
+    rated = m.select("user_id", F.col("item_id").alias("item_j"))
+    scored = (
+        tgt.join(dev, tgt.item_id == dev.item_i)
+        .join(rated, ["user_id", "item_j"], "left_anti")
+        .groupBy("user_id", "item_j")
+        .agg(
+            F.sum(F.col("diffsum") + F.col("rating") * F.col("c"))
+            .cast("long")
+            .alias("num"),
+            F.sum("c").cast("long").alias("den"),
+        )
+        .where(F.col("den") >= 5)
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        (F.col("num").cast("double") / F.col("den")).desc(), "item_j"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select(
+            "user_id",
+            F.col("item_j").alias("item_id"),
+            f6(F.col("num").cast("double") / F.col("den")).alias("pred"),
+            "rn",
+        )
+    )

