@@ -4050,3 +4050,94 @@ def a_ols_two_factor(spark, sf_dir):
         f6(b2 / 100.0).alias("per_disc_pct_usd"),
         f6(1.0 - sse / sst).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+_POW2_VALUES = ", ".join(f"({k}, {1 << k})" for k in range(0, 41))
+
+
+@register(
+    "a_hdr_histogram",
+    f"""
+    WITH x AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    ),
+    pow2(k, v) AS (VALUES {_POW2_VALUES}),
+    b AS (
+        SELECT x.cents, CAST(max(p.k) AS BIGINT) AS bucket
+        FROM x JOIN pow2 p ON p.v <= x.cents
+        GROUP BY x.cents
+    ),
+    h AS (
+        SELECT b.bucket, CAST(count(*) AS BIGINT) AS n
+        FROM x JOIN b ON x.cents = b.cents
+        GROUP BY b.bucket
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+    SELECT bucket,
+           CAST(power(2, bucket) AS BIGINT) AS lo_cents,
+           CAST(power(2, bucket + 1) - 1 AS BIGINT) AS hi_cents,
+           n,
+           round(n * 1.0 / total, 6) + 0 AS share,
+           round(sum(n) OVER (ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) * 1.0 / total, 6) + 0
+               AS cum_share
+    FROM h CROSS JOIN tot ORDER BY bucket
+    """,
+)
+def a_hdr_histogram(spark, sf_dir):
+    """Log2-bucketed value histogram — the HdrHistogram-family fixed-
+    memory distribution summary every latency/price pipeline keeps
+    (bucket = floor(log2(cents)), ~40 buckets cover 12 decades; shares
+    + cumulative shares read as the percentile curve). The integer
+    discipline is the point: floor(log2(x)) via libm is a cross-engine
+    trap at exact powers of two (log2(2^k) can land at k−ε and floor
+    one bucket low, differently per engine), and this container's
+    DuckDB has no 64-bit shifts — so the bucket comes from a
+    broadcast-joined 41-row powers-of-two axis (bucket = max k with
+    2^k ≤ x), exact BIGINT comparisons only.
+
+    Scale shape: bucketing groups by DISTINCT cents first (bounded by
+    the price domain, ≪ row count), so the powers join touches
+    |distinct| rows, then one partial+final count per bucket; output
+    is ≤41 rows at any corpus size. The window over 41 buckets is
+    metadata-scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.where(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    pow2 = spark.createDataFrame(
+        [(k, 1 << k) for k in range(0, 41)], "k long, v long"
+    )
+    b = (
+        x.select("cents")
+        .distinct()
+        .join(F.broadcast(pow2), F.col("v") <= F.col("cents"))
+        .groupBy("cents")
+        .agg(F.max("k").cast("long").alias("bucket"))
+    )
+    h = (
+        x.join(b, "cents")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = h.agg(F.sum("n").cast("long").alias("total"))
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("lo_cents"),
+            (F.pow(F.lit(2.0), F.col("bucket") + 1) - 1)
+            .cast("long")
+            .alias("hi_cents"),
+            "n",
+            f6(F.col("n") * 1.0 / F.col("total")).alias("share"),
+            f6(F.sum("n").over(wc) * 1.0 / F.col("total")).alias("cum_share"),
+        )
+        .orderBy("bucket")
+    )

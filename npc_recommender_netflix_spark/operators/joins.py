@@ -587,3 +587,64 @@ def j_lateral_topn(spark, sf_dir):
         ORDER BY c.c_custkey, o.rn
         """
     )
+
+
+@register(
+    "j_runtime_bloom",
+    """
+    SELECT l.l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_totalprice > 200000
+    GROUP BY l.l_orderkey
+    """,
+)
+def j_runtime_bloom(spark, sf_dir):
+    """Runtime bloom-filter join pruning (SPARK-32268): a selective
+    predicate on the DIMENSION side injects a bloom filter that the
+    FACT-side scan probes BEFORE the shuffle, so rows that cannot join
+    are dropped at the scan — the runtime cousin of static partition
+    pruning (j_dpp_partitioned prunes partitions a predicate names;
+    this prunes rows only a runtime subquery can know). On a 100 TB
+    fact table with a 0.1%-selective dim filter, the join shuffle
+    shrinks ~1000x for the cost of one bloom build + a map-side probe.
+
+    The conf knobs live on an ISOLATED spark.newSession() (shared
+    SparkContext, private SQLConf), because the honest 100 TB setup
+    they model — a filtered dim too big to broadcast, a fact scan big
+    enough to clear the 10 GB injection gate — must not leak into the
+    shared session every other operator uses: Spark only injects the
+    filter for shuffle joins (under a broadcast join the probe is
+    pointless, so at test scale the broadcast path must be off to
+    exercise the plan that matters at scale). Results are optimizer-
+    independent, which is exactly what the DuckDB oracle (a plain
+    join) verifies; tests/test_round7.py asserts the plan actually
+    contains the might_contain probe, so the demonstration can't
+    silently degrade into an ordinary join.
+    """
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    orders, li = tables(s2, sf_dir, "orders", "lineitem")
+    dim = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 200000)
+    )
+    return (
+        li.join(dim, li.l_orderkey == dim.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+    )

@@ -2531,3 +2531,95 @@ def r_slope_one_capped(spark, sf_dir):
             "rn",
         )
     )
+
+
+@register(
+    "r_content_fallback",
+    f"""
+    WITH m AS ({_M_SQL}),
+    prof AS (
+        SELECT user_id, p_brand FROM (
+            SELECT m.user_id, p.p_brand,
+                   row_number() OVER (
+                       PARTITION BY m.user_id
+                       ORDER BY sum(CAST(m.rating AS BIGINT)) DESC, p.p_brand
+                   ) AS rn
+            FROM m JOIN part p ON p.p_partkey = m.item_id
+            WHERE m.user_id % 199 = 0
+            GROUP BY m.user_id, p.p_brand
+        ) WHERE rn = 1
+    ),
+    pop AS (
+        SELECT item_id, CAST(sum(CAST(rating AS BIGINT)) AS BIGINT) AS pop
+        FROM m GROUP BY item_id
+    ),
+    cand AS (
+        SELECT pr.user_id, p.p_partkey AS item_id, pr.p_brand, pop.pop
+        FROM prof pr JOIN part p ON p.p_brand = pr.p_brand
+        JOIN pop ON pop.item_id = p.p_partkey
+        LEFT JOIN m r ON r.user_id = pr.user_id AND r.item_id = p.p_partkey
+        WHERE r.item_id IS NULL
+    )
+    SELECT user_id, item_id, p_brand AS brand, pop, rn FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY pop DESC, item_id)
+               AS BIGINT) AS rn
+        FROM cand
+    ) WHERE rn <= 3
+    """,
+)
+def r_content_fallback(spark, sf_dir):
+    """Content-based cold-start fallback — the recommender every CF
+    system needs beside it: when an item has no co-rating signal (or a
+    user's neighborhood is empty), recommend by CONTENT MATCH — here,
+    the user's dominant part brand (their top brand by total rating,
+    id tiebreak) filtered to unrated items and ranked by global
+    popularity. This is the classic hybrid fallback tier (content
+    profile → candidate generation → popularity rank) under the
+    retrieve-then-rank cascade of r_candidate_rerank.
+
+    Exactness: profiles and popularity are BIGINT rating sums (ratings
+    are integral quantities); ranking orders by (pop DESC, item_id) —
+    no floats anywhere. Scale: the part dim broadcasts (it's a
+    catalog, not a fact); the profile is one user-keyed aggregate over
+    the SAME ratings-matrix shuffle every other recommender key pays;
+    candidates are |sampled users| × |brand catalog| before the
+    anti-join, bounded because brands partition the catalog. Output
+    top-3 per sampled user (1/199, scale-proportional).
+    """
+    m = ratings_matrix(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    prof_base = (
+        m.where(F.col("user_id") % 199 == 0)
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            m.item_id == F.col("p_partkey"),
+        )
+        .groupBy("user_id", "p_brand")
+        .agg(F.sum(F.col("rating").cast("long")).alias("brand_score"))
+    )
+    w_prof = Window.partitionBy("user_id").orderBy(
+        F.col("brand_score").desc(), "p_brand"
+    )
+    prof = (
+        prof_base.withColumn("rn", F.row_number().over(w_prof))
+        .where(F.col("rn") == 1)
+        .select("user_id", "p_brand")
+    )
+    pop = m.groupBy("item_id").agg(
+        F.sum(F.col("rating").cast("long")).cast("long").alias("pop")
+    )
+    cand = (
+        prof.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("item_id"), "p_brand")),
+            "p_brand",
+        )
+        .join(pop, "item_id")
+        .join(m.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("pop").desc(), "item_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "item_id", F.col("p_brand").alias("brand"), "pop", "rn")
+    )

@@ -159,3 +159,67 @@ def test_kdtree_route_partitions_everything_once(spark):
     right = int((e1 * len(e1) > e1.sum()).sum())
     got_right = sum(r["n_vectors"] for r in rows if r["leaf_id"] >= 4)
     assert got_right == right
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """j_runtime_bloom must actually get the runtime bloom filter: the
+    optimized plan carries a bloom build (ObjectHashAggregate/bloom agg)
+    and a might_contain probe on the fact side — without it the key
+    silently degrades into a plain join."""
+    df = registry.QUERIES["j_runtime_bloom"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan.lower() or "bloomfilter" in plan.lower(), plan[:2000]
+
+
+def test_hdr_histogram_buckets_partition_orders(spark):
+    """a_hdr_histogram bucket k must hold exactly the orders with
+    2^k <= cents < 2^(k+1), and shares must sum to 1."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    cents = (
+        orders.where(F.col("o_totalprice") > 0)
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+        .toPandas()["c"]
+        .to_numpy()
+    )
+    rows = registry.QUERIES["a_hdr_histogram"](spark, SF_SMALL).collect()
+    assert sum(r["n"] for r in rows) == len(cents)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        lo, hi = r["lo_cents"], r["hi_cents"]
+        assert hi == 2 * lo - 1
+        assert r["n"] == int(((cents >= lo) & (cents <= hi)).sum()), r
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-9
+
+
+def test_content_fallback_brand_match_and_unrated(spark):
+    """r_content_fallback recommendations must be (a) in the user's top
+    brand, (b) unrated by the user, (c) popularity-ranked."""
+    from npc_recommender_netflix_spark.recommender.core import ratings_matrix
+    from npc_recommender_netflix_spark.session import load_table
+
+    m = ratings_matrix(spark, SF_SMALL).toPandas()
+    part = load_table(spark, SF_SMALL, "part").select(
+        "p_partkey", "p_brand"
+    ).toPandas()
+    brand_of = dict(zip(part["p_partkey"], part["p_brand"]))
+    got = registry.QUERIES["r_content_fallback"](spark, SF_SMALL).collect()
+    assert got
+    rated = {(u, i) for u, i in zip(m["user_id"], m["item_id"])}
+    pop = m.groupby("item_id")["rating"].sum().astype(int)
+    for r in got:
+        assert r["user_id"] % 199 == 0
+        assert brand_of[r["item_id"]] == r["brand"]
+        assert (r["user_id"], r["item_id"]) not in rated
+        assert r["pop"] == int(pop[r["item_id"]])
+    # per-user rank ordering by (pop desc, item asc)
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in sorted(got, key=lambda r: (r["user_id"], r["rn"])):
+        per[r["user_id"]].append((r["pop"], r["item_id"]))
+    for u, lst in per.items():
+        assert lst == sorted(lst, key=lambda t: (-t[0], t[1])), (u, lst)
