@@ -78,6 +78,12 @@ HEADLINE = [
     "q_attribution_markov",  # round 6: data-scale transitions + bounded solve
     "t_bloom_dedup",         # round 6: bloom-prefiltered digest dedup
     "j_grid_knn",            # round 6: grid-bucketed spatial kNN join
+    "v_semantic_dedup_capped",  # round 7: linear-work SemDeDup (rank-window cap)
+    "r_slope_one_capped",    # round 7: full-catalog Slope One, df-capped pairs
+    "w_cusum_alarm",         # round 7: CUSUM via prefix-sum/running-min windows
+    "m_png_decode",          # round 7: real zlib PNG codec in Arrow tasks
+    "j_runtime_bloom",       # round 7: runtime bloom-filter join pruning
+    "v_kdtree_route",        # round 7: mean-split kd-route, zero data shuffle
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -2953,3 +2953,128 @@ def v_kdtree_route(spark, sf_dir):
         )
         .orderBy("leaf_id")
     )
+
+
+@register(
+    "v_residual_quantize",
+    """
+    WITH g AS (
+        SELECT e.vec_id, e.label, t.i, CAST(e.embedding[t.i] AS DOUBLE) AS v
+        FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    cent AS (
+        SELECT label, i, round(avg(v), 6) + 0 AS cv FROM g GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT g.vec_id, g.label, g.i, g.v - c.cv AS r
+        FROM g JOIN cent c ON c.label = g.label AND c.i = g.i
+    ),
+    code AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN r > 0
+                             THEN CAST(power(2, i - 1) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS code
+        FROM r WHERE i <= 8 GROUP BY 1
+    ),
+    m2 AS (
+        SELECT r.label, cd.code, r.i, round(avg(r.r), 6) + 0 AS mv
+        FROM r JOIN code cd ON cd.vec_id = r.vec_id
+        GROUP BY 1, 2, 3
+    ),
+    pv AS (
+        SELECT r.vec_id, r.label,
+               CAST(sum(CAST(round(r.r * r.r * 1e9) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(round((r.r - m2.mv) * (r.r - m2.mv) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS s2
+        FROM r JOIN code cd ON cd.vec_id = r.vec_id
+        JOIN m2 ON m2.label = r.label AND m2.code = cd.code AND m2.i = r.i
+        GROUP BY 1, 2
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(sum(s1) * 1.0 / count(*) / 1e9, 6) + 0 AS mse_l1,
+           round(sum(s2) * 1.0 / count(*) / 1e9, 6) + 0 AS mse_l2,
+           round((1 - sum(s2) * 1.0 / sum(s1)) * 100, 6) + 0 AS reduction_pct
+    FROM pv GROUP BY label ORDER BY label
+    """,
+)
+def v_residual_quantize(spark, sf_dir):
+    """Two-level residual quantization (RQ) — the additive-codebook
+    compression behind modern billion-scale ANN indexes (Babenko &
+    Lempitsky's additive quantization family; FAISS IVF+RQ): level 1
+    snaps each vector to its coarse cell centroid (label standing in
+    for the trained quantizer, as across the v_ann_* family), level 2
+    quantizes the RESIDUAL with a per-(cell, 8-bit sign code) mean
+    codebook, and the output is the per-cell MSE ladder — how much
+    reconstruction error the second level removes (reduction_pct), the
+    go/no-go metric for adding codebook levels.
+
+    Determinism discipline: centroids and level-2 means snap to 6dp
+    before any residual math (plain engine avg would differ in the
+    last ulp), per-(vec, dim) squared terms snap to 1e-9 BIGINTs so
+    the per-vector sums are reduction-order-free, and the sign-code
+    test r > 0 compares identical doubles in both engines. Scale:
+    the 64x dim explode is map-side; the centroid (640 rows) and
+    level-2 codebook (≤ cells·256·64 rows) are broadcast-scale;
+    per-vector folds are one groupBy each — linear end to end, and at
+    100 TB the explode collapses into a generated expression exactly
+    as v_pq_quantize documents.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v0")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    cent = g.groupBy("label", "i").agg(f6(F.avg("v")).alias("cv"))
+    r = g.join(F.broadcast(cent), ["label", "i"]).select(
+        "vec_id", "label", "i", (F.col("v") - F.col("cv")).alias("r")
+    )
+    code = (
+        r.where(F.col("i") <= 8)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("r") > 0,
+                    F.pow(F.lit(2.0), F.col("i") - 1).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("code")
+        )
+    )
+    m2 = (
+        r.join(code, "vec_id")
+        .groupBy("label", "code", "i")
+        .agg(f6(F.avg("r")).alias("mv"))
+    )
+    pv = (
+        r.join(code, "vec_id")
+        .join(m2, ["label", "code", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.round(F.col("r") * F.col("r") * 1e9).cast("long"))
+            .cast("long")
+            .alias("s1"),
+            F.sum(
+                F.round(
+                    (F.col("r") - F.col("mv")) * (F.col("r") - F.col("mv")) * 1e9
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s2"),
+        )
+    )
+    return (
+        pv.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            f6(F.sum("s1") * 1.0 / F.count("*") / 1e9).alias("mse_l1"),
+            f6(F.sum("s2") * 1.0 / F.count("*") / 1e9).alias("mse_l2"),
+            f6((1 - F.sum("s2") * 1.0 / F.sum("s1")) * 100).alias("reduction_pct"),
+        )
+        .orderBy("label")
+    )
