@@ -2775,3 +2775,116 @@ def t_novelty_curve(spark, sf_dir):
         )
         .orderBy("ingest_decile")
     )
+
+
+@register(
+    "t_url_canonical_dedup",
+    r"""
+    WITH raw AS (
+        SELECT doc_id, source,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://' || source || '.example.com/item/'
+                             || CAST(doc_id % 97 AS VARCHAR)
+                 WHEN 1 THEN 'https://' || upper(source) || '.EXAMPLE.COM/item/'
+                             || CAST(doc_id % 97 AS VARCHAR)
+                 WHEN 2 THEN 'https://' || source || '.example.com:443/item/'
+                             || CAST(doc_id % 97 AS VARCHAR) || '/'
+                 ELSE 'https://' || source || '.example.com/item/'
+                      || CAST(doc_id % 97 AS VARCHAR)
+                      || '?utm_source=feed&utm_medium=rss#top'
+               END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT source,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '#.*$', ''),
+                     '\?utm.*$', ''),
+                   ':443', ''),
+                 '/$', '') AS curl
+        FROM raw
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+           round(1.0 - count(DISTINCT curl) * 1.0 / count(*), 6) + 0
+               AS dup_rate
+    FROM canon GROUP BY source ORDER BY source
+    """,
+)
+def t_url_canonical_dedup(spark, sf_dir):
+    """URL-canonicalization dedup census — the cheapest dedup tier in a
+    web-crawl pipeline, run BEFORE any content hashing: the same page
+    arrives under case-varied hosts, explicit default ports, tracking
+    parameters, fragments, and trailing slashes, and collapsing those
+    at the manifest level avoids fetching/hashing the content at all.
+    Deterministic messy URLs are synthesized per doc (the fn_ipv4_cidr
+    precedent for columns the fixtures lack): four raw variants per
+    canonical target, so the canonicalizer must fix case, strip
+    ':443', '#fragment', '?utm_*' tracking, and trailing '/' to find
+    the planted collisions (path id = doc_id % 97 per source).
+
+    The canonicalizer is the SAME regex chain in both engines (lower →
+    drop fragment → drop utm query → drop default port → drop trailing
+    slash — order matters and is identical), all map-side codegen; the
+    only shuffle is the per-source distinct-count rollup. At 100 TB
+    this is one linear pass over the crawl manifest with a
+    count-distinct whose key space is the canonical URL set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 97).cast("string")
+    base = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/item/"), k
+    )
+    raw = docs.select(
+        "source",
+        F.when(F.col("doc_id") % 4 == 0, base)
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://"),
+                F.upper(F.col("source")),
+                F.lit(".EXAMPLE.COM/item/"),
+                k,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com:443/item/"),
+                k,
+                F.lit("/"),
+            ),
+        )
+        .otherwise(F.concat(base, F.lit("?utm_source=feed&utm_medium=rss#top")))
+        .alias("url"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), "#.*$", ""),
+                r"\?utm.*$",
+                "",
+            ),
+            ":443",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        raw.select("source", curl.alias("curl"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.countDistinct("curl").cast("long").alias("n_canonical"),
+            f6(1.0 - F.countDistinct("curl") * 1.0 / F.count("*")).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1175,3 +1175,99 @@ def w_cusum_alarm(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "w_holt_linear",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS x,
+               CAST(row_number() OVER (ORDER BY CAST(ts AS DATE)) AS BIGINT) AS rn
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+    s AS (
+        SELECT d1.rn AS rn, d1.x AS x, d1.x AS l,
+               round(d2.x - d1.x, 6) AS b,
+               CAST(NULL AS DOUBLE) AS fc
+        FROM daily d1 JOIN daily d2 ON d1.rn = 1 AND d2.rn = 2
+        UNION ALL
+        SELECT d.rn, d.x,
+               round(0.5 * d.x + 0.5 * (s.l + s.b), 6) AS l,
+               round(0.25 * (round(0.5 * d.x + 0.5 * (s.l + s.b), 6) - s.l)
+                     + 0.75 * s.b, 6) AS b,
+               round(s.l + s.b, 6) AS fc
+        FROM s JOIN daily d ON d.rn = s.rn + 1
+    )
+    SELECT daily.day,
+           round(s.x / 100.0, 2) + 0.0 AS actual_usd,
+           round(s.fc / 100.0, 6) + 0.0 AS forecast_usd,
+           round(s.l / 100.0, 6) + 0.0 AS level_usd,
+           round(s.b / 100.0, 6) + 0.0 AS trend_usd,
+           round(abs(s.x - s.fc) / 100.0, 6) + 0.0 AS abs_err_usd
+    FROM s JOIN daily ON daily.rn = s.rn
+    ORDER BY daily.day
+    """,
+)
+def w_holt_linear(spark, sf_dir):
+    """Holt's linear-trend double-exponential smoothing (Holt 1957,
+    public) over daily purchase volume — level + trend + one-step-ahead
+    forecast and residual per day, the classic short-horizon baseline
+    next to w_ewma (level only) and w_seasonality. α=1/2, β=1/4.
+
+    Smoothing is inherently a recursion — DuckDB runs it as a RECURSIVE
+    CTE; Spark has none, and a window can't express state feeding the
+    next row's state. The scale split is the q_attribution_markov
+    pattern: the daily rollup is the ONLY data-scale computation (one
+    partial+final agg over the scan), and the recursion runs on the
+    BOUNDED day axis (≤366 rows/year at ANY corpus size) — replayed on
+    the driver with arithmetic mirroring the CTE step for step: same
+    association (0.5·x + 0.5·(l+b)), same 6dp half-away snap per state
+    per step (_rhu — Python round() is banker's and would diverge from
+    SQL round at half boundaries), exact-cents inputs. Both engines
+    therefore walk identical float sequences and the oracle hash covers
+    the full pipeline.
+    """
+    from .modern import _rhu
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("double")
+            .alias("x")
+        )
+        .orderBy("day")
+        .collect()  # bounded: one row per day at ANY scale
+    )
+    rows = []
+    if len(daily) >= 2:
+        l = daily[0]["x"]
+        b = _rhu(daily[1]["x"] - daily[0]["x"], 6)
+        rows.append((daily[0]["day"], daily[0]["x"], None, l, b))
+        for r in daily[1:]:
+            fc = _rhu(l + b, 6)
+            l_new = _rhu(0.5 * r["x"] + 0.5 * (l + b), 6)
+            b = _rhu(0.25 * (l_new - l) + 0.75 * b, 6)
+            l = l_new
+            rows.append((r["day"], r["x"], fc, l, b))
+    out = spark.createDataFrame(
+        [
+            (
+                day,
+                _rhu(x / 100.0, 2),
+                _rhu(fc / 100.0, 6) if fc is not None else None,
+                _rhu(l / 100.0, 6),
+                _rhu(b / 100.0, 6),
+                _rhu(abs(x - fc) / 100.0, 6) if fc is not None else None,
+            )
+            for day, x, fc, l, b in rows
+        ],
+        "day date, actual_usd double, forecast_usd double,"
+        " level_usd double, trend_usd double, abs_err_usd double",
+    )
+    return out.orderBy("day")

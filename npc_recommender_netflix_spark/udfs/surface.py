@@ -291,3 +291,56 @@ def u_udtf_analyze(spark, sf_dir):
         "SELECT t.* FROM v_docs_udtf_poly, "
         "LATERAL project_bucket(doc_id, n_chars, lang) t ORDER BY doc_id"
     )
+
+
+@register(
+    "u_rolling_median",
+    """
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE user_id < 40
+    )
+    SELECT event_id,
+           median(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               + 0.0 AS med_cents
+    FROM x
+    """,
+)
+def u_rolling_median(spark, sf_dir):
+    """Exact 7-row rolling median per user — the operator that
+    JUSTIFIES a grouped pandas UDF: Spark has NO exact median window
+    function (percentile over a moving frame re-sorts the frame per
+    row in WindowExec; approx_percentile trades exactness), while
+    pandas' rolling(7).median() maintains a sliding multiset in C.
+    One applyInPandas group per user runs the whole series in a
+    single Arrow batch — the repo's documented escalation path:
+    built-ins first, Arrow-batched Python only where the JVM has no
+    operator for the semantics.
+
+    Exactness: medians run over integral cents, so every result is
+    an integer or an exact .5 — no interpolation ambiguity between
+    pandas and DuckDB's windowed median. Partial frames (first 6
+    rows per user) use min_periods=1, matching the SQL frame
+    semantics. Scale: ONE user_id exchange (the same shuffle every
+    per-user window op pays), series length bounded per user; the
+    user_id<40 slice keeps the driver-compare small — the plan is
+    population-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.where(F.col("user_id") < 40).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def roll(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        med = pdf["cents"].rolling(7, min_periods=1).median()
+        return pd.DataFrame({"event_id": pdf["event_id"], "med_cents": med})
+
+    return x.groupBy("user_id").applyInPandas(
+        roll, schema="event_id long, med_cents double"
+    )
