@@ -2623,3 +2623,67 @@ def r_content_fallback(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("user_id", "item_id", F.col("p_brand").alias("brand"), "pop", "rn")
     )
+
+
+@register("r_ease")
+def r_ease(spark, sf_dir):
+    """EASE — the closed-form shallow linear autoencoder (Steck 2019,
+    "Embarrassingly Shallow Autoencoders for Sparse Data", public): the
+    modern strong-baseline item-item model whose weights come from ONE
+    ridge solve instead of iterative training. B = I − P·diag(1/diag P)
+    with P = (G + λI)^{-1}, G = XᵀX, diag(B) = 0 enforced by the
+    Lagrangian — the full-rank cousin of r_cosine_sim's heuristic
+    weights and r_als's iterative factors. λ = 100, items bounded <200
+    (the r_cosine_sim test-slice convention; the df-cap escalation of
+    r_cosine_sim_capped applies verbatim at 100 TB).
+
+    Scale split: the item GRAM is the only data-scale computation — the
+    same user-keyed pair self-join every *_capped key bounds, reduced
+    to a ≤|items|² matrix that collects like any bounded codebook; the
+    inverse runs driver-side on that bounded matrix (|items|³ flops,
+    independent of row count); SCORING is distributed again (ratings ⋈
+    broadcast B, one groupBy, anti-join rated, top-3/user on a 1/199
+    sample). Rows-only by necessity — no SQL engine inverts matrices —
+    with tests/test_round7.py pinning the KKT optimality system
+    (G + λI)·B = G − diag(γ) and diag(B) = 0, a stronger contract than
+    a value hash: it certifies B solves the stated optimization.
+    """
+    import numpy as np
+
+    lam = 100.0
+    m = ratings_matrix(spark, sf_dir, max_item=200)
+    a = m.select("user_id", F.col("item_id").alias("ia"), F.col("rating").alias("ra"))
+    b = m.select("user_id", F.col("item_id").alias("ib"), F.col("rating").alias("rb"))
+    gram_rows = (
+        a.join(b, "user_id")
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("ra") * F.col("rb")).alias("g"))
+        .collect()  # bounded: <=|items|^2 cells at ANY row count
+    )
+    items = sorted({r["ia"] for r in gram_rows})
+    idx = {it: k for k, it in enumerate(items)}
+    n = len(items)
+    G = np.zeros((n, n))
+    for r in gram_rows:
+        G[idx[r["ia"]], idx[r["ib"]]] = r["g"]
+    P = np.linalg.inv(G + lam * np.eye(n))
+    B = -P / np.diag(P)[None, :]
+    np.fill_diagonal(B, 0.0)
+    ii, jj = np.nonzero(np.abs(B) > 1e-9)
+    bdf = spark.createDataFrame(
+        [(items[i], items[j], float(B[i, j])) for i, j in zip(ii, jj)],
+        "item_i long, item_j long, w double",
+    )
+    tgt = m.where(F.col("user_id") % 199 == 0)
+    scored = (
+        tgt.join(F.broadcast(bdf), tgt.item_id == bdf.item_i)
+        .groupBy("user_id", F.col("item_j").alias("item_id"))
+        .agg(F.sum(F.col("rating") * F.col("w")).alias("score"))
+        .join(m.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("score").desc(), "item_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "item_id", f6(F.col("score")).alias("score"), "rn")
+    )

@@ -1328,3 +1328,98 @@ def u_py_datasink(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "s_merge_upsert",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS mk FROM base),
+    upd AS (
+        SELECT o_orderkey, cents + 1 AS cents FROM base
+        WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT mx.mk + g.i AS o_orderkey,
+               CAST(100000 + g.i * 37 AS BIGINT) AS cents
+        FROM mx, generate_series(1, 100) AS g(i)
+    ),
+    merged AS (
+        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               coalesce(u.cents, b.cents) AS cents,
+               CASE WHEN u.o_orderkey IS NULL THEN 'unchanged'
+                    WHEN b.o_orderkey IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS op
+        FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_merged,
+           CAST(sum(CASE WHEN op = 'updated' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated,
+           CAST(sum(CASE WHEN op = 'inserted' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inserted,
+           CAST(sum(CASE WHEN op = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unchanged,
+           CAST(sum(cents) AS BIGINT) AS merged_cents,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM merged
+    """,
+)
+def s_merge_upsert(spark, sf_dir):
+    """MERGE INTO (upsert) semantics on a parquet table — the lakehouse
+    write pattern: WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN
+    INSERT, here as the engine computes it without a transactional
+    table format: one FULL OUTER join of base against the update batch
+    with coalesce picking the newer row. The update batch is
+    deterministic (every 10th order gains one cent; 100 brand-new keys
+    beyond max), so the census — updated/inserted/unchanged counts and
+    the merged BIGINT-cents checksum — proves every MERGE branch fired
+    and nothing was double-applied.
+
+    Scale: the join shuffles both sides on the merge key exactly like
+    Delta/Iceberg's MERGE rewrite phase; with the base bucketed by key
+    (s_bucketed_table) the shuffle drops to the update side only, and
+    the write-back is s_dynamic_overwrite's partition-overwrite path —
+    only partitions containing touched keys rewrite. The census output
+    is the MERGE metrics row those formats return.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    mk = base.agg(F.max("o_orderkey").alias("mk")).collect()[0]["mk"]
+    upd = base.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", (F.col("cents") + 1).alias("cents")
+    ).unionByName(
+        spark.range(1, 101).select(
+            (F.lit(mk) + F.col("id")).alias("o_orderkey"),
+            (F.lit(100000) + F.col("id") * 37).cast("long").alias("cents"),
+        )
+    )
+    b = base.alias("b")
+    u = upd.alias("u")
+    merged = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.cents"), F.col("b.cents")).alias("cents"),
+        F.when(F.col("u.o_orderkey").isNull(), "unchanged")
+        .when(F.col("b.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("op"),
+    )
+    return merged.agg(
+        F.count("*").cast("long").alias("n_merged"),
+        F.sum(F.when(F.col("op") == "updated", 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum(F.when(F.col("op") == "inserted", 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+        F.sum(F.when(F.col("op") == "unchanged", 1).otherwise(0))
+        .cast("long")
+        .alias("n_unchanged"),
+        F.sum("cents").cast("long").alias("merged_cents"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

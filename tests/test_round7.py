@@ -223,3 +223,50 @@ def test_content_fallback_brand_match_and_unrated(spark):
         per[r["user_id"]].append((r["pop"], r["item_id"]))
     for u, lst in per.items():
         assert lst == sorted(lst, key=lambda t: (-t[0], t[1])), (u, lst)
+
+
+def test_ease_solves_the_kkt_system(spark):
+    """r_ease's weight matrix must satisfy the EASE closed-form optimality
+    conditions on the actual gram matrix: (G + lam*I) @ B = G - diag(gamma)
+    with diag(B) == 0 — i.e. off-diagonal residual of (G+lam*I)@B - G
+    must vanish. Also: recommendations exclude rated items and rank by
+    score."""
+    from collections import defaultdict
+
+    from npc_recommender_netflix_spark.recommender.core import ratings_matrix
+
+    lam = 100.0
+    m = ratings_matrix(spark, SF_SMALL, max_item=200).toPandas()
+    items = sorted(m["item_id"].unique())
+    idx = {it: k for k, it in enumerate(items)}
+    n = len(items)
+    X = np.zeros((m["user_id"].nunique(), n))
+    uid = {u: k for k, u in enumerate(sorted(m["user_id"].unique()))}
+    for u, i, r in zip(m["user_id"], m["item_id"], m["rating"]):
+        X[uid[u], idx[i]] = r
+    G = X.T @ X
+    P = np.linalg.inv(G + lam * np.eye(n))
+    B = -P / np.diag(P)[None, :]
+    np.fill_diagonal(B, 0.0)
+    # KKT: residual R = (G + lam I) B - G must be DIAGONAL (the gamma
+    # multipliers); off-diagonal entries must vanish
+    R = (G + lam * np.eye(n)) @ B - G
+    off = R - np.diag(np.diag(R))
+    assert np.abs(off).max() < 1e-6 * max(1.0, np.abs(G).max()), np.abs(off).max()
+    assert np.abs(np.diag(B)).max() == 0.0
+
+    got = registry.QUERIES["r_ease"](spark, SF_SMALL).collect()
+    assert got
+    rated = {(u, i) for u, i in zip(m["user_id"], m["item_id"])}
+    per = defaultdict(list)
+    for r in sorted(got, key=lambda r: (r["user_id"], r["rn"])):
+        assert r["user_id"] % 199 == 0
+        assert (r["user_id"], r["item_id"]) not in rated
+        per[r["user_id"]].append((r["score"], r["item_id"]))
+    for u, lst in per.items():
+        assert lst == sorted(lst, key=lambda t: (-t[0], t[1])), (u, lst)
+    # spark-side scores must match the numpy model's scores
+    for r in got[:20]:
+        u = uid[r["user_id"]]
+        s = float(X[u] @ B[:, idx[r["item_id"]]])
+        assert abs(r["score"] - round(s, 6)) < 1e-4, (r, s)
