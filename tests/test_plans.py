@@ -1323,3 +1323,58 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+# ---- round 7 plan shapes ----
+
+
+def test_kdtree_route_never_shuffles_the_data(spark):
+    """v_kdtree_route claims the vector data is never exchanged — every
+    Exchange in the plan must be either a tiny-aggregate shuffle (the
+    <=8-row threshold tables / final census partials) or a broadcast of
+    those. Concretely: no Exchange hashpartitioning on vec_id-carrying
+    relations; the three threshold joins must be broadcasts."""
+    plan = _plan(spark, "v_kdtree_route")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:1500]
+    # the only hash exchanges allowed are the level aggregates + census
+    # (single-int-key groupBys); none may partition by vec_id
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "vec_id" not in ln, ln
+
+
+def test_hdr_histogram_powers_join_is_broadcast(spark):
+    """The 41-row powers-of-two axis must broadcast — a shuffled join
+    against a 41-row table would be the classic small-dim mistake."""
+    plan = _plan(spark, "a_hdr_histogram")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_semantic_dedup_capped_single_cell_exchange(spark):
+    """v_semantic_dedup_capped's rank window and bounded self-join must
+    share the (label, sub) partitioning: the plan may exchange on
+    (label, sub) but never on a pair-row key, and the heavy self-join
+    must be over the windowed (already co-partitioned) relation."""
+    plan = _plan(spark, "v_semantic_dedup_capped")
+    # the window over (label, sub) exists
+    assert "Window" in plan
+    # no exchange keyed by the PAIR columns (va/vb) — pairs never shuffle
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "va" not in ln and "vb" not in ln, ln
+
+
+def test_merge_upsert_is_one_full_outer_join(spark):
+    """s_merge_upsert's merge is exactly one full outer join on the key."""
+    plan = _plan(spark, "s_merge_upsert")
+    assert "FullOuter" in plan
+    assert plan.count("FullOuter") == 1
+
+
+def test_slope_one_capped_prunes_before_pairing(spark):
+    """r_slope_one_capped must apply the df<=48 cap BEFORE the pair
+    self-join: the plan's join inputs carry the semi-join against the
+    capped-user set (no unfiltered pair join anywhere)."""
+    df = registry.QUERIES["r_slope_one_capped"](spark, SF_SMALL)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "48" in optimized  # the cap constant survives into the plan
