@@ -69,6 +69,7 @@ LINEAR_KEYS = {
     "v_embed_neardup_strict": "embeddings",  # cos>=0.9, 16-bit bands
     "t_bloom_dedup": "documents",  # bloom-prefiltered digest dedup
     "t_novelty_curve": "documents",  # gram first-seen aggregate
+    "v_semantic_dedup_capped": "embeddings",  # rank-window cap: <=8N pairs
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
@@ -96,6 +97,7 @@ RELATIONAL_LINEAR_KEYS = {
     "r_user_cosine_capped": "lineitem",   # item df<=40 cap kills blockbusters
     "q_shipping_priority": "lineitem",    # TPC-H Q3 composite (hash joins+agg)
     "q_large_volume_customer": "lineitem",  # TPC-H Q18 composite (semi-join)
+    "r_slope_one_capped": "lineitem",     # same df<=48 cap, Slope One dev matrix
 }
 # iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
 # dup-chain-bounded propagation (t_dup_clusters) — linear PER ITERATION
@@ -338,7 +340,7 @@ def build_dirs(out: str) -> dict[str, str]:
     return dirs
 
 
-def run(dirs: dict[str, str]) -> dict:
+def run(dirs: dict[str, str], only: list[str] | None = None) -> dict:
     spark = build_session(app="scalecheck")
     spark.range(1).count()
     results: dict[str, dict] = {}
@@ -356,6 +358,11 @@ def run(dirs: dict[str, str]) -> dict:
         all_keys[key] = (table, "linear-per-iteration", registry.QUERIES[key])
     for key, (table, fn) in CONTROL_KEYS.items():
         all_keys[key] = (table, "uncapped-control", fn)
+    if only:
+        missing = set(only) - set(all_keys)
+        if missing:
+            raise SystemExit(f"--keys not in the ladder: {sorted(missing)}")
+        all_keys = {k: all_keys[k] for k in only}
     for key, (table, claim, _fn) in all_keys.items():
         results[key] = {"table": table, "claim": claim, "runs": {}}
     # untimed warmup at the smallest scale: JVM codegen compilation and the
@@ -443,13 +450,25 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scalecheck")
     ap.add_argument("--gen-only", action="store_true")
+    ap.add_argument(
+        "--keys", nargs="*", default=None,
+        help="measure only these ladder keys and MERGE into the existing "
+             "SCALECHECK.json (full rerun costs ~35 min; a new key needs "
+             "only its own three measurements)",
+    )
     args = ap.parse_args()
     dirs = build_dirs(args.out)
     if args.gen_only:
         print("generated:", dirs)
         return
-    results = run(dirs)
-    with open(os.path.join(REPO, "SCALECHECK.json"), "w") as fh:
+    results = run(dirs, only=args.keys)
+    out_path = os.path.join(REPO, "SCALECHECK.json")
+    if args.keys and os.path.exists(out_path):
+        with open(out_path) as fh:
+            merged = json.load(fh)["results"]
+        merged.update(results)
+        results = merged
+    with open(out_path, "w") as fh:
         json.dump({"scales": SCALES, "base_docs": BASE_DOCS,
                    "base_emb": BASE_EMB, "results": results}, fh, indent=1)
         fh.write("\n")
