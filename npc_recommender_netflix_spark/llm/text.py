@@ -2888,3 +2888,66 @@ def t_url_canonical_dedup(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_H32_DOC = """
+    CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef',
+                     substring(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+             * 16 ** (8 - j))) AS BIGINT)
+"""
+
+
+@register(
+    "t_weighted_sample_aes",
+    f"""
+    WITH k AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               round(ln(({_H32_DOC} % 1000000 + 0.5) / 1e6)
+                     / CAST(n_chars AS BIGINT), 12) + 0 AS akey
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, w, akey, rn FROM (
+        SELECT *, CAST(row_number() OVER (ORDER BY akey DESC, doc_id)
+                       AS BIGINT) AS rn
+        FROM k
+    ) WHERE rn <= 200
+    """,
+)
+def t_weighted_sample_aes(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement by the Efraimidis-Spirakis
+    A-ES scheme (2006, public) — the distributed-safe way to draw a
+    w-proportional sample (here: length-weighted docs for a data-mixing
+    stage) in ONE pass with no sequential state: each item gets key
+    u^(1/w) for uniform u, and the k largest keys ARE a weighted
+    sample without replacement. Ranking by ln(u)/w is the monotone
+    equivalent (no pow), u derives from the repo's md5-first-8-hex
+    uint32 recipe so both engines draw identical 'randomness', and the
+    key snaps to 12dp before ranking (libm ln can differ in the last
+    ulp across engines; after the snap, ties break on doc_id) — fully
+    deterministic top-200.
+
+    Scale: key assignment is map-side codegen; selection is one
+    TakeOrdered (per-partition top-k, k-row merge) — no global sort,
+    no shuffle of the corpus, the same plan at any N. This is the
+    reservoir-sampling answer for distributed engines: A-ES keys make
+    'reservoir' = 'top-k', which Spark already does scalably.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h32 % 1000000 + 0.5) / 1e6
+    k = docs.where(F.col("n_chars") > 0).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        (F.round(F.log(u) / F.col("n_chars").cast("long"), 12) + 0).alias(
+            "akey"
+        ),
+    )
+    w_rank = Window.orderBy(F.col("akey").desc(), "doc_id")
+    return (
+        k.withColumn("rn", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rn") <= 200)
+        .select("doc_id", "w", "akey", "rn")
+    )

@@ -270,3 +270,21 @@ def test_ease_solves_the_kkt_system(spark):
         u = uid[r["user_id"]]
         s = float(X[u] @ B[:, idx[r["item_id"]]])
         assert abs(r["score"] - round(s, 6)) < 1e-4, (r, s)
+
+
+def test_weighted_sample_overrepresents_heavy_docs(spark):
+    """A-ES sampling must be weight-proportional: the length-weighted
+    sample's mean doc length must exceed the corpus mean, and the
+    result must be exactly the top-200 by the A-ES key."""
+    from npc_recommender_netflix_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    got = registry.QUERIES["t_weighted_sample_aes"](spark, SF_SMALL).collect()
+    assert len(got) == 200
+    sample_mean = sum(r["w"] for r in got) / len(got)
+    assert sample_mean > corpus_mean * 1.05, (sample_mean, corpus_mean)
+    # ranks are the exact descending key order
+    keys = [r["akey"] for r in sorted(got, key=lambda r: r["rn"])]
+    assert keys == sorted(keys, reverse=True)
