@@ -3078,3 +3078,118 @@ def v_residual_quantize(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "v_embedding_drift",
+    """
+    WITH g AS (
+        SELECT e.vec_id, e.label, t.i, CAST(e.embedding[t.i] AS DOUBLE) AS v,
+               CASE WHEN e.vec_id * 2 < (SELECT max(vec_id) + 1 FROM embeddings)
+                    THEN 0 ELSE 1 END AS era
+        FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    cent AS (
+        SELECT label, era, i, round(avg(v), 6) + 0 AS cv
+        FROM g GROUP BY 1, 2, 3
+    ),
+    pair AS (
+        SELECT a.label, a.i, a.cv AS c0, b.cv AS c1
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.i = b.i AND a.era = 0 AND b.era = 1
+    ),
+    s AS (
+        SELECT label,
+               sum(c0 * c1) AS dot,
+               sqrt(sum(c0 * c0)) AS n0,
+               sqrt(sum(c1 * c1)) AS n1,
+               sum((c1 - c0) * (c1 - c0)) AS d2
+        FROM pair GROUP BY label
+    ),
+    n AS (
+        SELECT label, era, CAST(count(DISTINCT vec_id) AS BIGINT) AS nv
+        FROM g GROUP BY 1, 2
+    )
+    SELECT s.label,
+           n0t.nv AS n_era0, n1t.nv AS n_era1,
+           round(s.dot / (s.n0 * s.n1), 6) + 0 AS centroid_cosine,
+           round(sqrt(s.d2), 6) + 0 AS centroid_l2_shift
+    FROM s JOIN n n0t ON n0t.label = s.label AND n0t.era = 0
+           JOIN n n1t ON n1t.label = s.label AND n1t.era = 1
+    ORDER BY s.label
+    """,
+)
+def v_embedding_drift(spark, sf_dir):
+    """Embedding-space drift monitor — the vector twin of a_ks_drift/
+    a_psi_drift: split the corpus into two eras (first/second half by
+    vec_id, standing in for before/after an embedding-model upgrade or
+    a month of ingest), compute per-cell centroids in each era, and
+    report per-cell centroid cosine + L2 shift. A centroid cosine
+    sliding below ~0.99 is the canonical 'your ANN index and your
+    stored vectors no longer live in the same space' alarm that forces
+    re-quantization (v_ann_ivf_kmeans centroids retrain) before recall
+    silently decays.
+
+    Centroids snap to 6dp before the comparison math (the repo's
+    engine-avg convention); everything after runs on |cells|×64 rows.
+    Scale: ONE partial-merge aggregate per era over the map-side dim
+    explode — no shuffle touches vector pairs, output is |cells| rows
+    at any corpus size; era assignment is a pure predicate (in
+    production: a partition column, making each era's scan
+    partition-pruned).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = emb.agg((F.max("vec_id") + 1).alias("m"))
+    g = (
+        emb.crossJoin(F.broadcast(mx))
+        .select(
+            "vec_id",
+            "label",
+            F.when(F.col("vec_id") * 2 < F.col("m"), 0).otherwise(1).alias("era"),
+            F.posexplode("embedding").alias("pos", "v0"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "era",
+            (F.col("pos") + 1).alias("i"),
+            F.col("v0").cast("double").alias("v"),
+        )
+    )
+    cent = g.groupBy("label", "era", "i").agg(f6(F.avg("v")).alias("cv"))
+    a = cent.where(F.col("era") == 0).select(
+        "label", "i", F.col("cv").alias("c0")
+    )
+    b = cent.where(F.col("era") == 1).select(
+        "label", "i", F.col("cv").alias("c1")
+    )
+    s = (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("c0") * F.col("c1")).alias("dot"),
+            F.sqrt(F.sum(F.col("c0") * F.col("c0"))).alias("n0"),
+            F.sqrt(F.sum(F.col("c1") * F.col("c1"))).alias("n1"),
+            F.sum((F.col("c1") - F.col("c0")) * (F.col("c1") - F.col("c0")))
+            .alias("d2"),
+        )
+    )
+    n = g.groupBy("label", "era").agg(
+        F.countDistinct("vec_id").cast("long").alias("nv")
+    )
+    n0 = n.where(F.col("era") == 0).select("label", F.col("nv").alias("n_era0"))
+    n1 = n.where(F.col("era") == 1).select("label", F.col("nv").alias("n_era1"))
+    return (
+        s.join(n0, "label")
+        .join(n1, "label")
+        .select(
+            "label",
+            "n_era0",
+            "n_era1",
+            f6(F.col("dot") / (F.col("n0") * F.col("n1"))).alias(
+                "centroid_cosine"
+            ),
+            f6(F.sqrt(F.col("d2"))).alias("centroid_l2_shift"),
+        )
+        .orderBy("label")
+    )

@@ -4141,3 +4141,121 @@ def a_hdr_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "a_two_way_anova",
+    """
+    WITH cell AS (
+        SELECT l_returnflag AS fa, l_linestatus AS fb,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100) AS BIGINT)) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    am AS (SELECT fa, CAST(sum(n) AS BIGINT) AS n, sum(s) AS s
+           FROM cell GROUP BY fa),
+    bm AS (SELECT fb, CAST(sum(n) AS BIGINT) AS n, sum(s) AS s
+           FROM cell GROUP BY fb),
+    t AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt, sum(s) AS st, sum(q) AS qt,
+               CAST(count(*) AS BIGINT) AS nc,
+               sum(s * 1.0 * s / n) AS ssc,
+               (SELECT CAST(count(*) AS BIGINT) FROM am) AS na,
+               (SELECT CAST(count(*) AS BIGINT) FROM bm) AS nb,
+               (SELECT sum(s * 1.0 * s / n) FROM am) AS ssa0,
+               (SELECT sum(s * 1.0 * s / n) FROM bm) AS ssb0
+        FROM cell
+    ),
+    ss AS (
+        SELECT nt, nc, na, nb,
+               ssa0 - st * 1.0 * st / nt AS ssa,
+               ssb0 - st * 1.0 * st / nt AS ssb,
+               ssc - st * 1.0 * st / nt AS sscell,
+               qt - ssc AS sse
+        FROM t
+    )
+    SELECT nt AS n_rows, nc AS n_cells,
+           round((ssa / (na - 1)) / (sse / (nt - nc)), 6) + 0 AS f_returnflag,
+           round((ssb / (nb - 1)) / (sse / (nt - nc)), 6) + 0 AS f_linestatus,
+           round(((sscell - ssa - ssb) / (nc - na - nb + 1))
+                 / (sse / (nt - nc)), 6) + 0 AS f_interaction
+    FROM ss
+    """,
+)
+def a_two_way_anova(spark, sf_dir):
+    """Two-factor ANOVA of line price over returnflag × linestatus —
+    main-effect F for each factor plus the interaction F, extending
+    a_anova_f's one-way test to the crossed layout (sequential/Type I
+    sums of squares: SS_AB = SS_cells − SS_A − SS_B, the textbook
+    decomposition; exact for balanced designs, the standard first-pass
+    screen for unbalanced ones — the caveat every stats package
+    prints).
+
+    Identical moment discipline: per-CELL (n, Σx, Σx²) fold to exact
+    cent BIGINTs in one shuffle over ≤6 cells; marginals roll up from
+    the cells (no second data pass), and the SS assembly is 1-row
+    float math in one shared association. Degrees of freedom use the
+    OBSERVED cell count (TPC-H's flag×status layout is structurally
+    sparse — N pairs almost only with O). Same O(cells) shuffle bytes
+    from a 100 TB scan as the one-way test.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cell = li.groupBy(
+        F.col("l_returnflag").alias("fa"), F.col("l_linestatus").alias("fb")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("q"),
+    )
+    am = cell.groupBy("fa").agg(
+        F.sum("n").cast("long").alias("n"), F.sum("s").alias("s")
+    )
+    bm = cell.groupBy("fb").agg(
+        F.sum("n").cast("long").alias("n"), F.sum("s").alias("s")
+    )
+    ssg = F.sum(F.col("s") * 1.0 * F.col("s") / F.col("n"))
+    t = (
+        cell.agg(
+            F.sum("n").cast("long").alias("nt"),
+            F.sum("s").alias("st"),
+            F.sum("q").alias("qt"),
+            F.count("*").cast("long").alias("nc"),
+            ssg.alias("ssc"),
+        )
+        .crossJoin(
+            F.broadcast(
+                am.agg(
+                    F.count("*").cast("long").alias("na"), ssg.alias("ssa0")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                bm.agg(
+                    F.count("*").cast("long").alias("nb"), ssg.alias("ssb0")
+                )
+            )
+        )
+    )
+    cm = F.col("st") * 1.0 * F.col("st") / F.col("nt")
+    ssa, ssb = F.col("ssa0") - cm, F.col("ssb0") - cm
+    sscell = F.col("ssc") - cm
+    sse = F.col("qt") - F.col("ssc")
+    return t.select(
+        F.col("nt").alias("n_rows"),
+        F.col("nc").alias("n_cells"),
+        f6((ssa / (F.col("na") - 1)) / (sse / (F.col("nt") - F.col("nc")))).alias(
+            "f_returnflag"
+        ),
+        f6((ssb / (F.col("nb") - 1)) / (sse / (F.col("nt") - F.col("nc")))).alias(
+            "f_linestatus"
+        ),
+        f6(
+            ((sscell - ssa - ssb)
+             / (F.col("nc") - F.col("na") - F.col("nb") + 1))
+            / (sse / (F.col("nt") - F.col("nc")))
+        ).alias("f_interaction"),
+    )

@@ -2983,3 +2983,74 @@ def q_attribution_markov(spark, sf_dir):
         " removal_effect double, attribution double",
     )
     return out.orderBy("channel")
+
+
+@register(
+    "q_scd2_snapshot",
+    """
+    WITH v AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                    AS BIGINT) AS version_no
+        FROM events
+    )
+    SELECT user_id, state, valid_from, version_no,
+           CAST(date_diff('second', valid_from,
+                          TIMESTAMP '2024-02-01 00:00:00') AS BIGINT)
+               AS age_seconds
+    FROM v
+    WHERE valid_from <= TIMESTAMP '2024-02-01 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-02-01 00:00:00')
+    ORDER BY user_id
+    """,
+)
+def q_scd2_snapshot(spark, sf_dir):
+    """Slowly-changing-dimension type 2, built and queried: the change
+    log (each user's event stream, event_type standing in for the
+    tracked attribute) becomes versioned rows with [valid_from,
+    valid_to) intervals via ONE lead() pass, then the as-of snapshot
+    'what was each user's state at T' is a pure interval-containment
+    filter — the warehouse pattern behind every point-in-time customer
+    dimension, and the batch-build complement to j_asof (which probes
+    an existing versioned table; this MAKES one).
+
+    The interval build needs no self-join and no grouping: lead() over
+    the (user_id)-partitioned, (ts, event_id)-ordered window is the
+    whole algorithm, one shuffle on user_id. The snapshot predicate
+    keeps exactly one version per user active at T (half-open
+    intervals make the boundary unambiguous; the open-ended current
+    version handles users with no later change). At 100 TB the
+    versioned table writes out partitioned by valid_from date, so any
+    as-of query partition-prunes to history ≤ T.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_snap = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    v = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version_no"),
+    )
+    return (
+        v.where(
+            (F.col("valid_from") <= t_snap)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t_snap))
+        )
+        .select(
+            "user_id",
+            "state",
+            "valid_from",
+            "version_no",
+            (
+                F.unix_timestamp(t_snap) - F.unix_timestamp("valid_from")
+            )
+            .cast("long")
+            .alias("age_seconds"),
+        )
+        .orderBy("user_id")
+    )
