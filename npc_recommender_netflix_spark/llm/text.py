@@ -2951,3 +2951,108 @@ def t_weighted_sample_aes(spark, sf_dir):
         .where(F.col("rn") <= 200)
         .select("doc_id", "w", "akey", "rn")
     )
+
+
+@register(
+    "t_mixture_em",
+    """
+    WITH x AS (
+        SELECT CAST(n_chars AS BIGINT) AS x FROM documents WHERE n_chars > 0
+    ),
+    e AS (
+        SELECT x,
+               0.5 * exp(-((x - 150.0) * (x - 150.0)) / (2.0 * 60.0 * 60.0))
+                   / 60.0 AS a,
+               0.5 * exp(-((x - 350.0) * (x - 350.0)) / (2.0 * 120.0 * 120.0))
+                   / 120.0 AS b
+        FROM x
+    ),
+    r AS (
+        SELECT x, CAST(round(a / (a + b) * 1e6) AS BIGINT) AS r1 FROM e
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r1) AS BIGINT) AS s1,
+               CAST(sum(r1 * x) AS BIGINT) AS sx1,
+               CAST(sum(r1 * x * x) AS BIGINT) AS sxx1,
+               CAST(sum(1000000 - r1) AS BIGINT) AS s2,
+               CAST(sum((1000000 - r1) * x) AS BIGINT) AS sx2,
+               CAST(sum((1000000 - r1) * x * x) AS BIGINT) AS sxx2
+        FROM r
+    )
+    SELECT CAST(1 AS BIGINT) AS component,
+           round(s1 * 1.0 / n / 1e6, 6) + 0 AS pi_new,
+           round(sx1 * 1.0 / s1, 6) + 0 AS mu_new,
+           round(sqrt(sxx1 * 1.0 / s1
+                      - (sx1 * 1.0 / s1) * (sx1 * 1.0 / s1)), 6) + 0
+               AS sigma_new
+    FROM agg
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           round(s2 * 1.0 / n / 1e6, 6) + 0,
+           round(sx2 * 1.0 / s2, 6) + 0,
+           round(sqrt(sxx2 * 1.0 / s2
+                      - (sx2 * 1.0 / s2) * (sx2 * 1.0 / s2)), 6) + 0
+    FROM agg ORDER BY component
+    """,
+)
+def t_mixture_em(spark, sf_dir):
+    """One EM step for a 2-component Gaussian mixture over document
+    lengths — the length-distribution decomposition behind 'short-form
+    vs long-form' corpus splits (a mixture fit separates the two modes
+    a single a_stats mean smears together; iterate this step and it IS
+    the EM fit, each iteration one pass exactly like r_kmeans_step's
+    Lloyd iteration). Fixed deterministic initialization (π=.5,
+    μ=150/350, σ=60/120 — the two fixture modes).
+
+    Cross-engine float discipline for a genuinely transcendental
+    E-step: responsibilities come from exp() (libm, last-ulp risk), so
+    each responsibility SNAPS to a 1e-6 integer before any sum — the
+    M-step moment sums then accumulate as exact BIGINTs (r·x² stays
+    under 2^63 with six-digit responsibilities and realistic lengths),
+    making the reduction order-free; the boundary where a 1-ulp pdf
+    difference flips the snap is measure-zero. E-step is map-side
+    codegen, M-step ONE partial+final aggregate — a full EM iteration
+    costs one shuffle of 7 numbers at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.where(F.col("n_chars") > 0).select(
+        F.col("n_chars").cast("long").alias("x")
+    )
+    xf = F.col("x").cast("double")
+    a = 0.5 * F.exp(-((xf - 150.0) * (xf - 150.0)) / (2.0 * 60.0 * 60.0)) / 60.0
+    b = (
+        0.5
+        * F.exp(-((xf - 350.0) * (xf - 350.0)) / (2.0 * 120.0 * 120.0))
+        / 120.0
+    )
+    r = x.select(
+        "x", F.round(a / (a + b) * 1e6).cast("long").alias("r1")
+    )
+    agg = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r1").cast("long").alias("s1"),
+        F.sum(F.col("r1") * F.col("x")).cast("long").alias("sx1"),
+        F.sum(F.col("r1") * F.col("x") * F.col("x")).cast("long").alias("sxx1"),
+        F.sum(F.lit(1000000) - F.col("r1")).cast("long").alias("s2"),
+        F.sum((F.lit(1000000) - F.col("r1")) * F.col("x"))
+        .cast("long")
+        .alias("sx2"),
+        F.sum((F.lit(1000000) - F.col("r1")) * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("sxx2"),
+    )
+    def comp(k, s, sx, sxx):
+        mu = F.col(sx) * 1.0 / F.col(s)
+        return agg.select(
+            F.lit(k).cast("long").alias("component"),
+            f6(F.col(s) * 1.0 / F.col("n") / 1e6).alias("pi_new"),
+            f6(mu).alias("mu_new"),
+            f6(F.sqrt(F.col(sxx) * 1.0 / F.col(s) - mu * mu)).alias(
+                "sigma_new"
+            ),
+        )
+
+    return comp(1, "s1", "sx1", "sxx1").unionByName(
+        comp(2, "s2", "sx2", "sxx2")
+    ).orderBy("component")

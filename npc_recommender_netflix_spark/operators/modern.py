@@ -3054,3 +3054,57 @@ def q_scd2_snapshot(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_repeat_purchase_rate",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat,
+           round(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) + 0 AS repeat_rate,
+           round(sum(n_orders) * 1.0 / count(*), 6) + 0
+               AS avg_orders_per_customer
+    FROM per_cust GROUP BY cohort ORDER BY cohort
+    """,
+)
+def q_repeat_purchase_rate(spark, sf_dir):
+    """Repeat-purchase rate by acquisition cohort — the retention
+    metric every subscription/commerce dashboard leads with: group
+    customers by their first-order month and report what share ever
+    ordered again (vs q_retention_cohort's period-by-period grid,
+    this is the single-number summary an exec reads; vs
+    q_new_vs_returning's calendar view, this follows the COHORT).
+
+    One customer-keyed aggregate builds (cohort, n_orders) per
+    customer — min and count fold in the same partial pass — then a
+    bounded month-keyed rollup. Integer counts throughout; the two
+    ratios divide once at the end. Two shuffles total, the second
+    over |months| keys, at any order count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.trunc(F.min("o_orderdate"), "month").alias("cohort"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    rep = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return (
+        per_cust.groupBy("cohort")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(rep).cast("long").alias("n_repeat"),
+            f6(F.sum(rep) * 1.0 / F.count("*")).alias("repeat_rate"),
+            f6(F.sum("n_orders") * 1.0 / F.count("*")).alias(
+                "avg_orders_per_customer"
+            ),
+        )
+        .orderBy("cohort")
+    )

@@ -1271,3 +1271,93 @@ def w_holt_linear(spark, sf_dir):
         " level_usd double, trend_usd double, abs_err_usd double",
     )
     return out.orderBy("day")
+
+
+@register(
+    "w_value_at_risk",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT event_type, day,
+               x - lag(x) OVER (PARTITION BY event_type ORDER BY day) AS delta
+        FROM daily
+    ),
+    ranked AS (
+        SELECT event_type, delta,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY delta, day) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM d WHERE delta IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_days,
+           round(max(CASE WHEN rn = (n + 19) // 20 THEN delta END)
+                 / 100.0, 2) + 0.0 AS var95_usd,
+           round(sum(CASE WHEN rn <= (n + 19) // 20 THEN delta END)
+                 * 1.0 / max((n + 19) // 20) / 100.0, 6) + 0
+               AS es95_usd
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def w_value_at_risk(spark, sf_dir):
+    """Historical 95% Value-at-Risk and Expected Shortfall of daily
+    volume swings per event type — the risk-desk pair (VaR = the
+    ceil(0.05·n)-th worst day-over-day delta; ES = the mean of the
+    tail at or beyond it, the coherent measure Basel moved to because
+    VaR ignores how bad the tail is). On pipeline telemetry this is
+    the 'how hard can a day drop' alarm threshold.
+
+    The quantile is a RANK-BASED lower order statistic — rank deltas
+    ascending, pick rank ceil(n/20) by integer arithmetic
+    ((n+19)//20) — never an engine quantile function, whose
+    interpolation a_tukey_fences documents as cross-engine-divergent.
+    ES is an exact-BIGINT tail sum over the same ranking divided once
+    at the end. Two windows + one rollup over ONE event_type exchange;
+    the day axis is bounded, so everything after the daily rollup is
+    metadata-scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type",
+        "day",
+        (F.col("x") - F.lag("x").over(w_lag)).alias("delta"),
+    ).where(F.col("delta").isNotNull())
+    w_rank = Window.partitionBy("event_type").orderBy("delta", "day")
+    w_all = Window.partitionBy("event_type")
+    ranked = d.select(
+        "event_type",
+        "delta",
+        F.row_number().over(w_rank).cast("long").alias("rn"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    # ceil(n/20) in integer arithmetic — the tail rank
+    k = F.floor((F.col("n") + 19) / 20).cast("long")
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            (
+                F.round(
+                    F.max(F.when(F.col("rn") == k, F.col("delta"))) / 100.0, 2
+                )
+                + 0.0
+            ).alias("var95_usd"),
+            f6(
+                F.sum(F.when(F.col("rn") <= k, F.col("delta")))
+                * 1.0
+                / F.max(k)
+                / 100.0
+            ).alias("es95_usd"),
+        )
+        .orderBy("event_type")
+    )

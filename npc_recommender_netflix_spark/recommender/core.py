@@ -2687,3 +2687,92 @@ def r_ease(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("user_id", "item_id", f6(F.col("score")).alias("score"), "rn")
     )
+
+
+@register(
+    "r_markov_next_item",
+    f"""
+    WITH m AS ({_M_SQL}),
+    seq AS (
+        SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+               min(o.o_orderdate) AS first_ts,
+               min(o.o_orderkey) AS first_ok
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    ordered AS (
+        SELECT user_id, item_id,
+               lead(item_id) OVER (PARTITION BY user_id
+                                   ORDER BY first_ts, first_ok, item_id)
+                   AS next_item
+        FROM seq
+    ),
+    trans AS (
+        SELECT item_id AS src, next_item AS dst,
+               CAST(count(*) AS BIGINT) AS c
+        FROM ordered WHERE next_item IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, CAST(sum(c) AS BIGINT) AS tot FROM trans GROUP BY src)
+    SELECT src, dst, c, round(c * 1.0 / tot, 6) + 0 AS prob, rn
+    FROM (
+        SELECT t.src, t.dst, t.c, d.tot,
+               CAST(row_number() OVER (PARTITION BY t.src
+                                       ORDER BY t.c DESC, t.dst)
+                    AS BIGINT) AS rn
+        FROM trans t JOIN deg d ON d.src = t.src
+        WHERE t.c >= 3
+    ) WHERE rn <= 3 ORDER BY src, rn
+    """,
+)
+def r_markov_next_item(spark, sf_dir):
+    """First-order Markov next-item recommender — 'customers who bought
+    X next bought Y': item-to-item transition counts over each user's
+    first-purchase-ordered item sequence, served as top-3 next items
+    per source item with the transition probability (the sequential
+    complement to r_covisitation's order-free co-occurrence — same
+    data, but direction and adjacency matter, which is what makes it a
+    NEXT-item model). Support floor c>=3 drops noise edges.
+
+    One lead() over the (user)-partitioned sequence builds adjacent
+    pairs with NO self-join — transition volume is exactly
+    Σ(|sequence|−1), linear by construction where the covisitation
+    pair join needs its cap. Sequence order is (first purchase ts,
+    order key, item id) — fully deterministic. The transition matrix
+    aggregates map-side; the serving table is |items|×3. Output
+    columns and ranking snap per the repo convention.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    seq = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(
+            F.min("o_orderdate").alias("first_ts"),
+            F.min("o_orderkey").alias("first_ok"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("first_ts", "first_ok", "item_id")
+    ordered = seq.select(
+        "user_id", "item_id", F.lead("item_id").over(w).alias("next_item")
+    )
+    trans = (
+        ordered.where(F.col("next_item").isNotNull())
+        .groupBy(F.col("item_id").alias("src"), F.col("next_item").alias("dst"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    deg = trans.groupBy("src").agg(F.sum("c").cast("long").alias("tot"))
+    w_rank = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    return (
+        trans.where(F.col("c") >= 3)
+        .join(deg, "src")
+        .withColumn("rn", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select(
+            "src", "dst", "c",
+            f6(F.col("c") * 1.0 / F.col("tot")).alias("prob"), "rn",
+        )
+        .orderBy("src", "rn")
+    )
