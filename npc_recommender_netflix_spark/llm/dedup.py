@@ -1140,3 +1140,100 @@ def t_template_detect(spark, sf_dir):
         .orderBy(F.col("n_docs").desc(), "shape")
         .limit(20)
     )
+
+
+@register(
+    "t_hard_negatives",
+    f"""
+    WITH sh AS ({SHINGLES_FULL_SQL}),
+    df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    idf AS (
+        SELECT df.s,
+               CAST(round(ln(n.n * 1.0 / df.df) * 1e9) AS BIGINT) AS idf9
+        FROM df CROSS JOIN n WHERE df.df <= 64
+    ),
+    dig AS (SELECT doc_id, md5(text) AS digest FROM documents),
+    q AS (SELECT doc_id AS qid FROM documents WHERE doc_id % 97 = 0),
+    hits AS (
+        SELECT q.qid, t2.doc_id AS cand,
+               CAST(sum(i.idf9) AS BIGINT) AS score9
+        FROM q
+        JOIN sh t1 ON t1.doc_id = q.qid
+        JOIN idf i ON i.s = t1.s
+        JOIN sh t2 ON t2.s = t1.s AND t2.doc_id <> q.qid
+        GROUP BY 1, 2
+    )
+    SELECT qid, cand, score9, rn FROM (
+        SELECT h.qid, h.cand, h.score9,
+               CAST(row_number() OVER (PARTITION BY h.qid
+                                       ORDER BY h.score9 DESC, h.cand)
+                    AS BIGINT) AS rn
+        FROM hits h
+        JOIN dig dq ON dq.doc_id = h.qid
+        JOIN dig dc ON dc.doc_id = h.cand
+        WHERE dq.digest <> dc.digest
+    ) WHERE rn <= 5 ORDER BY qid, rn
+    """,
+)
+def t_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retrieval/embedding training — for each
+    sampled query doc (1/97), the top-5 lexically-closest documents
+    that are NOT duplicates: close enough to confuse a model
+    (idf-weighted shared-shingle overlap — bigram shingles, the repo's
+    near-dup unit, because the fixtures' tiny unigram vocab makes
+    every WORD stopword-grade) but verified distinct (md5 digests
+    differ — an exact dup mined as a 'negative' poisons the
+    contrastive loss, the classic in-batch-negatives bug). This is the
+    candidate-generation half of a DPR/Contriever-style training
+    pipeline, run corpus-scale.
+
+    Scoring = Σ idf over shared DISTINCT shingles, idf snapped to 1e-9
+    BIGINTs so overlap sums are reduction-order-free; the posting-list
+    join caps shingle df at 64 (the t_jaccard_neardup_capped rule: hot
+    shingles carry no discriminative signal AND quadratic join
+    volume — one cap removes both). Plan: query shingles filter
+    map-side; the capped posting join shuffles on the shingle; one
+    (query, cand) aggregate; digest anti-filter; per-query top-5
+    window. Linear in corpus size at a fixed query sample rate.
+    """
+    sh = shingles(spark, sf_dir, bounded=False)
+    docs = load_table(spark, sf_dir, "documents")
+    df = sh.groupBy("s").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n"))
+    idf = (
+        df.where(F.col("df") <= 64)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "s",
+            F.round(F.log(F.col("n") * 1.0 / F.col("df")) * 1e9)
+            .cast("long")
+            .alias("idf9"),
+        )
+    )
+    dig = docs.select("doc_id", F.md5("text").alias("digest"))
+    q = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("qid")
+    )
+    t1 = sh.join(q, sh.doc_id == q.qid).select("qid", "s")
+    hits = (
+        t1.join(idf, "s")
+        .join(
+            sh.select(F.col("doc_id").alias("cand"), F.col("s").alias("s2")),
+            (F.col("s2") == F.col("s")) & (F.col("cand") != F.col("qid")),
+        )
+        .groupBy("qid", "cand")
+        .agg(F.sum("idf9").cast("long").alias("score9"))
+    )
+    dq = dig.select(F.col("doc_id").alias("qid"), F.col("digest").alias("dgq"))
+    dc = dig.select(F.col("doc_id").alias("cand"), F.col("digest").alias("dgc"))
+    w = Window.partitionBy("qid").orderBy(F.col("score9").desc(), "cand")
+    return (
+        hits.join(dq, "qid")
+        .join(dc, "cand")
+        .where(F.col("dgq") != F.col("dgc"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+        .select("qid", "cand", "score9", "rn")
+        .orderBy("qid", "rn")
+    )

@@ -344,3 +344,74 @@ def u_rolling_median(spark, sf_dir):
     return x.groupBy("user_id").applyInPandas(
         roll, schema="event_id long, med_cents double"
     )
+
+
+@register(
+    "u_observe_metrics",
+    """
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS rows_scanned,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents_scanned,
+               CAST(max(l_orderkey) AS BIGINT) AS max_key
+        FROM lineitem
+    ),
+    kept AS (
+        SELECT CAST(count(*) AS BIGINT) AS rows_kept
+        FROM lineitem WHERE l_quantity >= 25
+    )
+    SELECT m.rows_scanned, m.cents_scanned, m.max_key, kept.rows_kept,
+           round(kept.rows_kept * 1.0 / m.rows_scanned, 6) + 0
+               AS keep_rate
+    FROM m CROSS JOIN kept
+    """,
+)
+def u_observe_metrics(spark, sf_dir):
+    """Pipeline telemetry via the Observation API (SPARK-34806):
+    df.observe() attaches named aggregate metrics to a point IN the
+    plan, collected as a side effect of the job that runs anyway — the
+    production answer to 'how many rows passed this filter' that does
+    NOT cost a second scan (the naive count() + write pattern reads
+    the source twice; an observed metric rides the same pass, exactly
+    like Delta/DLT expectations report row counts).
+
+    Here one job materializes the filtered count while observations on
+    the PRE-filter node capture rows/cents/max-key scanned; the
+    operator then returns the metrics row itself (the driver holds
+    observation results after the action — this is the one API whose
+    OUTPUT is driver-side by design, like a streaming query's
+    progress). The oracle recomputes the same aggregates relationally,
+    so the hash verifies observe() reports exactly what a second scan
+    would have found. At 100 TB the saved scan is the whole point.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents_scanned"),
+        F.max("l_orderkey").cast("long").alias("max_key"),
+    )
+    rows_kept = observed.where(F.col("l_quantity") >= 25).count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["rows_scanned"]),
+                int(m["cents_scanned"]),
+                int(m["max_key"]),
+                int(rows_kept),
+            )
+        ],
+        "rows_scanned long, cents_scanned long, max_key long, rows_kept long",
+    ).select(
+        "rows_scanned",
+        "cents_scanned",
+        "max_key",
+        "rows_kept",
+        f6(F.col("rows_kept") * 1.0 / F.col("rows_scanned")).alias("keep_rate"),
+    )
