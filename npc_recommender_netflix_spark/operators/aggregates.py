@@ -4259,3 +4259,134 @@ def a_two_way_anova(spark, sf_dir):
             / (sse / (F.col("nt") - F.col("nc")))
         ).alias("f_interaction"),
     )
+
+
+_H32_USER = """
+    CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef',
+                     substring(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1)
+             * 16 ** (8 - j))) AS BIGINT)
+"""
+
+
+@register(
+    "a_ab_srm_check",
+    f"""
+    WITH assign AS (
+        SELECT DISTINCT user_id, {_H32_USER} % 2 AS arm FROM events
+    ),
+    c AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM assign
+    )
+    SELECT na, nb,
+           round((na - (na + nb) / 2.0) * (na - (na + nb) / 2.0)
+                     / ((na + nb) / 2.0)
+                 + (nb - (na + nb) / 2.0) * (nb - (na + nb) / 2.0)
+                     / ((na + nb) / 2.0), 6) + 0 AS chi2,
+           CASE WHEN (na - (na + nb) / 2.0) * (na - (na + nb) / 2.0)
+                         / ((na + nb) / 2.0)
+                     + (nb - (na + nb) / 2.0) * (nb - (na + nb) / 2.0)
+                         / ((na + nb) / 2.0) > 3.841459 THEN 1 ELSE 0 END
+               AS srm_flag
+    FROM c
+    """,
+)
+def a_ab_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guard for A/B experiments — the FIRST
+    check any experiment readout must pass: hash users into two arms
+    (md5, the deterministic assignment a real platform uses) and chi²-
+    test the observed split against the designed 50/50. SRM is the
+    highest-yield invalidity detector in practice (redirect bugs, bot
+    filtering asymmetries, logging loss all surface here before any
+    metric is worth reading); the 3.841 critical value is χ²₁ at
+    α=.05, a shared literal so neither engine needs a CDF.
+
+    One distinct-users pass (the only data-scale work) then a 2-cell
+    census; the chi² assembly is 1-row float math in one shared
+    association. Reports the arm counts, the statistic, and the
+    binary gate downstream experiment keys would consume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    assign = ev.select("user_id", (h32 % 2).alias("arm")).distinct()
+    c = assign.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    exp = (F.col("na") + F.col("nb")) / 2.0
+    chi2 = (F.col("na") - exp) * (F.col("na") - exp) / exp + (
+        F.col("nb") - exp
+    ) * (F.col("nb") - exp) / exp
+    return c.select(
+        "na",
+        "nb",
+        f6(chi2).alias("chi2"),
+        F.when(chi2 > 3.841459, 1).otherwise(0).alias("srm_flag"),
+    )
+
+
+@register(
+    "a_power_sample_size",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS s,
+               sum(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS q
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(s * 1.0 / n / 100, 6) + 0 AS mean_usd,
+           round(sqrt((q - s * 1.0 * s / n) / (n - 1)) / 100, 6) + 0 AS sd_usd,
+           CAST(ceil(15.698587
+                     * ((q - s * 1.0 * s / n) / (n - 1))
+                     / ((s * 1.0 / n) * 0.02 * (s * 1.0 / n) * 0.02))
+                AS BIGINT) AS n_per_arm_2pct
+    FROM g ORDER BY event_type
+    """,
+)
+def a_power_sample_size(spark, sf_dir):
+    """Experiment sample-size calculator per metric — 'how many users
+    per arm to detect a 2% lift at 80% power, α=.05' for each event
+    type's value metric: n = 2(z_{{α/2}}+z_β)²·σ²/δ² with
+    2(1.959964+0.841621)² = 15.698587 as a shared literal (no inverse-
+    normal in either engine) and δ = 2% of the observed mean. This is
+    the planning half of the experimentation toolkit — a_ttest_welch /
+    a_cuped / a_ab_srm_check read experiments; this sizes them, and
+    CUPED users divide its output by 1−ρ² for the variance-reduced
+    duration.
+
+    Variance assembles from the same exact-BIGINT (n, Σx, Σx²) moments
+    as a_stats — one partial+final aggregate over the scan, 5-row
+    output, float math only in the final 1-row-per-group expressions
+    with shared association.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("q"),
+    )
+    var = (F.col("q") - F.col("s") * 1.0 * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    return g.select(
+        "event_type",
+        "n",
+        f6(mean / 100).alias("mean_usd"),
+        f6(F.sqrt(var) / 100).alias("sd_usd"),
+        F.ceil(15.698587 * var / (mean * 0.02 * mean * 0.02))
+        .cast("long")
+        .alias("n_per_arm_2pct"),
+    ).orderBy("event_type")
