@@ -246,3 +246,45 @@ def fn_ipv4_cidr(spark, sf_dir):
             "first_private_10"
         ),
     )
+
+
+@register(
+    "fn_sql_params",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def fn_sql_params(spark, sf_dir):
+    """Parameterized SQL (SPARK-41271, Spark 3.4+): `spark.sql(query,
+    args={...})` binds NAMED parameter markers server-side — the
+    injection-safe templating every SQL-facing service needs (string-
+    formatted SQL is both an injection hole and a plan-cache miss;
+    bound parameters are literals to the analyzer, so Catalyst
+    constant-folds and pushes them down exactly like hand-written
+    ones). The oracle inlines the same constants, so the hash proves
+    bound-parameter execution ≡ literal execution.
+
+    The threshold predicate and date bound arrive ONLY via args —
+    nothing is interpolated into the SQL text. Pushdown behavior is
+    unchanged: the date filter reaches the parquet scan as if typed.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_orders_params")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_totalprice > :price_floor
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        FROM v_orders_params
+        WHERE o_orderdate >= CAST(:min_date AS TIMESTAMP)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"price_floor": 150000.0, "min_date": "1996-01-01"},
+    )

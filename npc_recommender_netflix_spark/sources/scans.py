@@ -1423,3 +1423,40 @@ def s_merge_upsert(spark, sf_dir):
         F.sum("cents").cast("long").alias("merged_cents"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "s_xml_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def s_xml_roundtrip(spark, sf_dir):
+    """Native XML sink+source (SPARK-44265, new in Spark 4 — XML was a
+    third-party package for a decade; the built-in source closes the
+    B2B/legacy-feed ingestion gap): write the nation dim as XML rows,
+    read it back through the StAX-based reader with an explicit schema.
+    The oracle is the roundtrip identity against the original table —
+    any attribute/element mapping bug or type coercion in either
+    direction breaks the hash.
+
+    Same DSv2 shape as the csv/json/orc roundtrips: the sink writes to
+    session scratch, the read-back is LAZY (no driver materialization
+    in the query path), schema supplied explicitly so inference can't
+    mask a drift. XML's row-per-element layout is scan-parallel like
+    JSON lines at scale.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    path = _scratch("xml_")
+    nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).format("xml").option("rootTag", "nations").option("rowTag", "nation").save(
+        path
+    )
+    return (
+        spark.read.format("xml")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("rowTag", "nation")
+        .load(path)
+        .orderBy("n_nationkey")
+    )

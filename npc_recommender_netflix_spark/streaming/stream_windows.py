@@ -742,3 +742,56 @@ def st_session_dynamic(spark, sf_dir):
     )
     name = run_to_memory(out, "complete")
     return spark.table(name)
+
+
+@register(
+    "st_state_reader",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st_state_reader(spark, sf_dir):
+    """State Data Source (SPARK-45511, new in Spark 4): after a stateful
+    streaming aggregation runs, `spark.read.format("statestore")` opens
+    the query's CHECKPOINT and reads the state-store contents as a
+    DataFrame — the introspection surface that turns 'what is my
+    streaming job's state right now' from a log-archaeology exercise
+    into a query (state-size audits, skewed-key hunts, corruption
+    postmortems, seeding a rebuilt job's initial state).
+
+    The stream is a per-event-type running count (complete-mode agg);
+    after availableNow drains it, the operator discards the SINK and
+    answers from the STATE alone — key struct exploded, partition_id
+    dropped (physical placement, not semantics). The oracle is the
+    batch groupBy: state contents must equal what a batch engine
+    computes from the same data, which is exactly the contract the
+    state store exists to maintain. At scale the reader parallelizes
+    per state-store partition like any DSv2 source.
+    """
+    import tempfile
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    ckpt = tempfile.mkdtemp(prefix="npc_stateck_")
+    name = "snk_" + __import__("uuid").uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return (
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            # the state VALUE schema carries the aggregate's internal
+            # name (`count`), not the sink-side alias — reading state is
+            # reading the operator's physical schema, aliases and all
+            F.col("value.count").cast("long").alias("cnt"),
+        )
+        .orderBy("event_type")
+    )
