@@ -98,6 +98,9 @@ RELATIONAL_LINEAR_KEYS = {
     "q_shipping_priority": "lineitem",    # TPC-H Q3 composite (hash joins+agg)
     "q_large_volume_customer": "lineitem",  # TPC-H Q18 composite (semi-join)
     "r_slope_one_capped": "lineitem",     # same df<=48 cap, Slope One dev matrix
+    "r_markov_next_item": "lineitem",     # lead()-built transitions: no pair join
+    "s_merge_upsert": "lineitem",         # MERGE full-outer shuffle on the key
+    "t_hard_negatives": "documents",      # df<=64-capped posting join + top-5
 }
 # iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
 # dup-chain-bounded propagation (t_dup_clusters) — linear PER ITERATION
