@@ -2776,3 +2776,267 @@ def r_markov_next_item(spark, sf_dir):
         )
         .orderBy("src", "rn")
     )
+
+
+@register(
+    "r_auc",
+    """
+    WITH base AS (
+        SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+               CAST(l.l_quantity AS BIGINT) AS qty, l.l_orderkey AS ok
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    train AS (
+        SELECT user_id, item_id, CAST(sum(qty) AS BIGINT) AS rating
+        FROM base WHERE ok % 5 <> 0 GROUP BY 1, 2
+    ),
+    hold AS (
+        SELECT DISTINCT user_id, item_id FROM base WHERE ok % 5 = 0
+    ),
+    pop AS (
+        SELECT item_id, CAST(sum(rating) AS BIGINT) AS score
+        FROM train GROUP BY item_id
+    ),
+    users AS (
+        SELECT DISTINCT user_id FROM hold WHERE user_id % 59 = 0
+    ),
+    labeled AS (
+        SELECT u.user_id, p.item_id, p.score,
+               CASE WHEN h.item_id IS NOT NULL THEN 1 ELSE 0 END AS pos
+        FROM users u CROSS JOIN pop p
+        LEFT JOIN train t ON t.user_id = u.user_id AND t.item_id = p.item_id
+        LEFT JOIN hold h ON h.user_id = u.user_id AND h.item_id = p.item_id
+        WHERE t.item_id IS NULL
+    ),
+    ranked AS (
+        SELECT user_id, pos,
+               2 * rank() OVER (PARTITION BY user_id ORDER BY score)
+                 + count(*) OVER (PARTITION BY user_id, score) - 1
+                   AS midrank2
+        FROM labeled
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(sum(pos) AS BIGINT) AS np,
+               CAST(sum(1 - pos) AS BIGINT) AS nn,
+               CAST(sum(CASE WHEN pos = 1 THEN midrank2 END) AS BIGINT) AS sm2
+        FROM ranked GROUP BY user_id
+    ),
+    auc AS (
+        SELECT user_id, np, nn,
+               round((sm2 - np * (np + 1)) * 1.0 / (2 * np * nn), 6) + 0 AS auc
+        FROM per_user WHERE np > 0 AND nn > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           round(sum(auc) / count(*), 6) + 0 AS mean_auc,
+           round(min(auc), 6) + 0 AS min_auc,
+           round(max(auc), 6) + 0 AS max_auc
+    FROM auc
+    """,
+)
+def r_auc(spark, sf_dir):
+    """Per-user AUC of the popularity ranker against the orderkey%5
+    holdout — the threshold-free ranking metric missing beside
+    precision@k/MAP/MRR/NDCG: the probability a random held-out
+    positive outranks a random negative, computed exactly via the
+    Mann-Whitney rank-sum identity with MIDRANKS for score ties
+    (popularity scores tie constantly; ignoring ties biases AUC — the
+    midrank2 = 2·rank + |ties| − 1 trick keeps everything integer
+    until the single final division per user).
+
+    Candidates per user are the unrated catalog (train items
+    anti-joined; at production catalog sizes you hash-sample the
+    negatives — the formula is unbiased under uniform sampling);
+    ranks run in PER-USER windows, so the heavy sort is partitioned,
+    never global, and the pooled summary averages 6dp-snapped
+    per-user AUCs (exact in doubles at 1e-6 granularity). Evaluation
+    users are a 1/59 deterministic sample, scale-proportional.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    base = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    train = (
+        base.where(F.col("ok") % 5 != 0)
+        .groupBy("user_id", "item_id")
+        .agg(F.sum("qty").cast("long").alias("rating"))
+    )
+    hold = base.where(F.col("ok") % 5 == 0).select("user_id", "item_id").distinct()
+    pop = train.groupBy("item_id").agg(
+        F.sum("rating").cast("long").alias("score")
+    )
+    users = hold.where(F.col("user_id") % 59 == 0).select("user_id").distinct()
+    labeled = (
+        users.crossJoin(pop)
+        .join(train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
+        .join(
+            hold.select("user_id", "item_id").withColumn("h", F.lit(1)),
+            ["user_id", "item_id"],
+            "left",
+        )
+        .select(
+            "user_id",
+            "score",
+            F.when(F.col("h").isNotNull(), 1).otherwise(0).alias("pos"),
+        )
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("score")
+    w_tie = Window.partitionBy("user_id", "score")
+    ranked = labeled.select(
+        "user_id",
+        "pos",
+        (
+            2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1
+        ).alias("midrank2"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum(1 - F.col("pos")).cast("long").alias("nn"),
+        F.sum(F.when(F.col("pos") == 1, F.col("midrank2")))
+        .cast("long")
+        .alias("sm2"),
+    )
+    auc = per_user.where((F.col("np") > 0) & (F.col("nn") > 0)).select(
+        "np",
+        "nn",
+        f6(
+            (F.col("sm2") - F.col("np") * (F.col("np") + 1))
+            * 1.0
+            / (2 * F.col("np") * F.col("nn"))
+        ).alias("auc"),
+    )
+    return auc.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        f6(F.sum("auc") / F.count("*")).alias("mean_auc"),
+        f6(F.min("auc")).alias("min_auc"),
+        f6(F.max("auc")).alias("max_auc"),
+    )
+
+
+@register(
+    "r_calibration_bins",
+    """
+    WITH base AS (
+        SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+               CAST(l.l_quantity AS BIGINT) AS qty, l.l_orderkey AS ok
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    train AS (
+        SELECT user_id, item_id, CAST(sum(qty) AS BIGINT) AS r
+        FROM base WHERE ok % 5 <> 0 GROUP BY 1, 2
+    ),
+    hold AS (
+        SELECT user_id, item_id, CAST(sum(qty) AS BIGINT) AS r
+        FROM base WHERE ok % 5 = 0 GROUP BY 1, 2
+    ),
+    mu AS (SELECT CAST(round(avg(r) * 1e6) AS BIGINT) AS mu6 FROM train),
+    bu AS (SELECT user_id,
+                  CAST(round(avg(r) * 1e6) AS BIGINT) AS um6
+           FROM train GROUP BY user_id),
+    bi AS (SELECT item_id,
+                  CAST(round(avg(r) * 1e6) AS BIGINT) AS im6
+           FROM train GROUP BY item_id),
+    pred AS (
+        SELECT h.user_id, h.item_id, h.r AS actual,
+               bu.um6 + bi.im6 - mu.mu6 AS pred6
+        FROM hold h
+        JOIN bu ON bu.user_id = h.user_id
+        JOIN bi ON bi.item_id = h.item_id
+        CROSS JOIN mu
+    ),
+    binned AS (
+        SELECT least(greatest(pred6 // 25000000, 0), 9) AS bin,
+               pred6, actual
+        FROM pred
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(pred6) * 1.0 / count(*) / 1e6, 6) + 0 AS mean_pred,
+           round(sum(actual) * 1.0 / count(*), 6) + 0 AS mean_actual,
+           round(sum(pred6) * 1.0 / count(*) / 1e6
+                 - sum(actual) * 1.0 / count(*), 6) + 0 AS gap
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def r_calibration_bins(spark, sf_dir):
+    """Calibration (reliability) table for the bias-baseline predictor
+    — mean predicted vs mean ACTUAL held-out rating per prediction
+    band, the diagram that answers 'when the model says ~50, does the
+    user buy ~50?'. Ranking metrics (r_auc/r_ndcg) are blind to
+    systematic over/under-prediction; calibration is what business
+    logic consuming the SCORES (inventory planning, bid pricing)
+    actually needs, and the per-bin gap column is the correction
+    curve an isotonic recalibration would fit.
+
+    Predictions are μ + (ū−μ) + (ī−μ) = ū + ī − μ in 1e-6-scaled
+    BIGINTs (user/item/global means snapped once, then pure integer
+    adds — no float accumulates across rows); bands are fixed 25-unit
+    integer buckets clamped to [0,9]. Three broadcast-scale mean
+    tables join onto the holdout in one pass; the rollup is a ≤10-key
+    aggregate. Same orderkey%5 split as the rest of the eval family.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    base = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    train = (
+        base.where(F.col("ok") % 5 != 0)
+        .groupBy("user_id", "item_id")
+        .agg(F.sum("qty").cast("long").alias("r"))
+    )
+    hold = (
+        base.where(F.col("ok") % 5 == 0)
+        .groupBy("user_id", "item_id")
+        .agg(F.sum("qty").cast("long").alias("actual"))
+    )
+    mu = train.agg(
+        F.round(F.avg("r") * 1e6).cast("long").alias("mu6")
+    )
+    bu = train.groupBy("user_id").agg(
+        F.round(F.avg("r") * 1e6).cast("long").alias("um6")
+    )
+    bi = train.groupBy("item_id").agg(
+        F.round(F.avg("r") * 1e6).cast("long").alias("im6")
+    )
+    pred = (
+        hold.join(bu, "user_id")
+        .join(bi, "item_id")
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "actual",
+            (F.col("um6") + F.col("im6") - F.col("mu6")).alias("pred6"),
+        )
+    )
+    binned = pred.select(
+        F.least(
+            F.greatest(F.floor(F.col("pred6") / 25000000), F.lit(0)),
+            F.lit(9),
+        )
+        .cast("long")
+        .alias("bin"),
+        "pred6",
+        "actual",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            f6(F.sum("pred6") * 1.0 / F.count("*") / 1e6).alias("mean_pred"),
+            f6(F.sum("actual") * 1.0 / F.count("*")).alias("mean_actual"),
+            f6(
+                F.sum("pred6") * 1.0 / F.count("*") / 1e6
+                - F.sum("actual") * 1.0 / F.count("*")
+            ).alias("gap"),
+        )
+        .orderBy("bin")
+    )
