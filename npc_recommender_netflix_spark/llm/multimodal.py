@@ -915,3 +915,114 @@ def m_checksum_audit(spark, sf_dir):
         F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_corrupt"),
         F.min(F.when(bad, F.col("doc_id"))).cast("long").alias("first_corrupt_id"),
     )
+
+
+_TIFF_SCHEMA = (
+    "doc_id long, byte_order string, n_entries long, width long, "
+    "height long, orientation long, dt_day long"
+)
+
+
+@register(
+    "m_tiff_ifd",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(4 AS BIGINT) AS n_entries,
+           CAST((doc_id % 16) + 8 AS BIGINT) AS width,
+           CAST((doc_id % 10) + 5 AS BIGINT) AS height,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           CAST(1 + doc_id % 28 AS BIGINT) AS dt_day
+    FROM documents ORDER BY doc_id
+    """,
+)
+def m_tiff_ifd(spark, sf_dir):
+    """REAL TIFF/EXIF metadata decode: each doc becomes a genuine
+    minimal TIFF — magic 42, IFD0 with four entries (ImageWidth 256,
+    ImageLength 257, Orientation 274, DateTime 306 as an out-of-line
+    ASCII value reached through its offset field), and, crucially,
+    ALTERNATING byte order per document ('II' little-endian / 'MM'
+    big-endian by doc parity) — and a second Arrow stage parses it
+    back with a real IFD walker that must honor the byte-order mark
+    for every field it reads (the classic EXIF-parser bug is exactly
+    getting one endianness path wrong; here half the corpus exercises
+    each). Value fields are left-justified SHORTs per the TIFF 6.0
+    spec; the DateTime string is parsed from its offset, not inlined.
+
+    Completes the container family (RIFF/WAV chunks, P6 raster, PNG
+    chunks+DEFLATE) with the OFFSET-DIRECTORY layout class that TIFF/
+    EXIF/ORC-footer formats share. Same 100 TB shape: payloads live
+    and die inside scan-side mapInPandas tasks, only decoded metadata
+    flows on; the oracle recomputes every field from the generator
+    formula without seeing bytes.
+    """
+    import struct
+
+    def synth_tiff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                e = "<" if d % 2 == 0 else ">"
+                bom = b"II" if d % 2 == 0 else b"MM"
+                w, h = (d % 16) + 8, (d % 10) + 5
+                ori = 1 + d % 8
+                day = 1 + d % 28
+                dt = f"2024:01:{day:02d} 12:00:00\x00".encode()
+                # header(8) + count(2) + 4 entries(48) + next(4) = 62
+                dt_off = 62
+                def entry(tag, typ, cnt, val4):
+                    return struct.pack(e + "HHI", tag, typ, cnt) + val4
+                short = lambda v: struct.pack(e + "HH", v, 0)
+                ifd = (
+                    struct.pack(e + "H", 4)
+                    + entry(256, 3, 1, short(w))
+                    + entry(257, 3, 1, short(h))
+                    + entry(274, 3, 1, short(ori))
+                    + entry(306, 2, len(dt), struct.pack(e + "I", dt_off))
+                    + struct.pack(e + "I", 0)
+                )
+                payloads.append(
+                    bom + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+                    + ifd + dt
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode_tiff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "byte_order", "n_entries", "width", "height",
+                "orientation", "dt_day",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                bom = buf[0:2]
+                assert bom in (b"II", b"MM"), "not a TIFF"
+                e = "<" if bom == b"II" else ">"
+                (magic,) = struct.unpack(e + "H", buf[2:4])
+                assert magic == 42, "bad TIFF magic"
+                (ifd_off,) = struct.unpack(e + "I", buf[4:8])
+                (n,) = struct.unpack(e + "H", buf[ifd_off: ifd_off + 2])
+                tags = {}
+                for k in range(n):
+                    o = ifd_off + 2 + 12 * k
+                    tag, typ, cnt = struct.unpack(e + "HHI", buf[o: o + 8])
+                    if typ == 3:  # SHORT, left-justified in the value field
+                        (v,) = struct.unpack(e + "H", buf[o + 8: o + 10])
+                        tags[tag] = v
+                    elif typ == 2:  # ASCII via offset
+                        (off,) = struct.unpack(e + "I", buf[o + 8: o + 12])
+                        tags[tag] = buf[off: off + cnt].rstrip(b"\x00").decode()
+                day = int(tags[306].split(" ")[0].split(":")[2])
+                out["doc_id"].append(doc_id)
+                out["byte_order"].append(bom.decode())
+                out["n_entries"].append(n)
+                out["width"].append(tags[256])
+                out["height"].append(tags[257])
+                out["orientation"].append(tags[274])
+                out["dt_day"].append(day)
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    tiffs = docs.mapInPandas(synth_tiff, schema="doc_id long, payload binary")
+    return tiffs.mapInPandas(decode_tiff, schema=_TIFF_SCHEMA).orderBy("doc_id")

@@ -3056,3 +3056,89 @@ def t_mixture_em(spark, sf_dir):
     return comp(1, "s1", "sx1", "sxx1").unionByName(
         comp(2, "s2", "sx2", "sxx2")
     ).orderBy("component")
+
+
+@register(
+    "t_fim_transform",
+    """
+    WITH sp AS (
+        SELECT doc_id, text, length(text) AS L,
+               1 + (length(text) * 3) // 10 AS p_end,
+               1 + (length(text) * 7) // 10 AS m_end
+        FROM documents WHERE length(text) >= 20
+    ),
+    parts AS (
+        SELECT doc_id, L,
+               substring(text, 1, p_end) AS prefix,
+               substring(text, p_end + 1, m_end - p_end) AS middle,
+               substring(text, m_end + 1) AS suffix
+        FROM sp
+    )
+    SELECT doc_id,
+           CAST(length(prefix) AS BIGINT) AS n_prefix,
+           CAST(length(middle) AS BIGINT) AS n_middle,
+           CAST(length(suffix) AS BIGINT) AS n_suffix,
+           CASE WHEN doc_id % 2 = 0
+                THEN '<PRE>' || prefix || '<SUF>' || suffix
+                     || '<MID>' || middle
+                ELSE '<SUF>' || suffix || '<PRE>' || prefix
+                     || '<MID>' || middle END AS fim_text,
+           CAST(length(prefix) + length(middle) + length(suffix)
+                AS BIGINT) = CAST(L AS BIGINT) AS lossless
+    FROM parts ORDER BY doc_id
+    """,
+)
+def t_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    public 'FIM' paper): each document splits into prefix/middle/suffix
+    at deterministic 30%/70% character boundaries and re-serializes
+    with sentinel tokens in PSM order — and, per the paper's 50/50
+    recipe, HALF the corpus (doc_id parity standing in for the random
+    coin) uses SPM order instead, which is what teaches the model both
+    completion styles. The lossless flag asserts the three spans
+    reconstruct the original length exactly — a character lost at a
+    split boundary corrupts every training example silently, so the
+    invariant is part of the output contract.
+
+    Pure substring arithmetic on integer character offsets — identical
+    in both engines, wholly map-side codegen, zero shuffle (the ORDER
+    BY is presentation only). At 100 TB this runs at scan speed as a
+    stage in t_pipeline_e2e-style corpus preparation; the sentinel
+    strings would be tokenizer specials downstream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sp = docs.where(F.length("text") >= 20).select(
+        "doc_id",
+        "text",
+        F.length("text").alias("L"),
+        (1 + F.floor(F.length("text") * 3 / 10)).cast("int").alias("p_end"),
+        (1 + F.floor(F.length("text") * 7 / 10)).cast("int").alias("m_end"),
+    )
+    parts = sp.select(
+        "doc_id",
+        "L",
+        F.expr("substring(text, 1, p_end)").alias("prefix"),
+        F.expr("substring(text, p_end + 1, m_end - p_end)").alias("middle"),
+        F.expr("substring(text, m_end + 1)").alias("suffix"),
+    )
+    psm = F.concat(
+        F.lit("<PRE>"), F.col("prefix"), F.lit("<SUF>"), F.col("suffix"),
+        F.lit("<MID>"), F.col("middle"),
+    )
+    spm = F.concat(
+        F.lit("<SUF>"), F.col("suffix"), F.lit("<PRE>"), F.col("prefix"),
+        F.lit("<MID>"), F.col("middle"),
+    )
+    return parts.select(
+        "doc_id",
+        F.length("prefix").cast("long").alias("n_prefix"),
+        F.length("middle").cast("long").alias("n_middle"),
+        F.length("suffix").cast("long").alias("n_suffix"),
+        F.when(F.col("doc_id") % 2 == 0, psm).otherwise(spm).alias("fim_text"),
+        (
+            (
+                F.length("prefix") + F.length("middle") + F.length("suffix")
+            ).cast("long")
+            == F.col("L").cast("long")
+        ).alias("lossless"),
+    ).orderBy("doc_id")
