@@ -288,3 +288,91 @@ def fn_sql_params(spark, sf_dir):
         """,
         args={"price_floor": 150000.0, "min_date": "1996-01-01"},
     )
+
+
+def _interleave_terms(col_lat: str, col_lng: str, nbits: int) -> str:
+    """Morton/Z-order bit interleave as pure integer arithmetic (no
+    shifts — DuckDB lacks 64-bit shift operators; // and % are exact
+    in both engines). lat bits land on even positions, lng on odd."""
+    terms = []
+    for i in range(nbits):
+        terms.append(f"(({col_lat} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({col_lng} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "fn_geohash_encode",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST((c_custkey * 48271) % 4096 AS BIGINT) AS lat_i,
+               CAST((c_custkey * 69621) % 4096 AS BIGINT) AS lng_i
+        FROM customer
+    ),
+    coded AS (
+        SELECT c_custkey, lat_i, lng_i,
+               CAST({_interleave_terms('lat_i', 'lng_i', 12)} AS BIGINT)
+                   AS z24
+        FROM pts
+    )
+    SELECT CAST(z24 // 65536 AS BIGINT) AS cell8,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(lat_i) AS BIGINT) AS lat_min,
+           CAST(max(lat_i) AS BIGINT) AS lat_max,
+           CAST(min(lng_i) AS BIGINT) AS lng_min,
+           CAST(max(lng_i) AS BIGINT) AS lng_max
+    FROM coded GROUP BY 1 ORDER BY n DESC, cell8 LIMIT 10
+    """,
+)
+def fn_geohash_encode(spark, sf_dir):
+    """Z-order (Morton) geohash encoding + prefix-cell census — the
+    hierarchical spatial index underneath geohash/S2/H3-style
+    bucketing: quantize lat/lng to 12-bit integers (synthetic
+    coordinates, the fn_haversine/fn_ipv4_cidr precedent), interleave
+    the bits so nearby points share code PREFIXES, and roll up by the
+    top-8-bit cell. The min/max coordinate bounds per cell PROVE the
+    locality property the index exists for: every member of a prefix
+    cell falls in the same 4-bit lat × 4-bit lng box (bounds within
+    256 of each other), which is exactly why prefix ranges answer
+    radius queries. s_zorder_layout applies the same curve to FILE
+    layout; this is the query-side encode. j_grid_knn's flat grid is
+    the one-resolution special case — the Z-code gives every
+    resolution at once by prefix truncation.
+
+    The interleave is 24 generated integer terms (//, %, ×, + only —
+    no shifts, which this container's DuckDB lacks; no floats
+    anywhere), fully map-side codegen; the census is one 256-key
+    aggregate. At 100 TB the encode is a scan-speed projection and
+    range queries become code-range scans on a Z-sorted layout.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 4096).cast("long").alias("lat_i"),
+        ((F.col("c_custkey") * 69621) % 4096).cast("long").alias("lng_i"),
+    )
+    z = None
+    for i in range(12):
+        lat_bit = (F.col("lat_i") / (1 << i)).cast("long") % 2 * (1 << (2 * i))
+        lng_bit = (
+            (F.col("lng_i") / (1 << i)).cast("long") % 2 * (1 << (2 * i + 1))
+        )
+        z = lat_bit + lng_bit if z is None else z + lat_bit + lng_bit
+    coded = pts.select(
+        "c_custkey", "lat_i", "lng_i", z.cast("long").alias("z24")
+    )
+    return (
+        coded.groupBy(
+            (F.col("z24") / 65536).cast("long").alias("cell8")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("lat_i").cast("long").alias("lat_min"),
+            F.max("lat_i").cast("long").alias("lat_max"),
+            F.min("lng_i").cast("long").alias("lng_min"),
+            F.max("lng_i").cast("long").alias("lng_max"),
+        )
+        .orderBy(F.col("n").desc(), "cell8")
+        .limit(10)
+    )

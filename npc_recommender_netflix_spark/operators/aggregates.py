@@ -4390,3 +4390,77 @@ def a_power_sample_size(spark, sf_dir):
         .cast("long")
         .alias("n_per_arm_2pct"),
     ).orderBy("event_type")
+
+
+@register(
+    "a_mutual_information",
+    """
+    WITH cell AS (
+        SELECT l_returnflag AS a, l_linestatus AS b,
+               CAST(count(*) AS BIGINT) AS nab
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM cell GROUP BY a),
+    mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb FROM cell GROUP BY b),
+    t AS (SELECT CAST(sum(nab) AS BIGINT) AS n FROM cell),
+    terms AS (
+        SELECT CAST(round(cell.nab * ln(cell.nab * 1.0 * t.n
+                                        / (ma.na * 1.0 * mb.nb)) * 1e9
+                          / t.n) AS BIGINT) AS term9
+        FROM cell JOIN ma ON ma.a = cell.a
+                  JOIN mb ON mb.b = cell.b
+                  CROSS JOIN t
+    )
+    SELECT round(sum(term9) / 1e9, 6) + 0 AS mi_nats,
+           round(sum(term9) / 1e9 / ln(2), 6) + 0 AS mi_bits
+    FROM terms
+    """,
+)
+def a_mutual_information(spark, sf_dir):
+    """Mutual information between return flag and line status — the
+    information-theoretic dependence measure beside a_cramers_v's
+    normalized chi² (MI answers 'how many bits does knowing one tell
+    you about the other', is zero iff independent, and unlike V it
+    decomposes over partitions and feeds feature-selection rankings
+    directly). I(A;B) = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) over the
+    observed cells.
+
+    Each cell term nab·ln(nab·N/(na·nb))/N snaps to a 1e-9 BIGINT
+    before summation (ln is libm — last-ulp risk — and the cell count
+    is bounded, so snapping per term makes the reduction order-free
+    at negligible bias). One ≤6-cell aggregate from the scan, the
+    marginals roll up from the cells, output is two numbers. The
+    identical plan computes MI for ANY categorical pair at O(cells)
+    shuffle bytes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cell = li.groupBy(
+        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+    ).agg(F.count("*").cast("long").alias("nab"))
+    ma = cell.groupBy("a").agg(F.sum("nab").cast("long").alias("na"))
+    mb = cell.groupBy("b").agg(F.sum("nab").cast("long").alias("nb"))
+    t = cell.agg(F.sum("nab").cast("long").alias("n"))
+    terms = (
+        cell.join(ma, "a")
+        .join(mb, "b")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.round(
+                F.col("nab")
+                * F.log(
+                    F.col("nab") * 1.0 * F.col("n")
+                    / (F.col("na") * 1.0 * F.col("nb"))
+                )
+                * 1e9
+                / F.col("n")
+            )
+            .cast("long")
+            .alias("term9")
+        )
+    )
+    import math
+
+    return terms.agg(
+        f6(F.sum("term9") / 1e9).alias("mi_nats"),
+        f6(F.sum("term9") / 1e9 / math.log(2)).alias("mi_bits"),
+    )

@@ -3040,3 +3040,96 @@ def r_calibration_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "r_ips_eval",
+    """
+    WITH base AS (
+        SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+               CAST(l.l_quantity AS BIGINT) AS qty, l.l_orderkey AS ok
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    train AS (
+        SELECT item_id, CAST(sum(qty) AS BIGINT) AS pop
+        FROM base WHERE ok % 5 <> 0 GROUP BY item_id
+    ),
+    tot AS (SELECT CAST(sum(pop) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS c FROM train),
+    clicks AS (
+        SELECT DISTINCT user_id, item_id FROM base WHERE ok % 5 = 0
+    ),
+    wtd AS (
+        SELECT CAST(round(tot.s * 1e6 / (tot.c * 1.0 * tr.pop)) AS BIGINT)
+                   AS w6
+        FROM clicks cl JOIN train tr ON tr.item_id = cl.item_id
+        CROSS JOIN tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clicks,
+           round(sum(w6) * 1.0 * sum(w6) / sum(w6 * w6), 6) + 0 AS ess,
+           round(sum(w6) * 1.0 * sum(w6) / sum(w6 * w6) / count(*), 6) + 0
+               AS ess_ratio,
+           round(max(w6) * 1.0 / sum(w6), 6) + 0 AS max_weight_share
+    FROM wtd
+    """,
+)
+def r_ips_eval(spark, sf_dir):
+    """Off-policy evaluation weights + the diagnostics that decide
+    whether the estimate is USABLE: inverse-propensity weights for
+    evaluating a UNIFORM exploration policy from popularity-logged
+    clicks (w_i ∝ 1/propensity_i, propensity = item's popularity
+    share — the standard position-less IPS setup), reported as the
+    effective sample size ESS = (Σw)²/Σw², its ratio to n, and the
+    largest single weight's mass share. ESS collapsing toward 1 or one
+    click holding >10% of the weight is the textbook signal that the
+    logging and target policies barely overlap and any IPS value
+    estimate is variance noise — the diagnostic is the deliverable
+    (importance-sampling practice, e.g. Owen's Monte Carlo text,
+    public).
+
+    Weights snap to 1e-6 BIGINTs at birth, so Σw and Σw² accumulate
+    exactly (reduction-order-free); the three ratios divide once at
+    the end. One popularity aggregate + one broadcast-scale join onto
+    the holdout clicks + a single-row census — linear at any scale,
+    same orderkey%5 split as the rest of the eval family.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    base = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    train = (
+        base.where(F.col("ok") % 5 != 0)
+        .groupBy("item_id")
+        .agg(F.sum("qty").cast("long").alias("pop"))
+    )
+    tot = train.agg(
+        F.sum("pop").cast("long").alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    clicks = base.where(F.col("ok") % 5 == 0).select("user_id", "item_id").distinct()
+    wtd = (
+        clicks.join(train, "item_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("s") * 1e6 / (F.col("c") * 1.0 * F.col("pop")))
+            .cast("long")
+            .alias("w6")
+        )
+    )
+    return wtd.agg(
+        F.count("*").cast("long").alias("n_clicks"),
+        f6(
+            F.sum("w6") * 1.0 * F.sum("w6") / F.sum(F.col("w6") * F.col("w6"))
+        ).alias("ess"),
+        f6(
+            F.sum("w6")
+            * 1.0
+            * F.sum("w6")
+            / F.sum(F.col("w6") * F.col("w6"))
+            / F.count("*")
+        ).alias("ess_ratio"),
+        f6(F.max("w6") * 1.0 / F.sum("w6")).alias("max_weight_share"),
+    )
