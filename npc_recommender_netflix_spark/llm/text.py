@@ -3142,3 +3142,71 @@ def t_fim_transform(spark, sf_dir):
             == F.col("L").cast("long")
         ).alias("lossless"),
     ).orderBy("doc_id")
+
+
+@register(
+    "t_doc_coalesce",
+    """
+    WITH o AS (
+        SELECT source, doc_id, n_chars,
+               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS csum
+        FROM documents
+    ),
+    assigned AS (
+        SELECT source, doc_id, n_chars,
+               CAST((csum - 1) // 2000 AS BIGINT) AS chunk_id
+        FROM o
+    )
+    SELECT source, chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chunk_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM assigned GROUP BY source, chunk_id
+    ORDER BY source, chunk_id
+    """,
+)
+def t_doc_coalesce(spark, sf_dir):
+    """Short-document coalescing into ~2000-char training chunks per
+    source — the packing complement to t_chunk_docs (which SPLITS long
+    docs; real corpora need both directions before tokenization:
+    under-length examples waste sequence slots and over-fragment the
+    attention window). Assignment is the running-character-count
+    bucket trick: chunk_id = (cumsum − 1) // target over the
+    (source)-ordered stream — one window, no iterative packing loop,
+    deterministic on any engine, and each chunk's membership is a
+    CONTIGUOUS doc_id range (first/last columns prove it), which is
+    what keeps provenance trackable after the merge.
+
+    One exchange on source serves the cumsum and the rollup. The
+    greedy-contiguous policy overshoots each boundary by at most one
+    document — the standard streaming-packing tradeoff (optimal
+    bin-packing is NP-hard and non-streaming); t_pack_sequences makes
+    the same call for token sequences. Linear at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor((F.sum("n_chars").over(w) - 1) / 2000)
+        .cast("long")
+        .alias("chunk_id"),
+    )
+    return (
+        assigned.groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chunk_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("source", "chunk_id")
+    )

@@ -1361,3 +1361,110 @@ def w_value_at_risk(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "w_changepoint",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+        SELECT event_type, day, x,
+               sum(x) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sl,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS nl,
+               CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nt
+        FROM daily
+    ),
+    scored AS (
+        SELECT event_type, day, sl, nl, nt, st - sl AS sr, nt - nl AS nr,
+               (sl * 1.0 * (nt - nl) - (st - sl) * 1.0 * nl)
+             * (sl * 1.0 * (nt - nl) - (st - sl) * 1.0 * nl)
+             / (nl * 1.0 * (nt - nl)) AS gain
+        FROM pre WHERE nl < nt
+    )
+    SELECT event_type, day AS split_day,
+           round(sl * 1.0 / nl / 100, 6) + 0 AS mean_before_usd,
+           round(sr * 1.0 / nr / 100, 6) + 0 AS mean_after_usd,
+           round(gain / nt / 10000, 6) + 0 AS gain_ss_usd2
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY gain DESC, day) AS rn
+        FROM scored
+    ) WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def w_changepoint(spark, sf_dir):
+    """Single-changepoint detection (binary segmentation, first split —
+    Scott & Knott / CUSUM-literature standard) on daily volume per
+    event type: the split day t* maximizing the between-segment sum-of-
+    squares gain Δ(t) = (S_l·n_r − S_r·n_l)²/(n_l·n_r·N), with the
+    level means on each side — WHERE the regime changed, complementing
+    w_cusum_alarm's WHEN-did-drift-accumulate view (iterate on each
+    side and it's full binary segmentation, each pass this same plan).
+
+    Everything derives from prefix sums: one cumulative window gives
+    S_l/n_l, the partition totals give S_r/n_r by subtraction — no
+    candidate-split self-join (the naive O(days²) formulation). Gain
+    numerators exceed int64 when squared, so the scoring expression
+    runs in doubles over EXACT integer inputs in one shared
+    association — cross-engine identical; argmax ties break on day.
+    Daily rollup is the only data-scale pass; the day axis is bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(w_cum).alias("sl"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("nl"),
+        F.sum("x").over(w_all).cast("long").alias("st"),
+        F.count("*").over(w_all).cast("long").alias("nt"),
+    )
+    sr = F.col("st") - F.col("sl")
+    nr = F.col("nt") - F.col("nl")
+    num = F.col("sl") * 1.0 * nr - sr * 1.0 * F.col("nl")
+    scored = pre.where(F.col("nl") < F.col("nt")).select(
+        "event_type",
+        "day",
+        "sl",
+        "nl",
+        sr.alias("sr"),
+        nr.alias("nr"),
+        (num * num / (F.col("nl") * 1.0 * nr)).alias("gain"),
+        "nt",
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("gain").desc(), "day"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            f6(F.col("sl") * 1.0 / F.col("nl") / 100).alias("mean_before_usd"),
+            f6(F.col("sr") * 1.0 / F.col("nr") / 100).alias("mean_after_usd"),
+            f6(F.col("gain") / F.col("nt") / 10000).alias("gain_ss_usd2"),
+        )
+        .orderBy("event_type")
+    )
