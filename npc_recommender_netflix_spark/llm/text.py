@@ -3210,3 +3210,145 @@ def t_doc_coalesce(spark, sf_dir):
         )
         .orderBy("source", "chunk_id")
     )
+
+
+@register(
+    "t_prep_pipeline_r7",
+    r"""
+    WITH raw AS (
+        SELECT doc_id, source, n_chars,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://' || source || '.example.com/item/'
+                             || CAST(doc_id % 97 AS VARCHAR)
+                 WHEN 1 THEN 'https://' || upper(source) || '.EXAMPLE.COM/item/'
+                             || CAST(doc_id % 97 AS VARCHAR)
+                 WHEN 2 THEN 'https://' || source || '.example.com:443/item/'
+                             || CAST(doc_id % 97 AS VARCHAR) || '/'
+                 ELSE 'https://' || source || '.example.com/item/'
+                      || CAST(doc_id % 97 AS VARCHAR)
+                      || '?utm_source=feed&utm_medium=rss#top'
+               END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, source, n_chars,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   lower(url), '#.*$', ''), '\?utm.*$', ''), ':443', ''),
+                   '/$', '') AS curl
+        FROM raw
+    ),
+    survivors AS (
+        SELECT doc_id, source, n_chars FROM (
+            SELECT *, row_number() OVER (PARTITION BY curl
+                                         ORDER BY doc_id) AS rn
+            FROM canon
+        ) WHERE rn = 1
+    ),
+    chunks AS (
+        SELECT source, doc_id, n_chars,
+               (sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) - 1) // 2000
+                   AS chunk_id
+        FROM survivors
+    )
+    SELECT source,
+           CAST((SELECT count(*) FROM raw r WHERE r.source = c.source)
+                AS BIGINT) AS n_docs_in,
+           CAST(count(*) AS BIGINT) AS n_survivors,
+           CAST(count(DISTINCT chunk_id) AS BIGINT) AS n_chunks,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN n_chars >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fim_eligible
+    FROM chunks c GROUP BY source ORDER BY source
+    """,
+)
+def t_prep_pipeline_r7(spark, sf_dir):
+    """Round-7 prep stack composed end to end as ONE DataFrame DAG:
+    manifest-level URL-canonicalization dedup (t_url_canonical_dedup's
+    regex chain, min-doc-id survivor per canonical URL) → contiguous
+    chunk coalescing over the survivors (t_doc_coalesce's cumsum
+    bucketing) → FIM-eligibility census (t_fim_transform's length
+    gate), reported per source. The point is COMPOSITION: each stage
+    is the registered operator's logic verbatim, fused by Catalyst
+    into one plan — no intermediate materialization, the property
+    that makes a multi-stage prep pipeline run at scan speed instead
+    of N job boundaries (the same argument t_pipeline_e2e makes for
+    the dedup stack, extended to the round-7 stages).
+
+    Shuffles: one on the canonical URL (survivor window), one on
+    source (chunk cumsum + rollup) — the minimum the semantics allow;
+    everything else is map-side codegen. Output is |sources| rows at
+    any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 97).cast("string")
+    base = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/item/"), k
+    )
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, base)
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://"), F.upper(F.col("source")),
+                F.lit(".EXAMPLE.COM/item/"), k,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com:443/item/"), k, F.lit("/"),
+            ),
+        )
+        .otherwise(F.concat(base, F.lit("?utm_source=feed&utm_medium=rss#top")))
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "#.*$", ""), r"\?utm.*$", ""
+            ),
+            ":443",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    canon = docs.select("doc_id", "source", "n_chars", curl.alias("curl"))
+    w_surv = Window.partitionBy("curl").orderBy("doc_id")
+    survivors = (
+        canon.withColumn("rn", F.row_number().over(w_surv))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunks = survivors.select(
+        "source",
+        "n_chars",
+        F.floor((F.sum("n_chars").over(w_cum) - 1) / 2000).alias("chunk_id"),
+    )
+    n_in = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_in")
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_survivors"),
+            F.countDistinct("chunk_id").cast("long").alias("n_chunks"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.when(F.col("n_chars") >= 20, 1).otherwise(0))
+            .cast("long")
+            .alias("fim_eligible"),
+        )
+        .join(n_in, "source")
+        .select(
+            "source", "n_docs_in", "n_survivors", "n_chunks",
+            "total_chars", "fim_eligible",
+        )
+        .orderBy("source")
+    )
