@@ -324,3 +324,82 @@ def test_als_foldin_matches_trained_factors(spark):
         assert cos > 0.95, (uid, cos)
         checked += 1
     assert checked > 0
+
+
+def test_semantic_dedup_capped_pair_volume_bound(spark):
+    """The ≤8·N pair bound is the operator's whole contract: rebuild the
+    candidate pair set exactly as v_semantic_dedup_capped does and
+    assert its size never exceeds 8N, while the UNCAPPED within-cell
+    pair count on the same corpus exceeds it (so the bound is binding,
+    not vacuous)."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    sub_bits = [
+        f"(CASE WHEN element_at(embedding, {i}) >= 0 THEN {1 << (i - 1)} "
+        "ELSE 0 END)"
+        for i in range(1, 9)
+    ]
+    sub = "(" + " + ".join(sub_bits) + ")"
+    cells = emb.select("vec_id", "label", F.expr(sub).alias("sub"))
+    from pyspark.sql import Window
+
+    ranked = cells.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("label", "sub").orderBy("vec_id")),
+    )
+    a = ranked.select("label", "sub", F.col("rnk").alias("ra"))
+    b = ranked.select("label", "sub", F.col("rnk").alias("rb"))
+    capped_pairs = (
+        a.join(b, ["label", "sub"])
+        .where((F.col("rb") - F.col("ra")).between(1, 8))
+        .count()
+    )
+    assert capped_pairs <= 8 * n, (capped_pairs, n)
+    # the cap BINDS once a subcell outgrows the window; the fixtures'
+    # cells stay small, so prove the binding case on a synthetic hot
+    # cell: 100 vectors that all land in ONE (label, sub) bucket.
+    hot = spark.createDataFrame(
+        [(i, 0) for i in range(100)], "vec_id long, label int"
+    ).withColumn("sub", F.lit(255))
+    rankedh = hot.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("label", "sub").orderBy("vec_id")
+        ),
+    )
+    ah = rankedh.select("label", "sub", F.col("rnk").alias("ra"))
+    bh = rankedh.select("label", "sub", F.col("rnk").alias("rb"))
+    cappedh = (
+        ah.join(bh, ["label", "sub"])
+        .where((F.col("rb") - F.col("ra")).between(1, 8))
+        .count()
+    )
+    uncappedh = (
+        ah.join(bh, ["label", "sub"]).where(F.col("rb") > F.col("ra")).count()
+    )
+    assert cappedh <= 8 * 100  # the contract: <=8N even in one hot cell
+    assert uncappedh == 100 * 99 // 2  # quadratic without the cap
+    assert cappedh < uncappedh
+
+
+def test_slope_one_cap_bounds_pair_fanout(spark):
+    """r_slope_one_capped's df<=48 cap must bound every user's pair
+    contribution at 48^2: after the cap, max per-user ordered-pair
+    fan-out is at most 48*47."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.recommender.core import ratings_matrix
+
+    m = ratings_matrix(spark, SF_SMALL)
+    deg = m.groupBy("user_id").agg(F.count("*").alias("df"))
+    capped = deg.where(F.col("df") <= 48)
+    mx = capped.agg(F.max("df")).collect()[0][0]
+    assert mx <= 48
+    worst = capped.agg(
+        F.max(F.col("df") * (F.col("df") - 1)).alias("w")
+    ).collect()[0]["w"]
+    assert worst <= 48 * 47
