@@ -3133,3 +3133,77 @@ def r_ips_eval(spark, sf_dir):
         ).alias("ess_ratio"),
         f6(F.max("w6") * 1.0 / F.sum("w6")).alias("max_weight_share"),
     )
+
+
+@register(
+    "r_ucb_scores",
+    f"""
+    WITH m AS ({_M_SQL}),
+    stats AS (
+        SELECT item_id,
+               CAST(count(*) AS BIGINT) AS n_i,
+               CAST(sum(CAST(rating AS BIGINT)) AS BIGINT) AS s_i
+        FROM m GROUP BY item_id
+    ),
+    tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n FROM stats),
+    scored AS (
+        SELECT s.item_id, s.n_i,
+               round(s.s_i * 1.0 / s.n_i, 6) + 0 AS mean_rating,
+               round(s.s_i * 1.0 / s.n_i
+                     + 12.0 * sqrt(2.0 * ln(t.n) / s.n_i), 6) + 0 AS ucb
+        FROM stats s CROSS JOIN tot t
+    )
+    SELECT item_id, n_i, mean_rating, ucb,
+           CAST(row_number() OVER (ORDER BY ucb DESC, item_id) AS BIGINT)
+               AS ucb_rank,
+           CAST(row_number() OVER (ORDER BY mean_rating DESC, item_id)
+                AS BIGINT) AS greedy_rank
+    FROM scored
+    ORDER BY ucb_rank LIMIT 10
+    """,
+)
+def r_ucb_scores(spark, sf_dir):
+    """UCB1 exploration scores for bandit-style item serving (Auer et
+    al. 2002, public): score_i = mean_i + c·√(2·ln N / n_i) — the
+    optimism bonus that forces thinly-observed items into rotation
+    where pure popularity ranking (r_topn_recs' greedy policy)
+    starves them of the impressions needed to learn their true
+    quality. The paired ucb_rank/greedy_rank columns make the policy
+    difference visible: items whose two ranks diverge are exactly the
+    under-explored inventory. c=12 scales the bonus to this corpus's
+    rating magnitudes (quantity sums); ε-greedy's alternative lives
+    at r_epsilon_slate.
+
+    One item-keyed aggregate over the ratings matrix (the shared
+    shuffle), a 1-row total broadcast, and two bounded rank windows
+    over |items| rows. Both engines evaluate the same ln/√
+    association on exact integer inputs and round at 6dp before
+    ranking, so order is engine-exact. At serving scale the stats
+    table IS the bandit state — incrementable by streaming counts.
+    """
+    m0 = ratings_matrix(spark, sf_dir)
+    stats = m0.groupBy("item_id").agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum(F.col("rating").cast("long")).cast("long").alias("s_i"),
+    )
+    tot = stats.agg(F.sum("n_i").cast("long").alias("n"))
+    scored = stats.crossJoin(F.broadcast(tot)).select(
+        "item_id",
+        "n_i",
+        f6(F.col("s_i") * 1.0 / F.col("n_i")).alias("mean_rating"),
+        f6(
+            F.col("s_i") * 1.0 / F.col("n_i")
+            + 12.0 * F.sqrt(2.0 * F.log(F.col("n")) / F.col("n_i"))
+        ).alias("ucb"),
+    )
+    w_ucb = Window.orderBy(F.col("ucb").desc(), "item_id")
+    w_greedy = Window.orderBy(F.col("mean_rating").desc(), "item_id")
+    return (
+        scored.withColumn("ucb_rank", F.row_number().over(w_ucb).cast("long"))
+        .withColumn("greedy_rank", F.row_number().over(w_greedy).cast("long"))
+        .where(F.col("ucb_rank") <= 10)
+        .select(
+            "item_id", "n_i", "mean_rating", "ucb", "ucb_rank", "greedy_rank"
+        )
+        .orderBy("ucb_rank")
+    )
