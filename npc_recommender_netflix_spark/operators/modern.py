@@ -3108,3 +3108,143 @@ def q_repeat_purchase_rate(spark, sf_dir):
         )
         .orderBy("cohort")
     )
+
+
+@register(
+    "q_velocity_rules",
+    """
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r1 AS (
+        SELECT user_id,
+               max(CASE WHEN cnt60 >= 3 THEN 1 ELSE 0 END) AS hit
+        FROM (
+            SELECT user_id,
+                   count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                  RANGE BETWEEN 3600000000 PRECEDING
+                                           AND CURRENT ROW) AS cnt60
+            FROM p
+        ) GROUP BY user_id
+    ),
+    med AS (
+        SELECT user_id, cents,
+               2 * sum(cents) OVER (PARTITION BY user_id) AS t2,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM p
+    ),
+    r2 AS (
+        SELECT user_id,
+               max(CASE WHEN cents * n * 2 > t2 * 3 THEN 1 ELSE 0 END) AS hit
+        FROM med GROUP BY user_id
+    ),
+    gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM p
+    ),
+    r3 AS (
+        SELECT user_id,
+               max(CASE WHEN gap_us >= 30 * 86400000000 THEN 1 ELSE 0 END)
+                   AS hit
+        FROM gaps GROUP BY user_id
+    )
+    SELECT 'burst_3_in_60min' AS rule,
+           CAST(sum(hit) AS BIGINT) AS n_flagged,
+           CAST(min(CASE WHEN hit = 1 THEN user_id END) AS BIGINT)
+               AS first_user
+    FROM r1
+    UNION ALL
+    SELECT 'spend_3x_own_mean', CAST(sum(hit) AS BIGINT),
+           CAST(min(CASE WHEN hit = 1 THEN user_id END) AS BIGINT) FROM r2
+    UNION ALL
+    SELECT 'dormancy_reactivation', CAST(sum(hit) AS BIGINT),
+           CAST(min(CASE WHEN hit = 1 THEN user_id END) AS BIGINT) FROM r3
+    ORDER BY rule
+    """,
+)
+def q_velocity_rules(spark, sf_dir):
+    """Velocity rule engine — the fraud/abuse decisioning pass every
+    payments pipeline runs: three archetypal rules over the purchase
+    stream, reported as a per-rule flagged census with a first-offender
+    id for triage. (1) BURST: ≥3 purchases inside any sliding 60-minute
+    window — a RANGE frame over event-time microseconds, the exact
+    sliding-count semantics st_sliding streams; (2) OUTLIER SPEND: any
+    purchase over 3× the user's own mean, tested by integer
+    cross-multiplication (cents·n·2 > 2Σ·3 — no float mean, no
+    division); (3) DORMANCY REACTIVATION: a purchase after ≥30 days of
+    silence (lag gap) — the account-takeover tell.
+
+    All three rules ride ONE user_id exchange (three windows over the
+    same partitioning — Spark reuses the sort); per-rule rollups are
+    map-side partial max/sum. Output is 3 rows at any scale. The same
+    shape extends to N rules by adding window expressions, not jobs —
+    which is why rule engines belong in the engine, not in a per-event
+    microservice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    us = F.unix_micros(F.col("ts"))
+    w60 = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3600000000, Window.currentRow)
+    )
+    r1 = (
+        p.select("user_id", F.count("*").over(w60).alias("cnt60"))
+        .groupBy("user_id")
+        .agg(F.max(F.when(F.col("cnt60") >= 3, 1).otherwise(0)).alias("hit"))
+    )
+    w_all = Window.partitionBy("user_id")
+    r2 = (
+        p.select(
+            "user_id",
+            "cents",
+            (2 * F.sum("cents").over(w_all)).alias("t2"),
+            F.count("*").over(w_all).cast("long").alias("n"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("cents") * F.col("n") * 2 > F.col("t2") * 3, 1
+                ).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r3 = (
+        p.select(
+            "user_id", (us - F.lag(us).over(w_lag)).alias("gap_us")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("gap_us") >= 30 * 86400000000, 1).otherwise(0)
+            ).alias("hit")
+        )
+    )
+
+    def census(df, name):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.sum("hit").cast("long").alias("n_flagged"),
+            F.min(F.when(F.col("hit") == 1, F.col("user_id")))
+            .cast("long")
+            .alias("first_user"),
+        )
+
+    return (
+        census(r1, "burst_3_in_60min")
+        .unionByName(census(r2, "spend_3x_own_mean"))
+        .unionByName(census(r3, "dormancy_reactivation"))
+        .orderBy("rule")
+    )
