@@ -4464,3 +4464,107 @@ def a_mutual_information(spark, sf_dir):
         f6(F.sum("term9") / 1e9).alias("mi_nats"),
         f6(F.sum("term9") / 1e9 / math.log(2)).alias("mi_bits"),
     )
+
+
+@register(
+    "a_tost_equivalence",
+    f"""
+    WITH assign AS (
+        SELECT {_H32_USER} % 2 AS arm,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+               sum(cents) AS s, sum(cents * cents) AS q
+        FROM assign GROUP BY arm
+    ),
+    w AS (
+        SELECT max(CASE WHEN arm = 0 THEN n END) AS na,
+               max(CASE WHEN arm = 1 THEN n END) AS nb,
+               max(CASE WHEN arm = 0 THEN s END) AS sa,
+               max(CASE WHEN arm = 1 THEN s END) AS sb,
+               max(CASE WHEN arm = 0 THEN q END) AS qa,
+               max(CASE WHEN arm = 1 THEN q END) AS qb
+        FROM g
+    ),
+    stats AS (
+        SELECT na, nb,
+               sa * 1.0 / na - sb * 1.0 / nb AS diff,
+               sqrt((qa - sa * 1.0 * sa / na) / (na - 1) / na
+                    + (qb - sb * 1.0 * sb / nb) / (nb - 1) / nb) AS se,
+               0.02 * (sa + sb) * 1.0 / (na + nb) AS delta
+        FROM w
+    )
+    SELECT na, nb,
+           round(diff / 100, 6) + 0 AS diff_usd,
+           round(se / 100, 6) + 0 AS se_usd,
+           round((diff + delta) / se, 6) + 0 AS t_lower,
+           round((diff - delta) / se, 6) + 0 AS t_upper,
+           CASE WHEN (diff + delta) / se > 1.644854
+                 AND (diff - delta) / se < -1.644854
+                THEN 1 ELSE 0 END AS equivalent
+    FROM stats
+    """,
+)
+def a_tost_equivalence(spark, sf_dir):
+    """TOST equivalence test (two one-sided tests, Schuirmann 1987) on
+    hash-assigned arms — the test a_ttest_welch CANNOT provide: failing
+    to reject 'different' is not evidence of 'same', so non-inferiority
+    and do-no-harm launches need TOST's inverted hypotheses (H0: the
+    arms DIFFER by at least δ; rejecting BOTH one-sided tests at α=.05
+    declares equivalence within ±δ = 2% of the pooled mean). On a null
+    A/A split like this md5 assignment, `equivalent = 1` is the
+    expected outcome — the operator doubles as the A/A harness
+    validation every experimentation platform runs.
+
+    Same exact-BIGINT (n, Σx, Σx²) moment discipline as the rest of the
+    stats family; Welch SE and both t statistics assemble in one shared
+    float association; 1.644854 (z at one-sided .05) is a shared
+    literal — no CDF in either engine. One 2-cell aggregate at any
+    scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    c = F.round(F.col("value") * 100).cast("long")
+    assign = ev.select((h32 % 2).alias("arm"), c.alias("cents"))
+    g = assign.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("arm") == 0, F.col("q"))).alias("qa"),
+        F.max(F.when(F.col("arm") == 1, F.col("q"))).alias("qb"),
+    )
+    diff = F.col("sa") * 1.0 / F.col("na") - F.col("sb") * 1.0 / F.col("nb")
+    se = F.sqrt(
+        (F.col("qa") - F.col("sa") * 1.0 * F.col("sa") / F.col("na"))
+        / (F.col("na") - 1)
+        / F.col("na")
+        + (F.col("qb") - F.col("sb") * 1.0 * F.col("sb") / F.col("nb"))
+        / (F.col("nb") - 1)
+        / F.col("nb")
+    )
+    delta = 0.02 * (F.col("sa") + F.col("sb")) * 1.0 / (F.col("na") + F.col("nb"))
+    return w.select(
+        "na",
+        "nb",
+        f6(diff / 100).alias("diff_usd"),
+        f6(se / 100).alias("se_usd"),
+        f6((diff + delta) / se).alias("t_lower"),
+        f6((diff - delta) / se).alias("t_upper"),
+        F.when(
+            ((diff + delta) / se > 1.644854)
+            & ((diff - delta) / se < -1.644854),
+            1,
+        )
+        .otherwise(0)
+        .alias("equivalent"),
+    )

@@ -648,3 +648,91 @@ def j_runtime_bloom(spark, sf_dir):
             F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
         )
     )
+
+
+@register(
+    "j_fact_to_scd2",
+    """
+    WITH v AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    facts AS (
+        SELECT user_id, event_id AS fact_id, ts AS fact_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT f.user_id, f.fact_id, v.state
+        FROM facts f JOIN v
+          ON v.user_id = f.user_id
+         AND v.valid_from <= f.fact_ts
+         AND (v.valid_to IS NULL OR v.valid_to > f.fact_ts)
+    ),
+    integrity AS (
+        SELECT fact_id, CAST(count(*) AS BIGINT) AS n_versions
+        FROM matched GROUP BY fact_id
+    )
+    SELECT m.state,
+           CAST(count(*) AS BIGINT) AS n_facts,
+           CAST(count(DISTINCT m.user_id) AS BIGINT) AS n_users,
+           CAST(max(i.n_versions) AS BIGINT) AS max_versions_per_fact
+    FROM matched m JOIN integrity i ON i.fact_id = m.fact_id
+    GROUP BY m.state ORDER BY m.state
+    """,
+)
+def j_fact_to_scd2(spark, sf_dir):
+    """Fact-to-SCD2 interval join — the canonical use of a versioned
+    dimension: each (late-arriving) fact joins the dimension version
+    that was valid AT THE FACT'S OWN TIMESTAMP, via half-open interval
+    containment against the lead()-built validity table
+    (q_scd2_snapshot's build step, consumed instead of snapshotted).
+    This is what j_asof approximates with nearest-match tolerance;
+    interval containment is the EXACT semantics, and the
+    max_versions_per_fact column audits the SCD2 integrity property
+    the half-open intervals guarantee — every fact matches exactly one
+    version (a 2 here means overlapping validity, the classic broken-
+    merge symptom).
+
+    Concretely: purchases are the facts, the user's non-purchase
+    event stream builds the state versions, and the output answers
+    'what state was each user in when they bought' — purchase
+    attribution against a versioned profile. Plan: the version build
+    is one user-keyed window; the interval join is an equi-join on
+    user_id with containment as a post-join filter — co-partitioned,
+    no range explosion (each fact meets only ITS user's versions). At
+    100 TB with the versioned table bucketed by user and partitioned
+    by valid_from date, the probe prunes both ways.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("fact_id"), F.col("ts").alias("fact_ts")
+    )
+    matched = facts.join(v, "user_id").where(
+        (F.col("valid_from") <= F.col("fact_ts"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") > F.col("fact_ts"))
+        )
+    ).select("user_id", "fact_id", "state")
+    integrity = matched.groupBy("fact_id").agg(
+        F.count("*").cast("long").alias("n_versions")
+    )
+    return (
+        matched.join(integrity, "fact_id")
+        .groupBy("state")
+        .agg(
+            F.count("*").cast("long").alias("n_facts"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.max("n_versions").cast("long").alias("max_versions_per_fact"),
+        )
+        .orderBy("state")
+    )
