@@ -376,3 +376,113 @@ def fn_geohash_encode(spark, sf_dir):
         .orderBy(F.col("n").desc(), "cell8")
         .limit(10)
     )
+
+
+def _luhn_terms(col: str, ndigits: int, double_even: bool) -> str:
+    """Σ over digit positions (1 = rightmost) of the Luhn contribution:
+    doubled digits reduce by 9 when >9. Pure // and % — identical in
+    both engines, no string casts."""
+    terms = []
+    for i in range(1, ndigits + 1):
+        d = f"(({col} // {10 ** (i - 1)}) % 10)"
+        if (i % 2 == 0) == double_even:
+            terms.append(
+                f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)"
+            )
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "fn_luhn_check",
+    f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               10000000000 + (o_orderkey * 2654435761) % 90000000000 AS b11
+        FROM orders
+    ),
+    withcheck AS (
+        SELECT o_orderkey, b11,
+               (10 - {_luhn_terms('b11', 11, False)} % 10) % 10 AS chk
+        FROM base
+    ),
+    nums AS (
+        SELECT o_orderkey,
+               b11 * 10 + chk
+               + CASE WHEN o_orderkey % 13 = 0
+                      THEN CASE WHEN chk < 9 THEN 1 ELSE -9 END
+                      ELSE 0 END AS acct
+        FROM withcheck
+    ),
+    v AS (
+        SELECT o_orderkey, acct,
+               CASE WHEN {_luhn_terms('acct', 12, True)} % 10 = 0
+                    THEN 1 ELSE 0 END AS ok
+        FROM nums
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_accounts,
+           CAST(sum(ok) AS BIGINT) AS n_valid,
+           CAST(count(*) - sum(ok) AS BIGINT) AS n_invalid,
+           CAST(min(CASE WHEN ok = 0 THEN o_orderkey END) AS BIGINT)
+               AS first_invalid_key
+    FROM v
+    """,
+)
+def fn_luhn_check(spark, sf_dir):
+    """Luhn mod-10 checksum validation (ISO/IEC 7812, public — card
+    numbers, IMEIs, many national IDs) over synthesized 12-digit
+    account numbers: a correct check digit is COMPUTED for every
+    account, every 13th is then corrupted by one digit, and the
+    validator must flag exactly those — so the test exercises both
+    halves of the algorithm (generation and validation) against each
+    other, and a single broken doubling branch breaks the census.
+
+    Both halves are generated integer expressions (digit extraction by
+    // and %, the doubled-digit reduce-by-9 as a CASE — no string
+    casts, no shifts), fully map-side codegen in one pass; output is a
+    4-number census. The practical shape: this is the cheap structural
+    gate a payments ingest runs BEFORE expensive downstream checks,
+    at scan speed on any volume.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def luhn_sum(col, ndigits, double_even):
+        total = None
+        for i in range(1, ndigits + 1):
+            d = (col / (10 ** (i - 1))).cast("long") % 10
+            if (i % 2 == 0) == double_even:
+                t = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+            else:
+                t = d
+            total = t if total is None else total + t
+        return total
+
+    b11 = (
+        F.lit(10000000000)
+        + (F.col("o_orderkey") * 2654435761) % 90000000000
+    ).alias("b11")
+    base = orders.select("o_orderkey", b11)
+    chk = (10 - luhn_sum(F.col("b11"), 11, False) % 10) % 10
+    nums = base.select(
+        "o_orderkey",
+        (
+            F.col("b11") * 10
+            + chk
+            + F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.when(chk < 9, 1).otherwise(-9),
+            ).otherwise(0)
+        ).alias("acct"),
+    )
+    ok = F.when(
+        luhn_sum(F.col("acct"), 12, True) % 10 == 0, 1
+    ).otherwise(0)
+    return nums.select("o_orderkey", ok.alias("ok")).agg(
+        F.count("*").cast("long").alias("n_accounts"),
+        F.sum("ok").cast("long").alias("n_valid"),
+        (F.count("*") - F.sum("ok")).cast("long").alias("n_invalid"),
+        F.min(F.when(F.col("ok") == 0, F.col("o_orderkey")))
+        .cast("long")
+        .alias("first_invalid_key"),
+    )

@@ -4568,3 +4568,86 @@ def a_tost_equivalence(spark, sf_dir):
         .otherwise(0)
         .alias("equivalent"),
     )
+
+
+@register(
+    "a_gumbel_maxima",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(mx) AS s, sum(mx * mx) AS q
+        FROM daily
+    ),
+    fit AS (
+        SELECT n,
+               s * 1.0 / n AS mean,
+               sqrt((q - s * 1.0 * s / n) / (n - 1)) AS sd
+        FROM m
+    )
+    SELECT n AS n_days,
+           round(mean / 100, 6) + 0 AS mean_daily_max_usd,
+           round((sd * 0.7796968012336093) / 100, 6) + 0 AS beta_usd,
+           round((mean - 0.5772156649015329 * sd * 0.7796968012336093)
+                 / 100, 6) + 0 AS mu_usd,
+           round((mean - 0.5772156649015329 * sd * 0.7796968012336093
+                  - sd * 0.7796968012336093 * ln(-ln(0.99)))
+                 / 100, 6) + 0 AS return_level_100d_usd
+    FROM fit
+    """,
+)
+def a_gumbel_maxima(spark, sf_dir):
+    """Extreme-value (Gumbel) fit of daily maxima by method of moments —
+    the EVT step beyond w_value_at_risk: the empirical tail can only
+    quote losses it has SEEN; fitting the block-maxima distribution
+    (Gumbel, the EVT type-I limit for light-tailed maxima) extrapolates
+    to the 100-day return level — 'the single-event size exceeded once
+    per 100 days' — capacity planning's actual question. Moment
+    estimators: β̂ = s·√6/π, μ̂ = m̄ − γβ̂, return level = μ̂ −
+    β̂·ln(−ln(0.99)); √6/π and Euler's γ ship as shared 16-digit
+    literals so neither engine computes a constant differently.
+
+    Daily maxima fold as exact BIGINT cents (max is order-free by
+    nature); (n, Σ, Σ²) over the bounded day axis give the moments;
+    everything after is 1-row float math in one shared association.
+    One data-scale pass, five numbers out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.max(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("mx")
+    )
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("mx").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).alias("q"),
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    sd = F.sqrt(
+        (F.col("q") - F.col("s") * 1.0 * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    beta = sd * 0.7796968012336093  # sqrt(6)/pi as a shared literal
+    mu = mean - 0.5772156649015329 * beta  # Euler gamma as a shared literal
+    import math
+
+    rl = mu - beta * math.log(-math.log(0.99))
+    return m.select(
+        F.col("n").alias("n_days"),
+        f6(mean / 100).alias("mean_daily_max_usd"),
+        f6(beta / 100).alias("beta_usd"),
+        f6(mu / 100).alias("mu_usd"),
+        f6(
+            (
+                mean
+                - 0.5772156649015329 * beta
+                - beta * F.lit(math.log(-math.log(0.99)))
+            )
+            / 100
+        ).alias("return_level_100d_usd"),
+    )
