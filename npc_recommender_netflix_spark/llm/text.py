@@ -3352,3 +3352,83 @@ def t_prep_pipeline_r7(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t_blocklist_filter",
+    f"""
+    WITH tok AS (SELECT DISTINCT doc_id, lang, word FROM ({TOKENS_SQL})),
+    block AS (
+        SELECT word FROM (SELECT DISTINCT word FROM tok)
+        WHERE {_H32_DOC.replace('doc_id', 'word').replace('CAST(word AS VARCHAR)', 'word')} % 29 = 0
+    ),
+    hits AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM tok t JOIN block b ON b.word = t.word
+        GROUP BY t.doc_id
+    ),
+    docs AS (
+        SELECT d.doc_id, d.source, coalesce(h.n_hits, 0) AS n_hits
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(CASE WHEN n_hits >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quarantined,
+           round(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) + 0 AS flag_rate
+    FROM docs GROUP BY source ORDER BY source
+    """,
+)
+def t_blocklist_filter(spark, sf_dir):
+    """Blocklist safety filter — the wordlist pass every training corpus
+    runs before quality scoring (C4 famously dropped ~5% of the crawl
+    on one): documents are scored by DISTINCT blocked-term hits, soft-
+    flagged at ≥1 and quarantined at ≥3 (the two-threshold policy that
+    keeps single-incidental-mention docs while removing concentrated
+    content), reported per source — the triage view that catches a
+    whole feed gone bad. The blocklist here is a deterministic 1/29
+    hash sample of the vocabulary (the fixtures' synthetic words carry
+    no real unsafe terms; the PLUMBING — broadcast term join, distinct-
+    hit scoring, threshold census — is exactly the production filter).
+
+    The blocklist broadcasts (real lists are 10³-10⁵ terms); hits
+    aggregate per doc on the token exchange every t_* key shares; the
+    census is a |sources|-key rollup. Linear at any corpus size, and
+    the flag/quarantine split means downstream can route soft flags to
+    review instead of deleting them.
+    """
+    tok = tokens(spark, sf_dir).select("doc_id", "word").distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    h32w = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
+    block = (
+        tok.select("word").distinct().where(h32w % 29 == 0).select("word")
+    )
+    hits = (
+        tok.join(F.broadcast(block), "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    d = docs.join(hits, "doc_id", "left").select(
+        "source", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum(F.when(F.col("n_hits") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_quarantined"),
+            f6(
+                F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+                * 1.0
+                / F.count("*")
+            ).alias("flag_rate"),
+        )
+        .orderBy("source")
+    )

@@ -3248,3 +3248,91 @@ def q_velocity_rules(spark, sf_dir):
         .unionByName(census(r3, "dormancy_reactivation"))
         .orderBy("rule")
     )
+
+
+@register(
+    "q_receivables_aging",
+    """
+    WITH open_orders AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(date_diff('day', o_orderdate,
+                              TIMESTAMP '1998-08-01 00:00:00') AS BIGINT)
+                   AS age_days
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+          AND o_orderdate <= TIMESTAMP '1998-08-01 00:00:00'
+    ),
+    banded AS (
+        SELECT *,
+               CASE WHEN age_days <= 30 THEN '0: current'
+                    WHEN age_days <= 60 THEN '1: 31-60'
+                    WHEN age_days <= 90 THEN '2: 61-90'
+                    ELSE '3: 90+' END AS bucket
+        FROM open_orders
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(cents) / 100.0, 2) + 0.0 AS open_usd,
+           round(sum(cents) * 100.0
+                 / (SELECT sum(cents) FROM open_orders), 6) + 0
+               AS pct_of_open,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM banded GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_receivables_aging(spark, sf_dir):
+    """Receivables aging report — finance ops' daily bread: every
+    non-finalized order still open at the snapshot date, bucketed by
+    age (current / 31-60 / 61-90 / 90+), with open dollars, share of
+    total exposure, and distinct customers per band — the report that
+    drives dunning priority and bad-debt reserves (the 90+ band's
+    share IS the reserve conversation). Complements q_running_backlog
+    (a time series of total open) with the cross-sectional WHO-OWES-
+    WHAT-HOW-LONG cut at one date.
+
+    Exact BIGINT cents; integer day arithmetic against a fixed
+    snapshot literal; band labels carry sort prefixes so ordering is
+    engine-stable without a CASE rank. One filtered scan + a 4-band
+    partial+final aggregate and a broadcast 1-row total — at 100 TB
+    the status+date filter pushes to the scan and the report costs a
+    single pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    snap = F.lit("1998-08-01 00:00:00").cast("timestamp")
+    open_orders = orders.where(
+        (F.col("o_orderstatus") != "F") & (F.col("o_orderdate") <= snap)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.datediff(F.to_date(snap), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("age_days"),
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0: current")
+        .when(F.col("age_days") <= 60, "1: 31-60")
+        .when(F.col("age_days") <= 90, "2: 61-90")
+        .otherwise("3: 90+")
+    )
+    banded = open_orders.withColumn("bucket", bucket)
+    tot = open_orders.agg(F.sum("cents").alias("total_cents"))
+    return (
+        banded.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            (F.round(F.sum("cents") / 100.0, 2) + 0.0).alias("open_usd"),
+            F.sum("cents").alias("_c"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_orders",
+            "open_usd",
+            f6(F.col("_c") * 100.0 / F.col("total_cents")).alias("pct_of_open"),
+            "n_customers",
+        )
+        .orderBy("bucket")
+    )
