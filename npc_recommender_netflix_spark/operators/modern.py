@@ -3336,3 +3336,85 @@ def q_receivables_aging(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_skyline_orders",
+    """
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               epoch_us(o_orderdate) AS date_us, o_orderdate
+        FROM orders WHERE o_custkey % 11 = 0
+    ),
+    sweep AS (
+        SELECT *,
+               max(date_us) OVER (ORDER BY cents
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS best_newer,
+               max(date_us) OVER (PARTITION BY cents) AS best_same_price,
+               min(o_orderkey) OVER (PARTITION BY cents, date_us) AS first_key
+        FROM pts
+    )
+    SELECT o_orderkey, round(cents / 100.0, 2) + 0.0 AS price_usd, o_orderdate
+    FROM sweep
+    WHERE (best_newer IS NULL OR best_newer < date_us)
+      AND date_us = best_same_price
+      AND o_orderkey = first_key
+    ORDER BY cents, o_orderkey
+    """,
+)
+def q_skyline_orders(spark, sf_dir):
+    """2-D skyline (Pareto frontier) — cheapest-and-newest orders no
+    other order dominates (lower-or-equal price AND newer-or-equal
+    date, one strict): the multi-criteria shortlist operator behind
+    'show me options that aren't strictly worse than something else'
+    (Börzsönyi et al. 2001, the classic SKYLINE OF clause). The naive
+    formulation is an O(n²) NOT EXISTS self-join; in 2-D the frontier
+    falls out of ONE window sweep: sorted by price, a point survives
+    iff its date beats the running max date of all strictly cheaper
+    points — O(n log n), and the RANGE .. 1 PRECEDING frame makes
+    'strictly cheaper' exact under price ties (same-price groups keep
+    only their newest, identical pairs dedupe by min key).
+
+    All comparisons on exact integers (cents, epoch micros). Scale:
+    one range-frame window = one sort; in d>2 dimensions the sweep
+    generalizes to grid-prune + per-cell skylines (the j_grid_knn
+    bucketing applied to domination), which the docstring records as
+    the escalation path. Sampled 1/11 by customer for a bounded
+    compare; the plan is sample-independent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.where(F.col("o_custkey") % 11 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("date_us"),
+        "o_orderdate",
+    )
+    w_strict = (
+        Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("cents")
+    w_dup = Window.partitionBy("cents", "date_us")
+    sweep = pts.select(
+        "o_orderkey",
+        "cents",
+        "date_us",
+        "o_orderdate",
+        F.max("date_us").over(w_strict).alias("best_newer"),
+        F.max("date_us").over(w_same).alias("best_same_price"),
+        F.min("o_orderkey").over(w_dup).alias("first_key"),
+    )
+    return (
+        sweep.where(
+            (F.col("best_newer").isNull() | (F.col("best_newer") < F.col("date_us")))
+            & (F.col("date_us") == F.col("best_same_price"))
+            & (F.col("o_orderkey") == F.col("first_key"))
+        )
+        .select(
+            "o_orderkey",
+            (F.round(F.col("cents") / 100.0, 2) + 0.0).alias("price_usd"),
+            "o_orderdate",
+        )
+        .orderBy("price_usd", "o_orderkey")
+    )
