@@ -4651,3 +4651,118 @@ def a_gumbel_maxima(spark, sf_dir):
             / 100
         ).alias("return_level_100d_usd"),
     )
+
+
+@register(
+    "a_interrupted_ts",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT CASE WHEN day < DATE '2024-02-01' THEN 0 ELSE 1 END AS post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               CAST(sum(t * y) AS BIGINT) AS sty
+        FROM daily GROUP BY 1
+    ),
+    fit AS (
+        SELECT post, n,
+               (n * 1.0 * sty - st * 1.0 * sy)
+                   / (n * 1.0 * stt - st * 1.0 * st) AS slope,
+               (sy * 1.0 - (n * 1.0 * sty - st * 1.0 * sy)
+                               / (n * 1.0 * stt - st * 1.0 * st) * st)
+                   / n AS intercept
+        FROM seg
+    ),
+    w AS (
+        SELECT max(CASE WHEN post = 0 THEN slope END) AS slope0,
+               max(CASE WHEN post = 1 THEN slope END) AS slope1,
+               max(CASE WHEN post = 0 THEN intercept END) AS int0,
+               max(CASE WHEN post = 1 THEN intercept END) AS int1,
+               max(CASE WHEN post = 0 THEN n END) AS n_pre,
+               max(CASE WHEN post = 1 THEN n END) AS n_post
+        FROM fit
+    )
+    SELECT n_pre, n_post,
+           round((int0 + slope0 * 31) / 100, 6) + 0 AS expected_at_break_usd,
+           round((int1 + slope1 * 31) / 100, 6) + 0 AS actual_fit_at_break_usd,
+           round(((int1 + slope1 * 31) - (int0 + slope0 * 31)) / 100, 6) + 0
+               AS level_change_usd,
+           round((slope1 - slope0) / 100, 6) + 0 AS slope_change_usd_per_day
+    FROM w
+    """,
+)
+def a_interrupted_ts(spark, sf_dir):
+    """Interrupted time-series (segmented regression) at a KNOWN
+    intervention date — the pre-registered causal design next to
+    w_changepoint's searched split: fit OLS level+trend separately
+    before and after 2024-02-01 and report the counterfactual gap at
+    the break (level change = what jumped the day the feature
+    shipped) and the trend change (slope_change = how the trajectory
+    bent) — the two coefficients an ITS writeup quotes
+    (difference-in-differences' single-series sibling; a_did covers
+    the two-group design).
+
+    Per-segment OLS assembles from exact BIGINT moments (n, Σt, Σy,
+    Σt², Σty) — one ≤2-group aggregate over the bounded day axis
+    after the daily rollup; slopes/intercepts are 1-row float math in
+    one shared association, both segments evaluated at the break
+    (t=31) for the gap. One data-scale pass, six numbers out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).select(
+        "day",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+        "y",
+    )
+    seg = daily.groupBy(
+        F.when(F.col("day") < F.lit("2024-02-01").cast("date"), 0)
+        .otherwise(1)
+        .alias("post")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    slope = (
+        F.col("n") * 1.0 * F.col("sty") - F.col("st") * 1.0 * F.col("sy")
+    ) / (F.col("n") * 1.0 * F.col("stt") - F.col("st") * 1.0 * F.col("st"))
+    intercept = (F.col("sy") * 1.0 - slope * F.col("st")) / F.col("n")
+    fit = seg.select(
+        "post", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+    w = fit.agg(
+        F.max(F.when(F.col("post") == 0, F.col("slope"))).alias("slope0"),
+        F.max(F.when(F.col("post") == 1, F.col("slope"))).alias("slope1"),
+        F.max(F.when(F.col("post") == 0, F.col("intercept"))).alias("int0"),
+        F.max(F.when(F.col("post") == 1, F.col("intercept"))).alias("int1"),
+        F.max(F.when(F.col("post") == 0, F.col("n"))).alias("n_pre"),
+        F.max(F.when(F.col("post") == 1, F.col("n"))).alias("n_post"),
+    )
+    pre_at = F.col("int0") + F.col("slope0") * 31
+    post_at = F.col("int1") + F.col("slope1") * 31
+    return w.select(
+        "n_pre",
+        "n_post",
+        f6(pre_at / 100).alias("expected_at_break_usd"),
+        f6(post_at / 100).alias("actual_fit_at_break_usd"),
+        f6((post_at - pre_at) / 100).alias("level_change_usd"),
+        f6((F.col("slope1") - F.col("slope0")) / 100).alias(
+            "slope_change_usd_per_day"
+        ),
+    )
