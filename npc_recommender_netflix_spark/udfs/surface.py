@@ -415,3 +415,67 @@ def u_observe_metrics(spark, sf_dir):
         "rows_kept",
         f6(F.col("rows_kept") * 1.0 / F.col("rows_scanned")).alias("keep_rate"),
     )
+
+
+@register(
+    "u_model_scoring",
+    """
+    WITH scored AS (
+        SELECT l_orderkey,
+               round(0.31 * l_quantity + 0.047 * (l_extendedprice / 100.0)
+                     - 2.2 * l_discount + 0.5, 6) AS score
+        FROM lineitem WHERE l_linenumber = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_scored,
+           round(avg(score), 6) + 0 AS mean_score,
+           CAST(sum(CASE WHEN score > 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_threshold
+    FROM scored
+    """,
+)
+def u_model_scoring(spark, sf_dir):
+    """Batch model inference via a vectorized pandas UDF — THE serving
+    pattern for scoring a table with a trained model: weights ship to
+    executors once (broadcast, here a deterministic 3-feature linear
+    model standing in for any pickled sklearn/xgboost artifact), each
+    Arrow batch scores as ONE numpy matrix-vector product, and no row
+    ever crosses to Python individually. This is the shape every
+    'score 100 TB with the fraud model' job takes: the model is
+    closure state, the data never leaves the scan task, and
+    throughput is BLAS-bound, not interpreter-bound (the 10-100x gap
+    over row-Python that u_py_udf exists to demonstrate).
+
+    The stand-in model is linear so the DuckDB oracle can mirror the
+    arithmetic exactly (6dp snap per score before the census) — with
+    a real artifact the oracle disappears but the plumbing is
+    unchanged. Output: scored-row census + mean + threshold count.
+    """
+    import numpy as np
+
+    w = spark.sparkContext.broadcast(np.array([0.31, 0.047, -2.2, 0.5]))
+
+    @pandas_udf("double")
+    def score(qty: pd.Series, price: pd.Series, disc: pd.Series) -> pd.Series:
+        X = np.column_stack(
+            [qty.to_numpy(), price.to_numpy() / 100.0, disc.to_numpy()]
+        )
+        coefs = w.value
+        v = X @ coefs[:3] + coefs[3]
+        # half-AWAY rounding to match SQL round() — np.round is banker's
+        # (half-to-even), the cross-engine trap _rhu documents; scores
+        # here are positive, so floor(v*1e6 + 0.5) is exact half-away
+        return pd.Series(np.floor(v * 1e6 + 0.5) / 1e6)
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    scored = li.select(
+        score(
+            F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+        ).alias("score")
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_scored"),
+        f6(F.avg("score")).alias("mean_score"),
+        F.sum(F.when(F.col("score") > 10.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_above_threshold"),
+    )
