@@ -4766,3 +4766,118 @@ def a_interrupted_ts(spark, sf_dir):
             "slope_change_usd_per_day"
         ),
     )
+
+
+@register(
+    "a_runs_test",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    med AS (
+        SELECT x AS m FROM (
+            SELECT x, row_number() OVER (ORDER BY x, day) AS rn,
+                   count(*) OVER () AS n
+            FROM daily
+        ) WHERE rn = (n + 1) // 2
+    ),
+    signs AS (
+        SELECT day, CASE WHEN x > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+        FROM daily
+    ),
+    runs AS (
+        SELECT s,
+               CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                         OR lag(s) OVER (ORDER BY day) <> s
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ),
+    c AS (
+        SELECT CAST(sum(new_run) AS BIGINT) AS r,
+               CAST(sum(s) AS BIGINT) AS n1,
+               CAST(count(*) - sum(s) AS BIGINT) AS n2
+        FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           round(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6) + 0 AS expected_runs,
+           round((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) + 0
+               AS z,
+           CASE WHEN abs((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))))
+                     > 1.959964
+                THEN 1 ELSE 0 END AS nonrandom_flag
+    FROM c
+    """,
+)
+def a_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on daily volume around its median — the
+    nonparametric serial-dependence check missing beside
+    a_autocorr_daily (autocorrelation measures LINEAR dependence;
+    runs-above/below-median catch any alternation or clustering
+    pattern, distribution-free): too FEW runs = trending/sticky
+    regimes, too MANY = oscillation, and |z| > 1.96 flags either. The
+    median is a rank-based lower order statistic (the a_tukey_fences
+    rule — never an engine quantile), run boundaries come from one
+    lag() pass, and E[R]/Var[R] are the closed-form moments with
+    1.959964 as the shared z literal.
+
+    The daily rollup is the only data-scale pass; the runs machinery
+    lives on the bounded day axis (one ORDER BY day window — bounded
+    rows, not a data-scale sort). Integer counts throughout; floats
+    only in the final 1-row z assembly, shared association.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w_rank = Window.orderBy("x", "day")
+    ranked = daily.select(
+        "x",
+        "day",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select(F.col("x").alias("m"))
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        "day", F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("s")
+    )
+    w_day = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(w_day).isNull()
+            | (F.lag("s").over(w_day) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    c = runs.agg(
+        F.sum("new_run").cast("long").alias("r"),
+        F.sum("s").cast("long").alias("n1"),
+        (F.count("*") - F.sum("s")).cast("long").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    er = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    vr = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    z = (r - er) / F.sqrt(vr)
+    return c.select(
+        r.alias("n_runs"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        f6(er).alias("expected_runs"),
+        f6(z).alias("z"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("nonrandom_flag"),
+    )
