@@ -3198,3 +3198,155 @@ def v_embedding_drift(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "v_hybrid_retrieval_overlap",
+    f"""
+    WITH q AS (SELECT doc_id AS qid FROM documents WHERE doc_id % 97 = 0),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                    FROM documents))
+    ),
+    df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s),
+    idf AS (
+        SELECT df.s,
+               CAST(round(ln((SELECT count(*) FROM documents) * 1.0 / df.df)
+                          * 1e9) AS BIGINT) AS idf9
+        FROM df WHERE df.df <= 64
+    ),
+    lex AS (
+        SELECT qid, cand, rn FROM (
+            SELECT q.qid, t2.doc_id AS cand,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY sum(i.idf9) DESC, t2.doc_id) AS rn
+            FROM q
+            JOIN sh t1 ON t1.doc_id = q.qid
+            JOIN idf i ON i.s = t1.s
+            JOIN sh t2 ON t2.s = t1.s AND t2.doc_id <> q.qid
+            GROUP BY q.qid, t2.doc_id
+        ) WHERE rn <= 5
+    ),
+    dense AS (
+        SELECT qid, cand, rn FROM (
+            SELECT q.qid, e.vec_id AS cand,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                       round({_DUCK_DOT.format(a='qe.embedding', b='e.embedding')}
+                             / ({_DUCK_NRM.format(a='qe.embedding')}
+                                * {_DUCK_NRM.format(a='e.embedding')}), 6)
+                           DESC, e.vec_id) AS rn
+            FROM q
+            JOIN embeddings qe ON qe.vec_id = q.qid
+            JOIN embeddings e ON e.vec_id <> q.qid
+        ) WHERE rn <= 5
+    )
+    , common AS (
+        SELECT l.qid, CAST(count(*) AS BIGINT) AS n_common
+        FROM lex l JOIN dense d ON d.qid = l.qid AND d.cand = l.cand
+        GROUP BY l.qid
+    )
+    SELECT q.qid,
+           CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+           round(coalesce(c.n_common, 0) * 1.0
+                 / (10 - coalesce(c.n_common, 0)), 6) + 0 AS jaccard_5
+    FROM q LEFT JOIN common c ON c.qid = q.qid
+    ORDER BY q.qid
+    """,
+)
+def v_hybrid_retrieval_overlap(spark, sf_dir):
+    """Hybrid-retrieval agreement census — per query, how much the
+    LEXICAL top-5 (idf-weighted shingle overlap, the t_hard_negatives
+    scorer) and the DENSE top-5 (exact embedding cosine, the
+    v_cosine_topk scorer) agree, as intersection size and Jaccard@5.
+    This is the diagnostic a hybrid search deployment reads FIRST:
+    high overlap means one retriever is redundant (skip the fusion
+    cost); low overlap means rank fusion (r_rank_fusion) has real
+    headroom because the two channels surface different neighbors —
+    the standard argument for BM25+vector hybrids. The text and
+    vector modalities join on the fixtures' doc_id = vec_id identity
+    (m_multimodal_join's contract).
+
+    Both retrievers are existing registered shapes (capped posting
+    join; brute cosine bounded by the query sample); the overlap is
+    an equi-join of two |q|×5 lists. 6dp cosine snap before ranking
+    keeps the dense order engine-exact. Linear at fixed sample rate;
+    the dense side escalates to v_ann_ivf cells at catalog scale.
+    Zero-overlap queries are REPORTED (left join), not dropped — on
+    these fixtures the embeddings are text-independent, so ~0 overlap
+    is the correct reading: maximal fusion headroom.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("qid")
+    )
+    from .dedup import shingles
+
+    sh = shingles(spark, sf_dir, bounded=False)
+    df = sh.groupBy("s").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n"))
+    idf = (
+        df.where(F.col("df") <= 64)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "s",
+            F.round(F.log(F.col("n") * 1.0 / F.col("df")) * 1e9)
+            .cast("long")
+            .alias("idf9"),
+        )
+    )
+    t1 = sh.join(q, sh.doc_id == q.qid).select("qid", "s")
+    w_lex = Window.partitionBy("qid").orderBy(
+        F.col("score9").desc(), "cand"
+    )
+    lex = (
+        t1.join(idf, "s")
+        .join(
+            sh.select(F.col("doc_id").alias("cand"), F.col("s").alias("s2")),
+            (F.col("s2") == F.col("s")) & (F.col("cand") != F.col("qid")),
+        )
+        .groupBy("qid", "cand")
+        .agg(F.sum("idf9").cast("long").alias("score9"))
+        .withColumn("rn", F.row_number().over(w_lex))
+        .where(F.col("rn") <= 5)
+        .select("qid", "cand")
+    )
+    qe = q.join(emb, q.qid == emb.vec_id).select(
+        "qid", F.col("embedding").alias("eq")
+    )
+    cand = emb.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("ec"))
+    cos = F.expr(_DOT.format(a="eq", b="ec")) / (
+        F.expr(_NRM.format(a="eq")) * F.expr(_NRM.format(a="ec"))
+    )
+    w_dense = Window.partitionBy("qid").orderBy(F.col("c6").desc(), "cand")
+    dense = (
+        qe.crossJoin(cand)
+        .where(F.col("cand") != F.col("qid"))
+        .select("qid", "cand", f6(cos).alias("c6"))
+        .withColumn("rn", F.row_number().over(w_dense))
+        .where(F.col("rn") <= 5)
+        .select("qid", "cand")
+    )
+    common = (
+        lex.join(dense, ["qid", "cand"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        q.join(common, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        )
+        .select(
+            "qid",
+            "n_common",
+            f6(F.col("n_common") * 1.0 / (10 - F.col("n_common"))).alias(
+                "jaccard_5"
+            ),
+        )
+        .orderBy("qid")
+    )
