@@ -4881,3 +4881,104 @@ def a_runs_test(spark, sf_dir):
         f6(z).alias("z"),
         F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("nonrandom_flag"),
     )
+
+
+@register(
+    "a_mann_kendall",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    ties AS (
+        SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x
+    ),
+    c AS (
+        SELECT (SELECT CAST(sum(sgn) AS BIGINT) FROM pairs) AS s,
+               (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n,
+               (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                FROM ties) AS tie_corr
+    )
+    SELECT s AS s_stat, n AS n_days,
+           round((n * (n - 1.0) * (2.0 * n + 5) - tie_corr) / 18.0, 6) + 0
+               AS var_s,
+           round((CASE WHEN s > 0 THEN s - 1.0
+                       WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)
+                 / sqrt((n * (n - 1.0) * (2.0 * n + 5) - tie_corr) / 18.0),
+                 6) + 0 AS z,
+           CASE WHEN abs((CASE WHEN s > 0 THEN s - 1.0
+                               WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)
+                 / sqrt((n * (n - 1.0) * (2.0 * n + 5) - tie_corr) / 18.0))
+                     > 1.959964
+                THEN CASE WHEN s > 0 THEN 1 ELSE -1 END ELSE 0 END
+               AS trend_direction
+    FROM c
+    """,
+)
+def a_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test on daily volume — the
+    distribution-free 'is this KPI actually trending' answer that
+    needs no linearity assumption (a_corr_regr's slope does) and no
+    symmetric noise (a runs test ignores direction): S = Σ sign(x_j −
+    x_i) over all later-than pairs, z from the closed-form variance
+    WITH the tie correction Σt(t−1)(2t+5), continuity-corrected, and
+    a ±1/0 trend verdict at α=.05. The standard first test on any
+    monitoring series (hydrology to SLO dashboards; public Mann 1945
+    / Kendall).
+
+    The O(days²) pair join is deliberate and SAFE: it runs on the
+    BOUNDED day axis after the data-scale daily rollup (366 days →
+    67k sign pairs — metadata-scale forever), the same bounded-axis
+    argument as w_holt_linear. Exact integer S and tie terms; floats
+    only in the final 1-row z assembly with the shared 1.959964
+    literal.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s_stat = pairs.agg(F.sum("sgn").cast("long").alias("s"))
+    n_days = daily.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_corr")
+        )
+    )
+    c = s_stat.crossJoin(F.broadcast(n_days)).crossJoin(F.broadcast(ties))
+    n, s = F.col("n"), F.col("s")
+    var_s = (n * (n - 1.0) * (2.0 * n + 5) - F.col("tie_corr")) / 18.0
+    s_cc = (
+        F.when(s > 0, s - 1.0).when(s < 0, s + 1.0).otherwise(0.0)
+    )
+    z = s_cc / F.sqrt(var_s)
+    return c.select(
+        s.alias("s_stat"),
+        n.alias("n_days"),
+        f6(var_s).alias("var_s"),
+        f6(z).alias("z"),
+        F.when(F.abs(z) > 1.959964, F.when(s > 0, 1).otherwise(-1))
+        .otherwise(0)
+        .alias("trend_direction"),
+    )
