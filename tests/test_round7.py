@@ -403,3 +403,122 @@ def test_slope_one_cap_bounds_pair_fanout(spark):
         F.max(F.col("df") * (F.col("df") - 1)).alias("w")
     ).collect()[0]["w"]
     assert worst <= 48 * 47
+
+
+def test_changepoint_matches_bruteforce_argmax(spark):
+    """w_changepoint's prefix-sum gain must equal the brute-force
+    between-segment SS computed in numpy for every split, and the
+    argmax day must match."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], int(r["x"])))
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["w_changepoint"](spark, SF_SMALL).collect()
+    }
+    for et, pts in series.items():
+        xs = np.array([x for _, x in pts], dtype=float)
+        days = [d for d, _ in pts]
+        n = len(xs)
+        best, best_day = -1.0, None
+        for k in range(1, n):
+            ml, mr = xs[:k].mean(), xs[k:].mean()
+            gain = k * (n - k) / n * (ml - mr) ** 2
+            if gain > best + 1e-9:
+                best, best_day = gain, days[k - 1]
+        assert got[et]["split_day"] == best_day, (et, got[et], best_day)
+        assert np.isclose(
+            got[et]["mean_before_usd"] * 100,
+            xs[: days.index(best_day) + 1].mean(),
+            rtol=1e-6,
+        )
+
+
+def test_runs_test_matches_reference_counting(spark):
+    """a_runs_test's run count and z must match a direct Python pass
+    over the daily series (median by lower order statistic, runs by
+    scanning)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [int(r["x"]) for r in daily]
+    order = sorted(range(len(xs)), key=lambda i: (xs[i], daily[i]["day"]))
+    m = xs[order[(len(xs) + 1) // 2 - 1]]
+    signs = [1 if x > m else 0 for x in xs]
+    runs = 1 + sum(1 for i in range(1, len(signs)) if signs[i] != signs[i - 1])
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    er = 1 + 2 * n1 * n2 / (n1 + n2)
+    vr = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    got = registry.QUERIES["a_runs_test"](spark, SF_SMALL).collect()[0]
+    assert got["n_runs"] == runs
+    assert got["n_above"] == n1 and got["n_below"] == n2
+    assert abs(got["expected_runs"] - round(er, 6)) < 1e-9
+    z_ref = (runs - er) / math.sqrt(vr)
+    assert abs(got["z"] - round(z_ref, 6)) < 1e-9, (got["z"], z_ref)
+
+
+def test_velocity_rules_match_bruteforce(spark):
+    """q_velocity_rules' three rule censuses must match a pandas
+    brute-force over the purchase stream."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .toPandas()
+    )
+    got = {
+        r["rule"]: r
+        for r in registry.QUERIES["q_velocity_rules"](spark, SF_SMALL).collect()
+    }
+    burst, spend, dorm = set(), set(), set()
+    for uid, g in p.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        ts = g["us"].to_numpy()
+        for i in range(len(ts)):
+            if ((ts >= ts[i] - 3600000000) & (ts <= ts[i])).sum() >= 3:
+                burst.add(uid)
+                break
+        c = g["cents"].to_numpy()
+        if (c * len(c) * 2 > 2 * c.sum() * 3).any():
+            spend.add(uid)
+        gaps = np.diff(ts)
+        if len(gaps) and (gaps >= 30 * 86400000000).any():
+            dorm.add(uid)
+    assert got["burst_3_in_60min"]["n_flagged"] == len(burst)
+    assert got["spend_3x_own_mean"]["n_flagged"] == len(spend)
+    assert got["dormancy_reactivation"]["n_flagged"] == len(dorm)
+    if burst:
+        assert got["burst_3_in_60min"]["first_user"] == min(burst)
