@@ -736,3 +736,84 @@ def j_fact_to_scd2(spark, sf_dir):
         )
         .orderBy("state")
     )
+
+
+@register(
+    "j_null_safe",
+    """
+    WITH a AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                    ELSE o_custkey % 500 END AS k
+        FROM orders WHERE o_orderkey < 2000
+    ),
+    b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_custkey % 500 END AS k
+        FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+    ),
+    eq AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM a JOIN b ON a.k = b.k
+    ),
+    ns AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ),
+    nulls AS (
+        SELECT CAST((SELECT count(*) FROM a WHERE k IS NULL) AS BIGINT)
+                   AS na,
+               CAST((SELECT count(*) FROM b WHERE k IS NULL) AS BIGINT)
+                   AS nb
+    )
+    SELECT eq.n AS n_eq_matches, ns.n AS n_nullsafe_matches,
+           ns.n - eq.n AS n_null_only_pairs,
+           nulls.na * nulls.nb AS expected_null_pairs
+    FROM eq CROSS JOIN ns CROSS JOIN nulls
+    """,
+)
+def j_null_safe(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) against
+    plain `=` — the semantics gap behind one of the most common silent
+    data-loss bugs: `=` NEVER matches NULL keys (NULL = NULL is NULL,
+    the rows just vanish from an inner join), while `<=>` treats NULL
+    as a joinable value. Both joins run on the same deliberately-
+    nullable keys and the census PROVES the difference arithmetically:
+    n_nullsafe − n_eq must equal |NULLs left| × |NULLs right| (the
+    null-key cross product), which the expected_null_pairs column
+    recomputes independently — if the two columns disagree, an engine
+    mishandled null-key semantics.
+
+    Scale note the operator embodies: `<=>` compiles to an ordinary
+    hash-join key (nulls hash to one bucket), so ALL null keys land in
+    ONE partition — the built-in skew bomb of null-safe joins at
+    100 TB, fixed by pre-filtering nulls into a union branch (the
+    a_key_skew_census → j_skew_salted escalation). Plain `=` instead
+    null-rejects at the scan. Both sides bounded here for the compare;
+    the plan shapes are what matter.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, None)
+        .otherwise(F.col("o_custkey") % 500)
+        .alias("k"),
+    )
+    b = orders.where(
+        (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000)
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey") % 500)
+        .alias("k"),
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    n_eq = aa.join(bb, F.col("a.k") == F.col("b.k")).count()
+    n_ns = aa.join(bb, F.col("a.k").eqNullSafe(F.col("b.k"))).count()
+    na = a.where(F.col("k").isNull()).count()
+    nb = b.where(F.col("k").isNull()).count()
+    return spark.createDataFrame(
+        [(n_eq, n_ns, n_ns - n_eq, na * nb)],
+        "n_eq_matches long, n_nullsafe_matches long,"
+        " n_null_only_pairs long, expected_null_pairs long",
+    )
