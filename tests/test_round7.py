@@ -522,3 +522,81 @@ def test_velocity_rules_match_bruteforce(spark):
     assert got["dormancy_reactivation"]["n_flagged"] == len(dorm)
     if burst:
         assert got["burst_3_in_60min"]["first_user"] == min(burst)
+
+
+def test_semantic_dedup_capped_planted_dup_recall(spark, tmp_path):
+    """The rank-window cap's recall trade, quantified on TRUE dups: on
+    the scalecheck corpus (4% planted near-copies at cos~0.999) the
+    capped variant must catch >=90% of planted pairs — the pairs it may
+    legally miss are the weak-threshold (cos>=0.35 non-dup) volume that
+    makes the uncapped census quadratic."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "sc", os.path.join(os.path.dirname(__file__), "..", "tools",
+                           "scalecheck.py")
+    )
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+    path = str(tmp_path / "embeddings.parquet")
+    sc.gen_embeddings(2000, path)
+
+    # reconstruct the planted pairs from the generator's fixed seed
+    rng = np.random.RandomState(137)
+    n = 2000
+    rng.normal(0.0, 1.0, size=(10, 64))
+    labels = (np.arange(n) * 2246822519 % 10).astype(np.int32)
+    rng.normal(0.0, 2.4, size=(n, 64))
+    dup_flag = rng.rand(n) < 0.04
+    dup_back = rng.randint(1, 20, size=n)
+    planted = [
+        (i - int(dup_back[i]), i) for i in range(20, n) if dup_flag[i]
+    ]
+    assert planted
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(path)
+    sub = "(" + " + ".join(
+        f"(CASE WHEN element_at(embedding, {i}) >= 0 THEN {1 << (i - 1)} "
+        "ELSE 0 END)"
+        for i in range(1, 9)
+    ) + ")"
+    nrm = (
+        "sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    dot = (
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE)"
+        " * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    ranked = emb.select(
+        "vec_id", "label", "embedding", F.expr(sub).alias("sub")
+    ).withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("label", "sub").orderBy("vec_id")),
+    )
+    a = ranked.select(
+        "label", "sub", F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"), F.expr(nrm).alias("na"),
+        F.col("rnk").alias("ra"),
+    )
+    b = ranked.select(
+        "label", "sub", F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"), F.expr(nrm).alias("nb"),
+        F.col("rnk").alias("rb"),
+    )
+    losers = {
+        r["vb"]
+        for r in a.join(b, ["label", "sub"])
+        .where((F.col("rb") - F.col("ra")).between(1, 8))
+        .where(F.expr(dot) / (F.col("na") * F.col("nb")) >= 0.35)
+        .select("vb")
+        .distinct()
+        .collect()
+    }
+    caught = sum(1 for (j, i) in planted if i in losers or j in losers)
+    recall = caught / len(planted)
+    assert recall >= 0.90, (caught, len(planted), recall)
