@@ -4982,3 +4982,214 @@ def a_mann_kendall(spark, sf_dir):
         .otherwise(0)
         .alias("trend_direction"),
     )
+
+
+@register(
+    "a_friedman_test",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+        SELECT day FROM daily GROUP BY day HAVING count(*) = 5
+    ),
+    ranked AS (
+        SELECT d.day, d.event_type,
+               CAST(rank() OVER (PARTITION BY d.day ORDER BY d.x, d.event_type)
+                    AS BIGINT) AS r
+        FROM daily d JOIN complete c ON c.day = d.day
+    ),
+    sums AS (
+        SELECT event_type, CAST(sum(r) AS BIGINT) AS rsum,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM ranked GROUP BY event_type
+    ),
+    c AS (
+        SELECT CAST(max(nb) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(rsum * rsum) AS BIGINT) AS ss
+        FROM sums
+    )
+    SELECT n AS n_days, k AS n_treatments,
+           round(12.0 * ss / (n * k * (k + 1.0)) - 3.0 * n * (k + 1.0), 6)
+               + 0 AS friedman_chi2,
+           CASE WHEN 12.0 * ss / (n * k * (k + 1.0)) - 3.0 * n * (k + 1.0)
+                     > 9.487729 THEN 1 ELSE 0 END AS differ_flag
+    FROM c
+    """,
+)
+def a_friedman_test(spark, sf_dir):
+    """Friedman test — the nonparametric repeated-measures ANOVA the
+    toolkit lacked: each day is a BLOCK, the five event types are
+    TREATMENTS ranked within the day, and χ²_F = 12/(nk(k+1))·ΣR_j² −
+    3n(k+1) asks whether any type systematically out-ranks the others
+    across days. This is what a_anova_f cannot answer when daily
+    volumes share day-level shocks (a traffic spike lifts ALL types —
+    ANOVA's independence assumption breaks; within-day ranking
+    differences it out, the same reason ML papers rank per-dataset
+    before comparing models). 9.487729 = χ²₄ at α=.05, a shared
+    literal.
+
+    Only complete blocks rank (days with all 5 types — the standard
+    Friedman requirement); ranks are exact integers with a
+    deterministic type tiebreak; the statistic assembles from BIGINT
+    rank sums in one shared float association. Daily rollup is the
+    data-scale pass; ranking runs on the bounded day axis.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    complete = daily.groupBy("day").agg(F.count("*").alias("nt")).where(
+        F.col("nt") == 5
+    ).select("day")
+    w = Window.partitionBy("day").orderBy("x", "event_type")
+    ranked = daily.join(complete, "day").select(
+        "day", "event_type", F.rank().over(w).cast("long").alias("r")
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("r").cast("long").alias("rsum"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    c = sums.agg(
+        F.max("nb").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("rsum") * F.col("rsum")).cast("long").alias("ss"),
+    )
+    n, k = F.col("n"), F.col("k")
+    chi2 = 12.0 * F.col("ss") / (n * k * (k + 1.0)) - 3.0 * n * (k + 1.0)
+    return c.select(
+        n.alias("n_days"),
+        k.alias("n_treatments"),
+        f6(chi2).alias("friedman_chi2"),
+        F.when(chi2 > 9.487729, 1).otherwise(0).alias("differ_flag"),
+    )
+
+
+@register(
+    "a_propensity_strata",
+    """
+    WITH first_ev AS (
+        SELECT user_id, event_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    per_user AS (
+        SELECT e.user_id,
+               CAST(count(*) AS BIGINT) AS activity,
+               CAST(max(CASE WHEN f.event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS treated,
+               CAST(sum(CASE WHEN e.event_type = 'purchase'
+                             THEN CAST(round(e.value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS outcome_cents
+        FROM events e JOIN first_ev f ON f.user_id = e.user_id
+        GROUP BY e.user_id
+    ),
+    strat AS (
+        SELECT *, CAST(ntile(5) OVER (ORDER BY activity, user_id) AS BIGINT)
+                      AS stratum
+        FROM per_user
+    ),
+    cell AS (
+        SELECT stratum, treated,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(outcome_cents) AS BIGINT) AS s
+        FROM strat GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT stratum,
+               max(CASE WHEN treated = 1 THEN n END) AS nt,
+               max(CASE WHEN treated = 0 THEN n END) AS nc,
+               max(CASE WHEN treated = 1 THEN s END) AS st,
+               max(CASE WHEN treated = 0 THEN s END) AS sc
+        FROM cell GROUP BY stratum
+        HAVING max(CASE WHEN treated = 1 THEN n END) IS NOT NULL
+           AND max(CASE WHEN treated = 0 THEN n END) IS NOT NULL
+    )
+    SELECT CAST(stratum AS BIGINT) AS stratum, nt, nc,
+           round(st * 1.0 / nt / 100, 6) + 0 AS treated_mean_usd,
+           round(sc * 1.0 / nc / 100, 6) + 0 AS control_mean_usd,
+           round((st * 1.0 / nt - sc * 1.0 / nc) / 100, 6) + 0
+               AS stratum_effect_usd
+    FROM wide ORDER BY stratum
+    """,
+)
+def a_propensity_strata(spark, sf_dir):
+    """Stratified observational comparison — the propensity-bucket
+    design for WHEN YOU CANNOT RANDOMIZE: does ENTERING through a
+    click (the user's first event — an at-entry exposure, ~1/5 of
+    users) associate with higher lifetime purchase value once
+    activity level is held fixed? A naive treated-vs-untreated mean
+    difference confounds entry channel with engagement; stratifying on the
+    confounder (activity quintiles — deterministic ntile with id
+    tiebreak) and comparing WITHIN strata is the classic Cochran
+    adjustment, and the per-stratum effects are what a meta-analytic
+    pool (inverse-variance or Mantel-Haenszel) would combine. Strata
+    missing either arm drop (the positivity requirement, made
+    visible). The experimentation keys (a_ttest_welch, a_cuped) need
+    an assigned experiment; this is the observational fallback.
+
+    One user fold (the data-scale pass), one bounded ntile window over
+    |users| rows, a 10-cell census. Exact cents; two divisions per
+    stratum at the end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_ev = (
+        ev.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    per_user = (
+        ev.join(first_ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("activity"),
+            F.max(F.when(F.col("first_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("treated"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("outcome_cents"),
+        )
+    )
+    w = Window.orderBy("activity", "user_id")
+    strat = per_user.withColumn("stratum", F.ntile(5).over(w).cast("long"))
+    cell = strat.groupBy("stratum", "treated").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("outcome_cents").cast("long").alias("s"),
+    )
+    wide = (
+        cell.groupBy("stratum")
+        .agg(
+            F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("nt"),
+            F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("nc"),
+            F.max(F.when(F.col("treated") == 1, F.col("s"))).alias("st"),
+            F.max(F.when(F.col("treated") == 0, F.col("s"))).alias("sc"),
+        )
+        .where(F.col("nt").isNotNull() & F.col("nc").isNotNull())
+    )
+    tm = F.col("st") * 1.0 / F.col("nt")
+    cm = F.col("sc") * 1.0 / F.col("nc")
+    return wide.select(
+        F.col("stratum").cast("long").alias("stratum"),
+        "nt",
+        "nc",
+        f6(tm / 100).alias("treated_mean_usd"),
+        f6(cm / 100).alias("control_mean_usd"),
+        f6((tm - cm) / 100).alias("stratum_effect_usd"),
+    ).orderBy("stratum")

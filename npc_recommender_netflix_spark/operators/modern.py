@@ -3418,3 +3418,63 @@ def q_skyline_orders(spark, sf_dir):
         )
         .orderBy("price_usd", "o_orderkey")
     )
+
+
+@register(
+    "q_hourly_heatmap",
+    """
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) + 0.0
+               AS volume_usd,
+           round(count(*) * 1.0
+                 / (SELECT count(*) FROM events), 6) + 0 AS share
+    FROM events
+    GROUP BY 1, 2 ORDER BY dow, hod
+    """,
+)
+def q_hourly_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap — the capacity/ops
+    grid every on-call dashboard leads with (when to schedule
+    maintenance, when the batch window is safe, where the weekly
+    traffic ridge sits). 7×24 cells with event counts, exact-cents
+    volume, and share of total traffic.
+
+    One partial+final aggregate over ≤168 cells; the share divides by
+    a broadcast scalar. Spark's dayofweek is 1=Sunday like DuckDB's
+    dayofweek+1 — the off-by-one family §5's divergence list tracks —
+    so both engines emit identical keys here (Spark dayofweek ==
+    DuckDB dayofweek + 1; the oracle uses DuckDB's own dayofweek which
+    is 0=Sunday, hence the CAST on the Spark side must match: verified
+    by the hash). At 100 TB this is a single scan with map-side
+    combine into 168 counters.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.agg(F.count("*").alias("n"))
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (
+                F.round(
+                    F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0,
+                    2,
+                )
+                + 0.0
+            ).alias("volume_usd"),
+            F.count("*").alias("_c"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            "volume_usd",
+            f6(F.col("_c") * 1.0 / F.col("n")).alias("share"),
+        )
+        .orderBy("dow", "hod")
+    )

@@ -1468,3 +1468,87 @@ def w_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "w_peak_detection",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT event_type, day, x,
+               lag(x)  OVER (PARTITION BY event_type ORDER BY day) AS prev,
+               lead(x) OVER (PARTITION BY event_type ORDER BY day) AS nxt,
+               CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+        FROM daily
+    ),
+    peaks AS (
+        SELECT event_type, day, x, tot, nd
+        FROM ctx
+        WHERE prev IS NOT NULL AND nxt IS NOT NULL
+          AND x * 10 > prev * 11 AND x * 10 > nxt * 11
+          AND x * nd * 10 > tot * 12
+    )
+    SELECT event_type, day AS peak_day,
+           round(x / 100.0, 2) + 0.0 AS peak_usd,
+           round(x * 1.0 * nd / tot, 6) + 0 AS vs_mean_ratio
+    FROM peaks ORDER BY event_type, peak_day
+    """,
+)
+def w_peak_detection(spark, sf_dir):
+    """Prominent-peak detection on daily volume per event type — the
+    spike finder an on-call dashboard runs (campaign landings, incident
+    retries, scraper bursts): a day is a PEAK when it beats both
+    neighbors by ≥10% AND sits ≥20% above the series mean — the
+    two-condition prominence rule that rejects both plateau edges
+    (neighbor test alone fires on noise) and globally-quiet local
+    maxima (mean test alone misses sharp spikes in loud series). All
+    thresholds are integer cross-multiplications (x·10 > prev·11,
+    x·nd·10 > tot·12) — no float ratios in predicates.
+
+    One lag + one lead over the (event_type)-partitioned day axis plus
+    partition totals — all four windows share one exchange. Output is
+    peak rows only (spike-proportional, not day-proportional); at
+    100 TB the daily rollup is the only data-scale pass. The
+    complement to w_changepoint (level SHIFTS) and w_cusum_alarm
+    (cumulative DRIFT): this catches single-day SPIKES.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w_day = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    ctx = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.lag("x").over(w_day).alias("prev"),
+        F.lead("x").over(w_day).alias("nxt"),
+        F.sum("x").over(w_all).cast("long").alias("tot"),
+        F.count("*").over(w_all).cast("long").alias("nd"),
+    )
+    return (
+        ctx.where(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("x") * 10 > F.col("prev") * 11)
+            & (F.col("x") * 10 > F.col("nxt") * 11)
+            & (F.col("x") * F.col("nd") * 10 > F.col("tot") * 12)
+        )
+        .select(
+            "event_type",
+            F.col("day").alias("peak_day"),
+            (F.round(F.col("x") / 100.0, 2) + 0.0).alias("peak_usd"),
+            f6(F.col("x") * 1.0 * F.col("nd") / F.col("tot")).alias(
+                "vs_mean_ratio"
+            ),
+        )
+        .orderBy("event_type", "peak_day")
+    )

@@ -795,3 +795,66 @@ def st_state_reader(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "st_batch_stream_parity",
+    """
+    SELECT date_trunc('hour', ts) AS wstart, event_type,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(count(*) AS BIGINT) AS n_stream,
+           CAST(0 AS BIGINT) AS diff
+    FROM events GROUP BY 1, 2 ORDER BY wstart, event_type
+    """,
+)
+def st_batch_stream_parity(spark, sf_dir):
+    """Batch/stream parity, EXECUTED rather than asserted: the same
+    hourly-count aggregation runs once through Structured Streaming
+    (file source → tumbling window → availableNow drain) and once as a
+    plain batch groupBy on the same data, and the output carries both
+    counts plus their difference — which the oracle pins to ZERO for
+    every window. This turns §2.10's central claim ('complete in-order
+    replay makes windowed streaming exactly batch-equivalent') from a
+    test-suite property into a queryable operator a user can run on
+    any table before trusting a migration from batch to streaming.
+
+    The full outer join catches both failure directions (a window only
+    in batch = stream dropped data; only in stream = duplication). At
+    100 TB the batch side is the one data-scale pass; the streaming
+    side's state is bounded by the (window, type) key space as always.
+    """
+    ev_stream = read_events_stream(spark, sf_dir)
+    agg = ev_stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_stream")
+    )
+    out = agg.select(
+        F.col("window.start").alias("wstart"), "event_type", "n_stream"
+    )
+    name = run_to_memory(out, "complete")
+    stream_df = spark.table(name)
+
+    from ..session import load_table as _lt
+
+    batch = (
+        _lt(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("wstart"), "event_type"
+        )
+        .agg(F.count("*").cast("long").alias("n_batch"))
+    )
+    return (
+        batch.join(stream_df, ["wstart", "event_type"], "full_outer")
+        .select(
+            "wstart",
+            "event_type",
+            F.coalesce("n_batch", F.lit(0)).cast("long").alias("n_batch"),
+            F.coalesce("n_stream", F.lit(0)).cast("long").alias("n_stream"),
+            (
+                F.coalesce("n_batch", F.lit(0))
+                - F.coalesce("n_stream", F.lit(0))
+            )
+            .cast("long")
+            .alias("diff"),
+        )
+        .orderBy("wstart", "event_type")
+    )
