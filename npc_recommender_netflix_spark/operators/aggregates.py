@@ -5193,3 +5193,132 @@ def a_propensity_strata(spark, sf_dir):
         f6(cm / 100).alias("control_mean_usd"),
         f6((tm - cm) / 100).alias("stratum_effect_usd"),
     ).orderBy("stratum")
+
+
+@register(
+    "a_log_rank_test",
+    f"""
+    WITH lifes AS (
+        SELECT user_id,
+               {_H32_USER} % 2 AS arm,
+               CAST(date_diff('day', min(CAST(ts AS DATE)),
+                              max(CAST(ts AS DATE))) AS BIGINT) AS t
+        FROM events GROUP BY user_id
+    ),
+    times AS (SELECT DISTINCT t FROM lifes),
+    at_risk AS (
+        SELECT tm.t,
+               CAST(sum(CASE WHEN l.t >= tm.t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n,
+               CAST(sum(CASE WHEN l.t >= tm.t AND l.arm = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN l.t = tm.t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+               CAST(sum(CASE WHEN l.t = tm.t AND l.arm = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d1
+        FROM times tm CROSS JOIN lifes l
+        GROUP BY tm.t
+    ),
+    terms AS (
+        SELECT d1 - d * 1.0 * n1 / n AS o_minus_e,
+               CASE WHEN n > 1
+                    THEN d * 1.0 * n1 / n * (1.0 - n1 * 1.0 / n)
+                         * (n - d) / (n - 1.0)
+                    ELSE 0.0 END AS v
+        FROM at_risk WHERE n > 0
+    )
+    SELECT CAST((SELECT count(*) FROM lifes) AS BIGINT) AS n_users,
+           CAST((SELECT sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                 FROM lifes) AS BIGINT) AS n_arm1,
+           round(sum(o_minus_e), 6) + 0 AS observed_minus_expected,
+           round(sum(o_minus_e) / sqrt(sum(v)), 6) + 0 AS z,
+           CASE WHEN abs(sum(o_minus_e) / sqrt(sum(v))) > 1.959964
+                THEN 1 ELSE 0 END AS differ_flag
+    FROM terms
+    """,
+)
+def a_log_rank_test(spark, sf_dir):
+    """Log-rank test — the survival-curve comparison q_kaplan_meier was
+    missing its inferential half for: do two arms (md5 hash split — an
+    A/A, so differ_flag=0 is the expected, harness-validating outcome)
+    have the same lifetime distribution? Lifetime = days from a user's
+    first to last event; at each distinct death time the test
+    accumulates observed-minus-expected arm-1 deaths under the
+    hypergeometric null (E = d·n₁/n, V = d·(n₁/n)(1−n₁/n)(n−d)/(n−1)),
+    and Z = ΣO−E/√ΣV. Censoring-free here (every series ends); with a
+    right-censor column the same accumulation skips censored rows —
+    the structure is unchanged.
+
+    The at-risk table is the times × lifetimes cross product — both
+    BOUNDED (distinct lifetimes ≤ days; one row per user after the
+    data-scale first/last fold), the w_holt_linear bounded-axis
+    license. Exact integer d/n counts; floats only in the per-time
+    terms and the final 1-row assembly with the shared 1.959964
+    literal.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    lifes = ev.groupBy("user_id").agg(
+        (h32 % 2).alias("arm"),
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("long")
+        .alias("t"),
+    )
+    times = lifes.select("t").distinct().select(F.col("t").alias("tt"))
+    ar = (
+        times.crossJoin(lifes)
+        .groupBy("tt")
+        .agg(
+            F.sum(F.when(F.col("t") >= F.col("tt"), 1).otherwise(0))
+            .cast("long")
+            .alias("n"),
+            F.sum(
+                F.when((F.col("t") >= F.col("tt")) & (F.col("arm") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("t") == F.col("tt"), 1).otherwise(0))
+            .cast("long")
+            .alias("d"),
+            F.sum(
+                F.when((F.col("t") == F.col("tt")) & (F.col("arm") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("d1"),
+        )
+        .where(F.col("n") > 0)
+    )
+    o_minus_e = F.col("d1") - F.col("d") * 1.0 * F.col("n1") / F.col("n")
+    v = F.when(
+        F.col("n") > 1,
+        F.col("d")
+        * 1.0
+        * F.col("n1")
+        / F.col("n")
+        * (1.0 - F.col("n1") * 1.0 / F.col("n"))
+        * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1.0),
+    ).otherwise(0.0)
+    terms = ar.select(o_minus_e.alias("ome"), v.alias("v"))
+    counts = lifes.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_arm1"),
+    )
+    z = F.sum("ome") / F.sqrt(F.sum("v"))
+    return (
+        terms.agg(
+            f6(F.sum("ome")).alias("observed_minus_expected"),
+            f6(z).alias("z"),
+            F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("differ_flag"),
+        )
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "n_users", "n_arm1", "observed_minus_expected", "z", "differ_flag"
+        )
+    )

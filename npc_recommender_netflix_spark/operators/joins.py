@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table, money2, tables
+from ..session import f6, load_table, money2, tables
 
 
 @register(
@@ -816,4 +816,107 @@ def j_null_safe(spark, sf_dir):
         [(n_eq, n_ns, n_ns - n_eq, na * nb)],
         "n_eq_matches long, n_nullsafe_matches long,"
         " n_null_only_pairs long, expected_null_pairs long",
+    )
+
+
+@register(
+    "j_asof_tolerance",
+    """
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'
+    ),
+    best AS (
+        SELECT p.event_id, p.user_id, p.ts, max(v.vts) AS vts
+        FROM p LEFT JOIN v
+          ON v.user_id = p.user_id AND v.vts <= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+    ),
+    gated AS (
+        SELECT event_id,
+               CASE WHEN vts IS NOT NULL
+                     AND ts - vts <= INTERVAL 1 HOUR THEN vts END AS fresh_vts,
+               vts AS any_vts, ts
+        FROM best
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN any_vts IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched_any,
+           CAST(sum(CASE WHEN fresh_vts IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched_fresh,
+           CAST(sum(CASE WHEN any_vts IS NOT NULL AND fresh_vts IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_rejected,
+           round(avg(CASE WHEN fresh_vts IS NOT NULL
+                          THEN date_diff('second', fresh_vts, ts) END), 6) + 0
+               AS avg_fresh_staleness_sec
+    FROM gated
+    """,
+)
+def j_asof_tolerance(spark, sf_dir):
+    """As-of join WITH a staleness tolerance — the feature-store
+    semantics j_asof lacks: a purchase may only use the latest prior
+    view if it is at most 1 hour old, otherwise the feature is NULL
+    (serving a 3-day-old 'last page viewed' as context is usually
+    worse than serving none — every online feature store exposes
+    exactly this max-staleness knob). The census quantifies the knob:
+    matched-at-any-staleness vs matched-fresh vs STALE-REJECTED (the
+    rows a toleranceless as-of would silently poison), plus mean
+    accepted staleness as the SLA readback.
+
+    Same single user-keyed shape as j_asof (the tolerance is a
+    post-aggregation filter on the matched timestamp — it adds zero
+    shuffle); at 100 TB the running-max formulation (j_asof's
+    union+last_value trick) replaces the per-purchase max-aggregate
+    used here for oracle clarity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    best = (
+        p.join(
+            v,
+            (p.user_id == v.user_id) & (F.col("vts") <= F.col("ts")),
+            "left",
+        )
+        .groupBy("event_id", p.user_id, "ts")
+        .agg(F.max("vts").alias("vts"))
+    )
+    fresh = F.when(
+        F.col("vts").isNotNull()
+        & (F.col("ts").cast("long") - F.col("vts").cast("long") <= 3600),
+        F.col("vts"),
+    )
+    gated = best.select(
+        "event_id", "ts", F.col("vts").alias("any_vts"), fresh.alias("fresh_vts")
+    )
+    return gated.agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(F.when(F.col("any_vts").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched_any"),
+        F.sum(F.when(F.col("fresh_vts").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched_fresh"),
+        F.sum(
+            F.when(
+                F.col("any_vts").isNotNull() & F.col("fresh_vts").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_stale_rejected"),
+        f6(
+            F.avg(
+                F.when(
+                    F.col("fresh_vts").isNotNull(),
+                    F.col("ts").cast("long") - F.col("fresh_vts").cast("long"),
+                )
+            )
+        ).alias("avg_fresh_staleness_sec"),
     )
