@@ -1378,3 +1378,40 @@ def test_slope_one_capped_prunes_before_pairing(spark):
     df = registry.QUERIES["r_slope_one_capped"](spark, SF_SMALL)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "48" in optimized  # the cap constant survives into the plan
+
+
+def test_hourly_heatmap_single_aggregate(spark):
+    """q_hourly_heatmap must be one partial+final aggregate over the
+    scan — a second full-data exchange would betray a missed map-side
+    combine on the 168-cell grid."""
+    plan = _plan(spark, "q_hourly_heatmap")
+    assert "partial" in plan.lower()
+    # one hash exchange for the grid agg + one broadcast of the total
+    grid_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "dow" in ln
+    ]
+    assert len(grid_exchanges) <= 1, grid_exchanges
+
+
+def test_peak_detection_windows_share_one_exchange(spark):
+    """w_peak_detection's four windows (lag, lead, sum, count) all
+    partition by event_type — the plan must not re-exchange between
+    them."""
+    plan = _plan(spark, "w_peak_detection")
+    ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(event_type" in ln
+    ]
+    assert len(ex) <= 2, ex  # daily agg + one window partitioning
+
+
+def test_asof_tolerance_no_extra_shuffle_for_gate(spark):
+    """j_asof_tolerance's staleness gate is a post-aggregation filter:
+    the plan must carry the same number of exchanges as the ungated
+    as-of aggregate (join + groupBy), with no shuffle keyed on the
+    tolerance."""
+    plan = _plan(spark, "j_asof_tolerance")
+    assert not any(
+        "3600" in ln for ln in plan.splitlines() if "Exchange" in ln
+    ), "tolerance leaked into an exchange key"
