@@ -3478,3 +3478,93 @@ def q_hourly_heatmap(spark, sf_dir):
         )
         .orderBy("dow", "hod")
     )
+
+
+@register(
+    "q_fx_rate_asof",
+    """
+    WITH rates AS (
+        SELECT CAST(DATE '1996-01-01' + INTERVAL (w * 7) DAY AS DATE)
+                   AS rate_date,
+               CAST(1050000 + ((w * 48271) % 200001) - 100000 AS BIGINT)
+                   AS rate6
+        FROM (SELECT unnest(range(0, 157)) AS w)
+    ),
+    o AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    matched AS (
+        SELECT o.o_orderkey, o.od, o.cents,
+               max(r.rate_date) AS rate_date
+        FROM o JOIN rates r ON r.rate_date <= o.od
+        GROUP BY 1, 2, 3
+    ),
+    conv AS (
+        SELECT m.od, m.cents, r.rate6
+        FROM matched m JOIN rates r ON r.rate_date = m.rate_date
+    )
+    SELECT CAST(date_trunc('month', od) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(cents) / 100.0, 2) + 0.0 AS usd,
+           round(sum(cents * rate6) / 1e6 / 100.0, 2) + 0.0 AS eur
+    FROM conv GROUP BY 1 ORDER BY month
+    """,
+)
+def q_fx_rate_asof(spark, sf_dir):
+    """Currency conversion through an as-of rate lookup — the
+    multi-currency warehouse pattern: each 1997 order converts at the
+    latest weekly FX rate on or before its order date (rates are a
+    deterministic 157-week synthetic table at 1e-6 precision — the
+    fn_ipv4_cidr precedent for reference data the fixtures lack), and
+    revenue reports monthly in both currencies. Conversion is exact
+    integer arithmetic end to end: cents × rate6 sums as BIGINT
+    (≤1e7 cents × 1.15e6 × 15k orders ≈ 1e17 < 2^63), divided once
+    per month at display — the discipline that makes FX-converted
+    revenue reduction-order-free, which float rate multiplication
+    never is.
+
+    The as-of resolves as join-to-candidates + max(rate_date) + rate
+    re-join — all against a BROADCAST 157-row rate dim, so the fact
+    table never shuffles for the lookup; at production rate-table
+    sizes the running-max union trick (j_asof) replaces it unchanged.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rates = spark.range(0, 157).select(
+        F.date_add(F.lit("1996-01-01").cast("date"), (F.col("id") * 7).cast("int"))
+        .alias("rate_date"),
+        (1050000 + ((F.col("id") * 48271) % 200001) - 100000)
+        .cast("long")
+        .alias("rate6"),
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    matched = (
+        o.join(F.broadcast(rates), F.col("rate_date") <= F.col("od"))
+        .groupBy("o_orderkey", "od", "cents")
+        .agg(F.max("rate_date").alias("rate_date"))
+    )
+    conv = matched.join(F.broadcast(rates), "rate_date")
+    return (
+        conv.groupBy(F.trunc("od", "month").alias("month"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            (F.round(F.sum("cents") / 100.0, 2) + 0.0).alias("usd"),
+            (
+                F.round(
+                    F.sum(F.col("cents") * F.col("rate6")) / 1e6 / 100.0, 2
+                )
+                + 0.0
+            ).alias("eur"),
+        )
+        .orderBy("month")
+    )
