@@ -5322,3 +5322,399 @@ def a_log_rank_test(spark, sf_dir):
             "n_users", "n_arm1", "observed_minus_expected", "z", "differ_flag"
         )
     )
+
+
+@register(
+    "a_kruskal_wallis",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    tt AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x
+    ),
+    ranked AS (
+        SELECT d.event_type,
+               CAST(2 * rank() OVER (ORDER BY d.x) + tt.t - 1 AS BIGINT)
+                   AS mr2
+        FROM daily d JOIN tt ON tt.x = d.x
+    ),
+    sums AS (
+        SELECT event_type, CAST(sum(mr2) AS BIGINT) AS r2,
+               CAST(count(*) AS BIGINT) AS nj
+        FROM ranked GROUP BY event_type
+    ),
+    c AS (
+        SELECT CAST(sum(nj) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(round(
+                   CAST(r2 AS DOUBLE) * r2 / (4.0 * nj) * 1e6
+               ) AS BIGINT)) AS BIGINT) AS sterm
+        FROM sums
+    ),
+    tie AS (
+        SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tc
+        FROM tt WHERE t > 1
+    )
+    SELECT n AS n_obs, k AS k_groups,
+           round(12.0 / (n * (n + 1.0)) * (sterm / 1e6)
+                 - 3.0 * (n + 1.0), 6) + 0 AS h_stat,
+           round((12.0 / (n * (n + 1.0)) * (sterm / 1e6)
+                  - 3.0 * (n + 1.0))
+                 / (1.0 - tc / (CAST(n AS DOUBLE) * n * n - n)), 6) + 0
+               AS h_corrected,
+           CASE WHEN (12.0 / (n * (n + 1.0)) * (sterm / 1e6)
+                      - 3.0 * (n + 1.0))
+                     / (1.0 - tc / (CAST(n AS DOUBLE) * n * n - n))
+                     > 9.487729
+                THEN 1 ELSE 0 END AS differ_flag
+    FROM c CROSS JOIN tie
+    """,
+)
+def a_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H — the k-group rank test between a_mann_whitney
+    (k=2) and a_friedman_test (blocked): do the five event types draw
+    their daily volumes from the same distribution, with NO normality
+    assumption and NO day-blocking requirement?  H = 12/(N(N+1))·
+    ΣR_j²/n_j − 3(N+1) on midranks, with the standard tie correction
+    C = 1 − Σ(t³−t)/(N³−N) and the χ²₄ gate (9.487729 — the same
+    shared literal as Friedman's).
+
+    Rank discipline: midranks double to stay integral (mr2 = 2·minrank
+    + t − 1), so rank sums are exact BIGINTs; the per-group between
+    term R_j²/(4n_j) is the only float step and snaps to a 1e-6-unit
+    BIGINT BEFORE the cross-group sum, making the assembly
+    reduction-order-free.  The data-scale pass is the daily rollup
+    (map-side combined); ranking runs on the bounded day×type axis.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    tt = daily.groupBy("x").agg(F.count("*").cast("long").alias("t"))
+    ranked = daily.join(tt, "x").select(
+        "event_type",
+        (
+            2 * F.rank().over(Window.orderBy("x")) + F.col("t") - 1
+        )
+        .cast("long")
+        .alias("mr2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("mr2").cast("long").alias("r2"),
+        F.count("*").cast("long").alias("nj"),
+    )
+    c = sums.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(
+            F.round(
+                F.col("r2").cast("double")
+                * F.col("r2")
+                / (4.0 * F.col("nj"))
+                * 1e6
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sterm"),
+    )
+    tie = tt.where(F.col("t") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tc")
+    )
+    n, k = F.col("n"), F.col("k")
+    h = (12.0 / (n * (n + 1.0))) * (F.col("sterm") / 1e6) - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("tc") / (n.cast("double") * n * n - n)
+    hc = h / corr
+    return c.crossJoin(F.broadcast(tie)).select(
+        n.alias("n_obs"),
+        k.alias("k_groups"),
+        f6(h).alias("h_stat"),
+        f6(hc).alias("h_corrected"),
+        F.when(hc > 9.487729, 1).otherwise(0).alias("differ_flag"),
+    )
+
+
+@register(
+    "a_ljung_box",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          / 1e5) AS BIGINT) AS kd
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, kd
+        FROM daily
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(kd) AS BIGINT) AS s
+        FROM idx
+    ),
+    dev AS (
+        SELECT t, CAST(tot.n * kd - tot.s AS BIGINT) AS dv
+        FROM idx CROSS JOIN tot
+    ),
+    c0 AS (
+        SELECT sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS den
+        FROM dev
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS k),
+    num AS (
+        SELECT l.k,
+               sum(CAST(a.dv AS HUGEINT) * CAST(b.dv AS HUGEINT)) AS nk
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.t = a.t + l.k
+        GROUP BY l.k
+    ),
+    terms AS (
+        SELECT CAST(round(
+                   (CAST(nk AS DOUBLE) / CAST(den AS DOUBLE))
+                   * (CAST(nk AS DOUBLE) / CAST(den AS DOUBLE))
+                   / (tot.n - k) * 1e12
+               ) AS BIGINT) AS term
+        FROM num CROSS JOIN c0 CROSS JOIN tot
+    )
+    SELECT tot.n AS n_days,
+           round((tot.n * (tot.n + 2.0))
+                 * (CAST(sum(term) AS DOUBLE) / 1e12), 6) + 0
+               AS ljung_box_q,
+           CASE WHEN (tot.n * (tot.n + 2.0))
+                     * (CAST(sum(term) AS DOUBLE) / 1e12) > 14.067140
+                THEN 1 ELSE 0 END AS autocorrelated_flag
+    FROM terms CROSS JOIN tot GROUP BY tot.n
+    """,
+)
+def a_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau Q over lags 1..7 of the daily revenue
+    series — the WHITE-NOISE AUDIT a_autocorr_daily (one lag) cannot
+    give: Q = n(n+2)·Σ_k ρ̂_k²/(n−k) pools a week of autocorrelation
+    into one χ²₇-gated number (14.067140 at α=.05), the standard
+    residual diagnostic run AFTER a forecast model (w_holt_linear,
+    q_forecast_revenue) to check what structure is left.
+
+    Exactness: daily revenue snaps to kilodollar BIGINTs, deviations
+    are pre-scaled integers dv_t = n·kd_t − S (no float mean), and
+    every Σ dv_t·dv_{t+k} accumulates as DECIMAL/HUGEINT — exact in
+    both engines regardless of reduction order.  ρ̂_k is one float
+    division of exact integers; each lag's term snaps to a 1e-12-unit
+    BIGINT before the 7-term sum.  Lag pairing runs on the bounded
+    day axis via a dense row_number index (calendar gaps close up
+    rather than dropping pairs).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 1e5
+        )
+        .cast("long")
+        .alias("kd")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+        "kd",
+    )
+    tot = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("kd").cast("long").alias("s"),
+    )
+    dev = idx.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (F.col("n") * F.col("kd") - F.col("s")).cast("long").alias("dv"),
+    )
+    c0 = dev.agg(
+        F.sum(
+            F.col("dv").cast("decimal(19,0)")
+            * F.col("dv").cast("decimal(19,0)")
+        ).alias("den")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("k"))
+    a = dev.select(F.col("t").alias("ta"), F.col("dv").alias("da"))
+    b = dev.select(F.col("t").alias("tb"), F.col("dv").alias("db"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("ta") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.col("da").cast("decimal(19,0)")
+                * F.col("db").cast("decimal(19,0)")
+            ).alias("nk")
+        )
+    )
+    rho = F.col("nk").cast("double") / F.col("den").cast("double")
+    terms = (
+        num.crossJoin(F.broadcast(c0))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(rho * rho / (F.col("n") - F.col("k")) * 1e12)
+            .cast("long")
+            .alias("term")
+        )
+    )
+    q = (F.col("n") * (F.col("n") + 2.0)) * (
+        F.sum("term").cast("double") / 1e12
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            f6(q).alias("ljung_box_q"),
+            F.when(q > 14.067140, 1).otherwise(0).alias(
+                "autocorrelated_flag"
+            ),
+        )
+        .select(
+            F.col("n").alias("n_days"), "ljung_box_q", "autocorrelated_flag"
+        )
+    )
+
+
+@register(
+    "a_levene_test",
+    """
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    rn AS (
+        SELECT event_type, cents,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY cents, event_id)
+                    AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS njw
+        FROM base
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(sum(cents * CASE WHEN njw % 2 = 1 THEN 2 ELSE 1 END)
+                    AS BIGINT) AS med2
+        FROM rn
+        WHERE r = (njw + 1) // 2 OR r = njw // 2 + 1
+        GROUP BY event_type
+    ),
+    z AS (
+        SELECT b.event_type,
+               CAST(abs(2 * b.cents - m.med2) AS BIGINT) AS z2
+        FROM base b JOIN med m ON m.event_type = b.event_type
+    ),
+    grp AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS nj,
+               CAST(sum(z2) AS BIGINT) AS sj,
+               CAST(sum(z2 * z2) AS BIGINT) AS qj
+        FROM z GROUP BY event_type
+    ),
+    c AS (
+        SELECT CAST(sum(nj) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(sj) AS BIGINT) AS s,
+               CAST(sum(qj) AS BIGINT) AS q,
+               CAST(sum(CAST(round(
+                   CAST(sj AS DOUBLE) * sj / nj
+               ) AS BIGINT)) AS BIGINT) AS sb
+        FROM grp
+    )
+    SELECT n AS n_obs, k AS k_groups,
+           round(((sb - CAST(s AS DOUBLE) * s / n) / (k - 1.0))
+                 / ((q - CAST(sb AS DOUBLE)) / (n - k)), 6) + 0 AS f_stat,
+           CASE WHEN ((sb - CAST(s AS DOUBLE) * s / n) / (k - 1.0))
+                     / ((q - CAST(sb AS DOUBLE)) / (n - k)) > 2.371932
+                THEN 1 ELSE 0 END AS heteroskedastic_flag
+    FROM c
+    """,
+)
+def a_levene_test(spark, sf_dir):
+    """Brown-Forsythe Levene test — DO THE FIVE EVENT TYPES HAVE EQUAL
+    SPREAD?  The variance-homogeneity gate that decides whether
+    a_anova_f / a_ttest_welch assumptions hold: one-way ANOVA F run
+    not on the values but on |x − median_group| deviations
+    (median-centered = the Brown-Forsythe robust form), gated at
+    F(4,∞) = χ²₄/4 = 2.371932 (shared literal).
+
+    Exactness: per-group medians come from rank-based order statistics
+    (row_number with an event_id tiebreak — never engine quantile
+    interpolation), doubled so odd/even medians stay integral (med2);
+    deviations z2 = |2x − med2| are exact BIGINTs, as are all Σz, Σz²;
+    the per-group between term S_j²/n_j snaps to a unit BIGINT before
+    the cross-group sum, leaving two float divisions in one shared
+    association.  The data-scale passes are one window rank and one
+    broadcast-joined deviation pass — both map-side-combinable aggs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wc = Window.partitionBy("event_type")
+    rn = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count("*").over(wc).cast("long").alias("njw"),
+    )
+    lo = F.floor((F.col("njw") + 1) / 2)
+    hi = F.floor(F.col("njw") / 2) + 1
+    med = (
+        rn.where((F.col("r") == lo) | (F.col("r") == hi))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("cents")
+                * F.when(F.col("njw") % 2 == 1, 2).otherwise(1)
+            )
+            .cast("long")
+            .alias("med2")
+        )
+    )
+    z = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(2 * F.col("cents") - F.col("med2")).cast("long").alias("z2"),
+    )
+    grp = z.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nj"),
+        F.sum("z2").cast("long").alias("sj"),
+        F.sum(F.col("z2") * F.col("z2")).cast("long").alias("qj"),
+    )
+    c = grp.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("sj").cast("long").alias("s"),
+        F.sum("qj").cast("long").alias("q"),
+        F.sum(
+            F.round(
+                F.col("sj").cast("double") * F.col("sj") / F.col("nj")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sb"),
+    )
+    n, k = F.col("n"), F.col("k")
+    between = (F.col("sb") - F.col("s").cast("double") * F.col("s") / n) / (
+        k - 1.0
+    )
+    within = (F.col("q") - F.col("sb").cast("double")) / (n - k)
+    fstat = between / within
+    return c.select(
+        n.alias("n_obs"),
+        k.alias("k_groups"),
+        f6(fstat).alias("f_stat"),
+        F.when(fstat > 2.371932, 1)
+        .otherwise(0)
+        .alias("heteroskedastic_flag"),
+    )
