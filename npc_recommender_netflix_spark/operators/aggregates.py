@@ -5718,3 +5718,115 @@ def a_levene_test(spark, sf_dir):
         .otherwise(0)
         .alias("heteroskedastic_flag"),
     )
+
+
+@register(
+    "a_wilcoxon_signed_rank",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'click'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    diffs AS (
+        SELECT day, CAST(x - y AS BIGINT) AS d,
+               CAST(abs(x - y) AS BIGINT) AS ad
+        FROM daily WHERE x <> y
+    ),
+    tt AS (SELECT ad, CAST(count(*) AS BIGINT) AS t FROM diffs GROUP BY ad),
+    ranked AS (
+        SELECT d.d,
+               CAST(2 * rank() OVER (ORDER BY d.ad) + tt.t - 1 AS BIGINT)
+                   AS mr2
+        FROM diffs d JOIN tt ON tt.ad = d.ad
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN d > 0 THEN mr2 ELSE 0 END) AS BIGINT)
+                   AS w2
+        FROM ranked
+    ),
+    tie AS (
+        SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tc
+        FROM tt WHERE t > 1
+    )
+    SELECT n AS n_pairs, CAST(w2 / 2.0 AS DOUBLE) + 0 AS w_plus,
+           round((w2 - n * (n + 1.0) / 2.0)
+                 / sqrt(4.0 * (n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+                               - tc / 48.0)), 6) + 0 AS z,
+           CASE WHEN abs((w2 - n * (n + 1.0) / 2.0)
+                         / sqrt(4.0 * (n * (n + 1.0) * (2.0 * n + 1.0)
+                                       / 24.0 - tc / 48.0)))
+                     > 1.959964
+                THEN 1 ELSE 0 END AS differ_flag
+    FROM c CROSS JOIN tie
+    """,
+)
+def a_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank — the PAIRED two-sample test the battery
+    lacked: a_mann_whitney compares independent groups, but purchase
+    and click volume on the SAME day share day-level shocks; signing
+    and ranking the within-day differences cancels them.  W⁺ = rank
+    sum of positive differences; z = (W⁺ − n(n+1)/4)/σ with the tie
+    correction σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48 and the shared
+    1.959964 gate.  Zero differences drop (standard Wilcoxon
+    practice).
+
+    Rank discipline mirrors a_kruskal_wallis: midranks double to stay
+    integral, so W2 = 2W⁺ and all tie terms are exact BIGINTs; the z
+    assembly is one shared float association of exact integers
+    (expressed in doubled units: numerator W2 − n(n+1)/2, variance
+    ×4).  Daily pairing is the data-scale pass; ranking runs on the
+    bounded day axis.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    diffs = daily.where(F.col("x") != F.col("y")).select(
+        (F.col("x") - F.col("y")).cast("long").alias("d"),
+        F.abs(F.col("x") - F.col("y")).cast("long").alias("ad"),
+    )
+    tt = diffs.groupBy("ad").agg(F.count("*").cast("long").alias("t"))
+    ranked = diffs.join(tt, "ad").select(
+        "d",
+        (2 * F.rank().over(Window.orderBy("ad")) + F.col("t") - 1)
+        .cast("long")
+        .alias("mr2"),
+    )
+    c = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("mr2")).otherwise(0))
+        .cast("long")
+        .alias("w2"),
+    )
+    tie = tt.where(F.col("t") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tc")
+    )
+    n, w2, tc = F.col("n"), F.col("w2"), F.col("tc")
+    z = (w2 - n * (n + 1.0) / 2.0) / F.sqrt(
+        4.0
+        * (n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - tc / 48.0)
+    )
+    return c.crossJoin(F.broadcast(tie)).select(
+        n.alias("n_pairs"),
+        (w2 / F.lit(2.0)).cast("double").alias("w_plus"),
+        f6(z).alias("z"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("differ_flag"),
+    )

@@ -539,3 +539,121 @@ def r_node_features(spark, sf_dir):
             / F.greatest(F.col("d") * (F.col("d") - 1), F.lit(1))
         ).alias("clustering_coef"),
     ).orderBy("node")
+
+
+_BFS_LVL_SQL = """
+    l{next} AS (
+        SELECT node, dist FROM l{cur}
+        UNION ALL
+        SELECT f.node, {next} AS dist FROM (
+            SELECT DISTINCT e.dst AS node
+            FROM l{cur} p JOIN edges e ON e.src = p.node
+            WHERE p.dist = {cur}
+        ) f
+        WHERE f.node NOT IN (SELECT node FROM l{cur})
+    )
+"""
+
+
+@register(
+    "r_shortest_path",
+    f"""
+    WITH {_GRAPH_SQL},
+    src AS (SELECT CAST(min(node) AS BIGINT) AS node FROM nodes),
+    l0 AS (SELECT node, 0 AS dist FROM src),
+    {_BFS_LVL_SQL.format(cur=0, next=1)},
+    {_BFS_LVL_SQL.format(cur=1, next=2)},
+    {_BFS_LVL_SQL.format(cur=2, next=3)},
+    {_BFS_LVL_SQL.format(cur=3, next=4)},
+    reached AS (
+        SELECT CAST(dist AS BIGINT) AS dist,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(min(node) AS BIGINT) AS min_item,
+               CAST(max(node) AS BIGINT) AS max_item
+        FROM l4 GROUP BY dist
+    ),
+    unreached AS (
+        SELECT CAST(-1 AS BIGINT) AS dist,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(min(node) AS BIGINT) AS min_item,
+               CAST(max(node) AS BIGINT) AS max_item
+        FROM nodes WHERE node NOT IN (SELECT node FROM l4)
+        HAVING count(*) > 0
+    )
+    SELECT * FROM reached UNION ALL SELECT * FROM unreached
+    ORDER BY dist
+    """,
+)
+def r_shortest_path(spark, sf_dir):
+    """BFS shortest-path levels from the minimum-id item over the
+    co-purchase graph — the reachability PROFILE the other graph keys
+    compose around: r_two_hop_reach counts a fixed 2-hop ball,
+    r_pagerank mixes distances into one score; this key answers "how
+    far IS everything from here", the small-world diagnostic (census
+    of items at hop 0..4 plus a dist=-1 row for the unreached
+    remainder) that decides random-walk horizon and cache radius.
+
+    The iterative-frontier idiom at scale: each level is ONE
+    frontier-to-edges equi-join + distinct + anti-join against the
+    visited set (never a driver-side queue), with the visited frame
+    localCheckpointed per level to cut lineage — t_dup_clusters'
+    O(diameter)-shuffles discipline.  4 fixed levels keep the oracle
+    an exact unrolled-CTE mirror; a production run loops until the
+    frontier empties (same per-level plan).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.item") != F.col("b.item"))
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    src = nodes.agg(F.min("node").alias("node"))
+    visited = src.withColumn("dist", F.lit(0)).localCheckpoint()
+    for lvl in range(1, 5):
+        frontier = (
+            visited.where(F.col("dist") == lvl - 1)
+            .join(edges, visited.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(lvl))
+        )
+        visited = visited.unionByName(frontier).localCheckpoint()
+    reached = visited.groupBy("dist").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.min("node").cast("long").alias("min_item"),
+        F.max("node").cast("long").alias("max_item"),
+    )
+    unreached = (
+        nodes.join(visited.select("node"), "node", "left_anti")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.min("node").cast("long").alias("min_item"),
+            F.max("node").cast("long").alias("max_item"),
+        )
+        .where(F.col("n_items") > 0)
+        .select(
+            F.lit(-1).cast("long").alias("dist"),
+            "n_items",
+            "min_item",
+            "max_item",
+        )
+    )
+    return (
+        reached.select(
+            F.col("dist").cast("long").alias("dist"),
+            "n_items",
+            "min_item",
+            "max_item",
+        )
+        .unionByName(unreached)
+        .orderBy("dist")
+    )
