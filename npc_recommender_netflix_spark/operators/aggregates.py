@@ -5830,3 +5830,278 @@ def a_wilcoxon_signed_rank(spark, sf_dir):
         f6(z).alias("z"),
         F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("differ_flag"),
     )
+
+
+_IRLS_CELLS_SQL = """
+    cells AS (
+        SELECT CAST(least(floor(CAST(round(o_totalprice * 100) AS BIGINT)
+                                / 5000000.0), 9) AS BIGINT) AS x1,
+               CAST(year(o_orderdate) - 1992 AS BIGINT) AS x2,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS sy
+        FROM orders GROUP BY 1, 2
+    )
+"""
+
+_IRLS_ITER_SQL = """
+    p{cur} AS (
+        SELECT c.n, c.sy, c.x1, c.x2,
+               CAST(greatest(least(round(
+                   1e9 / (1.0 + exp(-(b.b0 + b.b1 * c.x1 + b.b2 * c.x2)))
+               ), 999999999), 1) AS BIGINT) AS p9
+        FROM cells c CROSS JOIN it{cur} b
+    ),
+    m{cur} AS (
+        SELECT
+            CAST(sum(CAST(n AS HUGEINT) * p9 * (1000000000 - p9))
+                 AS DOUBLE) AS a00,
+            CAST(sum(CAST(n AS HUGEINT) * p9 * (1000000000 - p9) * x1)
+                 AS DOUBLE) AS a01,
+            CAST(sum(CAST(n AS HUGEINT) * p9 * (1000000000 - p9) * x2)
+                 AS DOUBLE) AS a02,
+            CAST(sum(CAST(n AS HUGEINT) * p9 * (1000000000 - p9) * x1 * x1)
+                 AS DOUBLE) AS a11,
+            CAST(sum(CAST(n AS HUGEINT) * p9 * (1000000000 - p9) * x1 * x2)
+                 AS DOUBLE) AS a12,
+            CAST(sum(CAST(n AS HUGEINT) * p9 * (1000000000 - p9) * x2 * x2)
+                 AS DOUBLE) AS a22,
+            CAST(sum(sy * 1000000000 - n * p9) AS DOUBLE) AS g0,
+            CAST(sum((sy * 1000000000 - n * p9) * x1) AS DOUBLE) AS g1,
+            CAST(sum((sy * 1000000000 - n * p9) * x2) AS DOUBLE) AS g2
+        FROM p{cur}
+    ),
+    d{cur} AS (
+        SELECT *,
+               a00 * (a11 * a22 - a12 * a12)
+                 - a01 * (a01 * a22 - a12 * a02)
+                 + a02 * (a01 * a12 - a11 * a02) AS det
+        FROM m{cur}
+    ),
+    it{next} AS (
+        SELECT round(b.b0 + 1e9 * ((g0 * (a11 * a22 - a12 * a12)
+                                    - g1 * (a01 * a22 - a02 * a12)
+                                    + g2 * (a01 * a12 - a02 * a11))
+                                   / det), 9) AS b0,
+               round(b.b1 + 1e9 * ((0.0 - g0 * (a01 * a22 - a12 * a02)
+                                    + g1 * (a00 * a22 - a02 * a02)
+                                    - g2 * (a00 * a12 - a02 * a01))
+                                   / det), 9) AS b1,
+               round(b.b2 + 1e9 * ((g0 * (a01 * a12 - a11 * a02)
+                                    - g1 * (a00 * a12 - a01 * a02)
+                                    + g2 * (a00 * a11 - a01 * a01))
+                                   / det), 9) AS b2
+        FROM d{cur} CROSS JOIN it{cur} b
+    )
+"""
+
+
+@register(
+    "a_logistic_irls",
+    f"""
+    WITH {_IRLS_CELLS_SQL},
+    it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    {_IRLS_ITER_SQL.format(cur=0, next=1)},
+    {_IRLS_ITER_SQL.format(cur=1, next=2)},
+    {_IRLS_ITER_SQL.format(cur=2, next=3)},
+    {_IRLS_ITER_SQL.format(cur=3, next=4)},
+    pf AS (
+        SELECT c.n, c.sy,
+               CAST(greatest(least(round(
+                   1e9 / (1.0 + exp(-(b.b0 + b.b1 * c.x1 + b.b2 * c.x2)))
+               ), 999999999), 1) AS BIGINT) AS p9
+        FROM cells c CROSS JOIN it4 b
+    ),
+    ll AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_obs,
+               CAST(sum(CAST(round(
+                   (sy * ln(p9 / 1e9)
+                    + (n - sy) * ln(1.0 - p9 / 1e9)) * 1e6
+               ) AS BIGINT)) AS BIGINT) AS llsum6
+        FROM pf
+    )
+    SELECT n_obs,
+           round(b0, 6) + 0 AS b_intercept,
+           round(b1, 6) + 0 AS b_price_bucket,
+           round(b2, 6) + 0 AS b_year_idx,
+           round(0.0 - (llsum6 / 1e6) / n_obs, 6) + 0 AS avg_log_loss
+    FROM ll CROSS JOIN it4
+    """,
+)
+def a_logistic_irls(spark, sf_dir):
+    """Logistic regression fit by IRLS — the distributed GLM TRAINING
+    LOOP (P(urgent-or-high priority) ~ price bucket + order year),
+    the capability step past a_ols_two_factor's closed-form normal
+    equations: four Newton/IRLS iterations, each one distributed pass
+    of weighted moments Σ n·w·xxᵀ / gradient Σ (y−np)·x followed by a
+    3×3 Cramer solve — the exact shape MLlib's LogisticRegression
+    aggregates per iteration, here made engine-exact.
+
+    Scale-and-exactness split (the q_attribution_markov license,
+    in-plan): rows collapse to GROUPED-DATA cells (≤70: price bucket ×
+    year — grouped logistic likelihood is identical), so the only
+    data-scale work is one map-side-combinable groupBy; every
+    iteration then runs on the bounded cell axis.  σ(η) is the lone
+    transcendental, evaluated per CELL and snapped to a 1e-9 BIGINT
+    (libm's 1-ulp noise sits ~7 digits below the snap); moments
+    accumulate as DECIMAL/HUGEINT exact integers; β re-snaps to 9dp
+    each iteration, so the fixpoint is bit-identical across engines.
+    Cell count, not row count, bounds the iteration cost — at 100 TB
+    the groupBy shuffles ≤70 cells per executor.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            F.least(
+                F.floor(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    / 5000000.0
+                ),
+                F.lit(9),
+            )
+            .cast("long")
+            .alias("x1"),
+            (F.year("o_orderdate") - 1992).cast("long").alias("x2"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("x1", "x2")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+        .cache()
+    )
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+
+    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+
+    def _p9(b0, b1, b2):
+        eta = b0 + b1 * F.col("x1") + b2 * F.col("x2")
+        return (
+            F.greatest(
+                F.least(
+                    F.round(F.lit(1e9) / (1.0 + F.exp(-eta))),
+                    F.lit(999999999.0),
+                ),
+                F.lit(1.0),
+            )
+        ).cast("long")
+
+    for _ in range(4):
+        p = cells.crossJoin(F.broadcast(beta)).select(
+            "n",
+            "sy",
+            "x1",
+            "x2",
+            _p9(F.col("b0"), F.col("b1"), F.col("b2")).alias("p9"),
+            "b0",
+            "b1",
+            "b2",
+        )
+        w = dec(F.col("n")) * dec(F.col("p9")) * dec(
+            F.lit(1000000000) - F.col("p9")
+        )
+        g = F.col("sy") * F.lit(1000000000).cast("long") - F.col("n") * F.col(
+            "p9"
+        )
+        m = p.groupBy("b0", "b1", "b2").agg(
+            F.sum(w).cast("double").alias("a00"),
+            F.sum(w * dec(F.col("x1"))).cast("double").alias("a01"),
+            F.sum(w * dec(F.col("x2"))).cast("double").alias("a02"),
+            F.sum(w * dec(F.col("x1")) * dec(F.col("x1")))
+            .cast("double")
+            .alias("a11"),
+            F.sum(w * dec(F.col("x1")) * dec(F.col("x2")))
+            .cast("double")
+            .alias("a12"),
+            F.sum(w * dec(F.col("x2")) * dec(F.col("x2")))
+            .cast("double")
+            .alias("a22"),
+            F.sum(g).cast("double").alias("g0"),
+            F.sum(g * F.col("x1")).cast("double").alias("g1"),
+            F.sum(g * F.col("x2")).cast("double").alias("g2"),
+        )
+        a00, a01, a02 = F.col("a00"), F.col("a01"), F.col("a02")
+        a11, a12, a22 = F.col("a11"), F.col("a12"), F.col("a22")
+        g0, g1, g2 = F.col("g0"), F.col("g1"), F.col("g2")
+        det = (
+            a00 * (a11 * a22 - a12 * a12)
+            - a01 * (a01 * a22 - a12 * a02)
+            + a02 * (a01 * a12 - a11 * a02)
+        )
+        beta = m.select(
+            F.round(
+                F.col("b0")
+                + 1e9
+                * (
+                    (
+                        g0 * (a11 * a22 - a12 * a12)
+                        - g1 * (a01 * a22 - a02 * a12)
+                        + g2 * (a01 * a12 - a02 * a11)
+                    )
+                    / det
+                ),
+                9,
+            ).alias("b0"),
+            F.round(
+                F.col("b1")
+                + 1e9
+                * (
+                    (
+                        F.lit(0.0)
+                        - g0 * (a01 * a22 - a12 * a02)
+                        + g1 * (a00 * a22 - a02 * a02)
+                        - g2 * (a00 * a12 - a02 * a01)
+                    )
+                    / det
+                ),
+                9,
+            ).alias("b1"),
+            F.round(
+                F.col("b2")
+                + 1e9
+                * (
+                    (
+                        g0 * (a01 * a12 - a11 * a02)
+                        - g1 * (a00 * a12 - a01 * a02)
+                        + g2 * (a00 * a11 - a01 * a01)
+                    )
+                    / det
+                ),
+                9,
+            ).alias("b2"),
+        )
+    pf = cells.crossJoin(F.broadcast(beta)).select(
+        "n",
+        "sy",
+        _p9(F.col("b0"), F.col("b1"), F.col("b2")).alias("p9"),
+        "b0",
+        "b1",
+        "b2",
+    )
+    llterm = F.round(
+        (
+            F.col("sy") * F.log(F.col("p9") / 1e9)
+            + (F.col("n") - F.col("sy")) * F.log(1.0 - F.col("p9") / 1e9)
+        )
+        * 1e6
+    ).cast("long")
+    ll = pf.groupBy("b0", "b1", "b2").agg(
+        F.sum("n").cast("long").alias("n_obs"),
+        F.sum(llterm).cast("long").alias("llsum6"),
+    )
+    return ll.select(
+        "n_obs",
+        f6(F.col("b0")).alias("b_intercept"),
+        f6(F.col("b1")).alias("b_price_bucket"),
+        f6(F.col("b2")).alias("b_year_idx"),
+        f6(
+            F.lit(0.0) - (F.col("llsum6") / 1e6) / F.col("n_obs")
+        ).alias("avg_log_loss"),
+    )

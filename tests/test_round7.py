@@ -688,3 +688,54 @@ def test_luhn_flags_exactly_planted_corruptions(spark):
     assert r["n_accounts"] == n
     assert r["n_invalid"] == planted
     assert r["first_invalid_key"] == 0
+
+
+def test_logistic_irls_matches_converged_numpy(spark):
+    """a_logistic_irls runs 4 snapped IRLS iterations in-plan; a fully
+    converged (25-iteration, unsnapped) numpy Newton solve on the same
+    grouped cells must agree to all 6 reported decimals."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    row = registry.QUERIES["a_logistic_irls"](spark, SF_SMALL).collect()[0]
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    cells = (
+        orders.select(
+            F.least(
+                F.floor(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    / 5000000.0
+                ),
+                F.lit(9),
+            ).alias("x1"),
+            (F.year("o_orderdate") - 1992).alias("x2"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("x1", "x2")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("sy"))
+        .collect()
+    )
+    x1 = np.array([r["x1"] for r in cells], dtype=float)
+    x2 = np.array([r["x2"] for r in cells], dtype=float)
+    n = np.array([r["n"] for r in cells], dtype=float)
+    sy = np.array([r["sy"] for r in cells], dtype=float)
+    X = np.stack([np.ones_like(x1), x1, x2], 1)
+    b = np.zeros(3)
+    for _ in range(25):
+        p = 1.0 / (1.0 + np.exp(-X @ b))
+        A = (X * (n * p * (1 - p))[:, None]).T @ X
+        g = X.T @ (sy - n * p)
+        b = b + np.linalg.solve(A, g)
+    assert abs(row["b_intercept"] - b[0]) < 5e-7
+    assert abs(row["b_price_bucket"] - b[1]) < 5e-7
+    assert abs(row["b_year_idx"] - b[2]) < 5e-7
+    p = 1.0 / (1.0 + np.exp(-X @ b))
+    ll = -(sy * np.log(p) + (n - sy) * np.log(1 - p)).sum() / n.sum()
+    assert abs(row["avg_log_loss"] - ll) < 5e-6
+    assert row["n_obs"] == int(n.sum())
