@@ -6105,3 +6105,275 @@ def a_logistic_irls(spark, sf_dir):
             F.lit(0.0) - (F.col("llsum6") / 1e6) / F.col("n_obs")
         ).alias("avg_log_loss"),
     )
+
+
+@register(
+    "a_poisson_rate_test",
+    """
+    WITH tagged AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS wkend
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT CAST(sum(wkend) AS BIGINT) AS k1,
+               CAST(sum(1 - wkend) AS BIGINT) AS k2
+        FROM tagged
+    ),
+    expo AS (
+        SELECT CAST(sum(CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS t1,
+               CAST(sum(CASE WHEN dayofweek(d) IN (0, 6) THEN 0 ELSE 1 END)
+                    AS BIGINT) AS t2
+        FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    )
+    SELECT k1 AS weekend_events, t1 AS weekend_days,
+           k2 AS weekday_events, t2 AS weekday_days,
+           round(CAST(k1 AS DOUBLE) / t1, 6) + 0 AS weekend_rate,
+           round(CAST(k2 AS DOUBLE) / t2, 6) + 0 AS weekday_rate,
+           round((k1 - (k1 + k2) * (CAST(t1 AS DOUBLE) / (t1 + t2)))
+                 / sqrt((k1 + k2) * (CAST(t1 AS DOUBLE) / (t1 + t2))
+                        * (CAST(t2 AS DOUBLE) / (t1 + t2))), 6) + 0 AS z,
+           CASE WHEN abs((k1 - (k1 + k2)
+                              * (CAST(t1 AS DOUBLE) / (t1 + t2)))
+                         / sqrt((k1 + k2)
+                                * (CAST(t1 AS DOUBLE) / (t1 + t2))
+                                * (CAST(t2 AS DOUBLE) / (t1 + t2))))
+                     > 1.959964
+                THEN 1 ELSE 0 END AS differ_flag
+    FROM c CROSS JOIN expo
+    """,
+)
+def a_poisson_rate_test(spark, sf_dir):
+    """Poisson rate comparison with EXPOSURE — do purchases arrive at a
+    different per-day rate on weekends than weekdays?  a_proportion_ztest
+    compares fractions of a fixed denominator; this key compares COUNT
+    PER UNIT TIME with unequal exposures (t1 weekend days vs t2 weekday
+    days), the epidemiology/SRE incident-rate shape.  The test is the
+    exact-conditional trick: given k = k1+k2 total arrivals, k1 ~
+    Binomial(k, t1/T) under H₀ (equal rates), so z needs NO rate
+    estimate in the variance — only integer counts and exposures in one
+    shared float association.  Gate at the shared 1.959964 literal.
+
+    Spark's dayofweek() is 1=Sunday..7=Saturday while DuckDB's is
+    0=Sunday..6=Saturday — the SQL uses (0,6) and the Spark side (1,7),
+    the documented divergence pairing from SURVEY §2.7.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type") == "purchase").select(
+        F.when(F.dayofweek(F.to_date("ts")).isin(1, 7), 1)
+        .otherwise(0)
+        .alias("wkend")
+    )
+    c = tagged.agg(
+        F.sum("wkend").cast("long").alias("k1"),
+        F.sum(1 - F.col("wkend")).cast("long").alias("k2"),
+    )
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    expo = days.agg(
+        F.sum(
+            F.when(F.dayofweek("d").isin(1, 7), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("t1"),
+        F.sum(
+            F.when(F.dayofweek("d").isin(1, 7), 0).otherwise(1)
+        )
+        .cast("long")
+        .alias("t2"),
+    )
+    k1, k2 = F.col("k1"), F.col("k2")
+    t1, t2 = F.col("t1"), F.col("t2")
+    share1 = t1.cast("double") / (t1 + t2)
+    share2 = t2.cast("double") / (t1 + t2)
+    z = (k1 - (k1 + k2) * share1) / F.sqrt(
+        (k1 + k2) * share1 * share2
+    )
+    return c.crossJoin(F.broadcast(expo)).select(
+        k1.alias("weekend_events"),
+        t1.alias("weekend_days"),
+        k2.alias("weekday_events"),
+        t2.alias("weekday_days"),
+        f6(k1.cast("double") / t1).alias("weekend_rate"),
+        f6(k2.cast("double") / t2).alias("weekday_rate"),
+        f6(z).alias("z"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("differ_flag"),
+    )
+
+
+_DUNN_THR_SQL = """CASE r WHEN 1 THEN 2.807034 WHEN 2 THEN 2.575829
+                   WHEN 3 THEN 2.432379 WHEN 4 THEN 2.326348
+                   WHEN 5 THEN 2.241403 WHEN 6 THEN 2.170090
+                   WHEN 7 THEN 2.108358 WHEN 8 THEN 2.053749
+                   WHEN 9 THEN 2.004654 ELSE 1.959964 END"""
+
+
+@register(
+    "a_dunn_test",
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    tt AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x
+    ),
+    ranked AS (
+        SELECT d.event_type,
+               CAST(2 * rank() OVER (ORDER BY d.x) + tt.t - 1 AS BIGINT)
+                   AS mr2
+        FROM daily d JOIN tt ON tt.x = d.x
+    ),
+    sums AS (
+        SELECT event_type, CAST(sum(mr2) AS BIGINT) AS r2,
+               CAST(count(*) AS BIGINT) AS nj
+        FROM ranked GROUP BY event_type
+    ),
+    c AS (SELECT CAST(sum(nj) AS BIGINT) AS n FROM sums),
+    tie AS (
+        SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tc
+        FROM tt WHERE t > 1
+    ),
+    zs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(a.r2 AS DOUBLE) / (2.0 * a.nj) AS mra,
+               CAST(b.r2 AS DOUBLE) / (2.0 * b.nj) AS mrb,
+               ((CAST(a.r2 AS DOUBLE) / a.nj
+                 - CAST(b.r2 AS DOUBLE) / b.nj) / 2.0)
+               / sqrt((n * (n + 1.0) / 12.0 - tc / (12.0 * (n - 1.0)))
+                      * (1.0 / a.nj + 1.0 / b.nj)) AS z
+        FROM sums a JOIN sums b ON a.event_type < b.event_type
+        CROSS JOIN c CROSS JOIN tie
+    ),
+    rk AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY abs(z) DESC, ta, tb)
+                       AS BIGINT) AS r
+        FROM zs
+    ),
+    thr AS (SELECT *, {_DUNN_THR_SQL} AS zthr FROM rk),
+    cut AS (
+        SELECT CAST(max(CASE WHEN abs(z) >= zthr THEN r ELSE 0 END)
+                    AS BIGINT) AS rstar
+        FROM thr
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           round(mra, 6) + 0 AS mean_rank_a,
+           round(mrb, 6) + 0 AS mean_rank_b,
+           round(z, 6) + 0 AS z, r AS bh_rank,
+           CASE WHEN r <= rstar THEN 1 ELSE 0 END AS significant
+    FROM thr CROSS JOIN cut ORDER BY type_a, type_b
+    """,
+)
+def a_dunn_test(spark, sf_dir):
+    """Dunn's post-hoc test — WHICH groups differ once a_kruskal_wallis
+    says "some do": pairwise z on the SAME pooled midranks (never
+    re-ranked per pair — that's Dunn's point vs 10 Mann-Whitneys),
+    tie-corrected pooled variance, and Benjamini-Hochberg STEP-UP
+    control over the 10 pairs.  The BH step-up runs entirely on
+    z-scale: because p is monotone in |z|, "p_(r) ≤ r·α/m" is
+    "|z|_(r) ≥ Φ⁻¹(1 − r·α/2m)" — ten precomputed literals shared by
+    both engines (no erf needed), r* = the largest passing rank, and
+    every pair ranked at or under r* flags significant.
+
+    Midranks double to stay integral (the a_kruskal_wallis
+    discipline); the 10-pair frame is a bounded self-join of the
+    5-row rank-sum table; the only data-scale pass is the daily
+    rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    tt = daily.groupBy("x").agg(F.count("*").cast("long").alias("t"))
+    ranked = daily.join(tt, "x").select(
+        "event_type",
+        (2 * F.rank().over(Window.orderBy("x")) + F.col("t") - 1)
+        .cast("long")
+        .alias("mr2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("mr2").cast("long").alias("r2"),
+        F.count("*").cast("long").alias("nj"),
+    )
+    c = sums.agg(F.sum("nj").cast("long").alias("n"))
+    tie = tt.where(F.col("t") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tc")
+    )
+    a = sums.select(
+        F.col("event_type").alias("ta"),
+        F.col("r2").alias("r2a"),
+        F.col("nj").alias("na"),
+    )
+    b = sums.select(
+        F.col("event_type").alias("tb"),
+        F.col("r2").alias("r2b"),
+        F.col("nj").alias("nb"),
+    )
+    n, tc = F.col("n"), F.col("tc")
+    zexpr = (
+        (
+            F.col("r2a").cast("double") / F.col("na")
+            - F.col("r2b").cast("double") / F.col("nb")
+        )
+        / 2.0
+    ) / F.sqrt(
+        (n * (n + 1.0) / 12.0 - tc / (12.0 * (n - 1.0)))
+        * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    zs = (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(tie))
+        .select(
+            "ta",
+            "tb",
+            (F.col("r2a").cast("double") / (2.0 * F.col("na"))).alias(
+                "mra"
+            ),
+            (F.col("r2b").cast("double") / (2.0 * F.col("nb"))).alias(
+                "mrb"
+            ),
+            zexpr.alias("z"),
+        )
+    )
+    rk = zs.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("z")).desc(), "ta", "tb"))
+        .cast("long")
+        .alias("r"),
+    )
+    thr = rk.select("*", F.expr(_DUNN_THR_SQL).alias("zthr"))
+    cut = thr.agg(
+        F.max(
+            F.when(F.abs(F.col("z")) >= F.col("zthr"), F.col("r")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("rstar")
+    )
+    return (
+        thr.crossJoin(F.broadcast(cut))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            f6(F.col("mra")).alias("mean_rank_a"),
+            f6(F.col("mrb")).alias("mean_rank_b"),
+            f6(F.col("z")).alias("z"),
+            F.col("r").alias("bh_rank"),
+            F.when(F.col("r") <= F.col("rstar"), 1)
+            .otherwise(0)
+            .alias("significant"),
+        )
+        .orderBy("type_a", "type_b")
+    )
