@@ -3568,3 +3568,122 @@ def q_fx_rate_asof(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+@register(
+    "q_attribution_position",
+    """
+    WITH buys AS (
+        SELECT event_id, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT event_id, user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click')
+    ),
+    cand AS (
+        SELECT b.event_id AS buy_id, b.cents, t.event_type AS channel,
+               CAST(row_number() OVER (PARTITION BY b.event_id
+                                       ORDER BY t.ts, t.event_id)
+                    AS BIGINT) AS pos,
+               CAST(count(*) OVER (PARTITION BY b.event_id) AS BIGINT) AS m
+        FROM buys b
+        JOIN touches t
+          ON t.user_id = b.user_id
+         AND t.ts <= b.ts
+         AND t.ts >= b.ts - INTERVAL 7 DAY
+    ),
+    credit AS (
+        SELECT channel,
+               CASE WHEN m = 1 THEN 'only'
+                    WHEN pos = 1 THEN 'first'
+                    WHEN pos = m THEN 'last'
+                    ELSE 'middle' END AS position_class,
+               CAST(round(cents * 1e6
+                          * (CASE WHEN m = 1 THEN 1.0
+                                  WHEN m = 2 THEN 0.5
+                                  WHEN pos = 1 OR pos = m THEN 0.4
+                                  ELSE 0.2 / (m - 2) END))
+                    AS BIGINT) AS cu
+        FROM cand
+    )
+    SELECT channel, position_class,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           round(sum(cu) / 1e6 / 100.0, 4) + 0 AS attributed_usd
+    FROM credit GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_attribution_position(spark, sf_dir):
+    """Position-based (U-shaped, 40/20/40) attribution — the third leg
+    of the family: q_attribution_last_touch gives the default single-
+    credit model, q_attribution_markov the counterfactual one; the
+    U-shape is the standard COMPROMISE (introducer and closer each get
+    40%, the middle splits 20%) that marketing actually configures.
+    Output keeps the position class visible so the U is auditable per
+    channel (first/middle/last/only columns in one rollup).
+
+    Same scale shape as last-touch: the purchase↔touch pairing rides
+    the user-keyed join with the 7-day bound, positions come from ONE
+    per-purchase window (row_number + count over the same partition —
+    single exchange), and per-touch credit snaps to micro-cent BIGINTs
+    (the only float is the weight CASE, identical text in both
+    engines) so channel sums are reduction-order-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        "user_id",
+        F.col("ts").alias("buy_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+    )
+    cand = buys.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("touch_ts") <= F.col("buy_ts"))
+        & (F.col("touch_ts") >= F.col("buy_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    wp = Window.partitionBy("buy_id").orderBy("touch_ts", "touch_id")
+    wm = Window.partitionBy("buy_id")
+    pos, m = F.col("pos"), F.col("m")
+    weighted = cand.select(
+        "channel",
+        "cents",
+        F.row_number().over(wp).cast("long").alias("pos"),
+        F.count("*").over(wm).cast("long").alias("m"),
+    ).select(
+        "channel",
+        F.when(m == 1, "only")
+        .when(pos == 1, "first")
+        .when(pos == m, "last")
+        .otherwise("middle")
+        .alias("position_class"),
+        F.round(
+            F.col("cents")
+            * 1e6
+            * (
+                F.when(m == 1, 1.0)
+                .when(m == 2, 0.5)
+                .when((pos == 1) | (pos == m), 0.4)
+                .otherwise(0.2 / (m - 2))
+            )
+        )
+        .cast("long")
+        .alias("cu"),
+    )
+    return (
+        weighted.groupBy("channel", "position_class")
+        .agg(
+            F.count("*").cast("long").alias("n_credits"),
+            (F.round(F.sum("cu") / 1e6 / 100.0, 4) + 0.0).alias(
+                "attributed_usd"
+            ),
+        )
+        .orderBy("channel", "position_class")
+    )

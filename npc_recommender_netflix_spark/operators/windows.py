@@ -1552,3 +1552,101 @@ def w_peak_detection(spark, sf_dir):
         )
         .orderBy("event_type", "peak_day")
     )
+
+
+@register(
+    "w_kalman_level",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS x,
+               CAST(row_number() OVER (ORDER BY CAST(ts AS DATE)) AS BIGINT)
+                   AS rn
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT rn, x, x AS l, CAST(1e10 AS DOUBLE) AS p,
+               CAST(NULL AS DOUBLE) AS k, CAST(NULL AS DOUBLE) AS innov
+        FROM daily WHERE rn = 1
+        UNION ALL
+        SELECT d.rn, d.x,
+               round(s.l + round((s.p + 1e8) / (s.p + 1e8 + 1e10), 9)
+                           * (d.x - s.l), 6) AS l,
+               round((1.0 - round((s.p + 1e8) / (s.p + 1e8 + 1e10), 9))
+                     * (s.p + 1e8), 6) AS p,
+               round((s.p + 1e8) / (s.p + 1e8 + 1e10), 9) AS k,
+               d.x - s.l AS innov
+        FROM s JOIN daily d ON d.rn = s.rn + 1
+    )
+    SELECT daily.day,
+           round(s.x / 100.0, 2) + 0.0 AS actual_usd,
+           round(s.l / 100.0, 6) + 0.0 AS level_usd,
+           s.k + 0.0 AS gain,
+           round(s.innov / 100.0, 6) + 0.0 AS innovation_usd,
+           round(s.p / 10000.0, 6) + 0.0 AS state_var_usd2
+    FROM s JOIN daily ON daily.rn = s.rn
+    ORDER BY daily.day
+    """,
+)
+def w_kalman_level(spark, sf_dir):
+    """Local-level Kalman filter (Kalman 1960, public) over daily
+    purchase volume — the STATE-SPACE step past w_ewma/w_holt_linear:
+    where EWMA smooths with a FIXED gain, the Kalman gain ADAPTS from
+    the tracked state variance (k_t = (p+q)/(p+q+r), shrinking as the
+    filter converges), and the variance itself is an output — the
+    uncertainty band an alerting rule needs that no exponential
+    smoother provides.  Process noise q = ($10)², observation noise
+    r = ($100)² in cents² (fixed literals, the same license as Holt's
+    α/β); p₀ = r.
+
+    Scale split is the w_holt_linear pattern verbatim: the daily
+    rollup is the only data-scale pass; the recursion runs on the
+    bounded day axis — DuckDB as a RECURSIVE CTE, Spark as a driver
+    replay mirroring it step for step (gain snapped to 9dp BEFORE use
+    so both level and variance updates consume the identical float;
+    level/variance snapped to 6dp per step; _rhu half-away matching
+    SQL round).
+    """
+    from .modern import _rhu
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("double")
+            .alias("x")
+        )
+        .orderBy("day")
+        .collect()  # bounded: one row per day at ANY scale
+    )
+    Q, R = 1e8, 1e10
+    rows = []
+    if daily:
+        l, p = daily[0]["x"], R
+        rows.append((daily[0]["day"], daily[0]["x"], l, None, None, p))
+        for r in daily[1:]:
+            pp = p + Q
+            k = _rhu(pp / (pp + R), 9)
+            innov = r["x"] - l
+            l = _rhu(l + k * (r["x"] - l), 6)
+            p = _rhu((1.0 - k) * pp, 6)
+            rows.append((r["day"], r["x"], l, k, innov, p))
+    out = spark.createDataFrame(
+        [
+            (
+                day,
+                _rhu(x / 100.0, 2),
+                _rhu(l / 100.0, 6),
+                k,
+                _rhu(innov / 100.0, 6) if innov is not None else None,
+                _rhu(p / 10000.0, 6),
+            )
+            for day, x, l, k, innov, p in rows
+        ],
+        "day date, actual_usd double, level_usd double, gain double,"
+        " innovation_usd double, state_var_usd2 double",
+    )
+    return out.orderBy("day")
