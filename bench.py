@@ -84,6 +84,8 @@ HEADLINE = [
     "m_png_decode",          # round 7: real zlib PNG codec in Arrow tasks
     "j_runtime_bloom",       # round 7: runtime bloom-filter join pruning
     "v_kdtree_route",        # round 7: mean-split kd-route, zero data shuffle
+    "a_logistic_irls",       # round 7: in-plan IRLS GLM, 4 bounded-cell passes
+    "r_shortest_path",       # round 7: iterative BFS frontier joins
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

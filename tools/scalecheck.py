@@ -100,6 +100,7 @@ RELATIONAL_LINEAR_KEYS = {
     "r_slope_one_capped": "lineitem",     # same df<=48 cap, Slope One dev matrix
     "r_markov_next_item": "lineitem",     # lead()-built transitions: no pair join
     "s_merge_upsert": "lineitem",         # MERGE full-outer shuffle on the key
+    "a_logistic_irls": "lineitem",        # GLM IRLS: 4 bounded-cell passes
     "t_hard_negatives": "documents",      # df<=64-capped posting join + top-5
 }
 # iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
@@ -107,6 +108,7 @@ RELATIONAL_LINEAR_KEYS = {
 ITERATIVE_KEYS = {
     "r_pagerank": "lineitem",
     "r_kcore_peel": "lineitem",
+    "r_shortest_path": "lineitem",  # BFS levels: 4 frontier joins, 500-node cap
     "t_dup_clusters": "documents",
 }
 
