@@ -5833,14 +5833,19 @@ def a_wilcoxon_signed_rank(spark, sf_dir):
 
 
 _IRLS_CELLS_SQL = """
+    mx AS (
+        SELECT CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS maxc
+        FROM orders
+    ),
     cells AS (
-        SELECT CAST(least(floor(CAST(round(o_totalprice * 100) AS BIGINT)
-                                / 5000000.0), 9) AS BIGINT) AS x1,
+        SELECT CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) * 10
+                          / (mx.maxc + 1)) AS BIGINT) AS x1,
                CAST(year(o_orderdate) - 1992 AS BIGINT) AS x2,
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                              THEN 1 ELSE 0 END) AS BIGINT) AS sy
-        FROM orders GROUP BY 1, 2
+        FROM orders CROSS JOIN mx GROUP BY 1, 2
     )
 """
 
@@ -5930,7 +5935,7 @@ _IRLS_ITER_SQL = """
 )
 def a_logistic_irls(spark, sf_dir):
     """Logistic regression fit by IRLS — the distributed GLM TRAINING
-    LOOP (P(urgent-or-high priority) ~ price bucket + order year),
+    LOOP (P(urgent-or-high priority) ~ relative price decile + order year),
     the capability step past a_ols_two_factor's closed-form normal
     equations: four Newton/IRLS iterations, each one distributed pass
     of weighted moments Σ n·w·xxᵀ / gradient Σ (y−np)·x followed by a
@@ -5941,7 +5946,11 @@ def a_logistic_irls(spark, sf_dir):
     in-plan): rows collapse to GROUPED-DATA cells (≤70: price bucket ×
     year — grouped logistic likelihood is identical), so the only
     data-scale work is one map-side-combinable groupBy; every
-    iteration then runs on the bounded cell axis.  σ(η) is the lone
+    iteration then runs on the bounded cell axis.  The price feature
+    is a RELATIVE decile — exact integer arithmetic cents·10 //
+    (max+1) against the corpus max — so the design matrix stays
+    full-rank at any price scale (an absolute-dollar bucketing is one
+    degenerate corpus away from a singular XᵀWX).  σ(η) is the lone
     transcendental, evaluated per CELL and snapped to a 1e-9 BIGINT
     (libm's 1-ulp noise sits ~7 digits below the snap); moments
     accumulate as DECIMAL/HUGEINT exact integers; β re-snaps to 9dp
@@ -5950,14 +5959,18 @@ def a_logistic_irls(spark, sf_dir):
     the groupBy shuffles ≤70 cells per executor.
     """
     orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("maxc")
+    )
     cells = (
-        orders.select(
-            F.least(
-                F.floor(
-                    F.round(F.col("o_totalprice") * 100).cast("long")
-                    / 5000000.0
-                ),
-                F.lit(9),
+        orders.crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+                * 10
+                / (F.col("maxc") + 1)
             )
             .cast("long")
             .alias("x1"),
@@ -6376,4 +6389,99 @@ def a_dunn_test(spark, sf_dir):
             .alias("significant"),
         )
         .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "a_negative_binomial_fit",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    pk AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS k
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    counts AS (
+        SELECT u.user_id, CAST(coalesce(pk.k, 0) AS BIGINT) AS k
+        FROM users u LEFT JOIN pk ON pk.user_id = u.user_id
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS s,
+               CAST(sum(k * k) AS BIGINT) AS q
+        FROM counts
+    )
+    SELECT n AS n_users,
+           round(CAST(s AS DOUBLE) / n, 6) + 0 AS mean_purchases,
+           round((q - CAST(s AS DOUBLE) * s / n) / (n - 1.0), 6) + 0
+               AS var_purchases,
+           round(((q - CAST(s AS DOUBLE) * s / n) / (n - 1.0))
+                 / (CAST(s AS DOUBLE) / n), 6) + 0 AS dispersion_index,
+           round((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+                 / (((q - CAST(s AS DOUBLE) * s / n) / (n - 1.0))
+                    - CAST(s AS DOUBLE) / n), 6) + 0 AS nb_r,
+           round((CAST(s AS DOUBLE) / n)
+                 / ((q - CAST(s AS DOUBLE) * s / n) / (n - 1.0)), 6) + 0
+               AS nb_p,
+           round(((n - 1.0) * (((q - CAST(s AS DOUBLE) * s / n)
+                                / (n - 1.0))
+                               / (CAST(s AS DOUBLE) / n)) - (n - 1.0))
+                 / sqrt(2.0 * (n - 1.0)), 6) + 0 AS z,
+           CASE WHEN ((n - 1.0) * (((q - CAST(s AS DOUBLE) * s / n)
+                                    / (n - 1.0))
+                                   / (CAST(s AS DOUBLE) / n)) - (n - 1.0))
+                     / sqrt(2.0 * (n - 1.0)) > 1.644854
+                THEN 1 ELSE 0 END AS overdispersed_flag
+    FROM c
+    """,
+)
+def a_negative_binomial_fit(spark, sf_dir):
+    """Negative-binomial overdispersion fit of per-user purchase counts
+    — IS A POISSON MODEL EVEN VALID for per-entity arrival counts?
+    Real user activity is almost never equidispersed (a few power
+    users inflate the variance), and models built on Poisson
+    assumptions (a_poisson_rate_test's conditional trick is immune;
+    rate FORECASTS are not) silently understate tail risk.  Reports
+    the method-of-moments NB parameters r̂ = m²/(v−m), p̂ = m/v, the
+    dispersion index v/m, and the one-sided dispersion-test z =
+    ((n−1)D − (n−1))/√(2(n−1)) gated at 1.644854 (Φ⁻¹(0.95), shared
+    literal — one-sided because only OVER-dispersion breaks Poisson
+    upward).
+
+    Zero-count users join back in (LEFT JOIN from the distinct-user
+    census — dropping zeros biases m and v up); n, Σk, Σk² are exact
+    BIGINTs; every reported number is one float association of those
+    three integers.  Two map-side-combinable aggs + one join, all
+    keyed on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    pk = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    counts = users.join(pk, "user_id", "left").select(
+        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k")
+    )
+    c = counts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("q"),
+    )
+    n = F.col("n")
+    m = F.col("s").cast("double") / n
+    v = (F.col("q") - F.col("s").cast("double") * F.col("s") / n) / (
+        n - 1.0
+    )
+    disp = v / m
+    z = ((n - 1.0) * disp - (n - 1.0)) / F.sqrt(2.0 * (n - 1.0))
+    return c.select(
+        n.alias("n_users"),
+        f6(m).alias("mean_purchases"),
+        f6(v).alias("var_purchases"),
+        f6(disp).alias("dispersion_index"),
+        f6(m * m / (v - m)).alias("nb_r"),
+        f6(m / v).alias("nb_p"),
+        f6(z).alias("z"),
+        F.when(z > 1.644854, 1).otherwise(0).alias("overdispersed_flag"),
     )

@@ -701,14 +701,18 @@ def test_logistic_irls_matches_converged_numpy(spark):
     row = registry.QUERIES["a_logistic_irls"](spark, SF_SMALL).collect()[0]
 
     orders = load_table(spark, SF_SMALL, "orders")
+    mx = orders.agg(
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "maxc"
+        )
+    )
     cells = (
-        orders.select(
-            F.least(
-                F.floor(
-                    F.round(F.col("o_totalprice") * 100).cast("long")
-                    / 5000000.0
-                ),
-                F.lit(9),
+        orders.crossJoin(mx)
+        .select(
+            F.floor(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+                * 10
+                / (F.col("maxc") + 1)
             ).alias("x1"),
             (F.year("o_orderdate") - 1992).alias("x2"),
             F.when(
