@@ -477,7 +477,18 @@ def main() -> None:
         json.dump({"scales": SCALES, "base_docs": BASE_DOCS,
                    "base_emb": BASE_EMB, "results": results}, fh, indent=1)
         fh.write("\n")
-    print(report(results))
+    table = report(results)
+    md_path = os.path.join(REPO, "SCALECHECK.md")
+    if os.path.exists(md_path):
+        import re
+
+        md = open(md_path).read()
+        m = re.search(r"\| key \| claim \|.*?\n(\|.*\n)+", md)
+        if m:
+            md = md[: m.start()] + table + "\n" + md[m.end():]
+            with open(md_path, "w") as fh:
+                fh.write(md)
+    print(table)
 
 
 if __name__ == "__main__":
