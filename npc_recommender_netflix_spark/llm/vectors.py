@@ -3350,3 +3350,223 @@ def v_hybrid_retrieval_overlap(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+_NSW_BANDS_SQL = "\n        UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_sign_bucket_wide_sql(b, 8)} AS bucket"
+    " FROM embeddings"
+    for b in range(8)
+)
+
+_NSW_HOP_SQL = """
+    h{next} AS (
+        SELECT query_id, cand AS cur FROM (
+            SELECT x.query_id, x.cand,
+                   row_number() OVER (PARTITION BY x.query_id
+                                      ORDER BY p.cos DESC, x.cand) AS rn
+            FROM (
+                SELECT h.query_id, a.dst AS cand
+                FROM h{cur} h JOIN adj a ON a.src = h.cur
+                UNION ALL
+                SELECT query_id, cur FROM h{cur}
+            ) x
+            JOIN qcos p ON p.query_id = x.query_id AND p.cand_id = x.cand
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "v_nsw_greedy",
+    f"""
+    WITH bands AS (
+        {_NSW_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    cosd AS (
+        SELECT c.src, c.dst,
+               round({_DUCK_DOT.format(a='e1.embedding', b='e2.embedding')}
+                     / ({_DUCK_NRM.format(a='e1.embedding')}
+                        * {_DUCK_NRM.format(a='e2.embedding')}), 6) + 0
+                   AS cos
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.src
+        JOIN embeddings e2 ON e2.vec_id = c.dst
+    ),
+    adj AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cos DESC, dst) AS rn
+            FROM cosd
+        ) WHERE rn <= 8
+    ),
+    qcos AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+                     / ({_DUCK_NRM.format(a='q.embedding')}
+                        * {_DUCK_NRM.format(a='c.embedding')}), 6) + 0
+                   AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN (0, 1, 2)
+    ),
+    h0 AS (
+        SELECT DISTINCT query_id, CAST(3 AS BIGINT) AS cur FROM qcos
+    ),
+    {_NSW_HOP_SQL.format(cur=0, next=1)},
+    {_NSW_HOP_SQL.format(cur=1, next=2)},
+    {_NSW_HOP_SQL.format(cur=2, next=3)},
+    {_NSW_HOP_SQL.format(cur=3, next=4)},
+    {_NSW_HOP_SQL.format(cur=4, next=5)},
+    ranks AS (
+        SELECT query_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, cand_id)
+                    AS BIGINT) AS true_rank
+        FROM qcos
+    )
+    SELECT h5.query_id, CAST(h5.cur AS BIGINT) AS found_id,
+           r.cos AS found_cos, r.true_rank
+    FROM h5 JOIN ranks r
+      ON r.query_id = h5.query_id AND r.cand_id = h5.cur
+    ORDER BY h5.query_id
+    """,
+)
+def v_nsw_greedy(spark, sf_dir):
+    """Graph-based ANN — the navigable-small-world tier the family
+    lacked (IVF probes cells, PQ compresses, LSH bands, kd-tree splits;
+    HNSW-style engines instead GREEDY-WALK a bounded-degree neighbor
+    graph): build a degree-8 directed kNN graph from sign-band
+    candidates, then answer each query by 3 greedy hops from a fixed
+    entry point, moving to whichever neighbor-of-current (or current
+    itself) has the highest query cosine.  The output keeps the honesty
+    column: the walk result's TRUE brute-force rank, so graph quality
+    is measured, not asserted.
+
+    Scale design: the graph build is the banded-LSH candidate join
+    (8 bands x 8 sign bits here; the bits-per-band ~ log2 N rule from
+    v_embed_neardup_strict keeps candidates O(N)) followed by ONE
+    per-node WindowGroupLimit — adjacency is <= 8N rows forever after,
+    and each greedy hop is one frontier-to-adjacency equi-join +
+    argmax, the r_shortest_path iterative idiom with a 1-row frontier
+    per query.  Cosines snap to 6dp BEFORE every argmax (cand_id
+    tiebreak), so walk decisions are bit-identical across engines; the
+    oracle unrolls the same three hops as CTEs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    _sign_bucket_wide_sql(
+                        b, 8, elem="element_at(embedding, {i})"
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(8)
+        ]
+    )
+    bands = emb.select("vec_id", F.explode(band_struct).alias("bb")).select(
+        "vec_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .distinct()
+    )
+    e1 = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        F.expr(_NRM.format(a="embedding")).alias("na"),
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.expr(_NRM.format(a="embedding")).alias("nb"),
+    )
+    cosd = (
+        cand.join(e1, "src")
+        .join(e2, "dst")
+        .select(
+            "src",
+            "dst",
+            f6(
+                F.expr(_DOT.format(a="ea", b="eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+    )
+    wadj = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    adj = (
+        cosd.withColumn("rn", F.row_number().over(wadj))
+        .where(F.col("rn") <= 8)
+        .select("src", "dst")
+        .cache()
+    )
+    qcos = _cos_pairs(
+        spark, sf_dir, F.col("vec_id").isin(0, 1, 2)
+    ).select("query_id", "cand_id", "cos").cache()
+    cur = qcos.select("query_id").distinct().select(
+        "query_id", F.lit(3).cast("long").alias("cur")
+    )
+    for _ in range(5):
+        neigh = cur.join(adj, cur.cur == adj.src).select(
+            "query_id", F.col("dst").alias("cand")
+        )
+        stay = cur.select("query_id", F.col("cur").alias("cand"))
+        cands = neigh.unionByName(stay)
+        scored = cands.join(
+            qcos,
+            (cands.query_id == qcos.query_id)
+            & (cands.cand == qcos.cand_id),
+        ).select(cands.query_id, "cand", "cos")
+        wpick = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), "cand"
+        )
+        cur = (
+            scored.withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .select("query_id", F.col("cand").alias("cur"))
+        )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "cand_id"
+    )
+    ranks = qcos.select(
+        "query_id",
+        "cand_id",
+        "cos",
+        F.row_number().over(wrank).cast("long").alias("true_rank"),
+    )
+    return (
+        cur.join(
+            ranks,
+            (cur.query_id == ranks.query_id)
+            & (cur.cur == ranks.cand_id),
+        )
+        .select(
+            cur.query_id,
+            F.col("cur").cast("long").alias("found_id"),
+            F.col("cos").alias("found_cos"),
+            "true_rank",
+        )
+        .orderBy("query_id")
+    )
