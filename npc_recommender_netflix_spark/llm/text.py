@@ -3432,3 +3432,120 @@ def t_blocklist_filter(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t_readability",
+    """
+    WITH per_doc AS (
+        SELECT source,
+               CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS words,
+               CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS sentences,
+               CAST(greatest(length(regexp_extract_all(lower(text),
+                                                       '[aeiouy]+')), 1)
+                    AS BIGINT) AS syllables
+        FROM documents
+    ),
+    scored AS (
+        SELECT source, words, sentences, syllables,
+               206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                       - 84.6 * (CAST(syllables AS DOUBLE) / words)
+                   AS flesch
+        FROM per_doc WHERE words > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS total_words,
+           round(CAST(sum(CAST(round(flesch * 1e6) AS BIGINT)) AS DOUBLE)
+                 / 1e6 / count(*), 6) + 0 AS avg_flesch,
+           CAST(sum(CASE WHEN flesch >= 70 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_easy,
+           CAST(sum(CASE WHEN flesch >= 50 AND flesch < 70
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_standard,
+           CAST(sum(CASE WHEN flesch >= 30 AND flesch < 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_difficult,
+           CAST(sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_very_difficult
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def t_readability(spark, sf_dir):
+    """Flesch reading-ease census per source — the READABILITY quality
+    signal (FineWeb-Edu/Gopher-style pipelines gate on it) that
+    t_quality_score's length/diversity/stopword ratios don't capture:
+    206.835 − 1.015·(words/sentence) − 84.6·(syllables/word), with
+    syllables approximated as vowel GROUPS (the standard dictionary-
+    free heuristic — 'readability' → eaaiiy → 4 groups).  Per-source
+    rollup plus the four classic difficulty buckets, so a corpus mix
+    decision can weight sources by reading level.
+
+    Everything is three doc-level regexp counts (words \\S+, sentence
+    terminators [.!?]+, vowel groups) — no explode, no UDF, one scan,
+    JVM-side regexp in Spark / RE2 in DuckDB over the same patterns.
+    Per-doc Flesch is ONE float association of those integers, snapped
+    to a 1e-6 BIGINT before the per-source mean so the rollup is
+    reduction-order-free; bucket edges compare the raw float
+    identically in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(r"\S+"))
+        .cast("long")
+        .alias("words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.greatest(
+            F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+")),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("syllables"),
+    )
+    flesch = (
+        206.835
+        - 1.015 * (F.col("words").cast("double") / F.col("sentences"))
+        - 84.6 * (F.col("syllables").cast("double") / F.col("words"))
+    )
+    scored = per_doc.where(F.col("words") > 0).select(
+        "source",
+        "words",
+        flesch.alias("flesch"),
+        F.round(flesch * 1e6).cast("long").alias("f6i"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("total_words"),
+            f6(
+                F.sum("f6i").cast("double") / 1e6 / F.count("*")
+            ).alias("avg_flesch"),
+            F.sum(F.when(F.col("flesch") >= 70, 1).otherwise(0))
+            .cast("long")
+            .alias("n_easy"),
+            F.sum(
+                F.when(
+                    (F.col("flesch") >= 50) & (F.col("flesch") < 70), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_standard"),
+            F.sum(
+                F.when(
+                    (F.col("flesch") >= 30) & (F.col("flesch") < 50), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_difficult"),
+            F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
+            .cast("long")
+            .alias("n_very_difficult"),
+        )
+        .orderBy("source")
+    )

@@ -6485,3 +6485,90 @@ def a_negative_binomial_fit(spark, sf_dir):
         f6(z).alias("z"),
         F.when(z > 1.644854, 1).otherwise(0).alias("overdispersed_flag"),
     )
+
+
+@register(
+    "a_cochran_armitage",
+    """
+    WITH yr AS (
+        SELECT CAST(year(o_orderdate) - 1992 AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM orders GROUP BY 1
+    ),
+    c AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(k) AS BIGINT) AS kk,
+               CAST(sum(s * k) AS BIGINT) AS sk,
+               CAST(sum(s * n) AS BIGINT) AS sn,
+               CAST(sum(s * s * n) AS BIGINT) AS ssn,
+               CAST(count(*) AS BIGINT) AS n_years
+        FROM yr
+    )
+    SELECT n_years, nn AS n_orders, kk AS n_high,
+           round((sk - CAST(sn AS DOUBLE) * kk / nn)
+                 / sqrt((CAST(kk AS DOUBLE) / nn)
+                        * (1.0 - CAST(kk AS DOUBLE) / nn)
+                        * (ssn - CAST(sn AS DOUBLE) * sn / nn)), 6) + 0
+               AS z,
+           CASE WHEN abs((sk - CAST(sn AS DOUBLE) * kk / nn)
+                         / sqrt((CAST(kk AS DOUBLE) / nn)
+                                * (1.0 - CAST(kk AS DOUBLE) / nn)
+                                * (ssn - CAST(sn AS DOUBLE) * sn / nn)))
+                     > 1.959964
+                THEN 1 ELSE 0 END AS trend_flag
+    FROM c
+    """,
+)
+def a_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test — is the urgent/high-priority SHARE
+    drifting monotonically across order years?  The ordered-categories
+    complement to a_chi2_uniform (which only asks "any difference"):
+    year indices are scores s, and T = Σ s(k − n·K/N) with
+    Var = p(1−p)[Σns² − (Σns)²/N] gives the one-degree-of-freedom
+    trend z — the dose-response test (and the hypothesis-test view of
+    the year coefficient a_logistic_irls estimates).
+
+    One map-side-combinable groupBy produces the bounded year table;
+    every reported number is a single float association of six exact
+    BIGINTs (counts and score moments — s ≤ 6 keeps s²n far inside
+    int64 at any SF).  Gate at the shared 1.959964 literal.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    yr = orders.groupBy(
+        (F.year("o_orderdate") - 1992).cast("long").alias("s")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    c = yr.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("k").cast("long").alias("kk"),
+        F.sum(F.col("s") * F.col("k")).cast("long").alias("sk"),
+        F.sum(F.col("s") * F.col("n")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n"))
+        .cast("long")
+        .alias("ssn"),
+        F.count("*").cast("long").alias("n_years"),
+    )
+    nn, kk = F.col("nn"), F.col("kk")
+    p = kk.cast("double") / nn
+    z = (F.col("sk") - F.col("sn").cast("double") * kk / nn) / F.sqrt(
+        p
+        * (1.0 - p)
+        * (F.col("ssn") - F.col("sn").cast("double") * F.col("sn") / nn)
+    )
+    return c.select(
+        "n_years",
+        nn.alias("n_orders"),
+        kk.alias("n_high"),
+        f6(z).alias("z"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("trend_flag"),
+    )
