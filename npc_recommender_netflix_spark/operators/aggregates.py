@@ -6572,3 +6572,111 @@ def a_cochran_armitage(spark, sf_dir):
         f6(z).alias("z"),
         F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("trend_flag"),
     )
+
+
+@register(
+    "a_bitmap_overlap",
+    """
+    WITH m AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM m GROUP BY event_type
+    ),
+    ov AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS overlap
+        FROM m a JOIN m b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT o.type_a, o.type_b,
+           sa.n AS n_a, sb.n AS n_b, o.overlap,
+           round(CAST(o.overlap AS DOUBLE)
+                 / (sa.n + sb.n - o.overlap), 6) + 0 AS jaccard
+    FROM ov o
+    JOIN sizes sa ON sa.event_type = o.type_a
+    JOIN sizes sb ON sb.event_type = o.type_b
+    ORDER BY o.type_a, o.type_b
+    """,
+)
+def a_bitmap_overlap(spark, sf_dir):
+    """Audience-overlap matrix by BITMAP set algebra — the roaring-
+    bitmap pattern behind every adtech/segment platform: each event
+    type's user set becomes 64-bit words keyed by user_id//64 (one
+    bit_or aggregate), pairwise overlap is Σ bit_count(wa & wb) over a
+    bucket-keyed equi-join, and Jaccard falls out of exact integers.
+    The ORACLE deliberately runs the naive distinct-pair intersection
+    instead — the hash match PROVES the bitmap plan computes exactly
+    set intersection, rather than re-asserting the same algorithm
+    twice (the a_bitmap_distinct precedent, extended to set algebra).
+
+    Scale: the shuffle carries (type, bucket, word) — 64 users per
+    row, an 8-byte payload — instead of raw user ids; the pair join
+    keys on bucket so only co-populated buckets meet; bit_or/bit_count
+    and & are all JVM intrinsics inside whole-stage codegen.  This is
+    how audience overlap stays sub-linear in SHUFFLED BYTES when user
+    counts reach billions (64x densification, more with run-length
+    compressed bitmaps).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select("event_type", "user_id").distinct()
+    words = m.select(
+        "event_type",
+        F.floor(F.col("user_id") / 64).cast("long").alias("bucket"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+        ).alias("bit"),
+    ).groupBy("event_type", "bucket").agg(
+        F.expr("bit_or(bit)").alias("w")
+    )
+    sizes = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("w")).cast("long").alias("n")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"),
+        "bucket",
+        F.col("w").alias("wa"),
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"),
+        "bucket",
+        F.col("w").alias("wb"),
+    )
+    ov = (
+        a.join(
+            b,
+            (F.col("type_a") < F.col("type_b"))
+            & (a.bucket == b.bucket),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.bit_count(F.expr("wa & wb")).alias("c"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.sum("c").cast("long").alias("overlap"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        ov.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "overlap",
+            f6(
+                F.col("overlap").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("overlap"))
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1460,3 +1460,118 @@ def s_xml_roundtrip(spark, sf_dir):
         .load(path)
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "s_merkle_manifest",
+    """
+    WITH leaf AS (
+        SELECT o_orderkey % 256 AS bucket,
+               md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                             CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS VARCHAR),
+                             CAST(CAST(o_orderdate AS DATE) AS VARCHAR)))
+                   AS h,
+               o_orderkey AS k
+        FROM orders
+    ),
+    l1 AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               md5(string_agg(h, '' ORDER BY k)) AS h
+        FROM leaf GROUP BY bucket
+    ),
+    l2 AS (
+        SELECT bucket // 16 AS g2, CAST(sum(n) AS BIGINT) AS n,
+               md5(string_agg(h, '' ORDER BY bucket)) AS h
+        FROM l1 GROUP BY 1
+    ),
+    root AS (
+        SELECT CAST(-1 AS BIGINT) AS g2, CAST(sum(n) AS BIGINT) AS n,
+               md5(string_agg(h, '' ORDER BY g2)) AS h
+        FROM l2
+    )
+    SELECT CAST(g2 AS BIGINT) AS group_id, n AS n_orders, h AS digest
+    FROM (SELECT * FROM l2 UNION ALL SELECT * FROM root)
+    ORDER BY group_id
+    """,
+)
+def s_merkle_manifest(spark, sf_dir):
+    """Merkle-tree dataset fingerprint — TAMPER-EVIDENT row-content
+    audit, one level deeper than s_manifest_diff's file digests: every
+    order hashes canonically (key|cents|date), leaves roll up through
+    256 key-hash buckets and 16 groups to one ROOT digest.  Change any
+    single row anywhere and the root changes; more importantly the 16
+    group digests LOCATE the divergence — two replicas compare 17
+    hashes, then drill only into the mismatched subtree (the
+    replication-audit protocol every lakehouse copy job wants, at
+    log-cost instead of full-table diff).
+
+    Cross-engine canonicalization is the discipline: concat of
+    key|exact-cents|ISO-date strings, md5 at every level, string_agg
+    ordered by the child's own key — both engines produce identical
+    bytes at every node.  Scale: leaves hash in the scan (no shuffle),
+    level-1 is a 256-ary combine keyed by bucket (map-side partials),
+    everything above is metadata-size; bucket count is the knob that
+    keeps per-group string_agg bounded (256 -> 65k at 100 TB).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    leaf = orders.select(
+        (F.col("o_orderkey") % 256).alias("bucket"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("string"),
+                F.to_date("o_orderdate").cast("string"),
+            )
+        ).alias("h"),
+        F.col("o_orderkey").alias("k"),
+    )
+    l1 = leaf.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "h"))),
+                    lambda s: s.h,
+                ),
+                "",
+            )
+        ).alias("h"),
+    )
+    l2 = l1.groupBy(F.floor(F.col("bucket") / 16).alias("g2")).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "h"))),
+                    lambda s: s.h,
+                ),
+                "",
+            )
+        ).alias("h"),
+    )
+    root = l2.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("g2", "h"))),
+                    lambda s: s.h,
+                ),
+                "",
+            )
+        ).alias("h"),
+    ).select(F.lit(-1).cast("long").alias("g2"), "n", "h")
+    return (
+        l2.select(F.col("g2").cast("long"), "n", "h")
+        .unionByName(root)
+        .select(
+            F.col("g2").alias("group_id"),
+            F.col("n").alias("n_orders"),
+            F.col("h").alias("digest"),
+        )
+        .orderBy("group_id")
+    )
