@@ -1237,3 +1237,74 @@ def t_hard_negatives(spark, sf_dir):
         .select("qid", "cand", "score9", "rn")
         .orderBy("qid", "rn")
     )
+
+
+@register(
+    "t_containment_neardup",
+    f"""
+    WITH sh0 AS ({SHINGLES_FULL_SQL}),
+    freq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+    sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq ON freq.s = sh0.s
+           WHERE freq.df <= 64),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, sa.n AS size_a, i AS shared,
+           round(i * 1.0 / sa.n, 6) + 0 AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE sa.n >= 8 AND i * 1.0 / sa.n >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def t_containment_neardup(spark, sf_dir):
+    """Shingle CONTAINMENT near-dup — Broder's second measure, the one
+    resemblance (Jaccard) structurally misses: C(A→B) = |A∩B|/|A| is
+    ASYMMETRIC, so a short document quoted or embedded whole inside a
+    much longer one scores ~1 here while its Jaccard drowns in the
+    union (i/(na+nb−i) → 0 as B grows).  This is the dedup policy for
+    quote-inclusion, boilerplate-wrapping, and expanded-revision
+    pairs: directed pairs with ≥50% of A's shingles inside B, A at
+    least 8 shingles (tiny docs trivially contain).
+
+    Same 100 TB plan as t_jaccard_neardup_capped — df≤64 posting cap
+    bounds every shingle's pair fan-out before the equi-join; sizes
+    and intersections are exact BIGINTs over the capped sets on both
+    engines, so the oracle is exact.  The direction doubles candidate
+    rows (a<>b, not a<b) but not the join work (same posting pairs,
+    emitted both ways).
+    """
+    sh0 = shingles(spark, sf_dir, bounded=False)
+    freq = sh0.groupBy("s").agg(F.count("*").alias("df"))
+    sh = sh0.join(freq.where(F.col("df") <= 64).select("s"), "s")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    cont = F.col("i") * 1.0 / F.col("sa.n")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .where((F.col("sa.n") >= 8) & (cont >= 0.5))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.n").alias("size_a"),
+            F.col("i").alias("shared"),
+            f6(cont).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

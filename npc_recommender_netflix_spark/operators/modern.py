@@ -3687,3 +3687,141 @@ def q_attribution_position(spark, sf_dir):
         )
         .orderBy("channel", "position_class")
     )
+
+
+@register(
+    "q_growth_accounting",
+    """
+    WITH au AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    seq AS (
+        SELECT user_id, d,
+               min(d) OVER (PARTITION BY user_id) AS first_d,
+               lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+               lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+        FROM au
+    ),
+    days AS (SELECT DISTINCT d FROM au),
+    act AS (
+        SELECT d,
+               CAST(count(*) AS BIGINT) AS dau,
+               CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_users,
+               CAST(sum(CASE WHEN d > first_d AND prev_d = d - 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+               CAST(sum(CASE WHEN d > first_d
+                              AND (prev_d IS NULL OR prev_d < d - 1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        FROM seq GROUP BY d
+    ),
+    churn AS (
+        SELECT CAST(d + 1 AS DATE) AS d, CAST(count(*) AS BIGINT) AS churned
+        FROM seq
+        WHERE next_d IS NULL OR next_d > d + 1
+        GROUP BY 1
+    )
+    SELECT a.d AS day, a.dau, a.new_users, a.retained, a.resurrected,
+           CAST(coalesce(c.churned, 0) AS BIGINT) AS churned,
+           CAST(a.dau - coalesce(c.churned, 0)
+                - lag(a.dau) OVER (ORDER BY a.d) AS BIGINT) AS net_check
+    FROM act a
+    LEFT JOIN churn c ON c.d = a.d
+    ORDER BY day
+    """,
+)
+def q_growth_accounting(spark, sf_dir):
+    """Growth accounting — the canonical DAU decomposition (the 'Social
+    Capital' accounting identity every product-analytics stack runs):
+    each day's active users split into NEW (first day ever), RETAINED
+    (also active yesterday), RESURRECTED (seen before, not yesterday),
+    and each day debits CHURNED (active yesterday, absent today), with
+    the identity dau_t − dau_{t−1} = new + resurrected − churned
+    surfaced as net_check (= new + resurrected − churned by
+    construction — a drifting pipeline breaks it visibly).  This is
+    the decomposition q_dau_wau (totals) and q_new_vs_returning
+    (binary) cannot give: WHY the count moved.
+
+    One distinct pass + ONE user-keyed window (min/lag/lead share the
+    same partition ordering — single exchange), then day-keyed rollups;
+    churn attributes to the day it is FELT (d+1) via lead(), no
+    day-to-day self-join.  All counts exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    wa = Window.partitionBy("user_id")
+    seq = au.select(
+        "user_id",
+        "d",
+        F.min("d").over(wa).alias("first_d"),
+        F.lag("d").over(w).alias("prev_d"),
+        F.lead("d").over(w).alias("next_d"),
+    )
+    act = seq.groupBy("d").agg(
+        F.count("*").cast("long").alias("dau"),
+        F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(
+            F.when(
+                (F.col("d") > F.col("first_d"))
+                & (F.col("prev_d") == F.date_sub(F.col("d"), 1)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("d") > F.col("first_d"))
+                & (
+                    F.col("prev_d").isNull()
+                    | (F.col("prev_d") < F.date_sub(F.col("d"), 1))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("resurrected"),
+    )
+    churn = (
+        seq.where(
+            F.col("next_d").isNull()
+            | (F.col("next_d") > F.date_add(F.col("d"), 1))
+        )
+        .groupBy(F.date_add(F.col("d"), 1).alias("d"))
+        .agg(F.count("*").cast("long").alias("churned"))
+    )
+    wd = Window.orderBy("d")
+    return (
+        act.join(churn, "d", "left")
+        .select(
+            "d",
+            "dau",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce(F.col("churned"), F.lit(0))
+            .cast("long")
+            .alias("churned"),
+        )
+        .withColumn(
+            "net_check",
+            (
+                F.col("dau")
+                - F.col("churned")
+                - F.lag("dau").over(wd)
+            ).cast("long"),
+        )
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "new_users",
+            "retained",
+            "resurrected",
+            "churned",
+            "net_check",
+        )
+        .orderBy("day")
+    )
