@@ -6680,3 +6680,120 @@ def a_bitmap_overlap(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "a_mcnemar_test",
+    """
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events
+    ),
+    per_user AS (
+        SELECT e.user_id,
+               CAST(max(CASE WHEN CAST(e.ts AS DATE)
+                                  < b.d0 + CAST((b.d1 - b.d0 + 1) // 2
+                                                AS INTEGER)
+                              AND e.value >= 200
+                             THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+               CAST(max(CASE WHEN CAST(e.ts AS DATE)
+                                  >= b.d0 + CAST((b.d1 - b.d0 + 1) // 2
+                                                 AS INTEGER)
+                              AND e.value >= 200
+                             THEN 1 ELSE 0 END) AS BIGINT) AS h2
+        FROM events e CROSS JOIN bounds b
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_halves
+        FROM per_user
+    )
+    SELECT n_users, b AS only_first_half, c AS only_second_half,
+           both_halves,
+           round((b - c) * (b - c) * 1.0 / nullif(b + c, 0), 6) + 0
+               AS mcnemar_chi2,
+           CASE WHEN (b - c) * (b - c) * 1.0 / nullif(b + c, 0) > 3.841459
+                THEN 1 ELSE 0 END AS changed_flag
+    FROM c
+    """,
+)
+def a_mcnemar_test(spark, sf_dir):
+    """McNemar's test — PAIRED BINARY change detection: did individual
+    purchasers flip their HIGH-VALUE buying (a purchase >= $200)
+    between the first and second half of the window?  Marginal rates
+    can stay identical while the population churns underneath (b users
+    lapse, c users start — invisible to a_proportion_ztest, which
+    compares unpaired marginals); McNemar looks only at the DISCORDANT
+    cells: chi^2 = (b-c)^2/(b+c) against chi^2_1 = 3.841459 (shared
+    literal).  The categorical sibling of a_wilcoxon_signed_rank, and
+    the standard paired-model-comparison test in ML evaluation (same
+    items, two classifiers).  NULLIF guards the degenerate b+c=0
+    corpus (everyone concordant) with a NULL statistic rather than an
+    error — both engines agree.
+
+    The window midpoint comes from exact DATE integer arithmetic; the
+    per-user half flags are one map-side-combinable groupBy over
+    purchases; the statistic is one float division of exact BIGINT
+    cell counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    mid = F.expr(
+        "date_add(d0, CAST(floor((datediff(d1, d0) + 1) / 2) AS INT))"
+    )
+    hv = F.col("value") >= 200
+    per_user = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when((F.to_date("ts") < mid) & hv, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("h1"),
+            F.max(
+                F.when((F.to_date("ts") >= mid) & hv, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("h2"),
+        )
+    )
+    c = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(
+            F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when((F.col("h1") == 1) & (F.col("h2") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_halves"),
+    )
+    b, cc = F.col("b"), F.col("c")
+    chi2 = (b - cc) * (b - cc) * 1.0 / F.nullif(b + cc, F.lit(0))
+    return c.select(
+        "n_users",
+        b.alias("only_first_half"),
+        cc.alias("only_second_half"),
+        "both_halves",
+        f6(chi2).alias("mcnemar_chi2"),
+        F.when(chi2 > 3.841459, 1).otherwise(0).alias("changed_flag"),
+    )

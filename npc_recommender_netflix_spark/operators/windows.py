@@ -1650,3 +1650,137 @@ def w_kalman_level(spark, sf_dir):
         " innovation_usd double, state_var_usd2 double",
     )
     return out.orderBy("day")
+
+
+def _hw_sql() -> str:
+    """Build the Holt-Winters RECURSIVE CTE: 9 state columns (level,
+    trend, 7 weekly seasonals), each step's CASE updates only the
+    active seasonal slot. Generated so the level expression (which
+    appears in trend and seasonal updates too) is written once."""
+    sold = (
+        "CASE d.rn % 7 "
+        + " ".join(f"WHEN {j} THEN s.s{j}" for j in range(7))
+        + " END"
+    )
+    lnew = f"round(0.5 * (d.x - {sold}) + 0.5 * (s.l + s.b), 6)"
+    snew = ", ".join(
+        f"CASE WHEN d.rn % 7 = {j} THEN"
+        f" round(0.25 * (d.x - {lnew}) + 0.75 * s.s{j}, 6)"
+        f" ELSE s.s{j} END AS s{j}"
+        for j in range(7)
+    )
+    init_s = ", ".join(
+        f"round(max(CASE WHEN rn % 7 = {j} AND rn <= 7"
+        f" THEN x END) - sum(CASE WHEN rn <= 7 THEN x END) / 7.0, 6)"
+        f" AS s{j}"
+        for j in range(7)
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS x,
+               CAST(row_number() OVER (ORDER BY CAST(ts AS DATE))
+                    AS BIGINT) AS rn
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    init AS (
+        SELECT CAST(7 AS BIGINT) AS rn,
+               round(sum(CASE WHEN rn <= 7 THEN x END) / 7.0, 6) AS l,
+               round((sum(CASE WHEN rn BETWEEN 8 AND 14 THEN x END)
+                      - sum(CASE WHEN rn <= 7 THEN x END)) / 49.0, 6) AS b,
+               {init_s},
+               CAST(NULL AS DOUBLE) AS fc, CAST(NULL AS DOUBLE) AS x
+        FROM daily
+    ),
+    s AS (
+        SELECT * FROM init
+        UNION ALL
+        SELECT d.rn,
+               {lnew} AS l,
+               round(0.25 * ({lnew} - s.l) + 0.75 * s.b, 6) AS b,
+               {snew},
+               round(s.l + s.b + {sold}, 6) AS fc,
+               d.x AS x
+        FROM s JOIN daily d ON d.rn = s.rn + 1
+    )
+    SELECT daily.day,
+           round(s.x / 100.0, 2) + 0.0 AS actual_usd,
+           round(s.fc / 100.0, 6) + 0.0 AS forecast_usd,
+           round(s.l / 100.0, 6) + 0.0 AS level_usd,
+           round(s.b / 100.0, 6) + 0.0 AS trend_usd,
+           round(abs(s.x - s.fc) / 100.0, 6) + 0.0 AS abs_err_usd
+    FROM s JOIN daily ON daily.rn = s.rn
+    WHERE s.rn >= 8
+    ORDER BY daily.day
+    """
+
+
+@register("w_holt_winters", _hw_sql())
+def w_holt_winters(spark, sf_dir):
+    """Holt-Winters additive TRIPLE exponential smoothing (Winters
+    1960, public) — the seasonal rung above w_ewma (level) and
+    w_holt_linear (level+trend): a 7-slot weekly seasonal state joins
+    the recursion, so the one-step forecast l + b + s_{t mod 7}
+    anticipates the weekly rhythm instead of averaging through it.
+    α=1/2, β=1/4, γ=1/4; init = textbook two-week moment match
+    (l₀ = week-1 mean, b₀ = (week-2 mean − week-1 mean)/7,
+    s_j = x_j − l₀).
+
+    Same scale split as w_holt_linear: ONE data-scale daily rollup,
+    then a bounded-day-axis recursion — DuckDB walks a RECURSIVE CTE
+    whose 9 state columns (level, trend, 7 seasonals) update via CASE
+    on t mod 7 (SQL generated so the level expression is written
+    once); Spark replays it on the driver with _rhu 6dp half-away
+    snaps per state per step, so both engines walk identical float
+    sequences.
+    """
+    from .modern import _rhu
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("double")
+            .alias("x")
+        )
+        .orderBy("day")
+        .collect()  # bounded: one row per day at ANY scale
+    )
+    rows = []
+    if len(daily) >= 14:
+        a1 = sum(r["x"] for r in daily[:7])
+        a2 = sum(r["x"] for r in daily[7:14])
+        l = _rhu(a1 / 7.0, 6)
+        b = _rhu((a2 - a1) / 49.0, 6)
+        seas = {}
+        for rn in range(1, 8):
+            seas[rn % 7] = _rhu(daily[rn - 1]["x"] - a1 / 7.0, 6)
+        for rn in range(8, len(daily) + 1):
+            x = daily[rn - 1]["x"]
+            j = rn % 7
+            sold = seas[j]
+            fc = _rhu(l + b + sold, 6)
+            lnew = _rhu(0.5 * (x - sold) + 0.5 * (l + b), 6)
+            b = _rhu(0.25 * (lnew - l) + 0.75 * b, 6)
+            seas[j] = _rhu(0.25 * (x - lnew) + 0.75 * sold, 6)
+            l = lnew
+            rows.append((daily[rn - 1]["day"], x, fc, l, b))
+    out = spark.createDataFrame(
+        [
+            (
+                day,
+                _rhu(x / 100.0, 2),
+                _rhu(fc / 100.0, 6),
+                _rhu(l / 100.0, 6),
+                _rhu(b / 100.0, 6),
+                _rhu(abs(x - fc) / 100.0, 6),
+            )
+            for day, x, fc, l, b in rows
+        ],
+        "day date, actual_usd double, forecast_usd double,"
+        " level_usd double, trend_usd double, abs_err_usd double",
+    )
+    return out.orderBy("day")
