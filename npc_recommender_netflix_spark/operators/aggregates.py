@@ -6797,3 +6797,121 @@ def a_mcnemar_test(spark, sf_dir):
         f6(chi2).alias("mcnemar_chi2"),
         F.when(chi2 > 3.841459, 1).otherwise(0).alias("changed_flag"),
     )
+
+
+@register(
+    "a_partial_correlation",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(round(sum(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(round(value * 100) AS BIGINT)
+                                   ELSE 0 END) / 1e3) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y,
+               CAST(count(*) AS BIGINT) AS z
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * z) AS BIGINT) AS sxz,
+               CAST(sum(y * z) AS BIGINT) AS syz,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(z * z) AS BIGINT) AS szz
+        FROM daily
+    ),
+    r AS (
+        SELECT n,
+               (n * sxy - CAST(sx AS DOUBLE) * sy)
+               / sqrt((n * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (n * syy - CAST(sy AS DOUBLE) * sy)) AS rxy,
+               (n * sxz - CAST(sx AS DOUBLE) * sz)
+               / sqrt((n * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (n * szz - CAST(sz AS DOUBLE) * sz)) AS rxz,
+               (n * syz - CAST(sy AS DOUBLE) * sz)
+               / sqrt((n * syy - CAST(sy AS DOUBLE) * sy)
+                      * (n * szz - CAST(sz AS DOUBLE) * sz)) AS ryz
+        FROM c
+    )
+    SELECT n AS n_days,
+           round(rxy, 6) + 0 AS r_xy,
+           round(rxz, 6) + 0 AS r_xz,
+           round(ryz, 6) + 0 AS r_yz,
+           round((rxy - rxz * ryz)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) + 0
+               AS r_xy_given_z
+    FROM r
+    """,
+)
+def a_partial_correlation(spark, sf_dir):
+    """Partial correlation — does purchase REVENUE track CLICK volume
+    once total daily TRAFFIC is controlled for?  Raw r_xy between two
+    activity series is inflated by the shared driver (busy days lift
+    everything — the a_friedman_test observation, in correlation
+    form); the first-order partial r_xy·z = (r_xy − r_xz·r_yz)/
+    √((1−r_xz²)(1−r_yz²)) removes the common cause and is the
+    one-number confounder check run before believing any cross-metric
+    correlation.  All three raw correlations are reported beside the
+    partial, so the inflation is visible.
+
+    One daily rollup (map-side combined) produces x/y/z as exact
+    BIGINTs (revenue snapped to $10 units so n·Σx² stays far inside
+    int64 at any SF — the a_autocorr_daily coarsening); all nine co-moment sums are exact integer reductions on
+    the bounded day axis; the only float math is the final shared
+    association (the a_autocorr_daily discipline, threefold).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            / 1e3
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+        F.count("*").cast("long").alias("z"),
+    )
+    c = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+    )
+    n = F.col("n")
+
+    def _r(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab) - F.col(sa).cast("double") * F.col(sb)) / F.sqrt(
+            (n * F.col(saa) - F.col(sa).cast("double") * F.col(sa))
+            * (n * F.col(sbb) - F.col(sb).cast("double") * F.col(sb))
+        )
+
+    rxy = _r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = _r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = _r("syz", "sy", "sz", "syy", "szz")
+    partial = (rxy - rxz * ryz) / F.sqrt(
+        (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    )
+    return c.select(
+        n.alias("n_days"),
+        f6(rxy).alias("r_xy"),
+        f6(rxz).alias("r_xz"),
+        f6(ryz).alias("r_yz"),
+        f6(partial).alias("r_xy_given_z"),
+    )

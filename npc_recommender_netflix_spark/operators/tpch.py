@@ -2950,3 +2950,111 @@ def q_supply_chain_otif(spark, sf_dir):
         .orderBy("otif_rate", "s_name")
         .limit(25)
     )
+
+
+@register(
+    "q_price_index",
+    """
+    WITH py AS (
+        SELECT l_partkey AS pk,
+               CAST(year(l_shipdate) AS BIGINT) AS yr,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ),
+    y0 AS (SELECT CAST(min(yr) AS BIGINT) AS base_yr FROM py),
+    base AS (
+        SELECT pk, q AS q0, rev AS rev0
+        FROM py CROSS JOIN y0 WHERE yr = base_yr
+    ),
+    joined AS (
+        SELECT p.yr, p.pk, p.q, p.rev, b.q0, b.rev0
+        FROM py p JOIN base b ON b.pk = p.pk CROSS JOIN y0
+        WHERE p.yr > base_yr
+    ),
+    terms AS (
+        SELECT yr,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(CAST(round(CAST(rev AS DOUBLE) / q * q0)
+                             AS BIGINT)) AS BIGINT) AS pt_q0,
+               CAST(sum(rev0) AS BIGINT) AS p0_q0,
+               CAST(sum(rev) AS BIGINT) AS pt_qt,
+               CAST(sum(CAST(round(CAST(rev0 AS DOUBLE) / q0 * q)
+                             AS BIGINT)) AS BIGINT) AS p0_qt
+        FROM joined GROUP BY yr
+    )
+    SELECT yr AS year, n_parts,
+           round(CAST(pt_q0 AS DOUBLE) / p0_q0, 6) + 0 AS laspeyres,
+           round(CAST(pt_qt AS DOUBLE) / p0_qt, 6) + 0 AS paasche,
+           round(sqrt((CAST(pt_q0 AS DOUBLE) / p0_q0)
+                      * (CAST(pt_qt AS DOUBLE) / p0_qt)), 6) + 0
+               AS fisher
+    FROM terms ORDER BY year
+    """,
+)
+def q_price_index(spark, sf_dir):
+    """Laspeyres / Paasche / Fisher price indices per ship year against
+    the first-ship-year base — the index-number triple every pricing and macro
+    dashboard publishes: Laspeyres Σp_t·q₀/Σp₀·q₀ (base-weighted —
+    overstates inflation when buyers substitute away), Paasche
+    Σp_t·q_t/Σp₀·q_t (current-weighted — understates it), Fisher the
+    geometric ideal between.  Per (part, year), unit price is revenue
+    / quantity; only parts present in the base year enter (matched-
+    model indices — the standard censoring, n_parts makes it visible).
+
+    Exactness: per-cell revenue and quantity are exact BIGINTs; each
+    cross-term p_t·q₀ = rev_t/q_t·q₀ snaps to an exact cent BIGINT
+    BEFORE the year sum (reduction-order-free); the index is one float
+    division per year, Fisher one sqrt.  One (part,year) rollup + a
+    broadcast-scale base-year join; everything after is year-bounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").cast("long").alias("yr"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev"),
+    )
+    y0 = py.agg(F.min("yr").cast("long").alias("base_yr"))
+    base = (
+        py.crossJoin(F.broadcast(y0))
+        .where(F.col("yr") == F.col("base_yr"))
+        .select("pk", F.col("q").alias("q0"), F.col("rev").alias("rev0"))
+    )
+    joined = (
+        py.crossJoin(F.broadcast(y0))
+        .where(F.col("yr") > F.col("base_yr"))
+        .join(base, "pk")
+    )
+    terms = joined.groupBy("yr").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum(
+            F.round(
+                F.col("rev").cast("double") / F.col("q") * F.col("q0")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("pt_q0"),
+        F.sum("rev0").cast("long").alias("p0_q0"),
+        F.sum("rev").cast("long").alias("pt_qt"),
+        F.sum(
+            F.round(
+                F.col("rev0").cast("double") / F.col("q0") * F.col("q")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("p0_qt"),
+    )
+    lasp = F.col("pt_q0").cast("double") / F.col("p0_q0")
+    paas = F.col("pt_qt").cast("double") / F.col("p0_qt")
+    return terms.select(
+        F.col("yr").alias("year"),
+        "n_parts",
+        f6(lasp).alias("laspeyres"),
+        f6(paas).alias("paasche"),
+        f6(F.sqrt(lasp * paas)).alias("fisher"),
+    ).orderBy("year")
