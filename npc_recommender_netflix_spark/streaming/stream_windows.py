@@ -858,3 +858,67 @@ def st_batch_stream_parity(spark, sf_dir):
         )
         .orderBy("wstart", "event_type")
     )
+
+
+@register(
+    "st_observed_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) + 0.0
+               AS total_value_usd
+    FROM events
+    """,
+)
+def st_observed_metrics(spark, sf_dir):
+    """Streaming pipeline telemetry EXECUTED — df.observe() on a real
+    Structured Streaming query (the streaming twin of
+    u_observe_metrics): named aggregate metrics ride every micro-batch
+    as a side effect of the job that runs anyway, surface in each
+    StreamingQueryProgress, and because they are ADDITIVE aggregates
+    their per-batch values sum to the batch-SQL totals REGARDLESS of
+    how the file source slices micro-batches — which is exactly what
+    the oracle verifies (count/sum over the static table).  This is
+    the production 'rows seen / revenue seen per trigger' dashboard
+    feed, with the batch-invariance property made checkable.
+
+    The stream runs availableNow to completion into a discard sink;
+    metrics come from the query's progress history, not the sink —
+    payload rows never leave the executors.  Driver-side work is one
+    progress-list fold (metadata-scale: one struct per micro-batch).
+    """
+    import uuid as _uuid
+
+    ev = read_events_stream(spark, sf_dir)
+    obs = ev.observe(
+        "m",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    name = "snk_" + _uuid.uuid4().hex[:12]
+    q = (
+        obs.select("event_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="npc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_rows = n_purch = cents = 0
+    for p in q.recentProgress:
+        m = (p.get("observedMetrics") or {}).get("m")
+        if m:
+            n_rows += m["n_rows"] or 0
+            n_purch += m["n_purchases"] or 0
+            cents += m["cents"] or 0
+    out = spark.createDataFrame(
+        [(int(n_rows), int(n_purch), round(cents / 100.0, 2) + 0.0)],
+        "n_rows long, n_purchases long, total_value_usd double",
+    )
+    return out
