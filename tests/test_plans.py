@@ -1415,3 +1415,49 @@ def test_asof_tolerance_no_extra_shuffle_for_gate(spark):
     assert not any(
         "3600" in ln for ln in plan.splitlines() if "Exchange" in ln
     ), "tolerance leaked into an exchange key"
+
+
+def test_logistic_irls_moments_are_partial_final(spark):
+    """a_logistic_irls's per-iteration weighted moments must reduce via
+    partial+final HashAggregate (map-side combine on the bounded cell
+    axis) and broadcast the 1-row beta — never shuffle the fact rows
+    per iteration."""
+    plan = _plan(spark, "a_logistic_irls")
+    assert plan.count("HashAggregate") >= 8  # 4 iterations x partial+final
+    assert "BroadcastExchange" in plan
+
+
+def test_nsw_adjacency_is_window_group_limit(spark):
+    """v_nsw_greedy's degree cap must be the rank<=k rewrite (bounded
+    buffer per src), and every greedy hop a broadcast join of the
+    1-row-per-query frontier."""
+    plan = _plan(spark, "v_nsw_greedy")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bitmap_overlap_shuffles_words_not_users(spark):
+    """a_bitmap_overlap's pair join must key on (type, bucket) AFTER the
+    bit_or densification — the exchange carries 64-users-per-row words.
+    The bitmap functions must be JVM-side (no Python eval in plan)."""
+    plan = _plan(spark, "a_bitmap_overlap")
+    assert "bit_or" in plan and "bit_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merkle_leaves_hash_before_exchange(spark):
+    """s_merkle_manifest must md5 leaves map-side (partial aggregate
+    below the bucket exchange), so row content never shuffles — only
+    256 bucket digests."""
+    plan = _plan(spark, "s_merkle_manifest")
+    assert "md5" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_shortest_path_frontier_joins_stay_hash(spark):
+    """r_shortest_path's per-level frontier expansion must be hash
+    joins on the item key with distinct-aggregates per level — no
+    cartesian product anywhere in the iterative plan."""
+    plan = _plan(spark, "r_shortest_path")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
