@@ -3549,3 +3549,63 @@ def t_readability(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t_k_anonymity",
+    """
+    WITH qi AS (
+        SELECT lang, source, n_chars // 500 AS len_bucket,
+               CAST(count(*) AS BIGINT) AS grp
+        FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(grp) AS BIGINT) AS n_rows,
+           CAST(min(grp) AS BIGINT) AS k_anonymity,
+           CAST(sum(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           round(sum(CASE WHEN grp < 5 THEN grp ELSE 0 END) * 1.0
+                 / sum(grp), 6) + 0 AS risk_share,
+           CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons
+    FROM qi
+    """,
+)
+def t_k_anonymity(spark, sf_dir):
+    """k-anonymity census over quasi-identifiers — the PRIVACY AUDIT
+    that precedes any data release (Sweeney 2002, public): group the
+    corpus by the attacker-joinable attributes (language, source,
+    length bucket — the metadata that survives scrubbing), and report
+    the dataset's k (smallest group), the rows living in groups under
+    k=5, and the singleton count — rows a linkage attack pins
+    uniquely.  t_scrub_pii removes identifiers IN the text;
+    t_dp_counts noises the outputs; this key measures the
+    re-identification surface of what remains — the three compose
+    into the standard release checklist.
+
+    One map-side-combinable groupBy over the scan (the QI tuple is the
+    shuffle key), one bounded rollup; every number is an exact BIGINT
+    except the single share division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 500).alias("len_bucket"),
+    ).agg(F.count("*").cast("long").alias("grp"))
+    return qi.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("grp").cast("long").alias("n_rows"),
+        F.min("grp").cast("long").alias("k_anonymity"),
+        F.sum(F.when(F.col("grp") < 5, F.col("grp")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        f6(
+            F.sum(F.when(F.col("grp") < 5, F.col("grp")).otherwise(0))
+            * 1.0
+            / F.sum("grp")
+        ).alias("risk_share"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+    )
