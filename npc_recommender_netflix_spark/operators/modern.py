@@ -3825,3 +3825,92 @@ def q_growth_accounting(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_incremental_aggregate",
+    """
+    SELECT o_custkey % 97 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents,
+           min(CAST(o_orderdate AS DATE)) AS first_order
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_incremental_aggregate(spark, sf_dir):
+    """Incremental view maintenance — the nightly-ETL contract made
+    checkable: the Spark side NEVER aggregates the full table; it
+    aggregates the BASE period and the DELTA batch separately and
+    MERGES the partial states (n₁+n₂, Σ₁+Σ₂, max/max, min/min via a
+    full-outer join on the group key), while the oracle recomputes
+    from scratch.  The hash match proves the merge algebra equals
+    recompute — the property every incremental pipeline silently
+    assumes and almost never tests (the a_bitmap_overlap
+    independent-oracle trick applied to IVM).
+
+    count/sum/max/min are the inserts-only-safe state algebra
+    (retractions additionally need count-per-value or monoid inverses
+    — q_upsert_merge's territory); at 100 TB this is the difference
+    between scanning one day and rescanning three years.  Both passes
+    are map-side-combinable groupBys; the merge join carries one row
+    per group key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def state(df):
+        return df.groupBy(
+            (F.col("o_custkey") % 97).alias("bucket")
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("s"),
+            F.max(cents).cast("long").alias("mx"),
+            F.min(F.to_date("o_orderdate")).alias("fd"),
+        )
+
+    cut = F.lit("1997-01-01").cast("timestamp")
+    base = state(orders.where(F.col("o_orderdate") < cut))
+    delta = state(orders.where(F.col("o_orderdate") >= cut))
+    b = base.select(
+        "bucket",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("mx").alias("mx1"),
+        F.col("fd").alias("fd1"),
+    )
+    d = delta.select(
+        "bucket",
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("mx").alias("mx2"),
+        F.col("fd").alias("fd2"),
+    )
+    merged = b.join(d, "bucket", "full_outer").select(
+        "bucket",
+        (
+            F.coalesce(F.col("n1"), F.lit(0))
+            + F.coalesce(F.col("n2"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_orders"),
+        (
+            F.coalesce(F.col("s1"), F.lit(0))
+            + F.coalesce(F.col("s2"), F.lit(0))
+        )
+        .cast("long")
+        .alias("cents"),
+        F.greatest(
+            F.coalesce(F.col("mx1"), F.lit(-1)),
+            F.coalesce(F.col("mx2"), F.lit(-1)),
+        )
+        .cast("long")
+        .alias("max_cents"),
+        F.least(
+            F.coalesce(F.col("fd1"), F.lit("9999-12-31").cast("date")),
+            F.coalesce(F.col("fd2"), F.lit("9999-12-31").cast("date")),
+        ).alias("first_order"),
+    )
+    return merged.orderBy("bucket")
