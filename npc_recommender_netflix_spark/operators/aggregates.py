@@ -6915,3 +6915,212 @@ def a_partial_correlation(spark, sf_dir):
         f6(ryz).alias("r_yz"),
         f6(partial).alias("r_xy_given_z"),
     )
+
+
+_HURST_BLOCK_SQL = """
+        SELECT {m} AS m, (rn - 1) // {m} AS blk, rn, kd
+        FROM idx WHERE rn <= (n_days // {m}) * {m}
+"""
+
+
+@register(
+    "a_hurst_exponent",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          / 1e5) AS BIGINT) AS kd
+        FROM orders GROUP BY 1
+    ),
+    idx0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn, kd
+        FROM daily
+    ),
+    idx AS (
+        SELECT rn, kd, (SELECT CAST(count(*) AS BIGINT) FROM idx0)
+                           AS n_days
+        FROM idx0
+    ),
+    blocks AS (
+        {_HURST_BLOCK_SQL.format(m=5)}
+        UNION ALL
+        {_HURST_BLOCK_SQL.format(m=10)}
+        UNION ALL
+        {_HURST_BLOCK_SQL.format(m=15)}
+    ),
+    bstat AS (
+        SELECT m, blk, CAST(sum(kd) AS BIGINT) AS s
+        FROM blocks GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT b.m, b.blk, b.rn,
+               CAST(b.m * b.kd - t.s AS BIGINT) AS dv
+        FROM blocks b JOIN bstat t ON t.m = b.m AND t.blk = b.blk
+    ),
+    cum AS (
+        SELECT m, blk,
+               CAST(sum(dv) OVER (PARTITION BY m, blk ORDER BY rn)
+                    AS BIGINT) AS c,
+               dv
+        FROM dev
+    ),
+    per_block AS (
+        SELECT m, blk,
+               CAST(max(c) - min(c) AS BIGINT) AS rng,
+               CAST(sum(dv * dv) AS BIGINT) AS sd2
+        FROM cum GROUP BY 1, 2
+    ),
+    rs AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(CAST(round(
+                   rng * sqrt(CAST(m AS DOUBLE)) / sqrt(sd2) * 1e9
+               ) AS BIGINT)) AS BIGINT) AS rs9
+        FROM per_block WHERE sd2 > 0 GROUP BY m
+    ),
+    pts AS (
+        SELECT m, n_blocks,
+               CAST(rs9 AS DOUBLE) / 1e9 / n_blocks AS avg_rs,
+               ln(CAST(m AS DOUBLE)) AS lx,
+               ln(CAST(rs9 AS DOUBLE) / 1e9 / n_blocks) AS ly
+        FROM rs
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(round(lx * 1e9) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(sum(CAST(round(ly * 1e9) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(sum(CAST(round(lx * ly * 1e9) AS BIGINT)) AS BIGINT)
+                   AS sxy,
+               CAST(sum(CAST(round(lx * lx * 1e9) AS BIGINT)) AS BIGINT)
+                   AS sxx
+        FROM pts
+    )
+    SELECT p.m AS window_size, p.n_blocks,
+           round(p.avg_rs, 6) + 0 AS avg_rescaled_range,
+           round((f.k * (f.sxy / 1e9) - (f.sx / 1e9) * (f.sy / 1e9))
+                 / (f.k * (f.sxx / 1e9) - (f.sx / 1e9) * (f.sx / 1e9)),
+                 6) + 0 AS hurst
+    FROM pts p CROSS JOIN fit f ORDER BY window_size
+    """,
+)
+def a_hurst_exponent(spark, sf_dir):
+    """Hurst exponent by rescaled-range analysis (Hurst 1951, Mandelbrot
+    — public) of daily revenue: does the series have LONG MEMORY?
+    H≈0.5 = random walk (a_autocorr_daily's one-lag view, extended to
+    all horizons), H>0.5 = persistent trends (momentum compounds —
+    forecast horizons stretch), H<0.5 = mean-reverting.  Per window
+    size m∈{{5,10,15}}: split the day axis into ⌊n/m⌋ blocks, each
+    block's R/S = (range of mean-centered cumulative deviations) /
+    (population std); H = the log-log OLS slope across the three
+    sizes, reported beside each size's average R/S.
+
+    Exactness is the a_ljung_box integer-deviation trick PER BLOCK:
+    dv = m·x − Σx is an exact BIGINT, the cumulative deviation's
+    numerator is a running BIGINT sum (ordered window — no float
+    accumulation), so R/S = rng·√m/√(Σdv²) is one float of exact
+    integers per block, snapped to 1e-9 before the cross-block mean;
+    the ln/OLS fit runs on the 3-point bounded axis with every term
+    snapped pre-sum.  Daily rollup is the only data-scale pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 1e5
+        )
+        .cast("long")
+        .alias("kd")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("rn"),
+        "kd",
+    )
+    n_days = idx.agg(F.count("*").cast("long").alias("n_days"))
+    idx = idx.crossJoin(F.broadcast(n_days))
+    blocks = None
+    for m in (5, 10, 15):
+        b = idx.where(
+            F.col("rn") <= (F.floor(F.col("n_days") / m) * m)
+        ).select(
+            F.lit(m).cast("long").alias("m"),
+            F.floor((F.col("rn") - 1) / m).cast("long").alias("blk"),
+            "rn",
+            "kd",
+        )
+        blocks = b if blocks is None else blocks.unionByName(b)
+    bstat = blocks.groupBy("m", "blk").agg(
+        F.sum("kd").cast("long").alias("s")
+    )
+    dev = blocks.join(bstat, ["m", "blk"]).select(
+        "m",
+        "blk",
+        "rn",
+        (F.col("m") * F.col("kd") - F.col("s")).cast("long").alias("dv"),
+    )
+    wcum = Window.partitionBy("m", "blk").orderBy("rn")
+    cum = dev.select(
+        "m",
+        "blk",
+        F.sum("dv").over(wcum).cast("long").alias("c"),
+        "dv",
+    )
+    per_block = cum.groupBy("m", "blk").agg(
+        (F.max("c") - F.min("c")).cast("long").alias("rng"),
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("sd2"),
+    )
+    rs = (
+        per_block.where(F.col("sd2") > 0)
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(
+                F.round(
+                    F.col("rng")
+                    * F.sqrt(F.col("m").cast("double"))
+                    / F.sqrt(F.col("sd2"))
+                    * 1e9
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rs9"),
+        )
+    )
+    avg_rs = F.col("rs9").cast("double") / 1e9 / F.col("n_blocks")
+    pts = rs.select(
+        "m",
+        "n_blocks",
+        avg_rs.alias("avg_rs"),
+        F.log(F.col("m").cast("double")).alias("lx"),
+        F.log(avg_rs).alias("ly"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.round(F.col("lx") * 1e9).cast("long"))
+        .cast("long")
+        .alias("sx"),
+        F.sum(F.round(F.col("ly") * 1e9).cast("long"))
+        .cast("long")
+        .alias("sy"),
+        F.sum(F.round(F.col("lx") * F.col("ly") * 1e9).cast("long"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.round(F.col("lx") * F.col("lx") * 1e9).cast("long"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    k = F.col("k")
+    hurst = (
+        k * (F.col("sxy") / 1e9)
+        - (F.col("sx") / 1e9) * (F.col("sy") / 1e9)
+    ) / (
+        k * (F.col("sxx") / 1e9)
+        - (F.col("sx") / 1e9) * (F.col("sx") / 1e9)
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("m").alias("window_size"),
+            "n_blocks",
+            f6(F.col("avg_rs")).alias("avg_rescaled_range"),
+            f6(hurst).alias("hurst"),
+        )
+        .orderBy("window_size")
+    )
