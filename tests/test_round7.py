@@ -743,3 +743,43 @@ def test_logistic_irls_matches_converged_numpy(spark):
     ll = -(sy * np.log(p) + (n - sy) * np.log(1 - p)).sum() / n.sum()
     assert abs(row["avg_log_loss"] - ll) < 5e-6
     assert row["n_obs"] == int(n.sum())
+
+
+def test_nsw_greedy_walk_improves_on_entry(spark):
+    """v_nsw_greedy's greedy walk can never end WORSE than where it
+    started: each hop keeps the current node among the candidates, so
+    the final cosine must be >= the entry point's cosine to the query
+    (and the reported true_rank must be consistent with found_cos)."""
+    from pyspark.sql import functions as F
+
+    rows = registry.QUERIES["v_nsw_greedy"](spark, SF_SMALL).collect()
+    assert len(rows) == 3
+
+    from npc_recommender_netflix_spark.llm.vectors import _cos_pairs
+
+    entry = {
+        r["query_id"]: r["cos"]
+        for r in _cos_pairs(
+            spark, SF_SMALL, F.col("vec_id").isin(0, 1, 2)
+        )
+        .where(F.col("cand_id") == 3)
+        .collect()
+    }
+    all_cos = {
+        (r["query_id"], r["cand_id"]): r["cos"]
+        for r in _cos_pairs(
+            spark, SF_SMALL, F.col("vec_id").isin(0, 1, 2)
+        ).collect()
+    }
+    for r in rows:
+        q = r["query_id"]
+        assert r["found_cos"] >= entry[q], "walk ended below its entry"
+        better = sum(
+            1
+            for (qq, _c), cos in all_cos.items()
+            if qq == q and cos > r["found_cos"]
+        )
+        # true_rank counts (cos DESC, cand_id) position: everything
+        # strictly better precedes it
+        assert r["true_rank"] >= better + 1
+        assert abs(all_cos[(q, r["found_id"])] - r["found_cos"]) < 1e-9

@@ -70,6 +70,8 @@ LINEAR_KEYS = {
     "t_bloom_dedup": "documents",  # bloom-prefiltered digest dedup
     "t_novelty_curve": "documents",  # gram first-seen aggregate
     "v_semantic_dedup_capped": "embeddings",  # rank-window cap: <=8N pairs
+    "t_containment_neardup": "documents",  # same df<=64 posting cap, directed
+    "v_nsw_greedy": "embeddings",  # banded build + bounded-degree greedy walk
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
