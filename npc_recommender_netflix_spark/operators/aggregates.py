@@ -7124,3 +7124,66 @@ def a_hurst_exponent(spark, sf_dir):
         )
         .orderBy("window_size")
     )
+
+
+@register(
+    "a_grouping_id",
+    """
+    SELECT coalesce(l_returnflag, '(all)') AS flag,
+           coalesce(l_linestatus, '(all)') AS status,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS BIGINT) AS gid,
+           CASE CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                     AS BIGINT)
+                WHEN 0 THEN 'detail' WHEN 1 THEN 'flag_subtotal'
+                ELSE 'grand_total' END AS level,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, flag, status
+    """,
+)
+def a_grouping_id(spark, sf_dir):
+    """grouping_id() — the disambiguator that makes ROLLUP output
+    machine-consumable: a NULL in a rollup row is ambiguous (real NULL
+    key, or subtotal placeholder?), and every BI tool that consumes
+    a_rollup's raw output eventually mislabels one as the other.  The
+    grouping bitmask (bit per grouping column, 1 = rolled up) names
+    each row's aggregation LEVEL exactly — detail / flag subtotal /
+    grand total — independent of the key values, so the coalesced
+    '(all)' labels here are cosmetic, not load-bearing.
+
+    Same single-pass Expand + partial/final aggregate plan as
+    a_rollup; the bitmask is computed per expanded row before the
+    shuffle, costing nothing.  Spark's grouping()/spark_grouping_id
+    and DuckDB's GROUPING() agree bit-for-bit once composed in the
+    same column order (the oracle composes grouping(a)*2 +
+    grouping(b) explicitly on both sides rather than trusting either
+    engine's packed grouping_id order).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+    ).cast("long")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            gid.alias("gid"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias(
+                "flag"
+            ),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias(
+                "status"
+            ),
+            "gid",
+            F.when(F.col("gid") == 0, "detail")
+            .when(F.col("gid") == 1, "flag_subtotal")
+            .otherwise("grand_total")
+            .alias("level"),
+            "n",
+        )
+        .orderBy("gid", "flag", "status")
+    )
