@@ -54,6 +54,7 @@ SCALES = [("x1", 1, 1), ("x10", 10, 5), ("x30", 30, 15)]
 BASE_DOCS = 5_000
 BASE_EMB = 2_000
 BASE_ORDERS = 15_000   # lineitem = ~4x orders; customer = orders/10
+BASE_EVENTS = 10_000   # 30-day fixed window; users scale with N
 BASE_PARTS = 2_000     # catalog grows with the corpus, like a real store
 
 # keys whose docstrings/SCALE.md claim ~linear scaling via digest keys,
@@ -110,6 +111,16 @@ RELATIONAL_LINEAR_KEYS = {
 }
 # iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
 # dup-chain-bounded propagation (t_dup_clusters) — linear PER ITERATION
+# events-table keys (round 7 session 2): generated events scale with N
+# (fixed 30-day axis, constant per-user density, 10 power users at 1/37).
+EVENTS_LINEAR_KEYS = {
+    "w_sessionize": "events",         # one user-keyed window pass
+    "q_growth_accounting": "events",  # distinct + one user window
+    "a_bitmap_overlap": "events",     # bit_or words, bucket-keyed pair join
+    "q_attribution_position": "events",  # user-keyed 7-day lookback join:
+    # power users' touch lists grow with N — expected to bend; measuring
+    # is the point (the cap, if needed, is a per-user touch limit)
+}
 ITERATIVE_KEYS = {
     "r_pagerank": "lineitem",
     "r_kcore_peel": "lineitem",
@@ -229,6 +240,50 @@ def gen_embeddings(n: int, path: str) -> None:
     pq.write_table(tbl, path)
 
 
+def gen_events(m: int, path: str) -> None:
+    """Deterministic events at multiplier m, matching the driver table's
+    schema (event_id, ts[us], user_id, event_type, value, props). The
+    day axis is FIXED at 30 days (bounded-axis ops stay bounded); users
+    scale with N so per-user density is constant — EXCEPT 10 planted
+    power users absorbing 1/37 of all events (their touch lists grow
+    with N, the hot keys that bend any per-user pair/lookback join)."""
+    n = BASE_EVENTS * m
+    i = np.arange(n, dtype=np.int64)
+    n_users = 150 * m
+    user = (i * 2654435761 % (n_users - 10)) + 10
+    user[i % 37 == 0] = i[i % 37 == 0] % 10  # power users 0-9
+    span_us = 30 * 86400 * 1_000_000
+    ts = np.datetime64("2024-01-01", "us") + (
+        (i * 1442695040888963407) % span_us
+    ).astype("timedelta64[us]")
+    # quotient, not remainder: i*c % 5 would be i % 5, and user =
+    # i*c % n_users pins i mod 5 — every user would see ONE event type.
+    # The product's QUOTIENT by the user modulus is ~independent of it.
+    etype = np.array(["view", "click", "purchase", "signup", "share"])[
+        (i * 2654435761 // (n_users - 10)) % 5
+    ]
+    value = ((i * 40503) % 49001 + 1) / 100.0
+    props = np.char.add(
+        np.char.add(
+            '{"k": ', ((i * 2654435761 // 70000) % 500).astype(str)
+        ),
+        "}",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(i, pa.int64()),
+                "ts": pa.array(ts),
+                "user_id": pa.array(user, pa.int64()),
+                "event_type": pa.array(etype, pa.string()),
+                "value": pa.array(value, pa.float64()),
+                "props": pa.array(props.tolist(), pa.string()),
+            }
+        ),
+        path,
+    )
+
+
 def gen_relational(m: int, d: str) -> None:
     """Deterministic customer/orders/lineitem at multiplier m — full
     schemas of the driver tables, so every relational/recommender key
@@ -341,6 +396,11 @@ def build_dirs(out: str) -> dict[str, str]:
                 if os.path.islink(p):
                     os.unlink(p)
             gen_relational(dm, d)
+        ev_p = os.path.join(d, "events.parquet")
+        if os.path.islink(ev_p):
+            os.unlink(ev_p)
+        if not os.path.exists(ev_p):
+            gen_events(dm, ev_p)
         # remaining dims don't scale; link them so load_table resolves
         for t in TABLES:
             dst = os.path.join(d, f"{t}.parquet")
@@ -357,6 +417,8 @@ def run(dirs: dict[str, str], only: list[str] | None = None) -> dict:
     # key -> (table, claim, callable)
     all_keys: dict[str, tuple] = {}
     for key, table in LINEAR_KEYS.items():
+        all_keys[key] = (table, "linear", registry.QUERIES[key])
+    for key, table in EVENTS_LINEAR_KEYS.items():
         all_keys[key] = (table, "linear", registry.QUERIES[key])
     for key, table in QUADRATIC_KEYS.items():
         all_keys[key] = (table, "quadratic-by-contract", registry.QUERIES[key])
@@ -391,6 +453,8 @@ def run(dirs: dict[str, str], only: list[str] | None = None) -> dict:
                 if table == "documents"
                 else BASE_EMB * em
                 if table == "embeddings"
+                else BASE_EVENTS * dm
+                if table == "events"
                 else BASE_ORDERS * 4 * dm  # lineitem: ~4 lines/order
             )
             before = _shuffle_written(spark)
