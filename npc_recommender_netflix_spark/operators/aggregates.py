@@ -7187,3 +7187,215 @@ def a_grouping_id(spark, sf_dir):
         )
         .orderBy("gid", "flag", "status")
     )
+
+
+_POIS_ITER_SQL = """
+    pp{cur} AS (
+        SELECT c.y, c.x1, c.x2,
+               CAST(round(exp(b.b0 + b.b1 * c.x1 + b.b2 * c.x2) * 1e6)
+                    AS BIGINT) AS mu6
+        FROM pcells c CROSS JOIN pit{cur} b
+    ),
+    pm{cur} AS (
+        SELECT
+            CAST(sum(CAST(mu6 AS HUGEINT)) AS DOUBLE) AS a00,
+            CAST(sum(CAST(mu6 AS HUGEINT) * x1) AS DOUBLE) AS a01,
+            CAST(sum(CAST(mu6 AS HUGEINT) * x2) AS DOUBLE) AS a02,
+            CAST(sum(CAST(mu6 AS HUGEINT) * x1 * x1) AS DOUBLE) AS a11,
+            CAST(sum(CAST(mu6 AS HUGEINT) * x1 * x2) AS DOUBLE) AS a12,
+            CAST(sum(CAST(mu6 AS HUGEINT) * x2 * x2) AS DOUBLE) AS a22,
+            CAST(sum(y * 1000000 - mu6) AS DOUBLE) AS g0,
+            CAST(sum((y * 1000000 - mu6) * x1) AS DOUBLE) AS g1,
+            CAST(sum((y * 1000000 - mu6) * x2) AS DOUBLE) AS g2
+        FROM pp{cur}
+    ),
+    pd{cur} AS (
+        SELECT *,
+               a00 * (a11 * a22 - a12 * a12)
+                 - a01 * (a01 * a22 - a12 * a02)
+                 + a02 * (a01 * a12 - a11 * a02) AS det
+        FROM pm{cur}
+    ),
+    pit{next} AS (
+        SELECT round(b.b0 + (g0 * (a11 * a22 - a12 * a12)
+                             - g1 * (a01 * a22 - a02 * a12)
+                             + g2 * (a01 * a12 - a02 * a11)) / det, 9)
+                   AS b0,
+               round(b.b1 + (0.0 - g0 * (a01 * a22 - a12 * a02)
+                             + g1 * (a00 * a22 - a02 * a02)
+                             - g2 * (a00 * a12 - a02 * a01)) / det, 9)
+                   AS b1,
+               round(b.b2 + (g0 * (a01 * a12 - a11 * a02)
+                             - g1 * (a00 * a12 - a01 * a02)
+                             + g2 * (a00 * a11 - a01 * a01)) / det, 9)
+                   AS b2
+        FROM pd{cur} CROSS JOIN pit{cur} b
+    )
+"""
+
+
+@register(
+    "a_poisson_irls",
+    f"""
+    WITH pcells AS (
+        SELECT CAST(count(*) AS BIGINT) AS y,
+               CAST(CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                         THEN 1 ELSE 0 END AS BIGINT) AS x1,
+               CAST(CAST(ts AS DATE)
+                    - (SELECT min(CAST(ts AS DATE)) FROM events)
+                    AS BIGINT) AS x2
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    ),
+    pit0 AS (
+        SELECT round(ln((SELECT sum(y) * 1.0 / count(*) FROM pcells)), 9)
+                   AS b0,
+               0.0 AS b1, 0.0 AS b2
+    ),
+    {_POIS_ITER_SQL.format(cur=0, next=1)},
+    {_POIS_ITER_SQL.format(cur=1, next=2)},
+    {_POIS_ITER_SQL.format(cur=2, next=3)},
+    {_POIS_ITER_SQL.format(cur=3, next=4)},
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM pcells)
+    SELECT n_days,
+           round(b0, 6) + 0 AS b_intercept,
+           round(b1, 6) + 0 AS b_weekend,
+           round(b2, 6) + 0 AS b_trend,
+           round(exp(b0 + b1), 6) + 0 AS weekend_day0_rate
+    FROM nn CROSS JOIN pit4
+    """,
+)
+def a_poisson_irls(spark, sf_dir):
+    """Poisson regression by IRLS — the COUNT-MODEL GLM completing the
+    link-function pair with a_logistic_irls (same distributed
+    machinery, log link instead of logit): daily purchase arrivals ~
+    weekend + linear trend, the model a_poisson_rate_test's two-group
+    comparison graduates into when exposure structure matters.  Four
+    Newton steps, each one pass of weighted moments (w = μ for the
+    canonical log link) + a 3×3 Cramer solve; β̂_weekend exponentiates
+    to the weekend rate RATIO the rate test estimated nonparametrically.
+
+    Same engine-exactness split: the response cells are the bounded
+    day axis (the only data-scale work is the daily count groupBy);
+    exp(η) evaluates per CELL and snaps to a 1e-6 BIGINT; moments are
+    DECIMAL/HUGEINT-exact; β re-snaps to 9dp per iteration; init
+    b0 = ln(mean) snapped 9dp.  dayofweek pairing (1,7)/(0,6) per
+    SURVEY §2.7.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.where(F.col("event_type") == "purchase").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    pcells = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(d0))
+        .groupBy(F.to_date("ts").alias("d"), F.col("d0"))
+        .agg(F.count("*").cast("long").alias("y"))
+        .select(
+            "y",
+            F.when(F.dayofweek("d").isin(1, 7), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("x1"),
+            F.datediff(F.col("d"), F.col("d0")).cast("long").alias("x2"),
+        )
+        .cache()
+    )
+    init = pcells.agg(
+        F.round(
+            F.log(F.sum("y") * 1.0 / F.count("*")), 9
+        ).alias("b0")
+    ).select("b0", F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2"))
+
+    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    beta = init
+    for _ in range(4):
+        p = pcells.crossJoin(F.broadcast(beta)).select(
+            "y",
+            "x1",
+            "x2",
+            F.round(
+                F.exp(
+                    F.col("b0")
+                    + F.col("b1") * F.col("x1")
+                    + F.col("b2") * F.col("x2")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("mu6"),
+            "b0",
+            "b1",
+            "b2",
+        )
+        g = F.col("y") * F.lit(1000000).cast("long") - F.col("mu6")
+        m = p.groupBy("b0", "b1", "b2").agg(
+            F.sum(dec(F.col("mu6"))).cast("double").alias("a00"),
+            F.sum(dec(F.col("mu6")) * dec(F.col("x1")))
+            .cast("double")
+            .alias("a01"),
+            F.sum(dec(F.col("mu6")) * dec(F.col("x2")))
+            .cast("double")
+            .alias("a02"),
+            F.sum(dec(F.col("mu6")) * dec(F.col("x1")) * dec(F.col("x1")))
+            .cast("double")
+            .alias("a11"),
+            F.sum(dec(F.col("mu6")) * dec(F.col("x1")) * dec(F.col("x2")))
+            .cast("double")
+            .alias("a12"),
+            F.sum(dec(F.col("mu6")) * dec(F.col("x2")) * dec(F.col("x2")))
+            .cast("double")
+            .alias("a22"),
+            F.sum(g).cast("double").alias("g0"),
+            F.sum(g * F.col("x1")).cast("double").alias("g1"),
+            F.sum(g * F.col("x2")).cast("double").alias("g2"),
+        )
+        a00, a01, a02 = F.col("a00"), F.col("a01"), F.col("a02")
+        a11, a12, a22 = F.col("a11"), F.col("a12"), F.col("a22")
+        g0, g1, g2 = F.col("g0"), F.col("g1"), F.col("g2")
+        det = (
+            a00 * (a11 * a22 - a12 * a12)
+            - a01 * (a01 * a22 - a12 * a02)
+            + a02 * (a01 * a12 - a11 * a02)
+        )
+        beta = m.select(
+            F.round(
+                F.col("b0")
+                + (
+                    g0 * (a11 * a22 - a12 * a12)
+                    - g1 * (a01 * a22 - a02 * a12)
+                    + g2 * (a01 * a12 - a02 * a11)
+                )
+                / det,
+                9,
+            ).alias("b0"),
+            F.round(
+                F.col("b1")
+                + (
+                    F.lit(0.0)
+                    - g0 * (a01 * a22 - a12 * a02)
+                    + g1 * (a00 * a22 - a02 * a02)
+                    - g2 * (a00 * a12 - a02 * a01)
+                )
+                / det,
+                9,
+            ).alias("b1"),
+            F.round(
+                F.col("b2")
+                + (
+                    g0 * (a01 * a12 - a11 * a02)
+                    - g1 * (a00 * a12 - a01 * a02)
+                    + g2 * (a00 * a11 - a01 * a01)
+                )
+                / det,
+                9,
+            ).alias("b2"),
+        )
+    nn = pcells.agg(F.count("*").cast("long").alias("n_days"))
+    return nn.crossJoin(F.broadcast(beta)).select(
+        "n_days",
+        f6(F.col("b0")).alias("b_intercept"),
+        f6(F.col("b1")).alias("b_weekend"),
+        f6(F.col("b2")).alias("b_trend"),
+        f6(F.exp(F.col("b0") + F.col("b1"))).alias("weekend_day0_rate"),
+    )

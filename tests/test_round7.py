@@ -783,3 +783,53 @@ def test_nsw_greedy_walk_improves_on_entry(spark):
         # strictly better precedes it
         assert r["true_rank"] >= better + 1
         assert abs(all_cos[(q, r["found_id"])] - r["found_cos"]) < 1e-9
+
+
+def test_poisson_irls_matches_converged_numpy(spark):
+    """a_poisson_irls's 4 snapped IRLS steps must agree with a fully
+    converged numpy Newton solve of the same Poisson log-link GLM on
+    the same daily cells, to all 6 reported decimals."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    row = registry.QUERIES["a_poisson_irls"](spark, SF_SMALL).collect()[0]
+
+    ev = load_table(spark, SF_SMALL, "events")
+    d0 = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.min(F.to_date("ts")).alias("d0"))
+        .collect()[0]["d0"]
+    )
+    cells = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("y"))
+        .select(
+            "y",
+            F.when(F.dayofweek("d").isin(1, 7), 1)
+            .otherwise(0)
+            .alias("x1"),
+            F.datediff(F.col("d"), F.lit(d0)).alias("x2"),
+        )
+        .collect()
+    )
+    y = np.array([r["y"] for r in cells], dtype=float)
+    X = np.stack(
+        [
+            np.ones(len(cells)),
+            np.array([r["x1"] for r in cells], dtype=float),
+            np.array([r["x2"] for r in cells], dtype=float),
+        ],
+        1,
+    )
+    b = np.array([np.log(y.mean()), 0.0, 0.0])
+    for _ in range(50):
+        mu = np.exp(X @ b)
+        A = (X * mu[:, None]).T @ X
+        g = X.T @ (y - mu)
+        b = b + np.linalg.solve(A, g)
+    assert abs(row["b_intercept"] - b[0]) < 5e-6
+    assert abs(row["b_weekend"] - b[1]) < 5e-6
+    assert abs(row["b_trend"] - b[2]) < 5e-6
+    assert abs(row["weekend_day0_rate"] - np.exp(b[0] + b[1])) < 5e-4
