@@ -3914,3 +3914,147 @@ def q_incremental_aggregate(spark, sf_dir):
         ).alias("first_order"),
     )
     return merged.orderBy("bucket")
+
+
+@register(
+    "q_weibull_fit",
+    """
+    WITH bounds AS (SELECT max(o_orderdate) AS tmax FROM orders),
+    life AS (
+        SELECT o_custkey,
+               CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+                    AS BIGINT) AS t,
+               CASE WHEN datediff('day', max(o_orderdate),
+                                  (SELECT tmax FROM bounds)) > 90
+                    THEN 1 ELSE 0 END AS died
+        FROM orders GROUP BY o_custkey
+    ),
+    deaths AS (
+        SELECT t, o_custkey,
+               CAST(row_number() OVER (ORDER BY t, o_custkey) AS BIGINT)
+                   AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM life WHERE died = 1 AND t >= 1
+    ),
+    pts AS (
+        SELECT n,
+               CAST(round(ln(CAST(t AS DOUBLE)) * 1e9) AS BIGINT) AS x9,
+               CAST(round(ln(0.0 - ln(1.0 - (i - 0.3) / (n + 0.4)))
+                          * 1e9) AS BIGINT) AS y9,
+               CAST(round(ln(CAST(t AS DOUBLE))
+                          * ln(0.0 - ln(1.0 - (i - 0.3) / (n + 0.4)))
+                          * 1e9) AS BIGINT) AS xy9,
+               CAST(round(ln(CAST(t AS DOUBLE)) * ln(CAST(t AS DOUBLE))
+                          * 1e9) AS BIGINT) AS xx9
+        FROM deaths
+    ),
+    fit AS (
+        SELECT CAST(max(n) AS BIGINT) AS k,
+               CAST(sum(x9) AS BIGINT) AS sx,
+               CAST(sum(y9) AS BIGINT) AS sy,
+               CAST(sum(xy9) AS BIGINT) AS sxy,
+               CAST(sum(xx9) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT k AS n_deaths,
+           round((k * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
+                 / (k * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)), 6) + 0
+               AS shape,
+           round(exp(0.0 - ((sy / 1e9) / k
+                            - ((k * (sxy / 1e9)
+                                - (sx / 1e9) * (sy / 1e9))
+                               / (k * (sxx / 1e9)
+                                  - (sx / 1e9) * (sx / 1e9)))
+                              * ((sx / 1e9) / k))
+                           / ((k * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
+                              / (k * (sxx / 1e9)
+                                 - (sx / 1e9) * (sx / 1e9)))), 6) + 0
+               AS scale_days
+    FROM fit
+    """,
+)
+def q_weibull_fit(spark, sf_dir):
+    """Weibull survival fit by median-rank regression — the PARAMETRIC
+    rung completing the survival family (q_kaplan_meier estimates the
+    curve nonparametrically, a_log_rank_test compares arms, q_hazard_
+    curve profiles risk; this compresses the churn process into two
+    interpretable numbers): shape k < 1 means churn risk FALLS with
+    tenure (retention compounds — invest in onboarding), k > 1 means
+    it rises (subscriptions age out).  Uncensored lifetimes rank into
+    Bernard median-rank plotting positions F̂ᵢ = (i−0.3)/(n+0.4);
+    ln(−ln(1−F̂)) against ln t is linear for a Weibull, so shape =
+    OLS slope and scale = exp(−intercept/shape) — the classic
+    probability-plot estimator, closed-form and engine-exact.
+
+    Same censoring rule as q_kaplan_meier (>90 days silent at corpus
+    end = churned; t ≥ 1 so ln t exists).  The global failure ranking
+    is one two-phase sort (the a_propensity_strata global-order
+    license); every per-user ln term snaps to a 1e-9 BIGINT BEFORE
+    the OLS sums, so the fit is reduction-order-free at any
+    parallelism.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(F.max("o_orderdate").alias("tmax"))
+    life = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey", "tmax")
+        .agg(
+            F.datediff(
+                F.max("o_orderdate"), F.min("o_orderdate")
+            )
+            .cast("long")
+            .alias("t"),
+            F.datediff(F.first("tmax"), F.max("o_orderdate")).alias(
+                "gap"
+            ),
+        )
+        .select(
+            "o_custkey",
+            "t",
+            F.when(F.col("gap") > 90, 1).otherwise(0).alias("died"),
+        )
+    )
+    deaths = (
+        life.where((F.col("died") == 1) & (F.col("t") >= 1))
+        .select(
+            "t",
+            "o_custkey",
+            F.row_number()
+            .over(Window.orderBy("t", "o_custkey"))
+            .cast("long")
+            .alias("i"),
+        )
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy()).cast("long")
+        )
+    )
+    lx = F.log(F.col("t").cast("double"))
+    ly = F.log(
+        F.lit(0.0) - F.log(1.0 - (F.col("i") - 0.3) / (F.col("n") + 0.4))
+    )
+    pts = deaths.select(
+        "n",
+        F.round(lx * 1e9).cast("long").alias("x9"),
+        F.round(ly * 1e9).cast("long").alias("y9"),
+        F.round(lx * ly * 1e9).cast("long").alias("xy9"),
+        F.round(lx * lx * 1e9).cast("long").alias("xx9"),
+    )
+    fit = pts.agg(
+        F.max("n").cast("long").alias("k"),
+        F.sum("x9").cast("long").alias("sx"),
+        F.sum("y9").cast("long").alias("sy"),
+        F.sum("xy9").cast("long").alias("sxy"),
+        F.sum("xx9").cast("long").alias("sxx"),
+    )
+    k = F.col("k")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (k * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9)) / (
+        k * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)
+    )
+    intercept = (sy / 1e9) / k - slope * ((sx / 1e9) / k)
+    return fit.select(
+        k.alias("n_deaths"),
+        f6(slope).alias("shape"),
+        f6(F.exp(F.lit(0.0) - intercept / slope)).alias("scale_days"),
+    )
