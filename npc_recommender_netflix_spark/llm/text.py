@@ -3609,3 +3609,220 @@ def t_k_anonymity(spark, sf_dir):
         .cast("long")
         .alias("n_singletons"),
     )
+
+
+@register(
+    "t_naive_bayes_lid",
+    r"""
+    WITH docs AS (
+        SELECT doc_id, lang, lower(text) AS t,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0', '1', '2', '3')
+                    THEN 1 ELSE 0 END AS is_test
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, lang, is_test, w
+        FROM (SELECT doc_id, lang, is_test,
+                     unnest(string_split_regex(t, '\s+')) AS w
+              FROM docs)
+        WHERE w <> ''
+    ),
+    cnt AS (
+        SELECT w, lang AS c, CAST(count(*) AS BIGINT) AS n
+        FROM tok WHERE is_test = 0 GROUP BY 1, 2
+    ),
+    classes AS (
+        SELECT lang AS c, CAST(count(*) AS BIGINT) AS nd
+        FROM docs WHERE is_test = 0 GROUP BY 1
+    ),
+    tc AS (
+        SELECT c, CAST(sum(n) AS BIGINT) AS tn FROM cnt GROUP BY c
+    ),
+    vocab AS (SELECT DISTINCT w FROM cnt),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    grid AS (
+        SELECT vo.w, cl.c,
+               CAST(round(ln((coalesce(cn.n, 0) + 1.0)
+                             / (tc.tn + vs.v)) * 1e9) AS BIGINT) AS ll9
+        FROM vocab vo
+        CROSS JOIN classes cl
+        CROSS JOIN vsize vs
+        JOIN tc ON tc.c = cl.c
+        LEFT JOIN cnt cn ON cn.w = vo.w AND cn.c = cl.c
+    ),
+    fallback AS (
+        SELECT tc.c,
+               CAST(round(ln(1.0 / (tc.tn + vs.v)) * 1e9) AS BIGINT)
+                   AS fb9
+        FROM tc CROSS JOIN vsize vs
+    ),
+    prior AS (
+        SELECT c, CAST(round(ln(nd * 1.0 / (SELECT sum(nd) FROM classes))
+                             * 1e9) AS BIGINT) AS pr9
+        FROM classes
+    ),
+    scored AS (
+        SELECT t.doc_id, t.lang, f.c,
+               CAST(sum(coalesce(g.ll9, f.fb9)) AS BIGINT) AS s9
+        FROM tok t
+        CROSS JOIN fallback f
+        LEFT JOIN grid g ON g.w = t.w AND g.c = f.c
+        WHERE t.is_test = 1
+        GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT doc_id, lang, c AS pred_lang FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY s9 + (SELECT pr9 FROM prior p WHERE p.c
+                               = scored.c) DESC, c
+            ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) + 0 AS accuracy
+    FROM pred GROUP BY lang ORDER BY lang
+    """,
+)
+def t_naive_bayes_lid(spark, sf_dir):
+    """Multinomial naive Bayes TRAINED IN-PLAN — the classifier shape
+    modern curation pipelines run at corpus scale (FineWeb-Edu's
+    quality classifier, CCNet's LM filter): fit = one groupBy (word,
+    class) count with Laplace smoothing, score = one token-to-grid
+    join + per-doc BIGINT sum, eval = exact accuracy per class on a
+    deterministic md5 holdout (25%).  Unlike t_lang_id/t_trigram_lid
+    (fixed heuristic profiles), the likelihoods here are LEARNED from
+    the training split — train/score/eval is the complete supervised
+    loop with no driver-side model object, no MLlib, no UDF.
+
+    Engine-exactness: every ln-likelihood and ln-prior snaps to a
+    1e-9 BIGINT on the bounded vocab×class grid, so per-doc scores
+    are exact integer sums (reduction-order-free at any parallelism)
+    and argmax breaks ties on class name.  Scale: the grid is vocab-
+    bounded (production caps vocab by document frequency), the only
+    data-scale passes are the token count and the scoring join — both
+    word-keyed shuffles.  The fixture's synthetic 31-word shared
+    vocabulary means near-chance accuracy; the MECHANICS (smoothing,
+    fallback for unseen words, holdout discipline) are what the
+    oracle pins.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.lower("text").alias("t"),
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_test"),
+    )
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "is_test",
+            F.explode(F.split(F.col("t"), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    train = tok.where(F.col("is_test") == 0)
+    cnt = train.groupBy("w", F.col("lang").alias("c")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    classes = (
+        docs.where(F.col("is_test") == 0)
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.count("*").cast("long").alias("nd"))
+    )
+    tc = cnt.groupBy("c").agg(F.sum("n").cast("long").alias("tn"))
+    vocab = cnt.select("w").distinct()
+    vsize = vocab.agg(F.count("*").cast("long").alias("v"))
+    grid = (
+        vocab.crossJoin(classes.select("c"))
+        .crossJoin(F.broadcast(vsize))
+        .join(tc, "c")
+        .join(cnt, ["w", "c"], "left")
+        .select(
+            "w",
+            "c",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)) + 1.0)
+                    / (F.col("tn") + F.col("v"))
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("ll9"),
+        )
+    )
+    fallback = tc.crossJoin(F.broadcast(vsize)).select(
+        "c",
+        F.round(F.log(1.0 / (F.col("tn") + F.col("v"))) * 1e9)
+        .cast("long")
+        .alias("fb9"),
+    )
+    total_nd = classes.agg(F.sum("nd").alias("tot"))
+    prior = classes.crossJoin(F.broadcast(total_nd)).select(
+        "c",
+        F.round(F.log(F.col("nd") * 1.0 / F.col("tot")) * 1e9)
+        .cast("long")
+        .alias("pr9"),
+    )
+    test_tok = tok.where(F.col("is_test") == 1).select(
+        "doc_id", "lang", "w"
+    )
+    scored = (
+        test_tok.crossJoin(F.broadcast(fallback))
+        .join(F.broadcast(grid), ["w", "c"], "left")
+        .groupBy("doc_id", "lang", "c")
+        .agg(
+            F.sum(F.coalesce(F.col("ll9"), F.col("fb9")))
+            .cast("long")
+            .alias("s9")
+        )
+        .join(F.broadcast(prior), "c")
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            (F.col("s9") + F.col("pr9")).alias("score"),
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "c"
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("lang", F.col("c").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "lang",
+            "n_test",
+            "n_correct",
+            f6(F.col("n_correct") * 1.0 / F.col("n_test")).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("lang")
+    )
