@@ -1784,3 +1784,140 @@ def w_holt_winters(spark, sf_dir):
         " level_usd double, trend_usd double, abs_err_usd double",
     )
     return out.orderBy("day")
+
+
+@register(
+    "w_conformal_interval",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x,
+               CAST(row_number() OVER (ORDER BY CAST(ts AS DATE))
+                    AS BIGINT) AS rn
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    pred AS (
+        SELECT d.rn, d.day, d.x, p.x AS yhat,
+               CAST(abs(d.x - p.x) AS BIGINT) AS r
+        FROM daily d JOIN daily p ON p.rn = d.rn - 7
+    ),
+    n AS (SELECT CAST(max(rn) AS BIGINT) AS nd FROM daily),
+    split AS (
+        SELECT p.*, CAST(7 + ((n.nd - 7) * 3) // 5 AS BIGINT) AS cut
+        FROM pred p CROSS JOIN n
+    ),
+    cal AS (
+        SELECT r, CAST(row_number() OVER (ORDER BY r, rn) AS BIGINT)
+                      AS i,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM split WHERE rn <= cut
+    ),
+    qhat AS (
+        SELECT CAST(max(CASE WHEN i = least(
+                   CAST(ceil((m + 1) * 0.8) AS BIGINT), m)
+                   THEN r END) AS BIGINT) AS q
+        FROM cal
+    ),
+    test AS (SELECT * FROM split WHERE rn > cut)
+    SELECT CAST((SELECT max(m) FROM cal) AS BIGINT) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round((SELECT q FROM qhat) / 100.0, 2) + 0.0 AS q_hat_usd,
+           CAST(sum(CASE WHEN r <= (SELECT q FROM qhat)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           round(sum(CASE WHEN r <= (SELECT q FROM qhat)
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6) + 0
+               AS coverage
+    FROM test
+    """,
+)
+def w_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval (Vovk; Lei et al — public)
+    around a seasonal-naive forecaster — the DISTRIBUTION-FREE
+    uncertainty band the forecast keys (w_holt_linear, w_holt_winters,
+    q_forecast_revenue) emit point estimates without: calibrate
+    |residual| on the first 60% of lag-7-predicted days, take q̂ = the
+    ⌈(m+1)·0.8⌉-th order statistic, and the band ŷ ± q̂ covers ≥80% of
+    FUTURE days with no assumption on the residual distribution —
+    the finite-sample guarantee is the point, and the reported test
+    coverage makes it checkable.
+
+    Conformal's machinery is exactly this engine's discipline: the
+    quantile is a RANK-BASED order statistic (row_number with an rn
+    tiebreak — never engine interpolation), residuals are exact cent
+    BIGINTs, the calibration/test split is integer arithmetic on the
+    day index, and coverage is an exact count.  One day-axis window +
+    one self-join (lag-7 via rn equi-join); data-scale work is the
+    daily rollup alone.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .select(
+            F.row_number().over(Window.orderBy("day")).cast("long")
+            .alias("rn"),
+            "day",
+            "x",
+        )
+    )
+    p = daily.select(
+        (F.col("rn") + 7).alias("rn"), F.col("x").alias("yhat")
+    )
+    pred = daily.join(p, "rn").select(
+        "rn",
+        "day",
+        "x",
+        "yhat",
+        F.abs(F.col("x") - F.col("yhat")).cast("long").alias("r"),
+    )
+    n = daily.agg(F.max("rn").cast("long").alias("nd"))
+    split = pred.crossJoin(F.broadcast(n)).withColumn(
+        "cut",
+        (7 + F.floor((F.col("nd") - 7) * 3 / 5)).cast("long"),
+    )
+    cal = split.where(F.col("rn") <= F.col("cut")).select(
+        "r",
+        F.row_number().over(Window.orderBy("r", "rn")).cast("long")
+        .alias("i"),
+    )
+    m = cal.agg(F.count("*").cast("long").alias("m"))
+    cal = cal.crossJoin(F.broadcast(m))
+    qhat = cal.agg(
+        F.max(
+            F.when(
+                F.col("i")
+                == F.least(
+                    F.ceil((F.col("m") + 1) * 0.8).cast("long"),
+                    F.col("m"),
+                ),
+                F.col("r"),
+            )
+        )
+        .cast("long")
+        .alias("q")
+    )
+    test = split.where(F.col("rn") > F.col("cut"))
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(m))
+        .agg(
+            F.max("m").cast("long").alias("n_cal"),
+            F.count("*").cast("long").alias("n_test"),
+            (F.round(F.max("q") / 100.0, 2) + 0.0).alias("q_hat_usd"),
+            F.sum(F.when(F.col("r") <= F.col("q"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+            f6(
+                F.sum(F.when(F.col("r") <= F.col("q"), 1).otherwise(0))
+                * 1.0
+                / F.count("*")
+            ).alias("coverage"),
+        )
+    )
