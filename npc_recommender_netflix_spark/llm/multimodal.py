@@ -1209,3 +1209,233 @@ def m_zip_archive_extract(spark, sf_dir):
         "doc_id long, n_members long, n_stored long, n_deflated long,"
         " total_bytes long, byte_sum long, crc_ok_members long",
     ).orderBy("doc_id")
+
+
+@register(
+    "m_gif_decode",
+    """
+    WITH spec AS (
+        SELECT doc_id,
+               (doc_id % 10) + 4 AS w,
+               (doc_id % 7) + 3 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT s.doc_id, s.w, s.h,
+               (3 * s.doc_id + gx.x + 2 * gy.y) % 256 AS idx
+        FROM spec s,
+             generate_series(0, 13) AS gx(x),
+             generate_series(0, 9) AS gy(y)
+        WHERE gx.x < s.w AND gy.y < s.h
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(idx) AS BIGINT) AS sum_r,
+           CAST(sum((idx * 3) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((idx * 7) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+)
+def m_gif_decode(spark, sf_dir):
+    """REAL LZW image codec, end to end — the second genuinely
+    compressed format beside m_png_decode's DEFLATE, and a different
+    algorithm family entirely: each doc becomes a true GIF87a (logical
+    screen descriptor, 256-entry global color table, image descriptor,
+    variable-width LSB-first LZW code stream with clear/EOI codes and
+    dictionary growth to 12 bits, 255-byte sub-block framing,
+    trailer), and a second Arrow stage decodes it with a spec-faithful
+    reader: header/palette parse, sub-block reassembly, full LZW
+    dictionary reconstruction (including the K-omega 'code not yet in
+    table' case), palette mapping.  A flipped byte anywhere corrupts
+    the code stream — changed sums or a raise.  Pixel CONTENT is
+    deterministic in (doc_id, x, y), so the oracle recomputes the
+    channel statistics from the generator formula without seeing any
+    bytes (the m_png_decode license).
+
+    Same 100 TB shape: blobs live and die inside scan-side Arrow
+    tasks (two mapInPandas, same partitioning, no payload shuffle);
+    only decoded metadata flows on.
+    """
+    import struct
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _lzw_encode(indices: list, min_code: int = 8) -> bytes:
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        out_bits: list = []
+        code_size = min_code + 1
+
+        def emit(code: int, size: int) -> None:
+            for b in range(size):
+                out_bits.append((code >> b) & 1)
+
+        table = {(i,): i for i in range(1 << min_code)}
+        next_code = eoi + 1
+        emit(clear, code_size)
+        omega: tuple = ()
+        for k in indices:
+            cand = omega + (k,)
+            if cand in table:
+                omega = cand
+                continue
+            emit(table[omega], code_size)
+            table[cand] = next_code
+            next_code += 1
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+            elif next_code >= 4096:
+                emit(clear, code_size)
+                table = {(i,): i for i in range(1 << min_code)}
+                next_code = eoi + 1
+                code_size = min_code + 1
+            omega = (k,)
+        if omega:
+            emit(table[omega], code_size)
+        emit(eoi, code_size)
+        by = bytearray()
+        for i in range(0, len(out_bits), 8):
+            v = 0
+            for j, bit in enumerate(out_bits[i : i + 8]):
+                v |= bit << j
+            by.append(v)
+        return bytes(by)
+
+    def _lzw_decode(data: bytes, min_code: int = 8) -> list:
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        bits = []
+        for byte in data:
+            for b in range(8):
+                bits.append((byte >> b) & 1)
+        pos = 0
+        code_size = min_code + 1
+        table: list = [(i,) for i in range(1 << min_code)] + [None, None]
+        out: list = []
+        prev: tuple | None = None
+
+        def read() -> int:
+            nonlocal pos
+            v = 0
+            for b in range(code_size):
+                if pos >= len(bits):
+                    raise ValueError("truncated LZW stream")
+                v |= bits[pos] << b
+                pos += 1
+            return v
+
+        while True:
+            code = read()
+            if code == clear:
+                table = [(i,) for i in range(1 << min_code)] + [
+                    None,
+                    None,
+                ]
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + (prev[0],)  # the K-omega special case
+            else:
+                raise ValueError("bad LZW code")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + (entry[0],))
+                if (
+                    len(table) == (1 << code_size)
+                    and code_size < 12
+                ):
+                    code_size += 1
+            prev = entry
+        return out
+
+    def synth_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = (d % 10) + 4, (d % 7) + 3
+                idx = [
+                    (3 * d + x + 2 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                pal = bytearray()
+                for i in range(256):
+                    pal += bytes((i, (i * 3) % 256, (i * 7) % 256))
+                blob = bytearray(b"GIF87a")
+                blob += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+                blob += pal
+                blob += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+                blob += bytes([8])  # LZW min code size
+                comp = _lzw_encode(idx)
+                for i in range(0, len(comp), 255):
+                    chunk = comp[i : i + 255]
+                    blob += bytes([len(chunk)]) + chunk
+                blob += b"\x00\x3b"
+                payloads.append(bytes(blob))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode_gif(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:6] != b"GIF87a":
+                    raise ValueError("bad GIF signature")
+                w, h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+                if not flags & 0x80:
+                    raise ValueError("expected global color table")
+                gct_n = 2 << (flags & 0x07)
+                pal = b[13 : 13 + 3 * gct_n]
+                p = 13 + 3 * gct_n
+                if b[p] != 0x2C:
+                    raise ValueError("expected image descriptor")
+                _ix, _iy, iw, ih, iflags = struct.unpack(
+                    "<HHHHB", b[p + 1 : p + 10]
+                )
+                p += 10
+                min_code = b[p]
+                p += 1
+                comp = bytearray()
+                while True:
+                    ln = b[p]
+                    p += 1
+                    if ln == 0:
+                        break
+                    comp += b[p : p + ln]
+                    p += ln
+                if b[p] != 0x3B:
+                    raise ValueError("missing trailer")
+                idx = _lzw_decode(bytes(comp), min_code)
+                if len(idx) != iw * ih:
+                    raise ValueError("pixel count mismatch")
+                sr = sum(pal[3 * i] for i in idx)
+                sg = sum(pal[3 * i + 1] for i in idx)
+                sb = sum(pal[3 * i + 2] for i in idx)
+                rows.append(
+                    (int(doc_id), int(iw), int(ih), len(idx), sr, sg, sb)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    gifs = docs.mapInPandas(synth_gif, "doc_id long, payload binary")
+    return gifs.mapInPandas(
+        decode_gif,
+        "doc_id long, width long, height long, n_pixels long,"
+        " sum_r long, sum_g long, sum_b long",
+    ).orderBy("doc_id")
