@@ -12,6 +12,7 @@ Each key's oracle proves the Python path agrees with the pure-SQL result.
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
 
 import pandas as pd
 
@@ -478,4 +479,57 @@ def u_model_scoring(spark, sf_dir):
         F.sum(F.when(F.col("score") > 10.0, 1).otherwise(0))
         .cast("long")
         .alias("n_above_threshold"),
+    )
+
+
+@register(
+    "u_iter_pandas_udf",
+    """
+    SELECT o_orderkey,
+           CAST((CAST(round(o_totalprice * 100) AS BIGINT) % 1000)
+                * (CAST(round(o_totalprice * 100) AS BIGINT) % 1000)
+                % 997 AS BIGINT) AS risk_bucket
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def u_iter_pandas_udf(spark, sf_dir):
+    """Iterator-form pandas UDF (Iterator[pd.Series] -> Iterator[pd.
+    Series], SPARK-26412) — the §2.11 rung between u_pandas_udf (one
+    Series per call) and u_apply_in_pandas (grouped): the function is
+    entered ONCE PER TASK and loops over that task's Arrow batches, so
+    expensive one-time setup (model weights, a lookup table, a
+    tokenizer) amortizes across every batch the task processes instead
+    of re-running per batch — THE production pattern for batch
+    inference.  Here the 'model' is a 1000-entry precomputed table
+    built before the batch loop; the oracle recomputes the same
+    arithmetic relationally, proving the init-once path changes
+    nothing semantically.
+
+    Scale: same Arrow transfer as any pandas UDF; the win is driver/
+    executor-side constant-factor (init per task, not per batch), and
+    memory stays bounded because batches stream through the iterator
+    — the function never sees the whole partition at once.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    @pandas_udf("long")
+    def risk_bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # expensive init, ONCE per task: a precomputed score table
+        table = [(v * v) % 997 for v in range(1000)]
+        for cents in batches:
+            idx = (cents % 1000).astype("int64")
+            yield idx.map(lambda i: table[int(i)]).astype("int64")
+
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            "o_orderkey",
+            risk_bucket("cents").alias("risk_bucket"),
+        )
+        .orderBy("o_orderkey")
     )
