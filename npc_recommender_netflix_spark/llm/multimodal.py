@@ -1439,3 +1439,95 @@ def m_gif_decode(spark, sf_dir):
         "doc_id long, width long, height long, n_pixels long,"
         " sum_r long, sum_g long, sum_b long",
     ).orderBy("doc_id")
+
+
+@register(
+    "m_base64_data_url",
+    """
+    WITH members AS (
+        SELECT d.doc_id,
+               (d.doc_id % 40) + 5 AS len
+        FROM documents d
+    ),
+    by_byte AS (
+        SELECT m.doc_id, m.len,
+               (7 * m.doc_id + 13 * gi.i) % 256 AS v
+        FROM members m, generate_series(0, 44) AS gi(i)
+        WHERE gi.i < m.len
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 'image/gif'
+                     WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                     ELSE 'application/octet-stream' END AS VARCHAR)
+               AS mime,
+           CAST(max(len) AS BIGINT) AS n_bytes,
+           CAST(4 * ((max(len) + 2) // 3) AS BIGINT) AS b64_len,
+           CAST(sum(v) AS BIGINT) AS byte_sum
+    FROM by_byte GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def m_base64_data_url(spark, sf_dir):
+    """data: URL ingestion — the scraped-HTML embedded-asset shape
+    (inline images/audio arrive as `data:<mime>;base64,<payload>`
+    strings inside crawled pages): each doc synthesizes a REAL RFC
+    2397 data URL (deterministic bytes, stdlib base64), and the
+    decode stage parses scheme/mime/encoding, base64-decodes, and
+    reports byte-exact statistics — a corrupted character raises in
+    strict validation.  The oracle recomputes everything from the
+    content formula INCLUDING the base64 length identity
+    4·⌈n/3⌉ — so the padding arithmetic is itself verified.
+
+    Unlike the m_*_decode keys this one is STRING-side: the payload
+    rides a text column (exactly how it appears in a crawl), decodes
+    JVM-free in Arrow batches, and never shuffles — the downstream
+    binary then feeds the same codec keys (m_gif_decode et al).
+    """
+    import base64
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mimes = ["image/gif", "audio/wav", "application/octet-stream"]
+
+    def synth_url(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ln = (d % 40) + 5
+                content = bytes((7 * d + 13 * i) % 256 for i in range(ln))
+                b64 = base64.b64encode(content).decode("ascii")
+                urls.append(f"data:{mimes[d % 3]};base64,{b64}")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "url": urls})
+
+    def parse_url(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, url in zip(pdf["doc_id"], pdf["url"]):
+                if not url.startswith("data:"):
+                    raise ValueError("not a data URL")
+                head, payload = url[5:].split(",", 1)
+                if not head.endswith(";base64"):
+                    raise ValueError("expected base64 encoding")
+                mime = head[: -len(";base64")]
+                content = base64.b64decode(payload, validate=True)
+                rows.append(
+                    (
+                        int(doc_id),
+                        mime,
+                        len(content),
+                        len(payload),
+                        sum(content),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mime", "n_bytes", "b64_len", "byte_sum"
+                ],
+            )
+
+    urls = docs.mapInPandas(synth_url, "doc_id long, url string")
+    return urls.mapInPandas(
+        parse_url,
+        "doc_id long, mime string, n_bytes long, b64_len long,"
+        " byte_sum long",
+    ).orderBy("doc_id")

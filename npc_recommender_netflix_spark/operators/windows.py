@@ -1921,3 +1921,126 @@ def w_conformal_interval(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "w_rolling_origin_backtest",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x,
+               CAST(row_number() OVER (ORDER BY CAST(ts AS DATE))
+                    AS BIGINT) AS rn
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    hist AS (
+        SELECT rn, x,
+               sum(x) OVER (ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS cums,
+               CAST(rn - 1 AS BIGINT) AS nprev
+        FROM daily
+    ),
+    fc AS (
+        SELECT h.rn, h.x,
+               n7.x AS yhat_naive,
+               CAST(round(h.cums * 1.0 / h.nprev) AS BIGINT)
+                   AS yhat_mean
+        FROM hist h JOIN daily n7 ON n7.rn = h.rn - 7
+        WHERE h.rn >= 8
+    ),
+    err AS (
+        SELECT CAST(abs(x - yhat_naive) AS BIGINT) AS e_naive,
+               CAST(abs(x - yhat_mean) AS BIGINT) AS e_mean
+        FROM fc
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_origins,
+           round(sum(e_naive) * 1.0 / count(*) / 100.0, 4) + 0
+               AS mae_naive7_usd,
+           round(sum(e_mean) * 1.0 / count(*) / 100.0, 4) + 0
+               AS mae_expmean_usd,
+           CAST(sum(CASE WHEN e_naive < e_mean THEN 1 ELSE 0 END)
+                AS BIGINT) AS naive_wins,
+           CAST(sum(CASE WHEN e_mean < e_naive THEN 1 ELSE 0 END)
+                AS BIGINT) AS mean_wins,
+           CAST(sum(CASE WHEN e_mean = e_naive THEN 1 ELSE 0 END)
+                AS BIGINT) AS ties
+    FROM err
+    """,
+)
+def w_rolling_origin_backtest(spark, sf_dir):
+    """Rolling-origin forecast backtest — the EVALUATION PROTOCOL the
+    forecast keys need before anyone trusts them: every day from day
+    8 on becomes a forecast origin, two honest competitors predict it
+    using ONLY prior days (seasonal-naive lag-7 vs expanding mean —
+    the latter via a running-sum window, so no leakage by
+    construction), and the output reports per-model MAE plus the
+    per-origin win/loss record (the sign-test view that is robust to
+    one blown day).  This is the time-series analogue of
+    t_kfold_split's discipline: walk-forward, never random, because
+    shuffled CV leaks the future.
+
+    Exactness: forecasts and errors are exact cent BIGINTs (the
+    expanding mean rounds to a cent integer at each origin —
+    identical in both engines); MAEs are single divisions of exact
+    sums.  One ordered window + one lag-7 equi-join on the bounded
+    day axis; the daily rollup is the only data-scale pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .select(
+            F.row_number().over(Window.orderBy("day")).cast("long")
+            .alias("rn"),
+            "x",
+        )
+    )
+    wh = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, -1)
+    hist = daily.select(
+        "rn",
+        "x",
+        F.sum("x").over(wh).alias("cums"),
+        (F.col("rn") - 1).cast("long").alias("nprev"),
+    )
+    n7 = daily.select(
+        (F.col("rn") + 7).alias("rn"), F.col("x").alias("yhat_naive")
+    )
+    fc = (
+        hist.where(F.col("rn") >= 8)
+        .join(n7, "rn")
+        .select(
+            "x",
+            "yhat_naive",
+            F.round(F.col("cums") * 1.0 / F.col("nprev"))
+            .cast("long")
+            .alias("yhat_mean"),
+        )
+    )
+    err = fc.select(
+        F.abs(F.col("x") - F.col("yhat_naive")).cast("long").alias("e_naive"),
+        F.abs(F.col("x") - F.col("yhat_mean")).cast("long").alias("e_mean"),
+    )
+    return err.agg(
+        F.count("*").cast("long").alias("n_origins"),
+        (F.round(F.sum("e_naive") * 1.0 / F.count("*") / 100.0, 4) + 0.0)
+        .alias("mae_naive7_usd"),
+        (F.round(F.sum("e_mean") * 1.0 / F.count("*") / 100.0, 4) + 0.0)
+        .alias("mae_expmean_usd"),
+        F.sum(F.when(F.col("e_naive") < F.col("e_mean"), 1).otherwise(0))
+        .cast("long")
+        .alias("naive_wins"),
+        F.sum(F.when(F.col("e_mean") < F.col("e_naive"), 1).otherwise(0))
+        .cast("long")
+        .alias("mean_wins"),
+        F.sum(F.when(F.col("e_mean") == F.col("e_naive"), 1).otherwise(0))
+        .cast("long")
+        .alias("ties"),
+    )
