@@ -3826,3 +3826,161 @@ def t_naive_bayes_lid(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "t_heaps_law",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents)
+        WHERE w <> ''
+    ),
+    firstseen AS (
+        SELECT w, CAST(min(doc_id) AS BIGINT) AS fd FROM tok GROUP BY w
+    ),
+    doctok AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+        FROM tok GROUP BY doc_id
+    ),
+    nn AS (SELECT CAST(max(doc_id) AS BIGINT) AS dmax FROM doctok),
+    cuts AS (
+        SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS c
+    ),
+    pts AS (
+        SELECT c.c,
+               CAST((SELECT sum(d.nt) FROM doctok d CROSS JOIN nn
+                     WHERE d.doc_id <= (nn.dmax + 1) * c.c // 10 - 1)
+                    AS BIGINT) AS n_tokens,
+               CAST((SELECT count(*) FROM firstseen f CROSS JOIN nn
+                     WHERE f.fd <= (nn.dmax + 1) * c.c // 10 - 1)
+                    AS BIGINT) AS vocab
+        FROM cuts c
+    ),
+    logs AS (
+        SELECT c, n_tokens, vocab,
+               CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS x9,
+               CAST(round(ln(CAST(vocab AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS y9,
+               CAST(round(ln(CAST(n_tokens AS DOUBLE))
+                          * ln(CAST(vocab AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS xy9,
+               CAST(round(ln(CAST(n_tokens AS DOUBLE))
+                          * ln(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS xx9
+        FROM pts WHERE n_tokens > 0 AND vocab > 0
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(x9) AS BIGINT) AS sx, CAST(sum(y9) AS BIGINT) AS sy,
+               CAST(sum(xy9) AS BIGINT) AS sxy,
+               CAST(sum(xx9) AS BIGINT) AS sxx
+        FROM logs
+    )
+    SELECT l.c AS decile, l.n_tokens, l.vocab,
+           round((f.k * (f.sxy / 1e9) - (f.sx / 1e9) * (f.sy / 1e9))
+                 / (f.k * (f.sxx / 1e9) - (f.sx / 1e9) * (f.sx / 1e9)),
+                 6) + 0 AS heaps_beta,
+           round(exp((f.sy / 1e9) / f.k
+                     - ((f.k * (f.sxy / 1e9) - (f.sx / 1e9) * (f.sy / 1e9))
+                        / (f.k * (f.sxx / 1e9) - (f.sx / 1e9) * (f.sx / 1e9)))
+                       * ((f.sx / 1e9) / f.k)), 6) + 0 AS heaps_k
+    FROM logs l CROSS JOIN fit f ORDER BY decile
+    """,
+)
+def t_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit V(n) = K·n^β — the GROWTH law
+    beside t_zipf_fit's frequency law, and the number that sizes
+    tokenizer vocabularies and dedup hash tables at 100 TB (β≈0.5
+    means 100× more tokens ⇒ ~10× more vocabulary — sublinear, which
+    is why vocab structures survive corpus scale-ups that row
+    structures don't).  The cumulative-vocab curve needs NO
+    re-scanning per checkpoint: each word contributes at exactly its
+    FIRST document (one min() per word), so vocab at a cutoff is a
+    count over the word-level firstseen table, and token counts are
+    prefix sums of per-doc counts — ten checkpoints from two
+    aggregates.  β and K come from the 3-point… 10-point log-log OLS
+    with every ln term snapped to 1e-9 BIGINT pre-sum (the
+    a_hurst_exponent fit discipline).
+
+    Output keeps the raw curve (decile, tokens, vocab) beside the
+    fitted constants so the fit quality is eyeballable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    firstseen = tok.groupBy("w").agg(
+        F.min("doc_id").cast("long").alias("fd")
+    )
+    doctok = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("nt")
+    )
+    nn = doctok.agg(F.max("doc_id").cast("long").alias("dmax"))
+    cuts = spark.range(1, 11).select(F.col("id").cast("long").alias("c"))
+    grid = cuts.crossJoin(F.broadcast(nn)).select(
+        "c",
+        (F.floor((F.col("dmax") + 1) * F.col("c") / 10) - 1).alias(
+            "cutoff"
+        ),
+    )
+    toks_at = (
+        grid.join(doctok, doctok.doc_id <= grid.cutoff)
+        .groupBy("c")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    vocab_at = (
+        grid.join(firstseen, firstseen.fd <= grid.cutoff)
+        .groupBy("c")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    pts = toks_at.join(vocab_at, "c").where(
+        (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
+    )
+    lx = F.log(F.col("n_tokens").cast("double"))
+    ly = F.log(F.col("vocab").cast("double"))
+    logs = pts.select(
+        "c",
+        "n_tokens",
+        "vocab",
+        F.round(lx * 1e9).cast("long").alias("x9"),
+        F.round(ly * 1e9).cast("long").alias("y9"),
+        F.round(lx * ly * 1e9).cast("long").alias("xy9"),
+        F.round(lx * lx * 1e9).cast("long").alias("xx9"),
+    )
+    fit = logs.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("x9").cast("long").alias("sx"),
+        F.sum("y9").cast("long").alias("sy"),
+        F.sum("xy9").cast("long").alias("sxy"),
+        F.sum("xx9").cast("long").alias("sxx"),
+    )
+    k = F.col("k")
+    sx, sy, sxy, sxx = (
+        F.col("sx"),
+        F.col("sy"),
+        F.col("sxy"),
+        F.col("sxx"),
+    )
+    beta = (k * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9)) / (
+        k * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)
+    )
+    kconst = F.exp((sy / 1e9) / k - beta * ((sx / 1e9) / k))
+    return (
+        logs.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("c").alias("decile"),
+            "n_tokens",
+            "vocab",
+            f6(beta).alias("heaps_beta"),
+            f6(kconst).alias("heaps_k"),
+        )
+        .orderBy("decile")
+    )
