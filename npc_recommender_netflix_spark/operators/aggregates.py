@@ -7399,3 +7399,206 @@ def a_poisson_irls(spark, sf_dir):
         f6(F.col("b2")).alias("b_trend"),
         f6(F.exp(F.col("b0") + F.col("b1"))).alias("weekend_day0_rate"),
     )
+
+
+_H32_CUST = """
+    CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef',
+                     substring(md5(CAST(o_custkey AS VARCHAR)), j, 1)) - 1)
+             * CAST(16 AS BIGINT) ** (8 - j))) AS BIGINT)
+"""
+
+
+@register(
+    "a_meta_analysis",
+    f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice) AS BIGINT) AS usd,
+               {_H32_CUST} % 2 AS arm
+        FROM orders
+    ),
+    seg AS (
+        SELECT r.r_name AS region, o.arm, o.usd
+        FROM o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    cell AS (
+        SELECT region, arm,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(usd) AS BIGINT) AS s,
+               CAST(sum(usd * usd) AS BIGINT) AS q
+        FROM seg GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT region,
+               max(CASE WHEN arm = 1 THEN n END) AS nt,
+               max(CASE WHEN arm = 0 THEN n END) AS nc,
+               max(CASE WHEN arm = 1 THEN s END) AS st,
+               max(CASE WHEN arm = 0 THEN s END) AS sc,
+               max(CASE WHEN arm = 1 THEN q END) AS qt,
+               max(CASE WHEN arm = 0 THEN q END) AS qc
+        FROM cell GROUP BY region
+        HAVING max(CASE WHEN arm = 1 THEN n END) >= 2
+           AND max(CASE WHEN arm = 0 THEN n END) >= 2
+    ),
+    eff AS (
+        SELECT region, nt, nc,
+               CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc AS d,
+               ((qt - CAST(st AS DOUBLE) * st / nt) / (nt - 1.0)) / nt
+               + ((qc - CAST(sc AS DOUBLE) * sc / nc) / (nc - 1.0)) / nc
+                   AS v
+        FROM wide
+    ),
+    terms AS (
+        SELECT region, nt, nc, d, v,
+               CAST(round(1.0 / v * 1e15) AS BIGINT) AS w15,
+               CAST(round(d / v * 1e12) AS BIGINT) AS wd12,
+               CAST(round(d * d / v * 1e9) AS BIGINT) AS wdd9
+        FROM eff
+    ),
+    pool AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(w15) AS BIGINT) AS sw,
+               CAST(sum(wd12) AS BIGINT) AS swd,
+               CAST(sum(wdd9) AS BIGINT) AS swdd
+        FROM terms
+    )
+    SELECT t.region, t.nt, t.nc,
+           round(t.d, 6) + 0 AS effect_usd,
+           round(t.v, 6) + 0 AS var_usd2,
+           round((p.swd / 1e12) / (p.sw / 1e15), 6) + 0 AS pooled_usd,
+           round((p.swdd / 1e9)
+                 - ((p.swd / 1e12) * (p.swd / 1e12)) / (p.sw / 1e15),
+                 6) + 0 AS cochran_q,
+           round(greatest(0.0,
+                 ((p.swdd / 1e9)
+                  - ((p.swd / 1e12) * (p.swd / 1e12)) / (p.sw / 1e15)
+                  - (p.k - 1.0))
+                 / ((p.swdd / 1e9)
+                    - ((p.swd / 1e12) * (p.swd / 1e12))
+                      / (p.sw / 1e15))), 6) + 0 AS i_squared,
+           CASE WHEN (p.swdd / 1e9)
+                     - ((p.swd / 1e12) * (p.swd / 1e12)) / (p.sw / 1e15)
+                     > 9.487729
+                THEN 1 ELSE 0 END AS heterogeneous_flag
+    FROM terms t CROSS JOIN pool p
+    ORDER BY t.region
+    """,
+)
+def a_meta_analysis(spark, sf_dir):
+    """Fixed-effect meta-analysis with heterogeneity — POOLING
+    segmented experiment readouts the way the per-segment keys can't:
+    each region contributes its arm-difference in mean order value
+    (md5 A/A split, so pooled≈0 is the harness-validating outcome)
+    with inverse-variance weight; the pooled effect, Cochran's Q and
+    I² = (Q−(k−1))/Q answer 'is there ONE effect or do regions truly
+    differ' — the question a_diff_in_diff (one segment) and
+    a_propensity_strata (stratified means) both stop short of.  Q
+    gates on χ²₄ = 9.487729 (5 regions − 1, shared literal).
+
+    Per-segment moments are exact BIGINTs (whole-dollar order values
+    keep Σusd² inside int64 at any SF); d_j and v_j are single float
+    associations; each segment's THREE pooled terms (w, wd, wd²) snap
+    to scaled BIGINTs BEFORE the cross-segment sums, so pooling is
+    reduction-order-free.  One fact-dim join chain (broadcast dims) +
+    one groupBy — the per-segment pass is the only data-scale work.
+    """
+    orders, customer, nation, region = tables(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    o = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice")).cast("long").alias("usd"),
+        (h32 % 2).alias("arm"),
+    )
+    seg = (
+        o.join(
+            F.broadcast(customer),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select(F.col("r_name").alias("region"), "arm", "usd")
+    )
+    cell = seg.groupBy("region", "arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("usd").cast("long").alias("s"),
+        F.sum(F.col("usd") * F.col("usd")).cast("long").alias("q"),
+    )
+    wide = (
+        cell.groupBy("region")
+        .agg(
+            F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("nt"),
+            F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("nc"),
+            F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("st"),
+            F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("sc"),
+            F.max(F.when(F.col("arm") == 1, F.col("q"))).alias("qt"),
+            F.max(F.when(F.col("arm") == 0, F.col("q"))).alias("qc"),
+        )
+        .where((F.col("nt") >= 2) & (F.col("nc") >= 2))
+    )
+    d = (
+        F.col("st").cast("double") / F.col("nt")
+        - F.col("sc").cast("double") / F.col("nc")
+    )
+    v = (
+        (F.col("qt") - F.col("st").cast("double") * F.col("st") / F.col("nt"))
+        / (F.col("nt") - 1.0)
+    ) / F.col("nt") + (
+        (F.col("qc") - F.col("sc").cast("double") * F.col("sc") / F.col("nc"))
+        / (F.col("nc") - 1.0)
+    ) / F.col("nc")
+    terms = wide.select(
+        "region",
+        "nt",
+        "nc",
+        d.alias("d"),
+        v.alias("v"),
+        F.round(1.0 / v * 1e15).cast("long").alias("w15"),
+        F.round(d / v * 1e12).cast("long").alias("wd12"),
+        F.round(d * d / v * 1e9).cast("long").alias("wdd9"),
+    )
+    pool = terms.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("w15").cast("long").alias("sw"),
+        F.sum("wd12").cast("long").alias("swd"),
+        F.sum("wdd9").cast("long").alias("swdd"),
+    )
+    pooled = (F.col("swd") / 1e12) / (F.col("sw") / 1e15)
+    q_stat = (F.col("swdd") / 1e9) - (
+        (F.col("swd") / 1e12) * (F.col("swd") / 1e12)
+    ) / (F.col("sw") / 1e15)
+    i2 = F.greatest(
+        F.lit(0.0), (q_stat - (F.col("k") - 1.0)) / q_stat
+    )
+    return (
+        terms.crossJoin(F.broadcast(pool))
+        .select(
+            "region",
+            "nt",
+            "nc",
+            f6(F.col("d")).alias("effect_usd"),
+            f6(F.col("v")).alias("var_usd2"),
+            f6(pooled).alias("pooled_usd"),
+            f6(q_stat).alias("cochran_q"),
+            f6(i2).alias("i_squared"),
+            F.when(q_stat > 9.487729, 1)
+            .otherwise(0)
+            .alias("heterogeneous_flag"),
+        )
+        .orderBy("region")
+    )
