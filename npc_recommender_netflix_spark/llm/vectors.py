@@ -3570,3 +3570,114 @@ def v_nsw_greedy(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "v_silhouette",
+    """
+    WITH ex AS (
+        SELECT vec_id, label, i.i AS pos,
+               CAST(embedding[CAST(i.i AS INTEGER)] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) i(i)
+    ),
+    cent AS (
+        SELECT label AS c, pos, avg(v) AS cv
+        FROM ex GROUP BY 1, 2
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label, ct.c,
+               CAST(round(sqrt(sum((e.v - ct.cv) * (e.v - ct.cv))) * 1e6)
+                    AS BIGINT) AS d6
+        FROM ex e JOIN cent ct ON ct.pos = e.pos
+        GROUP BY e.vec_id, e.label, ct.c
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               CAST(max(CASE WHEN c = label THEN d6 END) AS BIGINT) AS a6,
+               CAST(min(CASE WHEN c <> label THEN d6 END) AS BIGINT) AS b6
+        FROM dists GROUP BY vec_id, label
+    ),
+    s AS (
+        SELECT label,
+               CAST(round((b6 - a6) * 1e6
+                          / greatest(a6, b6, 1)) AS BIGINT) AS s6
+        FROM ab
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(CAST(sum(s6) AS DOUBLE) / 1e6 / count(*), 6) + 0
+               AS mean_silhouette,
+           CAST(sum(CASE WHEN s6 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_misplaced
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+def v_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per cluster — the
+    cluster-VALIDITY metric the family lacked: v_cluster_balance only
+    says cells are even-sized, v_quant_error only measures distortion
+    to one's own centroid; silhouette s = (b−a)/max(a,b) compares own-
+    centroid distance a against the NEAREST OTHER centroid b, so
+    points assigned to the wrong side of a boundary go negative —
+    reported as n_misplaced beside each label's mean.  The centroid-
+    simplified form (used by large-scale libraries precisely because
+    it's O(N·k), not O(N²)) is THE silhouette that survives 100 TB.
+
+    Plan: one posexplode rollup builds the k×64 centroid table
+    (broadcast-scale), each point computes k distances in a single
+    pos-keyed join + groupBy (no point-point pairs anywhere), and the
+    per-point distances snap to 1e-6 BIGINTs before the a/b argmin and
+    ratio — integer comparisons, reduction-order-free means.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", "pos", F.col("v").cast("double").alias("v"))
+    cent = ex.groupBy(F.col("label").alias("c"), "pos").agg(
+        F.avg("v").alias("cv")
+    )
+    dists = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("d6")
+        )
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c") == F.col("label"), F.col("d6")))
+        .cast("long")
+        .alias("a6"),
+        F.min(F.when(F.col("c") != F.col("label"), F.col("d6")))
+        .cast("long")
+        .alias("b6"),
+    )
+    s = ab.select(
+        "label",
+        F.round(
+            (F.col("b6") - F.col("a6"))
+            * 1e6
+            / F.greatest(F.col("a6"), F.col("b6"), F.lit(1))
+        )
+        .cast("long")
+        .alias("s6"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            f6(
+                F.sum("s6").cast("double") / 1e6 / F.count("*")
+            ).alias("mean_silhouette"),
+            F.sum(F.when(F.col("s6") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_misplaced"),
+        )
+        .orderBy("label")
+    )
