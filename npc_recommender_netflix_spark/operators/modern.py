@@ -4058,3 +4058,148 @@ def q_weibull_fit(spark, sf_dir):
         f6(slope).alias("shape"),
         f6(F.exp(F.lit(0.0) - intercept / slope)).alias("scale_days"),
     )
+
+
+@register(
+    "q_data_contract",
+    """
+    WITH r1 AS (
+        SELECT 'orders.o_orderkey.not_null' AS rule,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+        FROM orders
+    ),
+    r2 AS (
+        SELECT 'orders.o_orderkey.unique' AS rule,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                   AS n_violations
+        FROM orders
+    ),
+    r3 AS (
+        SELECT 'orders.o_totalprice.range_0_1e7' AS rule,
+               CAST(sum(CASE WHEN o_totalprice <= 0
+                              OR o_totalprice > 1e7
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM orders
+    ),
+    r4 AS (
+        SELECT 'orders.o_orderdate.range_1990_2000' AS rule,
+               CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                              OR o_orderdate >= TIMESTAMP '2000-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM orders
+    ),
+    r5 AS (
+        SELECT 'orders.o_custkey.fk_customer' AS rule,
+               CAST(count(*) AS BIGINT) AS n_violations
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+    ),
+    r6 AS (
+        SELECT 'orders.o_orderpriority.accepted_values' AS rule,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN
+                             ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                              '4-NOT SPECIFIED', '5-LOW')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM orders
+    ),
+    allr AS (
+        SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+        UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6
+    )
+    SELECT rule, n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS passed
+    FROM allr ORDER BY rule
+    """,
+)
+def q_data_contract(spark, sf_dir):
+    """Data-contract check surface — the dbt-tests / expectations shape
+    every production table ships with: not_null, unique, accepted
+    range, accepted values, and FK integrity evaluated in ONE pass
+    over the fact table (plus one anti-join for the FK), returning a
+    machine-readable violations census instead of a boolean — the gate
+    a write-audit-publish flow (s_write_audit_publish) evaluates
+    before the pointer swap, and the per-rule counts that page the
+    right owner when it fails.
+
+    Plan shape matters at 100 TB: the five column rules share ONE scan
+    (each is a conditional aggregate, map-side combined — not five
+    passes); uniqueness is count−count(distinct) in the same pass
+    group; only the FK rule adds a join, and it broadcasts the dim.
+    q_fk_orphans/q_id_gaps diagnose one rule deeply; this key is the
+    CONTRACT — all rules, one artifact, stable rule ids.
+    """
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+    one_pass = orders.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("not_null"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("unique"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > 1e7),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("range_price"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2000-01-01").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("range_date"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderpriority").isin(
+                    "1-URGENT",
+                    "2-HIGH",
+                    "3-MEDIUM",
+                    "4-NOT SPECIFIED",
+                    "5-LOW",
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("accepted_values"),
+    )
+    fk = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("fk"))
+    )
+    wide = one_pass.crossJoin(F.broadcast(fk))
+    rules = wide.selectExpr(
+        """stack(6,
+            'orders.o_orderkey.not_null', not_null,
+            'orders.o_orderkey.unique', unique,
+            'orders.o_totalprice.range_0_1e7', range_price,
+            'orders.o_orderdate.range_1990_2000', range_date,
+            'orders.o_custkey.fk_customer', fk,
+            'orders.o_orderpriority.accepted_values', accepted_values
+        ) AS (rule, n_violations)"""
+    )
+    return rules.select(
+        "rule",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.when(F.col("n_violations") == 0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("passed"),
+    ).orderBy("rule")
