@@ -3984,3 +3984,103 @@ def t_heaps_law(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "t_feature_hashing",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, source, w
+        FROM (SELECT doc_id, source,
+                     unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents)
+        WHERE w <> ''
+    ),
+    hashed AS (
+        SELECT doc_id, source, w,
+               CAST(list_sum(list_transform(range(1, 9),
+                   j -> (strpos('0123456789abcdef',
+                                substring(md5(w), j, 1)) - 1)
+                        * CAST(16 AS BIGINT) ** (8 - j))) % 64
+                    AS BIGINT) AS bucket
+        FROM tok
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+               CAST(count(DISTINCT bucket) AS BIGINT) AS nnz
+        FROM hashed GROUP BY 1, 2
+    ),
+    corpus AS (
+        SELECT source,
+               CAST(count(DISTINCT w) AS BIGINT) AS vocab,
+               CAST(count(DISTINCT bucket) AS BIGINT) AS used_buckets
+        FROM hashed GROUP BY source
+    )
+    SELECT p.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(p.nnz) * 1.0 / count(*), 6) + 0 AS avg_nnz,
+           round(sum(p.n_words - p.nnz) * 1.0 / sum(p.n_words), 6) + 0
+               AS in_doc_collision_share,
+           CAST(max(c.vocab) AS BIGINT) AS vocab,
+           CAST(max(c.used_buckets) AS BIGINT) AS used_buckets
+    FROM per_doc p JOIN corpus c ON c.source = p.source
+    GROUP BY p.source ORDER BY p.source
+    """,
+)
+def t_feature_hashing(spark, sf_dir):
+    """Feature hashing (the 'hashing trick', Weinberger et al 2009 —
+    public) census — the featurizer that makes text→vector work at
+    100 TB with NO vocabulary object: words hash straight into a
+    fixed 64-bucket index (md5-derived, engine-identical), so the
+    feature space is constant-size, shardable, and needs no
+    build/broadcast/version of a vocab dictionary.  The price is
+    collisions, and this key MEASURES it per source: per-doc nnz vs
+    distinct words (the in-document collision share that blurs dot
+    products) and corpus vocab vs used buckets — exactly the numbers
+    that size the bucket count (production rule: buckets ≳ vocab, by
+    Heaps' law sublinear in corpus — see t_heaps_law).
+
+    The hash is the repo's md5-nibble idiom (a_ab_srm_check's
+    _H32 construction applied to words); counts are exact; the two
+    shares are single divisions.  One token pass, word/bucket-keyed
+    distinct aggregates — all map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+        % 64
+    )
+    hashed = tok.select("doc_id", "source", "w", bucket.alias("bucket"))
+    per_doc = hashed.groupBy("doc_id", "source").agg(
+        F.countDistinct("w").cast("long").alias("n_words"),
+        F.countDistinct("bucket").cast("long").alias("nnz"),
+    )
+    corpus = hashed.groupBy("source").agg(
+        F.countDistinct("w").cast("long").alias("vocab"),
+        F.countDistinct("bucket").cast("long").alias("used_buckets"),
+    )
+    return (
+        per_doc.join(F.broadcast(corpus), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            f6(F.sum("nnz") * 1.0 / F.count("*")).alias("avg_nnz"),
+            f6(
+                F.sum(F.col("n_words") - F.col("nnz"))
+                * 1.0
+                / F.sum("n_words")
+            ).alias("in_doc_collision_share"),
+            F.max("vocab").cast("long").alias("vocab"),
+            F.max("used_buckets").cast("long").alias("used_buckets"),
+        )
+        .orderBy("source")
+    )
