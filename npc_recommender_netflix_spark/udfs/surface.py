@@ -514,11 +514,13 @@ def u_iter_pandas_udf(spark, sf_dir):
 
     @pandas_udf("long")
     def risk_bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
         # expensive init, ONCE per task: a precomputed score table
-        table = [(v * v) % 997 for v in range(1000)]
+        table = np.array([(v * v) % 997 for v in range(1000)], dtype="int64")
         for cents in batches:
             idx = (cents % 1000).astype("int64")
-            yield idx.map(lambda i: table[int(i)]).astype("int64")
+            yield pd.Series(table[idx.to_numpy()])
 
     return (
         orders.select(
