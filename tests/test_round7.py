@@ -833,3 +833,80 @@ def test_poisson_irls_matches_converged_numpy(spark):
     assert abs(row["b_weekend"] - b[1]) < 5e-6
     assert abs(row["b_trend"] - b[2]) < 5e-6
     assert abs(row["weekend_day0_rate"] - np.exp(b[0] + b[1])) < 5e-4
+
+
+def test_conformal_qhat_is_calibration_order_statistic(spark):
+    """w_conformal_interval's q-hat must equal the ceil((m+1)*0.8)-th
+    smallest calibration residual recomputed independently in pandas,
+    and reported coverage must match a brute-force count."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    row = registry.QUERIES["w_conformal_interval"](
+        spark, SF_SMALL
+    ).collect()[0]
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    xs = [int(r["x"]) for r in daily]
+    nd = len(xs)
+    resid = [(rn, abs(xs[rn - 1] - xs[rn - 8])) for rn in range(8, nd + 1)]
+    cut = 7 + ((nd - 7) * 3) // 5
+    cal = sorted(r for rn, r in resid if rn <= cut)
+    m = len(cal)
+    q = cal[min(math.ceil((m + 1) * 0.8), m) - 1]
+    test = [r for rn, r in resid if rn > cut]
+    assert row["n_cal"] == m and row["n_test"] == len(test)
+    assert abs(row["q_hat_usd"] - q / 100.0) < 1e-9
+    covered = sum(1 for r in test if r <= q)
+    assert row["n_covered"] == covered
+    assert abs(row["coverage"] - covered / len(test)) < 1e-6
+
+
+def test_newsvendor_qstar_minimizes_empirical_cost(spark):
+    """q_newsvendor's critical-fractile stock must minimize the
+    replayed empirical cost over ALL candidate quantities (every
+    observed demand level) for each brand — the newsvendor optimality
+    property, checked brute-force."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import tables as _tables
+
+    rows = registry.QUERIES["q_newsvendor"](spark, SF_SMALL).collect()
+
+    li, part = _tables(spark, SF_SMALL, "lineitem", "part")
+    daily = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.to_date("l_shipdate").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("dem"))
+        .collect()
+    )
+    by_brand = {}
+    for r in daily:
+        by_brand.setdefault(r["brand"], []).append(int(r["dem"]))
+
+    def cost(dems, q):
+        return sum(3 * max(d - q, 0) + max(q - d, 0) for d in dems)
+
+    for r in rows[:5]:
+        dems = by_brand[r["brand"]]
+        assert r["cost_qstar"] == cost(dems, r["q_star"])
+        best = min(cost(dems, q) for q in sorted(set(dems)))
+        assert r["cost_qstar"] == best, (
+            f"{r['brand']}: q* not optimal among observed demands"
+        )
+        assert r["cost_qstar"] <= r["cost_mean"]
