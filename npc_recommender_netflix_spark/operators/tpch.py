@@ -3175,3 +3175,79 @@ def q_newsvendor(spark, sf_dir):
         .cast("long")
         .alias("savings_units"),
     ).orderBy("brand")
+
+
+@register(
+    "q_economic_order_qty",
+    """
+    WITH dem AS (
+        SELECT p.p_brand AS brand,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d_units,
+               CAST(count(DISTINCT CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                   AS n_days,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    )
+    SELECT brand, d_units, n_days,
+           round(sqrt(2.0 * d_units * 7500.0
+                      / ((CAST(rev_cents AS DOUBLE) / d_units) * 0.2)),
+                 6) + 0 AS eoq_units,
+           round(d_units
+                 / sqrt(2.0 * d_units * 7500.0
+                        / ((CAST(rev_cents AS DOUBLE) / d_units) * 0.2)),
+                 6) + 0 AS orders_per_period,
+           round(sqrt(2.0 * d_units * 7500.0
+                      * ((CAST(rev_cents AS DOUBLE) / d_units) * 0.2))
+                 / 100.0, 4) + 0 AS total_cost_usd
+    FROM dem ORDER BY brand
+    """,
+)
+def q_economic_order_qty(spark, sf_dir):
+    """Economic order quantity per brand — the ORDER-SIZING decision
+    beside q_newsvendor's stock-sizing: EOQ = √(2DS/H) with demand D
+    observed, fixed order cost S = $75 (7500 cents, shared literal),
+    and holding cost H = 20% of the brand's observed average unit
+    price — so the answer adapts to each brand's price point from the
+    same scan that measures its demand.  Also reports the implied
+    order cadence D/EOQ and the classic minimum total cost √(2DSH)
+    (at the optimum, ordering and holding costs are equal — the
+    square-root law every inventory system inherits).
+
+    One fact-dim rollup is the whole data-scale plan (broadcast part
+    dim, map-side-combined sums); D, day counts, and revenue are exact
+    BIGINTs and each output is one shared float association of them.
+    """
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    dem = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("d_units"),
+            F.countDistinct(F.to_date("l_shipdate"))
+            .cast("long")
+            .alias("n_days"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    unit_h = (F.col("rev_cents").cast("double") / F.col("d_units")) * 0.2
+    eoq = F.sqrt(2.0 * F.col("d_units") * 7500.0 / unit_h)
+    return dem.select(
+        "brand",
+        "d_units",
+        "n_days",
+        f6(eoq).alias("eoq_units"),
+        f6(F.col("d_units") / eoq).alias("orders_per_period"),
+        (
+            F.round(
+                F.sqrt(2.0 * F.col("d_units") * 7500.0 * unit_h) / 100.0,
+                4,
+            )
+            + 0.0
+        ).alias("total_cost_usd"),
+    ).orderBy("brand")
