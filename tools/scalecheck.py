@@ -120,6 +120,12 @@ EVENTS_LINEAR_KEYS = {
     "q_attribution_position": "events",  # user-keyed 7-day lookback join:
     # power users' touch lists grow with N — expected to bend; measuring
     # is the point (the cap, if needed, is a per-user touch limit)
+    "q_event_funnel": "events",       # per-user ordered window scan
+    "q_retention_cohort": "events",   # cohort x week distinct rollup
+    "w_streaks": "events",            # gaps-and-islands, one user window
+    "r_covisitation": "events",      # within-session pair self-join:
+    # work = sum(|session items|^2); power users' sessions grow with N —
+    # the claim "bounded by session length" gets measured here
 }
 ITERATIVE_KEYS = {
     "r_pagerank": "lineitem",
