@@ -3207,3 +3207,111 @@ def r_ucb_scores(spark, sf_dir):
         )
         .orderBy("ucb_rank")
     )
+
+
+@register(
+    "r_covisitation_capped",
+    """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, ts, event_id, item,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id))
+                            > 86400000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM ev
+    ),
+    s AS (
+        SELECT user_id, item,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    si AS (SELECT DISTINCT user_id, sid, item FROM s),
+    capped AS (
+        SELECT user_id, sid, item FROM (
+            SELECT user_id, sid, item,
+                   row_number() OVER (PARTITION BY user_id, sid
+                                      ORDER BY md5(CAST(item AS VARCHAR)),
+                                               item) AS rk
+            FROM si
+        ) WHERE rk <= 32
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b
+        FROM capped a JOIN capped b
+          ON a.user_id = b.user_id AND a.sid = b.sid
+         AND a.item < b.item
+    )
+    SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_sessions DESC, item_a, item_b
+    LIMIT 50
+    """,
+)
+def r_covisitation_capped(spark, sf_dir):
+    """Session co-visitation with a PER-SESSION ITEM CAP — the scale
+    armor r_covisitation's docstring promise ('work bounded by session
+    length') actually needs when sessions themselves grow: a logged-in
+    crawler, a day-long power-user session, or a coarse gap setting
+    (24h here, deliberately coarse so the hazard is live) makes
+    |session|² explode while carrying no extra co-visit signal beyond
+    its sample.  The cap keeps ≤32 items per session, chosen by md5
+    rank — a deterministic uniform sample, so frequent TRUE pairs
+    still dominate the count census while the quadratic tail is gone:
+    pair work is bounded at 32²/2 per session FOREVER, independent of
+    session length (SCALECHECK measures this against an uncapped
+    24h-gap control).
+
+    Same single-shuffle sessionization as r_covisitation (user-keyed
+    window), one extra WindowGroupLimit for the cap (rank ≤ 32 — no
+    full-session sort materialization), then the per-session pair join
+    and count rollup.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 86400000000), 1).otherwise(0)
+    s = ev.withColumn(
+        "sid", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    si = s.select("user_id", "sid", "item").distinct()
+    wr = Window.partitionBy("user_id", "sid").orderBy(
+        F.md5(F.col("item").cast("string")), "item"
+    )
+    capped = (
+        si.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 32)
+        .select("user_id", "sid", "item")
+    )
+    a = capped.select(
+        F.col("user_id").alias("ua"),
+        F.col("sid").alias("sa"),
+        F.col("item").alias("item_a"),
+    )
+    b = capped.select(
+        F.col("user_id").alias("ub"),
+        F.col("sid").alias("sb"),
+        F.col("item").alias("item_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("ua") == F.col("ub"))
+        & (F.col("sa") == F.col("sb"))
+        & (F.col("item_a") < F.col("item_b")),
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "item_a", "item_b")
+        .limit(50)
+    )

@@ -126,6 +126,8 @@ EVENTS_LINEAR_KEYS = {
     "r_covisitation": "events",      # within-session pair self-join:
     # work = sum(|session items|^2); power users' sessions grow with N —
     # the claim "bounded by session length" gets measured here
+    "r_covisitation_capped": "events",  # 24h sessions + 32-item cap:
+    # flat against the x_unbounded_session_pairs control's bend
 }
 ITERATIVE_KEYS = {
     "r_pagerank": "lineitem",
@@ -163,7 +165,47 @@ def _uncapped_item_pairs(spark, sf_dir):
     )
 
 
-CONTROL_KEYS = {"x_uncapped_item_pairs": ("lineitem", _uncapped_item_pairs)}
+def _unbounded_session_pairs(spark, sf_dir):
+    """CONTROL: r_covisitation_capped's pair join WITHOUT the 32-item
+    cap, same 24h session gap. Power users' day-long sessions grow with
+    N, so |session|^2 pair work goes superlinear — the capped key's
+    flat line against this bend is what the cap buys."""
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from npc_recommender_netflix_spark.session import load_table  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 86400000000), 1).otherwise(0)
+    s = ev.withColumn(
+        "sid", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    si = s.select("user_id", "sid", "item").distinct()
+    a = si.select(
+        F.col("user_id").alias("ua"), F.col("sid").alias("sa"),
+        F.col("item").alias("item_a"),
+    )
+    b = si.select(
+        F.col("user_id").alias("ub"), F.col("sid").alias("sb"),
+        F.col("item").alias("item_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("ua") == F.col("ub")) & (F.col("sa") == F.col("sb"))
+        & (F.col("item_a") < F.col("item_b")),
+    )
+    return pairs.groupBy("item_a", "item_b").count()
+
+
+CONTROL_KEYS = {
+    "x_uncapped_item_pairs": ("lineitem", _uncapped_item_pairs),
+    "x_unbounded_session_pairs": ("events", _unbounded_session_pairs),
+}
 
 _WORDS = None
 
@@ -259,9 +301,14 @@ def gen_events(m: int, path: str) -> None:
     user = (i * 2654435761 % (n_users - 10)) + 10
     user[i % 37 == 0] = i[i % 37 == 0] % 10  # power users 0-9
     span_us = 30 * 86400 * 1_000_000
-    ts = np.datetime64("2024-01-01", "us") + (
-        (i * 1442695040888963407) % span_us
-    ).astype("timedelta64[us]")
+    off = (i * 1442695040888963407) % span_us
+    # power users are TIME-CONCENTRATED (a bot/crawler burst): all their
+    # events land in one 6-hour window of day 1, so their sessions GROW
+    # with N — the |session|^2 hazard the covisitation cap exists for
+    # (regular users keep constant daily density).
+    burst = (i * 1442695040888963407) % (6 * 3600 * 1_000_000)
+    off[i % 37 == 0] = burst[i % 37 == 0]
+    ts = np.datetime64("2024-01-01", "us") + off.astype("timedelta64[us]")
     # quotient, not remainder: i*c % 5 would be i % 5, and user =
     # i*c % n_users pins i mod 5 — every user would see ONE event type.
     # The product's QUOTIENT by the user modulus is ~independent of it.
@@ -269,9 +316,12 @@ def gen_events(m: int, path: str) -> None:
         (i * 2654435761 // (n_users - 10)) % 5
     ]
     value = ((i * 40503) % 49001 + 1) / 100.0
+    # catalog grows with the corpus (real stores do): a fixed item space
+    # would cap |distinct items per session| and silently bound the
+    # covisitation pair hazard the control is meant to expose.
     props = np.char.add(
         np.char.add(
-            '{"k": ', ((i * 2654435761 // 70000) % 500).astype(str)
+            '{"k": ', ((i * 2654435761 // 70000) % (500 * m)).astype(str)
         ),
         "}",
     )
