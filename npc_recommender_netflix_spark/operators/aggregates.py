@@ -7602,3 +7602,150 @@ def a_meta_analysis(spark, sf_dir):
         )
         .orderBy("region")
     )
+
+
+@register(
+    "a_cmh_test",
+    f"""
+    WITH o AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS hi,
+               {_H32_CUST} % 2 AS arm
+        FROM orders
+    ),
+    seg AS (
+        SELECT r.r_name AS region, o.arm, o.hi
+        FROM o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    tab AS (
+        SELECT region,
+               CAST(sum(CASE WHEN arm = 1 AND hi = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS m1,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seg GROUP BY region
+        HAVING count(*) >= 4
+    ),
+    terms AS (
+        SELECT region, a, n1, m1, n,
+               CAST(round((a - CAST(n1 AS DOUBLE) * m1 / n) * 1e9)
+                    AS BIGINT) AS ome9,
+               CAST(round((CAST(n1 AS DOUBLE) * (n - n1) * m1 * (n - m1))
+                          / (CAST(n AS DOUBLE) * n * (n - 1.0)) * 1e9)
+                    AS BIGINT) AS v9
+        FROM tab
+    ),
+    pool AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ome9) AS BIGINT) AS s_ome,
+               CAST(sum(v9) AS BIGINT) AS sv
+        FROM terms
+    )
+    SELECT k AS n_strata,
+           round(s_ome / 1e9, 6) + 0 AS observed_minus_expected,
+           round(((s_ome / 1e9) * (s_ome / 1e9)) / (sv / 1e9), 6) + 0
+               AS cmh_chi2,
+           CASE WHEN ((s_ome / 1e9) * (s_ome / 1e9)) / (sv / 1e9)
+                     > 3.841459
+                THEN 1 ELSE 0 END AS assoc_flag
+    FROM pool
+    """,
+)
+def a_cmh_test(spark, sf_dir):
+    """Cochran-Mantel-Haenszel — stratified CATEGORICAL association,
+    completing the stratification trio (a_propensity_strata pools
+    means, a_meta_analysis pools continuous effects; CMH pools 2×2
+    tables): is arm membership (md5 A/A split) associated with
+    urgent/high priority CONTROLLING for region?  Per stratum the
+    hypergeometric null gives E = n₁m₁/n and V = n₁n₀m₁m₀/(n²(n−1));
+    CMH χ² = (ΣO−E)²/ΣV against χ²₁ = 3.841459 — one degree of
+    freedom no matter how many strata, which is the whole point
+    (power against a CONSISTENT association, immunity to Simpson
+    flips that fool a pooled 2×2).
+
+    One fact-dim join chain + one stratum rollup (exact BIGINT
+    cells); each stratum's O−E and V snap to 1e-9 BIGINTs before the
+    cross-stratum sums (the a_log_rank_test accumulation pattern, on
+    tables instead of death times).
+    """
+    orders, customer, nation, region = tables(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    o = orders.select(
+        "o_custkey",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("hi"),
+        (h32 % 2).alias("arm"),
+    )
+    seg = (
+        o.join(
+            F.broadcast(customer),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select(F.col("r_name").alias("region"), "arm", "hi")
+    )
+    tab = (
+        seg.groupBy("region")
+        .agg(
+            F.sum(
+                F.when((F.col("arm") == 1) & (F.col("hi") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("hi") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("m1"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .where(F.col("n") >= 4)
+    )
+    n, n1, m1, a = F.col("n"), F.col("n1"), F.col("m1"), F.col("a")
+    ome = a - n1.cast("double") * m1 / n
+    v = (n1.cast("double") * (n - n1) * m1 * (n - m1)) / (
+        n.cast("double") * n * (n - 1.0)
+    )
+    terms = tab.select(
+        F.round(ome * 1e9).cast("long").alias("ome9"),
+        F.round(v * 1e9).cast("long").alias("v9"),
+    )
+    pool = terms.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ome9").cast("long").alias("s_ome"),
+        F.sum("v9").cast("long").alias("sv"),
+    )
+    chi2 = ((F.col("s_ome") / 1e9) * (F.col("s_ome") / 1e9)) / (
+        F.col("sv") / 1e9
+    )
+    return pool.select(
+        F.col("k").alias("n_strata"),
+        f6(F.col("s_ome") / 1e9).alias("observed_minus_expected"),
+        f6(chi2).alias("cmh_chi2"),
+        F.when(chi2 > 3.841459, 1).otherwise(0).alias("assoc_flag"),
+    )

@@ -4203,3 +4203,128 @@ def q_data_contract(spark, sf_dir):
         .cast("long")
         .alias("passed"),
     ).orderBy("rule")
+
+
+@register(
+    "q_woe_iv",
+    """
+    WITH base AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS bad,
+               CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) * 10
+                          / ((SELECT max(CAST(round(o_totalprice * 100)
+                                              AS BIGINT)) FROM orders)
+                             + 1)) AS BIGINT) AS bucket
+        FROM orders
+    ),
+    tot AS (
+        SELECT CAST(sum(bad) AS BIGINT) AS nb,
+               CAST(sum(1 - bad) AS BIGINT) AS ng
+        FROM base
+    ),
+    cell AS (
+        SELECT bucket,
+               CAST(sum(bad) AS BIGINT) AS b,
+               CAST(sum(1 - bad) AS BIGINT) AS g
+        FROM base GROUP BY bucket
+    ),
+    woe AS (
+        SELECT c.bucket, c.b, c.g,
+               CAST(round(ln(((c.g + 0.5) / (t.ng + 0.5))
+                             / ((c.b + 0.5) / (t.nb + 0.5))) * 1e9)
+                    AS BIGINT) AS woe9,
+               CAST(round((CAST(c.g AS DOUBLE) / t.ng
+                           - CAST(c.b AS DOUBLE) / t.nb)
+                          * ln(((c.g + 0.5) / (t.ng + 0.5))
+                               / ((c.b + 0.5) / (t.nb + 0.5)))
+                          * 1e9) AS BIGINT) AS iv9
+        FROM cell c CROSS JOIN tot t
+    ),
+    total_iv AS (
+        SELECT CAST(sum(iv9) AS BIGINT) AS siv FROM woe
+    )
+    SELECT w.bucket, w.g AS n_good, w.b AS n_bad,
+           round(w.woe9 / 1e9, 6) + 0 AS woe,
+           round(w.iv9 / 1e9, 6) + 0 AS iv_contribution,
+           round(t.siv / 1e9, 6) + 0 AS total_iv
+    FROM woe w CROSS JOIN total_iv t
+    ORDER BY w.bucket
+    """,
+)
+def q_woe_iv(spark, sf_dir):
+    """Weight-of-Evidence / Information-Value scorecard screening — the
+    credit-risk feature audit (Basel scorecard tradition, public):
+    price deciles vs the urgent/high 'bad' outcome, WoE = ln(%good /
+    %bad) per bucket (0.5 Laplace continuity so empty cells don't
+    blow up), IV contribution = (%good − %bad)·WoE, and the total IV
+    — the number risk teams read against the folk scale (<0.02
+    useless, >0.3 strong) before a feature enters a model.  This is
+    feature SCREENING, the step before a_logistic_irls fits
+    coefficients — same relative-decile bucketing, deliberately.
+
+    One scan builds buckets (exact integer decile arithmetic against
+    the corpus max), one groupBy produces the cells; WoE's ln runs on
+    the bounded bucket axis snapped to 1e-9 BIGINTs before the IV
+    sum.  Monotone-WoE eyeballing falls out of the per-bucket rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("maxc")
+    )
+    base = orders.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("bad"),
+        F.floor(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            * 10
+            / (F.col("maxc") + 1)
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    tot = base.agg(
+        F.sum("bad").cast("long").alias("nb"),
+        F.sum(1 - F.col("bad")).cast("long").alias("ng"),
+    )
+    cell = base.groupBy("bucket").agg(
+        F.sum("bad").cast("long").alias("b"),
+        F.sum(1 - F.col("bad")).cast("long").alias("g"),
+    )
+    woe_expr = F.log(
+        ((F.col("g") + 0.5) / (F.col("ng") + 0.5))
+        / ((F.col("b") + 0.5) / (F.col("nb") + 0.5))
+    )
+    woe = cell.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "b",
+        "g",
+        F.round(woe_expr * 1e9).cast("long").alias("woe9"),
+        F.round(
+            (
+                F.col("g").cast("double") / F.col("ng")
+                - F.col("b").cast("double") / F.col("nb")
+            )
+            * woe_expr
+            * 1e9
+        )
+        .cast("long")
+        .alias("iv9"),
+    )
+    total_iv = woe.agg(F.sum("iv9").cast("long").alias("siv"))
+    return (
+        woe.crossJoin(F.broadcast(total_iv))
+        .select(
+            "bucket",
+            F.col("g").alias("n_good"),
+            F.col("b").alias("n_bad"),
+            f6(F.col("woe9") / 1e9).alias("woe"),
+            f6(F.col("iv9") / 1e9).alias("iv_contribution"),
+            f6(F.col("siv") / 1e9).alias("total_iv"),
+        )
+        .orderBy("bucket")
+    )
