@@ -4328,3 +4328,141 @@ def q_woe_iv(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_basket_substitutes",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM baskets),
+    item AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS c
+        FROM baskets GROUP BY p_brand
+    ),
+    pair AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS c_ab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT ia.p_brand AS brand_a, ib.p_brand AS brand_b,
+               ia.c AS ca, ib.c AS cb,
+               CAST(coalesce(p.c_ab, 0) AS BIGINT) AS c_ab
+        FROM item ia
+        JOIN item ib ON ia.p_brand < ib.p_brand
+        LEFT JOIN pair p
+          ON p.brand_a = ia.p_brand AND p.brand_b = ib.p_brand
+        WHERE ia.c >= 20 AND ib.c >= 20
+    ),
+    z AS (
+        SELECT g.brand_a, g.brand_b, g.c_ab, g.ca, g.cb,
+               (g.c_ab - CAST(g.ca AS DOUBLE) * g.cb / n.n_orders)
+               / sqrt((CAST(g.ca AS DOUBLE) * g.cb / n.n_orders)
+                      * (1.0 - CAST(g.ca AS DOUBLE) / n.n_orders)
+                      * (1.0 - CAST(g.cb AS DOUBLE) / n.n_orders)) AS zv,
+               CAST(g.c_ab AS DOUBLE)
+               / (CAST(g.ca AS DOUBLE) * g.cb / n.n_orders) AS lift
+        FROM grid g CROSS JOIN n
+    )
+    SELECT brand_a, brand_b, c_ab, ca AS n_a, cb AS n_b,
+           round(lift, 6) + 0 AS lift,
+           round(zv, 6) + 0 AS z,
+           CASE WHEN zv < -1.959964 THEN 1 ELSE 0 END AS substitute_flag
+    FROM z
+    WHERE zv < -1.0
+    ORDER BY z, brand_a, brand_b
+    """,
+)
+def q_basket_substitutes(spark, sf_dir):
+    """Substitute detection — the INFERENTIAL negative-association
+    complement to q_basket_rules (which surfaces complements via
+    lift > 1): two brands are substitution candidates when they
+    co-occur significantly LESS than independence predicts (customers
+    pick one OR the other), tested with the 2×2 cell z =
+    (c_ab − E)/√(E(1−p_a)(1−p_b)) rather than eyeballing lift < 1 —
+    low lift on thin support is noise, and the z says so.  Support
+    floors (both brands ≥ 20 baskets) plus the shared 1.959964 gate.
+
+    The plan detail that matters: never-co-occurring pairs produce NO
+    row in a co-count join, yet they are the STRONGEST substitution
+    signal — so candidates come from the bounded brand×brand grid
+    (LEFT JOIN the co-counts, coalesce 0), which is exactly the
+    right scale shape too: the grid is catalog-bounded while the
+    basket self-join stays order-keyed.
+    """
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    item = baskets.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    a = baskets.select(
+        F.col("l_orderkey").alias("ka"), F.col("p_brand").alias("brand_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("kb"), F.col("p_brand").alias("brand_b")
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("ka") == F.col("kb"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    ia = item.select(
+        F.col("p_brand").alias("brand_a"), F.col("c").alias("ca")
+    ).where(F.col("ca") >= 20)
+    ib = item.select(
+        F.col("p_brand").alias("brand_b"), F.col("c").alias("cb")
+    ).where(F.col("cb") >= 20)
+    grid = (
+        ia.join(ib, F.col("brand_a") < F.col("brand_b"))
+        .join(pair, ["brand_a", "brand_b"], "left")
+        .select(
+            "brand_a",
+            "brand_b",
+            "ca",
+            "cb",
+            F.coalesce(F.col("c_ab"), F.lit(0)).cast("long").alias("c_ab"),
+        )
+    )
+    e = F.col("ca").cast("double") * F.col("cb") / F.col("n_orders")
+    zv = (F.col("c_ab") - e) / F.sqrt(
+        e
+        * (1.0 - F.col("ca").cast("double") / F.col("n_orders"))
+        * (1.0 - F.col("cb").cast("double") / F.col("n_orders"))
+    )
+    lift = F.col("c_ab").cast("double") / e
+    return (
+        grid.crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            F.col("ca").alias("n_a"),
+            F.col("cb").alias("n_b"),
+            f6(lift).alias("lift"),
+            f6(zv).alias("z"),
+            F.when(zv < -1.959964, 1).otherwise(0).alias(
+                "substitute_flag"
+            ),
+            zv.alias("_zraw"),
+        )
+        .where(F.col("_zraw") < -1.0)
+        .drop("_zraw")
+        .orderBy("z", "brand_a", "brand_b")
+    )
