@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table
+from ..session import f6, load_table, tables
 
 
 @register(
@@ -261,4 +261,84 @@ def fn_multiformat_ts(spark, sf_dir):
             .alias("parse_ok"),
         )
         .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "fn_business_days",
+    """
+    WITH li AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS d1,
+               CAST(l.l_shipdate AS DATE) AS d2
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    b AS (
+        SELECT d1, d2,
+               d2 - d1 AS cal_days,
+               CAST(list_sum(list_transform(
+                     range(0, CAST((d2 - d1) % 7 AS INTEGER)),
+                     k -> CASE WHEN (dayofweek(d1) + k) % 7 IN (0, 6)
+                               THEN 0 ELSE 1 END)) AS BIGINT)
+                   AS partial,
+               (d2 - d1) % 7 AS rem
+        FROM li
+    )
+    SELECT CAST(CAST((cal_days) // 7 AS BIGINT) * 5
+                + CASE WHEN rem = 0 THEN 0 ELSE partial END AS BIGINT)
+               AS business_days,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(CAST(cal_days AS DOUBLE)), 6) + 0 AS avg_cal_days
+    FROM b GROUP BY 1 ORDER BY business_days
+    """,
+)
+def fn_business_days(spark, sf_dir):
+    """Business-day arithmetic — NETWORKDAYS for the lakehouse: SLA
+    clocks, settlement windows, and delivery promises count WORKING
+    days, and calendar-day latency keys (q_ship_latency) silently
+    overstate breaches that span weekends.  Business days between
+    order and ship = 5·⌊Δ/7⌋ + (weekday count of the partial week),
+    the partial week resolved by a bounded 0..6 lambda walk from the
+    start day-of-week — closed-form integer arithmetic, no calendar
+    table, no UDF, and (unlike a calendar-table join) no extra
+    shuffle: the whole computation rides the join projection.
+
+    Cross-engine care: Spark dayofweek is 1=Sunday..7 while DuckDB's
+    is 0=Sunday..6 (the SURVEY §2.7 divergence), so the weekend test
+    is (dow0 + k) % 7 ∈ {0,6} with each engine's own offset
+    normalized to the 0-based frame.  Output is the distribution of
+    business-day latencies with the mean calendar gap alongside — the
+    weekend inflation made visible.
+    """
+    li, orders = tables(spark, sf_dir, "lineitem", "orders")
+    b = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.to_date("o_orderdate").alias("d1"),
+            F.to_date("l_shipdate").alias("d2"),
+        )
+    )
+    diff = F.datediff(F.col("d2"), F.col("d1"))
+    dow0 = F.dayofweek("d1") - 1  # normalize Spark 1..7 to 0=Sunday
+    partial = F.aggregate(
+        F.sequence(F.lit(0), (diff % 7) - 1),
+        F.lit(0).cast("long"),
+        lambda acc, k: acc
+        + F.when(((dow0 + k) % 7).isin(0, 6), 0).otherwise(1),
+    )
+    bdays = (
+        F.floor(diff / 7) * 5
+        + F.when(diff % 7 == 0, 0).otherwise(partial)
+    ).cast("long")
+    return (
+        b.select(
+            diff.cast("double").alias("cal_days"), bdays.alias("bdays")
+        )
+        .groupBy(F.col("bdays").alias("business_days"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            f6(F.avg("cal_days")).alias("avg_cal_days"),
+        )
+        .orderBy("business_days")
     )
