@@ -4466,3 +4466,178 @@ def q_basket_substitutes(spark, sf_dir):
         .drop("_zraw")
         .orderBy("z", "brand_a", "brand_b")
     )
+
+
+_RING_ITER_SQL = """
+    l{next} AS (
+        SELECT n.k,
+               least(n.lbl, coalesce(min(l.lbl), n.lbl)) AS lbl
+        FROM l{cur} n
+        LEFT JOIN edges e ON e.src = n.k
+        LEFT JOIN l{cur} l ON l.k = e.dst
+        GROUP BY n.k, n.lbl
+    )
+"""
+
+
+@register(
+    "q_fraud_rings",
+    f"""
+    WITH m AS (
+        SELECT c_custkey AS k,
+               CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                          / 10000.0) AS BIGINT) AS bal100,
+               c_custkey % 97 AS dev,
+               c_nationkey
+        FROM customer
+    ),
+    ga AS (
+        SELECT k, min(k) OVER (PARTITION BY bal100) AS root,
+               count(*) OVER (PARTITION BY bal100) AS gs
+        FROM m
+    ),
+    gb AS (
+        SELECT k, min(k) OVER (PARTITION BY dev, c_nationkey) AS root,
+               count(*) OVER (PARTITION BY dev, c_nationkey) AS gs
+        FROM m
+    ),
+    star AS (
+        SELECT k, root FROM ga WHERE gs BETWEEN 2 AND 20 AND k <> root
+        UNION
+        SELECT k, root FROM gb WHERE gs BETWEEN 2 AND 20 AND k <> root
+    ),
+    edges AS (
+        SELECT k AS src, root AS dst FROM star
+        UNION
+        SELECT root AS src, k AS dst FROM star
+    ),
+    l0 AS (SELECT k, k AS lbl FROM m),
+    {_RING_ITER_SQL.format(cur=0, next=1)},
+    {_RING_ITER_SQL.format(cur=1, next=2)},
+    {_RING_ITER_SQL.format(cur=2, next=3)},
+    rings AS (
+        SELECT l.lbl AS ring_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(DISTINCT m.c_nationkey) AS BIGINT) AS n_nations,
+               CAST(sum(CAST(round(
+                   (SELECT c_acctbal FROM customer c
+                    WHERE c.c_custkey = m.k) * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM l3 l JOIN m ON m.k = l.k
+        GROUP BY l.lbl HAVING count(*) >= 3
+    )
+    SELECT CAST(ring_id AS BIGINT) AS ring_id, n_members, n_nations,
+           round(total_cents / 100.0, 2) + 0.0 AS total_balance_usd
+    FROM rings ORDER BY n_members DESC, ring_id
+    LIMIT 40
+    """,
+)
+def q_fraud_rings(spark, sf_dir):
+    """Fraud-ring detection — multi-attribute ENTITY LINKING: customers
+    sharing a $100 balance bucket OR a device fingerprint within the
+    same nation (synthetic custkey%97 — the fn_ipv4_cidr license for
+    reference data the fixtures lack) link into components; rings of
+    ≥3 across ≥1 nation are the investigation queue, with pooled
+    balance as the exposure number.  The graph shape is the fraud
+    industry's: attributes form STARS (every member links to the
+    group's min id — never the quadratic within-group clique), stars
+    chain through shared members, and a size cap (≤20) drops service
+    accounts that would otherwise weld everything into one blob.
+
+    Components resolve by 3 min-label iterations over the star edges
+    (t_dup_clusters' O(diameter) idiom; attribute stars keep diameters
+    tiny, and the oracle unrolls the same 3 steps as CTEs).  Group
+    stars come from two windows — no self-joins until the bounded edge
+    list exists.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    m = customer.select(
+        F.col("c_custkey").alias("k"),
+        (F.floor(F.round(F.col("c_acctbal") * 100).cast("long") / 10000))
+        .cast("long")
+        .alias("bal100"),
+        (F.col("c_custkey") % 97).alias("dev"),
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    ).cache()
+    wa = Window.partitionBy("bal100")
+    wb = Window.partitionBy("dev", "c_nationkey")
+    ga = m.select(
+        "k",
+        F.min("k").over(wa).alias("root"),
+        F.count("*").over(wa).alias("gs"),
+    )
+    gb = m.select(
+        "k",
+        F.min("k").over(wb).alias("root"),
+        F.count("*").over(wb).alias("gs"),
+    )
+    star = (
+        ga.where(
+            (F.col("gs") >= 2) & (F.col("gs") <= 20) & (F.col("k") != F.col("root"))
+        )
+        .select("k", "root")
+        .unionByName(
+            gb.where(
+                (F.col("gs") >= 2)
+                & (F.col("gs") <= 20)
+                & (F.col("k") != F.col("root"))
+            ).select("k", "root")
+        )
+        .distinct()
+    )
+    edges = (
+        star.select(F.col("k").alias("src"), F.col("root").alias("dst"))
+        .unionByName(
+            star.select(
+                F.col("root").alias("src"), F.col("k").alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = m.select("k", F.col("k").alias("lbl"))
+    for _ in range(3):
+        nbr = (
+            labels.join(edges, labels.k == edges.src)
+            .join(
+                labels.select(
+                    F.col("k").alias("k2"), F.col("lbl").alias("nlbl")
+                ),
+                F.col("dst") == F.col("k2"),
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("minn"))
+        )
+        labels = (
+            labels.join(nbr, labels.k == nbr.src, "left")
+            .select(
+                "k",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("minn"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+    rings = (
+        labels.join(m, "k")
+        .groupBy(F.col("lbl").alias("ring_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .where(F.col("n_members") >= 3)
+    )
+    return (
+        rings.select(
+            F.col("ring_id").cast("long"),
+            "n_members",
+            "n_nations",
+            (F.round(F.col("total_cents") / 100.0, 2) + 0.0).alias(
+                "total_balance_usd"
+            ),
+        )
+        .orderBy(F.col("n_members").desc(), "ring_id")
+        .limit(40)
+    )
