@@ -1531,3 +1531,104 @@ def m_base64_data_url(spark, sf_dir):
         "doc_id long, mime string, n_bytes long, b64_len long,"
         " byte_sum long",
     ).orderBy("doc_id")
+
+
+@register(
+    "m_varint_decode",
+    """
+    WITH vals AS (
+        SELECT d.doc_id, gk.k,
+               (d.doc_id * 2654435761 + gk.k * 40503) % 3000000 AS v
+        FROM documents d, generate_series(0, 19) AS gk(k)
+    )
+    SELECT doc_id,
+           CAST(20 AS BIGINT) AS n_values,
+           CAST(sum(v) AS BIGINT) AS value_sum,
+           CAST(max(v) AS BIGINT) AS value_max,
+           CAST(sum(CASE WHEN v < 128 THEN 1
+                         WHEN v < 16384 THEN 2
+                         WHEN v < 2097152 THEN 3
+                         ELSE 4 END) AS BIGINT) AS encoded_bytes
+    FROM vals GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def m_varint_decode(spark, sf_dir):
+    """Varint wire-format codec — the variable-length integer encoding
+    at the bottom of protobuf, SQLite, Parquet's RLE hybrids, and
+    LevelDB (7 bits per byte, MSB = continuation): each doc becomes a
+    REAL varint stream of 20 values, and a second Arrow stage decodes
+    it byte by byte (accumulating 7-bit groups until a clear MSB, a
+    malformed overlong sequence raises).  The oracle recomputes the
+    value statistics from the generator formula AND the exact encoded
+    length from the value magnitudes (1 byte < 2⁷, 2 < 2¹⁴, 3 < 2²¹,
+    else 4) — so the decoder is verified on both CONTENT and
+    FRAMING.
+
+    Same shape as every decoder key: streams live and die in
+    scan-side Arrow tasks, two mapInPandas on one partitioning, only
+    per-stream metadata flows on.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_varint(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                out = bytearray()
+                for k in range(20):
+                    v = (d * 2654435761 + k * 40503) % 3000000
+                    while True:
+                        byte = v & 0x7F
+                        v >>= 7
+                        if v:
+                            out.append(byte | 0x80)
+                        else:
+                            out.append(byte)
+                            break
+                payloads.append(bytes(out))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode_varint(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                vals = []
+                v = shift = 0
+                for byte in b:
+                    if shift > 28:
+                        raise ValueError("overlong varint")
+                    v |= (byte & 0x7F) << shift
+                    if byte & 0x80:
+                        shift += 7
+                    else:
+                        vals.append(v)
+                        v = shift = 0
+                if shift:
+                    raise ValueError("truncated varint stream")
+                rows.append(
+                    (int(doc_id), len(vals), sum(vals), max(vals), len(b))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_values", "value_sum", "value_max",
+                    "encoded_bytes",
+                ],
+            )
+
+    streams = docs.mapInPandas(
+        synth_varint, "doc_id long, payload binary"
+    )
+    return streams.mapInPandas(
+        decode_varint,
+        "doc_id long, n_values long, value_sum long, value_max long,"
+        " encoded_bytes long",
+    ).orderBy("doc_id")

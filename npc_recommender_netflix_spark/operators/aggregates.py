@@ -7749,3 +7749,114 @@ def a_cmh_test(spark, sf_dir):
         f6(chi2).alias("cmh_chi2"),
         F.when(chi2 > 3.841459, 1).otherwise(0).alias("assoc_flag"),
     )
+
+
+@register(
+    "a_odds_ratio",
+    f"""
+    WITH o AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS hi,
+               {_H32_CUST} % 2 AS arm
+        FROM orders
+    ),
+    c AS (
+        SELECT CAST(sum(CASE WHEN arm = 1 AND hi = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN arm = 1 AND hi = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(sum(CASE WHEN arm = 0 AND hi = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(sum(CASE WHEN arm = 0 AND hi = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM o
+    )
+    SELECT a, b, c, d,
+           round((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c), 6)
+               + 0 AS odds_ratio,
+           round((CAST(a AS DOUBLE) / (a + b))
+                 / (CAST(c AS DOUBLE) / (c + d)), 6) + 0 AS relative_risk,
+           round(exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))
+                     - 1.959964 * sqrt(1.0 / a + 1.0 / b
+                                       + 1.0 / c + 1.0 / d)), 6) + 0
+               AS or_ci_lo,
+           round(exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))
+                     + 1.959964 * sqrt(1.0 / a + 1.0 / b
+                                       + 1.0 / c + 1.0 / d)), 6) + 0
+               AS or_ci_hi,
+           CASE WHEN exp(ln((CAST(a AS DOUBLE) * d)
+                            / (CAST(b AS DOUBLE) * c))
+                         - 1.959964 * sqrt(1.0 / a + 1.0 / b
+                                           + 1.0 / c + 1.0 / d)) > 1.0
+                     OR exp(ln((CAST(a AS DOUBLE) * d)
+                               / (CAST(b AS DOUBLE) * c))
+                            + 1.959964 * sqrt(1.0 / a + 1.0 / b
+                                              + 1.0 / c + 1.0 / d)) < 1.0
+                THEN 1 ELSE 0 END AS significant_flag
+    FROM c
+    """,
+)
+def a_odds_ratio(spark, sf_dir):
+    """Odds ratio and relative risk with a Woolf log-CI — the EFFECT
+    SIZE the 2×2 test keys stop short of: a_proportion_ztest and
+    a_cmh_test answer 'is there an association'; decision-makers need
+    HOW BIG with uncertainty, and OR vs RR is the classic trap this
+    key makes explicit by reporting both (they diverge as the outcome
+    gets common — RR is the interpretable one, OR the one logistic
+    regression's coefficients exponentiate to, tying back to
+    a_logistic_irls).  CI by Woolf: exp(ln OR ± 1.96·√(1/a+1/b+1/c
+    +1/d)); the md5 A/A split means CI-covers-1 is the expected,
+    harness-validating outcome.
+
+    One conditional-aggregate pass builds the exact 2×2; every output
+    is one shared float association of the four BIGINTs (ln/exp on the
+    single bounded row, 1.959964 the shared literal).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    o = orders.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("hi"),
+        (h32 % 2).alias("arm"),
+    )
+    cdf = o.agg(
+        F.sum(F.when((F.col("arm") == 1) & (F.col("hi") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("hi") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("hi") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("hi") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    orx = (a.cast("double") * d) / (b.cast("double") * c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    lo = F.exp(F.log(orx) - 1.959964 * se)
+    hi = F.exp(F.log(orx) + 1.959964 * se)
+    return cdf.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        f6(orx).alias("odds_ratio"),
+        f6(
+            (a.cast("double") / (a + b)) / (c.cast("double") / (c + d))
+        ).alias("relative_risk"),
+        f6(lo).alias("or_ci_lo"),
+        f6(hi).alias("or_ci_hi"),
+        F.when((lo > 1.0) | (hi < 1.0), 1)
+        .otherwise(0)
+        .alias("significant_flag"),
+    )
