@@ -3681,3 +3681,221 @@ def v_silhouette(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+_JL_SIGN_DUCK = (
+    "CAST(((strpos('0123456789abcdef', substring(md5("
+    "CAST(t.t AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)), 1, 1)) - 1)"
+    " % 2) * 2 - 1 AS DOUBLE)"
+)
+
+
+@register(
+    "v_random_projection",
+    f"""
+    WITH sub AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120
+    ),
+    proj AS (
+        SELECT s.vec_id, t.t,
+               list_sum(list_transform(range(1, 65),
+                   i -> CAST(s.embedding[i] AS DOUBLE)
+                        * CAST(((strpos('0123456789abcdef',
+                                substring(md5(CAST(t.t AS VARCHAR) || '_'
+                                          || CAST(i AS VARCHAR)), 1, 1))
+                                - 1) % 2) * 2 - 1 AS DOUBLE)))
+               / 4.0 AS y
+        FROM sub s, (SELECT unnest(range(0, 16)) AS t) t
+    ),
+    pd AS (
+        SELECT a.vec_id AS qa, b.vec_id AS qb,
+               sqrt(sum((a.y - b.y) * (a.y - b.y))) AS dproj
+        FROM proj a JOIN proj b ON a.t = b.t
+         AND a.vec_id < 20 AND b.vec_id >= 20
+        GROUP BY 1, 2
+    ),
+    od AS (
+        SELECT a.vec_id AS qa, b.vec_id AS qb,
+               sqrt(list_sum(list_transform(range(1, 65),
+                   i -> (CAST(a.embedding[i] AS DOUBLE)
+                         - CAST(b.embedding[i] AS DOUBLE))
+                        * (CAST(a.embedding[i] AS DOUBLE)
+                           - CAST(b.embedding[i] AS DOUBLE))))) AS dorig
+        FROM sub a JOIN sub b ON a.vec_id < 20 AND b.vec_id >= 20
+    ),
+    r AS (
+        SELECT od.qa, od.qb,
+               CAST(round(pd.dproj / od.dorig * 1e6) AS BIGINT) AS ratio6
+        FROM od JOIN pd ON pd.qa = od.qa AND pd.qb = od.qb
+        WHERE od.dorig > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(abs(ratio6 - 1000000)) AS DOUBLE)
+                 / 1e6 / count(*), 6) + 0 AS mean_distortion,
+           round(CAST(max(abs(ratio6 - 1000000)) AS DOUBLE) / 1e6, 6)
+               + 0 AS max_distortion,
+           CAST(sum(CASE WHEN abs(ratio6 - 1000000) <= 500000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_50pct
+    FROM r
+    """,
+)
+def v_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection, distortion MEASURED —
+    the cheapest dimensionality reduction there is (64→16 dims via a
+    deterministic ±1 sign matrix, no training, no data pass — the
+    map every sketch-based ANN pre-step and streaming embedding
+    compactor reaches for), with the JL promise empirically audited:
+    pairwise Euclidean distance ratios d_proj/d_orig over a bounded
+    20×100 pair sample, reported as mean/max distortion and the count
+    within ±50% (at 16 dims the guarantee is loose — honesty column,
+    not marketing; v_pq_quantize/v_int8_quantize are the trained
+    alternatives with tighter error).
+
+    Determinism: the sign matrix is md5-parity of (out-dim, in-dim) —
+    engine-identical; projections fold per vector with the sequential
+    aggregate/list_sum association the _DOT helpers already rely on;
+    each pair's ratio snaps to a 1e-6 BIGINT before the census.  The
+    projection itself is one map-side pass (16 folds per vector), no
+    shuffle until the bounded pair sample.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 120
+    )
+    tdim = spark.range(0, 16).select(F.col("id").cast("int").alias("t"))
+    sign = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.col("t").cast("string"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        * 2
+        - 1
+    ).cast("double")
+    proj = (
+        emb.crossJoin(F.broadcast(tdim))
+        .select(
+            "vec_id",
+            "t",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(64)),
+                            lambda i: i,
+                        ),
+                        lambda x, i: F.struct(
+                            x.cast("double").alias("x"), i.alias("i")
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + s.x
+                    * (
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            "_",
+                                            F.col("t").cast("string"),
+                                            s.i.cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    1,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % 2
+                        )
+                        * 2
+                        - 1
+                    ).cast("double"),
+                )
+                / 4.0
+            ).alias("y"),
+        )
+    )
+    a = proj.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qa"), "t", F.col("y").alias("ya")
+    )
+    b = proj.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("qb"), "t", F.col("y").alias("yb")
+    )
+    pd_ = (
+        a.join(b, "t")
+        .groupBy("qa", "qb")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("ya") - F.col("yb"))
+                    * (F.col("ya") - F.col("yb"))
+                )
+            ).alias("dproj")
+        )
+    )
+    ea = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qa"), F.col("embedding").alias("e1")
+    )
+    eb = emb.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("qb"), F.col("embedding").alias("e2")
+    )
+    od = F.broadcast(ea).crossJoin(eb).select(
+        "qa",
+        "qb",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("e1"),
+                    F.col("e2"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("dorig"),
+    )
+    r = (
+        od.join(pd_, ["qa", "qb"])
+        .where(F.col("dorig") > 0)
+        .select(
+            F.round(F.col("dproj") / F.col("dorig") * 1e6)
+            .cast("long")
+            .alias("ratio6")
+        )
+    )
+    return r.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        f6(
+            F.sum(F.abs(F.col("ratio6") - 1000000)).cast("double")
+            / 1e6
+            / F.count("*")
+        ).alias("mean_distortion"),
+        f6(
+            F.max(F.abs(F.col("ratio6") - 1000000)).cast("double") / 1e6
+        ).alias("max_distortion"),
+        F.sum(
+            F.when(F.abs(F.col("ratio6") - 1000000) <= 500000, 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_within_50pct"),
+    )

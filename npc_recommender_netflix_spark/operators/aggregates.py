@@ -7860,3 +7860,173 @@ def a_odds_ratio(spark, sf_dir):
         .otherwise(0)
         .alias("significant_flag"),
     )
+
+
+_HUBER_ITER_SQL = """
+    h{next} AS (
+        SELECT round(
+            CAST(sum(CASE WHEN abs(x - h{cur}.mu) <= h{cur}.k
+                          THEN CAST(round(x * 1e2) AS BIGINT)
+                          ELSE CAST(round((h{cur}.mu + CASE WHEN x
+                                          > h{cur}.mu THEN h{cur}.k
+                                          ELSE -h{cur}.k END) * 1e2)
+                                    AS BIGINT) END) AS DOUBLE)
+            / 1e2 / count(*), 6) AS mu,
+            any_value(h{cur}.k) AS k
+        FROM base CROSS JOIN h{cur}
+        GROUP BY h{cur}.mu, h{cur}.k
+    )
+"""
+
+
+@register(
+    "a_huber_mean",
+    f"""
+    WITH base AS (
+        SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                   / 100.0 AS x,
+               o_orderkey
+        FROM orders
+    ),
+    med AS (
+        SELECT max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS m
+        FROM (SELECT x, row_number() OVER (ORDER BY x, o_orderkey) AS rn,
+                     count(*) OVER () AS n
+              FROM base)
+    ),
+    mad AS (
+        SELECT round(max(CASE WHEN rn = (n + 1) // 2 THEN d END), 6)
+                   AS mad
+        FROM (SELECT abs(b.x - med.m) AS d,
+                     row_number() OVER (ORDER BY abs(b.x - med.m),
+                                        b.o_orderkey) AS rn,
+                     count(*) OVER () AS n
+              FROM base b CROSS JOIN med)
+    ),
+    h0 AS (
+        SELECT round(med.m, 6) AS mu,
+               round(1.345 * 1.4826 * mad.mad, 6) AS k
+        FROM med CROSS JOIN mad
+    ),
+    {_HUBER_ITER_SQL.format(cur=0, next=1)},
+    {_HUBER_ITER_SQL.format(cur=1, next=2)},
+    {_HUBER_ITER_SQL.format(cur=2, next=3)},
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(round(x * 1e2) AS BIGINT)) AS DOUBLE)
+                     / 1e2 / count(*), 6) AS plain_mean
+        FROM base
+    )
+    SELECT s.n AS n_orders,
+           s.plain_mean + 0 AS mean_usd,
+           h3.mu + 0 AS huber_mean_usd,
+           h3.k + 0 AS huber_k_usd,
+           round(s.plain_mean - h3.mu, 6) + 0 AS outlier_pull_usd
+    FROM stats s CROSS JOIN h3
+    """,
+)
+def a_huber_mean(spark, sf_dir):
+    """Huber M-estimated mean — ROBUST LOCATION by iterative clipping
+    (Huber 1964, public): the plain mean follows the tail, the median
+    throws information away; Huber's estimator keeps every
+    observation but WINSORIZES residuals beyond k = 1.345·σ̂ (the
+    95%-efficiency tuning constant; σ̂ = 1.4826·MAD), iterated three
+    times from the median — the textbook robust-statistics rung
+    between a_winsorized_mean (fixed quantile clip) and a_mad_outliers
+    (detection only).  The reported outlier_pull is the dollar gap
+    the tail exerts on the naive mean.
+
+    Exactness: median and MAD are rank-based order statistics
+    (orderkey tiebreaks); each iteration clips x to [μ±k] per row and
+    sums CENTS as exact BIGINTs (the clipped value is a finite
+    decimal, so the snap is lossless); μ re-snaps to 6dp per
+    iteration; the oracle unrolls the same three clipped-sum steps.
+    Each iteration is one map-side-combinable aggregate — three data
+    passes total, the honest cost of robustness at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("double")
+            / 100.0
+        ).alias("x"),
+        "o_orderkey",
+    ).cache()
+    wn = Window.orderBy("x", "o_orderkey")
+    ranked = base.select(
+        "x",
+        F.row_number().over(wn).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("x")
+            )
+        ).alias("m")
+    )
+    dd = base.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("x") - F.col("m")).alias("d"), "o_orderkey"
+    )
+    wd = Window.orderBy("d", "o_orderkey")
+    mad = (
+        dd.select(
+            "d",
+            F.row_number().over(wd).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        .agg(
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                        F.col("d"),
+                    )
+                ),
+                6,
+            ).alias("mad")
+        )
+    )
+    h = med.crossJoin(F.broadcast(mad)).select(
+        F.round(F.col("m"), 6).alias("mu"),
+        F.round(1.345 * 1.4826 * F.col("mad"), 6).alias("k"),
+    )
+    for _ in range(3):
+        joined = base.crossJoin(F.broadcast(h))
+        clipped = F.when(
+            F.abs(F.col("x") - F.col("mu")) <= F.col("k"),
+            F.round(F.col("x") * 1e2).cast("long"),
+        ).otherwise(
+            F.round(
+                (
+                    F.col("mu")
+                    + F.when(
+                        F.col("x") > F.col("mu"), F.col("k")
+                    ).otherwise(-F.col("k"))
+                )
+                * 1e2
+            ).cast("long")
+        )
+        h = joined.groupBy("mu", "k").agg(
+            F.round(
+                F.sum(clipped).cast("double") / 1e2 / F.count("*"), 6
+            ).alias("mu2")
+        ).select(F.col("mu2").alias("mu"), "k")
+    stats = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("x") * 1e2).cast("long")).cast("double")
+            / 1e2
+            / F.count("*"),
+            6,
+        ).alias("plain_mean"),
+    )
+    return stats.crossJoin(F.broadcast(h)).select(
+        F.col("n").alias("n_orders"),
+        (F.col("plain_mean") + 0.0).alias("mean_usd"),
+        (F.col("mu") + 0.0).alias("huber_mean_usd"),
+        (F.col("k") + 0.0).alias("huber_k_usd"),
+        (F.round(F.col("plain_mean") - F.col("mu"), 6) + 0.0).alias(
+            "outlier_pull_usd"
+        ),
+    )
