@@ -8030,3 +8030,225 @@ def a_huber_mean(spark, sf_dir):
             "outlier_pull_usd"
         ),
     )
+
+
+@register(
+    "a_beta_binomial",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY user_id
+    ),
+    seg AS (
+        SELECT CASE WHEN n < 63 THEN 'light'
+                    WHEN n < 70 THEN 'mid' ELSE 'heavy' END AS segment,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n) AS BIGINT) AS trials,
+               CAST(sum(k) AS BIGINT) AS successes
+        FROM per_user GROUP BY 1
+    )
+    SELECT segment, n_users, trials, successes,
+           round(CAST(successes AS DOUBLE) / trials, 6) + 0 AS raw_rate,
+           round((successes + 1.0) / (trials + 2.0), 6) + 0
+               AS posterior_mean,
+           round(sqrt((successes + 1.0) * (trials - successes + 1.0)
+                      / ((trials + 2.0) * (trials + 2.0)
+                         * (trials + 3.0))), 6) + 0 AS posterior_sd,
+           round((successes + 1.0) / (trials + 2.0)
+                 - 1.959964 * sqrt((successes + 1.0)
+                                   * (trials - successes + 1.0)
+                                   / ((trials + 2.0) * (trials + 2.0)
+                                      * (trials + 3.0))), 6) + 0
+               AS cred_lo,
+           round((successes + 1.0) / (trials + 2.0)
+                 + 1.959964 * sqrt((successes + 1.0)
+                                   * (trials - successes + 1.0)
+                                   / ((trials + 2.0) * (trials + 2.0)
+                                      * (trials + 3.0))), 6) + 0
+               AS cred_hi
+    FROM seg ORDER BY segment
+    """,
+)
+def a_beta_binomial(spark, sf_dir):
+    """Beta-binomial conjugate posterior — the BAYESIAN estimation
+    surface the frequentist battery lacks: per activity segment, the
+    purchase rate's posterior under a uniform Beta(1,1) prior has
+    CLOSED-FORM mean (k+1)/(n+2), sd √(αβ/((α+β)²(α+β+1))), and a
+    normal-approximation 95% credible band (1.959964 shared literal —
+    exact Beta quantiles need an incomplete-beta inverse neither
+    engine ships; the approximation is explicit, not smuggled).  The
+    point made visible: posterior_mean vs raw_rate shows Laplace
+    shrinkage doing more work exactly where trials are few — the
+    small-segment regularization every dashboard rate should get
+    (r_wilson_lcb is the frequentist cousin on item ranking).
+
+    Two map-side-combinable aggregates (user rollup → segment
+    rollup); every reported number is one float association of exact
+    BIGINT trials/successes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    seg = per_user.groupBy(
+        F.when(F.col("n") < 63, "light")
+        .when(F.col("n") < 70, "mid")
+        .otherwise("heavy")
+        .alias("segment")
+    ).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("trials"),
+        F.sum("k").cast("long").alias("successes"),
+    )
+    t, k = F.col("trials"), F.col("successes")
+    pm = (k + 1.0) / (t + 2.0)
+    psd = F.sqrt(
+        (k + 1.0) * (t - k + 1.0) / ((t + 2.0) * (t + 2.0) * (t + 3.0))
+    )
+    return seg.select(
+        "segment",
+        "n_users",
+        "trials",
+        "successes",
+        f6(k.cast("double") / t).alias("raw_rate"),
+        f6(pm).alias("posterior_mean"),
+        f6(psd).alias("posterior_sd"),
+        f6(pm - 1.959964 * psd).alias("cred_lo"),
+        f6(pm + 1.959964 * psd).alias("cred_hi"),
+    ).orderBy("segment")
+
+
+@register(
+    "a_cross_correlation",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, x, y
+        FROM daily
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+        FROM idx
+    ),
+    dev AS (
+        SELECT t, CAST(tot.n * x - tot.sx AS BIGINT) AS dx,
+               CAST(tot.n * y - tot.sy AS BIGINT) AS dy
+        FROM idx CROSS JOIN tot
+    ),
+    den AS (
+        SELECT sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS dxx,
+               sum(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS dyy
+        FROM dev
+    ),
+    lags AS (SELECT unnest(range(-7, 8)) AS lag),
+    num AS (
+        SELECT l.lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               sum(CAST(a.dx AS HUGEINT) * CAST(b.dy AS HUGEINT)) AS nk
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.t = a.t + l.lag
+        GROUP BY l.lag
+    )
+    SELECT CAST(num.lag AS BIGINT) AS lag_days, num.n_pairs,
+           round(CAST(nk AS DOUBLE)
+                 / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6)
+               + 0 AS ccf
+    FROM num CROSS JOIN den ORDER BY lag_days
+    """,
+)
+def a_cross_correlation(spark, sf_dir):
+    """Cross-correlation function at lags −7..+7 between daily clicks
+    (x) and purchases (y) — LEAD-LAG detection: the lag whose ccf
+    peaks says whether clicks lead purchases (marketing works with a
+    delay), purchases lead clicks (post-purchase browsing), or
+    neither.  a_partial_correlation answers 'same-day, confounder-
+    adjusted'; this key scans the time axis — the prerequisite for
+    any transfer-function or ad-stock model, with the full 15-lag
+    profile reported so the peak is read, not asserted.
+
+    Exactness is the a_ljung_box machinery doubled: pre-scaled
+    integer deviations n·x−Σx and n·y−Σy (no float means), lag
+    products accumulated as HUGEINT/DECIMAL exact integers via the
+    dense day-index equi-join, one float division per lag against the
+    √(Σdx²·Σdy²) normalizer.  Daily rollup is the only data-scale
+    pass; the lag join runs on the bounded day axis.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+        "x",
+        "y",
+    )
+    tot = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    dev = idx.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (F.col("n") * F.col("x") - F.col("sx")).cast("long").alias("dx"),
+        (F.col("n") * F.col("y") - F.col("sy")).cast("long").alias("dy"),
+    )
+    den = dev.agg(
+        F.sum(
+            F.col("dx").cast("decimal(19,0)")
+            * F.col("dx").cast("decimal(19,0)")
+        ).alias("dxx"),
+        F.sum(
+            F.col("dy").cast("decimal(19,0)")
+            * F.col("dy").cast("decimal(19,0)")
+        ).alias("dyy"),
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("long").alias("lag"))
+    a = dev.select(F.col("t").alias("ta"), F.col("dx").alias("da"))
+    b = dev.select(F.col("t").alias("tb"), F.col("dy").alias("db"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                F.col("da").cast("decimal(19,0)")
+                * F.col("db").cast("decimal(19,0)")
+            ).alias("nk"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").alias("lag_days"),
+            "n_pairs",
+            f6(
+                F.col("nk").cast("double")
+                / F.sqrt(
+                    F.col("dxx").cast("double")
+                    * F.col("dyy").cast("double")
+                )
+            ).alias("ccf"),
+        )
+        .orderBy("lag_days")
+    )
