@@ -3251,3 +3251,106 @@ def q_economic_order_qty(spark, sf_dir):
             + 0.0
         ).alias("total_cost_usd"),
     ).orderBy("brand")
+
+
+@register(
+    "q_customer_equity",
+    """
+    WITH per_cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(count(DISTINCT year(o.o_orderdate)) AS BIGINT)
+                   AS n_years,
+               CAST(max(year(o.o_orderdate))
+                    - min(year(o.o_orderdate)) + 1 AS BIGINT) AS span
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(cents) AS BIGINT) AS cents,
+               CAST(sum(n_years) AS BIGINT) AS active_years,
+               CAST(sum(span) AS BIGINT) AS span_years
+        FROM per_cust GROUP BY segment
+    )
+    SELECT segment, n_cust,
+           round(CAST(cents AS DOUBLE) / active_years / 100.0, 2) + 0.0
+               AS margin_per_active_year_usd,
+           round(CAST(active_years AS DOUBLE) / span_years, 6) + 0
+               AS retention,
+           round((CAST(cents AS DOUBLE) / active_years / 100.0)
+                 * (CAST(active_years AS DOUBLE) / span_years)
+                 / (1.0 + 0.1
+                    - CAST(active_years AS DOUBLE) / span_years),
+                 2) + 0.0 AS clv_usd,
+           round((CAST(cents AS DOUBLE) / active_years / 100.0)
+                 * (CAST(active_years AS DOUBLE) / span_years)
+                 / (1.0 + 0.1
+                    - CAST(active_years AS DOUBLE) / span_years)
+                 * n_cust / 1e6, 4) + 0.0 AS segment_equity_musd
+    FROM seg ORDER BY segment
+    """,
+)
+def q_customer_equity(spark, sf_dir):
+    """Customer equity by the geometric-retention CLV model (the
+    margin·r/(1+d−r) formula of the CLV literature — public): per
+    market segment, annual margin per ACTIVE customer-year, retention
+    estimated as active-years / spanned-years (the fraction of years
+    a customer who appeared kept appearing), a 10% discount literal,
+    and the per-customer CLV rolled up to SEGMENT EQUITY in $M — the
+    number that prices an acquisition channel, connecting the cohort
+    keys (q_cohort_ltv measures realized value; this PROJECTS forward
+    under the retention model, assumptions visible as literals).
+
+    One fact-dim rollup per customer then per segment — exact BIGINT
+    cents/years all the way; each output is one shared float
+    association (the geometric-series sum is closed-form — no
+    iteration, no horizon truncation).
+    """
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+    per_cust = (
+        orders.join(
+            F.broadcast(customer),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), "o_custkey"
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.countDistinct(F.year("o_orderdate"))
+            .cast("long")
+            .alias("n_years"),
+            (
+                F.max(F.year("o_orderdate"))
+                - F.min(F.year("o_orderdate"))
+                + 1
+            )
+            .cast("long")
+            .alias("span"),
+        )
+    )
+    seg = per_cust.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum("n_years").cast("long").alias("active_years"),
+        F.sum("span").cast("long").alias("span_years"),
+    )
+    m = F.col("cents").cast("double") / F.col("active_years") / 100.0
+    r = F.col("active_years").cast("double") / F.col("span_years")
+    clv = m * r / (1.0 + 0.1 - r)
+    return seg.select(
+        "segment",
+        "n_cust",
+        (F.round(m, 2) + 0.0).alias("margin_per_active_year_usd"),
+        f6(r).alias("retention"),
+        (F.round(clv, 2) + 0.0).alias("clv_usd"),
+        (F.round(clv * F.col("n_cust") / 1e6, 4) + 0.0).alias(
+            "segment_equity_musd"
+        ),
+    ).orderBy("segment")
