@@ -1632,3 +1632,146 @@ def m_varint_decode(spark, sf_dir):
         "doc_id long, n_values long, value_sum long, value_max long,"
         " encoded_bytes long",
     ).orderBy("doc_id")
+
+
+@register(
+    "m_image_dhash",
+    """
+    WITH spec AS (
+        SELECT doc_id,
+               (doc_id % 16) + 8 AS w,
+               (doc_id % 10) + 5 AS h
+        FROM documents WHERE doc_id < 200
+    ),
+    bits AS (
+        SELECT s.doc_id,
+               gx.x AS bx, gy.y AS by,
+               CASE WHEN
+                   (5 * s.doc_id
+                    + 2 * (((gx.x + 1) * (s.w - 1)) // 8)
+                    + 3 * ((gy.y * (s.h - 1)) // 7))
+                   % 256
+                   + 2 * ((s.doc_id
+                           + 4 * (((gx.x + 1) * (s.w - 1)) // 8)
+                           + 9 * ((gy.y * (s.h - 1)) // 7)) % 256)
+                   + (7 * s.doc_id
+                      + (((gx.x + 1) * (s.w - 1)) // 8)
+                      + 6 * ((gy.y * (s.h - 1)) // 7)) % 256
+                   >
+                   (5 * s.doc_id + 2 * ((gx.x * (s.w - 1)) // 8)
+                    + 3 * ((gy.y * (s.h - 1)) // 7)) % 256
+                   + 2 * ((s.doc_id + 4 * ((gx.x * (s.w - 1)) // 8)
+                           + 9 * ((gy.y * (s.h - 1)) // 7)) % 256)
+                   + (7 * s.doc_id + ((gx.x * (s.w - 1)) // 8)
+                      + 6 * ((gy.y * (s.h - 1)) // 7)) % 256
+               THEN 1 ELSE 0 END AS bit
+        FROM spec s,
+             generate_series(0, 7) AS gx(x),
+             generate_series(0, 7) AS gy(y)
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN by * 8 + bx < 32
+                             THEN bit * (CAST(2 AS BIGINT)
+                                         ** (by * 8 + bx))
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(sum(CASE WHEN by * 8 + bx >= 32
+                             THEN bit * (CAST(2 AS BIGINT)
+                                         ** (by * 8 + bx - 32))
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                   AS ham
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(ham AS BIGINT) AS hamming
+    FROM pairs WHERE ham = 0
+    ORDER BY doc_a, doc_b
+    """,
+)
+def m_image_dhash(spark, sf_dir):
+    """Perceptual image dedup by difference hash — VISUAL near-dup,
+    the tier the byte-level keys can't reach (m_checksum_audit
+    catches identical FILES; re-encoded or resized images hash
+    differently byte-wise but look the same): each image resamples to
+    a 9×8 grid by nearest-neighbor (index arithmetic on the SAME
+    pixel formula m_png_decode's rasters use — the dHash is computed
+    from decoded-pixel VALUES, so the oracle can mirror it), each of
+    the 64 bits records 'is the right neighbor brighter' (luma =
+    r+2g+b), and near-duplicates here are EXACT signature matches (Hamming 0 —
+    the synthetic gradient rasters are so self-similar that 60% of all
+    pairs sit within 6 bits, so the exact tier is the honest census;
+    real photos spread the distances and a ≤6 band is the usual knob)
+    — the
+    classic 64-bit dHash of every image-dedup pipeline, robust to
+    scale/brightness shifts by construction.
+
+    The pair join is the v_hamming_topk integer tier: 8-byte
+    signatures, bit_count(XOR) in codegen, doc_id < doc_id — at
+    corpus scale the signatures feed the banded-LSH prefilter exactly
+    like simhash does (t_simhash_pairs' plan); the bounded doc_id <
+    200 census keeps the exact audit cheap.
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = (d % 16) + 8, (d % 10) + 5
+                lo = hi = 0
+                for by in range(8):
+                    y = (by * (h - 1)) // 7
+                    for bx in range(8):
+                        x0 = (bx * (w - 1)) // 8
+                        x1 = ((bx + 1) * (w - 1)) // 8
+
+                        def luma(x, y):
+                            r = (5 * d + 2 * x + 3 * y) % 256
+                            g = (d + 4 * x + 9 * y) % 256
+                            b = (7 * d + x + 6 * y) % 256
+                            return r + 2 * g + b
+
+                        if luma(x1, y) > luma(x0, y):
+                            pos = by * 8 + bx
+                            if pos < 32:
+                                lo |= 1 << pos
+                            else:
+                                hi |= 1 << (pos - 32)
+                rows.append((d, lo, hi))
+            yield pd.DataFrame(rows, columns=["doc_id", "lo", "hi"])
+
+    sig = docs.mapInPandas(dhash, "doc_id long, lo long, hi long")
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lo").alias("la"),
+        F.col("hi").alias("ua"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lo").alias("lb"),
+        F.col("hi").alias("ub"),
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.bit_count(F.expr("la ^ lb"))
+                + F.bit_count(F.expr("ua ^ ub"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") == 0)
+        .orderBy("doc_a", "doc_b")
+    )

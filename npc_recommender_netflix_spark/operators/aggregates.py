@@ -8398,3 +8398,80 @@ def a_group_sequential(spark, sf_dir):
         (obf + 0.0).alias("obf_bound"),
         F.when(F.abs(zv) > obf, 1).otherwise(0).alias("stop_flag"),
     ).orderBy("look")
+
+
+@register(
+    "a_process_capability",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS q
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           round(CAST(s AS DOUBLE) / n, 6) + 0 AS mean_daily,
+           round(sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1.0)), 6)
+               + 0 AS sigma,
+           round((120.0 - 20.0)
+                 / (6.0 * sqrt((q - CAST(s AS DOUBLE) * s / n)
+                               / (n - 1.0))), 6) + 0 AS cp,
+           round(least(120.0 - CAST(s AS DOUBLE) / n,
+                       CAST(s AS DOUBLE) / n - 20.0)
+                 / (3.0 * sqrt((q - CAST(s AS DOUBLE) * s / n)
+                               / (n - 1.0))), 6) + 0 AS cpk,
+           CASE WHEN least(120.0 - CAST(s AS DOUBLE) / n,
+                           CAST(s AS DOUBLE) / n - 20.0)
+                     / (3.0 * sqrt((q - CAST(s AS DOUBLE) * s / n)
+                                   / (n - 1.0))) >= 1.33
+                THEN 1 ELSE 0 END AS capable_flag
+    FROM c ORDER BY event_type
+    """,
+)
+def a_process_capability(spark, sf_dir):
+    """Process capability Cp/Cpk — the OTHER half of SPC the control
+    charts (w_control_chart, w_p_chart, w_cusum_alarm) don't answer:
+    charts ask 'is the process stable'; capability asks 'is a STABLE
+    process good enough for the spec'.  With daily per-type volume
+    specs [20, 120] (shared literals — the load band a capacity plan
+    provisions for), Cp = (USL−LSL)/6σ is the potential if centered,
+    Cpk = min(USL−μ, μ−LSL)/3σ the reality including off-center drift
+    — the 1.33 gate is the classic four-sigma capability bar.  Cp ≫
+    Cpk is the actionable signature: the process is tight but
+    mis-centered, fix the mean not the variance.
+
+    One daily rollup + one per-type fold; μ and σ come from exact
+    BIGINT n/Σx/Σx² in single float associations (sample σ, n−1) —
+    the a_stats discipline pointed at a decision gate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    c = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    n = F.col("n")
+    mu = F.col("s").cast("double") / n
+    sigma = F.sqrt(
+        (F.col("q") - F.col("s").cast("double") * F.col("s") / n)
+        / (n - 1.0)
+    )
+    cpk = F.least(120.0 - mu, mu - 20.0) / (3.0 * sigma)
+    return c.select(
+        "event_type",
+        n.alias("n_days"),
+        f6(mu).alias("mean_daily"),
+        f6(sigma).alias("sigma"),
+        f6((120.0 - 20.0) / (6.0 * sigma)).alias("cp"),
+        f6(cpk).alias("cpk"),
+        F.when(cpk >= 1.33, 1).otherwise(0).alias("capable_flag"),
+    ).orderBy("event_type")
