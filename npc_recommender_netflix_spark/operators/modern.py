@@ -4641,3 +4641,224 @@ def q_fraud_rings(spark, sf_dir):
         .orderBy(F.col("n_members").desc(), "ring_id")
         .limit(40)
     )
+
+
+@register(
+    "q_adstock_regression",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clicks,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS rev,
+               CAST(row_number() OVER (ORDER BY CAST(ts AS DATE))
+                    AS BIGINT) AS rn
+        FROM events GROUP BY 1
+    ),
+    ad AS (
+        SELECT rn, CAST(clicks AS DOUBLE) AS a, rev
+        FROM daily WHERE rn = 1
+        UNION ALL
+        SELECT d.rn, round(d.clicks + 0.5 * ad.a, 6) AS a, d.rev
+        FROM ad JOIN daily d ON d.rn = ad.rn + 1
+    ),
+    pts AS (
+        SELECT CAST(round(a * 1e6) AS BIGINT) AS x6,
+               CAST(rev AS BIGINT) AS y
+        FROM ad
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x6) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x6 AS HUGEINT) * y) AS sxy,
+               sum(CAST(x6 AS HUGEINT) * x6) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_days,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * sx) * 1e6 / 100.0, 6) + 0
+               AS rev_per_adstock_click_usd,
+           round((CAST(sy AS DOUBLE) / n
+                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx))
+                    * (CAST(sx AS DOUBLE) / n)) / 100.0, 4) + 0.0
+               AS baseline_rev_usd
+    FROM fit
+    """,
+)
+def q_adstock_regression(spark, sf_dir):
+    """Ad-stock regression — the marketing-mix-model PRIMITIVE: raw
+    click counts mis-attribute delayed conversions (a_cross_
+    correlation shows WHETHER clicks lead; this models HOW MUCH),
+    so clicks first transform through geometric carryover a_t = c_t +
+    0.5·a_{t−1} (half-life one day, the classic adstock literal) and
+    daily revenue regresses on the adstocked series — slope =
+    incremental revenue per adstocked click, intercept = baseline
+    revenue that marketing can't claim.  This two-step shape
+    (transform, then regress) is exactly how MMM decomposes spend.
+
+    The carryover is a recursion → the holt split: daily rollup is
+    the data-scale pass, the adstock walks the bounded day axis
+    (RECURSIVE CTE / driver replay, 6dp snaps), and the OLS consumes
+    1e-6-snapped adstock BIGINTs with HUGEINT cross-moments — closed
+    form, reduction-order-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("clicks"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rev"),
+        )
+        .orderBy("day")
+        .collect()  # bounded day axis
+    )
+    rows = []
+    a = None
+    for r in daily:
+        a = float(r["clicks"]) if a is None else _rhu(
+            r["clicks"] + 0.5 * a, 6
+        )
+        rows.append((int(round(a * 1e6)), int(r["rev"])))
+    pts = spark.createDataFrame(rows, "x6 long, y long")
+    fit = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x6").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(
+            F.col("x6").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("x6").cast("decimal(19,0)")
+            * F.col("x6").cast("decimal(19,0)")
+        ).alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (
+        F.col("sy").cast("double") / n
+        - slope * (F.col("sx").cast("double") / n)
+    )
+    return fit.select(
+        n.alias("n_days"),
+        f6(slope * 1e6 / 100.0).alias("rev_per_adstock_click_usd"),
+        (F.round(intercept / 100.0, 4) + 0.0).alias("baseline_rev_usd"),
+    )
+
+
+@register(
+    "q_erlang_staffing",
+    """
+    WITH RECURSIVE hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    peak AS (SELECT CAST(max(n) AS BIGINT) AS lam FROM hourly),
+    load AS (
+        SELECT lam, round(CAST(lam AS DOUBLE) / 30.0, 9) AS a FROM peak
+    ),
+    b AS (
+        SELECT 0 AS c, CAST(1.0 AS DOUBLE) AS eb, a, lam FROM load
+        UNION ALL
+        SELECT c + 1, round(a * eb / (c + 1 + a * eb), 9), a, lam
+        FROM b WHERE c < 40
+    ),
+    cc AS (
+        SELECT c, a, lam, eb,
+               CASE WHEN c > a
+                    THEN round(c * eb / (c - a * (1.0 - eb)), 9)
+                    ELSE 1.0 END AS ec
+        FROM b WHERE c >= 1
+    ),
+    feasible AS (
+        SELECT *, CASE WHEN c > a AND ec < 0.2 THEN 1 ELSE 0 END AS ok
+        FROM cc
+    ),
+    chosen AS (
+        SELECT CAST(min(c) AS BIGINT) AS c_star FROM feasible WHERE ok = 1
+    )
+    SELECT CAST(f.c AS BIGINT) AS agents, f.lam AS peak_per_hour,
+           round(f.a, 6) + 0 AS offered_load,
+           round(f.ec, 6) + 0 AS wait_probability,
+           CASE WHEN f.c = ch.c_star THEN 1 ELSE 0 END AS chosen_flag
+    FROM feasible f CROSS JOIN chosen ch
+    WHERE f.c BETWEEN CAST(ceil(f.a) AS INTEGER)
+                  AND CAST(ceil(f.a) AS INTEGER) + 5
+    ORDER BY agents
+    """,
+)
+def q_erlang_staffing(spark, sf_dir):
+    """Erlang-C staffing — QUEUEING THEORY as a query, the capacity
+    answer q_peak_concurrency's census stops short of: from the
+    window's peak hourly arrival rate and a 30-events/agent/hour
+    service literal, walk the Erlang-B recursion B(c) = aB/(c+aB)
+    (numerically stable — no factorials), convert to Erlang-C wait
+    probability C(c) = cB/(c − a(1−B)), and pick the smallest agent
+    count with wait probability < 20% — the 1917-vintage formula
+    (public) every call-center and service-mesh autoscaler still
+    runs.  The ±5-agent curve around the load is reported so the
+    marginal value of one more agent is visible, chosen row flagged.
+
+    The recursion is the holt split: hourly rollup is the only
+    data-scale pass; the 40-step walk runs on a bounded axis (DuckDB
+    RECURSIVE CTE, Spark driver replay) with 9dp half-away snaps per
+    step, so both engines trace identical staffing curves.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    peak = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .agg(F.max("n").cast("long").alias("lam"))
+        .collect()[0]["lam"]
+    )
+    a = _rhu(peak / 30.0, 9)
+    eb = 1.0
+    curve = []
+    for c in range(1, 41):
+        eb = _rhu(a * eb / (c + a * eb), 9)
+        ec = _rhu(c * eb / (c - a * (1.0 - eb)), 9) if c > a else 1.0
+        curve.append((c, ec))
+    c_star = min(
+        (c for c, ec in curve if c > a and ec < 0.2), default=None
+    )
+    import math
+
+    lo, hi = math.ceil(a), math.ceil(a) + 5
+    rows = [
+        (
+            c,
+            int(peak),
+            _rhu(a, 6),
+            _rhu(ec, 6),
+            1 if c == c_star else 0,
+        )
+        for c, ec in curve
+        if lo <= c <= hi
+    ]
+    return spark.createDataFrame(
+        rows,
+        "agents long, peak_per_hour long, offered_load double,"
+        " wait_probability double, chosen_flag int",
+    ).orderBy("agents")

@@ -3354,3 +3354,74 @@ def q_customer_equity(spark, sf_dir):
             "segment_equity_musd"
         ),
     ).orderBy("segment")
+
+
+@register(
+    "q_serial_returners",
+    """
+    WITH per_cust AS (
+        SELECT o.o_custkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returns
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, n_lines, n_returns,
+               round(CAST(n_returns AS DOUBLE) / n_lines, 6) + 0
+                   AS raw_rate,
+               round((n_returns + 2.0) / (n_lines + 8.0), 6) + 0
+                   AS shrunk_rate
+        FROM per_cust WHERE n_lines >= 5
+    )
+    SELECT o_custkey AS custkey, n_lines, n_returns, raw_rate,
+           shrunk_rate
+    FROM scored
+    ORDER BY shrunk_rate DESC, custkey
+    LIMIT 25
+    """,
+)
+def q_serial_returners(spark, sf_dir):
+    """Serial-returner watchlist — a DECISION LIST, not a census: rank
+    customers by return rate with Beta(2,6) empirical-prior shrinkage
+    ((k+2)/(n+8) — prior mean 25%, prior weight 8 lines), so a
+    2-of-3 returner does NOT outrank a 20-of-40 one the way the raw
+    rate would (the small-sample leaderboard bug every abuse queue
+    ships first, fixed the a_beta_binomial/r_wilson_lcb way); a
+    5-line activity floor drops one-off noise.  Raw and shrunk rates
+    sit side by side so the re-ranking is auditable.
+
+    One fact join + per-customer fold, exact BIGINT counts, one float
+    division each; the top-25 is TakeOrderedAndProject with a custkey
+    tiebreak.
+    """
+    li, orders = tables(spark, sf_dir, "lineitem", "orders")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_returns"),
+        )
+        .where(F.col("n_lines") >= 5)
+    )
+    return (
+        per_cust.select(
+            F.col("o_custkey").alias("custkey"),
+            "n_lines",
+            "n_returns",
+            f6(F.col("n_returns").cast("double") / F.col("n_lines")).alias(
+                "raw_rate"
+            ),
+            f6(
+                (F.col("n_returns") + 2.0) / (F.col("n_lines") + 8.0)
+            ).alias("shrunk_rate"),
+        )
+        .orderBy(F.col("shrunk_rate").desc(), "custkey")
+        .limit(25)
+    )
