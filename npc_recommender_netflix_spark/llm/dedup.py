@@ -1308,3 +1308,73 @@ def t_containment_neardup(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "t_lsh_s_curve",
+    """
+    WITH params AS (
+        SELECT * FROM (VALUES (2, 4), (4, 2), (8, 1)) AS t(b, r)
+    ),
+    jgrid AS (SELECT unnest(range(1, 10)) AS j10),
+    curve AS (
+        SELECT p.b, p.r, g.j10,
+               CAST(round((1.0 - (1.0 - (g.j10 / 10.0) ** p.r) ** p.b)
+                          * 1e9) AS BIGINT) AS p9
+        FROM params p CROSS JOIN jgrid g
+    )
+    SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+           round(j10 / 10.0, 1) + 0 AS jaccard,
+           round(p9 / 1e9, 6) + 0 AS candidate_prob,
+           CASE WHEN p9 >= 500000000 THEN 1 ELSE 0 END
+               AS likely_candidate
+    FROM curve ORDER BY bands, rows_per_band, jaccard
+    """,
+)
+def t_lsh_s_curve(spark, sf_dir):
+    """The MinHash-LSH s-curve planner — the parameter table every LSH
+    deployment consults BEFORE choosing (bands, rows): candidate
+    probability P = 1 − (1 − J^r)^b over the Jaccard grid for the
+    three 8-hash splits (2×4 strict, 4×2 balanced — the
+    t_minhash_lsh production setting — and 8×1 recall-greedy).  The
+    50% crossover (≈(1/b)^(1/r)) read off the likely_candidate column
+    is the operative threshold: at (4,2) it sits near J≈0.5, which is
+    WHY t_minhash_lsh holds J=1 recall at 1.0 while random pairs
+    almost never collide — the s-curve is the engineering contract
+    behind the measured SCALECHECK linearity, here made queryable.
+
+    Pure bounded literal math (27 rows at any corpus size), identical
+    ** associations both engines, probabilities snapped to 1e-9
+    BIGINTs; this key costs nothing and documents the tuning knob the
+    dedup ladder's scale claims depend on.
+    """
+    params = spark.createDataFrame(
+        [(2, 4), (4, 2), (8, 1)], "b int, r int"
+    )
+    jgrid = spark.range(1, 10).select(F.col("id").cast("int").alias("j10"))
+    curve = params.crossJoin(jgrid).select(
+        "b",
+        "r",
+        "j10",
+        F.round(
+            (
+                1.0
+                - F.pow(
+                    1.0 - F.pow(F.col("j10") / 10.0, F.col("r")),
+                    F.col("b"),
+                )
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("p9"),
+    )
+    return curve.select(
+        F.col("b").cast("long").alias("bands"),
+        F.col("r").cast("long").alias("rows_per_band"),
+        (F.round(F.col("j10") / 10.0, 1) + 0.0).alias("jaccard"),
+        f6(F.col("p9") / 1e9).alias("candidate_prob"),
+        F.when(F.col("p9") >= 500000000, 1)
+        .otherwise(0)
+        .alias("likely_candidate"),
+    ).orderBy("bands", "rows_per_band", "jaccard")

@@ -4862,3 +4862,137 @@ def q_erlang_staffing(spark, sf_dir):
         "agents long, peak_per_hour long, offered_load double,"
         " wait_probability double, chosen_flag int",
     ).orderBy("agents")
+
+
+@register(
+    "q_simpsons_check",
+    """
+    WITH li AS (
+        SELECT p.p_brand AS brand,
+               n.n_regionkey AS seg,
+               CAST(l.l_quantity AS BIGINT) AS qty,
+               CAST(round(l.l_extendedprice / l.l_quantity) AS BIGINT)
+                   AS unit_usd
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    mom AS (
+        SELECT seg,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(unit_usd) AS BIGINT) AS sx,
+               CAST(sum(qty) AS BIGINT) AS sy,
+               CAST(sum(unit_usd * qty) AS BIGINT) AS sxy,
+               CAST(sum(unit_usd * unit_usd) AS BIGINT) AS sxx
+        FROM li GROUP BY seg
+    ),
+    seg_slope AS (
+        SELECT seg, n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   AS slope
+        FROM mom
+    ),
+    pooled AS (
+        SELECT (sum(n) * CAST(sum(sxy) AS DOUBLE)
+                - CAST(sum(sx) AS DOUBLE) * sum(sy))
+               / (sum(n) * CAST(sum(sxx) AS DOUBLE)
+                  - CAST(sum(sx) AS DOUBLE) * sum(sx)) AS slope
+        FROM mom
+    )
+    SELECT CAST(s.seg AS BIGINT) AS region_key, s.n AS n_lines,
+           round(s.slope, 6) + 0 AS segment_slope,
+           round(p.slope, 6) + 0 AS pooled_slope,
+           CASE WHEN (s.slope > 0 AND p.slope < 0)
+                  OR (s.slope < 0 AND p.slope > 0)
+                THEN 1 ELSE 0 END AS reversed_flag
+    FROM seg_slope s CROSS JOIN pooled p
+    ORDER BY region_key
+    """,
+)
+def q_simpsons_check(spark, sf_dir):
+    """Simpson's-paradox detector — the aggregation-reversal audit run
+    BEFORE anyone trusts a pooled trend: the price→quantity slope is
+    fit per supplier region AND pooled, and any segment whose sign
+    disagrees with the pooled sign flags — the one-query version of
+    the classic admissions/kidney-stone trap, and the diagnostic that
+    says which of a_cmh_test (pool, stratification is nuisance) or
+    per-segment reporting (the segments ARE the story) is the honest
+    summary.  All five slopes print side by side, so a reversal is
+    inspected, not just alarmed.
+
+    One fact-dim join chain produces per-segment EXACT moment BIGINTs
+    (unit price as rounded integer dollars keeps Σx² small); both
+    slope tiers are closed-form Cramer quotients of those integers —
+    the pooled fit reuses the SAME per-segment sums (one scan, no
+    second pass).
+    """
+    li, part, supplier, nation = tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_regionkey").alias("seg"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"))
+            .cast("long")
+            .alias("unit_usd"),
+        )
+    )
+    mom = j.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("unit_usd").cast("long").alias("sx"),
+        F.sum("qty").cast("long").alias("sy"),
+        F.sum(F.col("unit_usd") * F.col("qty")).cast("long").alias("sxy"),
+        F.sum(F.col("unit_usd") * F.col("unit_usd"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    n = F.col("n")
+    seg_slope = mom.select(
+        "seg",
+        "n",
+        (
+            (n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                n * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+        ).alias("slope"),
+    )
+    pooled = mom.agg(
+        (
+            (
+                F.sum("n") * F.sum("sxy").cast("double")
+                - F.sum("sx").cast("double") * F.sum("sy")
+            )
+            / (
+                F.sum("n") * F.sum("sxx").cast("double")
+                - F.sum("sx").cast("double") * F.sum("sx")
+            )
+        ).alias("pslope")
+    )
+    return (
+        seg_slope.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("seg").cast("long").alias("region_key"),
+            F.col("n").alias("n_lines"),
+            f6(F.col("slope")).alias("segment_slope"),
+            f6(F.col("pslope")).alias("pooled_slope"),
+            F.when(
+                ((F.col("slope") > 0) & (F.col("pslope") < 0))
+                | ((F.col("slope") < 0) & (F.col("pslope") > 0)),
+                1,
+            )
+            .otherwise(0)
+            .alias("reversed_flag"),
+        )
+        .orderBy("region_key")
+    )
