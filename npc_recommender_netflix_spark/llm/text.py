@@ -4084,3 +4084,103 @@ def t_feature_hashing(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t_labeler_kappa",
+    r"""
+    WITH lab AS (
+        SELECT doc_id,
+               CASE WHEN length(regexp_extract_all(text, '\S+'))
+                         BETWEEN 30 AND 70
+                    THEN 1 ELSE 0 END AS la,
+               CASE WHEN n_chars * 1.0
+                         / greatest(length(regexp_extract_all(text,
+                                                              '\S+')), 1)
+                         BETWEEN 4.0 AND 9.0
+                    THEN 1 ELSE 0 END AS lb
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN la = 1 AND lb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN la = 1 AND lb = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(sum(CASE WHEN la = 0 AND lb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(sum(CASE WHEN la = 0 AND lb = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM lab
+    )
+    SELECT n AS n_docs, a AS both_pass, b AS only_length,
+           c AS only_wordlen, d AS both_fail,
+           round(CAST(a + d AS DOUBLE) / n, 6) + 0 AS observed_agree,
+           round((CAST(a + b AS DOUBLE) * (a + c)
+                  + CAST(c + d AS DOUBLE) * (b + d))
+                 / (CAST(n AS DOUBLE) * n), 6) + 0 AS expected_agree,
+           round((CAST(a + d AS DOUBLE) / n
+                  - (CAST(a + b AS DOUBLE) * (a + c)
+                     + CAST(c + d AS DOUBLE) * (b + d))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - (CAST(a + b AS DOUBLE) * (a + c)
+                           + CAST(c + d AS DOUBLE) * (b + d))
+                          / (CAST(n AS DOUBLE) * n)), 6) + 0 AS kappa
+    FROM c
+    """,
+)
+def t_labeler_kappa(spark, sf_dir):
+    """Cohen's kappa between two quality labelers — AGREEMENT
+    statistics, the eval-ops family the toolkit lacked: when two
+    heuristic filters (here a word-count gate and a mean-word-length
+    gate — stand-ins for any pair of quality classifiers or
+    annotators) agree 85% of the time, how much of that is CHANCE?
+    κ = (p_o − p_e)/(1 − p_e) discounts the agreement two coin-flip
+    labelers with the same base rates would produce — the correction
+    every labeling pipeline reports before trusting 'our filters
+    agree' (raw agreement on imbalanced labels is nearly
+    meaningless).  The full 2×2 prints beside κ so disagreement
+    DIRECTION (which labeler is stricter) is visible.
+
+    One scan computes both labels and the exact 2×2 BIGINTs; κ is a
+    single float association.  At 100 TB swap the CASE gates for any
+    scored column pair at identical cost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    la = F.when((words >= 30) & (words <= 70), 1).otherwise(0)
+    awl = F.col("n_chars") * 1.0 / F.greatest(words, F.lit(1))
+    lb = F.when((awl >= 4.0) & (awl <= 9.0), 1).otherwise(0)
+    lab = docs.select(la.alias("la"), lb.alias("lb"))
+    c = lab.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when((F.col("la") == 1) & (F.col("lb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("la") == 1) & (F.col("lb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("la") == 0) & (F.col("lb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("la") == 0) & (F.col("lb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    n = F.col("n")
+    a, b, cc, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    po = (a + d).cast("double") / n
+    pe = (
+        (a + b).cast("double") * (a + cc)
+        + (cc + d).cast("double") * (b + d)
+    ) / (n.cast("double") * n)
+    return c.select(
+        n.alias("n_docs"),
+        a.alias("both_pass"),
+        b.alias("only_length"),
+        cc.alias("only_wordlen"),
+        d.alias("both_fail"),
+        f6(po).alias("observed_agree"),
+        f6(pe).alias("expected_agree"),
+        f6((po - pe) / (1.0 - pe)).alias("kappa"),
+    )

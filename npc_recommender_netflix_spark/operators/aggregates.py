@@ -8475,3 +8475,89 @@ def a_process_capability(spark, sf_dir):
         f6(cpk).alias("cpk"),
         F.when(cpk >= 1.33, 1).otherwise(0).alias("capable_flag"),
     ).orderBy("event_type")
+
+
+@register(
+    "a_mde_curve",
+    """
+    WITH daily AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                         AND value >= 200
+                                        THEN user_id END) AS BIGINT)
+                   AS n_conv,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        FROM events
+    ),
+    weeks AS (SELECT unnest(range(1, 9)) AS wk),
+    curve AS (
+        SELECT w.wk,
+               CAST(round(CAST(d.n_users AS DOUBLE) / d.n_days * 7
+                          * w.wk / 2.0) AS BIGINT) AS n_per_arm,
+               CAST(d.n_conv AS DOUBLE) / d.n_users AS p
+        FROM weeks w CROSS JOIN daily d
+    )
+    SELECT CAST(wk AS BIGINT) AS weeks, n_per_arm,
+           round(p, 6) + 0 AS base_rate,
+           round((1.959964 + 0.841621)
+                 * sqrt(2.0 * p * (1.0 - p) / n_per_arm), 6) + 0
+               AS mde_abs,
+           round((1.959964 + 0.841621)
+                 * sqrt(2.0 * p * (1.0 - p) / n_per_arm) / p, 6) + 0
+               AS mde_rel
+    FROM curve ORDER BY weeks
+    """,
+)
+def a_mde_curve(spark, sf_dir):
+    """Minimum-detectable-effect curve vs runtime — the experiment
+    PLANNING view a_power_sample_size inverts: instead of 'how many
+    users for effect X', answer 'running K weeks at OUR traffic, what
+    is the smallest high-value-conversion lift we could detect' (80%
+    power, α=.05 two-sided: MDE = (z_{.975}+z_{.80})·√(2p(1−p)/n),
+    shared literals 1.959964 and 0.841621).  The 8-week curve is the
+    artifact that ends 'just run it another week' debates: MDE shrinks
+    with √t, so doubling runtime buys only a 29% finer effect — the
+    sqrt wall made visible in both absolute and relative terms.
+
+    One distinct-user scan yields traffic and base rate as exact
+    BIGINTs; the curve is bounded literal math per week row — the
+    planner costs one aggregation at any corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 200),
+                F.col("user_id"),
+            )
+        )
+        .cast("long")
+        .alias("n_conv"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("n_days"),
+    )
+    weeks = spark.range(1, 9).select(F.col("id").cast("long").alias("wk"))
+    curve = weeks.crossJoin(F.broadcast(daily)).select(
+        "wk",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.col("n_days")
+            * 7
+            * F.col("wk")
+            / 2.0
+        )
+        .cast("long")
+        .alias("n_per_arm"),
+        (F.col("n_conv").cast("double") / F.col("n_users")).alias("p"),
+    )
+    mde = (1.959964 + 0.841621) * F.sqrt(
+        2.0 * F.col("p") * (1.0 - F.col("p")) / F.col("n_per_arm")
+    )
+    return curve.select(
+        F.col("wk").alias("weeks"),
+        "n_per_arm",
+        f6(F.col("p")).alias("base_rate"),
+        f6(mde).alias("mde_abs"),
+        f6(mde / F.col("p")).alias("mde_rel"),
+    ).orderBy("weeks")
