@@ -910,3 +910,138 @@ def test_newsvendor_qstar_minimizes_empirical_cost(spark):
             f"{r['brand']}: q* not optimal among observed demands"
         )
         assert r["cost_qstar"] <= r["cost_mean"]
+
+
+def test_kruskal_wallis_matches_direct_midrank_computation(spark):
+    """a_kruskal_wallis must equal a direct numpy midrank H computation
+    (scipy-free textbook formula) on the same daily cells."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    row = registry.QUERIES["a_kruskal_wallis"](spark, SF_SMALL).collect()[0]
+
+    ev = load_table(spark, SF_SMALL, "events")
+    cells = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+        )
+        .collect()
+    )
+    xs = np.array([r["x"] for r in cells], dtype=float)
+    gs = np.array([r["event_type"] for r in cells])
+    order = np.argsort(xs, kind="mergesort")
+    ranks = np.empty(len(xs))
+    sorted_x = xs[order]
+    i = 0
+    pos = 1
+    while i < len(xs):
+        j = i
+        while j + 1 < len(xs) and sorted_x[j + 1] == sorted_x[i]:
+            j += 1
+        midrank = (pos + pos + (j - i)) / 2.0
+        ranks[order[i : j + 1]] = midrank
+        pos += j - i + 1
+        i = j + 1
+    n = len(xs)
+    h = 0.0
+    for g in np.unique(gs):
+        rj = ranks[gs == g]
+        h += rj.sum() ** 2 / len(rj)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    # tie correction
+    _, counts = np.unique(xs, return_counts=True)
+    corr = 1.0 - (counts**3 - counts).sum() / (n**3 - n)
+    assert row["n_obs"] == n
+    assert abs(row["h_stat"] - h) < 5e-5
+    assert abs(row["h_corrected"] - h / corr) < 5e-5
+
+
+def test_wilcoxon_matches_bruteforce(spark):
+    """a_wilcoxon_signed_rank's W+ and z must equal a brute-force
+    midrank computation over the same daily purchase/click pairs."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    row = registry.QUERIES["a_wilcoxon_signed_rank"](
+        spark, SF_SMALL
+    ).collect()[0]
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .collect()
+    )
+    d = np.array(
+        [r["x"] - r["y"] for r in daily if r["x"] != r["y"]], dtype=float
+    )
+    ad = np.abs(d)
+    order = np.argsort(ad, kind="mergesort")
+    ranks = np.empty(len(d))
+    s = ad[order]
+    i, pos = 0, 1
+    while i < len(d):
+        j = i
+        while j + 1 < len(d) and s[j + 1] == s[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (pos + pos + (j - i)) / 2.0
+        pos += j - i + 1
+        i = j + 1
+    n = len(d)
+    wplus = ranks[d > 0].sum()
+    _, counts = np.unique(ad, return_counts=True)
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - (counts**3 - counts).sum() / 48.0
+    z = (wplus - n * (n + 1) / 4.0) / np.sqrt(var)
+    assert row["n_pairs"] == n
+    assert abs(row["w_plus"] - wplus) < 1e-9
+    assert abs(row["z"] - z) < 5e-6
+
+
+def test_ljung_box_matches_numpy(spark):
+    """a_ljung_box's Q must equal a direct numpy computation on the
+    same kilodollar daily series with the same dense-index pairing."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    row = registry.QUERIES["a_ljung_box"](spark, SF_SMALL).collect()[0]
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 1e5
+            ).alias("kd")
+        )
+        .orderBy("d")
+        .collect()
+    )
+    x = np.array([r["kd"] for r in daily], dtype=float)
+    n = len(x)
+    d = n * x - x.sum()
+    c0 = (d * d).sum()
+    q = 0.0
+    for k in range(1, 8):
+        rho = (d[:-k] * d[k:]).sum() / c0
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    assert row["n_days"] == n
+    assert abs(row["ljung_box_q"] - q) < 5e-5
