@@ -8561,3 +8561,117 @@ def a_mde_curve(spark, sf_dir):
         f6(mde).alias("mde_abs"),
         f6(mde / F.col("p")).alias("mde_rel"),
     ).orderBy("weeks")
+
+
+@register(
+    "a_ar2_yule_walker",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          / 1e5) AS BIGINT) AS kd
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, kd
+        FROM daily
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(kd) AS BIGINT) AS s
+        FROM idx
+    ),
+    dev AS (
+        SELECT t, CAST(tot.n * kd - tot.s AS BIGINT) AS dv
+        FROM idx CROSS JOIN tot
+    ),
+    moms AS (
+        SELECT
+            (SELECT sum(CAST(a.dv AS HUGEINT) * a.dv) FROM dev a) AS c0,
+            (SELECT sum(CAST(a.dv AS HUGEINT) * b.dv)
+             FROM dev a JOIN dev b ON b.t = a.t + 1) AS c1,
+            (SELECT sum(CAST(a.dv AS HUGEINT) * b.dv)
+             FROM dev a JOIN dev b ON b.t = a.t + 2) AS c2
+    ),
+    rho AS (
+        SELECT CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+               CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2
+        FROM moms
+    )
+    SELECT (SELECT n FROM tot) AS n_days,
+           round(r1, 6) + 0 AS rho1,
+           round(r2, 6) + 0 AS rho2,
+           round(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) + 0 AS phi1,
+           round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) + 0 AS phi2,
+           round(1.0 - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r1
+                     - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2, 6) + 0
+               AS resid_var_ratio
+    FROM rho
+    """,
+)
+def a_ar2_yule_walker(spark, sf_dir):
+    """AR(2) fit by Yule-Walker — the PARAMETRIC time-series rung
+    between the diagnostics (a_autocorr_daily, a_ljung_box tell you
+    structure exists) and the smoothers (EWMA/Holt/Kalman track it
+    without modeling it): the autoregressive coefficients come in
+    closed form from the first two autocorrelations — φ₁ = ρ₁(1−ρ₂)/
+    (1−ρ₁²), φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²) — and the residual-variance
+    ratio 1 − φ₁ρ₁ − φ₂ρ₂ says how much of tomorrow the last two
+    days explain (≈1 means the AR model buys nothing — the honest
+    answer on a white-noise fixture).  No iteration, no gradient:
+    Yule-Walker IS the normal equations of lag regression.
+
+    Integer discipline verbatim from a_ljung_box: kilodollar daily
+    snaps, pre-scaled deviations n·x−Σx, HUGEINT/DECIMAL lag
+    products, autocorrelations as single divisions of exact integers,
+    one shared float association for each coefficient.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 1e5
+        )
+        .cast("long")
+        .alias("kd")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+        "kd",
+    )
+    tot = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("kd").cast("long").alias("s"),
+    )
+    dev = idx.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (F.col("n") * F.col("kd") - F.col("s")).cast("long").alias("dv"),
+        "n",
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    c0 = dev.agg(
+        F.sum(dec(F.col("dv")) * dec(F.col("dv"))).alias("c0"),
+        F.max("n").cast("long").alias("n"),
+    )
+    a = dev.select(F.col("t").alias("ta"), F.col("dv").alias("da"))
+    b = dev.select(F.col("t").alias("tb"), F.col("dv").alias("db"))
+    c1 = (
+        a.join(b, F.col("tb") == F.col("ta") + 1)
+        .agg(F.sum(dec(F.col("da")) * dec(F.col("db"))).alias("c1"))
+    )
+    c2 = (
+        a.join(b, F.col("tb") == F.col("ta") + 2)
+        .agg(F.sum(dec(F.col("da")) * dec(F.col("db"))).alias("c2"))
+    )
+    j = c0.crossJoin(F.broadcast(c1)).crossJoin(F.broadcast(c2))
+    r1 = F.col("c1").cast("double") / F.col("c0").cast("double")
+    r2 = F.col("c2").cast("double") / F.col("c0").cast("double")
+    phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    return j.select(
+        F.col("n").alias("n_days"),
+        f6(r1).alias("rho1"),
+        f6(r2).alias("rho2"),
+        f6(phi1).alias("phi1"),
+        f6(phi2).alias("phi2"),
+        f6(1.0 - phi1 * r1 - phi2 * r2).alias("resid_var_ratio"),
+    )

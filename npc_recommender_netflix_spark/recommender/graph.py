@@ -657,3 +657,98 @@ def r_shortest_path(spark, sf_dir):
         .unionByName(unreached)
         .orderBy("dist")
     )
+
+
+@register(
+    "r_degree_assortativity",
+    f"""
+    WITH {_GRAPH_SQL},
+    ed AS (
+        SELECT e.src, e.dst, ds.d AS dsrc, dd.d AS ddst
+        FROM edges e
+        JOIN deg ds ON ds.src = e.src
+        JOIN deg dd ON dd.src = e.dst
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(dsrc) AS BIGINT) AS sx,
+               CAST(sum(ddst) AS BIGINT) AS sy,
+               CAST(sum(dsrc * ddst) AS BIGINT) AS sxy,
+               CAST(sum(dsrc * dsrc) AS BIGINT) AS sxx,
+               CAST(sum(ddst * ddst) AS BIGINT) AS syy
+        FROM ed
+    )
+    SELECT m AS n_edges,
+           round((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((m * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (m * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)), 6) + 0
+               AS assortativity,
+           CASE WHEN (m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     > 0
+                THEN 'assortative' ELSE 'disassortative' END AS regime
+    FROM c
+    """,
+)
+def r_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002, public) of the co-purchase
+    graph — the one-number STRUCTURE summary the other graph keys
+    orbit: the Pearson correlation of degrees across edge endpoints.
+    Positive (assortative) = hubs link hubs, so hub failures cascade
+    but random walks mix fast; negative (disassortative, typical of
+    recommendation/co-occurrence graphs) = hubs fan out to the long
+    tail, which is WHY the df-caps in the pair-join keys work — hot
+    items touch many small baskets, not each other.  The regime
+    column states the reading.
+
+    Both endpoint degrees join from the SAME degree table (the
+    directed edge list is symmetric, so src/dst marginals coincide);
+    the correlation is the a_autocorr_daily discipline on the edge
+    axis — exact BIGINT moments, one float association.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.item") != F.col("b.item"))
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    ds = deg.select(F.col("src"), F.col("d").alias("dsrc"))
+    dd = deg.select(F.col("src").alias("dst"), F.col("d").alias("ddst"))
+    ed = edges.join(ds, "src").join(dd, "dst")
+    c = ed.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("dsrc").cast("long").alias("sx"),
+        F.sum("ddst").cast("long").alias("sy"),
+        F.sum(F.col("dsrc") * F.col("ddst")).cast("long").alias("sxy"),
+        F.sum(F.col("dsrc") * F.col("dsrc")).cast("long").alias("sxx"),
+        F.sum(F.col("ddst") * F.col("ddst")).cast("long").alias("syy"),
+    )
+    m = F.col("m")
+    num = m * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    r = num / F.sqrt(
+        (
+            m * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            m * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return c.select(
+        m.alias("n_edges"),
+        f6(r).alias("assortativity"),
+        F.when(num > 0, "assortative")
+        .otherwise("disassortative")
+        .alias("regime"),
+    )
