@@ -3899,3 +3899,96 @@ def v_random_projection(spark, sf_dir):
         .cast("long")
         .alias("n_within_50pct"),
     )
+
+
+@register(
+    "v_index_size_planner",
+    """
+    WITH configs AS (
+        SELECT * FROM (VALUES
+            ('float32_flat', 256, 'v_cosine_topk'),
+            ('int8_sq', 64, 'v_int8_quantize'),
+            ('pq_8x8', 8, 'v_pq_adc'),
+            ('binary_64', 8, 'v_hamming_topk'),
+            ('jl16_float32', 64, 'v_random_projection')
+        ) AS t(config, bytes_per_vec, measured_key)
+    ),
+    scales AS (
+        SELECT * FROM (VALUES (1000000), (100000000), (10000000000))
+            AS s(n_vectors)
+    ),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n_local FROM embeddings)
+    SELECT c.config, CAST(c.bytes_per_vec AS BIGINT) AS bytes_per_vec,
+           CAST(s.n_vectors AS BIGINT) AS n_vectors,
+           round(CAST(c.bytes_per_vec AS DOUBLE) * s.n_vectors / 1e9, 3)
+               + 0.0 AS index_gb,
+           CAST(CAST(ceil(CAST(c.bytes_per_vec AS DOUBLE) * s.n_vectors
+                          / 8e9) AS BIGINT) AS BIGINT)
+               AS executors_at_8gb,
+           c.measured_key,
+           (SELECT n_local FROM base) AS fixture_vectors
+    FROM configs c CROSS JOIN scales s
+    ORDER BY c.config, n_vectors
+    """,
+)
+def v_index_size_planner(spark, sf_dir):
+    """ANN index memory planner — the capacity table that decides which
+    tier of the family a corpus can AFFORD before any benchmark runs:
+    bytes/vector for the five in-tree representations (float32 flat
+    256 B, int8 scalar-quantized 64 B, PQ 8×8 codes 8 B, 64-bit binary
+    8 B, JL-compacted float32 64 B) across 1M/100M/10B vectors, with
+    the executor count needed to hold each index in 8 GB memory slices
+    — the 10B-vector row is the 100 TB conversation: flat float32
+    needs 320 executors just for residency while PQ fits in ten.
+    Each config column points at the MEASURED key carrying its
+    recall/error evidence, so the cost-quality trade reads in one
+    place.
+
+    Bounded literal math joined to one fixture count (the honest
+    'measured at' anchor); 15 rows at any scale.
+    """
+    configs = spark.createDataFrame(
+        [
+            ("float32_flat", 256, "v_cosine_topk"),
+            ("int8_sq", 64, "v_int8_quantize"),
+            ("pq_8x8", 8, "v_pq_adc"),
+            ("binary_64", 8, "v_hamming_topk"),
+            ("jl16_float32", 64, "v_random_projection"),
+        ],
+        "config string, bytes_per_vec int, measured_key string",
+    )
+    scales = spark.createDataFrame(
+        [(1_000_000,), (100_000_000,), (10_000_000_000,)],
+        "n_vectors long",
+    )
+    base = load_table(spark, sf_dir, "embeddings").agg(
+        F.count("*").cast("long").alias("n_local")
+    )
+    return (
+        configs.crossJoin(scales)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "config",
+            F.col("bytes_per_vec").cast("long").alias("bytes_per_vec"),
+            "n_vectors",
+            (
+                F.round(
+                    F.col("bytes_per_vec").cast("double")
+                    * F.col("n_vectors")
+                    / 1e9,
+                    3,
+                )
+                + 0.0
+            ).alias("index_gb"),
+            F.ceil(
+                F.col("bytes_per_vec").cast("double")
+                * F.col("n_vectors")
+                / 8e9
+            )
+            .cast("long")
+            .alias("executors_at_8gb"),
+            "measured_key",
+            F.col("n_local").alias("fixture_vectors"),
+        )
+        .orderBy("config", "n_vectors")
+    )

@@ -4996,3 +4996,149 @@ def q_simpsons_check(spark, sf_dir):
         )
         .orderBy("region_key")
     )
+
+
+@register(
+    "q_threshold_profit",
+    """
+    WITH mx AS (
+        SELECT max(CAST(round(o_totalprice * 100) AS BIGINT)) AS maxc
+        FROM orders
+    ),
+    scored AS (
+        SELECT CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) * 10
+                          / (mx.maxc + 1)) AS BIGINT) AS score,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y
+        FROM orders CROSS JOIN mx
+    ),
+    cell AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM scored GROUP BY score
+    ),
+    sweep AS (
+        SELECT t.t AS threshold,
+               CAST(sum(CASE WHEN c.score >= t.t THEN c.pos ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN c.score >= t.t THEN c.n - c.pos
+                             ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN c.score < t.t THEN c.pos ELSE 0 END)
+                    AS BIGINT) AS fn
+        FROM (SELECT unnest(range(0, 11)) AS t) t CROSS JOIN cell c
+        GROUP BY t.t
+    ),
+    profit AS (
+        SELECT threshold, tp, fp, fn,
+               CAST(30 * tp - 10 * fp - 5 * fn AS BIGINT) AS profit_usd
+        FROM sweep
+    ),
+    best AS (
+        SELECT CAST(max_by(threshold, profit_usd
+                           * 100 - threshold) AS BIGINT) AS t_star
+        FROM profit
+    )
+    SELECT p.threshold, p.tp, p.fp, p.fn, p.profit_usd,
+           CASE WHEN p.threshold = b.t_star THEN 1 ELSE 0 END
+               AS chosen_flag
+    FROM profit p CROSS JOIN best b
+    ORDER BY p.threshold
+    """,
+)
+def q_threshold_profit(spark, sf_dir):
+    """Cost-sensitive threshold optimization — the profit curve that
+    turns a SCORE into a DECISION: sweeping every cutoff of the
+    relative-price-decile score (a_logistic_irls/q_woe_iv's feature)
+    against an asymmetric value matrix (true positive +$30, false
+    positive −$10, missed positive −$5), report the full
+    profit-vs-threshold curve and flag the argmax (deterministic
+    max_by with a threshold tiebreak folded into the ordering key).
+    Accuracy-maximizing cutoffs are profit-suboptimal whenever costs
+    are asymmetric — which is always; this key makes the right cutoff
+    a query, the r_epsilon_slate of classification.
+
+    One scan builds the bounded score×outcome cells; the 11-threshold
+    sweep is a cross join against those ≤10 cells (never the fact
+    table); counts and profit are exact BIGINTs end to end.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "maxc"
+        )
+    )
+    scored = orders.crossJoin(F.broadcast(mx)).select(
+        F.floor(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            * 10
+            / (F.col("maxc") + 1)
+        )
+        .cast("long")
+        .alias("score"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    cell = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    ts = spark.range(0, 11).select(F.col("id").cast("long").alias("threshold"))
+    sweep = (
+        ts.crossJoin(F.broadcast(cell))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("score") >= F.col("threshold"), F.col("pos")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    F.col("score") >= F.col("threshold"),
+                    F.col("n") - F.col("pos"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                F.when(
+                    F.col("score") < F.col("threshold"), F.col("pos")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    profit = sweep.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        (30 * F.col("tp") - 10 * F.col("fp") - 5 * F.col("fn"))
+        .cast("long")
+        .alias("profit_usd"),
+    )
+    best = profit.agg(
+        F.expr("max_by(threshold, profit_usd * 100 - threshold)")
+        .cast("long")
+        .alias("t_star")
+    )
+    return (
+        profit.crossJoin(F.broadcast(best))
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            "profit_usd",
+            F.when(F.col("threshold") == F.col("t_star"), 1)
+            .otherwise(0)
+            .alias("chosen_flag"),
+        )
+        .orderBy("threshold")
+    )
