@@ -8675,3 +8675,253 @@ def a_ar2_yule_walker(spark, sf_dir):
         f6(phi2).alias("phi2"),
         f6(1.0 - phi1 * r1 - phi2 * r2).alias("resid_var_ratio"),
     )
+
+
+@register(
+    "a_period_detect",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    idx AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, x
+        FROM daily
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s
+        FROM idx
+    ),
+    dev AS (
+        SELECT t, CAST(tot.n * x - tot.s AS BIGINT) AS dv
+        FROM idx CROSS JOIN tot
+    ),
+    c0 AS (
+        SELECT sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS den
+        FROM dev
+    ),
+    lags AS (SELECT unnest(range(2, 15)) AS lag),
+    acf AS (
+        SELECT l.lag,
+               CAST(round(CAST(sum(CAST(a.dv AS HUGEINT) * b.dv)
+                               AS DOUBLE) / CAST(c0.den AS DOUBLE)
+                          * 1e9) AS BIGINT) AS rho9
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.t = a.t + l.lag
+        CROSS JOIN c0
+        GROUP BY l.lag, c0.den
+    ),
+    best AS (
+        SELECT CAST(min(lag) AS BIGINT) AS lag_star
+        FROM acf WHERE rho9 = (SELECT max(rho9) FROM acf)
+    )
+    SELECT CAST(a.lag AS BIGINT) AS lag_days,
+           round(a.rho9 / 1e9, 6) + 0 AS acf,
+           CASE WHEN a.lag = b.lag_star THEN 1 ELSE 0 END
+               AS dominant_flag
+    FROM acf a CROSS JOIN best b
+    ORDER BY lag_days
+    """,
+)
+def a_period_detect(spark, sf_dir):
+    """Dominant-period DISCOVERY via the autocorrelation profile — the
+    step every seasonal key quietly skips: w_seasonality,
+    w_holt_winters, and w_seasonal_naive_mape all ASSUME the cycle is
+    7 days; this key scans ACF over lags 2..14 and flags the argmax
+    (min-lag tiebreak), so the weekly assumption is checked against
+    the data rather than imported from the calendar — on a corpus
+    with a genuine weekly rhythm lag 7 wins, on white noise the
+    argmax is arbitrary and the flat profile says so.  The full
+    profile prints, so a secondary harmonic (lag 14 echoing lag 7) is
+    visible too.
+
+    Machinery is a_ljung_box's: pre-scaled integer deviations,
+    HUGEINT lag products on the dense day index, ACF snapped to 1e-9
+    BIGINTs so the argmax is an integer comparison — no float
+    tie ambiguity across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+        "x",
+    )
+    tot = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = idx.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("dv"),
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    c0 = dev.agg(F.sum(dec(F.col("dv")) * dec(F.col("dv"))).alias("den"))
+    lags = spark.range(2, 15).select(F.col("id").cast("long").alias("lag"))
+    a = dev.select(F.col("t").alias("ta"), F.col("dv").alias("da"))
+    b = dev.select(F.col("t").alias("tb"), F.col("dv").alias("db"))
+    acf = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(dec(F.col("da")) * dec(F.col("db"))).alias("nk"))
+        .crossJoin(F.broadcast(c0))
+        .select(
+            "lag",
+            F.round(
+                F.col("nk").cast("double") / F.col("den").cast("double")
+                * 1e9
+            )
+            .cast("long")
+            .alias("rho9"),
+        )
+    )
+    # deterministic argmax: max rho9, min lag tiebreak
+    best = (
+        acf.orderBy(F.col("rho9").desc(), "lag")
+        .limit(1)
+        .select(F.col("lag").alias("lag_star"))
+    )
+    return (
+        acf.crossJoin(F.broadcast(best))
+        .select(
+            F.col("lag").alias("lag_days"),
+            f6(F.col("rho9") / 1e9).alias("acf"),
+            F.when(F.col("lag") == F.col("lag_star"), 1)
+            .otherwise(0)
+            .alias("dominant_flag"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+@register(
+    "a_bland_altman",
+    """
+    WITH line_sums AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice
+                                   * (1 - l_discount) * (1 + l_tax)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS line_cents
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    pairs AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS hdr,
+               ls.line_cents AS det,
+               CAST(round(o.o_totalprice * 100) AS BIGINT)
+                   - ls.line_cents AS diff
+        FROM orders o JOIN line_sums ls
+          ON ls.l_orderkey = o.o_orderkey
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(diff) AS BIGINT) AS s,
+               CAST(sum(diff * diff) AS BIGINT) AS q
+        FROM pairs
+    ),
+    band AS (
+        SELECT n,
+               CAST(s AS DOUBLE) / n AS bias,
+               sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1.0)) AS sd
+        FROM c
+    )
+    SELECT b.n AS n_orders,
+           round(b.bias / 100.0, 4) + 0.0 AS bias_usd,
+           round(b.sd / 100.0, 4) + 0.0 AS sd_usd,
+           round((b.bias - 1.959964 * b.sd) / 100.0, 4) + 0.0 AS loa_lo_usd,
+           round((b.bias + 1.959964 * b.sd) / 100.0, 4) + 0.0 AS loa_hi_usd,
+           CAST((SELECT count(*) FROM pairs p, band bb
+                 WHERE p.diff < bb.bias - 1.959964 * bb.sd
+                    OR p.diff > bb.bias + 1.959964 * bb.sd) AS BIGINT)
+               AS n_outside
+    FROM band b
+    """,
+)
+def a_bland_altman(spark, sf_dir):
+    """Bland-Altman agreement limits — the CONTINUOUS-measure twin of
+    t_labeler_kappa's binary agreement, applied to the two ways this
+    schema states an order's value (header o_totalprice vs the
+    tax-and-discount line reconstruction): mean bias says which
+    source runs systematically high, the limits of agreement
+    bias ± 1.96σ_d say how far an individual order can disagree under
+    normal operation, and n_outside counts the orders breaching the
+    band — the statistical upgrade over q_order_reconciliation's
+    fixed-tolerance census (a tolerance is a guess; LoA are measured).
+    The method is THE medical-measurement standard for 'do two
+    instruments agree', which is exactly what dual-sourced warehouse
+    columns are.
+
+    Exact cent differences from one join, exact BIGINT moments, two
+    float associations and the shared 1.959964; the band breach count
+    re-scans the bounded pair table against the computed limits.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("line_cents")
+    )
+    pairs = orders.join(
+        line_sums, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            - F.col("line_cents")
+        ).alias("diff")
+    ).cache()
+    c = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("diff").cast("long").alias("s"),
+        F.sum(F.col("diff") * F.col("diff")).cast("long").alias("q"),
+    )
+    n = F.col("n")
+    bias = F.col("s").cast("double") / n
+    sd = F.sqrt(
+        (F.col("q") - F.col("s").cast("double") * F.col("s") / n)
+        / (n - 1.0)
+    )
+    band = c.select(
+        "n", bias.alias("bias"), sd.alias("sd")
+    )
+    outside = (
+        pairs.crossJoin(F.broadcast(band))
+        .where(
+            (F.col("diff") < F.col("bias") - 1.959964 * F.col("sd"))
+            | (F.col("diff") > F.col("bias") + 1.959964 * F.col("sd"))
+        )
+        .agg(F.count("*").cast("long").alias("n_outside"))
+    )
+    return band.crossJoin(F.broadcast(outside)).select(
+        F.col("n").alias("n_orders"),
+        (F.round(F.col("bias") / 100.0, 4) + 0.0).alias("bias_usd"),
+        (F.round(F.col("sd") / 100.0, 4) + 0.0).alias("sd_usd"),
+        (
+            F.round(
+                (F.col("bias") - 1.959964 * F.col("sd")) / 100.0, 4
+            )
+            + 0.0
+        ).alias("loa_lo_usd"),
+        (
+            F.round(
+                (F.col("bias") + 1.959964 * F.col("sd")) / 100.0, 4
+            )
+            + 0.0
+        ).alias("loa_hi_usd"),
+        "n_outside",
+    )
