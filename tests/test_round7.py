@@ -1045,3 +1045,86 @@ def test_ljung_box_matches_numpy(spark):
     q *= n * (n + 2)
     assert row["n_days"] == n
     assert abs(row["ljung_box_q"] - q) < 5e-5
+
+
+def test_erlang_staffing_matches_textbook_formula(spark):
+    """q_erlang_staffing's recursion must reproduce the factorial-form
+    Erlang B (B = (a^c/c!)/Σ a^k/k!) and its Erlang C conversion for
+    the reported agent range — the numerically unstable textbook form
+    is fine at these small c and cross-checks the stable recursion."""
+    import math
+
+    rows = registry.QUERIES["q_erlang_staffing"](spark, SF_SMALL).collect()
+    a = rows[0]["offered_load"]
+    for r in rows:
+        c = r["agents"]
+        denom = sum(a**k / math.factorial(k) for k in range(c + 1))
+        b = (a**c / math.factorial(c)) / denom
+        ec = c * b / (c - a * (1 - b)) if c > a else 1.0
+        assert abs(r["wait_probability"] - ec) < 2e-5, (c, ec)
+    assert sum(r["chosen_flag"] for r in rows) <= 1
+    chosen = [r for r in rows if r["chosen_flag"] == 1]
+    if chosen:
+        assert chosen[0]["wait_probability"] < 0.2
+        for r in rows:
+            if r["agents"] < chosen[0]["agents"] and r["agents"] > a:
+                assert r["wait_probability"] >= 0.2
+
+
+def test_adstock_regression_matches_numpy_ols(spark):
+    """q_adstock_regression's slope/intercept must equal numpy lstsq on
+    the same adstocked series (transform replayed independently)."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.operators.modern import _rhu
+    from npc_recommender_netflix_spark.session import load_table
+
+    row = registry.QUERIES["q_adstock_regression"](
+        spark, SF_SMALL
+    ).collect()[0]
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicks"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("rev"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    a = None
+    xs, ys = [], []
+    for r in daily:
+        a = float(r["clicks"]) if a is None else _rhu(
+            r["clicks"] + 0.5 * a, 6
+        )
+        xs.append(a)
+        ys.append(float(r["rev"]))
+    X = np.stack([np.ones(len(xs)), np.array(xs)], 1)
+    coef, *_ = np.linalg.lstsq(X, np.array(ys), rcond=None)
+    assert abs(row["rev_per_adstock_click_usd"] - coef[1] / 100.0) < 1e-4
+    assert abs(row["baseline_rev_usd"] - coef[0] / 100.0) < 1e-2
+
+
+def test_ivm_and_nb_plan_shapes(spark):
+    """q_incremental_aggregate must merge via a single full-outer join
+    of two partial aggregates (no full-table re-aggregation), and
+    t_naive_bayes_lid must broadcast the vocab-bounded model tables
+    into the scoring join."""
+    from tests.test_plans import _plan
+
+    ivm = _plan(spark, "q_incremental_aggregate")
+    assert "FullOuter" in ivm or "full_outer" in ivm.lower()
+    assert ivm.count("HashAggregate") >= 4  # two states x partial+final
+
+    nb = _plan(spark, "t_naive_bayes_lid")
+    assert "BroadcastHashJoin" in nb
+    assert "BatchEvalPython" not in nb and "ArrowEvalPython" not in nb
