@@ -752,3 +752,134 @@ def r_degree_assortativity(spark, sf_dir):
         .otherwise("disassortative")
         .alias("regime"),
     )
+
+
+_ATTACK_LVL_SQL = """
+    {pfx}l{next} AS (
+        SELECT node, dist FROM {pfx}l{cur}
+        UNION ALL
+        SELECT f.node, {next} AS dist FROM (
+            SELECT DISTINCT e.dst AS node
+            FROM {pfx}l{cur} p JOIN {edges} e ON e.src = p.node
+            WHERE p.dist = {cur}
+        ) f
+        WHERE f.node NOT IN (SELECT node FROM {pfx}l{cur})
+    )
+"""
+
+
+@register(
+    "r_attack_tolerance",
+    f"""
+    WITH {_GRAPH_SQL},
+    hubs AS (
+        SELECT src AS node FROM deg ORDER BY d DESC, src LIMIT 5
+    ),
+    aedges AS (
+        SELECT e.src, e.dst FROM edges e
+        WHERE e.src NOT IN (SELECT node FROM hubs)
+          AND e.dst NOT IN (SELECT node FROM hubs)
+    ),
+    src AS (
+        SELECT CAST(min(node) AS BIGINT) AS node FROM nodes
+        WHERE node NOT IN (SELECT node FROM hubs)
+    ),
+    fl0 AS (SELECT node, 0 AS dist FROM src),
+    {_ATTACK_LVL_SQL.format(pfx='f', cur=0, next=1, edges='edges')},
+    {_ATTACK_LVL_SQL.format(pfx='f', cur=1, next=2, edges='edges')},
+    {_ATTACK_LVL_SQL.format(pfx='f', cur=2, next=3, edges='edges')},
+    al0 AS (SELECT node, 0 AS dist FROM src),
+    {_ATTACK_LVL_SQL.format(pfx='a', cur=0, next=1, edges='aedges')},
+    {_ATTACK_LVL_SQL.format(pfx='a', cur=1, next=2, edges='aedges')},
+    {_ATTACK_LVL_SQL.format(pfx='a', cur=2, next=3, edges='aedges')},
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes)
+    SELECT nn.n_nodes,
+           CAST((SELECT count(*) FROM fl3) AS BIGINT) AS reach_full,
+           CAST((SELECT count(*) FROM al3) AS BIGINT) AS reach_attacked,
+           round(CAST((SELECT count(*) FROM al3) AS DOUBLE)
+                 / (SELECT count(*) FROM fl3), 6) + 0 AS survival_ratio
+    FROM nn
+    """,
+)
+def r_attack_tolerance(spark, sf_dir):
+    """Targeted-attack tolerance — the robustness WHAT-IF the structure
+    keys set up (r_degree_assortativity says hubs fan to the tail;
+    this measures what breaks when they fail): run the same 3-hop BFS
+    from the same (non-hub) seed on the full co-purchase graph and on
+    the graph with the top-5 degree hubs REMOVED, and report the
+    reachable-set survival ratio — the scale-free-network fragility
+    result (Albert-Jeong-Barabási, public) as a query.  For a
+    recommender this is the cold-start cascade number: how much of
+    the catalog becomes unreachable for graph walks when the head
+    items are unavailable.
+
+    Both BFS passes are the r_shortest_path iterative idiom (one
+    equi-join + distinct + anti-join per level, unrolled-CTE oracle);
+    the attacked pass just filters the edge list first — hub removal
+    is a broadcast anti-join, not a graph rebuild.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.item") != F.col("b.item"))
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    hubs = (
+        deg.orderBy(F.col("d").desc(), "src")
+        .limit(5)
+        .select(F.col("src").alias("node"))
+        .cache()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    aedges = (
+        edges.join(
+            hubs.select(F.col("node").alias("src")), "src", "left_anti"
+        )
+        .join(hubs.select(F.col("node").alias("dst")), "dst", "left_anti")
+        .cache()
+    )
+    src = (
+        nodes.join(hubs, "node", "left_anti")
+        .agg(F.min("node").alias("node"))
+    )
+
+    def bfs(edge_df):
+        visited = src.withColumn("dist", F.lit(0)).localCheckpoint()
+        for lvl in range(1, 4):
+            frontier = (
+                visited.where(F.col("dist") == lvl - 1)
+                .join(edge_df, visited.node == edge_df.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(lvl))
+            )
+            visited = visited.unionByName(frontier).localCheckpoint()
+        return visited
+
+    full = bfs(edges).agg(F.count("*").cast("long").alias("reach_full"))
+    attacked = bfs(aedges).agg(
+        F.count("*").cast("long").alias("reach_attacked")
+    )
+    nn = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    return (
+        nn.crossJoin(F.broadcast(full))
+        .crossJoin(F.broadcast(attacked))
+        .select(
+            "n_nodes",
+            "reach_full",
+            "reach_attacked",
+            f6(
+                F.col("reach_attacked").cast("double")
+                / F.col("reach_full")
+            ).alias("survival_ratio"),
+        )
+    )
