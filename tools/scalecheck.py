@@ -72,6 +72,9 @@ LINEAR_KEYS = {
     "t_novelty_curve": "documents",  # gram first-seen aggregate
     "v_semantic_dedup_capped": "embeddings",  # rank-window cap: <=8N pairs
     "t_containment_neardup": "documents",  # same df<=64 posting cap, directed
+    "m_zip_archive_extract": "documents",  # Arrow synth+decode, no payload shuffle
+    "t_naive_bayes_lid": "documents",      # word-keyed fit + vocab-grid scoring
+    "t_readability": "documents",          # three regexp counts, one scan
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
