@@ -1128,3 +1128,84 @@ def test_ivm_and_nb_plan_shapes(spark):
     nb = _plan(spark, "t_naive_bayes_lid")
     assert "BroadcastHashJoin" in nb
     assert "BatchEvalPython" not in nb and "ArrowEvalPython" not in nb
+
+
+def test_hurst_rs_matches_direct_numpy(spark):
+    """a_hurst_exponent's per-window avg R/S and fitted H must equal a
+    direct numpy rescaled-range computation on the same kilodollar
+    series (snapping replayed)."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    rows = {
+        r["window_size"]: r
+        for r in registry.QUERIES["a_hurst_exponent"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    orders = load_table(spark, SF_SMALL, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 1e5
+            ).alias("kd")
+        )
+        .orderBy("d")
+        .collect()
+    )
+    x = np.array([r["kd"] for r in daily], dtype=np.int64)
+    pts = []
+    for m in (5, 10, 15):
+        nb = len(x) // m
+        rs9 = 0
+        used = 0
+        for blk in range(nb):
+            seg = x[blk * m : (blk + 1) * m]
+            dv = m * seg - seg.sum()
+            sd2 = int((dv.astype(object) ** 2).sum())
+            if sd2 <= 0:
+                continue
+            c = np.cumsum(dv)
+            rng = int(c.max() - c.min())
+            rs9 += round(rng * np.sqrt(m) / np.sqrt(sd2) * 1e9)
+            used += 1
+        avg = rs9 / 1e9 / used
+        assert abs(rows[m]["avg_rescaled_range"] - avg) < 5e-6, m
+        pts.append((np.log(m), np.log(avg)))
+    lx = np.array([p[0] for p in pts])
+    ly = np.array([p[1] for p in pts])
+    slope = ((len(pts) * (lx * ly).sum() - lx.sum() * ly.sum())
+             / (len(pts) * (lx * lx).sum() - lx.sum() ** 2))
+    assert abs(rows[5]["hurst"] - slope) < 5e-4
+
+
+def test_heaps_fit_matches_numpy_polyfit(spark):
+    """t_heaps_law's beta/K must agree with numpy polyfit on the
+    reported (tokens, vocab) checkpoint curve itself."""
+    rows = registry.QUERIES["t_heaps_law"](spark, SF_SMALL).collect()
+    lx = np.log([r["n_tokens"] for r in rows])
+    ly = np.log([r["vocab"] for r in rows])
+    beta, logk = np.polyfit(lx, ly, 1)
+    assert abs(rows[0]["heaps_beta"] - beta) < 5e-4
+    assert abs(rows[0]["heaps_k"] - np.exp(logk)) < max(
+        5e-3 * np.exp(logk), 5e-3
+    )
+
+
+def test_meta_analysis_pooled_matches_numpy(spark):
+    """a_meta_analysis's pooled effect and Cochran Q must equal the
+    inverse-variance formulas applied to its own per-segment rows."""
+    rows = registry.QUERIES["a_meta_analysis"](spark, SF_SMALL).collect()
+    d = np.array([r["effect_usd"] for r in rows])
+    v = np.array([r["var_usd2"] for r in rows])
+    w = 1.0 / v
+    pooled = (w * d).sum() / w.sum()
+    q = (w * (d - pooled) ** 2).sum()
+    assert abs(rows[0]["pooled_usd"] - pooled) < 5e-3
+    assert abs(rows[0]["cochran_q"] - q) < 5e-2
+    k = len(rows)
+    i2 = max(0.0, (rows[0]["cochran_q"] - (k - 1)) / rows[0]["cochran_q"])
+    assert abs(rows[0]["i_squared"] - i2) < 5e-4
