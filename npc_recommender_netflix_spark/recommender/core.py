@@ -3315,3 +3315,113 @@ def r_covisitation_capped(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), "item_a", "item_b")
         .limit(50)
     )
+
+
+@register(
+    "r_rmse_by_activity",
+    """
+    WITH base AS (
+        SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+               l.l_quantity AS qty, l.l_orderkey AS ok
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    train AS (
+        SELECT user_id, item_id, sum(qty) AS rating
+        FROM base WHERE ok % 5 <> 0 GROUP BY 1, 2
+    ),
+    hold AS (
+        SELECT user_id, item_id, sum(qty) AS rating
+        FROM base WHERE ok % 5 = 0 GROUP BY 1, 2
+    ),
+    activity AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_train
+        FROM train GROUP BY user_id
+    ),
+    im AS (SELECT item_id, avg(rating) AS mean_i FROM train GROUP BY 1),
+    g AS (SELECT avg(rating) AS gm FROM train),
+    err AS (
+        SELECT CASE WHEN coalesce(a.n_train, 0) < 5 THEN 'cold'
+                    WHEN a.n_train < 15 THEN 'warm' ELSE 'heavy' END
+                   AS tier,
+               CAST(round((h.rating - coalesce(im.mean_i, g.gm))
+                          * (h.rating - coalesce(im.mean_i, g.gm))
+                          * 1e6) AS BIGINT) AS se6
+        FROM hold h
+        LEFT JOIN activity a ON a.user_id = h.user_id
+        LEFT JOIN im ON im.item_id = h.item_id
+        CROSS JOIN g
+    )
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS n_holdout,
+           round(sqrt(CAST(sum(se6) AS DOUBLE) / 1e6 / count(*)), 6) + 0
+               AS rmse
+    FROM err GROUP BY tier ORDER BY tier
+    """,
+)
+def r_rmse_by_activity(spark, sf_dir):
+    """Holdout RMSE STRATIFIED by user training activity — the eval
+    slice every recommender report owes its readers and r_rmse's
+    single number hides: the item-mean predictor's error on cold
+    (<5 train interactions), warm (<15), and heavy users.  The cold
+    tier is where ALS/item-CF degrade to popularity — if the global
+    RMSE looks fine but cold RMSE doesn't, the model is coasting on
+    heavy users, which is exactly the failure the slice exposes (and
+    why r_content_fallback exists).  Same orderkey%5 split and
+    predictor as r_rmse, so the tiers decompose THAT number, not a
+    new one.
+
+    Squared errors snap to 1e-6 BIGINTs before the per-tier sums
+    (reduction-order-free RMSE); activity tiering is one extra
+    broadcast-scale aggregate joined user-keyed.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    base = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    train = (
+        base.where(F.col("ok") % 5 != 0)
+        .groupBy("user_id", "item_id")
+        .agg(F.sum("qty").alias("rating"))
+    )
+    hold = (
+        base.where(F.col("ok") % 5 == 0)
+        .groupBy("user_id", "item_id")
+        .agg(F.sum("qty").alias("rating"))
+    )
+    activity = train.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_train")
+    )
+    im = train.groupBy("item_id").agg(F.avg("rating").alias("mean_i"))
+    g = train.agg(F.avg("rating").alias("gm"))
+    pred = F.coalesce(F.col("mean_i"), F.col("gm"))
+    err = (
+        hold.join(activity, "user_id", "left")
+        .join(F.broadcast(im), "item_id", "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.when(F.coalesce(F.col("n_train"), F.lit(0)) < 5, "cold")
+            .when(F.col("n_train") < 15, "warm")
+            .otherwise("heavy")
+            .alias("tier"),
+            F.round(
+                (F.col("rating") - pred) * (F.col("rating") - pred) * 1e6
+            )
+            .cast("long")
+            .alias("se6"),
+        )
+    )
+    return (
+        err.groupBy("tier")
+        .agg(
+            F.count("*").cast("long").alias("n_holdout"),
+            f6(
+                F.sqrt(
+                    F.sum("se6").cast("double") / 1e6 / F.count("*")
+                )
+            ).alias("rmse"),
+        )
+        .orderBy("tier")
+    )
