@@ -3425,3 +3425,209 @@ def r_rmse_by_activity(spark, sf_dir):
         )
         .orderBy("tier")
     )
+
+
+@register(
+    "r_knn_k_sweep",
+    f"""
+    WITH m0 AS ({_M200_SQL}),
+    m AS (SELECT user_id, item_id, round(rating, 2) AS rating FROM m0),
+    train AS (
+        SELECT * FROM m WHERE (user_id * 7 + item_id) % 5 <> 0
+    ),
+    hold AS (
+        SELECT * FROM m WHERE (user_id * 7 + item_id) % 5 = 0
+    ),
+    n AS (SELECT item_id, sqrt(sum(rating * rating)) AS nrm
+          FROM train GROUP BY item_id),
+    p AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+                 sum(a.rating * b.rating) AS dot
+          FROM train a JOIN train b
+            ON a.user_id = b.user_id AND a.item_id < b.item_id
+          GROUP BY 1, 2),
+    sims AS (
+        SELECT item_a, item_b, round(dot / (na.nrm * nb.nrm), 6) + 0
+                   AS cosine
+        FROM p JOIN n na ON p.item_a = na.item_id
+               JOIN n nb ON p.item_b = nb.item_id
+    ),
+    bidir AS (
+        SELECT item_a AS item_id, item_b AS neighbor_id, cosine FROM sims
+        UNION ALL
+        SELECT item_b, item_a, cosine FROM sims
+    ),
+    ranked AS (
+        SELECT item_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY item_id
+                                       ORDER BY cosine DESC, neighbor_id)
+                    AS BIGINT) AS rn
+        FROM bidir
+    ),
+    joined AS (
+        SELECT h.user_id, h.item_id, h.rating,
+               r.rn, r.cosine, t.rating AS nr
+        FROM hold h
+        JOIN ranked r ON r.item_id = h.item_id
+        JOIN train t ON t.user_id = h.user_id
+                    AND t.item_id = r.neighbor_id
+    ),
+    ks AS (SELECT unnest(range(0, 4)) AS ki),
+    preds AS (
+        SELECT CASE ks.ki WHEN 0 THEN 1 WHEN 1 THEN 3
+                          WHEN 2 THEN 5 ELSE 10 END AS k,
+               j.user_id, j.item_id, j.rating,
+               sum(CASE WHEN j.rn <= CASE ks.ki WHEN 0 THEN 1
+                                     WHEN 1 THEN 3 WHEN 2 THEN 5
+                                     ELSE 10 END
+                        THEN j.cosine * j.nr END) AS num,
+               sum(CASE WHEN j.rn <= CASE ks.ki WHEN 0 THEN 1
+                                     WHEN 1 THEN 3 WHEN 2 THEN 5
+                                     ELSE 10 END
+                        THEN j.cosine END) AS den
+        FROM joined j CROSS JOIN ks
+        GROUP BY 1, 2, 3, 4
+    ),
+    err AS (
+        SELECT k,
+               CAST(round((rating - num / den) * (rating - num / den)
+                          * 1e6) AS BIGINT) AS se6
+        FROM preds WHERE den > 0
+    ),
+    htot AS (SELECT CAST(count(*) AS BIGINT) AS n_hold FROM hold)
+    SELECT CAST(e.k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(count(*) * 1.0 / ht.n_hold, 6) + 0 AS coverage,
+           round(sqrt(CAST(sum(se6) AS DOUBLE) / 1e6 / count(*)), 6) + 0
+               AS rmse
+    FROM err e CROSS JOIN htot ht
+    GROUP BY e.k, ht.n_hold ORDER BY k
+    """,
+)
+def r_knn_k_sweep(spark, sf_dir):
+    """Neighborhood-size sweep — THE item-CF hyperparameter curve,
+    produced in one ranked pass: holdout ratings (a deterministic
+    (7u+i)%5 split) are predicted from the top-k train-cosine
+    neighbors the user has rated, for k ∈ {{1,3,5,10}} via conditional
+    sums over ONE ranked neighbor join (never four re-ranks), and
+    RMSE + coverage print per k.  The trade the curve always shows:
+    tiny k is high-variance (one neighbor's quirk is the prediction),
+    large k drifts toward the item-mean and coverage rises — where
+    the elbow sits is the k r_topk_neighbors should ship with, now a
+    measurement instead of folklore (the reference's MR pipeline
+    hard-codes it).
+
+    Sims are TRAIN-only (no holdout leakage into the similarity —
+    the subtle eval bug this key exists to avoid); per-row squared
+    errors snap to 1e-6 BIGINTs before the per-k fold.
+    """
+    m = ratings_matrix(spark, sf_dir, max_item=200).withColumn(
+        "rating", money2(F.col("rating"))
+    )
+    split = (F.col("user_id") * 7 + F.col("item_id")) % 5
+    train = m.where(split != 0).cache()
+    hold = m.where(split == 0).cache()
+    n = train.groupBy("item_id").agg(
+        F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
+    )
+    a = train.alias("a")
+    b = train.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(
+            F.col("a.item_id").alias("item_a"),
+            F.col("b.item_id").alias("item_b"),
+        )
+        .agg(F.sum(F.col("a.rating") * F.col("b.rating")).alias("dot"))
+    )
+    na = n.select(F.col("item_id").alias("item_a"), F.col("nrm").alias("na"))
+    nb_ = n.select(F.col("item_id").alias("item_b"), F.col("nrm").alias("nb"))
+    sims = (
+        p.join(na, "item_a")
+        .join(nb_, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            f6(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    bidir = sims.select(
+        F.col("item_a").alias("item_id"),
+        F.col("item_b").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        sims.select(
+            F.col("item_b").alias("item_id"),
+            F.col("item_a").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    ranked = bidir.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    )
+    joined = (
+        hold.join(ranked, "item_id")
+        .join(
+            train.select(
+                "user_id",
+                F.col("item_id").alias("neighbor_id"),
+                F.col("rating").alias("nr"),
+            ),
+            ["user_id", "neighbor_id"],
+        )
+    )
+    ks = spark.createDataFrame([(1,), (3,), (5,), (10,)], "k long")
+    preds = (
+        joined.crossJoin(F.broadcast(ks))
+        .groupBy("k", "user_id", "item_id", "rating")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.col("k"),
+                    F.col("cosine") * F.col("nr"),
+                )
+            ).alias("num"),
+            F.sum(
+                F.when(F.col("rn") <= F.col("k"), F.col("cosine"))
+            ).alias("den"),
+        )
+        .where(F.col("den") > 0)
+    )
+    err = preds.select(
+        "k",
+        F.round(
+            (F.col("rating") - F.col("num") / F.col("den"))
+            * (F.col("rating") - F.col("num") / F.col("den"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("se6"),
+    )
+    htot = hold.agg(F.count("*").cast("long").alias("n_hold"))
+    return (
+        err.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            F.sum("se6").cast("long").alias("sse6"),
+        )
+        .crossJoin(F.broadcast(htot))
+        .select(
+            "k",
+            "n_scored",
+            f6(F.col("n_scored") * 1.0 / F.col("n_hold")).alias(
+                "coverage"
+            ),
+            f6(
+                F.sqrt(
+                    F.col("sse6").cast("double") / 1e6 / F.col("n_scored")
+                )
+            ).alias("rmse"),
+        )
+        .orderBy("k")
+    )
