@@ -8925,3 +8925,128 @@ def a_bland_altman(spark, sf_dir):
         ).alias("loa_hi_usd"),
         "n_outside",
     )
+
+
+@register(
+    "a_lognormal_fit",
+    """
+    WITH x AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders WHERE o_totalprice > 0
+    ),
+    lns AS (
+        SELECT CAST(round(ln(cents / 100.0) * 1e9) AS BIGINT) AS l9,
+               cents, o_orderkey
+        FROM x
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(l9) AS BIGINT) AS s,
+               sum(CAST(l9 AS HUGEINT) * l9) AS q
+        FROM lns
+    ),
+    emp AS (
+        SELECT max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END)
+                   AS p99c
+        FROM (SELECT cents,
+                     row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+                     count(*) OVER () AS n
+              FROM lns)
+    )
+    SELECT c.n AS n_orders,
+           round(CAST(c.s AS DOUBLE) / 1e9 / c.n, 6) + 0 AS mu_log,
+           round(sqrt((CAST(c.q AS DOUBLE) / 1e18
+                       - (CAST(c.s AS DOUBLE) / 1e9)
+                         * (CAST(c.s AS DOUBLE) / 1e9) / c.n)
+                      / (c.n - 1.0)), 6) + 0 AS sigma_log,
+           round(exp(CAST(c.s AS DOUBLE) / 1e9 / c.n
+                     + 2.326348
+                       * sqrt((CAST(c.q AS DOUBLE) / 1e18
+                               - (CAST(c.s AS DOUBLE) / 1e9)
+                                 * (CAST(c.s AS DOUBLE) / 1e9) / c.n)
+                              / (c.n - 1.0))), 2) + 0.0
+               AS implied_p99_usd,
+           round(emp.p99c / 100.0, 2) + 0.0 AS empirical_p99_usd,
+           round(exp(CAST(c.s AS DOUBLE) / 1e9 / c.n
+                     + 2.326348
+                       * sqrt((CAST(c.q AS DOUBLE) / 1e18
+                               - (CAST(c.s AS DOUBLE) / 1e9)
+                                 * (CAST(c.s AS DOUBLE) / 1e9) / c.n)
+                              / (c.n - 1.0)))
+                 / (emp.p99c / 100.0), 6) + 0 AS tail_ratio
+    FROM c CROSS JOIN emp
+    """,
+)
+def a_lognormal_fit(spark, sf_dir):
+    """Lognormal fit of order values with a TAIL REALITY CHECK —
+    completing the distribution-fitting shelf (a_gumbel_maxima for
+    extremes, q_weibull_fit for lifetimes, a_negative_binomial_fit
+    for counts; amounts are the lognormal's home turf): μ̂, σ̂ on the
+    log scale, the implied P99 exp(μ̂ + 2.326348·σ̂), and the ratio
+    against the rank-based EMPIRICAL P99 — the one-number answer to
+    'can I use the lognormal for capacity/fraud thresholds here'
+    (ratio ≈ 1) or 'the tail is fatter/thinner than lognormal'
+    (a_hill_tail's territory).  TPC-H totals are roughly uniform, so
+    the honest expected outcome is a ratio visibly off 1 — the check
+    working, not failing.
+
+    Per-row ln snaps to a 1e-9 BIGINT before the sums (HUGEINT for
+    Σl²), so the log moments are reduction-order-free; the empirical
+    P99 is the usual rank order statistic with an orderkey tiebreak.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.where(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    lns = x.select(
+        F.round(F.log(F.col("cents") / 100.0) * 1e9)
+        .cast("long")
+        .alias("l9"),
+        "cents",
+        "o_orderkey",
+    )
+    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    c = lns.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("l9").cast("long").alias("s"),
+        F.sum(dec(F.col("l9")) * dec(F.col("l9"))).alias("q"),
+    )
+    wn = Window.orderBy("cents", "o_orderkey")
+    emp = (
+        lns.select(
+            "cents",
+            F.row_number().over(wn).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.floor((F.col("n") * 99 + 99) / 100),
+                    F.col("cents"),
+                )
+            ).alias("p99c")
+        )
+    )
+    n = F.col("n")
+    mu = F.col("s").cast("double") / 1e9 / n
+    var = (
+        F.col("q").cast("double") / 1e18
+        - (F.col("s").cast("double") / 1e9)
+        * (F.col("s").cast("double") / 1e9)
+        / n
+    ) / (n - 1.0)
+    sigma = F.sqrt(var)
+    implied = F.exp(mu + 2.326348 * sigma)
+    return c.crossJoin(F.broadcast(emp)).select(
+        n.alias("n_orders"),
+        f6(mu).alias("mu_log"),
+        f6(sigma).alias("sigma_log"),
+        (F.round(implied, 2) + 0.0).alias("implied_p99_usd"),
+        (F.round(F.col("p99c") / 100.0, 2) + 0.0).alias(
+            "empirical_p99_usd"
+        ),
+        f6(implied / (F.col("p99c") / 100.0)).alias("tail_ratio"),
+    )
