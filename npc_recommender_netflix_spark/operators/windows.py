@@ -2044,3 +2044,130 @@ def w_rolling_origin_backtest(spark, sf_dir):
         .cast("long")
         .alias("ties"),
     )
+
+
+@register(
+    "w_underwater_duration",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    eq AS (
+        SELECT day, x,
+               CAST(sum(x) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS equity
+        FROM daily
+    ),
+    uw AS (
+        SELECT day, equity,
+               max(equity) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS peak,
+               CASE WHEN equity
+                         < max(equity) OVER (ORDER BY day
+                                             ROWS UNBOUNDED PRECEDING)
+                    THEN 1 ELSE 0 END AS under
+        FROM eq
+    ),
+    isl AS (
+        SELECT day, under,
+               CAST(sum(CASE WHEN under = 0 THEN 1 ELSE 0 END)
+                    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS grp
+        FROM uw
+    ),
+    spells AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS days_under
+        FROM isl WHERE under = 1 GROUP BY grp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_spells,
+           CAST(coalesce(max(days_under), 0) AS BIGINT)
+               AS longest_underwater_days,
+           CAST(coalesce(sum(days_under), 0) AS BIGINT)
+               AS total_underwater_days,
+           round(coalesce(sum(days_under), 0) * 1.0
+                 / (SELECT count(*) FROM daily), 6) + 0
+               AS underwater_share
+    FROM spells
+    """,
+)
+def w_underwater_duration(spark, sf_dir):
+    """Underwater-duration census — the TIME dimension of drawdown
+    that w_max_drawdown's depth number hides: how LONG does cumulative
+    revenue sit below its prior peak (spell count, longest spell,
+    total days under, share of history) — for a trading desk this is
+    recovery time, for a revenue dashboard it is 'how long do slumps
+    last', and two series with identical max drawdown can differ 10×
+    here, which is why risk reviews require both.  Classic
+    gaps-and-islands: the island id is the running count of at-peak
+    days, so each underwater spell groups under the peak day that
+    preceded it.
+
+    Equity is an exact cent prefix sum (ordered window — no float
+    accumulation anywhere); underwater flags are integer comparisons;
+    ONE day-axis ordering serves the prefix sum, the running max, and
+    the island numbering.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x")
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    eq = daily.select(
+        "day", F.sum("x").over(wd).cast("long").alias("equity")
+    )
+    uw = eq.select(
+        "day",
+        "equity",
+        F.max("equity").over(wd).alias("peak"),
+    ).select(
+        "day",
+        F.when(F.col("equity") < F.col("peak"), 1).otherwise(0).alias(
+            "under"
+        ),
+    )
+    isl = uw.select(
+        "day",
+        "under",
+        F.sum(F.when(F.col("under") == 0, 1).otherwise(0))
+        .over(wd)
+        .cast("long")
+        .alias("grp"),
+    )
+    spells = (
+        isl.where(F.col("under") == 1)
+        .groupBy("grp")
+        .agg(F.count("*").cast("long").alias("days_under"))
+    )
+    ndays = daily.agg(F.count("*").cast("long").alias("nd"))
+    return (
+        spells.agg(
+            F.count("*").cast("long").alias("n_spells"),
+            F.coalesce(F.max("days_under"), F.lit(0))
+            .cast("long")
+            .alias("longest_underwater_days"),
+            F.coalesce(F.sum("days_under"), F.lit(0))
+            .cast("long")
+            .alias("total_underwater_days"),
+        )
+        .crossJoin(F.broadcast(ndays))
+        .select(
+            "n_spells",
+            "longest_underwater_days",
+            "total_underwater_days",
+            f6(
+                F.col("total_underwater_days") * 1.0 / F.col("nd")
+            ).alias("underwater_share"),
+        )
+    )
