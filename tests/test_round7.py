@@ -1209,3 +1209,141 @@ def test_meta_analysis_pooled_matches_numpy(spark):
     k = len(rows)
     i2 = max(0.0, (rows[0]["cochran_q"] - (k - 1)) / rows[0]["cochran_q"])
     assert abs(rows[0]["i_squared"] - i2) < 5e-4
+
+
+def test_mix_variance_identity_holds_in_exact_cents(spark):
+    """q_mix_variance's decomposition must satisfy
+    delta = volume + mix + rate + residual EXACTLY (to the cent) on
+    every brand row — the auditable-by-addition property it claims."""
+    rows = registry.QUERIES["q_mix_variance"](spark, SF_SMALL).collect()
+    assert rows, "no overlapping brands between the two years"
+    for r in rows:
+        lhs = round(r["delta_rev_usd"] * 100)
+        rhs = round(
+            (
+                r["volume_effect_usd"]
+                + r["mix_effect_usd"]
+                + r["rate_effect_usd"]
+                + r["residual_usd"]
+            )
+            * 100
+        )
+        assert lhs == rhs, r["brand"]
+
+
+def test_lognormal_fit_matches_numpy(spark):
+    """a_lognormal_fit's log-moments must match numpy on the same
+    snapped per-order ln values, and the implied P99 must follow
+    exp(mu + z99*sigma)."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    row = registry.QUERIES["a_lognormal_fit"](spark, SF_SMALL).collect()[0]
+    orders = load_table(spark, SF_SMALL, "orders")
+    cents = [
+        int(r["c"])
+        for r in orders.where(F.col("o_totalprice") > 0)
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+        .collect()
+    ]
+    l9 = np.array([round(np.log(c / 100.0) * 1e9) for c in cents])
+    mu = l9.sum() / 1e9 / len(l9)
+    var = ((l9.astype(object) ** 2).sum() / 1e18 - (l9.sum() / 1e9) ** 2
+           / len(l9)) / (len(l9) - 1)
+    sigma = float(np.sqrt(float(var)))
+    assert abs(row["mu_log"] - mu) < 5e-6
+    assert abs(row["sigma_log"] - sigma) < 5e-6
+    assert abs(
+        row["implied_p99_usd"] - round(np.exp(mu + 2.326348 * sigma), 2)
+    ) < 0.02
+
+
+def test_underwater_duration_matches_python_replay(spark):
+    """w_underwater_duration must equal a direct python replay of the
+    prefix-sum / running-peak / spell logic on the daily series."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    row = registry.QUERIES["w_underwater_duration"](
+        spark, SF_SMALL
+    ).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("x")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    eq = 0
+    peak = None
+    spells = []
+    cur = 0
+    for r in daily:
+        eq += int(r["x"])
+        peak = eq if peak is None else max(peak, eq)
+        if eq < peak:
+            cur += 1
+        else:
+            if cur:
+                spells.append(cur)
+            cur = 0
+    if cur:
+        spells.append(cur)
+    assert row["n_spells"] == len(spells)
+    assert row["longest_underwater_days"] == (max(spells) if spells else 0)
+    assert row["total_underwater_days"] == sum(spells)
+
+
+def test_price_index_matches_pandas(spark):
+    """q_price_index's Laspeyres/Paasche must equal a direct pandas
+    matched-model recomputation (snapped cross-terms replayed)."""
+    from pyspark.sql import functions as F
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    rows = {
+        r["year"]: r
+        for r in registry.QUERIES["q_price_index"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    li = load_table(spark, SF_SMALL, "lineitem")
+    py = (
+        li.groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("rev"),
+        )
+        .collect()
+    )
+    import collections
+
+    by_year = collections.defaultdict(dict)
+    for r in py:
+        by_year[r["yr"]][r["pk"]] = (int(r["q"]), int(r["rev"]))
+    base_yr = min(by_year)
+    base = by_year[base_yr]
+    for yr, r in rows.items():
+        cur = by_year[yr]
+        matched = [pk for pk in cur if pk in base]
+        assert r["n_parts"] == len(matched)
+        pt_q0 = sum(round(cur[pk][1] / cur[pk][0] * base[pk][0]) for pk in matched)
+        p0_q0 = sum(base[pk][1] for pk in matched)
+        pt_qt = sum(cur[pk][1] for pk in matched)
+        p0_qt = sum(round(base[pk][1] / base[pk][0] * cur[pk][0]) for pk in matched)
+        assert abs(r["laspeyres"] - pt_q0 / p0_q0) < 5e-6
+        assert abs(r["paasche"] - pt_qt / p0_qt) < 5e-6
