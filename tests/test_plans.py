@@ -1461,3 +1461,32 @@ def test_shortest_path_frontier_joins_stay_hash(spark):
     plan = _plan(spark, "r_shortest_path")
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_growth_accounting_user_keyed_no_cartesian(spark):
+    """q_growth_accounting's windows and rollups must all key on
+    user_id/day hash exchanges (the act and churn branches may each
+    carry the window subtree pre-AQE-reuse) — never a cartesian
+    product, never a single-partition global window."""
+    plan = _plan(spark, "q_growth_accounting")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_codec_keys_decode_without_payload_shuffle(spark):
+    """m_gif_decode and m_zip_archive_extract must run synth+decode as
+    chained Arrow stages with no aggregation or join over the payload
+    column — payload bytes never enter a shuffle key."""
+    for key in ("m_gif_decode", "m_zip_archive_extract"):
+        plan = _plan(spark, key)
+        assert plan.count("MapInPandas") >= 2, key
+        assert "hashpartitioning(payload" not in plan, key
+        assert "CartesianProduct" not in plan, key
+
+
+def test_fraud_rings_no_cartesian_and_bounded_iterations(spark):
+    """q_fraud_rings' label propagation must stay equi-join shaped —
+    no cartesian products; edges and labels meet on hash joins."""
+    plan = _plan(spark, "q_fraud_rings")
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
