@@ -1721,7 +1721,8 @@ def a_hist2d(spark, sf_dir):
         FROM orders GROUP BY o_custkey
     ),
     t AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_keys, sum(n) AS total,
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS total,
                max(n) AS mx FROM k
     )
     SELECT t.n_keys, t.total AS n_rows, t.mx AS max_key_rows,
@@ -2021,11 +2022,12 @@ def a_cuped(spark, sf_dir):
     "a_chi2_uniform",
     """
     WITH cells AS (
-        SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+        SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1
     ),
-    t AS (SELECT sum(n) AS total, CAST(count(*) AS BIGINT) AS k FROM cells)
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+          CAST(count(*) AS BIGINT) AS k FROM cells)
     SELECT t.k AS n_cells, t.total AS n_events,
            round(sum(CAST(round((c.n - t.total * 1.0 / t.k)
                                 * (c.n - t.total * 1.0 / t.k)

@@ -1948,7 +1948,7 @@ def q_revenue_retention(spark, sf_dir):
     """
     WITH ax AS (
         SELECT l_partkey,
-               sum(CAST(round(l_quantity) AS BIGINT)) AS qty,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
                sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                    * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev4
         FROM lineitem GROUP BY l_partkey

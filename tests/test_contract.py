@@ -83,3 +83,19 @@ def _check_one(spark, duck, key):
 def test_representative_oracle_match(spark, duck):
     for key in REPRESENTATIVE:
         _check_one(spark, duck, key)
+
+
+def test_oracle_output_dtypes_driver_hashable(duck):
+    """Registry-wide tripwire for the round-7 driver-red class: a bare
+    sum(BIGINT) in an oracle types as HUGEINT (int128) in DuckDB, which the
+    driver's pandas hasher canonicalizes differently than Spark's BIGINT —
+    hash_match fails with identical values. Planning a relation is cheap
+    (no execution), so audit every oracle's output schema."""
+    from tools.check import oracle_dtype_problems
+
+    offenders = {}
+    for key, sql in sorted(registry.ORACLE.items()):
+        bad = oracle_dtype_problems(duck.sql(sql))
+        if bad:
+            offenders[key] = bad
+    assert not offenders, offenders

@@ -62,6 +62,26 @@ def normalize_rows(cols, rows):
     return sorted("|".join(norm(r[i]) for i in order) for r in rows)
 
 
+# DuckDB output types the driver's pandas-based hasher canonicalizes
+# differently than Spark's (HUGEINT/int128 != int64 even when the values
+# are equal — round-7 a_chi2_uniform / a_key_skew_census driver fails).
+# A bare sum(BIGINT) in an oracle silently widens; force CAST(... AS BIGINT).
+FORBIDDEN_ORACLE_TYPES = {
+    "HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+}
+
+
+def oracle_dtype_problems(rel):
+    """Return [col: TYPE] entries for oracle output columns whose DuckDB
+    type the driver's hasher renders differently than the Spark twin."""
+    bad = []
+    for c, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        if ts in FORBIDDEN_ORACLE_TYPES or ts.startswith("DECIMAL"):
+            bad.append(f"{c}: {ts}")
+    return bad
+
+
 def _reject_nonscalar(sdf, key):
     """The DRIVER's pandas-based hasher crashes on ARRAY/MAP/STRUCT and
     canonicalizes DECIMAL differently than we do (round-1 a_collect_sorted /
@@ -92,11 +112,14 @@ def run_one(spark, con, key, sf_dir):
     if key not in registry.ORACLE:
         return ("ROWS-ONLY", len(srows), None, t_spark, None)
     t0 = time.time()
-    res = con.execute(registry.ORACLE[key])
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    rel = con.sql(registry.ORACLE[key])
+    bad_types = oracle_dtype_problems(rel)
+    ocols = rel.columns
+    orows = rel.fetchall()
     t_duck = time.time() - t0
     problems = []
+    if bad_types:
+        problems.append(f"oracle dtype not driver-hashable: {bad_types}")
     if sorted(scols) != sorted(ocols):
         problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
     if len(srows) != len(orows):
