@@ -2927,11 +2927,16 @@ def t_weighted_sample_aes(spark, sf_dir):
     ulp across engines; after the snap, ties break on doc_id) — fully
     deterministic top-200.
 
-    Scale: key assignment is map-side codegen; selection is one
-    TakeOrdered (per-partition top-k, k-row merge) — no global sort,
-    no shuffle of the corpus, the same plan at any N. This is the
-    reservoir-sampling answer for distributed engines: A-ES keys make
-    'reservoir' = 'top-k', which Spark already does scalably.
+    Scale: key assignment is map-side codegen; selection is
+    orderBy().limit(200) — a TRUE TakeOrderedAndProject (per-partition
+    top-k, k-row merge at the driver side of the exchange), guaranteed
+    by the plan shape itself rather than relying on the
+    InferWindowGroupLimit rule (3.5+) to rescue a global row_number
+    window. The rank column is then a row_number over the ALREADY
+    200-row result — a single bounded partition at any corpus size.
+    This is the reservoir-sampling answer for distributed engines:
+    A-ES keys make 'reservoir' = 'top-k', which Spark already does
+    scalably.
     """
     docs = load_table(spark, sf_dir, "documents")
     h32 = F.conv(
@@ -2945,10 +2950,10 @@ def t_weighted_sample_aes(spark, sf_dir):
             "akey"
         ),
     )
+    top = k.orderBy(F.col("akey").desc(), "doc_id").limit(200)
     w_rank = Window.orderBy(F.col("akey").desc(), "doc_id")
     return (
-        k.withColumn("rn", F.row_number().over(w_rank).cast("long"))
-        .where(F.col("rn") <= 200)
+        top.withColumn("rn", F.row_number().over(w_rank).cast("long"))
         .select("doc_id", "w", "akey", "rn")
     )
 
