@@ -45,22 +45,49 @@ def _never_banked_first(keys):
     and in SURVEY §8 so graders know the sample is a round-robin over
     never-banked keys, not an independent draw; the committed full-sweep
     log (CORRECTNESS_full_r*.log, all 616 keys) is the primary
-    correctness evidence. Within the never-banked set, multimodal (m_*)
-    keys sort first — the thinnest driver-evidenced family per the
-    round-7 verdict.
+    correctness evidence. Within the never-banked set, streaming (st_*)
+    keys sort first — the thinnest runtime-heavy driver-evidenced family
+    per the round-8 verdict.
+
+    "Banked" means the key's LATEST driver record passed: hash_match true,
+    or a rows-only record (err == 'no_oracle' with a non-null spark row
+    count). A key whose latest driver evidence is a FAIL is treated as
+    unbanked and re-fronted so the driver re-samples it after a fix
+    (round-8 verdict item 1: a_chi2_uniform / a_key_skew_census were fixed
+    in r8 but sorted behind 323 never-sampled keys under the old
+    any-appearance rule).
     """
     import glob
     import json
+    import re
 
-    banked: set[str] = set()
+    def _passed(rec) -> bool:
+        if not isinstance(rec, dict):
+            # Legacy artifacts may store bare key lists; treat presence
+            # as a pass so they don't re-front the whole early bank.
+            return True
+        if rec.get("hash_match") is True:
+            return True
+        # rows-only keys: the driver records err='no_oracle' and only a
+        # spark-side row count; a non-null count is the pass signal.
+        return rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+
+    latest: dict[str, tuple[int, bool]] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                banked |= set(json.load(fh))
+                data = json.load(fh)
         except Exception:
             continue
-    return sorted(keys, key=lambda k: (k in banked, not k.startswith("m_"), k))
+        items = data.items() if isinstance(data, dict) else ((k, None) for k in data)
+        for key, rec in items:
+            if key not in latest or rnd > latest[key][0]:
+                latest[key] = (rnd, _passed(rec))
+    banked = {k for k, (_, ok) in latest.items() if ok}
+    return sorted(keys, key=lambda k: (k in banked, not k.startswith("st_"), k))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -959,16 +959,25 @@ def r_user_cosine(spark, sf_dir):
     n = base.groupBy("user_id").agg(
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
     )
+    # item_id aliased per side: both inputs derive from the same cached
+    # plan, so a shared-name equality is a self-comparison Spark flags
+    # with the trivially-true "use aliases" WARN (round-8 advice item 7).
     a = base.select(
-        F.col("user_id").alias("user_a"), "item_id",
+        F.col("user_id").alias("user_a"),
+        F.col("item_id").alias("item_a"),
         F.col("rating").alias("ra"),
     )
     b = base.select(
-        F.col("user_id").alias("user_b"), "item_id",
+        F.col("user_id").alias("user_b"),
+        F.col("item_id").alias("item_b"),
         F.col("rating").alias("rb"),
     )
     p = (
-        a.join(b, (a.item_id == b.item_id) & (F.col("user_a") < F.col("user_b")))
+        a.join(
+            b,
+            (F.col("item_a") == F.col("item_b"))
+            & (F.col("user_a") < F.col("user_b")),
+        )
         .groupBy("user_a", "user_b")
         .agg(F.sum(F.col("ra") * F.col("rb")).alias("dot"))
     )
@@ -1158,10 +1167,24 @@ def r_user_cosine_capped(spark, sf_dir):
     n = m.groupBy("user_id").agg(
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
     )
-    a = m.select("item_id", F.col("user_id").alias("user_a"), F.col("rating").alias("ra"))
-    b = m.select("item_id", F.col("user_id").alias("user_b"), F.col("rating").alias("rb"))
+    # per-side item_id aliases: same trivially-true-WARN rationale as
+    # r_user_cosine above (both sides share one cached lineage).
+    a = m.select(
+        F.col("item_id").alias("item_a"),
+        F.col("user_id").alias("user_a"),
+        F.col("rating").alias("ra"),
+    )
+    b = m.select(
+        F.col("item_id").alias("item_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("rating").alias("rb"),
+    )
     p = (
-        a.join(b, (a.item_id == b.item_id) & (F.col("user_a") < F.col("user_b")))
+        a.join(
+            b,
+            (F.col("item_a") == F.col("item_b"))
+            & (F.col("user_a") < F.col("user_b")),
+        )
         .groupBy("user_a", "user_b")
         .agg(
             F.sum(F.col("ra") * F.col("rb")).alias("dot"),
