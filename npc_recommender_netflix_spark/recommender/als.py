@@ -275,3 +275,113 @@ def r_als_foldin(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("user_id", "item_id", F.round("score", 6).alias("score"), "rn")
     )
+
+
+@register("r_mllib_logreg")  # rows-only: LBFGS optimizer path is MLlib-internal
+def r_mllib_logreg(spark, sf_dir):
+    """MLlib LogisticRegression on the a_logistic_irls design matrix —
+    the library-fit counterpart to the hand-rolled IRLS key (round-8
+    verdict item 5): P(urgent-or-high priority) ~ relative price decile
+    + order year index, regParam=0 to match the unregularized IRLS,
+    standardization off so coefficients live in the same feature units.
+
+    Input uses the SAME grouped-data reduction as a_logistic_irls
+    (operators/aggregates.py): rows collapse to <=70 (price decile x
+    year) cells via one map-side-combinable groupBy, then each cell
+    expands to at most two WEIGHTED instances (label 1 weight sy,
+    label 0 weight n-sy) — the grouped binomial likelihood is identical
+    to the per-row one, so MLlib's LBFGS optimizes the exact objective
+    the IRLS key's Newton steps descend. That keeps the 100 TB cost
+    profile: one aggregation shuffle, then a bounded ~140-row fit.
+
+    Declared rows-only: LBFGS iteration count/line search are
+    MLlib-internal and not SQL-expressible. tests/test_recommender.py
+    pins parity — coefficients and avg log loss match a_logistic_irls
+    (4 Newton steps, quadratically converged) to ~1e-3.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("maxc")
+    )
+    cells = (
+        orders.crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+                * 10
+                / (F.col("maxc") + 1)
+            )
+            .cast("long")
+            .alias("x1"),
+            (F.year("o_orderdate") - 1992).cast("long").alias("x2"),
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("x1", "x2")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    pos = cells.where(F.col("sy") > 0).select(
+        "x1", "x2", F.lit(1.0).alias("label"), F.col("sy").cast("double").alias("wt")
+    )
+    neg = cells.where(F.col("n") > F.col("sy")).select(
+        "x1",
+        "x2",
+        F.lit(0.0).alias("label"),
+        (F.col("n") - F.col("sy")).cast("double").alias("wt"),
+    )
+    inst = pos.unionByName(neg).select(
+        "label",
+        "wt",
+        F.col("x1").cast("double").alias("x1"),
+        F.col("x2").cast("double").alias("x2"),
+        array_to_vector(
+            F.array(F.col("x1").cast("double"), F.col("x2").cast("double"))
+        ).alias("features"),
+    )
+    lr = LogisticRegression(
+        maxIter=200,
+        regParam=0.0,
+        elasticNetParam=0.0,
+        tol=1e-12,
+        standardization=False,
+        weightCol="wt",
+        family="binomial",
+    )
+    model = lr.fit(inst)
+    b0 = float(model.intercept)
+    b1, b2 = (float(c) for c in model.coefficients)
+    eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+    p = 1.0 / (1.0 + F.exp(-eta))
+    ll = (
+        inst.select(
+            (
+                F.col("wt")
+                * -F.log(F.when(F.col("label") > 0.5, p).otherwise(1.0 - p))
+            ).alias("wl"),
+            "wt",
+        )
+        .agg((F.sum("wl") / F.sum("wt")).alias("avg_ll"), F.sum("wt").alias("n"))
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(ll["n"]),
+                round(b0, 6),
+                round(b1, 6),
+                round(b2, 6),
+                round(float(ll["avg_ll"]), 6),
+            )
+        ],
+        "n_obs bigint, b_intercept double, b_price_bucket double,"
+        " b_year_idx double, avg_log_loss double",
+    )

@@ -91,15 +91,41 @@ def test_ann_ivf_kmeans_cosines_are_exact(spark):
         assert scores == sorted(scores, reverse=True)
 
 
+def _adaptive_simhash_reference(sf_dir):
+    """Pure-python replica of t_simhash_pairs' adaptive fingerprint:
+    w = clamp(ceil(log2 N), 4, 20), 3 bands x w bits, token hash = first
+    15 md5 hex chars (60 bits), majority vote per bit over the doc's
+    DISTINCT whitespace tokens, fp masked to the low 3w bits."""
+    import hashlib
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    w = min(20, max(4, math.ceil(math.log2(len(docs)) - 1e-9)))
+    fps = {}
+    for doc_id, text in docs.items():
+        words = set(re.split(r"\s+", text.lower()))
+        votes = [0] * (3 * w)
+        for word in words:
+            h = int(hashlib.md5(word.encode()).hexdigest()[:15], 16)
+            for b in range(3 * w):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        fps[doc_id] = sum(1 << b for b in range(3 * w) if votes[b] > 0)
+    return w, fps
+
+
 def test_simhash_pairs_complete_vs_bruteforce(spark):
     """The banded equi-join must emit EXACTLY the pairs at Hamming <= 2 of
-    the fingerprints (pigeonhole: <= 2 flipped bits leave >= 2 of the 4
-    bands intact, so no qualifying pair can be missed) — verified against a
-    brute-force all-pairs Hamming scan of the fingerprints."""
-    sim = {
-        r["doc_id"]: r["simhash16"]
-        for r in registry.QUERIES["t_simhash"](spark, SF_SMALL).collect()
-    }
+    the adaptive fingerprints (pigeonhole: <= 2 flipped bits leave >= 1 of
+    the 3 w-bit bands intact, so no qualifying pair can be missed) —
+    verified against a brute-force all-pairs Hamming scan over a
+    pure-python replica of the fingerprint (w = clamp(ceil(log2 N), 4, 20),
+    60-bit md5 token hash)."""
+    w, sim = _adaptive_simhash_reference(SF_SMALL)
+    assert w == 9  # 500 docs at sf0.001 -> ceil(log2 500)
     ids = sorted(sim)
     brute = {
         (a, b)

@@ -132,3 +132,18 @@ def test_als_cv_leaderboard_shape_and_winner(spark):
     winners = [r for r in rows if r["is_best"] == 1]
     assert len(winners) == 1
     assert winners[0]["valid_rmse"] == min(r["valid_rmse"] for r in rows)
+
+
+def test_mllib_logreg_parity_with_irls(spark):
+    """r_mllib_logreg (MLlib LBFGS, regParam=0, standardization off) and
+    a_logistic_irls (4 hand-rolled Newton steps) fit the SAME grouped
+    binomial likelihood on the SAME design matrix, so their coefficients
+    and training log loss must agree — the tolerance covers the IRLS
+    key's 4-iteration truncation (Newton is quadratically convergent;
+    the gap sits well below 1e-3 on this fixture)."""
+    lr = registry.QUERIES["r_mllib_logreg"](spark, SF_SMALL).collect()[0]
+    irls = registry.QUERIES["a_logistic_irls"](spark, SF_SMALL).collect()[0]
+    assert lr["n_obs"] == irls["n_obs"]
+    for col in ("b_intercept", "b_price_bucket", "b_year_idx"):
+        assert abs(lr[col] - irls[col]) < 1e-3, (col, lr[col], irls[col])
+    assert abs(lr["avg_log_loss"] - irls["avg_log_loss"]) < 1e-4

@@ -67,7 +67,8 @@ LINEAR_KEYS = {
     "t_pipeline_e2e_scale": "documents",
     "v_cosine_topk": "embeddings",
     "v_ann_ivf": "embeddings",
-    "v_embed_neardup_strict": "embeddings",  # cos>=0.9, 16-bit bands
+    "v_embed_neardup_strict": "embeddings",  # cos>=0.9, nbits=ceil(log2 N) bands
+    "t_simhash_pairs": "documents",  # 3 bands x ceil(log2 N) bits, 60-bit hash
     "t_bloom_dedup": "documents",  # bloom-prefiltered digest dedup
     "t_novelty_curve": "documents",  # gram first-seen aggregate
     "v_semantic_dedup_capped": "embeddings",  # rank-window cap: <=8N pairs
