@@ -186,27 +186,41 @@ _DUCK_SIMHASH_CTES = rf"""
 
 
 def _simhash_df(spark, sf_dir):
-    """Per-document 16-bit SimHash from md5-derived token hashes."""
+    """Per-document 16-bit SimHash from md5-derived token hashes.
+
+    Same plan shape as t_simhash_pairs' adaptive variant: one explicit
+    repartition(doc_id) makes the token dedup AND the vote aggregation
+    exchange-free (HashPartitioning(doc_id) satisfies both clusterings),
+    and the 16 bit-votes are COLUMNS of a single aggregation instead of
+    a 16-way row explode whose partial aggregate emits |docs| rows per
+    upstream partition. Values are identical to the pre-round-9 plan
+    (the oracle is unchanged)."""
+    from functools import reduce as _reduce
+
     tok = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
-        .distinct()
+        .repartition("doc_id")
+        .dropDuplicates(["doc_id", "word"])
     )
     h = tok.select(
         "doc_id", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long").alias("h32")
     )
-    bits = h.crossJoin(F.broadcast(spark.range(0, 16).select(F.col("id").alias("b"))))
-    bits = bits.select(
-        "doc_id", "b", (F.floor(F.col("h32") / F.pow(2, "b")).cast("long") % 2).alias("bit")
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"2 * (shiftright(h32, {b}) & 1) - 1")).alias(f"v{b}")
+            for b in range(16)
+        ]
     )
-    votes = bits.groupBy("doc_id", "b").agg(F.sum(2 * F.col("bit") - 1).alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.pow(2, "b").cast("long")).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("simhash16")
+    fp = _reduce(
+        Column.__add__,
+        [
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(16)
+        ],
     )
+    return votes.select("doc_id", fp.alias("simhash16"))
 
 
 @register(

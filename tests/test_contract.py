@@ -55,6 +55,7 @@ def test_contract_shape():
         "a_sketch_merge",
         "r_als",
         "r_als_cv",
+        "r_mllib_logreg",
         "r_als_foldin",
         "r_ease",
         "r_als_recs",
