@@ -2342,3 +2342,67 @@ def test_seasonal_strength_in_unit_interval(spark):
     assert 0.0 <= r.seasonal_strength <= 1.0
     assert r.var_residual_kusd <= r.var_total_kusd * (1 + 1e-6)
     assert r.n_days > 7
+
+
+@_prop
+@given(n=st.integers(min_value=2, max_value=50_000_000))
+def test_adaptive_band_width_agrees_across_engines(spark, n):
+    """The round-9 adaptive LSH widths are computed from the corpus count
+    INDEPENDENTLY on each engine — Spark's ceil(log2(N) - 1e-9) inside the
+    plan, DuckDB's inside the oracle's params CTE, python's in the test
+    replica. A one-ulp log2 disagreement crossing an integer boundary
+    (exact powers of two are the hazard) would silently desynchronize the
+    band layouts, so pin all three sources equal across the whole
+    plausible corpus range, including every nearby power of two."""
+    import math
+
+    import duckdb
+
+    expected = min(20, max(4, math.ceil(math.log2(n) - 1e-9)))
+    duck = duckdb.sql(
+        f"SELECT LEAST(20, GREATEST(4, CAST(CEIL(LOG2({n}) - 1e-9) AS INTEGER)))"
+    ).fetchone()[0]
+    spark_w = spark.range(1).select(
+        F.least(
+            F.lit(20), F.greatest(F.lit(4), F.ceil(F.log2(F.lit(n)) - 1e-9))
+        )
+        .cast("int")
+        .alias("w")
+    ).collect()[0]["w"]
+    assert duck == expected, (n, duck, expected)
+    assert spark_w == expected, (n, spark_w, expected)
+
+
+def test_adaptive_band_width_at_powers_of_two(spark):
+    """Exhaustive check at the exact-power-of-two boundaries (the only
+    inputs where log2 is integer-valued and a one-ulp error flips the
+    ceiling): N = 2^k and 2^k +/- 1 for every k in the BIGINT-safe range
+    used by the adaptive keys."""
+    import math
+
+    import duckdb
+
+    for k in range(2, 26):
+        for n in (2**k - 1, 2**k, 2**k + 1):
+            expected = min(20, max(4, math.ceil(math.log2(n) - 1e-9)))
+            duck = duckdb.sql(
+                f"SELECT LEAST(20, GREATEST(4, CAST(CEIL(LOG2({n}) - 1e-9) AS INTEGER)))"
+            ).fetchone()[0]
+            assert duck == expected, (n, duck, expected)
+    ns = [m for k in range(2, 26) for m in (2**k - 1, 2**k, 2**k + 1)]
+    rows = (
+        spark.createDataFrame([(m,) for m in ns], "n long")
+        .select(
+            "n",
+            F.least(
+                F.lit(20),
+                F.greatest(F.lit(4), F.ceil(F.log2(F.col("n")) - 1e-9)),
+            )
+            .cast("int")
+            .alias("w"),
+        )
+        .collect()
+    )
+    for r in rows:
+        expected = min(20, max(4, math.ceil(math.log2(r["n"]) - 1e-9)))
+        assert r["w"] == expected, (r["n"], r["w"], expected)

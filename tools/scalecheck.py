@@ -138,6 +138,9 @@ ITERATIVE_KEYS = {
     "r_kcore_peel": "lineitem",
     "r_shortest_path": "lineitem",  # BFS levels: 4 frontier joins, 500-node cap
     "t_dup_clusters": "documents",
+    "r_mllib_logreg": "lineitem",  # LBFGS on <=70 grouped cells: the only
+    # N-scaled work is one map-side-combinable groupBy over orders; the
+    # fit itself is corpus-size-independent (round 9)
 }
 
 
