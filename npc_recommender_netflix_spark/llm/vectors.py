@@ -4025,3 +4025,97 @@ def v_index_size_planner(spark, sf_dir):
         )
         .orderBy("config", "n_vectors")
     )
+
+
+@register(
+    "v_maxsim",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding,
+               {_DUCK_NRM.format(a='embedding')} AS nq
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    d AS (
+        SELECT vec_id, label, embedding,
+               {_DUCK_NRM.format(a='embedding')} AS nd
+        FROM embeddings WHERE vec_id NOT IN (0, 1, 2)
+    ),
+    scored AS (
+        SELECT q.query_id, d.label,
+               round({_DUCK_DOT.format(a='q.embedding', b='d.embedding')}
+                     / (q.nq * d.nd), 6) + 0 AS cos
+        FROM q CROSS JOIN d
+    ),
+    best AS (
+        SELECT query_id, label, max(cos) AS best_cos
+        FROM scored GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT label, round(sum(best_cos), 6) + 0 AS maxsim
+        FROM best GROUP BY label
+        ORDER BY maxsim DESC, label LIMIT 10
+    )
+    SELECT label, maxsim,
+           CAST(row_number() OVER (ORDER BY maxsim DESC, label) AS BIGINT)
+               AS rank
+    FROM top
+    ORDER BY rank
+    """,
+)
+def v_maxsim(spark, sf_dir):
+    """ColBERT-style LATE-INTERACTION scoring (MaxSim) — the multi-vector
+    retrieval tier the v_* family lacked: single-vector search (cosine
+    top-k / IVF / PQ / NSW) collapses a document to one embedding, while
+    late-interaction engines keep one vector PER TOKEN and score
+    MaxSim(Q, D) = sum over query tokens q of max over doc tokens d of
+    cos(q, d), which preserves token-level matching at a distributed-
+    friendly cost. Here the 3-vector query is vec_ids 0..2 and each
+    label plays a multi-vector document (its member vectors are the
+    "token" embeddings), so the output is the top-10 labels by MaxSim.
+
+    Scale shape: the query side is O(|Q|) and BROADCAST; the doc-token
+    scan is one pass producing |Q| cosines per token; both reductions
+    (max per (query-token, doc), then sum per doc) are map-side-
+    combinable groupBys keyed by doc — the exact plan PLAID-style
+    engines distribute, with the centroid prefilter tier available as
+    the sibling keys (v_ann_ivf routes, v_pq_adc compresses) when N
+    makes the full token scan too hot. Cosines snap to 6dp BEFORE the
+    max (value-only, tie-free) and the 3-term sum re-snaps to 6dp, so
+    both engines rank identically; rank ties break on label. The final
+    ranking is orderBy().limit(10) BEFORE the row_number window —
+    TakeOrderedAndProject, never a partitionless window over all docs
+    (the t_weighted_sample_aes discipline).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    q = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_NRM.format(a="embedding")).alias("nq"),
+    )
+    d = emb.where(~F.col("vec_id").isin(0, 1, 2)).select(
+        "label",
+        F.col("embedding").alias("de"),
+        F.expr(_NRM.format(a="embedding")).alias("nd"),
+    )
+    scored = d.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "label",
+        f6(
+            F.expr(_DOT.format(a="qe", b="de")) / (F.col("nq") * F.col("nd"))
+        ).alias("cos"),
+    )
+    best = scored.groupBy("query_id", "label").agg(F.max("cos").alias("best_cos"))
+    top = (
+        best.groupBy("label")
+        .agg(f6(F.sum("best_cos")).alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), "label")
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("maxsim").desc(), "label")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("label", "maxsim", "rank")
+        .orderBy("rank")
+    )

@@ -805,3 +805,42 @@ def test_gif_lzw_roundtrip_matches_formula(spark):
     # repeated 2-grams, and the 500-doc oracle hash match above already
     # exercises decoder codes arriving one-ahead of the table; the
     # formula assertions here pin three docs independently of DuckDB.
+
+
+def test_maxsim_matches_numpy_late_interaction(spark):
+    """v_maxsim's label ranking must equal a numpy late-interaction
+    replica: MaxSim(Q, label) = sum over q in {0,1,2} of the max cosine
+    against the label's member vectors (queries excluded from the doc
+    side), with the operator's 6dp snap applied before max and after
+    sum."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    vec_ids = tbl["vec_id"].to_pylist()
+    labels = tbl["label"].to_pylist()
+    embs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    by_id = dict(zip(vec_ids, range(len(vec_ids))))
+    qidx = [by_id[i] for i in (0, 1, 2)]
+    scores = {}
+    for i, (vid, lab) in enumerate(zip(vec_ids, labels)):
+        if vid in (0, 1, 2):
+            continue
+        d = embs[i]
+        nd = np.linalg.norm(d)
+        for qi in qidx:
+            q = embs[qi]
+            c = round(float(q @ d) / (np.linalg.norm(q) * nd), 6)
+            key = (lab, qi)
+            scores[key] = max(scores.get(key, -2.0), c)
+    per_label = {}
+    for (lab, _qi), c in scores.items():
+        per_label[lab] = per_label.get(lab, 0.0) + c
+    expect = sorted(
+        ((round(s, 6), lab) for lab, s in per_label.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = registry.QUERIES["v_maxsim"](spark, SF_SMALL).collect()
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    for r, (s, lab) in zip(got, expect):
+        assert r["label"] == lab and abs(r["maxsim"] - s) < 2e-6, (r, s, lab)
