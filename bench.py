@@ -86,6 +86,8 @@ HEADLINE = [
     "v_kdtree_route",        # round 7: mean-split kd-route, zero data shuffle
     "a_logistic_irls",       # round 7: in-plan IRLS GLM, 4 bounded-cell passes
     "r_shortest_path",       # round 7: iterative BFS frontier joins
+    "t_simhash_pairs",       # round 9: corpus-adaptive banded SimHash pairs
+    "v_maxsim",              # round 9: ColBERT-style late-interaction top-10
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a
