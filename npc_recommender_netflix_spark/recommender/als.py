@@ -346,7 +346,8 @@ def r_mllib_logreg(spark, sf_dir):
         array_to_vector(
             F.array(F.col("x1").cast("double"), F.col("x2").cast("double"))
         ).alias("features"),
-    )
+    ).cache()  # <=140 rows, but three consumers (multi-pass LBFGS fit,
+    # log-loss pass, n_obs) would each re-run the orders scan + groupBy
     lr = LogisticRegression(
         maxIter=200,
         regParam=0.0,
