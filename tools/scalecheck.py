@@ -70,6 +70,10 @@ LINEAR_KEYS = {
     "v_embed_neardup_strict": "embeddings",  # cos>=0.9, nbits=ceil(log2 N) bands
     "t_simhash_pairs": "documents",  # 3 bands x ceil(log2 N) bits, 60-bit hash
     "v_maxsim": "embeddings",  # late interaction: broadcast |Q|, one token scan
+    "t_tfidf": "documents",    # word-keyed df join + per-doc tf agg
+    "t_bm25_score": "documents",  # term-pruned lexical ranking
+    "v_pq_adc": "embeddings",  # PQ codebook broadcast + ADC table lookups
+    "v_topk_mips": "embeddings",  # broadcast queries, WindowGroupLimit heap
     "t_bloom_dedup": "documents",  # bloom-prefiltered digest dedup
     "t_novelty_curve": "documents",  # gram first-seen aggregate
     "v_semantic_dedup_capped": "embeddings",  # rank-window cap: <=8N pairs
