@@ -1610,19 +1610,20 @@ def v_pq_adc(spark, sf_dir):
     ).alias("sub_id")
 
     d2_dc = F.expr(_SUBD2_SPARK.format(a="ve", b="ce"))
+    # argmin code per (vector, subspace) as a lexicographic struct-min
+    # aggregation, NOT a row_number window: the window shuffles and
+    # sorts all |data| x 8 x 16 candidate rows, while the struct min
+    # (identical tie semantics to ORDER BY dist2, code) combines
+    # map-side — the candidate rows never leave their partition
+    # (measured 13.5 s -> the ladder rerun at 30k vectors after this)
     assign = (
         data.select("vec_id", "ve", subs)
         .crossJoin(F.broadcast(codes))
         .select(
             "vec_id", "sub_id", "code", (F.round(d2_dc, 6) + 0.0).alias("dist2")
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id", "sub_id").orderBy("dist2", "code")
-            ),
-        )
-        .where(F.col("rn") == 1)
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("dist2", "code")).getField("code").alias("code"))
         .select("vec_id", "sub_id", "code")
     )
     d2_qc = F.expr(_SUBD2_SPARK.format(a="qe", b="ce"))
