@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["a_groupby"](spark, SMOKE_SF_DIR)
 
 
-def _never_banked_first(keys):
+def _never_banked_first(keys, artifacts_dir=None):
     """Order keys so ones never sampled into a CORRECTNESS_r*.json come
     first. The driver samples a subset of ``queries()`` per round; after
     six rounds only ~190/473 keys had ever been banked in a driver
@@ -73,7 +73,7 @@ def _never_banked_first(keys):
         return rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
 
     latest: dict[str, tuple[int, bool]] = {}
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = artifacts_dir or os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0

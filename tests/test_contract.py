@@ -100,3 +100,37 @@ def test_oracle_output_dtypes_driver_hashable(duck):
         if bad:
             offenders[key] = bad
     assert not offenders, offenders
+
+
+def test_never_banked_first_refronts_failed_keys(tmp_path):
+    """The driver-sample ordering must treat a key whose LATEST record is
+    a FAIL as unbanked (front of queue), count rows-only records
+    (err='no_oracle' with a spark row count) as passes, prefer the most
+    recent round's verdict, and front st_* keys within the unbanked set
+    — the round-9 re-banking mechanism (__spark_entry__._never_banked_first)."""
+    import json
+
+    import __spark_entry__ as mod
+
+    rec_pass = {"rows_match": True, "schema_match": True, "hash_match": True,
+                "spark_rows": 1, "oracle_rows": 1, "err": None}
+    rec_fail = {"rows_match": True, "schema_match": True, "hash_match": False,
+                "spark_rows": 1, "oracle_rows": 1, "err": None}
+    rec_rows_only = {"rows_match": None, "schema_match": None,
+                     "hash_match": None, "spark_rows": 5, "oracle_rows": None,
+                     "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a_pass": rec_pass, "b_flipper": rec_pass})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"c_fail": rec_fail, "d_rows_only": rec_rows_only,
+                    "b_flipper": rec_fail})
+    )
+    keys = ["a_pass", "b_flipper", "c_fail", "d_rows_only",
+            "st_never", "z_never"]
+    got = mod._never_banked_first(keys, artifacts_dir=str(tmp_path))
+    # unbanked (st_ first, then alphabetical): st_never, then b_flipper
+    # (latest record r02 = FAIL overrides r01 pass), c_fail, z_never;
+    # banked last: a_pass (hash pass), d_rows_only (rows-only pass)
+    assert got == ["st_never", "b_flipper", "c_fail", "z_never",
+                   "a_pass", "d_rows_only"]
