@@ -137,6 +137,10 @@ EVENTS_LINEAR_KEYS = {
     # the claim "bounded by session length" gets measured here
     "r_covisitation_capped": "events",  # 24h sessions + 32-item cap:
     # flat against the x_unbounded_session_pairs control's bend
+    "st_session": "events",  # round 9: first STREAMING ladder row — a real
+    # availableNow micro-batch run per measurement; wall includes the
+    # fixed streaming-runtime startup, so the signal is that the
+    # per-event slope stays flat while the engine replays 30x the input
 }
 ITERATIVE_KEYS = {
     "r_pagerank": "lineitem",
