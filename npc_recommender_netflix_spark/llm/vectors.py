@@ -4120,3 +4120,175 @@ def v_maxsim(spark, sf_dir):
         .select("label", "maxsim", "rank")
         .orderBy("rank")
     )
+
+
+@register(
+    "v_maxsim_pruned",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding,
+               {_DUCK_NRM.format(a='embedding')} AS nq
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    d AS (
+        SELECT vec_id, label, embedding,
+               {_DUCK_NRM.format(a='embedding')} AS nd
+        FROM embeddings WHERE vec_id NOT IN (0, 1, 2)
+    ),
+    cents AS (
+        SELECT d.label, t.i,
+               round(avg(CAST(d.embedding[t.i] AS DOUBLE)), 6) + 0 AS cv
+        FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY d.label, t.i
+    ),
+    ncent AS (SELECT label, sqrt(sum(cv * cv)) AS nc FROM cents GROUP BY label),
+    qex AS (
+        SELECT query_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS qv, nq
+        FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    gdot AS (
+        SELECT qex.query_id, c.label, sum(qex.qv * c.cv) AS dot,
+               max(qex.nq) AS nq
+        FROM qex JOIN cents c ON c.i = qex.i
+        GROUP BY 1, 2
+    ),
+    gcos AS (
+        SELECT g.query_id, g.label, round(g.dot / (g.nq * n.nc), 6) + 0 AS gc
+        FROM gdot g JOIN ncent n ON n.label = g.label
+    ),
+    gate AS (SELECT label, round(sum(gc), 6) + 0 AS gate_score
+             FROM gcos GROUP BY label),
+    survivors AS (
+        SELECT label, CAST(row_number() OVER (ORDER BY gate_score DESC, label)
+                           AS BIGINT) AS gate_rank
+        FROM gate ORDER BY gate_score DESC, label LIMIT 4
+    ),
+    scored AS (
+        SELECT q.query_id, d.label,
+               round({_DUCK_DOT.format(a='q.embedding', b='d.embedding')}
+                     / (q.nq * d.nd), 6) + 0 AS cos
+        FROM q CROSS JOIN d JOIN survivors s ON s.label = d.label
+    ),
+    best AS (SELECT query_id, label, max(cos) AS bc FROM scored GROUP BY 1, 2),
+    pruned AS (SELECT label, round(sum(bc), 6) + 0 AS maxsim
+               FROM best GROUP BY label),
+    fscored AS (
+        SELECT q.query_id, d.label,
+               round({_DUCK_DOT.format(a='q.embedding', b='d.embedding')}
+                     / (q.nq * d.nd), 6) + 0 AS cos
+        FROM q CROSS JOIN d
+    ),
+    fbest AS (SELECT query_id, label, max(cos) AS bc FROM fscored GROUP BY 1, 2),
+    fsum AS (SELECT label, round(sum(bc), 6) + 0 AS fm FROM fbest GROUP BY label),
+    full_rank AS (
+        SELECT label, CAST(row_number() OVER (ORDER BY fm DESC, label)
+                           AS BIGINT) AS true_rank
+        FROM fsum
+    )
+    SELECT s.label, s.gate_rank, p.maxsim, f.true_rank
+    FROM survivors s
+    JOIN pruned p ON p.label = s.label
+    JOIN full_rank f ON f.label = s.label
+    ORDER BY s.gate_rank
+    """,
+)
+def v_maxsim_pruned(spark, sf_dir):
+    """PLAID-style GATED late interaction — the executable form of the
+    scale path v_maxsim's docstring promises: a cheap centroid tier
+    (one 6dp-snapped centroid per multi-vector doc; gate score =
+    sum over query vectors of cos(q, centroid)) keeps only the top-4
+    docs, and the exact per-token MaxSim runs on the survivors alone.
+    At 100 TB the gate touches one vector per DOC instead of one per
+    token (a 2-3 order-of-magnitude candidate cut in real corpora,
+    which is exactly the PLAID/ColBERTv2 design), and the survivor set
+    is bounded, so the expensive tier's cost is gate-width times the
+    mean doc length, never corpus-sized.
+
+    Honesty column (the v_nsw_greedy pattern): each survivor carries
+    its TRUE ungated MaxSim rank, so gate quality is measured, not
+    asserted — a survivor with true_rank > 4 is a visible gate miss.
+    On the driver fixtures the gate keeps the true #1 at every sf but
+    misses deeper ranks (pytest-pinned): the synthetic clusters are
+    noise-wide, so the centroid washes out the nearest-member signal
+    MaxSim keys on — the gate-width/recall trade the honesty column
+    makes visible, and the reason PLAID gates on cluster centroids of
+    TIGHT token clusters rather than whole-doc means.
+    Computing true_rank is a full-audit tier by construction (it ranks
+    every doc); production samples it, this fixture affords it.
+    Determinism: centroid components snap to 6dp (reduction-order noise
+    sits ~7 digits below), gate and MaxSim scores snap to 6dp with
+    label tiebreaks everywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_NRM.format(a="embedding")).alias("nq"),
+    )
+    d = emb.where(~F.col("vec_id").isin(0, 1, 2)).select(
+        "label",
+        F.col("embedding").alias("de"),
+        F.expr(_NRM.format(a="embedding")).alias("nd"),
+    )
+    cents = (
+        d.select("label", F.posexplode("de").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(f6(F.avg(F.col("v").cast("double"))).alias("cv"))
+    )
+    ncent = cents.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("nc")
+    )
+    qex = q.select(
+        "query_id", "nq", F.posexplode("qe").alias("i", "qv")
+    ).select("query_id", "nq", "i", F.col("qv").cast("double").alias("qv"))
+    gdot = (
+        qex.join(cents, "i")
+        .groupBy("query_id", "label")
+        .agg(F.sum(F.col("qv") * F.col("cv")).alias("dot"), F.max("nq").alias("nq"))
+    )
+    gcos = gdot.join(ncent, "label").select(
+        "query_id", "label", f6(F.col("dot") / (F.col("nq") * F.col("nc"))).alias("gc")
+    )
+    survivors = (
+        gcos.groupBy("label")
+        .agg(f6(F.sum("gc")).alias("gate_score"))
+        .orderBy(F.col("gate_score").desc(), "label")
+        .limit(4)
+        .withColumn(
+            "gate_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("gate_score").desc(), "label"))
+            .cast("long"),
+        )
+        .select("label", "gate_rank")
+    )
+    cos = f6(F.expr(_DOT.format(a="qe", b="de")) / (F.col("nq") * F.col("nd")))
+    scored = (
+        d.join(F.broadcast(survivors.select("label")), "label")
+        .crossJoin(F.broadcast(q))
+        .select("query_id", "label", cos.alias("cos"))
+    )
+    pruned = (
+        scored.groupBy("query_id", "label")
+        .agg(F.max("cos").alias("bc"))
+        .groupBy("label")
+        .agg(f6(F.sum("bc")).alias("maxsim"))
+    )
+    fsum = (
+        d.crossJoin(F.broadcast(q))
+        .select("query_id", "label", cos.alias("cos"))
+        .groupBy("query_id", "label")
+        .agg(F.max("cos").alias("bc"))
+        .groupBy("label")
+        .agg(f6(F.sum("bc")).alias("fm"))
+    )
+    full_rank = fsum.withColumn(
+        "true_rank",
+        F.row_number().over(Window.orderBy(F.col("fm").desc(), "label")).cast("long"),
+    ).select("label", "true_rank")
+    return (
+        survivors.join(pruned, "label")
+        .join(full_rank, "label")
+        .select("label", "gate_rank", "maxsim", "true_rank")
+        .orderBy("gate_rank")
+    )

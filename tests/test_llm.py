@@ -844,3 +844,31 @@ def test_maxsim_matches_numpy_late_interaction(spark):
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
     for r, (s, lab) in zip(got, expect):
         assert r["label"] == lab and abs(r["maxsim"] - s) < 2e-6, (r, s, lab)
+
+
+def test_maxsim_pruned_survivor_scores_equal_ungated(spark):
+    """v_maxsim_pruned's exact tier must produce the SAME MaxSim value
+    for each survivor as the ungated v_maxsim (gating can only drop
+    docs, never change a survivor's score), and its true_rank column
+    must agree with v_maxsim's ranking. Gate QUALITY on this fixture is
+    asserted at what the honesty column actually measures: the true #1
+    doc survives (the retrieval-critical property), while deeper ranks
+    legitimately miss — the synthetic clusters are noise-wide, so
+    centroid averaging washes out the nearest-member signal MaxSim
+    keys on (true_rank > 4 rows are the gate-miss evidence the column
+    exists to surface, not a bug)."""
+    full = {
+        r["label"]: (r["maxsim"], r["rank"])
+        for r in registry.QUERIES["v_maxsim"](spark, SF_SMALL).collect()
+    }
+    pruned = registry.QUERIES["v_maxsim_pruned"](spark, SF_SMALL).collect()
+    assert len(pruned) == 4
+    for r in pruned:
+        fm, fr = full[r["label"]]
+        assert r["maxsim"] == fm, (r, fm)
+        assert r["true_rank"] == fr, (r, fr)
+    assert any(r["true_rank"] == 1 for r in pruned), pruned
+    # gate_rank 1 should BE the true #1 here (centroid and MaxSim agree
+    # on the dominant cluster even when they disagree on the tail)
+    top = next(r for r in pruned if r["gate_rank"] == 1)
+    assert top["true_rank"] == 1, top
