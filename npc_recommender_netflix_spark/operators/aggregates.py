@@ -2022,6 +2022,11 @@ def a_cuped(spark, sf_dir):
     "a_chi2_uniform",
     """
     WITH cells AS (
+        -- dow +1 is LABEL ALIGNMENT ONLY (DuckDB dayofweek is 0-6,
+        -- Spark's 1-7); dow is a grouping key that never reaches the
+        -- output (n_cells/n_events/chi2 are label-invariant), so the
+        -- query is correct with or without it — kept so intermediate
+        -- cells line up when debugging side by side (round-8 advice)
         SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1
