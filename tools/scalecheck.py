@@ -81,6 +81,8 @@ LINEAR_KEYS = {
     "m_zip_archive_extract": "documents",  # Arrow synth+decode, no payload shuffle
     "t_naive_bayes_lid": "documents",      # word-keyed fit + vocab-grid scoring
     "t_readability": "documents",          # three regexp counts, one scan
+    "m_png_decode": "documents",  # real zlib PNG codec in Arrow tasks
+    "r_ndcg": "lineitem",  # ranking-aware offline eval, top-k bounded
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
@@ -137,6 +139,9 @@ EVENTS_LINEAR_KEYS = {
     # the claim "bounded by session length" gets measured here
     "r_covisitation_capped": "events",  # 24h sessions + 32-item cap:
     # flat against the x_unbounded_session_pairs control's bend
+    "q_dau_wau": "events",   # rolling-distinct growth metrics, day-bounded
+    "a_count_min": "events", # CMS grid build + probe, sketch-bounded state
+    "w_cusum_alarm": "events",  # prefix-sum/running-min windows, day axis
     "st_session": "events",  # round 9: first STREAMING ladder row — a real
     # availableNow micro-batch run per measurement; wall includes the
     # fixed streaming-runtime startup, so the signal is that the
