@@ -44,10 +44,10 @@ def _never_banked_first(keys, artifacts_dir=None):
     coverage-steered by the code under evaluation. It is documented here
     and in SURVEY §8 so graders know the sample is a round-robin over
     never-banked keys, not an independent draw; the committed full-sweep
-    log (CORRECTNESS_full_r*.log, all 616 keys) is the primary
-    correctness evidence. Within the never-banked set, streaming (st_*)
-    keys sort first — the thinnest runtime-heavy driver-evidenced family
-    per the round-8 verdict.
+    log (CORRECTNESS_full_r*.log, all 619 keys) is the primary
+    correctness evidence. Within the never-banked set, composite (q_*)
+    keys sort first — the largest never-banked family (68 keys) per the
+    round-9 verdict.
 
     "Banked" means the key's LATEST driver record passed: hash_match true,
     or a rows-only record (err == 'no_oracle' with a non-null spark row
@@ -74,9 +74,15 @@ def _never_banked_first(keys, artifacts_dir=None):
 
     latest: dict[str, tuple[int, bool]] = {}
     here = artifacts_dir or os.path.dirname(os.path.abspath(__file__))
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    # sorted() so glob order can't matter; ties on round number resolve
+    # by >= below (later-sorted file wins deterministically).
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+        if not m:
+            # Unconventionally-named artifacts are not driver rounds;
+            # skip rather than silently treating them as round 0.
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -84,10 +90,10 @@ def _never_banked_first(keys, artifacts_dir=None):
             continue
         items = data.items() if isinstance(data, dict) else ((k, None) for k in data)
         for key, rec in items:
-            if key not in latest or rnd > latest[key][0]:
+            if key not in latest or rnd >= latest[key][0]:
                 latest[key] = (rnd, _passed(rec))
     banked = {k for k, (_, ok) in latest.items() if ok}
-    return sorted(keys, key=lambda k: (k in banked, not k.startswith("st_"), k))
+    return sorted(keys, key=lambda k: (k in banked, not k.startswith("q_"), k))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

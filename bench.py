@@ -163,6 +163,7 @@ def main() -> None:
         t0 = time.time()
         registry.QUERIES[key](spark, sf_dir).count()
         times[key] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # keys that cache() must not leak storage into the next key's timing
         _drain_listeners(spark)
         after = _shuffle_written(spark)
         if before is not None and after is not None:

@@ -1,5 +1,7 @@
 """LLM-pipeline checks beyond the oracle: sketch-vs-exact guarantees."""
 
+import math
+
 from pyspark.sql import functions as F
 
 from npc_recommender_netflix_spark import registry
@@ -125,7 +127,11 @@ def test_simhash_pairs_complete_vs_bruteforce(spark):
     pure-python replica of the fingerprint (w = clamp(ceil(log2 N), 4, 20),
     60-bit md5 token hash)."""
     w, sim = _adaptive_simhash_reference(SF_SMALL)
-    assert w == 9  # 500 docs at sf0.001 -> ceil(log2 500)
+    # w must equal clamp(ceil(log2 N), 4, 20) for the ACTUAL fixture size
+    # (computed, not pinned, so regenerating the fixture at another doc
+    # count keeps the test honest: 500 docs -> 9).
+    expected_w = min(20, max(4, math.ceil(math.log2(len(sim)) - 1e-9)))
+    assert w == expected_w
     ids = sorted(sim)
     brute = {
         (a, b)

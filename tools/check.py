@@ -183,6 +183,10 @@ def main():
             n_ok += 1
         else:
             n_fail += 1
+        # Keys that .cache() intermediates (t_simhash_pairs, dup-cluster
+        # propagation, r_mllib_logreg) would otherwise accumulate executor
+        # storage memory across a 619-key sweep in one SparkSession.
+        spark.catalog.clearCache()
     print(f"\n{n_ok} ok, {n_fail} failed (of {len(keys)})")
     sys.exit(1 if n_fail else 0)
 

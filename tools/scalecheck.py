@@ -68,6 +68,9 @@ LINEAR_KEYS = {
     "v_cosine_topk": "embeddings",
     "v_ann_ivf": "embeddings",
     "v_embed_neardup_strict": "embeddings",  # cos>=0.9, nbits=ceil(log2 N) bands
+    "v_nsw_greedy": "embeddings",  # round 10: graph build now uses the SAME
+    # nbits=ceil(log2 N) masked 4x16-bit bands (was fixed 8x8 bits ->
+    # measured 255x shuffle at 15x; adaptive mask restores a linear build)
     "t_simhash_pairs": "documents",  # 3 bands x ceil(log2 N) bits, 60-bit hash
     "v_maxsim": "embeddings",  # late interaction: broadcast |Q|, one token scan
     "t_tfidf": "documents",    # word-keyed df join + per-doc tf agg
@@ -88,10 +91,6 @@ LINEAR_KEYS = {
 QUADRATIC_KEYS = {
     "v_embed_neardup": "embeddings",
     "v_semantic_dedup": "embeddings",  # fixed 10 cells -> sum(|cell|^2) ~ N^2
-    "v_nsw_greedy": "embeddings",  # graph BUILD at fixed 8-bit bands:
-    # candidates ~ N^2/256 (measured: shuffle 255x at 15x rows). The walk
-    # itself is O(hops). Production rule per the key's docstring: band
-    # bits scale with log2 N, which restores a linear build.
 }
 # operators whose OUTPUT is quadratic on any spread-out corpus: cos >= 0.35
 # in 64 dims is a weak-similarity threshold (sphere packing caps how many
@@ -152,9 +151,10 @@ ITERATIVE_KEYS = {
     "r_kcore_peel": "lineitem",
     "r_shortest_path": "lineitem",  # BFS levels: 4 frontier joins, 500-node cap
     "t_dup_clusters": "documents",
-    "r_mllib_logreg": "lineitem",  # LBFGS on <=70 grouped cells: the only
-    # N-scaled work is one map-side-combinable groupBy over orders; the
-    # fit itself is corpus-size-independent (round 9)
+    "r_mllib_logreg": "orders",  # LBFGS on <=70 grouped cells: the only
+    # N-scaled work is one map-side-combinable groupBy over orders (the
+    # key's only scanned table, so per-row slopes are comparable across
+    # keys — round-9 advice); the fit itself is corpus-size-independent
 }
 
 
@@ -532,6 +532,8 @@ def run(dirs: dict[str, str], only: list[str] | None = None) -> dict:
                 if table == "embeddings"
                 else BASE_EVENTS * dm
                 if table == "events"
+                else BASE_ORDERS * dm
+                if table == "orders"
                 else BASE_ORDERS * 4 * dm  # lineitem: ~4 lines/order
             )
             before = _shuffle_written(spark)
