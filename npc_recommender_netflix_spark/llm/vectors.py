@@ -3386,11 +3386,13 @@ def v_hybrid_retrieval_overlap(spark, sf_dir):
     )
 
 
-_NSW_BANDS_SQL = "\n        UNION ALL ".join(
-    f"SELECT vec_id, {b} AS band, {_sign_bucket_wide_sql(b, 8)} AS bucket"
-    " FROM embeddings"
-    for b in range(8)
-)
+# Graph-build candidate bands: the SAME corpus-adaptive 4 x 16-bit masked
+# sign bands as v_embed_neardup_strict (round-9 verdict item 1: the fixed
+# 8 x 8-bit bands made the kNN-graph build effectively quadratic —
+# SCALECHECK measured 255x shuffle for 15x vectors, because 2^-8 per-band
+# collision probability saturates past ~256 vectors). nbits =
+# clamp(ceil(log2 N), 4, 16) computed IN-PLAN keeps candidates O(N).
+_NSW_BANDS_SQL = _LSH_STRICT_BANDS_SQL
 
 _NSW_HOP_SQL = """
     h{next} AS (
@@ -3413,7 +3415,8 @@ _NSW_HOP_SQL = """
 @register(
     "v_nsw_greedy",
     f"""
-    WITH bands AS (
+    WITH params AS (SELECT {_LSH_NBITS_SQL} AS nbits FROM embeddings),
+    bands AS (
         {_NSW_BANDS_SQL}
     ),
     cand AS (
@@ -3483,18 +3486,37 @@ def v_nsw_greedy(spark, sf_dir):
     column: the walk result's TRUE brute-force rank, so graph quality
     is measured, not asserted.
 
-    Scale design: the graph build is the banded-LSH candidate join
-    (8 bands x 8 sign bits here; the bits-per-band ~ log2 N rule from
-    v_embed_neardup_strict keeps candidates O(N)) followed by ONE
-    per-node WindowGroupLimit — adjacency is <= 8N rows forever after,
-    and each greedy hop is one frontier-to-adjacency equi-join +
-    argmax, the r_shortest_path iterative idiom with a 1-row frontier
-    per query.  Cosines snap to 6dp BEFORE every argmax (cand_id
-    tiebreak), so walk decisions are bit-identical across engines; the
-    oracle unrolls the same three hops as CTEs.
+    Scale design: the graph build is the banded-LSH candidate join with
+    the CORPUS-ADAPTIVE band width of v_embed_neardup_strict — 4 bands x
+    16 sign bits masked to nbits = clamp(ceil(log2 N), 4, 16) low bits,
+    N = count(embeddings) computed in-plan (1-row params aggregate,
+    broadcast cross join) on BOTH engines. Collision probability per
+    band is 2^-nbits, so random-collision build candidates ~ 4*N^2 /
+    2^nbits stay O(N) at any corpus size (round-9 verdict: the previous
+    FIXED 8 x 8-bit bands saturated at ~2^8 vectors — SCALECHECK
+    measured 255x shuffle for 15x rows; the adaptive mask makes the
+    build linear the same way it did for v_embed_neardup_strict).
+    Wider bands thin the candidate graph for weakly-similar pairs only —
+    true nearest neighbors (cos near 1, per-bit flip prob ~0) still
+    collide in some band with probability ~1, and the honesty column
+    below MEASURES the resulting walk quality instead of asserting it.
+    After the build: ONE per-node WindowGroupLimit — adjacency is <= 8N
+    rows forever after, and each greedy hop is one frontier-to-adjacency
+    equi-join + argmax, the r_shortest_path iterative idiom with a 1-row
+    frontier per query.  Cosines snap to 6dp BEFORE every argmax
+    (cand_id tiebreak), so walk decisions are bit-identical across
+    engines; the oracle unrolls the same three hops as CTEs.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
+    )
+    params = emb.agg(
+        F.least(
+            F.lit(16),
+            F.greatest(F.lit(4), F.ceil(F.log2(F.count(F.lit(1))) - 1e-9)),
+        )
+        .cast("int")
+        .alias("nbits")
     )
     band_struct = F.array(
         *[
@@ -3502,17 +3524,22 @@ def v_nsw_greedy(spark, sf_dir):
                 F.lit(b).alias("band"),
                 F.expr(
                     _sign_bucket_wide_sql(
-                        b, 8, elem="element_at(embedding, {i})"
+                        b, 16, elem="element_at(embedding, {i})"
                     )
+                    + " % (CAST(1 AS BIGINT) << nbits)"
                 ).alias("bucket"),
             )
-            for b in range(8)
+            for b in range(4)
         ]
     )
-    bands = emb.select("vec_id", F.explode(band_struct).alias("bb")).select(
-        "vec_id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+    bands = (
+        emb.crossJoin(F.broadcast(params))
+        .select("vec_id", F.explode(band_struct).alias("bb"))
+        .select(
+            "vec_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
