@@ -758,24 +758,34 @@ def a_gini(spark, sf_dir):
     summary behind every 'top x% of customers drive y% of revenue' slide,
     and the q_pareto_brands curve collapsed to one number.
 
-    The global sort runs over the AGGREGATED per-customer axis (one row
-    per customer, orders of magnitude under the fact table), rank-weighted
-    sums stay exact BIGINT (cents × rank), and the Gini closed form
-    2Σ(i·x)/(nΣx) − (n+1)/n evaluates in one float association. At 100 TB
-    the customer axis still fits a single post-agg sort partition per the
-    q_pareto_brands argument; beyond that, the binned-Lorenz approximation
-    trades the sort for a fixed histogram.
+    The rank-weighted sum runs over the DISTINCT-SPEND axis (round 10):
+    ties at spend value v with count c and cum-before b contribute ranks
+    b+1..b+c, so Σi·x = Σ_v v·(c·b + c(c+1)/2) exactly — the rank
+    PERMUTATION within a tie never changes the sum, which is why the
+    oracle's row-level row_number form (orderkey tiebreak) produces the
+    identical value. The only partitionless window is the cumulative
+    count over spend cardinality, which saturates at the price domain
+    instead of growing with the customer axis; rank-weighted sums stay
+    exact BIGINT (cents × rank) and the Gini closed form
+    2Σ(i·x)/(nΣx) − (n+1)/n evaluates in one float association.
     """
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    wr = Window.orderBy("cents", "o_custkey")
-    ranked = spend.select("cents", F.row_number().over(wr).alias("i"))
-    t = ranked.agg(
-        F.sum("cents").alias("s"),
-        F.count("*").alias("n"),
-        F.sum(F.col("i") * F.col("cents")).alias("ws"),
+    byv = spend.groupBy("cents").agg(F.count("*").cast("long").alias("c"))
+    wb = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = byv.select(
+        "cents", "c", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("b")
+    )
+    ws_term = F.col("cents") * (
+        F.col("c") * F.col("b")
+        + F.floor(F.col("c") * (F.col("c") + 1) / 2)
+    )
+    t = cum.agg(
+        F.sum(F.col("cents") * F.col("c")).alias("s"),
+        F.sum("c").alias("n"),
+        F.sum(ws_term).alias("ws"),
     )
     return t.select(
         F.col("n").cast("long").alias("n_customers"),
@@ -991,10 +1001,12 @@ def a_hill_tail(spark, sf_dir):
     orderkey tiebreak (deterministic under duplicates); only the top 501
     rows survive into the estimate, the threshold attaches as a broadcast
     scalar, and the per-order term is ONE difference of logs of exact
-    integers inside a single avg (shared association). At 100 TB the
-    global rank becomes a TakeOrdered top-(k+1) — a per-partition heap,
-    never a full sort; the fixture keeps the window form so the oracle
-    mirrors it literally.
+    integers inside a single avg (shared association). The top-(k+1) IS a
+    TakeOrderedAndProject — orderBy().limit(501), a per-partition heap,
+    never a full sort (round 10: the previous global row_number window
+    pushed every order through one task; the rank window now runs over
+    the already-501-row result, bounded at k+1 at any corpus size). The
+    oracle keeps the window form — same rows under the same tiebreak.
     """
     from pyspark.sql.window import Window
 
@@ -1003,8 +1015,9 @@ def a_hill_tail(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         "o_orderkey",
     )
+    top = v.orderBy(F.col("cents").desc(), "o_orderkey").limit(501)
     w = Window.orderBy(F.col("cents").desc(), "o_orderkey")
-    ranked = v.select("cents", F.row_number().over(w).alias("rn"))
+    ranked = top.select("cents", F.row_number().over(w).alias("rn"))
     xmin = ranked.where(F.col("rn") == 501).select(F.col("cents").alias("cmin"))
     return (
         ranked.where(F.col("rn") <= 500)
@@ -1215,11 +1228,13 @@ def a_spearman_corr(spark, sf_dir):
     2*avg_rank = 2*rank + ties - 1 (rank = 1 + count-below), so every
     moment (sums, cross-products) accumulates as BIGINT and is
     reorder-safe under 100 TB partial aggregation; the Pearson-on-ranks
-    closed form is scale-invariant so the doubling cancels. The two
-    global rank windows run over the AGGREGATED order axis (one row per
-    order); at extreme scale swap exact ranks for quantile-grid ranks
-    (the a_gini binned-Lorenz argument) without changing the estimate
-    materially.
+    closed form is scale-invariant so the doubling cancels. Round 10:
+    the doubled mid-rank depends only on each DISTINCT value's count c
+    and cumulative-before b (2·avg_rank = 2b + c + 1), so both rank
+    maps build on the distinct-value axes (cents cardinality saturates
+    at the price domain; line counts are single digits) and attach by
+    value-keyed equi-joins — no row-level global window anywhere; the
+    oracle's row-level rank()+count() form produces identical values.
     """
     orders, li = tables(spark, sf_dir, "orders", "lineitem")
     ax = (
@@ -1232,15 +1247,26 @@ def a_spearman_corr(spark, sf_dir):
             "n_lines",
         )
     )
-    rx2 = (
-        2 * F.rank().over(Window.orderBy("cents"))
-        + F.count("*").over(Window.partitionBy("cents")) - 1
+    def midrank2(col):
+        # 2*avg_rank per distinct value: rank()=b+1, ties=c -> 2b+c+1
+        byv = ax.groupBy(col).agg(F.count("*").cast("long").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return byv.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(f"{col}_r2"),
+        )
+
+    rk = (
+        ax.join(midrank2("cents"), "cents")
+        .join(midrank2("n_lines"), "n_lines")
+        .select(
+            F.col("cents_r2").alias("rx2"), F.col("n_lines_r2").alias("ry2")
+        )
     )
-    ry2 = (
-        2 * F.rank().over(Window.orderBy("n_lines"))
-        + F.count("*").over(Window.partitionBy("n_lines")) - 1
-    )
-    rk = ax.select(rx2.alias("rx2"), ry2.alias("ry2"))
     s = rk.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("rx2").alias("sx"), F.sum("ry2").alias("sy"),
@@ -7959,40 +7985,31 @@ def a_huber_mean(spark, sf_dir):
         ).alias("x"),
         "o_orderkey",
     ).cache()
-    wn = Window.orderBy("x", "o_orderkey")
-    ranked = base.select(
-        "x",
-        F.row_number().over(wn).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
-    med = ranked.agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("x")
-            )
-        ).alias("m")
+    # Median and MAD over the DISTINCT-VALUE cumulative axis (round 10):
+    # the value at rank k is the smallest distinct value whose cumulative
+    # count reaches k — the orderkey tiebreak picks a row, never a
+    # different value — so no row-level global sort; the partitionless
+    # cumulative window runs over value cardinality (price domain), and
+    # the oracle keeps the row-rank form with identical values.
+    tot = base.agg(F.count("*").cast("long").alias("n"))
+    byx = base.groupBy("x").agg(F.count("*").cast("long").alias("cnt"))
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cumx = byx.select("x", F.sum("cnt").over(wx).alias("cum"))
+    med = (
+        cumx.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.floor((F.col("n") + 1) / 2))
+        .agg(F.min("x").alias("m"))
     )
     dd = base.crossJoin(F.broadcast(med)).select(
-        F.abs(F.col("x") - F.col("m")).alias("d"), "o_orderkey"
+        F.abs(F.col("x") - F.col("m")).alias("d")
     )
-    wd = Window.orderBy("d", "o_orderkey")
+    byd = dd.groupBy("d").agg(F.count("*").cast("long").alias("cnt"))
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cumd = byd.select("d", F.sum("cnt").over(wd).alias("cum"))
     mad = (
-        dd.select(
-            "d",
-            F.row_number().over(wd).alias("rn"),
-            F.count("*").over(Window.partitionBy()).alias("n"),
-        )
-        .agg(
-            F.round(
-                F.max(
-                    F.when(
-                        F.col("rn") == F.floor((F.col("n") + 1) / 2),
-                        F.col("d"),
-                    )
-                ),
-                6,
-            ).alias("mad")
-        )
+        cumd.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.floor((F.col("n") + 1) / 2))
+        .agg(F.round(F.min("d"), 6).alias("mad"))
     )
     h = med.crossJoin(F.broadcast(mad)).select(
         F.round(F.col("m"), 6).alias("mu"),
@@ -9001,6 +9018,12 @@ def a_lognormal_fit(spark, sf_dir):
     Per-row ln snaps to a 1e-9 BIGINT before the sums (HUGEINT for
     Σl²), so the log moments are reduction-order-free; the empirical
     P99 is the usual rank order statistic with an orderkey tiebreak.
+    Round 10: the P99 runs over the DISTINCT-CENTS cumulative axis, not
+    a row-level global sort — the value at rank k is the smallest
+    distinct cents whose cumulative count reaches k (tiebreaks pick a
+    row, never a different value), so the only partitionless window is
+    over value cardinality, which saturates at the price domain. The
+    oracle keeps the row-rank form; values are identical.
     """
     orders = load_table(spark, sf_dir, "orders")
     x = orders.where(F.col("o_totalprice") > 0).select(
@@ -9020,22 +9043,13 @@ def a_lognormal_fit(spark, sf_dir):
         F.sum("l9").cast("long").alias("s"),
         F.sum(dec(F.col("l9")) * dec(F.col("l9"))).alias("q"),
     )
-    wn = Window.orderBy("cents", "o_orderkey")
+    byc = lns.groupBy("cents").agg(F.count("*").cast("long").alias("cnt"))
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byc.select("cents", F.sum("cnt").over(wc).alias("cum"))
     emp = (
-        lns.select(
-            "cents",
-            F.row_number().over(wn).alias("rn"),
-            F.count("*").over(Window.partitionBy()).alias("n"),
-        )
-        .agg(
-            F.max(
-                F.when(
-                    F.col("rn")
-                    == F.floor((F.col("n") * 99 + 99) / 100),
-                    F.col("cents"),
-                )
-            ).alias("p99c")
-        )
+        cum.crossJoin(F.broadcast(c.select("n")))
+        .where(F.col("cum") >= F.floor((F.col("n") * 99 + 99) / 100))
+        .agg(F.min("cents").alias("p99c"))
     )
     n = F.col("n")
     mu = F.col("s").cast("double") / 1e9 / n

@@ -454,10 +454,10 @@ def r_precision_at_k(spark, sf_dir):
     )
     hold = base.where(F.col("ok") % 5 == 0).select("user_id", "item_id").distinct()
     pop = train.groupBy("item_id").agg(F.sum("rating").alias("pop"))
-    wtop = Window.orderBy(F.col("pop").desc(), "item_id")
-    top20 = (
-        pop.withColumn("rn", F.row_number().over(wtop)).where(F.col("rn") <= 20).drop("rn")
-    )
+    # top-k from the item catalog via orderBy().limit -> TakeOrderedAndProject
+    # (per-partition heap, no single-task catalog-wide window; identical rows
+    # to the old rn<=20 row_number form under the same (pop desc, id) order)
+    top20 = pop.orderBy(F.col("pop").desc(), "item_id").limit(20)
     users = hold.select("user_id").distinct()
     cand = users.crossJoin(F.broadcast(top20)).join(
         train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
@@ -700,10 +700,10 @@ def _rank_eval_recs(spark, sf_dir, k: int):
     )
     hold = base.where(F.col("ok") % 5 == 0).select("user_id", "item_id").distinct()
     pop = train.groupBy("item_id").agg(F.sum("rating").alias("pop"))
-    wtop = Window.orderBy(F.col("pop").desc(), "item_id")
-    top20 = (
-        pop.withColumn("rn", F.row_number().over(wtop)).where(F.col("rn") <= 20).drop("rn")
-    )
+    # top-k from the item catalog via orderBy().limit -> TakeOrderedAndProject
+    # (per-partition heap, no single-task catalog-wide window; identical rows
+    # to the old rn<=20 row_number form under the same (pop desc, id) order)
+    top20 = pop.orderBy(F.col("pop").desc(), "item_id").limit(20)
     users = hold.select("user_id").distinct()
     cand = users.crossJoin(F.broadcast(top20)).join(
         train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
@@ -2402,12 +2402,8 @@ def r_map_at_k(spark, sf_dir):
     )
     hold = base.where(F.col("ok") % 5 == 0).select("user_id", "item_id").distinct()
     pop = train.groupBy("item_id").agg(F.sum("rating").alias("pop"))
-    w_top = Window.orderBy(F.col("pop").desc(), "item_id")
-    top20 = (
-        pop.withColumn("rn", F.row_number().over(w_top))
-        .where(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # TakeOrderedAndProject top-20 (see _rank_eval_recs: no catalog-wide window)
+    top20 = pop.orderBy(F.col("pop").desc(), "item_id").limit(20)
     users = hold.select("user_id").distinct()
     cand = (
         users.crossJoin(F.broadcast(top20))

@@ -51,11 +51,14 @@ def read_events_stream(spark, sf_dir):
 def run_to_memory(df, output_mode: str) -> str:
     """Run a streaming DataFrame to completion into a memory sink."""
     name = "snk_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="npc_ckpt_")
+    # expose for tools/scalecheck.py's state-size column (du of ckpt/state)
+    df.sparkSession.conf.set("spark.npc.lastStateCkpt", ckpt)
     q = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="npc_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -352,6 +355,9 @@ def st_stream_join_outer(spark, sf_dir):
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     feed_dir = tempfile.mkdtemp(prefix="npc_outer_feed_")
     ckpt = tempfile.mkdtemp(prefix="npc_outer_ckpt_")
+    # expose the checkpoint for state-size measurement (tools/scalecheck.py
+    # records du(ckpt/state) per ladder scale — round-9 verdict item 5)
+    spark.conf.set("spark.npc.lastStateCkpt", ckpt)
     # append-mode memory sinks cannot recover a checkpoint; the restartable
     # append sink is the FILE sink (exactly-once via its own commit log)
     out_dir = tempfile.mkdtemp(prefix="npc_outer_out_")
@@ -640,8 +646,10 @@ def st_rocksdb_state(spark, sf_dir):
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     feed_dir = tempfile.mkdtemp(prefix="npc_rocks_feed_")
     ckpt = tempfile.mkdtemp(prefix="npc_rocks_ckpt_")
-    # expose the checkpoint path for the artifact-level pytest
+    # expose the checkpoint path for the artifact-level pytest and for
+    # tools/scalecheck.py's state-size column
     spark.conf.set("spark.npc.lastRocksCkpt", ckpt)
+    spark.conf.set("spark.npc.lastStateCkpt", ckpt)
     name = "snk_rocks_" + uuid.uuid4().hex[:12]
     half_a = batch.where(F.col("event_id") % 2 == 0)
     half_b = batch.where(F.col("event_id") % 2 == 1)

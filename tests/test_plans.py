@@ -1514,3 +1514,46 @@ def test_fraud_rings_no_cartesian_and_bounded_iterations(spark):
     plan = _plan(spark, "q_fraud_rings")
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_partitionless_window_whitelist_hygiene(spark):
+    """Round-9 verdict item 4: the partitionless-window convention is a
+    TRIPWIRE now. Full-registry enforcement runs inside tools/check.py
+    (every sweep walks every key's executed plan and FAILS on an
+    unlisted partitionless window); this test keeps the whitelist and
+    the detector honest: (a) every whitelisted key must be registered
+    (no stale entries), (b) the detector must flag a known by-contract
+    global window (w_ntile) and stay silent on partitioned-window keys,
+    (c) every entry must carry an axis classification."""
+    from tools.plans import (
+        PARTITIONLESS_WINDOW_WHITELIST,
+        partitionless_windows,
+    )
+
+    stale = set(PARTITIONLESS_WINDOW_WHITELIST) - set(registry.QUERIES)
+    assert not stale, f"whitelisted but not registered: {sorted(stale)}"
+    for key, why in PARTITIONLESS_WINDOW_WHITELIST.items():
+        assert why.split(":")[0] in {
+            "bounded", "saturating", "catalog", "by-contract"
+        }, f"{key}: axis class missing in {why!r}"
+
+    hits = partitionless_windows(
+        registry.QUERIES["w_ntile"](spark, SF_SMALL)
+    )
+    assert hits, "detector missed w_ntile's global ntile window"
+
+    for key in ("w_topk_group", "w_sessionize", "j_lateral_topn"):
+        df = registry.QUERIES[key](spark, SF_SMALL)
+        assert not partitionless_windows(df), (
+            f"{key} shows a partitionless window; its windows are "
+            "supposed to be partitioned"
+        )
+
+
+def test_rank_stats_avoid_row_level_global_sort(spark):
+    """The round-10 rewrites: top-k order statistics must be
+    TakeOrderedAndProject (per-partition heap), not a catalog- or
+    fact-wide row_number window."""
+    for key in ("a_hill_tail", "r_precision_at_k", "r_mrr", "r_map_at_k",
+                "t_weighted_sample_aes"):
+        assert "TakeOrderedAndProject" in _plan(spark, key), key

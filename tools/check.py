@@ -26,6 +26,7 @@ import duckdb
 
 from npc_recommender_netflix_spark import registry
 from npc_recommender_netflix_spark.session import TABLES, build_session
+from tools.plans import PARTITIONLESS_WINDOW_WHITELIST, partitionless_windows
 
 registry.load_all()
 
@@ -109,6 +110,20 @@ def run_one(spark, con, key, sf_dir):
     srows = sdf.collect()
     scols = sdf.columns
     t_spark = time.time() - t0
+    # Partitionless-window tripwire (round-9 verdict item 4): an
+    # unpartitioned WindowExec sorts its whole input on ONE task, so any
+    # key running one must be in the documented bounded-axis whitelist.
+    # Streaming keys return batch DFs read from sinks (no window survives
+    # into the returned plan), so the walk is safe on every key.
+    if key not in PARTITIONLESS_WINDOW_WHITELIST and partitionless_windows(sdf):
+        return (
+            "FAIL",
+            len(srows),
+            ["partitionless window not in PARTITIONLESS_WINDOW_WHITELIST "
+             "(tools/plans.py) — document the bounded axis or partition it"],
+            t_spark,
+            None,
+        )
     if key not in registry.ORACLE:
         return ("ROWS-ONLY", len(srows), None, t_spark, None)
     t0 = time.time()

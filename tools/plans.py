@@ -43,7 +43,180 @@ def shape_summary(plan: str) -> str:
     )
 
 
+def partitionless_windows(df) -> list[str]:
+    """Physical Window-family nodes in df's executed plan whose PARTITION
+    BY is empty (round-9 verdict item 4: such a window sorts the WHOLE
+    input on one task — O(data) state — unless the axis feeding it is a
+    bounded aggregate; this helper turns that convention into a tripwire).
+
+    Walks the JVM plan tree via py4j (AQE top nodes are unwrapped through
+    .executedPlan()) and returns the node class names found, e.g.
+    ['WindowExec']. String-parsing the plan is NOT reliable here — the
+    partition spec is interleaved inside windowspecdefinition(...) — so we
+    ask each node's partitionSpec() directly."""
+    hits: list[str] = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if "Window" in cls and node.partitionSpec().isEmpty():
+            hits.append(cls)
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        elif cls.endswith("QueryStageExec"):
+            # post-execution AQE wraps materialized stages in
+            # QueryStageExec whose children() is EMPTY — the subtree
+            # (where WindowExec nodes live) hangs off .plan() instead
+            walk(node.plan())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return hits
+
+
+# Keys ALLOWED to run a partitionless window (round-9 verdict item 4: the
+# convention became a tripwire). Every entry documents the window's input
+# axis and why it is not O(fact rows); the numbers are MEASURED window
+# input rows at sf0.001 -> sf0.01 (10x the fact data), read from each
+# WindowExec's first descendant numOutputRows metric. Axis classes:
+#   bounded     — fixed-cardinality axis (days, brands, query tokens, k)
+#   saturating  — distinct-VALUE axis: grows until the value/time-bucket
+#                 domain saturates, then flat (measured sub-linear)
+#   catalog     — one row per aggregated entity (part/customer), orders of
+#                 magnitude under the fact table; the documented scale
+#                 path is a quantile-grid / range-bucket variant
+#   by-contract — the operator's SEMANTIC is a global total order (ntile
+#                 surface, id-gap audit, concurrency sweep, skyline); the
+#                 docstring documents the production decomposition
+# tools/check.py fails the full sweep on any partitionless window found
+# outside this list; tests/test_plans.py keeps the list honest (registered
+# keys only + spot checks both ways). Inventory: tools/plans.py --windows.
+PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
+    # --- bounded axes ---
+    "a_bh_fdr": "bounded: 5 hypothesis rows (5->5)",
+    "a_cramers_v": "bounded: event_type x dow contingency cells (35->35)",
+    "a_cross_correlation": "bounded: 30-day daily series (30->30)",
+    "a_dunn_test": "bounded: group/pair axes (10/150 flat)",
+    "a_hdr_histogram": "bounded: log2 bucket axis (9->10)",
+    "a_kruskal_wallis": "bounded: day x group cells (150->150)",
+    "a_period_detect": "bounded: 30-day series x lag grid (30->30)",
+    "a_runs_test": "bounded: 30-day daily series (30->30)",
+    "a_wilcoxon_signed_rank": "bounded: 30 paired days (30->30)",
+    "q_growth_accounting": "bounded: 30-day axis (30->30)",
+    "q_pareto_brands": "bounded: 25 brands (25->25)",
+    "r_epsilon_slate": "bounded: item_id<200 catalog cap (200->200)",
+    "r_rank_fusion": "bounded: item_id<200 catalog cap (200->200)",
+    "t_mix_temperature": "bounded: 20 sources (20->20)",
+    "t_vocab_coverage": "bounded: vocab-size grid (31->31)",
+    "t_weighted_sample_aes": "bounded: rank over the already-limited "
+    "top-200 TakeOrdered result (500-doc fixture; k-bounded by plan)",
+    "v_maxsim": "bounded: |Q| query tokens (10->10)",
+    "v_maxsim_pruned": "bounded: |Q| query tokens (10->10)",
+    "w_conformal_interval": "bounded: 30-day calibration axis (30/13 flat)",
+    "w_max_drawdown": "bounded: 30-day daily equity curve (30->30)",
+    "w_peak_days": "bounded: 30-day axis (30->30)",
+    "w_rolling_corr": "bounded: 30-day axis (30->30)",
+    "w_rolling_origin_backtest": "bounded: 30-day axis (30->30)",
+    "w_seasonal_naive_mape": "bounded: 30-day axis (30->30)",
+    "w_seasonality": "bounded: 12 months (12->12)",
+    "w_underwater_duration": "bounded: 30-day axis (30->30)",
+    "a_hill_tail": "bounded: rank over the already-limited top-501 "
+    "TakeOrdered result (k-bounded by plan; fixed round 10)",
+    # --- saturating distinct-value axes ---
+    "a_ks_drift": "saturating: distinct value-cents (385->3270, "
+    "saturates at the price domain)",
+    "a_mann_whitney": "saturating: distinct value-cents (385->3270)",
+    "a_gini": "saturating: distinct spend-cents cumulative "
+    "(fixed round 10 from the customer axis)",
+    "a_huber_mean": "saturating: distinct price/deviation values "
+    "(fixed round 10 from row-level rank)",
+    "a_lognormal_fit": "saturating: distinct price-cents cumulative "
+    "(fixed round 10 from row-level rank; moments were already agg-only)",
+    "a_spearman_corr": "saturating: distinct cents / n_lines mid-rank "
+    "maps (fixed round 10 from row-level rank windows)",
+    "a_record_test": "saturating: distinct time buckets (1094->2399 "
+    "for 10x rows)",
+    "a_ljung_box": "saturating: distinct time buckets (1094->2399)",
+    "a_theil_sen": "saturating: distinct time buckets (1094->2399)",
+    "a_ar2_yule_walker": "saturating: distinct time buckets (1094->2399)",
+    "a_hurst_exponent": "saturating: distinct time buckets (1094->2399)",
+    "w_rsi": "saturating: distinct time buckets (1094->2399)",
+    "w_burn_rate": "saturating: SLO-window buckets (531->720)",
+    "q_running_backlog": "saturating: open-day axis (1638->2499)",
+    "q_hazard_curve": "saturating: distinct lifetime days (18->26)",
+    "q_kaplan_meier": "saturating: distinct event days (89->653, "
+    "bounded by the observation horizon)",
+    "q_weibull_fit": "saturating: distinct lifetime days (98->1020, "
+    "bounded by the observation horizon)",
+    "a_heavy_hitters": "saturating: CMS-estimated candidate values "
+    "(200->891, sketch-bounded)",
+    "r_ppr": "saturating: touched-node frontier (200->500, "
+    "graph-neighborhood bounded)",
+    # --- catalog axes (one row per aggregated entity) ---
+    "q_abc_analysis": "catalog: one row per part (200->2000); ABC "
+    "classes ARE a catalog-wide revenue rank by semantics",
+    "q_abc_xyz_matrix": "catalog: one row per part (200->2000)",
+    "q_skyline_parts": "catalog: one row per part (200->2000)",
+    "q_rfm_segments": "catalog: one row per customer (150->1500); "
+    "quintile cuts with id tiebreak; scale path = quantile-grid strata",
+    "w_ltv_deciles": "catalog: one row per customer (150->1500)",
+    "a_propensity_strata": "catalog: one row per user (15->150); "
+    "deterministic ntile(5) strata; scale path = quantile-grid strata",
+    # (r_precision_at_k / r_mrr / r_ndcg / r_map_at_k carried a
+    # catalog-wide top-20 popularity window here until round 10; their
+    # pool is TakeOrderedAndProject now and the remaining slate windows
+    # are user-partitioned, so they need no whitelist entry.)
+    "r_ucb_scores": "catalog: item_id<200 arm census (200->2000 "
+    "includes the day-grid explode; arm axis capped)",
+    "t_novelty_curve": "catalog: one row per document (500 fixture); "
+    "ingest-decile ntile; scale path = id-range buckets",
+    "s_prefix_compression": "catalog: one row per key-prefix group "
+    "(150->1500); the sorted-layout DEMO is the operator's subject",
+    # --- by-contract global total orders ---
+    "w_ntile": "by-contract: the operator IS the global ntile surface "
+    "(1500->15000 order rows); scale path = percent_rank over the "
+    "distinct-value cumulative or range-partitioned sort",
+    "q_id_gaps": "by-contract: id-sequence gap audit needs the total "
+    "id order (1484->14845 distinct ids); scale path = range-bucketed "
+    "lag with boundary merge",
+    "q_peak_concurrency": "by-contract: global running concurrency "
+    "sweep (946->9549 endpoints); scale path = per-day partition with "
+    "day-boundary carry-in",
+    "q_skyline_orders": "by-contract: Pareto frontier sweep over the "
+    "dominance-sorted candidates (120->1385 after pre-pruning)",
+}
+
+
+def window_inventory(spark, sf_dir: str, keys=None) -> dict[str, list[str]]:
+    """Run partitionless_windows over every registered key (streaming st_*
+    keys excluded: their plans are runtime-decided micro-batch plans, and
+    building them spins up the streaming engine per key). Returns only the
+    keys with at least one hit."""
+    out: dict[str, list[str]] = {}
+    for k in keys or sorted(registry.QUERIES):
+        if k.startswith("st_"):
+            continue
+        df = registry.QUERIES[k](spark, sf_dir)
+        hits = partitionless_windows(df)
+        if hits:
+            out[k] = hits
+        spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--windows"]:
+        spark = build_session(app="npc-windowcheck")
+        sf = os.environ.get("SPARK_GRAFT_WINDOW_SF", "/root/testdata/sf0.001")
+        inv = window_inventory(spark, sf, keys=sys.argv[2:] or None)
+        for k, hits in sorted(inv.items()):
+            mark = "" if k in PARTITIONLESS_WINDOW_WHITELIST else "  <-- NOT WHITELISTED"
+            print(f"{k}: {hits}{mark}")
+        missing = sorted(set(inv) - set(PARTITIONLESS_WINDOW_WHITELIST))
+        print(f"\n{len(inv)} keys with partitionless windows; "
+              f"{len(missing)} not whitelisted: {missing}")
+        sys.exit(1 if missing else 0)
     keys = sys.argv[1:] or None
     spark = build_session(app="npc-plans")
     try:

@@ -81,6 +81,10 @@ LINEAR_KEYS = {
     "t_novelty_curve": "documents",  # gram first-seen aggregate
     "v_semantic_dedup_capped": "embeddings",  # rank-window cap: <=8N pairs
     "t_containment_neardup": "documents",  # same df<=64 posting cap, directed
+    "t_symspell_join": "documents",  # round 10: deletion-variant equi-join;
+    # candidates = variant postings, levenshtein verifies candidates only
+    "t_source_overlap": "documents",  # round 10: gram-digest equi-join with
+    # a<b canonicalization; work ∝ shared-gram postings, top-20 output
     "m_zip_archive_extract": "documents",  # Arrow synth+decode, no payload shuffle
     "t_naive_bayes_lid": "documents",      # word-keyed fit + vocab-grid scoring
     "t_readability": "documents",          # three regexp counts, one scan
@@ -118,6 +122,13 @@ RELATIONAL_LINEAR_KEYS = {
     "s_merge_upsert": "lineitem",         # MERGE full-outer shuffle on the key
     "a_logistic_irls": "lineitem",        # GLM IRLS: 4 bounded-cell passes
     "t_hard_negatives": "documents",      # df<=64-capped posting join + top-5
+    "r_adamic_adar": "lineitem",  # round 10: user-keyed item-pair self-join
+    # on the item_id<200 ratings matrix — baskets dedup to <=200 rows/user,
+    # so pair work is <=200^2/2 per user even for the ladder's power users
+    "j_grid_knn": "customer",  # round 10: 9-cell neighborhood equi-join;
+    # candidates = cell occupancy (density-bound); supplier dim is FIXED on
+    # the ladder, so candidate density per customer actually thins as the
+    # grid fills with customers only — wall should track the customer scan
 }
 # iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
 # dup-chain-bounded propagation (t_dup_clusters) — linear PER ITERATION
@@ -145,6 +156,15 @@ EVENTS_LINEAR_KEYS = {
     # availableNow micro-batch run per measurement; wall includes the
     # fixed streaming-runtime startup, so the signal is that the
     # per-event slope stays flat while the engine replays 30x the input
+    # round 10 (verdict item 5): the stream-stream outer join and the
+    # RocksDB-provider restart, with the state-store checkpoint SIZE
+    # measured per scale (the keys expose spark.npc.lastStateCkpt; run()
+    # du's its state/ dir after each measurement — state is the resource
+    # that kills streaming jobs at 100 TB, so it gets its own column)
+    "st_stream_join_outer": "events",  # join state keyed by user_id,
+    # watermark-bounded to the 10-min horizon per side
+    "st_rocksdb_state": "events",  # 3-group running agg: state O(groups),
+    # the measured point is that RocksDB checkpoint size stays flat
 }
 ITERATIVE_KEYS = {
     "r_pagerank": "lineitem",
@@ -534,12 +554,30 @@ def run(dirs: dict[str, str], only: list[str] | None = None) -> dict:
                 if table == "events"
                 else BASE_ORDERS * dm
                 if table == "orders"
+                else BASE_ORDERS // 10 * dm
+                if table == "customer"
                 else BASE_ORDERS * 4 * dm  # lineitem: ~4 lines/order
             )
+            if key.startswith("st_"):
+                # stale path from a previous key must not be re-measured
+                try:
+                    spark.conf.unset("spark.npc.lastStateCkpt")
+                except Exception:
+                    pass
             before = _shuffle_written(spark)
             t0 = time.time()
             n_out = fn(spark, sf_dir).count()
             wall = time.time() - t0
+            state_bytes = None
+            if key.startswith("st_"):
+                ckpt = spark.conf.get("spark.npc.lastStateCkpt", None)
+                state_dir = os.path.join(ckpt, "state") if ckpt else ""
+                if os.path.isdir(state_dir):
+                    state_bytes = sum(
+                        os.path.getsize(os.path.join(r, f))
+                        for r, _dd, fs in os.walk(state_dir)
+                        for f in fs
+                    )
             _drain_listeners(spark)
             after = _shuffle_written(spark)
             # AppStatusStore caps retained stages; a long multi-stage run
@@ -556,6 +594,8 @@ def run(dirs: dict[str, str], only: list[str] | None = None) -> dict:
                 "wall_sec": round(wall, 3),
                 "shuffle_bytes": delta if delta is None or delta >= 0 else None,
             }
+            if state_bytes is not None:
+                results[key]["runs"][name]["state_bytes"] = state_bytes
             print(
                 f"{name:4s} {key:28s} in={rows_in:<7d} out={n_out:<8d} "
                 f"{wall:6.2f}s shuffle={results[key]['runs'][name]['shuffle_bytes']}",
@@ -566,10 +606,17 @@ def run(dirs: dict[str, str], only: list[str] | None = None) -> dict:
 
 
 def report(results: dict) -> str:
+    def _human(n):
+        for unit in ("B", "KB", "MB", "GB"):
+            if n < 1024 or unit == "GB":
+                return f"{n:.0f}{unit}" if unit == "B" else f"{n:.1f}{unit}"
+            n /= 1024
+
     lines = [
         "| key | claim | 1x wall | 10x wall | 30x wall | 10x cost/row "
-        "| 30x cost/row | 30x cost/out-row | out 30x/1x | shuffle 30x/1x |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| 30x cost/row | 30x cost/out-row | out 30x/1x | shuffle 30x/1x "
+        "| state 1x→30x |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for key in sorted(results):
         r = results[key]["runs"]
@@ -591,10 +638,17 @@ def report(results: dict) -> str:
             if s1 is not None and s30 is not None
             else "n/a (evicted)"
         )
+        st1 = r["x1"].get("state_bytes")
+        st30 = r["x30"].get("state_bytes")
+        state = (
+            f"{_human(st1)}→{_human(st30)}"
+            if st1 is not None and st30 is not None
+            else "n/a"
+        )
         lines.append(
             f"| `{key}` | {results[key]['claim']} | {w1:.2f}s | {w10:.2f}s "
             f"| {w30:.2f}s | {c10:.2f}x | {c30:.2f}x | {cout} "
-            f"| {o30 / max(o1, 1):.1f}x | {sratio} |"
+            f"| {o30 / max(o1, 1):.1f}x | {sratio} | {state} |"
         )
     return "\n".join(lines)
 
