@@ -3633,6 +3633,310 @@ def v_nsw_greedy(spark, sf_dir):
     )
 
 
+_HNSW_HOP_SQL = """
+    {next} AS (
+        SELECT query_id, cand AS cur FROM (
+            SELECT x.query_id, x.cand,
+                   row_number() OVER (PARTITION BY x.query_id
+                                      ORDER BY p.cos DESC, x.cand) AS rn
+            FROM (
+                SELECT h.query_id, a.dst AS cand
+                FROM {cur} h JOIN {adj} a ON a.src = h.cur
+                UNION ALL
+                SELECT query_id, cur FROM {cur}
+            ) x
+            JOIN qcos p ON p.query_id = x.query_id AND p.cand_id = x.cand
+        ) WHERE rn = 1
+    )
+"""
+
+_HNSW_TOP_NBITS_SQL = (
+    "LEAST(16, GREATEST(4, CAST(CEIL(LOG2(count(*)) - 1e-9) AS INTEGER)))"
+)
+
+_HNSW_TOP_BANDS_SQL = "\n        UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band,"
+    f" {_sign_bucket_wide_sql(b, 16)}"
+    " % (CAST(1 AS BIGINT) << params_top.nbits) AS bucket"
+    " FROM embeddings CROSS JOIN params_top WHERE vec_id % 16 = 0"
+    for b in range(4)
+)
+
+
+@register(
+    "v_hnsw_layered",
+    f"""
+    WITH params AS (SELECT {_LSH_NBITS_SQL} AS nbits FROM embeddings),
+    params_top AS (
+        SELECT {_HNSW_TOP_NBITS_SQL} AS nbits
+        FROM embeddings WHERE vec_id % 16 = 0
+    ),
+    bands AS (
+        {_NSW_BANDS_SQL}
+    ),
+    bands_top AS (
+        {_HNSW_TOP_BANDS_SQL}
+    ),
+    cand AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    cand_top AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM bands_top a JOIN bands_top b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    cosd AS (
+        SELECT c.src, c.dst,
+               round({_DUCK_DOT.format(a='e1.embedding', b='e2.embedding')}
+                     / ({_DUCK_NRM.format(a='e1.embedding')}
+                        * {_DUCK_NRM.format(a='e2.embedding')}), 6) + 0
+                   AS cos
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.src
+        JOIN embeddings e2 ON e2.vec_id = c.dst
+    ),
+    cosd_top AS (
+        SELECT c.src, c.dst,
+               round({_DUCK_DOT.format(a='e1.embedding', b='e2.embedding')}
+                     / ({_DUCK_NRM.format(a='e1.embedding')}
+                        * {_DUCK_NRM.format(a='e2.embedding')}), 6) + 0
+                   AS cos
+        FROM cand_top c
+        JOIN embeddings e1 ON e1.vec_id = c.src
+        JOIN embeddings e2 ON e2.vec_id = c.dst
+    ),
+    adj AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cos DESC, dst) AS rn
+            FROM cosd
+        ) WHERE rn <= 8
+    ),
+    adj_top AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cos DESC, dst) AS rn
+            FROM cosd_top
+        ) WHERE rn <= 4
+    ),
+    qcos AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+                     / ({_DUCK_NRM.format(a='q.embedding')}
+                        * {_DUCK_NRM.format(a='c.embedding')}), 6) + 0
+                   AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN (0, 1, 2)
+    ),
+    h0t AS (
+        SELECT DISTINCT query_id, CAST(16 AS BIGINT) AS cur FROM qcos
+    ),
+    {_HNSW_HOP_SQL.format(adj='adj_top', cur='h0t', next='h1t')},
+    {_HNSW_HOP_SQL.format(adj='adj_top', cur='h1t', next='h2t')},
+    h0 AS (SELECT query_id, cur FROM h2t),
+    {_HNSW_HOP_SQL.format(adj='adj', cur='h0', next='h1')},
+    {_HNSW_HOP_SQL.format(adj='adj', cur='h1', next='h2')},
+    {_HNSW_HOP_SQL.format(adj='adj', cur='h2', next='h3')},
+    ranks AS (
+        SELECT query_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, cand_id)
+                    AS BIGINT) AS true_rank
+        FROM qcos
+    )
+    SELECT h3.query_id,
+           CAST(d.cur AS BIGINT) AS drop_id,
+           CAST(h3.cur AS BIGINT) AS found_id,
+           r.cos AS found_cos, r.true_rank
+    FROM h3
+    JOIN h2t d ON d.query_id = h3.query_id
+    JOIN ranks r ON r.query_id = h3.query_id AND r.cand_id = h3.cur
+    ORDER BY h3.query_id
+    """,
+)
+def v_hnsw_layered(spark, sf_dir):
+    """HIERARCHICAL navigable-small-world ANN (round 10) — the layered
+    tier above v_nsw_greedy's flat graph, the structure HNSW-family
+    engines actually ship: a sparse UPPER layer (every 16th vector —
+    the deterministic stand-in for HNSW's geometric level draw) with
+    its own degree-4 kNN graph routes the query COARSELY in 2 greedy
+    hops from a fixed entry point, then the walk drops to the full
+    degree-8 base graph for 3 fine hops. The upper layer's job is
+    entry-point selection: a flat NSW walk from a fixed entry pays its
+    first hops crossing the space, the hierarchy pays them on a graph
+    1/16th the size.
+
+    Both layers build their candidate graphs with the corpus-adaptive
+    band rule, each sized to ITS OWN node count computed in-plan:
+    nbits = clamp(ceil(log2 N), 4, 16) for the base layer over all N
+    vectors, and clamp(ceil(log2 N/16), 4, 16) for the upper layer —
+    the rule, applied twice, keeps BOTH builds' random collisions O(layer
+    size) (the round-10 v_nsw_greedy fix, measured linear on the
+    SCALECHECK ladder). Per-node degree caps are one WindowGroupLimit
+    per layer; each greedy hop is one frontier-to-adjacency equi-join +
+    argmax on 6dp-snapped cosines (cand-id tiebreak), identical on both
+    engines; the oracle unrolls layers and hops as CTEs. Output keeps
+    the honesty columns: the layer-drop node (drop_id) and the TRUE
+    brute-force rank of the final answer, so the hierarchy's routing
+    quality is measured, not asserted.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def layer_adj(sub, degree):
+        """Degree-capped kNN adjacency from corpus-adaptive sign bands,
+        band width computed from THIS layer's node count."""
+        params = sub.agg(
+            F.least(
+                F.lit(16),
+                F.greatest(
+                    F.lit(4), F.ceil(F.log2(F.count(F.lit(1))) - 1e-9)
+                ),
+            )
+            .cast("int")
+            .alias("nbits")
+        )
+        band_struct = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        _sign_bucket_wide_sql(
+                            b, 16, elem="element_at(embedding, {i})"
+                        )
+                        + " % (CAST(1 AS BIGINT) << nbits)"
+                    ).alias("bucket"),
+                )
+                for b in range(4)
+            ]
+        )
+        bands = (
+            sub.crossJoin(F.broadcast(params))
+            .select("vec_id", F.explode(band_struct).alias("bb"))
+            .select(
+                "vec_id",
+                F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"),
+            )
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"),
+            )
+            .distinct()
+        )
+        e1 = sub.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("ea"),
+            F.expr(_NRM.format(a="embedding")).alias("na"),
+        )
+        e2 = sub.select(
+            F.col("vec_id").alias("dst"),
+            F.col("embedding").alias("eb"),
+            F.expr(_NRM.format(a="embedding")).alias("nb"),
+        )
+        cosd = (
+            cand.join(e1, "src")
+            .join(e2, "dst")
+            .select(
+                "src",
+                "dst",
+                f6(
+                    F.expr(_DOT.format(a="ea", b="eb"))
+                    / (F.col("na") * F.col("nb"))
+                ).alias("cos"),
+            )
+        )
+        wadj = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+        return (
+            cosd.withColumn("rn", F.row_number().over(wadj))
+            .where(F.col("rn") <= degree)
+            .select("src", "dst")
+            .cache()
+        )
+
+    adj = layer_adj(emb, 8)
+    adj_top = layer_adj(emb.where(F.col("vec_id") % 16 == 0), 4)
+    qcos = (
+        _cos_pairs(spark, sf_dir, F.col("vec_id").isin(0, 1, 2))
+        .select("query_id", "cand_id", "cos")
+        .cache()
+    )
+
+    def greedy_hops(cur, graph, n_hops):
+        for _ in range(n_hops):
+            neigh = cur.join(graph, cur.cur == graph.src).select(
+                "query_id", F.col("dst").alias("cand")
+            )
+            stay = cur.select("query_id", F.col("cur").alias("cand"))
+            cands = neigh.unionByName(stay)
+            scored = cands.join(
+                qcos,
+                (cands.query_id == qcos.query_id)
+                & (cands.cand == qcos.cand_id),
+            ).select(cands.query_id, "cand", "cos")
+            wpick = Window.partitionBy("query_id").orderBy(
+                F.col("cos").desc(), "cand"
+            )
+            cur = (
+                scored.withColumn("rn", F.row_number().over(wpick))
+                .where(F.col("rn") == 1)
+                .select("query_id", F.col("cand").alias("cur"))
+            )
+        return cur
+
+    entry = qcos.select("query_id").distinct().select(
+        "query_id", F.lit(16).cast("long").alias("cur")
+    )
+    drop = greedy_hops(entry, adj_top, 2)
+    final = greedy_hops(drop, adj, 3)
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "cand_id"
+    )
+    ranks = qcos.select(
+        "query_id",
+        "cand_id",
+        "cos",
+        F.row_number().over(wrank).cast("long").alias("true_rank"),
+    )
+    d = drop.select(
+        F.col("query_id").alias("d_qid"), F.col("cur").alias("drop_id")
+    )
+    return (
+        final.join(d, final.query_id == d.d_qid)
+        .join(
+            ranks,
+            (final.query_id == ranks.query_id)
+            & (final.cur == ranks.cand_id),
+        )
+        .select(
+            final.query_id,
+            F.col("drop_id").cast("long").alias("drop_id"),
+            F.col("cur").cast("long").alias("found_id"),
+            F.col("cos").alias("found_cos"),
+            "true_rank",
+        )
+        .orderBy("query_id")
+    )
+
+
 @register(
     "v_silhouette",
     """

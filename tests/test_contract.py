@@ -106,8 +106,9 @@ def test_never_banked_first_refronts_failed_keys(tmp_path):
     """The driver-sample ordering must treat a key whose LATEST record is
     a FAIL as unbanked (front of queue), count rows-only records
     (err='no_oracle' with a spark row count) as passes, prefer the most
-    recent round's verdict, and front st_* keys within the unbanked set
-    — the round-9 re-banking mechanism (__spark_entry__._never_banked_first)."""
+    recent round's verdict, and front q_* keys within the unbanked set
+    (round 10's thinnest-evidenced family; round 9 fronted st_*) — the
+    re-banking mechanism (__spark_entry__._never_banked_first)."""
     import json
 
     import __spark_entry__ as mod
@@ -127,10 +128,10 @@ def test_never_banked_first_refronts_failed_keys(tmp_path):
                     "b_flipper": rec_fail})
     )
     keys = ["a_pass", "b_flipper", "c_fail", "d_rows_only",
-            "st_never", "z_never"]
+            "q_never", "z_never"]
     got = mod._never_banked_first(keys, artifacts_dir=str(tmp_path))
-    # unbanked (st_ first, then alphabetical): st_never, then b_flipper
+    # unbanked (q_ first, then alphabetical): q_never, then b_flipper
     # (latest record r02 = FAIL overrides r01 pass), c_fail, z_never;
     # banked last: a_pass (hash pass), d_rows_only (rows-only pass)
-    assert got == ["st_never", "b_flipper", "c_fail", "z_never",
+    assert got == ["q_never", "b_flipper", "c_fail", "z_never",
                    "a_pass", "d_rows_only"]

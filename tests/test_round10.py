@@ -1,0 +1,52 @@
+"""Round-10 operators: semantic checks beyond the DuckDB oracle hash."""
+
+from pyspark.sql import functions as F
+
+from npc_recommender_netflix_spark import registry
+from tests.conftest import SF_SMALL
+
+
+def test_hnsw_layered_walk_monotone_and_layer_consistent(spark):
+    """v_hnsw_layered's greedy walk keeps the current node among every
+    hop's candidates, so the final cosine can never be WORSE than the
+    fixed entry point's (vec 16) cosine to the query; the layer-drop
+    node must be an UPPER-layer node (vec_id % 16 == 0); and the final
+    answer can also never be worse than the drop node (the base walk
+    starts there). true_rank must be consistent with found_cos."""
+    rows = registry.QUERIES["v_hnsw_layered"](spark, SF_SMALL).collect()
+    assert len(rows) == 3
+
+    from npc_recommender_netflix_spark.llm.vectors import _cos_pairs
+
+    all_cos = {
+        (r["query_id"], r["cand_id"]): r["cos"]
+        for r in _cos_pairs(
+            spark, SF_SMALL, F.col("vec_id").isin(0, 1, 2)
+        ).collect()
+    }
+    for r in rows:
+        q = r["query_id"]
+        assert r["drop_id"] % 16 == 0, "drop node must be upper-layer"
+        assert r["found_cos"] >= all_cos[(q, 16)] - 1e-9, "worse than entry"
+        assert r["found_cos"] >= all_cos[(q, r["drop_id"])] - 1e-9, (
+            "base walk ended below its own start"
+        )
+        assert abs(all_cos[(q, r["found_id"])] - r["found_cos"]) < 1e-9
+        better = sum(
+            1
+            for (qq, _c), v in all_cos.items()
+            if qq == q and (v > r["found_cos"] + 1e-12)
+        )
+        # true_rank = 1 + #strictly-better + ties-before (id tiebreak);
+        # lower bound by strictly-better count keeps the check
+        # tie-robust without replaying the exact tiebreak.
+        assert r["true_rank"] >= better + 1
+
+
+def test_hnsw_upper_graph_is_upper_only(spark):
+    """The upper-layer construction must survive into the physical plan:
+    the % 16 layer filter feeds both sides of the upper candidate join
+    and each layer's degree cap is the WindowGroupLimit rewrite."""
+    df = registry.QUERIES["v_hnsw_layered"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "% 16" in plan and "WindowGroupLimit" in plan
