@@ -88,6 +88,8 @@ HEADLINE = [
     "r_shortest_path",       # round 7: iterative BFS frontier joins
     "t_simhash_pairs",       # round 9: corpus-adaptive banded SimHash pairs
     "v_maxsim",              # round 9: ColBERT-style late-interaction top-10
+    "v_nsw_greedy",          # round 10: flat NSW walk, adaptive-band build
+    "v_hnsw_layered",        # round 10: hierarchical NSW, per-layer bands
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -71,6 +71,8 @@ LINEAR_KEYS = {
     "v_nsw_greedy": "embeddings",  # round 10: graph build now uses the SAME
     # nbits=ceil(log2 N) masked 4x16-bit bands (was fixed 8x8 bits ->
     # measured 255x shuffle at 15x; adaptive mask restores a linear build)
+    "v_hnsw_layered": "embeddings",  # round 10: both layer builds apply the
+    # adaptive rule sized to their own node count; walk cost is O(hops)
     "t_simhash_pairs": "documents",  # 3 bands x ceil(log2 N) bits, 60-bit hash
     "v_maxsim": "embeddings",  # late interaction: broadcast |Q|, one token scan
     "t_tfidf": "documents",    # word-keyed df join + per-doc tf agg
