@@ -127,14 +127,17 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_ks_drift": "saturating: distinct value-cents (385->3270, "
     "saturates at the price domain)",
     "a_mann_whitney": "saturating: distinct value-cents (385->3270)",
-    "a_gini": "saturating: distinct spend-cents cumulative "
-    "(fixed round 10 from the customer axis)",
-    "a_huber_mean": "saturating: distinct price/deviation values "
-    "(fixed round 10 from row-level rank)",
+    "a_gini": "saturating: distinct spend-cents cumulative (fixed round "
+    "10 from the customer axis; ~N until the cents domain saturates ~5e7 "
+    "— beyond that the scale path is range-partitioned prefix sums)",
+    "a_huber_mean": "saturating: distinct price/deviation values (fixed "
+    "round 10 from row-level rank; ~N until the price domain saturates)",
     "a_lognormal_fit": "saturating: distinct price-cents cumulative "
-    "(fixed round 10 from row-level rank; moments were already agg-only)",
+    "(fixed round 10; moments were already agg-only; ~N until the price "
+    "domain saturates)",
     "a_spearman_corr": "saturating: distinct cents / n_lines mid-rank "
-    "maps (fixed round 10 from row-level rank windows)",
+    "maps (fixed round 10; cents map ~N until the price domain "
+    "saturates, n_lines map is single-digit)",
     "a_record_test": "saturating: distinct time buckets (1094->2399 "
     "for 10x rows)",
     "a_ljung_box": "saturating: distinct time buckets (1094->2399)",
