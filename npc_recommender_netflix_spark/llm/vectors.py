@@ -3937,6 +3937,236 @@ def v_hnsw_layered(spark, sf_dir):
     )
 
 
+_MMR_REL6 = (
+    "CAST(round(round({dot} / ({na} * {nb}), 6) * 1e6) AS BIGINT)"
+)
+
+
+@register(
+    "v_rerank_mmr",
+    f"""
+    WITH qcos AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_MMR_REL6.format(
+                   dot=_DUCK_DOT.format(a='q.embedding', b='c.embedding'),
+                   na=_DUCK_NRM.format(a='q.embedding'),
+                   nb=_DUCK_NRM.format(a='c.embedding'))} AS rel6
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN (0, 1, 2)
+    ),
+    t8 AS (
+        SELECT query_id, cand_id, rel6 FROM (
+            SELECT query_id, cand_id, rel6,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel6 DESC, cand_id) AS rn
+            FROM qcos
+        ) WHERE rn <= 8
+    ),
+    sims AS (
+        SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+               {_MMR_REL6.format(
+                   dot=_DUCK_DOT.format(a='e1.embedding', b='e2.embedding'),
+                   na=_DUCK_NRM.format(a='e1.embedding'),
+                   nb=_DUCK_NRM.format(a='e2.embedding'))} AS sim6
+        FROM t8 a
+        JOIN t8 b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+        JOIN embeddings e1 ON e1.vec_id = a.cand_id
+        JOIN embeddings e2 ON e2.vec_id = b.cand_id
+    ),
+    p1 AS (
+        SELECT query_id, cand_id, rel6, 7 * rel6 AS score7 FROM (
+            SELECT query_id, cand_id, rel6,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel6 DESC, cand_id) AS rn
+            FROM t8
+        ) WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, cand_id FROM p1),
+    r2 AS (
+        SELECT t.query_id, t.cand_id, t.rel6,
+               7 * t.rel6 - 3 * max(s.sim6) AS score7
+        FROM t8 t
+        JOIN sims s ON s.query_id = t.query_id AND s.ca = t.cand_id
+        JOIN sel1 g ON g.query_id = s.query_id AND g.cand_id = s.cb
+        WHERE NOT EXISTS (SELECT 1 FROM sel1 z
+                          WHERE z.query_id = t.query_id
+                            AND z.cand_id = t.cand_id)
+        GROUP BY t.query_id, t.cand_id, t.rel6
+    ),
+    p2 AS (
+        SELECT query_id, cand_id, rel6, score7 FROM (
+            SELECT r2.*,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score7 DESC, cand_id) AS rn
+            FROM r2
+        ) WHERE rn = 1
+    ),
+    sel2 AS (SELECT query_id, cand_id FROM sel1
+             UNION ALL SELECT query_id, cand_id FROM p2),
+    r3 AS (
+        SELECT t.query_id, t.cand_id, t.rel6,
+               7 * t.rel6 - 3 * max(s.sim6) AS score7
+        FROM t8 t
+        JOIN sims s ON s.query_id = t.query_id AND s.ca = t.cand_id
+        JOIN sel2 g ON g.query_id = s.query_id AND g.cand_id = s.cb
+        WHERE NOT EXISTS (SELECT 1 FROM sel2 z
+                          WHERE z.query_id = t.query_id
+                            AND z.cand_id = t.cand_id)
+        GROUP BY t.query_id, t.cand_id, t.rel6
+    ),
+    p3 AS (
+        SELECT query_id, cand_id, rel6, score7 FROM (
+            SELECT r3.*,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score7 DESC, cand_id) AS rn
+            FROM r3
+        ) WHERE rn = 1
+    ),
+    sel3 AS (SELECT query_id, cand_id FROM sel2
+             UNION ALL SELECT query_id, cand_id FROM p3),
+    r4 AS (
+        SELECT t.query_id, t.cand_id, t.rel6,
+               7 * t.rel6 - 3 * max(s.sim6) AS score7
+        FROM t8 t
+        JOIN sims s ON s.query_id = t.query_id AND s.ca = t.cand_id
+        JOIN sel3 g ON g.query_id = s.query_id AND g.cand_id = s.cb
+        WHERE NOT EXISTS (SELECT 1 FROM sel3 z
+                          WHERE z.query_id = t.query_id
+                            AND z.cand_id = t.cand_id)
+        GROUP BY t.query_id, t.cand_id, t.rel6
+    ),
+    p4 AS (
+        SELECT query_id, cand_id, rel6, score7 FROM (
+            SELECT r4.*,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score7 DESC, cand_id) AS rn
+            FROM r4
+        ) WHERE rn = 1
+    )
+    SELECT query_id, CAST(1 AS BIGINT) AS pos, cand_id, rel6, score7 FROM p1
+    UNION ALL
+    SELECT query_id, CAST(2 AS BIGINT), cand_id, rel6, score7 FROM p2
+    UNION ALL
+    SELECT query_id, CAST(3 AS BIGINT), cand_id, rel6, score7 FROM p3
+    UNION ALL
+    SELECT query_id, CAST(4 AS BIGINT), cand_id, rel6, score7 FROM p4
+    ORDER BY query_id, pos
+    """,
+)
+def v_rerank_mmr(spark, sf_dir):
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998,
+    public) — the DIVERSIFICATION stage missing between retrieval and
+    the slate: the raw top-k of any dense retriever is near-duplicate
+    heavy (exactly what v_embed_neardup measures at corpus scale), and
+    MMR re-picks k'=4 of the top-8 candidates greedily by
+    λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), λ=0.7, trading relevance
+    against similarity to what is ALREADY in the slate.
+
+    Exactness: relevance and pairwise candidate similarities snap to
+    1e-6 BIGINTs once, and with λ = 7/10 the greedy objective is the
+    ALL-INTEGER score 7·rel6 − 3·maxsim6 — every argmax (cand-id
+    tiebreak) compares exact integers, so the 4-step greedy unrolls
+    bit-identically on both engines (the oracle's p1..p4 CTEs).
+
+    Scale: the expensive part is candidate retrieval, which is the
+    already-scaled family tier (top-k per query via partitioned
+    WindowGroupLimit here; IVF/PQ/HNSW upstream at 100 TB). The MMR
+    stage itself touches k=8 rows and k² = 64 candidate-pair sims PER
+    QUERY — per-query constant work, embarrassingly parallel across
+    queries, zero global state; the only joins are query-keyed.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    raw = _cos_pairs(spark, sf_dir, F.col("vec_id").isin(0, 1, 2))
+    rel = raw.select(
+        "query_id",
+        "cand_id",
+        F.round(F.col("cos") * 1e6).cast("long").alias("rel6"),
+    )
+    w8 = Window.partitionBy("query_id").orderBy(F.col("rel6").desc(), "cand_id")
+    t8 = (
+        rel.withColumn("rn", F.row_number().over(w8))
+        .where(F.col("rn") <= 8)
+        .select("query_id", "cand_id", "rel6")
+        .cache()
+    )
+    e1 = emb.select(
+        F.col("vec_id").alias("ca"),
+        F.col("embedding").alias("ea"),
+        F.expr(_NRM.format(a="embedding")).alias("na"),
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("cb"),
+        F.col("embedding").alias("eb"),
+        F.expr(_NRM.format(a="embedding")).alias("nb"),
+    )
+    a = t8.select("query_id", F.col("cand_id").alias("ca"))
+    b = t8.select(F.col("query_id").alias("qb"), F.col("cand_id").alias("cb"))
+    sim6 = F.round(
+        f6(F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")))
+        * 1e6
+    ).cast("long")
+    sims = (
+        a.join(b, (a.query_id == b.qb) & (F.col("ca") != F.col("cb")))
+        .join(e1, "ca")
+        .join(e2, "cb")
+        .select("query_id", "ca", "cb", sim6.alias("sim6"))
+        .cache()
+    )
+    pick1 = (
+        t8.withColumn("rn", F.row_number().over(w8))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("long").alias("pos"),
+            "cand_id",
+            "rel6",
+            (7 * F.col("rel6")).alias("score7"),
+        )
+    )
+    slate = [pick1]
+    selected = pick1.select("query_id", "cand_id")
+    for pos in (2, 3, 4):
+        rem = t8.join(selected, ["query_id", "cand_id"], "left_anti")
+        g = selected.select(
+            F.col("query_id").alias("g_qid"), F.col("cand_id").alias("g_cid")
+        )
+        ms = (
+            sims.join(
+                g, (sims.query_id == g.g_qid) & (sims.cb == g.g_cid)
+            )
+            .groupBy("query_id", "ca")
+            .agg(F.max("sim6").alias("msim6"))
+        )
+        scored = rem.join(
+            ms, (rem.query_id == ms.query_id) & (rem.cand_id == ms.ca)
+        ).select(
+            rem.query_id,
+            "cand_id",
+            "rel6",
+            (7 * F.col("rel6") - 3 * F.col("msim6")).alias("score7"),
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.col("score7").desc(), "cand_id"
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wp))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(pos).cast("long").alias("pos"),
+                "cand_id",
+                "rel6",
+                "score7",
+            )
+        )
+        slate.append(pick)
+        selected = selected.unionByName(pick.select("query_id", "cand_id"))
+    out = slate[0]
+    for p in slate[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("query_id", "pos")
+
+
 @register(
     "v_silhouette",
     """

@@ -50,3 +50,55 @@ def test_hnsw_upper_graph_is_upper_only(spark):
     df = registry.QUERIES["v_hnsw_layered"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "% 16" in plan and "WindowGroupLimit" in plan
+
+
+def test_mmr_matches_pure_python_greedy(spark):
+    """v_rerank_mmr's slate must equal a pure-python replay of the greedy
+    integer objective (7*rel6 - 3*max sim6 to the slate, cand-id
+    tiebreak) over the same top-8 candidates — an independent
+    implementation, not the operator's own joins."""
+    rows = registry.QUERIES["v_rerank_mmr"](spark, SF_SMALL).collect()
+    assert len(rows) == 12  # 3 queries x 4 positions
+
+    from npc_recommender_netflix_spark.llm.vectors import _cos_pairs
+    from npc_recommender_netflix_spark.session import load_table
+
+    cos = {
+        (r["query_id"], r["cand_id"]): r["cos"]
+        for r in _cos_pairs(
+            spark, SF_SMALL, F.col("vec_id").isin(0, 1, 2)
+        ).collect()
+    }
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+
+    def rel6(q, c):
+        return round(cos[(q, c)] * 1e6)
+
+    def sim6(a, b):
+        va, vb = emb[a], emb[b]
+        dot = sum(float(x) * float(y) for x, y in zip(va, vb))
+        na = sum(float(x) * float(x) for x in va) ** 0.5
+        nb = sum(float(x) * float(x) for x in vb) ** 0.5
+        return round(round(dot / (na * nb), 6) * 1e6)
+
+    got = {(r["query_id"], r["pos"]): (r["cand_id"], r["score7"]) for r in rows}
+    for q in (0, 1, 2):
+        top8 = sorted(
+            {c for (qq, c) in cos if qq == q},
+            key=lambda c: (-rel6(q, c), c),
+        )[:8]
+        slate = []
+        for pos in range(1, 5):
+            best = None
+            for c in top8:
+                if c in slate:
+                    continue
+                penalty = max((sim6(c, s) for s in slate), default=0)
+                score = 7 * rel6(q, c) - (3 * penalty if slate else 0)
+                if best is None or (score, -c) > (best[1], -best[0]):
+                    best = (c, score)
+            slate.append(best[0])
+            assert got[(q, pos)] == best, (q, pos, got[(q, pos)], best)
