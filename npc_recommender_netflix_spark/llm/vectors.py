@@ -4167,6 +4167,179 @@ def v_rerank_mmr(spark, sf_dir):
     return out.orderBy("query_id", "pos")
 
 
+_DUCK_DOT16 = (
+    "list_sum(list_transform(range(1, 17),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_DUCK_NRM16 = (
+    "sqrt(list_sum(list_transform(range(1, 17),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+@register(
+    "v_matryoshka_topk",
+    f"""
+    WITH c16 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({_DUCK_DOT16.format(a='q.embedding', b='c.embedding')}
+                     / ({_DUCK_NRM16.format(a='q.embedding')}
+                        * {_DUCK_NRM16.format(a='c.embedding')}), 6) + 0
+                   AS cos16
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN (0, 1, 2)
+    ),
+    top20 AS (
+        SELECT query_id, cand_id, cos16 FROM (
+            SELECT query_id, cand_id, cos16,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos16 DESC, cand_id) AS rn
+            FROM c16
+        ) WHERE rn <= 20
+    ),
+    rescored AS (
+        SELECT t.query_id, t.cand_id, t.cos16,
+               round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+                     / ({_DUCK_NRM.format(a='q.embedding')}
+                        * {_DUCK_NRM.format(a='c.embedding')}), 6) + 0 AS cos
+        FROM top20 t
+        JOIN embeddings q ON q.vec_id = t.query_id
+        JOIN embeddings c ON c.vec_id = t.cand_id
+    ),
+    top5 AS (
+        SELECT query_id, cand_id, cos16, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, cand_id)
+                    AS BIGINT) AS rn
+        FROM rescored
+        QUALIFY rn <= 5
+    ),
+    qcos AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+                     / ({_DUCK_NRM.format(a='q.embedding')}
+                        * {_DUCK_NRM.format(a='c.embedding')}), 6) + 0 AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN (0, 1, 2)
+    ),
+    ranks AS (
+        SELECT query_id, cand_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, cand_id)
+                    AS BIGINT) AS true_rank
+        FROM qcos
+    )
+    SELECT t.query_id, t.rn, t.cand_id, t.cos, t.cos16, r.true_rank
+    FROM top5 t
+    JOIN ranks r ON r.query_id = t.query_id AND r.cand_id = t.cand_id
+    ORDER BY t.query_id, t.rn
+    """,
+)
+def v_matryoshka_topk(spark, sf_dir):
+    """Matryoshka / prefix-dimension retrieval (Kusupati et al. 2022,
+    public): score EVERY candidate on only the FIRST 16 of 64
+    dimensions (MRL-trained embeddings front-load information, so the
+    prefix is a usable coarse scorer at 1/4 the FLOPs and 1/4 the scan
+    bytes of the full vector), keep the top-20 per query, then rerank
+    just the survivors with the exact full-dimension cosine and emit
+    the top-5 — the two-tier funnel production vector stores run when
+    the index stores truncated vectors and the full vectors live in
+    colder storage.
+
+    The honesty column carries each survivor's TRUE full-dimension
+    brute-force rank, so prefix-retrieval recall is measured, not
+    asserted (the fixture's embeddings are NOT MRL-trained — gaussian
+    coordinates carry equal information per dim — so the expected
+    result is honest degradation vs v_cosine_topk, visible in
+    true_rank; the operator is about the FUNNEL shape). Both cosines
+    snap to 6dp with cand-id tiebreaks; the coarse tier reads 16
+    array slots per pair (column-pruned at a columnar source storing
+    prefixes separately), the exact tier touches 20 rows per query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pre = "slice(embedding, 1, 16)"
+    q16 = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(pre).alias("q16"),
+        F.expr(_NRM.format(a=pre)).alias("nq16"),
+    )
+    c16 = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.expr(pre).alias("c16"),
+        F.expr(_NRM.format(a=pre)).alias("nc16"),
+    )
+    coarse = (
+        F.broadcast(q16)
+        .join(c16, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            f6(
+                F.expr(_DOT.format(a="q16", b="c16"))
+                / (F.col("nq16") * F.col("nc16"))
+            ).alias("cos16"),
+        )
+    )
+    w20 = Window.partitionBy("query_id").orderBy(
+        F.col("cos16").desc(), "cand_id"
+    )
+    top20 = (
+        coarse.withColumn("rn", F.row_number().over(w20))
+        .where(F.col("rn") <= 20)
+        .select("query_id", "cand_id", "cos16")
+    )
+    qf = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_NRM.format(a="embedding")).alias("nq"),
+    )
+    cf = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_NRM.format(a="embedding")).alias("nc"),
+    )
+    rescored = (
+        top20.join(F.broadcast(qf), "query_id")
+        .join(cf, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "cos16",
+            f6(
+                F.expr(_DOT.format(a="qe", b="ce"))
+                / (F.col("nq") * F.col("nc"))
+            ).alias("cos"),
+        )
+    )
+    w5 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    top5 = (
+        rescored.withColumn("rn", F.row_number().over(w5).cast("long"))
+        .where(F.col("rn") <= 5)
+    )
+    qcos = _cos_pairs(spark, sf_dir, F.col("vec_id").isin(0, 1, 2)).select(
+        "query_id", "cand_id", "cos"
+    )
+    wrank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "cand_id"
+    )
+    ranks = qcos.select(
+        "query_id",
+        "cand_id",
+        F.row_number().over(wrank).cast("long").alias("true_rank"),
+    )
+    return (
+        top5.join(
+            ranks.withColumnRenamed("query_id", "r_qid").withColumnRenamed(
+                "cand_id", "r_cid"
+            ),
+            (top5.query_id == F.col("r_qid"))
+            & (top5.cand_id == F.col("r_cid")),
+        )
+        .select("query_id", "rn", "cand_id", "cos", "cos16", "true_rank")
+        .orderBy("query_id", "rn")
+    )
+
+
 @register(
     "v_silhouette",
     """

@@ -102,3 +102,39 @@ def test_mmr_matches_pure_python_greedy(spark):
                     best = (c, score)
             slate.append(best[0])
             assert got[(q, pos)] == best, (q, pos, got[(q, pos)], best)
+
+
+def test_matryoshka_funnel_matches_python_replica(spark):
+    """v_matryoshka_topk must equal an independent python replay of the
+    funnel: coarse top-20 by 16-dim prefix cosine (6dp, id tiebreak),
+    exact top-5 of the survivors by full cosine; true_rank must be the
+    full brute-force rank."""
+    rows = registry.QUERIES["v_matryoshka_topk"](spark, SF_SMALL).collect()
+    assert len(rows) == 15  # 3 queries x top-5
+
+    from npc_recommender_netflix_spark.session import load_table
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+
+    def cos(a, b, d):
+        va, vb = emb[a][:d], emb[b][:d]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = sum(x * x for x in va) ** 0.5
+        nb = sum(x * x for x in vb) ** 0.5
+        return round(dot / (na * nb), 6)
+
+    got = {(r["query_id"], r["rn"]): r for r in rows}
+    for q in (0, 1, 2):
+        cands = [c for c in emb if c != q]
+        top20 = sorted(cands, key=lambda c: (-cos(q, c, 16), c))[:20]
+        top5 = sorted(top20, key=lambda c: (-cos(q, c, 64), c))[:5]
+        full_order = sorted(cands, key=lambda c: (-cos(q, c, 64), c))
+        for i, c in enumerate(top5, start=1):
+            r = got[(q, i)]
+            assert r["cand_id"] == c, (q, i, r["cand_id"], c)
+            assert abs(r["cos"] - cos(q, c, 64)) < 1e-9
+            assert abs(r["cos16"] - cos(q, c, 16)) < 1e-9
+            assert r["true_rank"] == full_order.index(c) + 1
