@@ -73,6 +73,10 @@ LINEAR_KEYS = {
     # measured 255x shuffle at 15x; adaptive mask restores a linear build)
     "v_hnsw_layered": "embeddings",  # round 10: both layer builds apply the
     # adaptive rule sized to their own node count; walk cost is O(hops)
+    "v_matryoshka_topk": "embeddings",  # round 10: coarse tier reads 16/64
+    # dims of every vector (linear scan), exact tier touches 20 rows/query
+    "v_rerank_mmr": "embeddings",  # round 10: retrieval is the linear scan;
+    # the MMR stage is k + k^2 constants per query
     "t_simhash_pairs": "documents",  # 3 bands x ceil(log2 N) bits, 60-bit hash
     "v_maxsim": "embeddings",  # late interaction: broadcast |Q|, one token scan
     "t_tfidf": "documents",    # word-keyed df join + per-doc tf agg
