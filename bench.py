@@ -90,6 +90,8 @@ HEADLINE = [
     "v_maxsim",              # round 9: ColBERT-style late-interaction top-10
     "v_nsw_greedy",          # round 10: flat NSW walk, adaptive-band build
     "v_hnsw_layered",        # round 10: hierarchical NSW, per-layer bands
+    "v_matryoshka_topk",     # round 10: prefix-dim funnel + exact rerank
+    "v_rerank_mmr",          # round 10: integer-exact MMR diversification
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a
