@@ -14,7 +14,7 @@ a partition-pruned scan, and generate cells with KMeans instead of labels.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -86,6 +86,37 @@ def _cos_pairs(spark, sf_dir, query_pred, cand_pred=None):
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("cand_id"))
     cos = F.expr(_DOT.format(a="qe", b="ce")) / (F.col("nq") * F.col("nc"))
     return pairs.select("query_id", "cand_id", "label", f6(cos).alias("cos"))
+
+
+# Shared-intermediate cache for the retrieval stack (round-10 verdict
+# item 7): v_nsw_greedy, v_hnsw_layered, v_rerank_mmr and
+# v_matryoshka_topk each need the identical brute-force query→candidate
+# cosine frame for the 3 fixed query ids (the honesty-rank ground truth,
+# ~2 s each to rebuild at sf0.1). Memoize ONE cached DataFrame per
+# (application, sf_dir) — same pattern as recommender.core._cached —
+# so the suite materializes it once. Semantics untouched: every consumer
+# selects from the same (query_id, cand_id, cos) rows it built before.
+_QCOS_SHARED: dict[tuple[str, str], DataFrame] = {}
+
+
+def _qcos_012(spark, sf_dir) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _QCOS_SHARED.get(key)
+    if df is None:
+        df = (
+            _cos_pairs(spark, sf_dir, F.col("vec_id").isin(0, 1, 2))
+            .select("query_id", "cand_id", "cos")
+            .cache()
+        )
+        _QCOS_SHARED[key] = df
+    elif not df.storageLevel.useMemory:
+        # bench.py clearCache()s between headline keys (storage-leak
+        # hygiene), which UNREGISTERS the plan from the CacheManager —
+        # measured: a cleared DataFrame never re-caches on its own, so
+        # the greedy-hop loops would recompute the pair join per hop.
+        # Re-register so each consumer pays materialization at most once.
+        df.cache()
+    return df
 
 
 @register(
@@ -3583,9 +3614,16 @@ def v_nsw_greedy(spark, sf_dir):
         .select("src", "dst")
         .cache()
     )
-    qcos = _cos_pairs(
-        spark, sf_dir, F.col("vec_id").isin(0, 1, 2)
-    ).select("query_id", "cand_id", "cos").cache()
+    qcos = _qcos_012(spark, sf_dir)
+    # Alias qcos's join columns once: every frontier below descends from
+    # qcos (via the distinct query list), so a same-name query_id ==
+    # query_id predicate would trip Spark's trivially-true-equals lineage
+    # warning — the round-10 v_rerank_mmr pattern, fixed the same way.
+    qc = qcos.select(
+        F.col("query_id").alias("p_qid"),
+        F.col("cand_id").alias("p_cid"),
+        "cos",
+    )
     cur = qcos.select("query_id").distinct().select(
         "query_id", F.lit(3).cast("long").alias("cur")
     )
@@ -3596,9 +3634,9 @@ def v_nsw_greedy(spark, sf_dir):
         stay = cur.select("query_id", F.col("cur").alias("cand"))
         cands = neigh.unionByName(stay)
         scored = cands.join(
-            qcos,
-            (cands.query_id == qcos.query_id)
-            & (cands.cand == qcos.cand_id),
+            qc,
+            (cands.query_id == F.col("p_qid"))
+            & (cands.cand == F.col("p_cid")),
         ).select(cands.query_id, "cand", "cos")
         wpick = Window.partitionBy("query_id").orderBy(
             F.col("cos").desc(), "cand"
@@ -3612,16 +3650,16 @@ def v_nsw_greedy(spark, sf_dir):
         F.col("cos").desc(), "cand_id"
     )
     ranks = qcos.select(
-        "query_id",
-        "cand_id",
+        F.col("query_id").alias("r_qid"),
+        F.col("cand_id").alias("r_cid"),
         "cos",
         F.row_number().over(wrank).cast("long").alias("true_rank"),
     )
     return (
         cur.join(
             ranks,
-            (cur.query_id == ranks.query_id)
-            & (cur.cur == ranks.cand_id),
+            (cur.query_id == F.col("r_qid"))
+            & (cur.cur == F.col("r_cid")),
         )
         .select(
             cur.query_id,
@@ -3736,8 +3774,12 @@ _HNSW_TOP_BANDS_SQL = "\n        UNION ALL ".join(
         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         WHERE q.vec_id IN (0, 1, 2)
     ),
+    entry AS (
+        SELECT CAST(min(vec_id) AS BIGINT) AS cur FROM embeddings
+        WHERE vec_id % 16 = 0 AND vec_id NOT IN (0, 1, 2)
+    ),
     h0t AS (
-        SELECT DISTINCT query_id, CAST(16 AS BIGINT) AS cur FROM qcos
+        SELECT DISTINCT query_id, e.cur FROM qcos CROSS JOIN entry e
     ),
     {_HNSW_HOP_SQL.format(adj='adj_top', cur='h0t', next='h1t')},
     {_HNSW_HOP_SQL.format(adj='adj_top', cur='h1t', next='h2t')},
@@ -3874,10 +3916,13 @@ def v_hnsw_layered(spark, sf_dir):
 
     adj = layer_adj(emb, 8)
     adj_top = layer_adj(emb.where(F.col("vec_id") % 16 == 0), 4)
-    qcos = (
-        _cos_pairs(spark, sf_dir, F.col("vec_id").isin(0, 1, 2))
-        .select("query_id", "cand_id", "cos")
-        .cache()
+    qcos = _qcos_012(spark, sf_dir)
+    # Aliased scoring frame: frontiers descend from qcos, so join on
+    # distinct names (p_qid/p_cid) — see v_nsw_greedy for the rationale.
+    qc = qcos.select(
+        F.col("query_id").alias("p_qid"),
+        F.col("cand_id").alias("p_cid"),
+        "cos",
     )
 
     def greedy_hops(cur, graph, n_hops):
@@ -3888,9 +3933,9 @@ def v_hnsw_layered(spark, sf_dir):
             stay = cur.select("query_id", F.col("cur").alias("cand"))
             cands = neigh.unionByName(stay)
             scored = cands.join(
-                qcos,
-                (cands.query_id == qcos.query_id)
-                & (cands.cand == qcos.cand_id),
+                qc,
+                (cands.query_id == F.col("p_qid"))
+                & (cands.cand == F.col("p_cid")),
             ).select(cands.query_id, "cand", "cos")
             wpick = Window.partitionBy("query_id").orderBy(
                 F.col("cos").desc(), "cand"
@@ -3902,8 +3947,21 @@ def v_hnsw_layered(spark, sf_dir):
             )
         return cur
 
-    entry = qcos.select("query_id").distinct().select(
-        "query_id", F.lit(16).cast("long").alias("cur")
+    # Entry point derived IN-PLAN: the smallest upper-layer node that is
+    # not itself a query id (round-10 advice — a hard-coded 16 silently
+    # returned zero rows on any fixture lacking vec_id 16; deriving it
+    # keeps the key meaningful on every corpus, and on the standard
+    # fixtures it still resolves to 16). 1-row aggregate, broadcast.
+    entry_id = (
+        emb.where(
+            (F.col("vec_id") % 16 == 0) & (~F.col("vec_id").isin(0, 1, 2))
+        )
+        .agg(F.min("vec_id").cast("long").alias("cur"))
+    )
+    entry = (
+        qcos.select("query_id")
+        .distinct()
+        .crossJoin(F.broadcast(entry_id))
     )
     drop = greedy_hops(entry, adj_top, 2)
     final = greedy_hops(drop, adj, 3)
@@ -3911,8 +3969,8 @@ def v_hnsw_layered(spark, sf_dir):
         F.col("cos").desc(), "cand_id"
     )
     ranks = qcos.select(
-        "query_id",
-        "cand_id",
+        F.col("query_id").alias("r_qid"),
+        F.col("cand_id").alias("r_cid"),
         "cos",
         F.row_number().over(wrank).cast("long").alias("true_rank"),
     )
@@ -3923,8 +3981,8 @@ def v_hnsw_layered(spark, sf_dir):
         final.join(d, final.query_id == d.d_qid)
         .join(
             ranks,
-            (final.query_id == ranks.query_id)
-            & (final.cur == ranks.cand_id),
+            (final.query_id == F.col("r_qid"))
+            & (final.cur == F.col("r_cid")),
         )
         .select(
             final.query_id,
@@ -4076,7 +4134,7 @@ def v_rerank_mmr(spark, sf_dir):
     queries, zero global state; the only joins are query-keyed.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    raw = _cos_pairs(spark, sf_dir, F.col("vec_id").isin(0, 1, 2))
+    raw = _qcos_012(spark, sf_dir)
     rel = raw.select(
         "query_id",
         "cand_id",
@@ -4130,15 +4188,27 @@ def v_rerank_mmr(spark, sf_dir):
         g = selected.select(
             F.col("query_id").alias("g_qid"), F.col("cand_id").alias("g_cid")
         )
+        # Alias ms's join columns (m_qid/m_ca) the same way g aliases
+        # g_qid/g_cid above: both sides of the rem⋈ms join descend from
+        # the cached t8, and a same-name `query_id == query_id` predicate
+        # trips Spark's "trivially true equals" lineage warning — the
+        # exact pattern that degenerates to a cross join under refactors
+        # (round-10 verdict item 2).
         ms = (
             sims.join(
                 g, (sims.query_id == g.g_qid) & (sims.cb == g.g_cid)
             )
             .groupBy("query_id", "ca")
             .agg(F.max("sim6").alias("msim6"))
+            .select(
+                F.col("query_id").alias("m_qid"),
+                F.col("ca").alias("m_ca"),
+                "msim6",
+            )
         )
         scored = rem.join(
-            ms, (rem.query_id == ms.query_id) & (rem.cand_id == ms.ca)
+            ms,
+            (rem.query_id == F.col("m_qid")) & (rem.cand_id == F.col("m_ca")),
         ).select(
             rem.query_id,
             "cand_id",
@@ -4167,14 +4237,9 @@ def v_rerank_mmr(spark, sf_dir):
     return out.orderBy("query_id", "pos")
 
 
-_DUCK_DOT16 = (
-    "list_sum(list_transform(range(1, 17),"
-    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-)
-_DUCK_NRM16 = (
-    "sqrt(list_sum(list_transform(range(1, 17),"
-    " i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
-)
+# _DUCK_DOT16/_DUCK_NRM16 are defined once, above v_matryoshka_recall;
+# a second identical copy used to live here (round-10 advice: duplicates
+# can silently diverge under later edits).
 
 
 @register(
@@ -4288,7 +4353,10 @@ def v_matryoshka_topk(spark, sf_dir):
         .where(F.col("rn") <= 20)
         .select("query_id", "cand_id", "cos16")
     )
-    qf = emb.select(
+    # Only the 3 fixed query ids can match the rerank join — filter
+    # BEFORE broadcasting so the broadcast ships 3 vectors, not the whole
+    # embeddings table (round-10 advice; mirrors q16 above).
+    qf = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.expr(_NRM.format(a="embedding")).alias("nq"),
@@ -4316,9 +4384,7 @@ def v_matryoshka_topk(spark, sf_dir):
         rescored.withColumn("rn", F.row_number().over(w5).cast("long"))
         .where(F.col("rn") <= 5)
     )
-    qcos = _cos_pairs(spark, sf_dir, F.col("vec_id").isin(0, 1, 2)).select(
-        "query_id", "cand_id", "cos"
-    )
+    qcos = _qcos_012(spark, sf_dir)
     wrank = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), "cand_id"
     )

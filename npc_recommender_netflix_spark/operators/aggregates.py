@@ -780,7 +780,10 @@ def a_gini(spark, sf_dir):
     )
     ws_term = F.col("cents") * (
         F.col("c") * F.col("b")
-        + F.floor(F.col("c") * (F.col("c") + 1) / 2)
+        # c*(c+1) is even, so integer `div` is exact BIGINT; the earlier
+        # floor(·/2) routed through double division and would lose
+        # exactness once c(c+1) exceeds 2^53 (round-10 advice).
+        + F.expr("c * (c + 1) div 2")
     )
     t = cum.agg(
         F.sum(F.col("cents") * F.col("c")).alias("s"),

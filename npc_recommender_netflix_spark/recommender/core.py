@@ -40,9 +40,18 @@ def _cached(spark, sf_dir: str, name: str, build) -> DataFrame:
     # keyed by applicationId too: never hand back a DataFrame bound to a
     # different (possibly stopped) SparkSession in the same process.
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    if key not in _shared:
-        _shared[key] = build().cache()
-    return _shared[key]
+    df = _shared.get(key)
+    if df is None:
+        df = build().cache()
+        _shared[key] = df
+    elif not df.storageLevel.useMemory:
+        # An external spark.catalog.clearCache() (bench.py runs one
+        # between headline keys) unregisters the plan permanently; a
+        # cleared DataFrame never re-caches on its own, so the subplan
+        # replication this cache exists to prevent would silently come
+        # back. Re-register before handing it out.
+        df.cache()
+    return df
 
 
 def ratings_matrix(spark, sf_dir, max_item: int | None = None) -> DataFrame:

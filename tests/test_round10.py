@@ -9,7 +9,9 @@ from tests.conftest import SF_SMALL
 def test_hnsw_layered_walk_monotone_and_layer_consistent(spark):
     """v_hnsw_layered's greedy walk keeps the current node among every
     hop's candidates, so the final cosine can never be WORSE than the
-    fixed entry point's (vec 16) cosine to the query; the layer-drop
+    derived entry point's cosine to the query (round 11: the entry is
+    computed in-plan as the smallest non-query upper-layer node — 16 on
+    these fixtures — instead of a hard-coded literal); the layer-drop
     node must be an UPPER-layer node (vec_id % 16 == 0); and the final
     answer can also never be worse than the drop node (the base walk
     starts there). true_rank must be consistent with found_cos."""
@@ -17,6 +19,15 @@ def test_hnsw_layered_walk_monotone_and_layer_consistent(spark):
     assert len(rows) == 3
 
     from npc_recommender_netflix_spark.llm.vectors import _cos_pairs
+    from npc_recommender_netflix_spark.session import load_table
+
+    entry = (
+        load_table(spark, SF_SMALL, "embeddings")
+        .where((F.col("vec_id") % 16 == 0) & (~F.col("vec_id").isin(0, 1, 2)))
+        .agg(F.min("vec_id"))
+        .collect()[0][0]
+    )
+    assert entry == 16, "fixture's derived entry should still be 16"
 
     all_cos = {
         (r["query_id"], r["cand_id"]): r["cos"]
@@ -27,7 +38,7 @@ def test_hnsw_layered_walk_monotone_and_layer_consistent(spark):
     for r in rows:
         q = r["query_id"]
         assert r["drop_id"] % 16 == 0, "drop node must be upper-layer"
-        assert r["found_cos"] >= all_cos[(q, 16)] - 1e-9, "worse than entry"
+        assert r["found_cos"] >= all_cos[(q, entry)] - 1e-9, "worse than entry"
         assert r["found_cos"] >= all_cos[(q, r["drop_id"])] - 1e-9, (
             "base walk ended below its own start"
         )

@@ -26,6 +26,7 @@ import duckdb
 
 from npc_recommender_netflix_spark import registry
 from npc_recommender_netflix_spark.session import TABLES, build_session
+from tools.logcap import WarningCapture
 from tools.plans import PARTITIONLESS_WINDOW_WHITELIST, partitionless_windows
 
 registry.load_all()
@@ -181,6 +182,13 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
+    # Log-cleanliness tripwire (round-10 verdict item 2): a key whose plan
+    # build makes Spark log "trivially true equals predicate" carries an
+    # ambiguous self-join that can degenerate to a cross join — FAIL it
+    # even when the values still hash-match.
+    logcap = WarningCapture(spark)
+    logcap.drain()  # discard session-startup noise
+
     n_ok = n_fail = 0
     for key in keys:
         try:
@@ -188,6 +196,12 @@ def main():
         except Exception:
             status, nrows, problems = "ERROR", -1, [traceback.format_exc(limit=8)]
             t_s = t_d = None
+        dirty = logcap.dirty_lines() if logcap.active else []
+        if dirty and status in ("OK", "ROWS-ONLY"):
+            status = "FAIL"
+            problems = (problems or []) + [
+                f"dirty JVM log (ambiguous self-join): {dirty[0][:200]}"
+            ]
         flag = {"OK": ".", "ROWS-ONLY": "r", "FAIL": "F", "ERROR": "E"}[status]
         times = f"spark={t_s:.1f}s" if t_s is not None else ""
         print(f"[{flag}] {key:24s} rows={nrows:<8d} {times}")
