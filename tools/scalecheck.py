@@ -80,7 +80,11 @@ LINEAR_KEYS = {
     "t_simhash_pairs": "documents",  # 3 bands x ceil(log2 N) bits, 60-bit hash
     "v_maxsim": "embeddings",  # late interaction: broadcast |Q|, one token scan
     "t_tfidf": "documents",    # word-keyed df join + per-doc tf agg
-    "t_bm25_score": "documents",  # term-pruned lexical ranking
+    "t_bm25_score": "documents",  # term-pruned lexical ranking; the ladder
+    # run derives its query terms from the corpus (LADDER_FN_OVERRIDES) so
+    # the ranked-output path is measured, not just the scan/join pipeline
+    # (round-10 verdict item 4: the registered fixed terms miss the zipf
+    # vocabulary and produced 0 output rows at every scale)
     "v_pq_adc": "embeddings",  # PQ codebook broadcast + ADC table lookups
     "v_topk_mips": "embeddings",  # broadcast queries, WindowGroupLimit heap
     "t_bloom_dedup": "documents",  # bloom-prefiltered digest dedup
@@ -96,6 +100,12 @@ LINEAR_KEYS = {
     "t_readability": "documents",          # three regexp counts, one scan
     "m_png_decode": "documents",  # real zlib PNG codec in Arrow tasks
     "r_ndcg": "lineitem",  # ranking-aware offline eval, top-k bounded
+    "t_decontaminate": "documents",  # round 11: 8-gram digests vs a
+    # BROADCAST benchmark-gram set — corpus side is one scan + digest agg
+    "v_pq_quantize": "embeddings",  # round 11: codebook broadcast +
+    # struct-min subvector assignment; work = N x (16 centroids x 8 subvecs)
+    "m_image_pipeline": "documents",  # round 11: real P6 multi-frame
+    # decode/resize in Arrow tasks; blob bytes never shuffle
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
@@ -171,6 +181,9 @@ EVENTS_LINEAR_KEYS = {
     # watermark-bounded to the 10-min horizon per side
     "st_rocksdb_state": "events",  # 3-group running agg: state O(groups),
     # the measured point is that RocksDB checkpoint size stays flat
+    "st_funnel_stateful": "events",  # round 11: applyInPandasWithState
+    # 3-step funnel — state is three timestamps per user (O(users), users
+    # scale with N), measured via the same lastStateCkpt du column
 }
 ITERATIVE_KEYS = {
     "r_pagerank": "lineitem",
@@ -252,6 +265,43 @@ def _unbounded_session_pairs(spark, sf_dir):
 CONTROL_KEYS = {
     "x_uncapped_item_pairs": ("lineitem", _uncapped_item_pairs),
     "x_unbounded_session_pairs": ("events", _unbounded_session_pairs),
+}
+
+
+def _bm25_ladder(spark, sf_dir):
+    """t_bm25_score with query terms derived from THIS corpus: the three
+    highest-df tokens (stable word tiebreak). The registered key's fixed
+    terms ('data', 'model', 'system') don't exist in the ladder's
+    synthetic w00000-w19999 zipf vocabulary, so the round-10 ladder row
+    ran the scan/tf/df pipeline but emitted 0 rows — the ranked-output
+    path (idf x saturated-tf scoring, per-doc sum, top-20) went
+    unmeasured. Deriving the terms is itself one word-keyed aggregate +
+    top-3 (the cost a real query-log-driven run would pay), timed inside
+    the measurement window."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from npc_recommender_netflix_spark.llm.text import (  # noqa: PLC0415
+        t_bm25_score,
+        tokens,
+    )
+
+    top = [
+        r["word"]
+        for r in tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), "word")
+        .limit(3)
+        .collect()
+    ]
+    return t_bm25_score(spark, sf_dir, query_terms=tuple(top))
+
+
+# Ladder-only callable overrides: same key name (the row still grades the
+# registered operator's plan shape), different parameterization where the
+# synthetic corpus would otherwise blind the measurement.
+LADDER_FN_OVERRIDES = {
+    "t_bm25_score": _bm25_ladder,
 }
 
 _WORDS = None
@@ -520,7 +570,8 @@ def run(dirs: dict[str, str], only: list[str] | None = None) -> dict:
     # key -> (table, claim, callable)
     all_keys: dict[str, tuple] = {}
     for key, table in LINEAR_KEYS.items():
-        all_keys[key] = (table, "linear", registry.QUERIES[key])
+        fn = LADDER_FN_OVERRIDES.get(key, registry.QUERIES[key])
+        all_keys[key] = (table, "linear", fn)
     for key, table in EVENTS_LINEAR_KEYS.items():
         all_keys[key] = (table, "linear", registry.QUERIES[key])
     for key, table in QUADRATIC_KEYS.items():
