@@ -92,6 +92,8 @@ HEADLINE = [
     "v_hnsw_layered",        # round 10: hierarchical NSW, per-layer bands
     "v_matryoshka_topk",     # round 10: prefix-dim funnel + exact rerank
     "v_rerank_mmr",          # round 10: integer-exact MMR diversification
+    "t_cdc_chunking",        # round 11: content-defined chunk dedup census
+    "r_swing_capped",        # round 11: capped Swing i2i user-pair similarity
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

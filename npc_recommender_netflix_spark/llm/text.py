@@ -4194,3 +4194,131 @@ def t_labeler_kappa(spark, sf_dir):
         f6(pe).alias("expected_agree"),
         f6((po - pe) / (1.0 - pe)).alias("kappa"),
     )
+
+
+@register(
+    "t_cdc_chunking",
+    r"""
+    WITH ptok AS (
+        SELECT doc_id, u.s.w AS word, u.s.p AS pos
+        FROM (SELECT doc_id,
+                     list_transform(string_split_regex(lower(text), '\s+'),
+                                    (x, i) -> {'w': x, 'p': i}) AS lst
+              FROM documents),
+             unnest(lst) u(s)
+    ),
+    cuts AS (
+        SELECT doc_id, word, pos,
+               CASE WHEN pos >= 4 AND substr(md5(
+                        lag(word, 3) OVER win || '|' || lag(word, 2) OVER win
+                        || '|' || lag(word, 1) OVER win || '|' || word),
+                    1, 1) = '0'
+                    THEN 1 ELSE 0 END AS cut
+        FROM ptok
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    chunked AS (
+        SELECT doc_id, word, pos,
+               coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS chunk_id
+        FROM cuts
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS digest,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(length(string_agg(word, ' ' ORDER BY pos)) AS BIGINT)
+                   AS n_char
+        FROM chunked GROUP BY doc_id, chunk_id
+    )
+    SELECT digest,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           max(n_tok) AS chunk_tokens,
+           CAST((count(*) - 1) * max(n_char) AS BIGINT) AS saved_chars
+    FROM chunks
+    GROUP BY digest
+    HAVING count(*) >= 2
+    ORDER BY n_copies DESC, digest
+    LIMIT 10
+    """,
+)
+def t_cdc_chunking(spark, sf_dir):
+    """Content-defined chunking + chunk-level dedup census — the
+    storage-dedup primitive (LBFS, Muthitacharoen et al. SOSP'01;
+    FastCDC, Xia et al. ATC'16) applied to a training corpus: split each
+    document's token stream at CONTENT-determined boundaries (a rolling
+    4-token window hashes into the cut range with p = 1/16, so chunks
+    average ~16 tokens and, crucially, boundaries RESYNCHRONIZE after an
+    edit — an insertion shifts at most the chunk it lands in, unlike
+    fixed-stride tiles where one inserted token misaligns every later
+    tile), then count identical chunks across the corpus. Near-duplicate
+    documents that differ by local mutations share most of their chunks,
+    so the census surfaces both the dedup ratio and the heaviest shared
+    fragments (top-10 by copy count, with docs reached and chars
+    deduplicable).
+
+    Engine-exactness: the cut decision is a pure string function —
+    first hex nibble of md5('w3|w2|w1|w0') — identical on both engines;
+    chunk ids are cumulative cut counts over the doc-partitioned pos
+    order; chunk text reassembles with an ORDER BY pos aggregate. No
+    floats anywhere in the key.
+
+    Scale: tokenize + the cut window + chunk assembly all partition by
+    doc_id (ONE exchange serves the window and the groupBy — subset
+    clustering satisfies the aggregate); after assembly only 32-char
+    digests shuffle for the census (text never leaves its doc
+    partition), and the top-10 is a TakeOrderedAndProject. Work per doc
+    is linear in tokens; the census is a digest-keyed partial agg —
+    the same shape t_exact_dedup_digest measured linear on the ladder."""
+    docs = load_table(spark, sf_dir, "documents")
+    # posexplode, not row_number-over-monotonic-id: positions must be the
+    # token's index IN ITS OWN text (stable across retries/partitionings).
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    window_str = F.concat_ws(
+        "|",
+        F.lag("word", 3).over(win),
+        F.lag("word", 2).over(win),
+        F.lag("word", 1).over(win),
+        F.col("word"),
+    )
+    cut = F.when(
+        (F.col("pos") >= 4)
+        & (F.substring(F.md5(F.encode(window_str, "UTF-8")), 1, 1) == "0"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    cuts = tok.select("doc_id", "word", "pos", cut.alias("cut"))
+    chunk_id = F.coalesce(
+        F.sum("cut").over(win.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    chunked = cuts.select("doc_id", "word", "pos", chunk_id.alias("chunk_id"))
+    ordered_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "word"))),
+            lambda s: s.word,
+        ),
+        " ",
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(F.encode(ordered_text, "UTF-8")).alias("digest"),
+        F.count("*").cast("long").alias("n_tok"),
+        F.length(ordered_text).cast("long").alias("n_char"),
+    )
+    return (
+        chunks.groupBy("digest")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.max("n_tok").alias("chunk_tokens"),
+            ((F.count("*") - 1) * F.max("n_char")).cast("long").alias("saved_chars"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .orderBy(F.col("n_copies").desc(), "digest")
+        .limit(10)
+    )

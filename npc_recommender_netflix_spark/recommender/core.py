@@ -3659,3 +3659,142 @@ def r_knn_k_sweep(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@register(
+    "r_swing_capped",
+    f"""
+    WITH m AS ({_M200_SQL}),
+    ui AS (SELECT DISTINCT user_id, item_id FROM m),
+    active AS (
+        SELECT user_id FROM ui GROUP BY user_id HAVING count(*) <= 32
+    ),
+    capped AS (
+        SELECT user_id, item_id FROM (
+            SELECT u.user_id, u.item_id,
+                   row_number() OVER (PARTITION BY u.item_id
+                                      ORDER BY u.user_id) AS rk
+            FROM ui u JOIN active a ON a.user_id = u.user_id
+        ) WHERE rk <= 40
+    ),
+    up AS (
+        SELECT a.user_id AS ua, b.user_id AS ub, a.item_id
+        FROM capped a JOIN capped b
+          ON a.item_id = b.item_id AND a.user_id < b.user_id
+    ),
+    cuv AS (
+        SELECT ua, ub, CAST(count(*) AS BIGINT) AS c_uv
+        FROM up GROUP BY ua, ub
+    ),
+    ip AS (
+        SELECT p.ua, p.ub, p.item_id AS item_a, q.item_id AS item_b
+        FROM up p JOIN up q
+          ON p.ua = q.ua AND p.ub = q.ub AND p.item_id < q.item_id
+    ),
+    sw AS (
+        SELECT ip.item_a, ip.item_b,
+               sum(CAST(round(1e12 / (1 + c.c_uv)) AS BIGINT)) AS s12,
+               CAST(count(*) AS BIGINT) AS n_user_pairs
+        FROM ip JOIN cuv c ON c.ua = ip.ua AND c.ub = ip.ub
+        GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, round(s12 / 1e12, 6) + 0 AS swing, n_user_pairs
+    FROM sw
+    ORDER BY swing DESC, item_a, item_b
+    LIMIT 20
+    """,
+)
+def r_swing_capped(spark, sf_dir):
+    """Swing item similarity (Yang et al. 2020, "Large Scale Product
+    Graph Construction for Recommendation in E-commerce" — the Alibaba
+    i2i workhorse, public): two items are similar when many USER PAIRS
+    co-interact with both, each pair down-weighted by how much the two
+    users overlap overall — swing(i,j) = Σ_{{(u,v) raters of both}}
+    1/(α + |I_u ∩ I_v|), α=1. Unlike co-occurrence counts, a clique of
+    near-identical heavy users contributes almost nothing (their 1/(α+c)
+    terms vanish as their shared-item count c grows), so swing resists
+    exactly the bot/power-user co-click inflation that poisons plain
+    item CF.
+
+    Caps make it production-shaped (the uncapped pair-of-pairs blowup is
+    quartic in the hot keys): an ACTIVITY cap drops users with >32
+    distinct items before any join (their terms are ≤ 1/33 each and
+    they're the quadratic hazard — the same reasoning production swing
+    implements as user-activity weighting), then a deterministic
+    RATER cap keeps ≤40 raters per item (row_number by user_id,
+    mirrored in the oracle). After both caps: user pairs per item
+    ≤ C(40,2), common items per pair ≤ 32, so item-pair work per user
+    pair is ≤ C(32,2) — all constants, linear in items.
+
+    Exactness: every swing term snaps to round(1e12/(1+c)) BIGINT before
+    the sum (1e12 = 2^12·5^12, so every power-of-two-times-five divisor
+    is exact and no 1/(1+c) lands on a .5 rounding boundary for c ≤ 32);
+    the only float op is the final /1e12 display round. Top-20 is
+    orderBy().limit() -> TakeOrderedAndProject with (item_a, item_b)
+    tiebreaks."""
+    m = ratings_matrix(spark, sf_dir, max_item=200)
+    ui = m.select("user_id", "item_id").distinct()
+    active = (
+        ui.groupBy("user_id")
+        .agg(F.count("*").alias("n_items"))
+        .where(F.col("n_items") <= 32)
+        .select("user_id")
+    )
+    wr = Window.partitionBy("item_id").orderBy("user_id")
+    capped = (
+        ui.join(active, "user_id")
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 40)
+        .select("user_id", "item_id")
+    )
+    a = capped.select(F.col("user_id").alias("ua"), "item_id")
+    b = capped.select(F.col("user_id").alias("ub"), "item_id")
+    # up feeds THREE consumers (the overlap counts and both sides of the
+    # item-pair join); cache it so the capped pair join runs once, not 3x.
+    up = (
+        a.join(b, "item_id")
+        .where(F.col("ua") < F.col("ub"))
+        .select("ua", "ub", "item_id")
+        .cache()
+    )
+    cuv = (
+        up.groupBy("ua", "ub")
+        .agg(F.count("*").cast("long").alias("c_uv"))
+        .select(
+            F.col("ua").alias("c_ua"), F.col("ub").alias("c_ub"), "c_uv"
+        )
+    )
+    p = up.select("ua", "ub", F.col("item_id").alias("item_a"))
+    q = up.select(
+        F.col("ua").alias("q_ua"),
+        F.col("ub").alias("q_ub"),
+        F.col("item_id").alias("item_b"),
+    )
+    ip = p.join(
+        q,
+        (p.ua == F.col("q_ua"))
+        & (p.ub == F.col("q_ub"))
+        & (F.col("item_a") < F.col("item_b")),
+    ).select("ua", "ub", "item_a", "item_b")
+    term12 = F.round(1e12 / (1 + F.col("c_uv"))).cast("long")
+    sw = (
+        ip.join(
+            cuv,
+            (ip.ua == F.col("c_ua")) & (ip.ub == F.col("c_ub")),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum(term12).alias("s12"),
+            F.count("*").cast("long").alias("n_user_pairs"),
+        )
+    )
+    return (
+        sw.select(
+            "item_a",
+            "item_b",
+            f6(F.col("s12") / 1e12).alias("swing"),
+            "n_user_pairs",
+        )
+        .orderBy(F.col("swing").desc(), "item_a", "item_b")
+        .limit(20)
+    )

@@ -1,0 +1,153 @@
+"""Round-11 operators: semantic checks beyond the DuckDB oracle hash."""
+
+import hashlib
+import re
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from npc_recommender_netflix_spark import registry
+from tests.conftest import SF_SMALL
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_cdc_chunking_matches_pure_python(spark):
+    """t_cdc_chunking's whole pipeline — rolling 4-token cut rule, chunk
+    assembly, digest census, top-10 — replayed in pure Python over the
+    same corpus must produce the identical result set."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    chunk_digests = []  # (digest, doc_id, n_tok, n_char)
+    for doc_id, text in docs.items():
+        words = re.split(r"\s+", text.lower())
+        chunks, cur = [], []
+        for p, w in enumerate(words, start=1):
+            cur.append(w)
+            if p >= 4 and _md5("|".join(words[p - 4: p]))[0] == "0":
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        for c in chunks:
+            t = " ".join(c)
+            chunk_digests.append((_md5(t), doc_id, len(c), len(t)))
+    by_digest = defaultdict(list)
+    for d, doc, ntok, nchar in chunk_digests:
+        by_digest[d].append((doc, ntok, nchar))
+    census = [
+        (
+            d,
+            len(v),
+            len({doc for doc, _t, _c in v}),
+            max(t for _d2, t, _c in v),
+            (len(v) - 1) * max(c for _d2, _t, c in v),
+        )
+        for d, v in by_digest.items()
+        if len(v) >= 2
+    ]
+    census.sort(key=lambda r: (-r[1], r[0]))
+    expected = census[:10]
+
+    got = [
+        (r["digest"], r["n_copies"], r["n_docs"], r["chunk_tokens"],
+         r["saved_chars"])
+        for r in registry.QUERIES["t_cdc_chunking"](spark, SF_SMALL).collect()
+    ]
+    assert got == expected
+
+
+def test_cdc_boundaries_resynchronize_after_edit(spark):
+    """The CDC property fixed-stride tiling lacks: insert ONE token at the
+    front of a document and all chunk boundaries AFTER the rolling window
+    passes the edit are unchanged — most chunks still dedupe against the
+    original. (With 40-token fixed tiles, a 1-token shift misaligns every
+    tile.)"""
+    words = [f"tok{i}" for i in range(400)]
+
+    def chunks_of(ws):
+        out, cur = [], []
+        for p, w in enumerate(ws, start=1):
+            cur.append(w)
+            if p >= 4 and _md5("|".join(ws[p - 4: p]))[0] == "0":
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    base = set(chunks_of(words))
+    edited = chunks_of(["inserted"] + words)
+    shared = sum(1 for c in edited if c in base)
+    assert shared >= len(edited) - 3, (
+        "an edit must only disturb the chunks overlapping the edit window"
+    )
+
+
+def test_swing_capped_matches_pure_python(spark):
+    """r_swing_capped replayed in pure Python (same caps, same 1e12 term
+    snapping, same tiebreaks) over the sf0.001 ratings matrix."""
+    from npc_recommender_netflix_spark.recommender.core import ratings_matrix
+
+    ui = {
+        (r["user_id"], r["item_id"])
+        for r in ratings_matrix(spark, SF_SMALL, max_item=200)
+        .select("user_id", "item_id")
+        .distinct()
+        .collect()
+    }
+    items_of = defaultdict(set)
+    for u, i in ui:
+        items_of[u].add(i)
+    active = {u for u, its in items_of.items() if len(its) <= 32}
+    raters = defaultdict(list)
+    for u, i in sorted(ui):
+        if u in active:
+            raters[i].append(u)
+    capped = {(u, i) for i, us in raters.items() for u in sorted(us)[:40]}
+    items_c = defaultdict(set)
+    for u, i in capped:
+        items_c[u].add(i)
+    users = sorted(items_c)
+    s12 = Counter()
+    npairs = Counter()
+    for ai, u in enumerate(users):
+        for v in users[ai + 1:]:
+            common = sorted(items_c[u] & items_c[v])
+            c = len(common)
+            if c < 2:
+                continue
+            term = round(1e12 / (1 + c))
+            for x in range(c):
+                for y in range(x + 1, c):
+                    s12[(common[x], common[y])] += term
+                    npairs[(common[x], common[y])] += 1
+    scored = [
+        (round(s / 1e12, 6), i, j, npairs[(i, j)])
+        for (i, j), s in s12.items()
+    ]
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    expected = [(i, j, sw, n) for sw, i, j, n in scored[:20]]
+
+    got = [
+        (r["item_a"], r["item_b"], r["swing"], r["n_user_pairs"])
+        for r in registry.QUERIES["r_swing_capped"](spark, SF_SMALL).collect()
+    ]
+    assert got == expected
+    spark.catalog.clearCache()
+
+
+def test_swing_downweights_heavy_overlap_pairs(spark):
+    """Swing's defining property: a co-rating by a user pair with LARGE
+    overall overlap contributes less than one by a low-overlap pair —
+    every output score must be <= n_user_pairs * 1/(1+2) (c_uv >= 2
+    whenever the pair contributes to any item pair) and > 0."""
+    rows = registry.QUERIES["r_swing_capped"](spark, SF_SMALL).collect()
+    assert rows, "fixture produced no swing pairs"
+    for r in rows:
+        assert 0 < r["swing"] <= r["n_user_pairs"] / 3.0 + 1e-9
+    spark.catalog.clearCache()

@@ -106,6 +106,10 @@ LINEAR_KEYS = {
     # struct-min subvector assignment; work = N x (16 centroids x 8 subvecs)
     "m_image_pipeline": "documents",  # round 11: real P6 multi-frame
     # decode/resize in Arrow tasks; blob bytes never shuffle
+    "t_cdc_chunking": "documents",  # round 11: content-defined chunking —
+    # per-doc rolling-hash cuts (doc-partitioned windows), digest-only
+    # census shuffle; the ladder's mutated near-dup copies are exactly
+    # the workload CDC exists for (shared chunks across edit variants)
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
@@ -141,6 +145,11 @@ RELATIONAL_LINEAR_KEYS = {
     "r_adamic_adar": "lineitem",  # round 10: user-keyed item-pair self-join
     # on the item_id<200 ratings matrix — baskets dedup to <=200 rows/user,
     # so pair work is <=200^2/2 per user even for the ladder's power users
+    "r_swing_capped": "lineitem",  # round 11: activity cap (<=32
+    # items/user) drops the ladder's 10 power users BEFORE the pair join
+    # and the <=40-rater cap bounds blockbuster items, so pair-of-pairs
+    # work per user pair is <= C(32,2) — the quartic hazard is the reason
+    # production swing caps activity; flat per-row cost is the claim
     "j_grid_knn": "customer",  # round 10: 9-cell neighborhood equi-join;
     # candidates = cell occupancy (density-bound); supplier dim is FIXED on
     # the ladder, so candidate density per customer actually thins as the
