@@ -1701,13 +1701,16 @@ def v_pq_adc(spark, sf_dir):
             ),
         )
         .where(F.col("rn") <= 5)
-        .select("query_id", F.col("vec_id").alias("evec"))
+        # e_qid alias: both top-5 frames descend from the same embeddings
+        # scan — same-name query_id == query_id trips the trivially-true-
+        # equals lineage warning (round-11 logcap tripwire).
+        .select(F.col("query_id").alias("e_qid"), F.col("vec_id").alias("evec"))
     )
     return (
         adc_top.join(
             exact_top,
-            (adc_top.query_id == exact_top.query_id)
-            & (adc_top.vec_id == exact_top.evec),
+            (adc_top.query_id == F.col("e_qid"))
+            & (adc_top.vec_id == F.col("evec")),
             "left",
         )
         .groupBy(adc_top.query_id)

@@ -6677,14 +6677,17 @@ def a_bitmap_overlap(spark, sf_dir):
     )
     b = words.select(
         F.col("event_type").alias("type_b"),
-        "bucket",
+        F.col("bucket").alias("bucket_b"),
         F.col("w").alias("wb"),
     )
+    # bucket_b alias: both sides descend from `words`, and a same-name
+    # bucket == bucket predicate trips Spark's trivially-true-equals
+    # lineage warning (round-11 logcap tripwire).
     ov = (
         a.join(
             b,
             (F.col("type_a") < F.col("type_b"))
-            & (a.bucket == b.bucket),
+            & (a.bucket == F.col("bucket_b")),
         )
         .select(
             "type_a",

@@ -876,13 +876,16 @@ def j_asof_tolerance(spark, sf_dir):
     p = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
+    # v_uid alias: both sides descend from `ev`, and a same-name
+    # user_id == user_id predicate trips Spark's trivially-true-equals
+    # lineage warning (round-11 logcap tripwire).
     v = ev.where(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("vts")
+        F.col("user_id").alias("v_uid"), F.col("ts").alias("vts")
     )
     best = (
         p.join(
             v,
-            (p.user_id == v.user_id) & (F.col("vts") <= F.col("ts")),
+            (p.user_id == F.col("v_uid")) & (F.col("vts") <= F.col("ts")),
             "left",
         )
         .groupBy("event_id", p.user_id, "ts")

@@ -308,18 +308,21 @@ def w_gap_fill(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n"))
     )
     span = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    # the calendar frame descends from daily itself — alias its user_id
+    # (g_uid) so the rejoin can't trip the trivially-true-equals lineage
+    # warning (round-11 logcap tripwire).
     days = span.select(
-        "user_id",
+        F.col("user_id").alias("g_uid"),
         F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
     )
     return (
         days.join(
             daily,
-            (daily.user_id == days.user_id) & (daily.d == F.col("day")),
+            (daily.user_id == F.col("g_uid")) & (daily.d == F.col("day")),
             "left",
         )
         .select(
-            days.user_id,
+            F.col("g_uid").alias("user_id"),
             "day",
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
             F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),

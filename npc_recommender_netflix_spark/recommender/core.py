@@ -1080,9 +1080,12 @@ def r_cosine_sim_capped(spark, sf_dir):
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
     )
     a = m.select("user_id", F.col("item_id").alias("item_a"), F.col("rating").alias("ra"))
-    b = m.select("user_id", F.col("item_id").alias("item_b"), F.col("rating").alias("rb"))
+    # b_uid alias: both sides descend from the cached m, and a same-name
+    # user_id == user_id predicate trips Spark's trivially-true-equals
+    # lineage warning (round-11 logcap tripwire).
+    b = m.select(F.col("user_id").alias("b_uid"), F.col("item_id").alias("item_b"), F.col("rating").alias("rb"))
     p = (
-        a.join(b, (a.user_id == b.user_id) & (F.col("item_a") < F.col("item_b")))
+        a.join(b, (a.user_id == F.col("b_uid")) & (F.col("item_a") < F.col("item_b")))
         .groupBy("item_a", "item_b")
         .agg(
             F.sum(F.col("ra") * F.col("rb")).alias("dot"),
@@ -1279,9 +1282,12 @@ def r_slope_one(spark, sf_dir):
     """
     m = ratings_matrix(spark, sf_dir, max_item=200)
     a = m.select(F.col("item_id").alias("i"), "user_id", F.col("rating").alias("ra"))
-    b = m.select(F.col("item_id").alias("j"), "user_id", F.col("rating").alias("rb"))
+    # b_uid alias: both sides descend from the cached ratings matrix —
+    # same-name user_id == user_id trips the trivially-true-equals
+    # lineage warning (round-11 logcap tripwire).
+    b = m.select(F.col("item_id").alias("j"), F.col("user_id").alias("b_uid"), F.col("rating").alias("rb"))
     dev = (
-        a.join(b, (a.user_id == b.user_id) & (F.col("i") != F.col("j")))
+        a.join(b, (a.user_id == F.col("b_uid")) & (F.col("i") != F.col("j")))
         .groupBy("i", "j")
         .agg(
             F.sum(F.col("ra") - F.col("rb")).alias("dsum"),

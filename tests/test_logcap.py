@@ -37,14 +37,20 @@ def test_warning_capture_detects_ambiguous_self_join(spark):
 
 def test_retrieval_stack_plans_build_with_clean_logs(spark):
     """v_rerank_mmr carried the warning until round 11 (the rem⋈ms join);
-    the graph-ANN walks grew it when qcos became a shared intermediate.
-    All four must now BUILD their full plans without tripping it."""
+    the graph-ANN walks grew it when qcos became a shared intermediate;
+    the first full-sweep run of the tripwire then flushed SIX more latent
+    carriers (a_bitmap_overlap, j_asof_tolerance, r_cosine_sim_capped,
+    r_slope_one, v_pq_adc, w_gap_fill — every one hash-matched, so the
+    warning was the only symptom). All ten must now BUILD their full
+    plans without tripping it."""
     cap = WarningCapture(spark)
     assert cap.active
     try:
         cap.drain()
         for key in ("v_nsw_greedy", "v_hnsw_layered", "v_rerank_mmr",
-                    "v_matryoshka_topk"):
+                    "v_matryoshka_topk", "a_bitmap_overlap",
+                    "j_asof_tolerance", "r_cosine_sim_capped",
+                    "r_slope_one", "v_pq_adc", "w_gap_fill"):
             registry.QUERIES[key](spark, SF_SMALL)
             assert not cap.dirty_lines(), f"{key} builds a dirty plan"
     finally:
