@@ -172,7 +172,12 @@ def main() -> None:
         spark.catalog.clearCache()  # keys that cache() must not leak storage into the next key's timing
         _drain_listeners(spark)
         after = _shuffle_written(spark)
-        if before is not None and after is not None:
+        if before is not None and after is not None and after >= before:
+            # after < before happens when the AppStatusStore's bounded
+            # stage retention evicts stages counted in `before` mid-run —
+            # the delta is meaningless (round-11: a NEGATIVE baseline for
+            # v_rerank_mmr made the regression gate compare nonsense and
+            # report a false positive). Record nothing, like scalecheck.
             shuffle_bytes[key] = after - before
 
     regressions = []
@@ -184,7 +189,10 @@ def main() -> None:
             baseline = b.get("shuffle_bytes", {})
     for key, measured in shuffle_bytes.items():
         base = baseline.get(key)
-        if base is not None and measured > 2 * base and measured - base > 1 << 20:
+        # negative values are eviction artifacts from baselines written
+        # before the guard above existed — never compare against them
+        if base is not None and base >= 0 and measured >= 0 \
+                and measured > 2 * base and measured - base > 1 << 20:
             regressions.append(
                 {"query": key, "baseline_bytes": base, "measured_bytes": measured}
             )
