@@ -94,6 +94,7 @@ HEADLINE = [
     "v_rerank_mmr",          # round 10: integer-exact MMR diversification
     "t_cdc_chunking",        # round 11: content-defined chunk dedup census
     "r_swing_capped",        # round 11: capped Swing i2i user-pair similarity
+    "t_longest_dup_ngram",   # round 11: exact-substring dedup class census
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

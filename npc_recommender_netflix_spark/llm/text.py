@@ -4322,3 +4322,117 @@ def t_cdc_chunking(spark, sf_dir):
         .orderBy(F.col("n_copies").desc(), "digest")
         .limit(10)
     )
+
+
+def _dup_ngram_wins_sql(lengths=(8, 16, 32)) -> str:
+    return "\n        UNION ALL ".join(
+        f"SELECT doc_id, {L} AS wlen,"
+        f" unnest(list_transform(range({L}, len(t)+1),"
+        f" i -> md5(array_to_string(t[i-{L - 1}:i], ' ')))) AS digest"
+        f" FROM toks WHERE len(t) >= {L}"
+        for L in lengths
+    )
+
+
+@register(
+    "t_longest_dup_ngram",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        FROM documents
+    ),
+    wins AS (
+        {_dup_ngram_wins_sql()}
+    ),
+    dups AS (
+        SELECT wlen, digest FROM wins
+        GROUP BY wlen, digest HAVING count(*) >= 2
+    ),
+    perdoc AS (
+        SELECT w.doc_id, max(w.wlen) AS max_dup_len
+        FROM wins w JOIN dups d ON d.wlen = w.wlen AND d.digest = w.digest
+        GROUP BY w.doc_id
+    ),
+    cls AS (
+        SELECT t.doc_id, coalesce(p.max_dup_len, 0) AS max_dup_len
+        FROM toks t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+    ),
+    tot AS (SELECT count(*) AS n FROM cls)
+    SELECT CAST(max_dup_len AS BIGINT) AS max_dup_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 1.0 / tot.n, 6) + 0 AS share
+    FROM cls CROSS JOIN tot
+    GROUP BY max_dup_len, tot.n
+    ORDER BY max_dup_len
+    """,
+)
+def t_longest_dup_ngram(spark, sf_dir):
+    """Longest-duplicated-substring census — the per-document signal
+    behind exact-substring training-data dedup ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022, public): for
+    window lengths L ∈ {8, 16, 32} tokens, digest every length-L sliding
+    window, mark digests occurring ≥2 times corpus-wide (self-repetition
+    counts — a doc repeating its own boilerplate is the same training
+    hazard), and classify each document by the LONGEST duplicated window
+    it contains (0 = clean). The output is the 4-row class census with
+    corpus shares — the dial an operator reads to pick the dedup cut
+    (docs in the 32+ class are removal candidates; the 8 class is mostly
+    idiom-frequency noise).
+
+    Scale: window digests are built ARRAY-SIDE per document (one
+    transform over the token array per L — no token explode, the
+    t_chunk_docs idiom), so the corpus scan emits (doc_id, wlen, digest)
+    rows directly; everything after is digest-keyed partial aggregation
+    + one left-semi join back — the t_exact_dedup_digest shape measured
+    linear on the ladder, at 3x token volume. Text never shuffles; the
+    3-length union is 3 scan passes of the same cached-by-OS parquet.
+    No floats until the final share division."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("t")
+    )
+    sized = docs.select("doc_id", "t", F.size("t").alias("n"))
+    wins = None
+    for L in (8, 16, 32):
+        wd = sized.where(F.col("n") >= L).select(
+            "doc_id",
+            F.lit(L).cast("long").alias("wlen"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence({L}, n), i -> "
+                    f"md5(encode(array_join(slice(t, i - {L - 1}, {L}), ' '),"
+                    f" 'UTF-8')))"
+                )
+            ).alias("digest"),
+        )
+        wins = wd if wins is None else wins.unionByName(wd)
+    wins = wins.cache()
+    dups = (
+        wins.groupBy("wlen", "digest")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("wlen", "digest")
+    )
+    perdoc = (
+        wins.join(dups, ["wlen", "digest"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.max("wlen").alias("max_dup_len"))
+    )
+    cls = (
+        docs.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("max_dup_len"), F.lit(0)).alias("max_dup_len")
+        )
+    )
+    tot = cls.agg(F.count("*").alias("n"))
+    return (
+        cls.groupBy("max_dup_len")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("max_dup_len").cast("long").alias("max_dup_len"),
+            "n_docs",
+            f6(F.col("n_docs") * 1.0 / F.col("n")).alias("share"),
+        )
+        .orderBy("max_dup_len")
+    )

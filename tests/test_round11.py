@@ -151,3 +151,36 @@ def test_swing_downweights_heavy_overlap_pairs(spark):
     for r in rows:
         assert 0 < r["swing"] <= r["n_user_pairs"] / 3.0 + 1e-9
     spark.catalog.clearCache()
+
+
+def test_longest_dup_ngram_matches_pure_python(spark):
+    """t_longest_dup_ngram replayed in pure Python: same window digests
+    (L in 8/16/32), same >=2 corpus-wide dup rule, same per-doc max and
+    4-class census."""
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"].lower())
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    wins = defaultdict(list)  # (L, digest) -> [doc_id, ...]
+    for doc_id, t in docs.items():
+        for L in (8, 16, 32):
+            for i in range(L, len(t) + 1):
+                wins[(L, _md5(" ".join(t[i - L: i])))].append(doc_id)
+    perdoc = defaultdict(int)
+    for (L, _d), ds in wins.items():
+        if len(ds) >= 2:
+            for doc in ds:
+                perdoc[doc] = max(perdoc[doc], L)
+    census = Counter(perdoc.get(d, 0) for d in docs)
+    n = len(docs)
+    expected = sorted(
+        (k, c, round(c * 1.0 / n, 6)) for k, c in census.items()
+    )
+    got = [
+        (r["max_dup_len"], r["n_docs"], r["share"])
+        for r in registry.QUERIES["t_longest_dup_ngram"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    assert got == expected
+    spark.catalog.clearCache()

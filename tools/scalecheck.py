@@ -110,6 +110,9 @@ LINEAR_KEYS = {
     # per-doc rolling-hash cuts (doc-partitioned windows), digest-only
     # census shuffle; the ladder's mutated near-dup copies are exactly
     # the workload CDC exists for (shared chunks across edit variants)
+    "t_longest_dup_ngram": "documents",  # round 11: array-side window
+    # digests at 3 lengths, digest-keyed dup agg + left-semi back —
+    # t_exact_dedup_digest's linear shape at 3x token volume
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
