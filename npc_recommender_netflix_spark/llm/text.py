@@ -4273,6 +4273,26 @@ def t_cdc_chunking(spark, sf_dir):
     is linear in tokens; the census is a digest-keyed partial agg —
     the same shape t_exact_dedup_digest measured linear on the ladder."""
     docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks(docs)
+    return (
+        chunks.groupBy("digest")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.max("n_tok").alias("chunk_tokens"),
+            ((F.count("*") - 1) * F.max("n_char")).cast("long").alias("saved_chars"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .orderBy(F.col("n_copies").desc(), "digest")
+        .limit(10)
+    )
+
+
+def cdc_chunks(docs):
+    """Content-defined chunks of any (doc_id, text) frame: one row per
+    chunk with (doc_id, chunk_id, digest, n_tok, n_char). Split out of
+    t_cdc_chunking so the hypothesis property layer can drive the ENGINE
+    chunker (not a python re-implementation) on generated inputs."""
     # posexplode, not row_number-over-monotonic-id: positions must be the
     # token's index IN ITS OWN text (stable across retries/partitionings).
     tok = docs.select(
@@ -4305,22 +4325,10 @@ def t_cdc_chunking(spark, sf_dir):
         ),
         " ",
     )
-    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+    return chunked.groupBy("doc_id", "chunk_id").agg(
         F.md5(F.encode(ordered_text, "UTF-8")).alias("digest"),
         F.count("*").cast("long").alias("n_tok"),
         F.length(ordered_text).cast("long").alias("n_char"),
-    )
-    return (
-        chunks.groupBy("digest")
-        .agg(
-            F.count("*").cast("long").alias("n_copies"),
-            F.count_distinct("doc_id").cast("long").alias("n_docs"),
-            F.max("n_tok").alias("chunk_tokens"),
-            ((F.count("*") - 1) * F.max("n_char")).cast("long").alias("saved_chars"),
-        )
-        .where(F.col("n_copies") >= 2)
-        .orderBy(F.col("n_copies").desc(), "digest")
-        .limit(10)
     )
 
 

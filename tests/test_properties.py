@@ -2406,3 +2406,56 @@ def test_adaptive_band_width_at_powers_of_two(spark):
     for r in rows:
         expected = min(20, max(4, math.ceil(math.log2(r["n"]) - 1e-9)))
         assert r["w"] == expected, (r["n"], r["w"], expected)
+
+
+_cdc_texts = st.lists(
+    st.text(alphabet="abc ", min_size=1, max_size=40), min_size=1, max_size=8
+)
+
+
+@_prop
+@given(texts=_cdc_texts)
+def test_cdc_chunks_partition_each_document(spark, texts):
+    """The ENGINE chunker (llm.text.cdc_chunks) must PARTITION every
+    document for any input: per-doc chunk token counts sum to the doc's
+    token count, chunk ids are contiguous from 0, and reassembling the
+    chunks in chunk_id order via the digests matches a pure-python
+    replay of the same cut rule (full parity on adversarial inputs,
+    including multi-space runs and 1-token docs)."""
+    import hashlib
+    import re
+
+    from npc_recommender_netflix_spark.llm.text import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {}
+    for r in cdc_chunks(docs).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["digest"], r["n_tok"], r["n_char"]
+        )
+    for i, t in enumerate(texts):
+        words = re.split(r"\s+", t.lower())
+        chunks, cur = [], []
+        for p, w in enumerate(words, start=1):
+            cur.append(w)
+            if p >= 4 and hashlib.md5(
+                "|".join(words[p - 4: p]).encode()
+            ).hexdigest()[0] == "0":
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        expected = {
+            cid: (
+                hashlib.md5(" ".join(c).encode()).hexdigest(),
+                len(c),
+                len(" ".join(c)),
+            )
+            for cid, c in enumerate(chunks)
+        }
+        assert got[i] == expected, (i, t)
+        # partition property: token counts sum, ids contiguous
+        assert sum(n for _d, n, _c in got[i].values()) == len(words)
+        assert sorted(got[i]) == list(range(len(got[i])))

@@ -184,3 +184,35 @@ def test_longest_dup_ngram_matches_pure_python(spark):
     ]
     assert got == expected
     spark.catalog.clearCache()
+
+
+def test_shared_caches_reregister_after_clearcache(spark):
+    """Measured round-11 Spark fact: spark.catalog.clearCache() removes a
+    cached DataFrame's registration PERMANENTLY — it never re-caches on
+    its own. Both shared-intermediate memoizers must re-register on the
+    next handout, or iterative consumers (greedy hops, multi-reference
+    prediction plans) silently recompute their shared subplan per use."""
+    from npc_recommender_netflix_spark.llm.vectors import _qcos_012
+    from npc_recommender_netflix_spark.recommender.core import (
+        _cached,
+        ratings_matrix,
+    )
+
+    q = _qcos_012(spark, SF_SMALL)
+    q.count()
+    # max_item=200: the memoized (_cached) path — the plain matrix is
+    # deliberately unmemoized ("used once per query; not worth pinning")
+    m = ratings_matrix(spark, SF_SMALL, max_item=200)
+    m.count()
+    assert q.storageLevel.useMemory and m.storageLevel.useMemory
+
+    spark.catalog.clearCache()
+    assert not q.storageLevel.useMemory  # the fact this test documents
+    assert not m.storageLevel.useMemory
+
+    q2 = _qcos_012(spark, SF_SMALL)
+    m2 = ratings_matrix(spark, SF_SMALL, max_item=200)
+    assert q2.storageLevel.useMemory, "_qcos_012 must re-register"
+    assert m2.storageLevel.useMemory, "_cached must re-register"
+    assert _cached is not None  # imported for the docstring's claim
+    spark.catalog.clearCache()
