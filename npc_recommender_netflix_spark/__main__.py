@@ -3,12 +3,17 @@
     python -m npc_recommender_netflix_spark list [prefix]
     python -m npc_recommender_netflix_spark run <key> [--sf DIR] [-n N]
     python -m npc_recommender_netflix_spark explain <key> [--sf DIR]
+    python -m npc_recommender_netflix_spark profile <key> [--sf DIR]
     python -m npc_recommender_netflix_spark oracle <key>
 
 `run` prints the first N rows (default 20) and the row count; `explain`
 prints the formatted physical plan (the artifact every scale review
-reads); `oracle` prints the registered DuckDB SQL so users can verify a
-result against an independent engine, exactly as tools/check.py does.
+reads); `profile` executes the key and prints wall time, shuffle-write
+bytes (the bench.py AppStatusStore probe), output rows, and the
+executed-plan shape summary — the one-command version of the
+explain-until-it's-the-plan-you-want loop; `oracle` prints the
+registered DuckDB SQL so users can verify a result against an
+independent engine, exactly as tools/check.py does.
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     p_list = sub.add_parser("list", help="list registered operator keys")
     p_list.add_argument("prefix", nargs="?", default="")
 
-    for name in ("run", "explain"):
+    for name in ("run", "explain", "profile"):
         p = sub.add_parser(name)
         p.add_argument("key")
         p.add_argument("--sf", default=DEFAULT_SF_DIR)
@@ -65,6 +70,32 @@ def main(argv: list[str] | None = None) -> int:
     df = registry.QUERIES[args.key](spark, args.sf)
     if args.cmd == "explain":
         df.explain("formatted")
+        return 0
+    if args.cmd == "profile":
+        import os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        from bench import _drain_listeners, _shuffle_written  # noqa: PLC0415
+        from tools.plans import shape_summary  # noqa: PLC0415
+
+        before = _shuffle_written(spark)
+        t0 = time.time()
+        n = df.count()
+        wall = time.time() - t0
+        _drain_listeners(spark)
+        after = _shuffle_written(spark)
+        sb = (
+            after - before
+            if before is not None and after is not None and after >= before
+            else None
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        print(f"key={args.key}  sf={args.sf}")
+        print(f"rows={n}  wall={wall:.2f}s  shuffle_write_bytes={sb}")
+        print(shape_summary(plan))
         return 0
     t0 = time.time()
     df.show(args.n, truncate=False)
