@@ -1575,3 +1575,64 @@ def s_merkle_manifest(spark, sf_dir):
         )
         .orderBy("group_id")
     )
+
+
+@register(
+    "s_time_travel",
+    """
+    WITH cents AS (
+        SELECT o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    )
+    SELECT CAST(0 AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS total_cents
+    FROM cents WHERE year(o_orderdate) <= 1996
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(c) AS BIGINT)
+    FROM cents
+    ORDER BY version
+    """,
+)
+def s_time_travel(spark, sf_dir):
+    """Snapshot time travel on plain parquet, emulated the honest way:
+    a table VERSION is a manifest (list of file sets), an append commit
+    creates a NEW manifest that references the old files plus the delta
+    — it never rewrites v0's files, which is the entire reason 'SELECT
+    ... VERSION AS OF 0' can work after the table has moved on
+    (Delta/Iceberg store these manifests in table metadata; here they
+    are the two scratch directory sets, derived the s_manifest_diff
+    way). The fixture commits v0 = orders through 1996 and v1 = v0 +
+    the post-1996 delta, then reads BOTH versions through their
+    manifests and reports (rows, exact cents total) per version — the
+    v0 read must equal the pre-append state even though v1 exists.
+
+    Scale: the version read is spark.read.parquet(*manifest_files) — a
+    plain multi-path scan with full pushdown/pruning; the manifest is
+    metadata-scale. The append-only invariant is what makes the pattern
+    O(delta) per commit at 100 TB; the honest caveat (as with
+    s_manifest_diff) is that DERIVING manifests from listings costs a
+    listing — the argument for a real table format's metadata layer.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v0_dir = _scratch("tt_v0_")
+    d1_dir = _scratch("tt_d1_")
+    base = orders.where(F.year("o_orderdate") <= 1996)
+    delta = orders.where(F.year("o_orderdate") > 1996)
+    base.write.parquet(v0_dir)
+    delta.write.parquet(d1_dir)
+    manifests = {0: [v0_dir], 1: [v0_dir, d1_dir]}
+
+    def as_of(version: int):
+        snap = spark.read.parquet(*manifests[version])
+        return snap.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        ).select("version", "n_rows", "total_cents")
+
+    return as_of(0).unionByName(as_of(1)).orderBy("version")

@@ -216,3 +216,25 @@ def test_shared_caches_reregister_after_clearcache(spark):
     assert m2.storageLevel.useMemory, "_cached must re-register"
     assert _cached is not None  # imported for the docstring's claim
     spark.catalog.clearCache()
+
+
+def test_time_travel_v0_read_is_append_invariant(spark):
+    """s_time_travel's version-0 read must equal the direct pre-append
+    aggregate even though version 1 (the appended table) exists — the
+    append-only manifest invariant that makes VERSION AS OF possible."""
+    rows = {
+        r["version"]: (r["n_rows"], r["total_cents"])
+        for r in registry.QUERIES["s_time_travel"](spark, SF_SMALL).collect()
+    }
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    base = orders.where(F.year("o_orderdate") <= 1996).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+    ).collect()[0]
+    full = orders.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+    ).collect()[0]
+    assert rows[0] == (base["n"], base["c"])
+    assert rows[1] == (full["n"], full["c"])
+    assert rows[1][0] > rows[0][0], "the append must actually add rows"
