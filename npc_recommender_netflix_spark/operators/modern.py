@@ -5142,3 +5142,53 @@ def q_threshold_profit(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "q_pipe_syntax",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           round(avg(l_quantity), 6) + 0 AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY revenue_cents DESC, l_returnflag
+    """,
+)
+def q_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0's `|>` operator chains, SPARK-49555 —
+    the GoogleSQL-inspired linear form): the same shipped-1996 returns
+    report every warehouse writes, expressed as FROM |> WHERE |>
+    EXTEND |> AGGREGATE ... GROUP BY |> ORDER BY — each stage consumes
+    the previous stage's output top-to-bottom, the way the optimizer
+    actually sees it. The DuckDB oracle is the equivalent classic
+    SELECT, so the key also PROVES pipe syntax is pure sugar: identical
+    rows, schema, and hash.
+
+    Catalyst parses pipes into the same logical plan as the classic
+    form — one partial+final HashAggregate behind a pushed date filter
+    (the per-line revenue snaps to exact BIGINT cents inside EXTEND
+    before the sum). Nothing about the plan, and therefore nothing
+    about the 100 TB story, changes with the syntax."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1997-01-01'
+        |> EXTEND CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) AS line_cents
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(sum(line_cents) AS BIGINT) AS revenue_cents,
+                     round(avg(l_quantity), 6) + 0.0 AS avg_qty
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n_lines, revenue_cents, avg_qty
+        |> ORDER BY revenue_cents DESC, l_returnflag
+        """
+    )

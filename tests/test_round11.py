@@ -238,3 +238,31 @@ def test_time_travel_v0_read_is_append_invariant(spark):
     assert rows[0] == (base["n"], base["c"])
     assert rows[1] == (full["n"], full["c"])
     assert rows[1][0] > rows[0][0], "the append must actually add rows"
+
+
+def test_pipe_syntax_plan_matches_classic_form(spark):
+    """q_pipe_syntax must compile to the SAME answer and the same plan
+    family as the classic SELECT: pushed shipdate filter at the scan and
+    a partial+final HashAggregate — pipes are parser sugar, not a
+    different execution path."""
+    df = registry.QUERIES["q_pipe_syntax"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2
+    rows = df.collect()
+    assert rows and all(r["revenue_cents"] > 0 for r in rows)
+    classic = spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
+               round(avg(l_quantity), 6) + 0.0 AS avg_qty
+        FROM pipe_lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_returnflag
+        ORDER BY revenue_cents DESC, l_returnflag
+        """
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in classic]
