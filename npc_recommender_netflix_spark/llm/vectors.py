@@ -5095,3 +5095,80 @@ def v_maxsim_pruned(spark, sf_dir):
         .select("label", "gate_rank", "maxsim", "true_rank")
         .orderBy("gate_rank")
     )
+
+
+@register(
+    "v_centroid_outliers",
+    """
+    WITH cent AS (
+        SELECT e.label, t.i AS i, avg(CAST(e.embedding[t.i] AS DOUBLE)) AS cv
+        FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY e.label, t.i
+    ),
+    vc AS (
+        SELECT e.vec_id, e.label, t.i,
+               CAST(e.embedding[t.i] AS DOUBLE) AS v
+        FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    scored AS (
+        SELECT vc.vec_id, vc.label,
+               round(sum(vc.v * c.cv)
+                     / (sqrt(sum(vc.v * vc.v)) * sqrt(sum(c.cv * c.cv))),
+                     6) + 0 AS ccos
+        FROM vc JOIN cent c ON c.label = vc.label AND c.i = vc.i
+        GROUP BY vc.vec_id, vc.label
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label, ccos
+    FROM scored
+    ORDER BY ccos, vec_id
+    LIMIT 20
+    """,
+)
+def v_centroid_outliers(spark, sf_dir):
+    """Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws", public): score every vector by its cosine to
+    its OWN class centroid and surface the 20 least prototypical — the
+    mislabel / noise / boundary candidates a data-pruning pass removes
+    first (with abundant data you prune the EASY prototypical examples;
+    with scarce data you prune these outliers — either way this ranking
+    is the dial). The same score ascending is the SemDeDup paper's
+    "semantic outlier" tail.
+
+    Same centroid machinery as v_ann_ivf (per-label component averages
+    from one posexplode rollup, broadcast back — centroids are
+    labels × 64, metadata-scale at any corpus size), then ONE map-side
+    join + per-vector aggregate: no pair join anywhere, the whole key is
+    two scans and a labels×64 broadcast — trivially linear, the cheapest
+    member of the vector family. Cosines snap to 6dp with vec_id
+    tiebreaks; top-20 ascending is a TakeOrderedAndProject.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+    )
+    vcomp = (
+        emb.select(
+            "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    scored = (
+        vcomp.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            f6(
+                F.sum(F.col("v") * F.col("cv"))
+                / (
+                    F.sqrt(F.sum(F.col("v") * F.col("v")))
+                    * F.sqrt(F.sum(F.col("cv") * F.col("cv")))
+                )
+            ).alias("ccos")
+        )
+    )
+    return (
+        scored.select("vec_id", F.col("label").cast("long").alias("label"), "ccos")
+        .orderBy("ccos", "vec_id")
+        .limit(20)
+    )

@@ -266,3 +266,37 @@ def test_pipe_syntax_plan_matches_classic_form(spark):
         """
     ).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in classic]
+
+
+def test_centroid_outliers_matches_numpy(spark):
+    """v_centroid_outliers vs a numpy replay: same per-label centroids,
+    same own-centroid cosine (6dp snap), same ascending top-20."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r["label"]].append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    cents = {
+        lab: np.mean([v for _i, v in vs], axis=0)
+        for lab, vs in by_label.items()
+    }
+    scored = []
+    for lab, vs in by_label.items():
+        c = cents[lab]
+        cn = np.sqrt((c * c).sum())
+        for vid, v in vs:
+            cos = round(float((v * c).sum() / (np.sqrt((v * v).sum()) * cn)), 6)
+            scored.append((cos, vid, int(lab)))
+    scored.sort()
+    expected = [(vid, lab, cos) for cos, vid, lab in scored[:20]]
+
+    got = [
+        (r["vec_id"], r["label"], r["ccos"])
+        for r in registry.QUERIES["v_centroid_outliers"](
+            spark, SF_SMALL
+        ).collect()
+    ]
+    assert got == expected
