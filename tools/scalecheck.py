@@ -113,6 +113,8 @@ LINEAR_KEYS = {
     "t_longest_dup_ngram": "documents",  # round 11: array-side window
     # digests at 3 lengths, digest-keyed dup agg + left-semi back —
     # t_exact_dedup_digest's linear shape at 3x token volume
+    "v_centroid_outliers": "embeddings",  # round 11: centroid rollup +
+    # one broadcast join + per-vector agg; no pair join anywhere
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
