@@ -115,6 +115,10 @@ LINEAR_KEYS = {
     # t_exact_dedup_digest's linear shape at 3x token volume
     "v_centroid_outliers": "embeddings",  # round 11: centroid rollup +
     # one broadcast join + per-vector agg; no pair join anywhere
+    "t_pack_sequences": "documents",  # round 11: training-shard packing
+    # via per-doc window cumsum — one doc-keyed pass, no pair work
+    "u_apply_in_pandas": "events",  # round 11: the Arrow cogroup/apply
+    # surface demo — measures Arrow batch throughput scaling
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
@@ -150,6 +154,11 @@ RELATIONAL_LINEAR_KEYS = {
     "r_adamic_adar": "lineitem",  # round 10: user-keyed item-pair self-join
     # on the item_id<200 ratings matrix — baskets dedup to <=200 rows/user,
     # so pair work is <=200^2/2 per user even for the ladder's power users
+    "r_predict": "lineitem",  # round 11: the CF prediction chain
+    # (cached matrix + item-cosine broadcast scoring) — the headline
+    # recommender path, previously bench-only
+    "r_candidate_rerank": "lineitem",  # round 11: retrieve-then-rank
+    # cascade — 20-item broadcast pool, per-user neighbor scoring
     "r_swing_capped": "lineitem",  # round 11: activity cap (<=32
     # items/user) drops the ladder's 10 power users BEFORE the pair join
     # and the <=40-rater cap bounds blockbuster items, so pair-of-pairs
@@ -208,6 +217,9 @@ ITERATIVE_KEYS = {
     # N-scaled work is one map-side-combinable groupBy over orders (the
     # key's only scanned table, so per-row slopes are comparable across
     # keys — round-9 advice); the fit itself is corpus-size-independent
+    "r_als": "lineitem",  # round 11: MLlib block-partitioned ALS fit +
+    # transform — iteration-count constant; the claim is that the
+    # per-rating cost stays flat as the matrix grows
 }
 
 
