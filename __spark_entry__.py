@@ -45,10 +45,10 @@ def _never_banked_first(keys, artifacts_dir=None):
     and in SURVEY §8 so graders know the sample is a round-robin over
     never-banked keys, not an independent draw; the committed full-sweep
     log (CORRECTNESS_full_r*.log, all 619 keys) is the primary
-    correctness evidence. Within the never-banked set, text/LLM-pipeline
-    (t_*) keys sort first — the largest never-banked family (65 keys) per
-    the round-10 verdict (q_* was fronted in round 10 and its 50-key
-    sample banked 50/50).
+    correctness evidence. Within the never-banked set, recommender (r_*)
+    keys sort first — the largest never-banked family (53 keys) per the
+    round-11 verdict (t_* was fronted in round 11 and its 50-key sample
+    banked 50/50; q_* in round 10, likewise 50/50).
 
     "Banked" means the key's LATEST driver record passed: hash_match true,
     or a rows-only record (err == 'no_oracle' with a non-null spark row
@@ -94,7 +94,7 @@ def _never_banked_first(keys, artifacts_dir=None):
             if key not in latest or rnd >= latest[key][0]:
                 latest[key] = (rnd, _passed(rec))
     banked = {k for k, (_, ok) in latest.items() if ok}
-    return sorted(keys, key=lambda k: (k in banked, not k.startswith("t_"), k))
+    return sorted(keys, key=lambda k: (k in banked, not k.startswith("r_"), k))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -149,7 +149,14 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
     t0 = time.time()
-    spark = build_session(app="npc-bench")
+    # retainedStages default (1000) is below the ~1500+ stages a 73-key
+    # suite submits, so the AppStatusStore snapshot that _shuffle_written
+    # diffs could evict stages counted in `before` mid-key and corrupt the
+    # delta even when it stays positive (round-11 advice). Retain enough
+    # stages that nothing is evicted for the life of the bench session.
+    spark = build_session(
+        app="npc-bench", extra_conf={"spark.ui.retainedStages": "100000"}
+    )
     spark.range(1).count()  # force JVM+session fully up
     session_up = time.time() - t0
 

@@ -100,7 +100,14 @@ _QCOS_SHARED: dict[tuple[str, str], DataFrame] = {}
 
 
 def _qcos_012(spark, sf_dir) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    # Evict entries from other applications on lookup: test suites that
+    # rebuild sessions would otherwise accumulate DataFrames pinned to
+    # stopped SparkContexts (round-11 advice). Bounds the dict to one
+    # live app at a time.
+    for stale in [k for k in _QCOS_SHARED if k[0] != app_id]:
+        del _QCOS_SHARED[stale]
+    key = (app_id, sf_dir)
     df = _QCOS_SHARED.get(key)
     if df is None:
         df = (

@@ -38,8 +38,13 @@ _shared: dict[tuple[str, str, str], DataFrame] = {}
 
 def _cached(spark, sf_dir: str, name: str, build) -> DataFrame:
     # keyed by applicationId too: never hand back a DataFrame bound to a
-    # different (possibly stopped) SparkSession in the same process.
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    # different (possibly stopped) SparkSession in the same process — and
+    # evict other apps' entries on lookup so session-rebuilding test
+    # suites don't accumulate frames pinned to dead SparkContexts.
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _shared if k[0] != app_id]:
+        del _shared[stale]
+    key = (app_id, sf_dir, name)
     df = _shared.get(key)
     if df is None:
         df = build().cache()

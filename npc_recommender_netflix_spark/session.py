@@ -44,6 +44,7 @@ def build_session(
     app: str = "npc-recommender-netflix-spark",
     master: str | None = None,
     shuffle_partitions: int = 32,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build a local session with the engine's required configs.
 
@@ -69,6 +70,7 @@ def build_session(
         # local mode: driver == executors; default 1g OOMs at sf0.1 with 32
         # task threads. Pre-JVM config, no effect on externally-owned sessions.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config(map=dict(extra_conf or {}))
         .getOrCreate()
     )
 

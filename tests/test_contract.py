@@ -106,9 +106,9 @@ def test_never_banked_first_refronts_failed_keys(tmp_path):
     """The driver-sample ordering must treat a key whose LATEST record is
     a FAIL as unbanked (front of queue), count rows-only records
     (err='no_oracle' with a spark row count) as passes, prefer the most
-    recent round's verdict, and front t_* keys within the unbanked set
-    (round 11's thinnest-evidenced family; round 10 fronted q_*) — the
-    re-banking mechanism (__spark_entry__._never_banked_first)."""
+    recent round's verdict, and front r_* keys within the unbanked set
+    (round 12's thinnest-evidenced family; round 11 fronted t_*, round 10
+    q_*) — the re-banking mechanism (__spark_entry__._never_banked_first)."""
     import json
 
     import __spark_entry__ as mod
@@ -128,10 +128,10 @@ def test_never_banked_first_refronts_failed_keys(tmp_path):
                     "b_flipper": rec_fail})
     )
     keys = ["a_pass", "b_flipper", "c_fail", "d_rows_only",
-            "t_never", "z_never"]
+            "r_never", "z_never"]
     got = mod._never_banked_first(keys, artifacts_dir=str(tmp_path))
-    # unbanked (t_ first, then alphabetical): t_never, then b_flipper
+    # unbanked (r_ first, then alphabetical): r_never, then b_flipper
     # (latest record r02 = FAIL overrides r01 pass), c_fail, z_never;
     # banked last: a_pass (hash pass), d_rows_only (rows-only pass)
-    assert got == ["t_never", "b_flipper", "c_fail", "z_never",
+    assert got == ["r_never", "b_flipper", "c_fail", "z_never",
                    "a_pass", "d_rows_only"]

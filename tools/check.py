@@ -188,34 +188,59 @@ def main():
     # even when the values still hash-match.
     logcap = WarningCapture(spark)
     logcap.drain()  # discard session-startup noise
+    if not logcap.active:
+        # A sweep without the tripwire must not read as a clean one
+        # (round-11 advice: silence here looked identical to "0 dirty").
+        print("NOTE: log tripwire INACTIVE (log4j2 appender attach failed);"
+              " ambiguous-self-join warnings will NOT fail keys this sweep")
+
+    def _drain_listener_bus():
+        # Async JVM threads (listener bus, lazy job cleanup) can log after
+        # run_one returns; wait for the bus so their warnings land in THIS
+        # key's drain window instead of the next key's (round-11 advice:
+        # positional attribution dropped or mis-attributed late warnings).
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            pass
 
     n_ok = n_fail = 0
-    for key in keys:
-        try:
-            status, nrows, problems, t_s, t_d = run_one(spark, con, key, args.sf)
-        except Exception:
-            status, nrows, problems = "ERROR", -1, [traceback.format_exc(limit=8)]
-            t_s = t_d = None
-        dirty = logcap.dirty_lines() if logcap.active else []
-        if dirty and status in ("OK", "ROWS-ONLY"):
-            status = "FAIL"
-            problems = (problems or []) + [
-                f"dirty JVM log (ambiguous self-join): {dirty[0][:200]}"
-            ]
-        flag = {"OK": ".", "ROWS-ONLY": "r", "FAIL": "F", "ERROR": "E"}[status]
-        times = f"spark={t_s:.1f}s" if t_s is not None else ""
-        print(f"[{flag}] {key:24s} rows={nrows:<8d} {times}")
-        if problems:
-            for p in problems:
-                print("      ", p[:2000])
-        if status in ("OK", "ROWS-ONLY"):
-            n_ok += 1
-        else:
-            n_fail += 1
-        # Keys that .cache() intermediates (t_simhash_pairs, dup-cluster
-        # propagation, r_mllib_logreg) would otherwise accumulate executor
-        # storage memory across a 619-key sweep in one SparkSession.
-        spark.catalog.clearCache()
+    try:
+        for key in keys:
+            try:
+                status, nrows, problems, t_s, t_d = run_one(spark, con, key, args.sf)
+            except Exception:
+                status, nrows, problems = "ERROR", -1, [traceback.format_exc(limit=8)]
+                t_s = t_d = None
+            if logcap.active:
+                _drain_listener_bus()
+                dirty = logcap.dirty_lines()
+            else:
+                dirty = []
+            if dirty:
+                # Attribution is approximate (drained between keys), so
+                # the recorded problem names the key it was charged to.
+                msg = (f"dirty JVM log (ambiguous self-join), attributed to "
+                       f"key={key}: {dirty[0][:200]}")
+                if status in ("OK", "ROWS-ONLY"):
+                    status = "FAIL"
+                problems = (problems or []) + [msg]
+            flag = {"OK": ".", "ROWS-ONLY": "r", "FAIL": "F", "ERROR": "E"}[status]
+            times = f"spark={t_s:.1f}s" if t_s is not None else ""
+            print(f"[{flag}] {key:24s} rows={nrows:<8d} {times}")
+            if problems:
+                for p in problems:
+                    print("      ", p[:2000])
+            if status in ("OK", "ROWS-ONLY"):
+                n_ok += 1
+            else:
+                n_fail += 1
+            # Keys that .cache() intermediates (t_simhash_pairs, dup-cluster
+            # propagation, r_mllib_logreg) would otherwise accumulate executor
+            # storage memory across a 619-key sweep in one SparkSession.
+            spark.catalog.clearCache()
+    finally:
+        logcap.close()
     print(f"\n{n_ok} ok, {n_fail} failed (of {len(keys)})")
     sys.exit(1 if n_fail else 0)
 

@@ -30,6 +30,10 @@ TOTALS_RE = re.compile(
     r"Inventory totals \(as implemented, round \d+\): (\d+) keys — (\d+) "
     r"SQL-oracle,\s*\n?(\d+) rows-only"
 )
+# §8 disclosure counts (round-10/11 advice: these drifted twice when
+# hand-maintained, so --check now derives and asserts them too).
+S8_REGISTERED_RE = re.compile(r"verifies 50 of the (\d+) registered keys")
+S8_BANKED_RE = re.compile(r"\((\d+)/(\d+) keys banked after round (\d+)")
 
 
 def counts() -> tuple[int, int, int]:
@@ -38,13 +42,48 @@ def counts() -> tuple[int, int, int]:
     return n, n_oracle, n - n_oracle
 
 
+def banked() -> tuple[int, int]:
+    """(banked_count, latest_round) derived from the committed driver
+    artifacts, using the same latest-record pass rule as
+    __spark_entry__._never_banked_first."""
+    import glob
+    import json
+
+    here = os.path.dirname(SURVEY)
+    latest: dict[str, tuple[int, bool]] = {}
+    max_round = 0
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        items = data.items() if isinstance(data, dict) else ((k, None) for k in data)
+        for key, rec in items:
+            ok = (
+                True
+                if not isinstance(rec, dict)
+                else rec.get("hash_match") is True
+                or (rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None)
+            )
+            if key not in latest or rnd >= latest[key][0]:
+                latest[key] = (rnd, ok)
+    return sum(1 for _, ok in latest.values() if ok), max_round
+
+
 def main() -> int:
     n, n_oracle, n_rows_only = counts()
     print(f"keys={n} sql_oracle={n_oracle} rows_only={n_rows_only}")
     if "--check" not in sys.argv:
         return 0
     with open(SURVEY) as fh:
-        m = TOTALS_RE.search(fh.read())
+        text = fh.read()
+    m = TOTALS_RE.search(text)
     if not m:
         print("SURVEY.md totals line not found", file=sys.stderr)
         return 1
@@ -56,7 +95,35 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
-    print("SURVEY.md totals line matches the registry")
+    # §8 disclosure counts: "50 of the N registered" must equal the
+    # registry size, and "B/N keys banked after round R" must match the
+    # committed CORRECTNESS_r*.json bank (latest-record pass rule).
+    m8 = S8_REGISTERED_RE.search(text)
+    if not m8 or int(m8.group(1)) != n:
+        print(
+            f"SURVEY §8 'registered keys' count "
+            f"{m8.group(1) if m8 else 'MISSING'} != registry {n}",
+            file=sys.stderr,
+        )
+        return 1
+    n_banked, max_round = banked()
+    mb = S8_BANKED_RE.search(text)
+    if not mb or (int(mb.group(1)), int(mb.group(2)), int(mb.group(3))) != (
+        n_banked,
+        n,
+        max_round,
+    ):
+        print(
+            f"SURVEY §8 banked line "
+            f"{mb.groups() if mb else 'MISSING'} != derived "
+            f"({n_banked}/{n} after round {max_round})",
+            file=sys.stderr,
+        )
+        return 1
+    print(
+        "SURVEY.md totals line matches the registry; §8 counts match "
+        f"(registered={n}, banked={n_banked}/{n} after r{max_round})"
+    )
     return 0
 
 

@@ -31,9 +31,13 @@ class WarningCapture:
     """Tail a log4j2 FileAppender attached to the driver JVM root logger."""
 
     def __init__(self, spark, path: str | None = None):
-        self._path = path or tempfile.mktemp(
-            prefix="spark_warn_", suffix=".log"
-        )
+        if path is None:
+            # mkstemp, not the race-prone deprecated mktemp: create the
+            # file ourselves and hand log4j2 the claimed path (FileAppender
+            # opens in append mode, so the pre-created empty file is fine).
+            fd, path = tempfile.mkstemp(prefix="spark_warn_", suffix=".log")
+            os.close(fd)
+        self._path = path
         self._offset = 0
         self._appender = None
         jvm = spark._jvm
