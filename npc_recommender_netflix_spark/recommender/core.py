@@ -49,13 +49,17 @@ def _cached(spark, sf_dir: str, name: str, build) -> DataFrame:
     if df is None:
         df = build().cache()
         _shared[key] = df
-    elif not df.storageLevel.useMemory:
-        # An external spark.catalog.clearCache() (bench.py runs one
-        # between headline keys) unregisters the plan permanently; a
-        # cleared DataFrame never re-caches on its own, so the subplan
-        # replication this cache exists to prevent would silently come
-        # back. Re-register before handing it out.
-        df.cache()
+    # Deliberately NOT re-registering after an external
+    # spark.catalog.clearCache() (round-12 bisect): these frames are
+    # cheap to rebuild (~0.3 s) and feed 1-3 consumers per key, so the
+    # round-11 `df.cache()` re-registration made every post-clearCache
+    # key pay a full cache-write materialization it never amortized —
+    # measured +0.6 s on r_predict and +0.4 s on r_adamic_adar at sf0.1,
+    # the two "sub-2 s movers" the round-11 verdict flagged. The cleared
+    # frame recomputes lazily per consumer instead, which is strictly
+    # cheaper at this fan-out. Contrast vectors._qcos_012, which KEEPS
+    # re-registration: its frame costs ~2 s and the greedy hop loops
+    # consume it ~10x per key.
     return df
 
 

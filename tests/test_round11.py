@@ -189,9 +189,13 @@ def test_longest_dup_ngram_matches_pure_python(spark):
 def test_shared_caches_reregister_after_clearcache(spark):
     """Measured round-11 Spark fact: spark.catalog.clearCache() removes a
     cached DataFrame's registration PERMANENTLY — it never re-caches on
-    its own. Both shared-intermediate memoizers must re-register on the
-    next handout, or iterative consumers (greedy hops, multi-reference
-    prediction plans) silently recompute their shared subplan per use."""
+    its own. _qcos_012 must re-register on the next handout (its frame
+    costs ~2 s and greedy hop loops consume it ~10x per key), while
+    core._cached deliberately must NOT (round-12 bisect: its frames are
+    ~0.3 s rebuilds with 1-3 consumers, and the round-11 re-registration
+    made every post-clearCache bench key pay an unamortized cache-write —
+    the r_predict/r_adamic_adar regressions the round-11 verdict
+    flagged)."""
     from npc_recommender_netflix_spark.llm.vectors import _qcos_012
     from npc_recommender_netflix_spark.recommender.core import (
         _cached,
@@ -213,7 +217,10 @@ def test_shared_caches_reregister_after_clearcache(spark):
     q2 = _qcos_012(spark, SF_SMALL)
     m2 = ratings_matrix(spark, SF_SMALL, max_item=200)
     assert q2.storageLevel.useMemory, "_qcos_012 must re-register"
-    assert m2.storageLevel.useMemory, "_cached must re-register"
+    assert not m2.storageLevel.useMemory, (
+        "_cached must NOT re-register (round-12: unamortized cache-write)"
+    )
+    assert m2 is m, "_cached must still memoize the same frame"
     assert _cached is not None  # imported for the docstring's claim
     spark.catalog.clearCache()
 
