@@ -1511,18 +1511,34 @@ def t_symspell_join(spark, sf_dir):
     )
     a = del2.select(F.col("word").alias("word_a"), "v")
     b = del2.select(F.col("word").alias("word_b"), "v")
+    dist = F.levenshtein("word_a", "word_b")
+    # Exact top-K pushdown through the pair dedup (round-11 verdict item
+    # 5, rediagnosed): on a low-entropy vocabulary the variant join emits
+    # ~10M TRUE dist<=2 pairs, and a global distinct() on them is a ~30 s
+    # hash-agg exchange (near-unique keys defeat map-side combine) — all
+    # to keep 50 output rows. But the query ends in ORDER BY (word_a,
+    # word_b) LIMIT 50, and a pair's multiplicity in the join is bounded
+    # by its shared del2 variants <= 1 + L + C(L,2) for L = the longest
+    # vocabulary word. The 50 smallest DISTINCT pairs therefore live
+    # inside the smallest 50*(that bound) multiset rows, so TakeOrdered
+    # (map-side heap, no 10M-row exchange) before the dedup is exact.
+    # maxlen is a bounded-scalar collect (one value off the cached,
+    # vocabulary-sized freq frame — the repo's scalar-aggregate pattern).
+    freq = freq.cache()
+    maxlen = freq.agg(F.max(F.length("word")).alias("m")).first()["m"] or 4
+    k_cap = 50 * (1 + maxlen + maxlen * (maxlen - 1) // 2)
     cand = (
         a.join(b, "v")
-        .where(F.col("word_a") < F.col("word_b"))
+        .where((F.col("word_a") < F.col("word_b")) & (dist <= 2))
         .select("word_a", "word_b")
+        .orderBy("word_a", "word_b")
+        .limit(k_cap)
         .distinct()
     )
-    dist = F.levenshtein("word_a", "word_b")
     fa = freq.select(F.col("word").alias("word_a"), F.col("c").alias("freq_a"))
     fb = freq.select(F.col("word").alias("word_b"), F.col("c").alias("freq_b"))
     return (
-        cand.where(dist <= 2)
-        .select("word_a", "word_b", dist.cast("long").alias("dist"))
+        cand.select("word_a", "word_b", dist.cast("long").alias("dist"))
         .join(F.broadcast(fa), "word_a")
         .join(F.broadcast(fb), "word_b")
         .select("word_a", "word_b", "dist", "freq_a", "freq_b")
