@@ -4429,7 +4429,16 @@ def t_longest_dup_ngram(spark, sf_dir):
             ).alias("digest"),
         )
         wins = wd if wins is None else wins.unionByName(wd)
-    wins = wins.cache()
+    # One explicit (wlen, digest) repartition BEFORE the cache: the
+    # census groupBy and the wins⋈dups semi join below both cluster on
+    # (wlen, digest), so caching the already-partitioned frame makes BOTH
+    # exchange-free (dups inherits the partitioning through its groupBy).
+    # Without it the cached wins was exchanged twice, and the partial
+    # agg's combine density collapsed as per-task digest cardinality grew
+    # (round-11 SCALECHECK: shuffle 62.6x for 30x rows); with it the only
+    # window-sized shuffle is this single repartition, by construction
+    # proportional to input.
+    wins = wins.repartition("wlen", "digest").cache()
     dups = (
         wins.groupBy("wlen", "digest")
         .agg(F.count("*").alias("cnt"))
