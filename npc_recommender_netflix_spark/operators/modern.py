@@ -2946,9 +2946,19 @@ def q_attribution_markov(spark, sf_dir):
                 elif s == "__null":
                     nxt[s] = 0.0
                 else:
-                    # sorted dst order: same 9dp result as the SQL sum
+                    # sorted dst order: same 9dp result as the SQL sum.
+                    # val.get(d, 0.0): a dst OUTSIDE the 7-state chain
+                    # (event types beyond the modeled channels, e.g. the
+                    # ladder corpus's extra types) contributes nothing —
+                    # exactly what the oracle's vt join does by dropping
+                    # the row; adding literal 0.0 terms leaves the FP
+                    # sum bit-identical.
                     nxt[s] = _rhu(
-                        sum(p * val[d] for d, p in sorted(tmap.get(s, []))), 9
+                        sum(
+                            p * val.get(d, 0.0)
+                            for d, p in sorted(tmap.get(s, []))
+                        ),
+                        9,
                     )
             val = nxt
         return val["start"]

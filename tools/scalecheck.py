@@ -115,6 +115,13 @@ LINEAR_KEYS = {
     # t_exact_dedup_digest's linear shape at 3x token volume
     "v_centroid_outliers": "embeddings",  # round 11: centroid rollup +
     # one broadcast join + per-vector agg; no pair join anywhere
+    "v_hamming_topk": "embeddings",  # round 12: 1-bit pack is a map-side
+    # fold; 5 fixed queries x candidate scan = linear, WindowGroupLimit
+    "v_hamming_rerank": "embeddings",  # round 12: Hamming top-50 funnel
+    # + exact-cosine rerank of 50/query; both stages scan-linear
+    "q_attribution_markov": "events",  # round 12: per-user journeys ->
+    # bounded 6-state transition matrix; removal effects solve on the
+    # STATE graph (constant), never on events
     "t_pack_sequences": "documents",  # round 11: training-shard packing
     # via per-doc window cumsum — one doc-keyed pass, no pair work
     "u_apply_in_pandas": "events",  # round 11: the Arrow cogroup/apply
