@@ -95,6 +95,9 @@ HEADLINE = [
     "t_cdc_chunking",        # round 11: content-defined chunk dedup census
     "r_swing_capped",        # round 11: capped Swing i2i user-pair similarity
     "t_longest_dup_ngram",   # round 11: exact-substring dedup class census
+    "t_minhash_lsh_incremental",  # round 12: ingest-batch vs bank LSH dedup
+    "a_hll_window_merge",    # round 12: rolling distinct via register merge
+    "r_covisit_time_decay",  # round 12: recency-weighted covisit matrix
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

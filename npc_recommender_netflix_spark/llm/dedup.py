@@ -1489,3 +1489,99 @@ def t_lsh_s_curve(spark, sf_dir):
         .otherwise(0)
         .alias("likely_candidate"),
     ).orderBy("bands", "rows_per_band", "jaccard")
+
+
+@register(
+    "t_minhash_lsh_incremental",
+    f"""
+    WITH sh AS ({SHINGLES_FULL_SQL}),
+    sig AS (SELECT doc_id,
+           {_MINHASH_SIG_COLS}
+           FROM sh GROUP BY doc_id),
+    bands AS ({_MINHASH_BANDS_SQL}),
+    cand AS (SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_corpus
+             FROM bands n JOIN bands c
+               ON n.band = c.band AND n.bkey = c.bkey
+             WHERE n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT cd.doc_new, cd.doc_corpus, count(*) AS i
+              FROM cand cd
+              JOIN sh x ON x.doc_id = cd.doc_new
+              JOIN sh y ON y.doc_id = cd.doc_corpus AND y.s = x.s
+              GROUP BY 1, 2)
+    SELECT doc_new, doc_corpus,
+           round(i * 1.0 / (sa.n + sb.n - i), 6) + 0 AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_new
+               JOIN sizes sb ON sb.doc_id = doc_corpus
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    ORDER BY doc_new, doc_corpus
+    """,
+)
+def t_minhash_lsh_incremental(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup: dedup an INGEST BATCH against the
+    existing corpus signature bank — the shape a 100 TB pipeline actually
+    runs daily (re-running t_minhash_lsh over the full corpus per ingest
+    would be a full-corpus self-join every day; probing the bank is work
+    proportional to the batch). The batch is the deterministic ~1/7 slice
+    doc_id % 7 = 0; everything else is the banked corpus.
+
+    Same exact-oracle construction as t_minhash_lsh (k=8 salted-md5
+    signatures, 4 bands x 2 rows, banded candidate equi-join, exact
+    Jaccard rescore at >= 0.5; md5 replays identically in DuckDB). The
+    candidate join is DIRECTED (new probes corpus, never corpus x
+    corpus), so candidates = batch band keys x bank postings; intra-batch
+    duplicates are t_minhash_lsh's job on the batch alone. At 100 TB the
+    corpus side of sig/bands is a precomputed, append-only table (8x32
+    chars + 4x32-char band keys per doc — the bank this operator reads);
+    only the batch's shingle sets are computed fresh, and the exact
+    rescore touches candidate posting lists only.
+    """
+    sh = shingles(spark, sf_dir, bounded=False).cache()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+            for j in range(8)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                        ).alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    bn = bands.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("doc_new"), "band", "bkey"
+    )
+    bc = bands.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("doc_corpus"), "band", "bkey"
+    )
+    cand = bn.join(bc, ["band", "bkey"]).select("doc_new", "doc_corpus").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.select(F.col("doc_id").alias("doc_new"), "s")
+    y = sh.select(F.col("doc_id").alias("doc_corpus"), "s")
+    inter = (
+        cand.join(x, "doc_new")
+        .join(y, ["doc_corpus", "s"])
+        .groupBy("doc_new", "doc_corpus")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_corpus"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_new")
+        .join(sb, "doc_corpus")
+        .where(jac >= 0.5)
+        .select("doc_new", "doc_corpus", f6(jac).alias("jaccard"))
+        .orderBy("doc_new", "doc_corpus")
+    )

@@ -9077,3 +9077,273 @@ def a_lognormal_fit(spark, sf_dir):
         ),
         f6(implied / (F.col("p99c") / 100.0)).alias("tail_ratio"),
     )
+
+
+# -- HyperLogLog with an EXACT SQL oracle -------------------------------------
+#
+# a_approx_distinct demonstrates Spark's built-in HLL++ (rows-only by
+# contract: its hash family is engine-internal). These two keys implement
+# HyperLogLog ITSELF (Flajolet et al. 2007, public) from md5-derived
+# register hashes, so the sketch replays bit-identically in DuckDB and the
+# oracle hash covers the full estimator, not just a row count. m = 64
+# registers (p = 6): bucket = first 2 md5 hex chars mod 64, rank = leading
+# zeros of the next 48 bits + 1 (w = 0 -> 49). alpha_64 = 0.709 per the
+# paper; 2904.064 = alpha * m^2 and 562949953421312.0 = 2^49 below.
+# Z = sum(2^-M_j) is computed as the EXACT integer S = sum(2^(49 - M_j))
+# (every term a power of two <= 2^49, BIGINT-safe), so the only floats are
+# the final division and the bounded-axis ln of the linear-counting branch.
+
+_HLL_RANK_SQL = "CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END"
+
+
+@register(
+    "a_hll_manual",
+    f"""
+    WITH h AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders),
+    br AS (
+        SELECT ('0x' || substring(hx, 1, 2))::BIGINT % 64 AS bucket,
+               ('0x' || substring(hx, 3, 12))::BIGINT AS w
+        FROM h
+    ),
+    regs AS (
+        SELECT bucket, max({_HLL_RANK_SQL}) AS m FROM br GROUP BY bucket
+    ),
+    axis AS (SELECT unnest(range(0, 64)) AS bucket),
+    fullr AS (
+        SELECT a.bucket, coalesce(r.m, 0) AS m
+        FROM axis a LEFT JOIN regs r ON r.bucket = a.bucket
+    ),
+    s AS (
+        SELECT CAST(sum(1::BIGINT << CAST(49 - m AS INTEGER)) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+        FROM fullr
+    ),
+    est AS (
+        SELECT CASE WHEN 2904.064 * (562949953421312.0 / s2) <= 160.0
+                         AND v0 > 0
+                    THEN 64.0 * ln(64.0 / v0)
+                    ELSE 2904.064 * (562949953421312.0 / s2) END AS e
+        FROM s
+    ),
+    ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+           FROM orders)
+    SELECT round(e, 6) + 0 AS est_distinct, exact_distinct,
+           round((e - exact_distinct) / exact_distinct, 6) + 0 AS rel_err
+    FROM est CROSS JOIN ex
+    """,
+)
+def a_hll_manual(spark, sf_dir):
+    """HyperLogLog distinct-customer estimate with an EXACT SQL oracle
+    (see the block comment above for the register construction). The
+    honesty columns are the point: exact_distinct / rel_err report what
+    the sketch actually missed — at 100 TB you would of course NOT
+    compute the exact side; it exists here because a sketch whose error
+    is never measured is a sketch you cannot trust.
+
+    Scale: the sketch is ONE linear scan emitting (bucket, rank) pairs
+    that partial-aggregate map-side to <= 64 rows per task — the shuffle
+    is 64 registers TOTAL regardless of corpus size, and register merge
+    is max() (associative + commutative + idempotent), which is the
+    entire reason HLL is the distributed-counting workhorse: per-split
+    sketches union for free across files, days, or executors. The
+    small-range linear-counting branch (E <= 2.5m with empty registers)
+    is implemented in both engines; its ln runs on the bounded V in
+    1..64 axis, snapped at output per the house float discipline.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    br = orders.select(
+        F.md5(F.col("o_custkey").cast("string")).alias("hx")
+    ).select(
+        (F.conv(F.substring("hx", 1, 2), 16, 10).cast("long") % 64).alias(
+            "bucket"
+        ),
+        F.conv(F.substring("hx", 3, 12), 16, 10).cast("long").alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin("w"))
+    )
+    regs = br.select("bucket", rank.alias("r")).groupBy("bucket").agg(
+        F.max("r").alias("m")
+    )
+    axis = spark.range(64).select(F.col("id").alias("bucket"))
+    fullr = axis.join(regs, "bucket", "left").select(
+        F.coalesce("m", F.lit(0)).alias("m")
+    )
+    s = fullr.agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(49 - m as int))"))
+        .cast("long")
+        .alias("s2"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v0"),
+    )
+    raw = F.lit(2904.064) * (F.lit(562949953421312.0) / F.col("s2"))
+    e = F.when(
+        (raw <= 160.0) & (F.col("v0") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v0")),
+    ).otherwise(raw)
+    ex = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return (
+        s.select(e.alias("e"))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            f6(F.col("e")).alias("est_distinct"),
+            "exact_distinct",
+            f6((F.col("e") - F.col("exact_distinct")) / F.col("exact_distinct"))
+            .alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "a_hll_window_merge",
+    f"""
+    WITH br AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                   % 64 AS bucket,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT
+                   AS w
+        FROM events
+    ),
+    regs AS (
+        SELECT d, bucket, max({_HLL_RANK_SQL}) AS m
+        FROM br GROUP BY d, bucket
+    ),
+    days AS (SELECT DISTINCT d FROM regs),
+    axis AS (SELECT unnest(range(0, 64)) AS bucket),
+    grid AS (
+        SELECT days.d, axis.bucket, coalesce(r.m, 0) AS m,
+               CAST(days.d - DATE '1992-01-01' AS INTEGER) AS di
+        FROM days CROSS JOIN axis
+        LEFT JOIN regs r ON r.d = days.d AND r.bucket = axis.bucket
+    ),
+    merged AS (
+        SELECT d, bucket,
+               max(m) OVER (PARTITION BY bucket ORDER BY di
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m7
+        FROM grid
+    ),
+    s AS (
+        SELECT d,
+               CAST(sum(1::BIGINT << CAST(49 - m7 AS INTEGER)) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN m7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+        FROM merged GROUP BY d
+    ),
+    est AS (
+        SELECT d, CASE WHEN 2904.064 * (562949953421312.0 / s2) <= 160.0
+                            AND v0 > 0
+                       THEN 64.0 * ln(64.0 / v0)
+                       ELSE 2904.064 * (562949953421312.0 / s2) END AS e
+        FROM s
+    ),
+    pairs AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events
+    ),
+    anchors AS (
+        SELECT d + CAST(i AS INTEGER) AS a_day, user_id
+        FROM pairs, unnest(range(0, 7)) AS t(i)
+    ),
+    exact7 AS (
+        SELECT a.a_day AS d,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS exact_users7
+        FROM anchors a JOIN days ON days.d = a.a_day
+        GROUP BY 1
+    )
+    SELECT est.d AS day, round(est.e, 6) + 0 AS est_users7,
+           x.exact_users7,
+           round((est.e - x.exact_users7) / x.exact_users7, 6) + 0 AS rel_err
+    FROM est JOIN exact7 x ON x.d = est.d
+    ORDER BY day
+    """,
+)
+def a_hll_window_merge(spark, sf_dir):
+    """Trailing-7-day distinct users per day via HLL REGISTER MERGE — the
+    mergeability demo a_hll_manual's docstring promises: per-day sketches
+    (64 registers each) merge across any window by register-wise max(),
+    so a rolling distinct over 7 days costs a 64-row window per day
+    instead of re-scanning 7 days of raw events — the reason streaming /
+    OLAP engines store per-partition HLL registers and union them at
+    query time. q_dau_wau computes the same WAU exactly (explode-to-
+    anchor + countDistinct); this key is its sketch sibling, with the
+    exact rolling distinct kept as honesty columns (exact_users7 /
+    rel_err) so the estimator's error is measured, not asserted.
+
+    Scale: the register build is one scan with map-side combine to
+    (days x 64) rows; the merge window runs over the bounded day axis
+    partitioned by bucket (64 partitions of |days| rows — never event-
+    scale). Day-grid and anchors explode only COLLAPSED (day, user) or
+    (day, bucket) pairs. Estimator constants and the bounded-axis
+    linear-counting branch are identical to a_hll_manual.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    br = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        (F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % 64).alias(
+            "bucket"
+        ),
+        F.conv(F.substring(hx, 3, 12), 16, 10).cast("long").alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin("w"))
+    )
+    regs = (
+        br.select("d", "bucket", rank.alias("r"))
+        .groupBy("d", "bucket")
+        .agg(F.max("r").alias("m"))
+    )
+    days = regs.select("d").distinct()
+    axis = spark.range(64).select(F.col("id").alias("bucket"))
+    grid = (
+        days.crossJoin(F.broadcast(axis))
+        .join(regs, ["d", "bucket"], "left")
+        .select(
+            "d",
+            "bucket",
+            F.coalesce("m", F.lit(0)).alias("m"),
+            F.datediff("d", F.lit("1992-01-01").cast("date")).alias("di"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("bucket").orderBy("di").rangeBetween(-6, 0)
+    )
+    merged = grid.select("d", F.max("m").over(w7).alias("m7"))
+    s = merged.groupBy("d").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(49 - m7 as int))"))
+        .cast("long")
+        .alias("s2"),
+        F.sum(F.when(F.col("m7") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v0"),
+    )
+    raw = F.lit(2904.064) * (F.lit(562949953421312.0) / F.col("s2"))
+    e = F.when(
+        (raw <= 160.0) & (F.col("v0") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v0")),
+    ).otherwise(raw)
+    pairs = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    anchors = pairs.select(
+        F.explode(F.expr("sequence(0, 6)")).alias("i"), "d", "user_id"
+    ).select(F.expr("date_add(d, i)").alias("a_day"), "user_id")
+    exact7 = (
+        anchors.join(days.select(F.col("d").alias("a_day")), "a_day")
+        .groupBy("a_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users7"))
+        .select(F.col("a_day").alias("d"), "exact_users7")
+    )
+    return (
+        s.select("d", e.alias("e"))
+        .join(exact7, "d")
+        .select(
+            F.col("d").alias("day"),
+            f6(F.col("e")).alias("est_users7"),
+            "exact_users7",
+            f6((F.col("e") - F.col("exact_users7")) / F.col("exact_users7"))
+            .alias("rel_err"),
+        )
+        .orderBy("day")
+    )

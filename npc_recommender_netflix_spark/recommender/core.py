@@ -3813,3 +3813,252 @@ def r_swing_capped(spark, sf_dir):
         .orderBy(F.col("swing").desc(), "item_a", "item_b")
         .limit(20)
     )
+
+
+@register(
+    "r_covisit_time_decay",
+    """
+    WITH ev AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+    ),
+    capped AS (
+        SELECT user_id, d, item FROM (
+            SELECT user_id, d, item,
+                   row_number() OVER (
+                       PARTITION BY user_id, d
+                       ORDER BY md5(CAST(user_id AS VARCHAR) || ':'
+                                    || CAST(item AS VARCHAR))) AS rk
+            FROM ev
+        ) WHERE rk <= 16
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(b.d - a.d AS INTEGER) AS dd
+        FROM capped a JOIN capped b
+          ON a.user_id = b.user_id
+         AND b.d - a.d BETWEEN 0 AND 7
+         AND a.item <> b.item
+         AND (a.d < b.d OR (a.d = b.d AND a.item < b.item))
+    ),
+    sw AS (
+        SELECT item_a, item_b,
+               sum(CAST(round(1e12 / (1 + dd)) AS BIGINT)) AS w12,
+               CAST(count(*) AS BIGINT) AS n_covisits
+        FROM pairs GROUP BY item_a, item_b
+    )
+    SELECT item_a, item_b, round(w12 / 1e12, 6) + 0 AS decayed_weight,
+           n_covisits
+    FROM sw
+    ORDER BY decayed_weight DESC, item_a, item_b
+    LIMIT 50
+    """,
+)
+def r_covisit_time_decay(spark, sf_dir):
+    """Time-decayed co-visitation (the covisit-matrix weighting used by
+    production candidate generators — e.g. the decayed covisit features
+    popularized by the OTTO/Kaggle recsys pipelines, public): item pairs
+    a user touched within a 7-day horizon, each co-occurrence weighted by
+    harmonic decay 1/(1 + gap_days), so same-day co-views count full and
+    week-apart pairs count 1/8. r_covisitation counts within-SESSION
+    pairs unweighted; this is its cross-session recency-aware sibling.
+
+    Exactness: every decay term snaps to round(1e12/(1+dd)) BIGINT
+    before summing — the r_swing_capped convention (1e12 = 2^12*5^12
+    covers every divisor 1..8 exactly, no .5 boundary) — and the only
+    float is the final display division. Tie-break (item_a, item_b).
+
+    Scale: activity first collapses to DISTINCT (user, day, item), then
+    a deterministic md5-ranked cap keeps <=16 items per user-day (the
+    heavy-user hazard: an uncapped crawler contributes O(items^2 x
+    days^2) pairs; capped, per-user pair work is <= (16 x 8-day window)^2
+    constants). The pair join is user-keyed (equi) with a bounded day
+    range — never a global item join; weight sums partial-aggregate
+    map-side; top-50 is TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).distinct()
+    wcap = Window.partitionBy("user_id", "d").orderBy(
+        F.md5(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.col("item").cast("string"),
+            )
+        )
+    )
+    capped = (
+        ui.withColumn("rk", F.row_number().over(wcap))
+        .where(F.col("rk") <= 16)
+        .select("user_id", "d", "item")
+    )
+    a = capped.select(
+        F.col("user_id").alias("ua"), F.col("d").alias("da"),
+        F.col("item").alias("item_a"),
+    )
+    b = capped.select(
+        F.col("user_id").alias("ub"), F.col("d").alias("db"),
+        F.col("item").alias("item_b"),
+    )
+    dd = F.datediff("db", "da")
+    pairs = a.join(
+        b,
+        (F.col("ua") == F.col("ub"))
+        & dd.between(0, 7)
+        & (F.col("item_a") != F.col("item_b"))
+        & (
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("item_a") < F.col("item_b")))
+        ),
+    ).select("item_a", "item_b", dd.alias("dd"))
+    w12 = F.round(1e12 / (1 + F.col("dd"))).cast("long")
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(
+            F.sum(w12).alias("w12"),
+            F.count("*").cast("long").alias("n_covisits"),
+        )
+        .select(
+            "item_a",
+            "item_b",
+            f6(F.col("w12") / 1e12).alias("decayed_weight"),
+            "n_covisits",
+        )
+        .orderBy(F.col("decayed_weight").desc(), "item_a", "item_b")
+        .limit(50)
+    )
+
+
+@register(
+    "r_hit_rate_loo",
+    """
+    WITH ei AS (
+        SELECT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+               ts, event_id
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    ranked AS (
+        SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ei
+    ),
+    hold0 AS (SELECT user_id, item FROM ranked WHERE rn = 1),
+    train AS (SELECT user_id, item FROM ranked WHERE rn > 1),
+    tu AS (SELECT DISTINCT user_id FROM train),
+    hold AS (SELECT h.user_id, h.item FROM hold0 h
+             JOIN tu ON tu.user_id = h.user_id),
+    pop AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+            FROM train GROUP BY item),
+    top50 AS (SELECT item, c FROM pop ORDER BY c DESC, item LIMIT 50),
+    seen AS (SELECT DISTINCT user_id, item FROM train),
+    grid AS (
+        SELECT u.user_id, t.item, t.c
+        FROM (SELECT user_id FROM hold) u CROSS JOIN top50 t
+        WHERE NOT EXISTS (SELECT 1 FROM seen s
+                          WHERE s.user_id = u.user_id AND s.item = t.item)
+    ),
+    slate AS (
+        SELECT user_id, item FROM (
+            SELECT user_id, item,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY c DESC, item) AS rk
+            FROM grid
+        ) WHERE rk <= 10
+    ),
+    fullk AS (
+        SELECT CAST(count(*) AS BIGINT) AS f FROM (
+            SELECT user_id FROM slate GROUP BY user_id HAVING count(*) = 10
+        )
+    ),
+    hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS h
+        FROM slate s JOIN hold ho
+          ON ho.user_id = s.user_id AND ho.item = s.item
+    )
+    SELECT CAST((SELECT count(*) FROM hold) AS BIGINT) AS n_users,
+           h AS hits,
+           round(h * 1.0 / (SELECT count(*) FROM hold), 6) + 0 AS hit_rate10,
+           CAST((SELECT count(*) FROM hold) - f AS BIGINT) AS n_short_slates
+    FROM hits CROSS JOIN fullk
+    """,
+)
+def r_hit_rate_loo(spark, sf_dir):
+    """Leave-one-out hit-rate@10 — the standard implicit-feedback offline
+    eval (He et al. 2017 NCF protocol, public): hold out each user's LAST
+    interaction, recommend the top-10 most-popular TRAIN items the user
+    has not already touched, and score the fraction of users whose
+    held-out item lands in the slate. Popularity is the canonical
+    baseline every learned recommender must beat; r_precision_at_k etc.
+    score random-split ratings, while this key pins the temporal-holdout
+    protocol (no future leakage: the slate is built from strictly
+    pre-holdout events).
+
+    Honesty column: n_short_slates counts users whose not-yet-seen
+    candidate pool inside the global top-50 ran short of 10 — the
+    truncation a fixed candidate horizon introduces (at 100 TB the
+    candidate pool would be the serving index, not top-50).
+
+    Scale: ranking the last event is one user-partitioned window over
+    events; popularity partial-aggregates; the top-50 candidate table
+    BROADCASTS to a 50-row-per-user grid (linear in users), the
+    seen-filter is a user-keyed left-anti join, and the per-user slate
+    rank is a 50-row window. No item x item or user x user joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ei = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        "ts",
+        "event_id",
+    ).where(F.col("item").isNotNull())
+    wl = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ei.withColumn("rn", F.row_number().over(wl))
+    hold0 = ranked.where(F.col("rn") == 1).select("user_id", "item")
+    train = ranked.where(F.col("rn") > 1).select("user_id", "item")
+    tu = train.select("user_id").distinct()
+    hold = hold0.join(tu, "user_id")
+    pop = train.groupBy("item").agg(F.count("*").cast("long").alias("c"))
+    top50 = pop.orderBy(F.col("c").desc(), "item").limit(50)
+    seen = train.distinct()
+    grid = (
+        hold.select("user_id")
+        .crossJoin(F.broadcast(top50))
+        .join(seen, ["user_id", "item"], "left_anti")
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "item")
+    slate = (
+        grid.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 10)
+        .select("user_id", "item")
+    )
+    n_users = hold.agg(F.count("*").cast("long").alias("n_users"))
+    hits = (
+        slate.join(hold, ["user_id", "item"])
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    fullk = (
+        slate.groupBy("user_id")
+        .agg(F.count("*").alias("k"))
+        .where(F.col("k") == 10)
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(n_users))
+        .crossJoin(F.broadcast(fullk))
+        .select(
+            "n_users",
+            "hits",
+            f6(F.col("hits") * 1.0 / F.col("n_users")).alias("hit_rate10"),
+            (F.col("n_users") - F.col("f")).cast("long").alias("n_short_slates"),
+        )
+    )

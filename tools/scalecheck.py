@@ -122,6 +122,14 @@ LINEAR_KEYS = {
     "q_attribution_markov": "events",  # round 12: per-user journeys ->
     # bounded 6-state transition matrix; removal effects solve on the
     # STATE graph (constant), never on events
+    "t_minhash_lsh_incremental": "documents",  # round 12: directed
+    # batch-probes-bank band join; candidates ∝ ingest batch
+    "a_hll_manual": "lineitem",  # round 12: one scan, 64-register total
+    # shuffle at any scale (plus the honesty exact-distinct)
+    "a_hll_window_merge": "events",  # round 12: per-day registers merged
+    # by window max over the bounded day axis
+    "r_covisit_time_decay": "events",  # round 12: ≤16 items/user-day
+    # md5 cap bounds the user-keyed bounded-day-range pair join
     "t_pack_sequences": "documents",  # round 11: training-shard packing
     # via per-doc window cumsum — one doc-keyed pass, no pair work
     "u_apply_in_pandas": "events",  # round 11: the Arrow cogroup/apply
