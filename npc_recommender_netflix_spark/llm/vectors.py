@@ -4793,8 +4793,13 @@ def v_index_size_planner(spark, sf_dir):
     base = load_table(spark, sf_dir, "embeddings").agg(
         F.count("*").cast("long").alias("n_local")
     )
+    # broadcast both literal sides: createDataFrame yields an
+    # ExistingRDD-backed relation split over default parallelism, so a
+    # plain CartesianProduct of two of them is 32x32 = 1024 near-empty
+    # tasks (~9 s of pure task overhead for 15 rows — round-12 sweep
+    # profiling); BroadcastNestedLoopJoin makes it one task.
     return (
-        configs.crossJoin(scales)
+        configs.crossJoin(F.broadcast(scales))
         .crossJoin(F.broadcast(base))
         .select(
             "config",
