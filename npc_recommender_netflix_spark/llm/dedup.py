@@ -133,7 +133,13 @@ def t_jaccard_neardup_capped(spark, sf_dir):
     """
     sh0 = shingles(spark, sf_dir, bounded=False)
     freq = sh0.groupBy("s").agg(F.count("*").alias("df"))
-    sh = sh0.join(freq.where(F.col("df") <= 64).select("s"), "s")
+    # cache the capped postings: they feed THREE consumers (sizes + both
+    # self-join sides), and Spark replays the whole shingle-distinct +
+    # df-cap-join subtree per consumer without it (round-12: x30 ladder
+    # shuffle was 43x input from the replays). The df-join leaves sh
+    # hash-partitioned by s, and InMemoryRelation preserves that
+    # clustering, so the a<->b self-join below stays exchange-free.
+    sh = sh0.join(freq.where(F.col("df") <= 64).select("s"), "s").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1389,7 +1395,12 @@ def t_containment_neardup(spark, sf_dir):
     """
     sh0 = shingles(spark, sf_dir, bounded=False)
     freq = sh0.groupBy("s").agg(F.count("*").alias("df"))
-    sh = sh0.join(freq.where(F.col("df") <= 64).select("s"), "s")
+    # cached for the same 3-consumer replay reason as
+    # t_jaccard_neardup_capped (s-clustered, so the self-join is
+    # exchange-free).
+    sh = (
+        sh0.join(freq.where(F.col("df") <= 64).select("s"), "s").cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
