@@ -3861,7 +3861,11 @@ def r_covisit_time_decay(spark, sf_dir):
     popularized by the OTTO/Kaggle recsys pipelines, public): item pairs
     a user touched within a 7-day horizon, each co-occurrence weighted by
     harmonic decay 1/(1 + gap_days), so same-day co-views count full and
-    week-apart pairs count 1/8. r_covisitation counts within-SESSION
+    week-apart pairs count 1/8. Pairs are TEMPORALLY oriented: item_a is
+    the earlier day's item (same-day pairs canonicalize item_a < item_b),
+    so a pair touched in both orders on different days contributes to
+    both directed cells — the A-then-B transition weighting serving
+    covisit matrices actually use. r_covisitation counts within-SESSION
     pairs unweighted; this is its cross-session recency-aware sibling.
 
     Exactness: every decay term snaps to round(1e12/(1+dd)) BIGINT
