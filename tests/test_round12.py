@@ -169,15 +169,63 @@ def test_hit_rate_loo_no_leakage_and_slate_validity(spark):
     assert got["hits"] == hits
 
 
-def test_covisit_time_decay_weights_are_exact_harmonics(spark):
-    """Every decayed_weight must be a sum of terms from the exact set
-    {round(1e12/(1+dd)) : dd in 0..7}/1e12, and n_covisits must bound the
-    weight: n/8 <= weight <= n (harmonic decay never exceeds 1 per
-    co-visit, never drops below 1/8 inside the horizon)."""
-    out = registry.QUERIES["r_covisit_time_decay"](spark, SF_SMALL).collect()
-    assert out, "expected covisit pairs on sf0.001"
-    for r in out:
+def test_covisit_time_decay_matches_pure_python(spark):
+    """Full pure-Python replay of the decayed covisit pipeline over the
+    same events: distinct (user, day, item), md5-ranked <=16 cap per
+    user-day, temporally-oriented pairs within the 7-day horizon,
+    BIGINT-snapped harmonic weights, top-50 with the (weight desc,
+    item_a, item_b) tie-break — plus the [n/8, n] weight bounds."""
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .collect()
+    )
+    ui = {(r["user_id"], r["d"], r["item"]) for r in rows}
+    by_ud = {}
+    for u, d, i in ui:
+        by_ud.setdefault((u, d), []).append(i)
+    capped = {}
+    for (u, d), items in by_ud.items():
+        items.sort(key=lambda i: _md5(f"{u}:{i}"))
+        capped[(u, d)] = items[:16]
+    by_user = {}
+    for (u, d), items in capped.items():
+        by_user.setdefault(u, []).append((d, items))
+    agg = {}
+    for u, dayitems in by_user.items():
+        for da, items_a in dayitems:
+            for db, items_b in dayitems:
+                dd = (db - da).days
+                if not 0 <= dd <= 7:
+                    continue
+                for ia in items_a:
+                    for ib in items_b:
+                        if ia == ib:
+                            continue
+                        if da == db and not ia < ib:
+                            continue
+                        w12, n = agg.get((ia, ib), (0, 0))
+                        agg[(ia, ib)] = (w12 + round(1e12 / (1 + dd)), n + 1)
+    expected = sorted(
+        (
+            (ia, ib, round(w12 / 1e12, 6), n)
+            for (ia, ib), (w12, n) in agg.items()
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:50]
+    got = registry.QUERIES["r_covisit_time_decay"](spark, SF_SMALL).collect()
+    assert got, "expected covisit pairs on sf0.001"
+    assert [
+        (r["item_a"], r["item_b"], r["decayed_weight"], r["n_covisits"])
+        for r in got
+    ] == expected
+    for r in got:
         w12 = round(r["decayed_weight"] * 1e12)
         n = r["n_covisits"]
-        assert w12 <= n * 10**12
-        assert w12 >= n * round(1e12 / 8)
+        # 6dp display snap can shave up to 5e5 of the 1e12-units value
+        assert n * round(1e12 / 8) - 10**6 <= w12 <= n * 10**12 + 10**6
