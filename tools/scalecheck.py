@@ -130,6 +130,10 @@ LINEAR_KEYS = {
     # by window max over the bounded day axis
     "r_covisit_time_decay": "events",  # round 12: ≤16 items/user-day
     # md5 cap bounds the user-keyed bounded-day-range pair join
+    "r_hit_rate_loo": "events",  # round 12: one user window + broadcast
+    # top-50 grid (50 rows/user); no pair joins anywhere
+    "s_zonemap_skip": "lineitem",  # round 12: write ∝ input, manifest
+    # bounded (16 files), pruned read ∝ the selected date range
     "t_pack_sequences": "documents",  # round 11: training-shard packing
     # via per-doc window cumsum — one doc-keyed pass, no pair work
     "u_apply_in_pandas": "events",  # round 11: the Arrow cogroup/apply
