@@ -45,10 +45,12 @@ def _never_banked_first(keys, artifacts_dir=None):
     and in SURVEY §8 so graders know the sample is a round-robin over
     never-banked keys, not an independent draw; the committed full-sweep
     log (CORRECTNESS_full_r*.log, all 619 keys) is the primary
-    correctness evidence. Within the never-banked set, recommender (r_*)
-    keys sort first — the largest never-banked family (53 keys) per the
-    round-11 verdict (t_* was fronted in round 11 and its 50-key sample
-    banked 50/50; q_* in round 10, likewise 50/50).
+    correctness evidence. Within the never-banked set, the LARGEST
+    never-banked family (key prefix up to the first underscore) sorts
+    first — computed from the same artifacts, so the policy the rounds
+    applied by hand (round 8: m_*, 9: st_*, 10: q_*, 11: t_*, 12: r_*)
+    is now self-executing: when one family's debt is banked, the next
+    largest fronts automatically. Ties break alphabetically.
 
     "Banked" means the key's LATEST driver record passed: hash_match true,
     or a rows-only record (err == 'no_oracle' with a non-null spark row
@@ -94,7 +96,22 @@ def _never_banked_first(keys, artifacts_dir=None):
             if key not in latest or rnd >= latest[key][0]:
                 latest[key] = (rnd, _passed(rec))
     banked = {k for k, (_, ok) in latest.items() if ok}
-    return sorted(keys, key=lambda k: (k in banked, not k.startswith("r_"), k))
+
+    def fam(k: str) -> str:
+        return k.split("_", 1)[0] + "_"
+
+    unbanked_fams: dict[str, int] = {}
+    for k in keys:
+        if k not in banked:
+            unbanked_fams[fam(k)] = unbanked_fams.get(fam(k), 0) + 1
+    front = (
+        min(unbanked_fams, key=lambda f: (-unbanked_fams[f], f))
+        if unbanked_fams
+        else ""
+    )
+    return sorted(
+        keys, key=lambda k: (k in banked, not k.startswith(front), k)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -106,9 +106,10 @@ def test_never_banked_first_refronts_failed_keys(tmp_path):
     """The driver-sample ordering must treat a key whose LATEST record is
     a FAIL as unbanked (front of queue), count rows-only records
     (err='no_oracle' with a spark row count) as passes, prefer the most
-    recent round's verdict, and front r_* keys within the unbanked set
-    (round 12's thinnest-evidenced family; round 11 fronted t_*, round 10
-    q_*) — the re-banking mechanism (__spark_entry__._never_banked_first)."""
+    recent round's verdict, and front the LARGEST unbanked family
+    (dynamic since round 12 — the per-round hand-picked prefix policy
+    made self-executing; ties break alphabetically) — the re-banking
+    mechanism (__spark_entry__._never_banked_first)."""
     import json
 
     import __spark_entry__ as mod
@@ -128,10 +129,17 @@ def test_never_banked_first_refronts_failed_keys(tmp_path):
                     "b_flipper": rec_fail})
     )
     keys = ["a_pass", "b_flipper", "c_fail", "d_rows_only",
-            "r_never", "z_never"]
+            "v_never_one", "v_never_two", "z_never"]
     got = mod._never_banked_first(keys, artifacts_dir=str(tmp_path))
-    # unbanked (r_ first, then alphabetical): r_never, then b_flipper
-    # (latest record r02 = FAIL overrides r01 pass), c_fail, z_never;
+    # unbanked: b_flipper (latest record r02 = FAIL overrides r01 pass),
+    # c_fail, v_never_one, v_never_two, z_never -> largest unbanked
+    # family is v_ (2 keys), so it fronts; the rest alphabetical;
     # banked last: a_pass (hash pass), d_rows_only (rows-only pass)
-    assert got == ["r_never", "b_flipper", "c_fail", "z_never",
-                   "a_pass", "d_rows_only"]
+    assert got == ["v_never_one", "v_never_two", "b_flipper", "c_fail",
+                   "z_never", "a_pass", "d_rows_only"]
+
+    # singleton-family tie breaks alphabetically (b_ fronts)
+    got2 = mod._never_banked_first(
+        ["a_pass", "c_fail", "b_flipper"], artifacts_dir=str(tmp_path)
+    )
+    assert got2 == ["b_flipper", "c_fail", "a_pass"]
