@@ -9148,7 +9148,11 @@ def a_hll_manual(spark, sf_dir):
     sketches union for free across files, days, or executors. The
     small-range linear-counting branch (E <= 2.5m with empty registers)
     is implemented in both engines; its ln runs on the bounded V in
-    1..64 axis, snapped at output per the house float discipline.
+    1..64 axis, snapped at output per the house float discipline. BOTH
+    branches are exercised and hash-verified: sf0.001's ~100-150
+    distinct customers take the linear-counting path (and the pure-
+    Python replay pytest pins Spark/DuckDB/math.log three-way ln
+    agreement there), while sf0.01 takes the raw-estimator path.
     """
     orders = load_table(spark, sf_dir, "orders")
     br = orders.select(
