@@ -58,44 +58,14 @@ def _never_banked_first(keys, artifacts_dir=None):
     unbanked and re-fronted so the driver re-samples it after a fix
     (round-8 verdict item 1: a_chi2_uniform / a_key_skew_census were fixed
     in r8 but sorted behind 323 never-sampled keys under the old
-    any-appearance rule).
+    any-appearance rule). The pass rule and artifact scan live in
+    npc_recommender_netflix_spark.bank — shared with tools/inventory.py's
+    SURVEY §8 gate so the two can't drift (round-12 advice).
     """
-    import glob
-    import json
-    import re
+    from npc_recommender_netflix_spark import bank as _bank
 
-    def _passed(rec) -> bool:
-        if not isinstance(rec, dict):
-            # Legacy artifacts may store bare key lists; treat presence
-            # as a pass so they don't re-front the whole early bank.
-            return True
-        if rec.get("hash_match") is True:
-            return True
-        # rows-only keys: the driver records err='no_oracle' and only a
-        # spark-side row count; a non-null count is the pass signal.
-        return rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
-
-    latest: dict[str, tuple[int, bool]] = {}
     here = artifacts_dir or os.path.dirname(os.path.abspath(__file__))
-    # sorted() so glob order can't matter; ties on round number resolve
-    # by >= below (later-sorted file wins deterministically).
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            # Unconventionally-named artifacts are not driver rounds;
-            # skip rather than silently treating them as round 0.
-            continue
-        rnd = int(m.group(1))
-        try:
-            with open(path) as fh:
-                data = json.load(fh)
-        except Exception:
-            continue
-        items = data.items() if isinstance(data, dict) else ((k, None) for k in data)
-        for key, rec in items:
-            if key not in latest or rnd >= latest[key][0]:
-                latest[key] = (rnd, _passed(rec))
-    banked = {k for k, (_, ok) in latest.items() if ok}
+    banked = _bank.banked_keys(here)
 
     def fam(k: str) -> str:
         return k.split("_", 1)[0] + "_"

@@ -4189,6 +4189,18 @@ def v_rerank_mmr(spark, sf_dir):
         .join(e2, "cb")
         .select("query_id", "ca", "cb", "rel6_a", sim6.alias("sim6"))
     )
+    # Self-rows (ca == cb, sim6 NULL) keep single-candidate queries in
+    # the grouped frame — the ca != cb pair join alone would drop them,
+    # silently losing the pos-1 row the oracle's p1 (a plain t8 argmax)
+    # still emits (round-12 advice item 1). ≤8 extra rows per query.
+    selfrows = t8.select(
+        "query_id",
+        F.col("cand_id").alias("ca"),
+        F.col("cand_id").alias("cb"),
+        F.col("rel6").alias("rel6_a"),
+        F.lit(None).cast("long").alias("sim6"),
+    )
+    pairs = pairs.unionByName(selfrows)
 
     def _mmr_greedy(pdf):
         # Defined inside the query fn: worker pickling must not require
@@ -4201,7 +4213,8 @@ def v_rerank_mmr(spark, sf_dir):
             pdf["ca"], pdf["cb"], pdf["rel6_a"], pdf["sim6"]
         ):
             rel6[int(ca)] = int(r6)
-            sim[(int(ca), int(cb))] = int(s6)
+            if int(ca) != int(cb):  # self-rows carry rel6 only (sim6 NULL)
+                sim[(int(ca), int(cb))] = int(s6)
         qid = int(pdf["query_id"].iloc[0])
         # pos 1: pure relevance argmax (score7 = 7*rel6); pos 2..4:
         # argmax of 7*rel6 - 3*max_{s in slate} sim6 — all int64, ties
@@ -4219,6 +4232,10 @@ def v_rerank_mmr(spark, sf_dir):
                 cand = ((-sc, c), c, rel6[c], sc)
                 if best is None or cand[0] < best[0]:
                     best = cand
+            if best is None:
+                # < 4 candidates: emit fewer positions, exactly as the
+                # oracle's pk CTEs go empty once t8 is exhausted.
+                break
             selected.append(best[1])
             rows.append((qid, pos, best[1], best[2], best[3]))
         return pd.DataFrame(

@@ -3822,6 +3822,7 @@ def r_swing_capped(spark, sf_dir):
         SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
         FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
     ),
     capped AS (
         SELECT user_id, d, item FROM (
@@ -3882,11 +3883,20 @@ def r_covisit_time_decay(spark, sf_dir):
     map-side; top-50 is TakeOrderedAndProject.
     """
     ev = load_table(spark, sf_dir, "events")
-    ui = ev.select(
-        "user_id",
-        F.to_date(F.date_trunc("day", "ts")).alias("d"),
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
-    ).distinct()
+    # item IS NOT NULL before the cap (round-12 advice item 2): a NULL
+    # $.k would never form pairs but WOULD occupy one of the 16 md5-
+    # ranked cap slots — and NULL md5 sorts NULLS FIRST in Spark vs
+    # NULLS LAST in DuckDB, so a >16-item user-day containing a NULL
+    # would cap DIFFERENT real items in the two engines.
+    ui = (
+        ev.select(
+            "user_id",
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
     wcap = Window.partitionBy("user_id", "d").orderBy(
         F.md5(
             F.concat(

@@ -42,38 +42,18 @@ def counts() -> tuple[int, int, int]:
     return n, n_oracle, n - n_oracle
 
 
-def banked() -> tuple[int, int]:
-    """(banked_count, latest_round) derived from the committed driver
-    artifacts, using the same latest-record pass rule as
-    __spark_entry__._never_banked_first."""
-    import glob
-    import json
+def banked(max_round: int | None = None) -> tuple[int, int]:
+    """(banked_count, effective_round) derived from the committed driver
+    artifacts via the shared npc_recommender_netflix_spark.bank helper —
+    the SAME pass rule and artifact scan __spark_entry__ uses for queue
+    ordering, so this gate cannot drift from the driver's re-banking
+    order (round-12 advice)."""
+    from npc_recommender_netflix_spark import bank as _bank
 
     here = os.path.dirname(SURVEY)
-    latest: dict[str, tuple[int, bool]] = {}
-    max_round = 0
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        max_round = max(max_round, rnd)
-        try:
-            with open(path) as fh:
-                data = json.load(fh)
-        except Exception:
-            continue
-        items = data.items() if isinstance(data, dict) else ((k, None) for k in data)
-        for key, rec in items:
-            ok = (
-                True
-                if not isinstance(rec, dict)
-                else rec.get("hash_match") is True
-                or (rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None)
-            )
-            if key not in latest or rnd >= latest[key][0]:
-                latest[key] = (rnd, ok)
-    return sum(1 for _, ok in latest.values() if ok), max_round
+    rounds = [r for r in _bank.bank_rounds(here) if max_round is None or r <= max_round]
+    eff_round = max(rounds) if rounds else 0
+    return len(_bank.banked_keys(here, eff_round)), eff_round
 
 
 def main() -> int:
@@ -106,17 +86,32 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
+    # The driver writes CORRECTNESS_r{N}.json AFTER the round's final
+    # commit, so at judge time the tree always carries exactly one more
+    # artifact than the committed SURVEY line could have known about
+    # (round-12 verdict item 1: the gate went red on
+    # staleness-by-construction). Accept the line if it matches the bank
+    # derived from ALL committed artifacts, or the bank excluding only
+    # the single newest round.
     n_banked, max_round = banked()
+    accepted = {(n_banked, n, max_round)}
+    if max_round > 0:
+        prev_banked, prev_round = banked(max_round - 1)
+        accepted.add((prev_banked, n, prev_round))
     mb = S8_BANKED_RE.search(text)
-    if not mb or (int(mb.group(1)), int(mb.group(2)), int(mb.group(3))) != (
-        n_banked,
-        n,
-        max_round,
-    ):
+    claimed_bank = (
+        (int(mb.group(1)), int(mb.group(2)), int(mb.group(3))) if mb else None
+    )
+    if claimed_bank not in accepted:
         print(
             f"SURVEY §8 banked line "
             f"{mb.groups() if mb else 'MISSING'} != derived "
-            f"({n_banked}/{n} after round {max_round})",
+            f"({n_banked}/{n} after round {max_round}"
+            + (
+                f"; also accepted: {prev_banked}/{n} after round {prev_round})"
+                if max_round > 0
+                else ")"
+            ),
             file=sys.stderr,
         )
         return 1
