@@ -3542,11 +3542,19 @@ def v_nsw_greedy(spark, sf_dir):
     collide in some band with probability ~1, and the honesty column
     below MEASURES the resulting walk quality instead of asserting it.
     After the build: ONE per-node WindowGroupLimit — adjacency is <= 8N
-    rows forever after, and each greedy hop is one frontier-to-adjacency
-    equi-join + argmax, the r_shortest_path iterative idiom with a 1-row
-    frontier per query.  Cosines snap to 6dp BEFORE every argmax
-    (cand_id tiebreak), so walk decisions are bit-identical across
-    engines; the oracle unrolls the same three hops as CTEs.
+    rows forever after. The 5-hop greedy walk itself runs as ONE
+    Arrow-batched applyInPandas over the per-query (adjacency ⋈ qcos)
+    frame (round-12 verdict item 3): the k-step unrolled
+    join+window-per-hop tower this replaces cost ~8 s of pure
+    analysis/codegen plan constant for 3 output rows (SCALECHECK walls
+    were FLAT across 15× — the v_rerank_mmr disease). Per query the
+    grouped frame is the <= 8N edges each carrying the 6dp-snapped
+    query-candidate cosine plus one entry-marker row, and the walk is a
+    bounded in-memory loop — argmax on the SAME snapped cosines with
+    the same cand-id tiebreak, so decisions stay bit-identical to the
+    oracle's unrolled hop CTEs. A neighbor with no qcos row (only the
+    query vector itself) is excluded from the argmax in both engines
+    (the hop CTE's inner join to qcos; the cosmap filter here).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
@@ -3625,37 +3633,58 @@ def v_nsw_greedy(spark, sf_dir):
         .cache()
     )
     qcos = _qcos_012(spark, sf_dir)
-    # Alias qcos's join columns once: every frontier below descends from
-    # qcos (via the distinct query list), so a same-name query_id ==
-    # query_id predicate would trip Spark's trivially-true-equals lineage
-    # warning — the round-10 v_rerank_mmr pattern, fixed the same way.
-    qc = qcos.select(
-        F.col("query_id").alias("p_qid"),
-        F.col("cand_id").alias("p_cid"),
+    # Per-query walk input: every adjacency edge carries the query's
+    # 6dp cosine to the edge TARGET (an inner join, so edges into the
+    # query vector itself vanish — same as the oracle hop CTE's join to
+    # qcos), plus one src=-1 marker row carrying the entry node's cosine
+    # (absent when the entry has no qcos row, in which case the walk
+    # emits nothing — matching the oracle's empty h1).
+    adjq = qcos.join(adj, qcos.cand_id == adj.dst).select(
+        "query_id", "src", "dst", "cos"
+    )
+    entryrows = qcos.where(F.col("cand_id") == 3).select(
+        "query_id",
+        F.lit(-1).cast("long").alias("src"),
+        F.col("cand_id").alias("dst"),
         "cos",
     )
-    cur = qcos.select("query_id").distinct().select(
-        "query_id", F.lit(3).cast("long").alias("cur")
+    walkin = adjq.unionByName(entryrows)
+
+    def _greedy_walk(pdf):
+        # Defined inside the query fn: worker pickling must not require
+        # importing this package on executors (driver runs from any cwd).
+        import pandas as pd
+
+        cosm = {}
+        adjm = {}
+        entry = None
+        for s, d, c in zip(pdf["src"], pdf["dst"], pdf["cos"]):
+            s, d = int(s), int(d)
+            cosm[d] = float(c)
+            if s == -1:
+                entry = d
+            else:
+                adjm.setdefault(s, []).append(d)
+        if entry is None:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "found_id": pd.Series([], dtype="int64"),
+                }
+            )
+        qid = int(pdf["query_id"].iloc[0])
+        cur = entry
+        for _ in range(5):
+            # neighbors-of-current (with a known query cosine) or stay;
+            # argmax by (cos desc, cand asc) on the SAME snapped doubles
+            # the unrolled plan ordered by.
+            cands = [c for c in adjm.get(cur, []) if c in cosm] + [cur]
+            cur = min(cands, key=lambda c: (-cosm[c], c))
+        return pd.DataFrame([(qid, cur)], columns=["query_id", "found_id"])
+
+    found = walkin.groupBy("query_id").applyInPandas(
+        _greedy_walk, "query_id long, found_id long"
     )
-    for _ in range(5):
-        neigh = cur.join(adj, cur.cur == adj.src).select(
-            "query_id", F.col("dst").alias("cand")
-        )
-        stay = cur.select("query_id", F.col("cur").alias("cand"))
-        cands = neigh.unionByName(stay)
-        scored = cands.join(
-            qc,
-            (cands.query_id == F.col("p_qid"))
-            & (cands.cand == F.col("p_cid")),
-        ).select(cands.query_id, "cand", "cos")
-        wpick = Window.partitionBy("query_id").orderBy(
-            F.col("cos").desc(), "cand"
-        )
-        cur = (
-            scored.withColumn("rn", F.row_number().over(wpick))
-            .where(F.col("rn") == 1)
-            .select("query_id", F.col("cand").alias("cur"))
-        )
     wrank = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), "cand_id"
     )
@@ -3666,14 +3695,14 @@ def v_nsw_greedy(spark, sf_dir):
         F.row_number().over(wrank).cast("long").alias("true_rank"),
     )
     return (
-        cur.join(
+        found.join(
             ranks,
-            (cur.query_id == F.col("r_qid"))
-            & (cur.cur == F.col("r_cid")),
+            (found.query_id == F.col("r_qid"))
+            & (found.found_id == F.col("r_cid")),
         )
         .select(
-            cur.query_id,
-            F.col("cur").cast("long").alias("found_id"),
+            found.query_id,
+            F.col("found_id").cast("long").alias("found_id"),
             F.col("cos").alias("found_cos"),
             "true_rank",
         )
@@ -3833,12 +3862,19 @@ def v_hnsw_layered(spark, sf_dir):
     the rule, applied twice, keeps BOTH builds' random collisions O(layer
     size) (the round-10 v_nsw_greedy fix, measured linear on the
     SCALECHECK ladder). Per-node degree caps are one WindowGroupLimit
-    per layer; each greedy hop is one frontier-to-adjacency equi-join +
-    argmax on 6dp-snapped cosines (cand-id tiebreak), identical on both
-    engines; the oracle unrolls layers and hops as CTEs. Output keeps
-    the honesty columns: the layer-drop node (drop_id) and the TRUE
-    brute-force rank of the final answer, so the hierarchy's routing
-    quality is measured, not asserted.
+    per layer. The layered walk (2 coarse hops, record the drop node,
+    3 fine hops) runs as ONE Arrow-batched applyInPandas over the
+    per-query union of both layers' (adjacency ⋈ qcos) edges plus an
+    entry-marker row (round-12 verdict item 3: the unrolled
+    join+window-per-hop tower cost ~9 s of flat analysis/codegen plan
+    constant for 3 output rows). Argmax decisions run on the SAME
+    6dp-snapped cosines with the same cand-id tiebreak, so the walk is
+    bit-identical to the oracle's unrolled layer/hop CTEs; a neighbor
+    with no qcos row (only the query vector itself) is excluded from
+    the argmax in both engines. Output keeps the honesty columns: the
+    layer-drop node (drop_id) and the TRUE brute-force rank of the
+    final answer, so the hierarchy's routing quality is measured, not
+    asserted.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
@@ -3927,35 +3963,6 @@ def v_hnsw_layered(spark, sf_dir):
     adj = layer_adj(emb, 8)
     adj_top = layer_adj(emb.where(F.col("vec_id") % 16 == 0), 4)
     qcos = _qcos_012(spark, sf_dir)
-    # Aliased scoring frame: frontiers descend from qcos, so join on
-    # distinct names (p_qid/p_cid) — see v_nsw_greedy for the rationale.
-    qc = qcos.select(
-        F.col("query_id").alias("p_qid"),
-        F.col("cand_id").alias("p_cid"),
-        "cos",
-    )
-
-    def greedy_hops(cur, graph, n_hops):
-        for _ in range(n_hops):
-            neigh = cur.join(graph, cur.cur == graph.src).select(
-                "query_id", F.col("dst").alias("cand")
-            )
-            stay = cur.select("query_id", F.col("cur").alias("cand"))
-            cands = neigh.unionByName(stay)
-            scored = cands.join(
-                qc,
-                (cands.query_id == F.col("p_qid"))
-                & (cands.cand == F.col("p_cid")),
-            ).select(cands.query_id, "cand", "cos")
-            wpick = Window.partitionBy("query_id").orderBy(
-                F.col("cos").desc(), "cand"
-            )
-            cur = (
-                scored.withColumn("rn", F.row_number().over(wpick))
-                .where(F.col("rn") == 1)
-                .select("query_id", F.col("cand").alias("cur"))
-            )
-        return cur
 
     # Entry point derived IN-PLAN: the smallest upper-layer node that is
     # not itself a query id (round-10 advice — a hard-coded 16 silently
@@ -3968,13 +3975,77 @@ def v_hnsw_layered(spark, sf_dir):
         )
         .agg(F.min("vec_id").cast("long").alias("cur"))
     )
-    entry = (
-        qcos.select("query_id")
-        .distinct()
-        .crossJoin(F.broadcast(entry_id))
+    # Per-query walk input, layer-tagged: both layers' adjacency edges
+    # carry the query's 6dp cosine to the edge target (inner join — an
+    # edge into the query vector itself vanishes, matching the oracle
+    # hop CTE's join to qcos), plus one layer=-1 marker row carrying the
+    # entry node's cosine (absent when the derived entry has no qcos
+    # row, in which case the walk emits nothing — matching the oracle's
+    # CROSS JOIN with an empty/NULL entry).
+    def tag(adjf, layer):
+        return qcos.join(adjf, qcos.cand_id == adjf.dst).select(
+            "query_id",
+            F.lit(layer).cast("long").alias("layer"),
+            "src",
+            "dst",
+            "cos",
+        )
+
+    entryrows = qcos.join(
+        F.broadcast(entry_id), qcos.cand_id == entry_id.cur
+    ).select(
+        "query_id",
+        F.lit(-1).cast("long").alias("layer"),
+        F.lit(-1).cast("long").alias("src"),
+        F.col("cand_id").alias("dst"),
+        "cos",
     )
-    drop = greedy_hops(entry, adj_top, 2)
-    final = greedy_hops(drop, adj, 3)
+    walkin = tag(adj_top, 1).unionByName(tag(adj, 0)).unionByName(entryrows)
+
+    def _layered_walk(pdf):
+        # Defined inside the query fn: worker pickling must not require
+        # importing this package on executors (driver runs from any cwd).
+        import pandas as pd
+
+        cosm = {}
+        adjm = {0: {}, 1: {}}
+        entry = None
+        for ly, s, d, c in zip(
+            pdf["layer"], pdf["src"], pdf["dst"], pdf["cos"]
+        ):
+            ly, s, d = int(ly), int(s), int(d)
+            cosm[d] = float(c)
+            if ly == -1:
+                entry = d
+            else:
+                adjm[ly].setdefault(s, []).append(d)
+        if entry is None:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "drop_id": pd.Series([], dtype="int64"),
+                    "found_id": pd.Series([], dtype="int64"),
+                }
+            )
+        qid = int(pdf["query_id"].iloc[0])
+
+        def hops(cur, layer, n):
+            for _ in range(n):
+                cands = [c for c in adjm[layer].get(cur, []) if c in cosm]
+                cands.append(cur)
+                cur = min(cands, key=lambda c: (-cosm[c], c))
+            return cur
+
+        drop = hops(entry, 1, 2)
+        found = hops(drop, 0, 3)
+        return pd.DataFrame(
+            [(qid, drop, found)],
+            columns=["query_id", "drop_id", "found_id"],
+        )
+
+    walked = walkin.groupBy("query_id").applyInPandas(
+        _layered_walk, "query_id long, drop_id long, found_id long"
+    )
     wrank = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), "cand_id"
     )
@@ -3984,20 +4055,16 @@ def v_hnsw_layered(spark, sf_dir):
         "cos",
         F.row_number().over(wrank).cast("long").alias("true_rank"),
     )
-    d = drop.select(
-        F.col("query_id").alias("d_qid"), F.col("cur").alias("drop_id")
-    )
     return (
-        final.join(d, final.query_id == d.d_qid)
-        .join(
+        walked.join(
             ranks,
-            (final.query_id == F.col("r_qid"))
-            & (final.cur == F.col("r_cid")),
+            (walked.query_id == F.col("r_qid"))
+            & (walked.found_id == F.col("r_cid")),
         )
         .select(
-            final.query_id,
+            walked.query_id,
             F.col("drop_id").cast("long").alias("drop_id"),
-            F.col("cur").cast("long").alias("found_id"),
+            F.col("found_id").cast("long").alias("found_id"),
             F.col("cos").alias("found_cos"),
             "true_rank",
         )

@@ -1390,12 +1390,17 @@ def s_merge_upsert(spark, sf_dir):
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    mk = base.agg(F.max("o_orderkey").alias("mk")).collect()[0]["mk"]
+    # max key as an IN-PLAN broadcast single-row cross join (round-12
+    # verdict item 6: this was the last driver-side .collect() plan
+    # constant outside catalog-stats reads and ML-eval scalars).
+    mk = base.agg(F.max("o_orderkey").alias("mk"))
     upd = base.where(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey", (F.col("cents") + 1).alias("cents")
     ).unionByName(
-        spark.range(1, 101).select(
-            (F.lit(mk) + F.col("id")).alias("o_orderkey"),
+        spark.range(1, 101)
+        .crossJoin(F.broadcast(mk))
+        .select(
+            (F.col("mk") + F.col("id")).alias("o_orderkey"),
             (F.lit(100000) + F.col("id") * 37).cast("long").alias("cents"),
         )
     )
