@@ -98,6 +98,12 @@ HEADLINE = [
     "t_minhash_lsh_incremental",  # round 12: ingest-batch vs bank LSH dedup
     "a_hll_window_merge",    # round 12: rolling distinct via register merge
     "r_covisit_time_decay",  # round 12: recency-weighted covisit matrix
+    "v_semihard_negatives",  # round 13: semi-hard triplet mining
+    "v_filtered_ann_depth",  # round 13: filtered-ANN depth census
+    "v_graph_reachability",  # round 13: kNN-graph BFS reach audit
+    "v_neardup_threshold_sensitivity",  # round 13: dedup threshold curve
+    "v_kcenter_rerank",  # round 13: farthest-point diversity rerank
+    "v_ivf_ingest_assign",  # round 13: incremental IVF batch assign
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

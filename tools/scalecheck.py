@@ -138,6 +138,19 @@ LINEAR_KEYS = {
     # via per-doc window cumsum — one doc-keyed pass, no pair work
     "u_apply_in_pandas": "events",  # round 11: the Arrow cogroup/apply
     # surface demo — measures Arrow batch throughput scaling
+    "v_semihard_negatives": "embeddings",  # round 13: one per-anchor max
+    # + one ranked filter over the 3-query brute-force frame (linear scan)
+    "v_filtered_ann_depth": "embeddings",  # round 13: one window + one
+    # aggregate over the same per-query candidate frame
+    "v_graph_reachability": "embeddings",  # round 13: 4 bounded BFS hops
+    # on the shared degree-8 graph; frontier joins are id-only
+    "v_neardup_threshold_sensitivity": "embeddings",  # round 13: one
+    # 3-threshold aggregation over the banded scored pairs (the strict
+    # dedup's own candidate set)
+    "v_kcenter_rerank": "embeddings",  # round 13: retrieval is the linear
+    # scan; greedy coverage picks are 12 + 12^2 constants per query
+    "v_ivf_ingest_assign": "embeddings",  # round 13: 5% batch x broadcast
+    # 10-cell codebook; bank touched by bounded per-cell counts only
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
