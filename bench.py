@@ -104,6 +104,8 @@ HEADLINE = [
     "v_neardup_threshold_sensitivity",  # round 13: dedup threshold curve
     "v_kcenter_rerank",  # round 13: farthest-point diversity rerank
     "v_ivf_ingest_assign",  # round 13: incremental IVF batch assign
+    "t_dup_keep_best",  # round 13: quality-survivor near-dup selection
+    "q_spend_band_lift",  # round 13: spend-band gains/lift table
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -17,7 +17,7 @@ Scale story (the whole point of the ladder):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -672,6 +672,25 @@ def t_dup_clusters(spark, sf_dir):
     labels every few rounds to truncate lineage. The oracle is a DuckDB
     recursive CTE computing the same components exactly.
     """
+    edges = _jaccard05_edges(spark, sf_dir)
+    labels = _minlabel_components(edges)
+    edges.unpersist()
+    csize = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(csize, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+def _jaccard05_edges(spark, sf_dir) -> DataFrame:
+    """Symmetric (a, b) edge list of the Jaccard>=0.5 near-dup pair graph
+    — the shared front of t_dup_clusters and t_dup_keep_best (one
+    construction so the survivor-selection keys can't diverge from the
+    clustering key's pair rule). Returned CACHED; callers unpersist."""
     sh = shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -688,7 +707,14 @@ def t_dup_clusters(spark, sf_dir):
         .where(jac >= 0.5)
         .select("da", "db")
     )
-    edges = pairs.union(pairs.select(F.col("db"), F.col("da"))).toDF("a", "b").cache()
+    return pairs.union(pairs.select(F.col("db"), F.col("da"))).toDF("a", "b").cache()
+
+
+def _minlabel_components(edges) -> DataFrame:
+    """Converged min-label connected components (doc_id, label) over a
+    symmetric cached edge list — t_dup_clusters' iterative propagation,
+    factored so every survivor-selection variant runs the identical
+    clustering. Result is localCheckpoint'd off the edge lineage."""
     labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     ).cache()
@@ -726,19 +752,9 @@ def t_dup_clusters(spark, sf_dir):
         labels = new
         if changed == 0:
             break
-    # Pin the converged labels off the edge lineage, then release the
-    # cached edge list — nothing downstream recomputes it.
-    labels = labels.localCheckpoint()
-    edges.unpersist()
-    csize = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(csize, "label")
-        .select(
-            "doc_id",
-            F.col("label").alias("cluster_id"),
-            F.col("cluster_size").cast("long").alias("cluster_size"),
-        )
-    )
+    # Pin the converged labels off the edge lineage; the caller releases
+    # the cached edge list — nothing downstream recomputes it.
+    return labels.localCheckpoint()
 
 
 # --- MinHash-LSH with an exact cross-engine oracle -------------------------
@@ -1595,4 +1611,102 @@ def t_minhash_lsh_incremental(spark, sf_dir):
         .where(jac >= 0.5)
         .select("doc_new", "doc_corpus", f6(jac).alias("jaccard"))
         .orderBy("doc_new", "doc_corpus")
+    )
+
+
+@register(
+    "t_dup_keep_best",
+    f"""
+    WITH RECURSIVE sh AS ({SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT da, db FROM inter
+              JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+    e AS (SELECT da AS a, db AS b FROM pairs
+          UNION SELECT db, da FROM pairs),
+    reach AS (SELECT a, b FROM e UNION SELECT DISTINCT a, a FROM e
+              UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+    asg AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    docs AS (SELECT doc_id, length(text) AS len FROM documents),
+    best AS (
+        SELECT cluster_id, doc_id AS kept_doc, len AS kept_len FROM (
+            SELECT asg.cluster_id, asg.doc_id, d.len,
+                   row_number() OVER (PARTITION BY asg.cluster_id
+                                      ORDER BY d.len DESC, asg.doc_id) AS rn
+            FROM asg JOIN docs d ON d.doc_id = asg.doc_id
+        ) WHERE rn = 1
+    )
+    SELECT b.cluster_id, CAST(cs.cnt AS BIGINT) AS cluster_size,
+           b.kept_doc, CAST(b.kept_len AS BIGINT) AS kept_len,
+           CAST(CASE WHEN b.kept_doc <> b.cluster_id THEN 1 ELSE 0 END
+                AS BIGINT) AS differs_from_min_id
+    FROM best b
+    JOIN (SELECT cluster_id, count(*) AS cnt FROM asg GROUP BY 1) cs
+      ON cs.cluster_id = b.cluster_id
+    ORDER BY b.cluster_id
+    """,
+)
+def t_dup_keep_best(spark, sf_dir):
+    """Quality-based survivor selection within near-dup clusters — the
+    KEEP decision between clustering and deletion that t_dup_clusters'
+    min-id rule punts on: real pipelines keep the BEST variant of a
+    duplicated document (here: longest text, the standard keep-the-
+    superset heuristic for crawl near-dups — a truncated copy loses to
+    its complete original), not the one with the smallest id.
+    differs_from_min_id is the honesty column: the fraction of clusters
+    where quality-aware selection actually changes the decision vs the
+    naive rule — if it's ~0 the extra machinery is cargo cult, if it's
+    high the min-id pipelines upstream are silently keeping truncated
+    variants.
+
+    Shares the exact pair rule and the min-label component propagation
+    with t_dup_clusters (_jaccard05_edges / _minlabel_components — one
+    construction, so the keep stage can never run on different clusters
+    than the census reports). The survivor argmax is one per-cluster
+    WindowGroupLimit over (len DESC, doc_id) — integer lengths, exact
+    tiebreak, identical in the oracle's recursive-CTE clusters.
+
+    Scale: clustering is the O(diameter)-round propagation already
+    measured linear; the keep stage adds one broadcast-joinable doc-
+    length frame and one window over cluster-id — work linear in
+    clustered docs (a small minority of the corpus by construction).
+    """
+    edges = _jaccard05_edges(spark, sf_dir)
+    labels = _minlabel_components(edges)
+    edges.unpersist()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
+    )
+    lab = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    wbest = Window.partitionBy("cluster_id").orderBy(
+        F.col("len").desc(), "doc_id"
+    )
+    joined = lab.join(docs, "doc_id")
+    best = (
+        joined.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("len").cast("long").alias("kept_len"),
+        )
+    )
+    csize = lab.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        best.join(csize, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "kept_doc",
+            "kept_len",
+            (F.col("kept_doc") != F.col("cluster_id"))
+            .cast("long")
+            .alias("differs_from_min_id"),
+        )
+        .orderBy("cluster_id")
     )

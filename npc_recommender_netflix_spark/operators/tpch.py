@@ -3565,3 +3565,147 @@ def q_mix_variance(spark, sf_dir):
             + 0.0
         ).alias("residual_usd"),
     ).orderBy("brand")
+
+
+_SPEND_BAND_SQL = """
+        CASE WHEN score_cents < 50000000 THEN 0
+             WHEN score_cents < 100000000 THEN 1
+             WHEN score_cents < 150000000 THEN 2
+             WHEN score_cents < 200000000 THEN 3
+             WHEN score_cents < 250000000 THEN 4
+             WHEN score_cents < 300000000 THEN 5
+             ELSE 6 END
+"""
+
+
+@register(
+    "q_spend_band_lift",
+    f"""
+    WITH score AS (
+        SELECT o_custkey AS c,
+               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS score_cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY 1
+    ),
+    outcome AS (
+        SELECT o_custkey AS c,
+               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS out_cents
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        GROUP BY 1
+    ),
+    banded AS (
+        SELECT s.c, s.score_cents, coalesce(o.out_cents, 0) AS out_cents,
+               CAST({_SPEND_BAND_SQL} AS BIGINT) AS band
+        FROM score s LEFT JOIN outcome o ON o.c = s.c
+    ),
+    agg AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(score_cents) AS BIGINT) AS score_cents,
+               CAST(sum(out_cents) AS BIGINT) AS outcome_cents
+        FROM banded GROUP BY band
+    ),
+    tot AS (
+        SELECT CAST(sum(n_cust) AS BIGINT) AS tc,
+               CAST(sum(outcome_cents) AS BIGINT) AS toc
+        FROM agg
+    ),
+    cum AS (
+        SELECT a.band,
+               CAST(sum(b.n_cust) AS BIGINT) AS cum_cust,
+               CAST(sum(b.outcome_cents) AS BIGINT) AS cum_outcome
+        FROM agg a JOIN agg b ON b.band >= a.band
+        GROUP BY a.band
+    )
+    SELECT a.band, a.n_cust, a.score_cents, a.outcome_cents,
+           CAST((1000000 * c.cum_outcome) // t.toc AS BIGINT)
+               AS cum_capture_ppm,
+           CAST((1000000 * c.cum_cust) // t.tc AS BIGINT) AS cum_cust_ppm
+    FROM agg a JOIN cum c ON c.band = a.band CROSS JOIN tot t
+    ORDER BY a.band
+    """,
+)
+def q_spend_band_lift(spark, sf_dir):
+    """Gains/lift table by spend band — the campaign-targeting analysis
+    behind 'mail the top spenders': customers are scored by their
+    pre-1999 revenue, banded into 7 FIXED exact-cents bands (cuts picked
+    from measured fixture quantiles), and each band reports its share of
+    post-1999 revenue captured by targeting that band AND ABOVE
+    (cum_capture_ppm) against the share of customers contacted
+    (cum_cust_ppm) — the two columns whose ratio is the lift curve.
+    Customers with no outcome orders count 0 (LEFT JOIN); customers with
+    no score-period orders are untargetable and excluded by definition.
+
+    Fixed exact bands instead of ntile(10) deliberately: a global decile
+    needs a partitionless total-order window over EVERY customer (the
+    plan shape the window tripwire exists to catch — single-partition
+    sort of a data-scale axis); banding is a stateless CASE on exact
+    BIGINT cents, the band axis is bounded (7 rows) forever, and the
+    cumulative sweep is a bounded 7x7 band self-join. At 100 TB real
+    decile systems do the same thing: fixed boundaries from a quantile
+    sketch, then stateless assignment.
+
+    Exactness: cents snapped per order before summing; captures are
+    exact BIGINT integer division to ppm — no float anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    score = (
+        orders.where(F.col("o_orderdate") < cut)
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(F.sum(cents).cast("long").alias("score_cents"))
+    )
+    outcome = (
+        orders.where(F.col("o_orderdate") >= cut)
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(F.sum(cents).cast("long").alias("out_cents"))
+    )
+    banded = (
+        score.join(outcome, "c", "left")
+        .select(
+            "c",
+            "score_cents",
+            F.coalesce(F.col("out_cents"), F.lit(0)).alias("out_cents"),
+            F.expr(f"CAST({_SPEND_BAND_SQL} AS BIGINT)").alias("band"),
+        )
+    )
+    agg = banded.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_cust"),
+        F.sum("score_cents").cast("long").alias("score_cents"),
+        F.sum("out_cents").cast("long").alias("outcome_cents"),
+    )
+    tot = agg.agg(
+        F.sum("n_cust").cast("long").alias("tc"),
+        F.sum("outcome_cents").cast("long").alias("toc"),
+    )
+    a = agg.alias("a")
+    b = agg.select(
+        F.col("band").alias("b_band"),
+        F.col("n_cust").alias("b_n"),
+        F.col("outcome_cents").alias("b_out"),
+    )
+    cum = (
+        a.join(b, F.col("b_band") >= F.col("a.band"))
+        .groupBy(F.col("a.band").alias("c_band"))
+        .agg(
+            F.sum("b_n").cast("long").alias("cum_cust"),
+            F.sum("b_out").cast("long").alias("cum_outcome"),
+        )
+    )
+    return (
+        agg.join(cum, agg.band == cum.c_band)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_cust",
+            "score_cents",
+            "outcome_cents",
+            F.expr("CAST((1000000 * cum_outcome) DIV toc AS BIGINT)").alias(
+                "cum_capture_ppm"
+            ),
+            F.expr("CAST((1000000 * cum_cust) DIV tc AS BIGINT)").alias(
+                "cum_cust_ppm"
+            ),
+        )
+        .orderBy("band")
+    )

@@ -151,6 +151,11 @@ LINEAR_KEYS = {
     # scan; greedy coverage picks are 12 + 12^2 constants per query
     "v_ivf_ingest_assign": "embeddings",  # round 13: 5% batch x broadcast
     # 10-cell codebook; bank touched by bounded per-cell counts only
+    "t_dup_keep_best": "documents",  # round 13: the clustering is
+    # t_dup_clusters' propagation (linear-per-iteration); keep stage adds
+    # one doc-length join + one per-cluster window over clustered docs
+    "q_spend_band_lift": "orders",  # round 13: two customer-keyed aggs +
+    # stateless CASE banding + bounded 7x7 cumulative self-join
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
