@@ -106,6 +106,10 @@ HEADLINE = [
     "v_ivf_ingest_assign",  # round 13: incremental IVF batch assign
     "t_dup_keep_best",  # round 13: quality-survivor near-dup selection
     "q_spend_band_lift",  # round 13: spend-band gains/lift table
+    "v_shard_fanout_recall",  # round 13: scatter-gather truncation loss
+    "t_local_vs_global_dedup",  # round 13: shard-key dedup-yield audit
+    "m_webdataset_shards",  # round 13: size-capped shard manifest
+    "t_source_sketch_jaccard",  # round 13: bottom-k corpus-overlap sketch
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -268,3 +268,214 @@ def t_decontaminate_fuzzy(spark, sf_dir):
         .cast("long")
         .alias("contaminated"),
     )
+
+
+@register(
+    "t_source_sketch_jaccard",
+    r"""
+    WITH tok AS (
+        SELECT source, doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS word,
+               generate_subscripts(
+                   string_split_regex(lower(text), '\s+'), 1) AS pos
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT source,
+               md5(word || ' ' ||
+                   lead(word, 1) OVER (PARTITION BY source, doc_id
+                                       ORDER BY pos) || ' ' ||
+                   lead(word, 2) OVER (PARTITION BY source, doc_id
+                                       ORDER BY pos)) AS g
+        FROM tok
+        QUALIFY lead(word, 2) OVER (PARTITION BY source, doc_id
+                                    ORDER BY pos) IS NOT NULL
+    ),
+    bk AS (
+        SELECT source, g FROM (
+            SELECT source, g,
+                   row_number() OVER (PARTITION BY source ORDER BY g) AS rn
+            FROM grams
+        ) WHERE rn <= 64
+    ),
+    srcs AS (SELECT DISTINCT source FROM grams),
+    prs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    contrib AS (
+        SELECT p.src_a, p.src_b, k.g,
+               max(CASE WHEN k.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN k.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+        FROM prs p
+        JOIN bk k ON k.source IN (p.src_a, p.src_b)
+        GROUP BY p.src_a, p.src_b, k.g
+    ),
+    est AS (
+        SELECT src_a, src_b,
+               round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) + 0
+                   AS est_jaccard
+        FROM (
+            SELECT src_a, src_b, in_a, in_b,
+                   row_number() OVER (PARTITION BY src_a, src_b
+                                      ORDER BY g) AS rn
+            FROM contrib
+        ) WHERE rn <= 64
+        GROUP BY src_a, src_b
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.src_a, p.src_b, e.est_jaccard,
+           round(CAST(coalesce(i.shared, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.shared, 0)), 6) + 0
+               AS exact_jaccard,
+           round(abs(e.est_jaccard
+                     - CAST(coalesce(i.shared, 0) AS DOUBLE)
+                       / (sa.n + sb.n - coalesce(i.shared, 0))), 6) + 0
+               AS abs_err
+    FROM prs p
+    JOIN est e ON e.src_a = p.src_a AND e.src_b = p.src_b
+    JOIN sizes sa ON sa.source = p.src_a
+    JOIN sizes sb ON sb.source = p.src_b
+    LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+    """,
+)
+def t_source_sketch_jaccard(spark, sf_dir):
+    """Bottom-k sketch estimate of cross-source shingle Jaccard, with the
+    exact answer as an honesty column — corpus-overlap estimation at
+    sketch cost (Broder 1997's bottom-k minhash, public).
+
+    `t_source_overlap` answers "is feed B a scrape of feed A" EXACTLY by
+    joining full distinct-gram sets — at 100 TB that join moves billions
+    of digests per source pair. The curation question usually only needs
+    an ESTIMATE ("which source pairs overlap enough to dedup jointly?"),
+    and the bottom-k sketch answers it from k=64 digests per source: the
+    k smallest gram-md5s form a uniform sample of each source's gram
+    set, J_est = |{bottom-64 of the UNION} present in both sketches|/64.
+    Each source compresses to a constant-size signature (64 x 32 chars);
+    pair comparison is sketch x sketch — no corpus data moves at all.
+    The estimate is unbiased with std ~ sqrt(J(1-J)/k) ~= 0.03 at J=0.05;
+    `abs_err` against the exact join (computable at test scale) shows
+    that noise honestly per pair.
+
+    Scale design: sketches build in one (source)-keyed aggregation over
+    distinct (source, gram-digest) pairs (text never shuffles); the pair
+    stage joins 190 pairs x 64 rows — driver-trivial forever, because
+    it scales with the NUMBER OF SOURCES, not corpus bytes. The exact
+    branch exists as the honesty control and would be dropped at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "word"),
+    )
+    w = Window.partitionBy("source", "doc_id").orderBy("pos")
+    gram = F.md5(
+        F.concat_ws(
+            " ",
+            F.col("word"),
+            F.lead("word", 1).over(w),
+            F.lead("word", 2).over(w),
+        )
+    )
+    grams = (
+        words.select(
+            "source",
+            gram.alias("g"),
+            F.lead("word", 2).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .select("source", "g")
+        .distinct()
+        .cache()
+    )
+    wbk = Window.partitionBy("source").orderBy("g")
+    bk = (
+        grams.withColumn("rn", F.row_number().over(wbk))
+        .where(F.col("rn") <= 64)
+        .select("source", "g")
+    )
+    srcs = grams.select("source").distinct()
+    prs = (
+        srcs.alias("a")
+        .join(
+            srcs.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    contrib = (
+        F.broadcast(prs)
+        .join(
+            bk,
+            (F.col("source") == F.col("src_a"))
+            | (F.col("source") == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "g")
+        .agg(
+            F.max(
+                F.when(F.col("source") == F.col("src_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("source") == F.col("src_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("g")
+    est = (
+        contrib.withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") <= 64)
+        .groupBy("src_a", "src_b")
+        .agg(
+            (
+                F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+                / F.count("*")
+            ).alias("est_raw")
+        )
+        .select("src_a", "src_b", f6(F.col("est_raw")).alias("est_jaccard"))
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
+    inter = (
+        grams.alias("x")
+        .join(
+            grams.alias("y"),
+            (F.col("x.g") == F.col("y.g"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    exact_raw = F.coalesce(F.col("shared"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("shared"), F.lit(0))
+    )
+    return (
+        prs.join(est, ["src_a", "src_b"])
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("n").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("n").alias("nb"))),
+            "src_b",
+        )
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "est_jaccard",
+            f6(exact_raw).alias("exact_jaccard"),
+            f6(F.abs(F.col("est_jaccard") - exact_raw)).alias("abs_err"),
+        )
+    )

@@ -1710,3 +1710,118 @@ def t_dup_keep_best(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "t_local_vs_global_dedup",
+    """
+    WITH base AS (
+        SELECT md5(text) AS dig, source FROM documents
+        UNION ALL
+        SELECT md5(text) AS dig, 'recrawl' AS source FROM documents
+        WHERE doc_id % 10 = 0
+    ),
+    sh AS (SELECT dig, source, substr(dig, 1, 1) AS hshard FROM base),
+    gstat AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT dig) AS BIGINT) AS global_unique
+        FROM sh
+    ),
+    loc_src AS (
+        SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_shards,
+               CAST(sum(u) AS BIGINT) AS local_unique
+        FROM (SELECT source, count(DISTINCT dig) AS u FROM sh
+              GROUP BY source)
+    ),
+    loc_hash AS (
+        SELECT CAST(count(DISTINCT hshard) AS BIGINT) AS n_shards,
+               CAST(sum(u) AS BIGINT) AS local_unique
+        FROM (SELECT hshard, count(DISTINCT dig) AS u FROM sh
+              GROUP BY hshard)
+    )
+    SELECT 'by_content_hash' AS scheme, g.n_docs, h.n_shards,
+           h.local_unique, g.global_unique,
+           CAST(h.local_unique - g.global_unique AS BIGINT) AS missed_dups
+    FROM gstat g, loc_hash h
+    UNION ALL
+    SELECT 'by_source', g.n_docs, s.n_shards, s.local_unique,
+           g.global_unique,
+           CAST(s.local_unique - g.global_unique AS BIGINT)
+    FROM gstat g, loc_src s
+    ORDER BY scheme
+    """,
+)
+def t_local_vs_global_dedup(spark, sf_dir):
+    """Shard-local vs global dedup yield — the partitioning-design audit.
+
+    The first design decision of a 100 TB dedup job is the shard key.
+    Dedup WITHIN shards is embarrassingly parallel (no cross-shard
+    shuffle), but it only equals GLOBAL dedup when every copy of a text
+    lands on the same shard. Sharding by content hash guarantees that by
+    construction — md5(text) determines the shard, so duplicates collide
+    — while the operationally tempting layout (shard = crawl source, the
+    way the data already arrives on disk) silently misses every
+    cross-source duplicate. This operator measures both schemes against
+    the global answer on the same corpus: a 'recrawl' batch (the doc_id%5
+    incremental-dedup slice's sibling: doc_id%10 re-ingested under a new
+    source name) plants cross-source duplicates deterministically at
+    every sf, and the natural cross-source dups at larger sf add to it.
+    `missed_dups` = extra survivors a shard-local dedup would ship to
+    training — 0 for by_content_hash at ANY scale, > 0 for by_source.
+
+    Scale design: both censuses shuffle 32-char digests only (text is
+    dropped at the scan); the per-scheme distinct-counts are two
+    map-side-combinable aggregations, and the scheme summaries join as
+    broadcast single-row frames. The punchline IS the scale lesson: with
+    hash sharding, 100 TB dedup needs one digest-keyed exchange, ever.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(F.md5("text").alias("dig"), "source")
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                F.md5("text").alias("dig"), F.lit("recrawl").alias("source")
+            )
+        )
+        .withColumn("hshard", F.substring("dig", 1, 1))
+    )
+    glob = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("dig").cast("long").alias("global_unique"),
+    )
+    loc_src = (
+        base.groupBy("source")
+        .agg(F.count_distinct("dig").alias("u"))
+        .agg(
+            F.count_distinct("source").cast("long").alias("n_shards"),
+            F.sum("u").cast("long").alias("local_unique"),
+        )
+    )
+    loc_hash = (
+        base.groupBy("hshard")
+        .agg(F.count_distinct("dig").alias("u"))
+        .agg(
+            F.count_distinct("hshard").cast("long").alias("n_shards"),
+            F.sum("u").cast("long").alias("local_unique"),
+        )
+    )
+
+    def scheme(name, loc):
+        return (
+            F.broadcast(glob)
+            .crossJoin(F.broadcast(loc))
+            .select(
+                F.lit(name).alias("scheme"),
+                "n_docs",
+                "n_shards",
+                "local_unique",
+                "global_unique",
+                (F.col("local_unique") - F.col("global_unique"))
+                .cast("long")
+                .alias("missed_dups"),
+            )
+        )
+
+    return scheme("by_content_hash", loc_hash).unionByName(
+        scheme("by_source", loc_src)
+    ).orderBy("scheme")

@@ -18,6 +18,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1868,4 +1869,78 @@ def m_image_dhash(spark, sf_dir):
         )
         .where(F.col("hamming") == 0)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "m_webdataset_shards",
+    """
+    WITH sized AS (
+        SELECT source, doc_id,
+               octet_length(encode(text)) AS blob_bytes,
+               sum(octet_length(encode(text))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_bytes
+        FROM documents
+    )
+    SELECT source,
+           CAST((cum_bytes - blob_bytes) // 4096 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(blob_bytes) AS BIGINT) AS n_bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM sized
+    GROUP BY source, (cum_bytes - blob_bytes) // 4096
+    """,
+)
+def m_webdataset_shards(spark, sf_dir):
+    """WebDataset-style shard packing: size-capped sequential shards with
+    an index manifest — the layout multimodal training corpora actually
+    ship in (tar shards of ~equal byte size, read sequentially by data
+    loaders; WebDataset / tfrecord conventions, public).
+
+    Samples pack into a shard until the byte budget (4 KiB here; ~1 GiB
+    in production) is crossed, then a new shard opens. A literal
+    greedy writer is a sequential recurrence; the distributed form is the
+    standard prefix-sum assignment: shard_id = bytes-before-me DIV cap,
+    which bounds every shard to cap + one sample — the same guarantee a
+    greedy close gives, computable in one partitioned window. The output
+    is the shard MANIFEST (per shard: sample count, byte size, first/last
+    id) — what a loader needs to seek without reading tars.
+
+    Scale design: the window partitions by source (in production,
+    source × date) and orders by sample id WITHIN each partition — never
+    a global total order, so the plan holds when one corpus has millions
+    of shards. Blob bytes never shuffle: the only exchange carries
+    (source, doc_id, blob_bytes) triples; actual tar writing would be a
+    downstream partitionBy(source, shard_id) write where each task
+    streams its own samples.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blob = F.octet_length(F.col("text").cast("binary"))
+    sized = docs.select(
+        "source",
+        "doc_id",
+        blob.alias("blob_bytes"),
+        F.sum(blob).over(w).alias("cum_bytes"),
+    )
+    return (
+        sized.withColumn(
+            "shard_id",
+            ((F.col("cum_bytes") - F.col("blob_bytes")) / F.lit(4096))
+            .cast("long"),
+        )
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("blob_bytes").cast("long").alias("n_bytes"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
     )

@@ -5984,3 +5984,101 @@ def v_ivf_ingest_assign(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "v_shard_fanout_recall",
+    f"""
+    WITH pairs AS ({_COS_PAIR_SQL}),
+    ranked AS (
+        SELECT query_id, cand_id, cos,
+               row_number() OVER (PARTITION BY query_id, cand_id % 8
+                                  ORDER BY cos DESC, cand_id) AS shard_rn,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS global_rn
+        FROM pairs WHERE query_id IN (0, 1, 2)
+    ),
+    gathered AS (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS merge_rn
+        FROM ranked WHERE shard_rn <= 2
+    )
+    SELECT r.query_id,
+           round(CAST(count(g.cand_id) AS DOUBLE) / 10, 6) + 0
+               AS recall_at_10,
+           CAST(max(r.shard_rn) AS BIGINT) AS required_depth
+    FROM ranked r
+    LEFT JOIN gathered g
+      ON g.query_id = r.query_id AND g.cand_id = r.cand_id
+         AND g.merge_rn <= 10
+    WHERE r.global_rn <= 10
+    GROUP BY r.query_id
+    ORDER BY r.query_id
+    """,
+)
+def v_shard_fanout_recall(spark, sf_dir):
+    """Scatter-gather ANN truncation loss: the fan-out planning metric.
+
+    A 100 TB vector corpus is served from S index shards; a query fans
+    out, each shard returns its local top-k', and the coordinator merges
+    to a global top-k. k' < k is the whole point (it bounds per-shard
+    work and network payload), but it silently loses true neighbors that
+    CLUSTER on one shard: if 5 of the true top-10 hash to shard 3 and
+    k'=2, three of them never reach the merge. This operator measures
+    that loss exactly on the brute-force ground truth: for each query,
+    shard candidates by cand_id % 8, retrieve top-2 per shard (16
+    gathered), merge-rerank to top-10, and report (a) recall@10 of the
+    gathered top-10 against the exact global top-10 and (b) the shard
+    depth k' that WOULD have sufficed for perfect recall (max
+    within-shard rank over the true top-10) — the number a capacity
+    planner actually tunes against.
+
+    Scale design: both rankings are windows over the same per-query
+    candidate frame (partitioned by query and by (query, shard) — never
+    a global total order); the frame is the memoized `_qcos_012` cosine
+    frame shared by the whole retrieval stack, so the marginal cost of
+    this audit in the suite is two window passes and a self-join on
+    (query_id, cand_id). On a real deployment the ground-truth ranking
+    comes from a brute-force pass over a fixed query panel — exactly the
+    recall-regression harness production ANN services run nightly.
+    """
+    pairs = _qcos_012(spark, sf_dir)
+    ws = Window.partitionBy("query_id", F.col("cand_id") % 8).orderBy(
+        F.col("cos").desc(), "cand_id"
+    )
+    wg = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    ranked = pairs.select(
+        "query_id",
+        "cand_id",
+        "cos",
+        F.row_number().over(ws).alias("shard_rn"),
+        F.row_number().over(wg).alias("global_rn"),
+    )
+    gathered = (
+        ranked.where(F.col("shard_rn") <= 2)
+        .withColumn("merge_rn", F.row_number().over(wg))
+        .where(F.col("merge_rn") <= 10)
+        # rename BOTH join columns: gathered and true10 share lineage, and
+        # a same-name equi-join on a self-join degenerates to a trivially
+        # true predicate (Spark resolves both sides to the same attribute)
+        .select(
+            F.col("query_id").alias("g_query"),
+            F.col("cand_id").alias("g_cand"),
+        )
+    )
+    true10 = ranked.where(F.col("global_rn") <= 10)
+    return (
+        true10.join(
+            gathered,
+            (F.col("query_id") == F.col("g_query"))
+            & (F.col("cand_id") == F.col("g_cand")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            f6(F.count("g_cand").cast("double") / 10).alias("recall_at_10"),
+            F.max("shard_rn").cast("long").alias("required_depth"),
+        )
+        .orderBy("query_id")
+    )

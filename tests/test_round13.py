@@ -319,3 +319,115 @@ def test_spend_band_lift_identities(spark):
         cum_cust = sum(x["n_cust"] for x in rows[i:])
         assert r["cum_capture_ppm"] == (1000000 * cum_out) // toc
         assert r["cum_cust_ppm"] == (1000000 * cum_cust) // tc
+
+
+def test_shard_fanout_recall_bounds_and_depth(spark):
+    """recall@10 in (0, 1]; required_depth is the max within-shard rank of
+    a true top-10 item, so it is in [2, 10] whenever recall < 1 would need
+    a deeper shard cut (depth 1-2 implies the gather already covered the
+    true set, i.e. recall 1.0)."""
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["v_shard_fanout_recall"](spark, SF_SMALL).collect()
+    assert sorted(r["query_id"] for r in rows) == [0, 1, 2]
+    for r in rows:
+        assert 0.0 < r["recall_at_10"] <= 1.0
+        assert 1 <= r["required_depth"] <= 10
+        if r["required_depth"] <= 2:
+            assert r["recall_at_10"] == 1.0
+
+
+def test_local_vs_global_dedup_scheme_identities(spark):
+    """Content-hash sharding NEVER misses a duplicate (local == global by
+    construction); source sharding misses at least the planted recrawl
+    batch (every recrawl doc duplicates an original under another
+    source). Both schemes see the same corpus and global count."""
+    from tests.conftest import SF_SMALL
+
+    rows = {
+        r["scheme"]: r
+        for r in registry.QUERIES["t_local_vs_global_dedup"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    h, s = rows["by_content_hash"], rows["by_source"]
+    assert h["n_docs"] == s["n_docs"]
+    assert h["global_unique"] == s["global_unique"]
+    assert h["missed_dups"] == 0
+    n_recrawl = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .where("doc_id % 10 = 0")
+        .count()
+    )
+    assert n_recrawl > 0
+    assert s["missed_dups"] >= n_recrawl  # every recrawl doc is a cross-
+    # source dup the per-source dedup cannot see (plus natural ones)
+    assert s["local_unique"] >= h["local_unique"] == h["global_unique"]
+
+
+def test_webdataset_shards_manifest_invariants(spark):
+    """Shard manifest: per source, shard ids are dense from 0, byte sizes
+    respect the cap + one-sample bound, doc-id ranges of consecutive
+    shards do not overlap, and the manifest accounts for every document
+    and every byte."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["m_webdataset_shards"](spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    totals = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length(F.col("text").cast("binary"))).alias("b"),
+        F.max(F.octet_length(F.col("text").cast("binary"))).alias("mx"),
+    )
+    want = {r["source"]: (r["n"], r["b"], r["mx"]) for r in totals.collect()}
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    assert set(by_src) == set(want)
+    for src, shards in by_src.items():
+        shards.sort(key=lambda r: r["shard_id"])
+        assert [s["shard_id"] for s in shards] == list(range(len(shards)))
+        n, b, mx = want[src]
+        assert sum(s["n_docs"] for s in shards) == n
+        assert sum(s["n_bytes"] for s in shards) == b
+        for s in shards:
+            assert s["first_doc"] <= s["last_doc"]
+            # prefix-sum packing bound: a shard holds at most cap bytes of
+            # "previous" content plus the sample that crosses the cap
+            assert s["n_bytes"] <= 4096 + mx
+        for a, b2 in zip(shards, shards[1:]):
+            assert a["last_doc"] < b2["first_doc"]
+
+
+def test_source_sketch_jaccard_estimator_honesty(spark):
+    """est and exact are both in [0, 1]; abs_err is literally
+    |est - exact| (6dp); every source pair appears exactly once with
+    src_a < src_b; and the k=64 estimator lands within the 4-sigma
+    binomial envelope of the exact Jaccard on every pair."""
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_source_sketch_jaccard"](
+        spark, SF_SMALL
+    ).collect()
+    seen = set()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert (r["src_a"], r["src_b"]) not in seen
+        seen.add((r["src_a"], r["src_b"]))
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 2e-6
+        j = r["exact_jaccard"]
+        sigma = (j * (1 - j) / 64) ** 0.5
+        assert r["abs_err"] <= 4 * sigma + 1.0 / 64 + 1e-9
+    n_src = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_src * (n_src - 1) // 2
