@@ -110,6 +110,8 @@ HEADLINE = [
     "t_local_vs_global_dedup",  # round 13: shard-key dedup-yield audit
     "m_webdataset_shards",  # round 13: size-capped shard manifest
     "t_source_sketch_jaccard",  # round 13: bottom-k corpus-overlap sketch
+    "s_positional_deletes",  # round 13: merge-on-read delete vectors
+    "t_epoch_schedule",  # round 13: data-constrained repetition plan
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -785,3 +785,96 @@ def t_shard_stability(spark, sf_dir):
         )
         .orderBy("strategy")
     )
+
+
+@register(
+    "t_epoch_schedule",
+    r"""
+    WITH toks AS (
+        SELECT lang,
+               CAST(sum(len(string_split_regex(lower(text), '\s+')))
+                    AS BIGINT) AS available_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(3 * sum(available_tokens) AS BIGINT) AS budget
+            FROM toks),
+    shares(lang, ppm) AS (
+        VALUES ('en', 400000), ('zh', 200000), ('de', 150000),
+               ('es', 150000), ('fr', 100000)
+    ),
+    plan AS (
+        SELECT t.lang, t.available_tokens,
+               CAST((tot.budget * s.ppm) // 1000000 AS BIGINT)
+                   AS target_tokens
+        FROM toks t JOIN shares s ON s.lang = t.lang CROSS JOIN tot
+    )
+    SELECT lang, available_tokens, target_tokens,
+           CAST((target_tokens + available_tokens - 1)
+                // available_tokens AS BIGINT) AS epochs,
+           CAST(greatest(0, target_tokens - available_tokens) AS BIGINT)
+               AS repeated_tokens,
+           CAST(least(1000000,
+                      (available_tokens * 1000000) // target_tokens)
+                AS BIGINT) AS unique_frac_ppm
+    FROM plan
+    """,
+)
+def t_epoch_schedule(spark, sf_dir):
+    """Data-constrained epoch planning: how many times each domain must
+    repeat to fill its slice of a token budget (the repetition schedule
+    from data-constrained scaling analyses, e.g. Muennighoff et al. 2023,
+    public). Inputs: measured available tokens per language and a target
+    mixture (ppm shares) over a budget of 3x the corpus — so
+    under-represented domains are forced into multiple epochs. Per
+    domain: available tokens, target tokens, epochs = ceil(target /
+    available), tokens that are repeats, and the unique fraction (ppm) —
+    the number that says how much of a domain's slice is fresh data vs
+    re-reads, which is what decides whether to buy more data or accept
+    the repetition penalty.
+
+    Scale design: ONE map-side-combinable token-count aggregation over
+    the corpus (the t_token_count shuffle shape: per-lang partials, text
+    never shuffles); everything downstream is exact integer arithmetic
+    on a 5-row axis joined against a broadcast literal share table. The
+    budget multiplier and shares are the tunable policy; the integer DIV
+    / ceil forms make every engine agree to the token.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.lower("text"), r"\s+")).cast("long"))
+        .cast("long")
+        .alias("available_tokens")
+    )
+    tot = toks.agg(
+        (3 * F.sum("available_tokens")).cast("long").alias("budget")
+    )
+    shares = spark.createDataFrame(
+        [("en", 400000), ("zh", 200000), ("de", 150000),
+         ("es", 150000), ("fr", 100000)],
+        "lang string, ppm long",
+    )
+    plan = (
+        toks.join(F.broadcast(shares), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "available_tokens",
+            F.expr("(budget * ppm) DIV 1000000").alias("target_tokens"),
+        )
+    )
+    return plan.select(
+        "lang",
+        "available_tokens",
+        "target_tokens",
+        F.expr(
+            "(target_tokens + available_tokens - 1) DIV available_tokens"
+        ).alias("epochs"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("target_tokens") - F.col("available_tokens"),
+        ).alias("repeated_tokens"),
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr("(available_tokens * 1000000) DIV target_tokens"),
+        ).alias("unique_frac_ppm"),
+    )

@@ -16,6 +16,7 @@ body and localCheckpoint() every few rounds to truncate lineage.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -882,4 +883,118 @@ def r_attack_tolerance(spark, sf_dir):
                 / F.col("reach_full")
             ).alias("survival_ratio"),
         )
+    )
+
+
+_LPA_VOTE_SQL = """
+    a{next} AS (
+        SELECT e.dst AS node, l.lab, count(*) AS c
+        FROM edges e
+        JOIN l{cur} l ON l.node = e.src AND l.lab IS NOT NULL
+        JOIN l{cur} u ON u.node = e.dst AND u.lab IS NULL
+        GROUP BY e.dst, l.lab
+    ),
+    p{next} AS (
+        SELECT node, lab FROM (
+            SELECT node, lab,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab) AS rn
+            FROM a{next}
+        ) WHERE rn = 1
+    ),
+    l{next} AS (
+        SELECT n.node, coalesce(n.lab, p.lab) AS lab,
+               CASE WHEN n.rnd IS NOT NULL THEN n.rnd
+                    WHEN p.lab IS NOT NULL THEN {next} END AS rnd
+        FROM l{cur} n LEFT JOIN p{next} p ON p.node = n.node
+    )
+"""
+
+
+@register(
+    "r_label_propagation",
+    f"""
+    WITH {_GRAPH_SQL},
+    l0 AS (SELECT node,
+                  CASE WHEN node % 7 = 0 THEN node % 5 END AS lab,
+                  CASE WHEN node % 7 = 0 THEN 0 END AS rnd
+           FROM nodes),
+    {_LPA_VOTE_SQL.format(cur=0, next=1)},
+    {_LPA_VOTE_SQL.format(cur=1, next=2)}
+    SELECT node, CAST(lab AS BIGINT) AS label,
+           CAST(rnd AS BIGINT) AS labeled_round
+    FROM l2
+    """,
+)
+def r_label_propagation(spark, sf_dir):
+    """Sticky label propagation (semi-supervised community seeding;
+    Raghavan 2007's LPA in its deterministic seeded form, public): seed
+    nodes (node % 7 == 0) carry a fixed label (node % 5); each
+    synchronous round, every still-UNLABELED node adopts the most
+    frequent label among its already-labeled neighbors (count desc, min
+    label tiebreak) and then never changes — two rounds unrolled, so
+    labeled_round doubles as a seed-distance census (0 = seed, 1/2 =
+    adopted, NULL = unreached). The sticky variant avoids free-running
+    LPA's oscillation on bipartite-ish structures, which is also what
+    makes an exact unrolled-CTE oracle possible.
+
+    Scale design: one round = one edge-keyed join of the frontier's
+    labeled side against the unlabeled side plus a (node, label) count —
+    the r_pagerank iteration shape, shuffle sized by edges incident to
+    the frontier (shrinking each round). Labels and votes are integers;
+    the argmax is a per-node window over a bounded label alphabet. At
+    real scale you loop to quiescence with localCheckpoint every few
+    rounds (the r_shortest_path discipline) instead of unrolling.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
+    ).distinct()
+    edges = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .where(F.col("a.item") != F.col("b.item"))
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    lab = nodes.select(
+        "node",
+        F.when(F.col("node") % 7 == 0, F.col("node") % 5).alias("lab"),
+        F.when(F.col("node") % 7 == 0, F.lit(0)).alias("rnd"),
+    )
+    for rnd in (1, 2):
+        labeled = lab.where(F.col("lab").isNotNull()).select(
+            F.col("node").alias("l_node"), F.col("lab").alias("l_lab")
+        )
+        unlabeled = lab.where(F.col("lab").isNull()).select(
+            F.col("node").alias("u_node")
+        )
+        votes = (
+            edges.join(labeled, edges.src == F.col("l_node"))
+            .join(unlabeled, edges.dst == F.col("u_node"))
+            .groupBy(F.col("dst").alias("v_node"), F.col("l_lab").alias("v_lab"))
+            .agg(F.count("*").alias("c"))
+        )
+        wv = Window.partitionBy("v_node").orderBy(F.col("c").desc(), "v_lab")
+        pick = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("v_node", "v_lab")
+        )
+        lab = (
+            lab.join(pick, lab.node == pick.v_node, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("lab"), F.col("v_lab")).alias("lab"),
+                F.when(F.col("rnd").isNotNull(), F.col("rnd"))
+                .when(F.col("v_lab").isNotNull(), F.lit(rnd))
+                .alias("rnd"),
+            )
+        )
+    return lab.select(
+        "node",
+        F.col("lab").cast("long").alias("label"),
+        F.col("rnd").cast("long").alias("labeled_round"),
     )

@@ -19,6 +19,7 @@ import shutil
 import tempfile
 import uuid
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1706,4 +1707,84 @@ def s_zonemap_skip(spark, sf_dir):
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
         .cast("long")
         .alias("revenue_cents"),
+    )
+
+
+@register(
+    "s_positional_deletes",
+    """
+    WITH positioned AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey % 8 AS file_id,
+               row_number() OVER (PARTITION BY o_orderkey % 8
+                                  ORDER BY o_orderkey) AS pos
+        FROM orders
+    ),
+    deletes AS (
+        SELECT file_id, pos FROM positioned WHERE o_custkey % 50 = 0
+    )
+    SELECT CAST(p.file_id AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(d.pos) AS BIGINT) AS n_deleted,
+           CAST(count(*) - count(d.pos) AS BIGINT) AS n_live,
+           CAST(sum(CASE WHEN d.pos IS NULL THEN p.cents ELSE 0 END)
+                AS BIGINT) AS live_cents
+    FROM positioned p
+    LEFT JOIN deletes d
+      ON d.file_id = p.file_id AND d.pos = p.pos
+    GROUP BY p.file_id
+    """,
+)
+def s_positional_deletes(spark, sf_dir):
+    """Merge-on-read with positional delete files — the Iceberg-v2 delete
+    mechanic (public spec): a delete commit writes (data_file, row_pos)
+    tombstones instead of rewriting data files; readers anti-join each
+    data file against its delete vector at scan time, and compaction
+    (s_compaction) eventually folds tombstones back in.
+
+    Neither Iceberg nor Delta ship in this container, so the mechanism is
+    emulated honestly from Spark primitives: 'files' are 8 deterministic
+    orderkey buckets and 'row position' is the row_number within a file
+    in orderkey order (a real positional delete references PHYSICAL row
+    order; pinning position to the sort key is what makes the fixture
+    engine-exact — documented, not hidden). The delete job tombstones
+    every row of custkeys divisible by 50 (a GDPR-erasure shape), and
+    the read reports per file: total rows, tombstoned rows, live rows,
+    and the live-cents total a scan would return.
+
+    Scale design: the reader's anti-join is file-aligned — delete
+    vectors partition by file_id exactly like the data, so merge-on-read
+    is a co-partitioned join (in Iceberg the delete file is physically
+    attached to its data file and the join never shuffles). Tombstone
+    count per file is the metric that schedules compaction: a file whose
+    n_deleted/n_rows crosses a threshold gets rewritten, keeping read
+    amplification bounded while writes stay O(delta).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("file_id").orderBy("o_orderkey")
+    positioned = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 8).alias("file_id"),
+    ).withColumn("pos", F.row_number().over(w))
+    deletes = positioned.where(F.col("o_custkey") % 50 == 0).select(
+        F.col("file_id").alias("d_file"), F.col("pos").alias("d_pos")
+    )
+    merged = positioned.join(
+        deletes,
+        (F.col("file_id") == F.col("d_file")) & (F.col("pos") == F.col("d_pos")),
+        "left",
+    )
+    return merged.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("d_pos").cast("long").alias("n_deleted"),
+        (F.count("*") - F.count("d_pos")).cast("long").alias("n_live"),
+        F.sum(
+            F.when(F.col("d_pos").isNull(), F.col("cents")).otherwise(0)
+        ).cast("long").alias("live_cents"),
+    ).select(
+        F.col("file_id").cast("long").alias("file_id"),
+        "n_rows", "n_deleted", "n_live", "live_cents",
     )

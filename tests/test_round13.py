@@ -431,3 +431,74 @@ def test_source_sketch_jaccard_estimator_honesty(spark):
         .count()
     )
     assert len(rows) == n_src * (n_src - 1) // 2
+
+
+def test_positional_deletes_partition_identities(spark):
+    """Per file: rows = deleted + live; across files the census accounts
+    for every order; tombstones are exactly the custkey%50 rows; live
+    cents = total cents minus tombstoned cents."""
+    from tests.conftest import SF_SMALL
+
+    import pyspark.sql.functions as F
+
+    rows = registry.QUERIES["s_positional_deletes"](spark, SF_SMALL).collect()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    n_orders = orders.count()
+    n_del = orders.where("o_custkey % 50 = 0").count()
+    cents = orders.select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+        F.sum(
+            F.when(
+                F.col("o_custkey") % 50 == 0,
+                F.round(F.col("o_totalprice") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("dc"),
+    ).collect()[0]
+    assert sorted(r["file_id"] for r in rows) == list(range(8))
+    for r in rows:
+        assert r["n_rows"] == r["n_deleted"] + r["n_live"]
+    assert sum(r["n_rows"] for r in rows) == n_orders
+    assert sum(r["n_deleted"] for r in rows) == n_del
+    assert sum(r["live_cents"] for r in rows) == cents["c"] - cents["dc"]
+
+
+def test_label_propagation_sticky_and_seeded(spark):
+    """Seeds (node%7==0) are labeled node%5 at round 0 and never change;
+    every labeled node has round in {0,1,2} and label in 0..4; label and
+    round are null together; coverage grows beyond the seed set on this
+    dense co-purchase graph."""
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["r_label_propagation"](spark, SF_SMALL).collect()
+    n_seed = n_labeled = 0
+    for r in rows:
+        if r["node"] % 7 == 0:
+            assert r["label"] == r["node"] % 5 and r["labeled_round"] == 0
+            n_seed += 1
+        if r["label"] is None:
+            assert r["labeled_round"] is None
+        else:
+            n_labeled += 1
+            assert r["labeled_round"] in (0, 1, 2)
+            assert 0 <= r["label"] <= 4
+    assert n_seed > 0 and n_labeled > n_seed
+
+
+def test_epoch_schedule_integer_identities(spark):
+    """epochs is the exact ceil of target/available; repeated_tokens the
+    exact overflow; per-domain targets sum to the budget up to the 5
+    integer-division roundings; unique_frac_ppm caps at 1e6."""
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["t_epoch_schedule"](spark, SF_SMALL).collect()
+    assert sorted(r["lang"] for r in rows) == ["de", "en", "es", "fr", "zh"]
+    budget = 3 * sum(r["available_tokens"] for r in rows)
+    tsum = 0
+    for r in rows:
+        a, t = r["available_tokens"], r["target_tokens"]
+        tsum += t
+        assert r["epochs"] == -(-t // a)
+        assert r["repeated_tokens"] == max(0, t - a)
+        assert r["unique_frac_ppm"] == min(10**6, a * 10**6 // t)
+        assert (r["epochs"] > 1) == (r["repeated_tokens"] > 0)
+    assert 0 <= budget - tsum < 5
