@@ -46,6 +46,49 @@ _PR_ITER_SQL = """
 """
 
 
+
+# Shared-intermediate cache for the co-purchase graph family: 8 keys
+# (r_pagerank, r_ppr, r_kcore_peel, r_node_features, r_shortest_path,
+# r_degree_assortativity, r_attack_tolerance, r_label_propagation) build
+# the IDENTICAL symmetric (l_partkey % 500) edge list from a lineitem
+# self-join and each used to cache a private copy. Memoize ONE cached
+# DataFrame per (application, sf_dir) — the vectors._qcos_012 pattern —
+# so a full-registry sweep materializes the join once for all consumers,
+# and the "same construction, no divergence possible" argument holds
+# across the whole family. Re-register after an external clearCache: the
+# rebuild (lineitem self-join + two distincts) x 8 consumers clears the
+# _qcos_012 re-register criterion (rebuild_cost x consumers >> one
+# cache write).
+_EDGES_SHARED: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _copurchase_edges(spark, sf_dir):
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _EDGES_SHARED if k[0] != app_id]:
+        del _EDGES_SHARED[stale]
+    key = (app_id, sf_dir)
+    df = _EDGES_SHARED.get(key)
+    if df is None:
+        li = load_table(spark, sf_dir, "lineitem")
+        items = li.select(
+            "l_orderkey", (F.col("l_partkey") % 500).alias("item")
+        ).distinct()
+        df = (
+            items.alias("a")
+            .join(items.alias("b"), "l_orderkey")
+            .where(F.col("a.item") != F.col("b.item"))
+            .select(
+                F.col("a.item").alias("src"), F.col("b.item").alias("dst")
+            )
+            .distinct()
+            .cache()
+        )
+        _EDGES_SHARED[key] = df
+    elif not df.storageLevel.useMemory:
+        df.cache()
+    return df
+
+
 @register(
     "r_pagerank",
     f"""
@@ -62,19 +105,7 @@ def r_pagerank(spark, sf_dir):
     """PageRank (damping 0.85, 3 fixed iterations) over the co-purchase
     item graph. The oracle unrolls the same three iterations as chained
     CTEs; per-iteration 9dp rounding makes the fixpoint engine-exact."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.item") != F.col("b.item"))
-        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .distinct()
-        .cache()  # reused by every iteration (Spark won't share the subtree)
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("d")).cache()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # one scalar to the driver; fine at any scale
@@ -317,19 +348,7 @@ def r_ppr(spark, sf_dir):
     graph (the locality that makes PPR THE scalable per-user graph
     recommender). Top-25 by rounded rank, node tiebreak.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.item") != F.col("b.item"))
-        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .distinct()
-        .cache()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("d")).cache()
     seeds = spark.createDataFrame([(0,), (1,), (2,)], "node LONG")
     teleport = F.when(F.col("node").isin(0, 1, 2), 0.05).otherwise(0.0)
@@ -407,19 +426,7 @@ def r_kcore_peel(spark, sf_dir):
     ids, never adjacency materialization. Integer degrees; node-ordered
     output.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.item") != F.col("b.item"))
-        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .distinct()
-        .cache()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     e = edges
     for _ in range(4):
         n = (
@@ -497,19 +504,7 @@ def r_node_features(spark, sf_dir):
     exactly. All joins key on node ids; the symmetric edge list makes
     row counts 2|E| and every aggregate partial+final.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.item") != F.col("b.item"))
-        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .distinct()
-        .cache()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     nbr = edges.join(
         deg.select(F.col("src").alias("dst"), F.col("d").alias("nbr_deg")), "dst"
@@ -602,19 +597,7 @@ def r_shortest_path(spark, sf_dir):
     an exact unrolled-CTE mirror; a production run loops until the
     frontier empties (same per-level plan).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.item") != F.col("b.item"))
-        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .distinct()
-        .cache()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct().cache()
     src = nodes.agg(F.min("node").alias("node"))
     visited = src.withColumn("dist", F.lit(0)).localCheckpoint()
@@ -708,18 +691,7 @@ def r_degree_assortativity(spark, sf_dir):
     the correlation is the a_autocorr_daily discipline on the edge
     axis — exact BIGINT moments, one float association.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.item") != F.col("b.item"))
-        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
     ds = deg.select(F.col("src"), F.col("d").alias("dsrc"))
     dd = deg.select(F.col("src").alias("dst"), F.col("d").alias("ddst"))
@@ -819,19 +791,7 @@ def r_attack_tolerance(spark, sf_dir):
     the attacked pass just filters the edge list first — hub removal
     is a broadcast anti-join, not a graph rebuild.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.item") != F.col("b.item"))
-        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .distinct()
-        .cache()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     hubs = (
         deg.orderBy(F.col("d").desc(), "src")
@@ -946,18 +906,7 @@ def r_label_propagation(spark, sf_dir):
     real scale you loop to quiescence with localCheckpoint every few
     rounds (the r_shortest_path discipline) instead of unrolling.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
-    ).distinct()
-    edges = (
-        items.alias("a")
-        .join(items.alias("b"), "l_orderkey")
-        .where(F.col("a.item") != F.col("b.item"))
-        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
-        .distinct()
-        .cache()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     lab = nodes.select(
         "node",
