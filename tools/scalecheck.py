@@ -156,6 +156,21 @@ LINEAR_KEYS = {
     # one doc-length join + one per-cluster window over clustered docs
     "q_spend_band_lift": "orders",  # round 13: two customer-keyed aggs +
     # stateless CASE banding + bounded 7x7 cumulative self-join
+    "v_shard_fanout_recall": "embeddings",  # round 13: two partitioned
+    # windows + a (query,cand) self-join over the 3-query candidate frame
+    "t_local_vs_global_dedup": "documents",  # round 13: digest-only
+    # distinct-count censuses; scheme summaries join as broadcast rows
+    "m_webdataset_shards": "documents",  # round 13: per-source window
+    # cumsum + shard-keyed manifest agg; blob bytes never shuffle
+    "t_source_sketch_jaccard": "documents",  # round 13: bottom-64
+    # sketches scale with #sources; the exact honesty branch joins gram
+    # digests whose postings are bounded by the source count
+    "s_positional_deletes": "orders",  # round 13: file-partitioned
+    # position window + co-partitioned delete-vector anti-join shape
+    "r_label_propagation": "lineitem",  # round 13: two frontier-keyed
+    # edge joins + bounded-alphabet argmax windows on the shared graph
+    "t_epoch_schedule": "documents",  # round 13: ONE token-count agg +
+    # integer policy math on the 5-language broadcast axis
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
