@@ -4076,3 +4076,112 @@ def r_hit_rate_loo(spark, sf_dir):
             (F.col("n_users") - F.col("f")).cast("long").alias("n_short_slates"),
         )
     )
+
+
+@register(
+    "r_temporal_split_rmse",
+    """
+    WITH base AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id,
+               l_quantity AS qty, l_orderkey AS ok, o_orderdate AS od
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    rtrain AS (SELECT user_id, item_id, sum(qty) AS rating FROM base
+               WHERE ok % 5 <> 0 GROUP BY 1, 2),
+    rhold  AS (SELECT user_id, item_id, sum(qty) AS rating FROM base
+               WHERE ok % 5 = 0 GROUP BY 1, 2),
+    ttrain AS (SELECT user_id, item_id, sum(qty) AS rating FROM base
+               WHERE od < DATE '2000-06-01' GROUP BY 1, 2),
+    thold  AS (SELECT user_id, item_id, sum(qty) AS rating FROM base
+               WHERE od >= DATE '2000-06-01' GROUP BY 1, 2),
+    rim AS (SELECT item_id, avg(rating) AS mean_i FROM rtrain GROUP BY 1),
+    rg  AS (SELECT avg(rating) AS gm FROM rtrain),
+    tim AS (SELECT item_id, avg(rating) AS mean_i FROM ttrain GROUP BY 1),
+    tg  AS (SELECT avg(rating) AS gm FROM ttrain)
+    SELECT 'random' AS split,
+           round(sqrt(avg(power(coalesce(rim.mean_i, rg.gm)
+                                - rhold.rating, 2))), 6) + 0 AS rmse,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (WHERE rim.mean_i IS NULL) AS BIGINT)
+               AS n_cold
+    FROM rhold LEFT JOIN rim ON rim.item_id = rhold.item_id CROSS JOIN rg
+    UNION ALL
+    SELECT 'temporal',
+           round(sqrt(avg(power(coalesce(tim.mean_i, tg.gm)
+                                - thold.rating, 2))), 6) + 0,
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE tim.mean_i IS NULL) AS BIGINT)
+    FROM thold LEFT JOIN tim ON tim.item_id = thold.item_id CROSS JOIN tg
+    ORDER BY split
+    """,
+)
+def r_temporal_split_rmse(spark, sf_dir):
+    """Random-split vs temporal-split evaluation of the SAME item-mean
+    predictor — the eval-hygiene audit behind every production
+    recommender metric (train on the past, test on the FUTURE; a random
+    holdout lets future popularity leak into training, which is the
+    classic way offline RMSE flatters a model that will underperform
+    live). Two rows: the r_rmse orderkey%5 random split next to a
+    2000-06-01 date-cutoff split (~17% future test at every sf), each
+    with its RMSE, test size, and cold-item count — the temporal split's
+    larger n_cold is the MECHANISM of the gap (items that only exist in
+    the future have no training mean and fall back to the global mean).
+
+    Scale design: both evaluations share one orders ⋈ lineitem scan;
+    each split is two grouped aggs + a broadcast of the (item) mean
+    table back onto its holdout — the r_rmse plan twice, no new shuffle
+    shapes. The date cutoff prunes partitions when the fact table is
+    date-partitioned (the 100 TB layout), so the temporal split is
+    CHEAPER than the random one there — there is no efficiency excuse
+    for leaking time.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    base = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("o_orderdate").alias("od"),
+    )
+
+    def rated(pred):
+        return (
+            base.where(pred)
+            .groupBy("user_id", "item_id")
+            .agg(F.sum("qty").alias("rating"))
+        )
+
+    def eval_split(name, train, hold):
+        im = train.groupBy("item_id").agg(F.avg("rating").alias("mean_i"))
+        g = train.agg(F.avg("rating").alias("gm"))
+        return (
+            hold.join(F.broadcast(im), "item_id", "left")
+            .crossJoin(F.broadcast(g))
+            .agg(
+                f6(
+                    F.sqrt(
+                        F.avg(
+                            F.pow(
+                                F.coalesce(F.col("mean_i"), F.col("gm"))
+                                - F.col("rating"),
+                                F.lit(2),
+                            )
+                        )
+                    )
+                ).alias("rmse"),
+                F.count(F.lit(1)).cast("long").alias("n_test"),
+                F.count_if(F.col("mean_i").isNull())
+                .cast("long")
+                .alias("n_cold"),
+            )
+            .select(F.lit(name).alias("split"), "rmse", "n_test", "n_cold")
+        )
+
+    cut = F.lit("2000-06-01").cast("date")
+    return eval_split(
+        "random", rated(F.col("ok") % 5 != 0), rated(F.col("ok") % 5 == 0)
+    ).unionByName(
+        eval_split(
+            "temporal", rated(F.col("od") < cut), rated(F.col("od") >= cut)
+        )
+    ).orderBy("split")

@@ -502,3 +502,41 @@ def test_epoch_schedule_integer_identities(spark):
         assert r["unique_frac_ppm"] == min(10**6, a * 10**6 // t)
         assert (r["epochs"] > 1) == (r["repeated_tokens"] > 0)
     assert 0 <= budget - tsum < 5
+
+
+def test_temporal_split_rmse_counts_and_leakage_direction(spark):
+    """Both splits report the exact holdout size recomputed directly;
+    rmse > 0 and n_cold <= n_test; the temporal split has at least as
+    many cold items as the random split (future-only items cannot
+    appear in training, while a random split spreads every item across
+    both sides — the leakage mechanism the operator exists to expose)."""
+    from tests.conftest import SF_SMALL
+
+    rows = {
+        r["split"]: r
+        for r in registry.QUERIES["r_temporal_split_rmse"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert sorted(rows) == ["random", "temporal"]
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    base = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    n_rand = (
+        base.where("l_orderkey % 5 = 0")
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .count()
+    )
+    n_temp = (
+        base.where("o_orderdate >= DATE '2000-06-01'")
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .count()
+    )
+    assert rows["random"]["n_test"] == n_rand
+    assert rows["temporal"]["n_test"] == n_temp
+    for r in rows.values():
+        assert float(r["rmse"]) > 0
+        assert 0 <= r["n_cold"] <= r["n_test"]
+    assert rows["temporal"]["n_cold"] >= rows["random"]["n_cold"]
