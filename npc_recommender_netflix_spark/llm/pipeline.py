@@ -878,3 +878,93 @@ def t_epoch_schedule(spark, sf_dir):
             F.expr("(available_tokens * 1000000) DIV target_tokens"),
         ).alias("unique_frac_ppm"),
     )
+
+
+@register(
+    "t_dedup_mix_shift",
+    """
+    WITH d AS (
+        SELECT doc_id, source, md5(text) AS digest FROM documents
+    ),
+    keep AS (
+        SELECT digest, min(doc_id) AS keep_id FROM d GROUP BY digest
+    ),
+    per AS (
+        SELECT d.source,
+               count(*) AS docs_before,
+               sum(CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END)
+                   AS docs_after
+        FROM d JOIN keep k ON d.digest = k.digest
+        GROUP BY d.source
+    ),
+    tot AS (
+        SELECT sum(docs_before) AS tb, sum(docs_after) AS ta FROM per
+    )
+    SELECT p.source,
+           CAST(p.docs_before AS BIGINT) AS docs_before,
+           CAST(p.docs_after AS BIGINT) AS docs_after,
+           CAST((p.docs_before - p.docs_after) * 1000000
+                    // p.docs_before AS BIGINT) AS dup_rate_ppm,
+           CAST(p.docs_before * 1000000 // t.tb AS BIGINT)
+               AS share_before_ppm,
+           CAST(p.docs_after * 1000000 // t.ta AS BIGINT)
+               AS share_after_ppm,
+           CAST(p.docs_after * 1000000 // t.ta
+                - p.docs_before * 1000000 // t.tb AS BIGINT) AS shift_ppm
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def t_dedup_mix_shift(spark, sf_dir):
+    """Dedup-induced mixture shift — the governance metric pretraining
+    pipelines publish next to every dedup run: exact dedup (md5 digest,
+    keep the min doc_id) removes MORE from some sources than others
+    (mirror-heavy web snapshots lose most, curated corpora lose little),
+    so the post-dedup domain mix silently drifts from the one the data
+    card promised. Per source: docs before/after, the per-source dup
+    rate, and the mix share before/after in exact ppm — shift_ppm is the
+    number a mixture-rebalancing stage (t_domain_mix) must correct AFTER
+    dedup, not before.
+
+    Scale: digest groupBy is the standard exact-dedup shuffle (32-char
+    keys); the survivor check joins back on digest (co-partitioned by
+    the same key, no extra shuffle under AQE); shares are a 20-row per
+    frame crossed with a 1-row broadcast total. Integer ppm division on
+    both engines, unique source ordering.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.md5("text").alias("digest"))
+    keep = d.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    per = (
+        d.join(keep, "digest")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs_before"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0)
+            ).alias("docs_after"),
+        )
+    )
+    tot = per.agg(
+        F.sum("docs_before").alias("tb"), F.sum("docs_after").alias("ta")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("docs_before").cast("long").alias("docs_before"),
+            F.col("docs_after").cast("long").alias("docs_after"),
+            F.expr(
+                "(docs_before - docs_after) * 1000000 div docs_before"
+            ).cast("long").alias("dup_rate_ppm"),
+            F.expr("docs_before * 1000000 div tb").cast("long")
+            .alias("share_before_ppm"),
+            F.expr("docs_after * 1000000 div ta").cast("long")
+            .alias("share_after_ppm"),
+            F.expr(
+                "docs_after * 1000000 div ta"
+                " - docs_before * 1000000 div tb"
+            ).cast("long").alias("shift_ppm"),
+        )
+        .orderBy("source")
+    )

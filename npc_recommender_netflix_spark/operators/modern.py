@@ -5202,3 +5202,145 @@ def q_pipe_syntax(spark, sf_dir):
         |> ORDER BY revenue_cents DESC, l_returnflag
         """
     )
+
+
+@register(
+    "q_join_card_est",
+    """
+    WITH cl AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+    cr AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+    sl AS (SELECT sum(c) AS n_l, count(*) AS ndv_l FROM cl),
+    sr AS (SELECT sum(c) AS n_r, count(*) AS ndv_r FROM cr),
+    actual AS (
+        SELECT coalesce(sum(cl.c * cr.c), 0) AS actual_rows
+        FROM cl JOIN cr ON cl.k = cr.k
+    ),
+    ml AS (SELECT k, c FROM cl ORDER BY c DESC, k LIMIT 5),
+    mr AS (SELECT k, c FROM cr ORDER BY c DESC, k LIMIT 5),
+    matched AS (
+        SELECT coalesce(sum(ml.c * mr.c), 0) AS mcv_rows,
+               coalesce(sum(ml.c), 0) AS ml_matched,
+               coalesce(sum(mr.c), 0) AS mr_matched,
+               count(*) AS n_matched
+        FROM ml JOIN mr ON ml.k = mr.k
+    ),
+    est AS (
+        SELECT (sl.n_l * sr.n_r)
+                   // (CASE WHEN sl.ndv_l > sr.ndv_r
+                            THEN sl.ndv_l ELSE sr.ndv_r END)
+                   AS est_uniform,
+               m.mcv_rows
+                   + ((sl.n_l - m.ml_matched) * (sr.n_r - m.mr_matched))
+                     // (CASE WHEN sl.ndv_l - m.n_matched
+                                   > sr.ndv_r - m.n_matched
+                              THEN (CASE WHEN sl.ndv_l - m.n_matched < 1
+                                         THEN 1 ELSE sl.ndv_l - m.n_matched
+                                    END)
+                              ELSE (CASE WHEN sr.ndv_r - m.n_matched < 1
+                                         THEN 1 ELSE sr.ndv_r - m.n_matched
+                                    END)
+                         END)
+                   AS est_mcv,
+               a.actual_rows
+        FROM sl CROSS JOIN sr CROSS JOIN matched m CROSS JOIN actual a
+    )
+    SELECT est.estimator, est.est_rows, est.actual_rows,
+           (est.est_rows * 10000) // est.actual_rows AS err_bp
+    FROM (
+        SELECT 'uniform' AS estimator, CAST(est_uniform AS BIGINT)
+                   AS est_rows, CAST(actual_rows AS BIGINT) AS actual_rows
+        FROM est
+        UNION ALL
+        SELECT 'mcv', CAST(est_mcv AS BIGINT), CAST(actual_rows AS BIGINT)
+        FROM est
+    ) est
+    ORDER BY est.estimator
+    """,
+)
+def q_join_card_est(spark, sf_dir):
+    """Join-cardinality estimation audit — the cost-based-optimizer
+    arithmetic that picks 100 TB join orders, run against ground truth.
+    For events.user_id ⋈ orders.o_custkey (a deliberately
+    partial-domain-overlap pair) it computes the textbook uniform
+    estimate |L|·|R| / max(ndv_L, ndv_R) and a Postgres-style MCV
+    refinement (top-5 most-common values matched exactly, the remainder
+    uniform over the residual NDVs), then joins the per-key count frames
+    to get the EXACT output cardinality and reports each estimator's
+    error in basis points. The audit shape is how you validate CBO stats
+    pipelines: if err_bp drifts far from 10000, ANALYZE cadence or MCV
+    list length is wrong for the workload.
+
+    Scale design: per-key count frames are the only data-sized work (two
+    partial-agg shuffles — the same stats ANALYZE already collects);
+    MCVs, scalars, and both estimates run on 1-to-5-row frames stitched
+    with broadcast cross joins, never a driver collect. All arithmetic
+    is BIGINT with integer division so both engines agree bit-for-bit.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cl = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    cr = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    sl = cl.agg(F.sum("c").alias("n_l"), F.count("*").alias("ndv_l"))
+    sr = cr.agg(F.sum("c").alias("n_r"), F.count("*").alias("ndv_r"))
+    actual = (
+        cl.alias("cl")
+        .join(cr.alias("cr"), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("cl.c") * F.col("cr.c")), F.lit(0))
+            .alias("actual_rows")
+        )
+    )
+
+    def mcv(cnt):
+        # TakeOrderedAndProject: partial per-partition top-5 then a 5-row
+        # merge — never a single-partition global window sort.
+        return cnt.orderBy(F.col("c").desc(), "k").limit(5).select("k", "c")
+
+    matched = (
+        mcv(cl).alias("ml")
+        .join(mcv(cr).alias("mr"), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("ml.c") * F.col("mr.c")), F.lit(0))
+            .alias("mcv_rows"),
+            F.coalesce(F.sum("ml.c"), F.lit(0)).alias("ml_matched"),
+            F.coalesce(F.sum("mr.c"), F.lit(0)).alias("mr_matched"),
+            F.count("*").alias("n_matched"),
+        )
+    )
+    est = (
+        sl.crossJoin(F.broadcast(sr))
+        .crossJoin(F.broadcast(matched))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            F.expr(
+                "(n_l * n_r) div greatest(ndv_l, ndv_r)"
+            ).alias("est_uniform"),
+            F.expr(
+                "mcv_rows + ((n_l - ml_matched) * (n_r - mr_matched))"
+                " div greatest(greatest(ndv_l - n_matched, 1),"
+                "              greatest(ndv_r - n_matched, 1))"
+            ).alias("est_mcv"),
+            "actual_rows",
+        )
+    )
+    rows = est.select(
+        F.lit("uniform").alias("estimator"),
+        F.col("est_uniform").cast("long").alias("est_rows"),
+        F.col("actual_rows").cast("long").alias("actual_rows"),
+    ).unionByName(
+        est.select(
+            F.lit("mcv").alias("estimator"),
+            F.col("est_mcv").cast("long").alias("est_rows"),
+            F.col("actual_rows").cast("long").alias("actual_rows"),
+        )
+    )
+    return rows.select(
+        "estimator",
+        "est_rows",
+        "actual_rows",
+        F.expr("(est_rows * 10000) div actual_rows").alias("err_bp"),
+    ).orderBy("estimator")

@@ -4185,3 +4185,386 @@ def r_temporal_split_rmse(spark, sf_dir):
             "temporal", rated(F.col("od") < cut), rated(F.col("od") >= cut)
         )
     ).orderBy("split")
+
+
+@register(
+    "r_session_knn_capped",
+    """
+    WITH ev AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    capped AS (
+        SELECT user_id, d, item FROM (
+            SELECT user_id, d, item,
+                   row_number() OVER (
+                       PARTITION BY user_id, d
+                       ORDER BY md5(CAST(user_id AS VARCHAR) || ':'
+                                    || CAST(item AS VARCHAR))) AS rk
+            FROM ev
+        ) WHERE rk <= 16
+    ),
+    ssize AS (
+        SELECT user_id, d, count(*) AS sz FROM capped GROUP BY user_id, d
+    ),
+    idf AS (SELECT item, count(*) AS df FROM capped GROUP BY item),
+    istats AS (SELECT sum(df) AS totp, count(*) AS n_items FROM idf),
+    posting AS (
+        SELECT c.user_id, c.d, c.item
+        FROM capped c JOIN idf ON c.item = idf.item CROSS JOIN istats s
+        WHERE idf.df <= (2 * s.totp) // s.n_items
+    ),
+    targets AS (
+        SELECT user_id, d, sz FROM ssize
+        ORDER BY md5(CAST(user_id AS VARCHAR) || '@'
+                     || CAST(d AS VARCHAR)), user_id, d
+        LIMIT 20
+    ),
+    ov AS (
+        SELECT t.user_id AS tu, t.d AS td, t.sz AS tsz,
+               p2.user_id AS nu, p2.d AS nd, count(*) AS overlap
+        FROM targets t
+        JOIN posting p1 ON p1.user_id = t.user_id AND p1.d = t.d
+        JOIN posting p2 ON p2.item = p1.item
+        WHERE NOT (p2.user_id = t.user_id AND p2.d = t.d)
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    scored AS (
+        SELECT o.tu, o.td, o.nu, o.nd,
+               (o.overlap * 1000000) // (o.tsz + ns.sz - o.overlap)
+                   AS jac_1e6
+        FROM ov o JOIN ssize ns ON ns.user_id = o.nu AND ns.d = o.nd
+    ),
+    nbr AS (
+        SELECT tu, td, nu, nd, jac_1e6 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY tu, td
+                ORDER BY jac_1e6 DESC, nu, nd) AS rk
+            FROM scored
+        ) WHERE rk <= 4
+    ),
+    cand AS (
+        SELECT n.tu, n.td, c.item, sum(n.jac_1e6) AS score_1e6
+        FROM nbr n JOIN capped c ON c.user_id = n.nu AND c.d = n.nd
+        WHERE NOT EXISTS (
+            SELECT 1 FROM capped tc
+            WHERE tc.user_id = n.tu AND tc.d = n.td AND tc.item = c.item)
+        GROUP BY n.tu, n.td, c.item
+    )
+    SELECT CAST(tu AS BIGINT) AS user_id, td AS d,
+           CAST(item AS BIGINT) AS item,
+           CAST(score_1e6 AS BIGINT) AS score_1e6,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY tu, td ORDER BY score_1e6 DESC, item) AS rk
+        FROM cand
+    )
+    WHERE rk <= 3
+    ORDER BY user_id, d, rank
+    """,
+)
+def r_session_knn_capped(spark, sf_dir):
+    """Session-based kNN recommender (SKNN — the strong sequential-recs
+    baseline that rivals neural session models in published evals):
+    sessions are (user, day) item sets; for each target session find the
+    4 most Jaccard-similar other sessions through a shared-item inverted
+    index, then recommend the neighbors' items the target hasn't touched,
+    scored by the summed neighbor similarity. Complements the item-item
+    family (r_covisitation*, r_item_jaccard): those relate ITEMS, this
+    relates whole SESSIONS, so it can surface items with zero direct
+    co-occurrence with the target's items.
+
+    Caps at every hazard point: <=16 md5-ranked items per session (the
+    crawler cap shared with r_covisit_time_decay), a 2x-mean document
+    frequency cap on the inverted index (a blockbuster item in every
+    session would otherwise pair ALL sessions — the near-dup posting
+    df-cap, made data-derived so it tracks corpus growth instead of
+    hard-coding a scale), top-4 neighbors and top-3 recs via
+    partitioned windows, and a 20-session md5-sampled target slate to
+    bound output (production scores the one live session; the plan is
+    identical). Similarity is integer ppm (overlap*1e6 div union), so
+    both engines agree exactly.
+
+    Scale: the only data-sized joins are item-keyed posting joins, with
+    pair work bounded by df_cap^2 per item; every later stage runs on
+    the 20-target frame. Never a session x session cross join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.select(
+            "user_id",
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    wcap = Window.partitionBy("user_id", "d").orderBy(
+        F.md5(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.col("item").cast("string"),
+            )
+        )
+    )
+    capped = (
+        ui.withColumn("rk", F.row_number().over(wcap))
+        .where(F.col("rk") <= 16)
+        .select("user_id", "d", "item")
+    )
+    ssize = capped.groupBy("user_id", "d").agg(F.count("*").alias("sz"))
+    idf = capped.groupBy("item").agg(F.count("*").alias("df"))
+    istats = idf.agg(
+        F.sum("df").alias("totp"), F.count("*").alias("n_items")
+    )
+    posting = (
+        capped.join(F.broadcast(idf), "item")
+        .crossJoin(F.broadcast(istats))
+        .where(F.expr("df <= (2 * totp) div n_items"))
+        .select("user_id", "d", "item")
+    )
+    sess_h = F.md5(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("@"),
+            F.col("d").cast("string"),
+        )
+    )
+    targets = (
+        ssize.orderBy(sess_h, "user_id", "d").limit(20)
+    )
+    t = targets.select(
+        F.col("user_id").alias("tu"), F.col("d").alias("td"),
+        F.col("sz").alias("tsz"),
+    )
+    p1 = posting.select(
+        F.col("user_id").alias("tu"), F.col("d").alias("td"),
+        F.col("item").alias("item"),
+    )
+    p2 = posting.select(
+        F.col("user_id").alias("nu"), F.col("d").alias("nd"),
+        F.col("item").alias("item"),
+    )
+    ov = (
+        t.join(p1, ["tu", "td"])
+        .join(p2, "item")
+        .where(
+            ~((F.col("nu") == F.col("tu")) & (F.col("nd") == F.col("td")))
+        )
+        .groupBy("tu", "td", "tsz", "nu", "nd")
+        .agg(F.count("*").alias("overlap"))
+    )
+    ns = ssize.select(
+        F.col("user_id").alias("nu"), F.col("d").alias("nd"),
+        F.col("sz").alias("nsz"),
+    )
+    scored = ov.join(ns, ["nu", "nd"]).select(
+        "tu",
+        "td",
+        "nu",
+        "nd",
+        F.expr("(overlap * 1000000) div (tsz + nsz - overlap)")
+        .alias("jac_1e6"),
+    )
+    wn = Window.partitionBy("tu", "td").orderBy(
+        F.col("jac_1e6").desc(), "nu", "nd"
+    )
+    nbr = (
+        scored.withColumn("rk", F.row_number().over(wn))
+        .where(F.col("rk") <= 4)
+        .select("tu", "td", "nu", "nd", "jac_1e6")
+    )
+    nitems = capped.select(
+        F.col("user_id").alias("nu"), F.col("d").alias("nd"), "item"
+    )
+    titems = capped.select(
+        F.col("user_id").alias("tu"), F.col("d").alias("td"), "item"
+    )
+    cand = (
+        nbr.join(nitems, ["nu", "nd"])
+        .join(titems, ["tu", "td", "item"], "left_anti")
+        .groupBy("tu", "td", "item")
+        .agg(F.sum("jac_1e6").alias("score_1e6"))
+    )
+    wr = Window.partitionBy("tu", "td").orderBy(
+        F.col("score_1e6").desc(), "item"
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("tu").cast("long").alias("user_id"),
+            F.col("td").alias("d"),
+            F.col("item").cast("long").alias("item"),
+            F.col("score_1e6").cast("long").alias("score_1e6"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+        .orderBy("user_id", "d", "rank")
+    )
+
+
+@register(
+    "r_negative_sampling",
+    """
+    WITH ev AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    pop AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+               count(*) AS cnt
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1
+    ),
+    cat AS (
+        SELECT item, cnt,
+               sum(cnt) OVER (ORDER BY item) - cnt AS lo,
+               sum(cnt) OVER (ORDER BY item) AS hi
+        FROM pop
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM pop),
+    users20 AS (
+        SELECT user_id FROM (SELECT DISTINCT user_id FROM ev)
+        ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT 20
+    ),
+    pos AS (
+        SELECT user_id, item AS pos_item FROM (
+            SELECT e.user_id, e.item,
+                   row_number() OVER (
+                       PARTITION BY e.user_id
+                       ORDER BY md5(CAST(e.user_id AS VARCHAR) || '+'
+                                    || CAST(e.item AS VARCHAR))) AS rk
+            FROM ev e JOIN users20 u ON e.user_id = u.user_id
+        ) WHERE rk <= 8
+    ),
+    draws AS (
+        SELECT p.user_id, p.pos_item, s.slot,
+               CAST(list_sum(list_transform(range(1, 9),
+                   jj -> (strpos('0123456789abcdef',
+                           substring(md5(CAST(p.user_id AS VARCHAR) || ':'
+                                         || CAST(p.pos_item AS VARCHAR)
+                                         || ':'
+                                         || CAST(s.slot AS VARCHAR)),
+                                     jj, 1)) - 1)
+                         * 16 ** (8 - jj))) AS BIGINT)
+                   % t.total AS r
+        FROM pos p
+        CROSS JOIN (SELECT 1 AS slot UNION ALL SELECT 2) s
+        CROSS JOIN tot t
+    )
+    SELECT CAST(d.user_id AS BIGINT) AS user_id,
+           CAST(d.pos_item AS BIGINT) AS pos_item,
+           CAST(d.slot AS BIGINT) AS slot,
+           CAST(c.item AS BIGINT) AS neg_item,
+           CAST(c.cnt AS BIGINT) AS neg_cnt
+    FROM draws d JOIN cat c ON d.r >= c.lo AND d.r < c.hi
+    WHERE c.item <> d.pos_item
+    ORDER BY user_id, pos_item, slot
+    """,
+)
+def r_negative_sampling(spark, sf_dir):
+    """Popularity-proportional negative sampling — the training-pair
+    generator implicit-feedback models (BPR, word2vec-style item
+    embeddings, two-tower retrieval) are trained on. Each (user,
+    positive-item) pair draws 2 negatives from the catalog's cumulative
+    popularity CDF: a deterministic md5 hash of (user, item, slot) maps
+    to a point in [0, total_events) and the negative is the catalog item
+    whose cumulative range contains it — so popular items are sampled
+    proportionally (the published samplers smooth with pop^0.75; we keep
+    the exponent at 1 so every weight stays an exact BIGINT). Collisions
+    with the positive item are dropped, not resampled (deterministic;
+    production resamples with slot+K). 20 md5-sampled users x <=8
+    md5-capped positives bound the output slate.
+
+    Scale: the catalog CDF is one bounded window over the item axis
+    (<=200 items here; a 100 M-item catalog would range-partition the
+    prefix sum); draws join the CDF by range containment against a
+    BROADCAST catalog — at real scale the textbook trick is binning
+    r div B to turn it into an equi-join with a per-bin residual scan.
+    No draw ever touches the events table: positives and popularity are
+    the only data-sized aggregations.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull())
+    pop = items.groupBy("item").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("item").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cat = pop.select(
+        "item",
+        "cnt",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("lo"),
+        F.sum("cnt").over(wcum).alias("hi"),
+    )
+    tot = pop.agg(F.sum("cnt").alias("total"))
+    ui = items.distinct()
+    users20 = (
+        ui.select("user_id").distinct()
+        .orderBy(F.md5(F.col("user_id").cast("string")), "user_id")
+        .limit(20)
+    )
+    wpos = Window.partitionBy("user_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("+"),
+                F.col("item").cast("string"),
+            )
+        )
+    )
+    pos = (
+        ui.join(F.broadcast(users20), "user_id")
+        .withColumn("rk", F.row_number().over(wpos))
+        .where(F.col("rk") <= 8)
+        .select("user_id", F.col("item").alias("pos_item"))
+    )
+    slots = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("slot")
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("pos_item").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    draws = (
+        pos.crossJoin(F.broadcast(slots))
+        .crossJoin(F.broadcast(tot))
+        .select("user_id", "pos_item", "slot", (h32 % F.col("total")).alias("r"))
+    )
+    return (
+        draws.join(
+            F.broadcast(cat),
+            (F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi")),
+        )
+        .where(F.col("item") != F.col("pos_item"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("pos_item").cast("long").alias("pos_item"),
+            F.col("slot").cast("long").alias("slot"),
+            F.col("item").cast("long").alias("neg_item"),
+            F.col("cnt").cast("long").alias("neg_cnt"),
+        )
+        .orderBy("user_id", "pos_item", "slot")
+    )

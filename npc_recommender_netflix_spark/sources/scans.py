@@ -1788,3 +1788,238 @@ def s_positional_deletes(spark, sf_dir):
         F.col("file_id").cast("long").alias("file_id"),
         "n_rows", "n_deleted", "n_live", "live_cents",
     )
+
+
+@register(
+    "s_clustering_depth",
+    """
+    WITH ext AS (SELECT max(l_orderkey) AS maxk FROM lineitem),
+    keyed AS (
+        SELECT l.l_orderkey AS k,
+               (l.l_orderkey * 16) // (e.maxk + 1) AS cfile,
+               l.l_orderkey % 16 AS rfile
+        FROM lineitem l CROSS JOIN ext e
+    ),
+    files AS (
+        SELECT 'clustered' AS layout, CAST(cfile AS BIGINT) AS file_id,
+               min(k) AS kmin, max(k) AS kmax
+        FROM keyed GROUP BY cfile
+        UNION ALL
+        SELECT 'roundrobin' AS layout, CAST(rfile AS BIGINT) AS file_id,
+               min(k) AS kmin, max(k) AS kmax
+        FROM keyed GROUP BY rfile
+    ),
+    agg AS (
+        SELECT layout, count(*) AS n_files,
+               sum(kmax - kmin + 1) AS sum_span
+        FROM files GROUP BY layout
+    ),
+    pairs AS (
+        SELECT a.layout, count(*) AS overlapping_pairs
+        FROM files a JOIN files b
+          ON a.layout = b.layout AND a.file_id < b.file_id
+         AND a.kmin <= b.kmax AND b.kmin <= a.kmax
+        GROUP BY a.layout
+    ),
+    depth AS (
+        SELECT f.layout, f.file_id, count(*) AS d
+        FROM files f JOIN files g
+          ON f.layout = g.layout AND g.kmin <= f.kmin AND f.kmin <= g.kmax
+        GROUP BY f.layout, f.file_id
+    ),
+    maxd AS (SELECT layout, max(d) AS max_depth FROM depth GROUP BY layout)
+    SELECT a.layout,
+           CAST(a.n_files AS BIGINT) AS n_files,
+           CAST(coalesce(p.overlapping_pairs, 0) AS BIGINT)
+               AS overlapping_pairs,
+           CAST(m.max_depth AS BIGINT) AS max_depth,
+           CAST(a.sum_span AS BIGINT) AS sum_span
+    FROM agg a
+    LEFT JOIN pairs p ON a.layout = p.layout
+    JOIN maxd m ON a.layout = m.layout
+    ORDER BY a.layout
+    """,
+)
+def s_clustering_depth(spark, sf_dir):
+    """Clustering-health audit: the Iceberg/Delta "clustering depth"
+    metric that decides when a table needs re-OPTIMIZE. Rows are cut
+    into 16 "files" under two layouts — range-clustered on l_orderkey
+    (file = key*16 div (max+1)) vs round-robin (key % 16, the shape an
+    unclustered streaming ingest leaves behind) — and the per-file
+    min/max zone ranges are audited: overlapping range pairs, the max
+    stab depth at any file's min boundary (how many files a point lookup
+    must open), and the summed span (zone-map selectivity denominator).
+    A clustered layout reads depth 1 / 0 overlaps; round-robin reads
+    depth 16 / all-120 pairs — the quantitative "why compact" answer.
+
+    Scale design: file stats are one groupBy over the scan (the same
+    partial-agg shape as any manifest build); the audit joins run on the
+    16-row stats frame, never on data. On a real lakehouse this consumes
+    the manifest directly (a metadata-only query), so the audit cost is
+    O(files), not O(rows) — exactly how table services schedule
+    re-clustering at 100 TB without touching the data.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = li.agg(F.max("l_orderkey").alias("maxk"))
+    keyed = li.crossJoin(F.broadcast(ext)).select(
+        F.col("l_orderkey").alias("k"),
+        F.expr("(l_orderkey * 16) div (maxk + 1)").alias("cfile"),
+        (F.col("l_orderkey") % 16).alias("rfile"),
+    )
+
+    def fstats(col, label):
+        return keyed.groupBy(F.col(col).cast("long").alias("file_id")).agg(
+            F.min("k").alias("kmin"), F.max("k").alias("kmax")
+        ).select(F.lit(label).alias("layout"), "file_id", "kmin", "kmax")
+
+    files = fstats("cfile", "clustered").unionByName(
+        fstats("rfile", "roundrobin")
+    ).localCheckpoint()
+    a, b = files.alias("a"), files.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.layout") == F.col("b.layout"))
+        & (F.col("a.file_id") < F.col("b.file_id"))
+        & (F.col("a.kmin") <= F.col("b.kmax"))
+        & (F.col("b.kmin") <= F.col("a.kmax")),
+    ).groupBy(F.col("a.layout").alias("layout")).agg(
+        F.count("*").alias("overlapping_pairs")
+    )
+    f, g = files.alias("f"), files.alias("g")
+    maxd = f.join(
+        g,
+        (F.col("f.layout") == F.col("g.layout"))
+        & (F.col("g.kmin") <= F.col("f.kmin"))
+        & (F.col("f.kmin") <= F.col("g.kmax")),
+    ).groupBy(
+        F.col("f.layout").alias("layout"), F.col("f.file_id")
+    ).agg(F.count("*").alias("d")).groupBy("layout").agg(
+        F.max("d").alias("max_depth")
+    )
+    agg = files.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.col("kmax") - F.col("kmin") + F.lit(1)).alias("sum_span"),
+    )
+    return (
+        agg.join(pairs, "layout", "left")
+        .join(maxd, "layout")
+        .select(
+            "layout",
+            F.col("n_files").cast("long").alias("n_files"),
+            F.coalesce("overlapping_pairs", F.lit(0)).cast("long")
+            .alias("overlapping_pairs"),
+            F.col("max_depth").cast("long").alias("max_depth"),
+            F.col("sum_span").cast("long").alias("sum_span"),
+        )
+        .orderBy("layout")
+    )
+
+
+@register(
+    "s_snapshot_expiry",
+    """
+    WITH ext AS (
+        SELECT min(year(o_orderdate) * 12 + month(o_orderdate)) AS minm,
+               max(year(o_orderdate) * 12 + month(o_orderdate)) AS maxm
+        FROM orders
+    ),
+    filed AS (
+        SELECT (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - e.minm
+                   AS snap,
+               o.o_orderkey % 8 AS fslot,
+               e.maxm - e.minm AS maxsnap
+        FROM orders o CROSS JOIN ext e
+    ),
+    files AS (
+        SELECT snap, fslot, maxsnap,
+               CASE WHEN fslot % 3 = 0 AND snap + 2 <= maxsnap
+                    THEN snap + 2 END AS removed_snap,
+               count(*) * 128 AS bytes
+        FROM filed GROUP BY snap, fslot, maxsnap
+    ),
+    horizons AS (
+        SELECT 3 AS horizon UNION ALL SELECT 6 UNION ALL SELECT 9
+    )
+    SELECT CAST(h.horizon AS BIGINT) AS horizon,
+           CAST(f.maxsnap - h.horizon AS BIGINT) AS cutoff_snap,
+           CAST(count(DISTINCT CASE WHEN f.snap <= f.maxsnap - h.horizon
+                                    THEN f.snap END) AS BIGINT)
+               AS n_expired_snaps,
+           CAST(sum(CASE WHEN f.removed_snap IS NOT NULL
+                          AND f.removed_snap <= f.maxsnap - h.horizon
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_files,
+           CAST(sum(CASE WHEN f.removed_snap IS NOT NULL
+                          AND f.removed_snap <= f.maxsnap - h.horizon
+                         THEN f.bytes ELSE 0 END) AS BIGINT) AS orphan_bytes
+    FROM files f CROSS JOIN horizons h
+    GROUP BY h.horizon, f.maxsnap - h.horizon
+    ORDER BY horizon
+    """,
+)
+def s_snapshot_expiry(spark, sf_dir):
+    """Snapshot-expiry / orphan-file GC planning — the other half of the
+    table-maintenance story next to compaction (s_compaction) and
+    time travel (s_time_travel). Orders are binned into monthly
+    snapshots; each snapshot appends 8 data files (fslot = orderkey % 8)
+    and every third file is logically rewritten two snapshots later
+    (removed_snap = snap+2 — the merge-on-read compaction shape). For
+    retention horizons of {3, 6, 9} snapshots the planner reports how
+    many snapshots expire and exactly which files become unreachable
+    (removed at-or-before the cutoff, so no retained snapshot references
+    them) — count and bytes, i.e. the space-reclamation forecast an
+    expiry job publishes before it deletes anything.
+
+    Scale design: the file manifest is one groupBy over the scan; the
+    expiry sweep is manifest × 3-row horizon frame — metadata-only, the
+    same O(files) cost Iceberg's expire_snapshots action pays. Files
+    still referenced by ANY retained snapshot (removed_snap NULL or
+    after the cutoff) are never counted — the correctness property that
+    makes physical deletion safe.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ext = orders.agg(
+        F.min(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("minm"),
+        F.max(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("maxm"),
+    )
+    filed = orders.crossJoin(F.broadcast(ext)).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - F.col("minm"))
+        .alias("snap"),
+        (F.col("o_orderkey") % 8).alias("fslot"),
+        (F.col("maxm") - F.col("minm")).alias("maxsnap"),
+    )
+    files = filed.groupBy("snap", "fslot", "maxsnap").agg(
+        (F.count("*") * 128).alias("bytes")
+    ).withColumn(
+        "removed_snap",
+        F.when(
+            (F.col("fslot") % 3 == 0) & (F.col("snap") + 2 <= F.col("maxsnap")),
+            F.col("snap") + 2,
+        ),
+    )
+    horizons = spark.range(1).select(
+        F.explode(F.array(F.lit(3), F.lit(6), F.lit(9))).alias("horizon")
+    )
+    orphan = F.col("removed_snap").isNotNull() & (
+        F.col("removed_snap") <= F.col("maxsnap") - F.col("horizon")
+    )
+    return (
+        files.crossJoin(F.broadcast(horizons))
+        .groupBy(
+            F.col("horizon").cast("long").alias("horizon"),
+            (F.col("maxsnap") - F.col("horizon")).cast("long")
+            .alias("cutoff_snap"),
+        )
+        .agg(
+            F.countDistinct(
+                F.when(
+                    F.col("snap") <= F.col("maxsnap") - F.col("horizon"),
+                    F.col("snap"),
+                )
+            ).cast("long").alias("n_expired_snaps"),
+            F.sum(F.when(orphan, 1).otherwise(0)).cast("long")
+            .alias("n_orphan_files"),
+            F.sum(F.when(orphan, F.col("bytes")).otherwise(0)).cast("long")
+            .alias("orphan_bytes"),
+        )
+        .orderBy("horizon")
+    )

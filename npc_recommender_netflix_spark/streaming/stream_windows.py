@@ -930,3 +930,105 @@ def st_observed_metrics(spark, sf_dir):
         "n_rows long, n_purchases long, total_value_usd double",
     )
     return out
+
+
+# st_lateness_audit needs loaders/windows the other streaming keys don't.
+from pyspark.sql import Window  # noqa: E402
+
+from ..session import load_table  # noqa: E402
+
+
+@register(
+    "st_lateness_audit",
+    """
+    WITH arr AS (
+        SELECT event_type, event_id,
+               epoch_us(ts) AS ts_us,
+               epoch_us(ts)
+                   + (CAST(list_sum(list_transform(range(1, 9),
+                          jj -> (strpos('0123456789abcdef',
+                                  substring(md5(CAST(event_id AS VARCHAR)),
+                                            jj, 1)) - 1)
+                                * 16 ** (8 - jj))) AS BIGINT) % 900)
+                     * 1000000 AS arrival_us
+        FROM events
+    ),
+    lat AS (
+        SELECT event_type, ts_us,
+               max(ts_us) OVER (
+                   PARTITION BY event_type
+                   ORDER BY arrival_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS runmax_us
+        FROM arr
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ts_us < runmax_us - 60000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60,
+           CAST(sum(CASE WHEN ts_us < runmax_us - 300000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_300,
+           CAST(sum(CASE WHEN ts_us < runmax_us - 600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_600,
+           CAST(coalesce(max(runmax_us - ts_us), 0) // 1000000 AS BIGINT)
+               AS max_late_s
+    FROM lat GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st_lateness_audit(spark, sf_dir):
+    """Watermark-delay sizing audit — the question every Structured
+    Streaming deployment answers before setting withWatermark(): how
+    late do events actually arrive, and what fraction would each
+    candidate delay drop? The fixture's event times are ingest-ordered,
+    so a deterministic hash-derived network delay (md5(event_id) % 900
+    seconds) defines the arrival order — the standard replay harness for
+    watermark logic. Per event_type stream, each event's lateness is
+    (max prior event time seen on arrival) - (its own event time); the
+    audit counts events a 60 s / 300 s / 600 s watermark delay would
+    have dropped (event_time < watermark = running-max - delay, the
+    exact Spark drop rule) and the worst lateness observed.
+
+    Scale: one partitioned running-max window per stream key (ordered
+    by arrival — in production this is the natural ingest order, so the
+    sort is a no-op within micro-batches) and one partial aggregation.
+    The running max EXCLUDES the current row (ROWS ... AND 1 PRECEDING):
+    an event can never be late against itself — matching how the
+    watermark is advanced only between micro-batches.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    arr = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") + (h32 % 900) * F.lit(1000000))
+        .alias("arrival_us"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = arr.select(
+        "event_type", "ts_us", F.max("ts_us").over(w).alias("runmax_us")
+    )
+    late = lambda d_s: F.sum(  # noqa: E731
+        F.when(
+            F.col("ts_us") < F.col("runmax_us") - d_s * 1000000, 1
+        ).otherwise(0)
+    ).cast("long")
+    return (
+        lat.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            late(60).alias("n_late_60"),
+            late(300).alias("n_late_300"),
+            late(600).alias("n_late_600"),
+            F.expr(
+                "coalesce(max(runmax_us - ts_us), 0) div 1000000"
+            ).cast("long").alias("max_late_s"),
+        )
+        .orderBy("event_type")
+    )

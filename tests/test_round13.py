@@ -540,3 +540,148 @@ def test_temporal_split_rmse_counts_and_leakage_direction(spark):
         assert float(r["rmse"]) > 0
         assert 0 <= r["n_cold"] <= r["n_test"]
     assert rows["temporal"]["n_cold"] >= rows["random"]["n_cold"]
+
+
+# ---- round-13 session-2 additions: semantic pins beyond the oracle hash ----
+
+from tests.conftest import SF_SMALL as _SF  # noqa: E402
+
+
+def test_clustering_depth_layout_contrast(spark):
+    """The range-clustered layout must audit as perfectly clustered
+    (zero overlapping zone pairs, stab depth 1) while round-robin must
+    audit as fully interleaved (every pair overlaps, max depth = n_files)
+    — the contrast IS the metric's reason to exist."""
+    rows = {
+        r["layout"]: r
+        for r in registry.QUERIES["s_clustering_depth"](spark, _SF).collect()
+    }
+    c, rr = rows["clustered"], rows["roundrobin"]
+    assert c["overlapping_pairs"] == 0
+    assert c["max_depth"] == 1
+    assert rr["n_files"] == 16
+    assert rr["overlapping_pairs"] == rr["n_files"] * (rr["n_files"] - 1) / 2
+    assert rr["max_depth"] == rr["n_files"]
+
+
+def test_snapshot_expiry_monotone_and_consistent(spark):
+    """Retaining MORE snapshots (larger horizon) must never expire more
+    snapshots or orphan more files/bytes; cutoffs track horizons 1:1;
+    orphaned bytes are whole multiples of the 128-byte row unit."""
+    rows = sorted(
+        registry.QUERIES["s_snapshot_expiry"](spark, _SF).collect(),
+        key=lambda r: r["horizon"],
+    )
+    assert [r["horizon"] for r in rows] == [3, 6, 9]
+    for a, b in zip(rows, rows[1:]):
+        assert a["cutoff_snap"] - b["cutoff_snap"] == b["horizon"] - a["horizon"]
+        assert a["n_expired_snaps"] >= b["n_expired_snaps"]
+        assert a["n_orphan_files"] >= b["n_orphan_files"]
+        assert a["orphan_bytes"] >= b["orphan_bytes"]
+    for r in rows:
+        assert r["orphan_bytes"] % 128 == 0
+
+
+def test_join_card_est_actual_matches_direct_join(spark):
+    """actual_rows must equal the real join cardinality computed
+    directly, and err_bp must be the exact integer-division ratio."""
+    ev = spark.read.parquet(f"{_SF}/events.parquet")
+    orders = spark.read.parquet(f"{_SF}/orders.parquet")
+    actual = ev.join(
+        orders, ev["user_id"] == orders["o_custkey"]
+    ).count()
+    rows = registry.QUERIES["q_join_card_est"](spark, _SF).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["actual_rows"] == actual
+        assert r["err_bp"] == (r["est_rows"] * 10000) // actual
+
+
+def test_session_knn_never_recommends_seen_items(spark):
+    """A target session must never be recommended an item it already
+    contains (the left-anti contract), and per-target ranks must be a
+    contiguous 1..k prefix."""
+    import pyspark.sql.functions as F
+
+    recs = registry.QUERIES["r_session_knn_capped"](spark, _SF).collect()
+    assert recs, "fixture should produce recommendations"
+    ev = spark.read.parquet(f"{_SF}/events.parquet")
+    seen = {
+        (r["user_id"], str(r["d"]), r["item"])
+        for r in ev.select(
+            "user_id",
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+        .collect()
+    }
+    by_target = {}
+    for r in recs:
+        assert (r["user_id"], str(r["d"]), r["item"]) not in seen
+        by_target.setdefault((r["user_id"], str(r["d"])), []).append(r["rank"])
+    for ranks in by_target.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_negative_sampling_contract(spark):
+    """Negatives never equal their positive; each (user, positive) pair
+    draws at most 2 slots; the draw is deterministic (two runs agree);
+    every emitted negative is a real catalog item with its true count."""
+    import pyspark.sql.functions as F
+
+    q = registry.QUERIES["r_negative_sampling"]
+    rows = q(spark, _SF).collect()
+    assert rows
+    again = q(spark, _SF).collect()
+    key = lambda r: (r["user_id"], r["pos_item"], r["slot"], r["neg_item"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    pop = {
+        r["item"]: r["cnt"]
+        for r in spark.read.parquet(f"{_SF}/events.parquet")
+        .select(F.get_json_object("props", "$.k").cast("long").alias("item"))
+        .where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    slots_per_pair = {}
+    for r in rows:
+        assert r["neg_item"] != r["pos_item"]
+        assert pop[r["neg_item"]] == r["neg_cnt"]
+        slots_per_pair.setdefault((r["user_id"], r["pos_item"]), set()).add(
+            r["slot"]
+        )
+    assert all(s <= {1, 2} for s in slots_per_pair.values())
+
+
+def test_lateness_audit_thresholds_nest_and_jitter_bounds(spark):
+    """Drop counts must nest (a larger watermark delay can only drop
+    fewer events) and no lateness can exceed the 900 s max arrival
+    jitter: an event can only be overtaken by an earlier-arriving event
+    whose event time is at most (900 - own_jitter) s ahead."""
+    rows = registry.QUERIES["st_lateness_audit"](spark, _SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_events"] >= r["n_late_60"] >= r["n_late_300"] >= r["n_late_600"] >= 0
+        assert 0 <= r["max_late_s"] <= 899
+
+
+def test_dedup_mix_shift_accounting(spark):
+    """Per-source after-counts must sum to the distinct-digest total,
+    shares must each sum to ~1e6 (ppm floor rounding), and shift must
+    be exactly after-share minus before-share."""
+    import pyspark.sql.functions as F
+
+    rows = registry.QUERIES["t_dedup_mix_shift"](spark, _SF).collect()
+    docs = spark.read.parquet(f"{_SF}/documents.parquet")
+    n_digests = docs.select(F.md5("text")).distinct().count()
+    assert sum(r["docs_after"] for r in rows) == n_digests
+    n_src = len(rows)
+    for tot_col in ("share_before_ppm", "share_after_ppm"):
+        s = sum(r[tot_col] for r in rows)
+        assert 1000000 - n_src <= s <= 1000000
+    for r in rows:
+        assert r["shift_ppm"] == r["share_after_ppm"] - r["share_before_ppm"]
+        assert 0 <= r["dup_rate_ppm"] <= 1000000

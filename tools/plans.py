@@ -106,6 +106,8 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "q_growth_accounting": "bounded: 30-day axis (30->30)",
     "q_pareto_brands": "bounded: 25 brands (25->25)",
     "r_epsilon_slate": "bounded: item_id<200 catalog cap (200->200)",
+    "r_negative_sampling": "bounded: item catalog CDF (<=200 items; "
+    "the cumulative-popularity ranges are one row per catalog item)",
     "r_rank_fusion": "bounded: item_id<200 catalog cap (200->200)",
     "t_mix_temperature": "bounded: 20 sources (20->20)",
     "t_vocab_coverage": "bounded: vocab-size grid (31->31)",
