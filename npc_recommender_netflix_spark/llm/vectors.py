@@ -6082,3 +6082,418 @@ def v_shard_fanout_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "v_recall_cost_frontier",
+    f"""
+    WITH cent AS (
+        SELECT e.label, t.i AS i, avg(CAST(e.embedding[t.i] AS DOUBLE)) AS cv
+        FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY e.label, t.i
+    ),
+    qcomp AS (
+        SELECT q.vec_id AS query_id, t.i AS i,
+               CAST(q.embedding[t.i] AS DOUBLE) AS qv
+        FROM embeddings q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        WHERE q.vec_id IN (0, 1, 2)
+    ),
+    qc AS (
+        SELECT qcomp.query_id, cent.label,
+               row_number() OVER (
+                   PARTITION BY qcomp.query_id
+                   ORDER BY round(sum(qcomp.qv * cent.cv)
+                       / (sqrt(sum(qcomp.qv * qcomp.qv))
+                          * sqrt(sum(cent.cv * cent.cv))), 6) DESC,
+                       cent.label) AS crank
+        FROM qcomp JOIN cent ON qcomp.i = cent.i
+        GROUP BY qcomp.query_id, cent.label
+    ),
+    nps AS (SELECT 1 AS np UNION ALL SELECT 2 UNION ALL SELECT 4),
+    probe AS (
+        SELECT n.np, qc.query_id, qc.label
+        FROM qc CROSS JOIN nps n WHERE qc.crank <= n.np
+    ),
+    csize AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    qlabel AS (
+        SELECT vec_id AS query_id, label FROM embeddings
+        WHERE vec_id IN (0, 1, 2)
+    ),
+    scanned AS (
+        SELECT p.np,
+               sum(cs.n) - sum(CASE WHEN ql.label = p.label
+                                    THEN 1 ELSE 0 END) AS scanned_vecs
+        FROM probe p
+        JOIN csize cs ON p.label = cs.label
+        JOIN qlabel ql ON p.query_id = ql.query_id
+        GROUP BY p.np
+    ),
+    pairs AS ({{_COS_PAIR_SQL}}),
+    true5 AS (
+        SELECT query_id, cand_id, label FROM (
+            SELECT query_id, cand_id, label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, cand_id) AS rn
+            FROM pairs
+        ) WHERE rn <= 5
+    ),
+    hits AS (
+        SELECT n.np, count(p.label) AS hits5
+        FROM nps n
+        LEFT JOIN (
+            SELECT DISTINCT pr.np, t5.query_id, t5.cand_id, pr.label
+            FROM true5 t5
+            JOIN probe pr ON pr.query_id = t5.query_id
+                         AND pr.label = t5.label
+        ) p ON p.np = n.np
+        GROUP BY n.np
+    )
+    SELECT CAST(s.np AS BIGINT) AS nprobe,
+           CAST(s.scanned_vecs AS BIGINT) AS scanned_vecs,
+           CAST(h.hits5 AS BIGINT) AS hits5,
+           CAST(h.hits5 * 1000000 // 15 AS BIGINT) AS recall_ppm
+    FROM scanned s JOIN hits h ON s.np = h.np
+    ORDER BY nprobe
+    """.replace("{_COS_PAIR_SQL}", _COS_PAIR_SQL),
+)
+def v_recall_cost_frontier(spark, sf_dir):
+    """The IVF recall/cost frontier — the planning table every vector
+    deployment tunes before fixing nprobe: for nprobe in {1, 2, 4},
+    how many vectors the probes actually scan (cost) and how many of
+    the exact top-5 neighbors survive the cell pruning (recall@5, exact
+    because an exact-top-5 member inside the probe set can never be
+    outranked within it by a non-member). v_ann_ivf / v_ann_ivf_nprobe
+    serve single configs; this emits the Pareto curve those configs are
+    chosen from.
+
+    Scale: centroid build and query-centroid routing are the standard
+    IVF fronts (bounded cells x dims); cost comes from the CELL-SIZE
+    census (metadata, never rescanning data); the ground-truth top-5 is
+    the test-scale honesty control — at 100 TB recall is estimated on a
+    sampled query panel exactly like this 3-query one, and the exact
+    ranking arrives from the same brute-force pass the recall harness
+    already maintains (shared cached _qcos frame here).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+    )
+    qcomp = (
+        emb.where(F.col("vec_id").isin(0, 1, 2))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("embedding").alias("pos", "qv"),
+        )
+        .withColumn("qv", F.col("qv").cast("double"))
+    )
+    ccos = f6(
+        F.sum(F.col("qv") * F.col("cv"))
+        / (
+            F.sqrt(F.sum(F.col("qv") * F.col("qv")))
+            * F.sqrt(F.sum(F.col("cv") * F.col("cv")))
+        )
+    )
+    bw = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("label")
+    )
+    qc = (
+        qcomp.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", "label")
+        .agg(ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(bw))
+    )
+    nps = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("np")
+    )
+    probe = qc.crossJoin(F.broadcast(nps)).where(
+        F.col("crank") <= F.col("np")
+    ).select("np", "query_id", "label")
+    csize = emb.groupBy("label").agg(F.count("*").alias("n"))
+    qlabel = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    )
+    scanned = (
+        probe.join(F.broadcast(csize), "label")
+        .join(F.broadcast(qlabel), "query_id")
+        .groupBy("np")
+        .agg(
+            (
+                F.sum("n")
+                - F.sum(
+                    F.when(F.col("qlab") == F.col("label"), 1).otherwise(0)
+                )
+            ).alias("scanned_vecs")
+        )
+    )
+    # exact top-5 ground truth from the shared cached qcos frame + label
+    lab = emb.select(F.col("vec_id").alias("cand_id"), "label")
+    tw = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    true5 = (
+        _qcos_012(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(tw))
+        .where(F.col("rn") <= 5)
+        .join(F.broadcast(lab), "cand_id")
+        .select("query_id", "cand_id", "label")
+    )
+    hit_rows = (
+        true5.join(
+            probe.select(
+                "np", F.col("query_id").alias("pq"),
+                F.col("label").alias("plab"),
+            ),
+            (F.col("query_id") == F.col("pq"))
+            & (F.col("label") == F.col("plab")),
+        )
+        .select("np", "query_id", "cand_id", "label")
+        .distinct()
+    )
+    hits = (
+        nps.join(
+            hit_rows.groupBy("np").agg(F.count("*").alias("h")), "np", "left"
+        )
+        .select("np", F.coalesce("h", F.lit(0)).alias("hits5"))
+    )
+    return (
+        scanned.join(hits, "np")
+        .select(
+            F.col("np").cast("long").alias("nprobe"),
+            F.col("scanned_vecs").cast("long").alias("scanned_vecs"),
+            F.col("hits5").cast("long").alias("hits5"),
+            F.expr("hits5 * 1000000 div 15").cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _duck_h32(salt_expr: str) -> str:
+    """DuckDB md5-first-8-hex -> uint32 (no conv(); aggregates.py recipe)."""
+    return (
+        "CAST(list_sum(list_transform(range(1, 9), jj -> "
+        "(strpos('0123456789abcdef', substring(md5(" + salt_expr + "), jj, 1))"
+        " - 1) * 16 ** (8 - jj))) AS BIGINT)"
+    )
+
+
+_D2_DUCK = (
+    "round(list_sum(list_transform(range(1, 65), i -> "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 6) + 0"
+)
+
+
+@register(
+    "v_kmeans_par_init",
+    f"""
+    WITH c0 AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id = 0
+    ),
+    d1 AS (
+        SELECT e.vec_id,
+               {_D2_DUCK.format(a='e.embedding', b='c.ce')} AS d2
+        FROM embeddings e CROSS JOIN c0 c
+    ),
+    s1 AS (SELECT sum(CAST(round(d2 * 1e6) AS BIGINT)) AS s6 FROM d1),
+    k1 AS (
+        SELECT d1.vec_id FROM d1 CROSS JOIN s1
+        WHERE d1.vec_id <> 0
+          AND {_duck_h32("'1:' || CAST(d1.vec_id AS VARCHAR)")}
+              / 4294967296.0
+              < (8.0 * CAST(round(d1.d2 * 1e6) AS BIGINT)) / s1.s6
+    ),
+    cset1 AS (
+        SELECT 0 AS cid UNION SELECT vec_id FROM k1
+    ),
+    cemb1 AS (
+        SELECT c.cid, e.embedding AS ce
+        FROM cset1 c JOIN embeddings e ON e.vec_id = c.cid
+    ),
+    dmin2 AS (
+        SELECT e.vec_id,
+               min({_D2_DUCK.format(a='e.embedding', b='c.ce')}) AS d2
+        FROM embeddings e CROSS JOIN cemb1 c
+        GROUP BY e.vec_id
+    ),
+    s2 AS (SELECT sum(CAST(round(d2 * 1e6) AS BIGINT)) AS s6 FROM dmin2),
+    k2 AS (
+        SELECT m.vec_id FROM dmin2 m CROSS JOIN s2
+        WHERE m.vec_id NOT IN (SELECT cid FROM cset1)
+          AND {_duck_h32("'2:' || CAST(m.vec_id AS VARCHAR)")}
+              / 4294967296.0
+              < (8.0 * CAST(round(m.d2 * 1e6) AS BIGINT)) / s2.s6
+    ),
+    cands AS (
+        SELECT cid, min(round_added) AS round_added FROM (
+            SELECT 0 AS cid, 0 AS round_added
+            UNION ALL SELECT vec_id, 1 FROM k1
+            UNION ALL SELECT vec_id, 2 FROM k2
+        ) GROUP BY cid
+    ),
+    cande AS (
+        SELECT c.cid, c.round_added, e.embedding AS ce
+        FROM cands c JOIN embeddings e ON e.vec_id = c.cid
+    ),
+    adist AS (
+        SELECT e.vec_id, c.cid,
+               {_D2_DUCK.format(a='e.embedding', b='c.ce')} AS d2
+        FROM embeddings e CROSS JOIN cande c
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM adist
+        ) WHERE rn = 1
+    )
+    SELECT CAST(c.cid AS BIGINT) AS cand_id,
+           CAST(c.round_added AS BIGINT) AS round_added,
+           CAST(count(a.vec_id) AS BIGINT) AS weight
+    FROM cande c LEFT JOIN assign a ON a.cid = c.cid
+    GROUP BY c.cid, c.round_added
+    ORDER BY cand_id
+    """,
+)
+def v_kmeans_par_init(spark, sf_dir):
+    """k-means|| initialization (Bahmani et al., VLDB 2012) — the
+    DISTRIBUTED replacement for sequential k-means++ seeding that MLlib
+    itself uses: instead of k sequential D²-weighted draws (k full
+    passes, each depending on the last), each of 2 rounds Bernoulli-
+    oversamples ~l=8 candidates IN PARALLEL with probability
+    l·d²(v)/Σd² against the current candidate set, then the final
+    candidate census carries per-candidate assignment weights — the
+    input the driver-local weighted k-means clusters down to k.
+    Complements v_kmeans_step (one Lloyd pass) and v_kcenter_rerank
+    (deterministic farthest-point): this is the seeding that makes
+    Lloyd converge fast at scale.
+
+    Determinism: draws use the md5-uniform convention (h32/2^32 <
+    p, t_domain_mix's recipe) with round-salted keys; distances snap
+    to 6dp and the Bernoulli threshold is built from 1e-6 BIGINT
+    snapped distances, so the accept boundary is the same exact double
+    in both engines. Round 0 seed = vec_id 0.
+
+    Scale: each round is ONE broadcast-scored scan (candidate set ~l
+    rows) + one 1-row sum — never a shuffle of the vectors; the final
+    weight census is the same broadcast-argmin assign as v_kmeans_step.
+    Total cost 3 scans regardless of N — exactly why k-means|| exists.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def d2(b):
+        return F.round(
+            F.expr(
+                f"aggregate(zip_with(embedding, {b},"
+                " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+                "           * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+            6,
+        ) + F.lit(0.0)
+
+    def u32(round_no):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{round_no}:"), F.col("vec_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") / F.lit(4294967296.0)
+
+    c0 = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    d1 = emb.crossJoin(F.broadcast(c0)).select(
+        "vec_id", d2("ce").alias("d2")
+    )
+    s1 = d1.agg(
+        F.sum(F.round(F.col("d2") * 1e6).cast("long")).alias("s6")
+    )
+    k1 = (
+        d1.crossJoin(F.broadcast(s1))
+        .where(
+            (F.col("vec_id") != 0)
+            & (
+                u32(1)
+                < (F.lit(8.0) * F.round(F.col("d2") * 1e6).cast("long"))
+                / F.col("s6")
+            )
+        )
+        .select("vec_id")
+    )
+    cset1 = c0.select("cid").unionByName(
+        k1.select(F.col("vec_id").alias("cid"))
+    ).distinct()
+    cemb1 = cset1.join(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")),
+        "cid",
+    )
+    dmin2 = (
+        emb.crossJoin(F.broadcast(cemb1))
+        .groupBy("vec_id")
+        .agg(F.min(d2("ce")).alias("d2"))
+    )
+    s2 = dmin2.agg(
+        F.sum(F.round(F.col("d2") * 1e6).cast("long")).alias("s6")
+    )
+    k2 = (
+        dmin2.crossJoin(F.broadcast(s2))
+        .join(cset1, dmin2.vec_id == cset1.cid, "left_anti")
+        .where(
+            u32(2)
+            < (F.lit(8.0) * F.round(F.col("d2") * 1e6).cast("long"))
+            / F.col("s6")
+        )
+        .select("vec_id")
+    )
+    cands = (
+        c0.select("cid", F.lit(0).alias("round_added"))
+        .unionByName(
+            k1.select(F.col("vec_id").alias("cid"), F.lit(1).alias("round_added"))
+        )
+        .unionByName(
+            k2.select(F.col("vec_id").alias("cid"), F.lit(2).alias("round_added"))
+        )
+        .groupBy("cid")
+        .agg(F.min("round_added").alias("round_added"))
+    )
+    cande = cands.join(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")),
+        "cid",
+    )
+    adist = emb.crossJoin(
+        F.broadcast(cande.select("cid", "ce"))
+    ).select("vec_id", "cid", d2("ce").alias("d2"))
+    assign = (
+        adist.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "cid")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("acid"))
+    )
+    return (
+        cande.select("cid", "round_added")
+        .join(assign, cande.cid == assign.acid, "left")
+        .groupBy("cid", "round_added")
+        .agg(F.count("vec_id").cast("long").alias("weight"))
+        .select(
+            F.col("cid").cast("long").alias("cand_id"),
+            F.col("round_added").cast("long").alias("round_added"),
+            "weight",
+        )
+        .orderBy("cand_id")
+    )

@@ -2174,3 +2174,92 @@ def w_underwater_duration(spark, sf_dir):
             ).alias("underwater_share"),
         )
     )
+
+
+@register(
+    "w_rolling_ols",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority AS prio,
+               datediff('day', DATE '1992-01-01', o_orderdate) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    rolled AS (
+        SELECT prio, d,
+               count(*) OVER w AS n,
+               sum(d) OVER w AS sx,
+               sum(cents) OVER w AS sy,
+               sum(d * cents) OVER w AS sxy,
+               sum(d * d) OVER w AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY prio ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    mx AS (SELECT max(d) AS maxd FROM daily)
+    SELECT r.prio, CAST(r.d AS BIGINT) AS d,
+           CAST(r.n AS BIGINT) AS n_days,
+           round(CAST(r.n * r.sxy - r.sx * r.sy AS DOUBLE)
+                 / (r.n * r.sxx - r.sx * r.sx), 6) + 0 AS slope_cents
+    FROM rolled r CROSS JOIN mx
+    WHERE r.n = 7 AND r.d >= mx.maxd - 9
+    ORDER BY r.prio, r.d
+    """,
+)
+def w_rolling_ols(spark, sf_dir):
+    """Rolling 7-day OLS trend slope over daily revenue per order
+    priority — the windowed least-squares trend detector ops dashboards
+    run (is this week's revenue accelerating or decaying, per segment?).
+    The slope is the closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with x =
+    day index and y = exact revenue cents: all five frame sums are
+    BIGINT over integers, so both engines' only float is the single
+    final division — bit-identical. Frames shorter than 7 observed days
+    are suppressed (n = 7 filter), output bounded to the trailing 10
+    days per segment.
+
+    Scale: one partial-agg groupBy to the (segment, day) grain — the
+    axis saturates at segments x calendar, so the five running sums are
+    windows over a bounded frame regardless of order count; the max-day
+    bound attaches as a 1-row broadcast. The same five-sum frame gives
+    intercept/R² for free if a consumer needs them.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("cents")
+    )
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    rolled = daily.select(
+        "prio",
+        "d",
+        F.count("*").over(w).alias("n"),
+        F.sum("d").over(w).alias("sx"),
+        F.sum("cents").over(w).alias("sy"),
+        F.sum(F.col("d") * F.col("cents")).over(w).alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).over(w).alias("sxx"),
+    )
+    mx = daily.agg(F.max("d").alias("maxd"))
+    return (
+        rolled.crossJoin(F.broadcast(mx))
+        .where((F.col("n") == 7) & (F.col("d") >= F.col("maxd") - 9))
+        .select(
+            "prio",
+            F.col("d").cast("long").alias("d"),
+            F.col("n").cast("long").alias("n_days"),
+            f6(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ).alias("slope_cents"),
+        )
+        .orderBy("prio", "d")
+    )

@@ -4568,3 +4568,161 @@ def r_negative_sampling(spark, sf_dir):
         )
         .orderBy("user_id", "pos_item", "slot")
     )
+
+
+@register(
+    "r_exposure_gini",
+    """
+    WITH seq AS (
+        SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+               min(o.o_orderdate) AS first_ts,
+               min(o.o_orderkey) AS first_ok
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    ordered AS (
+        SELECT user_id, item_id,
+               lead(item_id) OVER (PARTITION BY user_id
+                                   ORDER BY first_ts, first_ok, item_id)
+                   AS next_item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY first_ts DESC, first_ok DESC,
+                                           item_id DESC) AS rev
+        FROM seq
+    ),
+    trans AS (
+        SELECT item_id AS src, next_item AS dst, count(*) AS c
+        FROM ordered WHERE next_item IS NOT NULL GROUP BY 1, 2
+    ),
+    top1 AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, dst) AS rn
+            FROM trans
+        ) WHERE rn = 1
+    ),
+    lastitem AS (
+        SELECT user_id, item_id AS src FROM ordered WHERE rev = 1
+    ),
+    served AS (
+        SELECT li.user_id, t.dst AS rec_item
+        FROM lastitem li JOIN top1 t ON li.src = t.src
+    ),
+    expo AS (
+        SELECT rec_item, count(*) AS x FROM served GROUP BY rec_item
+    ),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, rec_item) AS i FROM expo
+    ),
+    g AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM ranked
+    ),
+    cat AS (SELECT count(DISTINCT l_partkey) AS catalog_n FROM lineitem),
+    mx AS (SELECT max(x) AS top_x FROM expo),
+    srv AS (SELECT count(*) AS n_served FROM served)
+    SELECT CAST(srv.n_served AS BIGINT) AS n_users_served,
+           CAST(g.n AS BIGINT) AS n_items_exposed,
+           CAST(cat.catalog_n AS BIGINT) AS catalog_n,
+           CAST(g.n * 1000000 // cat.catalog_n AS BIGINT) AS coverage_ppm,
+           CAST(mx.top_x * 1000000 // g.sx AS BIGINT) AS top_share_ppm,
+           CAST((2 * g.six * 1000000) // (g.n * g.sx)
+                - ((g.n + 1) * 1000000) // g.n AS BIGINT) AS gini_ppm
+    FROM g CROSS JOIN cat CROSS JOIN mx CROSS JOIN srv
+    """,
+)
+def r_exposure_gini(spark, sf_dir):
+    """Exposure-concentration audit of a serving slate — the
+    popularity-bias number recommender teams watch: serve every user
+    their top-1 Markov next-item (from the user's LAST item, the
+    r_markov_next_item matrix), then measure how unequally exposure
+    spreads over items: catalog coverage, the single hottest item's
+    share of all impressions, and the Gini coefficient of the exposure
+    distribution (0 = perfectly even slate, ->1 = one item absorbs the
+    feed — the feedback-loop precursor). Complements r_coverage (can
+    the system recommend item X at all) with WHO actually gets shown
+    what.
+
+    Exactness: Gini uses the rank formula G = 2·Σ(i·x_i)/(n·Σx) −
+    (n+1)/n on integer exposure counts with a deterministic
+    (count, item) rank order, evaluated as two BIGINT integer
+    divisions in ppm — no float path. The exposure ranking is one
+    window over the EXPOSED-item axis (bounded by the catalog; at
+    100 M items the scale path is the range-partitioned prefix-sum
+    ranking the a_gini docstring describes).
+
+    Scale: the sequence/lead pass is r_markov_next_item's linear
+    shape (no pair join); serving is one broadcast-able top-1 matrix
+    join; everything after runs on the catalog-bounded exposure frame.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    seq = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(
+            F.min("o_orderdate").alias("first_ts"),
+            F.min("o_orderkey").alias("first_ok"),
+        )
+    )
+    wseq = Window.partitionBy("user_id").orderBy(
+        "first_ts", "first_ok", "item_id"
+    )
+    wrev = Window.partitionBy("user_id").orderBy(
+        F.col("first_ts").desc(), F.col("first_ok").desc(),
+        F.col("item_id").desc(),
+    )
+    ordered = seq.select(
+        "user_id",
+        "item_id",
+        F.lead("item_id").over(wseq).alias("next_item"),
+        F.row_number().over(wrev).alias("rev"),
+    )
+    trans = (
+        ordered.where(F.col("next_item").isNotNull())
+        .groupBy(F.col("item_id").alias("src"), F.col("next_item").alias("dst"))
+        .agg(F.count("*").alias("c"))
+    )
+    wt = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    top1 = (
+        trans.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") == 1)
+        .select("src", "dst")
+    )
+    lastitem = ordered.where(F.col("rev") == 1).select(
+        "user_id", F.col("item_id").alias("src")
+    )
+    served = lastitem.join(F.broadcast(top1), "src").select(
+        "user_id", F.col("dst").alias("rec_item")
+    )
+    expo = served.groupBy("rec_item").agg(F.count("*").alias("x"))
+    wg = Window.orderBy("x", "rec_item")
+    ranked = expo.withColumn("i", F.row_number().over(wg))
+    g = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    cat = li.agg(F.countDistinct("l_partkey").alias("catalog_n"))
+    mx = expo.agg(F.max("x").alias("top_x"))
+    srv = served.agg(F.count("*").alias("n_served"))
+    return (
+        g.crossJoin(F.broadcast(cat))
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(srv))
+        .select(
+            F.col("n_served").cast("long").alias("n_users_served"),
+            F.col("n").cast("long").alias("n_items_exposed"),
+            F.col("catalog_n").cast("long").alias("catalog_n"),
+            F.expr("n * 1000000 div catalog_n").cast("long")
+            .alias("coverage_ppm"),
+            F.expr("top_x * 1000000 div sx").cast("long")
+            .alias("top_share_ppm"),
+            F.expr(
+                "(2 * six * 1000000) div (n * sx)"
+                " - ((n + 1) * 1000000) div n"
+            ).cast("long").alias("gini_ppm"),
+        )
+    )

@@ -685,3 +685,86 @@ def test_dedup_mix_shift_accounting(spark):
     for r in rows:
         assert r["shift_ppm"] == r["share_after_ppm"] - r["share_before_ppm"]
         assert 0 <= r["dup_rate_ppm"] <= 1000000
+
+
+def test_recall_cost_frontier_monotone(spark):
+    """More probes can only scan more and recall more; recall at
+    nprobe=4 must be positive (the nearest cells contain at least one
+    true neighbor on the clustered fixture); recall_ppm is the exact
+    integer ratio of hits out of 15 (3 queries x top-5)."""
+    rows = sorted(
+        registry.QUERIES["v_recall_cost_frontier"](spark, _SF).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b["scanned_vecs"] >= a["scanned_vecs"]
+        assert b["hits5"] >= a["hits5"]
+    for r in rows:
+        assert 0 <= r["hits5"] <= 15
+        assert r["recall_ppm"] == r["hits5"] * 1000000 // 15
+    assert rows[-1]["hits5"] > 0
+
+
+def test_exposure_gini_bounds(spark):
+    """Gini must sit in [0, 1e6); coverage cannot exceed the catalog;
+    the hottest item's share is at least the even share 1/n."""
+    r = registry.QUERIES["r_exposure_gini"](spark, _SF).collect()[0]
+    assert 0 <= r["gini_ppm"] < 1000000
+    assert 0 < r["n_items_exposed"] <= r["catalog_n"]
+    assert r["coverage_ppm"] == r["n_items_exposed"] * 1000000 // r["catalog_n"]
+    assert r["top_share_ppm"] * r["n_items_exposed"] >= 1000000 - r["n_items_exposed"]
+
+
+def test_rolling_ols_matches_numpy(spark):
+    """The windowed closed-form slope must equal an independent
+    least-squares fit of the same 7 (day, cents) points."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    rows = registry.QUERIES["w_rolling_ols"](spark, _SF).collect()
+    assert rows
+    daily = {
+        (r["prio"], r["d"]): r["cents"]
+        for r in spark.read.parquet(f"{_SF}/orders.parquet")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.datediff(
+                "o_orderdate", F.lit("1992-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+        .collect()
+    }
+    by_prio = {}
+    for (prio, d), cents in daily.items():
+        by_prio.setdefault(prio, []).append((d, cents))
+    for r in rows:
+        days = sorted(d for d, _ in by_prio[r["prio"]] if d <= r["d"])[-7:]
+        assert len(days) == 7
+        xs = np.array(days, dtype=float)
+        ys = np.array([daily[(r["prio"], d)] for d in days], dtype=float)
+        slope = np.polyfit(xs, ys, 1)[0]
+        assert abs(slope - r["slope_cents"]) < 1e-4 * max(1.0, abs(slope))
+
+
+def test_kmeans_par_init_census(spark):
+    """Seed 0 is always a round-0 candidate; weights partition the
+    corpus (sum = N); each accepted candidate is a real vector id."""
+    rows = registry.QUERIES["v_kmeans_par_init"](spark, _SF).collect()
+    by_id = {r["cand_id"]: r for r in rows}
+    assert by_id[0]["round_added"] == 0
+    n = spark.read.parquet(f"{_SF}/embeddings.parquet").count()
+    assert sum(r["weight"] for r in rows) == n
+    vec_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{_SF}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    assert all(r["cand_id"] in vec_ids for r in rows)
+    assert all(r["round_added"] in (0, 1, 2) for r in rows)

@@ -108,6 +108,9 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "r_epsilon_slate": "bounded: item_id<200 catalog cap (200->200)",
     "r_negative_sampling": "bounded: item catalog CDF (<=200 items; "
     "the cumulative-popularity ranges are one row per catalog item)",
+    "r_exposure_gini": "catalog: exposure ranking is one row per "
+    "EXPOSED part (catalog-bounded; range-partitioned prefix sums at "
+    "100M-item scale, per the a_gini recipe)",
     "r_rank_fusion": "bounded: item_id<200 catalog cap (200->200)",
     "t_mix_temperature": "bounded: 20 sources (20->20)",
     "t_vocab_coverage": "bounded: vocab-size grid (31->31)",

@@ -162,6 +162,9 @@ LINEAR_KEYS = {
     # distinct-count censuses; scheme summaries join as broadcast rows
     "m_webdataset_shards": "documents",  # round 13: per-source window
     # cumsum + shard-keyed manifest agg; blob bytes never shuffle
+    "t_dedup_mix_shift": "documents",  # round 13 s2: exact-dedup digest
+    # groupBy + co-partitioned survivor join; shares on a bounded source
+    # axis — expected to track t_exact_dedup_digest's slope
     "t_source_sketch_jaccard": "documents",  # round 13: bottom-64
     # sketches scale with #sources; the exact honesty branch joins gram
     # digests whose postings are bounded by the source count
@@ -216,6 +219,12 @@ RELATIONAL_LINEAR_KEYS = {
     # and the <=40-rater cap bounds blockbuster items, so pair-of-pairs
     # work per user pair is <= C(32,2) — the quartic hazard is the reason
     # production swing caps activity; flat per-row cost is the claim
+    "s_clustering_depth": "lineitem",  # round 13 s2: one manifest-shaped
+    # groupBy over the scan; audit joins on the 32-row stats frame
+    "s_snapshot_expiry": "orders",  # round 13 s2: manifest groupBy +
+    # 3-row horizon cross — the expiry sweep is metadata-only
+    "q_join_card_est": "events",  # round 13 s2: two per-key count
+    # shuffles (events + orders), everything else 1-5-row broadcasts
     "j_grid_knn": "customer",  # round 10: 9-cell neighborhood equi-join;
     # candidates = cell occupancy (density-bound); supplier dim is FIXED on
     # the ladder, so candidate density per customer actually thins as the
@@ -256,6 +265,15 @@ EVENTS_LINEAR_KEYS = {
     # watermark-bounded to the 10-min horizon per side
     "st_rocksdb_state": "events",  # 3-group running agg: state O(groups),
     # the measured point is that RocksDB checkpoint size stays flat
+    "r_session_knn_capped": "events",  # round 13 s2: item-keyed posting
+    # join against a FIXED 20-target slate — pair work grows with posting
+    # length (linear in N on the bounded ladder catalog), caps bound the
+    # per-item blowup
+    "r_negative_sampling": "events",  # round 13 s2: positives/popularity
+    # aggs are the only data-sized work; draws join a broadcast CDF
+    "st_lateness_audit": "events",  # round 13 s2: one partitioned
+    # running-max window per event_type + one partial agg (batch replay
+    # of the watermark drop rule — no streaming runtime in the loop)
     "st_funnel_stateful": "events",  # round 11: applyInPandasWithState
     # 3-step funnel — state is three timestamps per user (O(users), users
     # scale with N), measured via the same lastStateCkpt du column
