@@ -4726,3 +4726,119 @@ def r_exposure_gini(spark, sf_dir):
             ).cast("long").alias("gini_ppm"),
         )
     )
+
+
+@register(
+    "r_rank_dithering",
+    """
+    WITH pop AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+               count(*) AS cnt
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1
+    ),
+    slate AS (
+        SELECT item, row_number() OVER (ORDER BY cnt DESC, item)
+                   AS base_rank
+        FROM pop QUALIFY base_rank <= 10
+    ),
+    users20 AS (
+        SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+        ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT 20
+    ),
+    dith AS (
+        SELECT u.user_id, s.item, s.base_rank,
+               s.base_rank * 500
+                   + CAST(list_sum(list_transform(range(1, 9), jj ->
+                         (strpos('0123456789abcdef',
+                                 substring(md5(CAST(u.user_id AS VARCHAR)
+                                               || '~'
+                                               || CAST(s.item AS VARCHAR)),
+                                           jj, 1)) - 1)
+                         * 16 ** (8 - jj))) AS BIGINT) % 1499 AS score
+        FROM users20 u CROSS JOIN slate s
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(item AS BIGINT) AS item,
+           CAST(base_rank AS BIGINT) AS base_rank,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY score, item) AS BIGINT)
+               AS dith_rank
+    FROM dith
+    ORDER BY user_id, dith_rank
+    """,
+)
+def r_rank_dithering(spark, sf_dir):
+    """Rank dithering — the serving-layer exploration trick Netflix
+    published for its rows: jitter each user's ranked slate so repeat
+    impressions shuffle mildly, harvesting exploration signal without
+    abandoning the ranker. The global popularity top-10 slate gets a
+    per-(user, item) deterministic noise term (md5-uniform mod 1499)
+    on top of base_rank*500 — adjacent ranks swap ~1/3 of the time,
+    rank r vs r+2 ~5%, r vs r+3 never — the integer-exact analogue of
+    the published gaussian-noise dithering (same geometric decay knob:
+    the noise range over the rank stride).
+
+    Scale: the slate is TakeOrdered top-10 (never a global window over
+    items... the ranking window here runs on the 10-row slate); dithering
+    is map-side hash math per (user, slate) pair against a broadcast
+    slate; per-user re-rank partitions by user. Deterministic = a user's
+    slate is stable within a session but distinct across users — the
+    property that makes dithered interleaving analyzable offline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pop = (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("item")
+        )
+        .where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    slate = (
+        pop.orderBy(F.col("cnt").desc(), "item")
+        .limit(10)
+        .select(
+            "item",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "item"))
+            .alias("base_rank"),
+        )
+    )
+    users20 = (
+        ev.select("user_id").distinct()
+        .orderBy(F.md5(F.col("user_id").cast("string")), "user_id")
+        .limit(20)
+    )
+    noise = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("~"),
+                    F.col("item").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 1499
+    dith = users20.crossJoin(F.broadcast(slate)).select(
+        "user_id",
+        "item",
+        "base_rank",
+        (F.col("base_rank") * 500 + noise).alias("score"),
+    )
+    wd = Window.partitionBy("user_id").orderBy("score", "item")
+    return (
+        dith.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("item").cast("long").alias("item"),
+            F.col("base_rank").cast("long").alias("base_rank"),
+            F.row_number().over(wd).cast("long").alias("dith_rank"),
+        )
+        .orderBy("user_id", "dith_rank")
+    )

@@ -947,3 +947,159 @@ def r_label_propagation(spark, sf_dir):
         F.col("lab").cast("long").alias("label"),
         F.col("rnd").cast("long").alias("labeled_round"),
     )
+
+
+@register(
+    "r_modularity",
+    f"""
+    WITH {_GRAPH_SQL},
+    l0 AS (SELECT node,
+                  CASE WHEN node % 7 = 0 THEN node % 5 END AS lab,
+                  CASE WHEN node % 7 = 0 THEN 0 END AS rnd
+           FROM nodes),
+    {_LPA_VOTE_SQL.format(cur=0, next=1)},
+    {_LPA_VOTE_SQL.format(cur=1, next=2)},
+    comm AS (
+        SELECT node, coalesce(lab, -(node + 1)) AS community FROM l2
+    ),
+    m2t AS (SELECT count(*) AS m2 FROM edges),
+    dc AS (
+        SELECT c.community, count(*) AS n_nodes, sum(deg.d) AS degree_sum
+        FROM comm c JOIN deg ON deg.src = c.node
+        GROUP BY c.community
+    ),
+    ec AS (
+        SELECT cs.community, count(*) AS intra_directed
+        FROM edges e
+        JOIN comm cs ON cs.node = e.src
+        JOIN comm cd ON cd.node = e.dst
+        WHERE cs.community = cd.community
+        GROUP BY cs.community
+    ),
+    terms AS (
+        SELECT d.community, d.n_nodes, d.degree_sum,
+               coalesce(e.intra_directed, 0) AS intra_directed,
+               coalesce(e.intra_directed, 0) * m.m2
+                   - d.degree_sum * d.degree_sum AS num
+        FROM dc d LEFT JOIN ec e ON d.community = e.community
+        CROSS JOIN m2t m
+    ),
+    q AS (
+        SELECT (sum(t.num) * 1000000) // (m.m2 * m.m2) AS q_ppm
+        FROM terms t CROSS JOIN m2t m GROUP BY m.m2
+    )
+    SELECT CAST(t.community AS BIGINT) AS community,
+           CAST(t.n_nodes AS BIGINT) AS n_nodes,
+           CAST(t.degree_sum AS BIGINT) AS degree_sum,
+           CAST(t.intra_directed AS BIGINT) AS intra_directed,
+           CAST((t.num * 1000000) // (m.m2 * m.m2) AS BIGINT)
+               AS contrib_ppm,
+           CAST(q.q_ppm AS BIGINT) AS q_ppm
+    FROM terms t CROSS JOIN m2t m CROSS JOIN q
+    WHERE t.n_nodes >= 2
+    ORDER BY community
+    """,
+)
+def r_modularity(spark, sf_dir):
+    """Newman modularity of the r_label_propagation communities — the
+    quality score that tells you whether LPA found real structure:
+    Q = Σ_c (e_c/2m − (d_c/2m)²), positive when communities hold more
+    intra-edges than a degree-preserving random graph would. Unreached
+    nodes count as singleton communities (pure (d/2m)² penalty) so Q is
+    the honest whole-graph score, but only real (≥2-node) communities
+    are emitted, each with its exact contribution.
+
+    Exactness: the whole formula is evaluated over DIRECTED edge counts
+    (the shared symmetric edge list, m2 = 2m) as one rational — num_c =
+    e_c·m2 − d_c², Q_ppm = Σnum_c · 1e6 div m2² — a single BIGINT
+    integer division, no per-term float drift (m2² ≤ ~6e10 at the
+    500-node item-graph cap, far inside BIGINT).
+
+    Scale: reuses the memoized co-purchase edge frame (9th consumer)
+    and the unrolled 2-round LPA labels; the audit itself is one
+    label-keyed edge join (co-partitioned on the node key) + two
+    community-grain aggregations — the same per-iteration cost bound as
+    the rest of the graph family.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    lab = nodes.select(
+        "node",
+        F.when(F.col("node") % 7 == 0, F.col("node") % 5).alias("lab"),
+    )
+    for _ in (1, 2):
+        labeled = lab.where(F.col("lab").isNotNull()).select(
+            F.col("node").alias("l_node"), F.col("lab").alias("l_lab")
+        )
+        unlabeled = lab.where(F.col("lab").isNull()).select(
+            F.col("node").alias("u_node")
+        )
+        votes = (
+            edges.join(labeled, edges.src == F.col("l_node"))
+            .join(unlabeled, edges.dst == F.col("u_node"))
+            .groupBy(F.col("dst").alias("v_node"), F.col("l_lab").alias("v_lab"))
+            .agg(F.count("*").alias("c"))
+        )
+        wv = Window.partitionBy("v_node").orderBy(F.col("c").desc(), "v_lab")
+        pick = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("v_node", "v_lab")
+        )
+        lab = lab.join(pick, lab.node == pick.v_node, "left").select(
+            "node", F.coalesce(F.col("lab"), F.col("v_lab")).alias("lab")
+        )
+    comm = lab.select(
+        "node",
+        F.coalesce(F.col("lab"), -(F.col("node") + 1)).alias("community"),
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    m2t = edges.agg(F.count("*").alias("m2"))
+    dc = (
+        comm.join(deg, comm.node == deg.src)
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_nodes"), F.sum("d").alias("degree_sum")
+        )
+    )
+    cs = comm.select(F.col("node").alias("s_node"), F.col("community").alias("s_comm"))
+    cd = comm.select(F.col("node").alias("d_node"), F.col("community").alias("d_comm"))
+    ec = (
+        edges.join(cs, edges.src == F.col("s_node"))
+        .join(cd, edges.dst == F.col("d_node"))
+        .where(F.col("s_comm") == F.col("d_comm"))
+        .groupBy(F.col("s_comm").alias("community"))
+        .agg(F.count("*").alias("intra_directed"))
+    )
+    terms = (
+        dc.join(ec, "community", "left")
+        .crossJoin(F.broadcast(m2t))
+        .select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce("intra_directed", F.lit(0)).alias("intra_directed"),
+            (
+                F.coalesce("intra_directed", F.lit(0)) * F.col("m2")
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).alias("num"),
+            "m2",
+        )
+    )
+    q = terms.groupBy("m2").agg(
+        F.expr("(sum(num) * 1000000) div (m2 * m2)").alias("q_ppm")
+    ).select("q_ppm")
+    return (
+        terms.crossJoin(F.broadcast(q))
+        .where(F.col("n_nodes") >= 2)
+        .select(
+            F.col("community").cast("long").alias("community"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            F.col("intra_directed").cast("long").alias("intra_directed"),
+            F.expr("(num * 1000000) div (m2 * m2)").cast("long")
+            .alias("contrib_ppm"),
+            F.col("q_ppm").cast("long").alias("q_ppm"),
+        )
+        .orderBy("community")
+    )

@@ -768,3 +768,47 @@ def test_kmeans_par_init_census(spark):
     }
     assert all(r["cand_id"] in vec_ids for r in rows)
     assert all(r["round_added"] in (0, 1, 2) for r in rows)
+
+
+def test_modularity_accounting(spark):
+    """Per-community contributions must use the exact single-division
+    rational; intra-edge counts are even (symmetric directed edge list);
+    Q of the emitted real communities is bounded by the global Q plus
+    the (all-negative) singleton penalties — i.e. q_ppm <= sum of
+    emitted contributions."""
+    rows = registry.QUERIES["r_modularity"](spark, _SF).collect()
+    assert rows
+    q = rows[0]["q_ppm"]
+    assert all(r["q_ppm"] == q for r in rows)
+    for r in rows:
+        assert r["intra_directed"] % 2 == 0
+        assert r["n_nodes"] >= 2
+    # singleton terms are strictly negative, so the global Q must not
+    # exceed the emitted (>=2-node) communities' summed contribution
+    assert q <= sum(r["contrib_ppm"] for r in rows) + len(rows)  # div slack
+    assert -1000000 <= q < 1000000
+
+
+def test_rank_dithering_is_local_shuffle(spark):
+    """Every user gets the same 10 slate items back as a permutation;
+    displacement is bounded by the noise/stride geometry (|base - dith|
+    <= 2 since noise < 3x the stride); two runs are identical."""
+    rows = registry.QUERIES["r_rank_dithering"](spark, _SF).collect()
+    again = registry.QUERIES["r_rank_dithering"](spark, _SF).collect()
+    key = lambda r: (r["user_id"], r["item"], r["base_rank"], r["dith_rank"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    slates = {tuple(sorted(r["item"] for r in rs)) for rs in by_user.values()}
+    assert len(slates) == 1  # same slate for everyone
+    dithered_differently = set()
+    for u, rs in by_user.items():
+        assert sorted(r["dith_rank"] for r in rs) == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert abs(r["base_rank"] - r["dith_rank"]) <= 2
+        dithered_differently.add(
+            tuple(r["item"] for r in sorted(rs, key=lambda x: x["dith_rank"]))
+        )
+    # exploration property: not every user sees the identical order
+    assert len(dithered_differently) > 1

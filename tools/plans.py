@@ -128,6 +128,8 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "w_underwater_duration": "bounded: 30-day axis (30->30)",
     "a_hill_tail": "bounded: rank over the already-limited top-501 "
     "TakeOrdered result (k-bounded by plan; fixed round 10)",
+    "r_rank_dithering": "bounded: base_rank over the already-limited "
+    "top-10 TakeOrdered slate (k-bounded by plan)",
     # --- saturating distinct-value axes ---
     "a_ks_drift": "saturating: distinct value-cents (385->3270, "
     "saturates at the price domain)",
