@@ -5344,3 +5344,92 @@ def q_join_card_est(spark, sf_dir):
         "actual_rows",
         F.expr("(est_rows * 10000) div actual_rows").alias("err_bp"),
     ).orderBy("estimator")
+
+
+@register(
+    "q_sql_scripting",
+    """
+    WITH RECURSIVE ext AS (
+        SELECT max(CAST(round(o_totalprice*100) AS BIGINT)) AS maxc,
+               (sum(CAST(round(o_totalprice*100) AS BIGINT))+1)//2 AS half
+        FROM orders
+    ),
+    bi AS (
+        SELECT 0 AS i, CAST(0 AS BIGINT) AS lo, e.maxc AS hi, e.half AS half
+        FROM ext e
+        UNION ALL
+        SELECT i+1,
+               CASE WHEN below >= half THEN lo ELSE mid END,
+               CASE WHEN below >= half THEN mid ELSE hi END,
+               half
+        FROM (
+            SELECT i, lo, hi, half, (lo+hi)//2 AS mid,
+                   (SELECT coalesce(sum(CAST(round(o_totalprice*100)
+                                             AS BIGINT)), 0)
+                    FROM orders
+                    WHERE CAST(round(o_totalprice*100) AS BIGINT)
+                          <= (lo+hi)//2) AS below
+            FROM bi WHERE i < 12
+        ) s
+    )
+    SELECT lo AS lo_cents, hi AS hi_cents, CAST(i AS BIGINT) AS n_iter
+    FROM bi WHERE i = 12
+    """,
+)
+def q_sql_scripting(spark, sf_dir):
+    """Spark 4 SQL scripting (SPARK-48338 BEGIN/DECLARE/WHILE/IF) driving
+    a data-dependent control loop entirely inside the engine: a 12-step
+    bisection for the revenue-median price cutoff (the smallest cents
+    value P with revenue-at-or-below-P >= half the total). Each loop
+    iteration's predicate depends on the previous aggregate — classic
+    "needs a driver loop" shape, now expressible as ONE multi-statement
+    SQL script with session variables; the DuckDB oracle replays the
+    SAME 12 steps as a recursive CTE with a correlated aggregate, so
+    the two control-flow dialects are pinned against each other
+    bit-for-bit (q_pipe_syntax's treatment applied to scripting).
+
+    Scale: each iteration is one pushed-predicate aggregate scan —
+    12 passes total, independent of row count; the production shortcut
+    (one pre-aggregated cents histogram, then bisect the 1e4-bucket
+    frame) drops it to 1 scan + 12 metadata steps, same script shape.
+    The script runs where the data lives; no driver-side loop state.
+    """
+    from ..session import load_table as _lt
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView(
+        "npc_script_orders"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE lo BIGINT DEFAULT 0;
+          DECLARE hi BIGINT DEFAULT 0;
+          DECLARE mid BIGINT DEFAULT 0;
+          DECLARE below BIGINT DEFAULT 0;
+          DECLARE half BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          SET hi = (SELECT max(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FROM npc_script_orders);
+          SET half = (SELECT (sum(CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) + 1) DIV 2
+                      FROM npc_script_orders);
+          WHILE i < 12 DO
+            SET mid = (lo + hi) DIV 2;
+            SET below = (SELECT coalesce(sum(CAST(round(o_totalprice * 100)
+                                                  AS BIGINT)), 0)
+                         FROM npc_script_orders
+                         WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                               <= mid);
+            IF below >= half THEN
+              SET hi = mid;
+            ELSE
+              SET lo = mid;
+            END IF;
+            SET i = i + 1;
+          END WHILE;
+          SELECT lo AS lo_cents, hi AS hi_cents,
+                 CAST(i AS BIGINT) AS n_iter;
+        END
+        """
+    )

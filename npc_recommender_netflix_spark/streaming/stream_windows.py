@@ -1032,3 +1032,64 @@ def st_lateness_audit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+@register(
+    "st_rate_limited_backfill",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def st_rate_limited_backfill(spark, sf_dir):
+    """Rate-limited backfill — the operational knob for replaying a
+    large history through a streaming pipeline without OOMing state or
+    starving co-tenant jobs: the events fixture is split into 4 files
+    and replayed with maxFilesPerTrigger=1, so availableNow processing
+    advances in 4 bounded micro-batches instead of one giant one. The
+    oracle pins the INVARIANT that makes throttling safe: batch-split
+    boundaries must not change the aggregate (complete-mode counts equal
+    the batch groupBy no matter how the source is chopped).
+    tests/test_streaming.py asserts the query really took multiple
+    micro-batches (recentProgress), so a silently-ignored option can't
+    fake the pass; the batch count is exposed via
+    spark.npc.lastBackfillBatches.
+
+    Scale: maxFilesPerTrigger (or maxBytesPerTrigger) bounds per-batch
+    input so shuffle/state pressure stays constant during a 100 TB
+    backfill — the same pipeline then flips to continuous ingest with
+    no code change, which is the whole point of the unified API.
+    """
+    prepare(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_is_long = dict(batch.dtypes).get("ts") == "bigint"
+    feed_dir = tempfile.mkdtemp(prefix="npc_backfill_feed_")
+    for part in range(4):
+        batch.where(F.col("event_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+    ev = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    if ts_is_long:
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    agg = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("cnt"))
+    name = "snk_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="npc_backfill_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # expose the micro-batch count for the pytest tripwire (complete-mode
+    # progress events with numInputRows > 0 == throttled batches taken)
+    n_batches = sum(
+        1 for p in q.recentProgress if (p["numInputRows"] or 0) > 0
+    )
+    spark.conf.set("spark.npc.lastBackfillBatches", str(n_batches))
+    return spark.table(name)

@@ -173,3 +173,52 @@ def test_rocksdb_state_survives_restart_and_writes_artifacts(spark):
             if f.endswith((".zip", ".sst", ".changelog"))
         )
     assert rocks_files, f"no RocksDB artifacts under {state_root}"
+
+
+def test_rate_limited_backfill_took_multiple_batches(spark):
+    """maxFilesPerTrigger=1 over a 4-file feed must advance in >1
+    micro-batch (the throttle is real, not silently ignored) while the
+    final complete-mode counts equal the batch aggregate."""
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r["event_type"], r["cnt"])
+        for r in registry.QUERIES["st_rate_limited_backfill"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    import pyspark.sql.functions as F
+
+    want = {
+        (r["event_type"], r["cnt"])
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+    n_batches = int(spark.conf.get("spark.npc.lastBackfillBatches"))
+    assert n_batches >= 2, f"expected a throttled multi-batch run, got {n_batches}"
+
+
+def test_sql_scripting_bisection_brackets_the_revenue_median(spark):
+    """The script's final [lo, hi) bracket must actually straddle the
+    revenue-median cutoff: revenue at-or-below lo < half <= revenue
+    at-or-below hi, with the bracket narrowed to maxc/2^12."""
+    from tests.conftest import SF_SMALL
+
+    import pyspark.sql.functions as F
+
+    r = registry.QUERIES["q_sql_scripting"](spark, SF_SMALL).collect()[0]
+    cents = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+    )
+    total = cents.agg(F.sum("c")).collect()[0][0]
+    half = (total + 1) // 2
+    below_lo = cents.where(F.col("c") <= r["lo_cents"]).agg(F.sum("c")).collect()[0][0] or 0
+    below_hi = cents.where(F.col("c") <= r["hi_cents"]).agg(F.sum("c")).collect()[0][0] or 0
+    assert below_lo < half <= below_hi
+    maxc = cents.agg(F.max("c")).collect()[0][0]
+    assert r["hi_cents"] - r["lo_cents"] <= maxc // 4096 + 1
+    assert r["n_iter"] == 12
