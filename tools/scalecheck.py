@@ -67,6 +67,11 @@ LINEAR_KEYS = {
     "t_pipeline_e2e_scale": "documents",
     "v_cosine_topk": "embeddings",
     "v_ann_ivf": "embeddings",
+    "v_recall_cost_frontier": "embeddings",  # round 13 s2: IVF routing
+    # fronts + cell-size census; ground-truth top-5 is the only
+    # brute-force branch (the recall harness's own cost)
+    "v_kmeans_par_init": "embeddings",  # round 13 s2: 3 broadcast-scored
+    # scans + 1-row sums — the whole point of k-means|| is flat passes
     "v_embed_neardup_strict": "embeddings",  # cos>=0.9, nbits=ceil(log2 N) bands
     "v_nsw_greedy": "embeddings",  # round 10: graph build now uses the SAME
     # nbits=ceil(log2 N) masked 4x16-bit bands (was fixed 8x8 bits ->
@@ -219,6 +224,10 @@ RELATIONAL_LINEAR_KEYS = {
     # and the <=40-rater cap bounds blockbuster items, so pair-of-pairs
     # work per user pair is <= C(32,2) — the quartic hazard is the reason
     # production swing caps activity; flat per-row cost is the claim
+    "r_exposure_gini": "lineitem",  # round 13 s2: lead()-sequence pass +
+    # broadcast top-1 serve + catalog-bounded exposure ranking
+    "w_rolling_ols": "orders",  # round 13 s2: (segment, day) grain
+    # saturates at segments x calendar; five BIGINT frame sums
     "s_clustering_depth": "lineitem",  # round 13 s2: one manifest-shaped
     # groupBy over the scan; audit joins on the 32-row stats frame
     "s_snapshot_expiry": "orders",  # round 13 s2: manifest groupBy +
@@ -265,6 +274,11 @@ EVENTS_LINEAR_KEYS = {
     # watermark-bounded to the 10-min horizon per side
     "st_rocksdb_state": "events",  # 3-group running agg: state O(groups),
     # the measured point is that RocksDB checkpoint size stays flat
+    "r_rank_dithering": "events",  # round 13 s2: popularity TakeOrdered
+    # slate + map-side hash dithering vs a broadcast slate
+    "st_rate_limited_backfill": "events",  # round 13 s2: 4-file feed at
+    # maxFilesPerTrigger=1 — wall includes the feed rewrite + 4 bounded
+    # micro-batches; the claim is flat per-event cost under throttling
     "r_session_knn_capped": "events",  # round 13 s2: item-keyed posting
     # join against a FIXED 20-target slate — pair work grows with posting
     # length (linear in N on the bounded ladder catalog), caps bound the
@@ -290,6 +304,12 @@ ITERATIVE_KEYS = {
     "r_als": "lineitem",  # round 11: MLlib block-partitioned ALS fit +
     # transform — iteration-count constant; the claim is that the
     # per-rating cost stays flat as the matrix grows
+    "r_modularity": "lineitem",  # round 13 s2: 2 unrolled LPA rounds
+    # over the shared edge frame + one label-keyed edge join; per-round
+    # cost = frontier-incident edges (the r_pagerank bound)
+    "q_sql_scripting": "orders",  # round 13 s2: 12 bisection iterations,
+    # each ONE pushed-predicate aggregate scan — linear per iteration,
+    # iteration count fixed by the bracket width (data-independent)
 }
 
 
