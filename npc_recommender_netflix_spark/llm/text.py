@@ -4469,3 +4469,82 @@ def t_longest_dup_ngram(spark, sf_dir):
         )
         .orderBy("max_dup_len")
     )
+
+
+@register(
+    "t_l_diversity",
+    """
+    WITH qi AS (
+        SELECT lang, n_chars // 500 AS len_bucket, source,
+               count(*) AS n
+        FROM documents GROUP BY 1, 2, 3
+    ),
+    gt AS (
+        SELECT lang, len_bucket, sum(n) AS tot FROM qi GROUP BY 1, 2
+    ),
+    grp AS (
+        SELECT q.lang, q.len_bucket,
+               count(*) AS l_distinct,
+               max(g.tot) AS n_rows,
+               round(exp(-sum((q.n * 1.0 / g.tot)
+                              * ln(q.n * 1.0 / g.tot))), 6) + 0
+                   AS entropy_l
+        FROM qi q JOIN gt g ON q.lang = g.lang
+                           AND q.len_bucket = g.len_bucket
+        GROUP BY q.lang, q.len_bucket
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(min(l_distinct) AS BIGINT) AS l_diversity,
+           CAST(sum(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_below_3,
+           CAST(sum(CASE WHEN l_distinct < 3 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           round(min(entropy_l), 6) + 0 AS min_entropy_l
+    FROM grp
+    """,
+)
+def t_l_diversity(spark, sf_dir):
+    """l-diversity census — t_k_anonymity's companion release audit
+    (Machanavajjhala 2007, public): a group can be large (k-anonymous)
+    yet still leak if everyone in it shares the same SENSITIVE value.
+    Quasi-identifiers here are (lang, length bucket); the sensitive
+    attribute is the document's source feed (which confidential corpus
+    a row came from is exactly what an attacker wants pinned). Reports
+    the dataset's l (min distinct sensitive values over any group),
+    the groups/rows failing l=3, and the strictest entropy-l (exp of
+    the group's sensitive-value entropy — the variant that catches
+    99%-one-value groups that plain distinct-count l misses).
+
+    Scale: one (QI, sensitive) grain aggregation then a QI-grain
+    rollup — two map-side-combinable shuffles on bounded axes; the
+    entropy needs each value's share of its group, a group-total join
+    back onto the bounded (QI, sensitive) frame. Floats only inside the
+    entropy (6dp-snapped); every count is BIGINT.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.groupBy(
+        "lang",
+        F.expr("n_chars div 500").alias("len_bucket"),
+        "source",
+    ).agg(F.count("*").alias("n"))
+    gt = qi.groupBy("lang", "len_bucket").agg(F.sum("n").alias("tot"))
+    qent = qi.join(gt, ["lang", "len_bucket"]).withColumn(
+        "sh", F.col("n") * 1.0 / F.col("tot")
+    )
+    grp = qent.groupBy("lang", "len_bucket").agg(
+        F.count("*").alias("l_distinct"),
+        F.max("tot").alias("n_rows"),
+        (F.round(F.exp(-F.sum(F.col("sh") * F.log("sh"))), 6) + F.lit(0.0))
+        .alias("entropy_l"),
+    )
+    return grp.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("l_distinct").cast("long").alias("l_diversity"),
+        F.sum(F.when(F.col("l_distinct") < 3, 1).otherwise(0))
+        .cast("long").alias("n_groups_below_3"),
+        F.sum(F.when(F.col("l_distinct") < 3, F.col("n_rows")).otherwise(0))
+        .cast("long").alias("n_rows_at_risk"),
+        (F.round(F.min("entropy_l"), 6) + F.lit(0.0)).alias("min_entropy_l"),
+    )

@@ -1093,3 +1093,121 @@ def st_rate_limited_backfill(spark, sf_dir):
     )
     spark.conf.set("spark.npc.lastBackfillBatches", str(n_batches))
     return spark.table(name)
+
+
+@register(
+    "st_cdc_apply",
+    """
+    WITH ch AS (
+        SELECT o_orderkey % 500 AS k, o_orderkey AS seq,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    last AS (
+        SELECT k, op, cents FROM (
+            SELECT k, op, cents,
+                   row_number() OVER (PARTITION BY k
+                                      ORDER BY seq DESC) AS rn
+            FROM ch
+        ) WHERE rn = 1
+    )
+    SELECT CAST(k % 10 AS BIGINT) AS bucket,
+           CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_live,
+           CAST(coalesce(sum(CASE WHEN op = 'U' THEN cents END), 0)
+                AS BIGINT) AS live_cents,
+           CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tombstones
+    FROM last GROUP BY k % 10 ORDER BY bucket
+    """,
+)
+def st_cdc_apply(spark, sf_dir):
+    """CDC apply — the Debezium-to-lakehouse pipeline: a keyed change
+    feed (upserts + deletes with a total sequence order, synthesized
+    from orders: key = orderkey % 500 so every key sees many changes)
+    streams through foreachBatch, and each batch MERGES into a keyed
+    state table under max-sequence-wins semantics, with deletes kept as
+    TOMBSTONES. Tombstones are the load-bearing choice: a late-arriving
+    update with a lower sequence than an already-applied delete must
+    NOT resurrect the key, so the final table is independent of how the
+    feed is batched — proven here by splitting the feed in two files
+    whose replay order the engine chooses, against a batch oracle that
+    computes the same argmax-seq state in one window.
+
+    Scale: each batch's merge is one union + per-key argmax (shuffle
+    keyed on k, the same key the state table is partitioned by — at
+    100 TB this is MERGE INTO on a key-bucketed table, no full rewrite);
+    tombstones are compacted out only after the source's watermark
+    passes their sequence horizon, exactly like Kafka log compaction.
+    """
+    prepare(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ch = orders.select(
+        (F.col("o_orderkey") % 500).alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # parity split — deliberately interleaves sequence numbers across the
+    # two files, so the max-seq-wins/tombstone semantics are exercised
+    # against genuinely out-of-order batches (no driver-side constants)
+    feed_dir = tempfile.mkdtemp(prefix="npc_cdc_feed_")
+    ch.where(F.col("seq") % 2 == 0).coalesce(1).write.mode("append").parquet(
+        feed_dir
+    )
+    ch.where(F.col("seq") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        feed_dir
+    )
+    state_root = tempfile.mkdtemp(prefix="npc_cdc_state_")
+    state_ptr: list[str] = []
+
+    def apply_batch(bdf, batch_id):
+        s = bdf.sparkSession
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as SF
+
+        if state_ptr:
+            cur = s.read.parquet(state_ptr[-1])
+            merged = cur.unionByName(bdf.select("k", "seq", "op", "cents"))
+        else:
+            merged = bdf.select("k", "seq", "op", "cents")
+        wk = W.partitionBy("k").orderBy(SF.col("seq").desc())
+        nxt = (
+            merged.withColumn("rn", SF.row_number().over(wk))
+            .where(SF.col("rn") == 1)
+            .drop("rn")
+        )
+        out = f"{state_root}/v{batch_id}"
+        nxt.write.mode("overwrite").parquet(out)
+        state_ptr.append(out)
+
+    stream = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="npc_cdc_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(state_ptr[-1])
+    return (
+        final.groupBy((F.col("k") % 10).cast("long").alias("bucket"))
+        .agg(
+            F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+            .cast("long").alias("n_live"),
+            F.coalesce(
+                F.sum(F.when(F.col("op") == "U", F.col("cents"))), F.lit(0)
+            ).cast("long").alias("live_cents"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+            .cast("long").alias("n_tombstones"),
+        )
+        .orderBy("bucket")
+    )

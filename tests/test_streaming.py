@@ -222,3 +222,64 @@ def test_sql_scripting_bisection_brackets_the_revenue_median(spark):
     maxc = cents.agg(F.max("c")).collect()[0][0]
     assert r["hi_cents"] - r["lo_cents"] <= maxc // 4096 + 1
     assert r["n_iter"] == 12
+
+
+def test_cdc_apply_tombstones_prevent_resurrection(spark):
+    """The CDC state after replay must match the max-seq-wins batch
+    semantics EXACTLY, and a key whose last change is a delete must be
+    absent from the live set no matter which batch carried the delete
+    (the feed's parity split interleaves sequences across batches)."""
+    from tests.conftest import SF_SMALL
+
+    import pyspark.sql.functions as F
+
+    got = {
+        r["bucket"]: (r["n_live"], r["live_cents"], r["n_tombstones"])
+        for r in registry.QUERIES["st_cdc_apply"](spark, SF_SMALL).collect()
+    }
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    from pyspark.sql import Window as W
+
+    ch = orders.select(
+        (F.col("o_orderkey") % 500).alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    last = (
+        ch.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("k").orderBy(F.col("seq").desc())),
+        )
+        .where(F.col("rn") == 1)
+    )
+    want = {
+        r["bucket"]: (r["n_live"], r["live_cents"], r["n_tombstones"])
+        for r in last.groupBy((F.col("k") % 10).cast("long").alias("bucket"))
+        .agg(
+            F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).cast("long").alias("n_live"),
+            F.coalesce(F.sum(F.when(F.col("op") == "U", F.col("cents"))), F.lit(0))
+            .cast("long").alias("live_cents"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("long").alias("n_tombstones"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert sum(v[2] for v in got.values()) > 0, "fixture must exercise deletes"
+
+
+def test_l_diversity_bounds(spark):
+    """l can never exceed the number of distinct sensitive values, and
+    the entropy-l lower-bounds the distinct-count l for the minimum
+    group (entropy l <= distinct l always)."""
+    from tests.conftest import SF_SMALL
+
+    r = registry.QUERIES["t_l_diversity"](spark, SF_SMALL).collect()[0]
+    n_sources = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("source").distinct().count()
+    )
+    assert 1 <= r["l_diversity"] <= n_sources
+    assert 0 < r["min_entropy_l"] <= n_sources + 1e-6
+    assert r["n_rows_at_risk"] <= r["n_rows"]
