@@ -1825,3 +1825,177 @@ def t_local_vs_global_dedup(spark, sf_dir):
     return scheme("by_content_hash", loc_hash).unionByName(
         scheme("by_source", loc_src)
     ).orderBy("scheme")
+
+
+_SIG16_COLS = ",\n           ".join(
+    f"min(md5('{j}:' || s)) AS h{j}" for j in range(16)
+)
+
+
+def _bands16_sql(nb: int) -> str:
+    return "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS bkey"
+        " FROM sig16"
+        for b in range(nb)
+    )
+
+
+def _curve_row_sql(k: int, nb: int) -> str:
+    return f"""
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST((SELECT count(*) FROM c{k}) AS BIGINT) AS n_candidates,
+               CAST((SELECT count(*) FROM c{k} c JOIN exact e
+                     ON c.da = e.doc_a AND c.db = e.doc_b) AS BIGINT)
+                   AS n_hits,
+               CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_true,
+               CAST((SELECT count(*) FROM c{k} c JOIN exact e
+                     ON c.da = e.doc_a AND c.db = e.doc_b) * 1000000
+                    // greatest((SELECT count(*) FROM exact), 1) AS BIGINT)
+                   AS recall_ppm
+    """
+
+
+@register(
+    "t_minhash_perm_curve",
+    f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sig16 AS (SELECT doc_id,
+           {_SIG16_COLS}
+           FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    exact AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    ),
+    b4 AS ({_bands16_sql(2)}),
+    b8 AS ({_bands16_sql(4)}),
+    b16 AS ({_bands16_sql(8)}),
+    c4 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM b4 a JOIN b4 b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    c8 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM b8 a JOIN b8 b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    c16 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM b16 a JOIN b16 b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT * FROM ({_curve_row_sql(4, 2)}) r4
+    UNION ALL SELECT * FROM ({_curve_row_sql(8, 4)}) r8
+    UNION ALL SELECT * FROM ({_curve_row_sql(16, 8)}) r16
+    ORDER BY k
+    """,
+)
+def t_minhash_perm_curve(spark, sf_dir):
+    """MinHash signature-size planning curve — the third axis of the
+    dedup-tuning triptych (t_lsh_s_curve sweeps the THEORETICAL band
+    geometry, v_neardup_threshold_sensitivity sweeps the threshold;
+    this MEASURES what k permutations actually buy on the corpus):
+    for k in {{4, 8, 16}} salted-md5 minhashes banded 2-rows-per-band,
+    the candidate-pair count (the cost every extra band adds to the
+    bucket join) and exact recall against the Jaccard >= 0.5 ground
+    truth. k=4's bands are a PREFIX of k=16's, so candidates are
+    provably nested and the recall curve is monotone — the test pins
+    it — which is exactly how you read off the cheapest k that clears
+    a recall SLO.
+
+    Scale: one 16-column min-agg over the shared shingle frame (k=16
+    costs the same single pass as k=4 — mins are map-combinable), three
+    bounded bucket self-joins; the exact ground truth is the test-scale
+    honesty branch, sampled at 100 TB like t_lsh_recall's.
+    """
+    sh = shingles(spark, sf_dir).cache()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))
+            ).alias(f"h{j}")
+            for j in range(16)
+        ]
+    ).cache()
+
+    def bands(nb):
+        out = None
+        for b in range(nb):
+            part = sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                ).alias("bkey"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def cand(nb):
+        bd = bands(nb)
+        a, b = bd.alias("a"), bd.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+            )
+            .distinct()
+        )
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    exact = (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
+
+    def row(k, nb):
+        c = cand(nb).cache()
+        nc = c.agg(F.count(F.lit(1)).alias("n_candidates"))
+        nh = (
+            c.join(
+                exact,
+                (c.da == exact.doc_a) & (c.db == exact.doc_b),
+            )
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            nc.crossJoin(F.broadcast(nh))
+            .crossJoin(F.broadcast(n_true))
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                F.col("n_candidates").cast("long"),
+                F.col("n_hits").cast("long"),
+                F.col("n_true").cast("long"),
+                F.expr(
+                    "n_hits * 1000000 div greatest(n_true, 1)"
+                ).cast("long").alias("recall_ppm"),
+            )
+        )
+
+    return (
+        row(4, 2)
+        .unionByName(row(8, 4))
+        .unionByName(row(16, 8))
+        .orderBy("k")
+    )

@@ -4842,3 +4842,187 @@ def r_rank_dithering(spark, sf_dir):
         )
         .orderBy("user_id", "dith_rank")
     )
+
+
+@register(
+    "r_interleaving_eval",
+    """
+    WITH ev AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    mxd AS (SELECT max(d) AS maxd FROM ev),
+    slate_a AS (
+        SELECT item, row_number() OVER (ORDER BY cnt DESC, item) AS ra
+        FROM (SELECT item, count(*) AS cnt FROM ev GROUP BY item)
+        QUALIFY ra <= 8
+    ),
+    slate_b AS (
+        SELECT item, row_number() OVER (ORDER BY cnt DESC, item) AS rb
+        FROM (SELECT e.item, count(*) AS cnt
+              FROM ev e CROSS JOIN mxd
+              WHERE e.d >= mxd.maxd - 9 GROUP BY e.item)
+        QUALIFY rb <= 8
+    ),
+    both_slates AS (
+        SELECT coalesce(a.item, b.item) AS item, a.ra, b.rb
+        FROM slate_a a FULL OUTER JOIN slate_b b ON a.item = b.item
+    ),
+    users AS (
+        SELECT user_id,
+               CAST(list_sum(list_transform(range(1, 9), jj ->
+                   (strpos('0123456789abcdef',
+                           substring(md5(CAST(user_id AS VARCHAR) || '#il'),
+                                     jj, 1)) - 1)
+                   * 16 ** (8 - jj))) AS BIGINT) % 2 AS coin
+        FROM (SELECT DISTINCT user_id FROM ev)
+    ),
+    slots AS (
+        SELECT u.user_id, u.coin, s.item, s.ra, s.rb,
+               least(
+                   coalesce(2 * s.ra - 1 + u.coin, 9223372036854775807),
+                   coalesce(2 * s.rb - u.coin, 9223372036854775807))
+                   AS slot
+        FROM users u CROSS JOIN both_slates s
+    ),
+    inter AS (
+        SELECT user_id, coin, item, ra, rb, slot,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY slot, item) AS pos
+        FROM slots
+    ),
+    topk AS (SELECT * FROM inter WHERE pos <= 6),
+    touched AS (SELECT DISTINCT user_id, item FROM ev),
+    credit AS (
+        SELECT t.user_id,
+               sum(CASE WHEN (t.slot % 2) = (1 + t.coin) % 2
+                        THEN 1 ELSE 0 END) AS credit_a,
+               sum(CASE WHEN (t.slot % 2) = (0 + t.coin) % 2
+                        THEN 1 ELSE 0 END) AS credit_b
+        FROM topk t JOIN touched x
+          ON x.user_id = t.user_id AND x.item = t.item
+        GROUP BY t.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users_with_hits,
+           CAST(sum(credit_a) AS BIGINT) AS credit_a_total,
+           CAST(sum(credit_b) AS BIGINT) AS credit_b_total,
+           CAST(sum(CASE WHEN credit_a > credit_b THEN 1 ELSE 0 END)
+                AS BIGINT) AS wins_a,
+           CAST(sum(CASE WHEN credit_b > credit_a THEN 1 ELSE 0 END)
+                AS BIGINT) AS wins_b,
+           CAST(sum(CASE WHEN credit_a = credit_b THEN 1 ELSE 0 END)
+                AS BIGINT) AS ties
+    FROM credit
+    """,
+)
+def r_interleaving_eval(spark, sf_dir):
+    """Balanced interleaving (Joachims 2003) — the online-evaluation
+    workhorse that compares two rankers inside ONE result list instead
+    of an A/B split: ranker A = all-time popularity top-8, ranker B =
+    trailing-10-day popularity top-8; each user's md5 coin decides
+    which ranker leads, the two slates zip alternately with duplicates
+    keeping their FIRST slot, and the user's actually-touched items in
+    the interleaved top-6 credit whichever ranker placed them. Per-user
+    wins aggregate into the paired-preference verdict (wins_a / wins_b
+    / ties) that interleaving reads as its significance input.
+
+    The closed form is the point: with a coin c, ranker A's rank-i slot
+    is 2i−1+c and B's rank-j slot is 2j−c — one odd, one even, never
+    colliding — so an item's interleaved position is just
+    least(slot_a, slot_b) and the whole draft is a rank over that
+    expression: no sequential simulation, no UDF. Slot parity also
+    encodes attribution ((slot+c) odd = A's pick), making credit a
+    CASE expression.
+
+    Scale: two TakeOrdered top-8 slates broadcast against the user
+    axis; credit joins the user's distinct items on (user, item) —
+    the only data-sized shuffle. The 16-row slate frame bounds the
+    per-user work at 16 regardless of catalog size.
+    """
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull())
+    mxd = ev.agg(F.max("d").alias("maxd"))
+
+    def top8(cnt_df, rank_name):
+        w = Window.orderBy(F.col("cnt").desc(), "item")
+        return (
+            cnt_df.orderBy(F.col("cnt").desc(), "item")
+            .limit(8)
+            .select("item", F.row_number().over(w).alias(rank_name))
+        )
+
+    slate_a = top8(ev.groupBy("item").agg(F.count("*").alias("cnt")), "ra")
+    slate_b = top8(
+        ev.crossJoin(F.broadcast(mxd))
+        .where(F.col("d") >= F.col("maxd") - 9)
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt")),
+        "rb",
+    )
+    both_slates = (
+        slate_a.alias("a")
+        .join(slate_b.alias("b"), "item", "full_outer")
+        .select("item", "ra", "rb")
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#il"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    users = ev.select("user_id").distinct().select("user_id", coin.alias("coin"))
+    big = F.lit(9223372036854775807)
+    slots = users.crossJoin(F.broadcast(both_slates)).select(
+        "user_id",
+        "coin",
+        "item",
+        F.least(
+            F.coalesce(2 * F.col("ra") - 1 + F.col("coin"), big),
+            F.coalesce(2 * F.col("rb") - F.col("coin"), big),
+        ).alias("slot"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("slot", "item")
+    topk = (
+        slots.withColumn("pos", F.row_number().over(wp))
+        .where(F.col("pos") <= 6)
+    )
+    touched = ev.select("user_id", "item").distinct()
+    credit = (
+        topk.join(touched, ["user_id", "item"])
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("slot") % 2) == (1 + F.col("coin")) % 2, 1
+                ).otherwise(0)
+            ).alias("credit_a"),
+            F.sum(
+                F.when(
+                    (F.col("slot") % 2) == (0 + F.col("coin")) % 2, 1
+                ).otherwise(0)
+            ).alias("credit_b"),
+        )
+    )
+    return credit.agg(
+        F.count("*").cast("long").alias("n_users_with_hits"),
+        F.sum("credit_a").cast("long").alias("credit_a_total"),
+        F.sum("credit_b").cast("long").alias("credit_b_total"),
+        F.sum(F.when(F.col("credit_a") > F.col("credit_b"), 1).otherwise(0))
+        .cast("long").alias("wins_a"),
+        F.sum(F.when(F.col("credit_b") > F.col("credit_a"), 1).otherwise(0))
+        .cast("long").alias("wins_b"),
+        F.sum(F.when(F.col("credit_a") == F.col("credit_b"), 1).otherwise(0))
+        .cast("long").alias("ties"),
+    )

@@ -812,3 +812,30 @@ def test_rank_dithering_is_local_shuffle(spark):
         )
     # exploration property: not every user sees the identical order
     assert len(dithered_differently) > 1
+
+
+def test_interleaving_credit_conservation(spark):
+    """Per-user credits must be non-negative and wins+ties must
+    partition the users with hits; total credit cannot exceed
+    6 * users (top-6 slate)."""
+    r = registry.QUERIES["r_interleaving_eval"](spark, _SF).collect()[0]
+    assert r["wins_a"] + r["wins_b"] + r["ties"] == r["n_users_with_hits"]
+    assert 0 <= r["credit_a_total"] + r["credit_b_total"] <= 6 * max(r["n_users_with_hits"], 1)
+    assert r["n_users_with_hits"] > 0
+
+
+def test_minhash_perm_curve_is_monotone_nested(spark):
+    """k=4's bands are a prefix of k=16's, so candidates and hits must
+    be non-decreasing in k; recall is the exact integer ratio."""
+    rows = sorted(
+        registry.QUERIES["t_minhash_perm_curve"](spark, _SF).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [4, 8, 16]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_candidates"] >= a["n_candidates"]
+        assert b["n_hits"] >= a["n_hits"]
+        assert b["n_true"] == a["n_true"]
+    for r in rows:
+        assert r["recall_ppm"] == r["n_hits"] * 1000000 // max(r["n_true"], 1)
+        assert r["n_hits"] <= min(r["n_candidates"], r["n_true"])

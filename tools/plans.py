@@ -130,6 +130,8 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "TakeOrdered result (k-bounded by plan; fixed round 10)",
     "r_rank_dithering": "bounded: base_rank over the already-limited "
     "top-10 TakeOrdered slate (k-bounded by plan)",
+    "r_interleaving_eval": "bounded: slate ranks over two already-"
+    "limited top-8 TakeOrdered slates (k-bounded by plan)",
     # --- saturating distinct-value axes ---
     "a_ks_drift": "saturating: distinct value-cents (385->3270, "
     "saturates at the price domain)",
