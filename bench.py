@@ -112,6 +112,16 @@ HEADLINE = [
     "t_source_sketch_jaccard",  # round 13: bottom-k corpus-overlap sketch
     "s_positional_deletes",  # round 13: merge-on-read delete vectors
     "t_epoch_schedule",  # round 13: data-constrained repetition plan
+    "r_session_knn_capped",  # round 13 s2: session-kNN via posting index
+    "v_kmeans_par_init",  # round 13 s2: k-means|| oversampling init
+    "r_modularity",  # round 13 s2: LPA community quality score
+    "st_cdc_apply",  # round 13 s2: CDC tombstone apply via foreachBatch
+    "q_sql_scripting",  # round 13 s2: in-engine bisection control flow
+    "t_minhash_perm_curve",  # round 13 s2: signature-size planning curve
+    "r_interleaving_eval",  # round 13 s2: balanced-interleaving verdict
+    "v_recall_cost_frontier",  # round 13 s2: IVF nprobe Pareto table
+    "t_dedup_mix_shift",  # round 13 s2: dedup-induced mix drift
+    "s_snapshot_expiry",  # round 13 s2: orphan-file GC planning
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -5433,3 +5433,98 @@ def q_sql_scripting(spark, sf_dir):
         END
         """
     )
+
+
+@register(
+    "q_largest_remainder",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    tot AS (SELECT sum(cents) AS t FROM rev),
+    quota AS (
+        SELECT r.nation, r.cents,
+               (r.cents * 10000) // t.t AS bps_floor,
+               (r.cents * 10000) % t.t AS rem
+        FROM rev r CROSS JOIN tot t
+    ),
+    short AS (SELECT 10000 - sum(bps_floor) AS k FROM quota),
+    ranked AS (
+        SELECT nation, cents, bps_floor,
+               row_number() OVER (ORDER BY rem DESC, nation) AS rk
+        FROM quota
+    )
+    SELECT r.nation,
+           CAST(r.cents AS BIGINT) AS revenue_cents,
+           CAST(r.bps_floor AS BIGINT) AS bps_floor,
+           CAST(r.bps_floor + CASE WHEN r.rk <= s.k THEN 1 ELSE 0 END
+                AS BIGINT) AS bps_final
+    FROM ranked r CROSS JOIN short s
+    ORDER BY r.nation
+    """,
+)
+def q_largest_remainder(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment — the exact-integer
+    allocation every reporting pipeline eventually needs: divide 10000
+    basis points of revenue share across nations so the allocations SUM
+    EXACTLY to 10000 (naive per-row rounding drifts by ±n/2 bps and the
+    drill-down stops reconciling with the total). Floor quotas by
+    integer division, then hand the shortfall out one bp at a time to
+    the largest remainders (remainder desc, nation tiebreak) — the same
+    algorithm that seats parliaments.
+
+    Scale: the revenue rollup is the only data-sized work (three
+    FK joins + one bounded-axis agg); quota math and the remainder rank
+    run on the 25-nation frame (a bounded window — at a million-segment
+    allocation the rank becomes the range-partitioned top-k shortfall
+    selection). Everything is BIGINT; Σbps_final = 10000 is pinned by
+    pytest as the metric's defining property.
+    """
+    li, orders, cust, nation = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "cents",
+        F.expr("(cents * 10000) div t").alias("bps_floor"),
+        F.expr("(cents * 10000) % t").alias("rem"),
+    )
+    short = quota.agg(
+        (F.lit(10000) - F.sum("bps_floor")).alias("k")
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "nation")
+    return (
+        quota.withColumn("rk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "nation",
+            F.col("cents").cast("long").alias("revenue_cents"),
+            F.col("bps_floor").cast("long").alias("bps_floor"),
+            (
+                F.col("bps_floor")
+                + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+            ).cast("long").alias("bps_final"),
+        )
+        .orderBy("nation")
+    )

@@ -839,3 +839,16 @@ def test_minhash_perm_curve_is_monotone_nested(spark):
     for r in rows:
         assert r["recall_ppm"] == r["n_hits"] * 1000000 // max(r["n_true"], 1)
         assert r["n_hits"] <= min(r["n_candidates"], r["n_true"])
+
+
+def test_largest_remainder_sums_exactly(spark):
+    """The defining property: allocations sum to exactly 10000 bps, each
+    within 1 bp of its floor quota, and more revenue never gets fewer
+    bps (monotonicity of Hamilton apportionment within one allocation)."""
+    rows = registry.QUERIES["q_largest_remainder"](spark, _SF).collect()
+    assert sum(r["bps_final"] for r in rows) == 10000
+    for r in rows:
+        assert r["bps_final"] in (r["bps_floor"], r["bps_floor"] + 1)
+    by_rev = sorted(rows, key=lambda r: (-r["revenue_cents"], r["nation"]))
+    for a, b in zip(by_rev, by_rev[1:]):
+        assert a["bps_final"] >= b["bps_final"] - 1  # floor ties can flip by 1

@@ -105,6 +105,8 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_wilcoxon_signed_rank": "bounded: 30 paired days (30->30)",
     "q_growth_accounting": "bounded: 30-day axis (30->30)",
     "q_pareto_brands": "bounded: 25 brands (25->25)",
+    "q_largest_remainder": "bounded: 25 nations (remainder rank; "
+    "range-partitioned top-k shortfall at segment scale)",
     "r_epsilon_slate": "bounded: item_id<200 catalog cap (200->200)",
     "r_negative_sampling": "bounded: item catalog CDF (<=200 items; "
     "the cumulative-popularity ranges are one row per catalog item)",

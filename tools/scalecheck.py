@@ -167,6 +167,11 @@ LINEAR_KEYS = {
     # distinct-count censuses; scheme summaries join as broadcast rows
     "m_webdataset_shards": "documents",  # round 13: per-source window
     # cumsum + shard-keyed manifest agg; blob bytes never shuffle
+    "t_l_diversity": "documents",  # round 13 s2: two bounded-axis aggs +
+    # a group-total join — the t_k_anonymity cost shape
+    "t_minhash_perm_curve": "documents",  # round 13 s2: one 16-col
+    # min-agg over shared shingles + three bounded bucket self-joins;
+    # the exact ground-truth branch is the test-scale control
     "t_dedup_mix_shift": "documents",  # round 13 s2: exact-dedup digest
     # groupBy + co-partitioned survivor join; shares on a bounded source
     # axis — expected to track t_exact_dedup_digest's slope
@@ -274,6 +279,10 @@ EVENTS_LINEAR_KEYS = {
     # watermark-bounded to the 10-min horizon per side
     "st_rocksdb_state": "events",  # 3-group running agg: state O(groups),
     # the measured point is that RocksDB checkpoint size stays flat
+    "r_interleaving_eval": "events",  # round 13 s2: two TakeOrdered
+    # slates broadcast over the user axis; credit join on (user, item)
+    "st_cdc_apply": "orders",  # round 13 s2: per-batch union + keyed
+    # argmax merge — wall includes the 2-file feed rewrite
     "r_rank_dithering": "events",  # round 13 s2: popularity TakeOrdered
     # slate + map-side hash dithering vs a broadcast slate
     "st_rate_limited_backfill": "events",  # round 13 s2: 4-file feed at
