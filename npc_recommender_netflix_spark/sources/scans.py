@@ -2023,3 +2023,111 @@ def s_snapshot_expiry(spark, sf_dir):
         )
         .orderBy("horizon")
     )
+
+
+@register(
+    "s_cow_vs_mor",
+    """
+    WITH filed AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS fid,
+               o_orderkey % 5 = 0
+                   AND o_orderdate >= (SELECT max(o_orderdate)
+                                       FROM orders) - INTERVAL 60 DAY
+                   AS touched
+        FROM orders
+    ),
+    files AS (
+        SELECT fid, count(*) * 128 AS bytes,
+               sum(CASE WHEN touched THEN 1 ELSE 0 END) AS n_upd
+        FROM filed GROUP BY fid
+    ),
+    tot AS (
+        SELECT sum(CASE WHEN n_upd > 0 THEN 1 ELSE 0 END) AS files_touched,
+               sum(CASE WHEN n_upd > 0 THEN bytes ELSE 0 END) AS cow_bytes,
+               sum(n_upd) AS n_updates
+        FROM files
+    )
+    SELECT s.strategy,
+           CAST(t.files_touched AS BIGINT) AS n_files_touched,
+           CAST(CASE WHEN s.strategy = 'copy_on_write' THEN t.cow_bytes
+                     ELSE t.n_updates * 144 END AS BIGINT) AS bytes_written,
+           CAST(CASE WHEN s.strategy = 'copy_on_write'
+                     THEN t.cow_bytes * 1000000 // (t.n_updates * 128)
+                     ELSE (t.n_updates * 144) * 1000000
+                          // (t.n_updates * 128) END AS BIGINT)
+               AS write_amp_ppm
+    FROM tot t CROSS JOIN (
+        SELECT 'copy_on_write' AS strategy
+        UNION ALL SELECT 'merge_on_read'
+    ) s
+    ORDER BY s.strategy
+    """,
+)
+def s_cow_vs_mor(spark, sf_dir):
+    """Copy-on-write vs merge-on-read, quantified — THE lakehouse
+    update-strategy trade-off: orders live in monthly files and an
+    update wave touches a 1-in-5 subset of the trailing 60 days (the
+    recent-edit pattern real tables see). CoW must rewrite EVERY file
+    containing a touched row (bytes = the touched files' full size);
+    MoR appends one delete-vector entry (16 B) plus one replacement row
+    (128 B) per update. write_amp_ppm — bytes written per byte of
+    logical update — is the number that decides the table's strategy:
+    CoW amplification explodes when updates scatter across many files,
+    MoR holds a constant ~1.125× but defers the cost to reads
+    (s_positional_deletes' merge join) until compaction.
+
+    Scale: one pass builds the (file, bytes, touched-updates) manifest
+    (the max-date bound is a pushed scalar subquery — Spark computes it
+    as a broadcast 1-row cross join, no collect); both strategies are
+    CASE arithmetic over the 1-row totals frame. At 100 TB this exact
+    census, run over the real manifest, is how table services pick CoW
+    vs MoR per table — metadata-only, never touching data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    filed = orders.crossJoin(F.broadcast(mx)).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("fid"),
+        (
+            (F.col("o_orderkey") % 5 == 0)
+            & (F.col("o_orderdate") >= F.date_sub(F.col("maxd"), 60))
+        ).alias("touched"),
+    )
+    files = filed.groupBy("fid").agg(
+        (F.count("*") * 128).alias("bytes"),
+        F.sum(F.when(F.col("touched"), 1).otherwise(0)).alias("n_upd"),
+    )
+    tot = files.agg(
+        F.sum(F.when(F.col("n_upd") > 0, 1).otherwise(0))
+        .alias("files_touched"),
+        F.sum(F.when(F.col("n_upd") > 0, F.col("bytes")).otherwise(0))
+        .alias("cow_bytes"),
+        F.sum("n_upd").alias("n_updates"),
+    )
+    strategies = spark.range(1).select(
+        F.explode(
+            F.array(F.lit("copy_on_write"), F.lit("merge_on_read"))
+        ).alias("strategy")
+    )
+    return (
+        tot.crossJoin(F.broadcast(strategies))
+        .select(
+            "strategy",
+            F.col("files_touched").cast("long").alias("n_files_touched"),
+            F.when(
+                F.col("strategy") == "copy_on_write", F.col("cow_bytes")
+            )
+            .otherwise(F.col("n_updates") * 144)
+            .cast("long")
+            .alias("bytes_written"),
+            F.when(
+                F.col("strategy") == "copy_on_write",
+                F.expr("cow_bytes * 1000000 div (n_updates * 128)"),
+            )
+            .otherwise(
+                F.expr("(n_updates * 144) * 1000000 div (n_updates * 128)")
+            )
+            .cast("long")
+            .alias("write_amp_ppm"),
+        )
+        .orderBy("strategy")
+    )

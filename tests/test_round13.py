@@ -852,3 +852,18 @@ def test_largest_remainder_sums_exactly(spark):
     by_rev = sorted(rows, key=lambda r: (-r["revenue_cents"], r["nation"]))
     for a, b in zip(by_rev, by_rev[1:]):
         assert a["bps_final"] >= b["bps_final"] - 1  # floor ties can flip by 1
+
+
+def test_cow_vs_mor_amplification_contrast(spark):
+    """MoR write amplification is the constant 144/128 = 1.125x by
+    construction; CoW must be strictly larger (it rewrites whole files
+    for partial updates) — the contrast that picks the strategy."""
+    rows = {
+        r["strategy"]: r
+        for r in registry.QUERIES["s_cow_vs_mor"](spark, _SF).collect()
+    }
+    mor, cow = rows["merge_on_read"], rows["copy_on_write"]
+    assert mor["write_amp_ppm"] == 1125000
+    assert cow["write_amp_ppm"] > mor["write_amp_ppm"]
+    assert cow["n_files_touched"] == mor["n_files_touched"] > 0
+    assert cow["bytes_written"] > mor["bytes_written"]
