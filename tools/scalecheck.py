@@ -233,6 +233,10 @@ RELATIONAL_LINEAR_KEYS = {
     # broadcast top-1 serve + catalog-bounded exposure ranking
     "w_rolling_ols": "orders",  # round 13 s2: (segment, day) grain
     # saturates at segments x calendar; five BIGINT frame sums
+    "s_cow_vs_mor": "orders",  # round 13 s2: one manifest pass + CASE
+    # arithmetic on a 1-row totals frame — metadata-only
+    "q_largest_remainder": "lineitem",  # round 13 s2: 3-join revenue
+    # rollup is the only data-sized work; quota math on 25 nations
     "s_clustering_depth": "lineitem",  # round 13 s2: one manifest-shaped
     # groupBy over the scan; audit joins on the 32-row stats frame
     "s_snapshot_expiry": "orders",  # round 13 s2: manifest groupBy +
