@@ -2131,3 +2131,188 @@ def s_cow_vs_mor(spark, sf_dir):
         )
         .orderBy("strategy")
     )
+
+
+# DuckDB replica of Spark's conv(substring(md5(x),1,8),16,10) — positional
+# hex arithmetic (DuckDB has no conv(); same idiom as llm/dedup._DUCK_H32).
+_BLOOM_H32 = """
+    CAST(list_sum(list_transform(range(1, 9),
+        j -> (strpos('0123456789abcdef',
+                     substring(md5(CAST(k AS VARCHAR) || ':'
+                               || CAST(seed AS VARCHAR)), j, 1)) - 1)
+             * 16 ** (8 - j))) AS BIGINT)
+"""
+
+
+@register(
+    "s_bloom_skip_index",
+    f"""
+    WITH fk AS (
+        SELECT DISTINCT year(o_orderdate) * 12 + month(o_orderdate) AS fid,
+               o_custkey AS k
+        FROM orders
+    ),
+    seeds AS (SELECT unnest(range(1, 3)) AS seed),
+    ms AS (SELECT * FROM (VALUES (256), (1024), (4096)) AS t(m)),
+    fh AS (SELECT fid, {_BLOOM_H32} AS h32 FROM fk CROSS JOIN seeds),
+    fbits AS (SELECT DISTINCT m, fid, h32 % m AS bit
+              FROM fh CROSS JOIN ms),
+    q AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 199 = 0),
+    qh AS (SELECT k, {_BLOOM_H32} AS h32 FROM q CROSS JOIN seeds),
+    qbits AS (SELECT DISTINCT m, k AS qk, h32 % m AS bit
+              FROM qh CROSS JOIN ms),
+    qn AS (SELECT m, qk, CAST(count(*) AS BIGINT) AS nq
+           FROM qbits GROUP BY 1, 2),
+    hits AS (SELECT qb.m, qb.qk, fb.fid, CAST(count(*) AS BIGINT) AS got
+             FROM qbits qb JOIN fbits fb
+               ON fb.m = qb.m AND fb.bit = qb.bit
+             GROUP BY 1, 2, 3),
+    pos AS (SELECT h.m, CAST(count(*) AS BIGINT) AS n_bloom_pos
+            FROM hits h JOIN qn ON qn.m = h.m AND qn.qk = h.qk
+            WHERE h.got = qn.nq GROUP BY 1),
+    actual AS (SELECT CAST(count(*) AS BIGINT) AS na FROM (
+        SELECT DISTINCT fk.fid, fk.k FROM fk JOIN q ON q.k = fk.k)),
+    zone AS (SELECT fid, min(k) AS lo, max(k) AS hi FROM fk GROUP BY fid),
+    zpos AS (SELECT CAST(count(*) AS BIGINT) AS nz
+             FROM q CROSS JOIN zone WHERE q.k BETWEEN zone.lo AND zone.hi),
+    scal AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS nq_tot,
+                    (SELECT CAST(count(DISTINCT fid) AS BIGINT) FROM fk)
+                        AS nf)
+    SELECT CAST(ms.m AS BIGINT) AS m_bits, scal.nf AS n_files,
+           scal.nq_tot AS n_queries, scal.nq_tot * scal.nf AS n_probes,
+           actual.na AS n_actual, pos.n_bloom_pos,
+           pos.n_bloom_pos - actual.na AS n_false_pos,
+           (pos.n_bloom_pos - actual.na) * 1000000
+               // greatest(scal.nq_tot * scal.nf - actual.na, 1) AS fp_ppm,
+           (scal.nq_tot * scal.nf - pos.n_bloom_pos) * 1000000
+               // greatest(scal.nq_tot * scal.nf, 1) AS skip_ppm,
+           zpos.nz AS n_zonemap_pos
+    FROM ms JOIN pos ON pos.m = ms.m
+    CROSS JOIN actual CROSS JOIN zpos CROSS JOIN scal
+    ORDER BY m_bits
+    """,
+)
+def s_bloom_skip_index(spark, sf_dir):
+    """File-level Bloom-filter data skipping — the index zonemaps cannot
+    be for point lookups on an UNSORTED key: orders live in monthly
+    files, each file carries a k=2-hash Bloom filter over its distinct
+    custkeys (bits = md5(key:seed) % m, engine-portable), and a
+    point-lookup workload (every 199th customer, including ones with
+    no orders at all) probes every (query, file) pair.  A probe scans
+    the file only if BOTH its bits are set.  The three m tiers show
+    the sizing curve that Parquet/Iceberg bloom writers tune: m=256
+    saturates (every bit set -> ~0 skipping, the undersized-filter
+    failure), m=4096 approaches the theoretical fp rate, while the
+    zonemap column sits near all-scan throughout because uniform keys
+    make every file's [min,max] span the whole domain.
+
+    Bloom filters never produce false negatives (a contained key's
+    bits are set by construction — pytest-pinned: n_bloom_pos >=
+    n_actual per tier, and fp_ppm is monotone non-increasing in m).
+
+    Scale: the filter build is one distinct + hash pass over (file,
+    key) pairs — map-side, linear, exactly how Parquet writes bloom
+    pages; probing is an equi-join on (m, bit) against a bit set whose
+    size is bounded by m per file.  At 100 TB this is metadata-scale
+    work deciding data-scale I/O: n_probes * skip_ppm is the read
+    volume the index deletes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    fk = orders.select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("fid"),
+        F.col("o_custkey").alias("k"),
+    ).distinct()
+    seeds = spark.range(1, 3).select(F.col("id").alias("seed"))
+    ms = spark.range(1).select(
+        F.explode(F.array(F.lit(256), F.lit(1024), F.lit(4096))).alias("m")
+    )
+
+    def h32(df):
+        return df.select(
+            df.columns[0],
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", "k", "seed")), 1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h32"),
+        )
+
+    fh = h32(
+        fk.crossJoin(F.broadcast(seeds)).select("fid", "k", "seed")
+    )
+    fbits = (
+        fh.crossJoin(F.broadcast(ms))
+        .select("m", "fid", (F.col("h32") % F.col("m")).alias("bit"))
+        .distinct()
+    )
+    q = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 199 == 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    qh = h32(q.crossJoin(F.broadcast(seeds)).select("k", "seed"))
+    qbits = (
+        qh.withColumnRenamed("k", "qk")
+        .crossJoin(F.broadcast(ms))
+        .select("m", "qk", (F.col("h32") % F.col("m")).alias("bit"))
+        .distinct()
+    )
+    qn = qbits.groupBy("m", "qk").agg(F.count("*").cast("long").alias("nq"))
+    hits = (
+        qbits.join(fbits, ["m", "bit"])
+        .groupBy("m", "qk", "fid")
+        .agg(F.count("*").cast("long").alias("got"))
+    )
+    pos = (
+        hits.join(qn, ["m", "qk"])
+        .where(F.col("got") == F.col("nq"))
+        .groupBy("m")
+        .agg(F.count("*").cast("long").alias("n_bloom_pos"))
+    )
+    actual = (
+        fk.join(q, "k")
+        .select("fid", "k")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("na"))
+    )
+    zone = fk.groupBy("fid").agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+    zpos = (
+        q.crossJoin(zone)
+        .where(F.col("k").between(F.col("lo"), F.col("hi")))
+        .agg(F.count("*").cast("long").alias("nz"))
+    )
+    scal = q.agg(F.count("*").cast("long").alias("nq_tot")).crossJoin(
+        F.broadcast(
+            fk.select("fid").distinct().agg(F.count("*").cast("long").alias("nf"))
+        )
+    )
+    return (
+        pos.crossJoin(F.broadcast(actual))
+        .crossJoin(F.broadcast(zpos))
+        .crossJoin(F.broadcast(scal))
+        .select(
+            F.col("m").cast("long").alias("m_bits"),
+            F.col("nf").alias("n_files"),
+            F.col("nq_tot").alias("n_queries"),
+            (F.col("nq_tot") * F.col("nf")).alias("n_probes"),
+            F.col("na").alias("n_actual"),
+            "n_bloom_pos",
+            (F.col("n_bloom_pos") - F.col("na")).alias("n_false_pos"),
+            F.expr(
+                "(n_bloom_pos - na) * 1000000"
+                " div greatest(nq_tot * nf - na, 1)"
+            )
+            .cast("long")
+            .alias("fp_ppm"),
+            F.expr(
+                "(nq_tot * nf - n_bloom_pos) * 1000000"
+                " div greatest(nq_tot * nf, 1)"
+            )
+            .cast("long")
+            .alias("skip_ppm"),
+            F.col("nz").alias("n_zonemap_pos"),
+        )
+        .orderBy("m_bits")
+    )
