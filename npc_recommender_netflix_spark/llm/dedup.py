@@ -2092,7 +2092,7 @@ def t_prefix_filter_join(spark, sf_dir):
     pref = (
         ranked.join(sizes, "doc_id")
         .where(F.col("rn") <= F.expr("n - (n + 1) div 2 + 1"))
-        .select("doc_id", "s")
+        .select("doc_id", "s", "n")
     )
     a, b = sh.alias("a"), sh.alias("b")
     pair_cond = (F.col("a.s") == F.col("b.s")) & (
@@ -2102,15 +2102,18 @@ def t_prefix_filter_join(spark, sf_dir):
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     cand_pref = (
-        pa.join(pb, pair_cond)
+        pa.join(
+            pb,
+            pair_cond
+            # length filter BEFORE the distinct: prunes size-incompatible
+            # pairs while they are still join output, not a shuffled set
+            & (2 * F.least("a.n", "b.n") >= F.greatest("a.n", "b.n")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
-        .where(2 * F.least("na", "nb") >= F.greatest("na", "nb"))
-        .select("doc_a", "doc_b")
+        .cache()  # consumed by the census count AND the verp semi-join
     )
     inter = (
         a.join(b, pair_cond)

@@ -4548,3 +4548,137 @@ def t_l_diversity(spark, sf_dir):
         .cast("long").alias("n_rows_at_risk"),
         (F.round(F.min("entropy_l"), 6) + F.lit(0.0)).alias("min_entropy_l"),
     )
+
+
+@register(
+    "t_rake_keywords",
+    r"""
+    WITH w AS (
+        SELECT doc_id, i AS pos, wd[i] AS word
+        FROM (SELECT doc_id, wd, unnest(range(1, len(wd) + 1)) AS i
+              FROM (SELECT doc_id,
+                           string_split_regex(lower(text), '\s+') AS wd
+                    FROM documents))
+    ),
+    s AS (
+        SELECT doc_id, pos, word,
+               word IN ('a','the','and','of','to','in','is','on','for','as')
+                   AS stop,
+               sum(CASE WHEN word IN ('a','the','and','of','to','in','is',
+                                      'on','for','as')
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM w
+    ),
+    kept AS (
+        SELECT doc_id, grp, pos, word,
+               count(*) OVER (PARTITION BY doc_id, grp) AS plen
+        FROM s WHERE NOT stop
+    ),
+    phr AS (
+        SELECT doc_id, grp, string_agg(word, ' ' ORDER BY pos) AS phrase
+        FROM kept WHERE plen <= 6 GROUP BY doc_id, grp
+    ),
+    wstat AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(plen) AS BIGINT) AS deg
+        FROM kept WHERE plen <= 6 GROUP BY word
+    ),
+    phr2 AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM phr GROUP BY phrase
+    ),
+    pw AS (
+        SELECT p.phrase, p.n_occurrences, pwd.word
+        FROM (SELECT phrase, n_occurrences,
+                     string_split(phrase, ' ') AS wds
+              FROM phr2) p, unnest(p.wds) AS pwd(word)
+    )
+    SELECT pw.phrase,
+           CAST(count(*) AS BIGINT) AS n_words,
+           pw.n_occurrences,
+           round(sum(wstat.deg * 1.0 / wstat.freq), 6) + 0 AS rake_score
+    FROM pw JOIN wstat ON wstat.word = pw.word
+    GROUP BY pw.phrase, pw.n_occurrences
+    ORDER BY rake_score DESC, phrase
+    LIMIT 15
+    """,
+)
+def t_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010) — the zero-model
+    keyphrase baseline every corpus triage starts with: candidate
+    phrases are maximal stopword-free word runs (capped at 6 words,
+    the standard implementation limit), each word scores
+    degree/frequency where degree = sum of the lengths of the phrases
+    containing it (words keeping long-phrase company score high,
+    ubiquitous solo words score low), and a phrase scores the sum of
+    its member words' scores.  Top-15 by score with the phrase text
+    as deterministic tiebreak.
+
+    Scale: two narrow shuffles — the per-document island window
+    (doc_id-partitioned, the sessionize pattern on token streams) and
+    one word-stats groupBy whose cardinality is the VOCABULARY, not
+    the corpus; phrase scoring re-splits the distinct phrase strings
+    (corpus-independent grain) and joins the vocabulary-sized stats
+    broadcast-style.  No N^2 anywhere; the whole plan is linear in
+    tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stops = ["a", "the", "and", "of", "to", "in", "is", "on", "for", "as"]
+    w = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "word"),
+    )
+    s = w.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.col("word").isin(stops).alias("stop"),
+        F.sum(F.when(F.col("word").isin(stops), 1).otherwise(0))
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("grp"),
+    )
+    kept = (
+        s.where(~F.col("stop"))
+        .withColumn(
+            "plen",
+            F.count("*").over(Window.partitionBy("doc_id", "grp")),
+        )
+        .where(F.col("plen") <= 6)
+        # feeds the phrase assembly AND the word-stats census
+        .cache()
+    )
+    phr = kept.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "word"))
+                ),
+                lambda x: x["word"],
+            ),
+        ).alias("phrase")
+    )
+    wstat = kept.groupBy("word").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    phr2 = phr.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    pw = phr2.select(
+        "phrase",
+        "n_occurrences",
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    return (
+        pw.join(F.broadcast(wstat), "word")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            f6(F.sum(F.col("deg") * 1.0 / F.col("freq"))).alias("rake_score"),
+        )
+        .select("phrase", "n_words", "n_occurrences", "rake_score")
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(15)
+    )

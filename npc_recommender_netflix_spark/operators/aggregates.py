@@ -9351,3 +9351,128 @@ def a_hll_window_merge(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "a_brier_decomposition",
+    """
+    WITH ret AS (
+        SELECT l_orderkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    scored AS (
+        SELECT round(percent_rank() OVER (
+                   PARTITION BY year(o_orderdate) * 12 + month(o_orderdate)
+                   ORDER BY o_totalprice, o_orderkey), 1) AS p,
+               ret.y
+        FROM orders JOIN ret ON ret.l_orderkey = o_orderkey
+    ),
+    g AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS nk, avg(y) AS ybar_k,
+               sum((p - y) * (p - y)) AS sq
+        FROM scored GROUP BY p
+    ),
+    tot AS (
+        SELECT CAST(sum(nk) AS BIGINT) AS n,
+               sum(nk * ybar_k) / sum(nk) AS ybar,
+               sum(sq) / sum(nk) AS brier
+        FROM g
+    )
+    SELECT tot.n, round(tot.brier, 6) + 0 AS brier,
+           round(sum(g.nk * (g.p - g.ybar_k) * (g.p - g.ybar_k)) / tot.n, 6)
+               + 0 AS reliability,
+           round(sum(g.nk * (g.ybar_k - tot.ybar) * (g.ybar_k - tot.ybar))
+                 / tot.n, 6) + 0 AS resolution,
+           round(tot.ybar * (1 - tot.ybar), 6) + 0 AS uncertainty,
+           round(tot.brier
+                 - (sum(g.nk * (g.p - g.ybar_k) * (g.p - g.ybar_k)) / tot.n
+                    - sum(g.nk * (g.ybar_k - tot.ybar)
+                          * (g.ybar_k - tot.ybar)) / tot.n
+                    + tot.ybar * (1 - tot.ybar)), 9) + 0 AS identity_gap
+    FROM g CROSS JOIN tot
+    GROUP BY tot.n, tot.ybar, tot.brier
+    """,
+)
+def a_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score (Murphy 1973):
+    brier = reliability - resolution + uncertainty, over a 11-bin
+    forecaster (p = an order's within-month total-price percent rank,
+    rounded to 0.1) predicting a binary outcome (the order contains a
+    returned lineitem).  The decomposition is what a raw Brier score
+    hides: this forecaster is roughly CALIBRATED (low reliability —
+    bin means track bin forecasts about as well as chance allows) yet
+    UNINFORMATIVE (resolution ~= 0 — every bin's outcome rate sits at
+    the base rate), so its Brier rides ~entirely on the outcome's
+    irreducible uncertainty ybar*(1-ybar).  identity_gap pins the
+    algebraic identity at 9dp as an in-row self-audit — the
+    within-bin-constant-forecast condition that makes Murphy exact
+    holds by construction (p IS the bin).
+
+    Scale: one window rank over orders (month-partitioned), one
+    groupBy on 11 forecast bins, then 1-row arithmetic — the grouped
+    frame is 11 rows regardless of data size, so the decomposition
+    costs one shuffle more than the Brier score itself.
+    """
+    ret = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy(
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).orderBy("o_totalprice", "o_orderkey")
+    scored = (
+        orders.join(ret, orders.o_orderkey == ret.l_orderkey)
+        .select(F.round(F.percent_rank().over(w), 1).alias("p"), "y")
+    )
+    g = scored.groupBy("p").agg(
+        F.count("*").cast("long").alias("nk"),
+        F.avg("y").alias("ybar_k"),
+        F.sum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
+            "sq"
+        ),
+    )
+    tot = g.agg(
+        F.sum("nk").cast("long").alias("n"),
+        (F.sum(F.col("nk") * F.col("ybar_k")) / F.sum("nk")).alias("ybar"),
+        (F.sum("sq") / F.sum("nk")).alias("brier"),
+    )
+    rel = F.sum(
+        F.col("nk") * (F.col("p") - F.col("ybar_k")) * (F.col("p") - F.col("ybar_k"))
+    ) / F.first("n")
+    res = F.sum(
+        F.col("nk")
+        * (F.col("ybar_k") - F.col("ybar"))
+        * (F.col("ybar_k") - F.col("ybar"))
+    ) / F.first("n")
+    unc = F.first("ybar") * (1 - F.first("ybar"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n", "ybar", "brier")
+        .agg(
+            rel.alias("rel_raw"),
+            res.alias("res_raw"),
+        )
+        .select(
+            "n",
+            f6(F.col("brier")).alias("brier"),
+            f6(F.col("rel_raw")).alias("reliability"),
+            f6(F.col("res_raw")).alias("resolution"),
+            f6(F.col("ybar") * (1 - F.col("ybar"))).alias("uncertainty"),
+            F.round(
+                F.col("brier")
+                - (
+                    F.col("rel_raw")
+                    - F.col("res_raw")
+                    + F.col("ybar") * (1 - F.col("ybar"))
+                ),
+                9,
+            ).alias("identity_gap"),
+        )
+    )

@@ -1103,3 +1103,107 @@ def r_modularity(spark, sf_dir):
         )
         .orderBy("community")
     )
+
+
+@register(
+    "r_clustering_coeff",
+    """
+    WITH m AS (
+        SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_partkey < 200
+    ),
+    e AS (
+        SELECT a.item_id AS s, b.item_id AS d
+        FROM m a JOIN m b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ),
+    sym AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
+    deg AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY s),
+    wedge AS (SELECT e1.s AS v, e1.d AS a, e2.d AS b
+              FROM sym e1 JOIN sym e2
+                ON e1.s = e2.s AND e1.d < e2.d),
+    closed AS (SELECT w.v, CAST(count(*) AS BIGINT) AS n_closed
+               FROM wedge w JOIN e ON e.s = w.a AND e.d = w.b
+               GROUP BY w.v)
+    SELECT deg.v AS item_id, deg.degree,
+           coalesce(closed.n_closed, 0) AS n_closed,
+           round(coalesce(closed.n_closed, 0) * 2.0
+                 / (deg.degree * (deg.degree - 1)), 6) + 0 AS lcc
+    FROM deg LEFT JOIN closed ON closed.v = deg.v
+    WHERE deg.degree >= 2
+    ORDER BY item_id
+    """,
+)
+def r_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per item on the support->=3
+    co-purchase graph (same sparsified edge set as r_triangle_count):
+    lcc(v) = closed wedges / all wedges = 2*T(v) / (d(v)*(d(v)-1)).
+    The neighborhood-density number community detection, link
+    prediction, and "ecosystem vs hub" item classification read —
+    a high-degree item with low lcc is a generic staple bridging
+    categories; high lcc marks a dense accessory cluster.
+
+    Scale: the canonical-order trick again — wedges are enumerated
+    once per unordered neighbor pair (e1.d < e2.d over the SYMMETRIC
+    edge list, so every wedge at v appears exactly once), then closed
+    by one equi-join against the canonical (s < d) edge set.  Wedge
+    count is sum(d^2) over nodes, the quantity the support>=3
+    sparsification bounds BEFORE the join (the same degeneracy knob
+    production triangle counting uses); degree census and the final
+    ratio are map-side arithmetic.  Zero floats until the final 6dp
+    ratio of exact BIGINTs.
+    """
+    m = (
+        ratings_matrix(spark, sf_dir, max_item=200)
+        .select("user_id", "item_id")
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(F.col("a.item_id").alias("s"), F.col("b.item_id").alias("d"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 3)
+        .select("s", "d")
+        # one materialization feeds sym (x2), deg, wedge (x2), closed
+        .cache()
+    )
+    sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    deg = sym.groupBy(F.col("s").alias("v")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    e1, e2 = sym.alias("e1"), sym.alias("e2")
+    wedge = e1.join(
+        e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.d") < F.col("e2.d"))
+    ).select(
+        F.col("e1.s").alias("v"), F.col("e1.d").alias("a"),
+        F.col("e2.d").alias("b"),
+    )
+    closed = (
+        wedge.join(
+            e, (F.col("a") == F.col("s")) & (F.col("b") == F.col("d"))
+        )
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("n_closed"))
+    )
+    nc = F.coalesce(F.col("n_closed"), F.lit(0)).cast("long")
+    return (
+        deg.join(closed, "v", "left")
+        .where(F.col("degree") >= 2)
+        .select(
+            F.col("v").alias("item_id"),
+            "degree",
+            nc.alias("n_closed"),
+            f6(nc * 2.0 / (F.col("degree") * (F.col("degree") - 1))).alias(
+                "lcc"
+            ),
+        )
+        .orderBy("item_id")
+    )

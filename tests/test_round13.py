@@ -912,3 +912,80 @@ def test_bloom_skip_index_no_false_negatives(spark):
     big = rows[-1]
     assert big["skip_ppm"] > 500000
     assert big["n_zonemap_pos"] >= big["n_actual"]
+
+
+def test_clustering_coeff_against_bruteforce(spark):
+    """Exact replica in pure Python: rebuild the support>=3 co-purchase
+    edge set at sf0.001 and recompute every node's lcc from first
+    principles (neighbor-pair membership test)."""
+    rows = registry.QUERIES["r_clustering_coeff"](spark, _SF).collect()
+    from collections import defaultdict
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{_SF}/{t}.parquet')"
+        )
+    edges = con.execute(
+        """
+        WITH m AS (SELECT DISTINCT o_custkey u, l_partkey i
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                   WHERE l_partkey < 200)
+        SELECT a.i, b.i FROM m a JOIN m b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        """
+    ).fetchall()
+    nbrs = defaultdict(set)
+    eset = set()
+    for s, d in edges:
+        nbrs[s].add(d), nbrs[d].add(s)
+        eset.add((s, d))
+    assert rows, "sf0.001 graph produced no d>=2 nodes"
+    for r in rows:
+        ns = sorted(nbrs[r["item_id"]])
+        assert r["degree"] == len(ns) >= 2
+        closed = sum(
+            1
+            for x in range(len(ns))
+            for y in range(x + 1, len(ns))
+            if (min(ns[x], ns[y]), max(ns[x], ns[y])) in eset
+        )
+        assert r["n_closed"] == closed
+        expect = closed * 2.0 / (len(ns) * (len(ns) - 1))
+        assert abs(r["lcc"] - expect) < 5e-7
+        assert 0.0 <= r["lcc"] <= 1.0
+
+
+def test_brier_decomposition_identity(spark):
+    """Murphy identity holds exactly (gap pinned at 9dp == 0), the
+    resolution never exceeds the uncertainty (a theorem), and the
+    uninformative forecaster rides on the base rate."""
+    r = registry.QUERIES["a_brier_decomposition"](spark, _SF).collect()[0]
+    assert r["identity_gap"] == 0.0
+    assert 0.0 <= r["resolution"] <= r["uncertainty"] <= 0.25
+    assert r["reliability"] >= 0.0
+    assert r["brier"] >= 0.0
+    assert r["n"] > 0
+    assert (
+        abs(r["brier"] - (r["reliability"] - r["resolution"] + r["uncertainty"]))
+        < 5e-6
+    )
+
+
+def test_rake_keywords_score_floor(spark):
+    """RAKE invariants: every word's score deg/freq >= 1 (a word's
+    degree counts itself once per occurrence), so a phrase's score is
+    at least its word count; phrases respect the 6-word cap and the
+    n_words column matches the phrase text."""
+    rows = registry.QUERIES["t_rake_keywords"](spark, _SF).collect()
+    assert 0 < len(rows) <= 15
+    for r in rows:
+        assert 1 <= r["n_words"] <= 6
+        assert r["n_words"] == len(r["phrase"].split(" "))
+        assert r["rake_score"] >= r["n_words"] - 5e-7
+        assert r["n_occurrences"] >= 1
+    scores = [r["rake_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
