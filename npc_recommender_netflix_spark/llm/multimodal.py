@@ -1944,3 +1944,175 @@ def m_webdataset_shards(spark, sf_dir):
             F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
+
+
+@register(
+    "m_audio_vad",
+    """
+    WITH spec AS (
+        SELECT doc_id, (doc_id % 50) + 20 AS n FROM documents
+    ),
+    fr AS (
+        SELECT s.doc_id, g.f,
+               CAST(list_sum(list_transform(range(0, 10),
+                   k -> abs(((s.doc_id * 31 + (10 * g.f + k) * 17) % 65536)
+                            - 32768))) AS BIGINT) AS fsum
+        FROM spec s, generate_series(0, 6) AS g(f)
+        WHERE g.f < s.n // 10
+    ),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(fsum) AS BIGINT) AS total
+        FROM fr GROUP BY 1
+    ),
+    v AS (
+        SELECT fr.doc_id, fr.f
+        FROM fr JOIN tot ON tot.doc_id = fr.doc_id
+        WHERE fr.fsum * tot.n_frames > tot.total
+    ),
+    isl AS (
+        SELECT doc_id,
+               f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+        FROM v
+    ),
+    seg AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS len
+        FROM isl GROUP BY 1, 2
+    ),
+    segagg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(max(len) AS BIGINT) AS max_segment_frames,
+               CAST(sum(len) AS BIGINT) AS n_voiced
+        FROM seg GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_frames,
+           coalesce(sa.n_voiced, 0) AS n_voiced,
+           coalesce(sa.n_segments, 0) AS n_segments,
+           coalesce(sa.max_segment_frames, 0) AS max_segment_frames
+    FROM tot t LEFT JOIN segagg sa ON sa.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def m_audio_vad(spark, sf_dir):
+    """Energy-based voice-activity detection over REAL decoded audio:
+    the m_wav_decode RIFF round-trip (genuine header + PCM16 frames)
+    feeds a frame-energy stage — 10-sample frames, energy = sum |pcm|
+    as an exact BIGINT — and a frame is 'voiced' when its energy
+    strictly exceeds the document's mean frame energy (the integer
+    cross-multiply fsum * n_frames > total keeps the threshold
+    float-free).  Voiced runs become segments via the sessionize
+    island trick (frame_idx - row_number), yielding the per-document
+    census every speech pipeline starts with: voiced frames, segment
+    count, longest segment.
+
+    The Spark side decodes REAL bytes (chunk-walking RIFF parser, the
+    m_wav_decode stage, emitting per-frame rows from numpy-reshaped
+    PCM); the oracle recomputes the same census from the generator
+    formula — a flipped payload byte changes frame sums and fails the
+    hash.  Trailing sub-10-sample partials are dropped on both sides
+    (decoders frame on fixed hops; the remainder never fills a hop).
+
+    Scale: payload bytes never shuffle — synth, parse, and framing are
+    one mapInPandas chain partitioned by doc; only the (doc, frame,
+    energy) rows (a ~10x reduction of the PCM) enter the exchange for
+    the island windows.  With real ingested audio the synth stage is
+    the blob-store scan and everything downstream is unchanged.
+    """
+    import struct
+
+    import numpy as np
+
+    def synth_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # identical RIFF writer to m_wav_decode (real container bytes)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = (d % 50) + 20
+                rate = 8000 + (d % 3) * 4000
+                samples = (
+                    (d * 31 + np.arange(n) * 17) % 65536 - 32768
+                ).astype("<i2")
+                data = samples.tobytes()
+                hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                fmt = b"fmt " + struct.pack(
+                    "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
+                )
+                payloads.append(
+                    hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def frame_energies(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        # real RIFF chunk walk -> PCM16 -> 10-sample frame |sum| census
+        for pdf in batches:
+            doc_ids, fidx, fsums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                assert buf[0:4] == b"RIFF" and buf[8:12] == b"WAVE"
+                pos, data = 12, None
+                while pos + 8 <= len(buf):
+                    cid = buf[pos: pos + 4]
+                    (clen,) = struct.unpack("<I", buf[pos + 4: pos + 8])
+                    if cid == b"data":
+                        data = buf[pos + 8: pos + 8 + clen]
+                    pos += 8 + clen + (clen & 1)
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                nf = len(samples) // 10
+                if nf == 0:
+                    continue
+                sums = (
+                    np.abs(samples[: nf * 10]).reshape(nf, 10).sum(axis=1)
+                )
+                doc_ids.extend([int(doc_id)] * nf)
+                fidx.extend(range(nf))
+                fsums.extend(int(x) for x in sums)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "f": fidx, "fsum": fsums}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wav = docs.mapInPandas(synth_wav, schema="doc_id long, payload binary")
+    fr = wav.mapInPandas(
+        frame_energies, schema="doc_id long, f long, fsum long"
+    ).cache()  # two consumers (tot, v) must not re-run the Arrow decode
+    tot = fr.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("fsum").cast("long").alias("total"),
+    )
+    v = fr.join(tot, "doc_id").where(
+        F.col("fsum") * F.col("n_frames") > F.col("total")
+    )
+    isl = v.select(
+        "doc_id",
+        (
+            F.col("f")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("f")
+            )
+        ).alias("g"),
+    )
+    seg = isl.groupBy("doc_id", "g").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    segagg = seg.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.max("len").cast("long").alias("max_segment_frames"),
+        F.sum("len").cast("long").alias("n_voiced"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        tot.join(segagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.coalesce(F.col("n_voiced"), z).alias("n_voiced"),
+            F.coalesce(F.col("n_segments"), z).alias("n_segments"),
+            F.coalesce(F.col("max_segment_frames"), z).alias(
+                "max_segment_frames"
+            ),
+        )
+        .orderBy("doc_id")
+    )

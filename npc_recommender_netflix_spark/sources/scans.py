@@ -2316,3 +2316,144 @@ def s_bloom_skip_index(spark, sf_dir):
         )
         .orderBy("m_bits")
     )
+
+
+@register(
+    "s_partition_evolution",
+    """
+    WITH bounds AS (
+        SELECT DATE '1996-11-15' AS lo, DATE '1997-02-15' AS hi,
+               DATE '1997-01-01' AS cutover
+    ),
+    legacy_files AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS fid,
+               CAST(count(*) AS BIGINT) AS rows_in,
+               CAST(sum(CASE WHEN o_orderdate BETWEEN
+                        (SELECT lo FROM bounds) AND (SELECT hi FROM bounds)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_hit
+        FROM orders WHERE o_orderdate < (SELECT cutover FROM bounds)
+        GROUP BY 1
+    ),
+    daily_files AS (
+        SELECT o_orderdate AS fid,
+               CAST(count(*) AS BIGINT) AS rows_in,
+               CAST(sum(CASE WHEN o_orderdate BETWEEN
+                        (SELECT lo FROM bounds) AND (SELECT hi FROM bounds)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_hit
+        FROM orders WHERE o_orderdate >= (SELECT cutover FROM bounds)
+        GROUP BY 1
+    ),
+    leg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_files,
+               CAST(coalesce(sum(rows_in), 0) AS BIGINT) AS rows_scanned,
+               CAST(coalesce(sum(rows_hit), 0) AS BIGINT) AS rows_matched
+        FROM legacy_files, bounds
+        WHERE fid BETWEEN year(bounds.lo) * 12 + month(bounds.lo)
+                      AND year(bounds.hi) * 12 + month(bounds.hi)
+    ),
+    day AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_files,
+               CAST(coalesce(sum(rows_in), 0) AS BIGINT) AS rows_scanned,
+               CAST(coalesce(sum(rows_hit), 0) AS BIGINT) AS rows_matched
+        FROM daily_files, bounds
+        WHERE fid BETWEEN bounds.lo AND bounds.hi
+    )
+    SELECT spec, n_files, rows_scanned, rows_matched,
+           rows_scanned * 1000000 // greatest(rows_matched, 1) AS read_amp_ppm
+    FROM (
+        SELECT 'legacy_monthly' AS spec, * FROM leg
+        UNION ALL
+        SELECT 'evolved_daily', * FROM day
+        UNION ALL
+        SELECT 'combined', leg.n_files + day.n_files,
+               leg.rows_scanned + day.rows_scanned,
+               leg.rows_matched + day.rows_matched
+        FROM leg, day
+    )
+    ORDER BY spec
+    """,
+)
+def s_partition_evolution(spark, sf_dir):
+    """Partition-spec evolution (the Iceberg v2 design point): a table
+    partitioned by MONTH until the 1997-01-01 cutover and by DAY after
+    it, planned for one date-range query that spans the boundary.  The
+    planner must union two manifests — legacy files are selected by
+    month-range overlap (coarse: the 1996-11 file is scanned for a
+    half-month of matches), evolved files by exact day match (read
+    amplification 1.0x by construction).  The per-spec census — files,
+    rows scanned, rows matched, read_amp_ppm — is the number that
+    justifies (or defers) a rewrite of historical data into the new
+    spec: amplification lives ONLY in the legacy arm's range edges,
+    so rewriting old months buys exactly (legacy read_amp - 1) of
+    scan I/O and nothing else.
+
+    Scale: pure manifest arithmetic — two partition-key groupBys and
+    file-count sums; no data is moved.  This is the decision table
+    behind `ALTER TABLE ... SET PARTITION SPEC`: evolution is free at
+    write time (new files only), and this census prices the read-side
+    debt it leaves behind.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lo, hi, cut = "1996-11-15", "1997-02-15", "1997-01-01"
+    hit = F.sum(
+        F.when(F.col("o_orderdate").between(lo, hi), 1).otherwise(0)
+    ).cast("long")
+    legacy = (
+        orders.where(F.col("o_orderdate") < cut)
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("fid")
+        )
+        .agg(F.count("*").cast("long").alias("rows_in"), hit.alias("rows_hit"))
+        .where(
+            F.col("fid").between(1996 * 12 + 11, 1997 * 12 + 2)
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.coalesce(F.sum("rows_in"), F.lit(0)).cast("long").alias(
+                "rows_scanned"
+            ),
+            F.coalesce(F.sum("rows_hit"), F.lit(0)).cast("long").alias(
+                "rows_matched"
+            ),
+        )
+    )
+    daily = (
+        orders.where(F.col("o_orderdate") >= cut)
+        .groupBy(F.col("o_orderdate").alias("fid"))
+        .agg(F.count("*").cast("long").alias("rows_in"), hit.alias("rows_hit"))
+        .where(F.col("fid").between(lo, hi))
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.coalesce(F.sum("rows_in"), F.lit(0)).cast("long").alias(
+                "rows_scanned"
+            ),
+            F.coalesce(F.sum("rows_hit"), F.lit(0)).cast("long").alias(
+                "rows_matched"
+            ),
+        )
+    )
+    leg, day = legacy.alias("leg"), daily.alias("day")
+    combined = leg.crossJoin(F.broadcast(day)).select(
+        F.lit("combined").alias("spec"),
+        (F.col("leg.n_files") + F.col("day.n_files")).alias("n_files"),
+        (F.col("leg.rows_scanned") + F.col("day.rows_scanned")).alias(
+            "rows_scanned"
+        ),
+        (F.col("leg.rows_matched") + F.col("day.rows_matched")).alias(
+            "rows_matched"
+        ),
+    )
+    out = (
+        legacy.select(F.lit("legacy_monthly").alias("spec"), "*")
+        .unionByName(daily.select(F.lit("evolved_daily").alias("spec"), "*"))
+        .unionByName(combined)
+    )
+    return out.select(
+        "spec",
+        "n_files",
+        "rows_scanned",
+        "rows_matched",
+        F.expr("rows_scanned * 1000000 div greatest(rows_matched, 1)")
+        .cast("long")
+        .alias("read_amp_ppm"),
+    ).orderBy("spec")

@@ -989,3 +989,97 @@ def test_rake_keywords_score_floor(spark):
         assert r["n_occurrences"] >= 1
     scores = [r["rake_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cliffs_delta_pair_census_and_bands(spark):
+    """Pair accounting must be exact: gt + lt + tie == n_a * n_b, delta
+    in [-1, 1], and the magnitude label matches the Romano bands; a pure
+    Python replay over value counts confirms the dominance sums."""
+    r = registry.QUERIES["a_cliffs_delta"](spark, _SF).collect()[0]
+    assert r["n_gt"] + r["n_lt"] + r["n_tie"] == r["n_a"] * r["n_b"]
+    assert -1.0 <= r["cliffs_delta"] <= 1.0
+    d = abs(r["cliffs_delta"])
+    band = (
+        "negligible" if d < 0.147 else
+        "small" if d < 0.33 else
+        "medium" if d < 0.474 else "large"
+    )
+    assert r["magnitude"] == band
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{_SF}/lineitem.parquet')"
+    )
+    vals = con.execute(
+        "SELECT l_quantity, l_returnflag FROM lineitem "
+        "WHERE l_returnflag IN ('R','N')"
+    ).fetchall()
+    a = sorted(v for v, f in vals if f == "R")
+    b = sorted(v for v, f in vals if f == "N")
+    import bisect
+
+    gt = sum(bisect.bisect_left(b, x) for x in a)
+    lt = sum(len(b) - bisect.bisect_right(b, x) for x in a)
+    assert (r["n_gt"], r["n_lt"]) == (gt, lt)
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+
+
+def test_partition_evolution_census_reconciles(spark):
+    """The combined row is the exact sum of the two spec arms, the
+    evolved-daily arm has unit read amplification (day files align with
+    a date predicate), the legacy arm amplifies (month files cover the
+    range edges), and total matched rows equal a direct count."""
+    rows = {
+        r["spec"]: r
+        for r in registry.QUERIES["s_partition_evolution"](spark, _SF).collect()
+    }
+    leg, day, comb = (
+        rows["legacy_monthly"], rows["evolved_daily"], rows["combined"]
+    )
+    for col in ("n_files", "rows_scanned", "rows_matched"):
+        assert comb[col] == leg[col] + day[col]
+    assert day["read_amp_ppm"] == 1000000
+    assert leg["read_amp_ppm"] > 1000000
+    import pyspark.sql.functions as F
+
+    direct = (
+        spark.read.parquet(f"{_SF}/orders.parquet")
+        .where(F.col("o_orderdate").between("1996-11-15", "1997-02-15"))
+        .count()
+    )
+    assert comb["rows_matched"] == direct
+
+
+def test_audio_vad_matches_formula_replay(spark):
+    """Pure-Python replay of the VAD census from the waveform generator
+    formula for every document at sf0.001 — decode, frame, threshold,
+    and segment must all agree with the registered Spark pipeline."""
+    rows = registry.QUERIES["m_audio_vad"](spark, _SF).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        n = (d % 50) + 20
+        nf = n // 10
+        sums = [
+            sum(
+                abs(((d * 31 + (10 * f + k) * 17) % 65536) - 32768)
+                for k in range(10)
+            )
+            for f in range(nf)
+        ]
+        total = sum(sums)
+        voiced = [f for f, s in enumerate(sums) if s * nf > total]
+        segs = []
+        for f in voiced:
+            if segs and f == segs[-1][-1] + 1:
+                segs[-1].append(f)
+            else:
+                segs.append([f])
+        assert r["n_frames"] == nf
+        assert r["n_voiced"] == len(voiced)
+        assert r["n_segments"] == len(segs)
+        assert r["max_segment_frames"] == max(
+            (len(s) for s in segs), default=0
+        )

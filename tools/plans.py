@@ -95,6 +95,8 @@ def partitionless_windows(df) -> list[str]:
 PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     # --- bounded axes ---
     "a_bh_fdr": "bounded: 5 hypothesis rows (5->5)",
+    "a_cliffs_delta": "bounded: distinct-quantity value domain (~50 "
+    "rows at any sf; continuous measures bucket first, per docstring)",
     "a_cramers_v": "bounded: event_type x dow contingency cells (35->35)",
     "a_cross_correlation": "bounded: 30-day daily series (30->30)",
     "a_dunn_test": "bounded: group/pair axes (10/150 flat)",
