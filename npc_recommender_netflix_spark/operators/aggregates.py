@@ -9585,3 +9585,235 @@ def a_cliffs_delta(spark, sf_dir):
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+@register(
+    "a_isotonic_pav",
+    """
+    WITH ret AS (
+        SELECT l_orderkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    scored AS (
+        SELECT round(percent_rank() OVER (
+                   PARTITION BY year(o_orderdate) * 12 + month(o_orderdate)
+                   ORDER BY o_totalprice, o_orderkey), 1) AS p,
+               ret.y
+        FROM orders JOIN ret ON ret.l_orderkey = o_orderkey
+    ),
+    bins AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(y) AS BIGINT) AS s
+        FROM scored GROUP BY p
+    ),
+    ivl AS (
+        SELECT a.p AS pj, b.p AS pl,
+               sum(c.s) * 1.0 / sum(c.k) AS mean_jl
+        FROM bins a JOIN bins b ON a.p <= b.p
+        JOIN bins c ON c.p BETWEEN a.p AND b.p
+        GROUP BY a.p, b.p
+    ),
+    inner_min AS (
+        SELECT g.p, i.pj, min(i.mean_jl) AS mn
+        FROM bins g JOIN ivl i ON i.pj <= g.p AND i.pl >= g.p
+        GROUP BY g.p, i.pj
+    ),
+    iso AS (SELECT p, max(mn) AS iso_raw FROM inner_min GROUP BY p)
+    SELECT bins.p, bins.k AS n_k,
+           round(bins.s * 1.0 / bins.k, 6) + 0 AS raw_rate,
+           round(iso.iso_raw, 6) + 0 AS iso_rate
+    FROM bins JOIN iso ON iso.p = bins.p
+    ORDER BY bins.p
+    """,
+)
+def a_isotonic_pav(spark, sf_dir):
+    """Isotonic regression (pool-adjacent-violators) over the 11-bin
+    forecaster of a_brier_decomposition — the calibration map every
+    score-producing model ships behind: fitted rates are the CLOSEST
+    monotone sequence to the raw bin rates in weighted L2.  Computed
+    by PAV's minimax closed form instead of the sequential pooling
+    loop: iso(i) = max_{j<=i} min_{l>=i} mean(y over bins j..l) —
+    mathematically identical to PAV (Robertson et al. 1988) but
+    expressed as two bounded aggregations over the interval lattice,
+    so it is order-free and engine-portable.
+
+    Scale: the data-sized work is ONE groupBy to the bin frame; the
+    interval lattice is bins^2 = 121 rows and the minimax two more
+    tiny aggregations — at 100 TB you'd still calibrate on a bounded
+    bin axis (that is what calibration bins are FOR), so the closed
+    form never touches data scale.  pytest pins the PAV invariants:
+    monotone output, weighted-mean preservation, and fixed-point on
+    already-monotone prefixes.
+    """
+    ret = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy(
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).orderBy("o_totalprice", "o_orderkey")
+    scored = orders.join(ret, orders.o_orderkey == ret.l_orderkey).select(
+        F.round(F.percent_rank().over(w), 1).alias("p"), "y"
+    )
+    bins = scored.groupBy("p").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    # interval lattice over the bounded bin axis (121 rows at 11 bins)
+    a, b, c = bins.alias("a"), bins.alias("b"), bins.alias("c")
+    ivl = (
+        a.join(b, F.col("a.p") <= F.col("b.p"))
+        .join(
+            c,
+            F.col("c.p").between(F.col("a.p"), F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("pj"), F.col("b.p").alias("pl"))
+        .agg((F.sum("c.s") * 1.0 / F.sum("c.k")).alias("mean_jl"))
+    )
+    g = bins.alias("g")
+    inner_min = (
+        g.join(
+            ivl,
+            (F.col("pj") <= F.col("g.p")) & (F.col("pl") >= F.col("g.p")),
+        )
+        .groupBy(F.col("g.p").alias("p"), "pj")
+        .agg(F.min("mean_jl").alias("mn"))
+    )
+    iso = inner_min.groupBy("p").agg(F.max("mn").alias("iso_raw"))
+    return (
+        bins.join(iso, "p")
+        .select(
+            "p",
+            F.col("k").alias("n_k"),
+            f6(F.col("s") * 1.0 / F.col("k")).alias("raw_rate"),
+            f6(F.col("iso_raw")).alias("iso_rate"),
+        )
+        .orderBy("p")
+    )
+
+
+@register(
+    "a_tail_dependence",
+    """
+    WITH oq AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+               CAST(qty.y AS BIGINT) AS y
+        FROM orders JOIN (
+            SELECT l_orderkey, sum(l_quantity) AS y
+            FROM lineitem GROUP BY 1
+        ) qty ON qty.l_orderkey = o_orderkey
+    ),
+    thr AS (
+        SELECT 0.90 AS q, quantile_cont(x, 0.90) AS tx,
+               quantile_cont(y, 0.90) AS ty FROM oq
+        UNION ALL
+        SELECT 0.95, quantile_cont(x, 0.95), quantile_cont(y, 0.95) FROM oq
+        UNION ALL
+        SELECT 0.99, quantile_cont(x, 0.99), quantile_cont(y, 0.99) FROM oq
+    ),
+    cnt AS (
+        SELECT thr.q, thr.tx, thr.ty,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN oq.x > thr.tx AND oq.y > thr.ty
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_joint,
+               CAST(sum(CASE WHEN oq.y > thr.ty THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cond,
+               CAST(sum(CASE WHEN oq.x > thr.tx THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_x_exceed
+        FROM oq CROSS JOIN thr
+        GROUP BY thr.q, thr.tx, thr.ty
+    )
+    SELECT round(CAST(q AS DOUBLE), 2) + 0 AS q,
+           round(tx / 100.0, 2) + 0 AS thr_price,
+           round(ty, 2) + 0 AS thr_qty,
+           n_joint, n_cond, n_x_exceed,
+           round(n_joint * 1.0 / greatest(n_cond, 1), 6) + 0 AS lambda_u,
+           round(n_x_exceed * 1.0 / n, 6) + 0 AS indep_baseline
+    FROM cnt
+    ORDER BY q
+    """,
+)
+def a_tail_dependence(spark, sf_dir):
+    """Empirical upper-tail dependence lambda_U(q) = P(X > x_q | Y >
+    y_q) between an order's price and its total quantity at q in
+    {0.90, 0.95, 0.99} — the dependence-in-extremes number that
+    correlation structurally misses: two variables can be rho ~= 0.8
+    yet asymptotically tail-independent (Gaussian copula), or weakly
+    correlated yet co-crash (t copula).  Risk, fraud, and capacity
+    models live on this distinction; the indep_baseline column
+    (P(X > x_q), ~= 1-q) is the no-dependence reference the lambda
+    should be read against.
+
+    Scale: thresholds are ONE exact interpolated-percentile aggregate
+    (a_median semantics, no global sort window), broadcast as a 3-row
+    frame; the census is a single conditional-aggregation pass over
+    the joined data — two shuffles total regardless of q-grid size,
+    all counts BIGINT-exact against interpolated thresholds.
+    """
+    qty = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("y"))
+    )
+    oq = (
+        load_table(spark, sf_dir, "orders")
+        .join(qty, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+        )
+    )
+    pt = oq.agg(
+        F.expr("percentile(x, array(0.90D, 0.95D, 0.99D))").alias("txs"),
+        F.expr("percentile(y, array(0.90D, 0.95D, 0.99D))").alias("tys"),
+    )
+    thr = pt.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(0.90), F.lit(0.95), F.lit(0.99)).alias("q"),
+                F.col("txs").alias("tx"),
+                F.col("tys").alias("ty"),
+            )
+        ).alias("z")
+    ).select("z.q", "z.tx", "z.ty")
+    cnt = (
+        oq.crossJoin(F.broadcast(thr))
+        .groupBy("q", "tx", "ty")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("x") > F.col("tx")) & (F.col("y") > F.col("ty")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_joint"),
+            F.sum(F.when(F.col("y") > F.col("ty"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cond"),
+            F.sum(F.when(F.col("x") > F.col("tx"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_x_exceed"),
+        )
+    )
+    return cnt.select(
+        (F.round(F.col("q"), 2) + 0).alias("q"),
+        (F.round(F.col("tx") / 100.0, 2) + 0).alias("thr_price"),
+        (F.round(F.col("ty"), 2) + 0).alias("thr_qty"),
+        "n_joint",
+        "n_cond",
+        "n_x_exceed",
+        f6(F.col("n_joint") * 1.0 / F.greatest(F.col("n_cond"), F.lit(1))).alias(
+            "lambda_u"
+        ),
+        f6(F.col("n_x_exceed") * 1.0 / F.col("n")).alias("indep_baseline"),
+    ).orderBy("q")

@@ -1083,3 +1083,90 @@ def test_audio_vad_matches_formula_replay(spark):
         assert r["max_segment_frames"] == max(
             (len(s) for s in segs), default=0
         )
+
+
+def test_isotonic_pav_matches_sequential_pav(spark):
+    """The minimax closed form must equal classic sequential
+    pool-adjacent-violators, be monotone, and preserve the weighted
+    mean (the L2-projection invariants)."""
+    rows = sorted(
+        registry.QUERIES["a_isotonic_pav"](spark, _SF).collect(),
+        key=lambda r: r["p"],
+    )
+    assert len(rows) == 11
+    iso = [r["iso_rate"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))
+    # sequential PAV replay over the raw bin stats:
+    # blocks of [weighted sum, weight, n original bins pooled]
+    fitted = []
+    out2 = []
+    for r in rows:
+        out2.append([r["raw_rate"] * r["n_k"], r["n_k"], 1])
+        while len(out2) > 1 and (
+            out2[-2][0] / out2[-2][1] > out2[-1][0] / out2[-1][1] + 1e-12
+        ):
+            s, k, c = out2.pop()
+            out2[-1][0] += s
+            out2[-1][1] += k
+            out2[-1][2] += c
+    for s, k, c in out2:
+        fitted.extend([s / k] * c)
+    assert len(fitted) == 11
+    for got, want in zip(iso, fitted):
+        assert abs(got - want) < 5e-6
+    # weighted-mean preservation
+    wm_raw = sum(r["raw_rate"] * r["n_k"] for r in rows)
+    wm_iso = sum(r["iso_rate"] * r["n_k"] for r in rows)
+    assert abs(wm_raw - wm_iso) < 1e-2 * max(wm_raw, 1.0)
+
+
+def test_tail_dependence_invariants_and_replay(spark):
+    """Joint exceedances bound by conditional ones, lambda in [0,1],
+    thresholds monotone in q, and an independent pure-Python replay of
+    the interpolated quantiles and exceedance counts."""
+    rows = sorted(
+        registry.QUERIES["a_tail_dependence"](spark, _SF).collect(),
+        key=lambda r: r["q"],
+    )
+    assert [r["q"] for r in rows] == [0.90, 0.95, 0.99]
+    for a, b in zip(rows, rows[1:]):
+        assert b["thr_price"] >= a["thr_price"]
+        assert b["thr_qty"] >= a["thr_qty"]
+        assert b["n_cond"] <= a["n_cond"]
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{_SF}/{t}.parquet')"
+        )
+    data = con.execute(
+        """
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT),
+               CAST(q.y AS BIGINT)
+        FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) y
+                          FROM lineitem GROUP BY 1) q
+          ON q.l_orderkey = o_orderkey
+        """
+    ).fetchall()
+    xs = sorted(v[0] for v in data)
+    ys = sorted(v[1] for v in data)
+
+    def interp_q(sorted_vals, q):
+        h = (len(sorted_vals) - 1) * q
+        lo = int(h)
+        frac = h - lo
+        if lo + 1 >= len(sorted_vals):
+            return float(sorted_vals[-1])
+        return sorted_vals[lo] + frac * (sorted_vals[lo + 1] - sorted_vals[lo])
+
+    for r in rows:
+        tx, ty = interp_q(xs, r["q"]), interp_q(ys, r["q"])
+        n_joint = sum(1 for x, y in data if x > tx and y > ty)
+        n_cond = sum(1 for _, y in data if y > ty)
+        assert r["n_joint"] == n_joint
+        assert r["n_cond"] == n_cond
+        assert 0 <= r["n_joint"] <= r["n_cond"]
+        assert 0.0 <= r["lambda_u"] <= 1.0
+        assert abs(r["thr_price"] - round(tx / 100.0, 2)) < 0.011
