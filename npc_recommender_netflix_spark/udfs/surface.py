@@ -535,3 +535,102 @@ def u_iter_pandas_udf(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "u_grouped_model_fit",
+    """
+    WITH monthly AS (
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                   - (SELECT min(year(o_orderdate) * 12
+                                 + month(o_orderdate)) FROM orders) AS t,
+               sum(o.o_totalprice) AS rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_months,
+           round(regr_slope(rev, t), 4) + 0 AS slope,
+           round(regr_intercept(rev, t), 4) + 0 AS intercept,
+           round(regr_r2(rev, t), 6) + 0 AS r2
+    FROM monthly
+    GROUP BY nation
+    ORDER BY nation
+    """,
+)
+def u_grouped_model_fit(spark, sf_dir):
+    """Model-per-group training — the scikit-per-key idiom every
+    feature-engineering pipeline eventually needs, done the Spark way:
+    groupBy(nation).applyInPandas ships each nation's monthly-revenue
+    series to ONE Arrow batch where a closed-form OLS (slope,
+    intercept, R^2) is fitted in numpy.  The oracle is the SQL
+    regression aggregate family (regr_slope/intercept/r2), which pins
+    the UDF's math exactly — the point of the key: per-group Python
+    training composes with Spark's shuffle like any aggregation, and
+    when the per-group model IS closed-form you can (and should) audit
+    it against the relational equivalent.
+
+    Scale: the data-sized work is the monthly rollup (one shuffle,
+    map-side combinable); the applyInPandas stage then sees one
+    Arrow batch per nation of ~tens of rows.  Real per-group fits
+    (gradient-boosted, sklearn) follow this exact shape — group sizes
+    bounded by construction (months x nation), model state never on
+    the driver.  Python floats == SQL doubles: both sides do the same
+    two-pass mean-centered sums, and the 4dp/6dp snaps absorb the
+    association noise.
+    """
+    import numpy as np
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    t0 = orders.agg(
+        F.min(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t0")
+    )
+    monthly = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(nat, F.col("n_nationkey") == F.col("c_nationkey"))
+        .crossJoin(F.broadcast(t0))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+                - F.col("t0")
+            ).alias("t"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["t"].to_numpy(dtype="float64")
+        y = pdf["rev"].to_numpy(dtype="float64")
+        tm, ym = t.mean(), y.mean()
+        sxx = ((t - tm) ** 2).sum()
+        sxy = ((t - tm) * (y - ym)).sum()
+        syy = ((y - ym) ** 2).sum()
+        slope = sxy / sxx
+        return pd.DataFrame(
+            {
+                "nation": [pdf["nation"].iloc[0]],
+                "n_months": [len(pdf)],
+                "slope": [slope],
+                "intercept": [ym - slope * tm],
+                "r2": [(sxy * sxy) / (sxx * syy)],
+            }
+        )
+
+    out = monthly.groupBy("nation").applyInPandas(
+        fit,
+        schema="nation string, n_months long, slope double, "
+        "intercept double, r2 double",
+    )
+    return out.select(
+        "nation",
+        "n_months",
+        (F.round("slope", 4) + 0).alias("slope"),
+        (F.round("intercept", 4) + 0).alias("intercept"),
+        f6(F.col("r2")).alias("r2"),
+    ).orderBy("nation")

@@ -1170,3 +1170,95 @@ def test_tail_dependence_invariants_and_replay(spark):
         assert 0 <= r["n_joint"] <= r["n_cond"]
         assert 0.0 <= r["lambda_u"] <= 1.0
         assert abs(r["thr_price"] - round(tx / 100.0, 2)) < 0.011
+
+
+def test_grouped_model_fit_matches_numpy_replay(spark):
+    """The applyInPandas OLS must equal a driver-side numpy replay of the
+    same closed form for every nation, with r2 in [0, 1]."""
+    import numpy as np
+
+    rows = registry.QUERIES["u_grouped_model_fit"](spark, _SF).collect()
+    assert rows
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{_SF}/{t}.parquet')"
+        )
+    data = con.execute(
+        """
+        SELECT n.n_name,
+               year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                   - (SELECT min(year(o_orderdate) * 12 + month(o_orderdate))
+                      FROM orders),
+               sum(o.o_totalprice)
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    series = {}
+    for nation, t, rev in data:
+        series.setdefault(nation, []).append((t, rev))
+    for r in rows:
+        pts = sorted(series[r["nation"]])
+        t = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        tm, ym = t.mean(), y.mean()
+        sxx, sxy = ((t - tm) ** 2).sum(), ((t - tm) * (y - ym)).sum()
+        syy = ((y - ym) ** 2).sum()
+        assert r["n_months"] == len(pts) >= 2
+        assert abs(r["slope"] - sxy / sxx) < 1e-2
+        assert abs(r["intercept"] - (ym - (sxy / sxx) * tm)) < 1e-2
+        assert 0.0 <= r["r2"] <= 1.0
+        assert abs(r["r2"] - (sxy * sxy) / (sxx * syy)) < 5e-6
+
+
+def test_pinball_eval_shape_and_median_mae_identity(spark):
+    """6 rows (2 models x 3 taus), non-negative losses, equal holdout
+    length everywhere, and the tau=0.5 pinball must equal MAE/2 for the
+    global model (replayed in pure Python)."""
+    rows = registry.QUERIES["a_pinball_eval"](spark, _SF).collect()
+    assert len(rows) == 6
+    n_days = {r["n_days"] for r in rows}
+    assert len(n_days) == 1 and n_days.pop() > 0
+    for r in rows:
+        assert r["avg_pinball"] >= 0.0
+        assert r["model"] in ("dow_quantile", "global_quantile")
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{_SF}/orders.parquet')"
+    )
+    daily = con.execute(
+        "SELECT o_orderdate, sum(o_totalprice) FROM orders GROUP BY 1"
+    ).fetchall()
+    daily.sort()
+    maxd = max(d for d, _ in daily)
+    import datetime as dt
+
+    cut = maxd - dt.timedelta(days=27)
+    train = sorted(v for d, v in daily if d < cut)
+    hold = [v for d, v in daily if d >= cut]
+
+    def interp_q(vals, q):
+        h = (len(vals) - 1) * q
+        lo = int(h)
+        return (
+            vals[lo] + (h - lo) * (vals[lo + 1] - vals[lo])
+            if lo + 1 < len(vals)
+            else float(vals[-1])
+        )
+
+    med = interp_q(train, 0.5)
+    mae_half = sum(abs(v - med) for v in hold) / len(hold) / 2
+    got = next(
+        r["avg_pinball"]
+        for r in rows
+        if r["model"] == "global_quantile" and r["tau"] == 0.5
+    )
+    assert abs(got - mae_half) < 1e-2

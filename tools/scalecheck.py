@@ -184,6 +184,27 @@ LINEAR_KEYS = {
     # edge joins + bounded-alphabet argmax windows on the shared graph
     "t_epoch_schedule": "documents",  # round 13: ONE token-count agg +
     # integer policy math on the 5-language broadcast axis
+    "t_prefix_filter_join": "documents",  # round 13 s3: both arms ride the
+    # df<=64 capped posting join (t_containment_neardup's linear shape);
+    # the prefix arm indexes a strict subset of those postings
+    "t_rake_keywords": "documents",  # round 13 s3: island window per doc +
+    # vocabulary-cardinality stats groupBy; linear in tokens, no pair join
+    "r_clustering_coeff": "lineitem",  # round 13 s3: wedge join bounded by
+    # the support>=3 sparsification (sum d^2 over the capped graph)
+    "s_bloom_skip_index": "orders",  # round 13 s3: filter build is one
+    # distinct+hash map pass; probe join bounded by m bits/file
+    "s_partition_evolution": "orders",  # round 13 s3: two partition-key
+    # groupBys + file-count sums — manifest arithmetic only
+    "m_audio_vad": "documents",  # round 13 s3: Arrow synth/decode chain
+    # (m_wav_decode shape); only (doc, frame, energy) rows shuffle
+    "a_brier_decomposition": "orders",  # round 13 s3: one month window +
+    # an 11-bin groupBy; decomposition is 1-row arithmetic
+    "a_isotonic_pav": "orders",  # round 13 s3: same bin frame; the PAV
+    # interval lattice is bins^2 = 121 rows at any scale
+    "a_cliffs_delta": "lineitem",  # round 13 s3: value-domain counts
+    # (~60 distinct quantities) + one bounded cumulative window
+    "a_tail_dependence": "orders",  # round 13 s3: one exact-percentile
+    # aggregate + one conditional-aggregation pass (two shuffles)
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
