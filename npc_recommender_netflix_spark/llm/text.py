@@ -4604,7 +4604,7 @@ def t_l_diversity(spark, sf_dir):
     LIMIT 15
     """,
 )
-def t_rake_keywords(spark, sf_dir):
+def t_rake_keywords(spark, sf_dir, stopwords=None):
     """RAKE keyword extraction (Rose et al. 2010) — the zero-model
     keyphrase baseline every corpus triage starts with: candidate
     phrases are maximal stopword-free word runs (capped at 6 words,
@@ -4624,7 +4624,12 @@ def t_rake_keywords(spark, sf_dir):
     tokens.
     """
     docs = load_table(spark, sf_dir, "documents")
-    stops = ["a", "the", "and", "of", "to", "in", "is", "on", "for", "as"]
+    # stopwords parameterized for the scale ladder (its zipf vocabulary
+    # contains none of the registered English list, which would leave
+    # zero sub-cap runs and blind the ranked path — the t_bm25_score
+    # ladder lesson); the registered contract is the fixed list.
+    stops = list(stopwords) if stopwords is not None else [
+        "a", "the", "and", "of", "to", "in", "is", "on", "for", "as"]
     w = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "word"),

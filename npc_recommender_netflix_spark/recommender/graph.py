@@ -1137,7 +1137,7 @@ def r_modularity(spark, sf_dir):
     ORDER BY item_id
     """,
 )
-def r_clustering_coeff(spark, sf_dir):
+def r_clustering_coeff(spark, sf_dir, max_item=200):
     """Local clustering coefficient per item on the support->=3
     co-purchase graph (same sparsified edge set as r_triangle_count):
     lcc(v) = closed wedges / all wedges = 2*T(v) / (d(v)*(d(v)-1)).
@@ -1156,8 +1156,12 @@ def r_clustering_coeff(spark, sf_dir):
     ratio are map-side arithmetic.  Zero floats until the final 6dp
     ratio of exact BIGINTs.
     """
+    # max_item parameterized for the scale ladder: its catalog grows
+    # with the corpus, so a fixed 200-item cap degenerates to the 10
+    # blockbusters at x30 and the wedge join would measure nothing;
+    # the registered contract is the r_triangle_count-matched 200.
     m = (
-        ratings_matrix(spark, sf_dir, max_item=200)
+        ratings_matrix(spark, sf_dir, max_item=max_item)
         .select("user_id", "item_id")
         .distinct()
     )

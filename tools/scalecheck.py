@@ -450,8 +450,51 @@ def _bm25_ladder(spark, sf_dir):
 # Ladder-only callable overrides: same key name (the row still grades the
 # registered operator's plan shape), different parameterization where the
 # synthetic corpus would otherwise blind the measurement.
+def _rake_ladder(spark, sf_dir):
+    """t_rake_keywords with stopwords derived from THIS corpus: the ten
+    highest-df tokens (stable word tiebreak). The registered English
+    list does not intersect the ladder's w00000-w19999 zipf vocabulary,
+    so every document is one giant over-cap run and the phrase/scoring
+    path emits 0 rows — same blindness (and same fix) as t_bm25_score's
+    round-10 row. Deriving the list is one word-keyed aggregate + top-10,
+    timed inside the measurement window like a real corpus-driven run."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from npc_recommender_netflix_spark.llm.text import (  # noqa: PLC0415
+        t_rake_keywords,
+        tokens,
+    )
+
+    top = [
+        r["word"]
+        for r in tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), "word")
+        .limit(10)
+        .collect()
+    ]
+    return t_rake_keywords(spark, sf_dir, stopwords=tuple(top))
+
+
+def _clustering_ladder(spark, sf_dir):
+    """r_clustering_coeff with the item cap scaled to the corpus (10% of
+    the catalog, as the registered 200 is of sf0.01's ~2k parts): the
+    ladder catalog grows with N, so the fixed cap would shrink the graph
+    to the 10 blockbusters by x30 and the wedge join would go unmeasured."""
+    from npc_recommender_netflix_spark.recommender.graph import (  # noqa: PLC0415
+        r_clustering_coeff,
+    )
+    from npc_recommender_netflix_spark.session import load_table  # noqa: PLC0415
+
+    n_parts = load_table(spark, sf_dir, "part").count()
+    return r_clustering_coeff(spark, sf_dir, max_item=max(200, n_parts // 10))
+
+
 LADDER_FN_OVERRIDES = {
     "t_bm25_score": _bm25_ladder,
+    "t_rake_keywords": _rake_ladder,
+    "r_clustering_coeff": _clustering_ladder,
 }
 
 _WORDS = None
