@@ -5528,3 +5528,147 @@ def q_largest_remainder(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q_attribution_shapley",
+    """
+    WITH u AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+               max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT hv, hc, hs, CAST(count(*) AS BIGINT) AS nu,
+               CAST(sum(conv) AS BIGINT) AS nc
+        FROM u WHERE hv + hc + hs > 0 GROUP BY 1, 2, 3
+    ),
+    v AS (
+        SELECT
+          sum(CASE WHEN hc = 0 AND hs = 0 THEN nc ELSE 0 END) * 1.0
+            / greatest(sum(CASE WHEN hc = 0 AND hs = 0 THEN nu ELSE 0 END), 1)
+            AS v_v,
+          sum(CASE WHEN hv = 0 AND hs = 0 THEN nc ELSE 0 END) * 1.0
+            / greatest(sum(CASE WHEN hv = 0 AND hs = 0 THEN nu ELSE 0 END), 1)
+            AS v_c,
+          sum(CASE WHEN hv = 0 AND hc = 0 THEN nc ELSE 0 END) * 1.0
+            / greatest(sum(CASE WHEN hv = 0 AND hc = 0 THEN nu ELSE 0 END), 1)
+            AS v_s,
+          sum(CASE WHEN hs = 0 THEN nc ELSE 0 END) * 1.0
+            / greatest(sum(CASE WHEN hs = 0 THEN nu ELSE 0 END), 1) AS v_vc,
+          sum(CASE WHEN hc = 0 THEN nc ELSE 0 END) * 1.0
+            / greatest(sum(CASE WHEN hc = 0 THEN nu ELSE 0 END), 1) AS v_vs,
+          sum(CASE WHEN hv = 0 THEN nc ELSE 0 END) * 1.0
+            / greatest(sum(CASE WHEN hv = 0 THEN nu ELSE 0 END), 1) AS v_cs,
+          sum(nc) * 1.0 / greatest(sum(nu), 1) AS v_vcs
+        FROM cells
+    )
+    SELECT channel,
+           round(v_solo, 6) + 0 AS v_solo,
+           round(shapley, 6) + 0 AS shapley_credit,
+           round(v_vcs, 6) + 0 AS v_grand
+    FROM (
+        SELECT 'click' AS channel, v_c AS v_solo, v_vcs,
+               (2 * v_c + (v_vc - v_v) + (v_cs - v_s)
+                + 2 * (v_vcs - v_vs)) / 6.0 AS shapley
+        FROM v
+        UNION ALL
+        SELECT 'signup', v_s, v_vcs,
+               (2 * v_s + (v_vs - v_v) + (v_cs - v_c)
+                + 2 * (v_vcs - v_vc)) / 6.0
+        FROM v
+        UNION ALL
+        SELECT 'view', v_v, v_vcs,
+               (2 * v_v + (v_vc - v_c) + (v_vs - v_s)
+                + 2 * (v_vcs - v_cs)) / 6.0
+        FROM v
+    )
+    ORDER BY channel
+    """,
+)
+def q_attribution_shapley(spark, sf_dir):
+    """Shapley-value channel attribution — the cooperative-game answer
+    to 'which touch deserves the conversion credit', the principled
+    alternative to last-touch (q_attribution_last_touch), position
+    decay (q_attribution_position), and Markov removal effects
+    (q_attribution_markov): the coalition value v(S) is the observed
+    conversion rate of users whose touched-channel set is contained in
+    S, and each channel's credit is its exact Shapley value over the
+    3-channel lattice — weights 2/6, 1/6, 1/6, 2/6 over the marginal
+    contributions, spelled out term by term so both engines evaluate
+    the identical expression tree.  Efficiency (sum of credits =
+    v(grand) − v(empty)) is the accounting identity pytest pins.
+
+    Scale: ONE events scan to per-user flags, one 8-cell subset
+    census, then 1-row arithmetic — with c channels the lattice is
+    2^c, so exact Shapley is viable to c ~ 15-20 on the SAME census
+    plan (beyond that you sample permutations; the census shuffle is
+    unchanged).  The expensive thing at 100 TB is the per-user
+    groupBy, which is map-side combinable on the 4 flag maxes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    flag = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    u = ev.groupBy("user_id").agg(
+        flag("view").alias("hv"),
+        flag("click").alias("hc"),
+        flag("signup").alias("hs"),
+        flag("purchase").alias("conv"),
+    )
+    cells = (
+        u.where(F.col("hv") + F.col("hc") + F.col("hs") > 0)
+        .groupBy("hv", "hc", "hs")
+        .agg(
+            F.count("*").cast("long").alias("nu"),
+            F.sum("conv").cast("long").alias("nc"),
+        )
+    )
+
+    def rate(cond):
+        return F.sum(F.when(cond, F.col("nc")).otherwise(0)) * 1.0 / F.greatest(
+            F.sum(F.when(cond, F.col("nu")).otherwise(0)), F.lit(1)
+        )
+
+    t = F.lit(True)
+    v = cells.agg(
+        rate((F.col("hc") == 0) & (F.col("hs") == 0)).alias("v_v"),
+        rate((F.col("hv") == 0) & (F.col("hs") == 0)).alias("v_c"),
+        rate((F.col("hv") == 0) & (F.col("hc") == 0)).alias("v_s"),
+        rate(F.col("hs") == 0).alias("v_vc"),
+        rate(F.col("hc") == 0).alias("v_vs"),
+        rate(F.col("hv") == 0).alias("v_cs"),
+        rate(t).alias("v_vcs"),
+    )
+
+    def row(channel, solo, shapley_expr):
+        return v.select(
+            F.lit(channel).alias("channel"),
+            f6(F.col(solo)).alias("v_solo"),
+            f6(shapley_expr).alias("shapley_credit"),
+            f6(F.col("v_vcs")).alias("v_grand"),
+        )
+
+    c = F.col
+    sh_view = (
+        2 * c("v_v") + (c("v_vc") - c("v_c")) + (c("v_vs") - c("v_s"))
+        + 2 * (c("v_vcs") - c("v_cs"))
+    ) / 6.0
+    sh_click = (
+        2 * c("v_c") + (c("v_vc") - c("v_v")) + (c("v_cs") - c("v_s"))
+        + 2 * (c("v_vcs") - c("v_vs"))
+    ) / 6.0
+    sh_signup = (
+        2 * c("v_s") + (c("v_vs") - c("v_v")) + (c("v_cs") - c("v_c"))
+        + 2 * (c("v_vcs") - c("v_vc"))
+    ) / 6.0
+    return (
+        row("click", "v_c", sh_click)
+        .unionByName(row("signup", "v_s", sh_signup))
+        .unionByName(row("view", "v_v", sh_view))
+        .orderBy("channel")
+    )

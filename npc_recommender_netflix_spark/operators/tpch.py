@@ -3709,3 +3709,131 @@ def q_spend_band_lift(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+@register(
+    "q_fair_waterline",
+    """
+    WITH dem AS (
+        SELECT n.n_name AS nation,
+               CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS d
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    ),
+    cap AS (SELECT sum(d) * 4 // 5 AS cc, CAST(count(*) AS BIGINT) AS n
+            FROM dem),
+    sorted AS (
+        SELECT nation, d,
+               row_number() OVER (ORDER BY d, nation) AS k,
+               sum(d) OVER (ORDER BY d, nation
+                            ROWS UNBOUNDED PRECEDING) AS pre
+        FROM dem
+    ),
+    seg AS (
+        -- smallest k whose waterline candidate clears every demand at or
+        -- below it: w lives in the segment after the last fully-served
+        -- demand. feasible(k) <=> pre_k + (n - k) * d_k >= C
+        SELECT min(k) AS k FROM sorted, cap
+        WHERE pre + (cap.n - k) * d >= cap.cc
+    ),
+    wl AS (
+        SELECT (cap.cc - coalesce(p.pre, 0)) * 1.0 / (cap.n - seg.k + 1)
+                   AS w
+        FROM seg CROSS JOIN cap
+        LEFT JOIN sorted p ON p.k = seg.k - 1
+    )
+    SELECT s.nation,
+           round(s.d / 100.0, 2) + 0 AS demand,
+           round(CASE WHEN s.d <= wl.w THEN s.d ELSE wl.w END / 100.0, 2)
+               + 0 AS allocated,
+           CASE WHEN s.d > wl.w THEN 1 ELSE 0 END AS capped,
+           round(wl.w / 100.0, 2) + 0 AS waterline
+    FROM sorted s CROSS JOIN wl
+    ORDER BY s.nation
+    """,
+)
+def q_fair_waterline(spark, sf_dir):
+    """Max-min fair allocation (progressive filling / water-filling):
+    25 nations demand their revenue volume, capacity is a scarce 80%
+    of total, and the waterline w is the unique level where serving
+    min(demand, w) to everyone exactly exhausts capacity — small
+    demands are fully served, large ones are capped AT THE SAME w
+    (the fairness property: no capped nation gets less than any other
+    capped nation).  This is the allocation rule inside cluster
+    schedulers (YARN/Kubernetes dominant-resource fairness degenerates
+    to this in one dimension), bandwidth sharing, and rationed
+    budgets.
+
+    The segment search is closed-form on the sorted demand axis:
+    feasibility pre_k + (n-k)*d_k >= C is monotone in k, so min(k)
+    locates the segment and w = (C - pre_{k-1}) / (n-k+1) — integer
+    cents everywhere until the final division.  pytest pins the
+    defining identities: sum(allocated) == capacity (to the cent,
+    modulo display rounding), uncapped nations get their full demand,
+    and every capped nation gets exactly w.
+
+    Scale: demand rollup is the only data-sized shuffle; the sorted
+    prefix window runs on the 25-nation axis (whitelisted bounded
+    axis — at a 100M-key grain you'd range-partition the prefix sums,
+    the a_gini recipe).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    dem = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(nat, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    cap = dem.agg(
+        F.expr("sum(d) * 4 div 5").cast("long").alias("cc"),
+        F.count("*").cast("long").alias("n"),
+    )
+    w_ord = Window.orderBy("d", "nation")
+    sorted_ = dem.select(
+        "nation",
+        "d",
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("d").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "pre"
+        ),
+    )
+    seg = (
+        sorted_.crossJoin(F.broadcast(cap))
+        .where(
+            F.col("pre") + (F.col("n") - F.col("k")) * F.col("d")
+            >= F.col("cc")
+        )
+        .agg(F.min("k").alias("k"))
+    )
+    prev = sorted_.select(F.col("k").alias("pk"), F.col("pre").alias("ppre"))
+    wl = (
+        seg.crossJoin(F.broadcast(cap))
+        .join(prev, F.col("pk") == F.col("k") - 1, "left")
+        .select(
+            (
+                (F.col("cc") - F.coalesce(F.col("ppre"), F.lit(0)))
+                * 1.0
+                / (F.col("n") - F.col("k") + 1)
+            ).alias("w")
+        )
+    )
+    alloc = F.when(F.col("d") <= F.col("w"), F.col("d")).otherwise(F.col("w"))
+    return (
+        sorted_.crossJoin(F.broadcast(wl))
+        .select(
+            "nation",
+            (F.round(F.col("d") / 100.0, 2) + 0).alias("demand"),
+            (F.round(alloc / 100.0, 2) + 0).alias("allocated"),
+            F.when(F.col("d") > F.col("w"), 1).otherwise(0).alias("capped"),
+            (F.round(F.col("w") / 100.0, 2) + 0).alias("waterline"),
+        )
+        .orderBy("nation")
+    )

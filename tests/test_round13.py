@@ -1262,3 +1262,39 @@ def test_pinball_eval_shape_and_median_mae_identity(spark):
         if r["model"] == "global_quantile" and r["tau"] == 0.5
     )
     assert abs(got - mae_half) < 1e-2
+
+
+def test_attribution_shapley_efficiency(spark):
+    """The Shapley accounting identity: channel credits sum exactly to
+    v(grand coalition) (v(empty) = 0 by construction), every solo value
+    and credit is a rate-derived quantity, and v_grand is shared."""
+    rows = registry.QUERIES["q_attribution_shapley"](spark, _SF).collect()
+    assert {r["channel"] for r in rows} == {"view", "click", "signup"}
+    grand = {r["v_grand"] for r in rows}
+    assert len(grand) == 1
+    total = sum(r["shapley_credit"] for r in rows)
+    assert abs(total - grand.pop()) < 5e-6
+    for r in rows:
+        assert 0.0 <= r["v_solo"] <= 1.0
+
+
+def test_fair_waterline_allocation_identities(spark):
+    """Water-filling invariants: uncapped nations receive their full
+    demand, capped nations receive exactly the shared waterline, the
+    waterline is the max allocation, and total allocation equals the
+    80% capacity to within display rounding."""
+    rows = registry.QUERIES["q_fair_waterline"](spark, _SF).collect()
+    assert len(rows) > 0
+    w = {r["waterline"] for r in rows}
+    assert len(w) == 1
+    w = w.pop()
+    total_demand = sum(r["demand"] for r in rows)
+    total_alloc = sum(r["allocated"] for r in rows)
+    assert abs(total_alloc - total_demand * 0.8) < 0.02 * len(rows) + 0.01
+    for r in rows:
+        if r["capped"]:
+            assert abs(r["allocated"] - w) < 0.011
+            assert r["demand"] > w
+        else:
+            assert r["allocated"] == r["demand"] <= w + 0.011
+    assert any(r["capped"] for r in rows)  # 80% capacity must bind

@@ -109,6 +109,8 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "q_pareto_brands": "bounded: 25 brands (25->25)",
     "q_largest_remainder": "bounded: 25 nations (remainder rank; "
     "range-partitioned top-k shortfall at segment scale)",
+    "q_fair_waterline": "bounded: 25 nations (sorted-demand prefix "
+    "sums; range-partition the prefix at 100M-key grain, a_gini recipe)",
     "r_epsilon_slate": "bounded: item_id<200 catalog cap (200->200)",
     "r_negative_sampling": "bounded: item catalog CDF (<=200 items; "
     "the cumulative-popularity ranges are one row per catalog item)",
