@@ -9956,3 +9956,217 @@ def a_pinball_eval(spark, sf_dir):
         )
         .orderBy("model", "tau")
     )
+
+
+@register(
+    "a_chatterjee_xi",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d, sum(o_totalprice) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT d, x, y,
+               CAST(count(*) OVER (ORDER BY y
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS r,
+               CAST(count(*) OVER (ORDER BY y DESC
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS l
+        FROM daily
+    ),
+    seq AS (
+        SELECT r, l,
+               lag(r) OVER (ORDER BY x, d) AS r_prev
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN r_prev IS NULL THEN 0
+                        ELSE abs(r - r_prev) END) AS BIGINT) AS s1,
+               CAST(sum(l * (count_n - l)) AS BIGINT) AS s2
+        FROM seq CROSS JOIN (SELECT count(*) AS count_n FROM seq)
+    ),
+    p AS (SELECT corr(x, y) AS pearson FROM daily)
+    SELECT s.n AS n_days,
+           round(1.0 - s.n * s.s1 * 1.0 / (2.0 * s.s2), 6) + 0 AS xi,
+           round(p.pearson, 6) + 0 AS pearson
+    FROM s CROSS JOIN p
+    """,
+)
+def a_chatterjee_xi(spark, sf_dir):
+    """Chatterjee's xi (2020) — the modern dependence coefficient that
+    detects ANY functional relationship, not just monotone ones:
+    order the (X = daily revenue, Y = daily order count) pairs by X
+    and measure how wildly Y's cumulative ranks jump between
+    neighbors; xi = 1 - n*sum|r_{i+1}-r_i| / (2*sum l_i(n-l_i)) in
+    the ties-robust general form (r_i = #{y_j <= y_i}, l_i = #{y_j >=
+    y_i}).  xi ~ 0 for independence, -> 1 as Y becomes a measurable
+    function of X — including relationships where Pearson (printed
+    alongside) reads ~0, which is the whole point of shipping both.
+
+    Scale: the data-sized shuffle is the daily rollup; the rank
+    machinery runs on the bounded calendar axis (~2.4k days —
+    whitelisted, the a_runs_test daily-series pattern) with two
+    RANGE-frame cumulative counts (tie-correct on both engines by
+    frame semantics, no midrank arithmetic) and one lag.  All
+    integers until the final ratio.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum("o_totalprice").alias("x"),
+            F.count("*").cast("long").alias("y"),
+        )
+    )
+    wr = Window.orderBy("y").rangeBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy(F.col("y").desc()).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = daily.select(
+        "d",
+        "x",
+        "y",
+        F.count("*").over(wr).cast("long").alias("r"),
+        F.count("*").over(wl).cast("long").alias("l"),
+    )
+    seq = ranked.select(
+        "r",
+        "l",
+        F.lag("r").over(Window.orderBy("x", "d")).alias("r_prev"),
+    )
+    n_tot = seq.agg(F.count("*").alias("count_n"))
+    s = seq.crossJoin(F.broadcast(n_tot)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("r_prev").isNull(), 0).otherwise(
+                F.abs(F.col("r") - F.col("r_prev"))
+            )
+        )
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.col("l") * (F.col("count_n") - F.col("l")))
+        .cast("long")
+        .alias("s2"),
+    )
+    p = daily.agg(F.corr("x", "y").alias("pearson"))
+    return s.crossJoin(F.broadcast(p)).select(
+        F.col("n").alias("n_days"),
+        f6(1.0 - F.col("n") * F.col("s1") * 1.0 / (2.0 * F.col("s2"))).alias(
+            "xi"
+        ),
+        f6(F.col("pearson")).alias("pearson"),
+    )
+
+
+def _ipf_iter_sql(i):
+    """One IPF iteration: row-scale to uniform priority margins, then
+    col-scale to uniform dow margins (targets t/np and t/nd)."""
+    return f"""
+    r{i} AS (SELECT pri, sum(w) AS rs FROM w{2 * i - 2} GROUP BY pri),
+    w{2 * i - 1} AS (
+        SELECT w{2 * i - 2}.pri, w{2 * i - 2}.dow,
+               w{2 * i - 2}.w * (tot.t * 1.0 / tot.np) / r{i}.rs AS w
+        FROM w{2 * i - 2} JOIN r{i} ON r{i}.pri = w{2 * i - 2}.pri
+        CROSS JOIN tot
+    ),
+    c{i} AS (SELECT dow, sum(w) AS cs FROM w{2 * i - 1} GROUP BY dow),
+    w{2 * i} AS (
+        SELECT w{2 * i - 1}.pri, w{2 * i - 1}.dow,
+               w{2 * i - 1}.w * (tot.t * 1.0 / tot.nd) / c{i}.cs AS w
+        FROM w{2 * i - 1} JOIN c{i} ON c{i}.dow = w{2 * i - 1}.dow
+        CROSS JOIN tot
+    )"""
+
+
+@register(
+    "a_raking_ipf",
+    f"""
+    WITH cells AS (
+        SELECT o_orderpriority AS pri,
+               date_diff('day', DATE '1995-01-01', o_orderdate) % 7 AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS t, count(DISTINCT pri) AS np,
+                   count(DISTINCT dow) AS nd
+            FROM cells),
+    w0 AS (SELECT pri, dow, n * 1.0 AS w FROM cells),
+    {_ipf_iter_sql(1)},
+    {_ipf_iter_sql(2)},
+    {_ipf_iter_sql(3)}
+    SELECT c.pri, c.dow, c.n AS n_obs,
+           round(w6.w, 6) + 0 AS fitted,
+           round(w6.w / c.n, 6) + 0 AS weight
+    FROM cells c JOIN w6 ON w6.pri = c.pri AND w6.dow = c.dow
+    ORDER BY c.pri, c.dow
+    """,
+)
+def a_raking_ipf(spark, sf_dir):
+    """Survey raking (iterative proportional fitting, Deming-Stephan
+    1940): re-weight the (order priority x day-of-week) contingency
+    table so BOTH margins hit uniform population targets while cell
+    interactions are preserved — the weighting step every survey,
+    panel, and observational-bias correction runs before estimating
+    anything.  Three IPF iterations (row-scale, col-scale) — unrolled
+    CTEs on the oracle side, ONE Arrow batch on the Spark side (the
+    margin table is 35 cells; shipping it to pandas replaces ~12 tiny
+    sequential shuffle stages with one) — and with margins this size
+    IPF's
+    geometric convergence makes iteration 3 exact to well under the
+    6dp snap (the final col-scale leaves dow margins EXACT by
+    construction — the pytest pin — and priority margins within the
+    convergence residual).
+
+    Scale: the data-sized work is ONE groupBy to the 35-cell census;
+    the iterations cost one Arrow batch of margin-table size — at any
+    corpus size production raking (census weighting at national
+    scale) runs on exactly this plan with the census as the only big
+    shuffle.
+    """
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            (
+                F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")) % 7
+            ).alias("dow"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # The lattice is 35 cells: ship it as ONE Arrow batch and run all
+    # six IPF scale steps in pandas — one census shuffle + one Arrow
+    # stage, instead of ~12 tiny sequential shuffle stages whose fixed
+    # latency dwarfs the arithmetic (the u_grouped_model_fit shape:
+    # per-group closed-form fitting, group = the whole margin table).
+    import pandas as pd  # noqa: PLC0415
+
+    def ipf(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = float(pdf["n"].sum())
+        n_pri = float(pdf["pri"].nunique())
+        n_dow = float(pdf["dow"].nunique())
+        w = pdf["n"].astype("float64")
+        for _ in range(3):
+            w = w * (t / n_pri) / w.groupby(pdf["pri"]).transform("sum")
+            w = w * (t / n_dow) / w.groupby(pdf["dow"]).transform("sum")
+        return pd.DataFrame(
+            {
+                "pri": pdf["pri"],
+                "dow": pdf["dow"],
+                "n_obs": pdf["n"],
+                "x": w,
+            }
+        )
+
+    fitted = cells.groupBy(F.lit(1).alias("g")).applyInPandas(
+        ipf, schema="pri string, dow long, n_obs long, x double"
+    )
+    return fitted.select(
+        "pri",
+        "dow",
+        "n_obs",
+        f6(F.col("x")).alias("fitted"),
+        f6(F.col("x") / F.col("n_obs")).alias("weight"),
+    ).orderBy("pri", "dow")

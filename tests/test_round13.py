@@ -1298,3 +1298,38 @@ def test_fair_waterline_allocation_identities(spark):
         else:
             assert r["allocated"] == r["demand"] <= w + 0.011
     assert any(r["capped"] for r in rows)  # 80% capacity must bind
+
+
+def test_chatterjee_xi_bounds_and_dependence(spark):
+    """xi lives in (-0.5, 1]; daily revenue is a near-function of daily
+    order count in this corpus, so xi must be decisively positive and
+    the printed Pearson must agree on direction."""
+    r = registry.QUERIES["a_chatterjee_xi"](spark, _SF).collect()[0]
+    assert r["n_days"] > 100
+    assert -0.5 < r["xi"] <= 1.0
+    assert r["xi"] > 0.2
+    assert r["pearson"] > 0.2
+
+
+def test_raking_ipf_margin_convergence(spark):
+    """After the final col-scale, dow margins are EXACT at the uniform
+    target; pri margins are within the geometric-convergence residual;
+    weights are positive and fitted preserves the grand total."""
+    rows = registry.QUERIES["a_raking_ipf"](spark, _SF).collect()
+    assert len(rows) == 35
+    total_n = sum(r["n_obs"] for r in rows)
+    total_f = sum(r["fitted"] for r in rows)
+    assert abs(total_f - total_n) < 1e-3 * total_n
+    from collections import defaultdict
+
+    dows, pris = defaultdict(float), defaultdict(float)
+    for r in rows:
+        assert r["weight"] > 0
+        dows[r["dow"]] += r["fitted"]
+        pris[r["pri"]] += r["fitted"]
+    dow_target = total_n / 7
+    pri_target = total_n / 5
+    for v in dows.values():
+        assert abs(v - dow_target) < 1e-4 * dow_target  # exact (last scaled)
+    for v in pris.values():
+        assert abs(v - pri_target) < 2e-2 * pri_target  # convergence residual

@@ -95,6 +95,8 @@ def partitionless_windows(df) -> list[str]:
 PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     # --- bounded axes ---
     "a_bh_fdr": "bounded: 5 hypothesis rows (5->5)",
+    "a_chatterjee_xi": "bounded: calendar-day axis (~2.4k days; the "
+    "a_runs_test daily-series pattern)",
     "a_cliffs_delta": "bounded: distinct-quantity value domain (~50 "
     "rows at any sf; continuous measures bucket first, per docstring)",
     "a_cramers_v": "bounded: event_type x dow contingency cells (35->35)",
