@@ -205,6 +205,18 @@ LINEAR_KEYS = {
     # (~60 distinct quantities) + one bounded cumulative window
     "a_tail_dependence": "orders",  # round 13 s3: one exact-percentile
     # aggregate + one conditional-aggregation pass (two shuffles)
+    "u_grouped_model_fit": "orders",  # round 13 s3: monthly rollup is
+    # the only shuffle; Arrow stage sees tens of rows per nation
+    "a_pinball_eval": "orders",  # round 13 s3: date rollup + bounded
+    # (7 dow x 3 tau) percentile frame broadcast onto the holdout
+    "q_attribution_shapley": "events",  # round 13 s3: map-side user
+    # flag groupBy + 8-cell census + 1-row lattice arithmetic
+    "q_fair_waterline": "orders",  # round 13 s3: demand rollup + the
+    # bounded 25-nation sorted-prefix segment search
+    "a_chatterjee_xi": "orders",  # round 13 s3: daily rollup + rank
+    # machinery on the bounded calendar axis
+    "a_raking_ipf": "orders",  # round 13 s3: 35-cell census + one
+    # margin-table-sized Arrow batch for all six scale steps
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
