@@ -1216,3 +1216,98 @@ def r_clustering_coeff(spark, sf_dir, max_item=200):
         )
         .orderBy("item_id")
     )
+
+
+@register(
+    "r_deepwalk_corpus",
+    f"""
+    WITH {_GRAPH_SQL},
+    starts AS (SELECT node AS v0 FROM nodes WHERE node % 3 = 0),
+    h1 AS (
+        SELECT v0, dst AS v1 FROM (
+            SELECT s.v0, e.dst,
+                   row_number() OVER (
+                       PARTITION BY s.v0
+                       ORDER BY md5(CAST(s.v0 AS VARCHAR) || ':1:'
+                                    || CAST(e.dst AS VARCHAR))) AS rn
+            FROM starts s JOIN edges e ON e.src = s.v0)
+        WHERE rn = 1
+    ),
+    h2 AS (
+        SELECT v0, v1, dst AS v2 FROM (
+            SELECT h1.v0, h1.v1, e.dst,
+                   row_number() OVER (
+                       PARTITION BY h1.v0
+                       ORDER BY md5(CAST(h1.v0 AS VARCHAR) || ':2:'
+                                    || CAST(e.dst AS VARCHAR))) AS rn
+            FROM h1 JOIN edges e ON e.src = h1.v1
+            WHERE e.dst <> h1.v0)
+        WHERE rn = 1
+    ),
+    h3 AS (
+        SELECT v0, v1, v2, dst AS v3 FROM (
+            SELECT h2.v0, h2.v1, h2.v2, e.dst,
+                   row_number() OVER (
+                       PARTITION BY h2.v0
+                       ORDER BY md5(CAST(h2.v0 AS VARCHAR) || ':3:'
+                                    || CAST(e.dst AS VARCHAR))) AS rn
+            FROM h2 JOIN edges e ON e.src = h2.v2
+            WHERE e.dst <> h2.v1)
+        WHERE rn = 1
+    )
+    SELECT v0 AS walk_id, v0, v1, v2, v3
+    FROM h3 ORDER BY walk_id
+    """,
+)
+def r_deepwalk_corpus(spark, sf_dir):
+    """DeepWalk-style random-walk corpus generation (Perozzi 2014) —
+    the TRAINING-DATA step of graph embeddings: one length-3 walk per
+    sampled start node over the co-purchase graph, with the next hop
+    chosen by md5-argmin over the current node's neighbors (a
+    deterministic stand-in for the uniform draw: the hash is seeded by
+    (start, hop, candidate) so each walk makes independent
+    pseudo-random choices, reproducible on both engines).  The
+    non-backtracking rule (hop i may not return to v_{i-2}) is
+    node2vec's p=inf limit.  Downstream these (v0..v3) rows explode
+    into skip-gram pairs exactly like text windows — the corpus IS the
+    product.
+
+    Scale: each hop is ONE edges equi-join + a per-walk argmin window
+    (walk-keyed, never global) — cost is walks x avg-degree per hop,
+    linear in walk count and bounded by the memoized edge frame.  Real
+    deployments run W walks/node x L hops as L chained joins of the
+    same shape; lineage stays flat because each hop's frame is
+    walk-grain, not edge-grain.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    starts = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % 3 == 0)
+        .select(F.col("node").alias("v0"))
+    )
+
+    def hop(frame, cur, prev, out, hop_no):
+        cand = frame.join(edges, F.col(cur) == F.col("src"))
+        if prev is not None:
+            cand = cand.where(F.col("dst") != F.col(prev))
+        w = Window.partitionBy("v0").orderBy(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("v0"), F.lit(str(hop_no)), F.col("dst")
+                )
+            )
+        )
+        keep = [c for c in frame.columns] + [F.col("dst").alias(out)]
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(*keep)
+        )
+
+    h1 = hop(starts, "v0", None, "v1", 1)
+    h2 = hop(h1, "v1", "v0", "v2", 2)
+    h3 = hop(h2, "v2", "v1", "v3", 3)
+    return h3.select(
+        F.col("v0").alias("walk_id"), "v0", "v1", "v2", "v3"
+    ).orderBy("walk_id")

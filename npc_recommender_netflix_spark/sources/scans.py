@@ -2457,3 +2457,85 @@ def s_partition_evolution(spark, sf_dir):
         .cast("long")
         .alias("read_amp_ppm"),
     ).orderBy("spec")
+
+
+@register(
+    "s_vacuum_orphans",
+    """
+    WITH files AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS fid,
+               CAST(count(*) AS BIGINT) AS nrows
+        FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(fid) AS maxfid FROM files),
+    listing AS (
+        -- tracked data files
+        SELECT fid, nrows * 128 AS bytes, 1 AS tracked FROM files
+        UNION ALL
+        -- orphans: failed-write part files left by aborted commits
+        -- (deterministic synth: every 7th month modulo 3 leaked one
+        -- ~1/3-size partial file)
+        SELECT fid, greatest(nrows // 3, 1) * 128, 0
+        FROM files WHERE fid % 7 = 3
+    )
+    SELECT l.fid,
+           CAST(l.bytes AS BIGINT) AS bytes,
+           CAST(l.tracked AS BIGINT) AS tracked,
+           CAST(mx.maxfid - l.fid AS BIGINT) AS age_months,
+           CAST(CASE WHEN l.tracked = 0 AND mx.maxfid - l.fid > 2
+                     THEN 1 ELSE 0 END AS BIGINT) AS deletable
+    FROM listing l CROSS JOIN mx
+    WHERE l.tracked = 0
+    ORDER BY l.fid
+    """,
+)
+def s_vacuum_orphans(spark, sf_dir):
+    """VACUUM's orphan-file census — the garbage collection step
+    s_snapshot_expiry does NOT cover: snapshot expiry removes files
+    the table's history once referenced, while VACUUM hunts files the
+    manifest NEVER tracked (partial part-files from aborted writes,
+    speculative-execution duplicates, killed compactions).  The
+    directory listing is diffed against the manifest; an untracked
+    file is deletable only past a retention horizon (> 2 months here)
+    — the safety window that keeps VACUUM from racing an in-flight
+    commit whose files are written before its manifest entry exists
+    (the Delta VACUUM retention-check semantics).
+
+    Scale: one manifest groupBy + an anti-join-shaped diff (expressed
+    as a flag filter on the unioned listing) + broadcast max-age —
+    listing-cardinality work, no data reads.  At 100 TB the listing
+    comes from the object store inventory and this exact plan prices
+    the reclaim before anyone deletes a byte.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("fid")
+    ).agg(F.count("*").cast("long").alias("nrows"))
+    mx = files.agg(F.max("fid").alias("maxfid"))
+    tracked = files.select(
+        "fid", (F.col("nrows") * 128).alias("bytes"), F.lit(1).alias("tracked")
+    )
+    orphans = files.where(F.col("fid") % 7 == 3).select(
+        "fid",
+        (F.greatest(F.expr("nrows div 3"), F.lit(1)) * 128).alias("bytes"),
+        F.lit(0).alias("tracked"),
+    )
+    return (
+        tracked.unionByName(orphans)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("tracked") == 0)
+        .select(
+            "fid",
+            F.col("bytes").cast("long").alias("bytes"),
+            F.col("tracked").cast("long").alias("tracked"),
+            (F.col("maxfid") - F.col("fid")).cast("long").alias("age_months"),
+            F.when(
+                (F.col("tracked") == 0) & (F.col("maxfid") - F.col("fid") > 2),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("deletable"),
+        )
+        .orderBy("fid")
+    )

@@ -1333,3 +1333,51 @@ def test_raking_ipf_margin_convergence(spark):
         assert abs(v - dow_target) < 1e-4 * dow_target  # exact (last scaled)
     for v in pris.values():
         assert abs(v - pri_target) < 2e-2 * pri_target  # convergence residual
+
+
+def test_deepwalk_corpus_walk_validity(spark):
+    """Every emitted walk must follow real edges, never backtrack to
+    v_{i-2}, and be reproducible (two runs identical — the md5 choice
+    is deterministic)."""
+    rows = registry.QUERIES["r_deepwalk_corpus"](spark, _SF).collect()
+    assert rows
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{_SF}/lineitem.parquet')"
+    )
+    edges = set(
+        con.execute(
+            """
+            SELECT a.item, b.item FROM
+              (SELECT DISTINCT l_orderkey, l_partkey % 500 AS item
+               FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey, l_partkey % 500 AS item
+                  FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey AND a.item <> b.item
+            """
+        ).fetchall()
+    )
+    for r in rows:
+        walk = [r["v0"], r["v1"], r["v2"], r["v3"]]
+        assert r["walk_id"] == r["v0"] and r["v0"] % 3 == 0
+        for a, b in zip(walk, walk[1:]):
+            assert (a, b) in edges
+        assert walk[2] != walk[0] and walk[3] != walk[1]  # non-backtracking
+    again = registry.QUERIES["r_deepwalk_corpus"](spark, _SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_vacuum_orphans_retention_gate(spark):
+    """Only untracked files appear, deletable iff older than the 2-month
+    retention horizon, and ages are consistent with the fid axis."""
+    rows = registry.QUERIES["s_vacuum_orphans"](spark, _SF).collect()
+    assert rows
+    for r in rows:
+        assert r["tracked"] == 0
+        assert r["fid"] % 7 == 3
+        assert r["deletable"] == (1 if r["age_months"] > 2 else 0)
+        assert r["bytes"] > 0 and r["bytes"] % 128 == 0
+    assert any(r["deletable"] for r in rows)
