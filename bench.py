@@ -122,6 +122,12 @@ HEADLINE = [
     "v_recall_cost_frontier",  # round 13 s2: IVF nprobe Pareto table
     "t_dedup_mix_shift",  # round 13 s2: dedup-induced mix drift
     "s_snapshot_expiry",  # round 13 s2: orphan-file GC planning
+    "s_bloom_skip_index",  # round 13 s3: file-level bloom data skipping
+    "a_raking_ipf",  # round 13 s3: IPF survey raking, one Arrow batch
+    "q_attribution_shapley",  # round 13 s3: exact 3-channel Shapley
+    "m_audio_vad",  # round 13 s3: frame-energy VAD over real RIFF decode
+    "r_clustering_coeff",  # round 13 s3: wedge-join lcc on the capped graph
+    "u_grouped_model_fit",  # round 13 s3: per-group OLS via applyInPandas
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

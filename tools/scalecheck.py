@@ -217,6 +217,10 @@ LINEAR_KEYS = {
     # machinery on the bounded calendar axis
     "a_raking_ipf": "orders",  # round 13 s3: 35-cell census + one
     # margin-table-sized Arrow batch for all six scale steps
+    "r_deepwalk_corpus": "lineitem",  # round 13 s3: 3 chained edge
+    # equi-joins + walk-keyed argmin windows on the shared graph
+    "s_vacuum_orphans": "orders",  # round 13 s3: manifest groupBy +
+    # listing-cardinality diff, broadcast max-age
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
