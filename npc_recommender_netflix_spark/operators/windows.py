@@ -2263,3 +2263,160 @@ def w_rolling_ols(spark, sf_dir):
         )
         .orderBy("prio", "d")
     )
+
+
+def _lttb_step_sql(b):
+    """One LTTB bucket step: pick the bucket-b point maximizing the
+    exact-integer doubled-triangle-area against the previous selected
+    point and bucket b+1's centroid (scaled by its count m so the
+    whole comparison stays in BIGINT — no float ties anywhere)."""
+    return f"""
+    c{b} AS (
+        SELECT k.idx, k.d, k.x, k.y,
+               abs((s.x * ns.m - ns.sx) * (k.y - s.y)
+                   - (s.x - k.x) * (ns.sy - s.y * ns.m)) AS a
+        FROM bkt k, s{b} s, nstats ns
+        WHERE k.bucket = {b} AND ns.bucket = {b + 1}
+    ),
+    s{b + 1} AS (
+        SELECT idx, d, x, y FROM c{b} ORDER BY a DESC, idx LIMIT 1
+    )"""
+
+
+_LTTB_T = 12  # output points: first + 10 bucket picks + last
+
+_LTTB_SQL = (
+    """
+    WITH pts AS (
+        SELECT d, x, y, row_number() OVER (ORDER BY d) AS idx
+        FROM (SELECT o_orderdate AS d,
+                     CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+                          AS BIGINT) AS x,
+                     CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y
+              FROM orders GROUP BY 1, 2)
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+    bkt AS (
+        SELECT pts.idx, pts.d, pts.x, pts.y,
+               CAST(((pts.idx - 2) * """
+    + str(_LTTB_T - 2)
+    + """) // (nn.n - 2) AS BIGINT) AS bucket
+        FROM pts, nn WHERE pts.idx >= 2 AND pts.idx <= nn.n - 1
+    ),
+    nstats AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+        FROM bkt GROUP BY bucket
+        UNION ALL
+        SELECT """
+    + str(_LTTB_T - 2)
+    + """, 1, pts.x, pts.y FROM pts, nn WHERE pts.idx = nn.n
+    ),
+    s0 AS (SELECT idx, d, x, y FROM pts WHERE idx = 1),"""
+    + ",".join(_lttb_step_sql(b) for b in range(_LTTB_T - 2))
+    + """,
+    last_pt AS (SELECT idx, d, x, y FROM pts, nn WHERE pts.idx = nn.n),
+    final AS ("""
+    + " UNION ALL ".join(
+        f"SELECT {i + 1} AS pos, d, x AS day_idx, y AS y_cents FROM s{i}"
+        for i in range(_LTTB_T - 1)
+    )
+    + f""" UNION ALL SELECT {_LTTB_T}, d, x, y FROM last_pt)
+    SELECT CAST(pos AS BIGINT) AS pos, d, day_idx, y_cents
+    FROM final ORDER BY pos
+    """
+)
+
+
+@register("w_lttb_downsample", _LTTB_SQL)
+def w_lttb_downsample(spark, sf_dir):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
+    THE dashboard-serving operator: reduce the daily-revenue series to
+    12 points that preserve its visual shape (peaks, crashes, trend
+    reversals) far better than striding or averaging, by keeping, per
+    equal-count bucket, the point that forms the largest triangle with
+    the previously kept point and the NEXT bucket's centroid.  First
+    and last points are always kept (the LTTB contract).
+
+    Exactness: the doubled triangle area is scaled by the next
+    bucket's count m so every comparison is pure BIGINT — argmax ties
+    impossible to get wrong across engines (idx tiebreak on exact
+    equality).  The oracle unrolls the 10 sequential bucket picks as
+    chained CTEs (the r_pagerank pattern); the Spark side runs the
+    identical integer recurrence in ONE Arrow batch over the bounded
+    calendar axis (the a_raking_ipf stage-collapse shape — a
+    sequential 10-step loop over ~2.4k points is Arrow-task work, not
+    12 shuffle stages).
+
+    Scale: the data-sized shuffle is the daily rollup; downsampling
+    runs on the bounded axis.  At 100 TB with a finer grain (e.g.
+    per-minute, 5e5 points) the same plan holds — LTTB is sequential
+    by definition, so the right distributed shape is exactly this:
+    aggregate to the display grain, then one task finishes the pick.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "y"
+            )
+        )
+        .select(
+            "d",
+            F.datediff(F.col("d"), F.lit("1995-01-01"))
+            .cast("long")
+            .alias("x"),
+            "y",
+        )
+    )
+
+    T = _LTTB_T
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        n = len(pdf)
+        xs = pdf["x"].astype("int64").tolist()
+        ys = pdf["y"].astype("int64").tolist()
+        ds = pdf["d"].tolist()
+        # interior index i (0-based 1..n-2) -> bucket via the oracle's
+        # ((idx-2)*(T-2)) // (n-2) with idx = i+1 in 1-based terms
+        buckets = [[] for _ in range(T - 2)]
+        for i in range(1, n - 1):
+            b = ((i + 1 - 2) * (T - 2)) // (n - 2)
+            buckets[b].append(i)
+        sel = [0]
+        for b in range(T - 2):
+            if b + 1 < T - 2:
+                nxt = buckets[b + 1]
+                m = len(nxt)
+                sx = sum(xs[j] for j in nxt)
+                sy = sum(ys[j] for j in nxt)
+            else:
+                m, sx, sy = 1, xs[n - 1], ys[n - 1]
+            s = sel[-1]
+            best = None
+            for j in buckets[b]:
+                a = abs(
+                    (xs[s] * m - sx) * (ys[j] - ys[s])
+                    - (xs[s] - xs[j]) * (sy - ys[s] * m)
+                )
+                if best is None or a > best[0] or (a == best[0] and j < best[1]):
+                    best = (a, j)
+            sel.append(best[1])
+        sel.append(n - 1)
+        return pd.DataFrame(
+            {
+                "pos": [p + 1 for p in range(len(sel))],
+                "d": [ds[j] for j in sel],
+                "day_idx": [xs[j] for j in sel],
+                "y_cents": [ys[j] for j in sel],
+            }
+        )
+
+    out = daily.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lttb, schema="pos long, d timestamp, day_idx long, y_cents long"
+    )
+    return out.select("pos", "d", "day_idx", "y_cents").orderBy("pos")

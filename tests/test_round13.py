@@ -1381,3 +1381,38 @@ def test_vacuum_orphans_retention_gate(spark):
         assert r["deletable"] == (1 if r["age_months"] > 2 else 0)
         assert r["bytes"] > 0 and r["bytes"] % 128 == 0
     assert any(r["deletable"] for r in rows)
+
+
+def test_lttb_downsample_structure(spark):
+    """LTTB contract: 12 points, strictly increasing in time, first and
+    last are the series endpoints, every pick is a real series point,
+    and the result is deterministic across runs."""
+    rows = sorted(
+        registry.QUERIES["w_lttb_downsample"](spark, _SF).collect(),
+        key=lambda r: r["pos"],
+    )
+    assert [r["pos"] for r in rows] == list(range(1, 13))
+    ds = [r["d"] for r in rows]
+    assert ds == sorted(ds) and len(set(ds)) == 12
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{_SF}/orders.parquet')"
+    )
+    daily = dict(
+        con.execute(
+            "SELECT o_orderdate, CAST(sum(round(o_totalprice * 100)) AS BIGINT)"
+            " FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    alldays = sorted(daily)
+    assert rows[0]["d"] == alldays[0] and rows[-1]["d"] == alldays[-1]
+    for r in rows:
+        assert daily[r["d"]] == r["y_cents"]
+    again = sorted(
+        registry.QUERIES["w_lttb_downsample"](spark, _SF).collect(),
+        key=lambda r: r["pos"],
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
