@@ -2116,3 +2116,142 @@ def m_audio_vad(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "m_image_tiling",
+    """
+    WITH spec AS (
+        SELECT doc_id, (doc_id % 20) + 8 AS w, (doc_id % 12) + 6 AS h
+        FROM documents
+    ),
+    grid AS (
+        SELECT s.doc_id, s.w, s.h, gx.px, gy.py
+        FROM spec s, generate_series(0, 6) AS gx(px),
+             generate_series(0, 4) AS gy(py)
+        WHERE gx.px < s.w // 4 AND gy.py < s.h // 4
+    ),
+    psum AS (
+        SELECT doc_id, w, h, px, py,
+               CAST(list_sum(list_transform(range(0, 4), dy ->
+                   list_sum(list_transform(range(0, 4), dx ->
+                       (doc_id + 3 * (px * 4 + dx) + 7 * (py * 4 + dy))
+                       % 256)))) AS BIGINT) AS s
+        FROM grid
+    ),
+    mx AS (SELECT doc_id, max(s) AS ms,
+                  CAST(count(*) AS BIGINT) AS n_patches
+           FROM psum GROUP BY doc_id)
+    SELECT p.doc_id,
+           CAST(p.w // 4 AS BIGINT) AS grid_w,
+           CAST(p.h // 4 AS BIGINT) AS grid_h,
+           mx.n_patches,
+           p.s AS max_patch_sum,
+           CAST(p.px AS BIGINT) AS argmax_px,
+           CAST(p.py AS BIGINT) AS argmax_py
+    FROM psum p JOIN mx ON mx.doc_id = p.doc_id AND p.s = mx.ms
+    QUALIFY row_number() OVER (PARTITION BY p.doc_id
+                               ORDER BY p.py, p.px) = 1
+    ORDER BY p.doc_id
+    """,
+)
+def m_image_tiling(spark, sf_dir):
+    """ViT-style image patchification over REAL decoded pixels — the
+    patch-embedding prep every vision-language pipeline runs: each doc
+    becomes a genuine P6 PPM (the m_ppm_decode writer), a second Arrow
+    stage parses the raster back and tiles it into 4x4 pixel patches
+    (numpy reshape-sum, remainder rows/cols dropped exactly as patch
+    embedders do), and the per-patch red-channel sums flow out as
+    rows.  The relational tail finds each image's brightest patch
+    (deterministic (py, px) tiebreak) — the saliency-argmax primitive
+    behind smart cropping and patch dropout.  The oracle recomputes
+    every patch sum from the pixel generator formula, so one flipped
+    payload byte fails the hash.
+
+    Scale: blob bytes never leave the scan-side Arrow chain; only
+    (doc, patch, sum) rows — a 16x reduction of the raster — reach the
+    exchange, and the argmax is a per-doc window over a bounded patch
+    grid.  With real images the synth stage is the blob-store scan
+    and the tiling math is unchanged (dinov2-style 14x14 patches just
+    change the constant).
+    """
+    import struct  # noqa: F401  (parity with the sibling decoders)
+
+    import numpy as np
+
+    def synth_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = (d % 20) + 8, (d % 12) + 6
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                r = (d + 3 * x + 7 * y) % 256
+                g = (2 * d + 5 * x + y) % 256
+                b = (3 * d + x + 11 * y) % 256
+                raster = np.stack(
+                    np.broadcast_arrays(r, g, b), axis=-1
+                ).astype(np.uint8)
+                payloads.append(
+                    f"P6\n{w} {h}\n255\n".encode() + raster.tobytes()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, pxs, pys, sums = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                assert buf[:2] == b"P6", "not a P6 PPM"
+                parts = buf.split(b"\n", 3)
+                w, h = (int(v) for v in parts[1].split())
+                assert parts[2] == b"255"
+                raster = np.frombuffer(
+                    parts[3], dtype=np.uint8, count=w * h * 3
+                ).reshape(h, w, 3)
+                gw, gh = w // 4, h // 4
+                red = raster[: gh * 4, : gw * 4, 0].astype(np.int64)
+                patch = red.reshape(gh, 4, gw, 4).sum(axis=(1, 3))
+                for py in range(gh):
+                    for px in range(gw):
+                        ids.append(int(doc_id))
+                        ws.append(gw)
+                        hs.append(gh)
+                        pxs.append(px)
+                        pys.append(py)
+                        sums.append(int(patch[py, px]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "grid_w": ws, "grid_h": hs,
+                    "px": pxs, "py": pys, "s": sums,
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ppm = docs.mapInPandas(synth_ppm, schema="doc_id long, payload binary")
+    psum = ppm.mapInPandas(
+        tile,
+        schema="doc_id long, grid_w long, grid_h long, px long, py long,"
+        " s long",
+    ).cache()  # two consumers (mx, argmax join) must not re-decode
+    mx = psum.groupBy("doc_id").agg(
+        F.max("s").alias("ms"), F.count("*").cast("long").alias("n_patches")
+    )
+    wpick = Window.partitionBy("doc_id").orderBy("py", "px")
+    return (
+        psum.join(mx, "doc_id")
+        .where(F.col("s") == F.col("ms"))
+        .withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "grid_w",
+            "grid_h",
+            "n_patches",
+            F.col("s").alias("max_patch_sum"),
+            F.col("px").alias("argmax_px"),
+            F.col("py").alias("argmax_py"),
+        )
+        .orderBy("doc_id")
+    )

@@ -4687,3 +4687,91 @@ def t_rake_keywords(spark, sf_dir, stopwords=None):
         .orderBy(F.col("rake_score").desc(), "phrase")
         .limit(15)
     )
+
+
+@register(
+    "t_watermark_detect",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, i AS pos, wd[i] AS cur, wd[i - 1] AS prev
+        FROM (SELECT doc_id, wd, unnest(range(2, len(wd) + 1)) AS i
+              FROM (SELECT doc_id,
+                           string_split_regex(lower(text), '\s+') AS wd
+                    FROM documents))
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN substring(md5(prev || '|' || cur), 1, 1)
+                             BETWEEN '0' AND '7'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_green,
+           round((2.0 * n_green - n_bigrams) / sqrt(n_bigrams), 6) + 0
+               AS z_score,
+           CAST(CASE WHEN (2.0 * n_green - n_bigrams) / sqrt(n_bigrams) > 4
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM scored
+    WHERE n_bigrams >= 16
+    ORDER BY doc_id
+    """,
+)
+def t_watermark_detect(spark, sf_dir):
+    """LLM watermark detection (Kirchenbauer et al. 2023) — the
+    statistical test a training-data pipeline runs to keep
+    watermarked synthetic text OUT of the corpus: a greenlist
+    watermark makes each generated token prefer the half of the
+    vocabulary selected by a hash of its predecessor, so detection
+    scores each document's fraction of 'green' bigrams (green iff
+    md5(prev|cur) starts 0-7 — an exact 1/2-probability partition on
+    both engines) and converts it to the one-proportion z-score
+    (2g − n)/sqrt(n).  On natural text z ~ N(0,1) — this corpus IS
+    the null distribution, which is the calibration half of deploying
+    the detector; the z > 4 flag (false-positive rate ~3e-5) is the
+    production threshold for quarantining documents.  Documents with
+    fewer than 16 bigrams are skipped (the test has no power there —
+    the same length floor the paper uses).
+
+    Scale: one tokenize-and-shift pass (array windows, map-side) and
+    one per-doc count aggregation — strictly linear in tokens, no
+    joins; the z arithmetic is exact integers until one sqrt.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # bigram pairs built array-side (one transform, no token array
+    # duplicated onto every exploded row)
+    tok = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("wd")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(wd) - 1),"
+                " i -> struct(wd[i - 1] AS prev, wd[i] AS cur))"
+            )
+        ).alias("bg"),
+    )
+    green = F.when(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("bg.prev"), F.col("bg.cur"))), 1, 1
+        ).between("0", "7"),
+        1,
+    ).otherwise(0)
+    scored = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(green).cast("long").alias("n_green"),
+    )
+    z = (2.0 * F.col("n_green") - F.col("n_bigrams")) / F.sqrt(
+        F.col("n_bigrams")
+    )
+    return (
+        scored.where(F.col("n_bigrams") >= 16)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_green",
+            f6(z).alias("z_score"),
+            F.when(z > 4, 1).otherwise(0).cast("long").alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

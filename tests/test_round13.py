@@ -1416,3 +1416,66 @@ def test_lttb_downsample_structure(spark):
         key=lambda r: r["pos"],
     )
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_watermark_detect_null_calibration(spark):
+    """On natural (unwatermarked) text the z-scores must behave like the
+    null: mean near 0, no z>4 flags, and every count reconciles with the
+    per-doc bigram total (n_tokens - 1)."""
+    rows = registry.QUERIES["t_watermark_detect"](spark, _SF).collect()
+    assert rows
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{_SF}/documents.parquet')"
+    )
+    lens = dict(
+        con.execute(
+            r"""SELECT doc_id,
+                       len(string_split_regex(lower(text), '\s+')) - 1
+                FROM documents"""
+        ).fetchall()
+    )
+    zs = []
+    for r in rows:
+        assert r["n_bigrams"] == lens[r["doc_id"]] >= 16
+        assert 0 <= r["n_green"] <= r["n_bigrams"]
+        assert r["flagged"] == 0  # natural text must not trip z > 4
+        expect_z = (2.0 * r["n_green"] - r["n_bigrams"]) / (
+            r["n_bigrams"] ** 0.5
+        )
+        assert abs(r["z_score"] - expect_z) < 5e-6
+        zs.append(r["z_score"])
+    mean_z = sum(zs) / len(zs)
+    # doc z-scores share bigram TYPES (small synthetic vocabulary), so
+    # they are correlated across docs and the corpus mean drifts more
+    # than 1/sqrt(n_docs) — bound it loosely, the flag gate above is
+    # the operative null check
+    assert abs(mean_z) < 0.6
+
+
+def test_image_tiling_matches_formula(spark):
+    """Patch grid dims, patch counts, and the brightest-patch argmax must
+    match a pure-Python replay of the pixel generator formula."""
+    rows = registry.QUERIES["m_image_tiling"](spark, _SF).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        w, h = (d % 20) + 8, (d % 12) + 6
+        gw, gh = w // 4, h // 4
+        assert (r["grid_w"], r["grid_h"]) == (gw, gh)
+        assert r["n_patches"] == gw * gh
+        best = None
+        for py in range(gh):
+            for px in range(gw):
+                s = sum(
+                    (d + 3 * (px * 4 + dx) + 7 * (py * 4 + dy)) % 256
+                    for dy in range(4)
+                    for dx in range(4)
+                )
+                if best is None or s > best[0]:
+                    best = (s, px, py)
+        assert r["max_patch_sum"] == best[0]
+        assert (r["argmax_px"], r["argmax_py"]) == (best[1], best[2])

@@ -221,6 +221,8 @@ LINEAR_KEYS = {
     # equi-joins + walk-keyed argmin windows on the shared graph
     "s_vacuum_orphans": "orders",  # round 13 s3: manifest groupBy +
     # listing-cardinality diff, broadcast max-age
+    "w_lttb_downsample": "orders",  # round 13 s3: daily rollup + one
+    # bounded-axis Arrow task for the sequential picks
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
