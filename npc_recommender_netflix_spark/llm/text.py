@@ -4775,3 +4775,121 @@ def t_watermark_detect(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t_rouge_lead_bias",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, wd[i] AS w, len(wd) AS n
+        FROM (SELECT doc_id, wd, unnest(range(1, len(wd) + 1)) AS i
+              FROM (SELECT doc_id,
+                           string_split_regex(lower(text), '\s+') AS wd
+                    FROM documents))
+    ),
+    eligible AS (SELECT DISTINCT doc_id FROM toks WHERE n >= 40),
+    cand AS (
+        SELECT t.doc_id, t.w, CAST(count(*) AS BIGINT) AS c
+        FROM toks t JOIN eligible e ON e.doc_id = t.doc_id
+        WHERE t.pos <= 20 GROUP BY 1, 2
+    ),
+    ref AS (
+        SELECT t.doc_id, t.w, CAST(count(*) AS BIGINT) AS c
+        FROM toks t JOIN eligible e ON e.doc_id = t.doc_id
+        WHERE t.pos > 20 GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT c.doc_id,
+               CAST(sum(c.c) AS BIGINT) AS n_cand,
+               (SELECT CAST(sum(r2.c) AS BIGINT) FROM ref r2
+                WHERE r2.doc_id = c.doc_id) AS n_ref
+        FROM cand c GROUP BY c.doc_id
+    ),
+    ov AS (
+        SELECT cand.doc_id,
+               CAST(sum(least(cand.c, ref.c)) AS BIGINT) AS ov1
+        FROM cand JOIN ref
+          ON ref.doc_id = cand.doc_id AND ref.w = cand.w
+        GROUP BY cand.doc_id
+    )
+    SELECT s.doc_id, s.n_cand, s.n_ref,
+           coalesce(ov.ov1, 0) AS overlap1,
+           round(coalesce(ov.ov1, 0) * 1.0 / s.n_cand, 6) + 0 AS p1,
+           round(coalesce(ov.ov1, 0) * 1.0 / s.n_ref, 6) + 0 AS r1,
+           round(CASE WHEN coalesce(ov.ov1, 0) = 0 THEN 0.0
+                      ELSE 2.0 * coalesce(ov.ov1, 0)
+                           / (s.n_cand + s.n_ref) END, 6) + 0 AS f1
+    FROM sizes s LEFT JOIN ov ON ov.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def t_rouge_lead_bias(spark, sf_dir):
+    """ROUGE-1 lead-bias audit — the summarization-eval primitive run
+    as a corpus diagnostic: score each document's LEAD (first 20
+    tokens) against the rest of the document with multiset-overlap
+    ROUGE-1 (overlap = sum_w min(count_lead, count_rest); P, R, and
+    the F1 identity 2*ov/(n_lead+n_rest)).  High corpus-mean F here
+    means lead sections already paraphrase their documents — the
+    lead-bias that makes extractive baselines look deceptively strong
+    and that summarization training sets must measure before trusting
+    any learned-model win.  Docs under 40 tokens are skipped (no
+    reference substance).
+
+    Scale: two word-count aggregations (doc x word grain, map-side
+    combinable) and one co-keyed join on (doc_id, word) — the
+    same-document join co-partitions for free; nothing is quadratic
+    and the multiset min makes every count exact BIGINT.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos0", "w"),
+        F.size(F.split(F.lower("text"), r"\s+")).alias("n"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w", "n")
+    eligible = toks.where(F.col("n") >= 40).select("doc_id").distinct()
+    base = toks.join(eligible, "doc_id")
+    cand = (
+        base.where(F.col("pos") <= 20)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("c_cand"))
+    )
+    ref = (
+        base.where(F.col("pos") > 20)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("c_ref"))
+    )
+    sizes = (
+        cand.groupBy("doc_id")
+        .agg(F.sum("c_cand").cast("long").alias("n_cand"))
+        .join(
+            ref.groupBy("doc_id").agg(
+                F.sum("c_ref").cast("long").alias("n_ref")
+            ),
+            "doc_id",
+        )
+    )
+    ov = (
+        cand.join(ref, ["doc_id", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.least("c_cand", "c_ref")).cast("long").alias("ov1")
+        )
+    )
+    o = F.coalesce(F.col("ov1"), F.lit(0))
+    return (
+        sizes.join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_cand",
+            "n_ref",
+            o.alias("overlap1"),
+            f6(o * 1.0 / F.col("n_cand")).alias("p1"),
+            f6(o * 1.0 / F.col("n_ref")).alias("r1"),
+            f6(
+                F.when(o == 0, 0.0).otherwise(
+                    2.0 * o / (F.col("n_cand") + F.col("n_ref"))
+                )
+            ).alias("f1"),
+        )
+        .orderBy("doc_id")
+    )

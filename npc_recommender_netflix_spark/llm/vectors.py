@@ -6497,3 +6497,103 @@ def v_kmeans_par_init(spark, sf_dir):
         )
         .orderBy("cand_id")
     )
+
+
+@register(
+    "v_slerp_mixup",
+    f"""
+    WITH p AS (
+        SELECT vec_id, label, embedding,
+               lead(vec_id) OVER w AS id_b,
+               lead(embedding) OVER w AS emb_b
+        FROM embeddings
+        WINDOW w AS (PARTITION BY label ORDER BY vec_id)
+    ),
+    m AS (
+        SELECT vec_id AS id_a, id_b, label,
+               {_DUCK_DOT.format(a='embedding', b='emb_b')}
+                   / ({_DUCK_NRM.format(a='embedding')}
+                      * {_DUCK_NRM.format(a='emb_b')}) AS c,
+               {_DUCK_NRM.format(a='embedding')} AS na,
+               {_DUCK_NRM.format(a='emb_b')} AS nb,
+               embedding AS ea, emb_b AS eb
+        FROM p WHERE id_b IS NOT NULL
+    )
+    SELECT id_a, id_b, CAST(label AS BIGINT) AS label,
+           round(c, 6) + 0 AS cos_parents,
+           round((1 + c) / sqrt(2 + 2 * c), 6) + 0 AS cos_mix_parent,
+           round((CAST(ea[1] AS DOUBLE) / na + CAST(eb[1] AS DOUBLE) / nb)
+                 / sqrt(2 + 2 * c), 6) + 0 AS mix_d0,
+           round((CAST(ea[2] AS DOUBLE) / na + CAST(eb[2] AS DOUBLE) / nb)
+                 / sqrt(2 + 2 * c), 6) + 0 AS mix_d1,
+           round((CAST(ea[3] AS DOUBLE) / na + CAST(eb[3] AS DOUBLE) / nb)
+                 / sqrt(2 + 2 * c), 6) + 0 AS mix_d2,
+           round((CAST(ea[4] AS DOUBLE) / na + CAST(eb[4] AS DOUBLE) / nb)
+                 / sqrt(2 + 2 * c), 6) + 0 AS mix_d3
+    FROM m ORDER BY id_a
+    """,
+)
+def v_slerp_mixup(spark, sf_dir):
+    """Spherical-midpoint mixup — embedding-space data augmentation
+    (the slerp t=0.5 special case): for each same-label consecutive
+    pair, the augmented vector is the normalized midpoint of the two
+    UNIT parents, mix = (u_hat + v_hat)/|u_hat + v_hat| — exactly on
+    the unit sphere, equidistant from both parents.  Emitted per
+    pair: the parents' cosine, the mix-to-parent cosine (which the
+    half-angle identity pins at sqrt((1+c)/2) — the pytest check),
+    and the mix's first four coordinates as a fingerprint of the
+    actual synthesized vector.  This is how contrastive/metric
+    training sets densify sparse classes without leaving the
+    embedding manifold (linear mixup points fall INSIDE the sphere;
+    slerp points stay on it).
+
+    Scale: one label-partitioned lead window pairs the corpus with
+    itself at zero join cost, and all the vector math is JVM-side
+    higher-order array functions in one projection — linear scan,
+    no pair join, no UDF.  mix . u_hat is expanded by linearity to
+    (1 + c)/sqrt(2 + 2c) so the identity is computed, not assumed.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    p = emb.select(
+        F.col("vec_id").alias("id_a"),
+        "label",
+        F.col("embedding").alias("ea"),
+        F.lead("vec_id").over(w).alias("id_b"),
+        F.lead("embedding").over(w).alias("eb"),
+    ).where(F.col("id_b").isNotNull())
+    na = F.expr(_NRM.format(a="ea"))
+    nb = F.expr(_NRM.format(a="eb"))
+    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    m = p.select(
+        "id_a",
+        "id_b",
+        "label",
+        (dot / (na * nb)).alias("c"),
+        na.alias("na"),
+        nb.alias("nb"),
+        "ea",
+        "eb",
+    )
+    denom = F.sqrt(2 + 2 * F.col("c"))
+
+    def mix_dim(i):
+        return f6(
+            (
+                F.col("ea")[i] / F.col("na")
+                + F.col("eb")[i] / F.col("nb")
+            )
+            / denom
+        ).alias(f"mix_d{i}")
+
+    return m.select(
+        "id_a",
+        "id_b",
+        F.col("label").cast("long").alias("label"),
+        f6(F.col("c")).alias("cos_parents"),
+        f6((1 + F.col("c")) / denom).alias("cos_mix_parent"),
+        mix_dim(0),
+        mix_dim(1),
+        mix_dim(2),
+        mix_dim(3),
+    ).orderBy("id_a")

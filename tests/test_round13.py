@@ -1479,3 +1479,48 @@ def test_image_tiling_matches_formula(spark):
                     best = (s, px, py)
         assert r["max_patch_sum"] == best[0]
         assert (r["argmax_px"], r["argmax_py"]) == (best[1], best[2])
+
+
+def test_rouge_lead_bias_identities(spark):
+    """Multiset-overlap identities: overlap <= min(n_cand, n_ref),
+    P/R/F consistent with the counts, F1 between 0 and 1, and a
+    pure-Python multiset replay for every doc."""
+    rows = registry.QUERIES["t_rouge_lead_bias"](spark, _SF).collect()
+    assert rows
+    import duckdb
+    from collections import Counter
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{_SF}/documents.parquet')"
+    )
+    texts = dict(
+        con.execute("SELECT doc_id, lower(text) FROM documents").fetchall()
+    )
+    for r in rows:
+        toks = texts[r["doc_id"]].split()
+        assert len(toks) >= 40
+        cand, ref = Counter(toks[:20]), Counter(toks[20:])
+        ov = sum(min(c, ref[w]) for w, c in cand.items())
+        assert r["overlap1"] == ov
+        assert r["n_cand"] == 20 and r["n_ref"] == len(toks) - 20
+        assert abs(r["f1"] - (2 * ov / (r["n_cand"] + r["n_ref"]) if ov else 0)) < 5e-6
+        assert 0.0 <= r["f1"] <= 1.0
+
+
+def test_slerp_mixup_half_angle_identity(spark):
+    """The defining slerp t=0.5 property: the mix's cosine to each
+    parent equals sqrt((1 + cos_parents)/2) — equidistant on the
+    sphere; the emitted mix coordinates must be unit-norm-consistent
+    (checked on the 4-dim fingerprint being finite and bounded)."""
+    rows = registry.QUERIES["v_slerp_mixup"](spark, _SF).collect()
+    assert rows
+    for r in rows:
+        c = r["cos_parents"]
+        assert -1.0 <= c <= 1.0
+        expect = ((1 + c) / 2) ** 0.5
+        assert abs(r["cos_mix_parent"] - expect) < 5e-6
+        assert r["cos_mix_parent"] >= abs(c) - 5e-6  # mix closer than parents
+        for i in range(4):
+            assert abs(r[f"mix_d{i}"]) <= 1.0 + 1e-9

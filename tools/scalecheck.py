@@ -223,6 +223,10 @@ LINEAR_KEYS = {
     # listing-cardinality diff, broadcast max-age
     "w_lttb_downsample": "orders",  # round 13 s3: daily rollup + one
     # bounded-axis Arrow task for the sequential picks
+    "t_watermark_detect": "documents",  # round 13 s3: one map-side
+    # bigram pass + per-doc count agg; linear, no joins
+    "m_image_tiling": "documents",  # round 13 s3: Arrow P6 synth/tile
+    # chain; only (doc, patch, sum) rows reach the exchange
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
