@@ -227,6 +227,10 @@ LINEAR_KEYS = {
     # bigram pass + per-doc count agg; linear, no joins
     "m_image_tiling": "documents",  # round 13 s3: Arrow P6 synth/tile
     # chain; only (doc, patch, sum) rows reach the exchange
+    "t_rouge_lead_bias": "documents",  # round 13 s3: two word-count
+    # aggs + one co-keyed (doc, word) join; multiset-min overlap
+    "v_slerp_mixup": "embeddings",  # round 13 s3: label-partitioned
+    # lead window + JVM array math in one projection
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
