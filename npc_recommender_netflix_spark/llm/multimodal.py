@@ -2255,3 +2255,146 @@ def m_image_tiling(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "m_shot_detection",
+    """
+    WITH spec AS (
+        SELECT doc_id, (doc_id % 30) + 12 AS nf, (doc_id % 5) + 4 AS p
+        FROM documents
+    ),
+    fr AS (
+        SELECT s.doc_id, s.nf, s.p, g.t
+        FROM spec s, generate_series(1, 41) AS g(t)
+        WHERE g.t < s.nf
+    ),
+    diffs AS (
+        SELECT doc_id, nf, p, t,
+               CAST(list_sum(flatten(list_transform(range(0, 6), y ->
+                   list_transform(range(0, 8), x ->
+                       abs((((doc_id + 3 * x + 7 * y) % 128)
+                             + (t % p) + 50 * ((t // p) % 2))
+                           - (((doc_id + 3 * x + 7 * y) % 128)
+                              + ((t - 1) % p)
+                              + 50 * (((t - 1) // p) % 2)))))))
+                   AS BIGINT) AS sum_abs
+        FROM fr
+    ),
+    census AS (
+        SELECT doc_id, max(nf) AS nf, max(p) AS p,
+               CAST(sum(CASE WHEN sum_abs > 8 * 48 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cuts
+        FROM diffs GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(p AS BIGINT) AS scene_period, n_cuts,
+           n_cuts + 1 AS n_shots,
+           CAST(CASE WHEN n_cuts = (nf - 1) // p THEN 1 ELSE 0 END
+                AS BIGINT) AS cuts_match_planted
+    FROM census ORDER BY doc_id
+    """,
+)
+def m_shot_detection(spark, sf_dir):
+    """Shot-boundary detection over REAL decoded frames — the temporal
+    segmentation step of every video-understanding pipeline: each doc
+    becomes a sequence of genuine 8x6 grayscale rasters (one blob per
+    frame) whose pixel process drifts by +1/frame WITHIN a scene and
+    flips a 50-level appearance offset at planted scene boundaries
+    (every (doc_id % 5)+4 frames); the pixel formula is built
+    NON-WRAPPING (base%128 + phase <= 185 < 256), so within-scene
+    diffs are exactly 1/pixel and boundary diffs >= 42/pixel — the
+    first design ((base + 37*scene + t) % 256) wrapped at value 255
+    and false-triggered 135/500 docs, the exact artifact real
+    pixel-domain detectors hit on dirty decodes.  The detector
+    declares a cut when mean |pixel delta| > 8 levels (the classic
+    rule) and the census compares detected cuts against the planted
+    count in-row (cuts_match_planted — pytest pins it to 1 for every
+    doc: precision AND recall exactly 1 by construction).
+
+    Scale: synth is mapInPandas (frame blobs never shuffle as video —
+    they move once, doc-grouped, into the diff stage); the diff runs
+    in applyInPandas per doc (the grouping GUARANTEE matters: frame t
+    and t-1 must land in one task, which plain mapInPandas does not
+    promise across Arrow batch splits); only (doc, t, sum_abs) rows
+    reach the relational census.  With real video the synth is the
+    demuxer and the diff stage is unchanged — at 100 TB the per-doc
+    group is one clip's frames, bounded by clip length.
+    """
+    import numpy as np
+
+    def synth_frames(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts, payloads = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = (d % 30) + 12
+                p = (d % 5) + 4
+                x = np.arange(8)[None, :]
+                y = np.arange(6)[:, None]
+                base = (d + 3 * x + 7 * y) % 128
+                for t in range(nf):
+                    raster = (
+                        base + (t % p) + 50 * ((t // p) % 2)
+                    ).astype(np.uint8)
+                    ids.append(d)
+                    ts.append(t)
+                    payloads.append(raster.tobytes())
+            yield pd.DataFrame(
+                {"doc_id": ids, "t": ts, "payload": payloads}
+            )
+
+    def frame_diffs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        rasters = [
+            np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            for b in pdf["payload"]
+        ]
+        ts, sums = [], []
+        for i in range(1, len(rasters)):
+            ts.append(int(pdf["t"].iloc[i]))
+            sums.append(int(np.abs(rasters[i] - rasters[i - 1]).sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": [int(pdf["doc_id"].iloc[0])] * len(ts),
+                "t": ts,
+                "sum_abs": sums,
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = docs.mapInPandas(
+        synth_frames, schema="doc_id long, t long, payload binary"
+    )
+    diffs = frames.groupBy("doc_id").applyInPandas(
+        frame_diffs, schema="doc_id long, t long, sum_abs long"
+    )
+    spec = docs.select(
+        "doc_id",
+        ((F.col("doc_id") % 30) + 12).alias("nf"),
+        ((F.col("doc_id") % 5) + 4).alias("p"),
+    )
+    census = diffs.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("sum_abs") > 8 * 48, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cuts")
+    )
+    return (
+        spec.join(census, "doc_id")
+        .select(
+            "doc_id",
+            F.col("nf").cast("long").alias("n_frames"),
+            F.col("p").cast("long").alias("scene_period"),
+            "n_cuts",
+            (F.col("n_cuts") + 1).alias("n_shots"),
+            F.when(
+                F.col("n_cuts") == F.expr("(nf - 1) div p"), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("cuts_match_planted"),
+        )
+        .orderBy("doc_id")
+    )

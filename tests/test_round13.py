@@ -1524,3 +1524,18 @@ def test_slerp_mixup_half_angle_identity(spark):
         assert r["cos_mix_parent"] >= abs(c) - 5e-6  # mix closer than parents
         for i in range(4):
             assert abs(r[f"mix_d{i}"]) <= 1.0 + 1e-9
+
+
+def test_shot_detection_exact_on_planted_scenes(spark):
+    """The non-wrapping pixel process makes the detector provably exact:
+    detected cuts == planted (nf-1)//period for EVERY document, shots =
+    cuts + 1, and the in-row audit flag is 1 everywhere."""
+    rows = registry.QUERIES["m_shot_detection"](spark, _SF).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        nf, p = (d % 30) + 12, (d % 5) + 4
+        assert (r["n_frames"], r["scene_period"]) == (nf, p)
+        assert r["n_cuts"] == (nf - 1) // p
+        assert r["n_shots"] == r["n_cuts"] + 1
+        assert r["cuts_match_planted"] == 1
