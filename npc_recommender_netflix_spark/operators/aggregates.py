@@ -10170,3 +10170,140 @@ def a_raking_ipf(spark, sf_dir):
         f6(F.col("x")).alias("fitted"),
         f6(F.col("x") / F.col("n_obs")).alias("weight"),
     ).orderBy("pri", "dow")
+
+
+@register(
+    "a_mcc_confusion",
+    """
+    WITH ret AS (
+        SELECT l_orderkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    base AS (
+        SELECT ret.y,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS pred_priority,
+               CASE WHEN o.o_totalprice > 200000 THEN 1 ELSE 0 END
+                   AS pred_price
+        FROM orders o JOIN ret ON ret.l_orderkey = o.o_orderkey
+    ),
+    rules AS (
+        SELECT 'high_priority' AS rule, y, pred_priority AS p FROM base
+        UNION ALL
+        SELECT 'high_price', y, pred_price FROM base
+    ),
+    cm AS (
+        SELECT rule,
+               CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn
+        FROM rules GROUP BY rule
+    )
+    SELECT rule, tp, fp, fn, tn,
+           round((tp * tn - fp * fn) * 1.0
+                 / greatest(sqrt((tp + fp) * 1.0) * sqrt((tp + fn) * 1.0)
+                            * sqrt((tn + fp) * 1.0) * sqrt((tn + fn) * 1.0),
+                            1e-12), 6) + 0 AS mcc,
+           round((tp * 1.0 / greatest(tp + fn, 1)
+                  + tn * 1.0 / greatest(tn + fp, 1)) / 2, 6) + 0
+               AS balanced_acc,
+           round(2.0 * tp / greatest(2 * tp + fp + fn, 1), 6) + 0 AS f1
+    FROM cm ORDER BY rule
+    """,
+)
+def a_mcc_confusion(spark, sf_dir):
+    """Matthews correlation + the confusion-matrix metric surface for
+    two candidate business rules predicting has-returned-lineitem
+    (high order priority; high order value) — the classifier-audit
+    table that catches what accuracy hides on imbalanced outcomes:
+    MCC is the only single number here that goes to 0 for
+    constant/chance predictors REGARDLESS of class balance (it is the
+    Pearson correlation of the binary variables), while balanced
+    accuracy and F1 are shown alongside because each can look healthy
+    on a chance rule.  On this corpus both rules are independent of
+    returns, so MCC ~ 0 — the honest no-signal verdict a rule-mining
+    pipeline must be able to print.
+
+    Exactness: the sqrt of the product is factored into four scalar
+    sqrts (the raw product of four ~n-sized BIGINTs overflows at
+    ~60k orders; sqrt-per-factor keeps every intermediate in double
+    range with identical association on both engines).
+
+    Scale: one map-side flag projection + a 2x4-cell conditional
+    aggregation — the whole audit is one shuffle regardless of rule
+    count, and adding rules is adding CASE columns, not passes.
+    """
+    ret = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .join(ret, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "y",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .alias("pred_priority"),
+            F.when(F.col("o_totalprice") > 200000, 1)
+            .otherwise(0)
+            .alias("pred_price"),
+        )
+    )
+    rules = base.select(
+        F.lit("high_priority").alias("rule"),
+        "y",
+        F.col("pred_priority").alias("p"),
+    ).unionByName(
+        base.select(
+            F.lit("high_price").alias("rule"), "y", F.col("pred_price").alias("p")
+        )
+    )
+
+    def cell(pv, yv, name):
+        return (
+            F.sum(F.when((F.col("p") == pv) & (F.col("y") == yv), 1).otherwise(0))
+            .cast("long")
+            .alias(name)
+        )
+
+    cm = rules.groupBy("rule").agg(
+        cell(1, 1, "tp"), cell(1, 0, "fp"), cell(0, 1, "fn"), cell(0, 0, "tn")
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    denom = F.greatest(
+        F.sqrt((tp + fp) * 1.0)
+        * F.sqrt((tp + fn) * 1.0)
+        * F.sqrt((tn + fp) * 1.0)
+        * F.sqrt((tn + fn) * 1.0),
+        F.lit(1e-12),
+    )
+    return cm.select(
+        "rule",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        f6((tp * tn - fp * fn) * 1.0 / denom).alias("mcc"),
+        f6(
+            (
+                tp * 1.0 / F.greatest(tp + fn, F.lit(1))
+                + tn * 1.0 / F.greatest(tn + fp, F.lit(1))
+            )
+            / 2
+        ).alias("balanced_acc"),
+        f6(2.0 * tp / F.greatest(2 * tp + fp + fn, F.lit(1))).alias("f1"),
+    ).orderBy("rule")

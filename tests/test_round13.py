@@ -1539,3 +1539,28 @@ def test_shot_detection_exact_on_planted_scenes(spark):
         assert r["n_cuts"] == (nf - 1) // p
         assert r["n_shots"] == r["n_cuts"] + 1
         assert r["cuts_match_planted"] == 1
+
+
+def test_mcc_confusion_identities(spark):
+    """Confusion cells partition the order set identically for both
+    rules; MCC is chance-level (|mcc| < 0.05) on this independent
+    corpus; balanced_acc/f1 consistent with the cells; a sklearn-free
+    replay confirms MCC from the cells."""
+    rows = registry.QUERIES["a_mcc_confusion"](spark, _SF).collect()
+    assert len(rows) == 2
+    totals = {r["rule"]: r["tp"] + r["fp"] + r["fn"] + r["tn"] for r in rows}
+    assert len(set(totals.values())) == 1
+    import math
+
+    for r in rows:
+        tp, fp, fn, tn = r["tp"], r["fp"], r["fn"], r["tn"]
+        denom = (
+            math.sqrt(tp + fp) * math.sqrt(tp + fn)
+            * math.sqrt(tn + fp) * math.sqrt(tn + fn)
+        )
+        mcc = (tp * tn - fp * fn) / denom if denom else 0.0
+        assert abs(r["mcc"] - mcc) < 5e-6
+        assert abs(r["mcc"]) < 0.05  # independence → chance level
+        ba = (tp / max(tp + fn, 1) + tn / max(tn + fp, 1)) / 2
+        assert abs(r["balanced_acc"] - ba) < 5e-6
+        assert abs(r["f1"] - 2 * tp / max(2 * tp + fp + fn, 1)) < 5e-6
