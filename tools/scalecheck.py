@@ -231,6 +231,10 @@ LINEAR_KEYS = {
     # aggs + one co-keyed (doc, word) join; multiset-min overlap
     "v_slerp_mixup": "embeddings",  # round 13 s3: label-partitioned
     # lead window + JVM array math in one projection
+    "m_shot_detection": "documents",  # round 13 s3: doc-grouped Arrow
+    # frame-diff stage; only (doc, t, diff) rows reach the census
+    "a_mcc_confusion": "orders",  # round 13 s3: flag projection +
+    # one 2x4-cell conditional aggregation
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
