@@ -235,6 +235,10 @@ LINEAR_KEYS = {
     # frame-diff stage; only (doc, t, diff) rows reach the census
     "a_mcc_confusion": "orders",  # round 13 s3: flag projection +
     # one 2x4-cell conditional aggregation
+    "a_survival_rmst": "orders",  # round 13 s3: KM fold + one lag
+    # window on the bounded event-time axis + 1-row integral
+    "a_atkinson_index": "orders",  # round 13 s3: one rollup + one
+    # map-combinable moment aggregate (no sort)
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
