@@ -4893,3 +4893,80 @@ def t_rouge_lead_bias(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t_mattr_diversity",
+    r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS wd
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, wd, len(wd) AS n FROM d WHERE len(wd) >= 20
+    ),
+    win AS (
+        SELECT doc_id, n,
+               len(list_distinct(wd[s + 1 : s + 20])) AS types
+        FROM (SELECT doc_id, n, wd, unnest(range(0, n - 19, 10)) AS s
+              FROM base)
+    )
+    SELECT w.doc_id,
+           CAST(max(w.n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           round(avg(w.types / 20.0), 6) + 0 AS mattr,
+           round(max(g.gt) * 1.0 / max(w.n), 6) + 0 AS global_ttr
+    FROM win w JOIN (SELECT doc_id, len(list_distinct(wd)) AS gt
+                     FROM base) g ON g.doc_id = w.doc_id
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def t_mattr_diversity(spark, sf_dir):
+    """MATTR — moving-average type-token ratio (Covington-McFall
+    2010), the lexical-diversity measure that fixes raw TTR's fatal
+    length bias: TTR over a whole document falls mechanically as the
+    document grows (types saturate, tokens don't), so corpora ranked
+    by global TTR just rank by length.  MATTR averages the TTR of
+    fixed 20-token windows (stride 10), making scores comparable
+    across lengths — the global_ttr column is printed alongside so
+    the bias is visible in-row (global <= mattr + epsilon for long
+    docs, and the GAP grows with n_tokens).  Quality filters use this
+    where t_repetition_filter uses n-gram repetition: low MATTR flags
+    template/boilerplate text whose vocabulary loops.
+
+    Scale: window starts are a map-side sequence explode and each
+    window's type count is array_distinct on a 20-element slice — no
+    shuffle until the per-doc average; strictly linear in tokens with
+    a constant ~2x window overlap factor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("wd")
+    ).withColumn("n", F.size("wd")).where(F.col("n") >= 20)
+    win = base.select(
+        "doc_id",
+        "n",
+        F.explode(F.expr("sequence(0, n - 20, 10)")).alias("s"),
+        "wd",
+    ).select(
+        "doc_id",
+        "n",
+        F.size(
+            F.array_distinct(F.slice(F.col("wd"), F.col("s") + 1, 20))
+        ).alias("types"),
+    )
+    gt = base.select(
+        "doc_id", F.size(F.array_distinct("wd")).alias("gt")
+    )
+    return (
+        win.join(gt, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_windows"),
+            f6(F.avg(F.col("types") / 20.0)).alias("mattr"),
+            f6(F.max("gt") * 1.0 / F.max("n")).alias("global_ttr"),
+        )
+        .orderBy("doc_id")
+    )

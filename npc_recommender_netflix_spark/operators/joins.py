@@ -923,3 +923,117 @@ def j_asof_tolerance(spark, sf_dir):
             )
         ).alias("avg_fresh_staleness_sec"),
     )
+
+
+@register(
+    "j_allen_relations",
+    """
+    WITH iv AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_shipdate AS DATE) AS s,
+               CAST(l_shipdate AS DATE)
+                   + to_days(CAST(l_quantity AS INTEGER)) AS e
+        FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+        FROM iv a JOIN iv b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_linenumber < b.l_linenumber
+    ),
+    rel AS (
+        SELECT CASE
+            WHEN e1 < s2 THEN 'before'
+            WHEN e1 = s2 THEN 'meets'
+            WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+            WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+            WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+            WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+            WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+            WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+            WHEN s1 > s2 AND e1 < e2 THEN 'during'
+            WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+            WHEN s2 < s1 AND e2 > s1 AND e2 < e1 THEN 'overlapped_by'
+            WHEN e2 = s1 THEN 'met_by'
+            ELSE 'after' END AS relation
+        FROM pairs
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rel)
+    SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) * 1000000 // max(tot.n) AS BIGINT) AS share_ppm
+    FROM rel CROSS JOIN tot
+    GROUP BY relation
+    ORDER BY relation
+    """,
+)
+def j_allen_relations(spark, sf_dir):
+    """Allen's interval algebra census — the full 13-relation
+    classification (before/meets/overlaps/starts/during/finishes,
+    their inverses, and equals) applied to per-line handling windows
+    [shipdate, shipdate + quantity days) of line pairs within the
+    same order (quantity as duration — the deterministic stand-in
+    for a receipt date this schema does not carry).
+    Allen's relations are the complete, mutually exclusive vocabulary
+    of temporal interaction (Allen 1983) — the semantics underneath
+    every interval join, overlap dedup, and temporal-validity check
+    this engine ships (j_interval_overlap, q_scd2_intervals answer
+    ONE of these 13 questions; this key enumerates which question the
+    data is actually asking, pair by pair).  The CASE ladder is
+    ordered so each arm is reached only when all earlier (more
+    specific) relations failed — equality arms before strict ones —
+    making the 13 classes provably exhaustive and disjoint (pytest
+    pins total coverage: shares sum to 1e6 ppm within rounding).
+
+    Scale: the pair join is keyed on the shared order (co-partitioned,
+    bounded fan-out: <= C(7,2) pairs per order), and the census is a
+    13-row groupBy — the same shape at any volume.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(
+            F.to_date("l_shipdate"), F.col("l_quantity").cast("int")
+        ).alias("e"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.s").alias("s1"),
+        F.col("a.e").alias("e1"),
+        F.col("b.s").alias("s2"),
+        F.col("b.e").alias("e2"),
+    )
+    s1, e1, s2, e2 = (F.col(c) for c in ("s1", "e1", "s2", "e2"))
+    rel = pairs.select(
+        F.when(e1 < s2, "before")
+        .when(e1 == s2, "meets")
+        .when((s1 == s2) & (e1 == e2), "equals")
+        .when((s1 == s2) & (e1 < e2), "starts")
+        .when((s1 == s2) & (e1 > e2), "started_by")
+        .when((e1 == e2) & (s1 < s2), "finished_by")
+        .when((e1 == e2) & (s1 > s2), "finishes")
+        .when((s1 < s2) & (e1 > e2), "contains")
+        .when((s1 > s2) & (e1 < e2), "during")
+        .when((s1 < s2) & (e1 > s2) & (e1 < e2), "overlaps")
+        .when((s2 < s1) & (e2 > s1) & (e2 < e1), "overlapped_by")
+        .when(e2 == s1, "met_by")
+        .otherwise("after")
+        .alias("relation")
+    )
+    tot = rel.agg(F.count("*").cast("long").alias("n"))
+    return (
+        rel.crossJoin(F.broadcast(tot))
+        .groupBy("relation")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("count(*) * 1000000 div max(n)")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("relation")
+    )

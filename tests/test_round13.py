@@ -1607,3 +1607,47 @@ def test_atkinson_generalized_mean_ordering(spark):
     assert r["n"] == n
     assert abs(r["atkinson_e1"] - (1 - geo / mean)) < 5e-6
     assert abs(r["atkinson_e2"] - (1 - harm / mean)) < 5e-6
+
+
+def test_allen_relations_complete_partition(spark):
+    """The 13 CASE arms must partition every pair: shares sum to 1e6 ppm
+    within per-row floor rounding, all relations are from Allen's
+    vocabulary, and counts are positive."""
+    rows = registry.QUERIES["j_allen_relations"](spark, _SF).collect()
+    allen = {
+        "before", "meets", "overlaps", "starts", "during", "finishes",
+        "equals", "after", "met_by", "overlapped_by", "started_by",
+        "contains", "finished_by",
+    }
+    assert rows and {r["relation"] for r in rows} <= allen
+    total_ppm = sum(r["share_ppm"] for r in rows)
+    assert 1000000 - len(rows) <= total_ppm <= 1000000
+    assert all(r["n_pairs"] > 0 for r in rows)
+
+
+def test_mattr_fixes_length_bias(spark):
+    """MATTR invariants: 0 < mattr <= 1, global_ttr <= 1, window count
+    matches the stride arithmetic, and a pure-Python replay of both
+    measures for every doc."""
+    rows = registry.QUERIES["t_mattr_diversity"](spark, _SF).collect()
+    assert rows
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{_SF}/documents.parquet')"
+    )
+    texts = dict(
+        con.execute("SELECT doc_id, lower(text) FROM documents").fetchall()
+    )
+    for r in rows:
+        toks = texts[r["doc_id"]].split()
+        n = len(toks)
+        assert r["n_tokens"] == n >= 20
+        starts = list(range(0, n - 19, 10))
+        assert r["n_windows"] == len(starts)
+        mattr = sum(len(set(toks[s:s + 20])) / 20 for s in starts) / len(starts)
+        assert abs(r["mattr"] - mattr) < 5e-6
+        assert abs(r["global_ttr"] - len(set(toks)) / n) < 5e-6
+        assert 0 < r["mattr"] <= 1.0
