@@ -239,6 +239,10 @@ LINEAR_KEYS = {
     # window on the bounded event-time axis + 1-row integral
     "a_atkinson_index": "orders",  # round 13 s3: one rollup + one
     # map-combinable moment aggregate (no sort)
+    "j_allen_relations": "lineitem",  # round 13 s3: order-keyed pair
+    # join (bounded fan-out per order) + 13-row census
+    "t_mattr_diversity": "documents",  # round 13 s3: map-side window
+    # explode + array_distinct; shuffle only at the per-doc average
 }
 # exact-by-contract operators expected (and documented) to bend quadratic
 QUADRATIC_KEYS = {
