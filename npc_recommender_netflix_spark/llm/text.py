@@ -4740,16 +4740,25 @@ def t_watermark_detect(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     # bigram pairs built array-side (one transform, no token array
     # duplicated onto every exploded row)
-    tok = docs.select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("wd")
-    ).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(wd) - 1),"
-                " i -> struct(wd[i - 1] AS prev, wd[i] AS cur))"
-            )
-        ).alias("bg"),
+    tok = (
+        docs.select(
+            "doc_id", F.split(F.lower("text"), r"\s+").alias("wd")
+        )
+        # single-token docs must be dropped BEFORE the window build:
+        # sequence(1, 0) is a DESCENDING [1, 0] in Spark and would
+        # fabricate two null-token bigrams per doc (DuckDB's
+        # range(2, 2) is empty) — harmless today only because of the
+        # 16-bigram power floor, but wrong if the floor ever moves
+        .where(F.size("wd") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(wd) - 1),"
+                    " i -> struct(wd[i - 1] AS prev, wd[i] AS cur))"
+                )
+            ).alias("bg"),
+        )
     )
     green = F.when(
         F.substring(

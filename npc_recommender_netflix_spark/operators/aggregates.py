@@ -9824,8 +9824,8 @@ def a_tail_dependence(spark, sf_dir):
     """
     WITH daily AS (
         SELECT o_orderdate AS d,
-               date_diff('day', DATE '1995-01-01', o_orderdate) % 7
-                   AS dow,
+               ((date_diff('day', DATE '1995-01-01', o_orderdate) % 7)
+                + 7) % 7 AS dow,
                sum(o_totalprice) AS rev
         FROM orders GROUP BY 1, 2
     ),
@@ -9892,7 +9892,10 @@ def a_pinball_eval(spark, sf_dir):
         .groupBy(F.col("o_orderdate").alias("d"))
         .agg(F.sum("o_totalprice").alias("rev"))
         .withColumn(
-            "dow", F.datediff(F.col("d"), F.lit("1995-01-01")) % 7
+            # pmod: sign-safe weekday key — % is truncated modulo on
+            # both engines and goes negative for pre-anchor dates
+            "dow",
+            F.pmod(F.datediff(F.col("d"), F.lit("1995-01-01")), F.lit(7)),
         )
     )
     mx = daily.agg(F.max("d").alias("maxd"))
@@ -10086,7 +10089,8 @@ def _ipf_iter_sql(i):
     f"""
     WITH cells AS (
         SELECT o_orderpriority AS pri,
-               date_diff('day', DATE '1995-01-01', o_orderdate) % 7 AS dow,
+               ((date_diff('day', DATE '1995-01-01', o_orderdate) % 7)
+                + 7) % 7 AS dow,
                CAST(count(*) AS BIGINT) AS n
         FROM orders GROUP BY 1, 2
     ),
@@ -10130,8 +10134,11 @@ def a_raking_ipf(spark, sf_dir):
         load_table(spark, sf_dir, "orders")
         .groupBy(
             F.col("o_orderpriority").alias("pri"),
-            (
-                F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")) % 7
+            # pmod keeps the weekday key non-negative for pre-anchor
+            # dates (truncated % would split each dow into two keys)
+            F.pmod(
+                F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")),
+                F.lit(7),
             ).alias("dow"),
         )
         .agg(F.count("*").cast("long").alias("n"))

@@ -5436,6 +5436,105 @@ def q_sql_scripting(spark, sf_dir):
 
 
 @register(
+    "q_sql_scripting_hist",
+    """
+    WITH RECURSIVE hist AS (
+        SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    ext AS (
+        SELECT max(cents) AS maxc, (sum(cents*cnt)+1)//2 AS half FROM hist
+    ),
+    bi AS (
+        SELECT 0 AS i, CAST(0 AS BIGINT) AS lo, e.maxc AS hi, e.half AS half
+        FROM ext e
+        UNION ALL
+        SELECT i+1,
+               CASE WHEN below >= half THEN lo ELSE mid END,
+               CASE WHEN below >= half THEN mid ELSE hi END,
+               half
+        FROM (
+            SELECT i, lo, hi, half, (lo+hi)//2 AS mid,
+                   (SELECT coalesce(sum(cents*cnt), 0)
+                    FROM hist
+                    WHERE cents <= (lo+hi)//2) AS below
+            FROM bi WHERE i < 12
+        ) s
+    )
+    SELECT lo AS lo_cents, hi AS hi_cents, CAST(i AS BIGINT) AS n_iter
+    FROM bi WHERE i = 12
+    """,
+)
+def q_sql_scripting_hist(spark, sf_dir):
+    """Production twin of ``q_sql_scripting``: the SAME 12-step
+    BEGIN/WHILE bisection script, but against a pre-aggregated cents
+    histogram instead of the raw orders table — 1 full scan instead of
+    12 at 100 TB. The histogram (``cents -> cnt``) is built once,
+    cached, and exposed as a temp view; every WHILE iteration's
+    ``below`` aggregate is then a metadata-sized in-memory scan of a
+    bounded frame (|distinct cents| <= the price-grid cardinality,
+    ~1e4 on TPC-H-shaped prices — an axis that does NOT grow with row
+    count). ``sum(cents*cnt)`` over the histogram is bit-identical to
+    ``sum(cents)`` over orders, so the bisection trajectory — and the
+    final (lo, hi) bracket — equals the 12-scan key's exactly;
+    tests/test_round14.py pins the two keys' results against each
+    other the way the ``*_capped`` twins pin their audit tiers.
+
+    Scale: this is the plan the 12-scan key's docstring designs. The
+    histogram groupBy is the only data-sized shuffle; the 12 script
+    iterations cost O(distinct-cents) each against the cached frame,
+    independent of table size. At 1000 executors the cached histogram
+    is a few KB per core — the control loop becomes driver-latency
+    bound, which is the floor for any data-dependent loop.
+    """
+    from ..session import load_table as _lt
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    hist = (
+        _lt(spark, sf_dir, "orders")
+        .groupBy(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    # tiny bounded frame (price-grid axis): cache so the 12 WHILE
+    # iterations hit memory, not the table scan; LRU-evictable.
+    hist.cache().createOrReplaceTempView("npc_script_hist")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE lo BIGINT DEFAULT 0;
+          DECLARE hi BIGINT DEFAULT 0;
+          DECLARE mid BIGINT DEFAULT 0;
+          DECLARE below BIGINT DEFAULT 0;
+          DECLARE half BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          SET hi = (SELECT max(cents) FROM npc_script_hist);
+          SET half = (SELECT (sum(cents * cnt) + 1) DIV 2
+                      FROM npc_script_hist);
+          WHILE i < 12 DO
+            SET mid = (lo + hi) DIV 2;
+            SET below = (SELECT coalesce(sum(cents * cnt), 0)
+                         FROM npc_script_hist
+                         WHERE cents <= mid);
+            IF below >= half THEN
+              SET hi = mid;
+            ELSE
+              SET lo = mid;
+            END IF;
+            SET i = i + 1;
+          END WHILE;
+          SELECT lo AS lo_cents, hi AS hi_cents,
+                 CAST(i AS BIGINT) AS n_iter;
+        END
+        """
+    )
+
+
+@register(
     "q_largest_remainder",
     """
     WITH rev AS (

@@ -900,6 +900,7 @@ def _lpa_labels(spark, sf_dir):
         F.when(F.col("node") % 7 == 0, F.lit(0)).alias("rnd"),
     )
     for rnd in (1, 2):
+        prev = lab
         labeled = lab.where(F.col("lab").isNotNull()).select(
             F.col("node").alias("l_node"), F.col("lab").alias("l_lab")
         )
@@ -933,6 +934,13 @@ def _lpa_labels(spark, sf_dir):
             # coalesce) — caching breaks the exponential re-derivation
             .cache()
         )
+        # superseded round frame: give executor memory back (same
+        # iterative-label hygiene as llm/dedup.py's propagation loop);
+        # only the FINAL frame stays cached in the cross-key memo.
+        # rnd 1's prev is the uncached seed select — unpersist is a
+        # no-op there, real for the round-1 frame when rnd == 2.
+        if rnd == 2:
+            prev.unpersist()
     _LPA_SHARED[memo_key] = lab
     return lab
 

@@ -611,14 +611,24 @@ def u_grouped_model_fit(spark, sf_dir):
         sxx = ((t - tm) ** 2).sum()
         sxy = ((t - tm) * (y - ym)).sum()
         syy = ((y - ym) ** 2).sum()
-        slope = sxy / sxx
+        # degenerate groups follow SQL regression-aggregate NULL
+        # semantics (regr_slope/regr_r2): a single-month nation
+        # (sxx == 0) has no slope; constant revenue (syy == 0) has no
+        # r2 — None here, never inf/nan, matching the DuckDB oracle
+        slope = sxy / sxx if sxx > 0.0 else None
+        intercept = ym - slope * tm if slope is not None else None
+        r2 = (
+            (sxy * sxy) / (sxx * syy)
+            if sxx > 0.0 and syy > 0.0
+            else None
+        )
         return pd.DataFrame(
             {
                 "nation": [pdf["nation"].iloc[0]],
                 "n_months": [len(pdf)],
                 "slope": [slope],
-                "intercept": [ym - slope * tm],
-                "r2": [(sxy * sxy) / (sxx * syy)],
+                "intercept": [intercept],
+                "r2": [r2],
             }
         )
 

@@ -1,0 +1,168 @@
+"""Round-14 fixes & additions: semantic pins beyond the DuckDB oracle hash.
+
+Covers the round-13 ADVICE items (sign-safe dow keys, the watermark
+single-token bigram guard, degenerate-group NULL semantics in the
+grouped model fit) and pins the new q_sql_scripting_hist production
+twin bit-equal to its 12-scan sibling.
+"""
+
+import pyspark.sql.functions as F
+
+from npc_recommender_netflix_spark import registry
+from tests.conftest import SF_SMALL
+
+
+def test_sql_scripting_hist_twin_equals_twelve_scan_key(spark):
+    """The histogram-bisect production twin must return the EXACT row the
+    12-scan script returns: sum(cents*cnt) over the histogram is the same
+    integer as sum(cents) over orders, so the bisection trajectory —
+    every (lo, hi, mid, below) along the way — is identical."""
+    a = registry.QUERIES["q_sql_scripting"](spark, SF_SMALL).collect()
+    b = registry.QUERIES["q_sql_scripting_hist"](spark, SF_SMALL).collect()
+    assert len(a) == len(b) == 1
+    assert a[0].asDict() == b[0].asDict()
+
+
+def test_sql_scripting_hist_caches_bounded_histogram(spark):
+    """The twin's whole point is ONE data-sized scan: the cents histogram
+    temp view must be cached (so the 12 WHILE iterations hit memory) and
+    bounded by the price grid, not the row count."""
+    registry.QUERIES["q_sql_scripting_hist"](spark, SF_SMALL).collect()
+    hist = spark.table("npc_script_hist")
+    assert hist.storageLevel.useMemory
+    n_orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    assert hist.count() <= n_orders  # grid-bounded, never wider than rows
+
+
+def _dow_keys(spark, key):
+    rows = registry.QUERIES[key](spark, SF_SMALL).collect()
+    return rows
+
+
+def test_pinball_dow_key_sign_safe_for_pre_anchor_dates(spark):
+    """ADVICE r13: dow = datediff % 7 went negative before the anchor
+    (truncated modulo). pmod must map EVERY date — including pre-1995
+    ones — into [0, 6]. Checked directly on the expression the two keys
+    now share, over a frame that straddles the anchor."""
+    df = spark.createDataFrame(
+        [("1994-12-25",), ("1994-12-31",), ("1995-01-01",), ("1995-01-08",)],
+        "d string",
+    ).select(F.to_date("d").alias("d"))
+    out = df.select(
+        F.pmod(F.datediff(F.col("d"), F.lit("1995-01-01")), F.lit(7)).alias(
+            "dow"
+        )
+    ).collect()
+    dows = [r["dow"] for r in out]
+    assert all(0 <= v <= 6 for v in dows)
+    # 1994-12-25 is exactly 7 days before the anchor: same weekday key
+    assert dows[0] == dows[2] == dows[3] == 0
+    # truncated % (the old key) would have given -1 here; pmod gives 6
+    assert dows[1] == 6
+
+
+def test_pinball_and_raking_still_green_after_pmod(spark):
+    """The pmod rewrite must be a no-op on the current (post-anchor)
+    fixtures: 6 pinball rows, 35 raking cells, margins intact."""
+    pin = _dow_keys(spark, "a_pinball_eval")
+    assert len(pin) == 6
+    rak = _dow_keys(spark, "a_raking_ipf")
+    assert len(rak) == 35
+    assert {r["dow"] for r in rak} == set(range(7))
+
+
+def test_watermark_detect_survives_single_token_docs(spark, tmp_path):
+    """ADVICE r13: a 1-token doc made sequence(1, size-1) = sequence(1,0)
+    — a DESCENDING [1,0] fabricating two null-token bigrams. The guard
+    must drop such docs BEFORE the window build, so they contribute zero
+    bigram rows (not two) and the detector output is unchanged whether
+    or not the 16-bigram floor would have masked them."""
+    docs = spark.createDataFrame(
+        [
+            (1, "one"),  # single token: must vanish pre-floor
+            (2, " ".join(f"w{i % 9}" for i in range(40))),  # scorable
+            (3, ""),  # empty text: split -> [""], size 1, must vanish
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = registry.QUERIES["t_watermark_detect"](spark, sf).collect()
+    assert {r["doc_id"] for r in out} == {2}
+    (row,) = out
+    # 40 tokens -> exactly 39 bigrams, no fabricated null pairs
+    assert row["n_bigrams"] == 39
+
+
+def test_grouped_model_fit_degenerate_groups_yield_nulls(spark, tmp_path):
+    """ADVICE r13: a nation with a single month (sxx=0) or constant
+    revenue (syy=0) must yield SQL regr_slope/regr_r2 NULL semantics —
+    None, never inf/nan. Build a 3-nation micro-fixture hitting all
+    three regimes through the real orders/customer/nation join."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "SINGLE", 0), (1, "CONSTANT", 0), (2, "NORMAL", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).write.parquet(f"{sf}/nation.parquet")
+    spark.createDataFrame(
+        [(10, 0), (11, 1), (12, 2)],
+        "c_custkey long, c_nationkey long",
+    ).write.parquet(f"{sf}/customer.parquet")
+    orders = [
+        # SINGLE: one month only -> sxx == 0 -> slope/intercept/r2 None
+        (100, 10, "1995-01-15", 50.0),
+        (101, 10, "1995-01-20", 70.0),
+        # CONSTANT: three months, identical revenue -> syy == 0 -> r2 None
+        (102, 11, "1995-01-10", 100.0),
+        (103, 11, "1995-02-10", 100.0),
+        (104, 11, "1995-03-10", 100.0),
+        # NORMAL: perfect line rev = 100 + 10*t -> slope 10, r2 1
+        (105, 12, "1995-01-05", 100.0),
+        (106, 12, "1995-02-05", 110.0),
+        (107, 12, "1995-03-05", 120.0),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, d string, o_totalprice double"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("d").alias("o_orderdate"),
+        "o_totalprice",
+    ).write.parquet(f"{sf}/orders.parquet")
+
+    rows = {
+        r["nation"]: r
+        for r in registry.QUERIES["u_grouped_model_fit"](spark, sf).collect()
+    }
+    single, const, normal = rows["SINGLE"], rows["CONSTANT"], rows["NORMAL"]
+    assert single["slope"] is None
+    assert single["intercept"] is None
+    assert single["r2"] is None
+    assert const["slope"] == 0.0 and const["r2"] is None
+    assert normal["slope"] == 10.0 and normal["r2"] == 1.0
+
+
+def test_lpa_superseded_round_frame_not_left_cached(spark):
+    """ADVICE r13: only the FINAL label frame may stay cached in the LPA
+    memo — the superseded round-1 frame must have been unpersisted.
+    Materialize the shared frame, then count cached label-shaped RDDs."""
+    from npc_recommender_netflix_spark.recommender import graph as g
+
+    registry.QUERIES["r_label_propagation"](spark, SF_SMALL).collect()
+    live = [
+        f for key, f in g._LPA_SHARED.items() if key[1] == SF_SMALL
+    ]
+    assert live, "memo must hold the final frame"
+    for f in live:
+        assert f.storageLevel.useMemory
+    # the java-side cache manager must not hold more label frames than
+    # the memo does: every cached RDD with the LPA lineage beyond the
+    # memoized ones would be a leaked superseded round
+    jsc = spark.sparkContext._jsc.sc()
+    n_cached = jsc.getPersistentRDDs().size()
+    # memo frames (one per sf_dir seen) + whatever OTHER keys cached;
+    # superseded-round leak would add one per r_label_propagation call.
+    before = n_cached
+    registry.QUERIES["r_label_propagation"](spark, SF_SMALL).collect()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before, "re-running the key must not grow the cache"

@@ -151,6 +151,72 @@ def run_one(spark, con, key, sf_dir):
     return ("OK" if not problems else "FAIL", len(srows), problems, t_spark, t_duck)
 
 
+# Sweep-log WARN hygiene (round-13 verdict item 6): a full 700-key sweep
+# emitted ~3.2k WARN lines, ~97% from SIX known-benign boilerplate
+# emitters, burying real warnings. Each suppression below is justified
+# in place; the list is printed into the sweep log so nothing is hidden
+# silently. The Analyzer-level "trivially true equals predicate"
+# tripwire (tools/logcap.py) is NOT on this list and still fails keys.
+_QUIET_LOGGERS = {
+    # bounded-axis windows (brand Pareto rows, 12-month seasonality, CDF
+    # axes) are a documented pattern — verdicts r12/r13 adjudicated every
+    # emitter; the partitionless-window plan audit (tools/plans.py)
+    # remains the real gate for NEW unpartitioned windows.
+    "org.apache.spark.sql.execution.window.WindowExec":
+        "No Partition Defined over documented bounded axes",
+    # fresh streaming checkpoints have no checksum files yet — every
+    # st_* key starts from a clean /tmp checkpoint dir by design.
+    "org.apache.spark.sql.execution.streaming.checkpointing."
+    "ChecksumCheckpointFileManager":
+        "first-write checksum probe on fresh checkpoints",
+    # first read of a fresh state store loads from snapshot — expected
+    # on every st_* key's cold start.
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider":
+        "cold-start snapshot reads on fresh state stores",
+    # one advisory per streaming key: AQE is unsupported in stateful
+    # workloads (the keys never enable it for streams).
+    "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution":
+        "AQE-unsupported advisory on stateful streams",
+    "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream":
+        "AQE-unsupported advisory on stateful streams",
+    # j_full_outer et al: broadcast hint legitimately ignored for full
+    # outer joins — the hint is part of the key's declared plan probe.
+    "org.apache.spark.sql.catalyst.analysis.HintErrorLogger":
+        "broadcast hint unsupported for full outer join",
+    # "Broadcasting large task binary" sizes are the deliberate in-plan
+    # broadcast constants; sizes are tracked per-key by bench/SCALECHECK.
+    "org.apache.spark.scheduler.DAGScheduler":
+        "large-task-binary advisories for deliberate plan constants",
+}
+
+
+def _quiet_documented_warn_boilerplate(spark) -> None:
+    """Raise the six documented-benign boilerplate loggers to ERROR for
+    the sweep session and say so in the log. Real problems from these
+    classes still surface at ERROR level."""
+    try:
+        jvm = spark._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        lvl = jvm.org.apache.logging.log4j.Level.ERROR
+        for name in _QUIET_LOGGERS:
+            configurator.setLevel(name, lvl)
+        print(
+            "NOTE: WARN level raised to ERROR for "
+            f"{len(_QUIET_LOGGERS)} documented-benign boilerplate loggers "
+            "(WindowExec bounded-axis, fresh-checkpoint/state-store, "
+            "streaming-AQE advisories, full-outer hint, task-binary "
+            "size); see tools/check.py _QUIET_LOGGERS for per-logger "
+            "justification. The trivially-true-predicate tripwire is "
+            "unaffected and still fails keys."
+        )
+    except Exception:
+        # log4j2 API drift must never break the sweep; noisy > broken.
+        print("NOTE: WARN-boilerplate suppression unavailable "
+              "(log4j2 Configurator attach failed); sweep log will be "
+              "noisy but complete")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("keys", nargs="*")
@@ -176,6 +242,7 @@ def main():
         )
     else:
         spark = build_session()
+    _quiet_documented_warn_boilerplate(spark)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
