@@ -10529,3 +10529,554 @@ def a_atkinson_index(spark, sf_dir):
         f6(1.0 - F.col("geo_c") / F.col("mean_c")).alias("atkinson_e1"),
         f6(1.0 - F.col("harm_c") / F.col("mean_c")).alias("atkinson_e2"),
     )
+
+
+@register(
+    "a_somers_d",
+    """
+    WITH lc AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    b AS (
+        SELECT quantile_cont(o_totalprice,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM orders
+    ),
+    cells AS (
+        SELECT CAST(1
+                 + (CASE WHEN o_totalprice > qs[1] THEN 1 ELSE 0 END)
+                 + (CASE WHEN o_totalprice > qs[2] THEN 1 ELSE 0 END)
+                 + (CASE WHEN o_totalprice > qs[3] THEN 1 ELSE 0 END)
+                 + (CASE WHEN o_totalprice > qs[4] THEN 1 ELSE 0 END)
+                 + (CASE WHEN o_totalprice > qs[5] THEN 1 ELSE 0 END)
+                 + (CASE WHEN o_totalprice > qs[6] THEN 1 ELSE 0 END)
+                 + (CASE WHEN o_totalprice > qs[7] THEN 1 ELSE 0 END)
+                 + (CASE WHEN o_totalprice > qs[8] THEN 1 ELSE 0 END)
+                 + (CASE WHEN o_totalprice > qs[9] THEN 1 ELSE 0 END)
+               AS BIGINT) AS xb,
+               lc.y AS y, CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN lc ON lc.l_orderkey = o_orderkey CROSS JOIN b
+        GROUP BY 1, 2
+    ),
+    pairstats AS (
+        SELECT
+            CAST(sum(CASE WHEN a.xb < c.xb AND a.y < c.y
+                          THEN a.n * c.n ELSE 0 END) AS BIGINT) AS conc,
+            CAST(sum(CASE WHEN a.xb < c.xb AND a.y > c.y
+                          THEN a.n * c.n ELSE 0 END) AS BIGINT) AS disc,
+            CAST(sum(CASE WHEN a.xb = c.xb AND a.y < c.y
+                          THEN a.n * c.n ELSE 0 END) AS BIGINT) AS tiex_cross,
+            CAST(sum(CASE WHEN a.y = c.y AND a.xb < c.xb
+                          THEN a.n * c.n ELSE 0 END) AS BIGINT) AS tiey_cross
+        FROM cells a, cells c
+    ),
+    within AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(n * (n - 1) / 2) AS BIGINT) AS tboth
+        FROM cells
+    )
+    SELECT w.nn AS n,
+           p.conc, p.disc,
+           CAST(p.tiex_cross + w.tboth AS BIGINT) AS tied_x,
+           CAST(p.tiey_cross + w.tboth AS BIGINT) AS tied_y,
+           round((p.conc - p.disc) * 1.0
+                 / (w.nn * (w.nn - 1) / 2 - (p.tiex_cross + w.tboth)),
+                 6) + 0 AS somers_d_yx,
+           round((p.conc - p.disc) * 1.0
+                 / (w.nn * (w.nn - 1) / 2 - (p.tiey_cross + w.tboth)),
+                 6) + 0 AS somers_d_xy,
+           round((p.conc - p.disc)
+                 / sqrt((w.nn * (w.nn - 1) / 2.0
+                         - (p.tiex_cross + w.tboth))
+                        * (w.nn * (w.nn - 1) / 2.0
+                           - (p.tiey_cross + w.tboth))),
+                 6) + 0 AS kendall_tau_b
+    FROM pairstats p, within w
+    """,
+)
+def a_somers_d(spark, sf_dir):
+    """Somers' D (both directions) + Kendall tau-b between order price
+    decile (X) and the order's lineitem count (Y) — the asymmetric
+    ordinal-association statistic for "does X predict Y's ORDER":
+    D_yx = (C − D) / (pairs not tied on X). Deciles come from exact
+    interpolated percentile boundaries (the a_tail_dependence idiom),
+    never a global sort window. The synthetic fixtures draw header
+    totals independently of basket composition, so the HONEST
+    expected D here is ≈ 0 (chance) — the key's deliverable is the
+    exact tie-aware pair census itself; the tau-b² = D_yx·D_xy
+    geometric-mean identity and a full pandas pair replay are
+    pytest-pinned.
+
+    Scale: the pair concordance is computed on the (decile × basket
+    size) CENSUS — ≤ 10 × 7 cells at any corpus size — so the
+    O(N²)-pair definition collapses to one data-sized groupBy plus a
+    70×70 broadcast cell cross join; every count BIGINT-exact until
+    the final three 6dp ratios (a_cliffs_delta's value-domain trick
+    lifted to two ordinal axes).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lc = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    qs = orders.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.1D, 0.2D, 0.3D, 0.4D,"
+            " 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))"
+        ).alias("qs")
+    )
+    xb = F.lit(1)
+    for i in range(9):
+        xb = xb + F.when(F.col("o_totalprice") > F.col("qs")[i], 1).otherwise(0)
+    cells = (
+        orders.join(lc, orders.o_orderkey == lc.l_orderkey)
+        .crossJoin(F.broadcast(qs))
+        .groupBy(xb.cast("long").alias("xb"), F.col("y"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    a = cells.select(
+        F.col("xb").alias("xa"), F.col("y").alias("ya"), F.col("n").alias("na")
+    )
+    c = cells.select(
+        F.col("xb").alias("xc"), F.col("y").alias("yc"), F.col("n").alias("nc")
+    )
+    # census self-cross: <=70x70 cells, broadcast — the O(N^2) pair
+    # definition never touches row-grain data
+    ps = (
+        a.crossJoin(F.broadcast(c))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("xa") < F.col("xc")) & (F.col("ya") < F.col("yc")),
+                    F.col("na") * F.col("nc"),
+                ).otherwise(0)
+            ).cast("long").alias("conc"),
+            F.sum(
+                F.when(
+                    (F.col("xa") < F.col("xc")) & (F.col("ya") > F.col("yc")),
+                    F.col("na") * F.col("nc"),
+                ).otherwise(0)
+            ).cast("long").alias("disc"),
+            F.sum(
+                F.when(
+                    (F.col("xa") == F.col("xc")) & (F.col("ya") < F.col("yc")),
+                    F.col("na") * F.col("nc"),
+                ).otherwise(0)
+            ).cast("long").alias("tiex_cross"),
+            F.sum(
+                F.when(
+                    (F.col("ya") == F.col("yc")) & (F.col("xa") < F.col("xc")),
+                    F.col("na") * F.col("nc"),
+                ).otherwise(0)
+            ).cast("long").alias("tiey_cross"),
+        )
+    )
+    w = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("tboth"),
+    )
+    half = F.col("nn") * (F.col("nn") - 1) / 2
+    denom_x = half - (F.col("tiex_cross") + F.col("tboth"))
+    denom_y = half - (F.col("tiey_cross") + F.col("tboth"))
+    cd = F.col("conc") - F.col("disc")
+    return (
+        ps.crossJoin(F.broadcast(w))
+        .select(
+            F.col("nn").alias("n"),
+            "conc",
+            "disc",
+            (F.col("tiex_cross") + F.col("tboth")).cast("long").alias("tied_x"),
+            (F.col("tiey_cross") + F.col("tboth")).cast("long").alias("tied_y"),
+            f6(cd * 1.0 / denom_x).alias("somers_d_yx"),
+            f6(cd * 1.0 / denom_y).alias("somers_d_xy"),
+            f6(cd / F.sqrt(denom_x * denom_y)).alias("kendall_tau_b"),
+        )
+    )
+
+
+@register(
+    "a_lins_ccc",
+    """
+    WITH line_sums AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice
+                                   * (1 - l_discount) * (1 + l_tax)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS line_cents
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    pairs AS (
+        SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) / 100.0 AS x,
+               ls.line_cents / 100.0 AS y
+        FROM orders o JOIN line_sums ls ON ls.l_orderkey = o.o_orderkey
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               avg(x) AS mx, avg(y) AS my,
+               avg(x * x) AS mxx, avg(y * y) AS myy, avg(x * y) AS mxy
+        FROM pairs
+    )
+    SELECT n,
+           round((2 * (mxy - mx * my))
+                 / ((mxx - mx * mx) + (myy - my * my)
+                    + (mx - my) * (mx - my)), 6) + 0 AS ccc,
+           round((mxy - mx * my)
+                 / sqrt((mxx - mx * mx) * (myy - my * my)), 6) + 0
+               AS pearson_r,
+           round(((2 * (mxy - mx * my))
+                  / ((mxx - mx * mx) + (myy - my * my)
+                     + (mx - my) * (mx - my)))
+                 / ((mxy - mx * my)
+                    / sqrt((mxx - mx * mx) * (myy - my * my))), 6) + 0
+               AS bias_correction_cb,
+           round(mx - my, 4) + 0 AS location_shift_usd
+    FROM m
+    """,
+)
+def a_lins_ccc(spark, sf_dir):
+    """Lin's concordance correlation coefficient between the order
+    header total and the tax/discount line-item reconstruction —
+    agreement with the 45° line, not just linearity: CCC =
+    2·s_xy / (s_x² + s_y² + (x̄−ȳ)²). Pearson r (precision) and the
+    bias-correction factor C_b = CCC/r (accuracy) are printed beside
+    it, so a perfectly correlated but systematically shifted
+    reconstruction is visibly penalized — the continuous agreement
+    statistic a_bland_altman's limits-of-agreement band pairs with
+    (same header/detail pairing, same cents-exact reconstruction).
+    The synthetic fixtures draw header totals independently of the
+    lines, so the honest expected CCC here is ≈ 0 — consistent with
+    a_bland_altman's wide LoA band on the same pairs; on reconciled
+    books CCC → 1 and C_b isolates the systematic part of any gap.
+
+    Scale: one lineitem rollup (map-side combinable) + one broadcast-
+    size moment aggregation — five averages in a single pass; the CCC
+    arithmetic happens on a 1-row frame. Ratios of population moments
+    are scale-free, so the 6dp snap absorbs both engines' double
+    summation-order drift.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ls = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("line_cents")
+        )
+    )
+    pairs = orders.join(
+        ls, orders.o_orderkey == ls.l_orderkey
+    ).select(
+        (F.round(F.col("o_totalprice") * 100).cast("long") / 100.0).alias("x"),
+        (F.col("line_cents") / 100.0).alias("y"),
+    )
+    m = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+    )
+    sxy = F.col("mxy") - F.col("mx") * F.col("my")
+    sxx = F.col("mxx") - F.col("mx") * F.col("mx")
+    syy = F.col("myy") - F.col("my") * F.col("my")
+    dm = F.col("mx") - F.col("my")
+    ccc = (2 * sxy) / (sxx + syy + dm * dm)
+    r = sxy / F.sqrt(sxx * syy)
+    return m.select(
+        "n",
+        f6(ccc).alias("ccc"),
+        f6(r).alias("pearson_r"),
+        f6(ccc / r).alias("bias_correction_cb"),
+        (F.round(dm, 4) + 0).alias("location_shift_usd"),
+    )
+
+
+@register(
+    "a_pr_auc",
+    """
+    WITH ret AS (
+        SELECT l_orderkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    scored AS (
+        SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS s, ret.y
+        FROM orders JOIN ret ON l_orderkey = o_orderkey
+    ),
+    g AS (
+        SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+               CAST(count(*) - sum(y) AS BIGINT) AS neg
+        FROM scored GROUP BY 1
+    ),
+    cum AS (
+        SELECT s, pos, neg,
+               CAST(sum(pos) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tp,
+               CAST(sum(pos + neg) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS k,
+               CAST(coalesce(sum(neg) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS neg_below
+        FROM g
+    ),
+    tot AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS p_tot,
+               CAST(sum(neg) AS BIGINT) AS n_tot
+        FROM g
+    )
+    SELECT t.p_tot AS n_pos, t.n_tot AS n_neg,
+           round(t.p_tot * 1.0 / (t.p_tot + t.n_tot), 6) + 0
+               AS prevalence,
+           round(sum((tp * 1.0 / k) * (pos * 1.0 / t.p_tot)), 6) + 0
+               AS avg_precision,
+           round(sum(pos * (neg_below + neg / 2.0))
+                 / (t.p_tot * 1.0 * t.n_tot), 6) + 0 AS roc_auc
+    FROM cum, tot t
+    GROUP BY t.p_tot, t.n_tot
+    """,
+)
+def a_pr_auc(spark, sf_dir):
+    """Average precision (step-wise PR-AUC) and ROC-AUC of order price
+    as a has-returned-lineitem classifier, swept at $1000 price-band
+    granularity: AP = Σ_k precision@k · ΔR_k over score bands in
+    descending order, beside the rank-formula ROC-AUC computed on the
+    SAME band frame. For an uninformative score both sit at their
+    chance levels (AP ≈ prevalence, AUC ≈ 0.5) — the pair a_mcc_confusion's
+    threshold-bound metrics cannot express (AP/AUC are threshold-FREE
+    rankings of the whole sweep; pytest pins AP within its theoretical
+    AUC-prevalence envelope).
+
+    Scale: the score axis is the $1000 price grid — bounded by the
+    price domain (~500 bands), NOT the corpus — so the sweep is one
+    map-side-combinable (band → pos/neg) census plus two cumulative
+    windows on the tiny band frame; BIGINT-exact counts until the
+    three final 6dp ratios. The standard percent-rank scoring would
+    need a global sort; the fixed grid is the 100 TB form.
+    """
+    ret = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.join(ret, orders.o_orderkey == ret.l_orderkey)
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("s")
+        )
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+        )
+    )
+    wdesc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wasc = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.select(
+        "s",
+        "pos",
+        "neg",
+        F.sum("pos").over(wdesc).cast("long").alias("tp"),
+        F.sum(F.col("pos") + F.col("neg")).over(wdesc).cast("long").alias("k"),
+        F.coalesce(F.sum("neg").over(wasc), F.lit(0))
+        .cast("long")
+        .alias("neg_below"),
+    )
+    tot = g.agg(
+        F.sum("pos").cast("long").alias("p_tot"),
+        F.sum("neg").cast("long").alias("n_tot"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("p_tot", "n_tot")
+        .agg(
+            F.sum(
+                (F.col("tp") * 1.0 / F.col("k"))
+                * (F.col("pos") * 1.0 / F.col("p_tot"))
+            ).alias("ap_raw"),
+            F.sum(
+                F.col("pos") * (F.col("neg_below") + F.col("neg") / 2.0)
+            ).alias("u_raw"),
+        )
+        .select(
+            F.col("p_tot").alias("n_pos"),
+            F.col("n_tot").alias("n_neg"),
+            f6(F.col("p_tot") * 1.0 / (F.col("p_tot") + F.col("n_tot"))).alias(
+                "prevalence"
+            ),
+            f6(F.col("ap_raw")).alias("avg_precision"),
+            f6(
+                F.col("u_raw") / (F.col("p_tot") * 1.0 * F.col("n_tot"))
+            ).alias("roc_auc"),
+        )
+    )
+
+
+@register(
+    "a_durbin_watson",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100 AS rev
+        FROM orders GROUP BY 1
+    ),
+    tx AS (
+        SELECT d, rev,
+               CAST(date_diff('day', (SELECT min(d) FROM daily), d)
+                    AS BIGINT) AS t
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS sx,
+               CAST(sum(rev) AS BIGINT) AS sy,
+               CAST(sum(t * t) AS BIGINT) AS sxx,
+               CAST(sum(t * rev) AS BIGINT) AS sxy
+        FROM tx
+    ),
+    fit AS (
+        SELECT n,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   AS slope,
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                  * sx) / n AS icept
+        FROM s
+    ),
+    resid AS (
+        SELECT t,
+               CAST(round(rev - f.icept - f.slope * t) AS BIGINT) AS e
+        FROM tx, fit f
+    ),
+    lagged AS (
+        SELECT e, lag(e) OVER (ORDER BY t) AS e_prev FROM resid
+    )
+    SELECT f.n AS n_days,
+           round(f.slope, 2) + 0 AS slope_usd_per_day,
+           round(f.icept, 2) + 0 AS intercept_usd,
+           round(sum(CASE WHEN e_prev IS NULL THEN 0
+                          ELSE CAST((e - e_prev) AS DOUBLE) * (e - e_prev)
+                     END)
+                 / sum(CAST(e AS DOUBLE) * e), 6) + 0 AS dw,
+           round(1.0 - (sum(CASE WHEN e_prev IS NULL THEN 0
+                                 ELSE CAST((e - e_prev) AS DOUBLE)
+                                      * (e - e_prev) END)
+                        / sum(CAST(e AS DOUBLE) * e)) / 2.0, 6) + 0
+               AS rho_hat
+    FROM lagged, fit f
+    GROUP BY f.n, f.slope, f.icept
+    """,
+)
+def a_durbin_watson(spark, sf_dir):
+    """Durbin-Watson first-order autocorrelation test on the residuals
+    of the daily-revenue-vs-time OLS trend: DW = Σ(e_t − e_{t−1})² /
+    Σe_t², with ρ̂ ≈ 1 − DW/2 printed beside the trend fit itself.
+    DW ≈ 2 means the trend line's errors are white — the regression
+    diagnostic that tells you whether a_interrupted_ts-style OLS
+    inference can be trusted or needs Newey-West/ARIMA treatment
+    (companions: a_ljung_box tests MANY lags on raw values; this
+    tests lag 1 on the RESIDUALS of a fitted model).
+
+    Scale: one date rollup (map-side combinable, cents BIGINT-exact),
+    one 5-sum moment aggregate for the closed-form fit, one lag
+    window on the bounded calendar axis (~2.4k days at any corpus
+    size). Residuals snap to whole dollars BEFORE the quadratic sums,
+    so both engines square identical integers — the only floats are
+    the slope/intercept division (same BIGINT operands → same IEEE
+    result) and the final two 6dp ratios.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    tx = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("t"),
+        "rev",
+    )
+    s = tx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum("rev").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
+        F.sum(F.col("t") * F.col("rev")).cast("long").alias("sxy"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = s.select(
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+        ).alias("icept"),
+    )
+    resid = tx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        "slope",
+        "icept",
+        F.round(
+            F.col("rev") - F.col("icept") - F.col("slope") * F.col("t")
+        )
+        .cast("long")
+        .alias("e"),
+    )
+    wlag = Window.orderBy("t")
+    lagged = resid.select(
+        "n",
+        "slope",
+        "icept",
+        "e",
+        F.lag("e").over(wlag).alias("e_prev"),
+    )
+    num = F.sum(
+        F.when(F.col("e_prev").isNull(), 0.0).otherwise(
+            (F.col("e") - F.col("e_prev")).cast("double")
+            * (F.col("e") - F.col("e_prev"))
+        )
+    )
+    den = F.sum(F.col("e").cast("double") * F.col("e"))
+    return lagged.groupBy("n", "slope", "icept").agg(
+        num.alias("num"), den.alias("den")
+    ).select(
+        F.col("n").alias("n_days"),
+        (F.round(F.col("slope"), 2) + 0).alias("slope_usd_per_day"),
+        (F.round(F.col("icept"), 2) + 0).alias("intercept_usd"),
+        f6(F.col("num") / F.col("den")).alias("dw"),
+        f6(1.0 - (F.col("num") / F.col("den")) / 2.0).alias("rho_hat"),
+    )

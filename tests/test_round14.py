@@ -166,3 +166,148 @@ def test_lpa_superseded_round_frame_not_left_cached(spark):
     registry.QUERIES["r_label_propagation"](spark, SF_SMALL).collect()
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after == before, "re-running the key must not grow the cache"
+
+
+def _pd_tables(*names):
+    import pandas as pd
+
+    return [
+        pd.read_parquet(f"{SF_SMALL}/{n}.parquet") for n in names
+    ]
+
+
+def test_somers_d_pair_census_replay(spark):
+    """Full pandas replay of the concordance census: same percentile
+    deciles, same cells, brute-force pair classes — plus the
+    tau_b^2 == D_yx * D_xy geometric-mean identity. The fixtures draw
+    header totals independently of basket width, so |D| must sit at
+    chance level (the docstring's honest expected result)."""
+    import numpy as np
+
+    orders, lineitem = _pd_tables("orders", "lineitem")
+    y = lineitem.groupby("l_orderkey").size().rename("y")
+    df = orders.set_index("o_orderkey").join(y, how="inner")
+    qs = np.percentile(
+        orders.o_totalprice, [10, 20, 30, 40, 50, 60, 70, 80, 90],
+        method="linear",
+    )
+    df["xb"] = 1 + (df.o_totalprice.to_numpy()[:, None] > qs).sum(axis=1)
+    cells = df.groupby(["xb", "y"]).size().reset_index(name="n")
+    xa = cells.xb.to_numpy()[:, None]
+    xc = cells.xb.to_numpy()[None, :]
+    ya = cells.y.to_numpy()[:, None]
+    yc = cells.y.to_numpy()[None, :]
+    nn = cells.n.to_numpy()
+    prod = nn[:, None] * nn[None, :]
+    conc = int(prod[(xa < xc) & (ya < yc)].sum())
+    disc = int(prod[(xa < xc) & (ya > yc)].sum())
+    tiex = int(prod[(xa == xc) & (ya < yc)].sum()) + int(
+        (nn * (nn - 1) // 2).sum()
+    )
+    (row,) = registry.QUERIES["a_somers_d"](spark, SF_SMALL).collect()
+    assert row["conc"] == conc and row["disc"] == disc
+    assert row["tied_x"] == tiex
+    assert abs(
+        row["kendall_tau_b"] ** 2 - row["somers_d_yx"] * row["somers_d_xy"]
+    ) < 1e-4
+    assert abs(row["somers_d_yx"]) < 0.05  # independent fixture: chance
+
+
+def test_lins_ccc_moment_replay_and_lin_inequality(spark):
+    """Pandas replay of the five moments; |CCC| <= |r| always (Lin
+    1989), and the independent fixture puts both near zero — the
+    docstring's honest expected result, matching a_bland_altman's
+    wide limits-of-agreement on the same pairs."""
+    import numpy as np
+
+    orders, lineitem = _pd_tables("orders", "lineitem")
+    rec = (
+        np.round(
+            lineitem.l_extendedprice
+            * (1 - lineitem.l_discount)
+            * (1 + lineitem.l_tax)
+            * 100
+        )
+        .astype(np.int64)
+        .groupby(lineitem.l_orderkey)
+        .sum()
+        .rename("yc")
+    )
+    df = orders.set_index("o_orderkey").join(rec, how="inner")
+    x = np.round(df.o_totalprice * 100).astype(np.int64) / 100.0
+    yv = df.yc / 100.0
+    sxy = (x * yv).mean() - x.mean() * yv.mean()
+    sxx = (x * x).mean() - x.mean() ** 2
+    syy = (yv * yv).mean() - yv.mean() ** 2
+    ccc = 2 * sxy / (sxx + syy + (x.mean() - yv.mean()) ** 2)
+    r = sxy / np.sqrt(sxx * syy)
+    (row,) = registry.QUERIES["a_lins_ccc"](spark, SF_SMALL).collect()
+    assert abs(row["ccc"] - round(float(ccc), 6)) <= 2e-6
+    assert abs(row["pearson_r"] - round(float(r), 6)) <= 2e-6
+    assert abs(row["ccc"]) <= abs(row["pearson_r"]) + 1e-9
+    assert abs(row["ccc"]) < 0.05  # independent fixture: chance level
+
+
+def test_pr_auc_replay_band_sweep(spark):
+    """Replay the $1000-band AP/AUC sweep in pure pandas and compare
+    to the operator's row at 6dp."""
+    import numpy as np
+
+    orders, lineitem = _pd_tables("orders", "lineitem")
+    y = (
+        lineitem.assign(r=(lineitem.l_returnflag == "R").astype(int))
+        .groupby("l_orderkey")["r"]
+        .max()
+    )
+    df = orders.set_index("o_orderkey").join(y.rename("y"), how="inner")
+    df["s"] = np.floor(df.o_totalprice / 1000).astype(int)
+    g = df.groupby("s")["y"].agg(["sum", "count"]).sort_index(ascending=False)
+    pos, tot = g["sum"].to_numpy(), g["count"].to_numpy()
+    neg = tot - pos
+    tp = pos.cumsum()
+    k = tot.cumsum()
+    p_tot, n_tot = pos.sum(), neg.sum()
+    ap = float((((tp / k) * (pos / p_tot))).sum())
+    neg_asc = neg[::-1]
+    neg_below_asc = np.concatenate([[0], neg_asc.cumsum()[:-1]])
+    auc = float(
+        (pos[::-1] * (neg_below_asc + neg_asc / 2.0)).sum() / (p_tot * n_tot)
+    )
+    (row,) = registry.QUERIES["a_pr_auc"](spark, SF_SMALL).collect()
+    assert row["n_pos"] == p_tot and row["n_neg"] == n_tot
+    assert abs(row["avg_precision"] - round(ap, 6)) <= 1e-6
+    assert abs(row["roc_auc"] - round(auc, 6)) <= 1e-6
+    # chance envelope: price is a near-uninformative return predictor
+    assert abs(row["roc_auc"] - 0.5) < 0.05
+    assert abs(row["avg_precision"] - row["prevalence"]) < 0.05
+
+
+def test_durbin_watson_replay(spark):
+    """Replay the whole-dollar-residual DW in numpy: identical OLS fit
+    from the same BIGINT sums, identical integer residuals."""
+    import numpy as np
+
+    (orders,) = _pd_tables("orders")
+    cents = np.round(orders.o_totalprice * 100).astype(np.int64)
+    daily = (
+        orders.assign(c=cents)
+        .groupby("o_orderdate")["c"]
+        .sum()
+        .sort_index()
+    )
+    rev = (daily // 100).to_numpy(dtype=np.int64)
+    d = daily.index.to_numpy()
+    t = ((d - d.min()) / np.timedelta64(1, "D")).astype(np.int64)
+    n = len(t)
+    sx, sy = int(t.sum()), int(rev.sum())
+    sxx, sxy = int((t * t).sum()), int((t * rev).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icept = (sy - slope * sx) / n
+    e = np.round(rev - icept - slope * t).astype(np.int64)
+    dw = float((np.diff(e).astype(float) ** 2).sum() / (e.astype(float) ** 2).sum())
+    (row,) = registry.QUERIES["a_durbin_watson"](spark, SF_SMALL).collect()
+    assert row["n_days"] == n
+    assert abs(row["dw"] - round(dw, 6)) <= 1e-6
+    assert abs(row["rho_hat"] - round(1 - dw / 2, 6)) <= 1e-6
+    # DW must live in [0, 4]; near-2 on a light-tailed revenue series
+    assert 0.0 <= row["dw"] <= 4.0

@@ -105,6 +105,12 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_hdr_histogram": "bounded: log2 bucket axis (9->10)",
     "a_kruskal_wallis": "bounded: day x group cells (150->150)",
     "a_period_detect": "bounded: 30-day series x lag grid (30->30)",
+    "a_durbin_watson": "bounded: calendar-day residual axis (~2.4k "
+    "days at any corpus size; the a_chatterjee_xi daily-series "
+    "pattern — the lag window never sees row-grain data)",
+    "a_pr_auc": "bounded: $1000 price-band score axis (~500 bands, "
+    "price-domain-bounded; two cumulative windows on the census "
+    "frame, never a global percent-rank sort)",
     "a_runs_test": "bounded: 30-day daily series (30->30)",
     "a_wilcoxon_signed_rank": "bounded: 30 paired days (30->30)",
     "q_growth_accounting": "bounded: 30-day axis (30->30)",

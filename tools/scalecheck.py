@@ -382,6 +382,11 @@ ITERATIVE_KEYS = {
     "q_sql_scripting": "orders",  # round 13 s2: 12 bisection iterations,
     # each ONE pushed-predicate aggregate scan — linear per iteration,
     # iteration count fixed by the bracket width (data-independent)
+    "q_sql_scripting_hist": "orders",  # round 14: production twin —
+    # ONE histogram groupBy is the only data-sized pass; the 12 WHILE
+    # steps scan the cached price-grid-bounded frame, so wall time
+    # should stay near-FLAT as orders grow (the 12-scan key's cost
+    # moves to the single shuffle)
 }
 
 
