@@ -2420,3 +2420,386 @@ def w_lttb_downsample(spark, sf_dir):
         lttb, schema="pos long, d timestamp, day_idx long, y_cents long"
     )
     return out.select("pos", "d", "day_idx", "y_cents").orderBy("pos")
+
+
+@register(
+    "w_variance_ratio",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100 AS y
+        FROM orders GROUP BY 1
+    ),
+    tx AS (
+        SELECT row_number() OVER (ORDER BY d) AS t, y FROM daily
+    ),
+    diffs AS (
+        SELECT t, y,
+               y - lag(y, 1) OVER (ORDER BY t) AS d1,
+               y - lag(y, 2) OVER (ORDER BY t) AS d2,
+               y - lag(y, 5) OVER (ORDER BY t) AS d5,
+               y - lag(y, 10) OVER (ORDER BY t) AS d10
+        FROM tx
+    ),
+    s AS (
+        SELECT CAST(count(d1) AS BIGINT) AS n1,
+               avg(CAST(d1 AS DOUBLE)) AS mu,
+               var_samp(CAST(d1 AS DOUBLE)) AS v1,
+               CAST(count(d2) AS BIGINT) AS n2,
+               var_samp(CAST(d2 AS DOUBLE)) AS v2,
+               CAST(count(d5) AS BIGINT) AS n5,
+               var_samp(CAST(d5 AS DOUBLE)) AS v5,
+               CAST(count(d10) AS BIGINT) AS n10,
+               var_samp(CAST(d10 AS DOUBLE)) AS v10
+        FROM diffs
+    )
+    SELECT q, n_obs, round(vr, 6) + 0 AS vr,
+           round((vr - 1.0) / sqrt(2.0 * (2 * q - 1) * (q - 1)
+                                   / (3.0 * q * n_obs)), 6) + 0 AS z_stat
+    FROM (
+        SELECT CAST(2 AS BIGINT) AS q, n2 AS n_obs, v2 / (2 * v1) AS vr
+        FROM s
+        UNION ALL
+        SELECT CAST(5 AS BIGINT), n5, v5 / (5 * v1) FROM s
+        UNION ALL
+        SELECT CAST(10 AS BIGINT), n10, v10 / (10 * v1) FROM s
+    ) ORDER BY q
+    """,
+)
+def w_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio test for q ∈ {2, 5, 10} on the daily
+    revenue series: VR(q) = Var(q-day overlapping differences) /
+    (q · Var(1-day differences)), with the homoscedastic z-statistic
+    (VR−1)/√(2(2q−1)(q−1)/(3qn)). Under a random walk VR ≈ 1 at every
+    horizon; VR < 1 flags mean reversion, VR > 1 momentum — the
+    aggregation-invariance diagnostic that complements a_durbin_watson
+    (residual lag-1) and a_ljung_box (many-lag whiteness) by testing
+    the VARIANCE scaling law instead of correlations.
+
+    Scale: one cents-exact date rollup, then ALL four lag columns in
+    one window pass over the bounded calendar axis (~2.4k days at any
+    corpus size) and one 9-sum moment aggregate; the q-grid rows are
+    unpivoted from that single 1-row frame, so the test costs two
+    shuffles for any horizon grid. Whole-dollar integer differences
+    keep both engines' variances bit-comparable under the 6dp snap.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    wt = Window.orderBy("d")
+    diffs = daily.select(
+        (F.col("y") - F.lag("y", 1).over(wt)).alias("d1"),
+        (F.col("y") - F.lag("y", 2).over(wt)).alias("d2"),
+        (F.col("y") - F.lag("y", 5).over(wt)).alias("d5"),
+        (F.col("y") - F.lag("y", 10).over(wt)).alias("d10"),
+    )
+    s = diffs.agg(
+        F.count("d1").cast("long").alias("n1"),
+        F.var_samp(F.col("d1").cast("double")).alias("v1"),
+        F.count("d2").cast("long").alias("n2"),
+        F.var_samp(F.col("d2").cast("double")).alias("v2"),
+        F.count("d5").cast("long").alias("n5"),
+        F.var_samp(F.col("d5").cast("double")).alias("v5"),
+        F.count("d10").cast("long").alias("n10"),
+        F.var_samp(F.col("d10").cast("double")).alias("v10"),
+    )
+    rows = s.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(2).cast("long").alias("q"),
+                    F.col("n2").alias("n_obs"),
+                    (F.col("v2") / (2 * F.col("v1"))).alias("vr_raw"),
+                ),
+                F.struct(
+                    F.lit(5).cast("long").alias("q"),
+                    F.col("n5").alias("n_obs"),
+                    (F.col("v5") / (5 * F.col("v1"))).alias("vr_raw"),
+                ),
+                F.struct(
+                    F.lit(10).cast("long").alias("q"),
+                    F.col("n10").alias("n_obs"),
+                    (F.col("v10") / (10 * F.col("v1"))).alias("vr_raw"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.q", "r.n_obs", "r.vr_raw")
+    z = (F.col("vr_raw") - 1.0) / F.sqrt(
+        2.0
+        * (2 * F.col("q") - 1)
+        * (F.col("q") - 1)
+        / (3.0 * F.col("q") * F.col("n_obs"))
+    )
+    return rows.select(
+        "q", "n_obs", f6(F.col("vr_raw")).alias("vr"), f6(z).alias("z_stat")
+    ).orderBy("q")
+
+
+@register(
+    "w_croston",
+    """
+    WITH demand AS (
+        SELECT l.l_partkey AS part, o.o_orderdate AS d,
+               CAST(sum(l.l_quantity) AS BIGINT) AS z
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_partkey <= 8
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT part, d, z,
+               row_number() OVER (PARTITION BY part ORDER BY d) AS i,
+               CAST(count(*) OVER (PARTITION BY part) AS BIGINT) AS m,
+               date_diff('day',
+                         lag(d) OVER (PARTITION BY part ORDER BY d),
+                         d) AS gap
+        FROM demand
+    ),
+    zhat AS (
+        SELECT part, max(m) AS m,
+               sum(CASE WHEN i = 1 THEN power(0.8, m - 1) * z
+                        ELSE 0.2 * power(0.8, m - i) * z END) AS z_hat
+        FROM seq GROUP BY part
+    ),
+    phat AS (
+        SELECT part,
+               sum(CASE WHEN i = 2 THEN power(0.8, m - 2) * gap
+                        ELSE 0.2 * power(0.8, m - i) * gap END) AS p_hat,
+               avg(CAST(gap AS DOUBLE)) AS mean_gap
+        FROM seq WHERE i >= 2 GROUP BY part
+    )
+    SELECT z.part AS partkey, z.m AS n_demands,
+           round(z.z_hat, 6) + 0 AS size_hat,
+           round(p.p_hat, 6) + 0 AS interval_hat,
+           round(z.z_hat / p.p_hat, 6) + 0 AS croston_rate,
+           round(0.9 * z.z_hat / p.p_hat, 6) + 0 AS sba_rate,
+           round(p.mean_gap, 6) + 0 AS mean_gap_days
+    FROM zhat z JOIN phat p ON z.part = p.part
+    ORDER BY partkey
+    """,
+)
+def w_croston(spark, sf_dir):
+    """Croston's method for intermittent demand (parts 1-8, each with
+    ~1% fill on the daily axis — the regime where SES/ARIMA on the raw
+    series forecast zero forever): separate exponential smoothing
+    (α = 0.2) of non-zero demand SIZES and inter-demand INTERVALS,
+    demand rate = ẑ/p̂, with the Syntetos-Boylan approximation
+    (1 − α/2) = 0.9 bias correction beside it. The SES recursions are
+    evaluated in CLOSED FORM — ẑ = (1−α)^(m−1)z₁ + αΣ(1−α)^(m−i)z_i —
+    so no sequential loop exists on either engine (the w_holt_linear
+    treatment applied to Croston's two series).
+
+    Scale: demand extraction is one (part, day) rollup behind a
+    pushed partkey predicate; the smoothing is a per-part weighted
+    aggregate over that part's OWN demand days (~30 rows each),
+    partitioned by part — embarrassingly parallel across any catalog,
+    never a global window. Power weights are deterministic IEEE pow
+    on both engines; the 6dp snap absorbs summation order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    demand = (
+        li.where(F.col("l_partkey") <= 8)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("z"))
+    )
+    wp = Window.partitionBy("part").orderBy("d")
+    wall = Window.partitionBy("part")
+    seq = demand.select(
+        "part",
+        "z",
+        F.row_number().over(wp).alias("i"),
+        F.count("*").over(wall).cast("long").alias("m"),
+        F.datediff(F.col("d"), F.lag("d").over(wp)).alias("gap"),
+    )
+    zhat = seq.groupBy("part").agg(
+        F.max("m").alias("m"),
+        F.sum(
+            F.when(
+                F.col("i") == 1,
+                F.pow(F.lit(0.8), F.col("m") - 1) * F.col("z"),
+            ).otherwise(
+                0.2 * F.pow(F.lit(0.8), F.col("m") - F.col("i")) * F.col("z")
+            )
+        ).alias("z_hat"),
+    )
+    phat = (
+        seq.where(F.col("i") >= 2)
+        .groupBy("part")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("i") == 2,
+                    F.pow(F.lit(0.8), F.col("m") - 2) * F.col("gap"),
+                ).otherwise(
+                    0.2
+                    * F.pow(F.lit(0.8), F.col("m") - F.col("i"))
+                    * F.col("gap")
+                )
+            ).alias("p_hat"),
+            F.avg(F.col("gap").cast("double")).alias("mean_gap"),
+        )
+    )
+    return (
+        zhat.join(phat, "part")
+        .select(
+            F.col("part").alias("partkey"),
+            F.col("m").alias("n_demands"),
+            f6(F.col("z_hat")).alias("size_hat"),
+            f6(F.col("p_hat")).alias("interval_hat"),
+            f6(F.col("z_hat") / F.col("p_hat")).alias("croston_rate"),
+            f6(0.9 * F.col("z_hat") / F.col("p_hat")).alias("sba_rate"),
+            f6(F.col("mean_gap")).alias("mean_gap_days"),
+        )
+        .orderBy("partkey")
+    )
+
+
+@register(
+    "w_theta_forecast",
+    """
+    WITH monthly AS (
+        SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS ym,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100 AS y
+        FROM orders GROUP BY 1
+    ),
+    tx AS (
+        SELECT CAST(row_number() OVER (ORDER BY ym) AS BIGINT) AS t, y,
+               CAST(count(*) OVER () AS BIGINT) AS n_all
+        FROM monthly
+    ),
+    train AS (SELECT t, y, n_all - 6 AS m FROM tx WHERE t <= n_all - 6),
+    fit AS (
+        SELECT m,
+               (CAST(count(*) AS DOUBLE) * sum(t * y)
+                - CAST(sum(t) AS DOUBLE) * sum(y))
+               / (CAST(count(*) AS DOUBLE) * sum(t * t)
+                  - CAST(sum(t) AS DOUBLE) * sum(t)) AS slope,
+               (CAST(sum(y) AS DOUBLE)
+                - ((CAST(count(*) AS DOUBLE) * sum(t * y)
+                    - CAST(sum(t) AS DOUBLE) * sum(y))
+                   / (CAST(count(*) AS DOUBLE) * sum(t * t)
+                      - CAST(sum(t) AS DOUBLE) * sum(t)))
+                  * sum(t)) / count(*) AS icept
+        FROM train GROUP BY m
+    ),
+    ses AS (
+        SELECT sum(CASE WHEN t = 1
+                        THEN power(0.5, f.m - 1)
+                             * (2.0 * y - (f.icept + f.slope * t))
+                        ELSE 0.5 * power(0.5, f.m - t)
+                             * (2.0 * y - (f.icept + f.slope * t)) END)
+                   AS theta2_ses
+        FROM train, fit f
+    )
+    SELECT CAST(t - f.m AS BIGINT) AS h,
+           CAST(tx.y AS BIGINT) AS actual,
+           round(0.5 * (f.icept + f.slope * tx.t) + 0.5 * s.theta2_ses,
+                 2) + 0 AS forecast,
+           round(abs(tx.y - (0.5 * (f.icept + f.slope * tx.t)
+                             + 0.5 * s.theta2_ses)), 2) + 0 AS abs_err
+    FROM tx, fit f, ses s
+    WHERE tx.t > f.m
+    ORDER BY h
+    """,
+)
+def w_theta_forecast(spark, sf_dir):
+    """Theta-method forecast (Assimakopoulos 2000 — the M3 competition
+    winner) of the last 6 months of revenue from the preceding months:
+    the series is decomposed into theta-line(0) (the linear trend) and
+    theta-line(2) (2y − trend, doubled curvature), the theta2 line is
+    SES-smoothed (α = 0.5, closed-form weighted sum — no sequential
+    loop), and the h-step forecast is the equal-weight combination of
+    the trend extrapolation and the flat SES level. Per-horizon actual
+    vs forecast and absolute error are emitted for the 6-month
+    holdout; the equal-weight identity forecast ≡ trend/2 + ses/2 and
+    the closed-form SES are pytest-replayed.
+
+    Scale: the monthly rollup is the only data-sized pass (cents
+    BIGINT-exact); the fit is a 5-sum closed form and the SES a single
+    weighted aggregate over the ~80-month bounded axis. The holdout
+    join is 6 rows × a 1-row fit frame — forecasting cost is
+    independent of corpus size, the w_holt_winters pattern with the
+    theta decomposition instead of seasonal smoothing.
+    """
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+        )
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    wt = Window.orderBy("ym")
+    tx = monthly.select(
+        F.row_number().over(wt).cast("long").alias("t"),
+        "y",
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n_all"),
+    )
+    train = tx.where(F.col("t") <= F.col("n_all") - 6).withColumn(
+        "m", F.col("n_all") - 6
+    )
+    nd = F.count("*").cast("double")
+    sxy = F.sum(F.col("t") * F.col("y"))
+    sx = F.sum("t").cast("double")
+    sy = F.sum("y")
+    sxx = F.sum(F.col("t") * F.col("t"))
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * F.sum("t"))
+    fit = train.groupBy("m").agg(
+        slope.alias("slope"),
+        ((F.sum("y").cast("double") - slope * F.sum("t")) / F.count("*")).alias(
+            "icept"
+        ),
+    )
+    theta2 = 2.0 * F.col("y") - (F.col("icept") + F.col("slope") * F.col("t"))
+    ses = (
+        train.drop("m")  # fit carries the train length; avoid dup col
+        .crossJoin(F.broadcast(fit))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("t") == 1,
+                    F.pow(F.lit(0.5), F.col("m") - 1) * theta2,
+                ).otherwise(
+                    0.5 * F.pow(F.lit(0.5), F.col("m") - F.col("t")) * theta2
+                )
+            ).alias("theta2_ses")
+        )
+    )
+    fc = 0.5 * (F.col("icept") + F.col("slope") * F.col("t")) + 0.5 * F.col(
+        "theta2_ses"
+    )
+    return (
+        tx.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(ses))
+        .where(F.col("t") > F.col("m"))
+        .select(
+            (F.col("t") - F.col("m")).cast("long").alias("h"),
+            F.col("y").cast("long").alias("actual"),
+            (F.round(fc, 2) + 0).alias("forecast"),
+            (F.round(F.abs(F.col("y") - fc), 2) + 0).alias("abs_err"),
+        )
+        .orderBy("h")
+    )

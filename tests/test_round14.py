@@ -311,3 +311,100 @@ def test_durbin_watson_replay(spark):
     assert abs(row["rho_hat"] - round(1 - dw / 2, 6)) <= 1e-6
     # DW must live in [0, 4]; near-2 on a light-tailed revenue series
     assert 0.0 <= row["dw"] <= 4.0
+
+
+def test_variance_ratio_replay(spark):
+    """numpy replay of VR(q) and its z-stat for all three horizons,
+    from the same whole-dollar daily series."""
+    import numpy as np
+
+    (orders,) = _pd_tables("orders")
+    cents = np.round(orders.o_totalprice * 100).astype(np.int64)
+    daily = orders.assign(c=cents).groupby("o_orderdate")["c"].sum()
+    y = (daily.sort_index() // 100).to_numpy(dtype=np.int64)
+    rows = {
+        r["q"]: r
+        for r in registry.QUERIES["w_variance_ratio"](spark, SF_SMALL).collect()
+    }
+    v1 = np.var(np.diff(y, 1).astype(float), ddof=1)
+    for q in (2, 5, 10):
+        dq = (y[q:] - y[:-q]).astype(float)
+        vr = np.var(dq, ddof=1) / (q * v1)
+        n = len(dq)
+        z = (vr - 1) / np.sqrt(2 * (2 * q - 1) * (q - 1) / (3.0 * q * n))
+        assert rows[q]["n_obs"] == n
+        assert abs(rows[q]["vr"] - round(float(vr), 6)) <= 2e-6
+        assert abs(rows[q]["z_stat"] - round(float(z), 6)) <= 2e-5
+
+
+def test_croston_closed_form_equals_sequential_ses(spark):
+    """The closed-form weighted sum must equal the textbook sequential
+    Croston recursion exactly (same alpha, same init), per part."""
+    import numpy as np
+    import pandas as pd
+
+    orders, lineitem = _pd_tables("orders", "lineitem")
+    li = lineitem[lineitem.l_partkey <= 8].merge(
+        orders[["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    dem = (
+        li.groupby(["l_partkey", "o_orderdate"])["l_quantity"]
+        .sum()
+        .reset_index()
+        .sort_values(["l_partkey", "o_orderdate"])
+    )
+    out = {
+        r["partkey"]: r
+        for r in registry.QUERIES["w_croston"](spark, SF_SMALL).collect()
+    }
+    alpha = 0.2
+    for part, g in dem.groupby("l_partkey"):
+        z = g.l_quantity.to_numpy(dtype=float)
+        gaps = (
+            pd.to_datetime(g.o_orderdate).diff().dt.days.dropna().to_numpy()
+        )
+        zh = z[0]
+        for v in z[1:]:
+            zh = alpha * v + (1 - alpha) * zh
+        ph = gaps[0]
+        for v in gaps[1:]:
+            ph = alpha * v + (1 - alpha) * ph
+        r = out[part]
+        assert r["n_demands"] == len(z)
+        assert abs(r["size_hat"] - round(float(zh), 6)) <= 2e-6
+        assert abs(r["interval_hat"] - round(float(ph), 6)) <= 2e-6
+        assert abs(r["sba_rate"] - round(0.9 * float(zh / ph), 6)) <= 2e-6
+
+
+def test_theta_forecast_replay(spark):
+    """Replay the theta decomposition: trend OLS on the train months,
+    SES(0.5) over the theta2 line, equal-weight combination."""
+    import numpy as np
+
+    (orders,) = _pd_tables("orders")
+    cents = np.round(orders.o_totalprice * 100).astype(np.int64)
+    ym = orders.o_orderdate.map(lambda d: d.year * 12 + d.month)
+    monthly = orders.assign(c=cents, ym=ym).groupby("ym")["c"].sum()
+    y = (monthly.sort_index() // 100).to_numpy(dtype=np.int64)
+    n_all = len(y)
+    m = n_all - 6
+    t = np.arange(1, m + 1, dtype=np.int64)
+    ytr = y[:m].astype(np.int64)
+    nd = float(m)
+    slope = (nd * (t * ytr).sum() - t.sum() * ytr.sum()) / (
+        nd * (t * t).sum() - float(t.sum()) * t.sum()
+    )
+    icept = (ytr.sum() - slope * t.sum()) / nd
+    theta2 = 2.0 * ytr - (icept + slope * t)
+    s = theta2[0]
+    for v in theta2[1:]:
+        s = 0.5 * v + 0.5 * s
+    rows = registry.QUERIES["w_theta_forecast"](spark, SF_SMALL).collect()
+    assert len(rows) == 6
+    for r in rows:
+        th = m + r["h"]
+        fc = 0.5 * (icept + slope * th) + 0.5 * s
+        assert r["actual"] == int(y[th - 1])
+        assert abs(r["forecast"] - round(float(fc), 2)) <= 0.02

@@ -168,6 +168,10 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_ar2_yule_walker": "saturating: distinct time buckets (1094->2399)",
     "a_hurst_exponent": "saturating: distinct time buckets (1094->2399)",
     "w_rsi": "saturating: distinct time buckets (1094->2399)",
+    "w_variance_ratio": "bounded: calendar-day axis (~2.4k days at "
+    "any corpus size; one 4-lag window pass on the daily rollup)",
+    "w_theta_forecast": "bounded: ~80-month axis (row_number + SES "
+    "weighted sum on the monthly rollup; 6-row holdout join)",
     "w_burn_rate": "saturating: SLO-window buckets (531->720)",
     "q_running_backlog": "saturating: open-day axis (1638->2499)",
     "q_hazard_curve": "saturating: distinct lifetime days (18->26)",
