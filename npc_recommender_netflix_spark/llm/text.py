@@ -4979,3 +4979,163 @@ def t_mattr_diversity(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t_yule_k",
+    r"""
+    WITH freq AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT lang,
+                     unnest(string_split_regex(lower(text), '\s+')) AS word
+              FROM documents)
+        GROUP BY lang, word
+    )
+    SELECT lang,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+           round(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1.0 / count(*),
+                 6) + 0 AS hapax_share,
+           round(1e4 * (CAST(sum(f * f) AS DOUBLE) - sum(f))
+                 / (CAST(sum(f) AS DOUBLE) * sum(f)), 4) + 0 AS yule_k,
+           round(CAST(sum(f * (f - 1)) AS DOUBLE)
+                 / (CAST(sum(f) AS DOUBLE) * (sum(f) - 1)), 6) + 0
+               AS simpson_d
+    FROM freq GROUP BY lang ORDER BY lang
+    """,
+)
+def t_yule_k(spark, sf_dir):
+    """Vocabulary-richness triple per language: Yule's characteristic
+    K = 10⁴·(Σf² − N)/N² (repeat-rate constant, length-invariant by
+    construction — Yule 1944), Simpson's lexical D = Σf(f−1)/(N(N−1))
+    (the probability two random tokens are the same type), and the
+    hapax-legomenon share V₁/V (the Heaps'-law growth frontier). The
+    three disagree exactly when a corpus is template-heavy: K and D
+    spike on repeated boilerplate while hapax share collapses — the
+    quality triage signal t_mattr_diversity (windowed TTR) cannot see
+    because it normalizes repeats away within 20-token windows.
+
+    Scale: ONE vocabulary-cardinality (lang, word) groupBy — the same
+    frame t_zipf_fit ranks — then a per-lang aggregate of three power
+    sums; every count BIGINT-exact until the final ratios. No windows,
+    no joins; at 100 TB this is the cheapest member of the lexical
+    family (t_zipf_fit pays a vocab sort on top; this never sorts).
+    """
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    n = F.sum("f").cast("double")
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.sum("f").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+            f6(
+                F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count("*")
+            ).alias("hapax_share"),
+            (
+                F.round(
+                    1e4
+                    * (F.sum(F.col("f") * F.col("f")).cast("double") - F.sum("f"))
+                    / (n * F.sum("f")),
+                    4,
+                )
+                + 0
+            ).alias("yule_k"),
+            f6(
+                F.sum(F.col("f") * (F.col("f") - 1)).cast("double")
+                / (n * (F.sum("f") - 1))
+            ).alias("simpson_d"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "t_burstiness",
+    r"""
+    WITH percount AS (
+        SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS word
+              FROM documents)
+        GROUP BY word, doc_id
+    ),
+    d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    stats AS (
+        SELECT word,
+               CAST(sum(c) AS BIGINT) AS tf,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(c * c) AS BIGINT) AS sq
+        FROM percount GROUP BY word
+    )
+    SELECT word, tf, df,
+           round(tf * 1.0 / df, 6) + 0 AS burstiness,
+           round((CAST(sq AS DOUBLE) / d.n_docs
+                  - (CAST(tf AS DOUBLE) / d.n_docs)
+                    * (CAST(tf AS DOUBLE) / d.n_docs))
+                 / (CAST(tf AS DOUBLE) / d.n_docs), 6) + 0 AS fano_factor
+    FROM stats, d
+    ORDER BY tf DESC, word LIMIT 20
+    """,
+)
+def t_burstiness(spark, sf_dir):
+    """Word burstiness census for the 20 highest-frequency words:
+    Church-Gale burstiness E[tf | tf>0] = tf/df (how hard a word hits
+    the documents it appears in at all) and the cross-document Fano
+    factor (variance-to-mean of the per-doc count INCLUDING zeros,
+    = 1 under Poisson scatter, > 1 for topical/bursty words). Function
+    words sit near Poisson while content words burst — the deviation
+    is the classic keywordness signal (Church & Gale 1995) and, flipped
+    around, a template detector: machine-repeated phrases burst far
+    beyond any natural content word.
+
+    Scale: one (word, doc) count groupBy then a vocabulary-cardinality
+    rollup of three BIGINT sums; top-20 is TakeOrdered (tf desc, word
+    tiebreak) — never a global rank window. Zeros are handled in
+    closed form via the n_docs broadcast scalar, so the sparse
+    (word, doc) frame is the ONLY thing that ever shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    percount = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+        )
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    stats = percount.groupBy("word").agg(
+        F.sum("c").cast("long").alias("tf"),
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    mu = F.col("tf").cast("double") / F.col("n_docs")
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            "word",
+            "tf",
+            "df",
+            f6(F.col("tf") * 1.0 / F.col("df")).alias("burstiness"),
+            f6(
+                (F.col("sq").cast("double") / F.col("n_docs") - mu * mu) / mu
+            ).alias("fano_factor"),
+        )
+        .orderBy(F.col("tf").desc(), "word")
+        .limit(20)
+    )

@@ -408,3 +408,59 @@ def test_theta_forecast_replay(spark):
         fc = 0.5 * (icept + slope * th) + 0.5 * s
         assert r["actual"] == int(y[th - 1])
         assert abs(r["forecast"] - round(float(fc), 2)) <= 0.02
+
+
+def test_yule_k_counter_replay(spark):
+    """Counter replay per language: K, Simpson's D and hapax share
+    from raw token frequencies."""
+    import re
+    from collections import Counter
+
+    (docs,) = _pd_tables("documents")
+    rows = {
+        r["lang"]: r
+        for r in registry.QUERIES["t_yule_k"](spark, SF_SMALL).collect()
+    }
+    for lang, g in docs.groupby("lang"):
+        cnt = Counter()
+        for text in g.text:
+            cnt.update(re.split(r"\s+", text.lower()))
+        n = sum(cnt.values())
+        v = len(cnt)
+        s2 = sum(f * f for f in cnt.values())
+        hap = sum(1 for f in cnt.values() if f == 1)
+        r = rows[lang]
+        assert r["n_tokens"] == n and r["vocab"] == v and r["hapax"] == hap
+        assert abs(r["yule_k"] - round(1e4 * (s2 - n) / (n * n), 4)) <= 1e-4
+        assert abs(
+            r["simpson_d"]
+            - round(
+                sum(f * (f - 1) for f in cnt.values()) / (n * (n - 1)), 6
+            )
+        ) <= 1e-6
+
+
+def test_burstiness_fano_replay_top_word(spark):
+    """Replay tf/df/Fano for every emitted word; Fano >= 0 and the
+    list is exactly the global top-20 by tf."""
+    import re
+    from collections import Counter, defaultdict
+
+    (docs,) = _pd_tables("documents")
+    perdoc = defaultdict(Counter)
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        for w in re.split(r"\s+", text.lower()):
+            perdoc[w][doc_id] += 1
+    n_docs = len(docs)
+    tf = {w: sum(c.values()) for w, c in perdoc.items()}
+    top = sorted(tf, key=lambda w: (-tf[w], w))[:20]
+    rows = registry.QUERIES["t_burstiness"](spark, SF_SMALL).collect()
+    assert [r["word"] for r in rows] == top
+    for r in rows:
+        c = perdoc[r["word"]]
+        mu = tf[r["word"]] / n_docs
+        fano = (sum(v * v for v in c.values()) / n_docs - mu * mu) / mu
+        assert r["df"] == len(c)
+        assert abs(r["burstiness"] - round(tf[r["word"]] / len(c), 6)) <= 1e-6
+        assert abs(r["fano_factor"] - round(fano, 6)) <= 1e-6
+        assert r["fano_factor"] >= 0.0
