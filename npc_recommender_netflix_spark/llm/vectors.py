@@ -6597,3 +6597,173 @@ def v_slerp_mixup(spark, sf_dir):
         mix_dim(2),
         mix_dim(3),
     ).orderBy("id_a")
+
+
+_SQ8_DEQ_SPARK = (
+    "zip_with(zip_with({e}, mins, (x, mn) -> CAST(x AS DOUBLE) - mn),"
+    " rgs, (dx, rg) -> CASE WHEN rg = 0D THEN 0D ELSE"
+    " (least(7D, floor(dx * 8D / rg)) + 0.5D) * rg / 8D END)"
+)
+_SQ8_DEQ_DUCK = (
+    "list_transform(range(1, 65), i -> CASE WHEN s.rgs[i] = 0 THEN 0"
+    " ELSE (least(7, floor((CAST({e}[i] AS DOUBLE) - s.mins[i]) * 8"
+    " / s.rgs[i])) + 0.5) * s.rgs[i] / 8 END)"
+)
+
+
+@register(
+    "v_sq8_recall",
+    f"""
+    WITH dims AS (
+        SELECT i AS dim,
+               min(CAST(embedding[i] AS DOUBLE)) AS mn,
+               max(CAST(embedding[i] AS DOUBLE)) AS mx
+        FROM embeddings CROSS JOIN range(1, 65) t(i)
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT list(mn ORDER BY dim) AS mins,
+               list(mx - mn ORDER BY dim) AS rgs
+        FROM dims
+    ),
+    dq AS (
+        SELECT vec_id,
+               {_SQ8_DEQ_DUCK.format(e='embedding')} AS de
+        FROM embeddings, s
+    ),
+    p AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({_DUCK_DOT.format(a='qf.embedding', b='cf.embedding')}
+                     / ({_DUCK_NRM.format(a='qf.embedding')}
+                        * {_DUCK_NRM.format(a='cf.embedding')}), 6) + 0
+                   AS cosf,
+               round(list_sum(list_transform(range(1, 65),
+                         i -> q.de[i] * c.de[i]))
+                     / (sqrt(list_sum(list_transform(q.de, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.de, x -> x * x)))),
+                     6) + 0 AS cosq
+        FROM dq q JOIN dq c ON q.vec_id <> c.vec_id
+        JOIN embeddings qf ON qf.vec_id = q.vec_id
+        JOIN embeddings cf ON cf.vec_id = c.vec_id
+        WHERE q.vec_id IN (0, 1, 2, 3, 4)
+    ),
+    tf AS (SELECT query_id, cand_id FROM (
+               SELECT query_id, cand_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosf DESC, cand_id) AS rn
+               FROM p) WHERE rn <= 5),
+    tq AS (SELECT query_id, cand_id FROM (
+               SELECT query_id, cand_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosq DESC, cand_id) AS rn
+               FROM p) WHERE rn <= 5)
+    SELECT tq.query_id AS query_id,
+           CAST(count(tf.cand_id) AS BIGINT) AS hits,
+           round(count(tf.cand_id) / 5.0, 6) AS recall5
+    FROM tq LEFT JOIN tf
+      ON tf.query_id = tq.query_id AND tf.cand_id = tq.cand_id
+    GROUP BY tq.query_id
+    ORDER BY tq.query_id
+    """,
+)
+def v_sq8_recall(spark, sf_dir):
+    """Scalar-quantization retrieval eval: every dimension is clamped
+    to 8 levels between its corpus-wide min and max (3-bit SQ — the
+    int8/SQ8 memory-compression path every production vector store
+    ships), candidates are scored by cosine over the DEQUANTIZED
+    midpoint vectors, and top-5 recall vs full-float search is
+    reported per query {0..4}. Unlike v_pq_quantize (codebook per
+    SUBSPACE) this is the per-DIMENSION grid — 24 bits/vector vs
+    2048 — and the recall number is the honest price tag; constant
+    dimensions (range 0) dequantize to the midpoint exactly.
+
+    Scale: the per-dim min/max census is ONE map-side-combinable
+    aggregate folded to a 64-row frame, collected into two ARRAY
+    plan constants (bounded by dim, never by corpus) and broadcast;
+    quantize+dequantize is a JVM zip_with chain in one projection —
+    no UDF, no shuffle — and the recall harness reuses the
+    broadcast-query pair-join shape of v_matryoshka_recall. At 100 TB
+    the SQ codes are what you'd SCAN (8× fewer bytes); scoring cost
+    is unchanged, which is exactly what this eval measures.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(
+            F.posexplode(F.col("embedding")).alias("dim", "x")
+        )
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    s = dims.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, mn))),"
+            " t -> t.mn)"
+        ).alias("mins"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, mn, mx))),"
+            " t -> t.mx - t.mn)"
+        ).alias("rgs"),
+    )
+    dq = emb.crossJoin(F.broadcast(s)).select(
+        "vec_id",
+        "embedding",
+        F.expr(_SQ8_DEQ_SPARK.format(e="embedding")).alias("de"),
+    )
+    q = dq.where(F.col("vec_id").isin(0, 1, 2, 3, 4)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("de").alias("qd"),
+        F.expr(_NRM.format(a="embedding")).alias("nq"),
+        F.expr(_NRM.format(a="de")).alias("nqd"),
+    )
+    c = dq.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("de").alias("cd"),
+        F.expr(_NRM.format(a="embedding")).alias("nc"),
+        F.expr(_NRM.format(a="de")).alias("ncd"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            f6(
+                F.expr(_DOT.format(a="qe", b="ce"))
+                / (F.col("nq") * F.col("nc"))
+            ).alias("cosf"),
+            f6(
+                F.expr(_DOT.format(a="qd", b="cd"))
+                / (F.col("nqd") * F.col("ncd"))
+            ).alias("cosq"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosf").desc(), "cand_id"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosq").desc(), "cand_id"
+    )
+    tf = (
+        pairs.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "cand_id", F.lit(1).alias("h"))
+    )
+    tq = (
+        pairs.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "cand_id")
+    )
+    return (
+        tq.join(tf, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("h").cast("long").alias("hits"))
+        .select(
+            "query_id", "hits", f6(F.col("hits") / 5.0).alias("recall5")
+        )
+        .orderBy("query_id")
+    )

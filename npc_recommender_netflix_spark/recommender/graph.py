@@ -1319,3 +1319,67 @@ def r_deepwalk_corpus(spark, sf_dir):
     return h3.select(
         F.col("v0").alias("walk_id"), "v0", "v1", "v2", "v3"
     ).orderBy("walk_id")
+
+
+@register(
+    "r_katz_centrality",
+    f"""
+    WITH {_GRAPH_SQL},
+    w1 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS w FROM edges
+           GROUP BY 1),
+    w2 AS (SELECT e.dst AS node, CAST(sum(w1.w) AS BIGINT) AS w
+           FROM edges e JOIN w1 ON w1.node = e.src GROUP BY 1),
+    w3 AS (SELECT e.dst AS node, CAST(sum(w2.w) AS BIGINT) AS w
+           FROM edges e JOIN w2 ON w2.node = e.src GROUP BY 1)
+    SELECT w1.node, w1.w AS walks1, w2.w AS walks2, w3.w AS walks3,
+           round(0.1 * CAST(w1.w AS DOUBLE) + 0.01 * w2.w + 0.001 * w3.w, 6)
+               + 0 AS katz
+    FROM w1 JOIN w2 ON w2.node = w1.node JOIN w3 ON w3.node = w1.node
+    ORDER BY katz DESC, w1.node LIMIT 20
+    """,
+)
+def r_katz_centrality(spark, sf_dir):
+    """Katz centrality truncated at path length 3 (α = 0.1, β = 1) on
+    the shared co-purchase graph: katz(v) = Σ_{{k=1..3}} α^k · (# k-step
+    walks ending at v). Degree only counts direct neighbors; PageRank
+    normalizes influence away by out-degree — Katz is the middle
+    ground that rewards being close to HUBS without the random-walk
+    normalization, and the α-truncation IS the production form (full
+    Katz needs the resolvent inverse; α < 1/λ_max truncates fast).
+    Walk counts are BIGINT-exact; only the final α-weighted sum is
+    floating, from identical integers on both engines.
+
+    Scale: two degree-table joins over the memoized edge frame (the
+    10th consumer of `_copurchase_edges`) — each iteration shuffles on
+    the node key exactly like one PageRank step, so cost = 2/3 of
+    r_pagerank's unrolled loop; top-20 is TakeOrdered, never a global
+    rank window.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    w1 = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("w1")
+    )
+    w2 = (
+        edges.join(w1, edges.src == w1.node)
+        .groupBy(F.col("dst").alias("node2"))
+        .agg(F.sum("w1").cast("long").alias("w2"))
+    )
+    w3 = (
+        edges.join(w2, edges.src == F.col("node2"))
+        .groupBy(F.col("dst").alias("node3"))
+        .agg(F.sum("w2").cast("long").alias("w3"))
+    )
+    katz = 0.1 * F.col("w1") + 0.01 * F.col("w2") + 0.001 * F.col("w3")
+    return (
+        w1.join(w2, w1.node == F.col("node2"))
+        .join(w3, w1.node == F.col("node3"))
+        .select(
+            "node",
+            F.col("w1").alias("walks1"),
+            F.col("w2").alias("walks2"),
+            F.col("w3").alias("walks3"),
+            f6(katz).alias("katz"),
+        )
+        .orderBy(F.col("katz").desc(), "node")
+        .limit(20)
+    )

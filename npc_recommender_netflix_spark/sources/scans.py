@@ -2539,3 +2539,81 @@ def s_vacuum_orphans(spark, sf_dir):
         )
         .orderBy("fid")
     )
+
+
+@register(
+    "s_bin_packing",
+    """
+    WITH files AS (
+        SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS ym,
+               CAST(128 * count(*) AS BIGINT) AS bytes
+        FROM orders GROUP BY 1
+    ),
+    packed AS (
+        SELECT ym, bytes,
+               CAST((coalesce(sum(bytes) OVER (ORDER BY ym
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)) // 262144 AS BIGINT) AS bin
+        FROM files
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bytes,
+           CAST(min(ym) AS BIGINT) AS ym_first,
+           CAST(max(ym) AS BIGINT) AS ym_last,
+           CAST(sum(bytes) * 1000000 // 262144 AS BIGINT) AS fill_ppm
+    FROM packed GROUP BY bin ORDER BY bin
+    """,
+)
+def s_bin_packing(spark, sf_dir):
+    """Compaction bin-packing planner: pack the monthly file manifest
+    (bytes = 128·rows, a deterministic parquet-size stand-in) into
+    256 KiB target bins by next-fit over the LAYOUT ORDER cumulative
+    sum — bin = floor(bytes-before / target), exactly the estimator
+    behind Spark's own `maxPartitionBytes` file packing and the
+    OPTIMIZE file-sizing pass (s_compaction EXECUTES a rewrite at a
+    hand-picked file count; this key computes the plan: how many
+    right-sized files, which months coalesce, per-bin fill). Packing
+    in layout order — never size-desc first-fit — preserves the
+    month clustering that zonemap pruning (s_zorder_layout,
+    s_clustering_depth) depends on; per-bin ym_first/ym_last make
+    the preserved locality visible, and fill_ppm ≈ 1e6 everywhere
+    except the tail bin proves the target is met.
+
+    Scale: the manifest is listing-cardinality (one row per file —
+    millions at 100 TB, never data rows), the cumsum is one window
+    over it, and the plan frame IS the compactor's work list; range-
+    partition the cumsum at manifest scale (the a_gini prefix-sum
+    recipe). All BIGINT; no data bytes move to produce the plan.
+    """
+    files = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+        )
+        .agg((128 * F.count("*")).cast("long").alias("bytes"))
+    )
+    w = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, -1)
+    packed = files.select(
+        "ym",
+        "bytes",
+        (
+            F.coalesce(F.sum("bytes").over(w), F.lit(0))
+            / F.lit(262144)
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        packed.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("bytes"),
+            F.min("ym").cast("long").alias("ym_first"),
+            F.max("ym").cast("long").alias("ym_last"),
+            (F.sum("bytes") * 1000000 / F.lit(262144))
+            .cast("long")
+            .alias("fill_ppm"),
+        )
+        .orderBy("bin")
+    )

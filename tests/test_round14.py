@@ -464,3 +464,97 @@ def test_burstiness_fano_replay_top_word(spark):
         assert abs(r["burstiness"] - round(tf[r["word"]] / len(c), 6)) <= 1e-6
         assert abs(r["fano_factor"] - round(fano, 6)) <= 1e-6
         assert r["fano_factor"] >= 0.0
+
+
+def test_katz_walk_counts_replay(spark):
+    """Replay 1/2/3-step walk counts from a pure-Python adjacency over
+    the same (l_partkey % 500) co-purchase edge construction."""
+    from collections import defaultdict
+
+    orders_unused, lineitem = _pd_tables("orders", "lineitem")
+    by_order = defaultdict(set)
+    for ok, pk in zip(lineitem.l_orderkey, lineitem.l_partkey):
+        by_order[ok].add(pk % 500)
+    adj = defaultdict(set)
+    for items in by_order.values():
+        for a in items:
+            for b in items:
+                if a != b:
+                    adj[a].add(b)
+    w1 = {v: len(nb) for v, nb in adj.items()}
+    w2 = {v: sum(w1[u] for u in nb) for v, nb in adj.items()}
+    w3 = {v: sum(w2[u] for u in nb) for v, nb in adj.items()}
+    katz = {
+        v: 0.1 * w1[v] + 0.01 * w2[v] + 0.001 * w3[v] for v in adj
+    }
+    top = sorted(adj, key=lambda v: (-round(katz[v], 6), v))[:20]
+    rows = registry.QUERIES["r_katz_centrality"](spark, SF_SMALL).collect()
+    assert [r["node"] for r in rows] == top
+    for r in rows:
+        assert (r["walks1"], r["walks2"], r["walks3"]) == (
+            w1[r["node"]],
+            w2[r["node"]],
+            w3[r["node"]],
+        )
+
+
+def test_bin_packing_conserves_bytes_and_packs_next_fit(spark):
+    """The plan must conserve total bytes, keep bins month-contiguous
+    (locality preserved), and match a pandas next-fit replay."""
+    import numpy as np
+
+    (orders,) = _pd_tables("orders")
+    ym = orders.o_orderdate.map(lambda d: d.year * 12 + d.month)
+    files = (128 * orders.groupby(ym).size()).sort_index()
+    before = np.concatenate([[0], files.to_numpy().cumsum()[:-1]])
+    bins = before // 262144
+    rows = registry.QUERIES["s_bin_packing"](spark, SF_SMALL).collect()
+    assert sum(r["bytes"] for r in rows) == int(files.sum())
+    # replay: per-bin file counts and byte sums
+    import pandas as pd
+
+    rep = pd.DataFrame({"ym": files.index, "bytes": files.to_numpy(), "bin": bins})
+    g = rep.groupby("bin")["bytes"].agg(["count", "sum"])
+    for r in rows:
+        assert r["n_files"] == int(g.loc[r["bin"], "count"])
+        assert r["bytes"] == int(g.loc[r["bin"], "sum"])
+    # month-contiguity: bins tile the ym axis in order
+    spans = [(r["ym_first"], r["ym_last"]) for r in sorted(rows, key=lambda r: r["bin"])]
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 < b0
+
+
+def test_sq8_recall_numpy_replay(spark):
+    """Full numpy replica of the SQ8 grid, dequantized cosines and
+    top-5 recall for every query."""
+    import numpy as np
+
+    (emb,) = _pd_tables("embeddings")
+    M = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    mn, mx = M.min(axis=0), M.max(axis=0)
+    rg = mx - mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        codes = np.minimum(7, np.floor((M - mn) * 8 / rg))
+    deq = np.where(rg == 0, 0.0, (codes + 0.5) * rg / 8)
+
+    def cos_top5(X, qi):
+        x = X[qi]
+        sims = X @ x / (np.linalg.norm(X, axis=1) * np.linalg.norm(x))
+        order = sorted(
+            [(i, round(s, 6)) for i, s in zip(ids, sims) if i != ids[qi]],
+            key=lambda t: (-t[1], t[0]),
+        )
+        return [i for i, _ in order[:5]]
+
+    rows = {
+        r["query_id"]: r
+        for r in registry.QUERIES["v_sq8_recall"](spark, SF_SMALL).collect()
+    }
+    for q in range(5):
+        qi = int(np.where(ids == q)[0][0])
+        exact = set(cos_top5(M, qi))
+        quant = cos_top5(deq, qi)
+        hits = len(exact & set(quant))
+        assert rows[q]["hits"] == hits
+        assert abs(rows[q]["recall5"] - round(hits / 5.0, 6)) <= 1e-9

@@ -168,6 +168,9 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_ar2_yule_walker": "saturating: distinct time buckets (1094->2399)",
     "a_hurst_exponent": "saturating: distinct time buckets (1094->2399)",
     "w_rsi": "saturating: distinct time buckets (1094->2399)",
+    "s_bin_packing": "bounded: manifest axis (one row per monthly "
+    "file, ~80 here; at listing scale range-partition the cumsum — "
+    "the a_gini prefix-sum recipe, stated in the docstring)",
     "w_variance_ratio": "bounded: calendar-day axis (~2.4k days at "
     "any corpus size; one 4-lag window pass on the daily rollup)",
     "w_theta_forecast": "bounded: ~80-month axis (row_number + SES "
