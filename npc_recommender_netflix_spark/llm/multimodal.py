@@ -2398,3 +2398,259 @@ def m_shot_detection(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_SRT_SCHEMA = (
+    "doc_id long, n_cues long, total_sub_ms long, span_ms long, "
+    "n_chars long, n_overlaps long, chars_per_sec long"
+)
+
+
+@register(
+    "m_srt_parse",
+    """
+    WITH spec AS (
+        SELECT doc_id, (doc_id % 8) + 3 AS n FROM documents
+    ),
+    cues AS (
+        SELECT s.doc_id, s.n, g.i,
+               g.i * 2000 + (s.doc_id % 997) AS start_ms,
+               900 + ((s.doc_id * 7 + g.i * 13) % 1500) AS dur_ms,
+               10 + ((3 * s.doc_id + 5 * g.i) % 30) AS chars
+        FROM spec s, generate_series(0, 10) AS g(i)
+        WHERE g.i < s.n
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_cues,
+           CAST(sum(dur_ms) AS BIGINT) AS total_sub_ms,
+           CAST(max(start_ms + dur_ms) - min(start_ms) AS BIGINT)
+               AS span_ms,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN i < n - 1 AND dur_ms > 2000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+           CAST(sum(chars) * 1000 // sum(dur_ms) AS BIGINT)
+               AS chars_per_sec
+    FROM cues GROUP BY doc_id, n
+    """,
+)
+def m_srt_parse(spark, sf_dir):
+    """REAL subtitle parsing, end to end: each doc becomes a genuine
+    SubRip (.srt) file — numbered blocks, `HH:MM:SS,mmm --> HH:MM:SS,mmm`
+    timecode lines, text payload, blank-line separators — and a second
+    Arrow stage parses those BYTES back with a real block splitter +
+    timecode regex, computing every output from the parsed cues: cue
+    count, summed subtitle time, first-start→last-end span, text chars,
+    OVERLAP count (next cue starts before this one ends — the caption-QA
+    signal real pipelines gate on), and reading speed in chars/sec (the
+    accessibility limit, ~17-20 cps broadcast standard). A flipped digit
+    in any timecode changes the result; the oracle replays the cue
+    generator formulas without ever seeing the bytes — the m_wav_decode
+    contract applied to the subtitle modality that video training
+    corpora (caption alignment, CC filtering) actually parse at scale.
+
+    Scale: synth and parse are one mapInPandas chain — the .srt bytes
+    never shuffle; only (doc, 6 BIGINTs) rows reach the exchange. With
+    real subtitle sidecars the synth stage becomes the blob scan and
+    the parser is unchanged.
+    """
+    import re
+
+    def synth_srt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Write a REAL .srt per doc: cue i starts at i*2000 + (d%997) ms,
+        lasts 900 + ((d*7+i*13)%1500) ms, text = 10+((3d+5i)%30) chars."""
+
+        def ts(ms: int) -> str:
+            h, rem = divmod(ms, 3600000)
+            m, rem = divmod(rem, 60000)
+            s, milli = divmod(rem, 1000)
+            return f"{h:02d}:{m:02d}:{s:02d},{milli:03d}"
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = (d % 8) + 3
+                blocks = []
+                for i in range(n):
+                    start = i * 2000 + (d % 997)
+                    dur = 900 + ((d * 7 + i * 13) % 1500)
+                    nchars = 10 + ((3 * d + 5 * i) % 30)
+                    text = ("subtitle" * 6)[:nchars]
+                    blocks.append(
+                        f"{i + 1}\n{ts(start)} --> {ts(start + dur)}\n"
+                        f"{text}\n"
+                    )
+                payloads.append("\n".join(blocks).encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    tc = re.compile(
+        r"(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> "
+        r"(\d{2}):(\d{2}):(\d{2}),(\d{3})"
+    )
+
+    def parse_srt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """REAL SubRip parser: block split, timecode regex, text lines."""
+
+        def ms(h, m, s, milli):
+            return ((int(h) * 60 + int(m)) * 60 + int(s)) * 1000 + int(milli)
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_cues", "total_sub_ms", "span_ms", "n_chars",
+                "n_overlaps", "chars_per_sec",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                cues = []
+                for block in bytes(payload).decode("utf-8").split("\n\n"):
+                    lines = [ln for ln in block.split("\n") if ln]
+                    if len(lines) < 3:
+                        continue
+                    m = tc.fullmatch(lines[1])
+                    assert m, f"bad timecode line: {lines[1]!r}"
+                    start = ms(*m.groups()[:4])
+                    end = ms(*m.groups()[4:])
+                    cues.append((start, end, sum(len(t) for t in lines[2:])))
+                cues.sort()
+                total = sum(e - s for s, e, _ in cues)
+                chars = sum(c for _, _, c in cues)
+                overlaps = sum(
+                    1
+                    for (s0, e0, _), (s1, _, _) in zip(cues, cues[1:])
+                    if s1 < e0
+                )
+                out["doc_id"].append(doc_id)
+                out["n_cues"].append(len(cues))
+                out["total_sub_ms"].append(total)
+                out["span_ms"].append(cues[-1][1] - cues[0][0])
+                out["n_chars"].append(chars)
+                out["n_overlaps"].append(overlaps)
+                out["chars_per_sec"].append(chars * 1000 // total)
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    srts = docs.mapInPandas(synth_srt, schema="doc_id long, payload binary")
+    return srts.mapInPandas(parse_srt, schema=_SRT_SCHEMA)
+
+
+_CHIST_SCHEMA = (
+    "doc_id long, n_pixels long, r_b0 long, r_b1 long, r_b2 long, "
+    "r_b3 long, dominant_bucket long, sum_luma long"
+)
+
+
+@register(
+    "m_color_histogram",
+    """
+    WITH spec AS (
+        SELECT doc_id,
+               (doc_id % 20) + 8 AS w,
+               (doc_id % 12) + 6 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT s.doc_id, s.w, s.h,
+               (s.doc_id + 3 * gx.x + 7 * gy.y) % 256 AS r,
+               (2 * s.doc_id + 5 * gx.x + gy.y) % 256 AS g,
+               (3 * s.doc_id + gx.x + 11 * gy.y) % 256 AS b
+        FROM spec s, generate_series(0, 27) AS gx(x),
+             generate_series(0, 17) AS gy(y)
+        WHERE gx.x < s.w AND gy.y < s.h
+    ),
+    hist AS (
+        SELECT doc_id,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(sum(CASE WHEN r // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS r_b0,
+               CAST(sum(CASE WHEN r // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS r_b1,
+               CAST(sum(CASE WHEN r // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS r_b2,
+               CAST(sum(CASE WHEN r // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS r_b3,
+               CAST(sum(r + g + b) AS BIGINT) AS sum_luma
+        FROM px GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, n_pixels, r_b0, r_b1, r_b2, r_b3,
+           CAST(CASE WHEN r_b0 >= r_b1 AND r_b0 >= r_b2 AND r_b0 >= r_b3
+                     THEN 0
+                     WHEN r_b1 >= r_b2 AND r_b1 >= r_b3 THEN 1
+                     WHEN r_b2 >= r_b3 THEN 2 ELSE 3 END AS BIGINT)
+               AS dominant_bucket,
+           sum_luma
+    FROM hist
+    """,
+)
+def m_color_histogram(spark, sf_dir):
+    """Color-histogram features over REAL decoded P6 pixels: the
+    m_ppm_decode round-trip (genuine header tokenizer + raster reshape)
+    feeding a 4-bucket red-channel histogram (value div 64), the
+    dominant bucket (lowest-bucket tiebreak), and the summed
+    r+g+b luma — the cheap global color signature image dedup and
+    near-duplicate triage use BEFORE any perceptual hash (a histogram
+    distance prunes the m_image_dhash candidate set the way minhash
+    bands prune Jaccard pairs). Every number is computed from decoded
+    bytes; the oracle replays the pixel generator formula.
+
+    Scale: one mapInPandas chain — rasters never shuffle, each doc
+    forwards exactly 8 BIGINTs; bucketing is a numpy bincount per
+    image inside the Arrow batch. With real images the decode stage
+    swaps in a codec and the histogram/bincount stage is unchanged.
+    """
+    import numpy as np
+
+    def synth_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = (d % 20) + 8, (d % 12) + 6
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                r = (d + 3 * x + 7 * y) % 256
+                g = (2 * d + 5 * x + y) % 256
+                b = (3 * d + x + 11 * y) % 256
+                raster = np.stack(
+                    np.broadcast_arrays(r, g, b), axis=-1
+                ).astype(np.uint8)
+                payloads.append(
+                    f"P6\n{w} {h}\n255\n".encode() + raster.tobytes()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def hist_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_pixels", "r_b0", "r_b1", "r_b2", "r_b3",
+                "dominant_bucket", "sum_luma",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                assert buf[0:2] == b"P6", "not a P6 PPM"
+                fields, pos = [], 2
+                while len(fields) < 3:
+                    while buf[pos] in b" \t\r\n":
+                        pos += 1
+                    start = pos
+                    while buf[pos] not in b" \t\r\n":
+                        pos += 1
+                    fields.append(int(buf[start:pos]))
+                pos += 1
+                w, h, maxval = fields
+                assert maxval == 255
+                raster = np.frombuffer(
+                    buf, dtype=np.uint8, count=3 * w * h, offset=pos
+                ).reshape(h, w, 3).astype(np.int64)
+                buckets = np.bincount(
+                    (raster[:, :, 0] // 64).ravel(), minlength=4
+                )
+                out["doc_id"].append(doc_id)
+                out["n_pixels"].append(w * h)
+                for bi in range(4):
+                    out[f"r_b{bi}"].append(int(buckets[bi]))
+                out["dominant_bucket"].append(int(buckets.argmax()))
+                out["sum_luma"].append(int(raster.sum()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ppms = docs.mapInPandas(synth_ppm, schema="doc_id long, payload binary")
+    return ppms.mapInPandas(hist_ppm, schema=_CHIST_SCHEMA)

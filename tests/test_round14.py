@@ -558,3 +558,47 @@ def test_sq8_recall_numpy_replay(spark):
         hits = len(exact & set(quant))
         assert rows[q]["hits"] == hits
         assert abs(rows[q]["recall5"] - round(hits / 5.0, 6)) <= 1e-9
+
+
+def test_srt_parse_formula_replay_and_overlap_semantics(spark):
+    """Replay the cue generator per doc; an overlap is exactly a
+    non-final cue with dur > 2000 ms (the 2 s cue stride)."""
+    rows = registry.QUERIES["m_srt_parse"](spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        d = r["doc_id"]
+        n = (d % 8) + 3
+        durs = [900 + ((d * 7 + i * 13) % 1500) for i in range(n)]
+        chars = [10 + ((3 * d + 5 * i) % 30) for i in range(n)]
+        starts = [i * 2000 + (d % 997) for i in range(n)]
+        assert r["n_cues"] == n
+        assert r["total_sub_ms"] == sum(durs)
+        assert r["span_ms"] == starts[-1] + durs[-1] - starts[0]
+        assert r["n_chars"] == sum(chars)
+        assert r["n_overlaps"] == sum(
+            1 for i in range(n - 1) if durs[i] > 2000
+        )
+        assert r["chars_per_sec"] == sum(chars) * 1000 // sum(durs)
+
+
+def test_color_histogram_buckets_partition_pixels(spark):
+    """Red buckets must partition the raster exactly; dominant bucket
+    is the argmax with lowest-bucket tiebreak; luma replays."""
+    rows = registry.QUERIES["m_color_histogram"](spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        d = r["doc_id"]
+        w, h = (d % 20) + 8, (d % 12) + 6
+        assert r["n_pixels"] == w * h
+        buckets = [r["r_b0"], r["r_b1"], r["r_b2"], r["r_b3"]]
+        assert sum(buckets) == w * h
+        mx = max(buckets)
+        assert r["dominant_bucket"] == buckets.index(mx)
+        luma = sum(
+            ((d + 3 * x + 7 * y) % 256)
+            + ((2 * d + 5 * x + y) % 256)
+            + ((3 * d + x + 11 * y) % 256)
+            for x in range(w)
+            for y in range(h)
+        )
+        assert r["sum_luma"] == luma
