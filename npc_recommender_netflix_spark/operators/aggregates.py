@@ -11080,3 +11080,411 @@ def a_durbin_watson(spark, sf_dir):
         f6(F.col("num") / F.col("den")).alias("dw"),
         f6(1.0 - (F.col("num") / F.col("den")) / 2.0).alias("rho_hat"),
     )
+
+
+_DAILY_FIT_SQL = """
+    daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100 AS rev
+        FROM orders GROUP BY 1
+    ),
+    tx AS (
+        SELECT d, rev,
+               CAST(date_diff('day', (SELECT min(d) FROM daily), d)
+                    AS BIGINT) AS t
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS sx,
+               CAST(sum(rev) AS BIGINT) AS sy,
+               CAST(sum(t * t) AS BIGINT) AS sxx,
+               CAST(sum(t * rev) AS BIGINT) AS sxy
+        FROM tx
+    ),
+    fit AS (
+        SELECT n, CAST(sx AS DOUBLE) / n AS xbar,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx_c,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   AS slope,
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                  * sx) / n AS icept
+        FROM s
+    ),
+    resid AS (
+        SELECT d, t,
+               CAST(round(rev - f.icept - f.slope * t) AS BIGINT) AS e,
+               f.n, f.xbar, f.sxx_c
+        FROM tx, fit f
+    )
+"""
+
+
+@register(
+    "a_cooks_distance",
+    f"""
+    WITH {_DAILY_FIT_SQL},
+    sse AS (
+        SELECT sum(CAST(e AS DOUBLE) * e) / (max(n) - 2) AS s2 FROM resid
+    )
+    SELECT d AS day,
+           e AS resid_usd,
+           round(1.0 / r.n + (r.t - r.xbar) * (r.t - r.xbar) / r.sxx_c,
+                 9) + 0 AS leverage,
+           round((CAST(r.e AS DOUBLE) * r.e
+                  * (1.0 / r.n + (r.t - r.xbar) * (r.t - r.xbar) / r.sxx_c))
+                 / (2.0 * sse.s2
+                    * (1.0 - (1.0 / r.n
+                              + (r.t - r.xbar) * (r.t - r.xbar) / r.sxx_c))
+                    * (1.0 - (1.0 / r.n
+                              + (r.t - r.xbar) * (r.t - r.xbar)
+                                / r.sxx_c))),
+                 9) + 0 AS cooks_d
+    FROM resid r, sse
+    ORDER BY cooks_d DESC, day LIMIT 10
+    """,
+)
+def a_cooks_distance(spark, sf_dir):
+    """Cook's distance for the daily-revenue trend regression: the ten
+    most INFLUENTIAL days, D_i = e_i²·h_i / (p·s²·(1−h_i)²) with the
+    closed-form simple-regression leverage h_i = 1/n + (t_i−t̄)²/Sxx —
+    the observation-level diagnostic completing the residual suite
+    (a_durbin_watson asks "are errors correlated", a_tukey_fences
+    flags outliers by VALUE; Cook's D flags points that BEND THE FIT,
+    which end-of-window days do even with modest residuals because
+    leverage peaks at the time extremes).
+
+    Scale: the same cents-exact daily rollup + 5-sum fit as
+    a_durbin_watson; leverage and D are per-row closed forms (no
+    window at all), top-10 is TakeOrdered. Residuals snap to whole
+    dollars before squaring; only s² and the final 9dp ratios float.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    tx = daily.crossJoin(F.broadcast(d0)).select(
+        "d", F.datediff(F.col("d"), F.col("d0")).cast("long").alias("t"), "rev"
+    )
+    s = tx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum("rev").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
+        F.sum(F.col("t") * F.col("rev")).cast("long").alias("sxy"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = s.select(
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        ).alias("sxx_c"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+        ).alias("icept"),
+    )
+    resid = tx.crossJoin(F.broadcast(fit)).select(
+        "d",
+        "t",
+        "n",
+        "xbar",
+        "sxx_c",
+        F.round(
+            F.col("rev") - F.col("icept") - F.col("slope") * F.col("t")
+        )
+        .cast("long")
+        .alias("e"),
+    )
+    s2f = resid.agg(
+        (
+            F.sum(F.col("e").cast("double") * F.col("e"))
+            / (F.max("n") - 2)
+        ).alias("s2")
+    )
+    h = 1.0 / F.col("n") + (F.col("t") - F.col("xbar")) * (
+        F.col("t") - F.col("xbar")
+    ) / F.col("sxx_c")
+    cd = (F.col("e").cast("double") * F.col("e") * h) / (
+        2.0 * F.col("s2") * (1.0 - h) * (1.0 - h)
+    )
+    return (
+        resid.crossJoin(F.broadcast(s2f))
+        .select(
+            F.col("d").alias("day"),
+            F.col("e").alias("resid_usd"),
+            (F.round(h, 9) + 0).alias("leverage"),
+            (F.round(cd, 9) + 0).alias("cooks_d"),
+        )
+        .orderBy(F.col("cooks_d").desc(), "day")
+        .limit(10)
+    )
+
+
+@register(
+    "a_breusch_pagan",
+    f"""
+    WITH {_DAILY_FIT_SQL},
+    aux AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               regr_r2(CAST(e AS DOUBLE) * e, t) AS r2,
+               regr_slope(CAST(e AS DOUBLE) * e, t) AS e2_slope
+        FROM resid
+    )
+    SELECT n,
+           round(e2_slope, 6) + 0 AS e2_trend_slope,
+           round(n * r2, 6) + 0 AS lm_stat,
+           CAST(CASE WHEN n * r2 > 3.841459 THEN 1 ELSE 0 END AS BIGINT)
+               AS heteroscedastic_95
+    FROM aux
+    """,
+)
+def a_breusch_pagan(spark, sf_dir):
+    """Breusch-Pagan (Koenker studentized form) heteroscedasticity test
+    on the daily-revenue trend residuals: the auxiliary regression of
+    e² on t gives R², and LM = n·R² ~ χ²(1) under homoscedasticity
+    (95% critical value 3.841 — a mathematical constant, flagged
+    in-row). The third leg of the residual-diagnostics stool:
+    a_durbin_watson asks "correlated?", a_cooks_distance "who bends
+    the fit?", this asks "does error VARIANCE drift with the
+    regressor?" — the condition that silently invalidates every OLS
+    confidence interval a dashboard prints.
+
+    Scale: same daily rollup + closed-form fit; the auxiliary
+    regression is the engines' own regr_slope/regr_r2 aggregate over
+    the bounded calendar axis (whole-dollar residuals squared — exact
+    integers into the aggregate on both engines). Two shuffles total.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    tx = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("t"), "rev"
+    )
+    s = tx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum("rev").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
+        F.sum(F.col("t") * F.col("rev")).cast("long").alias("sxy"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = s.select(
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+        ).alias("icept"),
+    )
+    resid = tx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.round(
+            F.col("rev") - F.col("icept") - F.col("slope") * F.col("t")
+        )
+        .cast("long")
+        .alias("e"),
+    )
+    aux = resid.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("regr_r2(CAST(e AS DOUBLE) * e, t)").alias("r2"),
+        F.expr("regr_slope(CAST(e AS DOUBLE) * e, t)").alias("e2_slope"),
+    )
+    return aux.select(
+        "n",
+        f6(F.col("e2_slope")).alias("e2_trend_slope"),
+        f6(F.col("n") * F.col("r2")).alias("lm_stat"),
+        F.when(F.col("n") * F.col("r2") > 3.841459, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("heteroscedastic_95"),
+    )
+
+
+@register(
+    "a_newey_west",
+    f"""
+    WITH {_DAILY_FIT_SQL},
+    u AS (
+        SELECT t, (r.t - r.xbar) * CAST(r.e AS DOUBLE) AS ut, r.sxx_c, r.n
+        FROM resid r
+    ),
+    lagd AS (
+        SELECT t, ut, sxx_c, n,
+               lag(ut, 1) OVER (ORDER BY t) AS u1,
+               lag(ut, 2) OVER (ORDER BY t) AS u2,
+               lag(ut, 3) OVER (ORDER BY t) AS u3,
+               lag(ut, 4) OVER (ORDER BY t) AS u4,
+               lag(ut, 5) OVER (ORDER BY t) AS u5
+        FROM u
+    ),
+    sand AS (
+        SELECT max(n) AS n, max(sxx_c) AS sxx_c,
+               sum(ut * ut) AS s0,
+               sum(ut * coalesce(u1, 0)) AS g1,
+               sum(ut * coalesce(u2, 0)) AS g2,
+               sum(ut * coalesce(u3, 0)) AS g3,
+               sum(ut * coalesce(u4, 0)) AS g4,
+               sum(ut * coalesce(u5, 0)) AS g5
+        FROM lagd
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(sqrt((s0 + 2 * ((1 - 1/6.0) * g1 + (1 - 2/6.0) * g2
+                                 + (1 - 3/6.0) * g3 + (1 - 4/6.0) * g4
+                                 + (1 - 5/6.0) * g5))
+                      / (sxx_c * sxx_c)), 6) + 0 AS se_nw,
+           round(sqrt((s0 / (sxx_c * sxx_c)) * n / (n - 2.0)), 6) + 0
+               AS se_white,
+           round(sqrt((s0 + 2 * ((1 - 1/6.0) * g1 + (1 - 2/6.0) * g2
+                                 + (1 - 3/6.0) * g3 + (1 - 4/6.0) * g4
+                                 + (1 - 5/6.0) * g5))
+                      / (sxx_c * sxx_c))
+                 / sqrt((s0 / (sxx_c * sxx_c)) * n / (n - 2.0)), 6) + 0
+               AS nw_inflation
+    FROM sand
+    """,
+)
+def a_newey_west(spark, sf_dir):
+    """Newey-West HAC standard error (Bartlett kernel, 5 lags) for the
+    daily-revenue trend slope, beside the White/HC0-style no-lag
+    sandwich SE — the FIX a_durbin_watson's verdict demands: when
+    residuals autocorrelate, the naive slope SE understates risk and
+    the NW sandwich Var(β̂) = Σw_ℓγ_ℓ/Sxx² repairs it; nw_inflation
+    (se_nw / se_white) IS the honesty multiplier for every trend
+    t-statistic downstream. Scores u_t = (t−t̄)e_t, autocovariances
+    γ_ℓ from five lag columns, Bartlett weights 1−ℓ/6.
+
+    Scale: one daily rollup + the closed-form fit, then all five lag
+    columns in ONE window pass over the bounded calendar axis and one
+    8-sum aggregate — the lag depth changes column count, not pass
+    count. Whole-dollar residuals keep the scores engine-comparable
+    under the 6dp snap.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    tx = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("t"), "rev"
+    )
+    s = tx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum("rev").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
+        F.sum(F.col("t") * F.col("rev")).cast("long").alias("sxy"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = s.select(
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        ).alias("sxx_c"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+        ).alias("icept"),
+    )
+    u = tx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        "sxx_c",
+        (
+            (F.col("t") - F.col("xbar"))
+            * F.round(
+                F.col("rev") - F.col("icept") - F.col("slope") * F.col("t")
+            ).cast("long")
+        ).alias("ut"),
+    )
+    wlag = Window.orderBy("t")
+    lagd = u.select(
+        "n",
+        "sxx_c",
+        "ut",
+        *[F.lag("ut", k).over(wlag).alias(f"u{k}") for k in range(1, 6)],
+    )
+    sand = lagd.agg(
+        F.max("n").alias("n"),
+        F.max("sxx_c").alias("sxx_c"),
+        F.sum(F.col("ut") * F.col("ut")).alias("s0"),
+        *[
+            F.sum(F.col("ut") * F.coalesce(F.col(f"u{k}"), F.lit(0.0))).alias(
+                f"g{k}"
+            )
+            for k in range(1, 6)
+        ],
+    )
+    s_hac = F.col("s0") + 2 * (
+        (1 - 1 / 6.0) * F.col("g1")
+        + (1 - 2 / 6.0) * F.col("g2")
+        + (1 - 3 / 6.0) * F.col("g3")
+        + (1 - 4 / 6.0) * F.col("g4")
+        + (1 - 5 / 6.0) * F.col("g5")
+    )
+    se_nw = F.sqrt(s_hac / (F.col("sxx_c") * F.col("sxx_c")))
+    se_w = F.sqrt(
+        (F.col("s0") / (F.col("sxx_c") * F.col("sxx_c")))
+        * F.col("n")
+        / (F.col("n") - 2.0)
+    )
+    return sand.select(
+        F.col("n").cast("long").alias("n_days"),
+        f6(se_nw).alias("se_nw"),
+        f6(se_w).alias("se_white"),
+        f6(se_nw / se_w).alias("nw_inflation"),
+    )

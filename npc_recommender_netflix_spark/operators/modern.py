@@ -5771,3 +5771,159 @@ def q_attribution_shapley(spark, sf_dir):
         .unionByName(row("view", "v_v", sh_view))
         .orderBy("channel")
     )
+
+
+@register(
+    "q_panel_fe",
+    """
+    WITH census AS (
+        SELECT n.n_name AS nation,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS ym,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100 AS y
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    panel AS (
+        SELECT sc.nation, sc.ym,
+               coalesce(ce.x, 0) AS x, coalesce(ce.y, 0) AS y
+        FROM (SELECT a.nation, b.ym
+              FROM (SELECT DISTINCT nation FROM census) a,
+                   (SELECT DISTINCT ym FROM census) b) sc
+        LEFT JOIN census ce
+          ON ce.nation = sc.nation AND ce.ym = sc.ym
+    ),
+    gm AS (SELECT avg(CAST(x AS DOUBLE)) AS mx, avg(CAST(y AS DOUBLE)) AS my,
+                  CAST(count(*) AS BIGINT) AS n_cells
+           FROM panel),
+    im AS (SELECT nation, avg(CAST(x AS DOUBLE)) AS mxi,
+                  avg(CAST(y AS DOUBLE)) AS myi
+           FROM panel GROUP BY nation),
+    tm AS (SELECT ym, avg(CAST(x AS DOUBLE)) AS mxt,
+                  avg(CAST(y AS DOUBLE)) AS myt
+           FROM panel GROUP BY ym),
+    within AS (
+        SELECT p.x - im.mxi - tm.mxt + gm.mx AS xw,
+               p.y - im.myi - tm.myt + gm.my AS yw,
+               p.x - gm.mx AS xp, p.y - gm.my AS yp,
+               gm.n_cells
+        FROM panel p
+        JOIN im ON im.nation = p.nation
+        JOIN tm ON tm.ym = p.ym
+        CROSS JOIN gm
+    )
+    SELECT max(n_cells) AS n_cells,
+           round(sum(xp * yp) / sum(xp * xp), 6) + 0 AS beta_pooled,
+           round(sum(xw * yw) / sum(xw * xw), 6) + 0 AS beta_within,
+           round(sum(xw * yw) * (sum(xw * yw) / sum(xw * xw))
+                 / sum(yw * yw), 6) + 0 AS r2_within
+    FROM within
+    """,
+)
+def q_panel_fe(spark, sf_dir):
+    """Two-way fixed-effects panel regression (the within estimator) of
+    monthly revenue on monthly order count over the nation × month
+    panel: double-demean both variables (subtract nation mean and
+    month mean, add back the grand mean — algebraically identical to
+    including nation + month dummies) and fit the single-regressor OLS
+    on the demeaned frame, with the POOLED slope printed beside it so
+    the bias the fixed effects absorb is visible in one row. This is
+    the workhorse causal-panel specification (diff-in-diff's
+    a_diff_in_diff is its 2×2 special case; this is the full panel).
+
+    The panel is BALANCED by construction — the nation × month
+    scaffold is zero-filled (a month with no orders for a nation is a
+    real (0, 0) observation in a count panel) — which is exactly the
+    condition under which double-demeaning equals the dummy-variable
+    two-way OLS (pytest pins the equality against a numpy lstsq on
+    the full dummy design).
+
+    Scale: the panel census (nation × month, ≤25×~80 cells at any
+    corpus size) is the only data-sized shuffle; the two margin tables
+    are bounded-axis aggregates broadcast back onto the cells, and the
+    estimator is one moment pass over the cell frame. Adding fixed
+    effects costs two broadcast joins — never a dummy-variable matrix.
+    """
+    from ..session import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders")
+    cust = _lt(spark, sf_dir, "customer")
+    nat = _lt(spark, sf_dir, "nation")
+    census = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(nat, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "ym"
+            ),
+        )
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    # balanced scaffold: zero-order months are REAL (0, 0) panel cells
+    # in a count panel — and balance is what makes double-demeaning
+    # exactly the two-way dummy OLS
+    scaffold = census.select("nation").distinct().crossJoin(
+        census.select("ym").distinct()
+    )
+    panel = scaffold.join(census, ["nation", "ym"], "left").select(
+        "nation",
+        "ym",
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    gm = panel.agg(
+        F.avg(F.col("x").cast("double")).alias("mx"),
+        F.avg(F.col("y").cast("double")).alias("my"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    im = panel.groupBy("nation").agg(
+        F.avg(F.col("x").cast("double")).alias("mxi"),
+        F.avg(F.col("y").cast("double")).alias("myi"),
+    )
+    tm = panel.groupBy("ym").agg(
+        F.avg(F.col("x").cast("double")).alias("mxt"),
+        F.avg(F.col("y").cast("double")).alias("myt"),
+    )
+    within = (
+        panel.join(F.broadcast(im), "nation")
+        .join(F.broadcast(tm), "ym")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            (
+                F.col("x") - F.col("mxi") - F.col("mxt") + F.col("mx")
+            ).alias("xw"),
+            (
+                F.col("y") - F.col("myi") - F.col("myt") + F.col("my")
+            ).alias("yw"),
+            (F.col("x") - F.col("mx")).alias("xp"),
+            (F.col("y") - F.col("my")).alias("yp"),
+            "n_cells",
+        )
+    )
+    bw = F.sum(F.col("xw") * F.col("yw")) / F.sum(F.col("xw") * F.col("xw"))
+    return within.agg(
+        F.max("n_cells").alias("n_cells"),
+        f6(
+            F.sum(F.col("xp") * F.col("yp"))
+            / F.sum(F.col("xp") * F.col("xp"))
+        ).alias("beta_pooled"),
+        f6(bw).alias("beta_within"),
+        f6(
+            F.sum(F.col("xw") * F.col("yw"))
+            * bw
+            / F.sum(F.col("yw") * F.col("yw"))
+        ).alias("r2_within"),
+    )

@@ -602,3 +602,128 @@ def test_color_histogram_buckets_partition_pixels(spark):
             for y in range(h)
         )
         assert r["sum_luma"] == luma
+
+
+def _daily_fit():
+    import numpy as np
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cents = np.round(orders.o_totalprice * 100).astype(np.int64)
+    daily = orders.assign(c=cents).groupby("o_orderdate")["c"].sum().sort_index()
+    rev = (daily // 100).to_numpy(dtype=np.int64)
+    d = daily.index.to_numpy()
+    t = ((d - d.min()) / np.timedelta64(1, "D")).astype(np.int64)
+    n = len(t)
+    sx, sy = int(t.sum()), int(rev.sum())
+    sxx, sxy = int((t * t).sum()), int((t * rev).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icept = (sy - slope * sx) / n
+    e = np.round(rev - icept - slope * t).astype(np.int64)
+    return daily.index, t, e, n, sx, sxx
+
+
+def test_cooks_distance_replay_and_leverage_bounds(spark):
+    """numpy replay of leverage and Cook's D for the emitted top-10;
+    leverage must sit in (0, 1)."""
+    import numpy as np
+
+    days, t, e, n, sx, sxx = _daily_fit()
+    xbar = sx / n
+    sxx_c = sxx - sx * sx / n
+    s2 = float((e.astype(float) ** 2).sum()) / (n - 2)
+    h = 1.0 / n + (t - xbar) ** 2 / sxx_c
+    cd = (e.astype(float) ** 2 * h) / (2 * s2 * (1 - h) ** 2)
+    order = sorted(
+        range(n), key=lambda i: (-round(cd[i], 9), days[i])
+    )[:10]
+    import pandas as pd
+
+    rows = registry.QUERIES["a_cooks_distance"](spark, SF_SMALL).collect()
+    got = [pd.Timestamp(r["day"]).date() for r in rows]
+    want = [pd.Timestamp(days[i]).date() for i in order]
+    assert got == want
+    for r, i in zip(rows, order):
+        assert 0.0 < r["leverage"] < 1.0
+        assert abs(r["cooks_d"] - round(float(cd[i]), 9)) <= 1e-8
+
+
+def test_breusch_pagan_replay(spark):
+    """Replay the auxiliary e^2-on-t regression R^2 and LM stat."""
+    import numpy as np
+
+    _, t, e, n, _, _ = _daily_fit()
+    e2 = (e.astype(float)) ** 2
+    r = np.corrcoef(e2, t)[0, 1]
+    lm = n * r * r
+    (row,) = registry.QUERIES["a_breusch_pagan"](spark, SF_SMALL).collect()
+    assert row["n"] == n
+    assert abs(row["lm_stat"] - round(float(lm), 6)) <= 1e-4
+    assert row["heteroscedastic_95"] == (1 if lm > 3.841459 else 0)
+
+
+def test_newey_west_replay_and_inflation_direction(spark):
+    """Replay the Bartlett-kernel sandwich; inflation must exceed 1
+    exactly when the lag-window autocovariance mass is positive."""
+    import numpy as np
+
+    _, t, e, n, sx, sxx = _daily_fit()
+    xbar = sx / n
+    sxx_c = sxx - sx * sx / n
+    u = (t - xbar) * e.astype(float)
+    s0 = float((u * u).sum())
+    s_hac = s0
+    for k in range(1, 6):
+        gk = float((u[k:] * u[:-k]).sum())
+        s_hac += 2 * (1 - k / 6.0) * gk
+    se_nw = np.sqrt(s_hac / (sxx_c * sxx_c))
+    se_w = np.sqrt((s0 / (sxx_c * sxx_c)) * n / (n - 2.0))
+    (row,) = registry.QUERIES["a_newey_west"](spark, SF_SMALL).collect()
+    assert row["n_days"] == n
+    assert abs(row["se_nw"] - round(float(se_nw), 6)) <= 1e-4
+    assert abs(row["se_white"] - round(float(se_w), 6)) <= 1e-4
+    assert abs(row["nw_inflation"] - round(float(se_nw / se_w), 6)) <= 1e-4
+    assert row["se_nw"] > 0 and row["se_white"] > 0
+
+
+def test_panel_fe_equals_dummy_regression(spark):
+    """The double-demeaned within slope must equal the full two-way
+    dummy-variable OLS slope (Frisch-Waugh-Lovell), verified with a
+    numpy lstsq on the dummy design."""
+    import numpy as np
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    nat = pd.read_parquet(f"{SF_SMALL}/nation.parquet")
+    df = orders.merge(
+        cust[["c_custkey", "c_nationkey"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    ).merge(nat[["n_nationkey", "n_name"]], left_on="c_nationkey", right_on="n_nationkey")
+    df["ym"] = df.o_orderdate.map(lambda d: d.year * 12 + d.month)
+    df["cents"] = np.round(df.o_totalprice * 100).astype(np.int64)
+    census = (
+        df.groupby(["n_name", "ym"])
+        .agg(x=("o_orderkey", "size"), c=("cents", "sum"))
+        .reset_index()
+    )
+    census["y"] = census.c // 100
+    # balanced zero-filled scaffold, matching the operator
+    idx = pd.MultiIndex.from_product(
+        [census.n_name.unique(), census.ym.unique()], names=["n_name", "ym"]
+    )
+    panel = (
+        census.set_index(["n_name", "ym"])
+        .reindex(idx, fill_value=0)
+        .reset_index()
+    )
+    nations = pd.get_dummies(panel.n_name, drop_first=True).to_numpy(float)
+    months = pd.get_dummies(panel.ym, drop_first=True).to_numpy(float)
+    X = np.column_stack(
+        [panel.x.to_numpy(float), np.ones(len(panel)), nations, months]
+    )
+    beta = np.linalg.lstsq(X, panel.y.to_numpy(float), rcond=None)[0]
+    (row,) = registry.QUERIES["q_panel_fe"](spark, SF_SMALL).collect()
+    assert row["n_cells"] == len(panel)
+    assert abs(row["beta_within"] - round(float(beta[0]), 6)) <= 1e-3

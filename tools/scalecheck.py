@@ -98,6 +98,16 @@ LINEAR_KEYS = {
     "t_containment_neardup": "documents",  # same df<=64 posting cap, directed
     "t_symspell_join": "documents",  # round 10: deletion-variant equi-join;
     # candidates = variant postings, levenshtein verifies candidates only
+    "t_yule_k": "documents",  # round 14: one vocab-cardinality groupBy
+    # + per-lang power sums — no sort, no join
+    "t_burstiness": "documents",  # round 14: sparse (word, doc) groupBy
+    # + vocab rollup; top-20 TakeOrdered
+    "v_sq8_recall": "embeddings",  # round 14: per-dim census folds to
+    # two 64-float broadcast constants; 5xN broadcast pair join
+    "m_srt_parse": "documents",  # round 14: one mapInPandas chain,
+    # blobs never shuffle, 6 BIGINTs/doc forwarded
+    "m_color_histogram": "documents",  # round 14: P6 decode + bincount
+    # inside the Arrow task; 8 BIGINTs/doc forwarded
     "t_source_overlap": "documents",  # round 10: gram-digest equi-join with
     # a<b canonicalization; work ∝ shared-gram postings, top-20 output
     "m_zip_archive_extract": "documents",  # Arrow synth+decode, no payload shuffle
@@ -306,6 +316,23 @@ RELATIONAL_LINEAR_KEYS = {
     # candidates = cell occupancy (density-bound); supplier dim is FIXED on
     # the ladder, so candidate density per customer actually thins as the
     # grid fills with customers only — wall should track the customer scan
+    "a_somers_d": "lineitem",  # round 14: pair census on the 70-cell
+    # (decile x basket) frame — data-sized work is one groupBy + the
+    # lineitem basket rollup; cell cross is a broadcast constant
+    "a_pr_auc": "lineitem",  # round 14: $1000-band census + two
+    # cumulative windows on the ~500-row band frame
+    "a_lins_ccc": "lineitem",  # round 14: one lineitem rollup + a
+    # 5-average moment pass; CCC math on a 1-row frame
+    "a_durbin_watson": "orders",  # round 14: date rollup + closed-form
+    # fit + one lag window on the bounded calendar axis
+    "w_variance_ratio": "orders",  # round 14: 4 lags in one calendar-
+    # axis window pass + a 9-sum aggregate
+    "w_croston": "lineitem",  # round 14: per-part weighted SES sums
+    # behind a pushed partkey<=8 predicate — scan-dominated
+    "w_theta_forecast": "orders",  # round 14: monthly rollup + 5-sum
+    # fit + one SES weighted aggregate on the ~80-month axis
+    "s_bin_packing": "orders",  # round 14: manifest-cardinality cumsum
+    # window + per-bin rollup — listing-scale, not data-scale
 }
 # iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
 # dup-chain-bounded propagation (t_dup_clusters) — linear PER ITERATION
@@ -387,6 +414,8 @@ ITERATIVE_KEYS = {
     # steps scan the cached price-grid-bounded frame, so wall time
     # should stay near-FLAT as orders grow (the 12-scan key's cost
     # moves to the single shuffle)
+    "r_katz_centrality": "lineitem",  # round 14: two degree-table joins
+    # over the memoized edge frame — 2/3 of a PageRank's unrolled cost
 }
 
 
