@@ -11488,3 +11488,282 @@ def a_newey_west(spark, sf_dir):
         f6(se_w).alias("se_white"),
         f6(se_nw / se_w).alias("nw_inflation"),
     )
+
+
+@register(
+    "a_granger_1lag",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100 AS y,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    lagd AS (
+        SELECT y, x,
+               lag(y) OVER (ORDER BY d) AS yl,
+               lag(x) OVER (ORDER BY d) AS xl
+        FROM daily
+    ),
+    z AS (SELECT CAST(y AS DOUBLE) AS y, CAST(x AS DOUBLE) AS x,
+                 CAST(yl AS DOUBLE) AS yl, CAST(xl AS DOUBLE) AS xl
+          FROM lagd WHERE yl IS NOT NULL),
+    f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               var_pop(y) * count(*) * (1 - regr_r2(y, yl)) AS sse_r_y,
+               var_pop(x) * count(*) * (1 - regr_r2(x, xl)) AS sse_r_x,
+               count(*) * (var_pop(y)
+                 - (covar_pop(y, yl) * (var_pop(xl) * covar_pop(y, yl)
+                        - covar_pop(yl, xl) * covar_pop(y, xl))
+                    + covar_pop(y, xl) * (var_pop(yl) * covar_pop(y, xl)
+                        - covar_pop(yl, xl) * covar_pop(y, yl)))
+                   / (var_pop(yl) * var_pop(xl)
+                      - covar_pop(yl, xl) * covar_pop(yl, xl)))
+                   AS sse_u_y,
+               count(*) * (var_pop(x)
+                 - (covar_pop(x, xl) * (var_pop(yl) * covar_pop(x, xl)
+                        - covar_pop(yl, xl) * covar_pop(x, yl))
+                    + covar_pop(x, yl) * (var_pop(xl) * covar_pop(x, yl)
+                        - covar_pop(yl, xl) * covar_pop(x, xl)))
+                   / (var_pop(yl) * var_pop(xl)
+                      - covar_pop(yl, xl) * covar_pop(yl, xl)))
+                   AS sse_u_x
+        FROM z
+    )
+    SELECT direction, n,
+           round(f_stat, 6) + 0 AS f_stat,
+           CAST(CASE WHEN f_stat > 3.8415 THEN 1 ELSE 0 END AS BIGINT)
+               AS significant_95
+    FROM (
+        SELECT 'x_causes_y' AS direction, n,
+               (sse_r_y - sse_u_y) / (sse_u_y / (n - 3)) AS f_stat
+        FROM f
+        UNION ALL
+        SELECT 'y_causes_x', n,
+               (sse_r_x - sse_u_x) / (sse_u_x / (n - 3))
+        FROM f
+    ) ORDER BY direction
+    """,
+)
+def a_granger_1lag(spark, sf_dir):
+    """Granger causality at lag 1, BOTH directions, between daily
+    revenue (y) and daily order count (x): does adding x_{t−1} to the
+    AR(1) of y reduce SSE more than chance — F = (SSE_r − SSE_u) /
+    (SSE_u/(n−3)), and symmetrically for y→x. The two-regressor
+    unrestricted SSE comes from the 2×2 normal equations in covariance
+    form (Cramer's rule on centered moments — the a_ols_two_factor
+    discipline, one regressor smaller), the restricted SSE from the
+    engines' own regr_r2. Large-F direction = the series that LEADS;
+    the honest expected result on the synthetic fixtures is neither
+    (both F near the χ²/F noise floor), flagged in-row at the 95%
+    asymptotic cutoff.
+
+    Scale: one cents-exact daily rollup, ONE lag window on the bounded
+    calendar axis, then a single covariance-aggregate pass — both
+    directions priced by the same 10 moments; no second scan, no
+    iteration. The lag-p generalization adds columns, not passes.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("y"),
+            F.count("*").cast("long").alias("x"),
+        )
+    )
+    wl = Window.orderBy("d")
+    z = (
+        daily.select(
+            "y",
+            "x",
+            F.lag("y").over(wl).alias("yl"),
+            F.lag("x").over(wl).alias("xl"),
+        )
+        .where(F.col("yl").isNotNull())
+        .select(
+            F.col("y").cast("double").alias("y"),
+            F.col("x").cast("double").alias("x"),
+            F.col("yl").cast("double").alias("yl"),
+            F.col("xl").cast("double").alias("xl"),
+        )
+    )
+
+    def sse_u(dep):
+        det = F.expr(
+            "var_pop(yl) * var_pop(xl) - covar_pop(yl, xl) * covar_pop(yl, xl)"
+        )
+        num = F.expr(
+            f"covar_pop({dep}, yl) * (var_pop(xl) * covar_pop({dep}, yl)"
+            f" - covar_pop(yl, xl) * covar_pop({dep}, xl))"
+            f" + covar_pop({dep}, xl) * (var_pop(yl) * covar_pop({dep}, xl)"
+            f" - covar_pop(yl, xl) * covar_pop({dep}, yl))"
+        )
+        return F.count("*") * (F.expr(f"var_pop({dep})") - num / det)
+
+    f = z.agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.expr("var_pop(y)") * F.count("*") * (1 - F.expr("regr_r2(y, yl)"))
+        ).alias("sse_r_y"),
+        (
+            F.expr("var_pop(x)") * F.count("*") * (1 - F.expr("regr_r2(x, xl)"))
+        ).alias("sse_r_x"),
+        sse_u("y").alias("sse_u_y"),
+        sse_u("x").alias("sse_u_x"),
+    )
+    rows = f.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("x_causes_y").alias("direction"),
+                    F.col("n"),
+                    (
+                        (F.col("sse_r_y") - F.col("sse_u_y"))
+                        / (F.col("sse_u_y") / (F.col("n") - 3))
+                    ).alias("f_raw"),
+                ),
+                F.struct(
+                    F.lit("y_causes_x").alias("direction"),
+                    F.col("n"),
+                    (
+                        (F.col("sse_r_x") - F.col("sse_u_x"))
+                        / (F.col("sse_u_x") / (F.col("n") - 3))
+                    ).alias("f_raw"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.direction", "r.n", "r.f_raw")
+    return rows.select(
+        "direction",
+        "n",
+        f6(F.col("f_raw")).alias("f_stat"),
+        F.when(F.col("f_raw") > 3.8415, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("significant_95"),
+    ).orderBy("direction")
+
+
+@register(
+    "a_chow_test",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100 AS rev
+        FROM orders GROUP BY 1
+    ),
+    tx AS (
+        SELECT CAST(date_diff('day', (SELECT min(d) FROM daily), d)
+                    AS BIGINT) AS t,
+               rev,
+               CASE WHEN d < DATE '1997-01-01' THEN 0 ELSE 1 END AS seg
+        FROM daily
+    ),
+    fits AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS n,
+               count(*) * var_pop(CAST(rev AS DOUBLE))
+                   * (1 - regr_r2(CAST(rev AS DOUBLE), t)) AS sse
+        FROM tx GROUP BY seg
+    ),
+    pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               count(*) * var_pop(CAST(rev AS DOUBLE))
+                   * (1 - regr_r2(CAST(rev AS DOUBLE), t)) AS sse
+        FROM tx
+    )
+    SELECT p.n AS n_days,
+           (SELECT n FROM fits WHERE seg = 0) AS n_pre,
+           (SELECT n FROM fits WHERE seg = 1) AS n_post,
+           round((SELECT sum(sse) FROM fits) / p.sse, 6) + 0
+               AS sse_ratio,
+           round(((p.sse - (SELECT sum(sse) FROM fits)) / 2)
+                 / ((SELECT sum(sse) FROM fits) / (p.n - 4)), 6) + 0
+               AS chow_f,
+           CAST(CASE WHEN ((p.sse - (SELECT sum(sse) FROM fits)) / 2)
+                          / ((SELECT sum(sse) FROM fits) / (p.n - 4))
+                          > 2.9957 THEN 1 ELSE 0 END AS BIGINT)
+               AS break_95
+    FROM pooled p
+    """,
+)
+def a_chow_test(spark, sf_dir):
+    """Chow structural-break test at the known 1997-01-01 cutover (the
+    same date s_partition_evolution's spec change uses): fit the daily
+    revenue trend pooled and separately per segment, F = ((SSE_p −
+    SSE_1 − SSE_2)/k) / ((SSE_1+SSE_2)/(n−2k)) with k = 2 parameters —
+    the TEST companion to a_interrupted_ts (which ESTIMATES the level/
+    trend shift at the break) and w_changepoint (which SEARCHES for an
+    unknown break): given a deployment/policy date, did the
+    data-generating process actually change? 95% cutoff F(2,∞)≈3.00
+    flagged in-row.
+
+    Scale: each SSE is one regr_r2/var_pop aggregate over the bounded
+    calendar axis — the pooled and per-segment fits are ONE grouped
+    pass plus one global pass; no windows, no joins, and the k-break
+    generalization adds groups, not scans.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    tx = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("t"),
+        F.col("rev").cast("double").alias("rev"),
+        F.when(F.col("d") < F.lit("1997-01-01").cast("date"), 0)
+        .otherwise(1)
+        .alias("seg"),
+    )
+    sse_expr = (
+        F.count("*")
+        * F.expr("var_pop(rev)")
+        * (1 - F.expr("regr_r2(rev, t)"))
+    )
+    fits = tx.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"), sse_expr.alias("sse")
+    )
+    pooled = tx.agg(
+        F.count("*").cast("long").alias("n"), sse_expr.alias("sse")
+    )
+    split = fits.agg(
+        F.sum("sse").alias("sse_split"),
+        F.sum(F.when(F.col("seg") == 0, F.col("n"))).cast("long").alias(
+            "n_pre"
+        ),
+        F.sum(F.when(F.col("seg") == 1, F.col("n"))).cast("long").alias(
+            "n_post"
+        ),
+    )
+    chow = (F.col("sse") - F.col("sse_split")) / 2 / (
+        F.col("sse_split") / (F.col("n") - 4)
+    )
+    return (
+        pooled.crossJoin(F.broadcast(split))
+        .select(
+            F.col("n").alias("n_days"),
+            "n_pre",
+            "n_post",
+            f6(F.col("sse_split") / F.col("sse")).alias("sse_ratio"),
+            f6(chow).alias("chow_f"),
+            F.when(chow > 2.9957, 1).otherwise(0).cast("long").alias(
+                "break_95"
+            ),
+        )
+    )

@@ -727,3 +727,71 @@ def test_panel_fe_equals_dummy_regression(spark):
     (row,) = registry.QUERIES["q_panel_fe"](spark, SF_SMALL).collect()
     assert row["n_cells"] == len(panel)
     assert abs(row["beta_within"] - round(float(beta[0]), 6)) <= 1e-3
+
+
+def test_granger_replay_both_directions(spark):
+    """numpy replay: restricted AR(1) SSE vs unrestricted 2-regressor
+    SSE via lstsq, F computed the same way, both directions."""
+    import numpy as np
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cents = np.round(orders.o_totalprice * 100).astype(np.int64)
+    g = orders.assign(c=cents).groupby("o_orderdate").agg(
+        c=("c", "sum"), x=("o_orderkey", "size")
+    ).sort_index()
+    y = (g.c // 100).to_numpy(float)
+    x = g.x.to_numpy(float)
+
+    def sse(dep, regs):
+        X = np.column_stack([np.ones(len(dep))] + regs)
+        beta, *_ = np.linalg.lstsq(X, dep, rcond=None)
+        r = dep - X @ beta
+        return float((r * r).sum())
+
+    rows = {
+        r["direction"]: r
+        for r in registry.QUERIES["a_granger_1lag"](spark, SF_SMALL).collect()
+    }
+    n = len(y) - 1
+    for dep, oth, key in ((y, x, "x_causes_y"), (x, y, "y_causes_x")):
+        d, dl, ol = dep[1:], dep[:-1], oth[:-1]
+        sr = sse(d, [dl])
+        su = sse(d, [dl, ol])
+        fstat = (sr - su) / (su / (n - 3))
+        r = rows[key]
+        assert r["n"] == n
+        assert abs(r["f_stat"] - round(fstat, 6)) <= 1e-3
+        assert r["significant_95"] == (1 if fstat > 3.8415 else 0)
+
+
+def test_chow_replay(spark):
+    """numpy replay of the pooled vs split SSEs and the Chow F at the
+    1997-01-01 break."""
+    import numpy as np
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cents = np.round(orders.o_totalprice * 100).astype(np.int64)
+    daily = orders.assign(c=cents).groupby("o_orderdate")["c"].sum().sort_index()
+    rev = (daily // 100).to_numpy(float)
+    d = pd.to_datetime(daily.index)
+    t = np.asarray((d - d.min()).days, dtype=float)
+    seg = np.asarray(d >= pd.Timestamp("1997-01-01"))
+
+    def sse(yv, tv):
+        X = np.column_stack([np.ones(len(yv)), tv])
+        beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+        r = yv - X @ beta
+        return float((r * r).sum())
+
+    sp = sse(rev, t)
+    s1, s2 = sse(rev[~seg], t[~seg]), sse(rev[seg], t[seg])
+    n = len(rev)
+    fstat = ((sp - s1 - s2) / 2) / ((s1 + s2) / (n - 4))
+    (row,) = registry.QUERIES["a_chow_test"](spark, SF_SMALL).collect()
+    assert row["n_days"] == n
+    assert row["n_pre"] == int((~seg).sum()) and row["n_post"] == int(seg.sum())
+    assert abs(row["chow_f"] - round(fstat, 6)) <= 1e-3
+    assert abs(row["sse_ratio"] - round((s1 + s2) / sp, 6)) <= 1e-6
+    assert row["break_95"] == (1 if fstat > 2.9957 else 0)
