@@ -128,6 +128,18 @@ HEADLINE = [
     "m_audio_vad",  # round 13 s3: frame-energy VAD over real RIFF decode
     "r_clustering_coeff",  # round 13 s3: wedge-join lcc on the capped graph
     "u_grouped_model_fit",  # round 13 s3: per-group OLS via applyInPandas
+    "q_sql_scripting_hist",  # round 14: 1-scan histogram-bisect twin
+    "a_somers_d",  # round 14: two-axis ordinal concordance census
+    "a_pr_auc",  # round 14: threshold-free AP/AUC on the price grid
+    "a_newey_west",  # round 14: HAC sandwich SE, 5 lags one pass
+    "q_panel_fe",  # round 14: two-way FE within estimator
+    "w_variance_ratio",  # round 14: Lo-MacKinlay VR(q) grid
+    "w_croston",  # round 14: closed-form intermittent-demand SES
+    "t_yule_k",  # round 14: vocab-richness power sums per lang
+    "t_burstiness",  # round 14: tf/df + Fano census, top-20
+    "m_srt_parse",  # round 14: real SubRip round-trip, caption QA
+    "v_sq8_recall",  # round 14: 3-bit SQ dequantized-cosine recall
+    "r_katz_centrality",  # round 14: truncated Katz on the edge memo
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -333,6 +333,16 @@ RELATIONAL_LINEAR_KEYS = {
     # fit + one SES weighted aggregate on the ~80-month axis
     "s_bin_packing": "orders",  # round 14: manifest-cardinality cumsum
     # window + per-bin rollup — listing-scale, not data-scale
+    "a_cooks_distance": "orders",  # round 14: daily rollup + per-row
+    # closed-form leverage; top-10 TakeOrdered, no window
+    "a_breusch_pagan": "orders",  # round 14: rollup + regr_r2 aux pass
+    "a_newey_west": "orders",  # round 14: 5 lags in one window pass
+    "a_granger_1lag": "orders",  # round 14: 2-lag window + one
+    # covariance aggregate pricing both directions
+    "a_chow_test": "orders",  # round 14: one grouped + one global
+    # SSE aggregate over the day axis
+    "q_panel_fe": "orders",  # round 14: nation x month census is the
+    # only data-sized shuffle; margins broadcast back
 }
 # iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
 # dup-chain-bounded propagation (t_dup_clusters) — linear PER ITERATION
