@@ -11767,3 +11767,209 @@ def a_chow_test(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "a_ridge_path",
+    """
+    WITH m AS (
+        SELECT corr(l_quantity, round(l_discount * 100)) AS r12,
+               corr(l_quantity, round(l_extendedprice * 100)) AS r1y,
+               corr(round(l_discount * 100),
+                    round(l_extendedprice * 100)) AS r2y,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+    )
+    SELECT lam, n,
+           round((r1y * (1 + lam) - r12 * r2y)
+                 / ((1 + lam) * (1 + lam) - r12 * r12), 6) + 0
+               AS beta_qty_std,
+           round((r2y * (1 + lam) - r12 * r1y)
+                 / ((1 + lam) * (1 + lam) - r12 * r12), 6) + 0
+               AS beta_disc_std,
+           round((sqrt(((r1y * (1 + lam) - r12 * r2y)
+                        * (r1y * (1 + lam) - r12 * r2y)
+                        + (r2y * (1 + lam) - r12 * r1y)
+                        * (r2y * (1 + lam) - r12 * r1y)))
+                  / ((1 + lam) * (1 + lam) - r12 * r12))
+                 / sqrt(((r1y - r12 * r2y) * (r1y - r12 * r2y)
+                         + (r2y - r12 * r1y) * (r2y - r12 * r1y))
+                        / ((1 - r12 * r12) * (1 - r12 * r12))), 6) + 0
+               AS shrinkage
+    FROM m, (SELECT CAST(unnest([0.0, 0.1, 1.0]) AS DOUBLE) AS lam)
+    ORDER BY lam
+    """,
+)
+def a_ridge_path(spark, sf_dir):
+    """Ridge regularization path in closed form: standardized two-
+    regressor coefficients β(λ) = (R + λI)⁻¹ r for λ ∈ {0, 0.1, 1} on
+    the price ~ quantity + discount model — in correlation space the
+    normal equations are the 2×2 [[1+λ, r₁₂],[r₁₂, 1+λ]] system, so
+    the whole path is Cramer's rule on THREE corr() aggregates; λ = 0
+    reproduces the OLS solution exactly and the shrinkage column
+    (‖β(λ)‖/‖β(0)‖, monotone ↓ in λ — pytest-pinned) prices the bias
+    the penalty buys. The regularization rung the regression family
+    lacked (a_ols_two_factor = unpenalized, r_ease = ridge on the
+    item gram; this is ridge on the MOMENT form with the path
+    visible).
+
+    Scale: ONE corr-aggregate pass over the scan (three correlations,
+    map-side combinable); the path arithmetic runs per-λ on a 1-row
+    frame — a 100-point λ grid would cost the same single shuffle.
+    Correlations are scale-free, so the 6dp snap absorbs both
+    engines' summation-order drift.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.corr(
+            F.col("l_quantity"), F.round(F.col("l_discount") * 100)
+        ).alias("r12"),
+        F.corr(
+            F.col("l_quantity"), F.round(F.col("l_extendedprice") * 100)
+        ).alias("r1y"),
+        F.corr(
+            F.round(F.col("l_discount") * 100),
+            F.round(F.col("l_extendedprice") * 100),
+        ).alias("r2y"),
+        F.count("*").cast("long").alias("n"),
+    )
+    lam = F.col("lam")
+    det = (1 + lam) * (1 + lam) - F.col("r12") * F.col("r12")
+    b1 = (F.col("r1y") * (1 + lam) - F.col("r12") * F.col("r2y")) / det
+    b2 = (F.col("r2y") * (1 + lam) - F.col("r12") * F.col("r1y")) / det
+    det0 = 1 - F.col("r12") * F.col("r12")
+    b10 = (F.col("r1y") - F.col("r12") * F.col("r2y")) / det0
+    b20 = (F.col("r2y") - F.col("r12") * F.col("r1y")) / det0
+    return (
+        m.select(
+            F.explode(
+                F.array(F.lit(0.0), F.lit(0.1), F.lit(1.0))
+            ).alias("lam"),
+            "n",
+            "r12",
+            "r1y",
+            "r2y",
+        )
+        .select(
+            "lam",
+            "n",
+            f6(b1).alias("beta_qty_std"),
+            f6(b2).alias("beta_disc_std"),
+            f6(
+                F.sqrt(b1 * b1 + b2 * b2) / F.sqrt(b10 * b10 + b20 * b20)
+            ).alias("shrinkage"),
+        )
+        .orderBy("lam")
+    )
+
+
+@register(
+    "a_gpd_pot",
+    """
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS hb
+        FROM orders
+    ),
+    u AS (
+        SELECT quantile_cont(hb, 0.95) AS uq,
+               CAST(count(*) AS BIGINT) AS n_all
+        FROM cents
+    ),
+    exc AS (
+        SELECT hb - uq AS e FROM cents, u WHERE hb > uq
+    ),
+    census AS (
+        SELECT e, CAST(count(*) AS BIGINT) AS c FROM exc GROUP BY e
+    ),
+    cum AS (
+        SELECT e, c,
+               CAST(coalesce(sum(c) OVER (ORDER BY e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS below,
+               CAST(sum(c) OVER () AS BIGINT) AS k
+        FROM census
+    ),
+    pwm AS (
+        SELECT CAST(max(k) AS BIGINT) AS k,
+               sum(e * c) * 1.0 / max(k) AS b0,
+               sum(e * (c * (1.0 - (below + (c + 1) / 2.0 - 0.35) / k)))
+                   / max(k) AS b1
+        FROM cum
+    )
+    SELECT p.k AS n_exceed, u.n_all,
+           round(u.uq * 100, 2) + 0 AS threshold_usd,
+           round(2.0 - p.b0 / (p.b0 - 2 * p.b1), 6) + 0 AS gpd_shape,
+           round(2.0 * p.b0 * p.b1 / (p.b0 - 2 * p.b1) * 100, 2) + 0
+               AS gpd_scale_usd,
+           round(p.b0 * 100, 2) + 0 AS mean_excess_usd
+    FROM pwm p, u
+    """,
+)
+def a_gpd_pot(spark, sf_dir):
+    """Peaks-over-threshold GPD fit by probability-weighted moments
+    (Hosking-Wallis 1987): order totals banded to $100, threshold =
+    exact P95 of the banded values, and the Generalized Pareto shape/
+    scale from the two PWMs — ξ = 2 − b₀/(b₀−2b₁), σ = 2b₀b₁/(b₀−2b₁)
+    — where b₁ = E[X(1−F(X))] is computed EXACTLY on the exceedance
+    value census via the arithmetic-series closed form for each tied
+    band (Landwehr plotting position (i−0.35)/n). The third member of
+    the extreme-value family: a_gumbel_maxima fits block maxima,
+    a_hill_tail estimates the tail index, THIS fits the excess
+    distribution that capacity planning and risk sizing actually
+    integrate (mean-excess column = the e(u) diagnostic).
+
+    Scale: one banded projection (map-side), an exact-percentile
+    aggregate, then the census + ONE cumulative window over the
+    bounded $100-band axis — the 5% exceedance mass never sorts at
+    row grain. All counts BIGINT; the PWM ratio floats once at 6dp.
+    """
+    cents = load_table(spark, sf_dir, "orders").select(
+        (F.round(F.col("o_totalprice") * 100).cast("long") / F.lit(10000))
+        .cast("long")
+        .alias("hb")
+    )
+    u = cents.agg(
+        F.expr("percentile(hb, 0.95D)").alias("uq"),
+        F.count("*").cast("long").alias("n_all"),
+    )
+    exc = (
+        cents.crossJoin(F.broadcast(u))
+        .where(F.col("hb") > F.col("uq"))
+        .select((F.col("hb") - F.col("uq")).alias("e"), "n_all")
+    )
+    census = exc.groupBy("e", "n_all").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wb = Window.orderBy("e").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    cum = census.select(
+        "e",
+        "c",
+        "n_all",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).cast("long").alias("below"),
+        F.sum("c").over(wall).cast("long").alias("k"),
+    )
+    # arithmetic-series closed form: sum over the c tied items at ranks
+    # below+1 .. below+c of (1 - (i - 0.35)/k)
+    w_mass = F.col("c") * (
+        1.0
+        - (F.col("below") + (F.col("c") + 1) / 2.0 - 0.35) / F.col("k")
+    )
+    pwm = cum.groupBy("k", "n_all").agg(
+        (F.sum(F.col("e") * F.col("c")) / F.first("k")).alias("b0"),
+        (F.sum(F.col("e") * w_mass) / F.first("k")).alias("b1"),
+    )
+    uq = u.select("uq")
+    shape = 2.0 - F.col("b0") / (F.col("b0") - 2 * F.col("b1"))
+    scale = 2.0 * F.col("b0") * F.col("b1") / (F.col("b0") - 2 * F.col("b1"))
+    return (
+        pwm.crossJoin(F.broadcast(uq))
+        .select(
+            F.col("k").alias("n_exceed"),
+            "n_all",
+            (F.round(F.col("uq") * 100, 2) + 0).alias("threshold_usd"),
+            f6(shape).alias("gpd_shape"),
+            (F.round(scale * 100, 2) + 0).alias("gpd_scale_usd"),
+            (F.round(F.col("b0") * 100, 2) + 0).alias("mean_excess_usd"),
+        )
+    )

@@ -795,3 +795,57 @@ def test_chow_replay(spark):
     assert abs(row["chow_f"] - round(fstat, 6)) <= 1e-3
     assert abs(row["sse_ratio"] - round((s1 + s2) / sp, 6)) <= 1e-6
     assert row["break_95"] == (1 if fstat > 2.9957 else 0)
+
+
+def test_ridge_path_shrinkage_monotone_and_ols_at_zero(spark):
+    """numpy replay of the correlation-space ridge path; lambda = 0
+    must equal the OLS standardized solution and the shrinkage column
+    must be 1 there and strictly decreasing in lambda."""
+    import numpy as np
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    x1 = li.l_quantity.to_numpy(float)
+    x2 = np.round(li.l_discount * 100).to_numpy()
+    y = np.round(li.l_extendedprice * 100).to_numpy()
+    r12 = np.corrcoef(x1, x2)[0, 1]
+    r1y = np.corrcoef(x1, y)[0, 1]
+    r2y = np.corrcoef(x2, y)[0, 1]
+    rows = sorted(
+        registry.QUERIES["a_ridge_path"](spark, SF_SMALL).collect(),
+        key=lambda r: r["lam"],
+    )
+    shr = []
+    for r in rows:
+        lam = r["lam"]
+        R = np.array([[1 + lam, r12], [r12, 1 + lam]])
+        b = np.linalg.solve(R, np.array([r1y, r2y]))
+        assert abs(r["beta_qty_std"] - round(float(b[0]), 6)) <= 2e-6
+        assert abs(r["beta_disc_std"] - round(float(b[1]), 6)) <= 2e-6
+        shr.append(r["shrinkage"])
+    assert abs(shr[0] - 1.0) <= 1e-6  # lambda = 0 is OLS
+    assert shr[0] > shr[1] > shr[2]  # monotone shrinkage
+
+
+def test_gpd_pot_pwm_replay(spark):
+    """numpy replay of the banded-exceedance PWMs and the
+    Hosking-Wallis shape/scale closed forms."""
+    import numpy as np
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    hb = (np.round(orders.o_totalprice * 100).astype(np.int64) // 10000).to_numpy()
+    uq = np.percentile(hb, 95, method="linear")
+    e = np.sort(hb[hb > uq] - uq)
+    k = len(e)
+    b0 = e.mean()
+    p = (np.arange(1, k + 1) - 0.35) / k
+    b1 = float((e * (1 - p)).sum()) / k
+    shape = 2 - b0 / (b0 - 2 * b1)
+    scale = 2 * b0 * b1 / (b0 - 2 * b1)
+    (row,) = registry.QUERIES["a_gpd_pot"](spark, SF_SMALL).collect()
+    assert row["n_exceed"] == k
+    assert abs(row["threshold_usd"] - round(float(uq) * 100, 2)) <= 0.01
+    assert abs(row["gpd_shape"] - round(float(shape), 6)) <= 1e-5
+    assert abs(row["gpd_scale_usd"] - round(float(scale) * 100, 2)) <= 0.02
+    assert abs(row["mean_excess_usd"] - round(float(b0) * 100, 2)) <= 0.01

@@ -105,6 +105,9 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_hdr_histogram": "bounded: log2 bucket axis (9->10)",
     "a_kruskal_wallis": "bounded: day x group cells (150->150)",
     "a_period_detect": "bounded: 30-day series x lag grid (30->30)",
+    "a_gpd_pot": "bounded: $100-band exceedance value axis (price-"
+    "domain-bounded census; one cumulative window for the PWM "
+    "plotting positions — row-grain exceedances never sort)",
     "a_granger_1lag": "bounded: calendar-day axis (~2.4k days; one "
     "2-lag window pass on the daily rollup, then one moment pass)",
     "a_newey_west": "bounded: calendar-day score axis (~2.4k days; "
