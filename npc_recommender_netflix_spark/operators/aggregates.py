@@ -11973,3 +11973,236 @@ def a_gpd_pot(spark, sf_dir):
             (F.round(F.col("b0") * 100, 2) + 0).alias("mean_excess_usd"),
         )
     )
+
+
+@register(
+    "a_cvm_twosample",
+    """
+    WITH vals AS (
+        SELECT l_quantity AS v,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, a, b,
+               CAST(sum(a) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS ca,
+               CAST(sum(b) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cb
+        FROM vals
+    ),
+    tot AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                   CAST(sum(b) AS BIGINT) AS n_b
+            FROM vals),
+    stat AS (
+        SELECT t.n_a, t.n_b,
+               sum((CAST(c.ca AS DOUBLE) / t.n_a
+                    - CAST(c.cb AS DOUBLE) / t.n_b)
+                   * (CAST(c.ca AS DOUBLE) / t.n_a
+                      - CAST(c.cb AS DOUBLE) / t.n_b)
+                   * (c.a + c.b)) AS isum,
+               max(abs(CAST(c.ca AS DOUBLE) / t.n_a
+                       - CAST(c.cb AS DOUBLE) / t.n_b)) AS ks_d
+        FROM cum c, tot t
+        GROUP BY t.n_a, t.n_b
+    )
+    SELECT n_a, n_b,
+           round(CAST(n_a AS DOUBLE) * n_b / ((n_a + n_b) * (n_a + n_b))
+                 * isum, 6) + 0 AS cvm_t,
+           round(ks_d, 6) + 0 AS ks_d
+    FROM stat
+    """,
+)
+def a_cvm_twosample(spark, sf_dir):
+    """Two-sample Cramér-von Mises statistic between returned and
+    shipped lineitem quantities — the INTEGRAL distance between the
+    two empirical CDFs, T = (nm/(n+m)²)·Σ_x (F(x)−G(x))²·h(x) over
+    the combined step points — with the KS supremum printed from the
+    SAME cumulative frame. CvM weights every quantile equally where
+    KS sees only the single worst gap, so tail-spread differences
+    that KS under-powers show up here — the distributional-drift
+    pair a_ks_drift (sup) and a_psi_drift (binned KL-proxy) lacked.
+
+    Scale: a_cliffs_delta's value-domain discipline verbatim — one
+    (value, group) census groupBy (~50 rows at any sf for discrete
+    quantities), one cumulative window, one weighted sum; every count
+    BIGINT until the two final 6dp statistics. Continuous measures
+    bucket first, same argument as the delta.
+    """
+    vals = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag").isin("R", "N"))
+        .groupBy(F.col("l_quantity").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "a",
+        "b",
+        F.sum("a").over(w).cast("long").alias("ca"),
+        F.sum("b").over(w).cast("long").alias("cb"),
+    )
+    tot = vals.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+    )
+    gap = F.col("ca").cast("double") / F.col("n_a") - F.col("cb").cast(
+        "double"
+    ) / F.col("n_b")
+    stat = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(gap * gap * (F.col("a") + F.col("b"))).alias("isum"),
+            F.max(F.abs(gap)).alias("ks_d"),
+        )
+    )
+    return stat.select(
+        "n_a",
+        "n_b",
+        f6(
+            F.col("n_a").cast("double")
+            * F.col("n_b")
+            / ((F.col("n_a") + F.col("n_b")) * (F.col("n_a") + F.col("n_b")))
+            * F.col("isum")
+        ).alias("cvm_t"),
+        f6(F.col("ks_d")).alias("ks_d"),
+    )
+
+
+@register(
+    "w_pacf",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100 AS y
+        FROM orders GROUP BY 1
+    ),
+    lagd AS (
+        SELECT CAST(y AS DOUBLE) AS y,
+               CAST(lag(y, 1) OVER (ORDER BY d) AS DOUBLE) AS y1,
+               CAST(lag(y, 2) OVER (ORDER BY d) AS DOUBLE) AS y2,
+               CAST(lag(y, 3) OVER (ORDER BY d) AS DOUBLE) AS y3
+        FROM daily
+    ),
+    rho AS (
+        SELECT round(corr(y, y1), 9) AS r1,
+               round(corr(y, y2), 9) AS r2,
+               round(corr(y, y3), 9) AS r3,
+               CAST(count(y3) AS BIGINT) AS n
+        FROM lagd
+    ),
+    lvl2 AS (
+        SELECT n, r1, r2, r3,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS p22,
+               r1 * (1 - (r2 - r1 * r1) / (1 - r1 * r1)) AS p21
+        FROM rho
+    )
+    SELECT lag_k, n, round(acf, 6) + 0 AS acf,
+           round(pacf, 6) + 0 AS pacf,
+           round(1.959964 / sqrt(n), 6) + 0 AS white_noise_band
+    FROM (
+        SELECT CAST(1 AS BIGINT) AS lag_k, n, r1 AS acf, r1 AS pacf
+        FROM lvl2
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), n, r2, p22 FROM lvl2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), n, r3,
+               (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+        FROM lvl2
+    ) ORDER BY lag_k
+    """,
+)
+def w_pacf(spark, sf_dir):
+    """Partial autocorrelation of daily revenue at lags 1-3 via the
+    Durbin-Levinson recursion in CLOSED FORM from the first three
+    autocorrelations (φ₁₁ = ρ₁; φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²); φ₃₃ from the
+    level-2 coefficients), with the raw ACF and the ±1.96/√n white-
+    noise band beside each lag — the ARIMA order-identification
+    ladder (ACF tails ⇒ AR; the lag where PACF cuts off IS the AR
+    order p) that a_ar2_yule_walker ASSUMES p = 2 for; this key is
+    how you'd justify that choice. ρ's snap to 9dp before the
+    recursion so both engines run the identical rational arithmetic.
+
+    Scale: one cents-exact daily rollup, one 3-lag window pass over
+    the bounded calendar axis, one corr-aggregate — the recursion is
+    scalar math on a 1-row frame; lag depth adds columns, not passes.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    wl = Window.orderBy("d")
+    lagd = daily.select(
+        F.col("y").cast("double").alias("y"),
+        F.lag("y", 1).over(wl).cast("double").alias("y1"),
+        F.lag("y", 2).over(wl).cast("double").alias("y2"),
+        F.lag("y", 3).over(wl).cast("double").alias("y3"),
+    )
+    rho = lagd.agg(
+        F.round(F.corr("y", "y1"), 9).alias("r1"),
+        F.round(F.corr("y", "y2"), 9).alias("r2"),
+        F.round(F.corr("y", "y3"), 9).alias("r3"),
+        F.count("y3").cast("long").alias("n"),
+    )
+    p22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    p21 = F.col("r1") - p22 * F.col("r1")  # phi_{2,1} after level 2
+    p33 = (
+        F.col("r3") - p21 * F.col("r2") - p22 * F.col("r1")
+    ) / (1 - p21 * F.col("r1") - p22 * F.col("r2"))
+    rows = rho.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("lag_k"),
+                    F.col("n"),
+                    F.col("r1").alias("acf"),
+                    F.col("r1").alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("lag_k"),
+                    F.col("n"),
+                    F.col("r2").alias("acf"),
+                    p22.alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("lag_k"),
+                    F.col("n"),
+                    F.col("r3").alias("acf"),
+                    p33.alias("pacf"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.lag_k", "r.n", "r.acf", "r.pacf")
+    return rows.select(
+        "lag_k",
+        "n",
+        f6(F.col("acf")).alias("acf"),
+        f6(F.col("pacf")).alias("pacf"),
+        f6(1.959964 / F.sqrt(F.col("n"))).alias("white_noise_band"),
+    ).orderBy("lag_k")

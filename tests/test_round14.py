@@ -849,3 +849,57 @@ def test_gpd_pot_pwm_replay(spark):
     assert abs(row["gpd_shape"] - round(float(shape), 6)) <= 1e-5
     assert abs(row["gpd_scale_usd"] - round(float(scale) * 100, 2)) <= 0.02
     assert abs(row["mean_excess_usd"] - round(float(b0) * 100, 2)) <= 0.01
+
+
+def test_cvm_twosample_replay(spark):
+    """numpy replay of the integral CvM statistic and the KS sup from
+    the same combined step points."""
+    import numpy as np
+
+    _, li = _pd_tables("orders", "lineitem")
+    li = li[li.l_returnflag.isin(["R", "N"])]
+    xa = np.sort(li[li.l_returnflag == "R"].l_quantity.to_numpy())
+    xb = np.sort(li[li.l_returnflag == "N"].l_quantity.to_numpy())
+    n, m = len(xa), len(xb)
+    vals = np.unique(np.concatenate([xa, xb]))
+    fa = np.searchsorted(xa, vals, side="right") / n
+    fb = np.searchsorted(xb, vals, side="right") / m
+    h = np.concatenate([
+        [np.sum(xa == v) + np.sum(xb == v) for v in vals]
+    ]).astype(float)
+    t = n * m / (n + m) ** 2 * float(((fa - fb) ** 2 * h).sum())
+    ks = float(np.abs(fa - fb).max())
+    (row,) = registry.QUERIES["a_cvm_twosample"](spark, SF_SMALL).collect()
+    assert (row["n_a"], row["n_b"]) == (n, m)
+    assert abs(row["cvm_t"] - round(t, 6)) <= 1e-6
+    assert abs(row["ks_d"] - round(ks, 6)) <= 1e-6
+
+
+def test_pacf_durbin_levinson_replay(spark):
+    """Replay the Durbin-Levinson recursion from the 9dp-snapped
+    autocorrelations; lag-1 PACF must equal lag-1 ACF exactly."""
+    import numpy as np
+
+    _, t, e, n, sx, sxx = _daily_fit()  # reuse the daily frame builder
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cents = np.round(orders.o_totalprice * 100).astype(np.int64)
+    daily = orders.assign(c=cents).groupby("o_orderdate")["c"].sum().sort_index()
+    y = (daily // 100).to_numpy(dtype=float)
+    r = [
+        round(float(np.corrcoef(y[k:], y[:-k])[0, 1]), 9) for k in (1, 2, 3)
+    ]
+    p22 = (r[1] - r[0] ** 2) / (1 - r[0] ** 2)
+    p21 = r[0] * (1 - p22)
+    p33 = (r[2] - p21 * r[1] - p22 * r[0]) / (1 - p21 * r[0] - p22 * r[1])
+    rows = {
+        row["lag_k"]: row
+        for row in registry.QUERIES["w_pacf"](spark, SF_SMALL).collect()
+    }
+    assert rows[1]["acf"] == rows[1]["pacf"]
+    for k, (acf, pacf) in enumerate(
+        [(r[0], r[0]), (r[1], p22), (r[2], p33)], start=1
+    ):
+        assert abs(rows[k]["acf"] - round(acf, 6)) <= 2e-6
+        assert abs(rows[k]["pacf"] - round(pacf, 6)) <= 2e-6

@@ -99,6 +99,8 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_runs_test daily-series pattern)",
     "a_cliffs_delta": "bounded: distinct-quantity value domain (~50 "
     "rows at any sf; continuous measures bucket first, per docstring)",
+    "a_cvm_twosample": "bounded: distinct-quantity value domain (~50 "
+    "rows at any sf; the a_cliffs_delta census discipline verbatim)",
     "a_cramers_v": "bounded: event_type x dow contingency cells (35->35)",
     "a_cross_correlation": "bounded: 30-day daily series (30->30)",
     "a_dunn_test": "bounded: group/pair axes (10/150 flat)",
@@ -182,6 +184,8 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "any corpus size; one 4-lag window pass on the daily rollup)",
     "w_theta_forecast": "bounded: ~80-month axis (row_number + SES "
     "weighted sum on the monthly rollup; 6-row holdout join)",
+    "w_pacf": "bounded: calendar-day axis (~2.4k days; one 3-lag "
+    "window pass on the daily rollup, recursion on a 1-row frame)",
     "w_burn_rate": "saturating: SLO-window buckets (531->720)",
     "q_running_backlog": "saturating: open-day axis (1638->2499)",
     "q_hazard_curve": "saturating: distinct lifetime days (18->26)",
