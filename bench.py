@@ -140,6 +140,10 @@ HEADLINE = [
     "m_srt_parse",  # round 14: real SubRip round-trip, caption QA
     "v_sq8_recall",  # round 14: 3-bit SQ dequantized-cosine recall
     "r_katz_centrality",  # round 14: truncated Katz on the edge memo
+    "a_ridge_path",  # round 14: whole regularization path, one pass
+    "a_gpd_pot",  # round 14: POT extreme-value fit on the band census
+    "a_cvm_twosample",  # round 14: integral CDF distance + KS in-row
+    "w_pacf",  # round 14: Durbin-Levinson order-identification ladder
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

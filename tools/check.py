@@ -201,6 +201,31 @@ def _quiet_documented_warn_boilerplate(spark) -> None:
         lvl = jvm.org.apache.logging.log4j.Level.ERROR
         for name in _QUIET_LOGGERS:
             configurator.setLevel(name, lvl)
+        # HDFSBackedStateStoreProvider logs through PER-INSTANCE logger
+        # names ("...Provider StateStoreProviderId[...]"), which the
+        # dot-separated logger hierarchy cannot parent — deny its one
+        # documented-benign message ("normal for the first batch", per
+        # the message's own text) at the console appender instead.
+        try:
+            deny = jvm.org.apache.logging.log4j.core.Filter.Result.DENY
+            neutral = (
+                jvm.org.apache.logging.log4j.core.Filter.Result.NEUTRAL
+            )
+            filt = (
+                jvm.org.apache.logging.log4j.core.filter.RegexFilter
+                .createFilter(
+                    ".*doesn't exist in loadedMaps.*", None, False,
+                    deny, neutral,
+                )
+            )
+            ctx = (
+                jvm.org.apache.logging.log4j.core.LoggerContext
+                .getContext(False)
+            )
+            for app in ctx.getConfiguration().getAppenders().values():
+                app.addFilter(filt)
+        except Exception:
+            pass  # filter API drift: levels above still cover 90%+
         print(
             "NOTE: WARN level raised to ERROR for "
             f"{len(_QUIET_LOGGERS)} documented-benign boilerplate loggers "

@@ -343,6 +343,14 @@ RELATIONAL_LINEAR_KEYS = {
     # SSE aggregate over the day axis
     "q_panel_fe": "orders",  # round 14: nation x month census is the
     # only data-sized shuffle; margins broadcast back
+    "a_ridge_path": "lineitem",  # round 14: ONE corr-aggregate pass;
+    # the lambda path is scalar math on a 1-row frame
+    "a_gpd_pot": "orders",  # round 14: banded exceedance census +
+    # one cumulative window on the $100-band axis
+    "a_cvm_twosample": "lineitem",  # round 14: value-domain census +
+    # one cumulative window (the cliffs_delta discipline)
+    "w_pacf": "orders",  # round 14: 3-lag window + one corr pass;
+    # Durbin-Levinson on a 1-row frame
 }
 # iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
 # dup-chain-bounded propagation (t_dup_clusters) — linear PER ITERATION
