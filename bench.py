@@ -144,6 +144,7 @@ HEADLINE = [
     "a_gpd_pot",  # round 14: POT extreme-value fit on the band census
     "a_cvm_twosample",  # round 14: integral CDF distance + KS in-row
     "w_pacf",  # round 14: Durbin-Levinson order-identification ladder
+    "a_pettitt",  # round 14: rank-robust change-point search
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

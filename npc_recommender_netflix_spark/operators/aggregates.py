@@ -12206,3 +12206,130 @@ def w_pacf(spark, sf_dir):
         f6(F.col("pacf")).alias("pacf"),
         f6(1.959964 / F.sqrt(F.col("n"))).alias("white_noise_band"),
     ).orderBy("lag_k")
+
+
+@register(
+    "a_pettitt",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100 AS rev
+        FROM orders GROUP BY 1
+    ),
+    census AS (
+        SELECT rev AS v, CAST(count(*) AS BIGINT) AS c
+        FROM daily GROUP BY 1
+    ),
+    ranks AS (
+        SELECT v,
+               2 * CAST(coalesce(sum(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) + c + 1 AS r2
+        FROM census
+    ),
+    seq AS (
+        SELECT d.d, r.r2,
+               CAST(row_number() OVER (ORDER BY d.d) AS BIGINT) AS t,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM daily d JOIN ranks r ON r.v = d.rev
+    ),
+    u AS (
+        SELECT d, t, n,
+               CAST(sum(r2) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) - t * (n + 1) AS u2
+        FROM seq WHERE t < n
+    )
+    SELECT n AS n_days,
+           CAST(max(abs(u2)) AS BIGINT) AS k_stat,
+           (SELECT min(d) FROM u u1, (SELECT max(abs(u2)) AS m FROM u) mm
+            WHERE abs(u1.u2) = mm.m) AS break_day,
+           round(2 * exp(-6.0 * CAST(max(abs(u2)) AS DOUBLE)
+                               * max(abs(u2))
+                         / (CAST(n AS DOUBLE) * n * n
+                            + CAST(n AS DOUBLE) * n)), 6) + 0
+               AS p_approx
+    FROM u GROUP BY n
+    """,
+)
+def a_pettitt(spark, sf_dir):
+    """Pettitt change-point test on daily revenue — the NONPARAMETRIC
+    break search completing the structural-break triple (a_chow_test
+    TESTS a known date, w_changepoint searches with OLS segment fits,
+    THIS searches with rank statistics immune to outliers and
+    distribution shape): U_t = 2·Σ_{i≤t} r_i − t(n+1) with tie-averaged
+    ranks, K = max|U_t| at the most probable break day, and the
+    classic p ≈ 2·exp(−6K²/(n³+n²)) approximation. Doubled ranks
+    (2·below + ties + 1) keep EVERY statistic a BIGINT until the final
+    exp — k2_stat = 2K is exact on both engines by construction.
+
+    Scale: one cents-exact daily rollup; ranks come from a value
+    census + one cumulative window (≤ n_days rows — the calendar
+    bounds both axes), the U_t sweep is one more cumulative window in
+    time order, and the argmax is an aggregate. Nothing row-grain
+    ever sorts; the same two-window shape serves any rank-based CUSUM.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    census = daily.groupBy(F.col("rev").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = census.select(
+        "v",
+        (
+            2 * F.coalesce(F.sum("c").over(wv), F.lit(0)).cast("long")
+            + F.col("c")
+            + 1
+        ).alias("r2"),
+    )
+    wt = Window.orderBy("d")
+    seq = (
+        daily.join(ranks, daily.rev == ranks.v)
+        .select(
+            "d",
+            "r2",
+            F.row_number().over(wt).cast("long").alias("t"),
+            F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+        )
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    u = seq.where(F.col("t") < F.col("n")).select(
+        "d",
+        "n",
+        (
+            F.sum("r2").over(wc).cast("long")
+            - F.col("t") * (F.col("n") + 1)
+        ).alias("u2"),
+    )
+    mx = u.groupBy("n").agg(F.max(F.abs(F.col("u2"))).alias("kmax"))
+    brk = (
+        u.crossJoin(F.broadcast(mx.select("kmax")))
+        .where(F.abs(F.col("u2")) == F.col("kmax"))
+        .agg(F.min("d").alias("break_day"))
+    )
+    k = F.col("kmax").cast("double")
+    nd = F.col("n").cast("double")
+    return (
+        mx.crossJoin(F.broadcast(brk))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("kmax").cast("long").alias("k_stat"),
+            "break_day",
+            f6(
+                2 * F.exp(-6.0 * k * k / (nd * nd * nd + nd * nd))
+            ).alias("p_approx"),
+        )
+    )

@@ -903,3 +903,29 @@ def test_pacf_durbin_levinson_replay(spark):
     ):
         assert abs(rows[k]["acf"] - round(acf, 6)) <= 2e-6
         assert abs(rows[k]["pacf"] - round(pacf, 6)) <= 2e-6
+
+
+def test_pettitt_replay(spark):
+    """scipy-free replay: tie-averaged ranks, U_t sweep, argmax day and
+    the exponential p approximation."""
+    import numpy as np
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cents = np.round(orders.o_totalprice * 100).astype(np.int64)
+    daily = orders.assign(c=cents).groupby("o_orderdate")["c"].sum().sort_index()
+    rev = (daily // 100).to_numpy(dtype=np.int64)
+    n = len(rev)
+    r = pd.Series(rev).rank(method="average").to_numpy()  # tie-averaged
+    s = np.cumsum(r)
+    t = np.arange(1, n + 1)
+    u = 2 * s - t * (n + 1)  # = U_t; operator's u2 is the SAME scale
+    u = u[: n - 1]
+    k = float(np.abs(u).max())
+    idx = int(np.argmax(np.abs(u) == np.abs(u).max()))
+    p = 2 * np.exp(-6 * k * k / (n**3 + n**2))
+    (row,) = registry.QUERIES["a_pettitt"](spark, SF_SMALL).collect()
+    assert row["n_days"] == n
+    assert row["k_stat"] == int(k)
+    assert pd.Timestamp(row["break_day"]).date() == pd.Timestamp(daily.index[idx]).date()
+    assert abs(row["p_approx"] - round(float(p), 6)) <= 1e-6

@@ -117,6 +117,8 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_durbin_watson": "bounded: calendar-day residual axis (~2.4k "
     "days at any corpus size; the a_chatterjee_xi daily-series "
     "pattern — the lag window never sees row-grain data)",
+    "a_pettitt": "bounded: calendar-day axes on BOTH windows (value "
+    "census <= n_days rows; the U_t sweep is one time-order cumsum)",
     "a_pr_auc": "bounded: $1000 price-band score axis (~500 bands, "
     "price-domain-bounded; two cumulative windows on the census "
     "frame, never a global percent-rank sort)",

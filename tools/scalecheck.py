@@ -351,6 +351,8 @@ RELATIONAL_LINEAR_KEYS = {
     # one cumulative window (the cliffs_delta discipline)
     "w_pacf": "orders",  # round 14: 3-lag window + one corr pass;
     # Durbin-Levinson on a 1-row frame
+    "a_pettitt": "orders",  # round 14: value census + two cumulative
+    # windows, both calendar-bounded
 }
 # iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
 # dup-chain-bounded propagation (t_dup_clusters) — linear PER ITERATION
