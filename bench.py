@@ -145,6 +145,7 @@ HEADLINE = [
     "a_cvm_twosample",  # round 14: integral CDF distance + KS in-row
     "w_pacf",  # round 14: Durbin-Levinson order-identification ladder
     "a_pettitt",  # round 14: rank-robust change-point search
+    "t_codepoint_profile",  # round 14: encoding-hygiene gate, scan-speed
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

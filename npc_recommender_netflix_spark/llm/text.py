@@ -5139,3 +5139,87 @@ def t_burstiness(spark, sf_dir):
         .orderBy(F.col("tf").desc(), "word")
         .limit(20)
     )
+
+
+@register(
+    "t_codepoint_profile",
+    r"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(regexp_replace(text, '[^\x00-\x7f]', '', 'g'))
+                    AS BIGINT) AS n_ascii,
+               CAST(length(text)
+                    - length(regexp_replace(text,
+                          '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'))
+                    AS BIGINT) AS n_ctrl,
+               CAST(length(text)
+                    - length(replace(text, chr(65533), ''))
+                    AS BIGINT) AS n_fffd
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(sum(n_ascii) * 1.0 / sum(n_chars), 6) + 0 AS ascii_ratio,
+           CAST(sum(n_ctrl) AS BIGINT) AS n_control,
+           CAST(sum(n_fffd) AS BIGINT) AS n_replacement,
+           CAST(sum(CASE WHEN n_ascii < n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_nonascii
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def t_codepoint_profile(spark, sf_dir):
+    """Codepoint-hygiene census per source: ASCII share, bare control
+    characters (C0 minus tab/LF/CR — the bytes that should never
+    survive a clean decode), U+FFFD replacement characters (the
+    smoking gun of a WRONG-CHARSET decode — every FFFD is a byte
+    sequence some upstream reader destroyed), and how many docs carry
+    any non-ASCII at all. This is the mojibake/encoding gate every
+    production corpus pipeline runs BEFORE language ID (CCNet-style
+    stacks drop or re-decode documents on exactly these counters);
+    on the synthetic ASCII fixtures the honest expected profile is
+    ascii_ratio = 1, zero control, zero FFFD — the same
+    null-calibration framing as t_watermark_detect (the clean corpus
+    IS the detector's negative control, pytest-pinned, with a
+    dirty-document positive control pinned on a scratch fixture).
+
+    Scale: three regexp_replace length probes per document — pure
+    map-side JVM codegen, no UDF, no join; the rollup is one
+    source-keyed map-combinable aggregate. At 100 TB this is a
+    scan-speed pass, which is why it runs FIRST in real pipelines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_ascii = F.length(F.regexp_replace("text", r"[^\x00-\x7F]", ""))
+    n_ctrl = F.length("text") - F.length(
+        F.regexp_replace("text", r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    )
+    n_fffd = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("�"), F.lit(""))
+    )
+    per_doc = docs.select(
+        "source",
+        n_chars.cast("long").alias("n_chars"),
+        n_ascii.cast("long").alias("n_ascii"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        n_fffd.cast("long").alias("n_fffd"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            f6(F.sum("n_ascii") * 1.0 / F.sum("n_chars")).alias(
+                "ascii_ratio"
+            ),
+            F.sum("n_ctrl").cast("long").alias("n_control"),
+            F.sum("n_fffd").cast("long").alias("n_replacement"),
+            F.sum(
+                F.when(F.col("n_ascii") < F.col("n_chars"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_with_nonascii"),
+        )
+        .orderBy("source")
+    )

@@ -929,3 +929,39 @@ def test_pettitt_replay(spark):
     assert row["k_stat"] == int(k)
     assert pd.Timestamp(row["break_day"]).date() == pd.Timestamp(daily.index[idx]).date()
     assert abs(row["p_approx"] - round(float(p), 6)) <= 1e-6
+
+
+def test_codepoint_profile_clean_corpus_and_dirty_positive_control(
+    spark, tmp_path
+):
+    """The synthetic corpus must profile perfectly clean (negative
+    control); a scratch fixture with mojibake, bare controls and
+    non-ASCII must trip every counter (positive control)."""
+    rows = registry.QUERIES["t_codepoint_profile"](spark, SF_SMALL).collect()
+    assert rows, "per-source census must be non-empty"
+    for r in rows:
+        assert r["ascii_ratio"] == 1.0
+        assert r["n_control"] == 0 and r["n_replacement"] == 0
+        assert r["docs_with_nonascii"] == 0
+
+    sf = str(tmp_path)
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "clean ascii text"),
+            (2, "s1", "caf\u00e9 \u00fcber"),  # non-ASCII, no damage
+            (3, "s2", "bad byte\x00\x01here"),  # bare C0 controls
+            (4, "s2", "mojibake \ufffd\ufffd end"),  # replacement chars
+        ],
+        "doc_id long, source string, text string",
+    )
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["source"]: r
+        for r in registry.QUERIES["t_codepoint_profile"](spark, sf).collect()
+    }
+    s1, s2 = out["s1"], out["s2"]
+    assert s1["docs_with_nonascii"] == 1 and s1["ascii_ratio"] < 1.0
+    assert s1["n_control"] == 0 and s1["n_replacement"] == 0
+    assert s2["n_control"] == 2      # NUL + SOH
+    assert s2["n_replacement"] == 2  # two U+FFFD
+    assert s2["docs_with_nonascii"] == 1  # FFFD doc (controls are ASCII)

@@ -108,6 +108,8 @@ LINEAR_KEYS = {
     # blobs never shuffle, 6 BIGINTs/doc forwarded
     "m_color_histogram": "documents",  # round 14: P6 decode + bincount
     # inside the Arrow task; 8 BIGINTs/doc forwarded
+    "t_codepoint_profile": "documents",  # round 14: three regexp
+    # length probes map-side + one source rollup — scan-speed
     "t_source_overlap": "documents",  # round 10: gram-digest equi-join with
     # a<b canonicalization; work ∝ shared-gram postings, top-20 output
     "m_zip_archive_extract": "documents",  # Arrow synth+decode, no payload shuffle
