@@ -146,6 +146,8 @@ HEADLINE = [
     "w_pacf",  # round 14: Durbin-Levinson order-identification ladder
     "a_pettitt",  # round 14: rank-robust change-point search
     "t_codepoint_profile",  # round 14: encoding-hygiene gate, scan-speed
+    "a_cochran_q",  # round 14: k-treatment paired-binary seasonality
+    "m_id3v1_tags",  # round 14: trailer-metadata sidecar parse
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -2654,3 +2654,112 @@ def m_color_histogram(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     ppms = docs.mapInPandas(synth_ppm, schema="doc_id long, payload binary")
     return ppms.mapInPandas(hist_ppm, schema=_CHIST_SCHEMA)
+
+
+_ID3_SCHEMA = (
+    "doc_id long, has_tag long, title_len long, artist_len long, "
+    "year long, track long, genre_id long, comment_len long"
+)
+
+
+@register(
+    "m_id3v1_tags",
+    """
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS has_tag,
+           CAST(8 + (doc_id % 23) AS BIGINT) AS title_len,
+           CAST(5 + (doc_id % 17) AS BIGINT) AS artist_len,
+           CAST(1990 + (doc_id % 35) AS BIGINT) AS year,
+           CAST(1 + (doc_id % 12) AS BIGINT) AS track,
+           CAST(doc_id % 80 AS BIGINT) AS genre_id,
+           CAST(4 + (doc_id % 19) AS BIGINT) AS comment_len
+    FROM documents
+    """,
+)
+def m_id3v1_tags(spark, sf_dir):
+    """REAL ID3v1 sidecar parsing: each doc becomes an MPEG-ish binary
+    payload with a genuine 128-byte ID3v1.1 trailer (the 'TAG' magic,
+    30-byte NUL-padded title/artist/album fields, 4-char year, 28-byte
+    comment, the v1.1 zero-byte + track marker, 1-byte genre) and a
+    second Arrow stage parses the LAST 128 BYTES back — magic check,
+    fixed-offset field slicing, NUL-strip, the v1.1 track-byte rule
+    (comment[28] == 0 distinguishes a track number from a 30-byte
+    comment). Every output is read out of the decoded trailer; the
+    oracle replays the field-generator formulas without touching
+    bytes — the m_wav_decode contract applied to the metadata sidecar
+    every audio-corpus ingest actually reads (genre/year/track are
+    the deterministic join keys audio training sets are bucketed by).
+
+    Scale: one mapInPandas chain — payload bytes never shuffle, each
+    doc forwards 7 BIGINTs; parsing is O(128) per doc regardless of
+    payload size, which is the whole point of trailer metadata.
+    """
+
+    def synth_id3(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Append a REAL ID3v1.1 trailer to junk audio bytes; field
+        lengths/values are linear-congruential in doc_id."""
+
+        def pad(s: str, n: int) -> bytes:
+            b = s.encode("ascii")[:n]
+            return b + b"\x00" * (n - len(b))
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                title = "t" * (8 + d % 23)
+                artist = "a" * (5 + d % 17)
+                album = "b" * (6 + d % 20)
+                year = str(1990 + d % 35)
+                comment = "c" * (4 + d % 19)
+                track = 1 + d % 12
+                genre = d % 80
+                body = bytes((d + i) % 256 for i in range(64))  # junk MPEG
+                tag = (
+                    b"TAG"
+                    + pad(title, 30)
+                    + pad(artist, 30)
+                    + pad(album, 30)
+                    + year.encode("ascii")
+                    + pad(comment, 28)
+                    + b"\x00"
+                    + bytes([track])
+                    + bytes([genre])
+                )
+                assert len(tag) == 128
+                payloads.append(body + tag)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def parse_id3(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """REAL trailer parser: last-128-byte slice, magic, offsets."""
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "has_tag", "title_len", "artist_len", "year",
+                "track", "genre_id", "comment_len",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                tag = buf[-128:]
+                ok = tag[0:3] == b"TAG"
+                assert ok, "missing ID3v1 magic"
+                title = tag[3:33].rstrip(b"\x00")
+                artist = tag[33:63].rstrip(b"\x00")
+                year = int(tag[93:97].decode("ascii"))
+                comment = tag[97:125].rstrip(b"\x00")
+                # v1.1 rule: byte 125 == 0 means byte 126 is a track no.
+                is_v11 = tag[125] == 0
+                track = tag[126] if is_v11 else 0
+                genre = tag[127]
+                out["doc_id"].append(doc_id)
+                out["has_tag"].append(1)
+                out["title_len"].append(len(title))
+                out["artist_len"].append(len(artist))
+                out["year"].append(year)
+                out["track"].append(int(track))
+                out["genre_id"].append(int(genre))
+                out["comment_len"].append(len(comment))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.mapInPandas(synth_id3, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(parse_id3, schema=_ID3_SCHEMA)

