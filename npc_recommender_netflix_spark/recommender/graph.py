@@ -899,6 +899,7 @@ def _lpa_labels(spark, sf_dir):
         F.when(F.col("node") % 7 == 0, F.col("node") % 5).alias("lab"),
         F.when(F.col("node") % 7 == 0, F.lit(0)).alias("rnd"),
     )
+    round1 = None
     for rnd in (1, 2):
         prev = lab
         labeled = lab.where(F.col("lab").isNotNull()).select(
@@ -937,10 +938,20 @@ def _lpa_labels(spark, sf_dir):
         # superseded round frame: give executor memory back (same
         # iterative-label hygiene as llm/dedup.py's propagation loop);
         # only the FINAL frame stays cached in the cross-key memo.
-        # rnd 1's prev is the uncached seed select — unpersist is a
-        # no-op there, real for the round-1 frame when rnd == 2.
+        # rnd 1's prev is the uncached seed select; the round-1 frame
+        # (rnd == 2's prev) must NOT be unpersisted yet — caching is
+        # lazy, so dropping it here would empty its cache entry before
+        # any action populates it, and the final frame's first
+        # materialization would re-derive the round-1 subplan once per
+        # downstream reference (round-14 advice).
         if rnd == 2:
-            prev.unpersist()
+            round1 = prev
+    # Materialize the final frame NOW (populating both caches in one
+    # job), then release the superseded round-1 frame — the memoized
+    # final frame is what every downstream key reads.
+    lab.count()
+    if round1 is not None:
+        round1.unpersist()
     _LPA_SHARED[memo_key] = lab
     return lab
 
@@ -1331,10 +1342,13 @@ def r_deepwalk_corpus(spark, sf_dir):
            FROM edges e JOIN w1 ON w1.node = e.src GROUP BY 1),
     w3 AS (SELECT e.dst AS node, CAST(sum(w2.w) AS BIGINT) AS w
            FROM edges e JOIN w2 ON w2.node = e.src GROUP BY 1)
-    SELECT w1.node, w1.w AS walks1, w2.w AS walks2, w3.w AS walks3,
-           round(0.1 * CAST(w1.w AS DOUBLE) + 0.01 * w2.w + 0.001 * w3.w, 6)
-               + 0 AS katz
-    FROM w1 JOIN w2 ON w2.node = w1.node JOIN w3 ON w3.node = w1.node
+    SELECT w1.node, w1.w AS walks1,
+           CAST(coalesce(w2.w, 0) AS BIGINT) AS walks2,
+           CAST(coalesce(w3.w, 0) AS BIGINT) AS walks3,
+           round(0.1 * CAST(w1.w AS DOUBLE) + 0.01 * coalesce(w2.w, 0)
+                 + 0.001 * coalesce(w3.w, 0), 6) + 0 AS katz
+    FROM w1 LEFT JOIN w2 ON w2.node = w1.node
+            LEFT JOIN w3 ON w3.node = w1.node
     ORDER BY katz DESC, w1.node LIMIT 20
     """,
 )
@@ -1347,7 +1361,13 @@ def r_katz_centrality(spark, sf_dir):
     normalization, and the α-truncation IS the production form (full
     Katz needs the resolvent inverse; α < 1/λ_max truncates fast).
     Walk counts are BIGINT-exact; only the final α-weighted sum is
-    floating, from identical integers on both engines.
+    floating, from identical integers on both engines. w2/w3 join back
+    LEFT with coalesce(w, 0): a node with out-edges but zero 2- or
+    3-step walks (a high-degree SINK whose neighbors have no out-edges)
+    must rank by 0.1·w1, not vanish from the ranking — inner joins
+    would silently exclude it on sparse or directed graphs (round-14
+    verdict item 6; the co-purchase fixture has no such node, so the
+    hash is unchanged, and test_round15 constructs one to pin it).
 
     Scale: two degree-table joins over the memoized edge frame (the
     10th consumer of `_copurchase_edges`) — each iteration shuffles on
@@ -1355,7 +1375,14 @@ def r_katz_centrality(spark, sf_dir):
     r_pagerank's unrolled loop; top-20 is TakeOrdered, never a global
     rank window.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    return _katz_truncated(_copurchase_edges(spark, sf_dir))
+
+
+def _katz_truncated(edges):
+    """Length-3 truncated Katz over an (src, dst) edge frame — split out
+    so tests can drive it on a constructed sink-node graph (the
+    co-purchase fixture is symmetric, so its zero-walk branch never
+    fires there)."""
     w1 = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("w1")
     )
@@ -1369,15 +1396,17 @@ def r_katz_centrality(spark, sf_dir):
         .groupBy(F.col("dst").alias("node3"))
         .agg(F.sum("w2").cast("long").alias("w3"))
     )
-    katz = 0.1 * F.col("w1") + 0.01 * F.col("w2") + 0.001 * F.col("w3")
+    w2c = F.coalesce(F.col("w2"), F.lit(0).cast("long"))
+    w3c = F.coalesce(F.col("w3"), F.lit(0).cast("long"))
+    katz = 0.1 * F.col("w1") + 0.01 * w2c + 0.001 * w3c
     return (
-        w1.join(w2, w1.node == F.col("node2"))
-        .join(w3, w1.node == F.col("node3"))
+        w1.join(w2, w1.node == F.col("node2"), "left")
+        .join(w3, w1.node == F.col("node3"), "left")
         .select(
             "node",
             F.col("w1").alias("walks1"),
-            F.col("w2").alias("walks2"),
-            F.col("w3").alias("walks3"),
+            w2c.alias("walks2"),
+            w3c.alias("walks3"),
             f6(katz).alias("katz"),
         )
         .orderBy(F.col("katz").desc(), "node")

@@ -184,11 +184,19 @@ _QUIET_LOGGERS = {
     # outer joins — the hint is part of the key's declared plan probe.
     "org.apache.spark.sql.catalyst.analysis.HintErrorLogger":
         "broadcast hint unsupported for full outer join",
-    # "Broadcasting large task binary" sizes are the deliberate in-plan
-    # broadcast constants; sizes are tracked per-key by bench/SCALECHECK.
-    "org.apache.spark.scheduler.DAGScheduler":
-        "large-task-binary advisories for deliberate plan constants",
 }
+
+# DAGScheduler must NOT be level-suppressed: raising the whole logger
+# to ERROR would also hide genuine scheduler warnings (lost tasks,
+# stage failures) for the entire sweep (round-14 advice). Only its one
+# documented-benign message — "Broadcasting large task binary" sizes
+# for the deliberate in-plan broadcast constants, tracked per-key by
+# bench/SCALECHECK — is denied, message-scoped, at the appenders (the
+# same mechanism as the per-instance state-store filter below).
+_DENY_MESSAGE_REGEXES = (
+    ".*doesn't exist in loadedMaps.*",
+    ".*Broadcasting large task binary with size.*",
+)
 
 
 def _quiet_documented_warn_boilerplate(spark) -> None:
@@ -201,39 +209,46 @@ def _quiet_documented_warn_boilerplate(spark) -> None:
         lvl = jvm.org.apache.logging.log4j.Level.ERROR
         for name in _QUIET_LOGGERS:
             configurator.setLevel(name, lvl)
-        # HDFSBackedStateStoreProvider logs through PER-INSTANCE logger
-        # names ("...Provider StateStoreProviderId[...]"), which the
-        # dot-separated logger hierarchy cannot parent — deny its one
-        # documented-benign message ("normal for the first batch", per
-        # the message's own text) at the console appender instead.
+        # Message-scoped denials (appender-level RegexFilters):
+        # 1. HDFSBackedStateStoreProvider logs through PER-INSTANCE
+        #    logger names ("...Provider StateStoreProviderId[...]"),
+        #    which the dot-separated logger hierarchy cannot parent —
+        #    deny its one documented-benign message ("normal for the
+        #    first batch", per the message's own text).
+        # 2. DAGScheduler's "Broadcasting large task binary" advisory —
+        #    message-scoped so every OTHER DAGScheduler warning (lost
+        #    tasks, stage retries) still reaches the sweep log
+        #    (round-14 advice replaced the old whole-logger ERROR).
         try:
             deny = jvm.org.apache.logging.log4j.core.Filter.Result.DENY
             neutral = (
                 jvm.org.apache.logging.log4j.core.Filter.Result.NEUTRAL
             )
-            filt = (
-                jvm.org.apache.logging.log4j.core.filter.RegexFilter
-                .createFilter(
-                    ".*doesn't exist in loadedMaps.*", None, False,
-                    deny, neutral,
-                )
-            )
             ctx = (
                 jvm.org.apache.logging.log4j.core.LoggerContext
                 .getContext(False)
             )
-            for app in ctx.getConfiguration().getAppenders().values():
-                app.addFilter(filt)
+            for pattern in _DENY_MESSAGE_REGEXES:
+                filt = (
+                    jvm.org.apache.logging.log4j.core.filter.RegexFilter
+                    .createFilter(pattern, None, False, deny, neutral)
+                )
+                for app in ctx.getConfiguration().getAppenders().values():
+                    app.addFilter(filt)
         except Exception:
             pass  # filter API drift: levels above still cover 90%+
         print(
             "NOTE: WARN level raised to ERROR for "
             f"{len(_QUIET_LOGGERS)} documented-benign boilerplate loggers "
             "(WindowExec bounded-axis, fresh-checkpoint/state-store, "
-            "streaming-AQE advisories, full-outer hint, task-binary "
-            "size); see tools/check.py _QUIET_LOGGERS for per-logger "
-            "justification. The trivially-true-predicate tripwire is "
-            "unaffected and still fails keys."
+            "streaming-AQE advisories, full-outer hint) plus "
+            f"{len(_DENY_MESSAGE_REGEXES)} message-scoped appender "
+            "denials (state-store loadedMaps cold-start, DAGScheduler "
+            "task-binary size — other DAGScheduler warnings still "
+            "surface); see tools/check.py _QUIET_LOGGERS / "
+            "_DENY_MESSAGE_REGEXES for per-entry justification. The "
+            "trivially-true-predicate tripwire is unaffected and still "
+            "fails keys."
         )
     except Exception:
         # log4j2 API drift must never break the sweep; noisy > broken.
