@@ -5055,9 +5055,15 @@ def t_yule_k(spark, sf_dir):
                 )
                 + 0
             ).alias("yule_k"),
+            # a single-token language makes N(N−1) = 0: Simpson's D is
+            # undefined there and must be SQL NULL like the DuckDB
+            # oracle's div-by-zero, not an ANSI crash (round-15
+            # fixture-sensitivity sweep; hash-neutral on real corpora).
             f6(
-                F.sum(F.col("f") * (F.col("f") - 1)).cast("double")
-                / (n * (F.sum("f") - 1))
+                F.try_divide(
+                    F.sum(F.col("f") * (F.col("f") - 1)).cast("double"),
+                    n * (F.sum("f") - 1),
+                )
             ).alias("simpson_d"),
         )
         .orderBy("lang")

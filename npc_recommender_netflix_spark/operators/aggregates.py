@@ -10908,9 +10908,13 @@ def a_pr_auc(spark, sf_dir):
         cum.crossJoin(F.broadcast(tot))
         .groupBy("p_tot", "n_tot")
         .agg(
+            # p_tot = 0 (a corpus with NO returned lineitems — the
+            # positive class is a fixture property, not a law) must
+            # yield SQL NULL like the DuckDB oracle, not an ANSI
+            # divide-by-zero crash (round-15 fixture-sensitivity sweep).
             F.sum(
                 (F.col("tp") * 1.0 / F.col("k"))
-                * (F.col("pos") * 1.0 / F.col("p_tot"))
+                * F.try_divide(F.col("pos") * 1.0, F.col("p_tot"))
             ).alias("ap_raw"),
             F.sum(
                 F.col("pos") * (F.col("neg_below") + F.col("neg") / 2.0)
@@ -10923,8 +10927,12 @@ def a_pr_auc(spark, sf_dir):
                 "prevalence"
             ),
             f6(F.col("ap_raw")).alias("avg_precision"),
+            # single-class corpora (p_tot or n_tot = 0) leave AUC
+            # undefined: NULL on both engines, never a crash.
             f6(
-                F.col("u_raw") / (F.col("p_tot") * 1.0 * F.col("n_tot"))
+                F.try_divide(
+                    F.col("u_raw"), F.col("p_tot") * 1.0 * F.col("n_tot")
+                )
             ).alias("roc_auc"),
         )
     )
@@ -11705,6 +11713,14 @@ def a_chow_test(spark, sf_dir):
     data-generating process actually change? 95% cutoff F(2,∞)≈3.00
     flagged in-row.
 
+    Fixture assumption (declared): the break date is a PARAMETER of the
+    test — the corpus must straddle it. A fixture with all data on one
+    side leaves one segment empty: that side's n goes SQL NULL on both
+    engines and the F degenerates (split fit = pooled fit), never a
+    crash — the visible-NULL honest answer for an untestable break.
+    tests/test_round15.py pins that the fixture straddles (n_pre > 0
+    AND n_post > 0), so a silent fixture drift re-surfaces there.
+
     Scale: each SSE is one regr_r2/var_pop aggregate over the bounded
     calendar axis — the pooled and per-segment fits are ONE grouped
     pass plus one global pass; no windows, no joins, and the k-break
@@ -12417,7 +12433,14 @@ def a_cochran_q(spark, sf_dir):
         (F.col(f"c{q}") - rbar) * (F.col(f"c{q}") - rbar)
         for q in (1, 2, 3, 4)
     )
-    qstat = 3.0 * 4 * num / (4.0 * F.col("sr") - F.col("sr2"))
+    # k·ΣR − ΣR² = ΣR_i(4−R_i) is 0 exactly when every subject bought in
+    # ALL four quarters or NONE (Q undefined). ANSI Spark would CRASH on
+    # that corpus while the DuckDB oracle returns NULL — try_divide
+    # matches the oracle's NULL (round-15 fixture-sensitivity sweep;
+    # hash-neutral here: TPC-H customers always split quarters).
+    qstat = F.try_divide(
+        3.0 * 4 * num, 4.0 * F.col("sr") - F.col("sr2")
+    )
     return s.select(
         "n_subj",
         "c1",

@@ -2584,7 +2584,7 @@ def w_variance_ratio(spark, sf_dir):
            round(z.z_hat / p.p_hat, 6) + 0 AS croston_rate,
            round(0.9 * z.z_hat / p.p_hat, 6) + 0 AS sba_rate,
            round(p.mean_gap, 6) + 0 AS mean_gap_days
-    FROM zhat z JOIN phat p ON z.part = p.part
+    FROM zhat z LEFT JOIN phat p ON z.part = p.part
     ORDER BY partkey
     """,
 )
@@ -2655,7 +2655,14 @@ def w_croston(spark, sf_dir):
         )
     )
     return (
-        zhat.join(phat, "part")
+        # LEFT: a part with exactly ONE demand day has no gaps, so p̂ is
+        # undefined (NULL interval/rate columns) — but the part must not
+        # VANISH from the catalog forecast the way the old inner join
+        # dropped it (round-15 fixture-sensitivity sweep — same exclusion
+        # shape as the r_katz_centrality sink-node fix; hash-neutral
+        # here: parts 1-8 all have ≥2 demand days at every fixture SF,
+        # pinned in tests/test_round15.py).
+        zhat.join(phat, "part", "left")
         .select(
             F.col("part").alias("partkey"),
             F.col("m").alias("n_demands"),

@@ -119,3 +119,172 @@ def test_script_scalar_sum_matches_raw_orders(spark):
         .collect()[0]["s"]
     )
     assert h == raw
+
+
+# ---- round-14 fixture-sensitivity sweep (r14 verdict next-round item 5) ----
+# Lens: which round-14 keys assume fixture start dates, fixed label
+# counts, or degenerate-free corpora? Findings: a_chow_test (declared
+# break-date parameter), a_pr_auc (positive class is a fixture
+# property), a_cochran_q (quarter-coverage spread), t_yule_k
+# (single-token language), w_croston (single-demand part). Each is now
+# guarded (try_divide / LEFT join) or documented, and pinned here.
+
+
+def test_chow_fixture_straddles_declared_break_date(spark):
+    """a_chow_test's 1997-01-01 break is a declared parameter: the
+    fixture must put data on BOTH sides, else one segment is empty and
+    the F degenerates (documented, not a crash). Pin the straddle so a
+    fixture drift surfaces here instead of as a silent NULL row."""
+    row = registry.QUERIES["a_chow_test"](spark, SF_SMALL).collect()[0]
+    assert row["n_pre"] and row["n_pre"] > 0
+    assert row["n_post"] and row["n_post"] > 0
+    assert row["n_days"] == row["n_pre"] + row["n_post"]
+
+
+def test_pr_auc_single_class_corpus_yields_null_not_crash(spark, duck):
+    """a_pr_auc divides by the positive-class count. A corpus with no
+    returned lineitems (p_tot = 0) must yield NULL AP/AUC on BOTH
+    engines — under ANSI Spark the unguarded division would CRASH.
+    Driven end-to-end through a zero-positive temp fixture."""
+    import os
+    import shutil
+
+    tmp = "/tmp/npc_r15_noreturns"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    # copy orders, rewrite lineitem with returnflag forced to 'N'
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").withColumn(
+        "l_returnflag", F.lit("N")
+    )
+    li.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/orders.parquet")
+    rows = registry.QUERIES["a_pr_auc"](spark, tmp).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_pos"] == 0
+    assert rows[0]["avg_precision"] is None
+    assert rows[0]["roc_auc"] is None
+    # oracle agrees: DuckDB div-by-zero is NULL
+    con = __import__("duckdb").connect()
+    for t in ("orders", "lineitem"):
+        # Spark wrote a part-file DIRECTORY at <t>.parquet — glob it
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{tmp}/{t}.parquet/*.parquet')"
+        )
+    orow = con.sql(registry.ORACLE["a_pr_auc"]).fetchall()[0]
+    assert orow[3] is None and orow[4] is None
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_croston_single_demand_part_gets_null_interval_not_dropped(spark):
+    """w_croston: a part with ONE demand day has z_hat defined but no
+    inter-demand gaps — it must appear with NULL interval/rate columns
+    (LEFT join), not vanish (the old inner join). Driven end-to-end
+    through a temp fixture where part 1 demands exactly once."""
+    import os
+    import shutil
+
+    tmp = "/tmp/npc_r15_croston1"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    # keep part 1 on only its FIRST order date; parts 2-8 untouched
+    first_ok = (
+        li.where(F.col("l_partkey") == 1)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .orderBy("o_orderdate")
+        .limit(1)
+        .select("l_orderkey")
+        .collect()
+    )
+    keep_key = first_ok[0][0]
+    li.where(
+        (F.col("l_partkey") != 1) | (F.col("l_orderkey") == keep_key)
+    ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    orders.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    rows = {
+        r["partkey"]: r
+        for r in registry.QUERIES["w_croston"](spark, tmp).collect()
+    }
+    assert 1 in rows, "single-demand part must not vanish"
+    assert rows[1]["n_demands"] == 1
+    assert rows[1]["size_hat"] is not None
+    assert rows[1]["interval_hat"] is None
+    assert rows[1]["croston_rate"] is None
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_croston_fixture_parts_all_have_two_demand_days(spark):
+    """Hash-neutrality pin for the LEFT-join change: every part 1-8 has
+    ≥2 demand days at the fixture SF, so no NULL rows enter the oracle
+    comparison (the LEFT join equals the old inner join here)."""
+    rows = registry.QUERIES["w_croston"](spark, SF_SMALL).collect()
+    assert len(rows) == 9  # l_partkey <= 8 covers parts 0-8
+    assert all(r["n_demands"] >= 2 for r in rows)
+    assert all(r["interval_hat"] is not None for r in rows)
+
+
+def test_yule_simpson_d_single_token_language_null_not_crash(spark):
+    """t_yule_k: a language whose whole corpus is ONE token makes
+    Simpson's D 0/0 — SQL NULL (try_divide), matching DuckDB, instead
+    of the ANSI divide-by-zero crash. Temp fixture with a one-token
+    language added beside the real ones."""
+    import os
+    import shutil
+
+    tmp = "/tmp/npc_r15_onetok"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    one = spark.createDataFrame(
+        [(999999, "zz", "lone")],
+        "doc_id long, lang string, text string",
+    )
+    docs.select("doc_id", "lang", "text").unionByName(one).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/documents.parquet")
+    rows = {
+        r["lang"]: r for r in registry.QUERIES["t_yule_k"](spark, tmp).collect()
+    }
+    assert rows["zz"]["n_tokens"] == 1
+    assert rows["zz"]["simpson_d"] is None
+    assert rows["zz"]["yule_k"] == 0.0
+    # real languages unaffected
+    assert all(
+        v["simpson_d"] is not None for k, v in rows.items() if k != "zz"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cochran_q_all_or_nothing_corpus_null_not_crash(spark):
+    """a_cochran_q: if every customer bought in all four quarters (or
+    none), ΣR(4−R) = 0 and Q is undefined — NULL, matching the DuckDB
+    oracle, instead of an ANSI crash. Temp fixture where each customer
+    orders in every quarter."""
+    import os
+    import shutil
+
+    tmp = "/tmp/npc_r15_allq"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    rows_in = [
+        (100 * c + q, c, f"1995-{3 * q - 2:02d}-15")
+        for c in (1, 2, 3)
+        for q in (1, 2, 3, 4)
+    ]
+    spark.createDataFrame(
+        rows_in, "o_orderkey long, o_custkey long, d string"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("d").alias("o_orderdate"),
+        F.lit(100.0).alias("o_totalprice"),
+    ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    row = registry.QUERIES["a_cochran_q"](spark, tmp).collect()[0]
+    assert row["n_subj"] == 3
+    assert row["cochran_q"] is None
+    assert row["seasonal_95"] == 0
+    shutil.rmtree(tmp, ignore_errors=True)
