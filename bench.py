@@ -148,6 +148,15 @@ HEADLINE = [
     "t_codepoint_profile",  # round 14: encoding-hygiene gate, scan-speed
     "a_cochran_q",  # round 14: k-treatment paired-binary seasonality
     "m_id3v1_tags",  # round 14: trailer-metadata sidecar parse
+    "a_bartlett_test",  # round 15: parametric variance-homogeneity
+    "a_mood_median",  # round 15: census-exact grand-median k-group test
+    "a_sign_test",  # round 15: direction-only paired robustness floor
+    "a_js_divergence",  # round 15: finite drift distance on the band grid
+    "t_good_turing",  # round 15: unseen-mass estimate off the fof table
+    "t_burrows_delta",  # round 15: stylometric source distance
+    "t_edit_distance_dedup",  # round 15: blocked Levenshtein verify stage
+    "w_hampel_filter",  # round 15: robust despike, median/MAD windows
+    "w_page_hinkley",  # round 15: self-baselining drift detector
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -5229,3 +5229,335 @@ def t_codepoint_profile(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t_good_turing",
+    r"""
+    WITH freq AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT lang,
+                     unnest(string_split_regex(lower(text), '\s+')) AS word
+              FROM documents)
+        GROUP BY lang, word
+    ),
+    fof AS (
+        SELECT lang, f AS r, CAST(count(*) AS BIGINT) AS nr
+        FROM freq GROUP BY lang, f
+    ),
+    s AS (
+        SELECT lang,
+               CAST(sum(r * nr) AS BIGINT) AS n_tokens,
+               CAST(sum(nr) AS BIGINT) AS vocab,
+               CAST(coalesce(sum(CASE WHEN r = 1 THEN nr END), 0)
+                    AS BIGINT) AS n1,
+               CAST(coalesce(sum(CASE WHEN r = 2 THEN nr END), 0)
+                    AS BIGINT) AS n2,
+               CAST(coalesce(sum(CASE WHEN r = 3 THEN nr END), 0)
+                    AS BIGINT) AS n3,
+               CAST(coalesce(sum(CASE WHEN r = 4 THEN nr END), 0)
+                    AS BIGINT) AS n4
+        FROM fof GROUP BY lang
+    )
+    SELECT lang, n_tokens, vocab, n1, n2, n3, n4,
+           round(n1 * 1.0 / n_tokens, 6) + 0 AS p_unseen,
+           round(CASE WHEN n1 > 0 THEN 2.0 * n2 / n1 END, 6) + 0
+               AS rstar_1,
+           round(CASE WHEN n2 > 0 THEN 3.0 * n3 / n2 END, 6) + 0
+               AS rstar_2,
+           round(CASE WHEN n3 > 0 THEN 4.0 * n4 / n3 END, 6) + 0
+               AS rstar_3
+    FROM s ORDER BY lang
+    """,
+)
+def t_good_turing(spark, sf_dir):
+    """Good-Turing frequency estimation per language: the unseen-mass
+    estimate P₀ = N₁/N (the probability the NEXT token is a word never
+    seen — Good 1953, the quantity every smoothed language model and
+    every "how much more data do we need" curve rests on) plus the
+    adjusted counts r* = (r+1)·N_{r+1}/N_r for r = 1..3 read straight
+    off the frequency-of-frequencies table. r* < r for small r is the
+    Good-Turing discount in the raw (pre-smoothing) form; a language
+    where N₂ = 0 leaves r*₁ SQL NULL on both engines (the CASE guard
+    — the honest answer, since the raw estimator is undefined there)
+    rather than an ANSI divide-by-zero.
+
+    Exactness: the freq-of-freq table is two exact BIGINT groupBys
+    stacked on t_yule_k's vocabulary frame; N, V, N₁..N₄ are
+    conditional BIGINT sums; only the final four ratios are floats.
+
+    Scale: the (lang, word) vocab census is the one data-sized
+    shuffle (shared shape with t_yule_k / t_zipf_fit); the second
+    groupBy runs on the vocabulary-cardinality frame and the r-axis
+    rollup on the tiny freq-of-freq frame — both shrink, never grow,
+    with corpus size.
+    """
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    fof = freq.groupBy("lang", F.col("f").alias("r")).agg(
+        F.count("*").cast("long").alias("nr")
+    )
+    s = fof.groupBy("lang").agg(
+        F.sum(F.col("r") * F.col("nr")).cast("long").alias("n_tokens"),
+        F.sum("nr").cast("long").alias("vocab"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("r") == i, F.col("nr"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"n{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    return s.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "n1",
+        "n2",
+        "n3",
+        "n4",
+        f6(F.col("n1") * 1.0 / F.col("n_tokens")).alias("p_unseen"),
+        f6(
+            F.when(F.col("n1") > 0, 2.0 * F.col("n2") / F.col("n1"))
+        ).alias("rstar_1"),
+        f6(
+            F.when(F.col("n2") > 0, 3.0 * F.col("n3") / F.col("n2"))
+        ).alias("rstar_2"),
+        f6(
+            F.when(F.col("n3") > 0, 4.0 * F.col("n4") / F.col("n3"))
+        ).alias("rstar_3"),
+    ).orderBy("lang")
+
+
+@register(
+    "t_burrows_delta",
+    r"""
+    WITH tok AS (
+        SELECT source, word
+        FROM (SELECT source,
+                     unnest(string_split_regex(lower(text), '\s+')) AS word
+              FROM documents)
+    ),
+    totals AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS toks
+        FROM tok GROUP BY source
+    ),
+    top AS (
+        SELECT word FROM tok GROUP BY word
+        ORDER BY count(*) DESC, word LIMIT 20
+    ),
+    cnt AS (
+        SELECT t.source, t.word, CAST(count(*) AS BIGINT) AS c
+        FROM tok t JOIN top ON top.word = t.word
+        GROUP BY t.source, t.word
+    ),
+    rel AS (
+        SELECT sc.source, sc.word,
+               coalesce(c.c, 0) * 1.0 / tt.toks AS fr
+        FROM (SELECT s.source, w.word
+              FROM (SELECT DISTINCT source FROM totals) s, top w) sc
+        LEFT JOIN cnt c ON c.source = sc.source AND c.word = sc.word
+        JOIN totals tt ON tt.source = sc.source
+    ),
+    z AS (
+        SELECT source, word,
+               (fr - avg(fr) OVER (PARTITION BY word))
+                   / stddev_samp(fr) OVER (PARTITION BY word) AS z
+        FROM rel
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(avg(abs(a.z - b.z)), 6) + 0 AS delta
+    FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY delta DESC, source_a, source_b LIMIT 15
+    """,
+)
+def t_burrows_delta(spark, sf_dir):
+    """Burrows' Delta — the classic stylometric authorship distance
+    (Burrows 2002, public): z-score each source's relative frequency
+    of the corpus's top-20 words against the cross-source
+    distribution of that word, then Delta(a, b) = mean |z_a − z_b|
+    over the word axis; the 15 most stylistically DISTANT source
+    pairs surface. Function-word frequencies are the fingerprint
+    authorship analysis actually uses (content words track topic,
+    function words track author) — the provenance cousin of
+    t_source_signature (which hashes content) and t_mix_temperature
+    (which weighs volume): Delta sees two sources writing the same
+    TOPIC differently.
+
+    The z frame is the (source × top-word) scaffold, zero-filled so a
+    source missing a top word is a real 0-frequency observation.
+    Counts and token totals are BIGINT-exact; relative frequencies,
+    the per-word mean/stddev (over exactly n_sources values), and the
+    final Delta are the float tail, 6dp-snapped.
+
+    Scale: the (source, word) count for the top-20 list is one
+    vocab-shaped groupBy; everything after runs on the
+    sources × 20 scaffold (bounded by the catalog of sources, not
+    the corpus) — the pair join fans out to C(n_sources, 2) × 20
+    rows, metadata scale until the source catalog itself is large,
+    at which point you block pairs by language or registry the same
+    way the dedup family blocks candidates.
+    """
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+    )
+    totals = tok.groupBy("source").agg(
+        F.count("*").cast("long").alias("toks")
+    )
+    top = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(20)
+        .select("word")
+    )
+    cnt = (
+        tok.join(F.broadcast(top), "word")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    scaffold = totals.select("source", "toks").crossJoin(F.broadcast(top))
+    rel = scaffold.join(cnt, ["source", "word"], "left").select(
+        "source",
+        "word",
+        (F.coalesce(F.col("c"), F.lit(0)) * 1.0 / F.col("toks")).alias(
+            "fr"
+        ),
+    )
+    ww = Window.partitionBy("word")
+    z = rel.select(
+        "source",
+        "word",
+        (
+            (F.col("fr") - F.avg("fr").over(ww))
+            / F.stddev_samp("fr").over(ww)
+        ).alias("z"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(f6(F.avg(F.abs(F.col("a.z") - F.col("b.z")))).alias("delta"))
+        .orderBy(F.col("delta").desc(), "source_a", "source_b")
+        .limit(15)
+    )
+
+
+@register(
+    "t_edit_distance_dedup",
+    r"""
+    WITH d0 AS (
+        SELECT doc_id, lang, n_chars // 32 AS band,
+               lower(substring(text, 1, 64)) AS pfx,
+               string_split_regex(lower(text), '\s+')[1] AS tok1
+        FROM documents
+    ),
+    bsize AS (
+        SELECT lang, tok1, band, count(*) AS bc
+        FROM d0 GROUP BY 1, 2, 3
+    ),
+    d AS (
+        SELECT d0.* FROM d0
+        JOIN bsize ON bsize.lang = d0.lang AND bsize.tok1 = d0.tok1
+                  AND bsize.band = d0.band
+        WHERE bsize.bc <= 64
+    ),
+    pairs AS (
+        SELECT a.lang, levenshtein(a.pfx, b.pfx) AS dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.tok1 = b.tok1
+         AND a.band = b.band
+         AND a.doc_id < b.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pairs_checked,
+           CAST(sum(CASE WHEN dist <= 16 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neardup,
+           CAST(min(dist) AS BIGINT) AS min_dist,
+           round(avg(CAST(dist AS DOUBLE)), 6) + 0 AS avg_dist
+    FROM pairs GROUP BY lang ORDER BY lang
+    """,
+)
+def t_edit_distance_dedup(spark, sf_dir):
+    """Edit-distance near-dup detection with candidate blocking — the
+    CHARACTER-level member of the dedup ladder (Jaccard sees shared
+    shingles, SimHash/MinHash see shared hash bands; Levenshtein sees
+    small character edits that break every shingle, the OCR-noise /
+    typo-variant case). Candidates are blocked on (lang, first token,
+    32-char length band); within a block, the exact Levenshtein
+    distance of the 64-char lowercase prefixes is computed JVM-side
+    (built-in `levenshtein`, identical to DuckDB's), near-dup at
+    dist ≤ 16. Per-language audit row: pairs checked, near-dups,
+    min/avg distance.
+
+    Blocking is the load-bearing scale choice: Levenshtein is O(m·n)
+    per PAIR, so the unblocked census is O(docs²·len²). Blocks larger
+    than 64 members are DROPPED before pairing (t_jaccard_neardup_
+    capped's df≤64 discipline verbatim): on a Zipf corpus the
+    top-first-token block grows ∝N (half the corpus starts with
+    'the') while carrying ~zero dedup signal — the cap bounds every
+    block's fan-out at C(64,2) regardless of corpus size, which is
+    what keeps the SCALECHECK ladder linear. The fixture's max block
+    is 3 docs, so the cap is hash-neutral there. At 100 TB the block
+    key upgrades to a signature (t_prefix_filter_join's prefix
+    tokens, or a SimHash band) feeding the SAME bounded per-pair
+    verify; this key IS that verify stage, measured.
+
+    Exactness: levenshtein returns identical integers on both engines
+    (unit-cost insert/delete/substitute over the same substring); all
+    counts BIGINT; only avg_dist is float.
+    """
+    d0 = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.lower(F.substring("text", 1, 64)).alias("pfx"),
+        F.split(F.lower("text"), r"\s+").getItem(0).alias("tok1"),
+        F.floor(F.col("n_chars") / 32).cast("long").alias("band"),
+    )
+    bsize = d0.groupBy("lang", "tok1", "band").agg(
+        F.count("*").alias("bc")
+    )
+    d = d0.join(
+        bsize.where(F.col("bc") <= 64).drop("bc"),
+        ["lang", "tok1", "band"],
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.tok1") == F.col("b.tok1"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("dist"),
+    )
+    return (
+        pairs.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs_checked"),
+            F.sum(F.when(F.col("dist") <= 16, 1).otherwise(0))
+            .cast("long")
+            .alias("n_neardup"),
+            F.min("dist").cast("long").alias("min_dist"),
+            f6(F.avg(F.col("dist").cast("double"))).alias("avg_dist"),
+        )
+        .orderBy("lang")
+    )

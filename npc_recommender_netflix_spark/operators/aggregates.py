@@ -12452,3 +12452,407 @@ def a_cochran_q(spark, sf_dir):
             "seasonal_95"
         ),
     )
+
+
+@register(
+    "a_bartlett_test",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    grp AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS nj,
+               CAST(sum(cents) AS BIGINT) AS sj,
+               CAST(sum(cents * cents) AS BIGINT) AS qj
+        FROM base GROUP BY event_type
+    ),
+    v AS (
+        SELECT nj,
+               (qj - CAST(sj AS DOUBLE) * sj / nj) / (nj - 1) AS s2
+        FROM grp
+    ),
+    c AS (
+        SELECT CAST(sum(nj) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               sum((nj - 1) * s2) AS ssw,
+               sum((nj - 1) * ln(s2)) AS sln,
+               sum(1.0 / (nj - 1)) AS sinv
+        FROM v
+    )
+    SELECT n AS n_obs, k AS k_groups,
+           round(((n - k) * ln(ssw / (n - k)) - sln)
+                 / (1 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1))), 6) + 0
+               AS bartlett_t,
+           CASE WHEN ((n - k) * ln(ssw / (n - k)) - sln)
+                     / (1 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1)))
+                     > 9.487729 THEN 1 ELSE 0 END AS heteroskedastic_flag
+    FROM c
+    """,
+)
+def a_bartlett_test(spark, sf_dir):
+    """Bartlett's test — the PARAMETRIC variance-homogeneity sibling of
+    a_levene_test (same five event-type groups, deliberately): T =
+    [(N−k)·ln(s²_p) − Σ(n_j−1)·ln(s²_j)] / C with the Box correction
+    C = 1 + (Σ1/(n_j−1) − 1/(N−k)) / (3(k−1)), gated at χ²₄ 95% =
+    9.487729. Bartlett is more powerful than Brown-Forsythe Levene
+    when the groups ARE normal and anti-conservative when they are
+    not — shipping both is how a stats battery lets the analyst see
+    WHICH assumption is doing the work (the two keys disagreeing is
+    itself the non-normality signal).
+
+    Exactness: per-group moments (n, Σc, Σc²) are BIGINT-exact from
+    the cents snap; each group variance is one float division of
+    exact integers, and ln/Σ run over exactly five group rows — the
+    only data-scale pass is the map-side-combinable moment groupBy.
+
+    Scale: ONE grouped aggregate over the events table (k = 5 rows
+    out), then a 5-row reduction — adding groups adds rows to a tiny
+    frame, never a second data pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nj"),
+        F.sum("cents").cast("long").alias("sj"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("qj"),
+    )
+    s2 = (
+        F.col("qj") - F.col("sj").cast("double") * F.col("sj") / F.col("nj")
+    ) / (F.col("nj") - 1)
+    v = grp.select("nj", s2.alias("s2"))
+    c = v.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum((F.col("nj") - 1) * F.col("s2")).alias("ssw"),
+        F.sum((F.col("nj") - 1) * F.log(F.col("s2"))).alias("sln"),
+        F.sum(1.0 / (F.col("nj") - 1)).alias("sinv"),
+    )
+    n, k = F.col("n"), F.col("k")
+    t = ((n - k) * F.log(F.col("ssw") / (n - k)) - F.col("sln")) / (
+        1 + (F.col("sinv") - 1.0 / (n - k)) / (3.0 * (k - 1))
+    )
+    return c.select(
+        n.alias("n_obs"),
+        k.alias("k_groups"),
+        f6(t).alias("bartlett_t"),
+        F.when(t > 9.487729, 1).otherwise(0).alias("heteroskedastic_flag"),
+    )
+
+
+@register(
+    "a_mood_median",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    census AS (
+        SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents,
+               CAST(sum(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM census
+    ),
+    med AS (
+        SELECT min(cents) AS gm FROM cum WHERE cum >= (n + 1) // 2
+    ),
+    cells AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS nj,
+               CAST(sum(CASE WHEN cents > m.gm THEN 1 ELSE 0 END)
+                    AS BIGINT) AS aj
+        FROM base, med m GROUP BY event_type, m.gm
+    ),
+    tot AS (
+        SELECT CAST(sum(nj) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(aj) AS BIGINT) AS a
+        FROM cells
+    )
+    SELECT t.n AS n_obs, t.k AS k_groups, m.gm AS grand_median_cents,
+           round(sum(
+               (c.aj - c.nj * (CAST(t.a AS DOUBLE) / t.n))
+               * (c.aj - c.nj * (CAST(t.a AS DOUBLE) / t.n))
+               / (c.nj * (CAST(t.a AS DOUBLE) / t.n))
+               + ((c.nj - c.aj) - c.nj * (1.0 - CAST(t.a AS DOUBLE) / t.n))
+                 * ((c.nj - c.aj) - c.nj * (1.0 - CAST(t.a AS DOUBLE) / t.n))
+                 / (c.nj * (1.0 - CAST(t.a AS DOUBLE) / t.n))
+           ), 6) + 0 AS chi2,
+           CASE WHEN sum(
+               (c.aj - c.nj * (CAST(t.a AS DOUBLE) / t.n))
+               * (c.aj - c.nj * (CAST(t.a AS DOUBLE) / t.n))
+               / (c.nj * (CAST(t.a AS DOUBLE) / t.n))
+               + ((c.nj - c.aj) - c.nj * (1.0 - CAST(t.a AS DOUBLE) / t.n))
+                 * ((c.nj - c.aj) - c.nj * (1.0 - CAST(t.a AS DOUBLE) / t.n))
+                 / (c.nj * (1.0 - CAST(t.a AS DOUBLE) / t.n))
+           ) > 9.487729 THEN 1 ELSE 0 END AS differ_flag
+    FROM cells c, tot t, med m
+    GROUP BY t.n, t.k, m.gm
+    """,
+)
+def a_mood_median(spark, sf_dir):
+    """Mood's median test — do the five event types share a MEDIAN?
+    The rank-free nonparametric k-group location test: dichotomize
+    every value at the GRAND median and χ²-test the resulting
+    k × 2 contingency table (above vs at-or-below), gated at χ²₄ 95%
+    = 9.487729. The median sibling of a_kruskal_wallis (which
+    compares full rank distributions): Mood throws away everything
+    but the side of the median, which costs power yet survives ANY
+    monotone transformation and arbitrary outliers — the robustness
+    extreme of the location battery.
+
+    Exactness: the grand median is an exact order statistic read off
+    the cents value census (smallest cents with cumulative count ≥
+    ⌈N/2⌉ — the lower median, never engine interpolation); every cell
+    count is BIGINT; χ² is one float association of exact integers.
+
+    Scale: the census groupBy is the only data-sized shuffle; its
+    cumulative window runs on the price-domain-bounded cents axis
+    (≤ ~49k rows at ANY corpus size — value ∈ [0, 490]), and the
+    dichotomize pass is a broadcast-scalar comparison folded into the
+    same grouped aggregate that builds the k × 2 table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    census = base.groupBy("cents").agg(F.count("*").cast("long").alias("cnt"))
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = census.select(
+        "cents",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    med = cum.where(
+        F.col("cum") >= F.floor((F.col("n") + 1) / 2)
+    ).agg(F.min("cents").alias("gm"))
+    cells = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("event_type", "gm")
+        .agg(
+            F.count("*").cast("long").alias("nj"),
+            F.sum(F.when(F.col("cents") > F.col("gm"), 1).otherwise(0))
+            .cast("long")
+            .alias("aj"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("aj").cast("long").alias("a"),
+    )
+    pa = F.col("a").cast("double") / F.col("n")
+    ea = F.col("nj") * pa
+    eb = F.col("nj") * (1.0 - pa)
+    term = (F.col("aj") - ea) * (F.col("aj") - ea) / ea + (
+        (F.col("nj") - F.col("aj")) - eb
+    ) * ((F.col("nj") - F.col("aj")) - eb) / eb
+    chi2 = F.sum(term)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k", "gm")
+        .agg(
+            f6(chi2).alias("chi2"),
+            F.when(chi2 > 9.487729, 1).otherwise(0).alias("differ_flag"),
+        )
+        .select(
+            F.col("n").alias("n_obs"),
+            F.col("k").alias("k_groups"),
+            F.col("gm").alias("grand_median_cents"),
+            "chi2",
+            "differ_flag",
+        )
+    )
+
+
+@register(
+    "a_sign_test",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'click'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT CAST(sum(CASE WHEN x <> y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n,
+               CAST(sum(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+        FROM daily
+    )
+    SELECT n AS n_pairs, n_pos,
+           CAST(n - n_pos AS BIGINT) AS n_neg,
+           round((2.0 * n_pos - n) / sqrt(CAST(n AS DOUBLE)), 6) + 0 AS z,
+           CASE WHEN abs((2.0 * n_pos - n) / sqrt(CAST(n AS DOUBLE)))
+                     > 1.959964 THEN 1 ELSE 0 END AS differ_flag
+    FROM c
+    """,
+)
+def a_sign_test(spark, sf_dir):
+    """Paired sign test on the SAME daily purchase-vs-click pairing as
+    a_wilcoxon_signed_rank (deliberately): count days where purchase
+    cents exceed click cents, z = (2·n⁺ − n)/√n against the shared
+    1.959964 gate, zero differences dropped. The sign test uses ONLY
+    the direction of each pair — the robustness floor below Wilcoxon
+    (which adds magnitude ranks) and the t-test (which adds raw
+    magnitudes): the three agreeing is the textbook robustness
+    ladder, and the sign test diverging from Wilcoxon flags a few
+    huge-magnitude days doing all the work.
+
+    Exactness: the pairing rollup is BIGINT cents; n and n⁺ are exact
+    counts; the z is the only float. Scale: one day-keyed rollup
+    (map-side combinable) and a two-counter reduction — strictly
+    cheaper than Wilcoxon (no rank window at all).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    c = daily.agg(
+        F.sum(F.when(F.col("x") != F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.when(F.col("x") > F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    z = (2.0 * F.col("n_pos") - F.col("n")) / F.sqrt(
+        F.col("n").cast("double")
+    )
+    return c.select(
+        F.col("n").alias("n_pairs"),
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        f6(z).alias("z"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("differ_flag"),
+    )
+
+
+@register(
+    "a_js_divergence",
+    """
+    WITH banded AS (
+        SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS band,
+               CASE WHEN o_orderdate < DATE '1997-01-01' THEN 1 ELSE 0 END
+                   AS pre
+        FROM orders
+    ),
+    cells AS (
+        SELECT band,
+               CAST(sum(pre) AS BIGINT) AS cp,
+               CAST(count(*) - sum(pre) AS BIGINT) AS cq
+        FROM banded GROUP BY band
+    ),
+    tot AS (
+        SELECT CAST(sum(cp) AS BIGINT) AS np,
+               CAST(sum(cq) AS BIGINT) AS nq,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM cells
+    )
+    SELECT t.nb AS n_bands, t.np AS n_pre, t.nq AS n_post,
+           round(sum(
+               0.5 * CASE WHEN c.cp > 0 THEN (CAST(c.cp AS DOUBLE) / t.np)
+                   * log2(2.0 * (CAST(c.cp AS DOUBLE) / t.np)
+                          / (CAST(c.cp AS DOUBLE) / t.np
+                             + CAST(c.cq AS DOUBLE) / t.nq)) ELSE 0 END
+               + 0.5 * CASE WHEN c.cq > 0 THEN (CAST(c.cq AS DOUBLE) / t.nq)
+                   * log2(2.0 * (CAST(c.cq AS DOUBLE) / t.nq)
+                          / (CAST(c.cp AS DOUBLE) / t.np
+                             + CAST(c.cq AS DOUBLE) / t.nq)) ELSE 0 END
+           ), 6) + 0 AS js_bits,
+           round(0.5 * sum(abs(CAST(c.cp AS DOUBLE) / t.np
+                               - CAST(c.cq AS DOUBLE) / t.nq)), 6) + 0
+               AS total_variation
+    FROM cells c, tot t
+    GROUP BY t.nb, t.np, t.nq
+    """,
+)
+def a_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence (bits) + total-variation distance
+    between the pre- and post-1997 order-price distributions on the
+    $1000 band axis (a_pr_auc's grid): JS = ½Σp·log₂(2p/(p+q)) +
+    ½Σq·log₂(2q/(p+q)), always finite (unlike raw KL, which blows up
+    on any band one side lacks — exactly why production drift gates
+    use JS), bounded [0, 1] in bits; TV = ½Σ|p−q| beside it as the
+    worst-case-event distance. Completes the drift battery:
+    a_psi_drift is the banded log-ratio heuristic, a_ks_drift the
+    max-CDF-gap test, JS/TV the information-theoretic pair.
+
+    Zero-band handling is structural, not numeric: a band missing
+    from one side contributes only the OTHER side's ½q·log₂2 term
+    (the CASE/when guards), so no log(0) is ever evaluated on either
+    engine. Band counts are BIGINT-exact; the two statistics are the
+    only floats.
+
+    Scale: one map-side-combinable (band, pre) census over the
+    bounded $1000 price grid (~500 bands at any corpus size), then a
+    band-frame reduction — the same shape PSI ships; the break date
+    is a declared parameter like a_chow_test's.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("band"),
+            F.when(
+                F.col("o_orderdate") < F.lit("1997-01-01").cast("date"), 1
+            )
+            .otherwise(0)
+            .alias("pre"),
+        )
+        .groupBy("band")
+        .agg(
+            F.sum("pre").cast("long").alias("cp"),
+            (F.count("*") - F.sum("pre")).cast("long").alias("cq"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    # try_divide: a corpus entirely on ONE side of the break leaves that
+    # side's total 0 — the statistics must go SQL NULL like the DuckDB
+    # oracle's div-by-zero, not ANSI-crash (the round-15 sweep rule).
+    p = F.try_divide(F.col("cp").cast("double"), F.col("np"))
+    q = F.try_divide(F.col("cq").cast("double"), F.col("nq"))
+    js_term = 0.5 * F.when(
+        F.col("cp") > 0, p * F.log2(2.0 * p / (p + q))
+    ).otherwise(0.0) + 0.5 * F.when(
+        F.col("cq") > 0, q * F.log2(2.0 * q / (p + q))
+    ).otherwise(0.0)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("nb", "np", "nq")
+        .agg(
+            f6(F.sum(js_term)).alias("js_bits"),
+            f6(0.5 * F.sum(F.abs(p - q))).alias("total_variation"),
+        )
+        .select(
+            F.col("nb").alias("n_bands"),
+            F.col("np").alias("n_pre"),
+            F.col("nq").alias("n_post"),
+            "js_bits",
+            "total_variation",
+        )
+    )

@@ -2810,3 +2810,215 @@ def w_theta_forecast(spark, sf_dir):
         )
         .orderBy("h")
     )
+
+
+@register(
+    "w_hampel_filter",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    nbr AS (
+        SELECT a.d, b.rev AS nrev
+        FROM daily a JOIN daily b
+          ON date_diff('day', a.d, b.d) BETWEEN -3 AND 3
+    ),
+    med AS (
+        SELECT d, median(nrev) AS med FROM nbr GROUP BY d
+    ),
+    mad AS (
+        SELECT n.d, median(abs(n.nrev - m.med)) AS mad
+        FROM nbr n JOIN med m ON m.d = n.d
+        GROUP BY n.d
+    )
+    SELECT dd.d AS day, dd.rev AS rev_cents,
+           round(m.med, 2) + 0 AS med_cents,
+           round(a.mad, 2) + 0 AS mad_cents,
+           round(abs(dd.rev - m.med) - 4.4478 * a.mad, 2) + 0 AS excess,
+           CASE WHEN abs(dd.rev - m.med) > 4.4478 * a.mad
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM daily dd JOIN med m ON m.d = dd.d JOIN mad a ON a.d = dd.d
+    ORDER BY excess DESC, day LIMIT 10
+    """,
+)
+def w_hampel_filter(spark, sf_dir):
+    """Hampel filter over the daily-revenue series: each day is scored
+    against the MEDIAN of its ±3-day window, scaled by the window's
+    MAD (median absolute deviation) — outlier when |x − med| >
+    3·1.4826·MAD = 4.4478·MAD, the robust alternative to z-score
+    despiking (one genuine spike inflates a rolling MEAN and STDDEV
+    enough to mask itself; it cannot move the window median or MAD).
+    Top-10 days by excess = |x − med| − 4.4478·MAD, flag in-row.
+    The gate is a MULTIPLICATION, never a division — a zero-MAD
+    window (≥4 of 7 identical values) flags any deviation without a
+    divide-by-zero on either engine.
+
+    Exactness: daily cents are BIGINT; both medians interpolate the
+    two middle values identically on the two engines (cents are
+    integers, so every median is .0/.5-exact and every MAD
+    .25-dyadic — exact in binary); the 2dp snap is formatting.
+
+    Scale: the ±3-day neighbor expansion is a self-join on the
+    calendar axis (~2.4k days at ANY corpus size — the data-scale
+    pass is the daily rollup, map-side combinable), so the window
+    median runs on a 7-wide bounded frame per day; at true scale the
+    daily frame broadcasts and the filter is metadata work.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    # ±3-day neighbors as an EQUI-join: explode each day into its 7
+    # probe dates, then hash-join — a BETWEEN predicate would compile
+    # to a nested-loop join (O(days²) comparisons); the explode form
+    # stays a hash join at any calendar length.
+    probes = daily.select(
+        F.col("d").alias("center"),
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("k"),
+    ).select("center", F.date_add(F.col("center"), F.col("k")).alias("pd"))
+    nbr = probes.join(
+        F.broadcast(daily), probes.pd == daily.d
+    ).select(F.col("center").alias("d"), F.col("rev").alias("nrev"))
+    med = nbr.groupBy("d").agg(F.median("nrev").alias("med"))
+    mad = (
+        nbr.join(F.broadcast(med), "d")
+        .groupBy("d")
+        .agg(F.median(F.abs(F.col("nrev") - F.col("med"))).alias("mad"))
+    )
+    dev = F.abs(F.col("rev") - F.col("med"))
+    return (
+        daily.join(F.broadcast(med), "d")
+        .join(F.broadcast(mad), "d")
+        .select(
+            F.col("d").alias("day"),
+            F.col("rev").alias("rev_cents"),
+            money2(F.col("med")).alias("med_cents"),
+            money2(F.col("mad")).alias("mad_cents"),
+            money2(dev - 4.4478 * F.col("mad")).alias("excess"),
+            F.when(dev > 4.4478 * F.col("mad"), 1)
+            .otherwise(0)
+            .alias("is_outlier"),
+        )
+        .orderBy(F.col("excess").desc(), "day")
+        .limit(10)
+    )
+
+
+@register(
+    "w_page_hinkley",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100 AS x
+        FROM orders GROUP BY 1
+    ),
+    dev AS (
+        SELECT d, x,
+               CAST(x AS DOUBLE)
+               - avg(CAST(x AS DOUBLE)) OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS dv
+        FROM daily
+    ),
+    m AS (
+        SELECT d, sum(dv) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+        FROM dev
+    ),
+    ph AS (
+        SELECT d, mt - min(mt) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ph_t
+        FROM m
+    ),
+    lam AS (
+        SELECT 5.0 * stddev_samp(CAST(x AS DOUBLE)) AS lambda
+        FROM daily
+    ),
+    best AS (
+        SELECT d, ph_t,
+               row_number() OVER (ORDER BY ph_t DESC, d) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM ph
+    )
+    SELECT b.n AS n_days,
+           round(b.ph_t, 4) + 0 AS ph_max,
+           b.d AS ph_argmax_day,
+           round(l.lambda, 4) + 0 AS lambda_gate,
+           CASE WHEN b.ph_t > l.lambda THEN 1 ELSE 0 END AS drift_alarm
+    FROM best b, lam l WHERE b.rk = 1
+    """,
+)
+def w_page_hinkley(spark, sf_dir):
+    """Page-Hinkley drift detector on daily revenue (dollars): the
+    sequential change detector streaming systems run per-batch —
+    m_t = Σ_{i≤t}(x_i − x̄_i) against the RUNNING mean x̄_i, PH_t =
+    m_t − min_{s≤t} m_s, alarm when PH exceeds λ (here 5·σ of the
+    series, computed in-query so the gate is a declared function of
+    the data, not a magic constant). PH differs from w_cusum exactly
+    in the reference: CUSUM deviates from a FIXED target, PH from the
+    self-updating mean — so PH fires on sustained drift even when no
+    baseline was ever configured, the cold-start monitoring case.
+    Reports the peak, its day, and the gate in one row.
+
+    Exactness: daily dollars are BIGINT; the running mean is an exact
+    cumulative BIGINT sum divided once per row; the cumulative
+    deviation sum and running min evaluate in day order on BOTH
+    engines (a cumulative window has exactly one summation order), so
+    the floats agree to the 4dp snap without associativity slack.
+
+    Scale: all four cumulative windows run on the calendar-day axis
+    (~2.4k rows at ANY corpus size; the data-scale pass is the daily
+    rollup). The streaming twin maintains (running sum, running min)
+    as two scalars of applyInPandasWithState state — this batch key
+    is its replay-exact oracle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            / F.lit(100)
+        )
+        .cast("long")
+        .alias("x")
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dev = daily.select(
+        "d",
+        "x",
+        (
+            F.col("x").cast("double")
+            - F.avg(F.col("x").cast("double")).over(wcum)
+        ).alias("dv"),
+    )
+    m = dev.select("d", F.sum("dv").over(wcum).alias("mt"))
+    ph = m.select(
+        "d", (F.col("mt") - F.min("mt").over(wcum)).alias("ph_t")
+    )
+    lam = daily.agg(
+        (5.0 * F.stddev_samp(F.col("x").cast("double"))).alias("lambda")
+    )
+    best = ph.select(
+        "d",
+        "ph_t",
+        F.row_number()
+        .over(Window.orderBy(F.col("ph_t").desc(), "d"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    ).where(F.col("rk") == 1)
+    return best.crossJoin(F.broadcast(lam)).select(
+        F.col("n").alias("n_days"),
+        (F.round(F.col("ph_t"), 4) + 0).alias("ph_max"),
+        F.col("d").alias("ph_argmax_day"),
+        (F.round(F.col("lambda"), 4) + 0).alias("lambda_gate"),
+        F.when(F.col("ph_t") > F.col("lambda"), 1)
+        .otherwise(0)
+        .alias("drift_alarm"),
+    )

@@ -1,0 +1,311 @@
+"""Round-15 operators: pure-Python replays beyond the DuckDB oracle hash.
+
+Each new key gets an independent recomputation (math.* / collections /
+hand-rolled DP — never SQL on either engine) pinning the statistic the
+SQL pair could get wrong in the same way twice.
+"""
+
+import collections
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from npc_recommender_netflix_spark import registry
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_rows(spark):
+    return [
+        (r["event_type"], int(round(r["value"] * 100)), r["ts"])
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("event_type", "value", "ts")
+        .collect()
+    ]
+
+
+def test_bartlett_replay(spark, events_rows):
+    groups = collections.defaultdict(list)
+    for et, cents, _ in events_rows:
+        groups[et].append(cents)
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    s2 = {
+        g: (
+            sum(c * c for c in v) - sum(v) ** 2 / len(v)
+        ) / (len(v) - 1)
+        for g, v in groups.items()
+    }
+    pooled = sum((len(v) - 1) * s2[g] for g, v in groups.items()) / (n - k)
+    t = ((n - k) * math.log(pooled)
+         - sum((len(v) - 1) * math.log(s2[g]) for g, v in groups.items()))
+    c = 1 + (sum(1.0 / (len(v) - 1) for v in groups.values())
+             - 1.0 / (n - k)) / (3.0 * (k - 1))
+    row = registry.QUERIES["a_bartlett_test"](spark, SF_SMALL).collect()[0]
+    assert row["n_obs"] == n and row["k_groups"] == k
+    assert row["bartlett_t"] == pytest.approx(t / c, abs=2e-6)
+
+
+def test_mood_median_replay(spark, events_rows):
+    cents = sorted(c for _, c, _ in events_rows)
+    n = len(cents)
+    gm = cents[(n + 1) // 2 - 1]  # lower median (exact order statistic)
+    groups = collections.defaultdict(lambda: [0, 0])  # [nj, above]
+    for et, c, _ in events_rows:
+        groups[et][0] += 1
+        groups[et][1] += 1 if c > gm else 0
+    a = sum(v[1] for v in groups.values())
+    chi2 = 0.0
+    for nj, aj in groups.values():
+        ea, eb = nj * a / n, nj * (1 - a / n)
+        chi2 += (aj - ea) ** 2 / ea + ((nj - aj) - eb) ** 2 / eb
+    row = registry.QUERIES["a_mood_median"](spark, SF_SMALL).collect()[0]
+    assert row["grand_median_cents"] == gm
+    assert row["chi2"] == pytest.approx(chi2, abs=2e-6)
+
+
+def test_sign_test_replay(spark, events_rows):
+    daily = collections.defaultdict(lambda: [0, 0])
+    for et, c, ts in events_rows:
+        if et == "purchase":
+            daily[ts.date()][0] += c
+        elif et == "click":
+            daily[ts.date()][1] += c
+    diffs = [x - y for x, y in daily.values() if x != y]
+    n, n_pos = len(diffs), sum(1 for d in diffs if d > 0)
+    row = registry.QUERIES["a_sign_test"](spark, SF_SMALL).collect()[0]
+    assert (row["n_pairs"], row["n_pos"], row["n_neg"]) == (
+        n, n_pos, n - n_pos,
+    )
+    assert row["z"] == pytest.approx((2.0 * n_pos - n) / math.sqrt(n), abs=1e-6)
+
+
+def test_js_divergence_replay_and_bounds(spark):
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select(
+            F.floor(F.col("o_totalprice") / 1000).alias("band"),
+            (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")).alias(
+                "pre"
+            ),
+        )
+        .collect()
+    )
+    cp = collections.Counter(r["band"] for r in rows if r["pre"])
+    cq = collections.Counter(r["band"] for r in rows if not r["pre"])
+    np_, nq = sum(cp.values()), sum(cq.values())
+    js = tv = 0.0
+    for b in set(cp) | set(cq):
+        p, q = cp[b] / np_, cq[b] / nq
+        if p > 0:
+            js += 0.5 * p * math.log2(2 * p / (p + q))
+        if q > 0:
+            js += 0.5 * q * math.log2(2 * q / (p + q))
+        tv += 0.5 * abs(p - q)
+    row = registry.QUERIES["a_js_divergence"](spark, SF_SMALL).collect()[0]
+    assert row["js_bits"] == pytest.approx(js, abs=2e-6)
+    assert row["total_variation"] == pytest.approx(tv, abs=2e-6)
+    assert 0.0 <= row["js_bits"] <= 1.0  # JS in bits is bounded by 1
+    assert 0.0 <= row["total_variation"] <= 1.0
+
+
+def test_good_turing_replay_en(spark):
+    import re as _re
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .where(F.col("lang") == "en")
+        .collect()
+    ]
+    freq = collections.Counter(
+        w for t in texts for w in _re.split(r"\s+", t.lower())
+    )
+    fof = collections.Counter(freq.values())
+    n = sum(freq.values())
+    row = {
+        r["lang"]: r
+        for r in registry.QUERIES["t_good_turing"](spark, SF_SMALL).collect()
+    }["en"]
+    assert row["n_tokens"] == n
+    assert row["vocab"] == len(freq)
+    assert row["n1"] == fof[1] and row["n2"] == fof[2]
+    assert row["p_unseen"] == pytest.approx(fof[1] / n, abs=1e-6)
+    if fof[1]:
+        assert row["rstar_1"] == pytest.approx(2 * fof[2] / fof[1], abs=1e-6)
+    # Good-Turing discount: for natural text r*_1 < 1 never holds above
+    # ~2 (sanity band, not an identity)
+    assert row["rstar_1"] is None or row["rstar_1"] >= 0
+
+
+def test_burrows_delta_replay(spark):
+    import re as _re
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    per_src = collections.defaultdict(collections.Counter)
+    for r in docs:
+        per_src[r["source"]].update(_re.split(r"\s+", r["text"].lower()))
+    total = collections.Counter()
+    for c in per_src.values():
+        total.update(c)
+    top = [w for w, _ in sorted(total.items(), key=lambda x: (-x[1], x[0]))[:20]]
+    sources = sorted(per_src)
+    toks = {s: sum(per_src[s].values()) for s in sources}
+    fr = {(s, w): per_src[s][w] / toks[s] for s in sources for w in top}
+    z = {}
+    for w in top:
+        vals = [fr[(s, w)] for s in sources]
+        m = sum(vals) / len(vals)
+        sd = math.sqrt(
+            sum((v - m) ** 2 for v in vals) / (len(vals) - 1)
+        )
+        for s in sources:
+            z[(s, w)] = (fr[(s, w)] - m) / sd
+    deltas = sorted(
+        (
+            -sum(abs(z[(a, w)] - z[(b, w)]) for w in top) / len(top),
+            a,
+            b,
+        )
+        for i, a in enumerate(sources)
+        for b in sources[i + 1:]
+    )[:15]
+    got = registry.QUERIES["t_burrows_delta"](spark, SF_SMALL).collect()
+    assert len(got) == 15
+    for row, (negd, a, b) in zip(got, deltas):
+        assert (row["source_a"], row["source_b"]) == (a, b)
+        assert row["delta"] == pytest.approx(-negd, abs=2e-6)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_dedup_replay(spark):
+    import re as _re
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "lang", "n_chars", "text")
+        .collect()
+    )
+    blocks = collections.defaultdict(list)
+    for r in docs:
+        tok1 = _re.split(r"\s+", r["text"].lower())[0]
+        blocks[(r["lang"], tok1, r["n_chars"] // 32)].append(
+            (r["doc_id"], r["text"].lower()[:64])
+        )
+    per_lang = collections.defaultdict(list)
+    for (lang, _, _), members in blocks.items():
+        if len(members) > 64:  # block cap (zipf-prefix hot blocks drop)
+            continue
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                per_lang[lang].append(_lev(members[i][1], members[j][1]))
+    got = {
+        r["lang"]: r
+        for r in registry.QUERIES["t_edit_distance_dedup"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(per_lang)
+    for lang, dists in per_lang.items():
+        assert got[lang]["n_pairs_checked"] == len(dists)
+        assert got[lang]["n_neardup"] == sum(1 for d in dists if d <= 16)
+        assert got[lang]["min_dist"] == min(dists)
+        assert got[lang]["avg_dist"] == pytest.approx(
+            sum(dists) / len(dists), abs=1e-6
+        )
+
+
+def _median(vals):
+    s = sorted(vals)
+    n = len(s)
+    mid = n // 2
+    return float(s[mid]) if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
+def test_hampel_replay(spark):
+    daily = {
+        r["d"]: r["rev"]
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+        .collect()
+    }
+    import datetime as dt
+
+    scored = []
+    for d, rev in daily.items():
+        win = [
+            daily[d + dt.timedelta(days=k)]
+            for k in range(-3, 4)
+            if d + dt.timedelta(days=k) in daily
+        ]
+        med = _median(win)
+        mad = _median([abs(v - med) for v in win])
+        scored.append((abs(rev - med) - 4.4478 * mad, d, rev, med, mad))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    got = registry.QUERIES["w_hampel_filter"](spark, SF_SMALL).collect()
+    assert len(got) == 10
+    for row, (exc, d, rev, med, mad) in zip(got, scored[:10]):
+        assert row["day"] == d and row["rev_cents"] == rev
+        assert row["med_cents"] == pytest.approx(med, abs=0.01)
+        assert row["excess"] == pytest.approx(exc, abs=0.02)
+        assert row["is_outlier"] == (1 if abs(rev - med) > 4.4478 * mad else 0)
+
+
+def test_page_hinkley_replay(spark):
+    rows = sorted(
+        (r["d"], r["x"])
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .collect()
+    )
+    s = m = 0.0
+    mn = 0.0
+    best = (-1.0, None)
+    for i, (d, x) in enumerate(rows, 1):
+        s += x
+        m += x - s / i
+        mn = min(mn, m)
+        ph = m - mn
+        if ph > best[0]:
+            best = (ph, d)
+    xs = [x for _, x in rows]
+    mean = sum(xs) / len(xs)
+    lam = 5.0 * math.sqrt(
+        sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
+    )
+    row = registry.QUERIES["w_page_hinkley"](spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == len(rows)
+    assert row["ph_max"] == pytest.approx(best[0], abs=1e-3)
+    assert row["ph_argmax_day"] == best[1]
+    assert row["lambda_gate"] == pytest.approx(lam, abs=1e-3)
+    assert row["drift_alarm"] == (1 if best[0] > lam else 0)

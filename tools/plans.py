@@ -117,6 +117,9 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_durbin_watson": "bounded: calendar-day residual axis (~2.4k "
     "days at any corpus size; the a_chatterjee_xi daily-series "
     "pattern — the lag window never sees row-grain data)",
+    "a_mood_median": "bounded: cents value census (value ∈ [0, 490] → "
+    "≤ ~49k census rows at ANY corpus size; one cumulative window to "
+    "read the exact grand median off the census)",
     "a_pettitt": "bounded: calendar-day axes on BOTH windows (value "
     "census <= n_days rows; the U_t sweep is one time-order cumsum)",
     "a_pr_auc": "bounded: $1000 price-band score axis (~500 bands, "
@@ -188,6 +191,9 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "weighted sum on the monthly rollup; 6-row holdout join)",
     "w_pacf": "bounded: calendar-day axis (~2.4k days; one 3-lag "
     "window pass on the daily rollup, recursion on a 1-row frame)",
+    "w_page_hinkley": "bounded: calendar-day axis (~2.4k days at any "
+    "corpus size; four stacked cumulative windows on the daily "
+    "rollup — the streaming twin keeps two scalars of state)",
     "w_burn_rate": "saturating: SLO-window buckets (531->720)",
     "q_running_backlog": "saturating: open-day axis (1638->2499)",
     "q_hazard_curve": "saturating: distinct lifetime days (18->26)",

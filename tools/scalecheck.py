@@ -112,6 +112,13 @@ LINEAR_KEYS = {
     # length probes map-side + one source rollup — scan-speed
     "m_id3v1_tags": "documents",  # round 14: O(128)/doc trailer parse
     # in one mapInPandas chain
+    "t_good_turing": "documents",  # round 15: two stacked groupBys —
+    # vocab census then the SHRINKING freq-of-freq rollup
+    "t_burrows_delta": "documents",  # round 15: vocab groupBy + all
+    # later stages on the sources x 20 scaffold (catalog-bounded)
+    "t_edit_distance_dedup": "documents",  # round 15: block-size cap
+    # (<=64) bounds pair fan-out at C(64,2)/block on the zipf corpus —
+    # the uncapped top-token block would grow ~N and bend this row
     "t_source_overlap": "documents",  # round 10: gram-digest equi-join with
     # a<b canonicalization; work ∝ shared-gram postings, top-20 output
     "m_zip_archive_extract": "documents",  # Arrow synth+decode, no payload shuffle
@@ -358,6 +365,12 @@ RELATIONAL_LINEAR_KEYS = {
     "a_pettitt": "orders",  # round 14: value census + two cumulative
     # windows, both calendar-bounded
     "a_cochran_q": "orders",  # round 14: one subject groupBy + 7 sums
+    "a_js_divergence": "orders",  # round 15: one (band, era) census on
+    # the bounded price grid + a band-frame reduction
+    "w_hampel_filter": "orders",  # round 15: daily rollup + explode(7)
+    # equi-join on the calendar axis; medians on 7-wide frames
+    "w_page_hinkley": "orders",  # round 15: daily rollup + four
+    # cumulative windows on the bounded calendar axis
 }
 # iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
 # dup-chain-bounded propagation (t_dup_clusters) — linear PER ITERATION
@@ -381,6 +394,11 @@ EVENTS_LINEAR_KEYS = {
     "q_dau_wau": "events",   # rolling-distinct growth metrics, day-bounded
     "a_count_min": "events", # CMS grid build + probe, sketch-bounded state
     "w_cusum_alarm": "events",  # prefix-sum/running-min windows, day axis
+    "a_bartlett_test": "events",  # round 15: one moment groupBy (k=5
+    # rows out) + a 5-row reduction
+    "a_mood_median": "events",  # round 15: cents census (value-domain-
+    # bounded) + one grouped dichotomize pass
+    "a_sign_test": "events",  # round 15: day rollup + two counters
     "st_session": "events",  # round 9: first STREAMING ladder row — a real
     # availableNow micro-batch run per measurement; wall includes the
     # fixed streaming-runtime startup, so the signal is that the
