@@ -157,6 +157,9 @@ HEADLINE = [
     "t_edit_distance_dedup",  # round 15: blocked Levenshtein verify stage
     "w_hampel_filter",  # round 15: robust despike, median/MAD windows
     "w_page_hinkley",  # round 15: self-baselining drift detector
+    "a_jonckheere",  # round 15: ordered-trend J-T on the 250-cell census
+    "s_encoding_advisor",  # round 15: all-column distinct census, 1 shuffle
+    "v_filtered_ann_recall",  # round 15: post-filter predicate cost
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -6767,3 +6767,147 @@ def v_sq8_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "v_filtered_ann_recall",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlab, embedding AS qe,
+               {_DUCK_NRM.format(a='embedding')} AS nq
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    p AS (
+        SELECT q.query_id, q.qlab, c.vec_id AS cand_id, c.label AS clab,
+               round({_DUCK_DOT.format(a='q.qe', b='c.embedding')}
+                     / (q.nq * {_DUCK_NRM.format(a='c.embedding')}), 6)
+                   + 0 AS cos
+        FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+    ),
+    truth AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, cand_id) AS rn
+            FROM p WHERE clab = qlab
+        ) WHERE rn <= 5
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, qlab, clab,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rn
+        FROM p
+    ),
+    surv AS (
+        SELECT query_id,
+               CAST(sum(CASE WHEN clab = qlab THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_survivors
+        FROM ranked WHERE rn <= 20 GROUP BY query_id
+    ),
+    served AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rn) AS rn2
+            FROM ranked WHERE rn <= 20 AND clab = qlab
+        ) WHERE rn2 <= 5
+    )
+    SELECT t.query_id,
+           CAST(count(s.cand_id) AS BIGINT) AS n_hit,
+           round(count(s.cand_id) / 5.0, 6) + 0 AS recall_at_5,
+           max(v.n_survivors) AS n_survivors
+    FROM truth t
+    LEFT JOIN served s ON s.query_id = t.query_id
+                      AND s.cand_id = t.cand_id
+    JOIN surv v ON v.query_id = t.query_id
+    GROUP BY t.query_id ORDER BY t.query_id
+    """,
+)
+def v_filtered_ann_recall(spark, sf_dir):
+    """Filtered vector search, measured: recall@5 of POST-FILTERING (take
+    the unfiltered cosine top-20, then keep only candidates whose label
+    matches the query's, serve the first 5) against the ground truth of
+    filtering BEFORE ranking (exact top-5 among same-label candidates).
+    Post-filtering is what a vanilla ANN index forces you to do when
+    queries carry metadata predicates — and its recall collapses
+    exactly when the filter is selective (few survivors in the top-20),
+    which n_survivors makes visible per query. This is the
+    decision-grade number behind every "pre-filter vs post-filter vs
+    filtered-HNSW" design debate; the IVF/LSH keys measure index
+    cheapness, this key measures PREDICATE cost.
+
+    Exactness: both arms rank the same 6dp-snapped cosine frame with
+    the same (cos desc, cand_id) tiebreak, so truth and served are
+    deterministic row sets on both engines; counts are BIGINT.
+
+    Scale: one broadcast pair scan for the 5-query probe set (the
+    v_cosine_topk shape — queries broadcast, candidates scanned once,
+    WindowGroupLimit keeps per-query heaps); the filtered arms are
+    windows PARTITIONED by query over ≤20-row frames. At 100 TB the
+    probe set is a sampled eval batch and the same plan measures any
+    candidate filter — swap the label equality for the production
+    predicate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qe"),
+        F.expr(_NRM.format(a="embedding")).alias("nq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clab"),
+        F.col("embedding").alias("ce"),
+        F.expr(_NRM.format(a="embedding")).alias("nc"),
+    )
+    cos = F.expr(_DOT.format(a="qe", b="ce")) / (F.col("nq") * F.col("nc"))
+    p = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "qlab", "cand_id", "clab", f6(cos).alias("cos"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "cand_id"
+    )
+    truth = (
+        p.where(F.col("clab") == F.col("qlab"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "cand_id")
+    )
+    ranked = p.withColumn("rn", F.row_number().over(wq)).where(
+        F.col("rn") <= 20
+    )
+    surv = ranked.groupBy("query_id").agg(
+        F.sum(F.when(F.col("clab") == F.col("qlab"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_survivors")
+    )
+    served = (
+        ranked.where(F.col("clab") == F.col("qlab"))
+        .withColumn(
+            "rn2",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("rn")
+            ),
+        )
+        .where(F.col("rn2") <= 5)
+        .select(F.col("query_id").alias("sq"), F.col("cand_id").alias("sc"))
+    )
+    return (
+        truth.join(
+            served,
+            (truth.query_id == F.col("sq"))
+            & (truth.cand_id == F.col("sc")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("sc").cast("long").alias("n_hit"),
+            f6(F.count("sc") / 5.0).alias("recall_at_5"),
+        )
+        .join(F.broadcast(surv), "query_id")
+        .select("query_id", "n_hit", "recall_at_5", "n_survivors")
+        .orderBy("query_id")
+    )

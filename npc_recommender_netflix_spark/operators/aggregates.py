@@ -12856,3 +12856,123 @@ def a_js_divergence(spark, sf_dir):
             "total_variation",
         )
     )
+
+
+@register(
+    "a_jonckheere",
+    """
+    WITH census AS (
+        SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS g,
+               CAST(l.l_quantity AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS n FROM census GROUP BY g
+    ),
+    j2 AS (
+        SELECT CAST(sum(CASE WHEN a.v < b.v THEN 2 * a.c * b.c
+                             WHEN a.v = b.v THEN a.c * b.c
+                             ELSE 0 END) AS BIGINT) AS j2
+        FROM census a JOIN census b ON a.g < b.g
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(n * n) AS BIGINT) AS sn2,
+               CAST(sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS DOUBLE)
+                   AS sn23
+        FROM sizes
+    )
+    SELECT t.nn AS n_obs,
+           CAST(j.j2 / 2.0 AS DOUBLE) + 0 AS jt_stat,
+           CAST((CAST(t.nn AS DOUBLE) * t.nn - t.sn2) / 4.0 AS DOUBLE) + 0
+               AS jt_mean,
+           round((j.j2 / 2.0
+                  - (CAST(t.nn AS DOUBLE) * t.nn - t.sn2) / 4.0)
+                 / sqrt((CAST(t.nn AS DOUBLE) * t.nn * (2.0 * t.nn + 3)
+                         - t.sn23) / 72.0), 6) + 0 AS z,
+           CASE WHEN abs((j.j2 / 2.0
+                          - (CAST(t.nn AS DOUBLE) * t.nn - t.sn2) / 4.0)
+                         / sqrt((CAST(t.nn AS DOUBLE) * t.nn
+                                 * (2.0 * t.nn + 3) - t.sn23) / 72.0))
+                     > 1.959964 THEN 1 ELSE 0 END AS trend_flag
+    FROM j2 j, tot t
+    """,
+)
+def a_jonckheere(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-alternative trend test: does line
+    quantity shift MONOTONICALLY across the five ordered priority
+    classes (1-URGENT < … < 5-LOW)? J = Σ_{i<j} U_ij (pairwise
+    Mann-Whitney counts between every ordered group pair, ties ½),
+    z = (J − (N²−Σn_i²)/4) / √((N²(2N+3) − Σn_i²(2n_i+3))/72) — the
+    classical no-tie-correction form, shared 1.959964 gate. Kruskal-
+    Wallis asks "do the groups differ AT ALL"; J-T spends its power on
+    the ordered alternative the priority axis actually encodes, which
+    is why it detects monotone shifts K-W dilutes.
+
+    Exactness: the (group, quantity) census is bounded by 5 × the
+    quantity domain (~250 cells at any corpus size); J is assembled in
+    DOUBLED units (2·[x<y] + [x=y]) so every tie contributes an exact
+    integer, and the cell cross-join is ≤250² broadcast rows. Σn²(2n+3)
+    exceeds int64 near ~2M rows/group, so the oracle widens that one
+    moment to HUGEINT before its cast to DOUBLE; Spark computes it in
+    DOUBLE directly (exact until n_i > 2^52, then both engines round
+    identically at the 6dp snap).
+
+    Scale: one map-side-combinable census groupBy is the only
+    data-sized pass — the same cells-not-rows discipline as
+    a_somers_d's concordance census; groups add census rows, never
+    passes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    census = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("g"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sizes = census.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    a, b = census.alias("a"), census.alias("b")
+    j2 = (
+        a.join(F.broadcast(b), F.col("a.g") < F.col("b.g"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("a.v") < F.col("b.v"),
+                    2 * F.col("a.c") * F.col("b.c"),
+                )
+                .when(
+                    F.col("a.v") == F.col("b.v"),
+                    F.col("a.c") * F.col("b.c"),
+                )
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("j2")
+        )
+    )
+    tot = sizes.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sn2"),
+        F.sum(
+            F.col("n").cast("double")
+            * F.col("n")
+            * (2 * F.col("n") + 3)
+        ).alias("sn23"),
+    )
+    nn = F.col("nn").cast("double")
+    jt = F.col("j2") / 2.0
+    mean = (nn * F.col("nn") - F.col("sn2")) / 4.0
+    sd = F.sqrt((nn * F.col("nn") * (2.0 * F.col("nn") + 3) - F.col("sn23")) / 72.0)
+    z = (jt - mean) / sd
+    return j2.crossJoin(F.broadcast(tot)).select(
+        F.col("nn").alias("n_obs"),
+        (jt + 0).cast("double").alias("jt_stat"),
+        (mean + 0).cast("double").alias("jt_mean"),
+        f6(z).alias("z"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("trend_flag"),
+    )

@@ -2617,3 +2617,107 @@ def s_bin_packing(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "s_encoding_advisor",
+    """
+    WITH pairs AS (
+        SELECT 'l_returnflag' AS col, l_returnflag AS val FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', l_linestatus FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+    ),
+    vc AS (
+        SELECT col, val, CAST(count(*) AS BIGINT) AS c
+        FROM pairs GROUP BY col, val
+    ),
+    stats AS (
+        SELECT col,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_count
+        FROM vc GROUP BY col
+    )
+    SELECT col, n_rows, n_distinct,
+           round(n_distinct * 1.0 / n_rows, 6) + 0 AS distinct_ratio,
+           round(top_count * 1.0 / n_rows, 6) + 0 AS top_share,
+           CASE WHEN n_distinct * 1.0 / n_rows <= 0.001 THEN 'DICTIONARY'
+                WHEN n_distinct * 1.0 / n_rows <= 0.1 THEN 'DICTIONARY_WIDE'
+                ELSE 'PLAIN' END AS advice
+    FROM stats ORDER BY col
+    """,
+)
+def s_encoding_advisor(spark, sf_dir):
+    """Column-encoding advisor: exact distinct-value cardinality, top-
+    value share, and a dictionary-vs-plain recommendation for six
+    lineitem columns in ONE shuffle — the statistics a rewriter (or
+    `OPTIMIZE`/`ANALYZE`) needs to decide parquet encodings. Distinct
+    ratio ≤ 0.1% → DICTIONARY pays everywhere (flags, statuses);
+    ≤ 10% → a wide dictionary still wins (keys, dates); above that the
+    dictionary overhead exceeds the plain encoding (near-unique
+    columns). Top-value share is the RLE signal printed beside it.
+
+    Plan shape is the point: naive per-column `count(distinct)` is one
+    SHUFFLE PER COLUMN; stacking the columns into one (col, val) frame
+    (a UNION of projections — map-side, no join) makes the exact
+    census of ALL columns a single groupBy whose key space is the sum
+    of the columns' value domains. Values are stringified so one frame
+    carries every type — the dictionary-encoding question is about
+    distinctness, not arithmetic.
+
+    Scale: the stacked frame is (#cols × rows), all map-side until the
+    one census shuffle; at 100 TB you run this on a row-group sample
+    or fold it into compaction's existing scan — either way it stays
+    ONE pass. The census frame itself is bounded by Σ value domains.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [
+        ("l_returnflag", F.col("l_returnflag")),
+        ("l_linestatus", F.col("l_linestatus")),
+        ("l_partkey", F.col("l_partkey").cast("string")),
+        ("l_quantity", F.col("l_quantity").cast("long").cast("string")),
+        ("l_shipdate", F.col("l_shipdate").cast("date").cast("string")),
+        ("l_suppkey", F.col("l_suppkey").cast("string")),
+    ]
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col"), expr.alias("val")
+                    )
+                    for name, expr in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.val")
+    vc = pairs.groupBy("col", "val").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    stats = vc.groupBy("col").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    ratio = F.col("n_distinct") * 1.0 / F.col("n_rows")
+    return stats.select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        f6(ratio).alias("distinct_ratio"),
+        f6(F.col("top_count") * 1.0 / F.col("n_rows")).alias("top_share"),
+        F.when(ratio <= 0.001, "DICTIONARY")
+        .when(ratio <= 0.1, "DICTIONARY_WIDE")
+        .otherwise("PLAIN")
+        .alias("advice"),
+    ).orderBy("col")

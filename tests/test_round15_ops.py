@@ -309,3 +309,116 @@ def test_page_hinkley_replay(spark):
     assert row["ph_argmax_day"] == best[1]
     assert row["lambda_gate"] == pytest.approx(lam, abs=1e-3)
     assert row["drift_alarm"] == (1 if best[0] > lam else 0)
+
+
+def test_jonckheere_replay(spark):
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{SF_SMALL}/orders.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("g"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .collect()
+    )
+    census = collections.Counter((r["g"], r["v"]) for r in rows)
+    sizes = collections.Counter()
+    for (g, _), c in census.items():
+        sizes[g] += c
+    j2 = 0
+    for (ga, va), ca in census.items():
+        for (gb, vb), cb in census.items():
+            if ga < gb:
+                if va < vb:
+                    j2 += 2 * ca * cb
+                elif va == vb:
+                    j2 += ca * cb
+    n = sum(sizes.values())
+    mean = (n * n - sum(c * c for c in sizes.values())) / 4.0
+    var = (
+        n * n * (2 * n + 3)
+        - sum(c * c * (2 * c + 3) for c in sizes.values())
+    ) / 72.0
+    row = registry.QUERIES["a_jonckheere"](spark, SF_SMALL).collect()[0]
+    assert row["n_obs"] == n
+    assert row["jt_stat"] == pytest.approx(j2 / 2.0, abs=1e-6)
+    assert row["jt_mean"] == pytest.approx(mean, abs=1e-6)
+    assert row["z"] == pytest.approx(
+        (j2 / 2.0 - mean) / math.sqrt(var), abs=2e-6
+    )
+
+
+def test_encoding_advisor_replay(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").collect()
+    import datetime as dt
+
+    def col(r, name):
+        if name == "l_quantity":
+            return str(int(r[name]))
+        if name == "l_shipdate":
+            v = r[name]
+            return (v.date() if isinstance(v, dt.datetime) else v).isoformat()
+        return str(r[name])
+
+    got = {
+        r["col"]: r
+        for r in registry.QUERIES["s_encoding_advisor"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    for name in ("l_returnflag", "l_partkey", "l_quantity", "l_shipdate"):
+        vals = collections.Counter(col(r, name) for r in li)
+        assert got[name]["n_rows"] == len(li)
+        assert got[name]["n_distinct"] == len(vals)
+        assert got[name]["top_share"] == pytest.approx(
+            max(vals.values()) / len(li), abs=1e-6
+        )
+    # flags are low-cardinality -> DICTIONARY; keys near-unique at this
+    # sf land PLAIN or wide depending on the ratio — assert the flag one
+    assert got["l_returnflag"]["advice"] == "DICTIONARY"
+
+
+def test_filtered_ann_recall_replay(spark):
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    labs = {r["vec_id"]: r["label"] for r in rows}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    got = {
+        r["query_id"]: r
+        for r in registry.QUERIES["v_filtered_ann_recall"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    for qid in (0, 1, 2, 3, 4):
+        qv = vecs[qid]
+        nq = math.sqrt((qv * qv).sum())
+        scored = []
+        for cid in ids:
+            if cid == qid:
+                continue
+            cv = vecs[cid]
+            cos = round(
+                float((qv * cv).sum()) / (nq * math.sqrt((cv * cv).sum())),
+                6,
+            )
+            scored.append((-cos, cid, labs[cid]))
+        scored.sort()
+        truth = [c for _, c, lb in scored if lb == labs[qid]][:5]
+        top20 = scored[:20]
+        surv = [c for _, c, lb in top20 if lb == labs[qid]]
+        served = surv[:5]
+        n_hit = len(set(truth) & set(served))
+        assert got[qid]["n_survivors"] == len(surv)
+        assert got[qid]["n_hit"] == n_hit
+        assert got[qid]["recall_at_5"] == pytest.approx(n_hit / 5.0, abs=1e-9)
+        # post-filter recall can only lose vs filter-first
+        assert got[qid]["n_hit"] <= 5

@@ -119,6 +119,8 @@ LINEAR_KEYS = {
     "t_edit_distance_dedup": "documents",  # round 15: block-size cap
     # (<=64) bounds pair fan-out at C(64,2)/block on the zipf corpus —
     # the uncapped top-token block would grow ~N and bend this row
+    "v_filtered_ann_recall": "embeddings",  # round 15: one broadcast
+    # pair scan for 5 queries; filtered arms are <=20-row windows
     "t_source_overlap": "documents",  # round 10: gram-digest equi-join with
     # a<b canonicalization; work ∝ shared-gram postings, top-20 output
     "m_zip_archive_extract": "documents",  # Arrow synth+decode, no payload shuffle
@@ -371,6 +373,10 @@ RELATIONAL_LINEAR_KEYS = {
     # equi-join on the calendar axis; medians on 7-wide frames
     "w_page_hinkley": "orders",  # round 15: daily rollup + four
     # cumulative windows on the bounded calendar axis
+    "a_jonckheere": "lineitem",  # round 15: one (group, quantity)
+    # census groupBy; pair assembly is a <=250^2 broadcast cell cross
+    "s_encoding_advisor": "lineitem",  # round 15: stacked (col, val)
+    # frame -> ONE census shuffle for six columns' exact distincts
 }
 # iterative ops: fixed iteration counts (pagerank 3, kcore 4 peels) or
 # dup-chain-bounded propagation (t_dup_clusters) — linear PER ITERATION
