@@ -160,6 +160,7 @@ HEADLINE = [
     "a_jonckheere",  # round 15: ordered-trend J-T on the 250-cell census
     "s_encoding_advisor",  # round 15: all-column distinct census, 1 shuffle
     "v_filtered_ann_recall",  # round 15: post-filter predicate cost
+    "a_robust_location",  # round 15: trimmed/winsorized means, census-exact
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

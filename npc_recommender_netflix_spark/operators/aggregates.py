@@ -12976,3 +12976,145 @@ def a_jonckheere(spark, sf_dir):
         f6(z).alias("z"),
         F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("trend_flag"),
     )
+
+
+@register(
+    "a_robust_location",
+    """
+    WITH base AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    census AS (
+        SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents, cnt,
+               CAST(sum(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS hi,
+               CAST(sum(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt AS BIGINT) AS lo,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM census
+    ),
+    bounds AS (
+        SELECT max(n) AS n,
+               CAST((max(n) + 9) // 10 AS BIGINT) AS k,
+               min(CASE WHEN hi > (n + 9) // 10 THEN cents END) AS lo_val,
+               max(CASE WHEN lo < n - (n + 9) // 10 THEN cents END)
+                   AS hi_val,
+               min(CASE WHEN hi >= (n + 1) // 2 THEN cents END) AS med
+        FROM cum
+    ),
+    sums AS (
+        SELECT b.n, b.k, b.lo_val, b.hi_val, b.med,
+               CAST(sum(c.cnt * c.cents) AS BIGINT) AS s_all,
+               CAST(sum(GREATEST(LEAST(c.hi, b.n - b.k)
+                                 - GREATEST(c.lo, b.k), 0) * c.cents)
+                    AS BIGINT) AS s_trim
+        FROM cum c, bounds b
+        GROUP BY b.n, b.k, b.lo_val, b.hi_val, b.med
+    )
+    SELECT n AS n_obs, k AS k_trimmed_each_side,
+           round(s_all * 1.0 / n, 4) + 0 AS mean_cents,
+           round(s_trim * 1.0 / (n - 2 * k), 4) + 0 AS trimmed_mean_cents,
+           round((s_trim + k * lo_val + k * hi_val) * 1.0 / n, 4) + 0
+               AS winsorized_mean_cents,
+           CAST(med AS BIGINT) AS median_cents
+    FROM sums
+    """,
+)
+def a_robust_location(spark, sf_dir):
+    """Robust-location battery in one row: mean, 10%-trimmed mean,
+    10%-winsorized mean, and the exact lower median of event cents —
+    the four estimators whose DISAGREEMENT is the outlier/skew
+    diagnostic (mean >> trimmed => a heavy right tail is doing the
+    work; trimmed ~ winsorized ~ median => the tail is thin). Trimming
+    DROPS the k = ceil(N/10) most extreme values each side; winsorizing
+    CLAMPS them to the surviving boundary values, so the winsorized sum
+    is EXACTLY s_trim + k*lo_val + k*hi_val — an identity, not a second
+    pass. Each census cell contributes min(hi, N-k) - max(lo, k)
+    surviving rows via cumulative-count interval arithmetic; no row
+    ever sorts.
+
+    Exactness: every sum is BIGINT over exact cents; the boundary
+    values and the median are order statistics read off the census
+    (the a_mood_median discipline); the three means are the only
+    floats, 4dp-snapped.
+
+    Scale: ONE census groupBy (value-domain-bounded, <= ~49k cells at
+    any corpus size) + one cumulative window on the census + a 1-group
+    reduction. The classic sort-based trimmed mean is O(N log N) with
+    a global sort barrier; the census form is one shuffle and a
+    bounded window — the same reason a_gini prefix-sums a census.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    census = (
+        ev.select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .groupBy("cents")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = census.select(
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("long").alias("hi"),
+        (F.sum("cnt").over(wcum) - F.col("cnt")).cast("long").alias("lo"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    k = F.floor((F.col("n") + 9) / 10).cast("long")
+    bounds = cum.agg(
+        F.max("n").alias("n"),
+        F.floor((F.max("n") + 9) / 10).cast("long").alias("k"),
+        F.min(F.when(F.col("hi") > k, F.col("cents"))).alias("lo_val"),
+        F.max(F.when(F.col("lo") < F.col("n") - k, F.col("cents"))).alias(
+            "hi_val"
+        ),
+        F.min(
+            F.when(
+                F.col("hi") >= F.floor((F.col("n") + 1) / 2), F.col("cents")
+            )
+        ).alias("med"),
+    )
+    bk = F.col("k")
+    surv = F.greatest(
+        F.least(F.col("hi"), F.col("n") - bk) - F.greatest(F.col("lo"), bk),
+        F.lit(0),
+    )
+    sums = (
+        cum.drop("n")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("n", "k", "lo_val", "hi_val", "med")
+        .agg(
+            F.sum(F.col("cnt") * F.col("cents")).cast("long").alias("s_all"),
+            F.sum(surv * F.col("cents")).cast("long").alias("s_trim"),
+        )
+    )
+    return sums.select(
+        F.col("n").alias("n_obs"),
+        F.col("k").alias("k_trimmed_each_side"),
+        (F.round(F.col("s_all") * 1.0 / F.col("n"), 4) + 0).alias(
+            "mean_cents"
+        ),
+        (
+            F.round(F.col("s_trim") * 1.0 / (F.col("n") - 2 * F.col("k")), 4)
+            + 0
+        ).alias("trimmed_mean_cents"),
+        (
+            F.round(
+                (
+                    F.col("s_trim")
+                    + F.col("k") * F.col("lo_val")
+                    + F.col("k") * F.col("hi_val")
+                )
+                * 1.0
+                / F.col("n"),
+                4,
+            )
+            + 0
+        ).alias("winsorized_mean_cents"),
+        F.col("med").cast("long").alias("median_cents"),
+    )

@@ -422,3 +422,25 @@ def test_filtered_ann_recall_replay(spark):
         assert got[qid]["recall_at_5"] == pytest.approx(n_hit / 5.0, abs=1e-9)
         # post-filter recall can only lose vs filter-first
         assert got[qid]["n_hit"] <= 5
+
+
+def test_robust_location_replay(spark, events_rows):
+    cents = sorted(c for _, c, _ in events_rows)
+    n = len(cents)
+    k = (n + 9) // 10
+    trimmed = cents[k:n - k]
+    wins = [cents[k]] * k + trimmed + [cents[n - k - 1]] * k
+    row = registry.QUERIES["a_robust_location"](spark, SF_SMALL).collect()[0]
+    assert row["n_obs"] == n and row["k_trimmed_each_side"] == k
+    assert row["mean_cents"] == pytest.approx(sum(cents) / n, abs=1e-3)
+    assert row["trimmed_mean_cents"] == pytest.approx(
+        sum(trimmed) / len(trimmed), abs=1e-3
+    )
+    assert row["winsorized_mean_cents"] == pytest.approx(
+        sum(wins) / n, abs=1e-3
+    )
+    assert row["median_cents"] == cents[(n + 1) // 2 - 1]
+    # ordering sanity: trimmed/winsorized sit between median and mean
+    # only when the tail is one-sided; at minimum they are finite and
+    # within the value domain
+    assert cents[0] <= row["trimmed_mean_cents"] <= cents[-1]

@@ -120,6 +120,9 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_mood_median": "bounded: cents value census (value ∈ [0, 490] → "
     "≤ ~49k census rows at ANY corpus size; one cumulative window to "
     "read the exact grand median off the census)",
+    "a_robust_location": "bounded: cents value census (same ≤ ~49k "
+    "value-domain axis as a_mood_median; one cumulative window feeds "
+    "the trim/winsorize interval arithmetic)",
     "a_pettitt": "bounded: calendar-day axes on BOTH windows (value "
     "census <= n_days rows; the U_t sweep is one time-order cumsum)",
     "a_pr_auc": "bounded: $1000 price-band score axis (~500 bands, "

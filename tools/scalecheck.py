@@ -405,6 +405,8 @@ EVENTS_LINEAR_KEYS = {
     "a_mood_median": "events",  # round 15: cents census (value-domain-
     # bounded) + one grouped dichotomize pass
     "a_sign_test": "events",  # round 15: day rollup + two counters
+    "a_robust_location": "events",  # round 15: value census + one
+    # bounded cumulative window; trim/winsorize is interval arithmetic
     "st_session": "events",  # round 9: first STREAMING ladder row — a real
     # availableNow micro-batch run per measurement; wall includes the
     # fixed streaming-runtime startup, so the signal is that the
