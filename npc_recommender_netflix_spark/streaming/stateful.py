@@ -102,3 +102,84 @@ def st_funnel_stateful(spark, sf_dir):
 # lacks and cannot install. The applyInPandasWithState operators cover the
 # arbitrary-state surface; swap to the typed-handle API where protobuf is
 # available.
+
+
+@register("st_page_hinkley")  # rows-only: custom stateful streaming op
+def st_page_hinkley(spark, sf_dir):
+    """Streaming twin of `w_page_hinkley`: one Page-Hinkley drift
+    detector PER EVENT TYPE over the daily value series, state advanced
+    by `applyInPandasWithState`. State is the (day → cents-sum) vector
+    for the type's 30-day window — each micro-batch folds its rows into
+    the day sums and re-sweeps the PH recursion over the ≤30-entry
+    vector, so the emitted statistic is IDENTICAL under any batch split
+    (a scalar-state PH would double-count a day that straddles two
+    batches). λ = 5σ of the day series, like the batch twin.
+
+    Scale: detectors are partitioned by event_type (in production, by
+    metric × segment — thousands of independent keys); state is ≤30
+    (day, sum) pairs per key, RocksDB-ready, and the per-batch sweep is
+    O(days) python over a bounded vector. Day-grain closure at true
+    scale comes from the source watermark, after which the day vector
+    compacts to the (m, min_m, n, Σ, Σ²) scalar five — this bounded
+    form is the replay-exact teaching shape, pinned against a pure-
+    Python PH in tests/test_round15_ops.py.
+    """
+    def advance(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        days, sums = (
+            (list(state.get[0]), list(state.get[1]))
+            if state.exists
+            else ([], [])
+        )
+        acc = dict(zip(days, sums))
+        for pdf in pdfs:
+            d = (pdf["ts"].dt.floor("D").astype("int64") // 86_400_000_000_000)
+            c = (pdf["value"] * 100).round().astype("int64")
+            for day, cents in zip(d, c):
+                acc[int(day)] = acc.get(int(day), 0) + int(cents)
+        state.update((list(acc.keys()), list(acc.values())))
+        xs = [acc[d] for d in sorted(acc)]
+        ds = sorted(acc)
+        s = m = 0.0
+        mn = 0.0
+        best, best_d = -1.0, ds[0]
+        for i, (d, x) in enumerate(zip(ds, xs), 1):
+            s += x
+            m += x - s / i
+            mn = min(mn, m)
+            if m - mn > best:
+                best, best_d = m - mn, d
+        mean = sum(xs) / len(xs)
+        var = (
+            sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
+            if len(xs) > 1
+            else 0.0
+        )
+        lam = 5.0 * var ** 0.5
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [len(xs)],
+                "ph_max": [round(best, 4)],
+                "ph_argmax_day": [
+                    pd.Timestamp(best_d * 86_400_000_000_000).date()
+                ],
+                "lambda_gate": [round(lam, 4)],
+                "drift_alarm": [1 if best > lam else 0],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("event_type", "ts", "value")
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        advance,
+        outputStructType=(
+            "event_type STRING, n_days LONG, ph_max DOUBLE, "
+            "ph_argmax_day DATE, lambda_gate DOUBLE, drift_alarm LONG"
+        ),
+        stateStructType="days ARRAY<LONG>, sums ARRAY<LONG>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = run_to_memory(out, "update")
+    return spark.table(name).orderBy("event_type")

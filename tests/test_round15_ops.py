@@ -444,3 +444,42 @@ def test_robust_location_replay(spark, events_rows):
     # only when the tail is one-sided; at minimum they are finite and
     # within the value domain
     assert cents[0] <= row["trimmed_mean_cents"] <= cents[-1]
+
+
+def test_st_page_hinkley_parity_with_python_replay(spark, events_rows):
+    """The streaming PH detector (bounded day-vector state) must emit
+    exactly the statistic a sequential Python PH computes over the same
+    per-type daily cents series — the replay-exactness the batch twin's
+    oracle provides for w_page_hinkley."""
+    per = collections.defaultdict(lambda: collections.defaultdict(int))
+    for et, c, ts in events_rows:
+        per[et][ts.date()] += c
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["st_page_hinkley"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for et, daily in per.items():
+        ds = sorted(daily)
+        xs = [daily[d] for d in ds]
+        s = m = 0.0
+        mn = 0.0
+        best, best_d = -1.0, ds[0]
+        for i, (d, x) in enumerate(zip(ds, xs), 1):
+            s += x
+            m += x - s / i
+            mn = min(mn, m)
+            if m - mn > best:
+                best, best_d = m - mn, d
+        mean = sum(xs) / len(xs)
+        var = sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
+        row = got[et]
+        assert row["n_days"] == len(xs)
+        assert row["ph_max"] == pytest.approx(best, abs=1e-3)
+        assert row["ph_argmax_day"] == best_d
+        assert row["lambda_gate"] == pytest.approx(
+            5.0 * math.sqrt(var), abs=1e-3
+        )
+        assert row["drift_alarm"] == (1 if best > 5.0 * math.sqrt(var) else 0)

@@ -407,6 +407,9 @@ EVENTS_LINEAR_KEYS = {
     "a_sign_test": "events",  # round 15: day rollup + two counters
     "a_robust_location": "events",  # round 15: value census + one
     # bounded cumulative window; trim/winsorize is interval arithmetic
+    "st_page_hinkley": "events",  # round 15: stateful PH per event
+    # type; state = <=30 (day, sum) pairs per key — the measured point
+    # is that state and per-batch sweep stay flat while input grows 30x
     "st_session": "events",  # round 9: first STREAMING ladder row — a real
     # availableNow micro-batch run per measurement; wall includes the
     # fixed streaming-runtime startup, so the signal is that the
