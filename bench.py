@@ -161,6 +161,8 @@ HEADLINE = [
     "s_encoding_advisor",  # round 15: all-column distinct census, 1 shuffle
     "v_filtered_ann_recall",  # round 15: post-filter predicate cost
     "a_robust_location",  # round 15: trimmed/winsorized means, census-exact
+    "w_shewhart_imr",  # round 15: I-MR chart, moving-range sigma
+    "a_meta_fixed_effect",  # round 15: inverse-variance pooling + I^2
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

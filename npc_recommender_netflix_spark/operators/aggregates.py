@@ -13118,3 +13118,109 @@ def a_robust_location(spark, sf_dir):
         ).alias("winsorized_mean_cents"),
         F.col("med").cast("long").alias("median_cents"),
     )
+
+
+@register(
+    "a_meta_fixed_effect",
+    """
+    WITH grp AS (
+        SELECT n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS nj,
+               avg(o.o_totalprice) AS xbar,
+               var_samp(o.o_totalprice) AS s2
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    ),
+    pool AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(nj) AS BIGINT) AS n,
+               sum(nj / s2 * xbar) / sum(nj / s2) AS pooled,
+               sum(nj / s2) AS wsum
+        FROM grp
+    ),
+    het AS (
+        SELECT p.k, p.n, p.pooled, p.wsum,
+               sum(g.nj / g.s2 * (g.xbar - p.pooled)
+                   * (g.xbar - p.pooled)) AS q
+        FROM grp g, pool p
+        GROUP BY p.k, p.n, p.pooled, p.wsum
+    )
+    SELECT k AS k_studies, n AS n_obs,
+           round(pooled, 4) + 0 AS pooled_mean,
+           round(1.959964 / sqrt(wsum), 4) + 0 AS ci_halfwidth,
+           round(q, 4) + 0 AS cochran_q_het,
+           round(GREATEST((q - (k - 1)) / q, 0.0), 6) + 0 AS i_squared
+    FROM het
+    """,
+)
+def a_meta_fixed_effect(spark, sf_dir):
+    """Fixed-effect (inverse-variance) meta-analysis across the 25
+    nations treated as independent studies of mean order price:
+    pooled = Σwⱼx̄ⱼ/Σwⱼ with wⱼ = nⱼ/s²ⱼ (the precision weight), 95%
+    CI half-width 1.959964/√Σw, Cochran's heterogeneity Q_het =
+    Σwⱼ(x̄ⱼ − pooled)², and I² = max((Q − df)/Q, 0) — the share of
+    between-study variance that is REAL rather than sampling noise.
+    I² ≈ 0 says one global mean describes every nation (pool away);
+    I² large says the per-nation means genuinely differ and a pooled
+    number misleads — the aggregate-or-stratify decision every
+    multi-segment readout needs, stated as one auditable row. (The
+    OTHER Cochran statistic, a_cochran_q, tests paired binary
+    treatments; the shared name is historical.)
+
+    Exactness: per-nation moments come from one grouped pass; the
+    pooling and Q are reductions over 25 study rows. Means/variances
+    are the engines' shared avg/var_samp on identical doubles; the
+    6dp/4dp snaps absorb summation order.
+
+    Scale: one 3-table join + nation groupBy (25 rows out) — the
+    a_anova_f shape; studies add rows to a tiny frame. At 100 TB
+    "studies" are shards/регions/experiments and this exact plan
+    pools them without moving row-grain data twice.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    grp = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("nj"),
+            F.avg("o_totalprice").alias("xbar"),
+            F.var_samp("o_totalprice").alias("s2"),
+        )
+    )
+    w = F.col("nj") / F.col("s2")
+    pool = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("nj").cast("long").alias("n"),
+        (F.sum(w * F.col("xbar")) / F.sum(w)).alias("pooled"),
+        F.sum(w).alias("wsum"),
+    )
+    het = (
+        grp.crossJoin(F.broadcast(pool))
+        .groupBy("k", "n", "pooled", "wsum")
+        .agg(
+            F.sum(
+                w
+                * (F.col("xbar") - F.col("pooled"))
+                * (F.col("xbar") - F.col("pooled"))
+            ).alias("q")
+        )
+    )
+    return het.select(
+        F.col("k").alias("k_studies"),
+        F.col("n").alias("n_obs"),
+        (F.round(F.col("pooled"), 4) + 0).alias("pooled_mean"),
+        (F.round(1.959964 / F.sqrt(F.col("wsum")), 4) + 0).alias(
+            "ci_halfwidth"
+        ),
+        (F.round(F.col("q"), 4) + 0).alias("cochran_q_het"),
+        f6(
+            F.greatest(
+                (F.col("q") - (F.col("k") - 1)) / F.col("q"), F.lit(0.0)
+            )
+        ).alias("i_squared"),
+    )

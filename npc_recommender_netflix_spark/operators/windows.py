@@ -3022,3 +3022,111 @@ def w_page_hinkley(spark, sf_dir):
         .otherwise(0)
         .alias("drift_alarm"),
     )
+
+
+@register(
+    "w_shewhart_imr",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100 AS x
+        FROM orders GROUP BY 1
+    ),
+    mr AS (
+        SELECT d, x,
+               abs(x - lag(x) OVER (ORDER BY d)) AS mrange
+        FROM daily
+    ),
+    lim AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               avg(CAST(x AS DOUBLE)) AS center,
+               avg(CAST(mrange AS DOUBLE)) AS mrbar
+        FROM mr
+    )
+    SELECT l.n AS n_days,
+           round(l.center, 4) + 0 AS center_usd,
+           round(l.mrbar, 4) + 0 AS mr_bar,
+           round(l.center + 3 * l.mrbar / 1.128, 4) + 0 AS ucl,
+           round(l.center - 3 * l.mrbar / 1.128, 4) + 0 AS lcl,
+           CAST(sum(CASE WHEN m.x > l.center + 3 * l.mrbar / 1.128
+                           OR m.x < l.center - 3 * l.mrbar / 1.128
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_3s,
+           CAST(sum(CASE WHEN m.mrange > 3.267 * l.mrbar
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mr_signals
+    FROM mr m, lim l
+    GROUP BY l.n, l.center, l.mrbar
+    """,
+)
+def w_shewhart_imr(spark, sf_dir):
+    """Shewhart individuals + moving-range (I-MR) control chart on
+    daily revenue — the SPC chart for unit-at-a-time processes: σ̂ =
+    MR̄/d₂ with d₂(2) = 1.128 (the unbiasing constant for 2-point
+    moving ranges), I-chart limits center ± 3σ̂, MR-chart upper limit
+    D₄·MR̄ with D₄(2) = 3.267. Reports both charts' signal counts in
+    one row. The estimator choice IS the operator's point: a global
+    stddev absorbs any drift into the limits (a drifting process looks
+    'in control'); the moving range sees only adjacent-day noise, so
+    drift and level shifts SIGNAL. Completes the monitoring ladder —
+    w_cusum (cumulative, fixed target), w_page_hinkley (self-
+    baselining), w_ewma (weighted memory), I-MR (memoryless limits,
+    the floor every SPC rollout starts from).
+
+    Exactness: daily dollars BIGINT; MR̄/center are one moment pass;
+    limits and signal counts are float comparisons of exact integers
+    against two shared constants. Scale: the daily rollup is the only
+    data-sized pass; the lag window and both signal scans run on the
+    bounded calendar axis.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            / F.lit(100)
+        )
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.orderBy("d")
+    mr = daily.select(
+        "d",
+        "x",
+        F.abs(F.col("x") - F.lag("x").over(w)).alias("mrange"),
+    )
+    lim = mr.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(F.col("x").cast("double")).alias("center"),
+        F.avg(F.col("mrange").cast("double")).alias("mrbar"),
+    )
+    ucl = F.col("center") + 3 * F.col("mrbar") / 1.128
+    lcl = F.col("center") - 3 * F.col("mrbar") / 1.128
+    return (
+        mr.crossJoin(F.broadcast(lim))
+        .groupBy("n", "center", "mrbar")
+        .agg(
+            F.sum(
+                F.when((F.col("x") > ucl) | (F.col("x") < lcl), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_beyond_3s"),
+            F.sum(
+                F.when(F.col("mrange") > 3.267 * F.col("mrbar"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_mr_signals"),
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            (F.round(F.col("center"), 4) + 0).alias("center_usd"),
+            (F.round(F.col("mrbar"), 4) + 0).alias("mr_bar"),
+            (F.round(ucl, 4) + 0).alias("ucl"),
+            (F.round(lcl, 4) + 0).alias("lcl"),
+            "n_beyond_3s",
+            "n_mr_signals",
+        )
+    )

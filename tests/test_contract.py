@@ -65,6 +65,7 @@ def test_contract_shape():
         "st_watermark",
         "st_stateful",
         "st_funnel_stateful",
+        "st_page_hinkley",
         "v_ann_ivf_kmeans",
         "v_lsh_neardup",
     }

@@ -483,3 +483,71 @@ def test_st_page_hinkley_parity_with_python_replay(spark, events_rows):
             5.0 * math.sqrt(var), abs=1e-3
         )
         assert row["drift_alarm"] == (1 if best > 5.0 * math.sqrt(var) else 0)
+
+
+def test_shewhart_imr_replay(spark):
+    rows = sorted(
+        (r["d"], r["x"])
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100)
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .collect()
+    )
+    xs = [x for _, x in rows]
+    mrs = [abs(b - a) for a, b in zip(xs, xs[1:])]
+    center = sum(xs) / len(xs)
+    mrbar = sum(mrs) / len(mrs)
+    ucl, lcl = center + 3 * mrbar / 1.128, center - 3 * mrbar / 1.128
+    row = registry.QUERIES["w_shewhart_imr"](spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == len(xs)
+    assert row["center_usd"] == pytest.approx(center, abs=1e-3)
+    assert row["mr_bar"] == pytest.approx(mrbar, abs=1e-3)
+    assert row["ucl"] == pytest.approx(ucl, abs=1e-3)
+    assert row["n_beyond_3s"] == sum(1 for x in xs if x > ucl or x < lcl)
+    assert row["n_mr_signals"] == sum(1 for m in mrs if m > 3.267 * mrbar)
+
+
+def test_meta_fixed_effect_replay(spark):
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF_SMALL}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            spark.read.parquet(f"{SF_SMALL}/nation.parquet"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "o_totalprice")
+        .collect()
+    )
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r["n_name"]].append(r["o_totalprice"])
+    stats = []
+    for vals in groups.values():
+        n = len(vals)
+        m = sum(vals) / n
+        s2 = sum((v - m) ** 2 for v in vals) / (n - 1)
+        stats.append((n, m, s2))
+    wsum = sum(n / s2 for n, _, s2 in stats)
+    pooled = sum(n / s2 * m for n, m, s2 in stats) / wsum
+    q = sum(n / s2 * (m - pooled) ** 2 for n, m, s2 in stats)
+    k = len(stats)
+    row = registry.QUERIES["a_meta_fixed_effect"](spark, SF_SMALL).collect()[0]
+    assert row["k_studies"] == k
+    assert row["pooled_mean"] == pytest.approx(pooled, abs=1e-3)
+    assert row["cochran_q_het"] == pytest.approx(q, abs=1e-3)  # 4dp snap
+    assert row["i_squared"] == pytest.approx(
+        max((q - (k - 1)) / q, 0.0), abs=1e-5
+    )
+    assert row["ci_halfwidth"] == pytest.approx(
+        1.959964 / math.sqrt(wsum), abs=1e-3
+    )

@@ -197,6 +197,9 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "w_page_hinkley": "bounded: calendar-day axis (~2.4k days at any "
     "corpus size; four stacked cumulative windows on the daily "
     "rollup — the streaming twin keeps two scalars of state)",
+    "w_shewhart_imr": "bounded: calendar-day axis (~2.4k days at any "
+    "corpus size; one lag window on the daily rollup for the moving "
+    "ranges)",
     "w_burn_rate": "saturating: SLO-window buckets (531->720)",
     "q_running_backlog": "saturating: open-day axis (1638->2499)",
     "q_hazard_curve": "saturating: distinct lifetime days (18->26)",

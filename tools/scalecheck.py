@@ -375,6 +375,10 @@ RELATIONAL_LINEAR_KEYS = {
     # cumulative windows on the bounded calendar axis
     "a_jonckheere": "lineitem",  # round 15: one (group, quantity)
     # census groupBy; pair assembly is a <=250^2 broadcast cell cross
+    "w_shewhart_imr": "orders",  # round 15: daily rollup + one lag
+    # window + two signal scans on the bounded calendar axis
+    "a_meta_fixed_effect": "orders",  # round 15: 3-table join + 25-row
+    # study frame; pooling is a tiny reduction
     "s_encoding_advisor": "lineitem",  # round 15: stacked (col, val)
     # frame -> ONE census shuffle for six columns' exact distincts
 }
