@@ -163,6 +163,7 @@ HEADLINE = [
     "a_robust_location",  # round 15: trimmed/winsorized means, census-exact
     "w_shewhart_imr",  # round 15: I-MR chart, moving-range sigma
     "a_meta_fixed_effect",  # round 15: inverse-variance pooling + I^2
+    "q_lift_curve",  # round 15: decile gains/lift on the band census
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -5947,3 +5947,124 @@ def q_panel_fe(spark, sf_dir):
             / F.sum(F.col("yw") * F.col("yw"))
         ).alias("r2_within"),
     )
+
+
+@register(
+    "q_lift_curve",
+    """
+    WITH ret AS (
+        SELECT l_orderkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS s,
+               CAST(sum(ret.y) AS BIGINT) AS pos,
+               CAST(count(*) AS BIGINT) AS tot
+        FROM orders JOIN ret ON l_orderkey = o_orderkey
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT s,
+               CAST(sum(pos) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tp,
+               CAST(sum(tot) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS k,
+               CAST(sum(pos) OVER () AS BIGINT) AS p,
+               CAST(sum(tot) OVER () AS BIGINT) AS n
+        FROM g
+    ),
+    dec AS (
+        SELECT d.decile,
+               min(c.k) AS k, min(c.tp) AS tp0
+        FROM (SELECT unnest(range(1, 11)) AS decile) d
+        JOIN cum c ON c.k * 10 >= d.decile * c.n
+        GROUP BY d.decile
+    )
+    SELECT d.decile AS decile,
+           d.k AS n_cum,
+           c2.tp AS tp_cum,
+           round(d.k * 1.0 / c2.n, 6) + 0 AS coverage,
+           round(c2.tp * 1.0 / c2.p, 6) + 0 AS capture_rate,
+           round((c2.tp * 1.0 / c2.p) / (d.k * 1.0 / c2.n), 6) + 0
+               AS lift
+    FROM dec d JOIN cum c2 ON c2.k = d.k
+    ORDER BY decile
+    """,
+)
+def q_lift_curve(spark, sf_dir):
+    """Cumulative-gains / lift table for order price as a has-returned
+    classifier, sampled at the ten decile thresholds: for each decile
+    d, the shortest score-descending band prefix covering ≥ d/10 of
+    orders, its capture rate tp/P, and lift = capture/coverage (a
+    random scorer's lift is 1.0 everywhere; "decile-1 lift 2×" is the
+    number campaign targeting actually acts on). The SCORECARD view of
+    the exact ranking a_pr_auc integrates — AP/AUC say how good the
+    ranking is overall, the lift table says what you GET at each
+    spend level, and q_woe_iv says which attribute drives it.
+
+    Exactness: built on the same $1000-band census as a_pr_auc
+    (price-domain-bounded, ~500 rows at any corpus size); decile
+    thresholds are exact integer comparisons (k·10 ≥ d·N avoids any
+    float coverage), prefixes land on band boundaries (the honest
+    grain — sub-band interpolation would invent rows), and every
+    count is BIGINT.
+
+    Scale: one map-side-combinable band census + two cumulative
+    windows on the census frame + a 10-row threshold join — the
+    a_pr_auc plan with a broadcast decile probe on top.
+    """
+    from ..session import load_table as _lt
+
+    ret = (
+        _lt(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    orders = _lt(spark, sf_dir, "orders")
+    g = (
+        orders.join(ret, orders.o_orderkey == ret.l_orderkey)
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("s")
+        )
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.count("*").cast("long").alias("tot"),
+        )
+    )
+    wdesc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = g.select(
+        "s",
+        F.sum("pos").over(wdesc).cast("long").alias("tp"),
+        F.sum("tot").over(wdesc).cast("long").alias("k"),
+        F.sum("pos").over(wall).cast("long").alias("p"),
+        F.sum("tot").over(wall).cast("long").alias("n"),
+    )
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    dec = (
+        F.broadcast(deciles)
+        .join(cum, cum.k * 10 >= F.col("decile") * cum.n)
+        .groupBy("decile")
+        .agg(F.min("k").alias("k"))
+    )
+    out = dec.join(cum, "k").select(
+        "decile",
+        F.col("k").alias("n_cum"),
+        F.col("tp").alias("tp_cum"),
+        f6(F.col("k") * 1.0 / F.col("n")).alias("coverage"),
+        f6(F.col("tp") * 1.0 / F.col("p")).alias("capture_rate"),
+        f6(
+            (F.col("tp") * 1.0 / F.col("p"))
+            / (F.col("k") * 1.0 / F.col("n"))
+        ).alias("lift"),
+    )
+    return out.orderBy("decile")

@@ -551,3 +551,49 @@ def test_meta_fixed_effect_replay(spark):
     assert row["ci_halfwidth"] == pytest.approx(
         1.959964 / math.sqrt(wsum), abs=1e-3
     )
+
+
+def test_lift_curve_replay(spark):
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("s"),
+            "y",
+        )
+        .collect()
+    )
+    bands = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        bands[r["s"]][0] += r["y"]
+        bands[r["s"]][1] += 1
+    cum, tp, k = [], 0, 0
+    for s in sorted(bands, reverse=True):
+        tp += bands[s][0]
+        k += bands[s][1]
+        cum.append((k, tp))
+    n = k
+    p = tp
+    got = registry.QUERIES["q_lift_curve"](spark, SF_SMALL).collect()
+    assert len(got) == 10
+    for row in got:
+        d = row["decile"]
+        kk, tt = next((kk, tt) for kk, tt in cum if kk * 10 >= d * n)
+        assert row["n_cum"] == kk and row["tp_cum"] == tt
+        assert row["capture_rate"] == pytest.approx(tt / p, abs=1e-6)
+        assert row["lift"] == pytest.approx((tt / p) / (kk / n), abs=1e-6)
+    # decile 10 covers everything: capture 1.0, lift 1.0
+    assert got[-1]["capture_rate"] == pytest.approx(1.0)
+    assert got[-1]["lift"] == pytest.approx(1.0)
+    # (lift monotonicity is NOT asserted: price is a near-uninformative
+    # returns scorer, so decile lifts hover around 1.0 with noise —
+    # monotone lift is a property of good scorers, not of the operator)

@@ -379,6 +379,8 @@ RELATIONAL_LINEAR_KEYS = {
     # window + two signal scans on the bounded calendar axis
     "a_meta_fixed_effect": "orders",  # round 15: 3-table join + 25-row
     # study frame; pooling is a tiny reduction
+    "q_lift_curve": "lineitem",  # round 15: the a_pr_auc band census
+    # + two cumulative windows + a 10-row decile probe
     "s_encoding_advisor": "lineitem",  # round 15: stacked (col, val)
     # frame -> ONE census shuffle for six columns' exact distincts
 }
