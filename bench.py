@@ -164,6 +164,8 @@ HEADLINE = [
     "w_shewhart_imr",  # round 15: I-MR chart, moving-range sigma
     "a_meta_fixed_effect",  # round 15: inverse-variance pooling + I^2
     "q_lift_curve",  # round 15: decile gains/lift on the band census
+    "a_james_stein",  # round 15: positive-part shrinkage, 25 segments
+    "a_decision_stump",  # round 15: CART split search on the census
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

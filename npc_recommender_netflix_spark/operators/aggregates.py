@@ -13224,3 +13224,242 @@ def a_meta_fixed_effect(spark, sf_dir):
             )
         ).alias("i_squared"),
     )
+
+
+@register(
+    "a_james_stein",
+    """
+    WITH grp AS (
+        SELECT n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS nj,
+               avg(o.o_totalprice) AS xbar,
+               var_samp(o.o_totalprice) AS s2
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               avg(xbar) AS grand,
+               avg(s2 / nj) AS vbar,
+               sum((xbar - (SELECT avg(xbar) FROM grp))
+                   * (xbar - (SELECT avg(xbar) FROM grp))) AS ss
+        FROM grp
+    )
+    SELECT grp.nation,
+           grp.nj AS n_obs,
+           round(grp.xbar, 4) + 0 AS raw_mean,
+           round(g.grand + GREATEST(1 - (g.k - 3) * g.vbar / g.ss, 0.0)
+                 * (grp.xbar - g.grand), 4) + 0 AS shrunk_mean,
+           round(GREATEST(1 - (g.k - 3) * g.vbar / g.ss, 0.0), 6) + 0
+               AS shrink_factor
+    FROM grp, g
+    ORDER BY nation
+    """,
+)
+def a_james_stein(spark, sf_dir):
+    """James-Stein shrinkage of the 25 per-nation mean order prices
+    toward the grand mean: x̂ⱼ = x̿ + B·(x̄ⱼ − x̿) with B = max(1 −
+    (k−3)·v̄/Σ(x̄ⱼ−x̿)², 0) (the positive-part estimator, v̄ = the
+    average squared standard error). Stein's paradox operationalized:
+    for k ≥ 4 groups the shrunk vector DOMINATES the raw means in
+    total squared error, every time — the one-line empirical-Bayes
+    fix for the "small segments have noisy means" problem every
+    per-segment dashboard has. The PARTIAL-pooling rung between
+    a_meta_fixed_effect (full pooling when I² ≈ 0) and raw per-group
+    means (no pooling): B near 0 says the segment differences are
+    noise, B near 1 says they are real.
+
+    Exactness: per-nation moments from one grouped pass; the
+    shrinkage factor is one reduction over 25 study rows, shared by
+    every output row (identical float association on both engines).
+
+    Scale: the a_meta_fixed_effect plan exactly — one 3-table join +
+    25-row frame + a broadcast scalar join back; segments add rows to
+    a tiny frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    grp = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("nj"),
+            F.avg("o_totalprice").alias("xbar"),
+            F.var_samp("o_totalprice").alias("s2"),
+        )
+    )
+    grand = grp.agg(F.avg("xbar").alias("grand"))
+    g = (
+        grp.crossJoin(F.broadcast(grand))
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.max("grand").alias("grand"),
+            F.avg(F.col("s2") / F.col("nj")).alias("vbar"),
+            F.sum(
+                (F.col("xbar") - F.col("grand"))
+                * (F.col("xbar") - F.col("grand"))
+            ).alias("ss"),
+        )
+    )
+    b = F.greatest(
+        1 - (F.col("k") - 3) * F.col("vbar") / F.col("ss"), F.lit(0.0)
+    )
+    return (
+        grp.crossJoin(F.broadcast(g))
+        .select(
+            "nation",
+            F.col("nj").alias("n_obs"),
+            (F.round(F.col("xbar"), 4) + 0).alias("raw_mean"),
+            (
+                F.round(
+                    F.col("grand") + b * (F.col("xbar") - F.col("grand")), 4
+                )
+                + 0
+            ).alias("shrunk_mean"),
+            f6(b).alias("shrink_factor"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "a_decision_stump",
+    """
+    WITH ret AS (
+        SELECT l_orderkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS band,
+               CAST(sum(ret.y) AS BIGINT) AS pos,
+               CAST(count(*) AS BIGINT) AS tot
+        FROM orders JOIN ret ON l_orderkey = o_orderkey
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT band,
+               CAST(sum(pos) OVER (ORDER BY band
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS lp,
+               CAST(sum(tot) OVER (ORDER BY band
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS ln,
+               CAST(sum(pos) OVER () AS BIGINT) AS p,
+               CAST(sum(tot) OVER () AS BIGINT) AS n
+        FROM g
+    ),
+    scored AS (
+        SELECT band, lp, ln, p, n,
+               (CAST(ln AS DOUBLE) / n)
+                   * 2.0 * (CAST(lp AS DOUBLE) / ln)
+                   * (1.0 - CAST(lp AS DOUBLE) / ln)
+               + (CAST(n - ln AS DOUBLE) / n)
+                   * 2.0 * (CAST(p - lp AS DOUBLE) / (n - ln))
+                   * (1.0 - CAST(p - lp AS DOUBLE) / (n - ln)) AS gini_w
+        FROM cum WHERE ln < n
+    ),
+    best AS (
+        SELECT band, lp, ln, p, n, gini_w,
+               row_number() OVER (ORDER BY gini_w, band) AS rk
+        FROM scored
+    )
+    SELECT CAST((band + 1) * 1000 AS BIGINT) AS split_price_usd,
+           ln AS n_left, CAST(n - ln AS BIGINT) AS n_right,
+           round(CAST(lp AS DOUBLE) / ln, 6) + 0 AS p_left,
+           round(CAST(p - lp AS DOUBLE) / (n - ln), 6) + 0 AS p_right,
+           round(gini_w, 6) + 0 AS weighted_gini,
+           round(2.0 * (CAST(p AS DOUBLE) / n)
+                 * (1.0 - CAST(p AS DOUBLE) / n) - gini_w, 6) + 0
+               AS gini_gain
+    FROM best WHERE rk = 1
+    """,
+)
+def a_decision_stump(spark, sf_dir):
+    """Best single-split decision stump of order price against the
+    has-returned label — CART's inner loop (the exhaustive split
+    search every tree/GBM node runs) executed EXACTLY on the bounded
+    band census: for each candidate threshold, the weighted Gini
+    impurity of the two sides from cumulative (pos, tot) prefix sums;
+    the reported row is the argmin split with both leaf rates and the
+    impurity gain over the root. A near-zero gain (price barely
+    predicts returns on TPC-H) is itself the measurement — the stump
+    is the feature-screening primitive that says which columns are
+    worth a tree at all.
+
+    Exactness: the split sweep is closed-form arithmetic on exact
+    BIGINT prefix counts — every candidate's impurity from ONE
+    cumulative window, no per-split rescans (the textbook O(N log N)
+    sort-and-sweep collapsed to O(bands) on the census); argmin by
+    (gini, band) tiebreak is deterministic.
+
+    Scale: the same $1000-band census as a_pr_auc/q_lift_curve
+    (~500 rows at any corpus size) + one cumulative window + a
+    TakeOrdered-style rank-1 filter. A full tree level at 100 TB is
+    this plan per (node, feature) — all map-side censuses, which is
+    exactly how distributed GBM implementations (public XGBoost/
+    LightGBM papers) structure the split search.
+    """
+    ret = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.join(ret, orders.o_orderkey == ret.l_orderkey)
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("band")
+        )
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.count("*").cast("long").alias("tot"),
+        )
+    )
+    wasc = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = g.select(
+        "band",
+        F.sum("pos").over(wasc).cast("long").alias("lp"),
+        F.sum("tot").over(wasc).cast("long").alias("ln"),
+        F.sum("pos").over(wall).cast("long").alias("p"),
+        F.sum("tot").over(wall).cast("long").alias("n"),
+    ).where(F.col("ln") < F.col("n"))
+    pl = F.col("lp").cast("double") / F.col("ln")
+    pr = (F.col("p") - F.col("lp")).cast("double") / (
+        F.col("n") - F.col("ln")
+    )
+    gini_w = (F.col("ln").cast("double") / F.col("n")) * 2.0 * pl * (
+        1.0 - pl
+    ) + ((F.col("n") - F.col("ln")).cast("double") / F.col("n")) * 2.0 * pr * (
+        1.0 - pr
+    )
+    scored = cum.select(
+        "band", "lp", "ln", "p", "n", gini_w.alias("gini_w")
+    )
+    best = scored.withColumn(
+        "rk", F.row_number().over(Window.orderBy("gini_w", "band"))
+    ).where(F.col("rk") == 1)
+    proot = F.col("p").cast("double") / F.col("n")
+    return best.select(
+        ((F.col("band") + 1) * 1000).cast("long").alias("split_price_usd"),
+        F.col("ln").alias("n_left"),
+        (F.col("n") - F.col("ln")).cast("long").alias("n_right"),
+        f6(F.col("lp").cast("double") / F.col("ln")).alias("p_left"),
+        f6(
+            (F.col("p") - F.col("lp")).cast("double")
+            / (F.col("n") - F.col("ln"))
+        ).alias("p_right"),
+        f6(F.col("gini_w")).alias("weighted_gini"),
+        f6(2.0 * proot * (1.0 - proot) - F.col("gini_w")).alias(
+            "gini_gain"
+        ),
+    )

@@ -597,3 +597,94 @@ def test_lift_curve_replay(spark):
     # (lift monotonicity is NOT asserted: price is a near-uninformative
     # returns scorer, so decile lifts hover around 1.0 with noise —
     # monotone lift is a property of good scorers, not of the operator)
+
+
+def test_james_stein_replay(spark):
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF_SMALL}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            spark.read.parquet(f"{SF_SMALL}/nation.parquet"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "o_totalprice")
+        .collect()
+    )
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r["n_name"]].append(r["o_totalprice"])
+    means = {g: sum(v) / len(v) for g, v in groups.items()}
+    grand = sum(means.values()) / len(means)
+    vbar = sum(
+        (sum((x - means[g]) ** 2 for x in v) / (len(v) - 1)) / len(v)
+        for g, v in groups.items()
+    ) / len(groups)
+    ss = sum((m - grand) ** 2 for m in means.values())
+    k = len(groups)
+    b = max(1 - (k - 3) * vbar / ss, 0.0)
+    got = {
+        r["nation"]: r
+        for r in registry.QUERIES["a_james_stein"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(groups)
+    for g in groups:
+        assert got[g]["raw_mean"] == pytest.approx(means[g], abs=1e-3)
+        assert got[g]["shrunk_mean"] == pytest.approx(
+            grand + b * (means[g] - grand), abs=1e-3
+        )
+        assert got[g]["shrink_factor"] == pytest.approx(b, abs=1e-5)
+    # shrinkage moves every mean strictly TOWARD the grand mean
+    for g in groups:
+        raw, shrunk = got[g]["raw_mean"], got[g]["shrunk_mean"]
+        assert abs(shrunk - grand) <= abs(raw - grand) + 1e-6
+
+
+def test_decision_stump_replay(spark):
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("b"),
+            "y",
+        )
+        .collect()
+    )
+    bands = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        bands[r["b"]][0] += r["y"]
+        bands[r["b"]][1] += 1
+    p = sum(v[0] for v in bands.values())
+    n = sum(v[1] for v in bands.values())
+    lp = ln = 0
+    best = None
+    for b in sorted(bands):
+        lp += bands[b][0]
+        ln += bands[b][1]
+        if ln >= n:
+            break
+        pl, pr = lp / ln, (p - lp) / (n - ln)
+        gw = (ln / n) * 2 * pl * (1 - pl) + ((n - ln) / n) * 2 * pr * (
+            1 - pr
+        )
+        if best is None or gw < best[0] - 1e-15:
+            best = (gw, b, lp, ln)
+    gw, b, lp, ln = best
+    row = registry.QUERIES["a_decision_stump"](spark, SF_SMALL).collect()[0]
+    assert row["split_price_usd"] == (b + 1) * 1000
+    assert row["n_left"] == ln and row["n_right"] == n - ln
+    assert row["weighted_gini"] == pytest.approx(gw, abs=1e-6)
+    root = 2 * (p / n) * (1 - p / n)
+    assert row["gini_gain"] == pytest.approx(root - gw, abs=1e-6)
+    assert row["gini_gain"] >= -1e-9  # a split never worsens weighted Gini

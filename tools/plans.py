@@ -131,6 +131,9 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "q_lift_curve": "bounded: the same ~500-band $1000 price-grid "
     "census as a_pr_auc; two cumulative windows on the census frame "
     "+ a 10-row decile probe",
+    "a_decision_stump": "bounded: the same ~500-band price-grid "
+    "census; one cumulative window for the prefix counts + a rank-1 "
+    "argmin over the candidate splits",
     "a_runs_test": "bounded: 30-day daily series (30->30)",
     "a_wilcoxon_signed_rank": "bounded: 30 paired days (30->30)",
     "q_growth_accounting": "bounded: 30-day axis (30->30)",

@@ -381,6 +381,10 @@ RELATIONAL_LINEAR_KEYS = {
     # study frame; pooling is a tiny reduction
     "q_lift_curve": "lineitem",  # round 15: the a_pr_auc band census
     # + two cumulative windows + a 10-row decile probe
+    "a_james_stein": "orders",  # round 15: the meta_fixed_effect plan
+    # + a broadcast scalar join back to the 25-row frame
+    "a_decision_stump": "lineitem",  # round 15: band census + one
+    # cumulative window + rank-1 argmin over candidate splits
     "s_encoding_advisor": "lineitem",  # round 15: stacked (col, val)
     # frame -> ONE census shuffle for six columns' exact distincts
 }
