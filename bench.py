@@ -166,6 +166,7 @@ HEADLINE = [
     "q_lift_curve",  # round 15: decile gains/lift on the band census
     "a_james_stein",  # round 15: positive-part shrinkage, 25 segments
     "a_decision_stump",  # round 15: CART split search on the census
+    "t_textrank_keywords",  # round 15: PageRank-on-text, capped vocab graph
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -5561,3 +5561,146 @@ def t_edit_distance_dedup(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+_TR_ITER_SQL = """
+    s{next} AS (
+        SELECT e.dst AS word,
+               round(0.15 + 0.85 * sum(e.w * s{cur}.s / d.wd), 9) AS s
+        FROM edges e
+        JOIN s{cur} ON s{cur}.word = e.src
+        JOIN wdeg d ON d.word = e.src
+        GROUP BY e.dst
+    )"""
+
+
+@register(
+    "t_textrank_keywords",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, arr[i] AS w, i
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '\s+') AS arr,
+                     unnest(range(1, len(string_split_regex(lower(text),
+                                                            '\s+')) + 1))
+                         AS i
+              FROM documents)
+        WHERE length(arr[i]) >= 4
+    ),
+    freq AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f
+        FROM toks GROUP BY w
+    ),
+    keep AS (
+        SELECT w FROM freq ORDER BY f DESC, w LIMIT 200
+    ),
+    pairs AS (
+        SELECT a.w AS src, b.w AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.i > a.i AND b.i <= a.i + 2
+        JOIN keep ka ON ka.w = a.w
+        JOIN keep kb ON kb.w = b.w
+        WHERE a.w <> b.w
+        GROUP BY a.w, b.w
+    ),
+    edges AS (
+        SELECT src, dst, w FROM pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM pairs
+    ),
+    wdeg AS (
+        SELECT src AS word, CAST(sum(w) AS BIGINT) AS wd
+        FROM edges GROUP BY src
+    ),
+    s0 AS (SELECT word, 1.0 AS s FROM wdeg),
+    {_TR_ITER_SQL.format(cur=0, next=1)},
+    {_TR_ITER_SQL.format(cur=1, next=2)},
+    {_TR_ITER_SQL.format(cur=2, next=3)}
+    SELECT word, round(s, 6) + 0 AS score
+    FROM s3 ORDER BY score DESC, word LIMIT 20
+    """,
+)
+def t_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, public):
+    PageRank with damping 0.85 over the word co-occurrence graph
+    (window 2, words ≥ 4 chars, vocabulary capped at the top-200
+    frequent words), 3 fixed iterations, top-20 keywords. The
+    UNSUPERVISED keyword extractor next to t_rake_keywords (degree
+    heuristics) and t_collocations_pmi (pair association): TextRank
+    rewards words that sit in DENSE neighborhoods of other central
+    words — recursive centrality RAKE's one-hop degree cannot see.
+    The weighted-edge recursion s(w) = 0.15 + 0.85·Σ w(v,w)/wdeg(v)
+    ·s(v) is the graph.py r_pagerank discipline applied to text, with
+    the same unrolled-CTE oracle and per-iteration 9dp snap making
+    the fixpoint engine-exact.
+
+    Scale: the vocab cap is the load-bearing bound — the co-occurrence
+    graph of a 200-word vocabulary has ≤200² edges REGARDLESS of
+    corpus size, so the three iterations are broadcast-sized joins;
+    only the tokenize + window-pair census touch data grain, and both
+    are one groupBy each (the t_collocations_pmi shape). At 100 TB
+    you raise the cap per-domain, not globally — keyword graphs
+    saturate long before memory does.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("i0", "w"),
+        )
+        .where(F.length("w") >= 4)
+        .select("doc_id", F.col("w"), (F.col("i0") + 1).alias("i"))
+    )
+    keep = (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .orderBy(F.col("f").desc(), "w")
+        .limit(200)
+        .select("w")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.i") > F.col("a.i"))
+            & (F.col("b.i") <= F.col("a.i") + 2),
+        )
+        .where(F.col("a.w") != F.col("b.w"))
+        .join(F.broadcast(keep.withColumnRenamed("w", "ka")),
+              F.col("a.w") == F.col("ka"))
+        .join(F.broadcast(keep.withColumnRenamed("w", "kb")),
+              F.col("b.w") == F.col("kb"))
+        .groupBy(F.col("a.w").alias("src"), F.col("b.w").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    edges = pairs.select("src", "dst", "w").unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).cache()
+    wdeg = edges.groupBy(F.col("src").alias("word")).agg(
+        F.sum("w").cast("long").alias("wd")
+    )
+    s = wdeg.select("word", F.lit(1.0).alias("s"))
+    for _ in range(3):
+        s = (
+            edges.join(s, edges.src == s.word)
+            .join(wdeg.withColumnRenamed("word", "dword"),
+                  edges.src == F.col("dword"))
+            .groupBy(F.col("dst").alias("word2"))
+            .agg(
+                F.round(
+                    0.15 + 0.85 * F.sum(F.col("w") * F.col("s") / F.col("wd")),
+                    9,
+                ).alias("s")
+            )
+            .select(F.col("word2").alias("word"), "s")
+        )
+    return (
+        s.select("word", f6(F.col("s")).alias("score"))
+        .orderBy(F.col("score").desc(), "word")
+        .limit(20)
+    )

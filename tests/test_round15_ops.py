@@ -688,3 +688,56 @@ def test_decision_stump_replay(spark):
     root = 2 * (p / n) * (1 - p / n)
     assert row["gini_gain"] == pytest.approx(root - gw, abs=1e-6)
     assert row["gini_gain"] >= -1e-9  # a split never worsens weighted Gini
+
+
+def test_textrank_replay(spark):
+    import re as _re
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    tok = {
+        r["doc_id"]: [
+            (i + 1, w)
+            for i, w in enumerate(_re.split(r"\s+", r["text"].lower()))
+            if len(w) >= 4
+        ]
+        for r in docs
+    }
+    freq = collections.Counter(w for ts in tok.values() for _, w in ts)
+    keep = set(
+        w
+        for w, _ in sorted(freq.items(), key=lambda x: (-x[1], x[0]))[:200]
+    )
+    pairs = collections.Counter()
+    for ts in tok.values():
+        # positions are ORIGINAL token indices; window 2 on those
+        for ai in range(len(ts)):
+            ia, wa = ts[ai]
+            for bi in range(ai + 1, len(ts)):
+                ib, wb = ts[bi]
+                if ib > ia + 2:
+                    break
+                if wa != wb and wa in keep and wb in keep:
+                    pairs[(wa, wb)] += 1
+    edges = collections.defaultdict(list)
+    wdeg = collections.Counter()
+    for (a, b), c in pairs.items():
+        edges[a].append((b, c))
+        edges[b].append((a, c))
+        wdeg[a] += c
+        wdeg[b] += c
+    s = {w: 1.0 for w in wdeg}
+    for _ in range(3):
+        nxt = collections.defaultdict(float)
+        for v, adj in edges.items():
+            for u, c in adj:
+                nxt[u] += c * s[v] / wdeg[v]
+        s = {w: round(0.15 + 0.85 * x, 9) for w, x in nxt.items()}
+    top = sorted(s.items(), key=lambda x: (-round(x[1], 6), x[0]))[:20]
+    got = registry.QUERIES["t_textrank_keywords"](spark, SF_SMALL).collect()
+    assert [(r["word"], r["score"]) for r in got] == [
+        (w, round(v, 6)) for w, v in top
+    ]

@@ -119,6 +119,9 @@ LINEAR_KEYS = {
     "t_edit_distance_dedup": "documents",  # round 15: block-size cap
     # (<=64) bounds pair fan-out at C(64,2)/block on the zipf corpus —
     # the uncapped top-token block would grow ~N and bend this row
+    "t_textrank_keywords": "documents",  # round 15: tokenize + window-
+    # pair census are the data passes; the 200-word-cap graph keeps
+    # the 3 rank iterations broadcast-sized at any corpus size
     "v_filtered_ann_recall": "embeddings",  # round 15: one broadcast
     # pair scan for 5 queries; filtered arms are <=20-row windows
     "t_source_overlap": "documents",  # round 10: gram-digest equi-join with
