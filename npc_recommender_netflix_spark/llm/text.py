@@ -5577,14 +5577,13 @@ _TR_ITER_SQL = """
 @register(
     "t_textrank_keywords",
     rf"""
-    WITH toks AS (
-        SELECT doc_id, arr[i] AS w, i
-        FROM (SELECT doc_id,
-                     string_split_regex(lower(text), '\s+') AS arr,
-                     unnest(range(1, len(string_split_regex(lower(text),
-                                                            '\s+')) + 1))
-                         AS i
-              FROM documents)
+    WITH docarr AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS arr
+        FROM documents
+    ),
+    toks AS (
+        SELECT arr[i] AS w
+        FROM docarr, unnest(range(1, len(arr) + 1)) AS t(i)
         WHERE length(arr[i]) >= 4
     ),
     freq AS (
@@ -5594,15 +5593,21 @@ _TR_ITER_SQL = """
     keep AS (
         SELECT w FROM freq ORDER BY f DESC, w LIMIT 200
     ),
+    pairs0 AS (
+        SELECT arr[i] AS src, arr[i + 1] AS dst
+        FROM docarr, unnest(range(1, len(arr))) AS t(i)
+        UNION ALL
+        SELECT arr[i] AS src, arr[i + 2] AS dst
+        FROM docarr, unnest(range(1, len(arr) - 1)) AS t(i)
+    ),
     pairs AS (
-        SELECT a.w AS src, b.w AS dst,
-               CAST(count(*) AS BIGINT) AS w
-        FROM toks a
-        JOIN toks b ON b.doc_id = a.doc_id AND b.i > a.i AND b.i <= a.i + 2
-        JOIN keep ka ON ka.w = a.w
-        JOIN keep kb ON kb.w = b.w
-        WHERE a.w <> b.w
-        GROUP BY a.w, b.w
+        SELECT p.src, p.dst, CAST(count(*) AS BIGINT) AS w
+        FROM pairs0 p
+        JOIN keep ka ON ka.w = p.src
+        JOIN keep kb ON kb.w = p.dst
+        WHERE length(p.src) >= 4 AND length(p.dst) >= 4
+          AND p.src <> p.dst
+        GROUP BY p.src, p.dst
     ),
     edges AS (
         SELECT src, dst, w FROM pairs
@@ -5643,14 +5648,12 @@ def t_textrank_keywords(spark, sf_dir):
     you raise the cap per-domain, not globally — keyword graphs
     saturate long before memory does.
     """
+    docarr = load_table(spark, sf_dir, "documents").select(
+        F.split(F.lower("text"), r"\s+").alias("arr")
+    )
     toks = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("i0", "w"),
-        )
+        docarr.select(F.explode("arr").alias("w"))
         .where(F.length("w") >= 4)
-        .select("doc_id", F.col("w"), (F.col("i0") + 1).alias("i"))
     )
     keep = (
         toks.groupBy("w")
@@ -5659,21 +5662,32 @@ def t_textrank_keywords(spark, sf_dir):
         .limit(200)
         .select("w")
     )
-    a = toks.alias("a")
-    b = toks.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("b.doc_id") == F.col("a.doc_id"))
-            & (F.col("b.i") > F.col("a.i"))
-            & (F.col("b.i") <= F.col("a.i") + 2),
+    # window-2 pairs generated MAP-SIDE from the token array (the
+    # shingles pattern) — a doc-keyed positional self-join would
+    # produce O(T^2) candidates per doc before the range filter; this
+    # form emits exactly 2T pairs per doc, no join, no shuffle until
+    # the pair census.
+    def _gap(g):
+        # length/inequality filters INSIDE the array expression: the
+        # explode then emits only qualifying pairs (short zipf-head
+        # words never become rows at all)
+        return F.expr(
+            f"filter(transform(sequence(0, size(arr) - {g + 1}),"
+            f" i -> struct(arr[i] AS src, arr[i + {g}] AS dst)),"
+            f" p -> length(p.src) >= 4 AND length(p.dst) >= 4"
+            f" AND p.src <> p.dst)"
         )
-        .where(F.col("a.w") != F.col("b.w"))
+
+    pairs0 = docarr.select(
+        F.explode(F.concat(_gap(1), _gap(2))).alias("p")
+    ).select("p.src", "p.dst")
+    pairs = (
+        pairs0
         .join(F.broadcast(keep.withColumnRenamed("w", "ka")),
-              F.col("a.w") == F.col("ka"))
+              F.col("src") == F.col("ka"))
         .join(F.broadcast(keep.withColumnRenamed("w", "kb")),
-              F.col("b.w") == F.col("kb"))
-        .groupBy(F.col("a.w").alias("src"), F.col("b.w").alias("dst"))
+              F.col("dst") == F.col("kb"))
+        .groupBy("src", "dst")
         .agg(F.count("*").cast("long").alias("w"))
     )
     edges = pairs.select("src", "dst", "w").unionByName(
