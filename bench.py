@@ -167,6 +167,10 @@ HEADLINE = [
     "a_james_stein",  # round 15: positive-part shrinkage, 25 segments
     "a_decision_stump",  # round 15: CART split search on the census
     "t_textrank_keywords",  # round 15: PageRank-on-text, capped vocab graph
+    "a_hotelling_t2",  # round 15: multivariate mean test, closed-form 2x2
+    "a_confidence_sequence",  # round 15: anytime-valid CI, no peeking penalty
+    "v_calinski_harabasz",  # round 15: variance-ratio cluster quality
+    "q_littles_law",  # round 15: L = lambda*W identity audit
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

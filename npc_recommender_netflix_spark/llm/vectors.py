@@ -6911,3 +6911,135 @@ def v_filtered_ann_recall(spark, sf_dir):
         .select("query_id", "n_hit", "recall_at_5", "n_survivors")
         .orderBy("query_id")
     )
+
+
+@register(
+    "v_calinski_harabasz",
+    """
+    WITH v AS (
+        SELECT vec_id, label, embedding AS e FROM embeddings
+    ),
+    dims AS (
+        SELECT label, i, CAST(e[i] AS DOUBLE) AS x
+        FROM v, unnest(range(1, 65)) AS t(i)
+    ),
+    sizes AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS nk FROM v GROUP BY label
+    ),
+    cent AS (
+        SELECT label, i, avg(x) AS c FROM dims GROUP BY label, i
+    ),
+    grand AS (
+        SELECT i, avg(x) AS g FROM dims GROUP BY i
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT label) AS BIGINT) AS k
+        FROM v
+    ),
+    w AS (
+        SELECT sum((d.x - c.c) * (d.x - c.c)) AS ssw
+        FROM dims d JOIN cent c ON c.label = d.label AND c.i = d.i
+    ),
+    b AS (
+        SELECT sum(s.nk * (c.c - g.g) * (c.c - g.g)) AS ssb
+        FROM cent c JOIN grand g ON g.i = c.i
+        JOIN sizes s ON s.label = c.label
+    )
+    SELECT t.n AS n_vectors, t.k AS k_clusters,
+           round(b.ssb, 4) + 0 AS ss_between,
+           round(w.ssw, 4) + 0 AS ss_within,
+           round((b.ssb / (t.k - 1)) / (w.ssw / (t.n - t.k)), 6) + 0
+               AS calinski_harabasz
+    FROM w, b, tot t
+    """,
+)
+def v_calinski_harabasz(spark, sf_dir):
+    """Calinski-Harabasz index of the label partition over the 64-dim
+    embeddings: CH = (SSB/(k−1)) / (SSW/(n−k)) — the variance-ratio
+    cluster-quality criterion (ANOVA's F generalized to vectors; the
+    standard k-selection score alongside the silhouette). CH is the
+    CHEAP index: centroids + two sum-of-squares passes, no pairwise
+    distances at all — which is why sklearn docs recommend it when
+    the silhouette's O(n²) is unaffordable, and why it is the right
+    first QC gate for an embedding partition at corpus scale
+    (v_silhouette, with its capped pair census, is the expensive
+    second opinion).
+
+    Exactness: centroids and both sums of squares are plain double
+    arithmetic over identical floats; both engines sum per-dimension
+    via the same fold expressions, and the 4dp/6dp snaps absorb
+    accumulation order.
+
+    Scale: TWO map-side aggregate passes (centroids, then deviations
+    against broadcast centroids) — no shuffle beyond the k-row
+    centroid frame, no pair join; dimensions add fold width, clusters
+    add centroid rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", F.col("embedding").alias("e"))
+    # per-dimension sums as 64 map-side-combinable aggregate columns in
+    # ONE grouped pass — never collect_list (which would buffer every
+    # member vector per group); the centroid array is rebuilt from the
+    # 64 sums afterwards.
+    dim_sums = [
+        F.sum(F.col("e").getItem(i).cast("double")).alias(f"s{i}")
+        for i in range(64)
+    ]
+    csum = v.groupBy("label").agg(
+        F.count("*").cast("long").alias("nk"), *dim_sums
+    )
+    cent = csum.select(
+        "label",
+        "nk",
+        F.array(
+            *[F.col(f"s{i}") / F.col("nk") for i in range(64)]
+        ).alias("c"),
+    )
+    grand = csum.agg(
+        F.sum("nk").cast("long").alias("n"),
+        *[F.sum(f"s{i}").alias(f"g{i}") for i in range(64)],
+    ).select(
+        "n",
+        F.array(
+            *[F.col(f"g{i}") / F.col("n") for i in range(64)]
+        ).alias("g"),
+    )
+    within = (
+        v.join(F.broadcast(cent.select("label", "c")), "label")
+        .select(
+            F.expr(
+                "aggregate(zip_with(e, c, (x, m) -> "
+                "(cast(x as double) - m) * (cast(x as double) - m)), "
+                "cast(0.0 as double), (acc, d) -> acc + d)"
+            ).alias("d2")
+        )
+        .agg(F.sum("d2").alias("ssw"))
+    )
+    between = (
+        cent.crossJoin(F.broadcast(grand))
+        .select(
+            (
+                F.col("nk")
+                * F.expr(
+                    "aggregate(zip_with(c, g, (a, b) -> (a - b) * (a - b)), "
+                    "cast(0.0 as double), (acc, d) -> acc + d)"
+                )
+            ).alias("bk")
+        )
+        .agg(F.sum("bk").alias("ssb"), F.count("*").cast("long").alias("k"))
+    )
+    ch = (F.col("ssb") / (F.col("k") - 1)) / (
+        F.col("ssw") / (F.col("n") - F.col("k"))
+    )
+    return (
+        within.crossJoin(F.broadcast(between))
+        .crossJoin(F.broadcast(grand.select("n")))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("k").alias("k_clusters"),
+            (F.round(F.col("ssb"), 4) + 0).alias("ss_between"),
+            (F.round(F.col("ssw"), 4) + 0).alias("ss_within"),
+            f6(ch).alias("calinski_harabasz"),
+        )
+    )

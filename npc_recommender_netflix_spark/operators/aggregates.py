@@ -13463,3 +13463,266 @@ def a_decision_stump(spark, sf_dir):
             "gini_gain"
         ),
     )
+
+
+@register(
+    "a_hotelling_t2",
+    """
+    WITH base AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp,
+               CAST(l_quantity AS DOUBLE) AS x,
+               l_discount AS y
+        FROM lineitem
+    ),
+    mom AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(x) AS mx, avg(y) AS my,
+               var_samp(x) AS sxx, var_samp(y) AS syy,
+               covar_samp(x, y) AS sxy
+        FROM base GROUP BY grp
+    ),
+    two AS (
+        SELECT
+            max(CASE WHEN grp = 1 THEN n END) AS n1,
+            max(CASE WHEN grp = 0 THEN n END) AS n0,
+            max(CASE WHEN grp = 1 THEN mx END)
+                - max(CASE WHEN grp = 0 THEN mx END) AS dx,
+            max(CASE WHEN grp = 1 THEN my END)
+                - max(CASE WHEN grp = 0 THEN my END) AS dy,
+            (max(CASE WHEN grp = 1 THEN (n - 1) * sxx END)
+             + max(CASE WHEN grp = 0 THEN (n - 1) * sxx END))
+                / (max(CASE WHEN grp = 1 THEN n END)
+                   + max(CASE WHEN grp = 0 THEN n END) - 2) AS pxx,
+            (max(CASE WHEN grp = 1 THEN (n - 1) * syy END)
+             + max(CASE WHEN grp = 0 THEN (n - 1) * syy END))
+                / (max(CASE WHEN grp = 1 THEN n END)
+                   + max(CASE WHEN grp = 0 THEN n END) - 2) AS pyy,
+            (max(CASE WHEN grp = 1 THEN (n - 1) * sxy END)
+             + max(CASE WHEN grp = 0 THEN (n - 1) * sxy END))
+                / (max(CASE WHEN grp = 1 THEN n END)
+                   + max(CASE WHEN grp = 0 THEN n END) - 2) AS pxy
+        FROM mom
+    )
+    SELECT n1 AS n_returned, n0 AS n_kept,
+           round(dx, 6) + 0 AS dmean_qty,
+           round(dy, 6) + 0 AS dmean_disc,
+           round((CAST(n1 AS DOUBLE) * n0 / (n1 + n0))
+                 * (dx * (pyy * dx - pxy * dy)
+                    + dy * (pxx * dy - pxy * dx))
+                 / (pxx * pyy - pxy * pxy), 6) + 0 AS t2,
+           CASE WHEN (CAST(n1 AS DOUBLE) * n0 / (n1 + n0))
+                     * (dx * (pyy * dx - pxy * dy)
+                        + dy * (pxx * dy - pxy * dx))
+                     / (pxx * pyy - pxy * pxy) > 5.991465
+                THEN 1 ELSE 0 END AS differ_flag
+    FROM two
+    """,
+)
+def a_hotelling_t2(spark, sf_dir):
+    """Two-sample Hotelling's T² — the MULTIVARIATE mean test the
+    battery lacked: do returned and kept lineitems differ in the
+    JOINT (quantity, discount) mean vector? T² = (n₁n₀/(n₁+n₀))·
+    d'S⁻¹d with the pooled 2×2 covariance inverted in CLOSED FORM
+    (S⁻¹ = [[s_yy, −s_xy], [−s_xy, s_xx]]/det — no linear algebra
+    library on either engine), large-sample gate χ²₂ 95% = 5.991.
+    Two separate t-tests can BOTH be insignificant while T² rejects
+    (a correlated shift along the minor axis) — the reason
+    multivariate QC uses T² control charts instead of per-variable
+    ones; this is the one-shot form of that chart.
+
+    Exactness: per-group moments from one grouped pass (the engines'
+    shared var_samp/covar_samp on identical doubles); pooling, the
+    2×2 inverse and the quadratic form are scalar math on a 2-row
+    frame, 6dp-snapped.
+
+    Scale: ONE map-side-combinable moment groupBy (2 rows out) —
+    adding dimensions adds covariance COLUMNS (p(p+1)/2 of them),
+    never passes; the closed-form inverse generalizes to small p via
+    the adjugate, which is all a control chart ever needs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    mom = (
+        li.select(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias(
+                "grp"
+            ),
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_discount").alias("y"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.avg("x").alias("mx"),
+            F.avg("y").alias("my"),
+            F.var_samp("x").alias("sxx"),
+            F.var_samp("y").alias("syy"),
+            F.covar_samp("x", "y").alias("sxy"),
+        )
+    )
+    def pick(g, c):
+        return F.max(F.when(F.col("grp") == g, F.col(c)))
+
+    two = mom.agg(
+        pick(1, "n").alias("n1"),
+        pick(0, "n").alias("n0"),
+        (pick(1, "mx") - pick(0, "mx")).alias("dx"),
+        (pick(1, "my") - pick(0, "my")).alias("dy"),
+        *[
+            (
+                (
+                    F.max(
+                        F.when(
+                            F.col("grp") == 1,
+                            (F.col("n") - 1) * F.col(c),
+                        )
+                    )
+                    + F.max(
+                        F.when(
+                            F.col("grp") == 0,
+                            (F.col("n") - 1) * F.col(c),
+                        )
+                    )
+                )
+                / (pick(1, "n") + pick(0, "n") - 2)
+            ).alias(p)
+            for c, p in (("sxx", "pxx"), ("syy", "pyy"), ("sxy", "pxy"))
+        ],
+    )
+    det = F.col("pxx") * F.col("pyy") - F.col("pxy") * F.col("pxy")
+    quad = F.col("dx") * (
+        F.col("pyy") * F.col("dx") - F.col("pxy") * F.col("dy")
+    ) + F.col("dy") * (
+        F.col("pxx") * F.col("dy") - F.col("pxy") * F.col("dx")
+    )
+    t2 = (
+        F.col("n1").cast("double")
+        * F.col("n0")
+        / (F.col("n1") + F.col("n0"))
+    ) * quad / det
+    return two.select(
+        F.col("n1").alias("n_returned"),
+        F.col("n0").alias("n_kept"),
+        f6(F.col("dx")).alias("dmean_qty"),
+        f6(F.col("dy")).alias("dmean_disc"),
+        f6(t2).alias("t2"),
+        F.when(t2 > 5.991465, 1).otherwise(0).alias("differ_flag"),
+    )
+
+
+@register(
+    "a_confidence_sequence",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT d,
+               CAST(sum(n) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS t,
+               CAST(sum(s) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS k,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n_days
+        FROM daily
+    ),
+    scored AS (
+        SELECT d, t, k, i, n_days,
+               CAST(k AS DOUBLE) / t AS mean,
+               sqrt(ln(2.0 * i * i * (i + 1) / 0.05) / (2.0 * t))
+                   AS width
+        FROM cum
+    ),
+    hit AS (
+        SELECT min(d) AS first_exclude
+        FROM scored
+        WHERE mean - width > 0.2 OR mean + width < 0.2
+    )
+    SELECT max(s.n_days) AS n_days,
+           max(s.t) AS n_orders,
+           round(max(CASE WHEN s.i = s.n_days THEN s.mean END), 6) + 0
+               AS final_mean,
+           round(max(CASE WHEN s.i = s.n_days THEN s.width END), 6) + 0
+               AS final_width,
+           max(h.first_exclude) AS first_exclude_day,
+           CAST(CASE WHEN max(h.first_exclude) IS NOT NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS null_rejected
+    FROM scored s CROSS JOIN hit h
+    """,
+)
+def a_confidence_sequence(spark, sf_dir):
+    """Anytime-valid confidence sequence for the urgent-order share —
+    the modern always-valid-inference primitive (Ramdas et al.,
+    public): a Hoeffding-style CS whose day-i half-width
+    √(ln(2i²(i+1)/α)/(2t)) holds SIMULTANEOUSLY over all days at
+    α = 0.05 (union bound over the day index), so the dashboard may
+    peek every day and stop the moment the band excludes the declared
+    null p₀ = 0.2 — no peeking penalty, unlike a fixed-n z-test
+    where daily looks inflate false positives ~5×. Reports the first
+    exclusion day, the final running mean ± width, and the rejection
+    flag. The always-valid counterpart of a_sprt (which needs a
+    simple alternative; the CS needs none).
+
+    Exactness: daily (n, urgent) counts are BIGINT; the cumulative
+    ratios and the log-width are evaluated per day on the bounded
+    calendar axis with one ordering, identical on both engines.
+
+    Scale: one day rollup (map-side combinable) + three cumulative
+    windows on the ~2.4k-day axis; the streaming twin keeps (t, k, i)
+    as three scalars of state — st_page_hinkley's shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum("n").over(wcum).cast("long").alias("t"),
+        F.sum("s").over(wcum).cast("long").alias("k"),
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("i"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias(
+            "n_days"
+        ),
+    )
+    mean = F.col("k").cast("double") / F.col("t")
+    width = F.sqrt(
+        F.log(2.0 * F.col("i") * F.col("i") * (F.col("i") + 1) / 0.05)
+        / (2.0 * F.col("t"))
+    )
+    scored = cum.select(
+        "d", "t", "i", "n_days", mean.alias("mean"), width.alias("width")
+    )
+    hit = scored.where(
+        (F.col("mean") - F.col("width") > 0.2)
+        | (F.col("mean") + F.col("width") < 0.2)
+    ).agg(F.min("d").alias("first_exclude"))
+    last = F.when(F.col("i") == F.col("n_days"), F.col("mean"))
+    lastw = F.when(F.col("i") == F.col("n_days"), F.col("width"))
+    return (
+        scored.crossJoin(F.broadcast(hit))
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("t").alias("n_orders"),
+            f6(F.max(last)).alias("final_mean"),
+            f6(F.max(lastw)).alias("final_width"),
+            F.max("first_exclude").alias("first_exclude_day"),
+            F.when(F.max("first_exclude").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("null_rejected"),
+        )
+    )

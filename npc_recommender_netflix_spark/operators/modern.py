@@ -6068,3 +6068,150 @@ def q_lift_curve(spark, sf_dir):
         ).alias("lift"),
     )
     return out.orderBy("decile")
+
+
+@register(
+    "q_littles_law",
+    """
+    WITH ord AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS od,
+               CAST(max(l.l_shipdate) AS DATE) AS sd
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT min(od) AS d0, max(sd) AS d1,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(date_diff('day', od, sd)) AS BIGINT) AS dur
+        FROM ord
+    ),
+    arr AS (SELECT od AS d, CAST(count(*) AS BIGINT) AS a
+            FROM ord GROUP BY od),
+    dep AS (SELECT sd AS d, CAST(count(*) AS BIGINT) AS c
+            FROM ord GROUP BY sd),
+    cal AS (
+        SELECT unnest(generate_series(s.d0,
+                                      s.d1 - INTERVAL 1 DAY,
+                                      INTERVAL 1 DAY))::DATE AS d
+        FROM span s
+    ),
+    open_ AS (
+        SELECT cal.d,
+               CAST(sum(coalesce(arr.a, 0)) OVER (ORDER BY cal.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - sum(coalesce(dep.c, 0)) OVER (ORDER BY cal.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS open_eod
+        FROM cal LEFT JOIN arr ON arr.d = cal.d
+                 LEFT JOIN dep ON dep.d = cal.d
+    ),
+    l AS (
+        SELECT avg(CAST(open_eod AS DOUBLE)) AS l_avg,
+               CAST(max(open_eod) AS BIGINT) AS peak_open,
+               min(CASE WHEN open_eod = (SELECT max(open_eod) FROM open_)
+                        THEN d END) AS peak_day,
+               CAST(count(*) AS BIGINT) AS s_days
+        FROM open_
+    )
+    SELECT sp.n AS n_orders, l.s_days AS span_days,
+           round(CAST(sp.n AS DOUBLE) / l.s_days, 6) + 0
+               AS lambda_per_day,
+           round(CAST(sp.dur AS DOUBLE) / sp.n, 6) + 0 AS w_days,
+           round(l.l_avg, 6) + 0 AS l_avg_open,
+           l.peak_open, l.peak_day,
+           round(l.l_avg / ((CAST(sp.n AS DOUBLE) / l.s_days)
+                            * (CAST(sp.dur AS DOUBLE) / sp.n)), 6) + 0
+               AS littles_ratio
+    FROM span sp, l
+    """,
+)
+def q_littles_law(spark, sf_dir):
+    """Little's law audit on the order pipeline: L = λ·W, with all
+    three measured INDEPENDENTLY — λ = orders/day over the span, W =
+    mean order-to-last-ship latency, and L = the time-average
+    end-of-day open-order count rebuilt from arrival/departure
+    cumulative counters on a dense calendar (an order is open at end
+    of day d iff ordered ≤ d < shipped). On a consistent ledger the
+    ratio L/(λW) is EXACTLY 1 (Σ open-days ≡ Σ durations — the finite-
+    horizon form of the law), so any deviation is a data-quality
+    finding: lost departures, ships before orders, horizon clipping.
+    The identity is the AUDIT every queueing readout (q_running_
+    backlog's WIP series, q_erlang_staffing's λ) silently assumes;
+    peak open + peak day print beside it as the capacity numbers.
+
+    Exactness: arrival/departure counts and the cumsum census are
+    BIGINT on the dense calendar (sequence-exploded, bounded axis);
+    the three ratios are the only floats, and the ratio pins to
+    1.000000 on both engines.
+
+    Scale: one (order → last-ship) rollup is the data-sized pass; the
+    calendar explode, two cumulative windows, and the averages all
+    run on the ~2.4k-day axis regardless of corpus size.
+    """
+    from ..session import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders")
+    li = _lt(spark, sf_dir, "lineitem")
+    ord_ = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("sd"))
+    )
+    span = ord_.agg(
+        F.min("od").alias("d0"),
+        F.max("sd").alias("d1"),
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.datediff("sd", "od")).cast("long").alias("dur"),
+    )
+    arr = ord_.groupBy(F.col("od").alias("d")).agg(
+        F.count("*").cast("long").alias("a")
+    )
+    dep = ord_.groupBy(F.col("sd").alias("d")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    cal = span.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.date_sub(F.col("d1"), 1))
+        ).alias("d")
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    open_ = (
+        cal.join(arr, "d", "left")
+        .join(dep, "d", "left")
+        .select(
+            "d",
+            (
+                F.sum(F.coalesce(F.col("a"), F.lit(0))).over(wcum)
+                - F.sum(F.coalesce(F.col("c"), F.lit(0))).over(wcum)
+            )
+            .cast("long")
+            .alias("open_eod"),
+        )
+    )
+    peak = open_.agg(F.max("open_eod").alias("po"))
+    l = (
+        open_.crossJoin(F.broadcast(peak))
+        .agg(
+            F.avg(F.col("open_eod").cast("double")).alias("l_avg"),
+            F.max("open_eod").cast("long").alias("peak_open"),
+            F.min(
+                F.when(F.col("open_eod") == F.col("po"), F.col("d"))
+            ).alias("peak_day"),
+            F.count("*").cast("long").alias("s_days"),
+        )
+    )
+    lam = F.col("n").cast("double") / F.col("s_days")
+    w = F.col("dur").cast("double") / F.col("n")
+    return l.crossJoin(F.broadcast(span)).select(
+        F.col("n").alias("n_orders"),
+        F.col("s_days").alias("span_days"),
+        f6(lam).alias("lambda_per_day"),
+        f6(w).alias("w_days"),
+        f6(F.col("l_avg")).alias("l_avg_open"),
+        "peak_open",
+        "peak_day",
+        f6(F.col("l_avg") / (lam * w)).alias("littles_ratio"),
+    )

@@ -741,3 +741,128 @@ def test_textrank_replay(spark):
     assert [(r["word"], r["score"]) for r in got] == [
         (w, round(v, 6)) for w, v in top
     ]
+
+
+def test_hotelling_t2_replay(spark):
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_discount")
+        .collect()
+    )
+    g = {1: [], 0: []}
+    for r in rows:
+        g[1 if r["l_returnflag"] == "R" else 0].append(
+            (float(r["l_quantity"]), r["l_discount"])
+        )
+    def mom(v):
+        n = len(v)
+        mx = sum(x for x, _ in v) / n
+        my = sum(y for _, y in v) / n
+        sxx = sum((x - mx) ** 2 for x, _ in v) / (n - 1)
+        syy = sum((y - my) ** 2 for _, y in v) / (n - 1)
+        sxy = sum((x - mx) * (y - my) for x, y in v) / (n - 1)
+        return n, mx, my, sxx, syy, sxy
+    n1, mx1, my1, sxx1, syy1, sxy1 = mom(g[1])
+    n0, mx0, my0, sxx0, syy0, sxy0 = mom(g[0])
+    dx, dy = mx1 - mx0, my1 - my0
+    den = n1 + n0 - 2
+    pxx = ((n1 - 1) * sxx1 + (n0 - 1) * sxx0) / den
+    pyy = ((n1 - 1) * syy1 + (n0 - 1) * syy0) / den
+    pxy = ((n1 - 1) * sxy1 + (n0 - 1) * sxy0) / den
+    det = pxx * pyy - pxy * pxy
+    quad = dx * (pyy * dx - pxy * dy) + dy * (pxx * dy - pxy * dx)
+    t2 = (n1 * n0 / (n1 + n0)) * quad / det
+    row = registry.QUERIES["a_hotelling_t2"](spark, SF_SMALL).collect()[0]
+    assert row["n_returned"] == n1 and row["n_kept"] == n0
+    assert row["t2"] == pytest.approx(t2, abs=2e-5)
+    assert row["differ_flag"] == (1 if t2 > 5.991465 else 0)
+
+
+def test_confidence_sequence_replay(spark):
+    rows = sorted(
+        (r["d"], r["n"], r["s"])
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT", 1
+                ).otherwise(0)
+            ).alias("s"),
+        )
+        .collect()
+    )
+    t = k = 0
+    first = None
+    for i, (d, n, s) in enumerate(rows, 1):
+        t += n
+        k += s
+        mean = k / t
+        width = math.sqrt(math.log(2.0 * i * i * (i + 1) / 0.05) / (2.0 * t))
+        if first is None and (mean - width > 0.2 or mean + width < 0.2):
+            first = d
+    row = registry.QUERIES["a_confidence_sequence"](
+        spark, SF_SMALL
+    ).collect()[0]
+    assert row["n_days"] == len(rows) and row["n_orders"] == t
+    assert row["final_mean"] == pytest.approx(k / t, abs=1e-6)
+    assert row["final_width"] == pytest.approx(width, abs=1e-6)
+    assert row["first_exclude_day"] == first
+    assert row["null_rejected"] == (1 if first is not None else 0)
+    # anytime-validity direction: widths shrink in t (more data, tighter)
+    assert row["final_width"] < 0.1
+
+
+def test_calinski_harabasz_replay(spark):
+    import numpy as np
+
+    rows = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    labs = np.array([r["label"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n, k = len(rows), len(set(labs.tolist()))
+    grand = X.mean(axis=0)
+    ssb = ssw = 0.0
+    for lb in sorted(set(labs.tolist())):
+        sub = X[labs == lb]
+        c = sub.mean(axis=0)
+        ssw += ((sub - c) ** 2).sum()
+        ssb += len(sub) * ((c - grand) ** 2).sum()
+    ch = (ssb / (k - 1)) / (ssw / (n - k))
+    row = registry.QUERIES["v_calinski_harabasz"](spark, SF_SMALL).collect()[
+        0
+    ]
+    assert row["n_vectors"] == n and row["k_clusters"] == k
+    assert row["ss_between"] == pytest.approx(ssb, abs=1e-3)  # 4dp snap
+    assert row["ss_within"] == pytest.approx(ssw, abs=1e-3)
+    assert row["calinski_harabasz"] == pytest.approx(ch, abs=1e-4)
+
+
+def test_littles_law_identity_and_replay(spark):
+    import datetime as dt
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF_SMALL}/lineitem.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("sd"))
+        .collect()
+    )
+    n = len(rows)
+    dur = sum((r["sd"] - r["od"]).days for r in rows)
+    d0 = min(r["od"] for r in rows)
+    d1 = max(r["sd"] for r in rows)
+    s_days = (d1 - d0).days
+    row = registry.QUERIES["q_littles_law"](spark, SF_SMALL).collect()[0]
+    assert row["n_orders"] == n and row["span_days"] == s_days
+    assert row["lambda_per_day"] == pytest.approx(n / s_days, abs=1e-6)
+    assert row["w_days"] == pytest.approx(dur / n, abs=1e-6)
+    # the finite-horizon identity: sum of open-days == sum of durations,
+    # so L/(lambda*W) pins to exactly 1 on a consistent ledger
+    assert row["littles_ratio"] == pytest.approx(1.0, abs=1e-6)
+    assert row["l_avg_open"] == pytest.approx(dur / s_days, abs=1e-4)
+    # peak sanity: between average and total
+    assert row["l_avg_open"] <= row["peak_open"] <= n

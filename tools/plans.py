@@ -206,6 +206,12 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "w_shewhart_imr": "bounded: calendar-day axis (~2.4k days at any "
     "corpus size; one lag window on the daily rollup for the moving "
     "ranges)",
+    "a_confidence_sequence": "bounded: calendar-day axis (~2.4k days "
+    "at any corpus size; three cumulative windows on the daily "
+    "rollup — the streaming twin keeps three scalars of state)",
+    "q_littles_law": "bounded: dense calendar axis (sequence-exploded "
+    "~2.4k days; two cumulative counters rebuild the open-order "
+    "census at end-of-day grain)",
     "w_burn_rate": "saturating: SLO-window buckets (531->720)",
     "q_running_backlog": "saturating: open-day axis (1638->2499)",
     "q_hazard_curve": "saturating: distinct lifetime days (18->26)",

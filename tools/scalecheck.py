@@ -122,6 +122,9 @@ LINEAR_KEYS = {
     "t_textrank_keywords": "documents",  # round 15: tokenize + window-
     # pair census are the data passes; the 200-word-cap graph keeps
     # the 3 rank iterations broadcast-sized at any corpus size
+    "v_calinski_harabasz": "embeddings",  # round 15: two map-side
+    # aggregate passes (64 sum columns, then deviations vs broadcast
+    # centroids) — no pair join anywhere
     "v_filtered_ann_recall": "embeddings",  # round 15: one broadcast
     # pair scan for 5 queries; filtered arms are <=20-row windows
     "t_source_overlap": "documents",  # round 10: gram-digest equi-join with
@@ -388,6 +391,12 @@ RELATIONAL_LINEAR_KEYS = {
     # + a broadcast scalar join back to the 25-row frame
     "a_decision_stump": "lineitem",  # round 15: band census + one
     # cumulative window + rank-1 argmin over candidate splits
+    "a_hotelling_t2": "lineitem",  # round 15: ONE moment groupBy
+    # (2 rows out); the 2x2 inverse is scalar math
+    "a_confidence_sequence": "orders",  # round 15: day rollup + three
+    # cumulative windows on the bounded calendar axis
+    "q_littles_law": "lineitem",  # round 15: order->last-ship rollup
+    # is the data pass; census cumsums on the dense ~2.4k-day calendar
     "s_encoding_advisor": "lineitem",  # round 15: stacked (col, val)
     # frame -> ONE census shuffle for six columns' exact distincts
 }
