@@ -171,6 +171,7 @@ HEADLINE = [
     "a_confidence_sequence",  # round 15: anytime-valid CI, no peeking penalty
     "v_calinski_harabasz",  # round 15: variance-ratio cluster quality
     "q_littles_law",  # round 15: L = lambda*W identity audit
+    "a_neyman_allocation",  # round 15: stratified-sample design calculator
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -13726,3 +13726,107 @@ def a_confidence_sequence(spark, sf_dir):
             .alias("null_rejected"),
         )
     )
+
+
+@register(
+    "a_neyman_allocation",
+    """
+    WITH grp AS (
+        SELECT n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS nh,
+               stddev_samp(o.o_totalprice) AS sh,
+               avg(o.o_totalprice) AS mh
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(nh) AS BIGINT) AS n,
+               sum(nh * sh) AS nsh,
+               sum(CAST(nh AS DOUBLE) * nh * sh * sh) AS neyman_core,
+               sum(CAST(nh AS DOUBLE) * sh * sh) AS prop_core
+        FROM grp
+    )
+    SELECT g.nation, g.nh AS stratum_size,
+           round(g.sh, 4) + 0 AS stratum_sd,
+           CAST(round(0.01 * t.n * (g.nh * g.sh) / t.nsh) AS BIGINT)
+               AS neyman_n,
+           CAST(round(0.01 * g.nh) AS BIGINT) AS proportional_n,
+           round((g.nh * g.sh) / t.nsh, 6) + 0 AS alloc_share,
+           round(t.prop_core / (t.neyman_core / t.n), 6) + 0
+               AS design_effect_vs_neyman
+    FROM grp g, tot t
+    ORDER BY nation
+    """,
+)
+def a_neyman_allocation(spark, sf_dir):
+    """Neyman optimal allocation for a 1% stratified sample of orders
+    by nation: n_h ∝ N_h·S_h (big AND variable strata get more
+    budget), printed beside the proportional allocation and the
+    design effect Var_prop/Var_neyman = ΣN_h S_h² / ((ΣN_h S_h)²/N) —
+    the factor by which Neyman beats proportional for estimating mean
+    order value at the same sample size. This is the DESIGN
+    calculator in front of every subsampling execution op
+    (t_weighted_sample_aes draws the rows; this key decides HOW MANY
+    per stratum): training-data pipelines that downsample by source
+    without this math systematically over-sample their low-variance
+    boilerplate strata.
+
+    Exactness: per-stratum (N_h, S_h, mean) from one grouped pass
+    using the engines' shared stddev_samp; the allocation and design
+    effect are reductions over 25 stratum rows, 4/6dp-snapped;
+    allocations round half-up identically from identical doubles.
+
+    Scale: the a_meta_fixed_effect plan — one 3-table join + 25-row
+    stratum frame + broadcast totals back; strata add rows to a tiny
+    frame, and the sample EXECUTION stays a hash-threshold scan
+    (t_weighted_sample_aes) fed by these counts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    grp = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("nh"),
+            F.stddev_samp("o_totalprice").alias("sh"),
+            F.avg("o_totalprice").alias("mh"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("nh").cast("long").alias("n"),
+        F.sum(F.col("nh") * F.col("sh")).alias("nsh"),
+        F.sum(
+            F.col("nh").cast("double")
+            * F.col("nh")
+            * F.col("sh")
+            * F.col("sh")
+        ).alias("neyman_core"),
+        F.sum(F.col("nh").cast("double") * F.col("sh") * F.col("sh")).alias(
+            "prop_core"
+        ),
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            F.col("nh").alias("stratum_size"),
+            (F.round(F.col("sh"), 4) + 0).alias("stratum_sd"),
+            F.round(
+                0.01 * F.col("n") * (F.col("nh") * F.col("sh")) / F.col("nsh")
+            )
+            .cast("long")
+            .alias("neyman_n"),
+            F.round(0.01 * F.col("nh")).cast("long").alias("proportional_n"),
+            f6((F.col("nh") * F.col("sh")) / F.col("nsh")).alias(
+                "alloc_share"
+            ),
+            f6(
+                F.col("prop_core") / (F.col("neyman_core") / F.col("n"))
+            ).alias("design_effect_vs_neyman"),
+        )
+        .orderBy("nation")
+    )

@@ -866,3 +866,60 @@ def test_littles_law_identity_and_replay(spark):
     assert row["l_avg_open"] == pytest.approx(dur / s_days, abs=1e-4)
     # peak sanity: between average and total
     assert row["l_avg_open"] <= row["peak_open"] <= n
+
+
+def test_neyman_allocation_replay(spark):
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF_SMALL}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            spark.read.parquet(f"{SF_SMALL}/nation.parquet"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "o_totalprice")
+        .collect()
+    )
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r["n_name"]].append(r["o_totalprice"])
+    stats = {}
+    for g, v in groups.items():
+        n = len(v)
+        m = sum(v) / n
+        sd = math.sqrt(sum((x - m) ** 2 for x in v) / (n - 1))
+        stats[g] = (n, sd)
+    big_n = sum(n for n, _ in stats.values())
+    nsh = sum(n * sd for n, sd in stats.values())
+    neyman_core = sum(n * n * sd * sd for n, sd in stats.values())
+    prop_core = sum(n * sd * sd for n, sd in stats.values())
+    got = {
+        r["nation"]: r
+        for r in registry.QUERIES["a_neyman_allocation"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(stats)
+    deff = prop_core / (neyman_core / big_n)
+    tot_neyman = 0
+    for g, (n, sd) in stats.items():
+        row = got[g]
+        assert row["stratum_size"] == n
+        assert row["stratum_sd"] == pytest.approx(sd, abs=1e-3)
+        # SQL round is half-up; Python round is banker's — replay half-up
+        assert row["neyman_n"] == math.floor(
+            0.01 * big_n * n * sd / nsh + 0.5
+        )
+        assert row["proportional_n"] == math.floor(0.01 * n + 0.5)
+        assert row["alloc_share"] == pytest.approx(n * sd / nsh, abs=1e-6)
+        assert row["design_effect_vs_neyman"] == pytest.approx(
+            deff, abs=1e-5
+        )
+        tot_neyman += row["neyman_n"]
+    # allocations sum to ~the 1% budget (rounding slack <= #strata/2)
+    assert abs(tot_neyman - 0.01 * big_n) <= len(stats)
+    # Neyman never loses to proportional: design effect >= 1 by
+    # Cauchy-Schwarz
+    assert deff >= 1.0 - 1e-9

@@ -397,6 +397,8 @@ RELATIONAL_LINEAR_KEYS = {
     # cumulative windows on the bounded calendar axis
     "q_littles_law": "lineitem",  # round 15: order->last-ship rollup
     # is the data pass; census cumsums on the dense ~2.4k-day calendar
+    "a_neyman_allocation": "orders",  # round 15: one 3-table join +
+    # 25-row stratum frame + broadcast totals back
     "s_encoding_advisor": "lineitem",  # round 15: stacked (col, val)
     # frame -> ONE census shuffle for six columns' exact distincts
 }
