@@ -5435,12 +5435,16 @@ def t_burrows_delta(spark, sf_dir):
         ),
     )
     ww = Window.partitionBy("word")
+    # try_divide: a top word with IDENTICAL relative frequency in every
+    # source has stddev 0 — its z goes NULL on both engines (DuckDB /0
+    # is NULL; the NULL rows drop out of the pair average identically)
+    # instead of an ANSI crash.
     z = rel.select(
         "source",
         "word",
-        (
-            (F.col("fr") - F.avg("fr").over(ww))
-            / F.stddev_samp("fr").over(ww)
+        F.try_divide(
+            F.col("fr") - F.avg("fr").over(ww),
+            F.stddev_samp("fr").over(ww),
         ).alias("z"),
     )
     a, b = z.alias("a"), z.alias("b")

@@ -7029,7 +7029,10 @@ def v_calinski_harabasz(spark, sf_dir):
         )
         .agg(F.sum("bk").alias("ssb"), F.count("*").cast("long").alias("k"))
     )
-    ch = (F.col("ssb") / (F.col("k") - 1)) / (
+    # a single-label corpus (k = 1) leaves CH undefined: NULL on both
+    # engines (DuckDB x/0 is NULL; ANSI Spark would crash) — the
+    # round-15 degenerate-corpus lens applied to this round's own keys.
+    ch = F.try_divide(F.col("ssb"), F.col("k") - 1) / (
         F.col("ssw") / (F.col("n") - F.col("k"))
     )
     return (

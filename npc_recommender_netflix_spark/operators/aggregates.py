@@ -12478,15 +12478,18 @@ def a_cochran_q(spark, sf_dir):
         SELECT CAST(sum(nj) AS BIGINT) AS n,
                CAST(count(*) AS BIGINT) AS k,
                sum((nj - 1) * s2) AS ssw,
-               sum((nj - 1) * ln(s2)) AS sln,
-               sum(1.0 / (nj - 1)) AS sinv
+               sum((nj - 1) * CASE WHEN s2 > 0 THEN ln(s2) END) AS sln,
+               sum(1.0 / (nj - 1)) AS sinv,
+               min(s2) AS min_s2
         FROM v
     )
     SELECT n AS n_obs, k AS k_groups,
-           round(((n - k) * ln(ssw / (n - k)) - sln)
-                 / (1 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1))), 6) + 0
-               AS bartlett_t,
-           CASE WHEN ((n - k) * ln(ssw / (n - k)) - sln)
+           round(CASE WHEN min_s2 > 0 THEN
+               ((n - k) * ln(ssw / (n - k)) - sln)
+               / (1 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1))) END, 6)
+               + 0 AS bartlett_t,
+           CASE WHEN min_s2 > 0
+                 AND ((n - k) * ln(ssw / (n - k)) - sln)
                      / (1 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1)))
                      > 9.487729 THEN 1 ELSE 0 END AS heteroskedastic_flag
     FROM c
@@ -12524,16 +12527,27 @@ def a_bartlett_test(spark, sf_dir):
         F.col("qj") - F.col("sj").cast("double") * F.col("sj") / F.col("nj")
     ) / (F.col("nj") - 1)
     v = grp.select("nj", s2.alias("s2"))
+    # A zero-variance group (all-identical cents) leaves ln(s2)
+    # undefined: DuckDB ERRORS on ln(0) while Spark's log returns NULL
+    # — the round-15 degenerate-corpus lens applied to this round's own
+    # keys. Guard BOTH sides to a well-defined NULL statistic (Bartlett
+    # is undefined there; hash-neutral on any corpus with spread).
     c = v.agg(
         F.sum("nj").cast("long").alias("n"),
         F.count("*").cast("long").alias("k"),
         F.sum((F.col("nj") - 1) * F.col("s2")).alias("ssw"),
-        F.sum((F.col("nj") - 1) * F.log(F.col("s2"))).alias("sln"),
+        F.sum(
+            (F.col("nj") - 1)
+            * F.when(F.col("s2") > 0, F.log(F.col("s2")))
+        ).alias("sln"),
         F.sum(1.0 / (F.col("nj") - 1)).alias("sinv"),
+        F.min("s2").alias("min_s2"),
     )
     n, k = F.col("n"), F.col("k")
-    t = ((n - k) * F.log(F.col("ssw") / (n - k)) - F.col("sln")) / (
-        1 + (F.col("sinv") - 1.0 / (n - k)) / (3.0 * (k - 1))
+    t = F.when(
+        F.col("min_s2") > 0,
+        ((n - k) * F.log(F.col("ssw") / (n - k)) - F.col("sln"))
+        / (1 + (F.col("sinv") - 1.0 / (n - k)) / (3.0 * (k - 1))),
     )
     return c.select(
         n.alias("n_obs"),
@@ -12654,9 +12668,17 @@ def a_mood_median(spark, sf_dir):
     pa = F.col("a").cast("double") / F.col("n")
     ea = F.col("nj") * pa
     eb = F.col("nj") * (1.0 - pa)
-    term = (F.col("aj") - ea) * (F.col("aj") - ea) / ea + (
-        (F.col("nj") - F.col("aj")) - eb
-    ) * ((F.col("nj") - F.col("aj")) - eb) / eb
+    # try_divide: a corpus where NO value exceeds the grand median
+    # (constant-ish data, a = 0) zeroes every expected-above cell —
+    # the per-cell terms go NULL like the DuckDB oracle's div-by-zero
+    # and chi2 comes back NULL, never an ANSI crash.
+    term = F.try_divide(
+        (F.col("aj") - ea) * (F.col("aj") - ea), ea
+    ) + F.try_divide(
+        ((F.col("nj") - F.col("aj")) - eb)
+        * ((F.col("nj") - F.col("aj")) - eb),
+        eb,
+    )
     chi2 = F.sum(term)
     return (
         cells.crossJoin(F.broadcast(tot))
@@ -12737,8 +12759,13 @@ def a_sign_test(spark, sf_dir):
         .cast("long")
         .alias("n_pos"),
     )
-    z = (2.0 * F.col("n_pos") - F.col("n")) / F.sqrt(
-        F.col("n").cast("double")
+    # try_divide: a pairing where every day ties (n = 0) leaves z
+    # undefined — NULL on both engines (DuckDB 0/0 is NULL), never an
+    # ANSI crash (round-15 degenerate-corpus lens on the round's own
+    # keys).
+    z = F.try_divide(
+        2.0 * F.col("n_pos") - F.col("n"),
+        F.sqrt(F.col("n").cast("double")),
     )
     return c.select(
         F.col("n").alias("n_pairs"),

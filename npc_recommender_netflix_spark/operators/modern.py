@@ -6061,9 +6061,14 @@ def q_lift_curve(spark, sf_dir):
         F.col("k").alias("n_cum"),
         F.col("tp").alias("tp_cum"),
         f6(F.col("k") * 1.0 / F.col("n")).alias("coverage"),
-        f6(F.col("tp") * 1.0 / F.col("p")).alias("capture_rate"),
+        # try_divide: a corpus with NO positive class (p = 0) yields
+        # NULL capture/lift like the DuckDB oracle, never an ANSI
+        # crash (the a_pr_auc guard, same fixture property).
+        f6(F.try_divide(F.col("tp") * 1.0, F.col("p"))).alias(
+            "capture_rate"
+        ),
         f6(
-            (F.col("tp") * 1.0 / F.col("p"))
+            F.try_divide(F.col("tp") * 1.0, F.col("p"))
             / (F.col("k") * 1.0 / F.col("n"))
         ).alias("lift"),
     )

@@ -923,3 +923,37 @@ def test_neyman_allocation_replay(spark):
     # Neyman never loses to proportional: design effect >= 1 by
     # Cauchy-Schwarz
     assert deff >= 1.0 - 1e-9
+
+
+def test_bartlett_zero_variance_group_null_not_crash(spark):
+    """Round-15 lens applied to the round's own keys: a zero-variance
+    group makes ln(s2) undefined — DuckDB ERRORS on ln(0), Spark's log
+    returns NULL. Both sides now yield a well-defined NULL statistic.
+    Driven end-to-end through a temp fixture with one constant-valued
+    event type."""
+    import os
+    import shutil
+
+    tmp = "/tmp/npc_r15_zerovar"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    # force the 'error' type to a constant value; other types untouched
+    ev.withColumn(
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(7.0)).otherwise(
+            F.col("value")
+        ),
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    row = registry.QUERIES["a_bartlett_test"](spark, tmp).collect()[0]
+    assert row["bartlett_t"] is None
+    assert row["heteroskedastic_flag"] == 0
+    # the oracle agrees (no ln(0) error, NULL statistic)
+    con = __import__("duckdb").connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{tmp}/events.parquet/*.parquet')"
+    )
+    orow = con.sql(registry.ORACLE["a_bartlett_test"]).fetchall()[0]
+    assert orow[2] is None and orow[3] == 0
+    shutil.rmtree(tmp, ignore_errors=True)
