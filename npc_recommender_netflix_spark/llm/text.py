@@ -5567,6 +5567,11 @@ def t_edit_distance_dedup(spark, sf_dir):
     )
 
 
+# t_textrank_keywords' cached co-occurrence edge frame, memoized per
+# (app_id, sf_dir) so repeated invocations in one session reuse ONE
+# cached frame (round-14 advice pattern).
+_TR_EDGES_SHARED: dict = {}
+
 _TR_ITER_SQL = """
     s{next} AS (
         SELECT e.dst AS word,
@@ -5694,11 +5699,24 @@ def t_textrank_keywords(spark, sf_dir):
         .groupBy("src", "dst")
         .agg(F.count("*").cast("long").alias("w"))
     )
-    edges = pairs.select("src", "dst", "w").unionByName(
-        pairs.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-        )
-    ).cache()
+    # memoized per (app_id, sf_dir) like modern._SCRIPT_HIST_SHARED:
+    # the cached edge frame feeds six references (wdeg + 3 iterations'
+    # joins); re-invocations must reuse ONE cached frame instead of
+    # accumulating orphans (the round-14 q_sql_scripting_hist advice
+    # applied at birth).
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _TR_EDGES_SHARED if k[0] != memo_key[0]]:
+        del _TR_EDGES_SHARED[stale]
+    edges = _TR_EDGES_SHARED.get(memo_key)
+    if edges is None:
+        edges = pairs.select("src", "dst", "w").unionByName(
+            pairs.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        ).cache()
+        _TR_EDGES_SHARED[memo_key] = edges
+    elif not edges.storageLevel.useMemory:
+        edges.cache()
     wdeg = edges.groupBy(F.col("src").alias("word")).agg(
         F.sum("w").cast("long").alias("wd")
     )

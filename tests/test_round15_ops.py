@@ -957,3 +957,19 @@ def test_bartlett_zero_variance_group_null_not_crash(spark):
     orow = con.sql(registry.ORACLE["a_bartlett_test"]).fetchall()[0]
     assert orow[2] is None and orow[3] == 0
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_textrank_reinvocation_reuses_one_cached_edge_frame(spark):
+    """The cached co-occurrence edge frame is memoized per
+    (app, sf_dir): repeated calls must reuse one cached frame, not
+    accumulate orphans (the q_sql_scripting_hist advice pattern)."""
+    from npc_recommender_netflix_spark.llm import text as T
+
+    T._TR_EDGES_SHARED.clear()
+    registry.QUERIES["t_textrank_keywords"](spark, SF_SMALL).collect()
+    assert len(T._TR_EDGES_SHARED) == 1
+    frame1 = next(iter(T._TR_EDGES_SHARED.values()))
+    registry.QUERIES["t_textrank_keywords"](spark, SF_SMALL).collect()
+    assert len(T._TR_EDGES_SHARED) == 1
+    assert next(iter(T._TR_EDGES_SHARED.values())) is frame1
+    assert frame1.storageLevel.useMemory
