@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import f6, load_table
+from ..session import evict_superseded_memo, f6, load_table
 
 TOKENS_SQL = r"""
     SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS word
@@ -5705,8 +5705,7 @@ def t_textrank_keywords(spark, sf_dir):
     # accumulating orphans (the round-14 q_sql_scripting_hist advice
     # applied at birth).
     memo_key = (spark.sparkContext.applicationId, sf_dir)
-    for stale in [k for k in _TR_EDGES_SHARED if k[0] != memo_key[0]]:
-        del _TR_EDGES_SHARED[stale]
+    evict_superseded_memo(_TR_EDGES_SHARED, memo_key[0], sf_dir)
     edges = _TR_EDGES_SHARED.get(memo_key)
     if edges is None:
         edges = pairs.select("src", "dst", "w").unionByName(

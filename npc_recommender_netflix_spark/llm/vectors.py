@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import f6, load_table
+from ..session import evict_superseded_memo, f6, load_table
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
@@ -101,12 +101,10 @@ _QCOS_SHARED: dict[tuple[str, str], DataFrame] = {}
 
 def _qcos_012(spark, sf_dir) -> DataFrame:
     app_id = spark.sparkContext.applicationId
-    # Evict entries from other applications on lookup: test suites that
-    # rebuild sessions would otherwise accumulate DataFrames pinned to
-    # stopped SparkContexts (round-11 advice). Bounds the dict to one
-    # live app at a time.
-    for stale in [k for k in _QCOS_SHARED if k[0] != app_id]:
-        del _QCOS_SHARED[stale]
+    # Evict other-app entries (stopped contexts, round-11 advice) AND
+    # same-app other-sf_dir frames (ladder runs, round-15 verdict item 2)
+    # — bounds the dict to one live frame.
+    evict_superseded_memo(_QCOS_SHARED, app_id, sf_dir)
     key = (app_id, sf_dir)
     df = _QCOS_SHARED.get(key)
     if df is None:
@@ -3555,8 +3553,7 @@ _ADJ8_SHARED: dict[tuple[str, str], DataFrame] = {}
 
 def _nsw_adj8(spark, sf_dir) -> DataFrame:
     app_id = spark.sparkContext.applicationId
-    for stale in [k for k in _ADJ8_SHARED if k[0] != app_id]:
-        del _ADJ8_SHARED[stale]
+    evict_superseded_memo(_ADJ8_SHARED, app_id, sf_dir)
     key = (app_id, sf_dir)
     df = _ADJ8_SHARED.get(key)
     if df is None:

@@ -5745,7 +5745,10 @@ def a_levene_test(spark, sf_dir):
         k - 1.0
     )
     within = (F.col("q") - F.col("sb").cast("double")) / (n - k)
-    fstat = between / within
+    # try_divide: a zero-spread corpus (all deviations 0) zeroes the
+    # within term — NULL statistic like DuckDB's /0, no ANSI crash
+    # (round-16 back-sweep; the a_bartlett_test ln(0) sibling hazard)
+    fstat = F.try_divide(between, within)
     return c.select(
         n.alias("n_obs"),
         k.alias("k_groups"),
@@ -10689,9 +10692,14 @@ def a_somers_d(spark, sf_dir):
             "disc",
             (F.col("tiex_cross") + F.col("tboth")).cast("long").alias("tied_x"),
             (F.col("tiey_cross") + F.col("tboth")).cast("long").alias("tied_y"),
-            f6(cd * 1.0 / denom_x).alias("somers_d_yx"),
-            f6(cd * 1.0 / denom_y).alias("somers_d_xy"),
-            f6(cd / F.sqrt(denom_x * denom_y)).alias("kendall_tau_b"),
+            # try_divide: an all-tied axis (constant-price corpus) zeroes
+            # the untied-pair denominator — NULL like DuckDB, no ANSI
+            # crash (round-16 degenerate back-sweep)
+            f6(F.try_divide(cd * 1.0, denom_x)).alias("somers_d_yx"),
+            f6(F.try_divide(cd * 1.0, denom_y)).alias("somers_d_xy"),
+            f6(F.try_divide(cd, F.sqrt(denom_x * denom_y))).alias(
+                "kendall_tau_b"
+            ),
         )
     )
 
@@ -10791,13 +10799,16 @@ def a_lins_ccc(spark, sf_dir):
     sxx = F.col("mxx") - F.col("mx") * F.col("mx")
     syy = F.col("myy") - F.col("my") * F.col("my")
     dm = F.col("mx") - F.col("my")
-    ccc = (2 * sxy) / (sxx + syy + dm * dm)
-    r = sxy / F.sqrt(sxx * syy)
+    # try_divide: a constant-side corpus (zero variance) NULLs r / C_b
+    # like DuckDB's /0 instead of ANSI-crashing (round-16 back-sweep);
+    # ccc's denominator additionally needs dm == 0 to degenerate.
+    ccc = F.try_divide(2 * sxy, sxx + syy + dm * dm)
+    r = F.try_divide(sxy, F.sqrt(sxx * syy))
     return m.select(
         "n",
         f6(ccc).alias("ccc"),
         f6(r).alias("pearson_r"),
-        f6(ccc / r).alias("bias_correction_cb"),
+        f6(F.try_divide(ccc, r)).alias("bias_correction_cb"),
         (F.round(dm, 4) + 0).alias("location_shift_usd"),
     )
 
@@ -11039,12 +11050,14 @@ def a_durbin_watson(spark, sf_dir):
         F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
         F.sum(F.col("t") * F.col("rev")).cast("long").alias("sxy"),
     )
-    slope = (
+    # try_divide: a single-day corpus has zero time variance
+    # (n*sxx - sx^2 = 0) -> NULL fit like DuckDB's /0, no ANSI crash
+    # (round-16 degenerate back-sweep, shared by the daily-fit family)
+    slope = F.try_divide(
         F.col("n").cast("double") * F.col("sxy")
-        - F.col("sx").cast("double") * F.col("sy")
-    ) / (
+        - F.col("sx").cast("double") * F.col("sy"),
         F.col("n").cast("double") * F.col("sxx")
-        - F.col("sx").cast("double") * F.col("sx")
+        - F.col("sx").cast("double") * F.col("sx"),
     )
     fit = s.select(
         "n",
@@ -11085,8 +11098,10 @@ def a_durbin_watson(spark, sf_dir):
         F.col("n").alias("n_days"),
         (F.round(F.col("slope"), 2) + 0).alias("slope_usd_per_day"),
         (F.round(F.col("icept"), 2) + 0).alias("intercept_usd"),
-        f6(F.col("num") / F.col("den")).alias("dw"),
-        f6(1.0 - (F.col("num") / F.col("den")) / 2.0).alias("rho_hat"),
+        f6(F.try_divide(F.col("num"), F.col("den"))).alias("dw"),
+        f6(
+            1.0 - F.try_divide(F.col("num"), F.col("den")) / 2.0
+        ).alias("rho_hat"),
     )
 
 
@@ -11195,12 +11210,14 @@ def a_cooks_distance(spark, sf_dir):
         F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
         F.sum(F.col("t") * F.col("rev")).cast("long").alias("sxy"),
     )
-    slope = (
+    # try_divide: a single-day corpus has zero time variance
+    # (n*sxx - sx^2 = 0) -> NULL fit like DuckDB's /0, no ANSI crash
+    # (round-16 degenerate back-sweep, shared by the daily-fit family)
+    slope = F.try_divide(
         F.col("n").cast("double") * F.col("sxy")
-        - F.col("sx").cast("double") * F.col("sy")
-    ) / (
+        - F.col("sx").cast("double") * F.col("sy"),
         F.col("n").cast("double") * F.col("sxx")
-        - F.col("sx").cast("double") * F.col("sx")
+        - F.col("sx").cast("double") * F.col("sx"),
     )
     fit = s.select(
         "n",
@@ -11227,16 +11244,21 @@ def a_cooks_distance(spark, sf_dir):
         .alias("e"),
     )
     s2f = resid.agg(
-        (
-            F.sum(F.col("e").cast("double") * F.col("e"))
-            / (F.max("n") - 2)
+        F.try_divide(
+            F.sum(F.col("e").cast("double") * F.col("e")),
+            F.max("n") - 2,
         ).alias("s2")
     )
-    h = 1.0 / F.col("n") + (F.col("t") - F.col("xbar")) * (
-        F.col("t") - F.col("xbar")
-    ) / F.col("sxx_c")
-    cd = (F.col("e").cast("double") * F.col("e") * h) / (
-        2.0 * F.col("s2") * (1.0 - h) * (1.0 - h)
+    # try_divide: a single-day corpus has zero centered time variance
+    # (sxx_c = 0) and a 2-day corpus puts h = 1 at both ends — NULL
+    # leverage/D like DuckDB's /0, no ANSI crash (round-16 back-sweep)
+    h = 1.0 / F.col("n") + F.try_divide(
+        (F.col("t") - F.col("xbar")) * (F.col("t") - F.col("xbar")),
+        F.col("sxx_c"),
+    )
+    cd = F.try_divide(
+        F.col("e").cast("double") * F.col("e") * h,
+        2.0 * F.col("s2") * (1.0 - h) * (1.0 - h),
     )
     return (
         resid.crossJoin(F.broadcast(s2f))
@@ -11309,12 +11331,14 @@ def a_breusch_pagan(spark, sf_dir):
         F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
         F.sum(F.col("t") * F.col("rev")).cast("long").alias("sxy"),
     )
-    slope = (
+    # try_divide: a single-day corpus has zero time variance
+    # (n*sxx - sx^2 = 0) -> NULL fit like DuckDB's /0, no ANSI crash
+    # (round-16 degenerate back-sweep, shared by the daily-fit family)
+    slope = F.try_divide(
         F.col("n").cast("double") * F.col("sxy")
-        - F.col("sx").cast("double") * F.col("sy")
-    ) / (
+        - F.col("sx").cast("double") * F.col("sy"),
         F.col("n").cast("double") * F.col("sxx")
-        - F.col("sx").cast("double") * F.col("sx")
+        - F.col("sx").cast("double") * F.col("sx"),
     )
     fit = s.select(
         slope.alias("slope"),
@@ -11429,12 +11453,14 @@ def a_newey_west(spark, sf_dir):
         F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
         F.sum(F.col("t") * F.col("rev")).cast("long").alias("sxy"),
     )
-    slope = (
+    # try_divide: a single-day corpus has zero time variance
+    # (n*sxx - sx^2 = 0) -> NULL fit like DuckDB's /0, no ANSI crash
+    # (round-16 degenerate back-sweep, shared by the daily-fit family)
+    slope = F.try_divide(
         F.col("n").cast("double") * F.col("sxy")
-        - F.col("sx").cast("double") * F.col("sy")
-    ) / (
+        - F.col("sx").cast("double") * F.col("sy"),
         F.col("n").cast("double") * F.col("sxx")
-        - F.col("sx").cast("double") * F.col("sx")
+        - F.col("sx").cast("double") * F.col("sx"),
     )
     fit = s.select(
         "n",
@@ -11536,7 +11562,10 @@ def a_newey_west(spark, sf_dir):
                         - covar_pop(yl, xl) * covar_pop(x, xl)))
                    / (var_pop(yl) * var_pop(xl)
                       - covar_pop(yl, xl) * covar_pop(yl, xl)))
-                   AS sse_u_x
+                   AS sse_u_x,
+               var_pop(yl) * var_pop(xl)
+                   - covar_pop(yl, xl) * covar_pop(yl, xl) AS det,
+               var_pop(yl) * var_pop(xl) AS vp
         FROM z
     )
     SELECT direction, n,
@@ -11545,11 +11574,14 @@ def a_newey_west(spark, sf_dir):
                AS significant_95
     FROM (
         SELECT 'x_causes_y' AS direction, n,
-               (sse_r_y - sse_u_y) / (sse_u_y / (n - 3)) AS f_stat
+               CASE WHEN det > 1e-9 * vp
+                    THEN (sse_r_y - sse_u_y) / (sse_u_y / (n - 3)) END
+                   AS f_stat
         FROM f
         UNION ALL
         SELECT 'y_causes_x', n,
-               (sse_r_x - sse_u_x) / (sse_u_x / (n - 3))
+               CASE WHEN det > 1e-9 * vp
+                    THEN (sse_r_x - sse_u_x) / (sse_u_x / (n - 3)) END
         FROM f
     ) ORDER BY direction
     """,
@@ -11613,7 +11645,9 @@ def a_granger_1lag(spark, sf_dir):
             f" + covar_pop({dep}, xl) * (var_pop(yl) * covar_pop({dep}, xl)"
             f" - covar_pop(yl, xl) * covar_pop({dep}, yl))"
         )
-        return F.count("*") * (F.expr(f"var_pop({dep})") - num / det)
+        return F.count("*") * (
+            F.expr(f"var_pop({dep})") - F.try_divide(num, det)
+        )
 
     f = z.agg(
         F.count("*").cast("long").alias("n"),
@@ -11625,25 +11659,43 @@ def a_granger_1lag(spark, sf_dir):
         ).alias("sse_r_x"),
         sse_u("y").alias("sse_u_y"),
         sse_u("x").alias("sse_u_x"),
+        F.expr(
+            "var_pop(yl) * var_pop(xl)"
+            " - covar_pop(yl, xl) * covar_pop(yl, xl)"
+        ).alias("det"),
+        F.expr("var_pop(yl) * var_pop(xl)").alias("vp"),
     )
+    # Singularity gate (round-16 degenerate back-sweep): on an exactly
+    # collinear corpus (constant price makes y = 1000·x day-for-day) the
+    # 2x2 system's determinant is analytically 0 but computes as float
+    # NOISE whose value differs between engines — the F ratio amplifies
+    # that noise into a visible divergence. det <= 1e-9·var(yl)·var(xl)
+    # declares the unrestricted fit unidentified -> NULL on BOTH engines
+    # (1−ρ² ≈ 1e-9 is far below any identifiable design, far above ulp
+    # noise, so the gate evaluates identically on both engines).
+    gate = F.col("det") > 1e-9 * F.col("vp")
+
+    def f_raw(sse_r, sse_u_c):
+        return F.when(
+            gate,
+            F.try_divide(
+                F.col(sse_r) - F.col(sse_u_c),
+                F.col(sse_u_c) / (F.col("n") - 3),
+            ),
+        )
+
     rows = f.select(
         F.explode(
             F.array(
                 F.struct(
                     F.lit("x_causes_y").alias("direction"),
                     F.col("n"),
-                    (
-                        (F.col("sse_r_y") - F.col("sse_u_y"))
-                        / (F.col("sse_u_y") / (F.col("n") - 3))
-                    ).alias("f_raw"),
+                    f_raw("sse_r_y", "sse_u_y").alias("f_raw"),
                 ),
                 F.struct(
                     F.lit("y_causes_x").alias("direction"),
                     F.col("n"),
-                    (
-                        (F.col("sse_r_x") - F.col("sse_u_x"))
-                        / (F.col("sse_u_x") / (F.col("n") - 3))
-                    ).alias("f_raw"),
+                    f_raw("sse_r_x", "sse_u_x").alias("f_raw"),
                 ),
             )
         ).alias("r")
@@ -11834,16 +11886,29 @@ def a_ridge_path(spark, sf_dir):
     frame — a 100-point λ grid would cost the same single shuffle.
     Correlations are scale-free, so the 6dp snap absorbs both
     engines' summation-order drift.
+
+    Degenerate-corpus guard (round-16 back-sweep): Spark's corr()
+    CRASHES under ANSI when a regressor has zero variance (constant
+    quantity/discount corpus) while DuckDB's corr returns NULL, so the
+    correlations are assembled from covar/stddev moments via
+    try_divide — NULL on a zero-variance column, hash-neutral
+    otherwise (same double arithmetic as corr's own definition).
     """
     li = load_table(spark, sf_dir, "lineitem")
+
+    def _corr(x, y):
+        return F.try_divide(
+            F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y)
+        )
+
     m = li.agg(
-        F.corr(
-            F.col("l_quantity"), F.round(F.col("l_discount") * 100)
-        ).alias("r12"),
-        F.corr(
+        _corr(F.col("l_quantity"), F.round(F.col("l_discount") * 100)).alias(
+            "r12"
+        ),
+        _corr(
             F.col("l_quantity"), F.round(F.col("l_extendedprice") * 100)
         ).alias("r1y"),
-        F.corr(
+        _corr(
             F.round(F.col("l_discount") * 100),
             F.round(F.col("l_extendedprice") * 100),
         ).alias("r2y"),
@@ -11851,11 +11916,15 @@ def a_ridge_path(spark, sf_dir):
     )
     lam = F.col("lam")
     det = (1 + lam) * (1 + lam) - F.col("r12") * F.col("r12")
-    b1 = (F.col("r1y") * (1 + lam) - F.col("r12") * F.col("r2y")) / det
-    b2 = (F.col("r2y") * (1 + lam) - F.col("r12") * F.col("r1y")) / det
+    b1 = F.try_divide(
+        F.col("r1y") * (1 + lam) - F.col("r12") * F.col("r2y"), det
+    )
+    b2 = F.try_divide(
+        F.col("r2y") * (1 + lam) - F.col("r12") * F.col("r1y"), det
+    )
     det0 = 1 - F.col("r12") * F.col("r12")
-    b10 = (F.col("r1y") - F.col("r12") * F.col("r2y")) / det0
-    b20 = (F.col("r2y") - F.col("r12") * F.col("r1y")) / det0
+    b10 = F.try_divide(F.col("r1y") - F.col("r12") * F.col("r2y"), det0)
+    b20 = F.try_divide(F.col("r2y") - F.col("r12") * F.col("r1y"), det0)
     return (
         m.select(
             F.explode(
@@ -11872,7 +11941,10 @@ def a_ridge_path(spark, sf_dir):
             f6(b1).alias("beta_qty_std"),
             f6(b2).alias("beta_disc_std"),
             f6(
-                F.sqrt(b1 * b1 + b2 * b2) / F.sqrt(b10 * b10 + b20 * b20)
+                F.try_divide(
+                    F.sqrt(b1 * b1 + b2 * b2),
+                    F.sqrt(b10 * b10 + b20 * b20),
+                )
             ).alias("shrinkage"),
         )
         .orderBy("lam")
@@ -11961,7 +12033,6 @@ def a_gpd_pot(spark, sf_dir):
     cum = census.select(
         "e",
         "c",
-        "n_all",
         F.coalesce(F.sum("c").over(wb), F.lit(0)).cast("long").alias("below"),
         F.sum("c").over(wall).cast("long").alias("k"),
     )
@@ -11971,15 +12042,24 @@ def a_gpd_pot(spark, sf_dir):
         1.0
         - (F.col("below") + (F.col("c") + 1) / 2.0 - 0.35) / F.col("k")
     )
-    pwm = cum.groupBy("k", "n_all").agg(
-        (F.sum(F.col("e") * F.col("c")) / F.first("k")).alias("b0"),
-        (F.sum(F.col("e") * w_mass) / F.first("k")).alias("b1"),
+    # GLOBAL aggregate (not a groupBy) so a no-exceedance corpus — every
+    # order priced at the threshold band — yields ONE NULL-moment row,
+    # matching the oracle's ungrouped `SELECT ... FROM cum`; the old
+    # groupBy("k") emitted ZERO rows there (round-16 degenerate
+    # back-sweep). try_divide mirrors DuckDB's NULL-on-/0.
+    pwm = cum.agg(
+        F.max("k").cast("long").alias("k"),
+        F.try_divide(F.sum(F.col("e") * F.col("c")), F.max("k")).alias("b0"),
+        F.try_divide(F.sum(F.col("e") * w_mass), F.max("k")).alias("b1"),
     )
-    uq = u.select("uq")
-    shape = 2.0 - F.col("b0") / (F.col("b0") - 2 * F.col("b1"))
-    scale = 2.0 * F.col("b0") * F.col("b1") / (F.col("b0") - 2 * F.col("b1"))
+    shape = 2.0 - F.try_divide(
+        F.col("b0"), F.col("b0") - 2 * F.col("b1")
+    )
+    scale = F.try_divide(
+        2.0 * F.col("b0") * F.col("b1"), F.col("b0") - 2 * F.col("b1")
+    )
     return (
-        pwm.crossJoin(F.broadcast(uq))
+        pwm.crossJoin(F.broadcast(u))
         .select(
             F.col("k").alias("n_exceed"),
             "n_all",
@@ -12178,19 +12258,37 @@ def w_pacf(spark, sf_dir):
         F.lag("y", 2).over(wl).cast("double").alias("y2"),
         F.lag("y", 3).over(wl).cast("double").alias("y3"),
     )
+    # moment-form corr via try_divide: Spark's corr() ANSI-crashes on a
+    # zero-variance / empty lag frame (single-day corpus) where DuckDB's
+    # corr returns NULL (round-16 degenerate back-sweep); the ratio is
+    # mathematically identical and the 9dp snap absorbs ulp drift.
+    def _corr9(a, b):
+        # pairwise-complete like corr: mask a where the lag is NULL so
+        # its stddev runs over exactly the pairs covar_samp sees
+        a_mask = F.when(F.col(b).isNotNull(), F.col(a))
+        return F.round(
+            F.try_divide(
+                F.covar_samp(a, b),
+                F.stddev_samp(a_mask) * F.stddev_samp(b),
+            ),
+            9,
+        )
+
     rho = lagd.agg(
-        F.round(F.corr("y", "y1"), 9).alias("r1"),
-        F.round(F.corr("y", "y2"), 9).alias("r2"),
-        F.round(F.corr("y", "y3"), 9).alias("r3"),
+        _corr9("y", "y1").alias("r1"),
+        _corr9("y", "y2").alias("r2"),
+        _corr9("y", "y3").alias("r3"),
         F.count("y3").cast("long").alias("n"),
     )
-    p22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
-        1 - F.col("r1") * F.col("r1")
+    p22 = F.try_divide(
+        F.col("r2") - F.col("r1") * F.col("r1"),
+        1 - F.col("r1") * F.col("r1"),
     )
     p21 = F.col("r1") - p22 * F.col("r1")  # phi_{2,1} after level 2
-    p33 = (
-        F.col("r3") - p21 * F.col("r2") - p22 * F.col("r1")
-    ) / (1 - p21 * F.col("r1") - p22 * F.col("r2"))
+    p33 = F.try_divide(
+        F.col("r3") - p21 * F.col("r2") - p22 * F.col("r1"),
+        1 - p21 * F.col("r1") - p22 * F.col("r2"),
+    )
     rows = rho.select(
         F.explode(
             F.array(
@@ -12220,7 +12318,9 @@ def w_pacf(spark, sf_dir):
         "n",
         f6(F.col("acf")).alias("acf"),
         f6(F.col("pacf")).alias("pacf"),
-        f6(1.959964 / F.sqrt(F.col("n"))).alias("white_noise_band"),
+        f6(F.try_divide(F.lit(1.959964), F.sqrt(F.col("n")))).alias(
+            "white_noise_band"
+        ),
     ).orderBy("lag_k")
 
 
@@ -12899,9 +12999,9 @@ def a_js_divergence(spark, sf_dir):
         SELECT g, CAST(sum(c) AS BIGINT) AS n FROM census GROUP BY g
     ),
     j2 AS (
-        SELECT CAST(sum(CASE WHEN a.v < b.v THEN 2 * a.c * b.c
-                             WHEN a.v = b.v THEN a.c * b.c
-                             ELSE 0 END) AS BIGINT) AS j2
+        SELECT sum(CASE WHEN a.v < b.v THEN 2.0 * CAST(a.c AS DOUBLE) * b.c
+                        WHEN a.v = b.v THEN CAST(a.c AS DOUBLE) * b.c
+                        ELSE 0.0 END) AS j2
         FROM census a JOIN census b ON a.g < b.g
     ),
     tot AS (
@@ -12941,11 +13041,12 @@ def a_jonckheere(spark, sf_dir):
     Exactness: the (group, quantity) census is bounded by 5 × the
     quantity domain (~250 cells at any corpus size); J is assembled in
     DOUBLED units (2·[x<y] + [x=y]) so every tie contributes an exact
-    integer, and the cell cross-join is ≤250² broadcast rows. Σn²(2n+3)
-    exceeds int64 near ~2M rows/group, so the oracle widens that one
-    moment to HUGEINT before its cast to DOUBLE; Spark computes it in
-    DOUBLE directly (exact until n_i > 2^52, then both engines round
-    identically at the 6dp snap).
+    integer, and the cell cross-join is ≤250² broadcast rows. Both J2
+    (≈N² in doubled units) and Σn²(2n+3) exceed int64 in the billions-
+    of-rows regime, so BOTH moments accumulate in DOUBLE on both
+    engines (the oracle additionally widens sn23 via HUGEINT): exact
+    while < 2^53, identical rounding on both engines beyond, no ANSI
+    overflow crash at any N.
 
     Scale: one map-side-combinable census groupBy is the only
     data-sized pass — the same cells-not-rows discipline as
@@ -12970,16 +13071,14 @@ def a_jonckheere(spark, sf_dir):
             F.sum(
                 F.when(
                     F.col("a.v") < F.col("b.v"),
-                    2 * F.col("a.c") * F.col("b.c"),
+                    2.0 * F.col("a.c").cast("double") * F.col("b.c"),
                 )
                 .when(
                     F.col("a.v") == F.col("b.v"),
-                    F.col("a.c") * F.col("b.c"),
+                    F.col("a.c").cast("double") * F.col("b.c"),
                 )
-                .otherwise(0)
-            )
-            .cast("long")
-            .alias("j2")
+                .otherwise(0.0)
+            ).alias("j2")
         )
     )
     tot = sizes.agg(
@@ -13332,8 +13431,13 @@ def a_james_stein(spark, sf_dir):
             ).alias("ss"),
         )
     )
+    # try_divide: identical group means (constant-price corpus) zero the
+    # between-group SS — 1 - NULL stays NULL and greatest() skips NULLs
+    # on BOTH engines, so B degenerates to 0 (full shrink) instead of an
+    # ANSI crash (round-16 degenerate back-sweep)
     b = F.greatest(
-        1 - (F.col("k") - 3) * F.col("vbar") / F.col("ss"), F.lit(0.0)
+        1 - F.try_divide((F.col("k") - 3) * F.col("vbar"), F.col("ss")),
+        F.lit(0.0),
     )
     return (
         grp.crossJoin(F.broadcast(g))
@@ -13622,11 +13726,18 @@ def a_hotelling_t2(spark, sf_dir):
     ) + F.col("dy") * (
         F.col("pxx") * F.col("dy") - F.col("pxy") * F.col("dx")
     )
-    t2 = (
-        F.col("n1").cast("double")
-        * F.col("n0")
-        / (F.col("n1") + F.col("n0"))
-    ) * quad / det
+    # try_divide: a constant quantity/discount corpus makes the pooled
+    # covariance singular (det 0) — NULL T² like DuckDB's /0 instead of
+    # an ANSI crash (round-16 degenerate back-sweep)
+    t2 = F.try_divide(
+        (
+            F.col("n1").cast("double")
+            * F.col("n0")
+            / (F.col("n1") + F.col("n0"))
+        )
+        * quad,
+        det,
+    )
     return two.select(
         F.col("n1").alias("n_returned"),
         F.col("n0").alias("n_kept"),
@@ -13771,7 +13882,6 @@ def a_confidence_sequence(spark, sf_dir):
     tot AS (
         SELECT CAST(sum(nh) AS BIGINT) AS n,
                sum(nh * sh) AS nsh,
-               sum(CAST(nh AS DOUBLE) * nh * sh * sh) AS neyman_core,
                sum(CAST(nh AS DOUBLE) * sh * sh) AS prop_core
         FROM grp
     )
@@ -13781,7 +13891,7 @@ def a_confidence_sequence(spark, sf_dir):
                AS neyman_n,
            CAST(round(0.01 * g.nh) AS BIGINT) AS proportional_n,
            round((g.nh * g.sh) / t.nsh, 6) + 0 AS alloc_share,
-           round(t.prop_core / (t.neyman_core / t.n), 6) + 0
+           round(t.prop_core / (t.nsh * t.nsh / t.n), 6) + 0
                AS design_effect_vs_neyman
     FROM grp g, tot t
     ORDER BY nation
@@ -13826,12 +13936,6 @@ def a_neyman_allocation(spark, sf_dir):
     tot = grp.agg(
         F.sum("nh").cast("long").alias("n"),
         F.sum(F.col("nh") * F.col("sh")).alias("nsh"),
-        F.sum(
-            F.col("nh").cast("double")
-            * F.col("nh")
-            * F.col("sh")
-            * F.col("sh")
-        ).alias("neyman_core"),
         F.sum(F.col("nh").cast("double") * F.col("sh") * F.col("sh")).alias(
             "prop_core"
         ),
@@ -13852,7 +13956,8 @@ def a_neyman_allocation(spark, sf_dir):
                 "alloc_share"
             ),
             f6(
-                F.col("prop_core") / (F.col("neyman_core") / F.col("n"))
+                F.col("prop_core")
+                / (F.col("nsh") * F.col("nsh") / F.col("n"))
             ).alias("design_effect_vs_neyman"),
         )
         .orderBy("nation")

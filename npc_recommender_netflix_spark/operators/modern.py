@@ -5503,8 +5503,9 @@ def q_sql_scripting_hist(spark, sf_dir):
     # replacement does not unpersist the prior frame, so the old
     # pattern accumulated orphaned cache entries (round-14 advice).
     memo_key = (spark.sparkContext.applicationId, sf_dir)
-    for stale in [k for k in _SCRIPT_HIST_SHARED if k[0] != memo_key[0]]:
-        del _SCRIPT_HIST_SHARED[stale]
+    from ..session import evict_superseded_memo as _evict
+
+    _evict(_SCRIPT_HIST_SHARED, memo_key[0], sf_dir)
     hist = _SCRIPT_HIST_SHARED.get(memo_key)
     if hist is None:
         hist = (
@@ -6177,9 +6178,17 @@ def q_littles_law(spark, sf_dir):
     dep = ord_.groupBy(F.col("sd").alias("d")).agg(
         F.count("*").cast("long").alias("c")
     )
+    # Explicit +1 day step, guarded: Spark's two-arg sequence defaults to
+    # step -1 when start > stop, so a degenerate corpus where every order
+    # ships on its order date (d0 == d1) would yield a DESCENDING 2-row
+    # calendar including a pre-span day while DuckDB's generate_series is
+    # empty. Matching generate_series: no open-interval days -> no rows.
     cal = span.select(
         F.explode(
-            F.sequence(F.col("d0"), F.date_sub(F.col("d1"), 1))
+            F.when(
+                F.col("d1") > F.col("d0"),
+                F.expr("sequence(d0, date_sub(d1, 1), interval 1 day)"),
+            ).otherwise(F.expr("CAST(array() AS array<date>)"))
         ).alias("d")
     )
     wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
@@ -6208,8 +6217,10 @@ def q_littles_law(spark, sf_dir):
             F.count("*").cast("long").alias("s_days"),
         )
     )
-    lam = F.col("n").cast("double") / F.col("s_days")
-    w = F.col("dur").cast("double") / F.col("n")
+    # try_divide: on a same-day-ship corpus the open-day calendar is
+    # EMPTY (s_days = 0) — NULL rates like DuckDB's /0, no ANSI crash
+    lam = F.try_divide(F.col("n").cast("double"), F.col("s_days"))
+    w = F.try_divide(F.col("dur").cast("double"), F.col("n"))
     return l.crossJoin(F.broadcast(span)).select(
         F.col("n").alias("n_orders"),
         F.col("s_days").alias("span_days"),
@@ -6218,5 +6229,5 @@ def q_littles_law(spark, sf_dir):
         f6(F.col("l_avg")).alias("l_avg_open"),
         "peak_open",
         "peak_day",
-        f6(F.col("l_avg") / (lam * w)).alias("littles_ratio"),
+        f6(F.try_divide(F.col("l_avg"), lam * w)).alias("littles_ratio"),
     )

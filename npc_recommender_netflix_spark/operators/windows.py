@@ -2387,7 +2387,16 @@ def w_lttb_downsample(spark, sf_dir):
         for i in range(1, n - 1):
             b = ((i + 1 - 2) * (T - 2)) // (n - 2)
             buckets[b].append(i)
-        sel = [0]
+        # (pos, idx) pairs, mirroring the oracle's chained-CTE contract
+        # on DEGENERATE series (n < 12, round-16 back-sweep): step b's
+        # pick (pos b+2) needs its own bucket non-empty AND the next
+        # bucket's centroid row to exist, and once one step yields no
+        # row every later step's chained 'previous point' is empty too
+        # — the cascade leaves only the first (pos 1) and last (pos 12)
+        # points, which both engines always keep. n >= 12 fills every
+        # bucket, so the production path is byte-identical to before.
+        sel = [(1, 0)]
+        alive = True
         for b in range(T - 2):
             if b + 1 < T - 2:
                 nxt = buckets[b + 1]
@@ -2396,7 +2405,10 @@ def w_lttb_downsample(spark, sf_dir):
                 sy = sum(ys[j] for j in nxt)
             else:
                 m, sx, sy = 1, xs[n - 1], ys[n - 1]
-            s = sel[-1]
+            if not alive or not buckets[b] or m == 0:
+                alive = False
+                continue
+            s = sel[-1][1]
             best = None
             for j in buckets[b]:
                 a = abs(
@@ -2405,14 +2417,14 @@ def w_lttb_downsample(spark, sf_dir):
                 )
                 if best is None or a > best[0] or (a == best[0] and j < best[1]):
                     best = (a, j)
-            sel.append(best[1])
-        sel.append(n - 1)
+            sel.append((b + 2, best[1]))
+        sel.append((T, n - 1))
         return pd.DataFrame(
             {
-                "pos": [p + 1 for p in range(len(sel))],
-                "d": [ds[j] for j in sel],
-                "day_idx": [xs[j] for j in sel],
-                "y_cents": [ys[j] for j in sel],
+                "pos": [p for p, _ in sel],
+                "d": [ds[j] for _, j in sel],
+                "day_idx": [xs[j] for _, j in sel],
+                "y_cents": [ys[j] for _, j in sel],
             }
         )
 
@@ -2517,29 +2529,41 @@ def w_variance_ratio(spark, sf_dir):
     rows = s.select(
         F.explode(
             F.array(
+                # try_divide: a single-day corpus has no 1-day
+                # differences (v1 NULL / zero variance) — NULL ratios
+                # like DuckDB, no ANSI crash (round-16 back-sweep)
                 F.struct(
                     F.lit(2).cast("long").alias("q"),
                     F.col("n2").alias("n_obs"),
-                    (F.col("v2") / (2 * F.col("v1"))).alias("vr_raw"),
+                    F.try_divide(F.col("v2"), 2 * F.col("v1")).alias(
+                        "vr_raw"
+                    ),
                 ),
                 F.struct(
                     F.lit(5).cast("long").alias("q"),
                     F.col("n5").alias("n_obs"),
-                    (F.col("v5") / (5 * F.col("v1"))).alias("vr_raw"),
+                    F.try_divide(F.col("v5"), 5 * F.col("v1")).alias(
+                        "vr_raw"
+                    ),
                 ),
                 F.struct(
                     F.lit(10).cast("long").alias("q"),
                     F.col("n10").alias("n_obs"),
-                    (F.col("v10") / (10 * F.col("v1"))).alias("vr_raw"),
+                    F.try_divide(F.col("v10"), 10 * F.col("v1")).alias(
+                        "vr_raw"
+                    ),
                 ),
             )
         ).alias("r")
     ).select("r.q", "r.n_obs", "r.vr_raw")
-    z = (F.col("vr_raw") - 1.0) / F.sqrt(
-        2.0
-        * (2 * F.col("q") - 1)
-        * (F.col("q") - 1)
-        / (3.0 * F.col("q") * F.col("n_obs"))
+    z = F.try_divide(
+        F.col("vr_raw") - 1.0,
+        F.sqrt(
+            F.try_divide(
+                2.0 * (2 * F.col("q") - 1) * (F.col("q") - 1),
+                3.0 * F.col("q") * F.col("n_obs"),
+            )
+        ),
     )
     return rows.select(
         "q", "n_obs", f6(F.col("vr_raw")).alias("vr"), f6(z).alias("z_stat")

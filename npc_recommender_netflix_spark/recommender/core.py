@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import f6, load_table, money2, tables
+from ..session import evict_superseded_memo, f6, load_table, money2, tables
 
 # Shared-intermediate cache. Without it the ratings-matrix subplan (an
 # orders⋈lineitem join + groupBy) is replicated up to 10x inside one
@@ -38,12 +38,11 @@ _shared: dict[tuple[str, str, str], DataFrame] = {}
 
 def _cached(spark, sf_dir: str, name: str, build) -> DataFrame:
     # keyed by applicationId too: never hand back a DataFrame bound to a
-    # different (possibly stopped) SparkSession in the same process — and
-    # evict other apps' entries on lookup so session-rebuilding test
-    # suites don't accumulate frames pinned to dead SparkContexts.
+    # different (possibly stopped) SparkSession in the same process.
+    # Other-app entries drop (dead contexts); same-app other-sf_dir
+    # entries unpersist (ladder runs, round-15 verdict item 2).
     app_id = spark.sparkContext.applicationId
-    for stale in [k for k in _shared if k[0] != app_id]:
-        del _shared[stale]
+    evict_superseded_memo(_shared, app_id, sf_dir)
     key = (app_id, sf_dir, name)
     df = _shared.get(key)
     if df is None:

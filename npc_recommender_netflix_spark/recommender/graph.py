@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import f6, load_table
+from ..session import evict_superseded_memo, f6, load_table
 from .core import ratings_matrix
 
 # co-purchase edges: items (l_partkey % 500) sharing an order, symmetric,
@@ -64,8 +64,7 @@ _EDGES_SHARED: dict[tuple[str, str], "DataFrame"] = {}
 
 def _copurchase_edges(spark, sf_dir):
     app_id = spark.sparkContext.applicationId
-    for stale in [k for k in _EDGES_SHARED if k[0] != app_id]:
-        del _EDGES_SHARED[stale]
+    evict_superseded_memo(_EDGES_SHARED, app_id, sf_dir)
     key = (app_id, sf_dir)
     df = _EDGES_SHARED.get(key)
     if df is None:
@@ -884,8 +883,7 @@ _LPA_SHARED: dict[tuple[str, str], "DataFrame"] = {}
 
 def _lpa_labels(spark, sf_dir):
     app_id = spark.sparkContext.applicationId
-    for stale in [k for k in _LPA_SHARED if k[0] != app_id]:
-        del _LPA_SHARED[stale]
+    evict_superseded_memo(_LPA_SHARED, app_id, sf_dir)
     memo_key = (app_id, sf_dir)
     memo = _LPA_SHARED.get(memo_key)
     if memo is not None:

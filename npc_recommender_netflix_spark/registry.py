@@ -23,6 +23,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Audit-tier contract (round-15 verdict item 4, made machine-checkable):
+# these four keys are super-linear BY CONTRACT on any spread-out corpus
+# (exact N² censuses, or output-bound at the weak cos>=0.35 threshold
+# where the qualifying pair set itself is Θ(N²)). They stay registered as
+# audit tools and stay labeled weak as production operators; each MUST
+# keep its named linear production twin registered and ladder-measured.
+# tools/inventory.py --check fails if a twin disappears or loses its
+# SCALECHECK ladder row, so the pairing cannot silently break on rename.
+AUDIT_TIER_TWINS: dict[str, str] = {
+    "v_embed_neardup": "v_embed_neardup_strict",
+    "v_semantic_dedup": "v_semantic_dedup_capped",
+    # NOT v_lsh_neardup: it shares the weak cos>=0.35 output contract and
+    # the round-16 ladder measured it output-bound too (x1 13.5k -> x10
+    # 331k pairs) — the linear production path raises the threshold.
+    "v_embed_neardup_lsh": "v_embed_neardup_strict",
+    "v_lsh_multiprobe": "v_hamming_topk",
+}
+
 
 def register(key: str, oracle: str | None = None):
     """Decorator: register a query callable and (optionally) its oracle SQL."""

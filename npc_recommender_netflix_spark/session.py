@@ -115,6 +115,30 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ..
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def evict_superseded_memo(shared: dict, app_id: str, sf_dir: str) -> None:
+    """Hygiene sweep for the per-(app_id, sf_dir[, name]) cached-DataFrame
+    memo dicts (_QCOS_SHARED, _LPA_SHARED, _SCRIPT_HIST_SHARED, ...).
+
+    Two eviction rules, run on every lookup:
+    - other-app entries are DROPPED without unpersist (their SparkContext
+      is stopped; touching the frame would raise) — round-11 advice;
+    - same-app entries for a DIFFERENT sf_dir are UNPERSISTED then
+      dropped: SCALECHECK ladder runs hit 1x/10x/30x fixtures in one
+      session, so without this sweep up to three cached edge/histogram
+      frames accumulate per memo (round-15 verdict item 2). At most one
+      sf_dir's frame per memo is live at any time.
+    """
+    for k in list(shared):
+        if k[0] != app_id:
+            del shared[k]
+        elif k[1] != sf_dir:
+            df = shared.pop(k)
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # already released / context torn down mid-sweep
+
+
 def f6(col):
     """Round a float expression to 6dp (SURVEY §2 float convention).
 

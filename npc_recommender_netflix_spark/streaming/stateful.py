@@ -116,51 +116,97 @@ def st_page_hinkley(spark, sf_dir):
     batches). λ = 5σ of the day series, like the batch twin.
 
     Scale: detectors are partitioned by event_type (in production, by
-    metric × segment — thousands of independent keys); state is ≤30
-    (day, sum) pairs per key, RocksDB-ready, and the per-batch sweep is
-    O(days) python over a bounded vector. Day-grain closure at true
-    scale comes from the source watermark, after which the day vector
-    compacts to the (m, min_m, n, Σ, Σ²) scalar five — this bounded
-    form is the replay-exact teaching shape, pinned against a pure-
-    Python PH in tests/test_round15_ops.py.
+    metric × segment — thousands of independent keys); state is the ≤30
+    open (day, sum) pairs PLUS the scalar compaction of every closed
+    day: after each fold, days older than max_day − 30 are swept — in
+    ascending order — into (n₀, Σ₀, Σ²₀, m₀, min_m₀, best₀, bestd₀) and
+    evicted, so state is bounded regardless of stream age and the
+    per-batch Python re-sweep is O(30), not O(days-ever-seen). A late
+    event older than the compaction frontier is dropped (closed-day
+    watermark semantics — the same contract st_watermark declares).
+    Because the PH recursion is sequential, the compacted sweep emits
+    EXACTLY the full-history statistic; the boundedness is observable
+    in the `state_days` honesty column. Pinned against a pure-Python PH
+    in tests/test_round15_ops.py (≤30-day fixture: nothing compacts)
+    and against a compacting replay on a 60-day fixture in
+    tests/test_round16.py.
     """
     def advance(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        days, sums = (
-            (list(state.get[0]), list(state.get[1]))
-            if state.exists
-            else ([], [])
-        )
+        if state.exists:
+            (days, sums, n0, s0, sq0, m0, mn0, best0, bestd0, fr0) = state.get
+            days, sums = list(days), list(sums)
+        else:
+            days, sums = [], []
+            n0, s0, sq0, m0, mn0 = 0, 0, 0.0, 0.0, 0.0
+            best0, bestd0, fr0 = -1.0, -(2**62), -(2**62)
         acc = dict(zip(days, sums))
         for pdf in pdfs:
             d = (pdf["ts"].dt.floor("D").astype("int64") // 86_400_000_000_000)
             c = (pdf["value"] * 100).round().astype("int64")
             for day, cents in zip(d, c):
-                acc[int(day)] = acc.get(int(day), 0) + int(cents)
-        state.update((list(acc.keys()), list(acc.values())))
-        xs = [acc[d] for d in sorted(acc)]
+                day = int(day)
+                if day <= fr0:  # closed day: frontier already swept past it
+                    continue
+                acc[day] = acc.get(day, 0) + int(cents)
+        # compact the closed prefix: days <= max-30 fold into the scalars
+        # in ascending order (the PH recursion is sequential, so the
+        # compacted prefix + retained-suffix sweep equals the full sweep)
+        horizon = max(acc) - 30 if acc else fr0
+        for d in sorted(acc):
+            if d > horizon:
+                break
+            x = acc.pop(d)
+            n0 += 1
+            s0 += x
+            sq0 += float(x) * x
+            m0 += x - s0 / n0
+            mn0 = min(mn0, m0)
+            if m0 - mn0 > best0:
+                best0, bestd0 = m0 - mn0, d
+            fr0 = d
+        state.update(
+            (
+                list(acc.keys()), list(acc.values()),
+                n0, s0, sq0, m0, mn0, best0, bestd0, fr0,
+            )
+        )
         ds = sorted(acc)
-        s = m = 0.0
-        mn = 0.0
-        best, best_d = -1.0, ds[0]
-        for i, (d, x) in enumerate(zip(ds, xs), 1):
+        # continue the recursion from the compacted prefix (read-only:
+        # retained days may still absorb late events next batch)
+        i, s, m, mn = n0, float(s0), m0, mn0
+        best, best_d = best0, (bestd0 if best0 >= 0 else ds[0])
+        for d in ds:
+            x = acc[d]
+            i += 1
             s += x
             m += x - s / i
             mn = min(mn, m)
             if m - mn > best:
                 best, best_d = m - mn, d
-        mean = sum(xs) / len(xs)
-        var = (
-            sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
-            if len(xs) > 1
-            else 0.0
-        )
+        n = n0 + len(ds)
+        if n0 == 0:
+            # no compaction: keep the exact two-pass variance of the
+            # original (replay-pinned) form
+            xs = [acc[d] for d in ds]
+            mean = sum(xs) / len(xs)
+            var = (
+                sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
+                if len(xs) > 1
+                else 0.0
+            )
+        else:
+            tot = s  # prefix + retained, cents-exact
+            totsq = sq0 + sum(float(acc[d]) * acc[d] for d in ds)
+            var = (totsq - tot * tot / n) / (n - 1) if n > 1 else 0.0
+            var = max(var, 0.0)
         lam = 5.0 * var ** 0.5
         yield pd.DataFrame(
             {
                 "event_type": [key[0]],
-                "n_days": [len(xs)],
+                "n_days": [n],
+                "state_days": [len(ds)],
                 "ph_max": [round(best, 4)],
                 "ph_argmax_day": [
                     pd.Timestamp(best_d * 86_400_000_000_000).date()
@@ -174,10 +220,15 @@ def st_page_hinkley(spark, sf_dir):
     out = ev.groupBy("event_type").applyInPandasWithState(
         advance,
         outputStructType=(
-            "event_type STRING, n_days LONG, ph_max DOUBLE, "
-            "ph_argmax_day DATE, lambda_gate DOUBLE, drift_alarm LONG"
+            "event_type STRING, n_days LONG, state_days LONG, "
+            "ph_max DOUBLE, ph_argmax_day DATE, lambda_gate DOUBLE, "
+            "drift_alarm LONG"
         ),
-        stateStructType="days ARRAY<LONG>, sums ARRAY<LONG>",
+        stateStructType=(
+            "days ARRAY<LONG>, sums ARRAY<LONG>, n0 LONG, s0 LONG, "
+            "sq0 DOUBLE, m0 DOUBLE, mn0 DOUBLE, best0 DOUBLE, "
+            "bestd0 LONG, fr0 LONG"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -477,6 +477,8 @@ def test_st_page_hinkley_parity_with_python_replay(spark, events_rows):
         var = sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
         row = got[et]
         assert row["n_days"] == len(xs)
+        # <=30-day fixture: nothing compacts, the full vector is retained
+        assert row["state_days"] == len(xs)
         assert row["ph_max"] == pytest.approx(best, abs=1e-3)
         assert row["ph_argmax_day"] == best_d
         assert row["lambda_gate"] == pytest.approx(
@@ -893,7 +895,6 @@ def test_neyman_allocation_replay(spark):
         stats[g] = (n, sd)
     big_n = sum(n for n, _ in stats.values())
     nsh = sum(n * sd for n, sd in stats.values())
-    neyman_core = sum(n * n * sd * sd for n, sd in stats.values())
     prop_core = sum(n * sd * sd for n, sd in stats.values())
     got = {
         r["nation"]: r
@@ -902,7 +903,8 @@ def test_neyman_allocation_replay(spark):
         ).collect()
     }
     assert set(got) == set(stats)
-    deff = prop_core / (neyman_core / big_n)
+    # Var_prop/Var_neyman at equal n: (ΣN_h S_h²) / ((ΣN_h S_h)²/N)
+    deff = prop_core / (nsh * nsh / big_n)
     tot_neyman = 0
     for g, (n, sd) in stats.items():
         row = got[g]

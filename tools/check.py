@@ -293,7 +293,16 @@ def main():
         entry = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(entry)
         order = list(entry.queries())
-        a, b = (int(x) for x in args.slice_.split(":"))
+        try:
+            a, b = (int(x) for x in args.slice_.split(":"))
+        except ValueError:
+            ap.error(f"--slice must be A:B with integer A,B, got "
+                     f"{args.slice_!r}")
+        if not (1 <= a <= b):
+            ap.error(f"--slice needs 1 <= A <= B, got {a}:{b}")
+        if a > len(order):
+            ap.error(f"--slice {a}:{b} starts past the registry "
+                     f"({len(order)} keys)")
         keys = order[a - 1:b]
         print(f"driver-order slice {a}:{b} -> {len(keys)} keys "
               f"({keys[0]} .. {keys[-1]})")

@@ -115,9 +115,50 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
+    # Audit-tier twin pairing (round-15 verdict item 4): each weak-by-
+    # contract key must keep its named linear production twin registered
+    # AND ladder-measured (a linear-claimed SCALECHECK row), so the
+    # pairing can't silently break when keys are renamed or dropped.
+    import json
+
+    sc_path = os.path.join(os.path.dirname(SURVEY), "SCALECHECK.json")
+    try:
+        ladder = json.load(open(sc_path)).get("results", {})
+    except (OSError, ValueError):
+        print(f"SCALECHECK.json unreadable at {sc_path}", file=sys.stderr)
+        return 1
+    for weak, twin in registry.AUDIT_TIER_TWINS.items():
+        if weak not in registry.QUERIES:
+            print(f"audit-tier key {weak} not registered", file=sys.stderr)
+            return 1
+        if twin not in registry.QUERIES:
+            print(
+                f"audit-tier key {weak}: linear twin {twin} NOT registered",
+                file=sys.stderr,
+            )
+            return 1
+        claim = ladder.get(twin, {}).get("claim")
+        if claim != "linear":
+            print(
+                f"audit-tier key {weak}: twin {twin} has no linear "
+                f"SCALECHECK ladder row (claim={claim!r})",
+                file=sys.stderr,
+            )
+            return 1
+        wclaim = ladder.get(weak, {}).get("claim")
+        if wclaim in (None, "linear"):
+            print(
+                f"audit-tier key {weak} must carry a measured non-linear "
+                f"ladder row (the bend is printed, not hidden); "
+                f"claim={wclaim!r}",
+                file=sys.stderr,
+            )
+            return 1
     print(
         "SURVEY.md totals line matches the registry; §8 counts match "
-        f"(registered={n}, banked={n_banked}/{n} after r{max_round})"
+        f"(registered={n}, banked={n_banked}/{n} after r{max_round}); "
+        f"audit-tier twins intact "
+        f"({len(registry.AUDIT_TIER_TWINS)} pairs, ladder-verified)"
     )
     return 0
 
