@@ -172,6 +172,18 @@ HEADLINE = [
     "v_calinski_harabasz",  # round 15: variance-ratio cluster quality
     "q_littles_law",  # round 15: L = lambda*W identity audit
     "a_neyman_allocation",  # round 15: stratified-sample design calculator
+    "a_nelson_aalen",  # round 16: cumulative hazard beside KM
+    "a_kendall_w",  # round 16: m-judge rank concordance
+    "a_fleiss_kappa",  # round 16: multi-rater chance-corrected agreement
+    "a_cronbach_alpha",  # round 16: composite-metric internal consistency
+    "a_ansari_bradley",  # round 16: rank-based two-sample scale test
+    "a_conover_squared_ranks",  # round 16: k-group squared-ranks variance test
+    "a_page_trend",  # round 16: ordered alternative in blocked ranks
+    "a_horvitz_thompson",  # round 16: design-based total from a known-pi sample
+    "t_self_bleu",  # round 16: corpus self-similarity (diversity gate)
+    "m_ulaw_decode",  # round 16: real G.711 codec in Arrow tasks
+    "r_novelty_at_k",  # round 16: popularity-floor novelty in bits
+    "st_hll_distinct",  # round 16: bounded-state streaming cardinality
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

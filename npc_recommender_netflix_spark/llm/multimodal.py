@@ -2763,3 +2763,103 @@ def m_id3v1_tags(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     blobs = docs.mapInPandas(synth_id3, schema="doc_id long, payload binary")
     return blobs.mapInPandas(parse_id3, schema=_ID3_SCHEMA)
+
+
+_ULAW_SCHEMA = (
+    "doc_id long, n_samples long, sum_pcm long, sum_abs long, "
+    "min_pcm long, max_pcm long"
+)
+
+
+@register(
+    "m_ulaw_decode",
+    """
+    WITH spec AS (
+        SELECT doc_id, (doc_id % 40) + 20 AS n
+        FROM documents
+    ),
+    bytes_ AS (
+        SELECT doc_id,
+               CAST((doc_id * 37 + i * 11) % 256 AS BIGINT) AS b
+        FROM spec, unnest(range(0, n)) AS t(i)
+    ),
+    dec AS (
+        SELECT doc_id,
+               CASE WHEN (255 - b) >= 128
+                    THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                                << (((255 - b) // 16) % 8))
+                    ELSE ((((255 - b) % 16) * 8 + 132)
+                          << (((255 - b) // 16) % 8)) - 132
+               END AS x
+        FROM bytes_
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(x) AS BIGINT) AS sum_pcm,
+           CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+           CAST(min(x) AS BIGINT) AS min_pcm,
+           CAST(max(x) AS BIGINT) AS max_pcm
+    FROM dec GROUP BY doc_id ORDER BY doc_id LIMIT 200
+    """,
+)
+def m_ulaw_decode(spark, sf_dir):
+    """REAL G.711 µ-law audio decode (CCITT, the classic Sun ulaw.c
+    expansion, public): each doc becomes a deterministic µ-law byte
+    stream (the telephony/8kHz wire format), and a second Arrow stage
+    expands every byte to its 16-bit PCM value with the genuine
+    bit-field decode — complement, mantissa<<3+bias, segment shift,
+    sign — NOT a lookup table, so a flipped bit anywhere changes the
+    output. The companded-audio sibling of m_wav_decode (linear PCM
+    container walk): ingest pipelines meet µ-law in call-center/telecom
+    corpora where storage is byte-per-sample.
+
+    Exactness: the oracle replays the byte generator AND the exact
+    integer expansion in SQL (integer shifts on both engines); decode
+    outputs are pure BIGINTs — no floats anywhere.
+
+    Scale shape: synth and decode are both mapInPandas over the same
+    partitioning — payload bytes never shuffle; only six BIGINTs per
+    doc reach the exchange. With real ingested audio the synth stage
+    is the blob-store scan; the decode stage is unchanged.
+    """
+    import numpy as np
+
+    # Stages defined inside the query fn so cloudpickle ships them by
+    # value (executor workers cannot import this package).
+    def synth_ulaw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = (d % 40) + 20
+                payloads.append(
+                    bytes((d * 37 + i * 11) % 256 for i in range(n))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode_ulaw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = None
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "sum_pcm", "sum_abs",
+                "min_pcm", "max_pcm",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                u = (~b).astype(np.int64) & 0xFF
+                t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+                x = np.where((u & 0x80) != 0, 0x84 - t, t - 0x84)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(len(x))
+                out["sum_pcm"].append(int(x.sum()))
+                out["sum_abs"].append(int(np.abs(x).sum()))
+                out["min_pcm"].append(int(x.min()))
+                out["max_pcm"].append(int(x.max()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(synth_ulaw, schema="doc_id long, payload binary")
+    return (
+        raw.mapInPandas(decode_ulaw, schema=_ULAW_SCHEMA)
+        .orderBy("doc_id")
+        .limit(200)
+    )

@@ -5739,3 +5739,95 @@ def t_textrank_keywords(spark, sf_dir):
         .orderBy(F.col("score").desc(), "word")
         .limit(20)
     )
+
+
+@register(
+    "t_self_bleu",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i + 1] AS g
+        FROM toks, unnest(range(1, len(w))) AS t(i)
+    ),
+    df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM bg GROUP BY g),
+    per AS (
+        SELECT b.doc_id, b.lang,
+               CAST(count(*) AS BIGINT) AS n_bg,
+               CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared
+        FROM bg b JOIN df d ON d.g = b.g
+        GROUP BY b.doc_id, b.lang
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_shared * 1.0 / n_bg), 6) + 0 AS avg_self_bleu2,
+           round(max(n_shared * 1.0 / n_bg), 6) + 0 AS max_self_bleu2,
+           CAST(sum(CASE WHEN n_shared * 2 >= n_bg THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_half_shared
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+)
+def t_self_bleu(spark, sf_dir):
+    """Self-BLEU-2 corpus-diversity readout (the distinct-bigram
+    containment form of Zhu et al. 2018's Self-BLEU, public): per doc,
+    the fraction of its DISTINCT bigrams that also appear in at least
+    one OTHER document — high values mean the corpus is talking to
+    itself (template farms, synthetic-data mode collapse), the
+    diversity failure Self-BLEU was invented to flag in generated
+    corpora. Reported per language with the mean, the worst doc, and
+    the count of half-shared docs; distinct-bigram containment (not
+    clipped counts) keeps the statistic exact and order-free. The
+    corpus-level diversity complement to t_repetition_filter (within-
+    doc) and t_boilerplate_ngrams (fixed 25% df gate — this key keeps
+    the whole df spectrum per doc instead of thresholding grams).
+
+    Scale: one distinct (doc, bigram) projection (map-side partial
+    distinct), the bigram df groupBy, and a gram-keyed join back —
+    t_boilerplate_ngrams' exact shuffle shape; per-doc and per-lang
+    rollups are doc-keyed aggs. A bigram occurring in ≥2 docs answers
+    "appears in another doc" without any self-exclusion pair join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    bg = (
+        docs.select("doc_id", "lang", w.alias("w"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2), "
+                    "i -> concat(w[i], ' ', w[i + 1]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df = bg.groupBy("g").agg(F.count("*").cast("long").alias("df"))
+    per = (
+        bg.join(df, "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_bg"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    frac = F.col("n_shared") * 1.0 / F.col("n_bg")
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            f6(F.avg(frac)).alias("avg_self_bleu2"),
+            f6(F.max(frac)).alias("max_self_bleu2"),
+            F.sum(
+                F.when(F.col("n_shared") * 2 >= F.col("n_bg"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_half_shared"),
+        )
+        .orderBy("lang")
+    )

@@ -5025,3 +5025,70 @@ def r_interleaving_eval(spark, sf_dir):
         F.sum(F.when(F.col("credit_a") == F.col("credit_b"), 1).otherwise(0))
         .cast("long").alias("ties"),
     )
+
+
+@register(
+    "r_novelty_at_k",
+    """
+    WITH ui AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    pop AS (
+        SELECT item_id, CAST(count(*) AS BIGINT) AS n_users
+        FROM ui GROUP BY item_id
+    ),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_all
+            FROM ui)
+    SELECT item_id, n_users,
+           round(n_users * 1.0 / t.n_all, 6) + 0 AS pop_share,
+           round(-log2(n_users * 1.0 / t.n_all), 6) + 0 AS self_info_bits
+    FROM pop, tot t
+    ORDER BY n_users DESC, item_id LIMIT 10
+    """,
+)
+def r_novelty_at_k(spark, sf_dir):
+    """Novelty@10 of the most-popular-items recommender (Vargas &
+    Castells 2011's self-information novelty, public): the top-10
+    items by distinct-user reach, each priced in bits as
+    −log₂(popularity share). The popularity slate is the FLOOR every
+    CF model must beat, and its novelty is by construction the WORST
+    possible — these numbers are the denominator of the "how much
+    long-tail exposure did personalization buy" readout that pairs
+    with r_exposure_gini (catalog concentration) and r_hit_rate_loo
+    (accuracy): accuracy without novelty is just popularity replay.
+
+    Exactness: reach counts are exact distinct (user, item) BIGINTs;
+    share and bits float once at 6dp against a broadcast scalar.
+
+    Scale: one distinct projection (map-side partial distinct) + one
+    item-keyed count — the ratings-matrix shuffle shape; top-10 is
+    TakeOrderedAndProject, never a global sort.
+    """
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    ui = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    pop = ui.groupBy("item_id").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    tot = ui.agg(
+        F.countDistinct("user_id").cast("long").alias("n_all")
+    )
+    share = F.col("n_users") * 1.0 / F.col("n_all")
+    return (
+        pop.crossJoin(F.broadcast(tot))
+        .select(
+            "item_id",
+            "n_users",
+            f6(share).alias("pop_share"),
+            f6(-F.log2(share)).alias("self_info_bits"),
+        )
+        .orderBy(F.col("n_users").desc(), "item_id")
+        .limit(10)
+    )

@@ -234,3 +234,73 @@ def st_page_hinkley(spark, sf_dir):
     )
     name = run_to_memory(out, "update")
     return spark.table(name).orderBy("event_type")
+
+
+@register("st_hll_distinct")  # rows-only: custom stateful streaming op
+def st_hll_distinct(spark, sf_dir):
+    """Streaming distinct-user counter per event type with BOUNDED
+    state: one 64-register HyperLogLog per key advanced by
+    `applyInPandasWithState`, using EXACTLY a_hll_manual's register
+    recipe (md5 first-2-hex mod 64 → bucket, next-12-hex → rank
+    49 − bitlength) and its estimator constants, so the streaming
+    readout is pinned against the batch key's math by pytest. The
+    point is the state bound: exact streaming distinct needs state
+    ∝ distinct users (unbounded), while the HLL register vector is 64
+    longs per key FOREVER — and because register merge is max()
+    (commutative, idempotent), the emitted estimate is IDENTICAL under
+    any micro-batch split or replay. This is st_stateful's counter
+    upgraded to the sketch every production stream uses for
+    cardinality.
+
+    Scale: detectors partition by event_type (in production by
+    metric × segment); state is a fixed 64-long array per key,
+    RocksDB-ready; per-batch work is O(rows) hashing + register max.
+    """
+    import hashlib
+    import math
+
+    def advance(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        regs = list(state.get[0]) if state.exists else [0] * 64
+        n_seen = state.get[1] if state.exists else 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for uid in pdf["user_id"]:
+                hx = hashlib.md5(str(int(uid)).encode()).hexdigest()
+                bucket = int(hx[0:2], 16) % 64
+                w = int(hx[2:14], 16)
+                rank = 49 if w == 0 else 49 - w.bit_length()
+                if rank > regs[bucket]:
+                    regs[bucket] = rank
+        state.update((regs, n_seen))
+        s2 = sum(1 << (49 - m) for m in regs)
+        v0 = sum(1 for m in regs if m == 0)
+        raw = 2904.064 * (562949953421312.0 / s2)
+        est = (
+            64.0 * math.log(64.0 / v0)
+            if (raw <= 160.0 and v0 > 0)
+            else raw
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n_seen],
+                "est_distinct_users": [round(est, 6)],
+                "registers_nonzero": [64 - v0],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("event_type", "user_id")
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        advance,
+        outputStructType=(
+            "event_type STRING, n_events LONG, est_distinct_users DOUBLE, "
+            "registers_nonzero LONG"
+        ),
+        stateStructType="regs ARRAY<LONG>, n_seen LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = run_to_memory(out, "update")
+    return spark.table(name).orderBy("event_type")

@@ -1,0 +1,423 @@
+"""Round-16 operators: pure-Python replays beyond the DuckDB oracle hash.
+
+Each new key gets an independent recomputation (math.* / collections /
+hashlib / hand-rolled rank machinery — never SQL on either engine)
+pinning the statistic the SQL pair could get wrong in the same way twice.
+"""
+
+import collections
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from npc_recommender_netflix_spark import registry
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def order_rows(spark):
+    return [
+        (
+            int(r["o_orderkey"]),
+            int(r["o_custkey"]),
+            int(round(r["o_totalprice"] * 100)),
+            r["o_orderdate"],
+            r["o_orderpriority"],
+        )
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def line_rows(spark):
+    return [
+        (
+            int(r["l_orderkey"]),
+            int(r["l_quantity"]),
+            r["l_returnflag"],
+            int(round(r["l_extendedprice"] * 100)),
+            int(round(r["l_discount"] * 100)),
+        )
+        for r in spark.read.parquet(
+            f"{SF_SMALL}/lineitem.parquet"
+        ).collect()
+    ]
+
+
+def test_nelson_aalen_replay(spark, order_rows):
+    per = collections.defaultdict(list)
+    for _, cust, _, d, _ in order_rows:
+        per[cust].append(d)
+    tmax = max(d for ds in per.values() for d in ds)
+    lifes = []
+    for ds in per.values():
+        t = (max(ds) - min(ds)).days
+        died = 1 if (tmax - max(ds)).days > 90 else 0
+        lifes.append((t, died))
+    counts = collections.defaultdict(lambda: [0, 0])
+    for t, died in lifes:
+        counts[t][0] += 1
+        counts[t][1] += died
+    at_risk = {}
+    n = 0
+    for t in sorted(counts, reverse=True):
+        n += counts[t][0]
+        at_risk[t] = n
+    h = 0.0
+    logs = 0.0
+    curve = {}
+    for t in sorted(counts):
+        d = counts[t][1]
+        nn = at_risk[t]
+        if d > 0 and d < nn:
+            # mirror both engines' 1e-12 BIGINT increment snap
+            h += round(d * 1e12 / nn) / 1e12
+            logs += round(math.log(1.0 - d / nn) * 1e12) / 1e12
+            curve[t] = (d, nn, h, math.exp(-h), math.exp(logs))
+    got = {
+        r["day"]: r
+        for r in registry.QUERIES["a_nelson_aalen"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) <= set(curve)
+    assert len(got) == min(25, len(curve))
+    for day, row in got.items():
+        d, nn, hh, brs, km = curve[day]
+        assert row["n_churned"] == d and row["n_at_risk"] == nn
+        assert row["cum_hazard"] == pytest.approx(hh, abs=1e-5)
+        assert row["breslow_survival"] == pytest.approx(brs, abs=1e-5)
+        assert row["km_survival"] == pytest.approx(km, abs=1e-5)
+        # the classical inequality: KM survival <= Breslow exp(-H)
+        assert row["km_survival"] <= row["breslow_survival"] + 1e-9
+
+
+def test_kendall_w_replay(spark, order_rows):
+    cents = collections.defaultdict(int)
+    for _, _, c, d, prio in order_rows:
+        judge = int(prio[0])
+        obj = d.isoweekday() % 7 + 1  # Sunday=1 like Spark dayofweek
+        cents[(judge, obj)] += c
+    judges = sorted({j for j, _ in cents})
+    objs = sorted({o for _, o in cents})
+    rsum = collections.defaultdict(int)
+    for j in judges:
+        ranked = sorted(objs, key=lambda o: (-cents.get((j, o), 0), o))
+        for r, o in enumerate(ranked, 1):
+            rsum[o] += r
+    m, n = len(judges), len(objs)
+    srr = sum(v * v for v in rsum.values())
+    w = (12.0 * srr - 3.0 * m * m * n * (n + 1) ** 2) / (
+        m * m * n * (n * n - 1)
+    )
+    row = registry.QUERIES["a_kendall_w"](spark, SF_SMALL).collect()[0]
+    assert row["m_judges"] == m and row["n_objects"] == n
+    assert row["kendall_w"] == pytest.approx(w, abs=1e-6)
+    assert row["chi2"] == pytest.approx(m * (n - 1) * w, abs=1e-4)
+    assert 0.0 <= row["kendall_w"] <= 1.0
+
+
+def test_fleiss_kappa_replay(spark, line_rows):
+    per = collections.defaultdict(lambda: collections.Counter())
+    for ok, _, flag, _, _ in line_rows:
+        per[ok][flag] += 1
+    items = {k: v for k, v in per.items() if sum(v.values()) == 4}
+    n = len(items)
+    m = 4
+    pbar = sum(
+        (sum(c * c for c in v.values()) - m) / (m * (m - 1))
+        for v in items.values()
+    ) / n
+    tot = collections.Counter()
+    for v in items.values():
+        tot.update(v)
+    pe = sum((tot[c] / (n * m)) ** 2 for c in ("R", "N", "A"))
+    kappa = (pbar - pe) / (1 - pe)
+    row = registry.QUERIES["a_fleiss_kappa"](spark, SF_SMALL).collect()[0]
+    assert row["n_items"] == n
+    assert row["p_bar"] == pytest.approx(pbar, abs=1e-6)
+    assert row["p_e"] == pytest.approx(pe, abs=1e-6)
+    assert row["fleiss_kappa"] == pytest.approx(kappa, abs=1e-5)
+
+
+def test_cronbach_alpha_replay(spark, line_rows):
+    per = collections.defaultdict(list)
+    for ok, qty, _, ext, disc in line_rows:
+        per[ok].append((qty, ext, disc))
+    items = []
+    for v in per.values():
+        i1 = float(len(v))
+        i2 = float(sum(q for q, _, _ in v))
+        i3 = sum(e for _, e, _ in v) / 100000.0
+        i4 = float(max(d for _, _, d in v))
+        items.append((i1, i2, i3, i4))
+    n = len(items)
+
+    def var(xs):
+        mu = sum(xs) / n
+        return sum((x - mu) ** 2 for x in xs) / (n - 1)
+
+    def corr(a, b):
+        ma, mb = sum(a) / n, sum(b) / n
+        cov = sum((x - ma) * (y - mb) for x, y in zip(a, b)) / (n - 1)
+        return cov / math.sqrt(var(a) * var(b))
+
+    cols = list(zip(*items))
+    vt = var([sum(t) for t in items])
+    alpha_raw = (4 / 3) * (1 - sum(var(c) for c in cols) / vt)
+    rs = [
+        corr(cols[a], cols[b])
+        for a in range(4)
+        for b in range(a + 1, 4)
+    ]
+    rbar = sum(rs) / 6
+    alpha_std = 4 * rbar / (1 + 3 * rbar)
+    row = registry.QUERIES["a_cronbach_alpha"](spark, SF_SMALL).collect()[0]
+    assert row["n_orders"] == n
+    assert row["alpha_raw"] == pytest.approx(alpha_raw, abs=1e-4)
+    assert row["mean_inter_item_r"] == pytest.approx(rbar, abs=1e-4)
+    assert row["alpha_standardized"] == pytest.approx(alpha_std, abs=1e-4)
+    # the mechanical lines->quantity coupling must be visible
+    assert rbar > 0.1
+
+
+def test_ansari_bradley_replay(spark, line_rows):
+    xs = [
+        (qty, flag)
+        for _, qty, flag, _, _ in line_rows
+        if flag in ("R", "N")
+    ]
+    pooled = sorted(q for q, _ in xs)
+    n = len(pooled)
+    # direct (non-closed-form) score assignment with averaged ties
+    scores = [min(i, n + 1 - i) for i in range(1, n + 1)]
+    by_val = collections.defaultdict(list)
+    for i, v in enumerate(pooled):
+        by_val[v].append(scores[i])
+    avg_score = {v: sum(s) / len(s) for v, s in by_val.items()}
+    ab = sum(avg_score[q] for q, f in xs if f == "R")
+    n1 = sum(1 for _, f in xs if f == "R")
+    n2 = n - n1
+    sa = sum(scores)
+    saa = sum(
+        len(s) * (sum(s) / len(s)) ** 2 for s in by_val.values()
+    )
+    abar = sa / n
+    e = n1 * abar
+    var = n1 * n2 * (saa - n * abar * abar) / (n * (n - 1))
+    z = (ab - e) / math.sqrt(var)
+    row = registry.QUERIES["a_ansari_bradley"](spark, SF_SMALL).collect()[0]
+    assert row["n_returned"] == n1 and row["n_kept"] == n2
+    assert row["ab_stat"] == pytest.approx(ab, rel=1e-9)
+    assert row["ab_expected"] == pytest.approx(e, rel=1e-9)
+    assert row["z"] == pytest.approx(z, abs=1e-5)
+
+
+def test_conover_squared_ranks_replay(spark, line_rows):
+    groups = collections.defaultdict(list)
+    for _, qty, flag, _, _ in line_rows:
+        groups[flag].append(qty)
+    devs = []
+    for g, v in groups.items():
+        mu = sum(v) / len(v)
+        devs.extend((g, abs(x - mu)) for x in v)
+    pooled = sorted(u for _, u in devs)
+    n = len(pooled)
+    # average rank per distinct value
+    first = {}
+    cnt = collections.Counter(pooled)
+    pos = 0
+    rbar = {}
+    for u in sorted(cnt):
+        c = cnt[u]
+        rbar[u] = pos + (c + 1) / 2
+        pos += c
+    w = {u: r * r for u, r in rbar.items()}
+    sg = collections.defaultdict(float)
+    ng = collections.Counter()
+    for g, u in devs:
+        sg[g] += w[u]
+        ng[g] += 1
+    sw = sum(w[u] for _, u in devs)
+    sww = sum(w[u] ** 2 for _, u in devs)
+    wbar = sw / n
+    d2 = (sww - n * wbar * wbar) / (n - 1)
+    t = (sum(sg[g] ** 2 / ng[g] for g in sg) - n * wbar * wbar) / d2
+    row = registry.QUERIES["a_conover_squared_ranks"](
+        spark, SF_SMALL
+    ).collect()[0]
+    assert row["n_obs"] == n and row["k_groups"] == len(groups)
+    assert row["t_stat"] == pytest.approx(t, rel=1e-6)
+
+
+def test_page_trend_replay(spark, order_rows):
+    cents = collections.defaultdict(int)
+    for _, _, c, d, prio in order_rows:
+        blk = d.isoweekday() % 7 + 1
+        cents[(blk, int(prio[0]))] += c
+    blks = sorted({b for b, _ in cents})
+    trts = sorted({t for _, t in cents})
+    rj = collections.defaultdict(int)
+    for bk in blks:
+        ranked = sorted(trts, key=lambda t: (cents.get((bk, t), 0), t))
+        for r, t in enumerate(ranked, 1):
+            rj[t] += r
+    k, b = len(trts), len(blks)
+    big_l = sum(t * rj[t] for t in trts)
+    z = (12.0 * big_l - 3.0 * b * k * (k + 1) ** 2) / (
+        k * (k + 1) * math.sqrt(b * (k - 1))
+    )
+    row = registry.QUERIES["a_page_trend"](spark, SF_SMALL).collect()[0]
+    assert row["k_treatments"] == k and row["n_blocks"] == b
+    assert row["page_l"] == big_l
+    assert row["l_expected"] == pytest.approx(
+        b * k * (k + 1) ** 2 / 4, abs=0.1
+    )
+    assert row["z"] == pytest.approx(z, abs=1e-6)
+
+
+def test_horvitz_thompson_replay(spark, order_rows):
+    n_pop = len(order_rows)
+    total = sum(c for _, _, c, _, _ in order_rows)
+    ht = vht = 0.0
+    n_sample = 0
+    for ok, _, c, _, _ in order_rows:
+        pi = min(1.0, 0.05 * n_pop * c / total)
+        hx = hashlib.md5(str(ok).encode()).hexdigest()
+        u = int(hx[:8], 16) / 4294967296.0
+        if u < pi:
+            n_sample += 1
+            y = c / 100.0
+            ht += y / pi
+            vht += y * y * (1 - pi) / (pi * pi)
+    row = registry.QUERIES["a_horvitz_thompson"](
+        spark, SF_SMALL
+    ).collect()[0]
+    assert row["n_pop"] == n_pop and row["n_sample"] == n_sample
+    assert row["ht_total_usd"] == pytest.approx(ht, rel=1e-9)
+    assert row["se_usd"] == pytest.approx(math.sqrt(vht), abs=0.02)
+    assert row["ht_ratio"] == pytest.approx(
+        ht / (total / 100.0), abs=1e-6
+    )
+    # design sanity: the realized error is within ~4 SEs
+    assert abs(row["z_error"]) < 4.0
+
+
+def test_self_bleu_replay(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    bg = {}
+    for r in docs:
+        ws = r["text"].lower().split()
+        grams = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+        if grams:
+            bg[r["doc_id"]] = (r["lang"], grams)
+    df = collections.Counter()
+    for _, grams in bg.values():
+        df.update(grams)
+    per_lang = collections.defaultdict(list)
+    for lang, grams in bg.values():
+        shared = sum(1 for g in grams if df[g] >= 2)
+        per_lang[lang].append((shared, len(grams)))
+    got = {
+        r["lang"]: r
+        for r in registry.QUERIES["t_self_bleu"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(per_lang)
+    for lang, pairs in per_lang.items():
+        fr = [s / n for s, n in pairs]
+        row = got[lang]
+        assert row["n_docs"] == len(pairs)
+        assert row["avg_self_bleu2"] == pytest.approx(
+            sum(fr) / len(fr), abs=1e-6
+        )
+        assert row["max_self_bleu2"] == pytest.approx(max(fr), abs=1e-6)
+        assert row["n_half_shared"] == sum(
+            1 for s, n in pairs if 2 * s >= n
+        )
+
+
+def test_ulaw_decode_replay(spark):
+    def ulaw_expand(b):
+        u = (~b) & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    got = registry.QUERIES["m_ulaw_decode"](spark, SF_SMALL).collect()
+    assert len(got) == 200
+    for row in got:
+        d = row["doc_id"]
+        n = (d % 40) + 20
+        xs = [ulaw_expand((d * 37 + i * 11) % 256) for i in range(n)]
+        assert row["n_samples"] == n
+        assert row["sum_pcm"] == sum(xs)
+        assert row["sum_abs"] == sum(abs(x) for x in xs)
+        assert row["min_pcm"] == min(xs)
+        assert row["max_pcm"] == max(xs)
+    # codec sanity on the full byte domain: monotone in each segment,
+    # symmetric around zero, and the classic +-32124 extremes
+    full = [ulaw_expand(b) for b in range(256)]
+    assert max(full) == 32124 and min(full) == -32124
+    assert ulaw_expand(0xFF) == 0  # all-ones byte decodes to zero
+
+
+def test_novelty_at_k_replay(spark, order_rows):
+    cust = {ok: c for ok, c, _, _, _ in order_rows}
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    ui = {
+        (cust[int(r["l_orderkey"])], int(r["l_partkey"]))
+        for r in li
+        if int(r["l_orderkey"]) in cust
+    }
+    pop = collections.Counter(item for _, item in ui)
+    n_all = len({u for u, _ in ui})
+    top = sorted(pop.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = registry.QUERIES["r_novelty_at_k"](spark, SF_SMALL).collect()
+    assert [(r["item_id"], r["n_users"]) for r in got] == top
+    for r in got:
+        share = pop[r["item_id"]] / n_all
+        assert r["pop_share"] == pytest.approx(share, abs=1e-6)
+        assert r["self_info_bits"] == pytest.approx(
+            -math.log2(share), abs=1e-5
+        )
+
+
+def test_st_hll_distinct_matches_python_hll(spark):
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "user_id"
+    ).collect()
+    regs = collections.defaultdict(lambda: [0] * 64)
+    n_ev = collections.Counter()
+    exact = collections.defaultdict(set)
+    for r in ev:
+        et, uid = r["event_type"], int(r["user_id"])
+        n_ev[et] += 1
+        exact[et].add(uid)
+        hx = hashlib.md5(str(uid).encode()).hexdigest()
+        bucket = int(hx[0:2], 16) % 64
+        w = int(hx[2:14], 16)
+        rank = 49 if w == 0 else 49 - w.bit_length()
+        regs[et][bucket] = max(regs[et][bucket], rank)
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["st_hll_distinct"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(regs)
+    for et, rg in regs.items():
+        s2 = sum(1 << (49 - m) for m in rg)
+        v0 = sum(1 for m in rg if m == 0)
+        raw = 2904.064 * (562949953421312.0 / s2)
+        est = 64.0 * math.log(64.0 / v0) if (raw <= 160.0 and v0 > 0) else raw
+        row = got[et]
+        assert row["n_events"] == n_ev[et]
+        assert row["registers_nonzero"] == 64 - v0
+        assert row["est_distinct_users"] == pytest.approx(est, abs=1e-3)
+        # sketch honesty: within 40% of exact at 64 registers
+        assert abs(est - len(exact[et])) / len(exact[et]) < 0.4

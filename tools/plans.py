@@ -101,6 +101,12 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "rows at any sf; continuous measures bucket first, per docstring)",
     "a_cvm_twosample": "bounded: distinct-quantity value domain (~50 "
     "rows at any sf; the a_cliffs_delta census discipline verbatim)",
+    "a_ansari_bradley": "bounded: distinct-quantity value domain (~50 "
+    "census blocks; cumulative-rank window runs on the census, never "
+    "row grain)",
+    "a_conover_squared_ranks": "bounded: (group, |deviation|) census "
+    "(<=150 cells; squared average ranks via one cumulative window "
+    "over the combined census)",
     "a_cramers_v": "bounded: event_type x dow contingency cells (35->35)",
     "a_cross_correlation": "bounded: 30-day daily series (30->30)",
     "a_dunn_test": "bounded: group/pair axes (10/150 flat)",
@@ -219,6 +225,9 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "q_kaplan_meier axis; integral adds one lag window on it)",
     "q_kaplan_meier": "saturating: distinct event days (89->653, "
     "bounded by the observation horizon)",
+    "a_nelson_aalen": "saturating: distinct event days (the "
+    "q_kaplan_meier axis; hazard + log-survival cumulative sums share "
+    "one window over it)",
     "q_weibull_fit": "saturating: distinct lifetime days (98->1020, "
     "bounded by the observation horizon)",
     "a_heavy_hitters": "saturating: CMS-estimated candidate values "

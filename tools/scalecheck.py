@@ -149,6 +149,11 @@ LINEAR_KEYS = {
     # t_exact_dedup_digest's linear shape at 3x token volume
     "v_centroid_outliers": "embeddings",  # round 11: centroid rollup +
     # one broadcast join + per-vector agg; no pair join anywhere
+    "t_self_bleu": "documents",  # round 16: distinct (doc, bigram)
+    # projection + bigram-df groupBy + gram-keyed join back — the
+    # t_boilerplate_ngrams shuffle shape, per-lang rollup on top
+    "m_ulaw_decode": "documents",  # round 16: Arrow synth+decode chain
+    # (m_wav_decode shape); only 6 BIGINTs/doc reach the exchange
     "v_hamming_topk": "embeddings",  # round 12: 1-bit pack is a map-side
     # fold; 5 fixed queries x candidate scan = linear, WindowGroupLimit
     "v_hamming_rerank": "embeddings",  # round 12: Hamming top-50 funnel
@@ -303,6 +308,21 @@ OUTPUT_BOUND_KEYS = {
 # uncapped item-keyed pair join goes quadratic). The caps drop exactly
 # those keys before the self-join, so capped per-row cost stays flat.
 RELATIONAL_LINEAR_KEYS = {
+    "a_nelson_aalen": "orders",  # round 16: one customer rollup + the
+    # bounded lifetime-axis cumulative window (the KM plan)
+    "a_kendall_w": "orders",  # round 16: one cents groupBy; ranks on 35 cells
+    "a_page_trend": "orders",  # round 16: same 35-cell scaffold, block ranks
+    "a_horvitz_thompson": "orders",  # round 16: totals pass + broadcast-pi
+    # scan; the sample never materializes outside the HT sums
+    "a_fleiss_kappa": "lineitem",  # round 16: one order-keyed count groupBy
+    "a_cronbach_alpha": "lineitem",  # round 16: order-keyed item rollup +
+    # one 11-moment aggregate
+    "a_ansari_bradley": "lineitem",  # round 16: ~50-cell quantity census;
+    # rank closed forms never touch row grain
+    "a_conover_squared_ranks": "lineitem",  # round 16: <=150-cell
+    # (group, |dev|) census + cumulative ranks on it
+    "r_novelty_at_k": "lineitem",  # round 16: distinct (user, item)
+    # projection + item-keyed count; top-10 TakeOrdered
     "r_cosine_sim_capped": "lineitem",    # user df<=48 cap kills power users
     "r_user_cosine_capped": "lineitem",   # item df<=40 cap kills blockbusters
     "q_shipping_priority": "lineitem",    # TPC-H Q3 composite (hash joins+agg)
@@ -415,6 +435,9 @@ RELATIONAL_LINEAR_KEYS = {
 # events-table keys (round 7 session 2): generated events scale with N
 # (fixed 30-day axis, constant per-user density, 10 power users at 1/37).
 EVENTS_LINEAR_KEYS = {
+    "st_hll_distinct": "events",  # round 16: 64-register HLL per type via
+    # applyInPandasWithState — state is 64 longs/key at ANY cardinality;
+    # the st_ state column measures exactly that claim
     "w_sessionize": "events",         # one user-keyed window pass
     "q_growth_accounting": "events",  # distinct + one user window
     "a_bitmap_overlap": "events",     # bit_or words, bucket-keyed pair join
