@@ -184,6 +184,12 @@ HEADLINE = [
     "m_ulaw_decode",  # round 16: real G.711 codec in Arrow tasks
     "r_novelty_at_k",  # round 16: popularity-floor novelty in bits
     "st_hll_distinct",  # round 16: bounded-state streaming cardinality
+    "a_greenwood_ci",  # round 16: KM curve with its error band
+    "a_brunner_munzel",  # round 16: unequal-variance rank test
+    "a_tukey_hsd",  # round 16: parametric post-hoc pair comparisons
+    "a_by_fdr_pairs",  # round 16: FDR under dependence vs BH side by side
+    "a_bass_diffusion",  # round 16: product-growth curve from two moments
+    "m_bmp_decode",  # round 16: real DIB codec with row padding
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -2863,3 +2863,132 @@ def m_ulaw_decode(spark, sf_dir):
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+_BMP_SCHEMA = (
+    "doc_id long, file_size long, width long, height long, "
+    "pad_bytes long, sum_b long, sum_g long, sum_r long"
+)
+
+
+@register(
+    "m_bmp_decode",
+    """
+    WITH spec AS (
+        SELECT doc_id, (doc_id % 9) + 4 AS w, (doc_id % 7) + 3 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT s.doc_id, s.w, s.h,
+               CAST((s.doc_id * 13 + x.x * 7 + y.y * 31) % 256 AS BIGINT)
+                   AS b,
+               CAST((s.doc_id * 13 + x.x * 7 + y.y * 31 + 97) % 256
+                    AS BIGINT) AS g,
+               CAST((s.doc_id * 13 + x.x * 7 + y.y * 31 + 194) % 256
+                    AS BIGINT) AS r
+        FROM spec s,
+             LATERAL (SELECT unnest(range(0, s.w)) AS x) x,
+             LATERAL (SELECT unnest(range(0, s.h)) AS y) y
+    )
+    SELECT doc_id,
+           CAST(54 + (w * 3 + (4 - (w * 3) % 4) % 4) * h AS BIGINT)
+               AS file_size,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(((4 - (w * 3) % 4) % 4) * h AS BIGINT) AS pad_bytes,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(r) AS BIGINT) AS sum_r
+    FROM px GROUP BY doc_id, w, h ORDER BY doc_id LIMIT 200
+    """,
+)
+def m_bmp_decode(spark, sf_dir):
+    """REAL BMP (Windows DIB) decode end to end: each doc becomes a
+    genuine 24-bpp bottom-up BMP — real BITMAPFILEHEADER ('BM', file
+    size, pixel offset 54), real 40-byte BITMAPINFOHEADER
+    (little-endian width/height/planes/bpp), and the format's
+    signature quirk: every pixel row padded to a 4-byte boundary, rows
+    stored bottom-up, channels ordered BGR. A second Arrow stage
+    parses those bytes back with struct unpacks and a padded-row walk
+    — a flipped byte in header, padding or payload changes the result
+    (the m_wav_decode honesty bar). Only the pixel CONTENT is
+    synthetic, which is what lets the oracle recompute the channel
+    sums from the generator formula plus the padding arithmetic.
+
+    Scale shape: synth and decode are both mapInPandas over the same
+    partitioning — image bytes never shuffle; only 8 BIGINTs per doc
+    reach the exchange. With real ingested images the synth stage is
+    the blob-store scan; the decode stage is unchanged.
+    """
+    import struct
+
+    import numpy as np
+
+    def synth_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = (d % 9) + 4, (d % 7) + 3
+                rowbytes = w * 3
+                pad = (4 - rowbytes % 4) % 4
+                body = bytearray()
+                for y in range(h - 1, -1, -1):  # bottom-up storage
+                    for x in range(w):
+                        base = d * 13 + x * 7 + y * 31
+                        body += bytes(
+                            ((base + k * 97) % 256 for k in range(3))
+                        )  # B, G, R
+                    body += b"\x00" * pad
+                size = 54 + len(body)
+                hdr = (
+                    b"BM"
+                    + struct.pack("<IHHI", size, 0, 0, 54)
+                    + struct.pack(
+                        "<IiiHHIIiiII",
+                        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+                    )
+                )
+                payloads.append(bytes(hdr) + bytes(body))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "file_size", "width", "height", "pad_bytes",
+                "sum_b", "sum_g", "sum_r",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                assert buf[0:2] == b"BM", "not a BMP"
+                size, _, _, off = struct.unpack("<IHHI", buf[2:14])
+                (hsz, w, h, planes, bpp) = struct.unpack(
+                    "<IiiHH", buf[14:30]
+                )
+                assert hsz == 40 and planes == 1 and bpp == 24
+                rowbytes = w * 3
+                pad = (4 - rowbytes % 4) % 4
+                sums = np.zeros(3, dtype=np.int64)
+                pos = off
+                for _y in range(h):
+                    row = np.frombuffer(
+                        buf[pos: pos + rowbytes], dtype=np.uint8
+                    ).astype(np.int64)
+                    sums += row.reshape(w, 3).sum(axis=0)
+                    pos += rowbytes + pad
+                out["doc_id"].append(int(doc_id))
+                out["file_size"].append(size)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pad_bytes"].append(pad * h)
+                out["sum_b"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_r"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(synth_bmp, schema="doc_id long, payload binary")
+    return (
+        raw.mapInPandas(decode_bmp, schema=_BMP_SCHEMA)
+        .orderBy("doc_id")
+        .limit(200)
+    )

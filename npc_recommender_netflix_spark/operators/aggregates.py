@@ -14976,3 +14976,667 @@ def a_horvitz_thompson(spark, sf_dir):
             F.try_divide(F.col("ht") - true_usd, F.sqrt(F.col("vht")))
         ).alias("z_error"),
     )
+
+
+@register(
+    "a_greenwood_ci",
+    """
+    WITH bounds AS (SELECT max(o_orderdate) AS tmax FROM orders),
+    life AS (
+        SELECT o_custkey,
+               CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+                    AS BIGINT) AS t,
+               CASE WHEN datediff('day', max(o_orderdate),
+                                  (SELECT tmax FROM bounds)) > 90
+                    THEN 1 ELSE 0 END AS died
+        FROM orders GROUP BY o_custkey
+    ),
+    counts AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(died) AS BIGINT) AS d
+        FROM life GROUP BY t
+    ),
+    at_risk AS (
+        SELECT t, d,
+               sum(c) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS n
+        FROM counts
+    ),
+    km AS (
+        SELECT t, d, n,
+               sum(CAST(round(ln(1.0 - d * 1.0 / n) * 1e12) AS BIGINT))
+                   OVER (ORDER BY t) AS logs12,
+               sum(CAST(round(d * 1e12 / (n * (n - d))) AS BIGINT))
+                   OVER (ORDER BY t) AS gw12
+        FROM at_risk WHERE d > 0 AND d < n
+    )
+    SELECT t AS day, CAST(n AS BIGINT) AS n_at_risk,
+           round(exp(logs12 / 1e12), 6) + 0 AS survival,
+           round(exp(logs12 / 1e12) * sqrt(gw12 / 1e12), 6) + 0 AS se,
+           round(greatest(0.0, exp(logs12 / 1e12)
+                 - 1.959964 * exp(logs12 / 1e12) * sqrt(gw12 / 1e12)),
+                 6) + 0 AS ci_lo,
+           round(least(1.0, exp(logs12 / 1e12)
+                 + 1.959964 * exp(logs12 / 1e12) * sqrt(gw12 / 1e12)),
+                 6) + 0 AS ci_hi
+    FROM km ORDER BY day DESC LIMIT 25
+    """,
+)
+def a_greenwood_ci(spark, sf_dir):
+    """Greenwood variance band around the Kaplan-Meier curve:
+    Var(Ŝ(t)) = Ŝ(t)²·Σ dᵢ/(nᵢ(nᵢ−dᵢ)), printed as the clamped
+    plain-scale 95% CI — the error bars q_kaplan_meier ships without.
+    A survival curve without its Greenwood band invites the classic
+    over-read (tail estimates ride on single-digit risk sets; the band
+    blowing up at the right edge IS the honest message). Completes the
+    KM family: q_kaplan_meier (point estimate), a_nelson_aalen
+    (hazard), a_log_rank_test (comparison), THIS (uncertainty).
+
+    Exactness: the Greenwood increment d/(n(n−d)) joins the log-
+    survival increment in the 1e-12 BIGINT snap (reorder-safe running
+    sums, the KM idiom); clamping uses greatest/least on identical
+    doubles.
+
+    Scale: byte-for-byte the q_kaplan_meier plan — one customer
+    rollup + one reverse-cumulative window on the bounded lifetime
+    axis; the extra column rides the same window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(F.max("o_orderdate").alias("tmax"))
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("t0"),
+            F.max("o_orderdate").alias("t1"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("t1"), F.col("t0")).cast("long").alias("t"),
+            F.when(F.datediff(F.col("tmax"), F.col("t1")) > 90, 1)
+            .otherwise(0)
+            .alias("died"),
+        )
+    )
+    counts = life.groupBy("t").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("died").cast("long").alias("d"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = counts.select("t", "d", F.sum("c").over(w_rev).alias("n"))
+    risk = at_risk.where((F.col("d") > 0) & (F.col("d") < F.col("n")))
+    log12 = F.round(
+        F.log(1.0 - F.col("d") * 1.0 / F.col("n")) * 1e12
+    ).cast("long")
+    gw12 = F.round(
+        F.col("d") * 1e12 / (F.col("n") * (F.col("n") - F.col("d")))
+    ).cast("long")
+    wt = Window.orderBy("t")
+    km = risk.select(
+        "t",
+        "n",
+        F.sum(log12).over(wt).alias("logs12"),
+        F.sum(gw12).over(wt).alias("gw12"),
+    )
+    s = F.exp(F.col("logs12") / 1e12)
+    se = s * F.sqrt(F.col("gw12") / 1e12)
+    return (
+        km.select(
+            F.col("t").alias("day"),
+            F.col("n").cast("long").alias("n_at_risk"),
+            f6(s).alias("survival"),
+            f6(se).alias("se"),
+            f6(F.greatest(F.lit(0.0), s - 1.959964 * se)).alias("ci_lo"),
+            f6(F.least(F.lit(1.0), s + 1.959964 * se)).alias("ci_hi"),
+        )
+        .orderBy(F.col("day").desc())
+        .limit(25)
+    )
+
+
+@register(
+    "a_brunner_munzel",
+    """
+    WITH vals AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, a, b,
+               coalesce(sum(a + b) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (a + b + 1) / 2.0 AS rc,
+               coalesce(sum(a) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (a + 1) / 2.0 AS rwa,
+               coalesce(sum(b) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (b + 1) / 2.0 AS rwb
+        FROM vals
+    ),
+    s AS (
+        SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2,
+               sum(a * rc) AS sra, sum(b * rc) AS srb,
+               sum(a * (rc - rwa) * (rc - rwa)) AS qa,
+               sum(a * (rc - rwa)) AS la,
+               sum(b * (rc - rwb) * (rc - rwb)) AS qb,
+               sum(b * (rc - rwb)) AS lb
+        FROM cum
+    )
+    SELECT n1 AS n_returned, n2 AS n_kept,
+           round((srb / n2 - (n2 + 1) / 2.0) / n1, 6) + 0 AS p_hat,
+           round(n1 * n2 * (srb / n2 - sra / n1)
+                 / ((n1 + n2)
+                    * sqrt(n1 * ((qa - la * la / n1) / (n1 - 1.0))
+                           + n2 * ((qb - lb * lb / n2) / (n2 - 1.0)))),
+                 6) + 0 AS w_stat,
+           CASE WHEN abs(n1 * n2 * (srb / n2 - sra / n1)
+                         / ((n1 + n2)
+                            * sqrt(n1 * ((qa - la * la / n1) / (n1 - 1.0))
+                                   + n2 * ((qb - lb * lb / n2)
+                                           / (n2 - 1.0))))) > 1.959964
+                THEN 1 ELSE 0 END AS stochastic_dominance_flag
+    FROM s
+    """,
+)
+def a_brunner_munzel(spark, sf_dir):
+    """Brunner-Munzel test (2000, public) of P(X < Y) + ½P(X = Y) = ½
+    between returned and kept quantities — the modern replacement for
+    Mann-Whitney when the two groups may have UNEQUAL variances (M-W's
+    null is exchangeability; under scale differences its level breaks,
+    which is exactly the condition a_ansari_bradley tests for). The
+    statistic needs both the combined midranks AND each group's
+    within-group midranks; both come from the same ≤50-cell quantity
+    census, so the textbook per-observation formula collapses to
+    census sums: S_i² = Σc(rc − rw − R̄ci + (n_i+1)/2)²/(n_i−1)
+    assembled from (Σc·rc, Σc(rc−rw), Σc(rc−rw)²) — tied blocks share
+    their midranks, making the moment form exact.
+
+    Exactness: midranks are exact halves from cumulative census
+    counts; the rank-scale moments accumulate in DOUBLE (identical
+    association both engines — the a_jonckheere discipline); p̂ and W
+    snap at 6dp. An all-tied corpus zeroes the variance → NULL W on
+    both engines.
+
+    Scale: one census groupBy is the only data pass; three cumulative
+    windows run on ≤50 census rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = (
+        li.where(F.col("l_returnflag").isin("R", "N"))
+        .groupBy(F.col("l_quantity").cast("long").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "a",
+        "b",
+        (
+            F.coalesce(F.sum(F.col("a") + F.col("b")).over(wb), F.lit(0))
+            + (F.col("a") + F.col("b") + 1) / 2.0
+        ).alias("rc"),
+        (
+            F.coalesce(F.sum("a").over(wb), F.lit(0))
+            + (F.col("a") + 1) / 2.0
+        ).alias("rwa"),
+        (
+            F.coalesce(F.sum("b").over(wb), F.lit(0))
+            + (F.col("b") + 1) / 2.0
+        ).alias("rwb"),
+    )
+    da = F.col("rc") - F.col("rwa")
+    db = F.col("rc") - F.col("rwb")
+    s = cum.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+        F.sum(F.col("a") * F.col("rc")).alias("sra"),
+        F.sum(F.col("b") * F.col("rc")).alias("srb"),
+        F.sum(F.col("a") * da * da).alias("qa"),
+        F.sum(F.col("a") * da).alias("la"),
+        F.sum(F.col("b") * db * db).alias("qb"),
+        F.sum(F.col("b") * db).alias("lb"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1 = (F.col("qa") - F.col("la") * F.col("la") / n1) / (n1 - 1.0)
+    s2 = (F.col("qb") - F.col("lb") * F.col("lb") / n2) / (n2 - 1.0)
+    p_hat = (F.col("srb") / n2 - (n2 + 1) / 2.0) / n1
+    w = F.try_divide(
+        n1 * n2 * (F.col("srb") / n2 - F.col("sra") / n1),
+        (n1 + n2) * F.sqrt(n1 * s1 + n2 * s2),
+    )
+    return s.select(
+        n1.alias("n_returned"),
+        n2.alias("n_kept"),
+        f6(p_hat).alias("p_hat"),
+        f6(w).alias("w_stat"),
+        F.when(F.abs(w) > 1.959964, 1)
+        .otherwise(0)
+        .alias("stochastic_dominance_flag"),
+    )
+
+
+@register(
+    "a_tukey_hsd",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS s,
+               sum(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS q
+        FROM events GROUP BY event_type
+    ),
+    t AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(count(*) AS BIGINT) AS k,
+               (sum(q) - sum(s * 1.0 * s / n))
+               / (sum(n) - count(*)) AS msw
+        FROM g
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round((a.s * 1.0 / a.n - b.s * 1.0 / b.n) / 100.0, 4) + 0
+               AS mean_diff_usd,
+           round(abs(a.s * 1.0 / a.n - b.s * 1.0 / b.n)
+                 / sqrt(t.msw / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6) + 0
+               AS q_stat,
+           CASE WHEN abs(a.s * 1.0 / a.n - b.s * 1.0 / b.n)
+                     / sqrt(t.msw / 2.0 * (1.0 / a.n + 1.0 / b.n))
+                     > 3.858 THEN 1 ELSE 0 END AS differ_flag
+    FROM g a, g b, t
+    WHERE a.event_type < b.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def a_tukey_hsd(spark, sf_dir):
+    """Tukey-Kramer HSD post-hoc on a_anova_f's five event-type means:
+    every pair's studentized range statistic q = |x̄ᵢ−x̄ⱼ| /
+    √(MSW/2·(1/nᵢ+1/nⱼ)) against q₀.₀₅(5, ∞) = 3.858 (a distribution
+    constant, shared literal). The parametric post-hoc that pairs with
+    a_anova_f exactly the way a_dunn_test pairs with a_kruskal_wallis:
+    ANOVA says "some group differs", HSD says WHICH pairs — at a
+    familywise error rate the 10 naive t-tests can't hold. The
+    Kramer unequal-n harmonic form is used, so no balance assumption.
+
+    Exactness: per-group (n, Σ, Σ²) fold to exact cent BIGINTs in one
+    groupBy (the a_anova_f moments verbatim); MSW and the 10 pair
+    statistics are scalar math on the 5-row frame, 4/6dp-snapped.
+
+    Scale: the a_anova_f plan + a ≤k² broadcast pair join on the
+    group frame — groups add frame rows, never passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("q"),
+    )
+    t = g.agg(
+        (
+            (F.sum("q") - F.sum(F.col("s") * 1.0 * F.col("s") / F.col("n")))
+            / (F.sum("n") - F.count("*"))
+        ).alias("msw")
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    diff = F.col("sa") * 1.0 / F.col("na") - F.col("sb") * 1.0 / F.col("nb")
+    qstat = F.abs(diff) / F.sqrt(
+        F.col("msw") / 2.0 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "type_a",
+            "type_b",
+            (F.round(diff / 100.0, 4) + 0).alias("mean_diff_usd"),
+            f6(qstat).alias("q_stat"),
+            F.when(qstat > 3.858, 1).otherwise(0).alias("differ_flag"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_BY_THR_SQL = """CASE r WHEN 1 THEN 3.136961 WHEN 2 THEN 2.927757
+                 WHEN 3 THEN 2.799306 WHEN 4 THEN 2.705102
+                 WHEN 5 THEN 2.630122 WHEN 6 THEN 2.567533
+                 WHEN 7 THEN 2.513629 WHEN 8 THEN 2.466169
+                 WHEN 9 THEN 2.423689 ELSE 2.385178 END"""
+
+
+@register(
+    "a_by_fdr_pairs",
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events GROUP BY 1, 2
+    ),
+    tt AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x),
+    ranked AS (
+        SELECT d.event_type,
+               CAST(2 * rank() OVER (ORDER BY d.x) + t.t - 1 AS BIGINT)
+                   AS mr2
+        FROM daily d JOIN tt t ON t.x = d.x
+    ),
+    sums AS (
+        SELECT event_type, CAST(sum(mr2) AS BIGINT) AS r2,
+               CAST(count(*) AS BIGINT) AS nj
+        FROM ranked GROUP BY event_type
+    ),
+    c AS (SELECT CAST(sum(nj) AS BIGINT) AS n FROM sums),
+    tie AS (
+        SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tc
+        FROM tt WHERE t > 1
+    ),
+    zs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               ((a.r2 * 1.0 / a.nj - b.r2 * 1.0 / b.nj) / 2.0)
+               / sqrt((c.n * (c.n + 1.0) / 12.0
+                       - tie.tc / (12.0 * (c.n - 1.0)))
+                      * (1.0 / a.nj + 1.0 / b.nj)) AS z
+        FROM sums a, sums b, c, tie
+        WHERE a.event_type < b.event_type
+    ),
+    rk AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY abs(z) DESC, ta, tb)
+                       AS BIGINT) AS r
+        FROM zs
+    ),
+    thr AS (
+        SELECT *, {{bh}} AS zbh, {{by}} AS zby
+        FROM rk
+    ),
+    cut AS (
+        SELECT CAST(max(CASE WHEN abs(z) >= zbh THEN r ELSE 0 END)
+                    AS BIGINT) AS r_bh,
+               CAST(max(CASE WHEN abs(z) >= zby THEN r ELSE 0 END)
+                    AS BIGINT) AS r_by
+        FROM thr
+    )
+    SELECT ta AS type_a, tb AS type_b, round(z, 6) + 0 AS z, r AS rank_,
+           CASE WHEN r <= cut.r_bh THEN 1 ELSE 0 END AS bh_significant,
+           CASE WHEN r <= cut.r_by THEN 1 ELSE 0 END AS by_significant
+    FROM thr CROSS JOIN cut ORDER BY type_a, type_b
+    """.replace("{bh}", _DUNN_THR_SQL).replace("{by}", _BY_THR_SQL),
+)
+def a_by_fdr_pairs(spark, sf_dir):
+    """Benjamini-Yekutieli FDR control beside Benjamini-Hochberg on the
+    SAME ten Dunn pair z-statistics: BY divides the step-up line by
+    c(m) = Σ1/i ≈ 2.929, buying FDR control under ARBITRARY dependence
+    — and these ten pairs ARE dependent (they share the pooled rank
+    frame), which is precisely the case where plain BH's independence/
+    PRDS assumption is a leap. The two flags print side by side, so
+    the rows where they disagree are the discoveries you only get by
+    assuming positive dependence. Both step-ups run entirely on
+    z-scale via precomputed Φ⁻¹ literals (the a_dunn_test trick — no
+    erf on either engine); the BY ladder's ten thresholds are
+    Φ⁻¹(1 − rα/(2m·c(m))).
+
+    Scale: one daily rollup is the only data pass (the
+    a_kruskal_wallis frame); the 10-pair step-ups are bounded-frame
+    arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    tt = daily.groupBy("x").agg(F.count("*").cast("long").alias("t"))
+    ranked = daily.join(tt, "x").select(
+        "event_type",
+        (2 * F.rank().over(Window.orderBy("x")) + F.col("t") - 1)
+        .cast("long")
+        .alias("mr2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("mr2").cast("long").alias("r2"),
+        F.count("*").cast("long").alias("nj"),
+    )
+    c = sums.agg(F.sum("nj").cast("long").alias("n"))
+    tie = tt.where(F.col("t") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tc")
+    )
+    a = sums.select(
+        F.col("event_type").alias("ta"),
+        F.col("r2").alias("r2a"),
+        F.col("nj").alias("na"),
+    )
+    b = sums.select(
+        F.col("event_type").alias("tb"),
+        F.col("r2").alias("r2b"),
+        F.col("nj").alias("nb"),
+    )
+    n, tc = F.col("n"), F.col("tc")
+    zexpr = (
+        (
+            F.col("r2a").cast("double") / F.col("na")
+            - F.col("r2b").cast("double") / F.col("nb")
+        )
+        / 2.0
+    ) / F.sqrt(
+        (n * (n + 1.0) / 12.0 - tc / (12.0 * (n - 1.0)))
+        * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    zs = (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(tie))
+        .select("ta", "tb", zexpr.alias("z"))
+    )
+    rk = zs.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("z")).desc(), "ta", "tb"))
+        .cast("long")
+        .alias("r"),
+    )
+    thr = rk.select(
+        "*",
+        F.expr(_DUNN_THR_SQL).alias("zbh"),
+        F.expr(_BY_THR_SQL).alias("zby"),
+    )
+    cut = thr.agg(
+        F.max(
+            F.when(F.abs(F.col("z")) >= F.col("zbh"), F.col("r")).otherwise(0)
+        )
+        .cast("long")
+        .alias("r_bh"),
+        F.max(
+            F.when(F.abs(F.col("z")) >= F.col("zby"), F.col("r")).otherwise(0)
+        )
+        .cast("long")
+        .alias("r_by"),
+    )
+    return (
+        thr.crossJoin(F.broadcast(cut))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            f6(F.col("z")).alias("z"),
+            F.col("r").alias("rank_"),
+            F.when(F.col("r") <= F.col("r_bh"), 1)
+            .otherwise(0)
+            .alias("bh_significant"),
+            F.when(F.col("r") <= F.col("r_by"), 1)
+            .otherwise(0)
+            .alias("by_significant"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "a_bass_diffusion",
+    """
+    WITH first_order AS (
+        SELECT o_custkey, min(o_orderdate) AS d0 FROM orders GROUP BY 1
+    ),
+    daily AS (
+        SELECT d0 AS d, CAST(count(*) AS BIGINT) AS adopters
+        FROM first_order GROUP BY 1
+    ),
+    seq AS (
+        SELECT d, adopters AS y,
+               CAST(coalesce(sum(adopters) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS DOUBLE) AS x
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               avg(y) AS my, avg(x) AS mx, avg(x * x) AS mxx,
+               covar_pop(x, y) AS sxy,
+               covar_pop(x * x, y) AS sx2y,
+               var_pop(x) AS sxx,
+               covar_pop(x, x * x) AS sxx2,
+               var_pop(x * x) AS sx2x2
+        FROM seq
+    ),
+    beta AS (
+        SELECT n, my, mx, mxx,
+               (sxy * sx2x2 - sx2y * sxx2)
+               / (sxx * sx2x2 - sxx2 * sxx2) AS b1,
+               (sx2y * sxx - sxy * sxx2)
+               / (sxx * sx2x2 - sxx2 * sxx2) AS b2
+        FROM m
+    ),
+    coefs AS (
+        SELECT n, b1 AS b, b2 AS c, my - b1 * mx - b2 * mxx AS a
+        FROM beta
+    ),
+    fit AS (
+        SELECT n, a, b, c,
+               CASE WHEN c < 0 AND b * b - 4 * a * c >= 0
+                    THEN (-b - sqrt(b * b - 4 * a * c)) / (2 * c) END AS m_
+        FROM coefs
+    )
+    SELECT n AS n_days,
+           round(a, 6) + 0 AS coef_a,
+           round(b, 6) + 0 AS coef_b,
+           round(c, 9) + 0 AS coef_c,
+           round(m_, 2) + 0 AS market_size_m,
+           round(a / m_, 6) + 0 AS p_innovation,
+           round(b + a / m_, 6) + 0 AS q_imitation,
+           round(CASE WHEN a / m_ > 0 AND b + a / m_ > 0
+                      THEN ln((b + a / m_) / (a / m_))
+                           / (a / m_ + b + a / m_) END, 2) + 0
+               AS peak_day_t
+    FROM fit
+    """,
+)
+def a_bass_diffusion(spark, sf_dir):
+    """Bass diffusion model (Bass 1969, public) fitted to customer
+    adoption: daily NEW adopters n_t regressed on cumulative adopters
+    N_{t−1} and N²_{t−1} (the discrete Bass regression n_t = pM +
+    (q−p)N − (q/M)N²), coefficients by the closed-form two-regressor
+    Cramer solve in covariance space (the a_granger_1lag 2×2), then
+    (p, q, M) recovered from the quadratic's root and the peak-adoption
+    time t* = ln(q/p)/(p+q). THE product-growth forecasting curve:
+    p prices advertising-driven adoption, q the word-of-mouth loop, M
+    the ceiling — and fitting it from two cumulative moments means the
+    100 TB version is one rollup + one moment pass, no optimizer. The
+    honest synthetic readout: TPC-H adoption is front-loaded (every
+    customer orders early), so M ≈ the observed customer count and the
+    curve degenerates toward pure innovation — the degenerate branch
+    (c ≥ 0 or negative discriminant → NULL fit) is CASE-guarded
+    identically on both engines.
+
+    Exactness: adopter counts and the cumulative axis are BIGINT; the
+    five pooled moments come from the engines' shared covar/var_pop on
+    identical doubles; root/ratios snap at 2/6/9dp.
+
+    Scale: one first-order rollup (map-side min), one cumulative
+    window on the bounded calendar axis, one moment aggregate — the
+    regression never materializes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("d0"))
+        .groupBy(F.col("d0").alias("d"))
+        .agg(F.count("*").cast("long").alias("adopters"))
+    )
+    wb = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    seq = daily.select(
+        F.col("adopters").cast("double").alias("y"),
+        F.coalesce(F.sum("adopters").over(wb), F.lit(0))
+        .cast("double")
+        .alias("x"),
+    )
+    m = seq.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("y").alias("my"),
+        F.avg("x").alias("mx"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.covar_pop("x", "y").alias("sxy"),
+        F.covar_pop(F.col("x") * F.col("x"), F.col("y")).alias("sx2y"),
+        F.var_pop("x").alias("sxx"),
+        F.covar_pop(F.col("x"), F.col("x") * F.col("x")).alias("sxx2"),
+        F.var_pop(F.col("x") * F.col("x")).alias("sx2x2"),
+    )
+    det = F.col("sxx") * F.col("sx2x2") - F.col("sxx2") * F.col("sxx2")
+    b1 = F.try_divide(
+        F.col("sxy") * F.col("sx2x2") - F.col("sx2y") * F.col("sxx2"), det
+    )
+    b2 = F.try_divide(
+        F.col("sx2y") * F.col("sxx") - F.col("sxy") * F.col("sxx2"), det
+    )
+    coefs = m.select(
+        "n",
+        (F.col("my") - b1 * F.col("mx") - b2 * F.col("mxx")).alias("a"),
+        b1.alias("b"),
+        b2.alias("c"),
+    )
+    disc = F.col("b") * F.col("b") - 4 * F.col("a") * F.col("c")
+    m_ = F.when(
+        (F.col("c") < 0) & (disc >= 0),
+        (-F.col("b") - F.sqrt(disc)) / (2 * F.col("c")),
+    )
+    fit = coefs.select("n", "a", "b", "c", m_.alias("m_"))
+    p = F.col("a") / F.col("m_")
+    q = F.col("b") + p
+    return fit.select(
+        F.col("n").alias("n_days"),
+        f6(F.col("a")).alias("coef_a"),
+        f6(F.col("b")).alias("coef_b"),
+        (F.round(F.col("c"), 9) + 0).alias("coef_c"),
+        (F.round(F.col("m_"), 2) + 0).alias("market_size_m"),
+        f6(p).alias("p_innovation"),
+        f6(q).alias("q_imitation"),
+        (
+            F.round(
+                F.when((p > 0) & (q > 0), F.log(q / p) / (p + q)), 2
+            )
+            + 0
+        ).alias("peak_day_t"),
+    )

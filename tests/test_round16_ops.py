@@ -421,3 +421,195 @@ def test_st_hll_distinct_matches_python_hll(spark):
         assert row["est_distinct_users"] == pytest.approx(est, abs=1e-3)
         # sketch honesty: within 40% of exact at 64 registers
         assert abs(est - len(exact[et])) / len(exact[et]) < 0.4
+
+
+def test_greenwood_ci_replay(spark, order_rows):
+    per = collections.defaultdict(list)
+    for _, cust, _, d, _ in order_rows:
+        per[cust].append(d)
+    tmax = max(d for ds in per.values() for d in ds)
+    counts = collections.defaultdict(lambda: [0, 0])
+    for ds in per.values():
+        t = (max(ds) - min(ds)).days
+        counts[t][0] += 1
+        counts[t][1] += 1 if (tmax - max(ds)).days > 90 else 0
+    at_risk = {}
+    n = 0
+    for t in sorted(counts, reverse=True):
+        n += counts[t][0]
+        at_risk[t] = n
+    logs = gw = 0.0
+    curve = {}
+    for t in sorted(counts):
+        d = counts[t][1]
+        nn = at_risk[t]
+        if 0 < d < nn:
+            logs += round(math.log(1 - d / nn) * 1e12) / 1e12
+            gw += round(d * 1e12 / (nn * (nn - d))) / 1e12
+            s = math.exp(logs)
+            se = s * math.sqrt(gw)
+            curve[t] = (nn, s, se)
+    got = registry.QUERIES["a_greenwood_ci"](spark, SF_SMALL).collect()
+    assert len(got) == min(25, len(curve))
+    for row in got:
+        nn, s, se = curve[row["day"]]
+        assert row["n_at_risk"] == nn
+        assert row["survival"] == pytest.approx(s, abs=1e-5)
+        assert row["se"] == pytest.approx(se, abs=1e-5)
+        assert row["ci_lo"] == pytest.approx(
+            max(0.0, s - 1.959964 * se), abs=1e-5
+        )
+        assert row["ci_hi"] == pytest.approx(
+            min(1.0, s + 1.959964 * se), abs=1e-5
+        )
+        assert row["ci_lo"] <= row["survival"] <= row["ci_hi"]
+
+
+def test_brunner_munzel_replay(spark, line_rows):
+    xs = [q for _, q, f, _, _ in line_rows if f == "R"]
+    ys = [q for _, q, f, _, _ in line_rows if f == "N"]
+    n1, n2 = len(xs), len(ys)
+    combined = sorted(xs + ys)
+
+    def midranks(sample, pool):
+        # midrank of each value of `sample` within `pool`
+        import bisect
+
+        return [
+            (bisect.bisect_left(pool, v) + 1 + bisect.bisect_right(pool, v))
+            / 2
+            for v in sample
+        ]
+
+    rcx = midranks(xs, combined)
+    rcy = midranks(ys, combined)
+    rwx = midranks(xs, sorted(xs))
+    rwy = midranks(ys, sorted(ys))
+    mx, my = sum(rcx) / n1, sum(rcy) / n2
+    sx = sum(
+        (rc - rw - mx + (n1 + 1) / 2) ** 2 for rc, rw in zip(rcx, rwx)
+    ) / (n1 - 1)
+    sy = sum(
+        (rc - rw - my + (n2 + 1) / 2) ** 2 for rc, rw in zip(rcy, rwy)
+    ) / (n2 - 1)
+    w = n1 * n2 * (my - mx) / ((n1 + n2) * math.sqrt(n1 * sx + n2 * sy))
+    p_hat = (my - (n2 + 1) / 2) / n1
+    row = registry.QUERIES["a_brunner_munzel"](spark, SF_SMALL).collect()[0]
+    assert row["n_returned"] == n1 and row["n_kept"] == n2
+    assert row["p_hat"] == pytest.approx(p_hat, abs=1e-6)
+    assert row["w_stat"] == pytest.approx(w, abs=1e-5)
+
+
+def test_tukey_hsd_replay(spark):
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "value"
+    ).collect()
+    groups = collections.defaultdict(list)
+    for r in ev:
+        groups[r["event_type"]].append(int(round(r["value"] * 100)))
+    nt = sum(len(v) for v in groups.values())
+    k = len(groups)
+    ssw = sum(
+        sum(x * x for x in v) - sum(v) ** 2 / len(v)
+        for v in groups.values()
+    )
+    msw = ssw / (nt - k)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in registry.QUERIES["a_tukey_hsd"](spark, SF_SMALL).collect()
+    }
+    names = sorted(groups)
+    assert len(got) == k * (k - 1) // 2
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            ma = sum(groups[ga]) / len(groups[ga])
+            mb = sum(groups[gb]) / len(groups[gb])
+            se = math.sqrt(
+                msw / 2 * (1 / len(groups[ga]) + 1 / len(groups[gb]))
+            )
+            q = abs(ma - mb) / se
+            row = got[(ga, gb)]
+            assert row["mean_diff_usd"] == pytest.approx(
+                (ma - mb) / 100, abs=1e-3
+            )
+            assert row["q_stat"] == pytest.approx(q, abs=1e-4)
+            assert row["differ_flag"] == (1 if q > 3.858 else 0)
+
+
+def test_by_fdr_pairs_step_up_consistency(spark):
+    """BY is uniformly more conservative than BH on the same ranked
+    z's; both flag sets must be rank-prefixes and BY ⊆ BH."""
+    rows = registry.QUERIES["a_by_fdr_pairs"](spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    by_rank = sorted(rows, key=lambda r: r["rank_"])
+    bh_flags = [r["bh_significant"] for r in by_rank]
+    by_flags = [r["by_significant"] for r in by_rank]
+    # prefix property: once a step-up stops, it stays stopped
+    assert bh_flags == sorted(bh_flags, reverse=True)
+    assert by_flags == sorted(by_flags, reverse=True)
+    # BY subset of BH
+    assert all(bh >= by for bh, by in zip(bh_flags, by_flags))
+    # z's agree with the Dunn pair test on the same frame
+    dunn = {
+        (r["type_a"], r["type_b"]): r["z"]
+        for r in registry.QUERIES["a_dunn_test"](spark, SF_SMALL).collect()
+    }
+    for r in rows:
+        assert r["z"] == pytest.approx(
+            dunn[(r["type_a"], r["type_b"])], abs=1e-9
+        )
+
+
+def test_bass_diffusion_replay(spark, order_rows):
+    first = {}
+    for _, cust, _, d, _ in order_rows:
+        if cust not in first or d < first[cust]:
+            first[cust] = d
+    daily = collections.Counter(first.values())
+    xs, ys = [], []
+    cum = 0
+    for d in sorted(daily):
+        xs.append(float(cum))
+        ys.append(float(daily[d]))
+        cum += daily[d]
+    n = len(xs)
+    x2 = [x * x for x in xs]
+
+    def cov(a, b):
+        ma, mb = sum(a) / n, sum(b) / n
+        return sum((u - ma) * (v - mb) for u, v in zip(a, b)) / n
+
+    det = cov(xs, xs) * cov(x2, x2) - cov(xs, x2) ** 2
+    b1 = (cov(xs, ys) * cov(x2, x2) - cov(x2, ys) * cov(xs, x2)) / det
+    b2 = (cov(x2, ys) * cov(xs, xs) - cov(xs, ys) * cov(xs, x2)) / det
+    a = sum(ys) / n - b1 * sum(xs) / n - b2 * sum(x2) / n
+    row = registry.QUERIES["a_bass_diffusion"](spark, SF_SMALL).collect()[0]
+    assert row["n_days"] == n
+    assert row["coef_a"] == pytest.approx(a, abs=1e-4)
+    assert row["coef_b"] == pytest.approx(b1, abs=1e-4)
+    assert row["coef_c"] == pytest.approx(b2, abs=1e-6)
+    if row["market_size_m"] is not None:
+        disc = b1 * b1 - 4 * a * b2
+        m_ = (-b1 - math.sqrt(disc)) / (2 * b2)
+        assert row["market_size_m"] == pytest.approx(m_, rel=1e-4)
+        assert row["p_innovation"] == pytest.approx(a / m_, abs=1e-5)
+        assert row["q_imitation"] == pytest.approx(b1 + a / m_, abs=1e-5)
+
+
+def test_bmp_decode_replay(spark):
+    got = registry.QUERIES["m_bmp_decode"](spark, SF_SMALL).collect()
+    assert len(got) == 200
+    for row in got:
+        d = row["doc_id"]
+        w, h = (d % 9) + 4, (d % 7) + 3
+        pad = (4 - (w * 3) % 4) % 4
+        sums = [0, 0, 0]
+        for x in range(w):
+            for y in range(h):
+                base = d * 13 + x * 7 + y * 31
+                for k in range(3):
+                    sums[k] += (base + k * 97) % 256
+        assert row["width"] == w and row["height"] == h
+        assert row["pad_bytes"] == pad * h
+        assert row["file_size"] == 54 + (w * 3 + pad) * h
+        assert (row["sum_b"], row["sum_g"], row["sum_r"]) == tuple(sums)

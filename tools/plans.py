@@ -228,6 +228,18 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_nelson_aalen": "saturating: distinct event days (the "
     "q_kaplan_meier axis; hazard + log-survival cumulative sums share "
     "one window over it)",
+    "a_greenwood_ci": "saturating: distinct event days (the "
+    "q_kaplan_meier axis; Greenwood + log-survival increments share "
+    "one window over it)",
+    "a_brunner_munzel": "bounded: distinct-quantity value domain (~50 "
+    "census blocks; combined + both within-group midranks from three "
+    "cumulative windows on the census, never row grain)",
+    "a_by_fdr_pairs": "bounded: (day, type) daily-rollup rank axis "
+    "(the a_kruskal_wallis/a_dunn_test frame, ~150 rows; step-ups on "
+    "the 10-pair frame)",
+    "a_bass_diffusion": "saturating: distinct first-order days "
+    "(calendar-bounded adoption axis; one cumulative window + one "
+    "moment pass)",
     "q_weibull_fit": "saturating: distinct lifetime days (98->1020, "
     "bounded by the observation horizon)",
     "a_heavy_hitters": "saturating: CMS-estimated candidate values "

@@ -308,6 +308,14 @@ OUTPUT_BOUND_KEYS = {
 # uncapped item-keyed pair join goes quadratic). The caps drop exactly
 # those keys before the self-join, so capped per-row cost stays flat.
 RELATIONAL_LINEAR_KEYS = {
+    "a_greenwood_ci": "orders",  # round 16: the KM plan verbatim; the
+    # Greenwood increment rides the same lifetime-axis window
+    "a_bass_diffusion": "orders",  # round 16: first-order rollup + one
+    # cumulative window on the adoption axis + one moment pass
+    "a_brunner_munzel": "lineitem",  # round 16: ~50-cell quantity census;
+    # three cumulative midrank windows on the census
+    "m_bmp_decode": "documents",  # round 16: Arrow synth+decode chain
+    # (m_wav_decode shape); 8 BIGINTs/doc reach the exchange
     "a_nelson_aalen": "orders",  # round 16: one customer rollup + the
     # bounded lifetime-axis cumulative window (the KM plan)
     "a_kendall_w": "orders",  # round 16: one cents groupBy; ranks on 35 cells
@@ -435,6 +443,10 @@ RELATIONAL_LINEAR_KEYS = {
 # events-table keys (round 7 session 2): generated events scale with N
 # (fixed 30-day axis, constant per-user density, 10 power users at 1/37).
 EVENTS_LINEAR_KEYS = {
+    "a_tukey_hsd": "events",  # round 16: the a_anova_f moment groupBy +
+    # a <=k^2 broadcast pair join on the 5-row group frame
+    "a_by_fdr_pairs": "events",  # round 16: the a_dunn_test daily-rollup
+    # rank frame; both step-ups on the 10-pair frame
     "st_hll_distinct": "events",  # round 16: 64-register HLL per type via
     # applyInPandasWithState — state is 64 longs/key at ANY cardinality;
     # the st_ state column measures exactly that claim
