@@ -190,6 +190,10 @@ HEADLINE = [
     "a_by_fdr_pairs",  # round 16: FDR under dependence vs BH side by side
     "a_bass_diffusion",  # round 16: product-growth curve from two moments
     "m_bmp_decode",  # round 16: real DIB codec with row padding
+    "a_quade_test",  # round 16: range-weighted blocked ranks
+    "a_cohen_h",  # round 16: proportions effect size
+    "a_yuen_trimmed_t",  # round 16: robust two-sample location test
+    "st_reservoir_sample",  # round 16: bounded-state bottom-k sample
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -14175,9 +14175,12 @@ def a_kendall_w(spark, sf_dir):
         F.sum(F.col("rj") * F.col("rj")).cast("long").alias("srr"),
     ).crossJoin(F.broadcast(m_))
     n, m = F.col("n"), F.col("m")
-    w_stat = (
-        12.0 * F.col("srr") - 3.0 * m * m * n * (n + 1) * (n + 1)
-    ) / (m.cast("double") * m * n * (n * n - 1))
+    # try_divide: a single-weekday corpus (one object) zeroes n(n²−1) —
+    # NULL W like DuckDB's /0, no ANSI crash (round-16 lens at birth)
+    w_stat = F.try_divide(
+        12.0 * F.col("srr") - 3.0 * m * m * n * (n + 1) * (n + 1),
+        m.cast("double") * m * n * (n * n - 1),
+    )
     chi2 = m * (n - 1) * w_stat
     return tot.select(
         m.alias("m_judges"),
@@ -15302,8 +15305,13 @@ def a_tukey_hsd(spark, sf_dir):
         F.col("s").alias("sb"),
     )
     diff = F.col("sa") * 1.0 / F.col("na") - F.col("sb") * 1.0 / F.col("nb")
-    qstat = F.abs(diff) / F.sqrt(
-        F.col("msw") / 2.0 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    # try_divide: a zero-within-variance corpus (constant values) zeroes
+    # MSW — NULL q like DuckDB's /0, no ANSI crash (round-16 lens at birth)
+    qstat = F.try_divide(
+        F.abs(diff),
+        F.sqrt(
+            F.col("msw") / 2.0 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+        ),
     )
     return (
         a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
@@ -15639,4 +15647,418 @@ def a_bass_diffusion(spark, sf_dir):
             )
             + 0
         ).alias("peak_day_t"),
+    )
+
+
+@register(
+    "a_quade_test",
+    """
+    WITH cells0 AS (
+        SELECT CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS blk,
+               CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS trt,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    scaffold AS (
+        SELECT b.blk, t.trt
+        FROM (SELECT DISTINCT blk FROM cells0) b
+        CROSS JOIN (SELECT DISTINCT trt FROM cells0) t
+    ),
+    cells AS (
+        SELECT s.blk, s.trt, coalesce(c.cents, 0) AS cents
+        FROM scaffold s LEFT JOIN cells0 c
+          ON c.blk = s.blk AND c.trt = s.trt
+    ),
+    ranked AS (
+        SELECT blk, trt, cents,
+               CAST(row_number() OVER (PARTITION BY blk
+                                       ORDER BY cents, trt) AS BIGINT) AS r
+        FROM cells
+    ),
+    ranges AS (
+        SELECT blk, CAST(max(cents) - min(cents) AS BIGINT) AS rng
+        FROM cells GROUP BY blk
+    ),
+    weights AS (
+        SELECT blk,
+               CAST(row_number() OVER (ORDER BY rng, blk) AS BIGINT) AS q
+        FROM ranges
+    ),
+    sij AS (
+        SELECT r.trt, w.q * (2 * r.r - 6) AS s2
+        FROM ranked r JOIN weights w ON w.blk = r.blk
+    ),
+    agg AS (
+        SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k,
+               CAST((SELECT count(*) FROM weights) AS BIGINT) AS b,
+               sum(s2 * s2) AS a2,
+               (SELECT sum(sj * sj)
+                FROM (SELECT CAST(sum(s2) AS BIGINT) AS sj
+                      FROM sij GROUP BY trt))
+                   / (SELECT count(*) FROM weights) AS b2
+        FROM sij
+    )
+    SELECT k AS k_treatments, b AS n_blocks,
+           round((b - 1.0) * b2 / (a2 - b2), 6) + 0 AS quade_f,
+           CASE WHEN (b - 1.0) * b2 / (a2 - b2) > 2.776289
+                THEN 1 ELSE 0 END AS differ_flag
+    FROM agg
+    """,
+)
+def a_quade_test(spark, sf_dir):
+    """Quade test on the weekday-blocked priority revenues: Friedman
+    weighted by block INFORMATIVENESS — each block's within-block
+    ranks are scaled by the rank of the block's sample RANGE, so
+    weekends with big revenue spreads count more than flat midweek
+    blocks. F = (b−1)B/(A−B) ~ F(k−1, (b−1)(k−1)), gate F(4,24) 95% =
+    2.776 (constant). Completes the blocked-rank trio: a_friedman_test
+    (unweighted, any alternative), a_page_trend (ordered alternative),
+    Quade (range-weighted — more powerful for k ≤ 5, the textbook
+    advice). A perfectly concordant corpus makes A = B (F undefined)
+    and NULLs identically on both engines.
+
+    Exactness: doubled centered scores S2 = Q·(2R − (k+1)) keep every
+    product a BIGINT (the ×4 factor cancels in F); ranks and range
+    ranks use row_number tiebreaks on the zero-filled 35-cell
+    scaffold (the a_kendall_w idiom).
+
+    Scale: one map-side cents groupBy; everything else is 35-cell
+    arithmetic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells0 = orders.groupBy(
+        F.dayofweek("o_orderdate").cast("long").alias("blk"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("trt"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    blks = cells0.select("blk").distinct()
+    trts = cells0.select("trt").distinct()
+    cells = (
+        blks.crossJoin(trts)
+        .join(cells0, ["blk", "trt"], "left")
+        .select("blk", "trt", F.coalesce("cents", F.lit(0)).alias("cents"))
+    )
+    wr = Window.partitionBy("blk").orderBy("cents", "trt")
+    ranked = cells.select(
+        "blk", "trt", F.row_number().over(wr).cast("long").alias("r")
+    )
+    ranges = cells.groupBy("blk").agg(
+        (F.max("cents") - F.min("cents")).cast("long").alias("rng")
+    )
+    wq = Window.orderBy("rng", "blk")
+    weights = ranges.select(
+        "blk", F.row_number().over(wq).cast("long").alias("q")
+    )
+    sij = ranked.join(F.broadcast(weights), "blk").select(
+        "trt", (F.col("q") * (2 * F.col("r") - 6)).alias("s2")
+    )
+    sj = sij.groupBy("trt").agg(F.sum("s2").cast("long").alias("sj"))
+    b_ = weights.agg(F.count("*").cast("long").alias("b"))
+    agg = (
+        sij.agg(
+            F.countDistinct("trt").cast("long").alias("k"),
+            F.sum(F.col("s2") * F.col("s2")).alias("a2"),
+        )
+        .crossJoin(F.broadcast(sj.agg(F.sum(F.col("sj") * F.col("sj")).alias("sjj"))))
+        .crossJoin(F.broadcast(b_))
+    )
+    b2 = F.col("sjj") / F.col("b")
+    fstat = F.try_divide((F.col("b") - 1.0) * b2, F.col("a2") - b2)
+    return agg.select(
+        F.col("k").alias("k_treatments"),
+        F.col("b").alias("n_blocks"),
+        f6(fstat).alias("quade_f"),
+        F.when(fstat > 2.776289, 1).otherwise(0).alias("differ_flag"),
+    )
+
+
+@register(
+    "a_cohen_h",
+    """
+    WITH g AS (
+        SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS disc,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r
+        FROM lineitem GROUP BY 1
+    ),
+    two AS (
+        SELECT max(CASE WHEN disc = 1 THEN n END) AS n1,
+               max(CASE WHEN disc = 1 THEN r END) AS r1,
+               max(CASE WHEN disc = 0 THEN n END) AS n0,
+               max(CASE WHEN disc = 0 THEN r END) AS r0
+        FROM g
+    )
+    SELECT n1 AS n_discounted, n0 AS n_full_price,
+           round(r1 * 1.0 / n1, 6) + 0 AS p_discounted,
+           round(r0 * 1.0 / n0, 6) + 0 AS p_full_price,
+           round(r1 * 1.0 / n1 - r0 * 1.0 / n0, 6) + 0 AS risk_diff,
+           round(2 * asin(sqrt(r1 * 1.0 / n1))
+                 - 2 * asin(sqrt(r0 * 1.0 / n0)), 6) + 0 AS cohen_h,
+           CASE WHEN abs(2 * asin(sqrt(r1 * 1.0 / n1))
+                         - 2 * asin(sqrt(r0 * 1.0 / n0))) >= 0.8
+                     THEN 'large'
+                WHEN abs(2 * asin(sqrt(r1 * 1.0 / n1))
+                         - 2 * asin(sqrt(r0 * 1.0 / n0))) >= 0.5
+                     THEN 'medium'
+                WHEN abs(2 * asin(sqrt(r1 * 1.0 / n1))
+                         - 2 * asin(sqrt(r0 * 1.0 / n0))) >= 0.2
+                     THEN 'small'
+                ELSE 'negligible' END AS effect_label
+    FROM two
+    """,
+)
+def a_cohen_h(spark, sf_dir):
+    """Cohen's h effect size for the return-rate difference between
+    discounted (≥5%) and full-price lines: h = 2·asin√p₁ − 2·asin√p₂
+    — the arcsine-stabilized difference whose 0.2/0.5/0.8 ladder is
+    scale-free where the raw risk difference is NOT (a 1-point gap
+    means everything at p≈0.01 and nothing at p≈0.50; the transform
+    equalizes the variance). The proportions member of the effect-size
+    family (a_cohens_d = means, a_cliffs_delta = ordinal): the number
+    a_proportion_ztest's p-value should always ship with, because at
+    fixture scale EVERYTHING is significant and only h says whether
+    it matters.
+
+    Exactness: two integer (n, r) cells from one conditional groupBy;
+    asin/sqrt run on identical doubles (engines share libm-faithful
+    implementations; 6dp snap absorbs ulp) — the a_dunn_test
+    no-probit concern doesn't apply since asin IS available on both.
+
+    Scale: one map-side-combinable conditional aggregation; the
+    effect arithmetic is a 1-row select.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("disc")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("r"),
+    )
+    two = g.agg(
+        F.max(F.when(F.col("disc") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("disc") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("disc") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("disc") == 0, F.col("r"))).alias("r0"),
+    )
+    p1 = F.col("r1") * 1.0 / F.col("n1")
+    p0 = F.col("r0") * 1.0 / F.col("n0")
+    h = 2 * F.asin(F.sqrt(p1)) - 2 * F.asin(F.sqrt(p0))
+    return two.select(
+        F.col("n1").alias("n_discounted"),
+        F.col("n0").alias("n_full_price"),
+        f6(p1).alias("p_discounted"),
+        f6(p0).alias("p_full_price"),
+        f6(p1 - p0).alias("risk_diff"),
+        f6(h).alias("cohen_h"),
+        F.when(F.abs(h) >= 0.8, "large")
+        .when(F.abs(h) >= 0.5, "medium")
+        .when(F.abs(h) >= 0.2, "small")
+        .otherwise("negligible")
+        .alias("effect_label"),
+    )
+
+
+@register(
+    "a_yuen_trimmed_t",
+    """
+    WITH vals AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g, v, c,
+               CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS bl,
+               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM vals
+    ),
+    trim AS (
+        SELECT g, v, c, bl, n, n // 5 AS gt,
+               greatest(CAST(0 AS BIGINT),
+                        least(bl + c, n - n // 5)
+                        - greatest(bl, n // 5)) AS keep
+        FROM cum
+    ),
+    lohi AS (
+        SELECT g,
+               max(CASE WHEN bl < gt + 1 AND bl + c >= gt + 1
+                        THEN v END) AS lo,
+               max(CASE WHEN bl < n - gt AND bl + c >= n - gt
+                        THEN v END) AS hi
+        FROM trim GROUP BY g
+    ),
+    s AS (
+        SELECT t.g, max(t.n) AS n, max(t.gt) AS gt,
+               max(t.n) - 2 * max(t.gt) AS h,
+               CAST(sum(t.keep * t.v) AS BIGINT) AS tsum,
+               CAST(sum(t.keep * t.v * t.v) AS BIGINT) AS tsq,
+               max(l.lo) AS lo, max(l.hi) AS hi
+        FROM trim t JOIN lohi l ON l.g = t.g
+        GROUP BY t.g
+    ),
+    w AS (
+        SELECT g, n, gt, h,
+               tsum * 1.0 / h AS tmean,
+               tsum + gt * (lo + hi) AS wsum,
+               tsq + gt * (lo * lo + hi * hi) AS wsq
+        FROM s
+    ),
+    d AS (
+        SELECT g, n, h, tmean,
+               ((wsq - wsum * 1.0 * wsum / n) / (n - 1.0)) * (n - 1.0)
+               / (h * (h - 1.0)) AS dd
+        FROM w
+    ),
+    two AS (
+        SELECT max(CASE WHEN g = 'R' THEN n END) AS n1,
+               max(CASE WHEN g = 'R' THEN h END) AS h1,
+               max(CASE WHEN g = 'R' THEN tmean END) AS t1,
+               max(CASE WHEN g = 'R' THEN dd END) AS d1,
+               max(CASE WHEN g = 'N' THEN n END) AS n2,
+               max(CASE WHEN g = 'N' THEN h END) AS h2,
+               max(CASE WHEN g = 'N' THEN tmean END) AS t2,
+               max(CASE WHEN g = 'N' THEN dd END) AS d2
+        FROM d
+    )
+    SELECT n1 AS n_returned, n2 AS n_kept, h1 AS h_returned,
+           h2 AS h_kept,
+           round(t1, 6) + 0 AS trimmed_mean_r,
+           round(t2, 6) + 0 AS trimmed_mean_n,
+           round((t1 - t2) / sqrt(d1 + d2), 6) + 0 AS yuen_t,
+           CASE WHEN abs((t1 - t2) / sqrt(d1 + d2)) > 1.959964
+                THEN 1 ELSE 0 END AS differ_flag
+    FROM two
+    """,
+)
+def a_yuen_trimmed_t(spark, sf_dir):
+    """Yuen's trimmed-means t-test (1974, public): compare returned vs
+    kept quantity LOCATIONS after 20% trimming each side, with the
+    winsorized variance in the denominator — the robust two-sample
+    location test that keeps its level under the heavy tails and
+    outliers that break Student/Welch (a_ttest_welch's raw means give
+    one bad basket a vote; the trimmed means don't). d_i =
+    (n_i−1)s²_wi/(h_i(h_i−1)), t = (x̄t1−x̄t2)/√(d1+d2), large-sample
+    normal gate. Completes the robust-location story: a_robust_location
+    DESCRIBES one group's trimmed estimators, this one TESTS two.
+
+    Exactness: per-group trimming runs on the ≤50-cell quantity census
+    — keep counts, the g+1 / n−g winsorizing order statistics, trimmed
+    and winsorized sums are ALL exact BIGINTs off cumulative census
+    counts (the a_robust_location interval idiom, per group); the only
+    floats are the two means and the final t at 6dp.
+
+    Scale: one census groupBy + two windows on ≤50 census rows per
+    group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = (
+        li.where(F.col("l_returnflag").isin("R", "N"))
+        .groupBy(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wb = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wg = Window.partitionBy("g")
+    cum = vals.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).cast("long").alias("bl"),
+        F.sum("c").over(wg).cast("long").alias("n"),
+    )
+    gt = F.floor(F.col("n") / 5).cast("long")
+    keep = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("bl") + F.col("c"), F.col("n") - gt)
+        - F.greatest(F.col("bl"), gt),
+    )
+    trim = cum.select(
+        "g", "v", "c", "bl", "n", gt.alias("gt"), keep.alias("keep")
+    )
+    lohi = trim.groupBy("g").agg(
+        F.max(
+            F.when(
+                (F.col("bl") < F.col("gt") + 1)
+                & (F.col("bl") + F.col("c") >= F.col("gt") + 1),
+                F.col("v"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                (F.col("bl") < F.col("n") - F.col("gt"))
+                & (F.col("bl") + F.col("c") >= F.col("n") - F.col("gt")),
+                F.col("v"),
+            )
+        ).alias("hi"),
+    )
+    s = (
+        trim.join(F.broadcast(lohi), "g")
+        .groupBy("g")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("gt").alias("gt"),
+            (F.max("n") - 2 * F.max("gt")).alias("h"),
+            F.sum(F.col("keep") * F.col("v")).cast("long").alias("tsum"),
+            F.sum(F.col("keep") * F.col("v") * F.col("v"))
+            .cast("long")
+            .alias("tsq"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    wsum = F.col("tsum") + F.col("gt") * (F.col("lo") + F.col("hi"))
+    wsq = F.col("tsq") + F.col("gt") * (
+        F.col("lo") * F.col("lo") + F.col("hi") * F.col("hi")
+    )
+    d = s.select(
+        "g",
+        "n",
+        "h",
+        (F.col("tsum") * 1.0 / F.col("h")).alias("tmean"),
+        (
+            ((wsq - wsum * 1.0 * wsum / F.col("n")) / (F.col("n") - 1.0))
+            * (F.col("n") - 1.0)
+            / (F.col("h") * (F.col("h") - 1.0))
+        ).alias("dd"),
+    )
+
+    def pick(g, c):
+        return F.max(F.when(F.col("g") == g, F.col(c)))
+
+    two = d.agg(
+        pick("R", "n").alias("n1"),
+        pick("R", "h").alias("h1"),
+        pick("R", "tmean").alias("t1"),
+        pick("R", "dd").alias("d1"),
+        pick("N", "n").alias("n2"),
+        pick("N", "h").alias("h2"),
+        pick("N", "tmean").alias("t2"),
+        pick("N", "dd").alias("d2"),
+    )
+    t = F.try_divide(
+        F.col("t1") - F.col("t2"), F.sqrt(F.col("d1") + F.col("d2"))
+    )
+    return two.select(
+        F.col("n1").alias("n_returned"),
+        F.col("n2").alias("n_kept"),
+        F.col("h1").alias("h_returned"),
+        F.col("h2").alias("h_kept"),
+        f6(F.col("t1")).alias("trimmed_mean_r"),
+        f6(F.col("t2")).alias("trimmed_mean_n"),
+        f6(t).alias("yuen_t"),
+        F.when(F.abs(t) > 1.959964, 1).otherwise(0).alias("differ_flag"),
     )

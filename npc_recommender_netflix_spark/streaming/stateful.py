@@ -304,3 +304,89 @@ def st_hll_distinct(spark, sf_dir):
     )
     name = run_to_memory(out, "update")
     return spark.table(name).orderBy("event_type")
+
+
+@register("st_reservoir_sample")  # rows-only: custom stateful streaming op
+def st_reservoir_sample(spark, sf_dir):
+    """Streaming bottom-k uniform sample per event type with BOUNDED
+    state (Cohen's bottom-k sketch, public): each event gets a
+    deterministic md5-uint32 priority and the K = 16 SMALLEST
+    priorities per key ARE a uniform without-replacement sample of
+    everything ever seen — and because bottom-k merge is a commutative
+    idempotent set-min, the kept sample is IDENTICAL under any
+    micro-batch split or replay (no sequential Vitter counter to
+    desync). State is 16 (priority, event_id) pairs per key FOREVER;
+    the kth priority also yields the distinct-count estimate
+    (k−1)/p_(k) that makes bottom-k the exchange format distributed
+    distinct-sampling uses. The deterministic twin of Algorithm R:
+    same marginal distribution over any fixed corpus, none of the
+    order-dependence.
+
+    Scale: partitioned by event_type; per-batch work is O(rows) hash +
+    a bounded merge; state is 2·K longs per key, RocksDB-ready.
+    Pinned against a pure-Python bottom-k replay in
+    tests/test_round16_ops.py.
+    """
+    import hashlib
+
+    K = 16
+
+    def advance(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prios, ids, n_seen = (
+                list(state.get[0]),
+                list(state.get[1]),
+                state.get[2],
+            )
+        else:
+            prios, ids, n_seen = [], [], 0
+        kept = dict(zip(ids, prios))
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                p = int(
+                    hashlib.md5(str(eid).encode()).hexdigest()[:8], 16
+                )
+                kept[eid] = p
+        # bottom-k merge: keep the K smallest priorities (id tiebreak)
+        best = sorted(kept.items(), key=lambda kv: (kv[1], kv[0]))[:K]
+        state.update(
+            ([p for _, p in best], [i for i, _ in best], n_seen)
+        )
+        kth = best[-1][1] if len(best) == K else None
+        est = (
+            (K - 1) / (kth / 4294967296.0) if kth and kth > 0 else None
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n_seen],
+                "k_kept": [len(best)],
+                "sample_id_sum": [sum(i for i, _ in best)],
+                "min_priority": [best[0][1] if best else None],
+                "kth_priority": [kth],
+                "est_distinct_events": [
+                    round(est, 4) if est is not None else None
+                ],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("event_type", "event_id")
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        advance,
+        outputStructType=(
+            "event_type STRING, n_seen LONG, k_kept LONG, "
+            "sample_id_sum LONG, min_priority LONG, kth_priority LONG, "
+            "est_distinct_events DOUBLE"
+        ),
+        stateStructType=(
+            "prios ARRAY<LONG>, ids ARRAY<LONG>, n_seen LONG"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = run_to_memory(out, "update")
+    return spark.table(name).orderBy("event_type")

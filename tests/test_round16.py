@@ -110,10 +110,16 @@ CONST_KEYS = [
     "a_ridge_path", "a_lins_ccc", "a_somers_d", "a_hotelling_t2",
     "a_james_stein", "a_levene_test", "a_granger_1lag", "a_gpd_pot",
     "a_jonckheere",
+    # round-16 additions, lens applied at birth: zero variance / all-tied
+    "a_tukey_hsd", "a_ansari_bradley", "a_conover_squared_ranks",
+    "a_brunner_munzel", "a_yuen_trimmed_t",
 ]
 ONEDAY_KEYS = [
     "q_littles_law", "w_variance_ratio", "w_pacf", "a_durbin_watson",
     "w_lttb_downsample", "a_cooks_distance",
+    # round-16 additions: single weekday / single adoption day
+    "a_kendall_w", "a_page_trend", "a_quade_test", "a_bass_diffusion",
+    "a_nelson_aalen", "a_greenwood_ci",
 ]
 
 

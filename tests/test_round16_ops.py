@@ -613,3 +613,135 @@ def test_bmp_decode_replay(spark):
         assert row["pad_bytes"] == pad * h
         assert row["file_size"] == 54 + (w * 3 + pad) * h
         assert (row["sum_b"], row["sum_g"], row["sum_r"]) == tuple(sums)
+
+
+def test_quade_replay(spark, order_rows):
+    cents = collections.defaultdict(int)
+    for _, _, c, d, prio in order_rows:
+        blk = d.isoweekday() % 7 + 1
+        cents[(blk, int(prio[0]))] += c
+    blks = sorted({b for b, _ in cents})
+    trts = sorted({t for _, t in cents})
+    k, b = len(trts), len(blks)
+    ranks = {}
+    for bk in blks:
+        for r, t in enumerate(
+            sorted(trts, key=lambda t: (cents.get((bk, t), 0), t)), 1
+        ):
+            ranks[(bk, t)] = r
+    rng = {
+        bk: max(cents.get((bk, t), 0) for t in trts)
+        - min(cents.get((bk, t), 0) for t in trts)
+        for bk in blks
+    }
+    q = {
+        bk: r
+        for r, bk in enumerate(
+            sorted(blks, key=lambda bk: (rng[bk], bk)), 1
+        )
+    }
+    s2 = {
+        (bk, t): q[bk] * (2 * ranks[(bk, t)] - (k + 1))
+        for bk in blks
+        for t in trts
+    }
+    a2 = sum(v * v for v in s2.values())
+    sj = {t: sum(s2[(bk, t)] for bk in blks) for t in trts}
+    b2 = sum(v * v for v in sj.values()) / b
+    fstat = (b - 1) * b2 / (a2 - b2)
+    row = registry.QUERIES["a_quade_test"](spark, SF_SMALL).collect()[0]
+    assert row["k_treatments"] == k and row["n_blocks"] == b
+    assert row["quade_f"] == pytest.approx(fstat, rel=1e-6)
+
+
+def test_cohen_h_replay(spark, line_rows):
+    g = {0: [0, 0], 1: [0, 0]}
+    for _, _, flag, _, disc in line_rows:
+        d = 1 if disc >= 5 else 0
+        g[d][0] += 1
+        g[d][1] += 1 if flag == "R" else 0
+    p1, p0 = g[1][1] / g[1][0], g[0][1] / g[0][0]
+    h = 2 * math.asin(math.sqrt(p1)) - 2 * math.asin(math.sqrt(p0))
+    row = registry.QUERIES["a_cohen_h"](spark, SF_SMALL).collect()[0]
+    assert row["n_discounted"] == g[1][0]
+    assert row["n_full_price"] == g[0][0]
+    assert row["p_discounted"] == pytest.approx(p1, abs=1e-6)
+    assert row["cohen_h"] == pytest.approx(h, abs=1e-6)
+    lab = (
+        "large" if abs(h) >= 0.8 else
+        "medium" if abs(h) >= 0.5 else
+        "small" if abs(h) >= 0.2 else "negligible"
+    )
+    assert row["effect_label"] == lab
+
+
+def test_yuen_trimmed_t_replay(spark, line_rows):
+    groups = {"R": [], "N": []}
+    for _, qty, flag, _, _ in line_rows:
+        if flag in groups:
+            groups[flag].append(qty)
+    stats = {}
+    for gname, v in groups.items():
+        v = sorted(v)
+        n = len(v)
+        g = n // 5
+        h = n - 2 * g
+        trimmed = v[g: n - g]
+        tmean = sum(trimmed) / h
+        wins = [v[g]] * g + trimmed + [v[n - g - 1]] * g
+        mw = sum(wins) / n
+        swv = sum((x - mw) ** 2 for x in wins) / (n - 1)
+        d = (n - 1) * swv / (h * (h - 1))
+        stats[gname] = (n, h, tmean, d)
+    n1, h1, t1, d1 = stats["R"]
+    n2, h2, t2, d2 = stats["N"]
+    t = (t1 - t2) / math.sqrt(d1 + d2)
+    row = registry.QUERIES["a_yuen_trimmed_t"](spark, SF_SMALL).collect()[0]
+    assert row["n_returned"] == n1 and row["n_kept"] == n2
+    assert row["h_returned"] == h1 and row["h_kept"] == h2
+    assert row["trimmed_mean_r"] == pytest.approx(t1, abs=1e-6)
+    assert row["trimmed_mean_n"] == pytest.approx(t2, abs=1e-6)
+    assert row["yuen_t"] == pytest.approx(t, abs=1e-5)
+
+
+def test_st_reservoir_sample_matches_python_bottom_k(spark):
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "event_id"
+    ).collect()
+    per = collections.defaultdict(dict)
+    n_seen = collections.Counter()
+    for r in ev:
+        et, eid = r["event_type"], int(r["event_id"])
+        n_seen[et] += 1
+        per[et][eid] = int(
+            hashlib.md5(str(eid).encode()).hexdigest()[:8], 16
+        )
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["st_reservoir_sample"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(per)
+    ratios = []
+    for et, kept in per.items():
+        best = sorted(kept.items(), key=lambda kv: (kv[1], kv[0]))[:16]
+        row = got[et]
+        assert row["n_seen"] == n_seen[et]
+        assert row["k_kept"] == min(16, len(kept))
+        assert row["sample_id_sum"] == sum(i for i, _ in best)
+        assert row["min_priority"] == best[0][1]
+        if len(best) == 16:
+            kth = best[-1][1]
+            assert row["kth_priority"] == kth
+            est = 15 / (kth / 4294967296.0)
+            assert row["est_distinct_events"] == pytest.approx(
+                est, rel=1e-6
+            )
+            ratios.append(est / len(kept))
+    # bottom-k cardinality honesty: k=16 has ~27% relative SE, so any
+    # single key can land a multi-sigma draw — gate each within 4x and
+    # the geometric mean across keys within ~50%
+    assert all(0.25 < r < 4.0 for r in ratios)
+    gm = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    assert 0.5 < gm < 2.0

@@ -240,6 +240,8 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_bass_diffusion": "saturating: distinct first-order days "
     "(calendar-bounded adoption axis; one cumulative window + one "
     "moment pass)",
+    "a_quade_test": "bounded: 7-block range-rank axis (the weekday "
+    "scaffold; block weights ranked over 7 rows)",
     "q_weibull_fit": "saturating: distinct lifetime days (98->1020, "
     "bounded by the observation horizon)",
     "a_heavy_hitters": "saturating: CMS-estimated candidate values "

@@ -314,6 +314,11 @@ RELATIONAL_LINEAR_KEYS = {
     # cumulative window on the adoption axis + one moment pass
     "a_brunner_munzel": "lineitem",  # round 16: ~50-cell quantity census;
     # three cumulative midrank windows on the census
+    "a_quade_test": "orders",  # round 16: one cents groupBy; weighted
+    # ranks on the 35-cell scaffold
+    "a_cohen_h": "lineitem",  # round 16: one conditional aggregation
+    "a_yuen_trimmed_t": "lineitem",  # round 16: census trimming — keep
+    # counts + winsorized moments on <=50 cells/group
     "m_bmp_decode": "documents",  # round 16: Arrow synth+decode chain
     # (m_wav_decode shape); 8 BIGINTs/doc reach the exchange
     "a_nelson_aalen": "orders",  # round 16: one customer rollup + the
@@ -443,6 +448,9 @@ RELATIONAL_LINEAR_KEYS = {
 # events-table keys (round 7 session 2): generated events scale with N
 # (fixed 30-day axis, constant per-user density, 10 power users at 1/37).
 EVENTS_LINEAR_KEYS = {
+    "st_reservoir_sample": "events",  # round 16: bottom-k sample per type
+    # — state is 2K longs/key at ANY volume; the st_ state column
+    # measures it
     "a_tukey_hsd": "events",  # round 16: the a_anova_f moment groupBy +
     # a <=k^2 broadcast pair join on the 5-row group frame
     "a_by_fdr_pairs": "events",  # round 16: the a_dunn_test daily-rollup
