@@ -68,6 +68,8 @@ def test_contract_shape():
         "st_page_hinkley",
         "v_ann_ivf_kmeans",
         "v_lsh_neardup",
+        "st_hll_distinct",
+        "st_reservoir_sample",
     }
 
 
