@@ -194,6 +194,9 @@ HEADLINE = [
     "a_cohen_h",  # round 16: proportions effect size
     "a_yuen_trimmed_t",  # round 16: robust two-sample location test
     "st_reservoir_sample",  # round 16: bounded-state bottom-k sample
+    "a_welch_anova",  # round 16: heteroscedastic ANOVA branch
+    "a_seasonal_mann_kendall",  # round 16: cycle-proof trend test
+    "w_holt_damped",  # round 16: damped-trend forecasting default
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

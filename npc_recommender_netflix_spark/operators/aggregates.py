@@ -16062,3 +16062,256 @@ def a_yuen_trimmed_t(spark, sf_dir):
         f6(t).alias("yuen_t"),
         F.when(F.abs(t) > 1.959964, 1).otherwise(0).alias("differ_flag"),
     )
+
+
+@register(
+    "a_welch_anova",
+    """
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS s,
+               sum(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS q
+        FROM events GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n,
+               s * 1.0 / n AS mean,
+               n / ((q - s * 1.0 * s / n) / (n - 1.0)) AS w
+        FROM g
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nt,
+               sum(w) AS bigw,
+               sum(w * mean) AS wm
+        FROM m
+    ),
+    parts AS (
+        SELECT t.k, t.nt,
+               sum(m.w * (m.mean - t.wm / t.bigw)
+                       * (m.mean - t.wm / t.bigw)) AS a,
+               sum((1.0 - m.w / t.bigw) * (1.0 - m.w / t.bigw)
+                   / (m.n - 1.0)) AS lam
+        FROM m, t GROUP BY t.k, t.nt
+    )
+    SELECT k AS n_groups, nt AS n_rows,
+           round((a / (k - 1.0))
+                 / (1.0 + 2.0 * (k - 2) / (k * k - 1.0) * lam), 6) + 0
+               AS welch_f,
+           CASE WHEN (a / (k - 1.0))
+                     / (1.0 + 2.0 * (k - 2) / (k * k - 1.0) * lam)
+                     > 2.371932 THEN 1 ELSE 0 END AS differ_flag
+    FROM parts
+    """,
+)
+def a_welch_anova(spark, sf_dir):
+    """Welch's heteroscedastic one-way ANOVA across the five event
+    types: groups weighted by precision w_j = n_j/s_j², F* =
+    [Σw_j(x̄_j−x̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Σ(1−w_j/W)²/(n_j−1)]
+    (Welch 1951, public), large-sample gate χ²₄/4 = 2.371932. This is
+    the missing branch of the variance-heterogeneity decision path the
+    battery already poses: a_levene_test / a_bartlett_test ask "are
+    the spreads equal?" — when they REJECT, classic a_anova_f's pooled
+    MSW is invalid and THIS is the test you run instead (exactly as
+    a_ttest_welch replaces Student at k = 2). A zero-variance group
+    (constant corpus) makes w infinite → NULL on both engines via the
+    shared division semantics.
+
+    Exactness: the same exact-cent (n, Σ, Σ²) moments as a_anova_f in
+    one groupBy; weights, the weighted grand mean and Λ are 5-row
+    arithmetic, 6dp-snapped.
+
+    Scale: the a_anova_f plan verbatim — one map-side-combinable
+    moment groupBy; groups add frame rows, never passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("q"),
+    )
+    m = g.select(
+        "n",
+        (F.col("s") * 1.0 / F.col("n")).alias("mean"),
+        F.try_divide(
+            F.col("n"),
+            (F.col("q") - F.col("s") * 1.0 * F.col("s") / F.col("n"))
+            / (F.col("n") - 1.0),
+        ).alias("w"),
+    )
+    t = m.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("w").alias("bigw"),
+        F.sum(F.col("w") * F.col("mean")).alias("wm"),
+    )
+    gw = F.col("wm") / F.col("bigw")
+    parts = (
+        m.crossJoin(F.broadcast(t))
+        .groupBy("k", "nt")
+        .agg(
+            F.sum(
+                F.col("w") * (F.col("mean") - gw) * (F.col("mean") - gw)
+            ).alias("a"),
+            F.sum(
+                (1.0 - F.col("w") / F.col("bigw"))
+                * (1.0 - F.col("w") / F.col("bigw"))
+                / (F.col("n") - 1.0)
+            ).alias("lam"),
+        )
+    )
+    k = F.col("k")
+    fstat = F.try_divide(
+        F.col("a") / (k - 1.0),
+        1.0 + 2.0 * (k - 2) / (k * k - 1.0) * F.col("lam"),
+    )
+    return parts.select(
+        k.alias("n_groups"),
+        F.col("nt").alias("n_rows"),
+        f6(fstat).alias("welch_f"),
+        F.when(fstat > 2.371932, 1).otherwise(0).alias("differ_flag"),
+    )
+
+
+@register(
+    "a_seasonal_mann_kendall",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS season,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b
+          ON b.season = a.season AND b.day > a.day
+    ),
+    seasons AS (
+        SELECT season, CAST(count(*) AS BIGINT) AS n,
+               CAST((SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                     FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                           FROM daily d2
+                           WHERE d2.season = daily.season
+                           GROUP BY d2.x)) AS BIGINT) AS tie_corr
+        FROM daily GROUP BY season
+    ),
+    c AS (
+        SELECT (SELECT CAST(coalesce(sum(sgn), 0) AS BIGINT)
+                FROM pairs) AS s,
+               (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n,
+               (SELECT CAST(count(*) AS BIGINT) FROM seasons)
+                   AS n_seasons,
+               (SELECT sum((n * (n - 1.0) * (2.0 * n + 5) - tie_corr)
+                           / 18.0)
+                FROM seasons) AS var_s
+    )
+    SELECT s AS s_stat, n AS n_days, n_seasons,
+           round(var_s, 6) + 0 AS var_s,
+           round((CASE WHEN s > 0 THEN s - 1.0
+                       WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)
+                 / sqrt(var_s), 6) + 0 AS z,
+           CASE WHEN abs((CASE WHEN s > 0 THEN s - 1.0
+                               WHEN s < 0 THEN s + 1.0 ELSE 0.0 END)
+                         / sqrt(var_s)) > 1.959964
+                THEN CASE WHEN s > 0 THEN 1 ELSE -1 END ELSE 0 END
+               AS trend_direction
+    FROM c
+    """,
+)
+def a_seasonal_mann_kendall(spark, sf_dir):
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984, public):
+    the MK pairwise-sign statistic computed WITHIN each weekday season
+    and summed — S = ΣS_j, Var = ΣVar_j (tie-corrected per season) —
+    so a strong weekly cycle cannot masquerade as (or mask) a trend:
+    plain a_mann_kendall compares Mondays to Saturdays and reads the
+    cycle as noise that dilutes Var, this one never crosses seasons.
+    The seasonal completion of the trend pair (a_mann_kendall
+    pooled, this stratified), with the same continuity-corrected z
+    and ±1 direction flag.
+
+    Exactness: cents-exact daily census; the pair join is WITHIN-
+    season on the bounded day axis ((days/7)² per season at any
+    corpus size); tie corrections are per-season integer sums; one
+    float z at 6dp. A constant corpus zeroes Var → NULL z on both
+    engines.
+
+    Scale: one daily rollup (map-side combinable) + a bounded-axis
+    within-season self-join — day-count-bounded, corpus-size-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.dayofweek(F.to_date("ts")).cast("long").alias("season"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.season") == F.col("a.season"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    ties = daily.groupBy("season", "x").agg(
+        F.count("*").cast("long").alias("t")
+    )
+    seasons = (
+        daily.groupBy("season")
+        .agg(F.count("*").cast("long").alias("n"))
+        .join(
+            ties.groupBy("season").agg(
+                F.coalesce(
+                    F.sum(
+                        F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("tie_corr")
+            ),
+            "season",
+        )
+    )
+    var_s = seasons.agg(
+        F.sum(
+            (
+                F.col("n") * (F.col("n") - 1.0) * (2.0 * F.col("n") + 5)
+                - F.col("tie_corr")
+            )
+            / 18.0
+        ).alias("var_s"),
+        F.count("*").cast("long").alias("n_seasons"),
+        F.sum("n").cast("long").alias("n"),
+    )
+    s = pairs.agg(
+        F.coalesce(F.sum("sgn"), F.lit(0)).cast("long").alias("s")
+    )
+    cc = F.when(F.col("s") > 0, F.col("s") - 1.0).when(
+        F.col("s") < 0, F.col("s") + 1.0
+    ).otherwise(0.0)
+    z = F.try_divide(cc, F.sqrt(F.col("var_s")))
+    return s.crossJoin(F.broadcast(var_s)).select(
+        F.col("s").alias("s_stat"),
+        F.col("n").alias("n_days"),
+        "n_seasons",
+        f6(F.col("var_s")).alias("var_s"),
+        f6(z).alias("z"),
+        F.when(
+            F.abs(z) > 1.959964,
+            F.when(F.col("s") > 0, 1).otherwise(-1),
+        )
+        .otherwise(0)
+        .alias("trend_direction"),
+    )

@@ -745,3 +745,109 @@ def test_st_reservoir_sample_matches_python_bottom_k(spark):
     assert all(0.25 < r < 4.0 for r in ratios)
     gm = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
     assert 0.5 < gm < 2.0
+
+
+def test_welch_anova_replay(spark):
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "value"
+    ).collect()
+    groups = collections.defaultdict(list)
+    for r in ev:
+        groups[r["event_type"]].append(int(round(r["value"] * 100)))
+    k = len(groups)
+    w, mean, n = {}, {}, {}
+    for g, v in groups.items():
+        n[g] = len(v)
+        mean[g] = sum(v) / len(v)
+        s2 = (sum(x * x for x in v) - sum(v) ** 2 / len(v)) / (len(v) - 1)
+        w[g] = len(v) / s2
+    bigw = sum(w.values())
+    gw = sum(w[g] * mean[g] for g in groups) / bigw
+    a = sum(w[g] * (mean[g] - gw) ** 2 for g in groups)
+    lam = sum((1 - w[g] / bigw) ** 2 / (n[g] - 1) for g in groups)
+    f = (a / (k - 1)) / (1 + 2 * (k - 2) / (k * k - 1) * lam)
+    row = registry.QUERIES["a_welch_anova"](spark, SF_SMALL).collect()[0]
+    assert row["n_groups"] == k
+    assert row["n_rows"] == sum(n.values())
+    assert row["welch_f"] == pytest.approx(f, abs=2e-6)
+
+
+def test_seasonal_mann_kendall_replay(spark):
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "ts", "value"
+    ).collect()
+    daily = collections.defaultdict(int)
+    for r in ev:
+        daily[r["ts"].date()] += int(round(r["value"] * 100))
+    seasons = collections.defaultdict(list)
+    for d in sorted(daily):
+        seasons[d.isoweekday() % 7 + 1].append(daily[d])
+    s = 0
+    var = 0.0
+    for xs in seasons.values():
+        for i in range(len(xs)):
+            for j in range(i + 1, len(xs)):
+                s += (xs[j] > xs[i]) - (xs[j] < xs[i])
+        nn = len(xs)
+        ties = collections.Counter(xs)
+        tc = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var += (nn * (nn - 1) * (2 * nn + 5) - tc) / 18
+    cc = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+    z = cc / math.sqrt(var)
+    row = registry.QUERIES["a_seasonal_mann_kendall"](
+        spark, SF_SMALL
+    ).collect()[0]
+    assert row["s_stat"] == s
+    assert row["n_days"] == len(daily)
+    assert row["n_seasons"] == len(seasons)
+    assert row["var_s"] == pytest.approx(var, abs=1e-4)
+    assert row["z"] == pytest.approx(z, abs=1e-6)
+
+
+def test_holt_damped_replay_and_damping_property(spark):
+    """The damped recursion must track the replayed sequence exactly,
+    and the trend must be contracted vs plain Holt: with phi = 0.9 the
+    forecast asymptote l + 9b is finite while plain Holt extrapolates
+    without bound."""
+    got = registry.QUERIES["w_holt_damped"](spark, SF_SMALL).collect()
+    lin = {
+        r["day"]: r
+        for r in registry.QUERIES["w_holt_linear"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert len(got) == len(lin) >= 3
+    # replay: independent recursion over the same daily series
+    xs = [(r["day"], r["actual_usd"]) for r in got]
+    l = xs[0][1] * 100
+    b = round(xs[1][1] * 100 - xs[0][1] * 100, 6)
+    for i, row in enumerate(got):
+        if i == 0:
+            assert row["forecast_usd"] is None
+            continue
+        x = row["actual_usd"] * 100
+        fc = l + 0.9 * b
+        l_new = 0.5 * x + 0.5 * (l + 0.9 * b)
+        b = 0.25 * (l_new - l) + 0.75 * 0.9 * b
+        l = l_new
+        assert row["forecast_usd"] == pytest.approx(fc / 100, abs=1e-3)
+        assert row["level_usd"] == pytest.approx(l / 100, abs=1e-3)
+        assert row["trend_usd"] == pytest.approx(b / 100, abs=1e-3)
+        assert row["horizon_asymptote_usd"] == pytest.approx(
+            (l + 9 * b) / 100, abs=1e-2
+        )
+    # damping property: the damped h-step path is BOUNDED — it
+    # converges to the printed asymptote (l + b*phi/(1-phi) = l + 9b),
+    # while plain Holt's h-step forecast l + h*b diverges linearly
+    last = got[-1]
+    l_c, b_c = last["level_usd"], last["trend_usd"]
+    damped_h100 = l_c + b_c * 0.9 * (1 - 0.9 ** 100) / 0.1
+    assert damped_h100 == pytest.approx(
+        last["horizon_asymptote_usd"], abs=max(0.01, abs(b_c) * 0.01)
+    )
+    lin_last = lin[last["day"]]
+    if abs(lin_last["trend_usd"]) > 1.0:
+        plain_h100 = lin_last["level_usd"] + 100 * lin_last["trend_usd"]
+        assert abs(plain_h100 - lin_last["level_usd"]) > abs(
+            damped_h100 - l_c
+        )

@@ -448,6 +448,11 @@ RELATIONAL_LINEAR_KEYS = {
 # events-table keys (round 7 session 2): generated events scale with N
 # (fixed 30-day axis, constant per-user density, 10 power users at 1/37).
 EVENTS_LINEAR_KEYS = {
+    "a_welch_anova": "events",  # round 16: the a_anova_f moment groupBy
+    "a_seasonal_mann_kendall": "events",  # round 16: within-season pair
+    # join on the bounded day axis (fixed 30-day window -> flat)
+    "w_holt_damped": "events",  # round 16: daily rollup + driver replay
+    # on the bounded day axis (the w_holt_linear engine split)
     "st_reservoir_sample": "events",  # round 16: bottom-k sample per type
     # — state is 2K longs/key at ANY volume; the st_ state column
     # measures it
