@@ -5797,9 +5797,16 @@ def t_self_bleu(spark, sf_dir):
             "doc_id",
             "lang",
             F.explode(
+                # size(w) < 2 guard: two-arg sequence(0, -1) defaults to
+                # step -1 and yields [0, -1] -> w[-1] lookups, which error
+                # under ANSI mode (the q_littles_law hazard). Emit an empty
+                # array instead; explode then drops the gram-less doc, the
+                # same fate its NULL grams met at the df join before.
                 F.expr(
-                    "transform(sequence(0, size(w) - 2), "
-                    "i -> concat(w[i], ' ', w[i + 1]))"
+                    "CASE WHEN size(w) >= 2 THEN "
+                    "transform(sequence(0, size(w) - 2, 1), "
+                    "i -> concat(w[i], ' ', w[i + 1])) "
+                    "ELSE array() END"
                 )
             ).alias("g"),
         )

@@ -5741,10 +5741,13 @@ def a_levene_test(spark, sf_dir):
         .alias("sb"),
     )
     n, k = F.col("n"), F.col("k")
-    between = (F.col("sb") - F.col("s").cast("double") * F.col("s") / n) / (
-        k - 1.0
+    # try_divide on BOTH structural denominators: a single-group corpus
+    # zeroes k-1, an all-singleton one zeroes n-k — NULL like DuckDB's
+    # /0 instead of an ANSI crash (round-16 back-sweep residual)
+    between = F.try_divide(
+        F.col("sb") - F.col("s").cast("double") * F.col("s") / n, k - 1.0
     )
-    within = (F.col("q") - F.col("sb").cast("double")) / (n - k)
+    within = F.try_divide(F.col("q") - F.col("sb").cast("double"), (n - k).cast("double"))
     # try_divide: a zero-spread corpus (all deviations 0) zeroes the
     # within term — NULL statistic like DuckDB's /0, no ANSI crash
     # (round-16 back-sweep; the a_bartlett_test ln(0) sibling hazard)
@@ -11574,13 +11577,13 @@ def a_newey_west(spark, sf_dir):
                AS significant_95
     FROM (
         SELECT 'x_causes_y' AS direction, n,
-               CASE WHEN det > 1e-9 * vp
+               CASE WHEN round(det / vp, 12) > 1e-9
                     THEN (sse_r_y - sse_u_y) / (sse_u_y / (n - 3)) END
                    AS f_stat
         FROM f
         UNION ALL
         SELECT 'y_causes_x', n,
-               CASE WHEN det > 1e-9 * vp
+               CASE WHEN round(det / vp, 12) > 1e-9
                     THEN (sse_r_x - sse_u_x) / (sse_u_x / (n - 3)) END
         FROM f
     ) ORDER BY direction
@@ -11672,8 +11675,14 @@ def a_granger_1lag(spark, sf_dir):
     # that noise into a visible divergence. det <= 1e-9·var(yl)·var(xl)
     # declares the unrestricted fit unidentified -> NULL on BOTH engines
     # (1−ρ² ≈ 1e-9 is far below any identifiable design, far above ulp
-    # noise, so the gate evaluates identically on both engines).
-    gate = F.col("det") > 1e-9 * F.col("vp")
+    # noise, so the gate evaluates identically on both engines). The
+    # det/vp RATIO is snapped to 12 dp before the compare (round-16
+    # advice): det and vp are float sums whose reduction order differs
+    # between engines, so a corpus sitting within ulps of the boundary
+    # could otherwise flip the gate on one engine only; after the snap
+    # both engines compare the identical double (engine ulp noise is
+    # ~1e-16 relative, 7 orders below the snap grain at the boundary).
+    gate = F.round(F.try_divide(F.col("det"), F.col("vp")), 12) > 1e-9
 
     def f_raw(sse_r, sse_u_c):
         return F.when(
@@ -15289,9 +15298,11 @@ def a_tukey_hsd(spark, sf_dir):
         F.sum(c * c).alias("q"),
     )
     t = g.agg(
-        (
-            (F.sum("q") - F.sum(F.col("s") * 1.0 * F.col("s") / F.col("n")))
-            / (F.sum("n") - F.count("*"))
+        # try_divide: an all-singleton-group corpus has nt == k, so the
+        # MSW denominator is 0 — NULL like DuckDB's /0, no ANSI crash
+        F.try_divide(
+            F.sum("q") - F.sum(F.col("s") * 1.0 * F.col("s") / F.col("n")),
+            (F.sum("n") - F.count("*")).cast("double"),
         ).alias("msw")
     )
     a = g.select(
