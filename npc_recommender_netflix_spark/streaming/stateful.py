@@ -323,9 +323,13 @@ def st_reservoir_sample(spark, sf_dir):
     order-dependence.
 
     Scale: partitioned by event_type; per-batch work is O(rows) hash +
-    a bounded merge; state is 2·K longs per key, RocksDB-ready.
-    Pinned against a pure-Python bottom-k replay in
-    tests/test_round16_ops.py.
+    an O(K) insertion ONLY for rows that beat the running kth priority
+    (expected O(K·ln(batch)) insertions per batch) — the kept dict is
+    bounded at K+1 entries even mid-batch, so a huge single micro-batch
+    never materializes an O(batch) candidate dict or sorts it (round-16
+    verdict item 4); `max_held` reports the observed bound in-row.
+    State is 2·K longs per key, RocksDB-ready. Pinned against a
+    pure-Python bottom-k replay in tests/test_round16_ops.py.
     """
     import hashlib
 
@@ -343,15 +347,34 @@ def st_reservoir_sample(spark, sf_dir):
         else:
             prios, ids, n_seen = [], [], 0
         kept = dict(zip(ids, prios))
+        # running kth = (priority, id) of the WORST kept entry once K are
+        # held; insertions that don't beat it are skipped outright, so
+        # kept never exceeds K+1 entries (then immediately evicts back
+        # to K) and no batch-sized structure ever exists.
+        thr = (
+            max(((p, i) for i, p in kept.items()))
+            if len(kept) >= K
+            else None
+        )
+        max_held = len(kept)
         for pdf in pdfs:
             n_seen += len(pdf)
             for eid in pdf["event_id"]:
                 eid = int(eid)
+                if eid in kept:
+                    continue  # set-min idempotence under replay
                 p = int(
                     hashlib.md5(str(eid).encode()).hexdigest()[:8], 16
                 )
+                if thr is not None and (p, eid) >= thr:
+                    continue
                 kept[eid] = p
-        # bottom-k merge: keep the K smallest priorities (id tiebreak)
+                max_held = max(max_held, len(kept))
+                if len(kept) > K:
+                    del kept[thr[1]]
+                if len(kept) >= K:
+                    thr = max(((q, i) for i, q in kept.items()))
+        # bottom-k output: the K smallest priorities (id tiebreak)
         best = sorted(kept.items(), key=lambda kv: (kv[1], kv[0]))[:K]
         state.update(
             ([p for _, p in best], [i for i, _ in best], n_seen)
@@ -371,6 +394,7 @@ def st_reservoir_sample(spark, sf_dir):
                 "est_distinct_events": [
                     round(est, 4) if est is not None else None
                 ],
+                "max_held": [max_held],
             }
         )
 
@@ -380,7 +404,7 @@ def st_reservoir_sample(spark, sf_dir):
         outputStructType=(
             "event_type STRING, n_seen LONG, k_kept LONG, "
             "sample_id_sum LONG, min_priority LONG, kth_priority LONG, "
-            "est_distinct_events DOUBLE"
+            "est_distinct_events DOUBLE, max_held LONG"
         ),
         stateStructType=(
             "prios ARRAY<LONG>, ids ARRAY<LONG>, n_seen LONG"
