@@ -34,9 +34,13 @@ ORACLE: dict[str, str] = {}
 AUDIT_TIER_TWINS: dict[str, str] = {
     "v_embed_neardup": "v_embed_neardup_strict",
     "v_semantic_dedup": "v_semantic_dedup_capped",
-    # NOT v_lsh_neardup: it shares the weak cos>=0.35 output contract and
-    # the round-16 ladder measured it output-bound too (x1 13.5k -> x10
-    # 331k pairs) — the linear production path raises the threshold.
+    # v_lsh_neardup shares the weak cos>=0.35 output contract: the
+    # round-16 ladder measured it output-bound (x1 13.5k -> x10 331k ->
+    # x30 3.0M pairs, 1973 s) — the qualifying pair set itself is
+    # Θ(N²) at that threshold, so candidate pruning cannot save it. The
+    # linear production path raises the threshold (its strict twin).
+    # Promoted into this gate in round 17 (round-16 verdict item 2).
+    "v_lsh_neardup": "v_embed_neardup_strict",
     "v_embed_neardup_lsh": "v_embed_neardup_strict",
     "v_lsh_multiprobe": "v_hamming_topk",
 }
