@@ -11523,7 +11523,10 @@ def a_newey_west(spark, sf_dir):
         F.col("n").cast("long").alias("n_days"),
         f6(se_nw).alias("se_nw"),
         f6(se_w).alias("se_white"),
-        f6(se_nw / se_w).alias("nw_inflation"),
+        # try_divide: an exactly-linear daily series has zero residuals,
+        # so BOTH SEs are 0 and the inflation ratio is 0/0 — NULL like
+        # DuckDB, no ANSI crash (caught by test_litpins' exact-fit pin)
+        f6(F.try_divide(se_nw, se_w)).alias("nw_inflation"),
     )
 
 
