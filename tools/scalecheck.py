@@ -963,7 +963,15 @@ def build_dirs(out: str) -> dict[str, str]:
 
 
 def run(dirs: dict[str, str], only: list[str] | None = None) -> dict:
-    spark = build_session(app="scalecheck")
+    # retainedStages default (1000) is below what the iterative /
+    # multi-stage ladder keys submit across three scales, so the
+    # AppStatusStore evicted stages counted in the "before" snapshot and
+    # five ladder rows carried `n/a (evicted)` byte deltas (round-16
+    # verdict item 6). Match bench.py's retention bump.
+    spark = build_session(
+        app="scalecheck",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
     spark.range(1).count()
     results: dict[str, dict] = {}
     # key -> (table, claim, callable)
