@@ -197,6 +197,14 @@ HEADLINE = [
     "a_welch_anova",  # round 16: heteroscedastic ANOVA branch
     "a_seasonal_mann_kendall",  # round 16: cycle-proof trend test
     "w_holt_damped",  # round 16: damped-trend forecasting default
+    "a_cuzick_trend",  # round 17: ordered-alternative pooled-rank trend
+    "a_hodges_lehmann",  # round 17: robust shift via difference lattice
+    "a_mantel_haenszel",  # round 17: stratified common odds ratio
+    "a_kuiper_dow",  # round 17: circular uniformity, 7-row axis
+    "a_wasserstein_shift",  # round 17: exact 1-D EMD on value census
+    "a_hellinger_bands",  # round 17: bounded drift metric, 1e-12 snap
+    "t_chao1_vocab",  # round 17: vocabulary-richness asymptote
+    "t_hill_diversity",  # round 17: effective-vocab evenness profile
 ]
 
 # Shuffle-byte regression gate (round 6): plan-shape asserts can't catch a

@@ -16329,3 +16329,702 @@ def a_seasonal_mann_kendall(spark, sf_dir):
         .otherwise(0)
         .alias("trend_direction"),
     )
+
+
+@register(
+    "a_cuzick_trend",
+    """
+    WITH base AS (
+        SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS l,
+               CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS c
+        FROM orders
+    ),
+    cen AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY c),
+    rk AS (
+        SELECT c,
+               CAST(2 * COALESCE(SUM(cnt) OVER (ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + cnt + 1 AS BIGINT) AS r2
+        FROM cen
+    ),
+    cells AS (
+        SELECT l, c, CAST(count(*) AS BIGINT) AS m FROM base GROUP BY l, c
+    ),
+    s AS (
+        SELECT CAST(sum(m) AS BIGINT) AS n,
+               CAST(sum(m * l) AS BIGINT) AS lsum,
+               CAST(sum(m * l * l) AS BIGINT) AS l2sum,
+               CAST(sum(m * l * r2) AS BIGINT) AS t2,
+               CAST(sum(m * r2 * r2) AS BIGINT) AS sr22
+        FROM cells JOIN rk USING (c)
+    )
+    SELECT n AS n_obs,
+           t2 AS t2_stat,
+           CAST(lsum * (n + 1) AS BIGINT) AS t2_expected,
+           round((t2 - lsum * (n + 1.0))
+                 / sqrt((l2sum - lsum * 1.0 * lsum / n)
+                        * (sr22 - n * (n + 1.0) * (n + 1)) / (n - 1.0)),
+                 6) + 0 AS z,
+           CAST(CASE WHEN abs((t2 - lsum * (n + 1.0))
+                      / sqrt((l2sum - lsum * 1.0 * lsum / n)
+                             * (sr22 - n * (n + 1.0) * (n + 1))
+                             / (n - 1.0))) > 1.959964
+                THEN 1 ELSE 0 END AS BIGINT) AS trend_flag
+    FROM s
+    """,
+)
+def a_cuzick_trend(spark, sf_dir):
+    """Cuzick's test for trend (Cuzick 1985, public) across the FIVE
+    ORDERED priority classes: is order value monotonically associated
+    with urgency?  The Wilcoxon-type extension of rank tests to an
+    ordered alternative — T = Σ lᵢRᵢ with group scores l = the priority
+    digit and pooled midranks R, z = (T − E)/√Var using the exact
+    linear-rank permutation variance Var(T) = Σ(l−l̄)²·Σ(R−R̄)²/(N−1)
+    (tie-exact via midranks; the general two-sample/score form in
+    Lehmann, Nonparametrics). The ordered-alternative complement to
+    a_jonckheere's pairwise form — one pooled rank pass instead of
+    k(k−1)/2 group pairs.
+
+    Exactness: doubled midranks r2 = 2·cum + cnt + 1 keep every rank
+    integral; T2, E2 = L(N+1) and both sum-of-squares moments are exact
+    BIGINTs (Σm·r2² fits long to N ≈ 10⁶; beyond that the DECIMAL/
+    DOUBLE escape documented for the rank family applies); two float
+    divisions remain, in one shared association.
+
+    Scale: one round-dollar value-census (map-side combinable;
+    saturates at the ~5.5e5-value price domain, never ~N), one
+    bounded-axis window for cumulative counts, one (l, c) cell rollup
+    (≤ 5·|domain| cells), one broadcast join census→cells, one scalar
+    agg. No row-grain shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("l"),
+        # round-dollar grain: the midrank census axis saturates at the
+        # ~5.5e5-value price domain instead of growing ~N at cent grain;
+        # midranks price the induced ties exactly
+        (F.round(F.col("o_totalprice") * 100).cast("long") / F.lit(100))
+        .cast("long")
+        .alias("c"),
+    )
+    cen = base.groupBy("c").agg(F.count("*").cast("long").alias("cnt"))
+    wv = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    rk = cen.select(
+        "c",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+            + F.col("cnt")
+            + 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    cells = base.groupBy("l", "c").agg(F.count("*").cast("long").alias("m"))
+    s = (
+        cells.join(rk, "c")
+        .agg(
+            F.sum("m").cast("long").alias("n"),
+            F.sum(F.col("m") * F.col("l")).cast("long").alias("lsum"),
+            F.sum(F.col("m") * F.col("l") * F.col("l"))
+            .cast("long")
+            .alias("l2sum"),
+            F.sum(F.col("m") * F.col("l") * F.col("r2"))
+            .cast("long")
+            .alias("t2"),
+            F.sum(F.col("m") * F.col("r2") * F.col("r2"))
+            .cast("long")
+            .alias("sr22"),
+        )
+    )
+    n = F.col("n")
+    e2 = F.col("lsum") * (n + 1)
+    # try_divide: a single-priority corpus zeroes Σ(l−l̄)² — NULL z like
+    # DuckDB's /0 (and n=1 zeroes the rank spread), no ANSI crash
+    z = F.try_divide(
+        F.col("t2") - F.col("lsum") * (n + 1.0),
+        F.sqrt(
+            (F.col("l2sum") - F.col("lsum") * 1.0 * F.col("lsum") / n)
+            * (F.col("sr22") - n * (n + 1.0) * (n + 1))
+            / (n - 1.0)
+        ),
+    )
+    return s.select(
+        n.alias("n_obs"),
+        F.col("t2").alias("t2_stat"),
+        e2.cast("long").alias("t2_expected"),
+        f6(z).alias("z"),
+        F.when(F.abs(z) > 1.959964, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("trend_flag"),
+    )
+
+
+@register(
+    "a_hodges_lehmann",
+    """
+    WITH a AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS ca
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ),
+    b AS (
+        SELECT CAST(l_quantity AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS cb
+        FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1
+    ),
+    d AS (
+        SELECT CAST(b.w - a.v AS BIGINT) AS d,
+               CAST(sum(a.ca * b.cb) AS BIGINT) AS wt
+        FROM a, b GROUP BY 1
+    ),
+    cum AS (
+        SELECT d,
+               CAST(SUM(wt) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(SUM(wt) OVER () AS BIGINT) AS p
+        FROM d
+    ),
+    m AS (
+        SELECT CAST(min(d) AS BIGINT) AS hl, CAST(max(p) AS BIGINT) AS p
+        FROM cum WHERE cw >= (p + 1) // 2
+    ),
+    t AS (
+        SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END)
+                   / sum(CASE WHEN l_returnflag = 'N' THEN 1 END)
+               - sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)
+                   / sum(CASE WHEN l_returnflag = 'R' THEN 1 END) AS ms
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    )
+    SELECT t.n1 AS n_returned, t.n2 AS n_kept,
+           m.hl AS hl_shift,
+           round(t.ms, 6) + 0 AS mean_shift
+    FROM t, m
+    """,
+)
+def a_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann two-sample shift estimator (Hodges & Lehmann
+    1963, public): the MEDIAN OF ALL PAIRWISE DIFFERENCES kept − 
+    returned quantity — the location-shift estimate that inverts the
+    Wilcoxon test, 95%-efficient under normality and immune to the
+    outliers that drag the mean difference. Reported beside the plain
+    mean shift so the robust/naive gap is visible in-row.
+
+    Exactness: both samples collapse to integer value censuses; the
+    n1·n2 pairwise differences are priced as ≤|dom|² (value, weight)
+    cells with exact BIGINT weights, and the weighted LOWER median is
+    the first difference whose cumulative weight reaches ⌈P/2⌉ — no
+    interpolation, engine-identical.
+
+    Scale: the pair-difference lattice is |dom_R|·|dom_N| CELLS (the
+    50×50 quantity domain → ≤2,500 rows), never n1·n2 row pairs — the
+    a_ansari_bradley value-census discipline; one bounded-axis window
+    for the cumulative weight. Data-scale work is two map-side-combined
+    censuses.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    a = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy(q.alias("v"))
+        .agg(F.count("*").cast("long").alias("ca"))
+    )
+    b = (
+        li.where(F.col("l_returnflag") == "N")
+        .groupBy(q.alias("w"))
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    d = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy((F.col("w") - F.col("v")).cast("long").alias("d"))
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("wt"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = d.select(
+        "d",
+        F.sum("wt").over(wcum).cast("long").alias("cw"),
+        F.sum("wt").over(Window.partitionBy()).cast("long").alias("p"),
+    )
+    m = cum.where(
+        F.col("cw") >= F.floor((F.col("p") + 1) / 2)
+    ).agg(F.min("d").cast("long").alias("hl"))
+    t = li.where(F.col("l_returnflag").isin("R", "N")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        (
+            F.sum(F.when(F.col("l_returnflag") == "N", F.col("l_quantity")))
+            / F.sum(F.when(F.col("l_returnflag") == "N", 1))
+            - F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")))
+            / F.sum(F.when(F.col("l_returnflag") == "R", 1))
+        ).alias("ms"),
+    )
+    return t.crossJoin(F.broadcast(m)).select(
+        F.col("n1").alias("n_returned"),
+        F.col("n2").alias("n_kept"),
+        F.col("hl").alias("hl_shift"),
+        f6(F.col("ms")).alias("mean_shift"),
+    )
+
+
+@register(
+    "a_mantel_haenszel",
+    """
+    WITH u AS (
+        SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS s,
+               CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS e,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cells AS (
+        SELECT s,
+               CAST(sum(e * y) AS BIGINT) AS a,
+               CAST(sum(e * (1 - y)) AS BIGINT) AS b,
+               CAST(sum((1 - e) * y) AS BIGINT) AS c,
+               CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM u GROUP BY s
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nt,
+               sum(a * 1.0 * d / n) AS rr,
+               sum(b * 1.0 * c / n) AS ss,
+               CAST(sum(a) AS BIGINT) AS sa,
+               sum((a + b) * 1.0 * (a + c) / n) AS se,
+               sum((a + b) * 1.0 * (c + d) * (a + c) * (b + d)
+                   / (n * 1.0 * n * (n - 1))) AS sv
+        FROM cells
+    )
+    SELECT k AS k_strata, nt AS n_lines,
+           round(rr / ss, 6) + 0 AS or_mh,
+           round((sa - se) * (sa - se) / sv, 6) + 0 AS chi2_mh,
+           CAST(CASE WHEN (sa - se) * (sa - se) / sv > 3.841459
+                THEN 1 ELSE 0 END AS BIGINT) AS assoc_flag
+    FROM agg
+    """,
+)
+def a_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel common odds ratio + CMH chi-square (Mantel &
+    Haenszel 1959, public) for discount → return association
+    STRATIFIED by order priority: OR_MH = Σaᵈdᵏ/nᵏ / Σbᵏcᵏ/nᵏ pools
+    the five per-stratum 2×2 tables without the collapsed-table
+    Simpson's-paradox bias (the a_simpsons_paradox companion: this is
+    the estimator you use AFTER that key flags confounding); the CMH
+    statistic (Σa − ΣE)²/ΣV tests conditional independence at 1 df.
+
+    Exactness: all eight cell counts per stratum are exact BIGINTs
+    from one groupBy; the k ≤ 9 per-stratum rational terms are summed
+    in DOUBLE on a k-row frame (both engines sum the same ≤9 values)
+    and snapped at 6dp.
+
+    Scale: one fact-fact equi-join on the order key (the j_sortmerge
+    shape; at 100 TB both sides hash-partition on l_orderkey ==
+    o_orderkey, no broadcast needed) + one 5-row groupBy with map-side
+    partials. Strata count bounds every later frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    u = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("s"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("e"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cells = u.groupBy("s").agg(
+        F.sum(F.col("e") * F.col("y")).cast("long").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).cast("long").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("y")).cast("long").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y"))).cast("long").alias("d"),
+        F.count("*").cast("long").alias("n"),
+    )
+    agg = cells.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.col("a") * 1.0 * F.col("d") / F.col("n")).alias("rr"),
+        F.sum(F.col("b") * 1.0 * F.col("c") / F.col("n")).alias("ss"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum(
+            (F.col("a") + F.col("b")) * 1.0 * (F.col("a") + F.col("c"))
+            / F.col("n")
+        ).alias("se"),
+        # try_divide: a single-line stratum zeroes n-1 — that stratum's
+        # variance term goes NULL and SUM skips it on BOTH engines
+        F.sum(
+            F.try_divide(
+                (F.col("a") + F.col("b"))
+                * 1.0
+                * (F.col("c") + F.col("d"))
+                * (F.col("a") + F.col("c"))
+                * (F.col("b") + F.col("d")),
+                F.col("n") * 1.0 * F.col("n") * (F.col("n") - 1),
+            )
+        ).alias("sv"),
+    )
+    # try_divide: an all-discounted (or never-returned-full-price)
+    # corpus zeroes Σbc/n — NULL OR like DuckDB; a zero-variance corpus
+    # (every stratum single-class) NULLs the CMH statistic the same way
+    chi2 = F.try_divide(
+        (F.col("sa") - F.col("se")) * (F.col("sa") - F.col("se")),
+        F.col("sv"),
+    )
+    return agg.select(
+        F.col("k").alias("k_strata"),
+        F.col("nt").alias("n_lines"),
+        f6(F.try_divide(F.col("rr"), F.col("ss"))).alias("or_mh"),
+        f6(chi2).alias("chi2_mh"),
+        F.when(chi2 > 3.841459, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("assoc_flag"),
+    )
+
+
+@register(
+    "a_kuiper_dow",
+    """
+    WITH ev AS (
+        SELECT CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) + 1 AS d
+        FROM events
+    ),
+    axis AS (SELECT CAST(range AS BIGINT) AS d FROM range(1, 8)),
+    cnt AS (
+        SELECT axis.d,
+               CAST(COALESCE(c.m, 0) AS BIGINT) AS m
+        FROM axis LEFT JOIN (
+            SELECT d, CAST(count(*) AS BIGINT) AS m FROM ev GROUP BY d
+        ) c ON c.d = axis.d
+    ),
+    cum AS (
+        SELECT d, m,
+               CAST(SUM(m) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cd,
+               CAST(SUM(m) OVER () AS BIGINT) AS n
+        FROM cnt
+    ),
+    s AS (
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(max(7 * cd - d * n) AS BIGINT) AS dp7n,
+               CAST(max(d * n - 7 * (cd - m)) AS BIGINT) AS dm7n
+        FROM cum
+    )
+    SELECT n AS n_events,
+           round(dp7n / (7.0 * n), 6) + 0 AS d_plus,
+           round(dm7n / (7.0 * n), 6) + 0 AS d_minus,
+           round((dp7n + dm7n) / (7.0 * n), 6) + 0 AS v_stat,
+           round((dp7n + dm7n) / (7.0 * n)
+                 * (sqrt(CAST(n AS DOUBLE)) + 0.155 + 0.24 / sqrt(CAST(n AS DOUBLE))),
+                 6) + 0 AS v_mod,
+           CAST(CASE WHEN (dp7n + dm7n) / (7.0 * n)
+                          * (sqrt(CAST(n AS DOUBLE)) + 0.155
+                             + 0.24 / sqrt(CAST(n AS DOUBLE))) > 1.747
+                THEN 1 ELSE 0 END AS BIGINT) AS nonuniform_flag
+    FROM s
+    """,
+)
+def a_kuiper_dow(spark, sf_dir):
+    """Kuiper's test (Kuiper 1960, public) for DAY-OF-WEEK uniformity of
+    events — the circular-data variant of Kolmogorov-Smirnov: V = D⁺ +
+    D⁻ is INVARIANT to where the week "starts", the property that makes
+    it the right uniformity test for cyclic axes (KS's D changes under
+    rotation and under-weights a deficit that wraps the seam). Reported
+    with Stephens' (1970) finite-n modification V·(√n + 0.155 +
+    0.24/√n) against its published 5% point 1.747.
+
+    Exactness: the empirical step CDF against the uniform lattice k/7
+    is priced entirely in integer units of 1/(7n) — D⁺ = max(7C_d −
+    d·n)/(7n), D⁻ = max(d·n − 7C_{d−1})/(7n) — so both engines compare
+    identical BIGINTs; only the final two divisions and the √n factor
+    are float.
+
+    Scale: one 7-cell groupBy with map-side partials; the axis frame
+    is a literal 7 rows (missing weekdays joined in at weight 0 so a
+    day with zero events still moves the statistic). Nothing downstream
+    of the census depends on N.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt0 = ev.groupBy(
+        F.dayofweek(F.to_date("ts")).cast("long").alias("d")
+    ).agg(F.count("*").cast("long").alias("m"))
+    axis = spark.range(1, 8).select(F.col("id").cast("long").alias("d"))
+    cnt = axis.join(cnt0, "d", "left").select(
+        "d", F.coalesce("m", F.lit(0)).cast("long").alias("m")
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select(
+        "d",
+        "m",
+        F.sum("m").over(wcum).cast("long").alias("cd"),
+        F.sum("m").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    s = cum.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(7 * F.col("cd") - F.col("d") * F.col("n"))
+        .cast("long")
+        .alias("dp7n"),
+        F.max(F.col("d") * F.col("n") - 7 * (F.col("cd") - F.col("m")))
+        .cast("long")
+        .alias("dm7n"),
+    )
+    n = F.col("n").cast("double")
+    v = (F.col("dp7n") + F.col("dm7n")) / (7.0 * n)
+    vmod = v * (F.sqrt(n) + 0.155 + 0.24 / F.sqrt(n))
+    return s.select(
+        F.col("n").alias("n_events"),
+        f6(F.col("dp7n") / (7.0 * n)).alias("d_plus"),
+        f6(F.col("dm7n") / (7.0 * n)).alias("d_minus"),
+        f6(v).alias("v_stat"),
+        f6(vmod).alias("v_mod"),
+        F.when(vmod > 1.747, 1).otherwise(0).cast("long").alias(
+            "nonuniform_flag"
+        ),
+    )
+
+
+@register(
+    "a_wasserstein_shift",
+    """
+    WITH p AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cp
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    q AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cq
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    axis AS (
+        SELECT COALESCE(p.v, q.v) AS v,
+               CAST(COALESCE(cp, 0) AS BIGINT) AS cp,
+               CAST(COALESCE(cq, 0) AS BIGINT) AS cq
+        FROM p FULL OUTER JOIN q ON p.v = q.v
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(cp) OVER w AS BIGINT) AS fp,
+               CAST(SUM(cq) OVER w AS BIGINT) AS fq,
+               CAST(SUM(cp) OVER () AS BIGINT) AS np,
+               CAST(SUM(cq) OVER () AS BIGINT) AS nq,
+               LEAD(v) OVER (ORDER BY v) AS v_next
+        FROM axis
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT CAST(max(np) AS BIGINT) AS np,
+               CAST(max(nq) AS BIGINT) AS nq,
+               CAST(sum(abs(fp * nq - fq * np) * (v_next - v)) AS BIGINT)
+                   AS w1num
+        FROM cum WHERE v_next IS NOT NULL
+    ),
+    mm AS (
+        SELECT avg(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) END)
+               - avg(CASE WHEN event_type = 'click'
+                          THEN CAST(round(value * 100) AS BIGINT) END) AS gap
+        FROM events
+    )
+    SELECT np AS n_purchase, nq AS n_click,
+           round(w1num * 1.0 / (np * nq), 6) + 0 AS w1_cents,
+           round(abs(gap), 6) + 0 AS mean_gap_cents,
+           round(abs(gap) * np * nq / w1num, 6) + 0 AS tightness
+    FROM s, mm
+    """,
+)
+def a_wasserstein_shift(spark, sf_dir):
+    """1-D Wasserstein-1 (earth mover's) distance between the purchase
+    and click value distributions: W₁ = ∫|F_P − F_Q| — THE
+    distribution-shift metric that sees shape changes a mean test
+    cannot (and vice versa cannot hide them: the published identity
+    W₁ ≥ |E X − E Y|, with equality iff one CDF dominates, is printed
+    in-row as `tightness` = |Δmean|/W₁ ≤ 1). Feature-drift monitoring
+    for a training pipeline in one exact pass.
+
+    Exactness: both samples collapse to cents value censuses on a
+    shared axis; each inter-value segment contributes |F_P·n_Q −
+    F_Q·n_P|·gap in exact BIGINT units of 1/(n_P·n_Q) — one division
+    at the end (n_P·n_Q·gap headroom: exact in long to ~3·10⁹ rows
+    per side at the 20k-cent domain; DECIMAL beyond).
+
+    Scale: two map-side-combined value censuses (axis saturates at the
+    ~20k-value cents domain, never ~N), one full-outer align on the
+    census, one bounded-axis cumulative/lead window, one scalar agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(c.alias("v"))
+        .agg(F.count("*").cast("long").alias("cp"))
+    )
+    q = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(c.alias("v"))
+        .agg(F.count("*").cast("long").alias("cq"))
+    )
+    axis = (
+        p.join(q, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("cp", F.lit(0)).cast("long").alias("cp"),
+            F.coalesce("cq", F.lit(0)).cast("long").alias("cq"),
+        )
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = axis.select(
+        "v",
+        F.sum("cp").over(wcum).cast("long").alias("fp"),
+        F.sum("cq").over(wcum).cast("long").alias("fq"),
+        F.sum("cp").over(wall).cast("long").alias("np"),
+        F.sum("cq").over(wall).cast("long").alias("nq"),
+        F.lead("v").over(Window.orderBy("v")).alias("v_next"),
+    )
+    s = cum.where(F.col("v_next").isNotNull()).agg(
+        F.max("np").cast("long").alias("np"),
+        F.max("nq").cast("long").alias("nq"),
+        F.sum(
+            F.abs(F.col("fp") * F.col("nq") - F.col("fq") * F.col("np"))
+            * (F.col("v_next") - F.col("v"))
+        )
+        .cast("long")
+        .alias("w1num"),
+    )
+    mm = ev.agg(
+        (
+            F.avg(F.when(F.col("event_type") == "purchase", c))
+            - F.avg(F.when(F.col("event_type") == "click", c))
+        ).alias("gap")
+    )
+    return s.crossJoin(F.broadcast(mm)).select(
+        F.col("np").alias("n_purchase"),
+        F.col("nq").alias("n_click"),
+        f6(F.col("w1num") * 1.0 / (F.col("np") * F.col("nq"))).alias(
+            "w1_cents"
+        ),
+        f6(F.abs(F.col("gap"))).alias("mean_gap_cents"),
+        # try_divide: identical distributions zero W1 — NULL tightness
+        # like DuckDB's /0, no ANSI crash
+        f6(
+            F.try_divide(
+                F.abs(F.col("gap")) * F.col("np") * F.col("nq"),
+                F.col("w1num").cast("double"),
+            )
+        ).alias("tightness"),
+    )
+
+
+@register(
+    "a_hellinger_bands",
+    """
+    WITH p AS (
+        SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS b,
+               CAST(count(*) AS BIGINT) AS cp
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    q AS (
+        SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS b,
+               CAST(count(*) AS BIGINT) AS cq
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    axis AS (
+        SELECT COALESCE(p.b, q.b) AS b,
+               CAST(COALESCE(cp, 0) AS BIGINT) AS cp,
+               CAST(COALESCE(cq, 0) AS BIGINT) AS cq
+        FROM p FULL OUTER JOIN q ON p.b = q.b
+    ),
+    tot AS (
+        SELECT CAST(sum(cp) AS BIGINT) AS np,
+               CAST(sum(cq) AS BIGINT) AS nq,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM axis
+    ),
+    terms AS (
+        SELECT CAST(round(sqrt((cp * 1.0 / np) * (cq * 1.0 / nq)) * 1e12)
+                    AS BIGINT) AS t12
+        FROM axis, tot
+    )
+    SELECT np AS n_purchase, nq AS n_click, nb AS n_bands,
+           round(sum(t12) / 1e12, 6) + 0 AS bc,
+           round(sqrt(greatest(0.0, 1.0 - sum(t12) / 1e12)), 6) + 0
+               AS hellinger,
+           round(CASE WHEN sum(t12) > 0 THEN -ln(sum(t12) / 1e12) END, 6)
+               + 0 AS bhattacharyya_d
+    FROM terms, tot
+    GROUP BY np, nq, nb
+    """,
+)
+def a_hellinger_bands(spark, sf_dir):
+    """Hellinger distance + Bhattacharyya coefficient/distance between
+    the purchase and click value distributions over $10 bands: BC =
+    Σ√(pᵢqᵢ), H = √(1−BC), B = −ln BC (all public: Hellinger 1909;
+    Bhattacharyya 1943). The bounded [0,1] drift metric that pairs
+    with a_wasserstein_shift's unbounded one — H is a proper metric,
+    immune to the zero-bin blowups that break KL on disjoint support
+    (disjoint → BC = 0, H = 1 exactly, B = NULL by contract).
+
+    Exactness: band counts are exact BIGINTs; each band's √(pq) term
+    is snapped to a 1e-12 BIGINT before the cross-band sum (the
+    a_js_divergence transcendental discipline), so the reduction is
+    order-free and engine-identical.
+
+    Scale: two map-side-combined ≤21-band histograms ($10 grain on the
+    ~$200 value domain), one full-outer band align, one scalar agg —
+    nothing after the histograms depends on N.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    band = (F.round(F.col("value") * 100).cast("long") / F.lit(1000)).cast(
+        "long"
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(band.alias("b"))
+        .agg(F.count("*").cast("long").alias("cp"))
+    )
+    q = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(band.alias("b"))
+        .agg(F.count("*").cast("long").alias("cq"))
+    )
+    axis = (
+        p.join(q, "b", "full_outer")
+        .select(
+            F.coalesce("cp", F.lit(0)).cast("long").alias("cp"),
+            F.coalesce("cq", F.lit(0)).cast("long").alias("cq"),
+        )
+    )
+    tot = axis.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    t12 = F.round(
+        F.sqrt(
+            (F.col("cp") * 1.0 / F.col("np"))
+            * (F.col("cq") * 1.0 / F.col("nq"))
+        )
+        * 1e12
+    ).cast("long")
+    s = (
+        axis.crossJoin(F.broadcast(tot))
+        .groupBy("np", "nq", "nb")
+        .agg(F.sum(t12).cast("long").alias("s12"))
+    )
+    bc = F.col("s12") / 1e12
+    return s.select(
+        F.col("np").alias("n_purchase"),
+        F.col("nq").alias("n_click"),
+        F.col("nb").alias("n_bands"),
+        f6(bc).alias("bc"),
+        f6(F.sqrt(F.greatest(F.lit(0.0), 1.0 - bc))).alias("hellinger"),
+        f6(F.when(F.col("s12") > 0, -F.log(bc))).alias("bhattacharyya_d"),
+    )

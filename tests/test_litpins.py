@@ -886,3 +886,190 @@ def test_litpin_holt_damped_constant_series(spark, tmp_path):
         assert r["horizon_asymptote_usd"] == pytest.approx(1.0, abs=1e-9)
         if i > 0:
             assert r["forecast_usd"] == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# round-17 additions (pinned at birth)
+# ---------------------------------------------------------------------------
+
+
+def _documents(spark, tmp, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(f"{tmp}/documents.parquet")
+
+
+def test_litpin_cuzick_trend(spark, tmp_path):
+    """Hand-worked Cuzick (1985): scores l = 1 at values {1,2}, l = 2 at
+    {3,4} dollars; T = 1*(1+2) + 2*(3+4) = 17, E = 1.5*10 = 15,
+    Var = sum(l-lbar)^2 * sum(R-Rbar)^2/(N-1) = 1 * 5/3, z = 2/sqrt(5/3)
+    — the same permutation-variance ladder as Lehmann's linear rank
+    statistics, re-derived on plain ranks (not the doubled algebra)."""
+    _orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "2000-01-01", 1.0, "1-URGENT"),
+            (2, 1, "2000-01-01", 2.0, "1-URGENT"),
+            (3, 1, "2000-01-01", 3.0, "2-HIGH"),
+            (4, 1, "2000-01-01", 4.0, "2-HIGH"),
+        ],
+    )
+    (r,) = _run(spark, tmp_path, "a_cuzick_trend")
+    assert r["n_obs"] == 4
+    assert r["t2_stat"] == 34  # doubled-midrank units: 2*17
+    assert r["t2_expected"] == 30  # 2*15
+    assert r["z"] == pytest.approx(2 / math.sqrt(5 / 3), abs=2e-6)
+    assert r["trend_flag"] == 0
+
+
+def test_litpin_hodges_lehmann(spark, tmp_path):
+    """Hodges & Lehmann (1963) worked by enumeration: R = {1,2,3},
+    N = {2,4,6} -> the 9 pairwise differences sorted are
+    -1,0,1,1,2,3,3,4,5 with median 2; the mean shift agrees (4-2=2)
+    on this symmetric micro-case."""
+    rows = [_li(i, v, "R") for i, v in enumerate([1, 2, 3])] + [
+        _li(10 + i, v, "N") for i, v in enumerate([2, 4, 6])
+    ]
+    _lineitem(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_hodges_lehmann")
+    assert (r["n_returned"], r["n_kept"]) == (3, 3)
+    assert r["hl_shift"] == 2
+    assert r["mean_shift"] == pytest.approx(2.0, abs=1e-9)
+
+
+def test_litpin_mantel_haenszel(spark, tmp_path):
+    """Hand-worked Mantel & Haenszel (1959): strata (a,b,c,d) =
+    (2,1,1,2) and (3,1,1,3): OR_MH = (2*2/6 + 3*3/8)/(1*1/6 + 1*1/8)
+    = (43/24)/(7/24) = 43/7; CMH chi2 = (5 - 3.5)^2 / (81/180 + 4/7)."""
+    _orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "2000-01-01", 10.0, "1-URGENT"),
+            (2, 1, "2000-01-01", 10.0, "2-HIGH"),
+        ],
+    )
+    s1 = (
+        [_li(1, 1, "R", disc=0.05) for _ in range(2)]
+        + [_li(1, 1, "N", disc=0.05)]
+        + [_li(1, 1, "R", disc=0.0)]
+        + [_li(1, 1, "N", disc=0.0) for _ in range(2)]
+    )
+    s2 = (
+        [_li(2, 1, "R", disc=0.05) for _ in range(3)]
+        + [_li(2, 1, "N", disc=0.05)]
+        + [_li(2, 1, "R", disc=0.0)]
+        + [_li(2, 1, "N", disc=0.0) for _ in range(3)]
+    )
+    _lineitem(spark, tmp_path, s1 + s2)
+    (r,) = _run(spark, tmp_path, "a_mantel_haenszel")
+    assert (r["k_strata"], r["n_lines"]) == (2, 14)
+    assert r["or_mh"] == pytest.approx(43 / 7, abs=2e-6)
+    assert r["chi2_mh"] == pytest.approx(
+        1.5 * 1.5 / (81 / 180 + 4 / 7), abs=2e-6
+    )
+    assert r["assoc_flag"] == 0
+
+
+def test_litpin_kuiper_balanced_lattice_minimum(spark, tmp_path):
+    """Discrete-lattice property: equal weekday counts put the
+    empirical CDF exactly ON the uniform lattice, so D+ = 0 and
+    D- = V = 1/7 — the deterministic minimum for 7-bin circular data
+    (the step CDF must overshoot each tread by one bin width)."""
+    rows = [
+        ("A", 0.01, f"2024-01-{d:02d} 00:00:00") for d in range(1, 8)
+    ]
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_kuiper_dow")
+    assert r["n_events"] == 7
+    assert r["d_plus"] == pytest.approx(0.0, abs=1e-9)
+    assert r["d_minus"] == pytest.approx(1 / 7, abs=2e-6)
+    assert r["v_stat"] == pytest.approx(1 / 7, abs=2e-6)
+    assert r["nonuniform_flag"] == 0
+
+
+def test_litpin_kuiper_rotation_invariance(spark, tmp_path):
+    """THE published Kuiper property (Kuiper 1960): V is invariant to
+    rotating the circular origin. The same count profile [3,1,1,1,1,1,1]
+    placed on Monday vs rotated onto Thursday must give identical V —
+    KS's D would differ."""
+    base = {1: 3, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1}  # day-offset->count
+    vs = []
+    for rot, tmp in [(0, tmp_path / "a"), (3, tmp_path / "b")]:
+        tmp.mkdir()
+        rows = []
+        for off, cnt in base.items():
+            d = (off - 1 + rot) % 7 + 1  # 2024-01-01..07 covers all dows
+            rows += [("A", 0.01, f"2024-01-{d:02d} 00:00:00")] * cnt
+        _events(spark, tmp, rows)
+        (r,) = _run(spark, tmp, "a_kuiper_dow")
+        assert r["n_events"] == 9
+        vs.append(r["v_stat"])
+    assert vs[0] == pytest.approx(vs[1], abs=1e-9)
+
+
+def test_litpin_wasserstein_translation(spark, tmp_path):
+    """Published translation property: W1(X, X+c) = |c|, with the
+    W1 >= |mean gap| bound attained (tightness = 1). Click = purchase
+    shifted by exactly $5."""
+    rows = [
+        ("purchase", v, "2024-01-01 00:00:00") for v in [1.0, 2.0, 3.0]
+    ] + [("click", v + 5.0, "2024-01-01 00:00:00") for v in [1.0, 2.0, 3.0]]
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_wasserstein_shift")
+    assert (r["n_purchase"], r["n_click"]) == (3, 3)
+    assert r["w1_cents"] == pytest.approx(500.0, abs=2e-6)
+    assert r["mean_gap_cents"] == pytest.approx(500.0, abs=2e-6)
+    assert r["tightness"] == pytest.approx(1.0, abs=2e-6)
+
+
+def test_litpin_hellinger_identical(spark, tmp_path):
+    """Metric identity: identical band distributions give BC = 1,
+    H = 0, Bhattacharyya distance 0."""
+    vals = [1.0, 1.0, 25.0]
+    rows = [("purchase", v, "2024-01-01 00:00:00") for v in vals] + [
+        ("click", v, "2024-01-01 00:00:00") for v in vals
+    ]
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_hellinger_bands")
+    assert r["bc"] == pytest.approx(1.0, abs=2e-6)
+    assert r["hellinger"] == pytest.approx(0.0, abs=2e-3)
+    assert r["bhattacharyya_d"] == pytest.approx(0.0, abs=2e-6)
+
+
+def test_litpin_hellinger_disjoint(spark, tmp_path):
+    """Metric identity: disjoint supports give BC = 0, H = 1 (the
+    Hellinger maximum), and -ln BC undefined -> NULL by contract."""
+    rows = [("purchase", 1.0, "2024-01-01 00:00:00")] + [
+        ("click", 50.0, "2024-01-01 00:00:00")
+    ]
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_hellinger_bands")
+    assert r["bc"] == pytest.approx(0.0, abs=1e-9)
+    assert r["hellinger"] == pytest.approx(1.0, abs=1e-9)
+    assert r["bhattacharyya_d"] is None
+
+
+def test_litpin_chao1(spark, tmp_path):
+    """Hand-worked Chao (1984), bias-corrected: corpus 'a a b c' has
+    V = 3, f1 = 2, f2 = 1 -> chao1 = 3 + 2*1/(2*2) = 3.5; coverage
+    C = 1 - f1/N = 1/2 (Chao & Lee 1992)."""
+    _documents(spark, tmp_path, [(1, "en", "a a b c")])
+    (r,) = _run(spark, tmp_path, "t_chao1_vocab")
+    assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) == (4, 3, 2, 1)
+    assert r["chao1"] == pytest.approx(3.5, abs=2e-6)
+    assert r["undetected_est"] == pytest.approx(0.5, abs=2e-6)
+    assert r["coverage"] == pytest.approx(0.5, abs=2e-6)
+
+
+def test_litpin_hill_profile_flat_iff_even(spark, tmp_path):
+    """Hill (1973) / Jost (2006): for a perfectly even distribution
+    every Hill number equals the richness — D0 = D1 = D2 = S — and
+    Pielou's J = 1. Four distinct tokens, once each."""
+    _documents(spark, tmp_path, [(1, "en", "a b c d")])
+    (r,) = _run(spark, tmp_path, "t_hill_diversity")
+    assert (r["n_tokens"], r["d0_richness"]) == (4, 4)
+    assert r["d1_shannon"] == pytest.approx(4.0, abs=2e-5)
+    assert r["d2_simpson"] == pytest.approx(4.0, abs=2e-6)
+    assert r["pielou_evenness"] == pytest.approx(1.0, abs=2e-6)

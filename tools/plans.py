@@ -104,6 +104,18 @@ PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {
     "a_ansari_bradley": "bounded: distinct-quantity value domain (~50 "
     "census blocks; cumulative-rank window runs on the census, never "
     "row grain)",
+    "a_cuzick_trend": "bounded: round-dollar value-census axis "
+    "(saturates at the ~5.5e5-value price domain; the cumulative "
+    "midrank window runs on the census, never row grain — the "
+    "a_ansari_bradley discipline)",
+    "a_hodges_lehmann": "bounded: pairwise-difference lattice of the "
+    "two quantity value domains (<=2,500 cells at any sf; cumulative-"
+    "weight window runs on the lattice, never on n1*n2 row pairs)",
+    "a_kuiper_dow": "bounded: literal 7-row weekday axis (missing "
+    "days joined in at weight 0; both windows run on 7 rows)",
+    "a_wasserstein_shift": "bounded: shared cents value-census axis "
+    "(saturates at the ~20k-value cents domain, never ~N; cumulative "
+    "CDF + lead windows run on the census)",
     "a_conover_squared_ranks": "bounded: (group, |deviation|) census "
     "(<=150 cells; squared average ranks via one cumulative window "
     "over the combined census)",

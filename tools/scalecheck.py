@@ -310,6 +310,16 @@ OUTPUT_BOUND_KEYS = {
 RELATIONAL_LINEAR_KEYS = {
     "a_greenwood_ci": "orders",  # round 16: the KM plan verbatim; the
     # Greenwood increment rides the same lifetime-axis window
+    "a_cuzick_trend": "orders",  # round 17: round-dollar value census
+    # (saturating axis) + one cumulative midrank window on the census
+    "a_hodges_lehmann": "lineitem",  # round 17: two ~50-cell quantity
+    # censuses; the <=2,500-cell difference lattice never touches rows
+    "a_mantel_haenszel": "lineitem",  # round 17: one fact-fact equi-join
+    # + 5-stratum rollup with map-side partials
+    "t_chao1_vocab": "documents",  # round 17: the t_good_turing vocab
+    # census shuffle; per-lang BIGINT rollups after
+    "t_hill_diversity": "documents",  # round 17: same vocab census + a
+    # vocabulary-cardinality entropy rollup (1e-12-snapped terms)
     "a_bass_diffusion": "orders",  # round 16: first-order rollup + one
     # cumulative window on the adoption axis + one moment pass
     "a_brunner_munzel": "lineitem",  # round 16: ~50-cell quantity census;
@@ -448,6 +458,12 @@ RELATIONAL_LINEAR_KEYS = {
 # events-table keys (round 7 session 2): generated events scale with N
 # (fixed 30-day axis, constant per-user density, 10 power users at 1/37).
 EVENTS_LINEAR_KEYS = {
+    "a_kuiper_dow": "events",  # round 17: one 7-cell groupBy; literal
+    # 7-row axis downstream
+    "a_wasserstein_shift": "events",  # round 17: two cents value censuses
+    # (saturating ~20k-value axis) + one census-frame CDF window
+    "a_hellinger_bands": "events",  # round 17: two <=21-band histograms;
+    # scalar math after
     "a_welch_anova": "events",  # round 16: the a_anova_f moment groupBy
     "a_seasonal_mann_kendall": "events",  # round 16: within-season pair
     # join on the bounded day axis (fixed 30-day window -> flat)
