@@ -1073,3 +1073,295 @@ def test_litpin_hill_profile_flat_iff_even(spark, tmp_path):
     assert r["d1_shannon"] == pytest.approx(4.0, abs=2e-5)
     assert r["d2_simpson"] == pytest.approx(4.0, abs=2e-6)
     assert r["pielou_evenness"] == pytest.approx(1.0, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# earlier-round statistics (rounds 5-15) — same external-truth discipline
+# ---------------------------------------------------------------------------
+
+
+def test_litpin_kruskal_wallis(spark, tmp_path):
+    """Hand-worked Kruskal-Wallis (1952): daily sums per type form
+    groups {1,2}, {3,4}, {5,6} -> rank sums 3, 7, 11 and
+    H = 12/(6*7) * (9/2 + 49/2 + 121/2) - 3*7 = 32/7, no ties."""
+    rows = []
+    for t, (v1, v2) in [("A", (1, 2)), ("B", (3, 4)), ("C", (5, 6))]:
+        rows.append((t, v1 / 100.0, "2024-01-01 00:00:00"))
+        rows.append((t, v2 / 100.0, "2024-01-02 00:00:00"))
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_kruskal_wallis")
+    assert (r["n_obs"], r["k_groups"]) == (6, 3)
+    assert r["h_stat"] == pytest.approx(32 / 7, abs=2e-6)
+    assert r["h_corrected"] == pytest.approx(32 / 7, abs=2e-6)
+    assert r["differ_flag"] == 0
+
+
+def test_litpin_jonckheere(spark, tmp_path):
+    """Hand-worked Jonckheere-Terpstra (1954): ordered groups {1,2} and
+    {3,4} quantities -> JT = 4 (every cross pair ascending), E = (N^2 -
+    sum n^2)/4 = 2, Var = (N^2(2N+3) - sum n^2(2n+3))/72 = 5/3."""
+    _orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "2000-01-01", 10.0, "1-URGENT"),
+            (2, 1, "2000-01-01", 10.0, "2-HIGH"),
+        ],
+    )
+    _lineitem(
+        spark,
+        tmp_path,
+        [_li(1, 1, "N"), _li(1, 2, "N"), _li(2, 3, "N"), _li(2, 4, "N")],
+    )
+    (r,) = _run(spark, tmp_path, "a_jonckheere")
+    assert r["n_obs"] == 4
+    assert r["jt_stat"] == pytest.approx(4.0, abs=1e-9)
+    assert r["jt_mean"] == pytest.approx(2.0, abs=1e-9)
+    assert r["z"] == pytest.approx(2 / math.sqrt(5 / 3), abs=2e-6)
+    assert r["trend_flag"] == 0
+
+
+def test_litpin_friedman(spark, tmp_path):
+    """Hand-worked Friedman (1937): 2 complete blocks, 5 treatments in
+    perfect agreement -> rank sums 2j, chi2_F = 12*220/(2*5*6) - 3*2*6
+    = 8."""
+    rows = []
+    for d in ["2024-01-01", "2024-01-02"]:
+        for j, t in enumerate(["A", "B", "C", "D", "E"], start=1):
+            rows.append((t, j / 100.0, f"{d} 00:00:00"))
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_friedman_test")
+    assert (r["n_days"], r["n_treatments"]) == (2, 5)
+    assert r["friedman_chi2"] == pytest.approx(8.0, abs=2e-6)
+    assert r["differ_flag"] == 0
+
+
+def test_litpin_anova_f_equals_pooled_t_squared(spark, tmp_path):
+    """Published identity: one-way ANOVA with k = 2 has F = t_pooled^2.
+    Groups {1,2,3} and {4,5,6} cents: t = -3/sqrt(1*(1/3+1/3)), so
+    F must be 13.5 — reached through the t path, not the SS decomposition."""
+    rows = [("A", c / 100.0, "2024-01-01 00:00:00") for c in [1, 2, 3]] + [
+        ("B", c / 100.0, "2024-01-01 00:00:00") for c in [4, 5, 6]
+    ]
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_anova_f")
+    t = (2 - 5) / math.sqrt(1.0 * (1 / 3 + 1 / 3))
+    assert (r["n_groups"], r["n_rows"]) == (2, 6)
+    assert r["f_stat"] == pytest.approx(t * t, abs=2e-6)
+
+
+def test_litpin_ttest_welch(spark, tmp_path):
+    """Welch (1947) t and Welch-Satterthwaite df computed directly from
+    the raw samples: purchase {1,2,3}, view {10,20,30} cents."""
+    rows = [("purchase", c / 100.0, "2024-01-01 00:00:00") for c in [1, 2, 3]]
+    rows += [("view", c / 100.0, "2024-01-01 00:00:00") for c in [10, 20, 30]]
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_ttest_welch")
+    se1, se2 = 1 / 3, 100 / 3
+    t = (2 - 20) / math.sqrt(se1 + se2)
+    df = (se1 + se2) ** 2 / (se1**2 / 2 + se2**2 / 2)
+    assert (r["n1"], r["n2"]) == (3, 3)
+    assert r["t_stat"] == pytest.approx(t, abs=2e-6)
+    assert r["df_welch"] == pytest.approx(df, abs=2e-6)
+
+
+def test_litpin_chi2_uniform_balanced(spark, tmp_path):
+    """Pearson chi-square identity: observed == expected in every cell
+    gives chi2 = 0 exactly. One event on each of 7 consecutive days."""
+    rows = [("A", 0.01, f"2024-01-{d:02d} 00:00:00") for d in range(1, 8)]
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_chi2_uniform")
+    assert (r["n_cells"], r["n_events"]) == (7, 7)
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_litpin_entropy_uniform(spark, tmp_path):
+    """Shannon identity: a uniform distribution over k types has
+    entropy log2(k) exactly — 4 types once each -> 2 bits."""
+    spark.createDataFrame(
+        [(1, t, 0.01, "2024-01-01 00:00:00") for t in "ABCD"],
+        "user_id long, event_type string, value double, t string",
+    ).select(
+        "user_id", "event_type", "value", F.to_timestamp("t").alias("ts")
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    (r,) = _run(spark, tmp_path, "a_entropy")
+    assert (r["n_events"], r["n_types"]) == (4, 4)
+    assert r["entropy_bits"] == pytest.approx(2.0, abs=2e-6)
+
+
+def test_litpin_mcc_perfect_classifier(spark, tmp_path):
+    """Matthews (1975) bound attained: a rule that exactly separates
+    the classes has MCC = F1 = balanced accuracy = 1."""
+    _orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "2000-01-01", 100.0, "1-URGENT"),
+            (2, 1, "2000-01-01", 100.0, "1-URGENT"),
+            (3, 1, "2000-01-01", 100.0, "5-LOW"),
+            (4, 1, "2000-01-01", 100.0, "5-LOW"),
+        ],
+    )
+    _lineitem(
+        spark,
+        tmp_path,
+        [_li(1, 1, "R"), _li(2, 1, "R"), _li(3, 1, "N"), _li(4, 1, "N")],
+    )
+    rows = {r["rule"]: r for r in _run(spark, tmp_path, "a_mcc_confusion")}
+    hp = rows["high_priority"]
+    assert (hp["tp"], hp["fp"], hp["fn"], hp["tn"]) == (2, 0, 0, 2)
+    assert hp["mcc"] == pytest.approx(1.0, abs=1e-9)
+    assert hp["f1"] == pytest.approx(1.0, abs=1e-9)
+    assert hp["balanced_acc"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_litpin_cliffs_delta_bound(spark, tmp_path):
+    """Cliff (1993) bound attained: every R above every N gives
+    delta = +1, magnitude 'large'."""
+    rows = [_li(1, 5, "R"), _li(2, 6, "R"), _li(3, 1, "N"), _li(4, 2, "N")]
+    _lineitem(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_cliffs_delta")
+    assert (r["n_gt"], r["n_lt"], r["n_tie"]) == (4, 0, 0)
+    assert r["cliffs_delta"] == pytest.approx(1.0, abs=1e-9)
+    assert r["magnitude"] == "large"
+
+
+def test_litpin_bartlett_equal_variances(spark, tmp_path):
+    """Bartlett (1937) identity: groups with IDENTICAL sample variances
+    give T = 0 exactly (the pooled log equals the weighted mean log)."""
+    rows = [("A", c / 100.0, "2024-01-01 00:00:00") for c in [1, 3]] + [
+        ("B", c / 100.0, "2024-01-01 00:00:00") for c in [2, 4]
+    ]
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_bartlett_test")
+    assert (r["n_obs"], r["k_groups"]) == (4, 2)
+    assert r["bartlett_t"] == pytest.approx(0.0, abs=1e-9)
+    assert r["heteroskedastic_flag"] == 0
+
+
+def test_litpin_cochran_q(spark, tmp_path):
+    """Hand-worked Cochran (1950) Q: 3 customers with quarter patterns
+    (Q1), (Q1,Q2), (Q1,Q2,Q3) -> column totals 3,2,1,0, row totals
+    1,2,3: Q = k(k-1)*sum(Cj-Cbar)^2 / (k*sumR - sumR^2) = 60/10 = 6."""
+    quarters = {1: "02", 2: "05", 3: "08"}
+    rows, ok = [], 0
+    for cust, qs in [(1, [1]), (2, [1, 2]), (3, [1, 2, 3])]:
+        for q in qs:
+            ok += 1
+            rows.append(
+                (ok, cust, f"1995-{quarters[q]}-15", 10.0, "1-URGENT")
+            )
+    _orders(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_cochran_q")
+    assert r["n_subj"] == 3
+    assert (r["c1"], r["c2"], r["c3"], r["c4"]) == (3, 2, 1, 0)
+    assert r["cochran_q"] == pytest.approx(6.0, abs=2e-6)
+    assert r["seasonal_95"] == 0
+
+
+def test_litpin_cochran_armitage(spark, tmp_path):
+    """Hand-worked Cochran-Armitage (1954/1955) trend z on two years
+    (scores 3 and 4), n = 4 each, high-priority counts 1 and 3:
+    z = (15 - 14)/sqrt(0.25*(100 - 784/8)) = 1/sqrt(0.5)."""
+    rows, ok = [], 0
+    for year, n_high in [("1995", 1), ("1996", 3)]:
+        for i in range(4):
+            ok += 1
+            pri = "1-URGENT" if i < n_high else "5-LOW"
+            rows.append((ok, 1, f"{year}-06-01", 10.0, pri))
+    _orders(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_cochran_armitage")
+    assert (r["n_years"], r["n_orders"], r["n_high"]) == (2, 8, 4)
+    assert r["z"] == pytest.approx(1 / math.sqrt(0.5), abs=2e-6)
+    assert r["trend_flag"] == 0
+
+
+def test_litpin_jarque_bera_two_point(spark, tmp_path):
+    """Moment identities on a symmetric two-point sample (+-1):
+    skewness 0, excess kurtosis m4/m2^2 - 3 = -2, so JB = n/24 * 4 =
+    n/6 (Jarque & Bera 1980). n = 4."""
+    rows = [("A", v, "2024-01-01 00:00:00") for v in [1.0, 1.0, -1.0, -1.0]]
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_jarque_bera")
+    assert r["n"] == 4
+    assert r["skewness"] == pytest.approx(0.0, abs=1e-9)
+    assert r["excess_kurtosis"] == pytest.approx(-2.0, abs=2e-6)
+    assert r["jb_stat"] == pytest.approx(4 / 6, abs=2e-6)
+
+
+def test_litpin_hill_tail_exact_ratio(spark, tmp_path):
+    """Hill (1975) estimator in closed form: 500 tail values all at
+    exactly 2x the 501st order statistic give mean log-ratio ln 2 and
+    alpha = 1/ln 2."""
+    rows = [(k, 1, "2000-01-01", 200.0, "1-URGENT") for k in range(500)]
+    rows += [
+        (500, 1, "2000-01-01", 100.0, "1-URGENT"),
+        (501, 1, "2000-01-01", 100.0, "1-URGENT"),
+    ]
+    _orders(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_hill_tail")
+    assert (r["k"], r["x_min"]) == (500, 100.0)
+    assert r["hill_alpha"] == pytest.approx(1 / math.log(2), abs=2e-6)
+
+
+def test_litpin_ks_disjoint_supports(spark, tmp_path):
+    """Kolmogorov-Smirnov bound attained: disjoint ordered supports
+    (purchase {1,2} below view {3,4}) give D = 1 exactly."""
+    rows = [("purchase", c / 100.0, "2024-01-01 00:00:00") for c in [1, 2]]
+    rows += [("view", c / 100.0, "2024-01-01 00:00:00") for c in [3, 4]]
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_ks_drift")
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["ks_stat"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_litpin_wilcoxon_signed_rank(spark, tmp_path):
+    """Hand-worked Wilcoxon signed-rank: 5 days, purchase-click diffs
+    +1..+5 cents (distinct, all positive) -> W+ = 15 (the maximum),
+    z = (W+ - n(n+1)/4)/sqrt(n(n+1)(2n+1)/24) = 7.5/sqrt(13.75)."""
+    rows = []
+    for d in range(1, 6):
+        rows.append(("purchase", (10 + d) / 100.0, f"2024-01-{d:02d} 00:00:00"))
+        rows.append(("click", 0.10, f"2024-01-{d:02d} 00:00:00"))
+    _events(spark, tmp_path, rows)
+    (r,) = _run(spark, tmp_path, "a_wilcoxon_signed_rank")
+    assert r["n_pairs"] == 5
+    assert r["w_plus"] == pytest.approx(15.0, abs=1e-9)
+    assert r["z"] == pytest.approx(7.5 / math.sqrt(13.75), abs=2e-6)
+    assert r["differ_flag"] == 1
+
+
+def test_litpin_gini_two_point(spark, tmp_path):
+    """Hand-worked Gini: spends {1,3} -> G = sum|xi-xj|/(2 n^2 mu) =
+    4/(2*4*2) = 1/4 (the mean-absolute-difference definition, not the
+    rank-weighted computational form)."""
+    _orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "2000-01-01", 1.0, "1-URGENT"),
+            (2, 2, "2000-01-01", 3.0, "1-URGENT"),
+        ],
+    )
+    (r,) = _run(spark, tmp_path, "a_gini")
+    assert r["n_customers"] == 2
+    assert r["total_spend"] == pytest.approx(4.0, abs=1e-9)
+    assert r["gini"] == pytest.approx(0.25, abs=2e-6)
+
+
+def test_litpin_theil_two_point(spark, tmp_path):
+    """Hand-worked Theil T on spends {1,3}: T = sum (x/S) ln(x n/S) =
+    (1/4)ln(1/2) + (3/4)ln(3/2) (Theil 1967), computed here from the
+    definition with math.log."""
+    _orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "2000-01-01", 1.0, "1-URGENT"),
+            (2, 2, "2000-01-01", 3.0, "1-URGENT"),
+        ],
+    )
+    (r,) = _run(spark, tmp_path, "a_theil_index")
+    exp = 0.25 * math.log(0.5) + 0.75 * math.log(1.5)
+    assert r["n_customers"] == 2
+    assert r["theil"] == pytest.approx(exp, abs=2e-6)
