@@ -1365,3 +1365,112 @@ def test_litpin_theil_two_point(spark, tmp_path):
     exp = 0.25 * math.log(0.5) + 0.75 * math.log(1.5)
     assert r["n_customers"] == 2
     assert r["theil"] == pytest.approx(exp, abs=2e-6)
+
+
+def test_litpin_markov_entropy_rate_deterministic(spark, tmp_path):
+    """Entropy-rate identity (Shannon): a DETERMINISTIC chain
+    (A->B->A->B...) has conditional entropy 0 bits exactly."""
+    rows = [
+        (i, 1, "AB"[i % 2], 0.01, f"2024-01-01 00:{i:02d}:00")
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " t string",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_timestamp("t").alias("ts"),
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    (r,) = _run(spark, tmp_path, "a_markov_entropy_rate")
+    assert r["n_transitions_kinds"] == 2
+    assert r["entropy_rate_bits"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_litpin_supplier_hhi_bounds(spark, tmp_path):
+    """Herfindahl-Hirschman identities: a single-supplier part has
+    HHI = 1 (monopoly); two equal suppliers give HHI = 1/2."""
+    rows = [
+        # part 1: one supplier
+        (1, 1.0, "N", 10.0, 0.0, 1, 7),
+        # part 2: two suppliers, equal revenue
+        (2, 1.0, "N", 10.0, 0.0, 2, 7),
+        (3, 1.0, "N", 10.0, 0.0, 2, 8),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_quantity double, l_returnflag string,"
+        " l_extendedprice double, l_discount double, l_partkey long,"
+        " l_suppkey long",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    rows_out = {r["l_partkey"]: r for r in _run(spark, tmp_path, "q_supplier_hhi")}
+    assert rows_out[1]["n_suppliers"] == 1
+    assert rows_out[1]["hhi"] == pytest.approx(1.0, abs=1e-9)
+    assert rows_out[2]["n_suppliers"] == 2
+    assert rows_out[2]["hhi"] == pytest.approx(0.5, abs=2e-6)
+
+
+def test_litpin_newsvendor_critical_fractile(spark, tmp_path):
+    """Newsvendor identity (Arrow-Harris-Marschak 1951): with Cu = 3,
+    Co = 1 the critical fractile is 3/4, so q* is the 3rd-smallest of 4
+    daily demands {1,2,4,5} -> q* = 4; hand-summed costs 8 vs 12 for
+    the mean heuristic, and the published optimality q*-cost <= any
+    other order quantity's cost."""
+    spark.createDataFrame(
+        [(7, "Brand#1")], "p_partkey long, p_brand string"
+    ).write.parquet(f"{tmp_path}/part.parquet")
+    rows = [
+        (d, float(dem), "N", 10.0, 0.0, 7, f"1995-01-{d:02d}")
+        for d, dem in enumerate([1, 2, 4, 5], start=1)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_quantity double, l_returnflag string,"
+        " l_extendedprice double, l_discount double, l_partkey long,"
+        " d string",
+    ).select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+        "l_partkey",
+        F.to_date("d").alias("l_shipdate"),
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    (r,) = _run(spark, tmp_path, "q_newsvendor")
+    assert (r["n_days"], r["q_star"], r["q_mean"]) == (4, 4, 3)
+    assert (r["cost_qstar"], r["cost_mean"]) == (8, 12)
+    assert r["savings_units"] == 4
+    assert r["cost_qstar"] <= r["cost_mean"]
+
+
+def test_litpin_zipf_exact_power_law(spark, tmp_path):
+    """Zipf (1949) identity: counts 12/r for ranks 1..4 are an EXACT
+    power law, so the log-log regression recovers slope -1 with
+    r2 = 1."""
+    text = " ".join(["w1"] * 12 + ["w2"] * 6 + ["w3"] * 4 + ["w4"] * 3)
+    _documents(spark, tmp_path, [(1, "en", text)])
+    (r,) = _run(spark, tmp_path, "t_zipf_fit")
+    assert r["vocab"] == 4
+    assert r["zipf_slope"] == pytest.approx(-1.0, abs=2e-6)
+    assert r["r2"] == pytest.approx(1.0, abs=2e-6)
+
+
+def test_litpin_theta_forecast_constant_series(spark, tmp_path):
+    """Theta-method fixed point (Assimakopoulos & Nikolopoulos 2000):
+    on a constant series both theta lines equal the constant and the
+    SES collapses to it, so every holdout forecast is exact."""
+    rows = []
+    for i in range(18):
+        y, m = divmod(i, 12)
+        rows.append((i, 1, f"{1995 + y}-{m + 1:02d}-15", 100.0, "1-URGENT"))
+    _orders(spark, tmp_path, rows)
+    out = _run(spark, tmp_path, "w_theta_forecast")
+    assert len(out) == 6
+    for r in out:
+        assert r["actual"] == 100
+        assert r["forecast"] == pytest.approx(100.0, abs=1e-9)
+        assert r["abs_err"] == pytest.approx(0.0, abs=1e-9)
