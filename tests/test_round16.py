@@ -274,7 +274,7 @@ def test_audit_tier_twins_machine_gate():
     ladder = json.load(open(f"{repo}/SCALECHECK.json"))["results"]
     assert set(registry.AUDIT_TIER_TWINS) == {
         "v_embed_neardup", "v_semantic_dedup", "v_embed_neardup_lsh",
-        "v_lsh_multiprobe",
+        "v_lsh_multiprobe", "v_lsh_neardup",
     }
     for weak, twin in registry.AUDIT_TIER_TWINS.items():
         assert weak in registry.QUERIES
