@@ -47,7 +47,12 @@ SHINGLES_FULL_SQL = r"""
 
 
 def shingles(spark, sf_dir, bounded=True):
-    # bigrams via array transform — map-side only, no self-join shuffle
+    # bigrams via array transform — map-side only, no self-join shuffle.
+    # Per-doc dedup happens BEFORE the explode with array_distinct (r17
+    # optimization, guide §2.4): the old explode().distinct() paid a full
+    # (doc_id, s) Exchange in every consumer for a dedup that is local to
+    # one document — one row, one array — by construction. Same row set
+    # (array_distinct keeps one NULL like DISTINCT), zero shuffles.
     docs = load_table(spark, sf_dir, "documents")
     if bounded:
         docs = docs.where(F.col("doc_id") < 1000)
@@ -56,10 +61,39 @@ def shingles(spark, sf_dir, bounded=True):
         .select(
             "doc_id",
             F.explode(
-                F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 2),"
+                        " i -> concat(w[i], ' ', w[i + 1]))"
+                    )
+                )
             ).alias("s"),
         )
-        .distinct()
+    )
+
+
+def bigram_sizes(docs: DataFrame) -> DataFrame:
+    """Per-doc DISTINCT-bigram count (doc_id, n), computed map-side from
+    a (doc_id, text) frame (r17 optimization, guide §2.4): replaces
+    ``sh.groupBy("doc_id").agg(count(*))`` — which paid a full Exchange
+    plus a second explode pass over the shingle lineage — with a scan-local
+    size(array_distinct(...)) projection. Values are identical because the
+    shingle set is per-doc-distinct by construction; only valid for sizes
+    over the UNCAPPED shingle set (a df-capped set must count after the
+    cap, which is a real aggregate)."""
+    return (
+        docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+        .select(
+            "doc_id",
+            F.size(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 2),"
+                        " i -> concat(w[i], ' ', w[i + 1]))"
+                    )
+                )
+            ).cast("long").alias("n"),
+        )
     )
 
 
@@ -81,7 +115,9 @@ def t_jaccard_neardup(spark, sf_dir):
     """Exact n-gram-Jaccard near-dup pairs via shingle equi-join (no O(n²)
     cross join — candidate pairs only exist where a shingle is shared)."""
     sh = shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = bigram_sizes(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -514,12 +550,18 @@ def t_pipeline_e2e(spark, sf_dir):
         .select(
             "doc_id",
             F.explode(
-                F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+                # per-doc distinct map-side (r17, guide §2.4) — one less
+                # Exchange than explode().distinct(), identical row set
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 2),"
+                        " i -> concat(w[i], ' ', w[i + 1]))"
+                    )
+                )
             ).alias("s"),
         )
-        .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = bigram_sizes(exact)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -692,7 +734,9 @@ def _jaccard05_edges(spark, sf_dir) -> DataFrame:
     construction so the survivor-selection keys can't diverge from the
     clustering key's pair rule). Returned CACHED; callers unpersist."""
     sh = shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = bigram_sizes(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
