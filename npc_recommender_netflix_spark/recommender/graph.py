@@ -69,16 +69,20 @@ def _copurchase_edges(spark, sf_dir):
     df = _EDGES_SHARED.get(key)
     if df is None:
         li = load_table(spark, sf_dir, "lineitem")
-        items = li.select(
-            "l_orderkey", (F.col("l_partkey") % 500).alias("item")
-        ).distinct()
+        # r17 optimization (guide §2.4): one collect_set per order + an
+        # in-plan double explode replaces the old distinct(orderkey, item)
+        # + orderkey self-join + pair distinct — 2 Exchanges instead of 4
+        # for the identical ordered-pair set (collect_set dedups within
+        # the order exactly like the old distinct; pair generation is
+        # map-side). Per-order sets are bounded by order size (a handful
+        # of lines), so the aggregate is skew-safe at any corpus scale.
+        sets = li.groupBy("l_orderkey").agg(
+            F.collect_set(F.col("l_partkey") % 500).alias("items")
+        )
         df = (
-            items.alias("a")
-            .join(items.alias("b"), "l_orderkey")
-            .where(F.col("a.item") != F.col("b.item"))
-            .select(
-                F.col("a.item").alias("src"), F.col("b.item").alias("dst")
-            )
+            sets.select(F.explode("items").alias("src"), "items")
+            .select("src", F.explode("items").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
             .distinct()
             .cache()
         )
