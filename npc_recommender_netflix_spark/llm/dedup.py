@@ -646,10 +646,16 @@ def t_pipeline_e2e_scale(spark, sf_dir):
         .select(
             "doc_id",
             F.explode(
-                F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+                # per-doc distinct map-side (r17, guide §2.4) — one less
+                # Exchange than explode().distinct(), identical row set
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 2),"
+                        " i -> concat(w[i], ' ', w[i + 1]))"
+                    )
+                )
             ).alias("s"),
         )
-        .distinct()
     )
     freq = sh0.groupBy("s").agg(F.count("*").alias("df"))
     sh = sh0.join(freq.where(F.col("df") <= 64).select("s"), "s")
@@ -882,6 +888,10 @@ def t_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # sizes stay a groupBy over the CACHED sh (r17 measured: a map-side
+    # bigram_sizes rebuild here is 5 s SLOWER — the cache read is cheaper
+    # than re-splitting text, and the aggregate's small stats keep the
+    # final sizes joins broadcast)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # candidate-driven exact verify: postings joined per candidate pair only
     x = sh.select(F.col("doc_id").alias("doc_a"), "s")
@@ -980,10 +990,16 @@ def t_pipeline_e2e_lsh(spark, sf_dir):
         .select(
             "doc_id",
             F.explode(
-                F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+                # per-doc distinct map-side (r17, guide §2.4) — one less
+                # Exchange than explode().distinct(), identical row set
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 2),"
+                        " i -> concat(w[i], ' ', w[i + 1]))"
+                    )
+                )
             ).alias("s"),
         )
-        .distinct()
         .cache()  # feeds signatures, sizes, and rescoring
     )
     sig = sh.groupBy("doc_id").agg(
