@@ -61,6 +61,16 @@ def build_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # Let AQE re-plan (coalesce) INSIDE cached plans: the engine caches
+        # many bounded frames (histograms, signatures, edge lists) that are
+        # re-scanned by sequential jobs; without this, a KB-sized cache
+        # materializes at spark.sql.shuffle.partitions and every downstream
+        # job pays a full task wave per scan. Size-based, so large caches
+        # keep their partitioning — scale-adaptive by construction.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.ui.enabled", "false")
         # keep stdout clean: the bench's final JSON line must be the last
         # stdout content (the driver tail-parses it) — console progress bars
@@ -84,6 +94,11 @@ def prepare(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Runtime-settable (buildConf, not static): same cached-plan AQE
+    # re-planning as build_session, for externally-owned sessions.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     # A 200-partition default (vanilla session) costs real time x128 queries
     # at test scale; AQE coalesces but starting right is cheaper. At cluster
     # scale this is sized to ~2-3x total cores by deployment config instead.
