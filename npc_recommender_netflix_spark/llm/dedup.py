@@ -367,20 +367,19 @@ def t_simhash_pairs(spark, sf_dir):
         .cast("int")
         .alias("w")
     )
-    # One explicit repartition by doc_id, then BOTH the token dedup and
-    # the vote aggregation run exchange-free: HashPartitioning(doc_id)
-    # satisfies the (doc_id, word) clustering of dropDuplicates (subset
-    # rule) and the doc_id clustering of the groupBy. Without it the
-    # dedup exchange hash-partitions by (doc_id, word), every upstream
-    # partition holds every doc, and the votes partial aggregate emits
-    # |docs| x 60-long rows PER PARTITION (measured 462 MB at the
-    # 150k-doc SCALECHECK rung vs ~54 MB this way).
-    tok = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
-        )
-        .repartition("doc_id")
-        .dropDuplicates(["doc_id", "word"])
+    # Token dedup is local to one document by construction, so run it
+    # map-side as array_distinct on the split array BEFORE the explode
+    # (the shingles() treatment): no (doc_id, word) dedup exchange at
+    # all, and because each doc's tokens stay whole inside its scan
+    # partition the votes partial aggregate fully combines per doc
+    # map-side — the only token-grain exchange left is |docs| rows of
+    # 60 longs into the final vote aggregate (vs repartitioning every
+    # token row by doc_id).
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias(
+            "word"
+        ),
     )
     h = tok.select(
         "doc_id",
@@ -1978,34 +1977,43 @@ def t_minhash_perm_curve(spark, sf_dir):
         ]
     ).cache()
 
-    def bands(nb):
-        out = None
-        for b in range(nb):
-            part = sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
-                ).alias("bkey"),
+    # k=4's bands are a PREFIX of k=8's and k=16's, so the three
+    # candidate sets are nested by construction: run the bucket
+    # self-join ONCE over all 8 bands and keep each pair's MIN
+    # colliding band — `min_band < nb` is exactly membership in
+    # cand(nb) (distinct pairs over bands 0..nb-1). One join + one
+    # aggregate replaces three self-joins + three distincts whose
+    # largest (nb=8) repeated the other two as subsets.
+    bd = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                        ).alias("bkey"),
+                    )
+                    for b in range(8)
+                ]
             )
-            out = part if out is None else out.unionByName(part)
-        return out
-
-    def cand(nb):
-        bd = bands(nb)
-        a, b = bd.alias("a"), bd.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bkey") == F.col("b.bkey"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
-            )
-            .distinct()
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    ba, bb = bd.alias("a"), bd.alias("b")
+    pairs_mb = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.min(F.col("a.band")).alias("mb"))
+        .cache()
+    )
 
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -2029,34 +2037,56 @@ def t_minhash_perm_curve(spark, sf_dir):
     )
     n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
 
-    def row(k, nb):
-        c = cand(nb).cache()
-        nc = c.agg(F.count(F.lit(1)).alias("n_candidates"))
-        nh = (
-            c.join(
-                exact,
-                (c.da == exact.doc_a) & (c.db == exact.doc_b),
-            )
-            .agg(F.count(F.lit(1)).alias("n_hits"))
+    # All three k tiers count from the ONE min-band pair frame: the
+    # candidate counts are conditional sums over mb, and the hit
+    # counts come from a single semi-join-shaped inner join against
+    # the exact ground truth (vs three cand caches x three joins).
+    cnts = pairs_mb.agg(
+        F.sum((F.col("mb") < 2).cast("long")).alias("c2"),
+        F.sum((F.col("mb") < 4).cast("long")).alias("c4"),
+        F.count(F.lit(1)).alias("c8"),
+    )
+    hits = (
+        pairs_mb.join(
+            exact,
+            (pairs_mb.da == exact.doc_a) & (pairs_mb.db == exact.doc_b),
         )
-        return (
-            nc.crossJoin(F.broadcast(nh))
-            .crossJoin(F.broadcast(n_true))
-            .select(
-                F.lit(k).cast("long").alias("k"),
-                F.col("n_candidates").cast("long"),
-                F.col("n_hits").cast("long"),
-                F.col("n_true").cast("long"),
-                F.expr(
-                    "n_hits * 1000000 div greatest(n_true, 1)"
-                ).cast("long").alias("recall_ppm"),
-            )
+        .agg(
+            F.sum((F.col("mb") < 2).cast("long")).alias("h2"),
+            F.sum((F.col("mb") < 4).cast("long")).alias("h4"),
+            F.count(F.lit(1)).alias("h8"),
+        )
+    )
+    stats = (
+        cnts.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            F.coalesce("c4", F.lit(0)).alias("c4"),
+            "c8",
+            F.coalesce("h2", F.lit(0)).alias("h2"),
+            F.coalesce("h4", F.lit(0)).alias("h4"),
+            F.coalesce("h8", F.lit(0)).alias("h8"),
+            "n_true",
+        )
+        .cache()
+    )
+
+    def row(k, nc, nh):
+        return stats.select(
+            F.lit(k).cast("long").alias("k"),
+            F.col(nc).cast("long").alias("n_candidates"),
+            F.col(nh).cast("long").alias("n_hits"),
+            F.col("n_true").cast("long"),
+            F.expr(
+                f"{nh} * 1000000 div greatest(n_true, 1)"
+            ).cast("long").alias("recall_ppm"),
         )
 
     return (
-        row(4, 2)
-        .unionByName(row(8, 4))
-        .unionByName(row(16, 8))
+        row(4, "c2", "h2")
+        .unionByName(row(8, "c4", "h4"))
+        .unionByName(row(16, "c8", "h8"))
         .orderBy("k")
     )
 

@@ -5657,6 +5657,11 @@ def t_textrank_keywords(spark, sf_dir):
     you raise the cap per-domain, not globally — keyword graphs
     saturate long before memory does.
     """
+    # r17 measured revert: caching this split-array frame to share one
+    # scan between the vocab pass and the pair census was 19% SLOWER
+    # warm (1.85 -> 2.20 s) — materializing the tokenized arrays costs
+    # more than the second columnar parquet scan + re-split. Two lazy
+    # scans stay.
     docarr = load_table(spark, sf_dir, "documents").select(
         F.split(F.lower("text"), r"\s+").alias("arr")
     )

@@ -1189,6 +1189,12 @@ def r_user_cosine_capped(spark, sf_dir):
     )
     # per-side item_id aliases: same trivially-true-WARN rationale as
     # r_user_cosine above (both sides share one cached lineage).
+    # r17 measured revert: replacing this SMJ self-join with per-item
+    # collect_list + in-plan 40x40 pair explode (_copurchase_edges
+    # treatment) was 65% SLOWER warm (5.9 -> 9.7 s, with 21 s GC
+    # outliers) — at cap 40 the flattened 1600-struct arrays cost more
+    # than the two Sort legs they remove; the co-purchase win does not
+    # transfer because order line lists are ~4 items, not 40.
     a = m.select(
         F.col("item_id").alias("item_a"),
         F.col("user_id").alias("user_a"),
@@ -3905,10 +3911,14 @@ def r_covisit_time_decay(spark, sf_dir):
             )
         )
     )
+    # Both sides of the user-keyed pair self-join replay the events
+    # scan + distinct + cap window when uncached; the frame is bounded
+    # at <=16 rows per session, so cache it once for the two sides.
     capped = (
         ui.withColumn("rk", F.row_number().over(wcap))
         .where(F.col("rk") <= 16)
         .select("user_id", "d", "item")
+        .cache()
     )
     a = capped.select(
         F.col("user_id").alias("ua"), F.col("d").alias("da"),
@@ -4310,10 +4320,16 @@ def r_session_knn_capped(spark, sf_dir):
             )
         )
     )
+    # Six consumers derive from the capped session frame (ssize twice,
+    # idf, posting's two join sides, the target slate): uncached, each
+    # replays the events scan + distinct + cap window — measured 7
+    # repeated scan subtrees / 74 Exchanges in the plan. Bounded at
+    # <=16 rows per session, so cache it once.
     capped = (
         ui.withColumn("rk", F.row_number().over(wcap))
         .where(F.col("rk") <= 16)
         .select("user_id", "d", "item")
+        .cache()
     )
     ssize = capped.groupBy("user_id", "d").agg(F.count("*").alias("sz"))
     idf = capped.groupBy("item").agg(F.count("*").alias("df"))

@@ -71,6 +71,19 @@ def build_session(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true",
         )
+        # Let the planner choose shuffled-hash over sort-merge when its
+        # size conditions hold, and let AQE rewrite SMJ->SHJ at runtime
+        # when every post-shuffle partition is under 64 MB (guide-§3
+        # baseline): the engine's pair joins are cap-bounded, so the
+        # hash build side is small per partition and the sort legs are
+        # pure overhead. Both knobs are size-guarded by the planner /
+        # measured partition sizes, so they remain safe at cluster
+        # scale (a too-big build side falls back to sort-merge).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.ui.enabled", "false")
         # keep stdout clean: the bench's final JSON line must be the last
         # stdout content (the driver tail-parses it) — console progress bars
@@ -98,6 +111,13 @@ def prepare(spark: SparkSession) -> SparkSession:
     # re-planning as build_session, for externally-owned sessions.
     spark.conf.set(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
+    # Same join-strategy knobs as build_session (runtime-settable SQL
+    # confs), for externally-owned driver sessions.
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        str(64 * 1024 * 1024),
     )
     # A 200-partition default (vanilla session) costs real time x128 queries
     # at test scale; AQE coalesces but starting right is cheaper. At cluster

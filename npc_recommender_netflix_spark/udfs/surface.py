@@ -91,8 +91,17 @@ def u_grouped_agg(spark, sf_dir):
     """,
 )
 def u_apply_in_pandas(spark, sf_dir):
-    """Per-group transform via applyInPandas: z-score of value per user."""
-    ev = load_table(spark, sf_dir, "events")
+    """Per-group transform via applyInPandas: z-score of value per user.
+
+    Only (user_id, event_id, value) cross the JVM->Python boundary:
+    applyInPandas ships every column of its input to the workers (Spark
+    cannot see which ones the function touches), so the explicit select
+    keeps the wide props/ts columns out of the groupBy exchange AND the
+    Arrow transfer, and lets column pruning reach the parquet scan.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
