@@ -6411,9 +6411,14 @@ def v_kmeans_par_init(spark, sf_dir):
     c0 = emb.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
+    # Each round's distance frame feeds BOTH the normalizer sum and the
+    # Bernoulli draw (and later rounds re-derive the candidate set), so
+    # uncached the plan replays the embedding scan + d2 pass per
+    # consumer — measured 102 parquet-scan subtrees in one plan. The
+    # frames are narrow per-vector scalars (vec_id, d2): cache them.
     d1 = emb.crossJoin(F.broadcast(c0)).select(
         "vec_id", d2("ce").alias("d2")
-    )
+    ).cache()
     s1 = d1.agg(
         F.sum(F.round(F.col("d2") * 1e6).cast("long")).alias("s6")
     )
@@ -6431,7 +6436,7 @@ def v_kmeans_par_init(spark, sf_dir):
     )
     cset1 = c0.select("cid").unionByName(
         k1.select(F.col("vec_id").alias("cid"))
-    ).distinct()
+    ).distinct().cache()
     cemb1 = cset1.join(
         emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")),
         "cid",
@@ -6440,6 +6445,7 @@ def v_kmeans_par_init(spark, sf_dir):
         emb.crossJoin(F.broadcast(cemb1))
         .groupBy("vec_id")
         .agg(F.min(d2("ce")).alias("d2"))
+        .cache()
     )
     s2 = dmin2.agg(
         F.sum(F.round(F.col("d2") * 1e6).cast("long")).alias("s6")
@@ -6464,6 +6470,7 @@ def v_kmeans_par_init(spark, sf_dir):
         )
         .groupBy("cid")
         .agg(F.min("round_added").alias("round_added"))
+        .cache()
     )
     cande = cands.join(
         emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")),
