@@ -1008,15 +1008,23 @@ def r_user_cosine(spark, sf_dir):
             f6(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
+    # One map-side explode for both orientations (r17, guide §2.4) —
+    # same duplicate-subtree removal as r_user_cosine_capped below.
     bidir = sims.select(
-        F.col("user_a").alias("user_id"),
-        F.col("user_b").alias("neighbor_id"), "cosine",
-    ).unionByName(
-        sims.select(
-            F.col("user_b").alias("user_id"),
-            F.col("user_a").alias("neighbor_id"), "cosine",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("user_a").alias("user_id"),
+                    F.col("user_b").alias("neighbor_id"),
+                ),
+                F.struct(
+                    F.col("user_b").alias("user_id"),
+                    F.col("user_a").alias("neighbor_id"),
+                ),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select("e.user_id", "e.neighbor_id", "cosine")
     w = Window.partitionBy("user_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -1113,13 +1121,25 @@ def r_cosine_sim_capped(spark, sf_dir):
             f6(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
+    # One map-side explode for both orientations, not sims UNION sims
+    # (r17, guide §2.4): the union re-ran the whole uncached pair
+    # subtree per branch — two identical pair-cell shuffles (same
+    # duplicate-stage shape measured on r_user_cosine_capped).
     bidir = sims.select(
-        F.col("item_a").alias("item_id"), F.col("item_b").alias("neighbor_id"), "cosine"
-    ).unionByName(
-        sims.select(
-            F.col("item_b").alias("item_id"), F.col("item_a").alias("neighbor_id"), "cosine"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item_id"),
+                    F.col("item_b").alias("neighbor_id"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item_id"),
+                    F.col("item_a").alias("neighbor_id"),
+                ),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select("e.item_id", "e.neighbor_id", "cosine")
     w = Window.partitionBy("item_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         bidir.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -1228,13 +1248,28 @@ def r_user_cosine_capped(spark, sf_dir):
             f6(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
+    # Both orientations via ONE map-side explode instead of
+    # sims UNION ALL sims (r17, guide §2.4): the union form re-ran the
+    # whole pair subtree per branch — AQE did not reuse the exchange, so
+    # the 8.3M-row / 318 MiB pair-cell shuffle was written TWICE
+    # (measured: two identical ShuffleQueryStages in the final plan).
+    # explode(array(struct a->b, struct b->a)) yields the identical row
+    # multiset from a single pass.
     bidir = sims.select(
-        F.col("user_a").alias("user_id"), F.col("user_b").alias("neighbor_id"), "cosine"
-    ).unionByName(
-        sims.select(
-            F.col("user_b").alias("user_id"), F.col("user_a").alias("neighbor_id"), "cosine"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("user_a").alias("user_id"),
+                    F.col("user_b").alias("neighbor_id"),
+                ),
+                F.struct(
+                    F.col("user_b").alias("user_id"),
+                    F.col("user_a").alias("neighbor_id"),
+                ),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select("e.user_id", "e.neighbor_id", "cosine")
     w = Window.partitionBy("user_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         bidir.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -3602,17 +3637,23 @@ def r_knn_k_sweep(spark, sf_dir):
             f6(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
+    # One map-side explode for both orientations (r17, guide §2.4) —
+    # the union form re-ran the uncached train-pair subtree per branch.
     bidir = sims.select(
-        F.col("item_a").alias("item_id"),
-        F.col("item_b").alias("neighbor_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item_id"),
+                    F.col("item_b").alias("neighbor_id"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item_id"),
+                    F.col("item_a").alias("neighbor_id"),
+                ),
+            )
+        ).alias("e"),
         "cosine",
-    ).unionByName(
-        sims.select(
-            F.col("item_b").alias("item_id"),
-            F.col("item_a").alias("neighbor_id"),
-            "cosine",
-        )
-    )
+    ).select("e.item_id", "e.neighbor_id", "cosine")
     w = Window.partitionBy("item_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"
     )

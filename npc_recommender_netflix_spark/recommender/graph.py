@@ -282,6 +282,9 @@ def r_two_hop_reach(spark, sf_dir):
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= 3)
         .select("src", "dst")
+        # r17 (guide §5): edges feeds both self-join sides AND the
+        # 1-hop union branch — uncached, the pair-join subtree ran 3x.
+        .cache()
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
