@@ -1203,6 +1203,11 @@ def r_user_cosine_capped(spark, sf_dir):
     """
     m0 = ratings_matrix(spark, sf_dir)
     deg = m0.groupBy("item_id").agg(F.count("*").alias("df"))
+    # r17 measured revert: repartition(defaultParallelism) before this
+    # cache (the r_slope_one_capped width fix) was 15-50% SLOWER here —
+    # the pair stage's CPU inflated 10 s -> 46 s at 32-way width (round-
+    # robin and item-hash both), unlike slope_one's BIGINT aggregate
+    # which kept its 13.8 s CPU flat. Left at AQE's coalesced width.
     m = m0.join(deg.where(F.col("df") <= 40).select("item_id"), "item_id").cache()
     n = m.groupBy("user_id").agg(
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
@@ -2566,9 +2571,12 @@ def r_slope_one_capped(spark, sf_dir):
     """
     m0 = ratings_matrix(spark, sf_dir)
     deg = m0.groupBy("user_id").agg(F.count("*").alias("df"))
+    # Width restoration before the pair stage (r17, guide §2.5/§2.6):
+    # see r_user_cosine_capped — cores-scaled, value-exact (BIGINTs).
     m = (
         m0.join(deg.where(F.col("df") <= 48).select("user_id"), "user_id")
         .select("user_id", "item_id", F.col("rating").cast("long").alias("rating"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .cache()
     )
     a = m.select(
