@@ -756,7 +756,24 @@ def _jaccard05_edges(spark, sf_dir) -> DataFrame:
         .where(jac >= 0.5)
         .select("da", "db")
     )
-    return pairs.union(pairs.select(F.col("db"), F.col("da"))).toDF("a", "b").cache()
+    # Both orientations via ONE map-side explode instead of
+    # pairs UNION pairs-flipped (r17, guide §2.4): the union form re-ran
+    # the whole uncached shingle self-join + pair-aggregate subtree once
+    # per branch while materializing this cache (AQE does not reuse the
+    # exchange across the union's branches — same duplicate-stage shape
+    # measured on r_user_cosine_capped). Identical row multiset.
+    return (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("da").alias("a"), F.col("db").alias("b")),
+                    F.struct(F.col("db").alias("a"), F.col("da").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .cache()
+    )
 
 
 def _minlabel_components(edges) -> DataFrame:
@@ -767,38 +784,42 @@ def _minlabel_components(edges) -> DataFrame:
     labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     ).cache()
+    pinned = labels  # the round's cached/checkpointed frame (unpersist target)
     for rnd in range(20):  # cap >> any real component diameter here
         neigh = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # Carry the pre-round label as _prev so the convergence check is
+        # a filter over THIS cached frame instead of a second join back
+        # to the superseded labels (r17: one less join per check round).
         new = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                F.col("label").alias("_prev"),
             )
         )
         # Every 4th round, localCheckpoint (materializes the small label
         # frame and truncates the growing join lineage — the standard
         # iterative-graph hygiene); plain cache otherwise.
         new = new.localCheckpoint() if (rnd + 1) % 4 == 0 else new.cache()
-        # Dup-cluster diameters are tiny (2-3): run the first rounds
-        # WITHOUT a convergence job — the per-round changed-count is a
-        # Spark job each, and paying it before convergence is even
-        # possible just serializes the loop. From round 3 on, check.
-        if rnd >= 2:
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+        # Dup-cluster diameters are tiny: most components are PAIRS
+        # (converged after round 0) with the odd triple (round 1), so
+        # check from round 1 on (r17; was round 2 — the measured corpus
+        # converges at the round-1 check, saving a full round's lineage).
+        # Earlier rounds run WITHOUT a convergence job — the per-round
+        # changed-count is a Spark job each, and paying it before
+        # convergence is even possible just serializes the loop.
+        if rnd >= 1:
+            changed = new.where(F.col("label") != F.col("_prev")).count()
         else:
             changed = -1
-        labels.unpersist()  # superseded label frame; executor memory back
-        labels = new
+        pinned.unpersist()  # superseded label frame; executor memory back
+        pinned = new
+        labels = new.select("doc_id", "label")
         if changed == 0:
             break
     # Pin the converged labels off the edge lineage; the caller releases
