@@ -409,37 +409,52 @@ def t_simhash_pairs(spark, sf_dir):
     sim = (
         votes.crossJoin(F.broadcast(params))
         .select("doc_id", "w", fp_full.bitwiseAND(mask).alias("fp"))
-        .cache()  # four consumers (band sides a/b, rescore sides sa/sb):
-        # uncached, each re-reads the corpus and re-runs the vote agg
+        .cache()  # two consumers (band-join sides a/b): uncached, each
+        # re-reads the corpus and re-runs the vote agg
     )
-    bands = sim.crossJoin(
-        F.broadcast(spark.range(0, 3).select(F.col("id").cast("int").alias("band")))
-    ).select(
+    # The 3 band rows per doc come from a MAP-SIDE explode (r17, guide
+    # §2.4; was a broadcast crossJoin against range(0,3) — one more
+    # broadcast-exchange stage for the same rows), and each band row
+    # CARRIES the doc's fingerprint so the exact Hamming rescore runs
+    # in-row on the band join's output — the two join-back-to-sim stages
+    # (sa/sb) disappear. fp is functionally dependent on doc_id, so
+    # filtering before the pair distinct and carrying hamming through it
+    # yields the identical pair set; the distinct is the only exchange
+    # after the band join.
+    bands = sim.select(
         "doc_id",
-        "band",
-        F.expr(
-            "shiftright(fp, w * band) & (shiftleft(CAST(1 AS BIGINT), w) - 1)"
-        ).alias("bv"),
-    )
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).cast("int").alias("band"),
+                        F.expr(
+                            f"shiftright(fp, w * {band})"
+                            " & (shiftleft(CAST(1 AS BIGINT), w) - 1)"
+                        ).alias("bv"),
+                    )
+                    for band in range(3)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.band", "bk.bv")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = F.expr("bit_count(a.fp ^ b.fp)").cast("long")
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("ha"))
-    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("hb"))
-    hamming = F.expr("bit_count(ha ^ hb)").cast("long")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .where(hamming <= 2)
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
     )
 
 
