@@ -488,7 +488,11 @@ def t_minhash_dedup(spark, sf_dir):
     tok = RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+")
     featurized = tok.transform(docs)
     tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1024, binary=True)
-    feats = tf.transform(featurized)
+    # r17 (guide §2.4 — don't recompute shared subtrees): feats feeds BOTH
+    # sides of approxSimilarityJoin (and the fit's schema pass), so the
+    # uncached form ran tokenize+HashingTF once per side. One bounded
+    # cache (|docs| sparse 1024-dim vectors) halves that work.
+    feats = tf.transform(featurized).select("doc_id", "features").cache()
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = mh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")

@@ -4348,7 +4348,13 @@ def a_ab_srm_check(spark, sf_dir):
     h32 = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
-    assign = ev.select("user_id", (h32 % 2).alias("arm")).distinct()
+    # r17 (guide §2.2 — shuffle fewer bytes): arm is a pure function of
+    # user_id, so distinct on user_id FIRST, then derive the arm on the
+    # deduped set: the distinct exchange carries one long instead of
+    # (user_id, arm) and md5+conv run once per USER, not per event row.
+    assign = ev.select("user_id").distinct().select(
+        "user_id", (h32 % 2).alias("arm")
+    )
     c = assign.agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
         .cast("long")

@@ -23,6 +23,10 @@ from .core import ratings_matrix
 def fit_als(spark, sf_dir, rank: int = 8, max_iter: int = 5):
     from pyspark.ml.recommendation import ALS
 
+    # r17 (guide §2.4): every caller reuses m after the fit (transform,
+    # fold-in target slice, rated anti-join) — cache it so the
+    # orders⋈lineitem⋈groupBy matrix builds once per query instead of
+    # once per consumer. Bounded: one row per (user, item) pair.
     m = (
         ratings_matrix(spark, sf_dir)
         .select(
@@ -30,6 +34,7 @@ def fit_als(spark, sf_dir, rank: int = 8, max_iter: int = 5):
             F.col("item_id").cast("int").alias("item"),
             F.col("rating").cast("float").alias("rating"),
         )
+        .cache()
     )
     als = ALS(
         rank=rank,
@@ -234,13 +239,16 @@ def r_als_foldin(spark, sf_dir):
     yty_b = spark.sparkContext.broadcast(YtY)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        A = yty_b.value + lam * np.eye(rank)
-        b = np.zeros(rank)
-        for _, row in pdf.iterrows():
-            y = np.asarray(row["y"])
-            c = 1.0 + alpha * float(row["rating"])
-            A = A + (c - 1.0) * np.outer(y, y)
-            b = b + c * y
+        # r17 (guide §4.3 — vectorize inside the pandas UDF): one BLAS
+        # Gram assembly replaces the per-row iterrows() outer-product
+        # loop. Same normal equations; FP summation order changes, which
+        # this rows-only key (seeded-but-nondeterministic MLlib factors
+        # upstream) explicitly tolerates — the fold-in identity test
+        # checks alignment, not bits.
+        Ys = np.vstack(pdf["y"].to_numpy())  # (n_items, rank)
+        c = 1.0 + alpha * pdf["rating"].to_numpy(dtype=np.float64)
+        A = yty_b.value + lam * np.eye(rank) + Ys.T @ ((c - 1.0)[:, None] * Ys)
+        b = Ys.T @ c
         u = np.linalg.solve(A, b)
         return pd.DataFrame(
             {"user": [int(pdf["user"].iloc[0])],

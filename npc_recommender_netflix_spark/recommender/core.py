@@ -2761,6 +2761,10 @@ def r_ease(spark, sf_dir):
     B = -P / np.diag(P)[None, :]
     np.fill_diagonal(B, 0.0)
     ii, jj = np.nonzero(np.abs(B) > 1e-9)
+    # r17 measured reject: shipping B as a pandas/Arrow batch instead of
+    # this tuple list A/B'd SLOWER warm (0.58 vs 0.74 s at the dense
+    # 200x200 size this slice produces) — the pickled list is below the
+    # size where Arrow batching pays. Left as-is.
     bdf = spark.createDataFrame(
         [(items[i], items[j], float(B[i, j])) for i, j in zip(ii, jj)],
         "item_i long, item_j long, w double",

@@ -504,24 +504,37 @@ def r_node_features(spark, sf_dir):
     store).
 
     Neighbor degrees come from one edges⋈degrees join (degree table is
-    node-sized, broadcastable); per-node triangles close the directed
-    2-path with the same three-way edges join as r_triangle_count —
-    each triangle counted twice per node (both orientations), halved
-    exactly. All joins key on node ids; the symmetric edge list makes
-    row counts 2|E| and every aggregate partial+final.
+    node-sized, broadcastable); per-node triangles come from the
+    ORIENTED enumeration (r_triangle_count's shape): keeping only
+    src<dst rows halves every triangle-join input and finds each
+    triangle exactly once as x<y<z, so the wedge stage builds
+    Σ d_<(v)·d_>(v) rows instead of the symmetric form's Σd² — each
+    corner is then credited 2 (the directed 2-path closure count this
+    key's tri2 semantics define: both y/z orientations per triangle).
+    All joins key on node ids; every aggregate is partial+final.
     """
     edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     nbr = edges.join(
         deg.select(F.col("src").alias("dst"), F.col("d").alias("nbr_deg")), "dst"
     ).select(F.col("src").alias("node"), "nbr_deg")
-    e1 = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    e2 = edges.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    e3 = edges.select(F.col("src").alias("z"), F.col("dst").alias("x"))
+    # r17 (guide §3.4 — shrink the exploding join): the previous
+    # symmetric 3-way self-join enumerated every triangle 6 times (once
+    # per directed corner orientation) through a Σd²-row wedge stage.
+    # e_lt keeps one row per undirected edge (the list is symmetric by
+    # construction), the x<y<z chain finds each triangle ONCE, and
+    # count*2 restores the exact directed-closure integers.
+    e_lt = edges.where(F.col("src") < F.col("dst"))
+    wedges = e_lt.select(F.col("src").alias("x"), F.col("dst").alias("y")).join(
+        e_lt.select(F.col("src").alias("y"), F.col("dst").alias("z")), "y"
+    )
+    closed = wedges.join(
+        e_lt.select(F.col("src").alias("x"), F.col("dst").alias("z")), ["x", "z"]
+    )
     tri = (
-        e1.join(e2, "y").join(e3, ["z", "x"])
-        .groupBy(F.col("x").alias("node"))
-        .agg(F.count("*").alias("tri2"))
+        closed.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg((F.count("*") * F.lit(2)).cast("long").alias("tri2"))
     )
     feat = (
         deg.select(F.col("src").alias("node"), "d")
