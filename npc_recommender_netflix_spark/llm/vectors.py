@@ -5607,7 +5607,11 @@ def v_neardup_threshold_sensitivity(spark, sf_dir):
     the qualifying pairs only — the curve costs one aggregation over
     what the dedup already computes.
     """
-    scored = _banded_scored_pairs(spark, sf_dir)
+    # r17 (guide §2.4/§5): the banded-candidate pipeline fed qual's three
+    # consumers uncached (18 parquet-scan subtrees in the plan); the
+    # scored pair set is O(N) by the adaptive-nbits rule, so the cache is
+    # candidate-sized, not pair-quadratic.
+    scored = _banded_scored_pairs(spark, sf_dir).cache()
     thr = spark.range(1).select(
         F.explode(F.array(F.lit(8500), F.lit(9000), F.lit(9500))).alias(
             "thr_bp"

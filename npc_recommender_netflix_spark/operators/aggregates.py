@@ -6344,11 +6344,14 @@ def a_dunn_test(spark, sf_dir):
     rollup.
     """
     ev = load_table(spark, sf_dir, "events")
+    # r17 (guide §2.4/§5): the daily rollup is the only data pass and
+    # feeds tt, the rank join, and the tie census; bounded at
+    # |days|×|event types| cells.
     daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
         F.sum(F.round(F.col("value") * 100).cast("long"))
         .cast("long")
         .alias("x")
-    )
+    ).cache()
     tt = daily.groupBy("x").agg(F.count("*").cast("long").alias("t"))
     ranked = daily.join(tt, "x").select(
         "event_type",
@@ -6356,10 +6359,12 @@ def a_dunn_test(spark, sf_dir):
         .cast("long")
         .alias("mr2"),
     )
+    # r17 (guide §2.4/§5): same multi-consumer shape as a_by_fdr_pairs —
+    # sums (≤|event types| rows) feeds the census and both pair sides.
     sums = ranked.groupBy("event_type").agg(
         F.sum("mr2").cast("long").alias("r2"),
         F.count("*").cast("long").alias("nj"),
-    )
+    ).cache()
     c = sums.agg(F.sum("nj").cast("long").alias("n"))
     tie = tt.where(F.col("t") > 1).agg(
         F.coalesce(
@@ -14841,6 +14846,9 @@ def a_page_trend(spark, sf_dir):
     35-cell frame.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # r17 (guide §2.4/§5): the 35-cell census is the only data pass and
+    # feeds both scaffold axes plus the zero-fill join — cache it so the
+    # orders scan runs once, not once per consumer.
     cells0 = orders.groupBy(
         F.dayofweek("o_orderdate").cast("long").alias("blk"),
         F.substring("o_orderpriority", 1, 1).cast("long").alias("trt"),
@@ -14848,7 +14856,7 @@ def a_page_trend(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("cents")
-    )
+    ).cache()
     blks = cells0.select("blk").distinct()
     trts = cells0.select("trt").distinct()
     cells = (
@@ -15429,11 +15437,15 @@ def a_by_fdr_pairs(spark, sf_dir):
     arithmetic.
     """
     ev = load_table(spark, sf_dir, "events")
+    # r17 (guide §2.4/§5): daily is the only data pass and fed every
+    # downstream frame uncached (14 parquet-scan subtrees in the plan);
+    # bounded at |days|×|event types| cells. sums (≤|event types| rows)
+    # feeds the census and both pair-join sides.
     daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
         F.sum(F.round(F.col("value") * 100).cast("long"))
         .cast("long")
         .alias("x")
-    )
+    ).cache()
     tt = daily.groupBy("x").agg(F.count("*").cast("long").alias("t"))
     ranked = daily.join(tt, "x").select(
         "event_type",
@@ -15444,7 +15456,7 @@ def a_by_fdr_pairs(spark, sf_dir):
     sums = ranked.groupBy("event_type").agg(
         F.sum("mr2").cast("long").alias("r2"),
         F.count("*").cast("long").alias("nj"),
-    )
+    ).cache()
     c = sums.agg(F.sum("nj").cast("long").alias("n"))
     tie = tt.where(F.col("t") > 1).agg(
         F.coalesce(
@@ -15747,6 +15759,9 @@ def a_quade_test(spark, sf_dir):
     arithmetic.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # r17 (guide §2.4/§5): the 35-cell census is the only data pass and
+    # feeds both scaffold axes plus the zero-fill join — cache it so the
+    # orders scan runs once, not once per consumer.
     cells0 = orders.groupBy(
         F.dayofweek("o_orderdate").cast("long").alias("blk"),
         F.substring("o_orderpriority", 1, 1).cast("long").alias("trt"),
@@ -15754,7 +15769,7 @@ def a_quade_test(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("cents")
-    )
+    ).cache()
     blks = cells0.select("blk").distinct()
     trts = cells0.select("trt").distinct()
     cells = (
@@ -15773,9 +15788,10 @@ def a_quade_test(spark, sf_dir):
     weights = ranges.select(
         "blk", F.row_number().over(wq).cast("long").alias("q")
     )
+    # 35 rows; feeds both the per-treatment sums and the A²/k census
     sij = ranked.join(F.broadcast(weights), "blk").select(
         "trt", (F.col("q") * (2 * F.col("r") - 6)).alias("s2")
-    )
+    ).cache()
     sj = sij.groupBy("trt").agg(F.sum("s2").cast("long").alias("sj"))
     b_ = weights.agg(F.count("*").cast("long").alias("b"))
     agg = (

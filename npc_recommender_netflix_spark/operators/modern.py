@@ -5892,6 +5892,12 @@ def q_panel_fe(spark, sf_dir):
             .cast("long")
             .alias("y"),
         )
+        # r17 (guide §2.4/§5): census is the ONLY data-scale computation
+        # and it fed 12 uncached consumers (scaffold axes, panel join,
+        # then panel's own four consumers) — 36 parquet scan subtrees in
+        # the plan. Cache it: bounded at ≤|nations|×|months| cells at any
+        # corpus size.
+        .cache()
     )
     # balanced scaffold: zero-order months are REAL (0, 0) panel cells
     # in a count panel — and balance is what makes double-demeaning
@@ -5899,12 +5905,14 @@ def q_panel_fe(spark, sf_dir):
     scaffold = census.select("nation").distinct().crossJoin(
         census.select("ym").distinct()
     )
+    # cached for the same reason: gm/im/tm/within each rescan the panel;
+    # same bounded cell count as census.
     panel = scaffold.join(census, ["nation", "ym"], "left").select(
         "nation",
         "ym",
         F.coalesce(F.col("x"), F.lit(0)).alias("x"),
         F.coalesce(F.col("y"), F.lit(0)).alias("y"),
-    )
+    ).cache()
     gm = panel.agg(
         F.avg(F.col("x").cast("double")).alias("mx"),
         F.avg(F.col("y").cast("double")).alias("my"),
@@ -6159,12 +6167,18 @@ def q_littles_law(spark, sf_dir):
 
     orders = _lt(spark, sf_dir, "orders")
     li = _lt(spark, sf_dir, "lineitem")
+    # r17 (guide §2.4/§5): this rollup is the only data-sized pass and it
+    # fed SIX uncached consumers through span/arr/dep (14 parquet-scan
+    # subtrees in the plan). Cache it — 3 narrow columns per order,
+    # MEMORY_AND_DISK by default so it spills rather than OOMs at scale —
+    # and the docstring's "one data-sized pass" becomes literally one.
     ord_ = (
         orders.join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
         )
         .agg(F.max(F.col("l_shipdate").cast("date")).alias("sd"))
+        .cache()
     )
     span = ord_.agg(
         F.min("od").alias("d0"),
@@ -6192,6 +6206,7 @@ def q_littles_law(spark, sf_dir):
         ).alias("d")
     )
     wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    # day-axis bounded (~2.4k rows); cached because peak and l both scan it
     open_ = (
         cal.join(arr, "d", "left")
         .join(dep, "d", "left")
@@ -6204,6 +6219,7 @@ def q_littles_law(spark, sf_dir):
             .cast("long")
             .alias("open_eod"),
         )
+        .cache()
     )
     peak = open_.agg(F.max("open_eod").alias("po"))
     l = (
