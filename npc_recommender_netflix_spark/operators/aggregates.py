@@ -5571,10 +5571,12 @@ def a_ljung_box(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         F.sum("kd").cast("long").alias("s"),
     )
+    # r17 (guide §2.4/§5): dev feeds the denominator and both lag-join
+    # sides uncached — day-axis bounded, cache it (a_period_detect shape).
     dev = idx.crossJoin(F.broadcast(tot)).select(
         "t",
         (F.col("n") * F.col("kd") - F.col("s")).cast("long").alias("dv"),
-    )
+    ).cache()
     c0 = dev.agg(
         F.sum(
             F.col("dv").cast("decimal(19,0)")
@@ -7090,7 +7092,10 @@ def a_hurst_exponent(spark, sf_dir):
         "kd",
     )
     n_days = idx.agg(F.count("*").cast("long").alias("n_days"))
-    idx = idx.crossJoin(F.broadcast(n_days))
+    # r17 (guide §2.4/§5): the day-axis frame fed the 3-size union twice
+    # over (block stats + deviations) — ~8 replays of the daily rollup
+    # in the plan. idx and blocks are both day-axis bounded.
+    idx = idx.crossJoin(F.broadcast(n_days)).cache()
     blocks = None
     for m in (5, 10, 15):
         b = idx.where(
@@ -7102,6 +7107,7 @@ def a_hurst_exponent(spark, sf_dir):
             "kd",
         )
         blocks = b if blocks is None else blocks.unionByName(b)
+    blocks = blocks.cache()
     bstat = blocks.groupBy("m", "blk").agg(
         F.sum("kd").cast("long").alias("s")
     )
@@ -8254,11 +8260,12 @@ def a_cross_correlation(spark, sf_dir):
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
     )
+    # r17 (guide §2.4/§5): same dev fan-out as a_ljung_box — cached.
     dev = idx.crossJoin(F.broadcast(tot)).select(
         "t",
         (F.col("n") * F.col("x") - F.col("sx")).cast("long").alias("dx"),
         (F.col("n") * F.col("y") - F.col("sy")).cast("long").alias("dy"),
-    )
+    ).cache()
     den = dev.agg(
         F.sum(
             F.col("dx").cast("decimal(19,0)")
@@ -8689,11 +8696,12 @@ def a_ar2_yule_walker(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         F.sum("kd").cast("long").alias("s"),
     )
+    # r17 (guide §2.4/§5): same dev fan-out as a_ljung_box — cached.
     dev = idx.crossJoin(F.broadcast(tot)).select(
         "t",
         (F.col("n") * F.col("kd") - F.col("s")).cast("long").alias("dv"),
         "n",
-    )
+    ).cache()
     dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     c0 = dev.agg(
         F.sum(dec(F.col("dv")) * dec(F.col("dv"))).alias("c0"),
@@ -8805,10 +8813,12 @@ def a_period_detect(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         F.sum("x").cast("long").alias("s"),
     )
+    # r17 (guide §2.4/§5): dev feeds the denominator and both lag-join
+    # sides — 3 replays of the daily rollup uncached; day-axis bounded.
     dev = idx.crossJoin(F.broadcast(tot)).select(
         "t",
         (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("dv"),
-    )
+    ).cache()
     dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     c0 = dev.agg(F.sum(dec(F.col("dv")) * dec(F.col("dv"))).alias("den"))
     lags = spark.range(2, 15).select(F.col("id").cast("long").alias("lag"))
