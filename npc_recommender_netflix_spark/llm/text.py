@@ -1395,12 +1395,24 @@ def t_jsd_sources(spark, sf_dir):
     tok = tokens(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     src_tok = tok.join(docs, "doc_id").select("source", "word")
-    vocab = tok.select("word").distinct()
+    # r17 (guide §2.1/§2.4): aggregate ONCE at the finest grain the key
+    # needs — the old form scanned the token-grain join 4x (cs/ns/ct/nt)
+    # plus a 5th pass for the vocab distinct. ns, ct, nt and the vocab
+    # axis are all exact integer roll-ups of cs, so one cached
+    # source×vocab census (corpus-bounded per the docstring) replaces
+    # every token-grain rescan. Every token's doc_id exists in documents
+    # (tokens derive from documents.text), so the cs-derived vocab is
+    # the corpus vocab.
+    cs = (
+        src_tok.groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c_s"))
+        .cache()
+    )
+    vocab = cs.select("word").distinct()
     v = vocab.agg(F.count("*").cast("long").alias("v"))
-    cs = src_tok.groupBy("source", "word").agg(F.count("*").cast("long").alias("c_s"))
-    ns = src_tok.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
-    ct = src_tok.groupBy("word").agg(F.count("*").cast("long").alias("c_t"))
-    nt = src_tok.agg(F.count("*").cast("long").alias("n_t"))
+    ns = cs.groupBy("source").agg(F.sum("c_s").cast("long").alias("n_s"))
+    ct = cs.groupBy("word").agg(F.sum("c_s").cast("long").alias("c_t"))
+    nt = cs.agg(F.sum("c_s").cast("long").alias("n_t"))
     grid = (
         ns.crossJoin(vocab)
         .crossJoin(F.broadcast(v))
@@ -3761,13 +3773,18 @@ def t_naive_bayes_lid(spark, sf_dir):
         .where(F.col("w") != "")
     )
     train = tok.where(F.col("is_test") == 0)
+    # r17 (guide §2.4/§5): cnt (the vocab×class count grid) feeds the
+    # class totals, the vocab axis, and the smoothing join — cache it so
+    # the training token pass runs once, not 3x. classes (one row per
+    # class) likewise feeds the grid, the priors and the prior total.
     cnt = train.groupBy("w", F.col("lang").alias("c")).agg(
         F.count("*").cast("long").alias("n")
-    )
+    ).cache()
     classes = (
         docs.where(F.col("is_test") == 0)
         .groupBy(F.col("lang").alias("c"))
         .agg(F.count("*").cast("long").alias("nd"))
+        .cache()
     )
     tc = cnt.groupBy("c").agg(F.sum("n").cast("long").alias("tn"))
     vocab = cnt.select("w").distinct()

@@ -2653,6 +2653,10 @@ def v_ann_ivfpq_rerank(spark, sf_dir):
     covers the cascade end to end.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # r17 measured reject: caching codes/q/cell_data here was 2.4x SLOWER
+    # warm (1.86 -> 4.38 s min, reproduced in a fresh session) — the
+    # cache materialization barriers break the broadcast pipelining the
+    # cascade relies on. Left uncached.
     codes = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("code"), F.col("embedding").alias("ce")
     )
@@ -5077,6 +5081,9 @@ def v_maxsim_pruned(spark, sf_dir):
         F.col("embedding").alias("de"),
         F.expr(_NRM.format(a="embedding")).alias("nd"),
     )
+    # r17 measured reject: caching this centroid grid was 2x SLOWER warm
+    # (1.28 -> 2.48 s min, fresh-session reproduced) — the cache barrier
+    # costs more than the one replay it saves. Left uncached.
     cents = (
         d.select("label", F.posexplode("de").alias("i", "v"))
         .groupBy("label", "i")

@@ -9689,10 +9689,12 @@ def a_isotonic_pav(spark, sf_dir):
     scored = orders.join(ret, orders.o_orderkey == ret.l_orderkey).select(
         F.round(F.percent_rank().over(w), 1).alias("p"), "y"
     )
+    # r17 (guide §2.4/§5): the 11-row bin frame fed all three lattice
+    # aliases uncached — 3 replays of the orders⋈returns rank chain.
     bins = scored.groupBy("p").agg(
         F.count("*").cast("long").alias("k"),
         F.sum("y").cast("long").alias("s"),
-    )
+    ).cache()
     # interval lattice over the bounded bin axis (121 rows at 11 bins)
     a, b, c = bins.alias("a"), bins.alias("b"), bins.alias("c")
     ivl = (

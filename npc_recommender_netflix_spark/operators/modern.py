@@ -450,10 +450,15 @@ def q_event_funnel(spark, sf_dir):
     streaming twin would hold the same three fields.
     """
     ev = load_table(spark, sf_dir, "events")
+    # r17 (guide §2.4/§5): s1 feeds step 2, step 3 AND its own census —
+    # the click scan+agg ran 3x uncached (s2 twice through s3). One
+    # timestamp per user per step, exactly the bounded state the
+    # docstring names; cached so each funnel stage computes once.
     s1 = (
         ev.where(F.col("event_type") == "click")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .cache()
     )
     lim = F.col("t1") + F.expr("INTERVAL 7 DAYS")
     s2 = (
@@ -462,6 +467,7 @@ def q_event_funnel(spark, sf_dir):
         .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= lim))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .cache()
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
@@ -4407,17 +4413,23 @@ def q_basket_substitutes(spark, sf_dir):
     basket self-join stays order-keyed.
     """
     li, part = tables(spark, sf_dir, "lineitem", "part")
+    # r17 (guide §2.4/§5): the distinct basket frame fed the order
+    # census, the per-brand counts and BOTH pair-join sides uncached —
+    # 4 replays of the lineitem⋈part distinct. One row per
+    # (order, brand); MEMORY_AND_DISK so it spills at scale.
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .cache()
     )
     n = baskets.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders")
     )
+    # brand-bounded; feeds both support-floor sides
     item = baskets.groupBy("p_brand").agg(
         F.count("*").cast("long").alias("c")
-    )
+    ).cache()
     a = baskets.select(
         F.col("l_orderkey").alias("ka"), F.col("p_brand").alias("brand_a")
     )
@@ -5278,12 +5290,16 @@ def q_join_card_est(spark, sf_dir):
     """
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
+    # r17 (guide §2.4/§5): each per-key count frame fed its scalar stats,
+    # the exact-cardinality join, and the MCV top-5 uncached (3 fact
+    # scans per side). Cache both — they are the ANALYZE-stats frames the
+    # docstring describes, |distinct keys| rows.
     cl = events.groupBy(F.col("user_id").alias("k")).agg(
         F.count("*").alias("c")
-    )
+    ).cache()
     cr = orders.groupBy(F.col("o_custkey").alias("k")).agg(
         F.count("*").alias("c")
-    )
+    ).cache()
     sl = cl.agg(F.sum("c").alias("n_l"), F.count("*").alias("ndv_l"))
     sr = cr.agg(F.sum("c").alias("n_r"), F.count("*").alias("ndv_r"))
     actual = (
@@ -5622,6 +5638,11 @@ def q_largest_remainder(spark, sf_dir):
                 ).cast("long")
             ).alias("cents")
         )
+        # r17 (guide §2.4/§5): the 3-join revenue rollup is the only
+        # data-sized work and fed total/quota/shortfall/final uncached —
+        # cache the 25-nation frame (and the quota math once) so the fact
+        # tables scan once.
+        .cache()
     )
     tot = rev.agg(F.sum("cents").alias("t"))
     quota = rev.crossJoin(F.broadcast(tot)).select(
@@ -5629,7 +5650,7 @@ def q_largest_remainder(spark, sf_dir):
         "cents",
         F.expr("(cents * 10000) div t").alias("bps_floor"),
         F.expr("(cents * 10000) % t").alias("rem"),
-    )
+    ).cache()
     short = quota.agg(
         (F.lit(10000) - F.sum("bps_floor")).alias("k")
     )

@@ -3791,6 +3791,11 @@ def q_fair_waterline(spark, sf_dir):
             .cast("long")
             .alias("d")
         )
+        # r17 (guide §2.4/§5): the demand rollup is the only data-sized
+        # work and fed capacity + the sorted axis uncached; the sorted
+        # 25-row frame then feeds segment search, the prev lookup and the
+        # final allocation — cache both so the fact join scans once.
+        .cache()
     )
     cap = dem.agg(
         F.expr("sum(d) * 4 div 5").cast("long").alias("cc"),
@@ -3804,7 +3809,7 @@ def q_fair_waterline(spark, sf_dir):
         F.sum("d").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias(
             "pre"
         ),
-    )
+    ).cache()
     seg = (
         sorted_.crossJoin(F.broadcast(cap))
         .where(
