@@ -152,17 +152,27 @@ _COS_SQL = f"""
 def topk_neighbors(spark, sf_dir, k: int = 5) -> DataFrame:
     """Top-k neighbors per item by rounded cosine (MR Job 5: secondary sort)."""
     sims = item_cosine(spark, sf_dir)
+    # r17 (guide §2.4): one map-side explode for both orientations, not
+    # sims UNION sims-flipped — the union form replayed the whole
+    # item_cosine build once per branch whenever the memoized cache is
+    # cold (the bench clears caches between keys), for every predictions
+    # consumer downstream. Identical row multiset (the r_user_cosine
+    # treatment applied to the shared helper).
     bidir = sims.select(
-        F.col("item_a").alias("item_id"),
-        F.col("item_b").alias("neighbor_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item_id"),
+                    F.col("item_b").alias("neighbor_id"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item_id"),
+                    F.col("item_a").alias("neighbor_id"),
+                ),
+            )
+        ).alias("e"),
         "cosine",
-    ).unionByName(
-        sims.select(
-            F.col("item_b").alias("item_id"),
-            F.col("item_a").alias("neighbor_id"),
-            "cosine",
-        )
-    )
+    ).select("e.item_id", "e.neighbor_id", "cosine")
     w = Window.partitionBy("item_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -649,7 +659,12 @@ def r_coverage(spark, sf_dir):
     cached prediction intermediates; both distinct counts reduce to single
     rows before the final one-row join.
     """
-    p = predictions(spark, sf_dir)
+    # r17 (guide §2.4): the recommended-items census AND the catalog
+    # census both scan p — uncached (after the bench's clearCache the
+    # memoized upstream frames rebuild lazily), that replayed the whole
+    # predictions chain twice. Interleaved A/B: 1.98 -> 1.74 s min, every
+    # rep pair favoring the cache.
+    p = predictions(spark, sf_dir).cache()
     w = Window.partitionBy("user_id").orderBy(F.col("pred").desc(), "item_id")
     recs = p.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
     nr = recs.agg(F.countDistinct("item_id").alias("n_rec_items"))
@@ -2103,13 +2118,24 @@ def r_candidate_rerank(spark, sf_dir):
         .join(seen, ["user_id", "item_id"], "left_anti")
     )
     sims = item_cosine(spark, sf_dir)
+    # r17 (guide §2.4): one explode for both orientations — the union
+    # form replayed the item_cosine build per branch when the memo cache
+    # is cold (same transform as topk_neighbors above).
     bidir = sims.select(
-        F.col("item_a").alias("item_id"), F.col("item_b").alias("other"), "cosine"
-    ).unionByName(
-        sims.select(
-            F.col("item_b").alias("item_id"), F.col("item_a").alias("other"), "cosine"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item_id"),
+                    F.col("item_b").alias("other"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item_id"),
+                    F.col("item_a").alias("other"),
+                ),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select("e.item_id", "e.other", "cosine")
     r = m.select(
         F.col("user_id").alias("r_user"),
         F.col("item_id").alias("other"),
