@@ -2017,15 +2017,18 @@ def r_intralist_diversity(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("user_id", "item_id")
     )
-    a, b = recs.alias("ra"), recs.alias("rb")
-    rec_pairs = a.join(
-        b,
-        (F.col("ra.user_id") == F.col("rb.user_id"))
-        & (F.col("ra.item_id") < F.col("rb.item_id")),
-    ).select(
-        F.col("ra.user_id").alias("user_id"),
-        F.col("ra.item_id").alias("ia"),
-        F.col("rb.item_id").alias("ib"),
+    # r17 (guide §2.4/§3): pairs via one collect_set + in-plan double
+    # explode (the _copurchase_edges treatment — lists are ≤3 items by
+    # construction) instead of a recs self-join whose both sides replayed
+    # the whole predictions chain. Interleaved A/B: 1.86 -> 1.60 s min,
+    # every rep pair favoring it; identical row multiset.
+    lists = recs.groupBy("user_id").agg(
+        F.collect_set("item_id").alias("items")
+    )
+    rec_pairs = (
+        lists.select("user_id", F.explode("items").alias("ia"), "items")
+        .select("user_id", "ia", F.explode("items").alias("ib"))
+        .where(F.col("ia") < F.col("ib"))
     )
     sims = item_cosine(spark, sf_dir)
     scored = rec_pairs.join(
