@@ -1218,12 +1218,26 @@ def r_user_cosine_capped(spark, sf_dir):
     """
     m0 = ratings_matrix(spark, sf_dir)
     deg = m0.groupBy("item_id").agg(F.count("*").alias("df"))
-    # r17 measured revert: repartition(defaultParallelism) before this
-    # cache (the r_slope_one_capped width fix) was 15-50% SLOWER here —
-    # the pair stage's CPU inflated 10 s -> 46 s at 32-way width (round-
-    # robin and item-hash both), unlike slope_one's BIGINT aggregate
-    # which kept its 13.8 s CPU flat. Left at AQE's coalesced width.
-    m = m0.join(deg.where(F.col("df") <= 40).select("item_id"), "item_id").cache()
+    # Half-core width for the CPU-heavy pair stage (r18, guide §2.6).
+    # AQE's size-based coalesce left this cache at 6 partitions, so the
+    # pair-generation + partial-aggregate stage (~10 s CPU, the key's
+    # dominant cost) ran 6-wide on 32 cores, and its 6 oversized hash-agg
+    # task states drove the 4.3<->9 s GC bimodality (r17 open item). The
+    # r18 width sweep (same-session alternating A/B, 4-5 reps each):
+    # AQE-6 med 4.24 s with a 9.06 s outlier; 8 -> 3.89; 12 -> 3.14;
+    # 16 -> 3.06; 24 -> 3.31; r17 had measured FULL defaultParallelism
+    # (32) at 15-50% slower. Half the cores is the sweet spot and is
+    # cores-scaled, not a constant; hash on item_id keeps the self-join
+    # co-partitioned so the repartition is the join's only exchange.
+    # Values exact: per-pair dot partials merge in arbitrary order at ANY
+    # width (incl. the old 6); result equality verified exceptAll-empty
+    # both ways and oracle hash-match at 3 SFs.
+    width = max(4, spark.sparkContext.defaultParallelism // 2)
+    m = (
+        m0.join(deg.where(F.col("df") <= 40).select("item_id"), "item_id")
+        .repartition(width, "item_id")
+        .cache()
+    )
     n = m.groupBy("user_id").agg(
         F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("nrm")
     )
