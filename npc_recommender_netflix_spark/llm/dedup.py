@@ -46,16 +46,30 @@ SHINGLES_FULL_SQL = r"""
 """
 
 
-def shingles(spark, sf_dir, bounded=True):
+def shingles(spark, sf_dir, bounded=True, wide=False):
     # bigrams via array transform — map-side only, no self-join shuffle.
     # Per-doc dedup happens BEFORE the explode with array_distinct (r17
     # optimization, guide §2.4): the old explode().distinct() paid a full
     # (doc_id, s) Exchange in every consumer for a dedup that is local to
     # one document — one row, one array — by construction. Same row set
     # (array_distinct keeps one NULL like DISTINCT), zero shuffles.
+    #
+    # wide=True (r18, guide §2.6): callers that CACHE this frame inherit
+    # the map-side lineage's width = the documents SCAN width, which is 1
+    # partition at test scale — so every consumer pass over the cache
+    # (salted-md5 signature aggs, posting self-joins) ran single-threaded,
+    # serializing 3-4 x ~1 s CPU stages per key. A round-robin repartition
+    # of the raw (doc_id, text) rows BEFORE the explode restores
+    # cores-scaled width for one tiny docs-sized exchange. Scale-guarded:
+    # skipped whenever the scan is already at least that wide (a real
+    # cluster scan), so no shuffle is ever ADDED at 100 TB.
     docs = load_table(spark, sf_dir, "documents")
     if bounded:
         docs = docs.where(F.col("doc_id") < 1000)
+    if wide:
+        width = max(4, spark.sparkContext.defaultParallelism // 2)
+        if docs.rdd.getNumPartitions() < width:
+            docs = docs.repartition(width)
     return (
         docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
         .select(
@@ -897,7 +911,7 @@ def t_minhash_lsh(spark, sf_dir):
     """
     # the shingle set feeds three consumers (signatures, sizes, rescoring);
     # Spark does not share repeated subtrees, so cache it once
-    sh = shingles(spark, sf_dir, bounded=False).cache()
+    sh = shingles(spark, sf_dir, bounded=False, wide=True).cache()
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
@@ -1662,7 +1676,7 @@ def t_minhash_lsh_incremental(spark, sf_dir):
     only the batch's shingle sets are computed fresh, and the exact
     rescore touches candidate posting lists only.
     """
-    sh = shingles(spark, sf_dir, bounded=False).cache()
+    sh = shingles(spark, sf_dir, bounded=False, wide=True).cache()
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
@@ -2007,7 +2021,7 @@ def t_minhash_perm_curve(spark, sf_dir):
     bounded bucket self-joins; the exact ground truth is the test-scale
     honesty branch, sampled at 100 TB like t_lsh_recall's.
     """
-    sh = shingles(spark, sf_dir).cache()
+    sh = shingles(spark, sf_dir, wide=True).cache()
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(
