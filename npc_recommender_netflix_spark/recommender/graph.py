@@ -926,19 +926,37 @@ def _lpa_labels(spark, sf_dir):
         unlabeled = lab.where(F.col("lab").isNull()).select(
             F.col("node").alias("u_node")
         )
-        votes = (
+        # In-row argmax over the bounded 5-label alphabet (r18, guide
+        # §2.4): labels are node % 5 by construction, so the per-node
+        # vote argmax is 5 conditional counts in ONE aggregation and an
+        # array_position(max) projection — this drops the old
+        # (v_node, v_lab) groupBy + row_number window, i.e. one
+        # Exchange+Sort per LPA round. Tiebreak identical: the window
+        # ordered (c DESC, v_lab ASC); array_position returns the FIRST
+        # max, which is the smallest label. A node only appears with
+        # >= 1 vote (inner join), so the max is never a zero count.
+        # Verified row-identical (exceptAll empty both ways) and A/B'd
+        # med 2.09 -> 1.95 s on the 2-round rebuild.
+        counts = (
             edges.join(labeled, edges.src == F.col("l_node"))
             .join(unlabeled, edges.dst == F.col("u_node"))
-            .groupBy(
-                F.col("dst").alias("v_node"), F.col("l_lab").alias("v_lab")
+            .groupBy(F.col("dst").alias("v_node"))
+            .agg(
+                *[
+                    F.count(F.when(F.col("l_lab") == k, True)).alias(f"c{k}")
+                    for k in range(5)
+                ]
             )
-            .agg(F.count("*").alias("c"))
         )
-        wv = Window.partitionBy("v_node").orderBy(F.col("c").desc(), "v_lab")
-        pick = (
-            votes.withColumn("rn", F.row_number().over(wv))
-            .where(F.col("rn") == 1)
-            .select("v_node", "v_lab")
+        pick = counts.select(
+            "v_node",
+            (
+                F.expr(
+                    "array_position(array(c0,c1,c2,c3,c4),"
+                    " array_max(array(c0,c1,c2,c3,c4)))"
+                )
+                - 1
+            ).cast("long").alias("v_lab"),
         )
         lab = (
             lab.join(pick, lab.node == pick.v_node, "left")
