@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import f6, load_table
+from ..session import f6, load_table, widen_narrow_scan
 
 # --- shared shingle SQL (2-word shingles, distinct per doc) ----------------
 
@@ -67,9 +67,7 @@ def shingles(spark, sf_dir, bounded=True, wide=False):
     if bounded:
         docs = docs.where(F.col("doc_id") < 1000)
     if wide:
-        width = max(4, spark.sparkContext.defaultParallelism // 2)
-        if docs.rdd.getNumPartitions() < width:
-            docs = docs.repartition(width)
+        docs = widen_narrow_scan(spark, docs)
     return (
         docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
         .select(
@@ -389,6 +387,10 @@ def t_simhash_pairs(spark, sf_dir):
     # map-side — the only token-grain exchange left is |docs| rows of
     # 60 longs into the final vote aggregate (vs repartitioning every
     # token row by doc_id).
+    # r18 measured reject: widen_narrow_scan(docs) before this explode
+    # (the shingles wide=True treatment) A/B'd a WASH (warm iso min
+    # 2.68 -> 2.77 s) — the vote aggregate already combines map-side per
+    # doc, so the extra exchange buys no downstream width. Left narrow.
     tok = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias(

@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import evict_superseded_memo, f6, load_table, money2, tables
+from ..session import (evict_superseded_memo, f6, load_table, money2,
+                       tables, widen_narrow_scan)
 
 # Shared-intermediate cache. Without it the ratings-matrix subplan (an
 # orders⋈lineitem join + groupBy) is replicated up to 10x inside one
@@ -3983,7 +3984,11 @@ def r_covisit_time_decay(spark, sf_dir):
     range — never a global item join; weight sums partial-aggregate
     map-side; top-50 is TakeOrderedAndProject.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # Widen the unsplittable events scan before the JSON extraction +
+    # distinct (r18, guide §2.5): the single-row-group fixture scans as
+    # ONE task, serializing the per-row get_json_object parse that feeds
+    # the cached capped-session frame. No-op when the scan is wide.
+    ev = widen_narrow_scan(spark, load_table(spark, sf_dir, "events"))
     # item IS NOT NULL before the cap (round-12 advice item 2): a NULL
     # $.k would never form pairs but WOULD occupy one of the 16 md5-
     # ranked cap slots — and NULL md5 sorts NULLS FIRST in Spark vs
@@ -4397,7 +4402,11 @@ def r_session_knn_capped(spark, sf_dir):
     pair work bounded by df_cap^2 per item; every later stage runs on
     the 20-target frame. Never a session x session cross join.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # Widen the unsplittable events scan before the JSON extraction +
+    # distinct (r18, guide §2.5) — same rationale as r_covisit_time_decay:
+    # the 1-row-group fixture scans as ONE task and the cached capped
+    # frame otherwise pins all six consumers to that width.
+    ev = widen_narrow_scan(spark, load_table(spark, sf_dir, "events"))
     ui = (
         ev.select(
             "user_id",

@@ -174,6 +174,26 @@ def evict_superseded_memo(shared: dict, app_id: str, sf_dir: str) -> None:
                 pass  # already released / context torn down mid-sweep
 
 
+def widen_narrow_scan(spark, df, min_width: int | None = None) -> DataFrame:
+    """Cores-scaled repartition for a scan-rooted frame whose source scan
+    is narrower than the cluster (guide §2.5's 'unsplittable input' fix).
+
+    The test fixtures are single-row-group parquet files, so the scan
+    cannot parallelize below ONE task no matter the split size — any
+    heavy per-row work above it (JSON extraction, per-token md5, wide
+    vote aggregates) then runs single-threaded, and a cache built from
+    that lineage pins every consumer to the same width. Round-robin
+    repartitioning the raw rows right after the read restores
+    cores-scaled width for one input-sized exchange. Guarded: a no-op
+    whenever the scan is already at least this wide (any real cluster
+    scan at 100 TB), so no shuffle is ever ADDED at scale.
+    """
+    width = min_width or max(4, spark.sparkContext.defaultParallelism // 2)
+    if df.rdd.getNumPartitions() < width:
+        df = df.repartition(width)
+    return df
+
+
 def f6(col):
     """Round a float expression to 6dp (SURVEY §2 float convention).
 
